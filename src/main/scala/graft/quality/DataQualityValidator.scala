@@ -1,0 +1,112 @@
+package graft.quality
+
+import graft.model.DataQualityMetrics
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+import scala.collection.mutable.ListBuffer
+
+/** Data-quality scan mirroring the reference validator
+  * (`ML Feature Store Pipeline.py:113-161`): global null-cell ratio,
+  * duplicate-row ratio, IQR outlier ratio over numeric columns, pluggable
+  * boolean checks (an exception inside a check counts as a violation,
+  * `:147-149`), and the composite score
+  * `max(0, 1 − (null% + dup% + outlier% + 0.1·violations))` (`:152`).
+  *
+  * Execution shape (scale-aware): the whole scan is three distributed jobs
+  * regardless of column count —
+  *   1. one multi-aggregate pass computing row count, per-column null
+  *      counts, and per-numeric-column Q1/Q3 + non-null counts together;
+  *   2. one `dropDuplicates().count()` (shuffle on all columns) for the
+  *      duplicate ratio;
+  *   3. one pass counting IQR outliers with the quantile bounds inlined as
+  *      literals.
+  * Nothing is collected except the aggregate rows. Checks are arbitrary
+  * `DataFrame => Boolean` and may run their own actions.
+  */
+final class DataQualityValidator {
+  private val checks = ListBuffer[(String, DataFrame => Boolean)]()
+  DataQualityValidator.defaultChecks.foreach(checks += _)
+
+  /** Register a custom check (reference `add_check`, `:114-119`). */
+  def addCheck(name: String, check: DataFrame => Boolean): this.type = {
+    checks += (name -> check); this
+  }
+
+  def checkNames: Seq[String] = checks.map(_._1).toSeq
+
+  def validate(df: DataFrame): DataQualityMetrics = {
+    val cols = df.columns.toSeq
+    val numericCols = df.schema.fields
+      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
+
+    // Job 1: count + null counts + quantiles + numeric non-null counts.
+    val nullAggs = cols.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"))
+    val quantAggs = numericCols.flatMap { c =>
+      Seq(percentile(col(c), lit(0.25)).as(s"__q1_$c"),
+          percentile(col(c), lit(0.75)).as(s"__q3_$c"),
+          count(col(c)).as(s"__n_$c"))
+    }
+    val statsRow: Row =
+      df.agg(count(lit(1)).as("__rows"), (nullAggs ++ quantAggs): _*).head()
+    val rows = statsRow.getAs[Long]("__rows")
+    val nullCells = cols.map(c => statsRow.getAs[Long](s"__null_$c")).sum
+    val nullPct =
+      if (rows == 0 || cols.isEmpty) 0.0
+      else nullCells.toDouble / (rows * cols.length)
+
+    // Job 2: duplicate-row ratio — pandas `duplicated()` marks all-but-first,
+    // so dup% = (n − n_distinct) / n (`:123`, SURVEY A15).
+    val dupPct =
+      if (rows == 0) 0.0
+      else (rows - df.dropDuplicates().count()).toDouble / rows
+
+    // Job 3: IQR outliers with bounds inlined as literals (`:130-138`).
+    val (outliers, numericValues) =
+      if (numericCols.isEmpty || rows == 0) (0L, 0L)
+      else {
+        val outlierAggs = numericCols.map { c =>
+          val q1 = anyToDouble(statsRow.getAs[Any](s"__q1_$c"))
+          val q3 = anyToDouble(statsRow.getAs[Any](s"__q3_$c"))
+          val iqr = q3 - q1
+          val pred = col(c) < lit(q1 - 1.5 * iqr) || col(c) > lit(q3 + 1.5 * iqr)
+          sum(when(pred, 1L).otherwise(0L)).as(s"__out_$c")
+        }
+        val r = df.agg(outlierAggs.head, outlierAggs.tail: _*).head()
+        (numericCols.map(c => r.getAs[Long](s"__out_$c")).sum,
+         numericCols.map(c => statsRow.getAs[Long](s"__n_$c")).sum)
+      }
+    val outlierPct = outliers.toDouble / math.max(numericValues, 1L)
+
+    // Checks: exception ⇒ violation (`:147-149`).
+    val violations = checks.count { case (_, check) =>
+      try !check(df) catch { case scala.util.control.NonFatal(_) => true }
+    }
+
+    val score = math.max(0.0,
+      1.0 - (nullPct + dupPct + outlierPct + 0.1 * violations))
+    DataQualityMetrics(nullPct, dupPct, outlierPct, violations.toLong, score)
+  }
+
+  private def anyToDouble(a: Any): Double = a match {
+    case null => 0.0
+    case n: Number => n.doubleValue()
+  }
+}
+
+object DataQualityValidator {
+  /** Default checks registered by the reference store ctor (`:246-258`). */
+  val defaultChecks: Seq[(String, DataFrame => Boolean)] = Seq(
+    "non_empty" -> (df => !df.isEmpty),
+    "no_all_null_columns" -> { df =>
+      if (df.columns.isEmpty) true
+      else {
+        val aggs = df.columns.toSeq.map(c => count(col(c)).as(c))
+        val r = df.agg(aggs.head, aggs.tail: _*).head()
+        df.columns.forall(c => r.getAs[Long](c) > 0)
+      }
+    },
+    "has_user_id" -> (df => df.columns.contains("user_id")))
+}

@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries for the data-quality operator family
+  * (SURVEY.md §2 A14–A17: null-cell ratio, duplicate-row ratio, exact
+  * quantiles, IQR outliers). These mirror what
+  * [[graft.quality.DataQualityValidator]] computes, expressed as single
+  * declarative plans so the driver can hash-compare them against DuckDB.
+  */
+object QualityQueries {
+
+  /** events core columns (ts as epoch-µs for engine parity). */
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select("event_id", "user_id", "event_type", "value", "props", "ts_us")
+
+  /** A14 + A15: global null-cell ratio and duplicate-row ratio over events.
+    * Two 1-row aggregates cross-joined — at scale each is one distributed
+    * pass (the distinct is a shuffle on all columns); the join is trivial.
+    */
+  def nullDupRatio(spark: SparkSession, dir: String): DataFrame = {
+    val base = ev(spark, dir)
+    val cols = base.columns.toSeq
+    val nullCells = cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)))
+      .reduce(_ + _)
+    val counts = base.agg(
+      count(lit(1)).as("n_rows"), nullCells.as("null_cells"))
+    val distincts = base.distinct().agg(count(lit(1)).as("n_distinct"))
+    counts.crossJoin(distincts).select(
+      col("n_rows"), col("null_cells"),
+      (col("null_cells").cast("double") / (col("n_rows") * cols.length))
+        .as("null_ratio"),
+      (col("n_rows") - col("n_distinct")).as("dup_rows"),
+      ((col("n_rows") - col("n_distinct")).cast("double") / col("n_rows"))
+        .as("dup_ratio"))
+  }
+
+  /** A16 + A17 + P7: exact quartiles of events.value and the IQR outlier
+    * count. The 1-row quantile aggregate is cross-joined back (broadcast)
+    * and carried through the group-by — quantiles compute once, the outlier
+    * scan is a second single pass.
+    */
+  def outlierIqr(spark: SparkSession, dir: String): DataFrame = {
+    val base = ev(spark, dir)
+    val q = base.agg(
+      percentile(col("value"), lit(0.25)).as("q1"),
+      percentile(col("value"), lit(0.75)).as("q3"))
+    base.crossJoin(q)
+      .groupBy(col("q1"), col("q3"))
+      .agg(
+        sum(when(
+          col("value") < col("q1") - (col("q3") - col("q1")) * 1.5 ||
+          col("value") > col("q3") + (col("q3") - col("q1")) * 1.5,
+          1L).otherwise(0L)).as("n_outliers"),
+        count(col("value")).as("n_values"))
+      .select(round(col("q1"), 6).as("q1"), round(col("q3"), 6).as("q3"),
+        col("n_outliers"), col("n_values"))
+  }
+
+  /** A16: exact linear-interpolation quantiles over lineitem columns
+    * (`percentile`, matching DuckDB `quantile_cont` and pandas
+    * `Series.quantile`). The scalable alternate is `percentile_approx` —
+    * exposed in [[graft.quality.DataQualityValidator]] docs, kept exact here
+    * for oracle parity.
+    */
+  def quantilesLineitem(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(
+      round(percentile(col("l_quantity"), lit(0.25)), 6).as("qty_q1"),
+      round(percentile(col("l_quantity"), lit(0.5)), 6).as("qty_q2"),
+      round(percentile(col("l_quantity"), lit(0.75)), 6).as("qty_q3"),
+      round(percentile(col("l_extendedprice"), lit(0.25)), 6).as("price_q1"),
+      round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("price_q2"),
+      round(percentile(col("l_extendedprice"), lit(0.75)), 6).as("price_q3"))
+
+  /** A15 on documents.text — the exact-dedup ratio of the corpus. */
+  def dupRatioDocuments(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("text")).as("n_distinct_texts"),
+      ((count(lit(1)) - countDistinct(col("text"))).cast("double") / count(lit(1)))
+        .as("dup_ratio"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_null_dup_ratio" -> nullDupRatio,
+    "quality_outlier_iqr" -> outlierIqr,
+    "quality_quantiles_lineitem" -> quantilesLineitem,
+    "quality_dup_ratio_documents" -> dupRatioDocuments)
+
+  val oracle: Map[String, String] = Map(
+    "quality_null_dup_ratio" ->
+      """SELECT c.n_rows, c.null_cells,
+        |  c.null_cells * 1.0 / (c.n_rows * 6) AS null_ratio,
+        |  c.n_rows - d.n_distinct AS dup_rows,
+        |  (c.n_rows - d.n_distinct) * 1.0 / c.n_rows AS dup_ratio
+        |FROM
+        |  (SELECT count(*) AS n_rows,
+        |     CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+        |        + sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+        |        + sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+        |        + sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+        |        + sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+        |        + sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cells
+        |   FROM events) c,
+        |  (SELECT count(*) AS n_distinct FROM
+        |     (SELECT DISTINCT event_id, user_id, event_type, value, props,
+        |        epoch_us(ts) FROM events)) d""".stripMargin,
+    "quality_outlier_iqr" ->
+      """WITH q AS (SELECT quantile_cont(value, 0.25) AS q1,
+        |                  quantile_cont(value, 0.75) AS q3 FROM events)
+        |SELECT round(q.q1, 6) AS q1, round(q.q3, 6) AS q3,
+        |  CAST(sum(CASE WHEN e.value < q.q1 - (q.q3 - q.q1) * 1.5
+        |                  OR e.value > q.q3 + (q.q3 - q.q1) * 1.5
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  count(e.value) AS n_values
+        |FROM events e, q GROUP BY q.q1, q.q3""".stripMargin,
+    "quality_quantiles_lineitem" ->
+      """SELECT
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS qty_q1,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS qty_q2,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS qty_q3,
+        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS price_q1,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS price_q2,
+        |  round(quantile_cont(l_extendedprice, 0.75), 6) AS price_q3
+        |FROM lineitem""".stripMargin,
+    "quality_dup_ratio_documents" ->
+      """SELECT count(*) AS n_docs,
+        |  count(DISTINCT text) AS n_distinct_texts,
+        |  (count(*) - count(DISTINCT text)) * 1.0 / count(*) AS dup_ratio
+        |FROM documents""".stripMargin)
+}

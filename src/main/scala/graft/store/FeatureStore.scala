@@ -1,0 +1,235 @@
+package graft.store
+
+import graft.model.{DataQualityMetrics, FeatureConfig, FeatureMetadata}
+import graft.quality.DataQualityValidator
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import java.security.MessageDigest
+
+/** Parquet-backed versioned feature store with the same API surface as the
+  * reference `AdvancedFeatureStore` (`ML Feature Store Pipeline.py:228-541`).
+  *
+  * Storage layout (replaces SQLite):
+  *  - `basePath/features/feature_version=<v>/…` — feature rows, partitioned
+  *    by version so version reads are pure partition pruning (the working
+  *    replacement for the reference's intended-but-broken
+  *    `INDEX(feature_version)`, `:277-278`); parquet min/max stats give
+  *    row-group skipping on `user_id`.
+  *  - `basePath/metadata/` — small parquet table, one row per version, with
+  *    nested features/lineage/tags columns; upserts rewrite it atomically
+  *    via a temp-dir swap (S4 in SURVEY §2.1, no Delta in an offline build).
+  *
+  * Scale posture: feature data only ever moves through distributed
+  * scans/writes; the only `collect` is the serving tail (single user slice),
+  * mirroring the reference's point-lookup semantics. The TTL cache holds
+  * those collected slices, like the reference's `InMemoryCache` of query
+  * results (`:86-111`).
+  */
+final class FeatureStore(
+    spark: SparkSession,
+    basePath: String,
+    cacheTtlSeconds: Long = 3600,
+    qualityThreshold: Double = 0.8,
+    clock: () => String = () => java.time.Instant.now().toString) {
+
+  import FeatureStore.MetadataRow
+
+  val validator = new DataQualityValidator
+  val monitor = new FeatureMonitor(qualityThreshold)
+  private val cache = new TtlCache[String, (StructType, Array[Row])](cacheTtlSeconds)
+
+  private val featuresPath = s"$basePath/features"
+  private val metadataPath = s"$basePath/metadata"
+
+  /** Register a feature relation: quality scan → content fingerprint →
+    * stamped append (partitioned by version) → metadata upsert → monitor +
+    * cache hooks. Returns the version hash.
+    * (`register_features`, `ML Feature Store Pipeline.py:295-361`.)
+    */
+  def registerFeatures(df: DataFrame, meta: FeatureMetadata): String = {
+    val metrics = validator.validate(df)
+    val version = FeatureStore.fingerprint(df)
+    val createdAt = clock()
+
+    val stamped = df
+      .withColumn("feature_version", lit(version))
+      .withColumn("created_at", lit(createdAt))
+    // Dynamic partition overwrite: re-registering identical content replaces
+    // its own partition instead of appending duplicates (divergence from the
+    // reference, which would double-insert; documented in SURVEY §7.4).
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    stamped.write.mode("overwrite").partitionBy("feature_version")
+      .parquet(featuresPath)
+
+    upsertMetadata(MetadataRow(
+      feature_version = version,
+      description = meta.description,
+      created_at = createdAt,
+      features_config = meta.features,
+      null_percentage = metrics.nullPercentage,
+      duplicate_percentage = metrics.duplicatePercentage,
+      outlier_percentage = metrics.outlierPercentage,
+      schema_violations = metrics.schemaViolations,
+      overall_score = metrics.overallScore,
+      lineage = meta.lineage,
+      tags = meta.tags))
+
+    monitor.logFeatureCreation(version, metrics)
+    cacheFill(cacheKey(version, Nil), getFeaturesUncached(version, Nil))
+    version
+  }
+
+  /** Read features by version (latest when None) with optional user-id
+    * filter; TTL-cached. (`get_features`, `:363-425`.)
+    */
+  def getFeatures(
+      version: Option[String] = None,
+      userIds: Seq[Long] = Nil,
+      useCache: Boolean = true): DataFrame = {
+    val v = version.getOrElse(latestVersion()
+      .getOrElse(throw new NoSuchElementException("no feature versions registered")))
+    val key = cacheKey(v, userIds)
+    val fromCache = if (useCache) cache.get(key) else None
+    val result = fromCache match {
+      case Some((schema, rows)) =>
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      case None =>
+        val df = getFeaturesUncached(v, userIds)
+        if (useCache) cacheFill(key, df)
+        df
+    }
+    monitor.logFeatureAccess(v)
+    result
+  }
+
+  private def getFeaturesUncached(version: String, userIds: Seq[Long]): DataFrame = {
+    // Partition pruning on version; pushdown / row-group skip on user_id.
+    val base = spark.read.parquet(featuresPath)
+      .filter(col("feature_version") === version)
+    if (userIds.isEmpty) base else base.filter(col("user_id").isin(userIds: _*))
+  }
+
+  /** Point lookup for one user, metadata columns dropped, as a column→value
+    * map. (`serve_features`, `:427-446`.)
+    */
+  def serveFeatures(userId: Long, version: Option[String] = None): Option[Map[String, Any]] = {
+    val df = getFeatures(version, Seq(userId))
+      .drop("feature_version", "created_at")
+    df.limit(1).collect().headOption
+      .map(r => r.getValuesMap[Any](r.schema.fieldNames.toIndexedSeq))
+  }
+
+  /** (`get_feature_metadata`, `:456-479`.) */
+  def getFeatureMetadata(version: String): Option[FeatureMetadata] =
+    readMetadata().find(_.feature_version == version).map(_.toMetadata)
+
+  /** Versions newest-first. (`list_feature_versions`, `:481-501`.) */
+  def listFeatureVersions(): Seq[FeatureMetadata] =
+    readMetadata().sortBy(r => (r.created_at, r.feature_version))(Ordering.Tuple2(
+      Ordering.String.reverse, Ordering.String.reverse)).map(_.toMetadata)
+
+  /** Keep the newest `keepN` versions, drop the rest (partition-dir deletes +
+    * metadata rewrite + cache invalidation). Returns deleted versions.
+    * (`cleanup_old_versions`, `:503-532`.)
+    */
+  def cleanupOldVersions(keepN: Int = 5): Seq[String] = {
+    val all = listFeatureVersions().map(_.featureVersion)
+    val doomed = all.drop(keepN)
+    if (doomed.nonEmpty) {
+      val fs = new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      doomed.foreach { v =>
+        fs.delete(new Path(s"$featuresPath/feature_version=$v"), true)
+      }
+      val kept = readMetadata().filterNot(r => doomed.contains(r.feature_version))
+      writeMetadata(kept)
+      cache.clear()
+    }
+    doomed
+  }
+
+  def monitoringDashboard: Map[String, Any] =
+    monitor.dashboard ++ Map("cache_hits" -> cache.hits, "cache_misses" -> cache.misses)
+
+  // ---- internals -----------------------------------------------------------
+
+  private def cacheKey(version: String, userIds: Seq[Long]): String =
+    s"features_${version}_${userIds.sorted.mkString("_")}"
+
+  private def cacheFill(key: String, df: DataFrame): Unit =
+    cache.put(key, (df.schema, df.collect()))
+
+  private def latestVersion(): Option[String] =
+    listFeatureVersions().headOption.map(_.featureVersion)
+
+  private def readMetadata(): Seq[MetadataRow] = {
+    val fs = new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(metadataPath))) Nil
+    else {
+      import spark.implicits._
+      spark.read.parquet(metadataPath).as[MetadataRow].collect().toSeq
+    }
+  }
+
+  private def writeMetadata(rows: Seq[MetadataRow]): Unit = {
+    import spark.implicits._
+    val fs = new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(metadataPath + "__tmp")
+    rows.toDS().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val dst = new Path(metadataPath)
+    fs.delete(dst, true)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"metadata swap failed: $tmp -> $dst")
+  }
+
+  private def upsertMetadata(row: MetadataRow): Unit =
+    writeMetadata(readMetadata().filterNot(_.feature_version == row.feature_version) :+ row)
+}
+
+object FeatureStore {
+
+  /** Metadata table row (reference DDL `:282-292`); nested values are native
+    * Spark types rather than JSON strings.
+    */
+  final case class MetadataRow(
+      feature_version: String,
+      description: String,
+      created_at: String,
+      features_config: Seq[FeatureConfig],
+      null_percentage: Double,
+      duplicate_percentage: Double,
+      outlier_percentage: Double,
+      schema_violations: Long,
+      overall_score: Double,
+      lineage: Map[String, String],
+      tags: Seq[String]) {
+    def toMetadata: FeatureMetadata = FeatureMetadata(
+      feature_version, description, created_at, features_config,
+      Some(DataQualityMetrics(null_percentage, duplicate_percentage,
+        outlier_percentage, schema_violations, overall_score)),
+      lineage, tags)
+  }
+
+  /** Whole-relation content fingerprint (reference `_generate_version_hash`,
+    * `:307-309`, which md5s *order-dependent* per-row hashes). We make the
+    * digest order- AND partitioning-independent — sum, xor and count of
+    * per-row `xxhash64` over all columns — then md5 the three numbers.
+    * Intentional divergence documented in SURVEY §7.4: pandas row order is
+    * itself nondeterministic under parallel execution, so order-dependence
+    * is a bug to not replicate. One distributed agg pass, no collect.
+    */
+  def fingerprint(df: DataFrame): String = {
+    val h = xxhash64(struct(df.columns.sorted.map(col).toIndexedSeq: _*))
+    // Long sum of 2^63-scale hashes overflows (ANSI mode throws); sum in
+    // DECIMAL(38,0) — exact and overflow-free below ~10^19 rows.
+    val r = df.select(h.as("h"))
+      .agg(sum(col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"),
+        expr("bit_xor(h)").as("x"), count(lit(1)).as("c"))
+      .head()
+    val payload = s"${r.get(0)}:${r.get(1)}:${r.get(2)}"
+    MessageDigest.getInstance("MD5").digest(payload.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.quality.DataQualityValidator
+import org.scalatest.funsuite.AnyFunSuite
+
+class QualitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("clean data scores 1.0") {
+    val df = Seq((1L, 10.0), (2L, 11.0), (3L, 12.0))
+      .toDF("user_id", "value")
+    val m = new DataQualityValidator().validate(df)
+    assert(m.nullPercentage == 0.0)
+    assert(m.duplicatePercentage == 0.0)
+    assert(m.outlierPercentage == 0.0)
+    assert(m.schemaViolations == 0L)
+    assert(m.overallScore == 1.0)
+  }
+
+  test("null ratio counts cells, duplicate ratio marks all-but-first") {
+    val df = Seq(
+      (Some(1L), Some(10.0)), (Some(1L), Some(10.0)), (Some(1L), Some(10.0)),
+      (None, None)
+    ).toDF("user_id", "value")
+    val m = new DataQualityValidator().validate(df)
+    assert(m.nullPercentage == 2.0 / 8) // 2 null cells of 4 rows × 2 cols
+    assert(m.duplicatePercentage == 2.0 / 4) // rows 2,3 are repeats
+  }
+
+  test("IQR outliers: extreme value flagged, nulls not counted") {
+    // 11 values ~10 plus one at 1000: Q1/Q3 tight around 10 → 1000 is
+    // outside Q3 + 1.5·IQR.
+    val vals = (1 to 11).map(i => (i.toLong, Some(9.0 + (i % 3)))) :+
+      (12L, Some(1000.0)) :+ (13L, Option.empty[Double])
+    val df = vals.toDF("user_id", "value")
+    val m = new DataQualityValidator().validate(df)
+    // denominator counts non-null numeric cells over both numeric columns
+    // (user_id: 13 values, value: 12 values)
+    assert(m.outlierPercentage > 0.0)
+    assert(m.outlierPercentage == 1.0 / 25)
+  }
+
+  test("empty relation: guarded ratios, non_empty + all-null checks fail") {
+    val df = Seq.empty[(Long, Double)].toDF("user_id", "value")
+    val m = new DataQualityValidator().validate(df)
+    assert(m.nullPercentage == 0.0 && m.duplicatePercentage == 0.0)
+    assert(m.schemaViolations == 2L) // non_empty, no_all_null_columns
+    assert(m.overallScore == 1.0 - 0.2)
+  }
+
+  test("missing user_id column fails the has_user_id check") {
+    val df = Seq((1L, 2.0)).toDF("id", "value")
+    val m = new DataQualityValidator().validate(df)
+    assert(m.schemaViolations == 1L)
+  }
+
+  test("a check that throws counts as a violation") {
+    val df = Seq((1L, 2.0)).toDF("user_id", "value")
+    val v = new DataQualityValidator()
+      .addCheck("explodes", _ => throw new RuntimeException("boom"))
+    assert(v.validate(df).schemaViolations == 1L)
+  }
+
+  test("score clamps at 0") {
+    val df = Seq.empty[(Long, Double)].toDF("a", "b")
+    val v = new DataQualityValidator()
+    (1 to 12).foreach(i => v.addCheck(s"fail_$i", _ => false))
+    assert(v.validate(df).overallScore == 0.0)
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import graft.model.{FeatureConfig, FeatureMetadata}
+import graft.store.{FeatureStore, TtlCache}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+class StoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshStore() = {
+    val dir = Files.createTempDirectory("graft-store").toString
+    var i = 0
+    new FeatureStore(spark, dir, clock = () => { i += 1; f"2024-01-01T00:00:$i%02dZ" })
+  }
+
+  private def feats(rows: (Long, Double)*) =
+    rows.toSeq.toDF("user_id", "total_amount")
+
+  private val meta = FeatureMetadata("", "test features", "",
+    Seq(FeatureConfig("user_id", "int64"), FeatureConfig("total_amount", "float64")),
+    lineage = Map("source" -> "unit-test"), tags = Seq("test"))
+
+  test("register → get → serve round-trip") {
+    val store = freshStore()
+    val v = store.registerFeatures(feats(1L -> 10.0, 2L -> 20.0), meta)
+    assert(v.nonEmpty)
+
+    val got = store.getFeatures(Some(v), useCache = false)
+    assert(got.count() == 2)
+    assert(got.columns.contains("feature_version"))
+
+    val served = store.serveFeatures(2L, Some(v))
+    assert(served.isDefined)
+    assert(served.get("total_amount") == 20.0)
+    assert(!served.get.contains("feature_version"))
+    assert(store.serveFeatures(99L, Some(v)).isEmpty)
+  }
+
+  test("fingerprint is content-based: same data → same version, independent of partitioning") {
+    val store = freshStore()
+    val df = feats(1L -> 1.0, 2L -> 2.0, 3L -> 3.0)
+    val v1 = FeatureStore.fingerprint(df.repartition(1))
+    val v2 = FeatureStore.fingerprint(df.repartition(7))
+    val v3 = FeatureStore.fingerprint(feats(1L -> 1.0, 2L -> 2.0, 3L -> 99.0))
+    assert(v1 == v2)
+    assert(v1 != v3)
+    assert(store.registerFeatures(df, meta) == v1)
+  }
+
+  test("latest-version resolution and list ordering") {
+    val store = freshStore()
+    val vOld = store.registerFeatures(feats(1L -> 1.0), meta)
+    val vNew = store.registerFeatures(feats(1L -> 2.0), meta)
+    assert(store.listFeatureVersions().map(_.featureVersion) == Seq(vNew, vOld))
+    assert(store.getFeatures().select("feature_version").head().getString(0) == vNew)
+  }
+
+  test("metadata round-trips configs, metrics, lineage and tags") {
+    val store = freshStore()
+    val v = store.registerFeatures(feats(1L -> 1.0, 1L -> 1.0), meta)
+    val m = store.getFeatureMetadata(v).get
+    assert(m.description == "test features")
+    assert(m.features.map(_.name) == Seq("user_id", "total_amount"))
+    assert(m.lineage("source") == "unit-test")
+    assert(m.tags == Seq("test"))
+    assert(m.dataQualityMetrics.get.duplicatePercentage == 0.5)
+    assert(store.getFeatureMetadata("nope").isEmpty)
+  }
+
+  test("cleanup keeps exactly the newest N versions") {
+    val store = freshStore()
+    val vs = (1 to 5).map(i => store.registerFeatures(feats(1L -> i.toDouble), meta))
+    val deleted = store.cleanupOldVersions(keepN = 2)
+    assert(deleted.toSet == vs.take(3).toSet)
+    assert(store.listFeatureVersions().map(_.featureVersion) == vs.drop(3).reverse)
+    // deleted partitions are gone from the feature table too
+    assert(store.getFeatures(Some(vs.last)).count() == 1)
+    assert(store.getFeatures(Some(vs.head)).count() == 0)
+  }
+
+  test("low-quality registration raises a monitor alert") {
+    val store = freshStore()
+    // all-duplicate rows → dup% = 2/3 → score ≈ 0.33 < 0.8
+    store.registerFeatures(feats(1L -> 1.0, 1L -> 1.0, 1L -> 1.0), meta)
+    val dash = store.monitoringDashboard
+    assert(dash("total_creations") == 1L)
+    assert(dash("alerts").asInstanceOf[List[String]].nonEmpty)
+  }
+
+  test("TTL cache: hit before expiry, miss after") {
+    var now = 0L
+    val c = new TtlCache[String, Int](ttlSeconds = 10, clock = () => now)
+    c.put("k", 42)
+    assert(c.get("k").contains(42))
+    now = 9999L
+    assert(c.get("k").contains(42))
+    now = 10001L
+    assert(c.get("k").isEmpty)
+    assert(c.hits == 2 && c.misses == 1)
+  }
+
+  test("get_features caching is observable via dashboard counters") {
+    val store = freshStore()
+    val v = store.registerFeatures(feats(1L -> 1.0), meta)
+    store.getFeatures(Some(v)) // cache was pre-filled at register
+    val hits = store.monitoringDashboard("cache_hits").asInstanceOf[Long]
+    assert(hits >= 1L)
+  }
+}
