@@ -1,0 +1,153 @@
+package graft.queries
+
+import graft.ops.Dedup
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked deduplication family over the documents corpus
+  * (north-star operators; see [[graft.ops.Dedup]] for the scale design).
+  *
+  * Texts are normalized to their sorted distinct token set for the exact
+  * family — raw texts in the driver corpus are all unique, normalized
+  * content has real duplicate groups, so the oracle discriminates.
+  *
+  * The MinHash/SimHash oracle SQL is generated programmatically so the hash
+  * construction (md5-derived, engine-neutral) stays in lockstep with the
+  * Scala implementation.
+  */
+object DedupQueries {
+
+  private val NumHashes = 12
+  private val Bands = 3
+  private val Rows = NumHashes / Bands
+
+  private def normText = concat_ws(" ",
+    array_sort(array_distinct(filter(split(col("text"), " "), t => t =!= ""))))
+
+  private def docsNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).withColumn("norm_text", normText)
+
+  def exactGroups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(docsNorm(spark, dir), "doc_id", "norm_text")
+      .orderBy("content_md5")
+
+  def exactKeepFirst(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(docsNorm(spark, dir), "doc_id", "norm_text")
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_checksum"))
+
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
+        threshold = 0.9)
+      .orderBy("id_a", "id_b")
+
+  def jaccard2gram(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
+        threshold = 0.5, n = 2)
+      .orderBy("id_a", "id_b")
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
+        threshold = 0.9, numHashes = NumHashes, bands = Bands)
+      .orderBy("id_a", "id_b")
+
+  def simhashDocs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact_groups" -> exactGroups,
+    "dedup_exact_keep_first" -> exactKeepFirst,
+    "dedup_jaccard_pairs" -> jaccardPairs,
+    "dedup_jaccard_2gram" -> jaccard2gram,
+    "dedup_minhash_lsh" -> minhashLsh,
+    "dedup_simhash" -> simhashDocs)
+
+  // ---- oracle SQL -------------------------------------------------------------
+
+  private val normSql =
+    "array_to_string(list_sort(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))), ' ')"
+
+  private val tokCte =
+    """tok AS (
+      |  SELECT DISTINCT doc_id AS id, t AS token
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      |  WHERE t <> '')""".stripMargin
+
+  private def jaccardTail(threshold: Double, extraCols: String = "n_common, ") =
+    s"""SELECT id_a, id_b, $extraCols
+       |  n_common * 1.0 / (sa.n_tokens + sb.n_tokens - n_common) AS jaccard
+       |FROM inter
+       |JOIN sz sa ON id_a = sa.id
+       |JOIN sz sb ON id_b = sb.id
+       |WHERE n_common * 1.0 / (sa.n_tokens + sb.n_tokens - n_common) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  private val sigSelect = (0 until NumHashes)
+    .map(i => s"min(md5('$i:' || token)) AS s$i").mkString(", ")
+
+  private val bandUnion = (0 until Bands).map { b =>
+    val parts = (0 until Rows).map(r => s"s${b * Rows + r}").mkString(" || '|' || ")
+    s"SELECT id, $b AS band, md5($parts) AS band_hash FROM sig"
+  }.mkString(" UNION ALL ")
+
+  private val simhashVotes = (0 until 32)
+    .map(i => s"sum(CASE WHEN ascii(substr(md5(token), ${i + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v$i")
+    .mkString(", ")
+  private val simhashBits = (0 until 32)
+    .map(i => s"CASE WHEN v$i >= 0 THEN ${1L << i} ELSE 0 END")
+    .mkString(" + ")
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact_groups" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents)
+         |SELECT md5(norm) AS content_md5, min(doc_id) AS canonical_id,
+         |  count(*) AS group_size
+         |FROM n GROUP BY md5(norm) ORDER BY content_md5""".stripMargin,
+    "dedup_exact_keep_first" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents)
+         |SELECT count(*) AS n_kept, CAST(sum(canonical_id) AS BIGINT) AS id_checksum
+         |FROM (SELECT min(doc_id) AS canonical_id FROM n GROUP BY norm)""".stripMargin,
+    "dedup_jaccard_pairs" ->
+      s"""WITH $tokCte,
+         |sz AS (SELECT id, count(*) AS n_tokens FROM tok GROUP BY id),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+         |  FROM tok a JOIN tok b ON a.token = b.token AND a.id < b.id
+         |  GROUP BY 1, 2)
+         |${jaccardTail(0.9)}""".stripMargin,
+    "dedup_jaccard_2gram" ->
+      s"""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |           FROM documents),
+         |tok AS (
+         |  SELECT DISTINCT doc_id AS id, toks[i] || ' ' || toks[i + 1] AS token
+         |  FROM d, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+         |  WHERE len(toks) >= 2),
+         |sz AS (SELECT id, count(*) AS n_tokens FROM tok GROUP BY id),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+         |  FROM tok a JOIN tok b ON a.token = b.token AND a.id < b.id
+         |  GROUP BY 1, 2)
+         |${jaccardTail(0.5)}""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $tokCte,
+         |sig AS (SELECT id, $sigSelect FROM tok GROUP BY id),
+         |band AS ($bandUnion),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id),
+         |sz AS (SELECT id, count(*) AS n_tokens FROM tok GROUP BY id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS n_common
+         |  FROM cand c
+         |  JOIN tok a ON a.id = c.id_a
+         |  JOIN tok b ON b.id = c.id_b AND b.token = a.token
+         |  GROUP BY 1, 2)
+         |${jaccardTail(0.9, extraCols = "")}""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH $tokCte,
+         |votes AS (SELECT id, $simhashVotes FROM tok GROUP BY id)
+         |SELECT id, CAST($simhashBits AS BIGINT) AS simhash
+         |FROM votes ORDER BY id""".stripMargin)
+}

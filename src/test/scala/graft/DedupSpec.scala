@@ -1,0 +1,82 @@
+package graft
+
+import graft.ops.Dedup
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps"),
+    (2L, "the quick brown fox jumps"),       // exact dup of 1
+    (3L, "the quick brown fox leaps"),       // near dup of 1 (4/6 tokens)
+    (4L, "completely different words here"),
+    (5L, "")                                  // empty doc
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps the minimum id per content group") {
+    val kept = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
+    val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(groups.find(_.getAs[Long]("canonical_id") == 1L)
+      .get.getAs[Long]("group_size") == 2L)
+  }
+
+  test("tokens: distinct, empty-token-free; empty doc yields no rows") {
+    val t = Dedup.tokens(docs, "doc_id", "text")
+    assert(t.filter($"id" === 5L).count() == 0)
+    assert(t.filter($"id" === 1L).count() == 5)
+    assert(t.filter($"token" === "").count() == 0)
+  }
+
+  test("2-gram shingles slide over adjacent tokens") {
+    val g = Dedup.shingles(docs.filter($"doc_id" === 1L), "doc_id", "text", 2)
+      .select("token").as[String].collect().sorted
+    assert(g.toSeq == Seq("brown fox", "fox jumps", "quick brown", "the quick"))
+    // short docs produce nothing rather than a reversed-sequence artifact
+    val short = Seq((9L, "single")).toDF("doc_id", "text")
+    assert(Dedup.shingles(short, "doc_id", "text", 2).count() == 0)
+  }
+
+  test("jaccard pairs: exact dup scores 1.0, near dup 4/6, disjoint absent") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(math.abs(pairs((1L, 3L)) - 4.0 / 6) < 1e-12)
+    assert(math.abs(pairs((2L, 3L)) - 4.0 / 6) < 1e-12)
+    assert(pairs.size == 3)
+  }
+
+  test("maxDf cap drops hot tokens from candidates but keeps true jaccard") {
+    // token 'x' is in every doc (hot); pairs must still be found via rare
+    // tokens, and the reported jaccard must use the FULL token sets.
+    val d = Seq(
+      (1L, "x a b c"), (2L, "x a b c"), (3L, "x z z2 z3")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(d, "doc_id", "text", threshold = 0.9, maxDf = 2)
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Double]("jaccard") == 1.0) // full sets incl. 'x'
+  }
+
+  test("minhash LSH finds exact dups; candidates verified with true jaccard") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      threshold = 0.99, numHashes = 12, bands = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.toSeq == Seq((1L, 2L))) // identical docs always collide
+  }
+
+  test("simhash: identical docs share hash; pairs report hamming 0") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh.values.forall(v => v >= 0 && v < (1L << 32)))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming")))
+    assert(pairs.contains((1L, 2L, 0)))
+  }
+}
