@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Paths, in ascending scale:
+  *  - [[bruteTopK]] — exact cosine top-k against a query vector: one pass,
+  *    per-partition top-k heap (TakeOrderedAndProject), no shuffle of the
+  *    corpus. The baseline and the correctness oracle.
+  *  - [[nearDupPairs]] — exact all-pairs near-dup (quadratic; fine for
+  *    calibration corpora, not for 100 TB).
+  *  - [[lshBuckets]] / [[lshTopK]] — random-hyperplane LSH: ±1 plane
+  *    components from a seeded PRNG inlined as literals (so the identical
+  *    planes are reproducible in oracle SQL); bucket = sign bits. Search
+  *    touches only the query's bucket — corpus-linear signature cost once,
+  *    then per-bucket candidate scoring.
+  *
+  * All arithmetic is promoted to DOUBLE and summed left-to-right
+  * (`aggregate` folds sequentially), matching DuckDB's `list_dot_product`
+  * over `DOUBLE[]` for bit-stable oracle comparison.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k of the corpus against the single-row query relation
+    * `queryVec(vecCol)`. Query side is broadcast; ranking rounds to 6 dp
+    * with id tie-break so ordering is engine-stable.
+    */
+  def bruteTopK(
+      emb: DataFrame,
+      query: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = query.select(col(vecCol).as("__qvec"))
+    emb.crossJoin(broadcast(q))
+      .withColumn("cos", round(cosine(col(vecCol), col("__qvec")), 6))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("cos"))
+  }
+
+  /** Exact all-pairs cosine near-duplicates (cos ≥ threshold). Quadratic —
+    * the calibration/oracle path; use LSH buckets at scale.
+    */
+  def nearDupPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("vec_a"), col("vec_b")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Deterministic ±1 hyperplanes: `planes × dim` matrix from a seeded
+    * PRNG. Inlined as literals into both the Spark plan and generated
+    * oracle SQL.
+    */
+  def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Array[Array[Int]] = {
+    val rnd = new Random(seed)
+    Array.fill(planes, dim)(if (rnd.nextBoolean()) 1 else -1)
+  }
+
+  /** Sign-bit bucket id for a vector column under the given planes. */
+  def bucketExpr(vecCol: Column, planes: Array[Array[Int]]): Column = {
+    val v = vecCol.cast("array<double>")
+    val bits = planes.zipWithIndex.map { case (plane, p) =>
+      val planeLit = array(plane.map(s => lit(s.toDouble)).toIndexedSeq: _*)
+      val d = aggregate(zip_with(v, planeLit, (x, s) => x * s), lit(0.0), (acc, x) => acc + x)
+      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** (id, bucket) signature relation — one linear pass over the corpus. */
+  def lshBuckets(emb: DataFrame, idCol: String, vecCol: String,
+      planes: Array[Array[Int]]): DataFrame =
+    emb.select(col(idCol), bucketExpr(col(vecCol), planes).as("bucket"))
+
+  /** ANN top-k: score only vectors sharing the query's hyperplane bucket.
+    * Recall < 1 by construction (single-probe); raise `planes` count or add
+    * multiprobe for tighter recall at scale.
+    */
+  def lshTopK(
+      emb: DataFrame,
+      query: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      planes: Array[Array[Int]]): DataFrame = {
+    val q = query.select(col(vecCol).as("__qvec"),
+      bucketExpr(col(vecCol), planes).as("bucket"))
+    emb.withColumn("bucket", bucketExpr(col(vecCol), planes))
+      .join(broadcast(q), Seq("bucket"))
+      .withColumn("cos", round(cosine(col(vecCol), col("__qvec")), 6))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("bucket"), col("cos"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token statistics,
+  * document quality scoring, stopword-profile language ID, and document
+  * fingerprinting. Everything is Column-expression code (codegen-friendly,
+  * no UDFs); per-document stats are computed with array functions — zero
+  * shuffles — while corpus-level stats aggregate once.
+  */
+object TextAnalysis {
+
+  /** English-ish stopword profile (public top stopwords). */
+  val StopwordsEn: Seq[String] = Seq(
+    "the", "of", "and", "a", "to", "in", "is", "it", "that", "for",
+    "on", "with", "as", "at", "by", "from", "or", "an", "be", "this")
+
+  private def toks(textCol: Column): Column =
+    filter(split(textCol, " "), t => t =!= "")
+
+  /** Per-document token statistics — computed entirely with array
+    * expressions, no explode/shuffle.
+    */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    df.select(
+      col(idCol),
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_distinct_tokens"),
+      (aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+        greatest(size(t), lit(1))).as("avg_token_len"))
+  }
+
+  /** Heuristic quality score in [0,1]:
+    * length component (saturating at `fullLengthTokens`), lexical diversity
+    * (distinct/total), and a non-word-character penalty. The formula is
+    * arbitrary-but-fixed; the point is the shape — cheap, per-row,
+    * codegen'd — with every component exposed for downstream filtering.
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String,
+      fullLengthTokens: Int = 20): DataFrame = {
+    val t = toks(col(textCol))
+    val nTokens = size(t)
+    val lengthScore = least(nTokens.cast("double") / fullLengthTokens, lit(1.0))
+    val diversity = when(nTokens > 0,
+      size(array_distinct(t)).cast("double") / nTokens).otherwise(lit(0.0))
+    val nonWord = (length(regexp_replace(col(textCol), "[a-zA-Z0-9 ]", ""))
+      .cast("double") / greatest(length(col(textCol)), lit(1)))
+    df.select(
+      col(idCol),
+      nTokens.cast("long").as("n_tokens"),
+      round(lengthScore, 6).as("length_score"),
+      round(diversity, 6).as("diversity"),
+      round(nonWord, 6).as("non_word_ratio"),
+      round(lengthScore * diversity * (lit(1.0) - nonWord), 6).as("quality_score"))
+  }
+
+  /** Stopword hit ratio against a profile; the 2-class heuristic language
+    * ID (profile language vs other). N-gram char profiles slot in the same
+    * shape; token-set intersection is the cheap first pass.
+    */
+  def stopwordRatio(df: DataFrame, idCol: String, textCol: String,
+      profile: Seq[String] = StopwordsEn): DataFrame = {
+    val t = toks(col(textCol))
+    val profileLit = array(profile.map(lit): _*)
+    val hits = size(array_intersect(array_distinct(t), profileLit))
+    val nDistinct = size(array_distinct(t))
+    df.select(
+      col(idCol),
+      hits.cast("long").as("stopword_hits"),
+      when(nDistinct > 0, hits.cast("double") / nDistinct).otherwise(0.0)
+        .as("stopword_ratio"))
+  }
+
+  /** Corpus-level token frequencies (one explode + one shuffle). */
+  def tokenFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), explode(toks(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"), countDistinct(col("id")).as("n_docs"))
+
+  /** Polynomial rolling fingerprint of the token sequence (order-sensitive,
+    * unlike the set-based dedup hashes):
+    * `h = fold(tokens, 0, (h, t) -> (h·31 + hash(t)) mod (2³¹−1))`.
+    * Modular arithmetic keeps every intermediate well inside Long range —
+    * ANSI mode (Spark 4 default) would throw on a wrap-around multiply.
+    * Expression-only, distributed, no shuffle.
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val M = 2147483647L // 2^31 - 1 (Mersenne prime)
+    df.select(col(idCol),
+      aggregate(toks(col(textCol)), lit(0L),
+        (h, t) => pmod(h * 31L + pmod(xxhash64(t), lit(M)), lit(M)))
+        .as("doc_fingerprint"))
+  }
+}
