@@ -18,11 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ QualityQueries.queries ++
-      RelationalQueries.queries ++ DedupQueries.queries
+      RelationalQueries.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries ++ TextQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ParityQueries.oracle ++ QualityQueries.oracle ++
-      RelationalQueries.oracle ++ DedupQueries.oracle
+      RelationalQueries.oracle ++ DedupQueries.oracle ++
+      SimilarityQueries.oracle ++ TextQueries.oracle
 }

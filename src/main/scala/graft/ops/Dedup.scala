@@ -4,27 +4,45 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus deduplication operators for large-scale training-data pipelines:
-  * exact (hash group-by), n-gram/token Jaccard (inverted-index self-join),
-  * MinHash + LSH banding (the 100 TB path), and SimHash.
+  * exact (hash group-by), n-gram/token Jaccard (AllPairs prefix-filtered
+  * self-join), MinHash + LSH banding (the 100 TB path), and SimHash.
   *
   * Scale design:
   *  - Everything is expression-only DataFrame code — whole-stage codegen,
   *    no UDFs, no driver materialization.
   *  - Exact dedup shuffles once on the content hash (not the full text —
   *    md5 first, group on the 16-byte digest).
-  *  - The token inverted-index join is quadratic in per-token document
-  *    frequency; `maxDf` caps hot tokens (standard trick: a token appearing
-  *    in >maxDf docs contributes candidates without discriminating, so it
-  *    is dropped from *candidate generation* while exact Jaccard is still
-  *    verified on the surviving pairs).
-  *  - MinHash/LSH replaces the quadratic join at scale: b bands of r rows
-  *    ⇒ candidate pairs only for docs agreeing on a full band; cost is
-  *    O(docs · bands) + per-bucket joins.
-  *  - Hashes are md5-derived (not xxhash64) so every step is expressible
-  *    in ANSI SQL for the DuckDB oracle; swap `hashExpr` for xxhash64 if
-  *    profiling ever shows md5 on the critical path.
+  *  - Exact Jaccard uses AllPairs **prefix filtering** (Bayardo et al.,
+  *    WWW'07 "Scaling Up All Pairs Similarity Search"): tokens are globally
+  *    ordered by ascending document frequency; a pair with Jaccard ≥ t must
+  *    share a token within each side's first `n − ⌈t·n⌉ + 1` rarest tokens,
+  *    so only those prefixes are indexed. Hot tokens (the df² blowup of a
+  *    naive inverted-index join) sort last and never enter the index. The
+  *    filter is lossless — no false negatives.
+  *  - Tokens are hashed to 48-bit Longs (md5-derived) at the start of the
+  *    set-similarity path; every downstream step — document frequencies,
+  *    prefix join, intersection counts — runs on fixed-width Longs instead
+  *    of variable-length strings. |hash set ∩| = |token set ∩| barring
+  *    48-bit collisions (birthday bound ≫ any realistic per-corpus distinct
+  *    token count), and the same hash is expressible in ANSI SQL.
+  *  - Candidate verification is a per-pair `array_intersect` over the two
+  *    (distinct) token-hash arrays — one codegen'd row per candidate pair,
+  *    not a re-shuffled token-level join + group-by.
+  *  - MinHash/LSH replaces even the prefix join at extreme scale: b bands
+  *    of r rows ⇒ candidate pairs only for docs agreeing on a full band;
+  *    cost is O(docs · bands) + per-bucket joins. Signatures use one md5
+  *    per token split into two 48-bit integers, expanded to k hashes by
+  *    double hashing `h_i = (a + i·b) mod M` (Kirsch–Mitzenmacher) — k
+  *    independent-enough permutations for the price of one digest, and
+  *    every step is expressible in ANSI SQL for the DuckDB oracle.
   */
 object Dedup {
+
+  /** Prime modulus for double-hashed MinHash permutations (10^12 − 11;
+    * larger than any realistic distinct-token-universe squared at one
+    * band's scale, keeps `a + i·b` well inside Long).
+    */
+  val MinhashMod: Long = 999999999989L
 
   /** Exact duplicate groups by content: one row per duplicated key with the
     * canonical (minimum) id and the group size. Single shuffle on md5(key).
@@ -69,10 +87,62 @@ object Dedup {
     }
   }
 
-  /** Near-duplicate pairs by exact token-set Jaccard ≥ threshold, via an
-    * inverted-index self-join. `maxDf` (0 = unlimited) drops tokens hotter
-    * than the cap from candidate generation (recall knob for scale; exact
-    * Jaccard is still computed on true token sets).
+  /** 48-bit Long from the first 12 md5 hex digits of a string column — the
+    * canonical token hash of the set-similarity path (expressible in both
+    * Spark and DuckDB).
+    */
+  def tokenHash48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  /** One row per document: its distinct token (or n-gram) set as an
+    * `array<long>` of 48-bit token hashes sorted by (ascending global
+    * document frequency, hash) — rarest first, the AllPairs canonical
+    * order — plus the set size. Two shuffles total (df count join +
+    * group-by id); the relation every similarity operator verifies against.
+    * All downstream joins/intersections run on fixed-width Longs.
+    */
+  def tokenSets(df: DataFrame, idCol: String, textCol: String, n: Int = 1): DataFrame = {
+    val tok = shingles(df, idCol, textCol, n)
+      .select(col("id"), tokenHash48(col("token")).as("th"))
+    val freq = tok.groupBy("th").agg(count(lit(1)).as("tok_df"))
+    tok.join(freq, Seq("th"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("tok_df"), col("th")))).as("ts"))
+      .select(col("id"),
+        transform(col("ts"), t => t.getField("th")).as("toks"),
+        size(col("ts")).cast("long").as("n_tokens"))
+  }
+
+  /** AllPairs prefix length for Jaccard threshold t: n − ⌈t·n⌉ + 1. The
+    * 1e-9 nudge keeps ⌈·⌉ from rounding up on binary-float noise (which
+    * would shrink the prefix and silently lose pairs); erring low only adds
+    * candidates.
+    */
+  private def prefixLen(nTokens: Column, threshold: Double): Column =
+    (nTokens - ceil(nTokens * threshold - lit(1e-9)) + 1).cast("int")
+
+  /** Exact-Jaccard verification of candidate pairs against full token sets:
+    * per-pair array_intersect, threshold on the true Jaccard.
+    */
+  private def verifyPairs(cand: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame =
+    cand
+      .join(sets.select(col("id").as("id_a"), col("toks").as("toks_a"),
+        col("n_tokens").as("n_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("toks").as("toks_b"),
+        col("n_tokens").as("n_b")), Seq("id_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+
+  /** Near-duplicate pairs by exact token-set Jaccard ≥ threshold, via a
+    * prefix-filtered inverted-index self-join (lossless — identical output
+    * to the naive quadratic join). `maxDf` (0 = unlimited) additionally
+    * drops tokens hotter than the cap from candidate generation — an
+    * explicit recall knob for adversarial corpora; exact Jaccard is still
+    * computed on full token sets for every surviving candidate.
     */
   def jaccardPairs(
       df: DataFrame,
@@ -81,73 +151,55 @@ object Dedup {
       threshold: Double,
       n: Int = 1,
       maxDf: Long = 0L): DataFrame = {
-    val tok = shingles(df, idCol, textCol, n)
-    if (maxDf <= 0) {
-      // full inverted-index join: intersection counted directly
-      val a = tok.select(col("id").as("id_a"), col("token"))
-      val b = tok.select(col("id").as("id_b"), col("token"))
-      val inter = a.join(b, Seq("token"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(count(lit(1)).as("n_common"))
-      scoreAndFilter(inter, tokenSizes(tok), threshold)
-        .select("id_a", "id_b", "n_common", "jaccard")
-    } else {
-      // capped index yields CANDIDATES only; the true intersection must be
-      // recounted on full token sets, else hot tokens vanish from n_common
-      val hot = tok.groupBy("token").agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxDf).select("token")
-      val joinTok = tok.join(broadcast(hot), Seq("token"), "left_anti")
-      val cand = joinTok.select(col("id").as("id_a"), col("token"))
-        .join(joinTok.select(col("id").as("id_b"), col("token")), Seq("token"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-      verifyCandidates(cand, tok, threshold)
-        .select("id_a", "id_b", "n_common", "jaccard")
+    val sets = tokenSets(df, idCol, textCol, n)
+    val prefix0 = sets.select(col("id"), col("n_tokens"),
+      explode(slice(col("toks"), lit(1), prefixLen(col("n_tokens"), threshold)))
+        .as("th"))
+    val prefix = if (maxDf <= 0L) prefix0 else {
+      val hot = shingles(df, idCol, textCol, n)
+        .select(tokenHash48(col("token")).as("th"))
+        .groupBy("th").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select("th")
+      prefix0.join(broadcast(hot), Seq("th"), "left_anti")
     }
+    // length filter: Jaccard ≥ t forces min(|A|,|B|) ≥ t·max(|A|,|B|)
+    val cand = prefix
+      .select(col("id").as("id_a"), col("n_tokens").as("pn_a"), col("th"))
+      .join(prefix.select(col("id").as("id_b"), col("n_tokens").as("pn_b"),
+        col("th")), Seq("th"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("pn_a"), col("pn_b")).cast("double") >=
+          greatest(col("pn_a"), col("pn_b")) * threshold - 1e-9)
+      .select("id_a", "id_b")
+      .distinct()
+    verifyPairs(cand, sets, threshold)
+      .select("id_a", "id_b", "n_common", "jaccard")
   }
 
-  private def tokenSizes(tok: DataFrame): DataFrame =
-    tok.groupBy("id").agg(count(lit(1)).as("n_tokens"))
+  /** 48-bit integer from 12 hex digits of an md5 column. */
+  private def hexLong(hexCol: Column, start: Int): Column =
+    conv(substring(hexCol, start, 12), 16, 10).cast("long")
 
-  /** Attach true set sizes + jaccard to an intersection-count relation and
-    * apply the threshold.
+  /** (id, ha, hb): two independent 48-bit token hashes from one md5 —
+    * the double-hashing base for all MinHash permutations.
     */
-  private def scoreAndFilter(inter: DataFrame, sizes: DataFrame,
-      threshold: Double): DataFrame =
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("n_tokens").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("n_tokens").as("n_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
-      .filter(col("jaccard") >= threshold)
-
-  /** Exact-Jaccard verification of candidate pairs against full token sets. */
-  private def verifyCandidates(cand: DataFrame, tok: DataFrame,
-      threshold: Double): DataFrame = {
-    val inter = cand
-      .join(tok.select(col("id").as("id_a"), col("token")), Seq("id_a"))
-      .join(tok.select(col("id").as("id_b"), col("token").as("token_b")), Seq("id_b"))
-      .filter(col("token") === col("token_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("n_common"))
-    scoreAndFilter(inter, tokenSizes(tok), threshold)
+  private def tokenHashes(tok: DataFrame): DataFrame = {
+    val base = md5(col("token"))
+    tok.select(col("id"),
+      hexLong(base, 1).as("ha"), hexLong(base, 13).as("hb"))
   }
 
-  /** md5-derived per-token hash for MinHash permutation `i` (hex string;
-    * lexicographic min is the MinHash).
-    */
-  private def tokenHash(i: Int): Column =
-    md5(concat(lit(s"$i:"), col("token")))
-
-  /** MinHash signatures: one row per id with `numHashes` hex-string min
-    * hashes `s0..s{n-1}`. One shuffle (group-by id).
+  /** MinHash signatures: one row per id with `numHashes` Long min-hashes
+    * `s0..s{n-1}`, permutation i being `(ha + i·hb) mod MinhashMod`. One
+    * md5 per token row, one shuffle (group-by id).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int): DataFrame = {
-    val aggs = (0 until numHashes).map(i => min(tokenHash(i)).as(s"s$i"))
-    tokens(df, idCol, textCol).groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val aggs = (0 until numHashes).map { i =>
+      min(pmod(col("ha") + lit(i.toLong) * col("hb"), lit(MinhashMod))).as(s"s$i")
+    }
+    tokenHashes(tokens(df, idCol, textCol))
+      .groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding over MinHash signatures: (id, band, band_hash), one row
@@ -169,8 +221,8 @@ object Dedup {
   /** MinHash-LSH near-dup pairs: candidates from band collisions, then
     * exact Jaccard verification ≥ threshold. The scale path: candidate
     * generation is linear in corpus size (plus per-bucket joins) instead of
-    * the inverted index's df² blowup. May miss pairs (LSH false negatives);
-    * tune (numHashes, bands) for the target threshold.
+    * even the prefix join's per-token fan-out. May miss pairs (LSH false
+    * negatives); tune (numHashes, bands) for the target threshold.
     */
   def minhashLshPairs(
       df: DataFrame,
@@ -186,7 +238,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    verifyCandidates(cand, tokens(df, idCol, textCol), threshold)
+    verifyPairs(cand, tokenSets(df, idCol, textCol), threshold)
       .select("id_a", "id_b", "jaccard")
   }
 

@@ -53,21 +53,57 @@ object Similarity {
       .select(col(idCol), col("cos"))
   }
 
-  /** Exact all-pairs cosine near-duplicates (cos ≥ threshold). Quadratic —
-    * the calibration/oracle path; use LSH buckets at scale.
+  /** (id, nv) relation of unit-normalized double vectors — one linear pass;
+    * downstream pair scoring is then a single dot product per pair instead
+    * of dot + two norms.
+    */
+  def normalized(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .select(col("id"), transform(col("v"), x => x / col("nrm")).as("nv"))
+
+  /** Exact all-pairs cosine near-duplicates (cos ≥ threshold). Quadratic in
+    * corpus size — the calibration/oracle path; use LSH buckets at scale.
+    * Vectors are unit-normalized in a first linear pass so each pair costs
+    * one dot product.
     */
   def nearDupPairs(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val n = normalized(emb, idCol, vecCol)
+    val a = n.select(col("id").as("id_a"), col("nv").as("nv_a"))
+    val b = n.select(col("id").as("id_b"), col("nv").as("nv_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosine(col("vec_a"), col("vec_b")), 6))
+      .withColumn("cos", round(dot(col("nv_a"), col("nv_b")), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
+  }
+
+  /** Exact k-NN join: for every row of the (small, broadcast) query
+    * relation, the top-k most-cosine-similar corpus rows. One corpus scan;
+    * ranking is a per-query-key window (shuffle on q_id — at scale the
+    * query side is the small one, so the window partitions stay balanced).
+    * Self-matches (same id) are excluded.
+    */
+  def knnJoin(
+      emb: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("__qvec"))
+    emb.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("cos", round(cosine(col(vecCol), col("__qvec")), 6))
+      .withColumn("rank", row_number()
+        .over(Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col(idCol))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col(idCol), col("cos"))
   }
 
   /** Deterministic ±1 hyperplanes: `planes × dim` matrix from a seeded

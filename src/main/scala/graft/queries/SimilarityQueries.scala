@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft.ops.Similarity
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked similarity-search family over the embeddings corpus
+  * (north-star operators; see [[graft.ops.Similarity]] for the scale
+  * design): exact brute-force cosine top-k (the baseline), exact all-pairs
+  * near-dup (embedding-cosine dedup), random-hyperplane LSH bucketed ANN,
+  * and a k-NN join of a query set against the corpus.
+  *
+  * The hyperplane literals are generated from one seeded PRNG and inlined
+  * into BOTH the Spark plan and the DuckDB SQL, so the two engines evaluate
+  * the identical model. Cosines are rounded to 6 dp with id tie-breaks —
+  * products and sequential sums of the same doubles are bit-identical
+  * across engines, rounding just guards the display/compare boundary.
+  */
+object SimilarityQueries {
+
+  private val K = 20
+  private val KnnQueries = 5
+  private val KnnK = 3
+  private val NearDupThreshold = 0.35
+  private val NumPlanes = 4
+  private val Dim = 64
+
+  /** Seeded ±1 hyperplanes shared by the Spark plan and the oracle SQL. */
+  val planes: Array[Array[Int]] = Similarity.hyperplanes(NumPlanes, Dim)
+
+  def bruteTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.bruteTopK(emb, emb.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", K)
+  }
+
+  def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", NearDupThreshold)
+      .orderBy("id_a", "id_b")
+
+  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", K, planes)
+  }
+
+  def knnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.knnJoin(emb, emb.filter(col("vec_id") < KnnQueries),
+        "vec_id", "embedding", KnnK)
+      .orderBy("q_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_brute_topk" -> bruteTopK,
+    "sim_neardup_pairs" -> nearDupPairs,
+    "sim_lsh_topk" -> lshTopK,
+    "sim_knn_join" -> knnJoin)
+
+  // ---- oracle SQL -------------------------------------------------------------
+
+  private def dotSql(a: String, b: String) =
+    s"list_dot_product($a::DOUBLE[], $b::DOUBLE[])"
+
+  private def cosineSql(v: String, q: String) =
+    s"round(${dotSql(v, q)} / (sqrt(${dotSql(v, v)}) * sqrt(${dotSql(q, q)})), 6)"
+
+  // must mirror Similarity.bucketExpr over SimilarityQueries.planes
+  private def bucketSql(vecExpr: String): String =
+    planes.zipWithIndex.map { case (plane, p) =>
+      val arr = plane.map(v => s"$v.0").mkString("[", ",", "]")
+      s"(CASE WHEN ${dotSql(vecExpr, arr)} >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  val oracle: Map[String, String] = Map(
+    "sim_brute_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, ${cosineSql("embedding", "qv")} AS cos
+         |FROM embeddings, q
+         |ORDER BY cos DESC, vec_id LIMIT $K""".stripMargin,
+    "sim_neardup_pairs" ->
+      s"""WITH n AS (SELECT vec_id AS id,
+         |  list_transform(embedding::DOUBLE[],
+         |    x -> x / sqrt(${dotSql("embedding", "embedding")})) AS nv
+         |  FROM embeddings)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  round(list_dot_product(a.nv, b.nv), 6) AS cos
+         |FROM n a JOIN n b ON a.id < b.id
+         |WHERE round(list_dot_product(a.nv, b.nv), 6) >= $NearDupThreshold
+         |ORDER BY id_a, id_b""".stripMargin,
+    "sim_lsh_topk" ->
+      s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+         |           FROM embeddings),
+         |q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+         |SELECT b.vec_id, CAST(b.bucket AS BIGINT) AS bucket,
+         |  ${cosineSql("b.embedding", "qv")} AS cos
+         |FROM b, q WHERE b.bucket = q.qb
+         |ORDER BY cos DESC, vec_id LIMIT $K""".stripMargin,
+    "sim_knn_join" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+         |           WHERE vec_id < $KnnQueries),
+         |s AS (SELECT q_id, vec_id, ${cosineSql("embedding", "qv")} AS cos
+         |      FROM embeddings, q WHERE vec_id <> q_id),
+         |r AS (SELECT q_id, vec_id, cos, row_number()
+         |        OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |      FROM s)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+         |FROM r WHERE rank <= $KnnK ORDER BY q_id, rank""".stripMargin)
+}

@@ -1,0 +1,141 @@
+package graft.queries
+
+import graft.ops.TextAnalysis
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked text-analysis family over the documents corpus
+  * (north-star operators; see [[graft.ops.TextAnalysis]]): per-document
+  * token statistics, heuristic quality scoring, stopword-profile language
+  * ID (confusion counts against the labeled `lang` column), corpus token
+  * frequencies, and the order-sensitive rolling fingerprint.
+  *
+  * All per-document operators are pure array expressions — no shuffle; the
+  * only shuffles in this family are the token-frequency group-by and the
+  * final presentation sorts.
+  */
+object TextQueries {
+
+  /** Tiny per-language stopword profiles (public top stopwords). The
+    * synthetic corpus shares one vocabulary across `lang` labels, so the
+    * classifier output is degenerate-but-deterministic — the oracle checks
+    * the computation, not linguistic accuracy.
+    */
+  val Profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "a", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des"),
+    "de" -> Seq("der", "die", "das", "und", "ist"))
+
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenStats(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    TextAnalysis.langId(docs, "doc_id", "text", Profiles)
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy("lang", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("lang_score")).as("min_score"),
+        max(col("lang_score")).as("max_score"))
+      .orderBy("lang", "predicted_lang")
+  }
+
+  def tokenFrequencies(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenFrequencies(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("freq").desc, col("token"))
+      .limit(100)
+
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprintMd5(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_stats" -> tokenStats,
+    "text_quality_score" -> qualityScore,
+    "text_lang_id" -> langId,
+    "text_token_frequencies" -> tokenFrequencies,
+    "text_fingerprint" -> fingerprint)
+
+  // ---- oracle SQL -------------------------------------------------------------
+
+  private val toksCte =
+    """d AS (SELECT doc_id, lang,
+      |  list_filter(string_split(text, ' '), t -> t <> '') AS toks,
+      |  text FROM documents)""".stripMargin
+
+  // per-profile score: |distinct toks ∩ profile| / max(|distinct toks|, 1)
+  private def scoreSql(words: Seq[String]): String = {
+    val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
+    s"(len(list_intersect(list_distinct(toks), $lst))::DOUBLE" +
+      " / greatest(len(list_distinct(toks)), 1))"
+  }
+
+  // argmax with max-struct semantics: ties go to the lexicographically LAST
+  // language code (mirrors Spark array_max over (score, lang) structs)
+  private val predictedSql: String = {
+    val byLangDesc = Profiles.sortBy(_._1).reverse
+    val arms = byLangDesc.init.map { case (code, words) =>
+      s"WHEN ${scoreSql(words)} = __m THEN '$code'"
+    }.mkString(" ")
+    s"CASE $arms ELSE '${byLangDesc.last._1}' END"
+  }
+
+  private val maxScoreSql: String =
+    Profiles.map(p => scoreSql(p._2)).mkString("greatest(", ", ", ")")
+
+  val oracle: Map[String, String] = Map(
+    "text_token_stats" ->
+      s"""WITH $toksCte
+         |SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |  len(list_distinct(toks))::BIGINT AS n_distinct_tokens,
+         |  CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS DOUBLE)
+         |    / greatest(len(toks), 1) AS avg_token_len
+         |FROM d ORDER BY doc_id""".stripMargin,
+    "text_quality_score" ->
+      s"""WITH $toksCte,
+         |c AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |  least(len(toks) / 20.0, 1.0) AS ls,
+         |  CASE WHEN len(toks) > 0
+         |    THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0.0 END AS dv,
+         |  length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+         |    / greatest(length(text), 1) AS nw
+         |  FROM d)
+         |SELECT doc_id, n_tokens, round(ls, 6) AS length_score,
+         |  round(dv, 6) AS diversity, round(nw, 6) AS non_word_ratio,
+         |  round(ls * dv * (1.0 - nw), 6) AS quality_score
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "text_lang_id" ->
+      s"""WITH $toksCte,
+         |p AS (SELECT doc_id, lang, $maxScoreSql AS __m,
+         |             round($maxScoreSql, 6) AS lang_score, toks FROM d),
+         |x AS (SELECT lang, $predictedSql AS predicted_lang, lang_score FROM p)
+         |SELECT lang, predicted_lang, count(*) AS n_docs,
+         |  min(lang_score) AS min_score, max(lang_score) AS max_score
+         |FROM x GROUP BY lang, predicted_lang
+         |ORDER BY lang, predicted_lang""".stripMargin,
+    "text_token_frequencies" ->
+      """WITH tok AS (
+        |  SELECT doc_id AS id, t AS token
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE t <> '')
+        |SELECT token, count(*) AS freq, count(DISTINCT id) AS n_docs
+        |FROM tok GROUP BY token
+        |ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+    "text_fingerprint" ->
+      s"""WITH $toksCte,
+         |h AS (SELECT doc_id, list_transform(toks,
+         |  t -> ('0x' || substr(md5(t), 1, 12))::BIGINT % ${TextAnalysis.FpMod}) AS hs
+         |  FROM d)
+         |SELECT doc_id,
+         |  CAST(list_reduce(list_prepend(0::BIGINT, hs),
+         |    (h, x) -> (h * 31 + x) % ${TextAnalysis.FpMod}) AS BIGINT)
+         |    AS doc_fingerprint
+         |FROM h ORDER BY doc_id""".stripMargin)
+}

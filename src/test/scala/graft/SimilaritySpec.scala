@@ -1,0 +1,70 @@
+package graft
+
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 3-dim toy corpus: 1 ∥ 2 (same direction), 3 orthogonal, 4 opposite
+  private lazy val emb = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(2.0f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f)),
+    (5L, Array(1.0f, 1.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("dot / norm / cosine basics") {
+    val r = emb.filter($"vec_id" === 5L)
+      .select(Similarity.dot(col("embedding"), col("embedding")).as("d"),
+        Similarity.norm(col("embedding")).as("n"))
+      .head()
+    assert(r.getAs[Double]("d") == 2.0)
+    assert(math.abs(r.getAs[Double]("n") - math.sqrt(2)) < 1e-12)
+  }
+
+  test("brute top-k ranks parallel first, opposite last, ties by id") {
+    val q = emb.filter($"vec_id" === 1L)
+    val top = Similarity.bruteTopK(emb, q, "vec_id", "embedding", 5)
+      .select("vec_id").as[Long].collect().toSeq
+    // cos: 1→1.0, 2→1.0, 5→0.707…, 3→0.0, 4→−1.0; tie 1 vs 2 by id
+    assert(top == Seq(1L, 2L, 5L, 3L, 4L))
+  }
+
+  test("near-dup pairs at 0.99 finds exactly the parallel pair") {
+    val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+
+  test("knn join excludes self and respects k") {
+    val out = Similarity.knnJoin(emb, emb.filter($"vec_id" === 1L),
+      "vec_id", "embedding", 2).collect()
+    assert(out.length == 2)
+    assert(!out.exists(_.getAs[Long]("vec_id") == 1L))
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == Seq(2L, 5L))
+  }
+
+  test("lsh: parallel vectors share a bucket, opposite vectors do not") {
+    val planes = Similarity.hyperplanes(4, 3)
+    val b = Similarity.lshBuckets(emb, "vec_id", "embedding", planes)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket"))
+      .toMap
+    assert(b(1L) == b(2L))
+    assert(b(1L) != b(4L))
+    // topk within the query's bucket at least finds the parallel twin
+    val top = Similarity.lshTopK(emb, emb.filter($"vec_id" === 1L),
+      "vec_id", "embedding", 5, planes)
+      .select("vec_id").as[Long].collect().toSet
+    assert(top.contains(2L))
+    assert(!top.contains(4L))
+  }
+
+  test("hyperplanes are seed-deterministic") {
+    assert(Similarity.hyperplanes(4, 8).map(_.toSeq).toSeq ==
+      Similarity.hyperplanes(4, 8).map(_.toSeq).toSeq)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.ops.TextAnalysis
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox"),
+    (2L, "aa aa aa"),
+    (3L, ""),
+    (4L, "el que de la y!!")
+  ).toDF("doc_id", "text")
+
+  test("token stats: counts, distinct, avg length; empty doc guarded") {
+    val m = TextAnalysis.tokenStats(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_distinct_tokens"),
+          r.getAs[Double]("avg_token_len"))).toMap
+    assert(m(1L) == ((4L, 4L, 16.0 / 4)))
+    assert(m(2L) == ((3L, 1L, 2.0)))
+    assert(m(3L) == ((0L, 0L, 0.0)))
+  }
+
+  test("quality score: repetitive doc scores below diverse doc; empty is 0") {
+    val m = TextAnalysis.qualityScore(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score"))
+      .toMap
+    assert(m(1L) > m(2L))
+    assert(m(3L) == 0.0)
+    assert(m.values.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("langId: argmax profile wins; empty doc deterministic") {
+    val out = TextAnalysis.langId(docs, "doc_id", "text", TextQueriesProfiles())
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("predicted_lang")).toMap
+    assert(out(1L) == "en")  // 'the' hits en profile
+    assert(out(4L) == "es")  // el/que/de/la/y all hit es
+    // no hits anywhere: every score 0 → lexicographically last profile code
+    assert(out(3L) == TextQueriesProfiles().map(_._1).max)
+  }
+
+  test("rolling fingerprint is order-sensitive, set hashes are not") {
+    val d = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(d, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("doc_fingerprint"))
+      .toMap
+    assert(fp(1L) != fp(2L))
+    val fpMd5 = TextAnalysis.fingerprintMd5(d, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_fingerprint")).distinct
+    assert(fpMd5.length == 2)
+  }
+
+  private def TextQueriesProfiles() = graft.queries.TextQueries.Profiles
+}
