@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ QualityQueries.queries ++
       RelationalQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ TextQueries.queries
+      SimilarityQueries.queries ++ TextQueries.queries ++
+      MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ParityQueries.oracle ++ QualityQueries.oracle ++
       RelationalQueries.oracle ++ DedupQueries.oracle ++
-      SimilarityQueries.oracle ++ TextQueries.oracle
+      SimilarityQueries.oracle ++ TextQueries.oracle ++
+      MultimodalQueries.oracle
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.functions.Exact
+import graft.ops.AsofJoin
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -91,6 +92,27 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_orders"),
         Exact.sumMoney(col("o_totalprice")).as("revenue"))
       .orderBy("n_name")
+  }
+
+  /** J4: point-in-time (as-of) join — for each purchase event, the user's
+    * most recent click at or before it ([[graft.ops.AsofJoin]]: one
+    * key-partitioned window pass over a tagged union, a single shuffle —
+    * never a range-join explosion). The click side is pre-aggregated to one
+    * row per (user, timestamp) so carried values are deterministic. DuckDB
+    * mirrors with its native ASOF LEFT JOIN.
+    */
+  def asofLatestClick(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts_us").as("click_ts_us"))
+      .agg(max(col("event_id")).as("click_event_id"),
+        max_by(col("value"), col("event_id")).as("click_value"))
+    AsofJoin.asofBackward(purchases, clicks, Seq("user_id"),
+        "ts_us", "click_ts_us",
+        Seq("click_ts_us", "click_event_id", "click_value"))
+      .orderBy("event_id")
   }
 
   // ---- windows ----------------------------------------------------------------
@@ -218,6 +240,7 @@ object RelationalQueries {
     "point_lookup" -> pointLookup,
     "semi_join_purchasers" -> semiJoinPurchasers,
     "anti_join_inactive" -> antiJoinInactive,
+    "asof_latest_click" -> asofLatestClick,
     "join_nation_revenue" -> joinNationRevenue,
     "window_latest_event" -> windowLatestEvent,
     "window_topn_per_user" -> windowTopNPerUser,
@@ -252,6 +275,19 @@ object RelationalQueries {
       """SELECT c_mktsegment, count(*) AS n_inactive FROM customer
         |WHERE c_custkey NOT IN (SELECT user_id FROM events)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "asof_latest_click" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS click_ts_us,
+        |             max(event_id) AS click_event_id,
+        |             arg_max(value, event_id) AS click_value
+        |      FROM events WHERE event_type = 'click'
+        |      GROUP BY user_id, epoch_us(ts))
+        |SELECT p.event_id, p.user_id, p.ts_us, p.value,
+        |       c.click_ts_us, c.click_event_id, c.click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_us >= c.click_ts_us
+        |ORDER BY p.event_id""".stripMargin,
     "join_nation_revenue" ->
       s"""SELECT n_name, count(*) AS n_orders,
          |  ${Exact.sumMoneySql("o_totalprice")} AS revenue

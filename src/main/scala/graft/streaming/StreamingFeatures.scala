@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming ingest for the feature pipeline — the extension the
+  * reference's batch-only design points at (its "real-time serving" is a
+  * synchronous lookup over batch features; see SURVEY.md §2.9). Every
+  * transform here is a pure DataFrame function usable on BOTH a static
+  * relation and a `readStream` relation — the Spark-native way to keep one
+  * code path for backfill (batch) and live ingest (incremental).
+  *
+  * Scale notes:
+  *  - Watermarks bound the state store: grouping state for windows older
+  *    than (max event time − watermark) is evicted; without it a 100 TB
+  *    stream accretes state forever.
+  *  - Window + key grouping shuffles once on (user_id, window); partial
+  *    aggregation happens map-side before the state store, exactly like the
+  *    batch partial→final hash aggregate.
+  *  - These run with `outputMode(append)` downstream of the watermark (late
+  *    rows beyond it are dropped), or `update`/`complete` for dashboards.
+  */
+object StreamingFeatures {
+
+  /** Event-time tumbling-window user features (streaming twin of the
+    * flagship extractor): per (user, window) event counts, purchase counts
+    * and value sums. `ts` must be a TimestampType event-time column.
+    */
+  def windowedUserFeatures(
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      windowDur: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), window(col("ts"), windowDur).as("w"))
+      .agg(
+        count(col("event_type")).as("total_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("total_purchases"),
+        sum(col("value")).as("total_value"),
+        // exact distinct is unsupported (and unbounded-state) on streams;
+        // HLL is the scale answer for both modes
+        approx_count_distinct(col("event_type")).as("unique_event_types"))
+      .select(col("user_id"), col("w.start").as("window_start"),
+        col("w.end").as("window_end"), col("total_events"),
+        col("total_purchases"), col("total_value"),
+        col("unique_event_types"))
+
+  /** Session windows: activity runs per user separated by ≥ `gap` of
+    * silence. State-store backed on streams; identical semantics on static
+    * input.
+    */
+  def sessionize(
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("s"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("user_id"), col("s.start").as("session_start"),
+        col("s.end").as("session_end"), col("n_events"), col("session_value"))
+
+  /** Streaming exact dedup on an id/content key: `dropDuplicates` with a
+    * watermark bounds the seen-keys state to the watermark horizon (the
+    * streaming twin of [[graft.ops.Dedup.exactDedup]]).
+    */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates(keyCols :+ "ts")
+}

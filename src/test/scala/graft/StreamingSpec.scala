@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.StreamingFeatures
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(minute * 60000L)
+
+  private val rows = Seq(
+    (1L, ts(1), "click", 0.0),
+    (1L, ts(5), "purchase", 10.0),
+    (1L, ts(65), "click", 0.0),     // next hour window / next session
+    (2L, ts(2), "purchase", 5.0),
+    (2L, ts(2), "purchase", 5.0)    // duplicate (same user/ts/type/value)
+  )
+
+  private def batchDf = rows.toDF("user_id", "ts", "event_type", "value")
+
+  test("windowed features: streaming over MemoryStream equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val sdf = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+    val q = StreamingFeatures.windowedUserFeatures(sdf)
+      .writeStream.format("memory").queryName("wuf")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streaming = spark.table("wuf")
+        .orderBy("user_id", "window_start").collect().toSeq
+      val batch = StreamingFeatures.windowedUserFeatures(batchDf)
+        .orderBy("user_id", "window_start").collect().toSeq
+      assert(streaming == batch)
+      val u1w0 = streaming.find(r => r.getAs[Long]("user_id") == 1L &&
+        r.getAs[Timestamp]("window_start") == ts(0)).get
+      assert(u1w0.getAs[Long]("total_events") == 2L)
+      assert(u1w0.getAs[Long]("total_purchases") == 1L)
+    } finally q.stop()
+  }
+
+  test("sessionize: gap splits sessions; value summed per session") {
+    val out = StreamingFeatures.sessionize(batchDf).collect()
+    val u1 = out.filter(_.getAs[Long]("user_id") == 1L)
+    assert(u1.length == 2)                      // minute 1–5 vs minute 65
+    assert(u1.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("dedup stream drops the duplicate row on static input too") {
+    val out = StreamingFeatures.dedupStream(batchDf,
+      Seq("user_id", "event_type", "value"))
+    assert(out.count() == 4)
+  }
+}
