@@ -19,6 +19,7 @@ object Demo {
     val storeDir = args.lift(1).getOrElse(
       java.nio.file.Files.createTempDirectory("graft-demo").toString)
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,34 @@
+package graft
+
+import graft.functions.{DotProduct, SortedIntersectCount}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Library extension point — the idiomatic way a Spark-native library ships
+  * custom Catalyst expressions: users add
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) and the functions resolve in
+  * both the SQL parser and `call_function`.
+  *
+  * Registered functions:
+  *  - `graft_dot(array<double>, array<double>) -> double` — codegen'd
+  *    sequential dot product ([[graft.functions.DotProduct]]).
+  *  - `graft_sorted_intersect(array<long>, array<long>) -> long` —
+  *    codegen'd merge intersection count over sorted duplicate-free arrays
+  *    ([[graft.functions.SortedIntersectCount]]).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sorted_intersect"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "graft_sorted_intersect"),
+      (children: Seq[Expression]) =>
+        SortedIntersectCount(children.head, children(1))))
+  }
+}

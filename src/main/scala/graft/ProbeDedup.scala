@@ -9,24 +9,19 @@ object ProbeDedup {
     println(f"[probe] $name: ${(System.nanoTime()-t0)/1e9}%.2f s"); r
   }
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions").master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
     val docs = Tables.documents(spark, dir)
-    t("shingles2 count")(println(Dedup.shingles(docs, "doc_id", "text", 2).count()))
-    val sets2 = Dedup.tokenSets(docs, "doc_id", "text", 2)
-    t("tokenSets2 count")(println(sets2.count()))
-    t("tokenSets2 again")(println(sets2.count()))
-    val pairs2 = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5, n = 2)
-    t("jaccard2gram full")(println(pairs2.count()))
-    val pairs1 = Dedup.jaccardPairs(docs, "doc_id", "text", 0.9, n = 1)
-    t("jaccard1 full")(println(pairs1.count()))
-    val mh = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.9)
-    t("minhash full")(println(mh.count()))
-    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 12)
-    t("signatures")(println(sig.count()))
+    t("cand2gram")(println("cand2gram=" + Dedup.jaccardCandidates(docs, "doc_id", "text", 0.5, 2).count()))
+    t("jaccard2gram full")(println("out2gram=" + Dedup.jaccardPairs(docs, "doc_id", "text", 0.5, n = 2).count()))
+    t("cand1gram")(println("cand1=" + Dedup.jaccardCandidates(docs, "doc_id", "text", 0.9, 1).count()))
+    t("jaccard1 full")(println("out1=" + Dedup.jaccardPairs(docs, "doc_id", "text", 0.9).count()))
+    t("minhash cand")(println("candmh=" + Dedup.minhashCandidates(docs, "doc_id", "text", 12, 3).count()))
+    t("minhash full")(println("outmh=" + Dedup.minhashLshPairs(docs, "doc_id", "text", 0.9).count()))
     spark.stop()
   }
 }

@@ -20,7 +20,7 @@ object SparkEntry {
     ParityQueries.queries ++ QualityQueries.queries ++
       RelationalQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ TextQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++ ScaleQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +28,5 @@ object SparkEntry {
     ParityQueries.oracle ++ QualityQueries.oracle ++
       RelationalQueries.oracle ++ DedupQueries.oracle ++
       SimilarityQueries.oracle ++ TextQueries.oracle ++
-      MultimodalQueries.oracle
+      MultimodalQueries.oracle ++ ScaleQueries.oracle
 }

@@ -110,6 +110,8 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("tok_df"), col("th")))).as("ts"))
       .select(col("id"),
         transform(col("ts"), t => t.getField("th")).as("toks"),
+        // th-ascending twin for the O(n+m) merge-intersect verify kernel
+        sort_array(transform(col("ts"), t => t.getField("th"))).as("toks_v"),
         size(col("ts")).cast("long").as("n_tokens"))
   }
 
@@ -122,17 +124,26 @@ object Dedup {
     (nTokens - ceil(nTokens * threshold - lit(1e-9)) + 1).cast("int")
 
   /** Exact-Jaccard verification of candidate pairs against full token sets:
-    * per-pair array_intersect, threshold on the true Jaccard.
+    * per-pair merge-intersect count over the th-sorted arrays
+    * (`graft_sorted_intersect`, codegen'd — no per-row hash set), threshold
+    * on the true Jaccard.
+    *
+    * The sets relation is broadcast: verification then needs NO shuffle of
+    * the (much larger) candidate-pair relation — both lookups are broadcast
+    * hash joins inside one codegen stage. At corpus sizes where the token
+    * sets outgrow the broadcast budget, candidates are partition-local by
+    * construction anyway (bucketed corpora) — drop the hint, the same plan
+    * runs as two shuffled joins.
     */
   private def verifyPairs(cand: DataFrame, sets: DataFrame,
       threshold: Double): DataFrame =
     cand
-      .join(sets.select(col("id").as("id_a"), col("toks").as("toks_a"),
-        col("n_tokens").as("n_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("toks").as("toks_b"),
-        col("n_tokens").as("n_b")), Seq("id_b"))
+      .join(broadcast(sets.select(col("id").as("id_a"), col("toks_v").as("toks_a"),
+        col("n_tokens").as("n_a"))), Seq("id_a"))
+      .join(broadcast(sets.select(col("id").as("id_b"), col("toks_v").as("toks_b"),
+        col("n_tokens").as("n_b"))), Seq("id_b"))
       .withColumn("n_common",
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+        call_function("graft_sorted_intersect", col("toks_a"), col("toks_b")))
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
@@ -152,9 +163,30 @@ object Dedup {
       n: Int = 1,
       maxDf: Long = 0L): DataFrame = {
     val sets = tokenSets(df, idCol, textCol, n)
+    verifyPairs(jaccardCandidatesFrom(sets, df, idCol, textCol, threshold, n,
+        maxDf), sets, threshold)
+      .select("id_a", "id_b", "n_common", "jaccard")
+  }
+
+  /** Candidate (id_a, id_b) pairs of [[jaccardPairs]] before verification —
+    * exposed for probing/pruning-ratio analysis.
+    */
+  def jaccardCandidates(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 1, maxDf: Long = 0L): DataFrame =
+    jaccardCandidatesFrom(tokenSets(df, idCol, textCol, n), df, idCol,
+      textCol, threshold, n, maxDf)
+
+  private def jaccardCandidatesFrom(
+      sets: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      n: Int,
+      maxDf: Long): DataFrame = {
     val prefix0 = sets.select(col("id"), col("n_tokens"),
-      explode(slice(col("toks"), lit(1), prefixLen(col("n_tokens"), threshold)))
-        .as("th"))
+      posexplode(slice(col("toks"), lit(1), prefixLen(col("n_tokens"), threshold)))
+        .as(Seq("pos", "th")))
     val prefix = if (maxDf <= 0L) prefix0 else {
       val hot = shingles(df, idCol, textCol, n)
         .select(tokenHash48(col("token")).as("th"))
@@ -162,18 +194,27 @@ object Dedup {
         .filter(col("df") > maxDf).select("th")
       prefix0.join(broadcast(hot), Seq("th"), "left_anti")
     }
-    // length filter: Jaccard ≥ t forces min(|A|,|B|) ≥ t·max(|A|,|B|)
-    val cand = prefix
-      .select(col("id").as("id_a"), col("n_tokens").as("pn_a"), col("th"))
+    // PPJoin-style pruning on each shared prefix token (lossless):
+    //  - length filter: Jaccard ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|)
+    //  - positional filter: overlap needed is o = ⌈t/(1+t)·(|A|+|B|)⌉ and
+    //    the overlap still reachable from 0-based positions (i, j) is
+    //    1 + min(|A|−i−1, |B|−j−1); prune when it can't reach o. A true
+    //    pair keeps its first shared prefix token, so no false negatives.
+    val minOverlap = ceil((col("pn_a") + col("pn_b")) *
+      (threshold / (1.0 + threshold)) - lit(1e-9))
+    val reachable = lit(1) + least(col("pn_a") - col("pos_a") - 1,
+      col("pn_b") - col("pos_b") - 1)
+    prefix
+      .select(col("id").as("id_a"), col("n_tokens").as("pn_a"),
+        col("pos").as("pos_a"), col("th"))
       .join(prefix.select(col("id").as("id_b"), col("n_tokens").as("pn_b"),
-        col("th")), Seq("th"))
+        col("pos").as("pos_b"), col("th")), Seq("th"))
       .filter(col("id_a") < col("id_b") &&
         least(col("pn_a"), col("pn_b")).cast("double") >=
-          greatest(col("pn_a"), col("pn_b")) * threshold - 1e-9)
+          greatest(col("pn_a"), col("pn_b")) * threshold - 1e-9 &&
+        reachable >= minOverlap)
       .select("id_a", "id_b")
       .distinct()
-    verifyPairs(cand, sets, threshold)
-      .select("id_a", "id_b", "n_common", "jaccard")
   }
 
   /** 48-bit integer from 12 hex digits of an md5 column. */
@@ -230,16 +271,23 @@ object Dedup {
       textCol: String,
       threshold: Double,
       numHashes: Int = 12,
-      bands: Int = 3): DataFrame = {
+      bands: Int = 3): DataFrame =
+    verifyPairs(minhashCandidates(df, idCol, textCol, numHashes, bands),
+        tokenSets(df, idCol, textCol), threshold)
+      .select("id_a", "id_b", "jaccard")
+
+  /** Candidate (id_a, id_b) pairs from LSH band collisions, before exact
+    * verification — exposed for probing/recall analysis.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 12, bands: Int = 3): DataFrame = {
     val band = lshBands(df, idCol, textCol, numHashes, bands)
-    val cand = band.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    band.select(col("band"), col("band_hash"), col("id").as("id_a"))
       .join(band.select(col("band"), col("band_hash"), col("id").as("id_b")),
         Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    verifyPairs(cand, tokenSets(df, idCol, textCol), threshold)
-      .select("id_a", "id_b", "jaccard")
   }
 
   /** 32-bit SimHash over distinct tokens: bit i of a token's contribution

@@ -25,8 +25,18 @@ import scala.util.Random
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two array columns, in double. */
+  /** Sequential dot product of two array columns, in double. Resolves to
+    * the codegen'd native expression ([[graft.functions.DotProduct]],
+    * registered by [[graft.GraftExtensions]]) — bit-identical to the
+    * `aggregate(zip_with(...))` fold ([[dotFold]]) it replaces, ~10× faster
+    * on pair-scan hot paths because lambda higher-order functions are
+    * CodegenFallback.
+    */
   def dot(a: Column, b: Column): Column =
+    call_function("graft_dot", a.cast("array<double>"), b.cast("array<double>"))
+
+  /** Pure-builtin fold fallback for sessions without GraftExtensions. */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
       lit(0.0), (acc, v) => acc + v)

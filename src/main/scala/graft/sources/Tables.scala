@@ -67,5 +67,9 @@ object Tables {
       .csv(path)
 
   def writeCsv(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").option("header", "true").csv(path)
+    df.write.mode("overwrite").option("header", "true")
+      // pandas-shaped timestamps ("2023-01-01 00:05:37.123456"), matching
+      // the reference CSV and the rawEventsCsv read format above
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .csv(path)
 }

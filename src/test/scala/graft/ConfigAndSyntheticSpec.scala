@@ -1,0 +1,51 @@
+package graft
+
+import graft.model.PipelineConfig
+import graft.sources.{SyntheticData, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+class ConfigAndSyntheticSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("config round-trips through its YAML form") {
+    val dir = Files.createTempDirectory("graft-cfg")
+    val cfg = PipelineConfig(cacheTtl = 60, dataQualityThreshold = 0.9,
+      alertNullPercentage = 0.25, rawData = "x/events.csv")
+    cfg.save(s"$dir/advanced_config.yml")
+    assert(PipelineConfig.load(s"$dir/advanced_config.yml") == cfg)
+    assert(PipelineConfig().toYaml.contains("cache_ttl: 3600"))
+  }
+
+  test("synthetic events: shape, determinism, gating, sortedness") {
+    val df = SyntheticData.events(spark, nEvents = 2000, nUsers = 50).cache()
+    assert(df.count() == 2000)
+    // amounts only on purchases, positive there
+    assert(df.filter($"event_type" =!= "purchase" && $"amount" =!= 0.0).count() == 0)
+    assert(df.filter($"event_type" === "purchase" && $"amount" <= 0.0).count() == 0)
+    // category mix roughly matches declared probabilities
+    val clicks = df.filter($"event_type" === "click").count()
+    assert(clicks > 2000 * 0.3 && clicks < 2000 * 0.5)
+    // user ids in range
+    val (lo, hi) = df.agg(min("user_id"), max("user_id"))
+      .as[(Long, Long)].head()
+    assert(lo >= 1L && hi <= 50L)
+    // same seed → same data
+    val again = SyntheticData.events(spark, nEvents = 2000, nUsers = 50)
+    assert(df.exceptAll(again).isEmpty && again.exceptAll(df).isEmpty)
+    df.unpersist()
+  }
+
+  test("raw-events CSV round-trip through the reference-shaped source") {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    SyntheticData.writeRawEventsCsv(spark, s"$dir/raw", nEvents = 100, nUsers = 10)
+    val back = Tables.rawEventsCsv(spark, s"$dir/raw")
+    assert(back.count() == 100)
+    assert(back.schema.fieldNames.toSeq ==
+      Seq("user_id", "event_type", "amount", "timestamp"))
+    assert(back.filter($"timestamp".isNull).count() == 0)
+  }
+}

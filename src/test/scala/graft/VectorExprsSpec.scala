@@ -1,0 +1,53 @@
+package graft
+
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+class VectorExprsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("graft_dot is bit-identical to the zip_with/aggregate fold") {
+    val rnd = new Random(7)
+    val rows = Seq.fill(50)((
+      Array.fill(64)(rnd.nextDouble() * 2 - 1),
+      Array.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val out = df.select(
+      Similarity.dot(col("a"), col("b")).as("native"),
+      Similarity.dotFold(col("a"), col("b")).as("fold"))
+      .as[(Double, Double)].collect()
+    out.foreach { case (n, f) =>
+      assert(java.lang.Double.doubleToLongBits(n) ==
+        java.lang.Double.doubleToLongBits(f))
+    }
+  }
+
+  test("graft_dot handles length mismatch and empty arrays") {
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0)),
+      (Array.empty[Double], Array(1.0))
+    ).toDF("a", "b")
+    val out = df.select(Similarity.dot(col("a"), col("b")))
+      .as[Double].collect().toSeq
+    assert(out == Seq(14.0, 0.0))
+  }
+
+  test("graft_sorted_intersect equals array_intersect size on sorted sets") {
+    val rnd = new Random(11)
+    val rows = Seq.fill(100)((
+      rnd.shuffle((0L to 200L).toList).take(rnd.nextInt(50) + 1)
+        .distinct.sorted.toArray,
+      rnd.shuffle((0L to 200L).toList).take(rnd.nextInt(50) + 1)
+        .distinct.sorted.toArray))
+    val df = rows.toDF("a", "b")
+    val out = df.select(
+      call_function("graft_sorted_intersect", col("a"), col("b")).as("native"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("builtin"))
+      .as[(Long, Long)].collect()
+    out.foreach { case (n, b) => assert(n == b) }
+  }
+}
