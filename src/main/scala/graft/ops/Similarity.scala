@@ -116,6 +116,60 @@ object Similarity {
       .select(col("q_id"), col("rank"), col(idCol), col("cos"))
   }
 
+  /** IVF (inverted-file) ANN — the other classic scale path beside
+    * hyperplane LSH: a KMeans coarse quantizer partitions the corpus into
+    * `nClusters` cells; a query scores only the `nProbe` cells whose
+    * centroids are nearest. `nProbe = nClusters` degenerates to exact
+    * brute force (the property IvfSpec pins).
+    *
+    * Scale notes: the quantizer fits on a sample (one MLlib job), the
+    * assignment pass is a single projection, and the assigned relation
+    * would be written partitioned by `cluster` so a probe is partition
+    * pruning, not a filter scan. Centroids live on the driver (tiny:
+    * nClusters × dim doubles) — the only driver-side state.
+    */
+  def ivfAssign(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nClusters: Int,
+      seed: Long = 42L): (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = emb.withColumn("__vec",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new KMeans().setK(nClusters).setSeed(seed)
+      .setFeaturesCol("__vec").fit(withVec)
+    val assigned = model.transform(withVec)
+      .withColumnRenamed("prediction", "cluster").drop("__vec")
+    (model, assigned)
+  }
+
+  /** ANN top-k probing the `nProbe` nearest centroid cells. */
+  def ivfTopK(
+      emb: DataFrame,
+      query: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nClusters: Int,
+      nProbe: Int,
+      seed: Long = 42L): DataFrame = {
+    val (model, assigned) = ivfAssign(emb, idCol, vecCol, nClusters, seed)
+    val qVec = query.select(col(vecCol)).head().getSeq[Float](0).map(_.toDouble)
+    val probed = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        val arr = c.toArray
+        while (j < arr.length) { val t = arr(j) - qVec(j); d += t * t; j += 1 }
+        (i, d)
+      }
+      .sortBy(_._2).take(nProbe).map(_._1)
+    bruteTopK(assigned.filter(col("cluster").isin(probed.toIndexedSeq: _*)),
+      query, idCol, vecCol, k)
+  }
+
   /** Deterministic ±1 hyperplanes: `planes × dim` matrix from a seeded
     * PRNG. Inlined as literals into both the Spark plan and generated
     * oracle SQL.

@@ -225,6 +225,59 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), Exact.sumMoney(col("value")).as("total_value"))
       .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
 
+  /** A21 extension: CUBE over (event_type, mktsegment of the user) — all
+    * four grouping-set combinations in one pass (Expand + single shuffle).
+    */
+  def cubeTypeSegment(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    ev.join(broadcast(cust), Seq("user_id"))
+      .cube(col("event_type"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), Exact.sumMoney(col("value")).as("total_value"))
+      .orderBy(col("event_type").asc_nulls_first,
+        col("c_mktsegment").asc_nulls_first)
+  }
+
+  /** Pivot: per-user event-type counts as columns. Pivot compiles to
+    * conditional aggregation (one shuffle); the pivoted column set is
+    * declared, not discovered, so the plan stays static at scale.
+    */
+  def pivotEventCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  /** W2 analytics: lag delta — per-event value change vs the user's
+    * previous event (the feature-drift shape).
+    */
+  def windowLagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 20)
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("value_delta",
+        round(col("value") - coalesce(col("prev_value"), lit(0.0)), 6))
+      .select("user_id", "event_id", "value", "value_delta")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** W2 analytics: ntile quartiles of order value within each priority. */
+  def windowNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy("o_orderpriority", "quartile")
+      .agg(count(lit(1)).as("n"),
+        Exact.sumMoney(col("o_totalprice")).as("bucket_value"))
+      .orderBy("o_orderpriority", "quartile")
+  }
+
   /** A8: exact distinct counts (the scalable alternate is
     * `approx_count_distinct` — see [[ScaleQueries]]).
     */
@@ -251,6 +304,10 @@ object RelationalQueries {
     "json_extract_props" -> jsonExtractProps,
     "fingerprint_digest" -> fingerprintDigest,
     "rollup_type_day" -> rollupTypeDay,
+    "cube_type_segment" -> cubeTypeSegment,
+    "pivot_event_counts" -> pivotEventCounts,
+    "window_lag_delta" -> windowLagDelta,
+    "window_ntile" -> windowNtile,
     "distinct_counts" -> distinctCounts)
 
   val oracle: Map[String, String] = Map(
@@ -338,6 +395,34 @@ object RelationalQueries {
          |  ${Exact.sumMoneySql("value")} AS total_value
          |FROM events GROUP BY ROLLUP(event_type, day)
          |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin,
+    "cube_type_segment" ->
+      s"""SELECT event_type, c_mktsegment, count(*) AS n,
+         |  ${Exact.sumMoneySql("value")} AS total_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY CUBE(event_type, c_mktsegment)
+         |ORDER BY event_type ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin,
+    "pivot_event_counts" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS "click",
+        |  count(*) FILTER (event_type = 'view') AS "view",
+        |  count(*) FILTER (event_type = 'purchase') AS "purchase",
+        |  count(*) FILTER (event_type = 'error') AS "error"
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "window_lag_delta" ->
+      """SELECT user_id, event_id, value,
+        |  round(value - coalesce(
+        |    lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |    0), 6) AS value_delta
+        |FROM events WHERE user_id < 20 ORDER BY user_id, event_id""".stripMargin,
+    "window_ntile" ->
+      s"""SELECT o_orderpriority, quartile, count(*) AS n,
+         |  ${Exact.sumMoneySql("o_totalprice")} AS bucket_value
+         |FROM (SELECT o_orderpriority, o_totalprice, ntile(4)
+         |        OVER (PARTITION BY o_orderpriority
+         |              ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+         |      FROM orders)
+         |GROUP BY o_orderpriority, quartile
+         |ORDER BY o_orderpriority, quartile""".stripMargin,
     "distinct_counts" ->
       """SELECT count(DISTINCT event_type) AS n_event_types,
         |  count(DISTINCT user_id) AS n_users,

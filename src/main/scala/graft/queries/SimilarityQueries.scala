@@ -53,11 +53,21 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF ANN — KMeans quantizer has no SQL twin → rows-only check here;
+    * exactness when probing all cells is pinned by IvfSpec.
+    */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", K, nClusters = 16, nProbe = 4)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_brute_topk" -> bruteTopK,
     "sim_neardup_pairs" -> nearDupPairs,
     "sim_lsh_topk" -> lshTopK,
-    "sim_knn_join" -> knnJoin)
+    "sim_knn_join" -> knnJoin,
+    "sim_ivf_topk" -> ivfTopK)
 
   // ---- oracle SQL -------------------------------------------------------------
 

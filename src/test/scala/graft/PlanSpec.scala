@@ -1,0 +1,69 @@
+package graft
+
+import graft.queries.{RelationalQueries, SimilarityQueries}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates — the properties that keep these operators
+  * viable at 100 TB, pinned so a refactor can't silently regress them:
+  * filters/projections must reach the parquet scan, small dimensions must
+  * broadcast, global top-k must plan as TakeOrderedAndProject (per-partition
+  * heaps), and the embedding hot path must use the codegen'd native kernel
+  * rather than interpreted lambda folds.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planString(df: DataFrame): String = {
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("filter + projection reach the parquet scan") {
+    val s = formatted(RelationalQueries.filterProject(spark, dir))
+    assert(s.contains("PushedFilters:") &&
+      s.contains("IsNotNull(event_type)"), s)
+    // pruned read schema — no props/ts columns in the scan of events
+    val readSchema = s.linesIterator.filter(_.contains("ReadSchema"))
+      .mkString
+    assert(!readSchema.contains("props"), readSchema)
+  }
+
+  test("star join broadcasts both dimension sides") {
+    val s = planString(RelationalQueries.joinNationRevenue(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 2, s)
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a total sort") {
+    val s = planString(RelationalQueries.topkOrders(spark, dir))
+    assert(s.contains("TakeOrderedAndProject"), s)
+  }
+
+  test("point lookup keeps the user_id predicate pushed down") {
+    val s = formatted(RelationalQueries.pointLookup(spark, dir))
+    assert(s.contains("EqualTo(user_id,1)"), s)
+  }
+
+  test("similarity scans use the native dot kernel, no lambda fallback") {
+    val s = planString(SimilarityQueries.nearDupPairs(spark, dir))
+    assert(s.contains("graft_dot"), s)
+    assert(!s.contains("aggregate(zip_with"), s)
+  }
+
+  test("as-of join is one window pass — no theta range join") {
+    val s = planString(RelationalQueries.asofLatestClick(spark, dir))
+    assert(s.contains("RunningWindowFunction") || s.contains("Window"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin") &&
+      !s.contains("CartesianProduct"), s)
+  }
+}
