@@ -51,8 +51,26 @@ object ScaleQueries {
       percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
       percentile_approx(col("l_extendedprice"), lit(0.75), lit(10000)).as("p75"))
 
+  /** Deterministic hash-bucket sampling — the reproducible, engine-portable
+    * alternative to `TABLESAMPLE`/`rand()` sampling: a row is in the p%
+    * sample iff md5(key) mod 100 < p. The same rows are sampled on any
+    * engine, any partitioning, any run — which is what makes sampled
+    * dev/CI pipelines debuggable at 100 TB.
+    */
+  def sampleHashBucket(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(conv(substring(md5(col("event_id").cast("string")), 1, 12),
+      16, 10).cast("long"), lit(100))
+    Tables.events(spark, dir)
+      .filter(bucket < 10)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_sampled"),
+        graft.functions.Exact.sumMoney(col("value")).as("sampled_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skew_salted_agg" -> skewSaltedAgg,
+    "sample_hash_bucket" -> sampleHashBucket,
     "scale_approx_distinct" -> approxDistinct,
     "scale_approx_quantiles" -> approxQuantiles)
 
@@ -60,5 +78,11 @@ object ScaleQueries {
     "skew_salted_agg" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "sample_hash_bucket" ->
+      """SELECT event_type, count(*) AS n_sampled,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sampled_value
+        |FROM events
+        |WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 12))::BIGINT % 100 < 10
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

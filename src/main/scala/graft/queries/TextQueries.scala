@@ -56,11 +56,28 @@ object TextQueries {
     TextAnalysis.fingerprintMd5(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Edit distance between adjacent documents' 80-char prefixes — the
+    * string-metric family (codegen'd `levenshtein`); prefix-capped because
+    * edit distance is O(n·m) per pair and belongs on short keys/titles, not
+    * full documents, at scale.
+    */
+  def editDistance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val a = docs.select(col("doc_id"), substring(col("text"), 1, 80).as("ta"))
+    val b = docs.select((col("doc_id") - 1).as("doc_id"),
+      substring(col("text"), 1, 80).as("tb"))
+    a.join(b, Seq("doc_id"))
+      .select(col("doc_id"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_distance"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> tokenStats,
     "text_quality_score" -> qualityScore,
     "text_lang_id" -> langId,
     "text_token_frequencies" -> tokenFrequencies,
+    "text_edit_distance" -> editDistance,
     "text_fingerprint" -> fingerprint)
 
   // ---- oracle SQL -------------------------------------------------------------
@@ -128,6 +145,12 @@ object TextQueries {
         |SELECT token, count(*) AS freq, count(DISTINCT id) AS n_docs
         |FROM tok GROUP BY token
         |ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+    "text_edit_distance" ->
+      """SELECT a.doc_id,
+        |  levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80))::BIGINT
+        |    AS edit_distance
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY a.doc_id""".stripMargin,
     "text_fingerprint" ->
       s"""WITH $toksCte,
          |h AS (SELECT doc_id, list_transform(toks,
