@@ -290,6 +290,76 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected pair graph by min-label
+    * propagation: every node starts as its own component; each round a node
+    * takes the minimum label among itself and its neighbors; converged when
+    * the label sum stops decreasing (labels only decrease, so the DECIMAL
+    * sum is a monotone convergence witness — one cheap agg per round, no
+    * row-level diff join). Near-dup graphs are clique-ish, so convergence
+    * is 2–3 rounds; the round count is bounded by graph diameter. Each
+    * round is one join + one group-by — all shuffles on the node id. For
+    * web-scale graphs swap in the alternating small-star/large-star
+    * variant (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"); the API stays the same.
+    *
+    * @param ids   relation with column `id` (one row per node)
+    * @param pairs relation with columns `id_a`,`id_b` (undirected edges)
+    * @return (id, component) — component = min node id reachable
+    */
+  def connectedComponents(ids: DataFrame, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = ids.select(col("id"), col("id").as("component")).persist()
+    var prevSum: java.math.BigDecimal = null
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("component")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("ncomp"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("ncomp"), col("component")))
+            .as("component"))
+        .persist()
+      val s = next.agg(sum(col("component").cast(DecimalType(38, 0))))
+        .head().getDecimal(0)
+      labels.unpersist()
+      labels = next
+      converged = prevSum != null && prevSum.compareTo(s) == 0
+      prevSum = s
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** End-to-end scalable near-dup dedup — the operator a 100 TB corpus
+    * actually runs (pair listing is quadratic in cluster size; clusters and
+    * survivors are linear): MinHash-LSH candidates → exact-Jaccard verified
+    * edges → connected components → keep the minimum id per component.
+    * Returns the surviving rows of `df`.
+    */
+  def nearDupDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = 12,
+      bands: Int = 3): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, threshold, numHashes, bands)
+      .select("id_a", "id_b")
+    val comps = connectedComponents(
+      df.select(col(idCol).as("id")), pairs)
+    val keep = comps.groupBy("component").agg(min(col("id")).as(idCol))
+      .select(idCol)
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** 32-bit SimHash over distinct tokens: bit i of a token's contribution
     * is the parity of hex digit i of its md5 (ascii(c) % 2 — expressible in
     * both engines); the document bit is the sign of the summed ±1 votes.

@@ -55,12 +55,24 @@ object DedupQueries {
     Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("id")
 
+  /** The 100 TB dedup outcome: minhash candidates → verified edges →
+    * connected components → keep-first survivors. The iterative component
+    * loop has no single-statement SQL twin → rows-only here; semantics
+    * pinned by DedupSpec (components + survivor sets on fixtures).
+    */
+  def clusterSurvivors(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupDedup(Tables.documents(spark, dir), "doc_id", "text",
+        threshold = 0.9)
+      .agg(count(lit(1)).as("n_survivors"),
+        sum(col("doc_id")).as("id_checksum"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact_groups" -> exactGroups,
     "dedup_exact_keep_first" -> exactKeepFirst,
     "dedup_jaccard_pairs" -> jaccardPairs,
     "dedup_jaccard_2gram" -> jaccard2gram,
     "dedup_minhash_lsh" -> minhashLsh,
+    "dedup_cluster_survivors" -> clusterSurvivors,
     "dedup_simhash" -> simhashDocs)
 
   // ---- oracle SQL -------------------------------------------------------------

@@ -176,6 +176,17 @@ object RelationalQueries {
       .orderBy("user_id")
   }
 
+  /** §2.7: UNION ALL + distinct-union semantics — click users ∪ error
+    * users (dedup via the set-union contract, one shuffle).
+    */
+  def setUnionClickError(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.filter(col("event_type") === "click").select("user_id")
+      .union(ev.filter(col("event_type") === "error").select("user_id"))
+      .distinct()
+      .orderBy("user_id")
+  }
+
   /** §2.7: INTERSECT — users with both click and error events. */
   def setIntersectClickError(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -185,6 +196,21 @@ object RelationalQueries {
   }
 
   // ---- scalar functions / json ----------------------------------------------------
+
+  /** Time-dimension rollup: date_trunc to the hour × day-of-week — the
+    * dashboard/time-bucketing family. Day-of-week normalized to Sunday=0 on
+    * both engines.
+    */
+  def timeBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("hour_bucket_us",
+        unix_micros(date_trunc("HOUR", col("ts"))))
+      .withColumn("dow", (dayofweek(col("ts")) - 1).cast("long"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("hour_bucket_us")).as("n_hours"),
+        Exact.sumMoney(col("value")).as("total_value"))
+      .orderBy("dow")
 
   /** F2: JSON field extraction from the props column. Uses a regex pull of
     * the numeric field so both engines share one code path (`get_json_object`
@@ -300,7 +326,9 @@ object RelationalQueries {
     "window_running_total" -> windowRunningTotal,
     "topk_orders" -> topkOrders,
     "set_except_non_purchasers" -> setExceptNonPurchasers,
+    "set_union_click_error" -> setUnionClickError,
     "set_intersect_click_error" -> setIntersectClickError,
+    "time_buckets" -> timeBuckets,
     "json_extract_props" -> jsonExtractProps,
     "fingerprint_digest" -> fingerprintDigest,
     "rollup_type_day" -> rollupTypeDay,
@@ -381,6 +409,17 @@ object RelationalQueries {
         |INTERSECT
         |SELECT user_id FROM events WHERE event_type = 'error'
         |ORDER BY user_id""".stripMargin,
+    "set_union_click_error" ->
+      """SELECT DISTINCT user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id FROM events WHERE event_type = 'error')
+        |ORDER BY user_id""".stripMargin,
+    "time_buckets" ->
+      s"""SELECT dayofweek(ts)::BIGINT AS dow, count(*) AS n,
+         |  count(DISTINCT epoch_us(date_trunc('hour', ts))) AS n_hours,
+         |  ${Exact.sumMoneySql("value")} AS total_value
+         |FROM events GROUP BY dow ORDER BY dow""".stripMargin,
     "json_extract_props" ->
       s"""SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) % 10 AS k_bucket,
          |  count(*) AS n, ${Exact.sumMoneySql("value")} AS total_value

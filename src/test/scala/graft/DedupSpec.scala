@@ -40,6 +40,23 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.shingles(short, "doc_id", "text", 2).count() == 0)
   }
 
+  test("connected components: chains merge, singletons stay") {
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val comps = graft.ops.Dedup.connectedComponents(ids, pairs)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component"))
+      .toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L))
+  }
+
+  test("near-dup cluster dedup keeps one survivor per cluster") {
+    val survivors = graft.ops.Dedup.nearDupDedup(docs, "doc_id", "text", 0.9)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // 1 and 2 are exact dups (one cluster → keep 1); 3,4,5 survive
+    assert(survivors == Seq(1L, 3L, 4L, 5L))
+  }
+
   test("jaccard pairs: exact dup scores 1.0, near dup 4/6, disjoint absent") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
