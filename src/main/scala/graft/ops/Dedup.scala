@@ -309,10 +309,15 @@ object Dedup {
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // localCheckpoint (eager) on every iteration state: iterative DataFrame
+    // algorithms otherwise grow the logical plan multiplicatively per round
+    // (labels appears twice in each next-labels plan), and planning —
+    // not execution — becomes the bottleneck by iteration ~4.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist()
-    var labels = ids.select(col("id"), col("id").as("component")).persist()
+      .localCheckpoint(true)
+    var labels = ids.select(col("id"), col("id").as("component"))
+      .localCheckpoint(true)
     var prevSum: java.math.BigDecimal = null
     var it = 0
     var converged = false
@@ -325,7 +330,7 @@ object Dedup {
         .select(col("id"),
           least(col("component"), coalesce(col("ncomp"), col("component")))
             .as("component"))
-        .persist()
+        .localCheckpoint(true)
       val s = next.agg(sum(col("component").cast(DecimalType(38, 0))))
         .head().getDecimal(0)
       labels.unpersist()
@@ -351,10 +356,26 @@ object Dedup {
       threshold: Double,
       numHashes: Int = 12,
       bands: Int = 3): DataFrame = {
-    val pairs = minhashLshPairs(df, idCol, textCol, threshold, numHashes, bands)
-      .select("id_a", "id_b")
+    // Collapse set-identical docs first: within a group J = 1.0, so every
+    // member joins its representative's cluster by construction, and only
+    // the min-id representative can ever be the cluster survivor. On
+    // dup-heavy corpora this shrinks the quadratic pair stage by the dup
+    // factor squared. Docs with NO tokens never appear in tokenSets →
+    // no edges → they remain singletons and survive (empty-vs-empty
+    // Jaccard is 0/0 → no pair, matching jaccardPairs semantics).
+    val setHash = tokenSets(df, idCol, textCol)
+      .select(col("id"), xxhash64(col("toks_v")).as("set_hash"))
+    val reps = setHash.groupBy("set_hash").agg(min(col("id")).as("rep_id"))
+    val repDocs = df.join(reps.select(col("rep_id").as(idCol)),
+      Seq(idCol), "left_semi")
+    val repPairs = minhashLshPairs(repDocs, idCol, textCol, threshold,
+      numHashes, bands).select("id_a", "id_b")
+    // members attach to their representative with an explicit J=1 edge
+    val memberEdges = setHash.join(reps, Seq("set_hash"))
+      .filter(col("id") =!= col("rep_id"))
+      .select(col("rep_id").as("id_a"), col("id").as("id_b"))
     val comps = connectedComponents(
-      df.select(col(idCol).as("id")), pairs)
+      df.select(col(idCol).as("id")), repPairs.unionByName(memberEdges))
     val keep = comps.groupBy("component").agg(min(col("id")).as(idCol))
       .select(idCol)
     df.join(keep, Seq(idCol), "left_semi")

@@ -60,6 +60,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!s.contains("aggregate(zip_with"), s)
   }
 
+  test("dedup verification joins are broadcast and use the native kernel") {
+    val s = planString(graft.ops.Dedup.jaccardPairs(
+      graft.sources.Tables.documents(spark, dir), "doc_id", "text", 0.9))
+    assert(s.contains("graft_sorted_intersect"), s)
+    assert(s.contains("BroadcastHashJoin"), s)
+  }
+
   test("as-of join is one window pass — no theta range join") {
     val s = planString(RelationalQueries.asofLatestClick(spark, dir))
     assert(s.contains("RunningWindowFunction") || s.contains("Window"), s)
