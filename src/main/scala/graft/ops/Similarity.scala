@@ -133,12 +133,15 @@ object Similarity {
       idCol: String,
       vecCol: String,
       nClusters: Int,
-      seed: Long = 42L): (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
+      seed: Long = 42L,
+      maxIter: Int = 5): (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val withVec = emb.withColumn("__vec",
       array_to_vector(col(vecCol).cast("array<double>")))
-    val model = new KMeans().setK(nClusters).setSeed(seed)
+    // a coarse quantizer only partitions space — it does not need Lloyd
+    // convergence; 5 iterations is the recall/fit-cost sweet spot
+    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__vec").fit(withVec)
     val assigned = model.transform(withVec)
       .withColumnRenamed("prediction", "cluster").drop("__vec")

@@ -1,0 +1,81 @@
+package graft
+
+import graft.quality.DataQualityValidator
+import graft.store.FeatureStore
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests (SURVEY.md §5.4): invariants that must hold for ANY
+  * input, not just fixtures — quality score bounds, permutation invariance
+  * of the duplicate ratio, partition invariance of the relation
+  * fingerprint, and retention arithmetic. Generators are ScalaCheck `Gen`s
+  * sampled over fixed seeds (the scalatest↔scalacheck bridge artifact is
+  * not in the offline cache, so sampling is driven directly).
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rowsGen: Gen[List[(Long, Double)]] =
+    Gen.choose(1, 30).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(1L, 5L), Gen.choose(-100.0, 100.0))))
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("quality score is always within [0, 1]") {
+    samples(rowsGen, 20).foreach { rows =>
+      val m = new DataQualityValidator().validate(rows.toDF("user_id", "value"))
+      assert(m.overallScore >= 0.0 && m.overallScore <= 1.0, rows)
+      assert(m.nullPercentage >= 0.0 && m.duplicatePercentage >= 0.0 &&
+        m.outlierPercentage >= 0.0, rows)
+    }
+  }
+
+  test("duplicate ratio is invariant under row permutation") {
+    samples(rowsGen, 10).foreach { rows =>
+      val a = new DataQualityValidator()
+        .validate(rows.toDF("user_id", "value")).duplicatePercentage
+      val shuffled = new scala.util.Random(1).shuffle(rows)
+      val b = new DataQualityValidator()
+        .validate(shuffled.toDF("user_id", "value")).duplicatePercentage
+      assert(a == b, rows)
+    }
+  }
+
+  test("relation fingerprint is invariant under partitioning and row order") {
+    samples(rowsGen, 10).foreach { rows =>
+      val df = rows.toDF("user_id", "value")
+      val f1 = FeatureStore.fingerprint(df.repartition(1))
+      val f7 = FeatureStore.fingerprint(
+        df.repartition(7, col("user_id")).sortWithinPartitions("value"))
+      assert(f1 == f7, rows)
+    }
+  }
+
+  test("fingerprint distinguishes different relations") {
+    val base = Seq((1L, 2.0), (2L, 3.0)).toDF("user_id", "value")
+    val changed = Seq((1L, 2.0), (2L, 3.01)).toDF("user_id", "value")
+    assert(FeatureStore.fingerprint(base) != FeatureStore.fingerprint(changed))
+  }
+
+  test("cleanup keeps exactly min(keepN, versions)") {
+    for (keepN <- 0 to 3; nVersions <- 1 to 3) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-prop").toString
+      var tick = 0
+      val store = new FeatureStore(spark, dir,
+        clock = () => { tick += 1; f"2026-01-01T00:00:$tick%02dZ" })
+      (1 to nVersions).foreach { i =>
+        store.registerFeatures(
+          Seq((i.toLong, i * 1.0)).toDF("user_id", "value"),
+          graft.model.FeatureMetadata("", s"v$i", "", Nil))
+      }
+      val deleted = store.cleanupOldVersions(keepN)
+      assert(store.listFeatureVersions().size == math.min(keepN, nVersions),
+        s"keepN=$keepN n=$nVersions")
+      assert(deleted.size == math.max(0, nVersions - keepN))
+    }
+  }
+}
