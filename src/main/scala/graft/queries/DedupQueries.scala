@@ -112,9 +112,10 @@ object DedupQueries {
     .map(i => s"min((ha + $i * hb) % ${graft.ops.Dedup.MinhashMod}) AS s$i")
     .mkString(", ")
 
+  // 48-bit band hashes — mirrors Dedup.lshBands / tokenHash48
   private val bandUnion = (0 until Bands).map { b =>
     val parts = (0 until Rows).map(r => s"s${b * Rows + r}::VARCHAR").mkString(" || '|' || ")
-    s"SELECT id, $b AS band, md5($parts) AS band_hash FROM sig"
+    s"SELECT id, $b AS band, ('0x' || substr(md5($parts), 1, 12))::BIGINT AS band_hash FROM sig"
   }.mkString(" UNION ALL ")
 
   private val simhashVotes = (0 until 32)
