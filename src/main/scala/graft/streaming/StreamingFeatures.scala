@@ -61,6 +61,29 @@ object StreamingFeatures {
       .select(col("user_id"), col("s.start").as("session_start"),
         col("s.end").as("session_end"), col("n_events"), col("session_value"))
 
+  /** Stream-stream interval join — the attribution shape: each purchase
+    * joins the same user's clicks from the preceding `within` interval.
+    * Both sides carry watermarks so the join state is bounded: a click can
+    * be evicted once the purchase-side watermark passes click.ts + within.
+    * Works identically on static relations (plain interval equi-join).
+    */
+  def attributionJoin(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      watermark: String = "10 minutes",
+      within: String = "30 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    p.join(c, col("user_id") === col("c_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $within"))
+      .drop("c_user_id")
+  }
+
   /** Streaming exact dedup on an id/content key: `dropDuplicates` with a
     * watermark bounds the seen-keys state to the watermark horizon (the
     * streaming twin of [[graft.ops.Dedup.exactDedup]]).

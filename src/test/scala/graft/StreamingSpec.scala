@@ -52,6 +52,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(u1.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("stream-stream attribution join pairs purchases with preceding clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    val purchases = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    def named(m: MemoryStream[(Long, Long, Timestamp, String, Double)]) =
+      m.toDF().toDF("event_id", "user_id", "ts", "event_type", "value")
+    val q = StreamingFeatures.attributionJoin(named(clicks), named(purchases))
+      .writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try {
+      clicks.addData((10L, 1L, ts(5), "click", 0.0),    // within 30 min
+        (11L, 1L, ts(90), "click", 0.0),                 // later than purchase
+        (12L, 2L, ts(1), "click", 0.0))                  // other user
+      purchases.addData((20L, 1L, ts(20), "purchase", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("attr")
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((20L, 10L)))
+    } finally q.stop()
+  }
+
   test("dedup stream drops the duplicate row on static input too") {
     val out = StreamingFeatures.dedupStream(batchDf,
       Seq("user_id", "event_type", "value"))
