@@ -109,6 +109,57 @@ object TextAnalysis {
         (h, t) => pmod(h * 31L + tokHash(t), lit(FpMod)))
         .as("doc_fingerprint"))
 
+  /** BPE-ish regex tokenization: letter runs, digit runs, and single
+    * punctuation marks as separate tokens (the pre-tokenization shape GPT-2
+    * class BPE vocabularies apply before merges). One `regexp_extract_all`
+    * per row — codegen'd, no shuffle.
+    */
+  val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def regexTokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = regexp_extract_all(lower(col(textCol)), lit(BpeishPattern), lit(0))
+    df.select(
+      col(idCol),
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_distinct_tokens"),
+      size(filter(t, x => x.rlike("^[0-9]+$"))).cast("long").as("n_number_tokens"),
+      size(filter(t, x => x.rlike("^[^a-z0-9]$"))).cast("long").as("n_punct_tokens"))
+  }
+
+  /** Character n-gram set of a text column (the language-ID feature the
+    * token-profile heuristic upgrades to): lowercased, whitespace
+    * collapsed to '_' so word boundaries carry signal.
+    */
+  def charNgrams(textCol: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(textCol), "\\s+", "_")
+    val starts = when(length(norm) >= n, sequence(lit(1), length(norm) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(transform(starts, i => substring(norm, i, lit(n))))
+  }
+
+  /** Char-n-gram profile language ID: same argmax machinery as [[langId]]
+    * but scored on character trigram overlap — robust to languages without
+    * whitespace tokenization. Profiles are (lang, representative texts);
+    * their trigram sets are built inline as literals.
+    */
+  def langIdCharNgrams(df: DataFrame, idCol: String, textCol: String,
+      profiles: Seq[(String, Seq[String])], n: Int = 3): DataFrame = {
+    val docGrams = charNgrams(col(textCol), n)
+    val scored = profiles.map { case (langCode, texts) =>
+      val profileGrams = texts
+        .flatMap(t => t.toLowerCase.replaceAll("\\s+", "_").sliding(n).toSeq)
+        .distinct
+      val profileLit = array(profileGrams.map(lit): _*)
+      struct(
+        (size(array_intersect(docGrams, profileLit)).cast("double") /
+          greatest(size(docGrams), lit(1))).as("score"),
+        lit(langCode).as("lang"))
+    }
+    df.select(col(idCol),
+      array_max(array(scored: _*)).getField("lang").as("predicted_lang"),
+      round(greatest(scored.map(_.getField("score")): _*), 6).as("lang_score"))
+  }
+
   /** Multi-profile heuristic language ID: score each candidate profile by
     * distinct-stopword hit ratio, pick the argmax (ties → lexicographically
     * first language code, deterministic). Per-row array expressions only —

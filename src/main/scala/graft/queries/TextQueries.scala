@@ -72,8 +72,14 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** BPE-ish regex tokenization stats per document. */
+  def regexTokens(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.regexTokenStats(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> tokenStats,
+    "text_regex_tokens" -> regexTokens,
     "text_quality_score" -> qualityScore,
     "text_lang_id" -> langId,
     "text_token_frequencies" -> tokenFrequencies,
@@ -145,6 +151,17 @@ object TextQueries {
         |SELECT token, count(*) AS freq, count(DISTINCT id) AS n_docs
         |FROM tok GROUP BY token
         |ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+    "text_regex_tokens" ->
+      """WITH r AS (SELECT doc_id,
+        |  regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS t
+        |  FROM documents)
+        |SELECT doc_id, len(t)::BIGINT AS n_tokens,
+        |  len(list_distinct(t))::BIGINT AS n_distinct_tokens,
+        |  len(list_filter(t, x -> regexp_matches(x, '^[0-9]+$')))::BIGINT
+        |    AS n_number_tokens,
+        |  len(list_filter(t, x -> regexp_matches(x, '^[^a-z0-9]$')))::BIGINT
+        |    AS n_punct_tokens
+        |FROM r ORDER BY doc_id""".stripMargin,
     "text_edit_distance" ->
       """SELECT a.doc_id,
         |  levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80))::BIGINT

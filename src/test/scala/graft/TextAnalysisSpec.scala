@@ -43,6 +43,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L) == TextQueriesProfiles().map(_._1).max)
   }
 
+  test("regex tokenization splits letter runs, digits, punctuation") {
+    val d = Seq((1L, "Hello, world-42!")).toDF("doc_id", "text")
+    val r = TextAnalysis.regexTokenStats(d, "doc_id", "text").head()
+    // tokens: hello , world - 42 !
+    assert(r.getAs[Long]("n_tokens") == 6L)
+    assert(r.getAs[Long]("n_number_tokens") == 1L)
+    assert(r.getAs[Long]("n_punct_tokens") == 3L)
+  }
+
+  test("char-ngram langId picks the profile sharing trigrams") {
+    val profiles = Seq(
+      "en" -> Seq("the quick brown fox and the hound"),
+      "de" -> Seq("der schnelle braune fuchs und der hund"))
+    val d = Seq((1L, "the hound"), (2L, "der hund")).toDF("doc_id", "text")
+    val out = TextAnalysis.langIdCharNgrams(d, "doc_id", "text", profiles)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("predicted_lang")).toMap
+    assert(out(1L) == "en" && out(2L) == "de")
+  }
+
   test("rolling fingerprint is order-sensitive, set hashes are not") {
     val d = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
     val fp = TextAnalysis.fingerprint(d, "doc_id", "text").collect()
