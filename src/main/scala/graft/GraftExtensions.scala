@@ -20,6 +20,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // opt-in approximation mode: count(DISTINCT x) → HLL++ when
+    // spark.graft.approx.distinct=true (see graft.plans.ApproxDistinctRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite())
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
