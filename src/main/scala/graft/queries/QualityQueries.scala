@@ -83,10 +83,24 @@ object QualityQueries {
       ((count(lit(1)) - countDistinct(col("text"))).cast("double") / count(lit(1)))
         .as("dup_ratio"))
 
+  /** Feature-drift PSI between two snapshots ([[graft.ops.Drift]]): the
+    * value distribution of even- vs odd-id events over baseline-decile
+    * buckets. In-plan breakpoints, no driver collect.
+    */
+  def driftPsi(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    graft.ops.Drift.psiBuckets(
+        e.filter(col("event_id") % 2 === 0),
+        e.filter(col("event_id") % 2 === 1),
+        "value", buckets = 10)
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_null_dup_ratio" -> nullDupRatio,
     "quality_outlier_iqr" -> outlierIqr,
     "quality_quantiles_lineitem" -> quantilesLineitem,
+    "quality_drift_psi" -> driftPsi,
     "quality_dup_ratio_documents" -> dupRatioDocuments)
 
   val oracle: Map[String, String] = Map(
@@ -125,6 +139,27 @@ object QualityQueries {
         |  round(quantile_cont(l_extendedprice, 0.5), 6) AS price_q2,
         |  round(quantile_cont(l_extendedprice, 0.75), 6) AS price_q3
         |FROM lineitem""".stripMargin,
+    "quality_drift_psi" ->
+      """WITH base AS (SELECT value FROM events WHERE event_id % 2 = 0),
+        |cur AS (SELECT value FROM events WHERE event_id % 2 = 1),
+        |bk AS (SELECT quantile_cont(value,
+        |         [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS breaks
+        |       FROM base),
+        |b1 AS (SELECT 1 + len(list_filter(breaks, b -> value > b)) AS bucket,
+        |         count(*) AS n_base FROM base, bk GROUP BY 1),
+        |c1 AS (SELECT 1 + len(list_filter(breaks, b -> value > b)) AS bucket,
+        |         count(*) AS n_cur FROM cur, bk GROUP BY 1),
+        |j AS (SELECT coalesce(b1.bucket, c1.bucket) AS bucket,
+        |        coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+        |      FROM b1 FULL OUTER JOIN c1 ON b1.bucket = c1.bucket),
+        |t AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM j)
+        |SELECT bucket, n_base, n_cur,
+        |  round(greatest(n_base * 1.0 / tb, 1e-6), 9) AS p_base,
+        |  round(greatest(n_cur * 1.0 / tc, 1e-6), 9) AS p_cur,
+        |  round((greatest(n_cur * 1.0 / tc, 1e-6) - greatest(n_base * 1.0 / tb, 1e-6))
+        |    * ln(greatest(n_cur * 1.0 / tc, 1e-6) / greatest(n_base * 1.0 / tb, 1e-6)), 9)
+        |    AS contribution
+        |FROM j, t ORDER BY bucket""".stripMargin,
     "quality_dup_ratio_documents" ->
       """SELECT count(*) AS n_docs,
         |  count(DISTINCT text) AS n_distinct_texts,
