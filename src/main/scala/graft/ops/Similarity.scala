@@ -173,6 +173,49 @@ object Similarity {
       query, idCol, vecCol, k)
   }
 
+  /** Per-position means of an embedding column grouped by a label — the
+    * centroid primitive (IVF cells, class prototypes, embedding drift).
+    * One `posexplode` + one shuffle on (label, pos).
+    *
+    * Determinism discipline: double sums are order-dependent across
+    * partitionings, so elements are rounded to 9 dp and summed in exact
+    * DECIMAL; the mean divides back in double. Bit-stable on any engine,
+    * any partitioning (the same rule as [[graft.functions.Exact]]).
+    */
+  def centroidMeans(emb: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    emb.select(col(labelCol).as("label"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      .withColumn("xd", round(col("x"), 9)
+        .cast(org.apache.spark.sql.types.DecimalType(12, 9)))
+      .groupBy("label", "pos")
+      .agg((sum(col("xd")).cast("double") / count(lit(1))).as("m"),
+        count(lit(1)).as("n"))
+
+  /** Per-label centroid summary: vector count, centroid norm, and cosine
+    * of the label centroid to the global centroid (embedding-drift shape:
+    * a label whose centroid swings away from global is shifting).
+    * Scalar outputs only — norms/cosines reduce over positions in exact
+    * DECIMAL of rounded products, no array assembly needed.
+    */
+  def centroidSummary(emb: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    def sumD(c: Column) = sum(round(c, 18).cast(dec)).cast("double")
+    val perLabel = centroidMeans(emb, labelCol, vecCol)
+    val global = centroidMeans(emb.select(lit(0L).as("__g"), col(vecCol)),
+        "__g", vecCol)
+      .select(col("pos"), col("m").as("gm"))
+    perLabel.join(global, Seq("pos"))
+      .groupBy("label")
+      .agg(max(col("n")).as("n_vecs"),
+        sumD(col("m") * col("m")).as("norm2"),
+        sumD(col("gm") * col("gm")).as("gnorm2"),
+        sumD(col("m") * col("gm")).as("dotg"))
+      .select(col("label"), col("n_vecs"),
+        round(sqrt(col("norm2")), 6).as("centroid_norm"),
+        round(col("dotg") / (sqrt(col("norm2")) * sqrt(col("gnorm2"))), 6)
+          .as("cos_to_global"))
+  }
+
   /** Deterministic ±1 hyperplanes: `planes × dim` matrix from a seeded
     * PRNG. Inlined as literals into both the Spark plan and generated
     * oracle SQL.

@@ -62,11 +62,20 @@ object SimilarityQueries {
       "vec_id", "embedding", K, nClusters = 16, nProbe = 4)
   }
 
+  /** Per-label centroid norms + cosine to the global centroid
+    * (embedding-drift shape; element-wise vector aggregation).
+    */
+  def centroids(spark: SparkSession, dir: String): DataFrame =
+    Similarity.centroidSummary(Tables.embeddings(spark, dir),
+        "label", "embedding")
+      .orderBy("label")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_brute_topk" -> bruteTopK,
     "sim_neardup_pairs" -> nearDupPairs,
     "sim_lsh_topk" -> lshTopK,
     "sim_knn_join" -> knnJoin,
+    "sim_centroids" -> centroids,
     "sim_ivf_topk" -> ivfTopK)
 
   // ---- oracle SQL -------------------------------------------------------------
@@ -108,6 +117,25 @@ object SimilarityQueries {
          |  ${cosineSql("b.embedding", "qv")} AS cos
          |FROM b, q WHERE b.bucket = q.qb
          |ORDER BY cos DESC, vec_id LIMIT $K""".stripMargin,
+    "sim_centroids" ->
+      s"""WITH pe AS (
+         |  SELECT label, i AS pos,
+         |    CAST(round(embedding[i]::DOUBLE, 9) AS DECIMAL(12,9)) AS xd
+         |  FROM embeddings, UNNEST(generate_series(1, $Dim)) u(i)),
+         |pm AS (SELECT label, pos, CAST(sum(xd) AS DOUBLE) / count(*) AS m,
+         |         count(*) AS n
+         |       FROM pe GROUP BY 1, 2),
+         |gm AS (SELECT pos, CAST(sum(xd) AS DOUBLE) / count(*) AS gm
+         |       FROM pe GROUP BY 1),
+         |j AS (SELECT pm.label, pm.n, pm.m, gm.gm FROM pm JOIN gm USING (pos)),
+         |a AS (SELECT label, max(n) AS n_vecs,
+         |        CAST(sum(CAST(round(m * m, 18) AS DECIMAL(38,18))) AS DOUBLE) AS norm2,
+         |        CAST(sum(CAST(round(gm * gm, 18) AS DECIMAL(38,18))) AS DOUBLE) AS gnorm2,
+         |        CAST(sum(CAST(round(m * gm, 18) AS DECIMAL(38,18))) AS DOUBLE) AS dotg
+         |      FROM j GROUP BY label)
+         |SELECT label, n_vecs, round(sqrt(norm2), 6) AS centroid_norm,
+         |  round(dotg / (sqrt(norm2) * sqrt(gnorm2)), 6) AS cos_to_global
+         |FROM a ORDER BY label""".stripMargin,
     "sim_knn_join" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
          |           WHERE vec_id < $KnnQueries),

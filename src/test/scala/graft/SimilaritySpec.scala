@@ -63,6 +63,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!top.contains(4L))
   }
 
+  test("centroid summary: equal labels → cos 1; orthogonal labels → 1/√2") {
+    val e = Seq(
+      (0, Array(1.0f, 0.0f)), (0, Array(1.0f, 0.0f)),
+      (1, Array(0.0f, 1.0f)), (1, Array(0.0f, 1.0f))
+    ).toDF("label", "embedding")
+    val out = Similarity.centroidSummary(e, "label", "embedding")
+      .collect().map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Double]("centroid_norm"),
+          r.getAs[Double]("cos_to_global"))).toMap
+    assert(out(0)._1 == 2L && out(0)._2 == 1.0)
+    // global centroid = (0.5, 0.5); cos(e1, global) = 1/√2
+    assert(math.abs(out(0)._3 - 1.0 / math.sqrt(2)) < 1e-6)
+    assert(math.abs(out(1)._3 - 1.0 / math.sqrt(2)) < 1e-6)
+  }
+
   test("hyperplanes are seed-deterministic") {
     assert(Similarity.hyperplanes(4, 8).map(_.toSeq).toSeq ==
       Similarity.hyperplanes(4, 8).map(_.toSeq).toSeq)
