@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // opt-in approximation mode: count(DISTINCT x) → HLL++ when
     // spark.graft.approx.distinct=true (see graft.plans.ApproxDistinctRewrite)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite())
+    // native sorted-merge as-of join (graft.plans.AsofJoinNode/Exec)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -68,6 +68,43 @@ object AsofJoin {
     carried.filter(col("__r") === 0).drop("__t", "__r")
   }
 
+  /** Backward as-of through the NATIVE Catalyst operator
+    * ([[graft.plans.AsofJoinNode]] → sorted-merge [[graft.plans.AsofJoinExec]],
+    * planned via the GraftExtensions strategy): one shuffle + sort per
+    * side and a forward merge per partition — no window state carrying
+    * every left row. Identical semantics to [[asofBackward]] (inclusive,
+    * right unique per (key, time)); equivalence pinned by AsofNativeSpec.
+    */
+  def asofBackwardNative(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+    // Wrap each side in a fresh-alias Project: when both sides derive from
+    // the same base relation, DeduplicateRelations rewrites the inner
+    // duplicate exprIds; aliases keep their own ids through that rewrite,
+    // so the node's captured key/time/value attributes stay valid.
+    def freshSide(df: DataFrame): (LogicalPlan, Seq[Attribute]) = {
+      val analyzed = df.queryExecution.analyzed
+      val aliases = analyzed.output.map(a => Alias(a, a.name)())
+      (Project(aliases, analyzed), aliases.map(_.toAttribute))
+    }
+    val (l, lOut) = freshSide(left)
+    val (r, rOut) = freshSide(right)
+    def attr(out: Seq[Attribute], n: String) = out.find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(
+        s"column '$n' not found in ${out.map(_.name).mkString(", ")}"))
+    org.apache.spark.sql.GraftBridge.ofRows(left.sparkSession,
+      graft.plans.AsofJoinNode(l, r,
+        keyCols.map(attr(lOut, _)), keyCols.map(attr(rOut, _)),
+        attr(lOut, leftTime), attr(rOut, rightTime),
+        rightVals.map(attr(rOut, _))))
+  }
+
   /** Forward as-of (earliest right row at or after the left time): swap the
     * time axis by negating — reuses the backward machinery unchanged.
     */

@@ -115,6 +115,25 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** J4 through the NATIVE as-of operator (custom LogicalPlan → strategy →
+    * sorted-merge exec; [[graft.plans.AsofJoinNode]]) — same semantics and
+    * same DuckDB oracle as [[asofLatestClick]], exercising the custom
+    * physical path under the correctness gate.
+    */
+  def asofNativeLatestClick(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts_us").as("click_ts_us"))
+      .agg(max(col("event_id")).as("click_event_id"),
+        max_by(col("value"), col("event_id")).as("click_value"))
+    AsofJoin.asofBackwardNative(purchases, clicks, Seq("user_id"),
+        "ts_us", "click_ts_us",
+        Seq("click_ts_us", "click_event_id", "click_value"))
+      .orderBy("event_id")
+  }
+
   // ---- windows ----------------------------------------------------------------
 
   private def latestFirstWindow =
@@ -320,6 +339,7 @@ object RelationalQueries {
     "semi_join_purchasers" -> semiJoinPurchasers,
     "anti_join_inactive" -> antiJoinInactive,
     "asof_latest_click" -> asofLatestClick,
+    "asof_native_latest_click" -> asofNativeLatestClick,
     "join_nation_revenue" -> joinNationRevenue,
     "window_latest_event" -> windowLatestEvent,
     "window_topn_per_user" -> windowTopNPerUser,
@@ -361,6 +381,19 @@ object RelationalQueries {
         |WHERE c_custkey NOT IN (SELECT user_id FROM events)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "asof_latest_click" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS click_ts_us,
+        |             max(event_id) AS click_event_id,
+        |             arg_max(value, event_id) AS click_value
+        |      FROM events WHERE event_type = 'click'
+        |      GROUP BY user_id, epoch_us(ts))
+        |SELECT p.event_id, p.user_id, p.ts_us, p.value,
+        |       c.click_ts_us, c.click_event_id, c.click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_us >= c.click_ts_us
+        |ORDER BY p.event_id""".stripMargin,
+    "asof_native_latest_click" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
         |           FROM events WHERE event_type = 'purchase'),
         |c AS (SELECT user_id, epoch_us(ts) AS click_ts_us,
