@@ -391,6 +391,36 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Approximate cluster dedup — the strictly-linear 100 TB variant: LSH
+    * band buckets emit STAR edges (every member → the bucket's min id)
+    * instead of all m²/2 within-bucket pairs, skipping Jaccard
+    * verification entirely. Components are then "LSH-connected": any two
+    * docs agreeing on any band land in one cluster (transitively). Recall
+    * follows the LSH s-curve; precision is below [[nearDupDedup]]'s
+    * because no candidate is verified — the standard trade at corpus
+    * scales where even candidate pair LISTS don't fit. Cost: signatures +
+    * one per-bucket min + CC over ≤ bands·n edges.
+    */
+  def nearDupDedupFast(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 12,
+      bands: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val band = lshBands(df, idCol, textCol, numHashes, bands)
+    val starEdges = band
+      .withColumn("rep", min(col("id"))
+        .over(Window.partitionBy(col("band"), col("band_hash"))))
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+      .distinct()
+    val comps = connectedComponents(df.select(col(idCol).as("id")), starEdges)
+    val keep = comps.groupBy("component").agg(min(col("id")).as(idCol))
+      .select(idCol)
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** 32-bit SimHash over distinct tokens: bit i of a token's contribution
     * is the parity of hex digit i of its md5 (ascii(c) % 2 — expressible in
     * both engines); the document bit is the sign of the summed ±1 votes.

@@ -66,6 +66,14 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_survivors"),
         sum(col("doc_id")).as("id_checksum"))
 
+  /** Strictly-linear approximate cluster dedup (bucket-star edges, no
+    * verification) — rows-only; semantics pinned by DedupSpec.
+    */
+  def clusterSurvivorsFast(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupDedupFast(Tables.documents(spark, dir), "doc_id", "text")
+      .agg(count(lit(1)).as("n_survivors"),
+        sum(col("doc_id")).as("id_checksum"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact_groups" -> exactGroups,
     "dedup_exact_keep_first" -> exactKeepFirst,
@@ -73,6 +81,7 @@ object DedupQueries {
     "dedup_jaccard_2gram" -> jaccard2gram,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_cluster_survivors" -> clusterSurvivors,
+    "dedup_cluster_fast" -> clusterSurvivorsFast,
     "dedup_simhash" -> simhashDocs)
 
   // ---- oracle SQL -------------------------------------------------------------

@@ -57,6 +57,15 @@ class DedupSpec extends AnyFunSuite {
     assert(survivors == Seq(1L, 3L, 4L, 5L))
   }
 
+  test("fast cluster dedup: exact dups collapse; unique docs survive") {
+    val survivors = graft.ops.Dedup.nearDupDedupFast(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // 1 and 2 are identical → same signature in every band → one survivor;
+    // unverified LSH may or may not merge near-dup 3, never unrelated 4/5
+    assert(survivors.head == 1L && !survivors.contains(2L))
+    assert(survivors.contains(4L) && survivors.contains(5L))
+  }
+
   test("jaccard pairs: exact dup scores 1.0, near dup 4/6, disjoint absent") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
