@@ -61,6 +61,31 @@ class PropertySpec extends AnyFunSuite {
     assert(FeatureStore.fingerprint(base) != FeatureStore.fingerprint(changed))
   }
 
+  test("jaccardPairs equals brute force on random corpora (prefix filter is lossless)") {
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val docsGen: Gen[List[(Long, String)]] =
+      Gen.listOfN(25, Gen.choose(0, 8).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf(vocab)))).map(_.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) })
+    for (threshold <- Seq(0.5, 0.8); rows <- samples(docsGen, 5)) {
+      val expected = (for {
+        (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+        sa = ta.split(" ").filter(_.nonEmpty).toSet
+        sb = tb.split(" ").filter(_.nonEmpty).toSet
+        union = (sa ++ sb).size if union > 0
+        j = (sa & sb).size.toDouble / union if j >= threshold
+      } yield (ia, ib) -> j).toMap
+      val got = graft.ops.Dedup.jaccardPairs(rows.toDF("doc_id", "text"),
+          "doc_id", "text", threshold)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+          r.getAs[Double]("jaccard")).toMap
+      assert(got.keySet == expected.keySet,
+        s"t=$threshold missing=${expected.keySet -- got.keySet} " +
+          s"extra=${got.keySet -- expected.keySet}")
+      got.foreach { case (k, j) => assert(math.abs(j - expected(k)) < 1e-12) }
+    }
+  }
+
   test("cleanup keeps exactly min(keepN, versions)") {
     for (keepN <- 0 to 3; nVersions <- 1 to 3) {
       val dir = java.nio.file.Files.createTempDirectory("graft-prop").toString
