@@ -86,6 +86,51 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("simhashPairs equals brute-force hamming filter (block trick is lossless)") {
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")
+    val docsGen: Gen[List[(Long, String)]] =
+      Gen.listOfN(30, Gen.choose(1, 10).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf(vocab)))).map(_.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) })
+    samples(docsGen, 4).foreach { rows =>
+      val df = rows.toDF("doc_id", "text")
+      val hashes = graft.ops.Dedup.simhash(df, "doc_id", "text")
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash"))
+      val expected = (for {
+        (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+      } yield (ia, ib) -> d.toLong).toMap
+      val got = graft.ops.Dedup.simhashPairs(df, "doc_id", "text", 3)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+          r.getAs[Long]("hamming")).toMap
+      assert(got == expected,
+        s"missing=${expected.keySet -- got.keySet} extra=${got.keySet -- expected.keySet}")
+    }
+  }
+
+  test("as-of join equals a plain Scala reference on random data") {
+    val rowsGen = Gen.zip(
+      Gen.listOfN(60, Gen.zip(Gen.choose(1L, 6L), Gen.choose(0L, 50L))),
+      Gen.listOfN(40, Gen.zip(Gen.choose(1L, 8L), Gen.choose(0L, 50L))))
+    samples(rowsGen, 4).foreach { case (lRaw, rRaw) =>
+      val l = lRaw.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      // right unique per (k, t): keep max tag
+      val r = rRaw.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .groupBy(x => (x._1, x._2)).values.map(_.maxBy(_._3)).toList
+      val expected = l.map { case (k, t, tag) =>
+        val m = r.filter(x => x._1 == k && x._2 <= t)
+        (k, t, tag) -> (if (m.isEmpty) null
+          else Long.box(m.maxBy(x => (x._2, x._3))._3))
+      }.toMap
+      val got = graft.ops.AsofJoin.asofBackward(
+          l.toDF("k", "t", "tag"), r.toDF("k", "rt", "rtag"),
+          Seq("k"), "t", "rt", Seq("rtag"))
+        .collect().map(row => (row.getAs[Long]("k"), row.getAs[Long]("t"),
+          row.getAs[Long]("tag")) -> row.getAs[Any]("rtag")).toMap
+      assert(got == expected)
+    }
+  }
+
   test("cleanup keeps exactly min(keepN, versions)") {
     for (keepN <- 0 to 3; nVersions <- 1 to 3) {
       val dir = java.nio.file.Files.createTempDirectory("graft-prop").toString
