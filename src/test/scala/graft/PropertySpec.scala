@@ -86,6 +86,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("verified LSH pairs are a subset of exact Jaccard pairs with equal values") {
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docsGen: Gen[List[(Long, String)]] =
+      Gen.listOfN(25, Gen.choose(1, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf(vocab)))).map(_.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) })
+    samples(docsGen, 4).foreach { rows =>
+      val df = rows.toDF("doc_id", "text")
+      val exact = graft.ops.Dedup.jaccardPairs(df, "doc_id", "text", 0.8)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+          r.getAs[Double]("jaccard")).toMap
+      val lsh = graft.ops.Dedup.minhashLshPairs(df, "doc_id", "text", 0.8)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+          r.getAs[Double]("jaccard")).toMap
+      assert(lsh.keySet.subsetOf(exact.keySet),
+        s"false positives: ${lsh.keySet -- exact.keySet}")
+      lsh.foreach { case (k, j) => assert(j == exact(k)) }
+      // J = 1.0 pairs collide on every band — never missed
+      val ones = exact.filter(_._2 == 1.0).keySet
+      assert(ones.subsetOf(lsh.keySet), s"missed exact dups: ${ones -- lsh.keySet}")
+    }
+  }
+
   test("simhashPairs equals brute-force hamming filter (block trick is lossless)") {
     val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")
     val docsGen: Gen[List[(Long, String)]] =
