@@ -128,25 +128,28 @@ object Dedup {
     * (`graft_sorted_intersect`, codegen'd — no per-row hash set), threshold
     * on the true Jaccard.
     *
-    * The sets relation is broadcast: verification then needs NO shuffle of
-    * the (much larger) candidate-pair relation — both lookups are broadcast
-    * hash joins inside one codegen stage. At corpus sizes where the token
-    * sets outgrow the broadcast budget, candidates are partition-local by
-    * construction anyway (bucketed corpora) — drop the hint, the same plan
-    * runs as two shuffled joins.
+    * With `broadcastSets = true` (default) the sets relation is broadcast:
+    * verification then needs NO shuffle of the (much larger) candidate-pair
+    * relation — both lookups are broadcast hash joins inside one codegen
+    * stage. At corpus sizes where the token sets outgrow the broadcast
+    * budget, pass `broadcastSets = false` (threaded through every public
+    * caller) and the same plan runs as two shuffled joins.
     */
   private def verifyPairs(cand: DataFrame, sets: DataFrame,
-      threshold: Double): DataFrame =
+      threshold: Double, broadcastSets: Boolean = true): DataFrame = {
+    val hint: DataFrame => DataFrame =
+      if (broadcastSets) broadcast(_) else identity
     cand
-      .join(broadcast(sets.select(col("id").as("id_a"), col("toks_v").as("toks_a"),
+      .join(hint(sets.select(col("id").as("id_a"), col("toks_v").as("toks_a"),
         col("n_tokens").as("n_a"))), Seq("id_a"))
-      .join(broadcast(sets.select(col("id").as("id_b"), col("toks_v").as("toks_b"),
+      .join(hint(sets.select(col("id").as("id_b"), col("toks_v").as("toks_b"),
         col("n_tokens").as("n_b"))), Seq("id_b"))
       .withColumn("n_common",
         call_function("graft_sorted_intersect", col("toks_a"), col("toks_b")))
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
+  }
 
   /** Near-duplicate pairs by exact token-set Jaccard ≥ threshold, via a
     * prefix-filtered inverted-index self-join (lossless — identical output
@@ -161,13 +164,14 @@ object Dedup {
       textCol: String,
       threshold: Double,
       n: Int = 1,
-      maxDf: Long = 0L): DataFrame = {
+      maxDf: Long = 0L,
+      broadcastSets: Boolean = true): DataFrame = {
     // sets feeds FOUR subtrees (prefix self-join ×2, verify lookups ×2) and
     // Catalyst does not reuse the exchanges (measured: 8 scans, 0 reuse);
     // a lazy localCheckpoint computes it once and serves all consumers
     val sets = tokenSets(df, idCol, textCol, n).localCheckpoint(false)
     verifyPairs(jaccardCandidatesFrom(sets, df, idCol, textCol, threshold, n,
-        maxDf), sets, threshold)
+        maxDf), sets, threshold, broadcastSets)
       .select("id_a", "id_b", "n_common", "jaccard")
   }
 
@@ -278,9 +282,11 @@ object Dedup {
       textCol: String,
       threshold: Double,
       numHashes: Int = 12,
-      bands: Int = 3): DataFrame =
+      bands: Int = 3,
+      broadcastSets: Boolean = true): DataFrame =
     verifyPairs(minhashCandidates(df, idCol, textCol, numHashes, bands),
-        tokenSets(df, idCol, textCol).localCheckpoint(false), threshold)
+        tokenSets(df, idCol, textCol).localCheckpoint(false), threshold,
+        broadcastSets)
       .select("id_a", "id_b", "jaccard")
 
   /** Candidate (id_a, id_b) pairs from LSH band collisions, before exact
@@ -350,6 +356,11 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents exhausted maxIter=$maxIter without the " +
+          "sum-convergence witness — labels may be partial (graph diameter " +
+          "> maxIter); survivors computed from them will over-count")
     labels
   }
 
@@ -365,7 +376,8 @@ object Dedup {
       textCol: String,
       threshold: Double,
       numHashes: Int = 12,
-      bands: Int = 3): DataFrame = {
+      bands: Int = 3,
+      broadcastSets: Boolean = true): DataFrame = {
     // Collapse set-identical docs first: within a group J = 1.0, so every
     // member joins its representative's cluster by construction, and only
     // the min-id representative can ever be the cluster survivor. On
@@ -379,7 +391,7 @@ object Dedup {
     val repDocs = df.join(reps.select(col("rep_id").as(idCol)),
       Seq(idCol), "left_semi")
     val repPairs = minhashLshPairs(repDocs, idCol, textCol, threshold,
-      numHashes, bands).select("id_a", "id_b")
+      numHashes, bands, broadcastSets).select("id_a", "id_b")
     // members attach to their representative with an explicit J=1 edge
     val memberEdges = setHash.join(reps, Seq("set_hash"))
       .filter(col("id") =!= col("rep_id"))
@@ -411,7 +423,8 @@ object Dedup {
       textCol: String,
       numHashes: Int = 12,
       bands: Int = 3,
-      threshold: Double = 0.0): DataFrame = {
+      threshold: Double = 0.0,
+      broadcastSets: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val band = lshBands(df, idCol, textCol, numHashes, bands)
     val starEdges = band
@@ -423,7 +436,8 @@ object Dedup {
     val edges =
       if (threshold <= 0.0) starEdges
       else verifyPairs(starEdges,
-        tokenSets(df, idCol, textCol).localCheckpoint(false), threshold)
+        tokenSets(df, idCol, textCol).localCheckpoint(false), threshold,
+        broadcastSets)
         .select("id_a", "id_b")
     val comps = connectedComponents(df.select(col(idCol).as("id")), edges)
     val keep = comps.groupBy("component").agg(min(col("id")).as(idCol))

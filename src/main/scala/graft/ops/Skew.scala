@@ -42,7 +42,11 @@ object Skew {
     * probe side gets a random salt in [0, saltBuckets); the build side is
     * replicated `saltBuckets` times (explode) so every (key, salt) pair
     * finds its match. Build-side blowup is saltBuckets× — keep it
-    * broadcast-small. Result equals the plain equi-join.
+    * broadcast-small.
+    *
+    * Result equals the plain equi-join ONLY for probe-preserving join
+    * types: with `right`/`full` outer each unmatched build row would be
+    * emitted once per salt replica, so those types are rejected.
     */
   def saltedJoin(
       probe: DataFrame,
@@ -50,6 +54,11 @@ object Skew {
       keyCols: Seq[String],
       saltBuckets: Int,
       joinType: String = "inner"): DataFrame = {
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports probe-preserving join types only (got '$joinType'): " +
+        "right/full outer would duplicate unmatched build rows per salt replica")
     val salted = probe.withColumn("__salt",
       (pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets.toLong)))
         .cast("int"))

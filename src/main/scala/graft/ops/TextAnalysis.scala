@@ -161,9 +161,11 @@ object TextAnalysis {
   }
 
   /** Multi-profile heuristic language ID: score each candidate profile by
-    * distinct-stopword hit ratio, pick the argmax (ties → lexicographically
-    * first language code, deterministic). Per-row array expressions only —
-    * no shuffle, codegen'd; swap in real char-n-gram profiles at will.
+    * distinct-stopword hit ratio, pick the argmax. Ties resolve to the
+    * lexicographically LAST language code (`array_max` over (score, lang)
+    * structs compares score first, then lang — deterministic, and what the
+    * TextQueries oracle mirrors). Per-row array expressions only — no
+    * shuffle, codegen'd; swap in real char-n-gram profiles at will.
     */
   def langId(df: DataFrame, idCol: String, textCol: String,
       profiles: Seq[(String, Seq[String])]): DataFrame = {
@@ -175,14 +177,8 @@ object TextAnalysis {
           greatest(size(distinctToks), lit(1))).as("score"),
         lit(langCode).as("lang"))
     }
-    // array_max on (score, lang) structs orders by score then lang — the
-    // lexicographically LAST lang wins ties, so negate: sort ascending and
-    // take max of (score, reversed-rank) … simplest deterministic pick:
-    // max of (score, lang) with lang descending encoded via monotone key.
     df.select(col(idCol),
-      array_max(array(scored.map(s =>
-        struct(s.getField("score").as("score"), s.getField("lang").as("lang"))): _*))
-        .getField("lang").as("predicted_lang"),
+      array_max(array(scored: _*)).getField("lang").as("predicted_lang"),
       round(greatest(scored.map(_.getField("score")): _*), 6).as("lang_score"))
   }
 }

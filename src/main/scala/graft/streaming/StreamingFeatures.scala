@@ -84,15 +84,21 @@ object StreamingFeatures {
       .drop("c_user_id")
   }
 
-  /** Streaming exact dedup on an id/content key: `dropDuplicates` with a
-    * watermark bounds the seen-keys state to the watermark horizon (the
-    * streaming twin of [[graft.ops.Dedup.exactDedup]]).
+  /** Streaming exact dedup on an id/content key — the streaming twin of
+    * [[graft.ops.Dedup.exactDedup]]: duplicates of the same KEY (any event
+    * time) are dropped as long as they arrive within the watermark delay of
+    * the first occurrence; `dropDuplicatesWithinWatermark` evicts seen-key
+    * state past that horizon, so state stays bounded on an unbounded
+    * stream. `dropDuplicatesWithinWatermark` rejects batch plans, so a
+    * static relation degenerates to plain key dedup (same key semantics,
+    * no state horizon needed).
     */
   def dedupStream(
       events: DataFrame,
       keyCols: Seq[String],
       watermark: String = "10 minutes"): DataFrame =
-    events
-      .withWatermark("ts", watermark)
-      .dropDuplicates(keyCols :+ "ts")
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
 }

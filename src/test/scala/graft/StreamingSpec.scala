@@ -74,9 +74,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("dedup stream drops the duplicate row on static input too") {
+  test("dedup stream dedups per KEY on static input (not per key+ts)") {
     val out = StreamingFeatures.dedupStream(batchDf,
       Seq("user_id", "event_type", "value"))
-    assert(out.count() == 4)
+    // user 1's two clicks share the key (different ts) → one survives;
+    // user 2's exact duplicate collapses
+    assert(out.count() == 3)
+  }
+
+  test("dedup stream drops same-key duplicates arriving within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val sdf = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+    val q = StreamingFeatures.dedupStream(sdf, Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(1), "click", 0.0), (1L, ts(3), "click", 0.0),
+        (2L, ts(2), "purchase", 5.0))
+      q.processAllAvailable()
+      val keys = spark.table("dedup").select("user_id", "event_type")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(keys == Set((1L, "click"), (2L, "purchase")))
+    } finally q.stop()
   }
 }
