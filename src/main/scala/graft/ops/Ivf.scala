@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+/** IVF (inverted-file) ANN index with the fit / probe split that survives
+  * scale — the serving-path design the reference's feature-serving API
+  * implies (`ML Feature Store Pipeline.py:171-200` serves features from a
+  * precomputed store; it never recomputes them per request):
+  *
+  *  - '''fit once''': the KMeans coarse quantizer trains on a BOUNDED
+  *    sample (`sampleCap` rows, default 4096) — a coarse quantizer only
+  *    partitions space, so sample fit ≈ full fit for recall, and fit cost
+  *    stops scaling with the corpus entirely.
+  *  - '''assign once''': one projection pass labels every corpus row with
+  *    its nearest-centroid cell; the result is written as parquet
+  *    partitioned by `cluster`, so a probe is PARTITION PRUNING (reads
+  *    nProbe/nClusters of the files), not a filter over a full scan.
+  *  - '''probe many''': centroids are driver-side (nClusters × dim doubles
+  *    — tiny, the only driver state). A query ranks cells on the driver,
+  *    reads only the nProbe nearest partitions, and brute-forces inside
+  *    them ([[Similarity.bruteTopK]]: broadcast query + per-partition
+  *    top-k heap, no corpus shuffle).
+  *
+  * At 100 TB the assignment pass is the only corpus-sized job and it runs
+  * once per index build; every query after that touches nProbe cells.
+  *
+  * Indexes are cached per key in-JVM AND reused from disk across JVMs
+  * (centroids persist beside the assignment), so repeated queries — the
+  * bench, a serving loop — never refit. [[fits]] counts actual KMeans fits
+  * as the test witness for the fit-once discipline.
+  */
+object Ivf {
+
+  /** Number of KMeans fits this JVM has run — IvfSpec pins that repeated
+    * probes through [[buildCached]] leave this unchanged.
+    */
+  val fits = new AtomicInteger(0)
+
+  private val cache = new ConcurrentHashMap[String, IvfIndex]()
+
+  /** Clear the in-JVM index cache (tests only — disk artifacts remain). */
+  def invalidateCache(): Unit = cache.clear()
+
+  /** Fit the coarse quantizer on a bounded sample of the corpus. */
+  def fitModel(
+      emb: DataFrame,
+      vecCol: String,
+      nClusters: Int,
+      sampleCap: Int = 4096,
+      seed: Long = 42L,
+      maxIter: Int = 5): org.apache.spark.ml.clustering.KMeansModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    fits.incrementAndGet()
+    val sample = emb
+      .select(array_to_vector(col(vecCol).cast("array<double>")).as("__vec"))
+      .limit(sampleCap)
+      .localCheckpoint(true) // Lloyd iterates; compute the sample once
+    // a coarse quantizer only partitions space — it does not need Lloyd
+    // convergence; 5 iterations is the recall/fit-cost sweet spot
+    new KMeans().setK(nClusters).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("__vec").fit(sample)
+  }
+
+  /** Build (or rebuild) the index at `path`: sampled fit + one full
+    * assignment projection, written partitioned by `cluster`.
+    */
+  def build(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nClusters: Int,
+      path: String,
+      sampleCap: Int = 4096,
+      seed: Long = 42L,
+      maxIter: Int = 5): IvfIndex = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val model = fitModel(emb, vecCol, nClusters, sampleCap, seed, maxIter)
+    val assigned = model
+      .setPredictionCol("cluster")
+      .transform(emb.withColumn("__vec",
+        array_to_vector(col(vecCol).cast("array<double>"))))
+      .drop("__vec")
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    val centroids = model.clusterCenters.map(_.toArray)
+    writeCentroids(emb.sparkSession, path, centroids)
+    IvfIndex(centroids, path, idCol, vecCol)
+  }
+
+  /** Index for `key`, fitting at most once: in-JVM cache first, then disk
+    * (a prior JVM's build — no fit, no assignment pass), then [[build]].
+    */
+  def buildCached(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nClusters: Int,
+      path: String,
+      sampleCap: Int = 4096,
+      seed: Long = 42L): IvfIndex =
+    cache.computeIfAbsent(path, _ =>
+      readCentroids(emb.sparkSession, path, idCol, vecCol)
+        .getOrElse(build(emb, idCol, vecCol, nClusters, path, sampleCap, seed)))
+
+  /** ANN top-k against a built index: rank cells driver-side, read only
+    * the `nProbe` nearest partitions (partition pruning on `cluster`),
+    * brute-force within them. No fit, no corpus-wide job.
+    */
+  def probe(
+      index: IvfIndex,
+      query: DataFrame,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    val spark = query.sparkSession
+    val qVec = query.select(col(index.vecCol).cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val cells = nearestCells(index.centroids, qVec, nProbe)
+    val assigned = spark.read.parquet(index.path)
+      .filter(col("cluster").isin(cells.map(Integer.valueOf).toIndexedSeq: _*))
+    Similarity.bruteTopK(assigned, query, index.idCol, index.vecCol, k)
+  }
+
+  /** Indexes of the `nProbe` centroids nearest to `q` (squared L2),
+    * computed on the driver — centroids are nClusters × dim doubles.
+    */
+  def nearestCells(centroids: Array[Array[Double]], q: Array[Double],
+      nProbe: Int): Array[Int] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      var d = 0.0
+      var j = 0
+      while (j < c.length) { val t = c(j) - q(j); d += t * t; j += 1 }
+      (i, d)
+    }.sortBy(_._2).take(nProbe).map(_._1)
+
+  // sibling dir, not nested: a nested dir would either be picked up by the
+  // assignment scan (schema clash) or, `_`-prefixed, ignored by the reader
+  private def centroidsPath(path: String) = s"$path.centroids"
+
+  private def writeCentroids(spark: SparkSession, path: String,
+      centroids: Array[Array[Double]]): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(centroidsPath(path))
+  }
+
+  /** Load a prior build's centroids from disk, if present and readable. */
+  private def readCentroids(spark: SparkSession, path: String,
+      idCol: String, vecCol: String): Option[IvfIndex] =
+    try {
+      val rows = spark.read.parquet(centroidsPath(path))
+        .orderBy("cluster")
+        .collect()
+        .map(_.getSeq[Double](1).toArray)
+      if (rows.nonEmpty) Some(IvfIndex(rows, path, idCol, vecCol)) else None
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+}
+
+/** A built IVF index: driver-side centroids + the path of the
+  * cluster-partitioned assignment parquet.
+  */
+final case class IvfIndex(
+    centroids: Array[Array[Double]],
+    path: String,
+    idCol: String,
+    vecCol: String)

@@ -122,11 +122,11 @@ object Similarity {
     * centroids are nearest. `nProbe = nClusters` degenerates to exact
     * brute force (the property IvfSpec pins).
     *
-    * Scale notes: the quantizer fits on a sample (one MLlib job), the
-    * assignment pass is a single projection, and the assigned relation
-    * would be written partitioned by `cluster` so a probe is partition
-    * pruning, not a filter scan. Centroids live on the driver (tiny:
-    * nClusters × dim doubles) — the only driver-side state.
+    * The quantizer fits on a BOUNDED sample ([[Ivf.fitModel]], `sampleCap`
+    * rows) and the assignment is a single projection. This in-memory pair
+    * is the calibration path; the serving path — assignment persisted
+    * partitioned by `cluster` so probes are partition pruning, fit-once
+    * across queries — is [[Ivf.build]] / [[Ivf.probe]].
     */
   def ivfAssign(
       emb: DataFrame,
@@ -134,21 +134,20 @@ object Similarity {
       vecCol: String,
       nClusters: Int,
       seed: Long = 42L,
-      maxIter: Int = 5): (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
-    import org.apache.spark.ml.clustering.KMeans
+      maxIter: Int = 5,
+      sampleCap: Int = 4096): (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
     import org.apache.spark.ml.functions.array_to_vector
-    val withVec = emb.withColumn("__vec",
-      array_to_vector(col(vecCol).cast("array<double>")))
-    // a coarse quantizer only partitions space — it does not need Lloyd
-    // convergence; 5 iterations is the recall/fit-cost sweet spot
-    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("__vec").fit(withVec)
-    val assigned = model.transform(withVec)
-      .withColumnRenamed("prediction", "cluster").drop("__vec")
+    val model = Ivf.fitModel(emb, vecCol, nClusters, sampleCap, seed, maxIter)
+    val assigned = model.setPredictionCol("cluster")
+      .transform(emb.withColumn("__vec",
+        array_to_vector(col(vecCol).cast("array<double>"))))
+      .drop("__vec")
     (model, assigned)
   }
 
-  /** ANN top-k probing the `nProbe` nearest centroid cells. */
+  /** ANN top-k probing the `nProbe` nearest centroid cells (in-memory
+    * fit+assign per call — see [[Ivf]] for the fit-once serving path).
+    */
   def ivfTopK(
       emb: DataFrame,
       query: DataFrame,
@@ -159,16 +158,9 @@ object Similarity {
       nProbe: Int,
       seed: Long = 42L): DataFrame = {
     val (model, assigned) = ivfAssign(emb, idCol, vecCol, nClusters, seed)
-    val qVec = query.select(col(vecCol)).head().getSeq[Float](0).map(_.toDouble)
-    val probed = model.clusterCenters.zipWithIndex
-      .map { case (c, i) =>
-        var d = 0.0
-        var j = 0
-        val arr = c.toArray
-        while (j < arr.length) { val t = arr(j) - qVec(j); d += t * t; j += 1 }
-        (i, d)
-      }
-      .sortBy(_._2).take(nProbe).map(_._1)
+    val qVec = query.select(col(vecCol).cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val probed = Ivf.nearestCells(model.clusterCenters.map(_.toArray), qVec, nProbe)
     bruteTopK(assigned.filter(col("cluster").isin(probed.toIndexedSeq: _*)),
       query, idCol, vecCol, k)
   }

