@@ -251,10 +251,12 @@ object Dedup {
   }
 
   /** LSH banding over MinHash signatures: (id, band, band_hash), one row
-    * per band. Docs equal on any full band become candidate pairs. Band
-    * hashes are 48-bit Longs (md5-derived, [[tokenHash48]]) — the candidate
-    * self-join and pair dedup then run on fixed-width integers instead of
-    * 32-char hex strings.
+    * per band. Docs equal on any full band become candidate pairs. The
+    * band hash is `xxhash64` straight over the band's Long signature slice
+    * — no md5, no string concat, one codegen'd hash per (id, band). The
+    * bucket equivalence classes are slice-equality classes (modulo 64-bit
+    * collisions), so the DuckDB oracle needs no hash twin: it joins on the
+    * slice values directly, which defines the identical candidate set.
     */
   def lshBands(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int): DataFrame = {
@@ -263,8 +265,7 @@ object Dedup {
     val sig = minhashSignatures(df, idCol, textCol, numHashes)
     val bandStructs = (0 until bands).map { bidx =>
       val slice = (0 until rows).map(r => col(s"s${bidx * rows + r}"))
-      struct(lit(bidx).as("band"),
-        tokenHash48(concat_ws("|", slice: _*)).as("band_hash"))
+      struct(lit(bidx).as("band"), xxhash64(lit(bidx) +: slice: _*).as("band_hash"))
     }
     sig.select(col("id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))

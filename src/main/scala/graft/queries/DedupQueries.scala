@@ -55,23 +55,29 @@ object DedupQueries {
     Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("id")
 
-  /** The 100 TB dedup outcome: minhash candidates → verified edges →
-    * connected components → keep-first survivors. The iterative component
-    * loop has no single-statement SQL twin → rows-only here; semantics
-    * pinned by DedupSpec (components + survivor sets on fixtures).
+  /** The 100 TB cluster-dedup outcome, on the strictly-linear path: LSH
+    * band buckets emit star edges (≤ bands·n, never m²/2 per bucket), each
+    * edge Jaccard-verified, then connected components → keep-first
+    * survivors. The exact all-candidate-pairs pipeline
+    * ([[graft.ops.Dedup.nearDupDedup]]) stays as the spec-only equivalence
+    * reference (DedupSpec) — its pair listing is quadratic in cluster size,
+    * which this adversarial corpus (31-word vocabulary) makes the bench
+    * bottleneck and a 100 TB corpus makes impossible. Oracle: the same
+    * star-edge construction + a recursive-CTE component walk in DuckDB.
     */
   def clusterSurvivors(spark: SparkSession, dir: String): DataFrame =
-    Dedup.nearDupDedup(Tables.documents(spark, dir), "doc_id", "text",
-        threshold = 0.9)
+    Dedup.nearDupDedupFast(Tables.documents(spark, dir), "doc_id", "text",
+        numHashes = NumHashes, bands = Bands, threshold = 0.9)
       .agg(count(lit(1)).as("n_survivors"),
         sum(col("doc_id")).as("id_checksum"))
 
-  /** Strictly-linear approximate cluster dedup (bucket-star edges with
-    * per-edge verification) — rows-only; semantics pinned by DedupSpec.
+  /** Unverified star chaining — the cheapest variant (no token-set
+    * verification at all): every band-bucket collision is an edge. Shows
+    * the precision floor; [[clusterSurvivors]] is the production setting.
     */
   def clusterSurvivorsFast(spark: SparkSession, dir: String): DataFrame =
     Dedup.nearDupDedupFast(Tables.documents(spark, dir), "doc_id", "text",
-        threshold = 0.9)
+        numHashes = NumHashes, bands = Bands, threshold = 0.0)
       .agg(count(lit(1)).as("n_survivors"),
         sum(col("doc_id")).as("id_checksum"))
 
@@ -122,11 +128,40 @@ object DedupQueries {
     .map(i => s"min((ha + $i * hb) % ${graft.ops.Dedup.MinhashMod}) AS s$i")
     .mkString(", ")
 
-  // 48-bit band hashes — mirrors Dedup.lshBands / tokenHash48
+  // band buckets carried as raw signature slices (r0..r{Rows-1}) — joining
+  // on slice equality defines the IDENTICAL candidate set as
+  // Dedup.lshBands' xxhash64 bucket key (modulo 64-bit hash collisions),
+  // so no band-hash twin is needed in SQL at all
   private val bandUnion = (0 until Bands).map { b =>
-    val parts = (0 until Rows).map(r => s"s${b * Rows + r}::VARCHAR").mkString(" || '|' || ")
-    s"SELECT id, $b AS band, ('0x' || substr(md5($parts), 1, 12))::BIGINT AS band_hash FROM sig"
+    val cols = (0 until Rows).map(r => s"s${b * Rows + r} AS r$r").mkString(", ")
+    s"SELECT id, $b AS band, $cols FROM sig"
   }.mkString(" UNION ALL ")
+  private val sliceEq = (0 until Rows).map(r => s"a.r$r = b.r$r").mkString(" AND ")
+  private val sliceCols = (0 until Rows).map(r => s"r$r").mkString(", ")
+
+  // star edges per band bucket (min id → member), mirroring
+  // Dedup.nearDupDedupFast's Window.partitionBy(band, band_hash) min
+  private val starEdgesCtes =
+    s"""band AS ($bandUnion),
+       |star AS (
+       |  SELECT min(id) OVER (PARTITION BY band, $sliceCols) AS id_a, id AS id_b
+       |  FROM band),
+       |edges0 AS (SELECT DISTINCT id_a, id_b FROM star WHERE id_a <> id_b)""".stripMargin
+
+  // min-label connected components over symmetric `edges`, then keep-first
+  // survivors — the recursive walk enumerates every (node, reachable comp
+  // seed); min per node = min reachable id = the component label
+  private val componentTail =
+    s"""sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+       |       UNION SELECT id_b, id_a FROM edges),
+       |walk AS (
+       |  SELECT doc_id AS id, doc_id AS comp FROM documents
+       |  UNION
+       |  SELECT e.dst, w.comp FROM walk w JOIN sym e ON e.src = w.id),
+       |comp AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
+       |keep AS (SELECT min(id) AS keep_id FROM comp GROUP BY component)
+       |SELECT count(*) AS n_survivors, CAST(sum(keep_id) AS BIGINT) AS id_checksum
+       |FROM keep""".stripMargin
 
   private val simhashVotes = (0 until 32)
     .map(i => s"sum(CASE WHEN ascii(substr(md5(token), ${i + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v$i")
@@ -177,7 +212,7 @@ object DedupQueries {
          |cand AS (
          |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
          |  FROM band a JOIN band b
-         |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id),
+         |    ON a.band = b.band AND $sliceEq AND a.id < b.id),
          |sz AS (SELECT id, count(*) AS n_tokens FROM th GROUP BY id),
          |inter AS (
          |  SELECT c.id_a, c.id_b, count(*) AS n_common
@@ -190,5 +225,32 @@ object DedupQueries {
       s"""WITH $tokCte,
          |votes AS (SELECT id, $simhashVotes FROM tok GROUP BY id)
          |SELECT id, CAST($simhashBits AS BIGINT) AS simhash
-         |FROM votes ORDER BY id""".stripMargin)
+         |FROM votes ORDER BY id""".stripMargin,
+    "dedup_cluster_survivors" ->
+      s"""WITH RECURSIVE $tokCte,
+         |$thCte,
+         |$hshCte,
+         |sig AS (SELECT id, $sigSelect FROM hsh GROUP BY id),
+         |$starEdgesCtes,
+         |sz AS (SELECT id, count(*) AS n_tokens FROM th GROUP BY id),
+         |inter AS (
+         |  SELECT e.id_a, e.id_b, count(*) AS n_common
+         |  FROM edges0 e
+         |  JOIN th a ON a.id = e.id_a
+         |  JOIN th b ON b.id = e.id_b AND b.th = a.th
+         |  GROUP BY 1, 2),
+         |edges AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sz sa ON id_a = sa.id
+         |  JOIN sz sb ON id_b = sb.id
+         |  WHERE n_common * 1.0 / (sa.n_tokens + sb.n_tokens - n_common) >= 0.9),
+         |$componentTail""".stripMargin,
+    "dedup_cluster_fast" ->
+      s"""WITH RECURSIVE $tokCte,
+         |$thCte,
+         |$hshCte,
+         |sig AS (SELECT id, $sigSelect FROM hsh GROUP BY id),
+         |$starEdgesCtes,
+         |edges AS (SELECT id_a, id_b FROM edges0),
+         |$componentTail""".stripMargin)
 }
