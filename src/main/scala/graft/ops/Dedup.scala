@@ -291,20 +291,42 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
 
   /** Candidate (id_a, id_b) pairs from LSH band collisions, before exact
-    * verification — exposed for probing/recall analysis. The band relation
-    * is checkpointed so the signature pipeline runs once, not twice, for
-    * the self-join.
+    * verification — exposed for probing/recall analysis.
+    *
+    * FIRST-COLLISION dedup instead of `distinct()`: one join per band on
+    * the band's signature-slice equality, with the residual predicate
+    * "some earlier band's slices differ" — a pair colliding in several
+    * bands is emitted only by its first, so the union is unique BY
+    * CONSTRUCTION and the multi-million-row candidate distinct shuffle
+    * disappears. The joins shuffle only the (tiny, one-row-per-doc)
+    * signature relation; the join OUTPUT flows straight into verification
+    * without ever being re-partitioned. Same candidate set as the
+    * banded-self-join-then-distinct formulation, at bands× fewer output
+    * rows materialized and zero wide shuffles.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 12, bands: Int = 3): DataFrame = {
-    val band = lshBands(df, idCol, textCol, numHashes, bands)
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val rows = numHashes / bands
+    val sig = minhashSignatures(df, idCol, textCol, numHashes)
       .localCheckpoint(false)
-    band.select(col("band"), col("band_hash"), col("id").as("id_a"))
-      .join(band.select(col("band"), col("band_hash"), col("id").as("id_b")),
-        Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    def side(p: String) = sig.select(
+      col("id").as(s"id_$p") +:
+        (0 until numHashes).map(i => col(s"s$i").as(s"${p}s$i")): _*)
+    val a = side("a")
+    val b = side("b")
+    (0 until bands).map { bidx =>
+      val bandEq = (0 until rows)
+        .map(r => col(s"as${bidx * rows + r}") === col(s"bs${bidx * rows + r}"))
+        .reduce(_ && _)
+      val earlierDiffer = (0 until bidx).map { bp =>
+        (0 until rows)
+          .map(r => col(s"as${bp * rows + r}") =!= col(s"bs${bp * rows + r}"))
+          .reduce(_ || _)
+      }.foldLeft(lit(true))(_ && _)
+      a.join(b, bandEq && col("id_a") < col("id_b") && earlierDiffer)
+        .select("id_a", "id_b")
+    }.reduce(_ unionByName _)
   }
 
   /** Connected components over an undirected pair graph by min-label
