@@ -50,6 +50,29 @@ final case class PipelineConfig(
 
 object PipelineConfig {
 
+  /** Environment-variable overrides layered over a loaded config, the
+    * reference's documented deployment knobs (`README.md:227-231`:
+    * `FEATURE_STORE_DB_PATH`, `CACHE_TTL`, `QUALITY_THRESHOLD`).
+    * Unparseable numeric values are ignored (the config keeps its
+    * file/default value) rather than failing startup.
+    */
+  def withEnvOverrides(base: PipelineConfig,
+      env: Map[String, String] = sys.env): PipelineConfig = {
+    def long(k: String) = env.get(k).flatMap(_.toLongOption)
+    def dbl(k: String) = env.get(k).flatMap(_.toDoubleOption)
+    base.copy(
+      featureStorePath = env.getOrElse("FEATURE_STORE_DB_PATH",
+        base.featureStorePath),
+      cacheTtl = long("CACHE_TTL").getOrElse(base.cacheTtl),
+      dataQualityThreshold = dbl("QUALITY_THRESHOLD")
+        .getOrElse(base.dataQualityThreshold))
+  }
+
+  /** [[load]] + [[withEnvOverrides]] — the production entry point. */
+  def loadWithEnv(path: String,
+      env: Map[String, String] = sys.env): PipelineConfig =
+    withEnvOverrides(load(path), env)
+
   /** Parse the two-level YAML subset emitted by [[PipelineConfig.toYaml]]
     * (and by the reference's `yaml.dump` of its flat config dict).
     */

@@ -33,13 +33,18 @@ final class FeatureStore(
     basePath: String,
     cacheTtlSeconds: Long = 3600,
     qualityThreshold: Double = 0.8,
-    clock: () => String = () => java.time.Instant.now().toString) {
+    clock: () => String = () => java.time.Instant.now().toString,
+    cacheBackend: Option[CacheBackend[String, (StructType, Array[Row])]] = None) {
 
   import FeatureStore.MetadataRow
 
   val validator = new DataQualityValidator
   val monitor = new FeatureMonitor(qualityThreshold)
-  private val cache = new TtlCache[String, (StructType, Array[Row])](cacheTtlSeconds)
+  // pluggable backend seam (reference CacheBackend ABC, `:70-84`); the
+  // bundled TTL cache is only the default
+  private val cache: CacheBackend[String, (StructType, Array[Row])] =
+    cacheBackend.getOrElse(
+      new TtlCache[String, (StructType, Array[Row])](cacheTtlSeconds))
 
   private val featuresPath = s"$basePath/features"
   private val metadataPath = s"$basePath/metadata"

@@ -9,7 +9,8 @@ import scala.collection.concurrent.TrieMap
   * per-version slices), never distributed data — the distributed analogue
   * is `DataFrame.persist`, used separately by callers that re-scan.
   */
-final class TtlCache[K, V](ttlSeconds: Long, clock: () => Long = () => System.currentTimeMillis()) {
+final class TtlCache[K, V](ttlSeconds: Long, clock: () => Long = () => System.currentTimeMillis())
+    extends CacheBackend[K, V] {
   private val entries = TrieMap[K, (Long, V)]()
   private var hitCount = 0L
   private var missCount = 0L

@@ -20,6 +20,23 @@ class ConfigAndSyntheticSpec extends AnyFunSuite {
     assert(PipelineConfig().toYaml.contains("cache_ttl: 3600"))
   }
 
+  test("env vars override YAML config (reference README.md:227-231)") {
+    val dir = Files.createTempDirectory("graft-cfg")
+    val cfg = PipelineConfig(cacheTtl = 60, featureStorePath = "from_yaml")
+    cfg.save(s"$dir/cfg.yml")
+    val env = Map("FEATURE_STORE_DB_PATH" -> "/env/store",
+      "CACHE_TTL" -> "120", "QUALITY_THRESHOLD" -> "0.95")
+    val loaded = PipelineConfig.loadWithEnv(s"$dir/cfg.yml", env)
+    assert(loaded.featureStorePath == "/env/store")
+    assert(loaded.cacheTtl == 120L)
+    assert(loaded.dataQualityThreshold == 0.95)
+    // absent/garbage env keeps file values
+    assert(PipelineConfig.loadWithEnv(s"$dir/cfg.yml", Map.empty) == cfg)
+    val bad = PipelineConfig.loadWithEnv(s"$dir/cfg.yml",
+      Map("CACHE_TTL" -> "not-a-number"))
+    assert(bad.cacheTtl == 60L)
+  }
+
   test("synthetic events: shape, determinism, gating, sortedness") {
     val df = SyntheticData.events(spark, nEvents = 2000, nUsers = 50).cache()
     assert(df.count() == 2000)

@@ -109,4 +109,35 @@ class StoreSpec extends AnyFunSuite {
     val hits = store.monitoringDashboard("cache_hits").asInstanceOf[Long]
     assert(hits >= 1L)
   }
+
+  test("store runs against a swapped-in CacheBackend (pluggable seam)") {
+    import graft.store.CacheBackend
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+    // plain-map backend: no TTL, counts traffic — stands in for an
+    // external cache adapter (the reference's "Redis, Memcached, etc.")
+    class MapBackend extends CacheBackend[String, (StructType, Array[Row])] {
+      val m = scala.collection.mutable.Map[String, (StructType, Array[Row])]()
+      var h = 0L; var ms = 0L; var cleared = 0
+      def get(key: String) = m.get(key) match {
+        case some @ Some(_) => h += 1; some
+        case None => ms += 1; None
+      }
+      def put(key: String, value: (StructType, Array[Row])): Unit = m(key) = value
+      def delete(key: String): Unit = m.remove(key)
+      def clear(): Unit = { cleared += 1; m.clear() }
+      def hits: Long = h
+      def misses: Long = ms
+    }
+    val backend = new MapBackend
+    val dir = Files.createTempDirectory("graft-store").toString
+    val store = new FeatureStore(spark, dir, cacheBackend = Some(backend))
+    val v = store.registerFeatures(feats(1L -> 1.0, 2L -> 2.0), meta)
+    assert(backend.m.nonEmpty) // register pre-fills through the trait
+    assert(store.getFeatures(Some(v)).count() == 2) // served via backend
+    assert(backend.hits >= 1L)
+    assert(store.monitoringDashboard("cache_hits") == backend.hits)
+    store.cleanupOldVersions(keepN = 0)
+    assert(backend.cleared == 1 && backend.m.isEmpty) // invalidation routed
+  }
 }
