@@ -234,8 +234,8 @@ object Similarity {
     emb.select(col(idCol), bucketExpr(col(vecCol), planes).as("bucket"))
 
   /** ANN top-k: score only vectors sharing the query's hyperplane bucket.
-    * Recall < 1 by construction (single-probe); raise `planes` count or add
-    * multiprobe for tighter recall at scale.
+    * Recall < 1 by construction (single-probe); raise `planes` count or use
+    * [[lshTopKMultiprobe]] for tighter recall at the same plane count.
     */
   def lshTopK(
       emb: DataFrame,
@@ -246,6 +246,35 @@ object Similarity {
       planes: Array[Array[Int]]): DataFrame = {
     val q = query.select(col(vecCol).as("__qvec"),
       bucketExpr(col(vecCol), planes).as("bucket"))
+    emb.withColumn("bucket", bucketExpr(col(vecCol), planes))
+      .join(broadcast(q), Seq("bucket"))
+      .withColumn("cos", round(cosine(col(vecCol), col("__qvec")), 6))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("bucket"), col("cos"))
+  }
+
+  /** Multiprobe ANN top-k: score the query's bucket PLUS its `planes.length`
+    * Hamming-1 neighbor buckets (one sign bit flipped). A true neighbor on
+    * the wrong side of exactly one hyperplane — the dominant single-probe
+    * miss mode, since near vectors rarely disagree on many planes — is
+    * recovered; candidate volume grows only (planes+1)×. The probe list is
+    * deterministic (query bucket XOR each bit), so the identical search is
+    * expressible in oracle SQL. The broadcast side stays tiny: one row per
+    * probed bucket.
+    */
+  def lshTopKMultiprobe(
+      emb: DataFrame,
+      query: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      planes: Array[Array[Int]]): DataFrame = {
+    val probeList = col("qb") +: planes.indices.map(p =>
+      col("qb").bitwiseXOR(lit(1L << p)))
+    val q = query.select(col(vecCol).as("__qvec"),
+        bucketExpr(col(vecCol), planes).as("qb"))
+      .select(col("__qvec"), explode(array(probeList: _*)).as("bucket"))
     emb.withColumn("bucket", bucketExpr(col(vecCol), planes))
       .join(broadcast(q), Seq("bucket"))
       .withColumn("cos", round(cosine(col(vecCol), col("__qvec")), 6))

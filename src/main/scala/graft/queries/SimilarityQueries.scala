@@ -46,6 +46,12 @@ object SimilarityQueries {
       "vec_id", "embedding", K, planes)
   }
 
+  def lshTopKMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.lshTopKMultiprobe(emb, emb.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", K, planes)
+  }
+
   def knnJoin(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.knnJoin(emb, emb.filter(col("vec_id") < KnnQueries),
@@ -81,6 +87,7 @@ object SimilarityQueries {
     "sim_brute_topk" -> bruteTopK,
     "sim_neardup_pairs" -> nearDupPairs,
     "sim_lsh_topk" -> lshTopK,
+    "sim_lsh_multiprobe" -> lshTopKMultiprobe,
     "sim_knn_join" -> knnJoin,
     "sim_centroids" -> centroids,
     "sim_ivf_topk" -> ivfTopK)
@@ -124,6 +131,18 @@ object SimilarityQueries {
          |  ${cosineSql("b.embedding", "qv")} AS cos
          |FROM b, q WHERE b.bucket = q.qb
          |ORDER BY cos DESC, vec_id LIMIT $K""".stripMargin,
+    "sim_lsh_multiprobe" -> {
+      val probes = ("qb" +: planes.indices.map(p => s"xor(qb, ${1L << p})"))
+        .mkString("[", ", ", "]")
+      s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+         |           FROM embeddings),
+         |q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+         |p AS (SELECT qv, unnest($probes) AS pb FROM q)
+         |SELECT b.vec_id, CAST(b.bucket AS BIGINT) AS bucket,
+         |  ${cosineSql("b.embedding", "qv")} AS cos
+         |FROM b JOIN p ON b.bucket = p.pb
+         |ORDER BY cos DESC, vec_id LIMIT $K""".stripMargin
+    },
     "sim_centroids" ->
       s"""WITH pe AS (
          |  SELECT label, i AS pos,

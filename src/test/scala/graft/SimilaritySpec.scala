@@ -78,6 +78,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(out(1)._3 - 1.0 / math.sqrt(2)) < 1e-6)
   }
 
+  test("multiprobe recall@k ≥ single-probe recall@k, both vs brute force") {
+    val dir = "/root/testdata/sf0.001"
+    val corpus = graft.sources.Tables.embeddings(spark, dir)
+    val planes = Similarity.hyperplanes(4, 64)
+    val k = 10
+    def recallFor(qid: Long): (Double, Double) = {
+      val q = corpus.filter($"vec_id" === qid)
+      val truth = Similarity.bruteTopK(corpus, q, "vec_id", "embedding", k)
+        .select("vec_id").as[Long].collect().toSet
+      val single = Similarity.lshTopK(corpus, q, "vec_id", "embedding", k, planes)
+        .select("vec_id").as[Long].collect().toSet
+      val multi = Similarity.lshTopKMultiprobe(corpus, q, "vec_id", "embedding", k, planes)
+        .select("vec_id").as[Long].collect().toSet
+      // multiprobe candidates are a superset of single-probe candidates, so
+      // per-query recall can only go up
+      ((truth & single).size.toDouble / k, (truth & multi).size.toDouble / k)
+    }
+    val (singles, multis) = (0L until 8L).map(recallFor).unzip
+    val (rs, rm) = (singles.sum / singles.size, multis.sum / multis.size)
+    info(f"recall@$k single-probe=$rs%.3f multiprobe=$rm%.3f")
+    assert(rm >= rs)
+    assert(rm > 0.5, "multiprobe should recover most true neighbors here")
+  }
+
   test("hyperplanes are seed-deterministic") {
     assert(Similarity.hyperplanes(4, 8).map(_.toSeq).toSeq ==
       Similarity.hyperplanes(4, 8).map(_.toSeq).toSeq)
