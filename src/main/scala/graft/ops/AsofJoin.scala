@@ -122,4 +122,24 @@ object AsofJoin {
       keyCols, s"__neg_$leftTime", s"__neg_$rightTime", rightVals)
     out.drop(s"__neg_$leftTime")
   }
+
+  /** Forward as-of through the native operator — the same time-negation
+    * trick over [[asofBackwardNative]]: ascending order on the negated
+    * time is descending on the original, so "latest right ≤ t" becomes
+    * "earliest right ≥ t". Inclusive at equal time, like backward.
+    */
+  def asofForwardNative(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[String]): DataFrame = {
+    def negate(df: DataFrame, t: String): DataFrame =
+      df.withColumn(s"__neg_$t", -col(t))
+    asofBackwardNative(
+      negate(left, leftTime), negate(right, rightTime),
+      keyCols, s"__neg_$leftTime", s"__neg_$rightTime", rightVals)
+      .drop(s"__neg_$leftTime", s"__neg_$rightTime")
+  }
 }

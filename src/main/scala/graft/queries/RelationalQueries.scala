@@ -134,6 +134,23 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** Forward as-of through the native operator (time-negation over the
+    * sorted-merge exec): for each purchase, the user's EARLIEST click at or
+    * after it. DuckDB mirrors with `ASOF LEFT JOIN ... ON l.t <= r.t`.
+    */
+  def asofForwardNextClick(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts_us").as("click_ts_us"))
+      .agg(max(col("event_id")).as("click_event_id"))
+    AsofJoin.asofForwardNative(purchases, clicks, Seq("user_id"),
+        "ts_us", "click_ts_us",
+        Seq("click_ts_us", "click_event_id"))
+      .orderBy("event_id")
+  }
+
   // ---- windows ----------------------------------------------------------------
 
   private def latestFirstWindow =
@@ -340,6 +357,7 @@ object RelationalQueries {
     "anti_join_inactive" -> antiJoinInactive,
     "asof_latest_click" -> asofLatestClick,
     "asof_native_latest_click" -> asofNativeLatestClick,
+    "asof_forward_next_click" -> asofForwardNextClick,
     "join_nation_revenue" -> joinNationRevenue,
     "window_latest_event" -> windowLatestEvent,
     "window_topn_per_user" -> windowTopNPerUser,
@@ -405,6 +423,18 @@ object RelationalQueries {
         |       c.click_ts_us, c.click_event_id, c.click_value
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts_us >= c.click_ts_us
+        |ORDER BY p.event_id""".stripMargin,
+    "asof_forward_next_click" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS click_ts_us,
+        |             max(event_id) AS click_event_id
+        |      FROM events WHERE event_type = 'click'
+        |      GROUP BY user_id, epoch_us(ts))
+        |SELECT p.event_id, p.user_id, p.ts_us, p.value,
+        |       c.click_ts_us, c.click_event_id
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_us <= c.click_ts_us
         |ORDER BY p.event_id""".stripMargin,
     "join_nation_revenue" ->
       s"""SELECT n_name, count(*) AS n_orders,

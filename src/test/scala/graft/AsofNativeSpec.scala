@@ -36,6 +36,36 @@ class AsofNativeSpec extends AnyFunSuite {
     assert(!plan.contains("Window") && !plan.contains("NestedLoop"), plan)
   }
 
+  test("forward native: fixtures + plan shape") {
+    val out = AsofJoin.asofForwardNative(left, right, Seq("k"), "t", "rt",
+        Seq("v"))
+      .collect().map(r => r.getAs[String]("tag") -> r.getAs[String]("v")).toMap
+    assert(out("l0") == "v@10")   // earliest right at/after t=5
+    assert(out("l1") == "v@10")   // inclusive at equal time
+    assert(out("l2") == null)     // nothing after t=25
+    assert(out("l3") == null)     // no key-2 right rows
+  }
+
+  test("forward native ≡ forward window formulation on random data") {
+    val rnd = new Random(7)
+    val l = Seq.fill(400)((rnd.nextInt(20).toLong,
+        rnd.nextInt(1000).toLong, rnd.nextInt(100000)))
+      .toDF("k", "t", "payload")
+    val r = Seq.fill(300)((rnd.nextInt(25).toLong,
+        rnd.nextInt(1000).toLong, rnd.nextDouble()))
+      .toDF("k", "rt", "v0")
+      .groupBy("k", "rt").agg(max(col("v0")).as("v"))
+    val native = AsofJoin.asofForwardNative(l, r, Seq("k"), "t", "rt",
+        Seq("v"))
+      .select("k", "t", "payload", "v")
+      .collect().map(_.toSeq).toSet
+    val window = AsofJoin.asofForward(l, r, Seq("k"), "t", "rt",
+        Seq("v"))
+      .select("k", "t", "payload", "v")
+      .collect().map(_.toSeq).toSet
+    assert(native == window)
+  }
+
   test("native ≡ window formulation on random data") {
     val rnd = new Random(3)
     val l = Seq.fill(400)((rnd.nextInt(20).toLong,
