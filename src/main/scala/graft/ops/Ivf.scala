@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import java.util.concurrent.ConcurrentHashMap
@@ -45,25 +45,68 @@ object Ivf {
   /** Clear the in-JVM index cache (tests only — disk artifacts remain). */
   def invalidateCache(): Unit = cache.clear()
 
-  /** Fit the coarse quantizer on a bounded sample of the corpus. */
-  def fitModel(
+  /** Fit the coarse quantizer: seeded Lloyd iterations on a BOUNDED sample,
+    * run on the driver. The sample is ≤ `sampleCap` rows by construction
+    * (collect is bounded — a few MB — regardless of corpus size), and local
+    * Lloyd on ≤4096×dim doubles is sub-millisecond work per iteration, so
+    * the fit costs one small Spark job (the sample scan) instead of an
+    * MLlib pipeline's many. Empty clusters keep their previous centroid.
+    */
+  def fitCentroids(
       emb: DataFrame,
       vecCol: String,
       nClusters: Int,
       sampleCap: Int = 4096,
       seed: Long = 42L,
-      maxIter: Int = 5): org.apache.spark.ml.clustering.KMeansModel = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      maxIter: Int = 5): Array[Array[Double]] = {
     fits.incrementAndGet()
-    val sample = emb
-      .select(array_to_vector(col(vecCol).cast("array<double>")).as("__vec"))
+    val sample = emb.select(col(vecCol).cast("array<double>"))
       .limit(sampleCap)
-      .localCheckpoint(true) // Lloyd iterates; compute the sample once
-    // a coarse quantizer only partitions space — it does not need Lloyd
-    // convergence; 5 iterations is the recall/fit-cost sweet spot
-    new KMeans().setK(nClusters).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("__vec").fit(sample)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "cannot fit an IVF quantizer on an empty corpus")
+    val k = math.min(nClusters, sample.length)
+    val dim = sample(0).length
+    val rnd = new scala.util.Random(seed)
+    val centroids = rnd.shuffle(sample.indices.toVector).take(k)
+      .map(i => sample(i).clone()).toArray
+    var it = 0
+    while (it < maxIter) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        val c = nearestIdx(centroids, v)
+        counts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += v(j); j += 1 }
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { centroids(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** Nearest-cell id as a codegen'd COLUMN: per-cell squared L2 via the
+    * native dot kernel (the |v|² term is cell-independent and dropped),
+    * argmin by `array_position(dists, array_min(dists))`. Centroid
+    * literals are inlined into the plan — no model object, no UDF, stays
+    * inside whole-stage codegen.
+    */
+  def nearestCellExpr(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val v = vec.cast("array<double>")
+    val dists = centroids.map { c =>
+      val cLit = array(c.map(lit).toIndexedSeq: _*)
+      lit(c.map(x => x * x).sum) -
+        lit(2.0) * call_function("graft_dot", v, cLit)
+    }
+    val arr = array(dists.toIndexedSeq: _*)
+    (array_position(arr, array_min(arr)) - 1).cast("int")
   }
 
   /** Build (or rebuild) the index at `path`: sampled fit + one full
@@ -78,15 +121,10 @@ object Ivf {
       sampleCap: Int = 4096,
       seed: Long = 42L,
       maxIter: Int = 5): IvfIndex = {
-    import org.apache.spark.ml.functions.array_to_vector
-    val model = fitModel(emb, vecCol, nClusters, sampleCap, seed, maxIter)
-    val assigned = model
-      .setPredictionCol("cluster")
-      .transform(emb.withColumn("__vec",
-        array_to_vector(col(vecCol).cast("array<double>"))))
-      .drop("__vec")
+    val centroids = fitCentroids(emb, vecCol, nClusters, sampleCap, seed, maxIter)
+    val assigned = emb.withColumn("cluster",
+      nearestCellExpr(col(vecCol), centroids))
     assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
-    val centroids = model.clusterCenters.map(_.toArray)
     writeCentroids(emb.sparkSession, path, centroids)
     IvfIndex(centroids, path, idCol, vecCol)
   }
@@ -135,6 +173,22 @@ object Ivf {
       while (j < c.length) { val t = c(j) - q(j); d += t * t; j += 1 }
       (i, d)
     }.sortBy(_._2).take(nProbe).map(_._1)
+
+  /** Index of the centroid nearest to `v` (squared L2), driver-side. */
+  def nearestIdx(centroids: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      var d = 0.0
+      var j = 0
+      val cc = centroids(c)
+      while (j < cc.length) { val t = cc(j) - v(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
 
   // sibling dir, not nested: a nested dir would either be picked up by the
   // assignment scan (schema clash) or, `_`-prefixed, ignored by the reader

@@ -135,14 +135,12 @@ object Similarity {
       nClusters: Int,
       seed: Long = 42L,
       maxIter: Int = 5,
-      sampleCap: Int = 4096): (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
-    import org.apache.spark.ml.functions.array_to_vector
-    val model = Ivf.fitModel(emb, vecCol, nClusters, sampleCap, seed, maxIter)
-    val assigned = model.setPredictionCol("cluster")
-      .transform(emb.withColumn("__vec",
-        array_to_vector(col(vecCol).cast("array<double>"))))
-      .drop("__vec")
-    (model, assigned)
+      sampleCap: Int = 4096): (Array[Array[Double]], DataFrame) = {
+    val centroids = Ivf.fitCentroids(emb, vecCol, nClusters, sampleCap, seed,
+      maxIter)
+    val assigned = emb.withColumn("cluster",
+      Ivf.nearestCellExpr(col(vecCol), centroids))
+    (centroids, assigned)
   }
 
   /** ANN top-k probing the `nProbe` nearest centroid cells (in-memory
@@ -157,10 +155,10 @@ object Similarity {
       nClusters: Int,
       nProbe: Int,
       seed: Long = 42L): DataFrame = {
-    val (model, assigned) = ivfAssign(emb, idCol, vecCol, nClusters, seed)
+    val (centroids, assigned) = ivfAssign(emb, idCol, vecCol, nClusters, seed)
     val qVec = query.select(col(vecCol).cast("array<double>"))
       .head().getSeq[Double](0).toArray
-    val probed = Ivf.nearestCells(model.clusterCenters.map(_.toArray), qVec, nProbe)
+    val probed = Ivf.nearestCells(centroids, qVec, nProbe)
     bruteTopK(assigned.filter(col("cluster").isin(probed.toIndexedSeq: _*)),
       query, idCol, vecCol, k)
   }

@@ -66,14 +66,22 @@ object QualityQueries {
     * exposed in [[graft.quality.DataQualityValidator]] docs, kept exact here
     * for oracle parity.
     */
-  def quantilesLineitem(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir).agg(
-      round(percentile(col("l_quantity"), lit(0.25)), 6).as("qty_q1"),
-      round(percentile(col("l_quantity"), lit(0.5)), 6).as("qty_q2"),
-      round(percentile(col("l_quantity"), lit(0.75)), 6).as("qty_q3"),
-      round(percentile(col("l_extendedprice"), lit(0.25)), 6).as("price_q1"),
-      round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("price_q2"),
-      round(percentile(col("l_extendedprice"), lit(0.75)), 6).as("price_q3"))
+  def quantilesLineitem(spark: SparkSession, dir: String): DataFrame = {
+    // one percentile agg per COLUMN (array of percentages), not per
+    // quantile: each exact-percentile agg buffers the column's value-count
+    // map independently, so 6 scalar calls = 6 buffers but 2 array calls = 2
+    val ps = array(lit(0.25), lit(0.5), lit(0.75))
+    Tables.lineitem(spark, dir)
+      .agg(percentile(col("l_quantity"), ps).as("qq"),
+        percentile(col("l_extendedprice"), ps).as("pq"))
+      .select(
+        round(element_at(col("qq"), 1), 6).as("qty_q1"),
+        round(element_at(col("qq"), 2), 6).as("qty_q2"),
+        round(element_at(col("qq"), 3), 6).as("qty_q3"),
+        round(element_at(col("pq"), 1), 6).as("price_q1"),
+        round(element_at(col("pq"), 2), 6).as("price_q2"),
+        round(element_at(col("pq"), 3), 6).as("price_q3"))
+  }
 
   /** A15 on documents.text — the exact-dedup ratio of the corpus. */
   def dupRatioDocuments(spark: SparkSession, dir: String): DataFrame =
