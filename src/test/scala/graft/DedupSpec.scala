@@ -50,6 +50,45 @@ class DedupSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L))
   }
 
+  test("alternating-star CC ≡ union-find on random graphs and a deep chain") {
+    def unionFind(n: Long, pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]() ++
+        (0L until n).map(i => i -> i)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // roots are component minima (unions point larger roots at smaller),
+      // so find(i) is exactly the operator's min-id component label
+      (0L until n).map(i => i -> find(i)).toMap
+    }
+    val rnd = new scala.util.Random(11)
+    val cases: Seq[(Long, Seq[(Long, Long)])] = Seq(
+      // sparse random graph
+      (80L, Seq.fill(60)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter { case (a, b) => a != b }),
+      // chain of diameter 59 — deeper than label-prop's default round budget
+      (60L, (0L until 59L).map(i => (i, i + 1))),
+      // two cliques + isolated nodes
+      (20L, (for (i <- 0 until 8; j <- i + 1 until 8) yield (i.toLong, j.toLong)) ++
+        (for (i <- 10 until 16; j <- i + 1 until 16) yield (i.toLong, j.toLong))))
+    cases.foreach { case (n, pairs) =>
+      val expected = unionFind(n, pairs)
+      val ids = (0L until n).toDF("id")
+      val pairsDf = pairs.toDF("id_a", "id_b")
+      val stars = graft.ops.Dedup.connectedComponentsStars(ids, pairsDf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(stars == expected)
+    }
+    // union-find path compression sanity: find(i) is the component min
+    // because unions always point the larger root at the smaller one
+  }
+
   test("near-dup cluster dedup keeps one survivor per cluster") {
     val survivors = graft.ops.Dedup.nearDupDedup(docs, "doc_id", "text", 0.9)
       .select("doc_id").as[Long].collect().sorted.toSeq
