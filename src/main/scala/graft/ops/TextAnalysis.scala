@@ -126,6 +126,38 @@ object TextAnalysis {
       size(filter(t, x => x.rlike("^[^a-z0-9]$"))).cast("long").as("n_punct_tokens"))
   }
 
+  /** Within-document repetition signals — the token-level analogue of the
+    * Gopher repetition filters (Rae et al. 2021, "Scaling Language Models:
+    * ... Gopher", §A1.1: documents dominated by a few repeated n-grams are
+    * low-quality training data):
+    *  - `top_ngram_frac`: occurrences of the single most frequent n-gram /
+    *    total n-gram occurrences;
+    *  - `dup_ngram_frac`: fraction of n-gram occurrences beyond each
+    *    gram's first (0 ⇔ all n-grams distinct).
+    * Pure array expressions per row (the per-doc distinct×total scan is
+    * bounded by document length) — no explode, no shuffle.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame = {
+    val t = toks(col(textCol))
+    val starts = when(size(t) >= n, sequence(lit(0), size(t) - n))
+      .otherwise(array().cast("array<int>"))
+    val grams = transform(starts, i => concat_ws(" ", slice(t, i + 1, lit(n))))
+    df.select(col(idCol), grams.as("__g"))
+      .select(
+        col(idCol),
+        size(col("__g")).cast("long").as("n_ngrams"),
+        round(when(size(col("__g")) > 0,
+          array_max(transform(array_distinct(col("__g")),
+            g => size(filter(col("__g"), x => x === g)))).cast("double") /
+            size(col("__g")))
+          .otherwise(0.0), 6).as("top_ngram_frac"),
+        round(when(size(col("__g")) > 0,
+          (size(col("__g")) - size(array_distinct(col("__g")))).cast("double") /
+            size(col("__g")))
+          .otherwise(0.0), 6).as("dup_ngram_frac"))
+  }
+
   /** Character n-gram set of a text column (the language-ID feature the
     * token-profile heuristic upgrades to): lowercased, whitespace
     * collapsed to '_' so word boundaries carry signal.

@@ -77,7 +77,13 @@ object TextQueries {
     TextAnalysis.regexTokenStats(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Gopher-style within-document bigram repetition signals. */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> repetition,
     "text_token_stats" -> tokenStats,
     "text_regex_tokens" -> regexTokens,
     "text_quality_score" -> qualityScore,
@@ -114,6 +120,23 @@ object TextQueries {
     Profiles.map(p => scoreSql(p._2)).mkString("greatest(", ", ", ")")
 
   val oracle: Map[String, String] = Map(
+    "text_repetition" ->
+      s"""WITH $toksCte,
+         |g AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 2
+         |    THEN list_transform(generate_series(1, len(toks) - 1),
+         |           i -> toks[i] || ' ' || toks[i + 1])
+         |    ELSE [] END AS grams
+         |  FROM d)
+         |SELECT doc_id, len(grams)::BIGINT AS n_ngrams,
+         |  round(CASE WHEN len(grams) > 0 THEN
+         |    list_max(list_transform(list_distinct(grams),
+         |      x -> len(list_filter(grams, y -> y = x))))::DOUBLE / len(grams)
+         |    ELSE 0.0 END, 6) AS top_ngram_frac,
+         |  round(CASE WHEN len(grams) > 0 THEN
+         |    (len(grams) - len(list_distinct(grams)))::DOUBLE / len(grams)
+         |    ELSE 0.0 END, 6) AS dup_ngram_frac
+         |FROM g ORDER BY doc_id""".stripMargin,
     "text_token_stats" ->
       s"""WITH $toksCte
          |SELECT doc_id, len(toks)::BIGINT AS n_tokens,

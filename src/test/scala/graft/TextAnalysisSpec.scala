@@ -43,6 +43,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L) == TextQueriesProfiles().map(_._1).max)
   }
 
+  test("repetition stats: repeated bigrams dominate; unique text scores 0") {
+    val m = TextAnalysis.repetitionStats(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_ngrams"), r.getAs[Double]("top_ngram_frac"),
+          r.getAs[Double]("dup_ngram_frac"))).toMap
+    // "the quick brown fox": 3 bigrams, all distinct
+    assert(m(1L) == ((3L, round6(1.0 / 3), 0.0)))
+    // "aa aa aa": bigrams ["aa aa", "aa aa"] — fully repeated
+    assert(m(2L) == ((2L, 1.0, 0.5)))
+    // empty doc: zero bigrams, fractions 0 by guard
+    assert(m(3L) == ((0L, 0.0, 0.0)))
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("regex tokenization splits letter runs, digits, punctuation") {
     val d = Seq((1L, "Hello, world-42!")).toDF("doc_id", "text")
     val r = TextAnalysis.regexTokenStats(d, "doc_id", "text").head()
