@@ -531,7 +531,8 @@ object Dedup {
       numHashes: Int = 12,
       bands: Int = 3,
       threshold: Double = 0.0,
-      broadcastSets: Boolean = true): DataFrame = {
+      broadcastSets: Boolean = true,
+      starsCc: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val band = lshBands(df, idCol, textCol, numHashes, bands)
     val starEdges = band
@@ -546,7 +547,10 @@ object Dedup {
         tokenSets(df, idCol, textCol).localCheckpoint(false), threshold,
         broadcastSets)
         .select("id_a", "id_b")
-    val comps = connectedComponents(df.select(col(idCol).as("id")), edges)
+    val ids = df.select(col(idCol).as("id"))
+    val comps =
+      if (starsCc) connectedComponentsStars(ids, edges)
+      else connectedComponents(ids, edges)
     val keep = comps.groupBy("component").agg(min(col("id")).as(idCol))
       .select(idCol)
     df.join(keep, Seq(idCol), "left_semi")

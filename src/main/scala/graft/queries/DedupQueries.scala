@@ -81,6 +81,17 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_survivors"),
         sum(col("doc_id")).as("id_checksum"))
 
+  /** [[clusterSurvivors]] with the alternating small-star/large-star CC
+    * ([[graft.ops.Dedup.connectedComponentsStars]]) instead of min-label
+    * propagation — same components, same survivors, same oracle; puts the
+    * O(log n)-round web-scale CC variant under the correctness gate.
+    */
+  def clusterSurvivorsStars(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupDedupFast(Tables.documents(spark, dir), "doc_id", "text",
+        numHashes = NumHashes, bands = Bands, threshold = 0.9, starsCc = true)
+      .agg(count(lit(1)).as("n_survivors"),
+        sum(col("doc_id")).as("id_checksum"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact_groups" -> exactGroups,
     "dedup_exact_keep_first" -> exactKeepFirst,
@@ -88,6 +99,7 @@ object DedupQueries {
     "dedup_jaccard_2gram" -> jaccard2gram,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_cluster_survivors" -> clusterSurvivors,
+    "dedup_cluster_stars" -> clusterSurvivorsStars,
     "dedup_cluster_fast" -> clusterSurvivorsFast,
     "dedup_simhash" -> simhashDocs)
 
@@ -163,6 +175,28 @@ object DedupQueries {
        |SELECT count(*) AS n_survivors, CAST(sum(keep_id) AS BIGINT) AS id_checksum
        |FROM keep""".stripMargin
 
+  // shared by dedup_cluster_survivors and dedup_cluster_stars: both CC
+  // variants compute the same components, so the oracle is identical
+  private val clusterSurvivorsOracle =
+    s"""WITH RECURSIVE $tokCte,
+       |$thCte,
+       |$hshCte,
+       |sig AS (SELECT id, $sigSelect FROM hsh GROUP BY id),
+       |$starEdgesCtes,
+       |sz AS (SELECT id, count(*) AS n_tokens FROM th GROUP BY id),
+       |inter AS (
+       |  SELECT e.id_a, e.id_b, count(*) AS n_common
+       |  FROM edges0 e
+       |  JOIN th a ON a.id = e.id_a
+       |  JOIN th b ON b.id = e.id_b AND b.th = a.th
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sz sa ON id_a = sa.id
+       |  JOIN sz sb ON id_b = sb.id
+       |  WHERE n_common * 1.0 / (sa.n_tokens + sb.n_tokens - n_common) >= 0.9),
+       |$componentTail""".stripMargin
+
   private val simhashVotes = (0 until 32)
     .map(i => s"sum(CASE WHEN ascii(substr(md5(token), ${i + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v$i")
     .mkString(", ")
@@ -226,25 +260,8 @@ object DedupQueries {
          |votes AS (SELECT id, $simhashVotes FROM tok GROUP BY id)
          |SELECT id, CAST($simhashBits AS BIGINT) AS simhash
          |FROM votes ORDER BY id""".stripMargin,
-    "dedup_cluster_survivors" ->
-      s"""WITH RECURSIVE $tokCte,
-         |$thCte,
-         |$hshCte,
-         |sig AS (SELECT id, $sigSelect FROM hsh GROUP BY id),
-         |$starEdgesCtes,
-         |sz AS (SELECT id, count(*) AS n_tokens FROM th GROUP BY id),
-         |inter AS (
-         |  SELECT e.id_a, e.id_b, count(*) AS n_common
-         |  FROM edges0 e
-         |  JOIN th a ON a.id = e.id_a
-         |  JOIN th b ON b.id = e.id_b AND b.th = a.th
-         |  GROUP BY 1, 2),
-         |edges AS (
-         |  SELECT id_a, id_b FROM inter
-         |  JOIN sz sa ON id_a = sa.id
-         |  JOIN sz sb ON id_b = sb.id
-         |  WHERE n_common * 1.0 / (sa.n_tokens + sb.n_tokens - n_common) >= 0.9),
-         |$componentTail""".stripMargin,
+    "dedup_cluster_stars" -> clusterSurvivorsOracle,
+    "dedup_cluster_survivors" -> clusterSurvivorsOracle,
     "dedup_cluster_fast" ->
       s"""WITH RECURSIVE $tokCte,
          |$thCte,

@@ -67,6 +67,15 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("BroadcastHashJoin"), s)
   }
 
+  test("minhash candidates: first-collision joins, no candidate distinct") {
+    val s = planString(graft.ops.Dedup.minhashCandidates(
+      graft.sources.Tables.documents(spark, dir), "doc_id", "text"))
+    // pair uniqueness comes from the earlier-band-differs residual, not a
+    // multi-million-row distinct shuffle on (id_a, id_b)
+    assert(!s.contains("HashAggregate(keys=[id_a"), s)
+    assert(!s.contains("Exchange hashpartitioning(id_a"), s)
+  }
+
   test("as-of join is one window pass — no theta range join") {
     val s = planString(RelationalQueries.asofLatestClick(spark, dir))
     assert(s.contains("RunningWindowFunction") || s.contains("Window"), s)
