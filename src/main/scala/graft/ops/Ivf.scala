@@ -45,12 +45,34 @@ object Ivf {
   /** Clear the in-JVM index cache (tests only — disk artifacts remain). */
   def invalidateCache(): Unit = cache.clear()
 
+  /** Fingerprint binding a disk index to its inputs and build knobs: the
+    * corpus' resolved input file list (parquet part names are unique per
+    * write, so a regenerated dataset at the same directory changes the
+    * list), the id/vector columns, cluster count, and sample/seed knobs.
+    * Driver-side file-index listing only — no Spark job. An index written
+    * under one fingerprint is never served for another (stale or foreign
+    * `/tmp` artifacts rebuild instead of silently answering).
+    */
+  def indexFingerprint(emb: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, sampleCap: Int, seed: Long): String = {
+    val key = emb.inputFiles.sorted.mkString(",") +
+      s"|$idCol|$vecCol|$nClusters|$sampleCap|$seed"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   /** Fit the coarse quantizer: seeded Lloyd iterations on a BOUNDED sample,
     * run on the driver. The sample is ≤ `sampleCap` rows by construction
     * (collect is bounded — a few MB — regardless of corpus size), and local
     * Lloyd on ≤4096×dim doubles is sub-millisecond work per iteration, so
     * the fit costs one small Spark job (the sample scan) instead of an
     * MLlib pipeline's many. Empty clusters keep their previous centroid.
+    *
+    * The sample is RANDOM but seeded: rows ranked by `xxhash64(seed, vec)`
+    * and the smallest `sampleCap` taken — a per-partition top-k heap
+    * (TakeOrderedAndProject), one pass, no full sort, and unbiased even on
+    * sorted/clustered corpora where a head-of-table `limit` would see one
+    * corner of the space.
     */
   def fitCentroids(
       emb: DataFrame,
@@ -60,7 +82,8 @@ object Ivf {
       seed: Long = 42L,
       maxIter: Int = 5): Array[Array[Double]] = {
     fits.incrementAndGet()
-    val sample = emb.select(col(vecCol).cast("array<double>"))
+    val sample = emb.select(col(vecCol).cast("array<double>").as("__v"))
+      .orderBy(xxhash64(lit(seed), col("__v")))
       .limit(sampleCap)
       .collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "cannot fit an IVF quantizer on an empty corpus")
@@ -125,12 +148,19 @@ object Ivf {
     val assigned = emb.withColumn("cluster",
       nearestCellExpr(col(vecCol), centroids))
     assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
-    writeCentroids(emb.sparkSession, path, centroids)
+    // centroids (with the fingerprint) land LAST: a reader that validates
+    // the fingerprint never sees centroids without their assignment
+    writeCentroids(emb.sparkSession, path, centroids,
+      indexFingerprint(emb, idCol, vecCol, nClusters, sampleCap, seed))
     IvfIndex(centroids, path, idCol, vecCol)
   }
 
-  /** Index for `key`, fitting at most once: in-JVM cache first, then disk
+  /** Index for `path`, fitting at most once: in-JVM cache first, then disk
     * (a prior JVM's build — no fit, no assignment pass), then [[build]].
+    * Both caches are keyed on the full [[indexFingerprint]] (inputs +
+    * columns + knobs), so a call with different `nClusters`/columns, or the
+    * same path over regenerated data, rebuilds instead of serving a
+    * mismatched index.
     */
   def buildCached(
       emb: DataFrame,
@@ -139,14 +169,20 @@ object Ivf {
       nClusters: Int,
       path: String,
       sampleCap: Int = 4096,
-      seed: Long = 42L): IvfIndex =
-    cache.computeIfAbsent(path, _ =>
-      readCentroids(emb.sparkSession, path, idCol, vecCol)
+      seed: Long = 42L): IvfIndex = {
+    val fp = indexFingerprint(emb, idCol, vecCol, nClusters, sampleCap, seed)
+    cache.computeIfAbsent(s"$path|$fp", _ =>
+      readCentroids(emb.sparkSession, path, idCol, vecCol, fp)
         .getOrElse(build(emb, idCol, vecCol, nClusters, path, sampleCap, seed)))
+  }
 
   /** ANN top-k against a built index: rank cells driver-side, read only
     * the `nProbe` nearest partitions (partition pruning on `cluster`),
     * brute-force within them. No fit, no corpus-wide job.
+    *
+    * Contract: `query` is a single-vector relation — it must be non-empty,
+    * and only its first row is scored (cell ranking and scoring both take
+    * `limit(1)`, so they always agree on which vector is the query).
     */
   def probe(
       index: IvfIndex,
@@ -154,12 +190,14 @@ object Ivf {
       k: Int,
       nProbe: Int): DataFrame = {
     val spark = query.sparkSession
-    val qVec = query.select(col(index.vecCol).cast("array<double>"))
-      .head().getSeq[Double](0).toArray
+    val one = query.limit(1)
+    val qRows = one.select(col(index.vecCol).cast("array<double>")).collect()
+    require(qRows.nonEmpty, "Ivf.probe requires a non-empty query relation")
+    val qVec = qRows(0).getSeq[Double](0).toArray
     val cells = nearestCells(index.centroids, qVec, nProbe)
     val assigned = spark.read.parquet(index.path)
       .filter(col("cluster").isin(cells.map(Integer.valueOf).toIndexedSeq: _*))
-    Similarity.bruteTopK(assigned, query, index.idCol, index.vecCol, k)
+    Similarity.bruteTopK(assigned, one, index.idCol, index.vecCol, k)
   }
 
   /** Indexes of the `nProbe` centroids nearest to `q` (squared L2),
@@ -195,25 +233,30 @@ object Ivf {
   private def centroidsPath(path: String) = s"$path.centroids"
 
   private def writeCentroids(spark: SparkSession, path: String,
-      centroids: Array[Array[Double]]): Unit = {
+      centroids: Array[Array[Double]], fingerprint: String): Unit = {
     import spark.implicits._
     centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cluster", "centroid")
+      .map { case (c, i) => (i, c.toSeq, fingerprint) }.toSeq
+      .toDF("cluster", "centroid", "fp")
       .coalesce(1)
       .write.mode("overwrite").parquet(centroidsPath(path))
   }
 
-  /** Load a prior build's centroids from disk, if present and readable. */
+  /** Load a prior build's centroids from disk — only if present, readable,
+    * AND fingerprint-matched. Any unreadable/corrupt/half-written artifact
+    * (missing dir, schema drift, truncated parquet) falls through to a
+    * clean rebuild rather than failing the query or serving foreign data.
+    */
   private def readCentroids(spark: SparkSession, path: String,
-      idCol: String, vecCol: String): Option[IvfIndex] =
+      idCol: String, vecCol: String, fingerprint: String): Option[IvfIndex] =
     try {
       val rows = spark.read.parquet(centroidsPath(path))
+        .filter(col("fp") === fingerprint)
         .orderBy("cluster")
         .collect()
         .map(_.getSeq[Double](1).toArray)
       if (rows.nonEmpty) Some(IvfIndex(rows, path, idCol, vecCol)) else None
-    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 }
 
 /** A built IVF index: driver-side centroids + the path of the

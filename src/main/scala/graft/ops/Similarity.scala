@@ -156,11 +156,15 @@ object Similarity {
       nProbe: Int,
       seed: Long = 42L): DataFrame = {
     val (centroids, assigned) = ivfAssign(emb, idCol, vecCol, nClusters, seed)
-    val qVec = query.select(col(vecCol).cast("array<double>"))
-      .head().getSeq[Double](0).toArray
+    // single-vector query contract (same as Ivf.probe): non-empty, and cell
+    // ranking + scoring agree on the one row they use
+    val one = query.limit(1)
+    val qRows = one.select(col(vecCol).cast("array<double>")).collect()
+    require(qRows.nonEmpty, "ivfTopK requires a non-empty query relation")
+    val qVec = qRows(0).getSeq[Double](0).toArray
     val probed = Ivf.nearestCells(centroids, qVec, nProbe)
     bruteTopK(assigned.filter(col("cluster").isin(probed.toIndexedSeq: _*)),
-      query, idCol, vecCol, k)
+      one, idCol, vecCol, k)
   }
 
   /** Per-position means of an embedding column grouped by a label — the

@@ -68,8 +68,14 @@ object SimilarityQueries {
     */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+    // path keyed on the index fingerprint (input files + params), so a
+    // regenerated dataset or different knobs land in a DIFFERENT directory
+    // — /tmp can never serve stale or foreign centroids. buildCached
+    // additionally validates the fingerprint stored beside the centroids.
+    val fp = Ivf.indexFingerprint(emb, "vec_id", "embedding",
+      nClusters = 16, sampleCap = 4096, seed = 42L)
     val indexPath = "/tmp/graft_ivf/" +
-      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + fp.take(16)
     val index = Ivf.buildCached(emb, "vec_id", "embedding",
       nClusters = 16, path = indexPath)
     Ivf.probe(index, emb.filter(col("vec_id") === 0L), K, nProbe = 4)

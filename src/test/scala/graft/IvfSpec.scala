@@ -56,6 +56,45 @@ class IvfSpec extends AnyFunSuite {
     assert(first.head._1 == 0L && first.head._2 == 1.0)
   }
 
+  test("cache is fingerprint-keyed: different nClusters at the same path refits") {
+    val emb = Tables.embeddings(spark, dir)
+    val path = s"/tmp/graft_ivf_spec_fp_${System.nanoTime()}"
+    Ivf.invalidateCache()
+    val a = Ivf.buildCached(emb, "vec_id", "embedding", 4, path)
+    val fitsAfterA = Ivf.fits.get()
+    // same path, different knob → a DIFFERENT index must be built, not the
+    // cached 4-cluster one served under a 8-cluster request
+    val b = Ivf.buildCached(emb, "vec_id", "embedding", 8, path)
+    assert(Ivf.fits.get() == fitsAfterA + 1)
+    assert(a.centroids.length == 4 && b.centroids.length == 8)
+  }
+
+  test("corrupt or foreign disk artifact triggers a clean rebuild") {
+    val emb = Tables.embeddings(spark, dir)
+    val path = s"/tmp/graft_ivf_spec_corrupt_${System.nanoTime()}"
+    // plant garbage where the centroids parquet would live
+    val cdir = new java.io.File(path + ".centroids")
+    cdir.mkdirs()
+    val junk = new java.io.PrintWriter(new java.io.File(cdir, "part-0.parquet"))
+    junk.write("not parquet"); junk.close()
+    Ivf.invalidateCache()
+    val index = Ivf.buildCached(emb, "vec_id", "embedding", 8, path)
+    assert(index.centroids.length == 8)
+    val q = emb.filter($"vec_id" === 0L)
+    val out = Ivf.probe(index, q, 10, nProbe = 8).as[(Long, Double)].collect()
+    assert(out.head._1 == 0L && out.head._2 == 1.0)
+  }
+
+  test("probe requires a non-empty single-vector query") {
+    val emb = Tables.embeddings(spark, dir)
+    val path = s"/tmp/graft_ivf_spec_empty_${System.nanoTime()}"
+    val index = Ivf.buildCached(emb, "vec_id", "embedding", 8, path)
+    val ex = intercept[IllegalArgumentException] {
+      Ivf.probe(index, emb.filter($"vec_id" === -1L), 10, nProbe = 2)
+    }
+    assert(ex.getMessage.contains("non-empty"))
+  }
+
   test("persisted probe over all cells reproduces exact brute-force top-k") {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter($"vec_id" === 0L)
