@@ -14,7 +14,15 @@ object Bench {
     // JIT/codegen/scheduler warm-up so the first measured query isn't
     // charged for one-time session costs
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated allowlist for focused local iteration; the
+    // driver never sets it, so the recorded bench always covers everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: full materialization of every output row — count() would
       // let Catalyst prune projection work on scan-shaped queries

@@ -134,23 +134,49 @@ object TextAnalysis {
     *    total n-gram occurrences;
     *  - `dup_ngram_frac`: fraction of n-gram occurrences beyond each
     *    gram's first (0 ⇔ all n-grams distinct).
-    * Pure array expressions per row (the per-doc distinct×total scan is
-    * bounded by document length) — no explode, no shuffle.
+    * Pure array expressions per row — no explode, no shuffle. The top-gram
+    * count is the longest equal run of the SORTED gram array (one
+    * `array_sort` + one linear `aggregate` pass, O(t log t) per document),
+    * not a distinct×total rescan, which is quadratic on repetitive
+    * documents — exactly the ones this filter exists to catch.
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2): DataFrame = {
-    val t = toks(col(textCol))
+    // tokens land in a BOUND column first: an inline `filter(split(...))`
+    // tree would be re-evaluated by every element access inside the
+    // transform lambda below (no common-subexpression elimination across
+    // lambda calls) — O(len²) per document
+    val t = col("__t")
+    val withToks = df.select(col(idCol), toks(col(textCol)).as("__t"))
     val starts = when(size(t) >= n, sequence(lit(0), size(t) - n))
       .otherwise(array().cast("array<int>"))
-    val grams = transform(starts, i => concat_ws(" ", slice(t, i + 1, lit(n))))
-    df.select(col(idCol), grams.as("__g"))
+    // counting only needs gram EQUALITY, so each gram is reduced to one
+    // 64-bit hash of its n token positions — no per-gram array slice, no
+    // string concat, and the sort/distinct compare longs, not strings
+    // (collision odds ~k²·2⁻⁶⁵ per doc — immaterial, and the oracle's
+    // string-true counts have matched at every scale factor; token tuples
+    // and space-joined grams induce the same equality classes because
+    // tokens cannot contain the split character)
+    val grams = transform(starts,
+      i => xxhash64((1 to n).map(j => element_at(t, i + j)): _*))
+    // longest equal run in the sorted array == max occurrence count
+    val topCount = aggregate(
+      array_sort(col("__g")),
+      struct(lit(null).cast("long").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (s, x) => {
+        val run = when(x === s.getField("prev"), s.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(s.getField("best"), run).as("best"))
+      },
+      s => s.getField("best"))
+    withToks.select(col(idCol), grams.as("__g"))
       .select(
         col(idCol),
         size(col("__g")).cast("long").as("n_ngrams"),
         round(when(size(col("__g")) > 0,
-          array_max(transform(array_distinct(col("__g")),
-            g => size(filter(col("__g"), x => x === g)))).cast("double") /
-            size(col("__g")))
+          topCount.cast("double") / size(col("__g")))
           .otherwise(0.0), 6).as("top_ngram_frac"),
         round(when(size(col("__g")) > 0,
           (size(col("__g")) - size(array_distinct(col("__g")))).cast("double") /
