@@ -81,6 +81,24 @@ object SimilarityQueries {
     Ivf.probe(index, emb.filter(col("vec_id") === 0L), K, nProbe = 4)
   }
 
+  /** IVF probing EVERY cell — degenerates to exact brute-force top-k by
+    * construction, so unlike [[ivfTopK]] (partial probe, approximate, no
+    * SQL twin) this one is hash-checked against the brute-force oracle:
+    * the fit → assign → partition-pruned-probe machinery itself gets an
+    * end-to-end DuckDB-verified row, not just a spec.
+    */
+  def ivfExact(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val fp = Ivf.indexFingerprint(emb, "vec_id", "embedding",
+      nClusters = 16, sampleCap = 4096, seed = 42L)
+    val indexPath = "/tmp/graft_ivf/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + fp.take(16)
+    val index = Ivf.buildCached(emb, "vec_id", "embedding",
+      nClusters = 16, path = indexPath)
+    Ivf.probe(index, emb.filter(col("vec_id") === 0L), K,
+      nProbe = index.centroids.length)
+  }
+
   /** Per-label centroid norms + cosine to the global centroid
     * (embedding-drift shape; element-wise vector aggregation).
     */
@@ -96,7 +114,8 @@ object SimilarityQueries {
     "sim_lsh_multiprobe" -> lshTopKMultiprobe,
     "sim_knn_join" -> knnJoin,
     "sim_centroids" -> centroids,
-    "sim_ivf_topk" -> ivfTopK)
+    "sim_ivf_topk" -> ivfTopK,
+    "sim_ivf_exact" -> ivfExact)
 
   // ---- oracle SQL -------------------------------------------------------------
 
@@ -113,12 +132,16 @@ object SimilarityQueries {
       s"(CASE WHEN ${dotSql(vecExpr, arr)} >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  private val bruteTopKSql =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, ${cosineSql("embedding", "qv")} AS cos
+       |FROM embeddings, q
+       |ORDER BY cos DESC, vec_id LIMIT $K""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "sim_brute_topk" ->
-      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-         |SELECT vec_id, ${cosineSql("embedding", "qv")} AS cos
-         |FROM embeddings, q
-         |ORDER BY cos DESC, vec_id LIMIT $K""".stripMargin,
+    "sim_brute_topk" -> bruteTopKSql,
+    // probing all cells IS brute force — identical oracle by construction
+    "sim_ivf_exact" -> bruteTopKSql,
     "sim_neardup_pairs" ->
       s"""WITH n AS (SELECT vec_id AS id,
          |  list_transform(embedding::DOUBLE[],
