@@ -20,7 +20,8 @@ object SparkEntry {
     ParityQueries.queries ++ QualityQueries.queries ++
       RelationalQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ TextQueries.queries ++
-      MultimodalQueries.queries ++ ScaleQueries.queries
+      MultimodalQueries.queries ++ ScaleQueries.queries ++
+      PrepQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
     ParityQueries.oracle ++ QualityQueries.oracle ++
       RelationalQueries.oracle ++ DedupQueries.oracle ++
       SimilarityQueries.oracle ++ TextQueries.oracle ++
-      MultimodalQueries.oracle ++ ScaleQueries.oracle
+      MultimodalQueries.oracle ++ ScaleQueries.oracle ++
+      PrepQueries.oracle
 }

@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Training-data preparation operators — the step between a cleaned corpus
+  * and a training run (north-star extension surface; the reference stops at
+  * feature extraction + quality scoring, `ML Feature Store Pipeline.py:164-199`,
+  * and these are the operations its pipeline would need next at 100 TB):
+  *
+  *  - [[tfidf]] — term weighting over a document corpus;
+  *  - [[standardize]] — per-group z-score / min-max feature normalization
+  *    (the classic serving-skew trap: stats computed ONCE, then applied as
+  *    a broadcast join, so train and serve normalize identically);
+  *  - [[featureHash]] — the hashing trick: unbounded categorical vocabulary
+  *    → fixed B buckets with ±1 signs, no vocabulary table at all;
+  *  - [[groupSplit]] — leakage-free train/val/test assignment by GROUP key
+  *    (all rows of a user land in one split, on any engine, any run);
+  *  - [[packSequences]] — concatenate-and-chunk sequence packing: documents
+  *    laid on a contiguous token stream, packs = fixed token-budget windows
+  *    (how LLM pretraining batches are formed from variable-length docs);
+  *  - [[mixtureSample]] — per-source dataset mixture weighting by
+  *    deterministic hash threshold (corpus mixing without a shuffle).
+  *
+  * Determinism discipline throughout: no `rand()` — hash-threshold
+  * decisions (md5, mirrored verbatim in oracle SQL); no double
+  * accumulation — sums in exact DECIMAL, scalar math on the aggregates.
+  */
+object Prep {
+
+  private val Money = DecimalType(18, 2)
+  // exact sum of money×money products (scale 4 from multiplying two scale-2)
+  private val MoneySq = DecimalType(38, 4)
+
+  private def toks(textCol: Column): Column =
+    filter(split(textCol, " "), t => t =!= "")
+
+  /** md5-derived bucket in [0, buckets) — the engine-portable deterministic
+    * hash used by every sampling/splitting decision here (same value on any
+    * engine/partitioning/run; mirrored in oracle SQL as
+    * `('0x' || substr(md5(x),1,12))::BIGINT % buckets`).
+    */
+  def hashBucket(key: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 12), 16, 10).cast("long"),
+      lit(buckets))
+
+  /** Smooth TF-IDF over a token corpus: `tf × (ln((1+N)/(1+df)) + 1)`.
+    * Shape at scale: one shuffle for (doc, term) counts; document
+    * frequencies are vocabulary-sized and BROADCAST back, the corpus is
+    * never re-shuffled; N arrives as a broadcast one-row cross join (no
+    * collect). Returns (doc_id, term, tf, df, n_docs, tfidf).
+    */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(toks(col(textCol))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(docFreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") *
+        (log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) + 1.0), 6))
+      .select("doc_id", "term", "tf", "df", "n_docs", "tfidf")
+  }
+
+  /** Top-k terms per document by TF-IDF (ties → lexicographically first
+    * term). Window partitions by document — balanced regardless of corpus
+    * size, since a document's term list is bounded by its length.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    tfidf(docs, idCol, textCol)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("term"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tf", "tfidf")
+
+  /** Per-group z-score + min-max normalization of `valueCol`. The group
+    * stats are ONE aggregate (values cast to exact DECIMAL(18,2); squares
+    * summed in DECIMAL(38,4) — bit-stable on any partitioning) broadcast
+    * back onto the rows; variance is the population form
+    * `E[x²] − mean²` computed on the driver-deterministic aggregates.
+    * Returns the input columns plus (z, minmax), null when the group is
+    * degenerate (zero variance / single value).
+    */
+  def standardize(df: DataFrame, valueCol: String, groupCols: Seq[String])
+      : DataFrame = {
+    val xd = col(valueCol).cast(Money)
+    val stats = df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("__n"),
+      sum(xd).as("__s"),
+      sum(xd * xd).cast(MoneySq).as("__ss"),
+      min(xd).as("__min"),
+      max(xd).as("__max"))
+    val mean = col("__s").cast("double") / col("__n")
+    val varPop = col("__ss").cast("double") / col("__n") - mean * mean
+    val range = (col("__max") - col("__min")).cast("double")
+    df.join(broadcast(stats), groupCols)
+      .withColumn("z", when(varPop > 0,
+        round((xd.cast("double") - mean) / sqrt(varPop), 6)))
+      .withColumn("minmax", when(range > 0,
+        round((xd - col("__min")).cast("double") / range, 6)))
+      .drop("__n", "__s", "__ss", "__min", "__max")
+  }
+
+  /** The hashing trick: project categorical feature strings onto `buckets`
+    * fixed dimensions with a ±1 sign per feature (Weinberger et al. 2009,
+    * "Feature Hashing for Large Scale Multitask Learning") — no vocabulary
+    * table, no unbounded pivot, collisions cancel in expectation thanks to
+    * the sign. Bucket and sign both derive from md5 (engine-portable).
+    * Returns (keyCols*, bucket, value = Σ sign) — one shuffle on
+    * (key, bucket).
+    */
+  def featureHash(df: DataFrame, keyCols: Seq[String], featureCol: Column,
+      buckets: Int): DataFrame = {
+    val bucket = hashBucket(featureCol, buckets)
+    val sign = when(
+      pmod(conv(substring(md5(featureCol.cast("string")), 13, 1), 16, 10)
+        .cast("long"), lit(2)) === 0, lit(1L)).otherwise(lit(-1L))
+    df.select(keyCols.map(col) :+ bucket.as("bucket") :+ sign.as("__sign"): _*)
+      .groupBy((keyCols :+ "bucket").map(col): _*)
+      .agg(sum(col("__sign")).as("value"))
+  }
+
+  /** Leakage-free split assignment: every row of a group key (user,
+    * session, document cluster…) lands in the SAME split, decided by hash
+    * threshold — `trainPct`/`valPct` are percentages of the 100-bucket
+    * space, the rest is test. Adds a `split` column; no shuffle, no join,
+    * reproducible on any engine.
+    */
+  def groupSplit(df: DataFrame, keyCol: String, trainPct: Int, valPct: Int)
+      : DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val b = hashBucket(col(keyCol), 100)
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Concatenate-and-chunk sequence packing: documents are laid end-to-end
+    * on a per-`groupCol` token stream (ordered by `idCol`) and a document
+    * belongs to the pack where it STARTS — pack = ⌊start_offset / budget⌋,
+    * the standard way LLM pretraining forms fixed-length batches from
+    * variable-length documents. The window partitions by `groupCol`
+    * (source/shard), so the running sum parallelizes; at 100 TB the shard
+    * key is exactly the unit a writer task owns, so this is the natural
+    * distribution. Returns (group, pack, doc_id, n_tokens, start_offset).
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, budget: Int): DataFrame = {
+    val nTok = size(toks(col(textCol))).cast("long")
+    val w = Window.partitionBy(groupCol).orderBy(idCol)
+    docs.select(col(groupCol), col(idCol), nTok.as("n_tokens"))
+      .withColumn("start_offset",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("pack", floor(col("start_offset") / budget))
+  }
+
+  /** Dataset-mixture sampling: keep a row iff its md5 bucket (0–9999)
+    * clears the source's weight threshold — deterministic corpus mixing
+    * with zero shuffle (the decision is a per-row expression). Sources
+    * absent from `weights` keep `defaultWeight`. */
+  def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Double], defaultWeight: Double): DataFrame = {
+    val threshold = weights.foldLeft(lit(defaultWeight * 10000)) {
+      case (acc, (src, w)) =>
+        when(col(sourceCol) === src, lit(w * 10000)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), 10000) < threshold)
+  }
+}
