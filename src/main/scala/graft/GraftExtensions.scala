@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, SortedIntersectCount}
+import graft.functions.{DotProduct, NgramHashes, SimHash32, SortedIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -17,6 +17,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `graft_sorted_intersect(array<long>, array<long>) -> long` —
   *    codegen'd merge intersection count over sorted duplicate-free arrays
   *    ([[graft.functions.SortedIntersectCount]]).
+  *  - `graft_ngram_hashes(text, n) -> array<struct<ha,hb>>` — fused
+  *    tokenize → n-gram → per-doc distinct → md5 48-bit halves
+  *    ([[graft.functions.NgramHashes]]).
+  *  - `graft_simhash(text) -> long` — whole-document 32-bit SimHash in one
+  *    expression ([[graft.functions.SimHash32]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -35,5 +40,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_sorted_intersect"),
       (children: Seq[Expression]) =>
         SortedIntersectCount(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_ngram_hashes"),
+      new ExpressionInfo(classOf[NgramHashes].getName, "graft_ngram_hashes"),
+      (children: Seq[Expression]) => {
+        val n = children(1) match {
+          case lit if lit.foldable =>
+            lit.eval().asInstanceOf[Number].intValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_ngram_hashes n must be a literal, got $other")
+        }
+        NgramHashes(children.head, n)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimHash32(children.head)))
   }
 }

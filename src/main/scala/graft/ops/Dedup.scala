@@ -94,6 +94,20 @@ object Dedup {
   def tokenHash48(c: Column): Column =
     conv(substring(md5(c), 1, 12), 16, 10).cast("long")
 
+  /** (id, ha, hb): per-document-distinct n-gram md5 halves via the fused
+    * codegen kernel `graft_ngram_hashes` ([[graft.functions.NgramHashes]]).
+    * Replaces explode + distinct + hex-string hashing for every
+    * set-similarity operator: `ha` ≡ [[tokenHash48]] of the gram, (ha, hb)
+    * are the double-hashing base of the MinHash permutations. Per-document
+    * dedup inside the expression IS the (id, gram) distinct — id is fixed
+    * within a row — so no distinct shuffle remains.
+    */
+  def tokenHashPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 1): DataFrame =
+    df.select(col(idCol).as("id"),
+        call_function("graft_ngram_hashes", col(textCol), lit(n)).as("g"))
+      .select(col("id"), inline(col("g")))
+
   /** One row per document: its distinct token (or n-gram) set as an
     * `array<long>` of 48-bit token hashes sorted by (ascending global
     * document frequency, hash) — rarest first, the AllPairs canonical
@@ -102,8 +116,8 @@ object Dedup {
     * All downstream joins/intersections run on fixed-width Longs.
     */
   def tokenSets(df: DataFrame, idCol: String, textCol: String, n: Int = 1): DataFrame = {
-    val tok = shingles(df, idCol, textCol, n)
-      .select(col("id"), tokenHash48(col("token")).as("th"))
+    val tok = tokenHashPairs(df, idCol, textCol, n)
+      .select(col("id"), col("ha").as("th"))
     val freq = tok.groupBy("th").agg(count(lit(1)).as("tok_df"))
     tok.join(freq, Seq("th"))
       .groupBy("id")
@@ -195,8 +209,8 @@ object Dedup {
       posexplode(slice(col("toks"), lit(1), prefixLen(col("n_tokens"), threshold)))
         .as(Seq("pos", "th")))
     val prefix = if (maxDf <= 0L) prefix0 else {
-      val hot = shingles(df, idCol, textCol, n)
-        .select(tokenHash48(col("token")).as("th"))
+      val hot = tokenHashPairs(df, idCol, textCol, n)
+        .select(col("ha").as("th"))
         .groupBy("th").agg(count(lit(1)).as("df"))
         .filter(col("df") > maxDf).select("th")
       prefix0.join(broadcast(hot), Seq("th"), "left_anti")
@@ -221,32 +235,25 @@ object Dedup {
           greatest(col("pn_a"), col("pn_b")) * threshold - 1e-9 &&
         reachable >= minOverlap)
       .select("id_a", "id_b")
+      // the distinct's map-side partial aggregation dedups before the
+      // exchange; measured FASTER than shipping the candidate multiset
+      // straight into verification (duplicated pairs through the verify
+      // joins cost more than the partial-agg'd exchange saves)
       .distinct()
   }
 
-  /** 48-bit integer from 12 hex digits of an md5 column. */
-  private def hexLong(hexCol: Column, start: Int): Column =
-    conv(substring(hexCol, start, 12), 16, 10).cast("long")
-
-  /** (id, ha, hb): two independent 48-bit token hashes from one md5 —
-    * the double-hashing base for all MinHash permutations.
-    */
-  private def tokenHashes(tok: DataFrame): DataFrame = {
-    val base = md5(col("token"))
-    tok.select(col("id"),
-      hexLong(base, 1).as("ha"), hexLong(base, 13).as("hb"))
-  }
-
   /** MinHash signatures: one row per id with `numHashes` Long min-hashes
-    * `s0..s{n-1}`, permutation i being `(ha + i·hb) mod MinhashMod`. One
-    * md5 per token row, one shuffle (group-by id).
+    * `s0..s{n-1}`, permutation i being `(ha + i·hb) mod MinhashMod`, the
+    * (ha, hb) double-hashing base coming from the fused
+    * [[tokenHashPairs]] kernel (one md5 per distinct token, no hex
+    * round-trip). One shuffle (group-by id).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int): DataFrame = {
     val aggs = (0 until numHashes).map { i =>
       min(pmod(col("ha") + lit(i.toLong) * col("hb"), lit(MinhashMod))).as(s"s$i")
     }
-    tokenHashes(tokens(df, idCol, textCol))
+    tokenHashPairs(df, idCol, textCol)
       .groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -559,21 +566,17 @@ object Dedup {
   /** 32-bit SimHash over distinct tokens: bit i of a token's contribution
     * is the parity of hex digit i of its md5 (ascii(c) % 2 — expressible in
     * both engines); the document bit is the sign of the summed ±1 votes.
-    * Returns (id, simhash: Long). One shuffle.
+    * Returns (id, simhash: Long).
+    *
+    * Computed entirely per document by the fused `graft_simhash` codegen
+    * expression ([[graft.functions.SimHash32]]) — ZERO shuffles, replacing
+    * the explode + 32-sum group-by formulation. Token-less documents are
+    * dropped (the grouped formulation never produced a row for them).
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val votes = (0 until 32).map { i =>
-      sum(when(ascii(substring(md5(col("token")), i + 1, 1)) % 2 === 1, 1)
-        .otherwise(-1)).as(s"v$i")
-    }
-    val bits = (0 until 32).map { i =>
-      when(col(s"v$i") >= 0, lit(1L) * (1L << i)).otherwise(0L)
-    }
-    tokens(df, idCol, textCol)
-      .groupBy("id")
-      .agg(votes.head, votes.tail: _*)
-      .select(col("id"), bits.reduce(_ + _).as("simhash"))
-  }
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        call_function("graft_simhash", col(textCol)).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, using the
     * block trick for candidate generation: split 32 bits into
