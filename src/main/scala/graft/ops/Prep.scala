@@ -162,6 +162,84 @@ object Prep {
       .withColumn("pack", floor(col("start_offset") / budget))
   }
 
+  /** Exact stratified sampling: keep ⌈fraction · n⌉ rows per stratum —
+    * deterministic (rows ranked by md5 of the key, then key), engine- and
+    * partitioning-independent, and EXACT per-stratum counts where
+    * `df.sample` is only exact in expectation. One shuffle (the per-stratum
+    * window); stratum sizes bound partition work, and a skewed stratum is
+    * exactly the case where sampling output stays proportional. Returns the
+    * input columns plus the rank used, filtered to the sample.
+    */
+  def stratifiedSample(df: DataFrame, strataCols: Seq[String],
+      keyCol: String, fraction: Double): DataFrame = {
+    require(fraction > 0 && fraction <= 1, s"bad fraction $fraction")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(strataCols.map(col): _*)))
+      .filter(col("__rn") <= ceil(col("__n") * fraction))
+      .drop("__n")
+      .withColumnRenamed("__rn", "sample_rank")
+  }
+
+  /** Fixed-width histogram of a ≤2-dp money column: global min/max in exact
+    * DECIMAL (one tiny aggregate, broadcast back — no collect), bin =
+    * `min(⌊(x−mn)·bins/(mx−mn)⌋, bins−1)` computed in DOUBLE from the exact
+    * DECIMAL endpoints (bit-identical across engines), counts and per-bin
+    * DECIMAL sums exact. Returns (bin, bin_lo, bin_hi, n, total). One
+    * shuffle (group-by bin).
+    */
+  def histogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    require(bins > 0, s"bad bin count $bins")
+    val xd = col(valueCol).cast(Money)
+    val stats = df.agg(min(xd).as("__mn"), max(xd).as("__mx"))
+    val range = (col("__mx") - col("__mn")).cast("double")
+    val bin = when(range > 0,
+      least(floor((xd - col("__mn")).cast("double") * bins / range),
+        lit(bins - 1))).otherwise(lit(0)).cast("long")
+    df.crossJoin(broadcast(stats))
+      .select(bin.as("bin"), xd.as("__xd"), col("__mn"), col("__mx"))
+      .groupBy("bin")
+      .agg(first(col("__mn")).as("__mn"), first(col("__mx")).as("__mx"),
+        count(lit(1)).as("n"), sum(col("__xd")).cast("double").as("total"))
+      .select(col("bin"),
+        round(col("__mn").cast("double") +
+          col("bin") * (col("__mx") - col("__mn")).cast("double") / bins, 6)
+          .as("bin_lo"),
+        round(col("__mn").cast("double") +
+          (col("bin") + 1) * (col("__mx") - col("__mn")).cast("double") / bins, 6)
+          .as("bin_hi"),
+        col("n"), col("total"))
+  }
+
+  /** Overlapping token-window chunking — the context-window prep step for
+    * pretraining / RAG indexing: chunk c starts at token `c·stride` and
+    * spans `chunkSize` tokens (the tail chunk may be shorter). Entirely
+    * per-row (explode of a bounded starts array) — no shuffle; chunk counts
+    * are bounded by document length over stride. Documents with no tokens
+    * produce no chunks. Returns (doc_id, chunk_idx, start_offset,
+    * n_chunk_tokens, chunk_text).
+    */
+  def chunkText(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, s"bad chunk=$chunkSize stride=$stride")
+    val t = toks(col(textCol))
+    val starts = when(size(t) > 0, sequence(lit(0), size(t) - 1, lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    docs.select(col(idCol).as("doc_id"), t.as("__toks"),
+        explode(starts).as("start_offset"))
+      .select(col("doc_id"),
+        (col("start_offset") / stride).cast("long").as("chunk_idx"),
+        col("start_offset").cast("long"),
+        slice(col("__toks"), col("start_offset") + 1, lit(chunkSize)).as("__c"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_offset"),
+        size(col("__c")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("__c")).as("chunk_text"))
+  }
+
   /** Dataset-mixture sampling: keep a row iff its md5 bucket (0–9999)
     * clears the source's weight threshold — deterministic corpus mixing
     * with zero shuffle (the decision is a per-row expression). Sources

@@ -185,6 +185,41 @@ object Similarity {
       .agg((sum(col("xd")).cast("double") / count(lit(1))).as("m"),
         count(lit(1)).as("n"))
 
+  /** Int8 scalar quantization of the embedding column, reported per
+    * dimension — the storage-compression prep step for ANN serving (4×
+    * smaller than float32; a quantized corpus is what actually ships to a
+    * vector index at 100 TB). Asymmetric per-dimension min/max scaling:
+    * `code = min(⌊(v − mn_d) · 256 / (mx_d − mn_d)⌋, 255)`.
+    *
+    * Plan shape: one posexplode of the corpus, one tiny per-dimension
+    * min/max aggregate BROADCAST back (no collect), then a per-dimension
+    * aggregate of the integer codes. All comparisons/floors run on exact
+    * float-extended doubles, so code values — and their sums — are
+    * bit-identical across engines; no floating-point aggregation appears in
+    * the output (code sums are integer-exact).
+    *
+    * Returns (dim, n, mn, mx, code_sum, code_min, code_max), one row per
+    * dimension.
+    */
+  def int8QuantStats(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val dims = emb.select(col(idCol).as("id"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "v")))
+    val stats = dims.groupBy("dim").agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val code = when(col("mx") > col("mn"),
+      least(floor((col("v") - col("mn")) * 256.0 / (col("mx") - col("mn"))),
+        lit(255.0))).otherwise(lit(0.0)).cast("long")
+    dims.join(broadcast(stats), Seq("dim"))
+      .select(col("dim").cast("long").as("dim"), col("mn"), col("mx"), code.as("code"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        round(first(col("mn")), 6).as("mn"),
+        round(first(col("mx")), 6).as("mx"),
+        sum(col("code")).as("code_sum"),
+        min(col("code")).as("code_min"),
+        max(col("code")).as("code_max"))
+      .select("dim", "n", "mn", "mx", "code_sum", "code_min", "code_max")
+  }
+
   /** Per-label centroid summary: vector count, centroid norm, and cosine
     * of the label centroid to the global centroid (embedding-drift shape:
     * a label whose centroid swings away from global is shifting).

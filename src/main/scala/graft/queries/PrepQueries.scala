@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.Prep
+import graft.ops.{Decontamination, Prep}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -82,13 +82,74 @@ object PrepQueries {
       .orderBy("source")
   }
 
+  private val DecontamN = 3
+  private val DecontamMaxFrac = 0.5
+  private val StratFraction = 0.1
+  private val HistBins = 20
+  private val ChunkSize = 40
+  private val ChunkStride = 30
+
+  /** Per-document 3-gram overlap against the src0 eval slice — corpus side
+    * never shuffles (eval grams broadcast as one sorted array, overlap via
+    * the codegen merge-intersect kernel).
+    */
+  def decontamOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Decontamination.overlapStats(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", DecontamN)
+      .orderBy("doc_id")
+  }
+
+  /** Survivor count + checksum after dropping docs with ≥50% eval-set
+    * 3-gram overlap.
+    */
+  def decontamSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Decontamination.decontaminate(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", DecontamN, DecontamMaxFrac)
+      .agg(count(lit(1)).as("n_survivors"),
+        sum(col("doc_id")).as("id_checksum"))
+  }
+
+  /** Exact 10% stratified sample of orders by status: per-stratum kept
+    * count and key checksum (counts are ⌈0.1·n⌉ exactly, not in
+    * expectation — PrepSpec pins the per-stratum exactness property).
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Prep.stratifiedSample(Tables.orders(spark, dir), Seq("o_orderstatus"),
+        "o_orderkey", StratFraction)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("o_orderkey")).as("key_checksum"))
+      .orderBy("o_orderstatus")
+
+  /** 20-bin fixed-width histogram of lineitem extended price. */
+  def histogramPrice(spark: SparkSession, dir: String): DataFrame =
+    Prep.histogram(Tables.lineitem(spark, dir), "l_extendedprice", HistBins)
+      .orderBy("bin")
+
+  /** Overlapping 40-token/30-stride chunks of every document. */
+  def chunkText(spark: SparkSession, dir: String): DataFrame =
+    Prep.chunkText(Tables.documents(spark, dir), "doc_id", "text",
+        ChunkSize, ChunkStride)
+      .orderBy("doc_id", "chunk_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "prep_tfidf_top_terms" -> tfidfTopTerms,
     "prep_normalize_acctbal" -> normalizeAcctbal,
     "prep_feature_hash" -> featureHash,
     "prep_group_split" -> groupSplit,
     "prep_pack_sequences" -> packSequences,
-    "prep_mixture_sample" -> mixtureSample)
+    "prep_mixture_sample" -> mixtureSample,
+    "prep_decontam_overlap" -> decontamOverlap,
+    "prep_decontam_survivors" -> decontamSurvivors,
+    "prep_stratified_sample" -> stratifiedSample,
+    "prep_histogram_price" -> histogramPrice,
+    "prep_chunk_text" -> chunkText)
 
   // ---- oracle SQL -------------------------------------------------------------
 
@@ -178,5 +239,74 @@ object PrepQueries {
          |t AS (SELECT source, count(*) AS n_total FROM documents GROUP BY 1)
          |SELECT t.source, t.n_total, coalesce(k.n_kept, 0) AS n_kept
          |FROM t LEFT JOIN k USING (source) ORDER BY source""".stripMargin
-    })
+    },
+    "prep_decontam_overlap" ->
+      s"""$decontamCtes
+         |SELECT doc_id, n_grams, n_overlap,
+         |  round(n_overlap * 1.0 / n_grams, 6) AS overlap_frac
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "prep_decontam_survivors" ->
+      s"""$decontamCtes,
+         |flagged AS (
+         |  SELECT doc_id FROM c
+         |  WHERE round(n_overlap * 1.0 / n_grams, 6) >= $DecontamMaxFrac)
+         |SELECT count(*) AS n_survivors, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         |FROM documents
+         |WHERE source <> 'src0'
+         |  AND doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin,
+    "prep_stratified_sample" ->
+      s"""WITH r AS (SELECT o_orderkey, o_orderstatus,
+         |  row_number() OVER (PARTITION BY o_orderstatus
+         |    ORDER BY md5(o_orderkey::VARCHAR), o_orderkey) AS rn,
+         |  count(*) OVER (PARTITION BY o_orderstatus) AS n
+         |  FROM orders)
+         |SELECT o_orderstatus, count(*) AS n_kept,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+         |FROM r WHERE rn <= ceil(n * $StratFraction)
+         |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "prep_histogram_price" ->
+      s"""WITH x AS (SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS xd
+         |           FROM lineitem),
+         |s AS (SELECT min(xd) AS mn, max(xd) AS mx FROM x),
+         |b AS (SELECT CASE WHEN CAST(mx - mn AS DOUBLE) > 0
+         |        THEN CAST(least(floor(CAST(xd - mn AS DOUBLE) * $HistBins
+         |               / CAST(mx - mn AS DOUBLE)), $HistBins - 1) AS BIGINT)
+         |        ELSE 0 END AS bin, xd, mn, mx
+         |      FROM x, s)
+         |SELECT bin,
+         |  round(CAST(mn AS DOUBLE)
+         |    + bin * CAST(mx - mn AS DOUBLE) / $HistBins, 6) AS bin_lo,
+         |  round(CAST(mn AS DOUBLE)
+         |    + (bin + 1) * CAST(mx - mn AS DOUBLE) / $HistBins, 6) AS bin_hi,
+         |  count(*) AS n, CAST(sum(xd) AS DOUBLE) AS total
+         |FROM b GROUP BY bin, mn, mx ORDER BY bin""".stripMargin,
+    "prep_chunk_text" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |  FROM documents),
+         |c AS (SELECT doc_id, i AS s,
+         |        list_slice(toks, i + 1, i + $ChunkSize) AS ch
+         |      FROM d, UNNEST(generate_series(0, len(toks) - 1, $ChunkStride)) u(i)
+         |      WHERE len(toks) > 0)
+         |SELECT doc_id, CAST(s / $ChunkStride AS BIGINT) AS chunk_idx,
+         |  CAST(s AS BIGINT) AS start_offset,
+         |  CAST(len(ch) AS BIGINT) AS n_chunk_tokens,
+         |  array_to_string(ch, ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)
+
+  // 3-gram hashes per non-eval doc vs the distinct eval (src0) gram set —
+  // mirrors Decontamination.overlapStats' graft_ngram_hashes construction
+  private lazy val decontamCtes =
+    s"""WITH d AS (SELECT doc_id, source,
+       |  list_filter(string_split(text, ' '), t -> t <> '') AS toks
+       |  FROM documents),
+       |g AS (SELECT DISTINCT doc_id, source,
+       |        ('0x' || substr(md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]),
+       |          1, 12))::BIGINT AS th
+       |      FROM d, UNNEST(generate_series(1, len(toks) - ${DecontamN - 1})) u(i)
+       |      WHERE len(toks) >= $DecontamN),
+       |e AS (SELECT DISTINCT th FROM g WHERE source = 'src0'),
+       |c AS (SELECT g.doc_id, count(*) AS n_grams, count(e.th) AS n_overlap
+       |      FROM g LEFT JOIN e ON g.th = e.th
+       |      WHERE g.source <> 'src0' GROUP BY 1)""".stripMargin
 }

@@ -107,7 +107,16 @@ object SimilarityQueries {
         "label", "embedding")
       .orderBy("label")
 
+  /** Per-dimension int8 scalar-quantization stats (min/max scaling; code
+    * sums are integer-exact so the hash compare is airtight).
+    */
+  def int8Quant(spark: SparkSession, dir: String): DataFrame =
+    Similarity.int8QuantStats(Tables.embeddings(spark, dir),
+        "vec_id", "embedding")
+      .orderBy("dim")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_int8_quant" -> int8Quant,
     "sim_brute_topk" -> bruteTopK,
     "sim_neardup_pairs" -> nearDupPairs,
     "sim_lsh_topk" -> lshTopK,
@@ -200,5 +209,21 @@ object SimilarityQueries {
          |        OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
          |      FROM s)
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
-         |FROM r WHERE rank <= $KnnK ORDER BY q_id, rank""".stripMargin)
+         |FROM r WHERE rank <= $KnnK ORDER BY q_id, rank""".stripMargin,
+    "sim_int8_quant" ->
+      s"""WITH pe AS (
+         |  SELECT i - 1 AS dim, embedding[i]::DOUBLE AS v
+         |  FROM embeddings, UNNEST(generate_series(1, $Dim)) u(i)),
+         |s AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM pe GROUP BY 1),
+         |c AS (SELECT pe.dim, v, mn, mx,
+         |        CASE WHEN mx > mn
+         |          THEN CAST(least(floor((v - mn) * 256.0 / (mx - mn)), 255.0)
+         |                 AS BIGINT)
+         |          ELSE CAST(0 AS BIGINT) END AS code
+         |      FROM pe JOIN s USING (dim))
+         |SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
+         |  round(min(mn), 6) AS mn, round(max(mx), 6) AS mx,
+         |  CAST(sum(code) AS BIGINT) AS code_sum,
+         |  min(code) AS code_min, max(code) AS code_max
+         |FROM c GROUP BY dim ORDER BY dim""".stripMargin)
 }

@@ -78,6 +78,59 @@ class PrepSpec extends AnyFunSuite {
     assert(totalToks == viaPacks && totalToks > 0L)
   }
 
+  test("stratifiedSample: exactly ceil(f*n) rows per stratum, " +
+    "partitioning-independent") {
+    val orders = Tables.orders(spark, dir)
+    val expected = orders.groupBy("o_orderstatus").count()
+      .as[(String, Long)].collect().toMap
+    val kept = Prep.stratifiedSample(orders, Seq("o_orderstatus"),
+        "o_orderkey", 0.3)
+      .groupBy("o_orderstatus").count()
+      .as[(String, Long)].collect().toMap
+    assert(kept.keySet == expected.keySet)
+    kept.foreach { case (st, n) =>
+      assert(n == math.ceil(expected(st) * 0.3).toLong, s"stratum $st")
+    }
+    val again = Prep.stratifiedSample(orders.repartition(7),
+        Seq("o_orderstatus"), "o_orderkey", 0.3)
+      .orderBy("o_orderkey").select("o_orderkey").as[Long].collect()
+    val first = Prep.stratifiedSample(orders, Seq("o_orderstatus"),
+        "o_orderkey", 0.3)
+      .orderBy("o_orderkey").select("o_orderkey").as[Long].collect()
+    assert(first.nonEmpty && first.sameElements(again))
+  }
+
+  test("histogram: bins bounded, counts and totals partition the input") {
+    val li = Tables.lineitem(spark, dir)
+    val h = Prep.histogram(li, "l_extendedprice", 10)
+      .as[(Long, Double, Double, Long, Double)].collect()
+    assert(h.forall { case (b, lo, hi, _, _) => b >= 0 && b < 10 && lo < hi })
+    assert(h.map(_._4).sum == li.count())
+    val exact = li.agg(sum(col("l_extendedprice").cast("decimal(18,2)")))
+      .head().getDecimal(0).doubleValue()
+    assert(math.abs(h.map(_._5).sum - exact) < 1e-4)
+  }
+
+  test("histogram: degenerate single-value column lands all rows in bin 0") {
+    val one = Seq(5.0, 5.0, 5.0).toDF("x")
+    val h = Prep.histogram(one, "x", 10)
+      .as[(Long, Double, Double, Long, Double)].collect()
+    assert(h.length == 1 && h.head._1 == 0L && h.head._4 == 3L)
+  }
+
+  test("chunkText: chunks tile tokens with stride overlap, tail shorter") {
+    val docs = Seq((1L, "a b c d e f g"), (2L, ""), (3L, "x")).toDF("id", "t")
+    val out = Prep.chunkText(docs, "id", "t", 4, 3)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    // doc 1 (7 toks): starts 0,3,6 → chunks of 4,4,1; doc 2: none; doc 3: one
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(r => (r._2, r._3, r._4)).toSeq ==
+      Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 1L)))
+    assert(d1.map(_._5).toSeq == Seq("a b c d", "d e f g", "g"))
+    assert(!out.exists(_._1 == 2L))
+    assert(out.filter(_._1 == 3L).map(_._5).toSeq == Seq("x"))
+  }
+
   test("mixtureSample: kept is a deterministic subset honoring weights") {
     val docs = Tables.documents(spark, dir)
     val w = Map("src0" -> 1.0)

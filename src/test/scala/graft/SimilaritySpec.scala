@@ -102,6 +102,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rm > 0.5, "multiprobe should recover most true neighbors here")
   }
 
+  test("int8 quant stats: codes span [0,255], extremes map to endpoints") {
+    val out = Similarity.int8QuantStats(emb, "vec_id", "embedding")
+      .orderBy("dim")
+      .as[(Long, Long, Double, Double, Long, Long, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(out.forall(_._2 == 5L)) // every dim sees all 5 vectors
+    out.foreach { case (d, _, mn, mx, sum, cmin, cmax) =>
+      assert(cmin >= 0L && cmax <= 255L, s"dim $d codes out of range")
+      if (mx > mn) { assert(cmin == 0L && cmax == 255L, s"dim $d endpoints") }
+      else { assert(cmin == 0L && cmax == 0L && sum == 0L, s"dim $d const") }
+    }
+    // dim 0: values (1,2,0,-1,1), range [-1,2] → codes floor((v+1)*256/3)
+    val d0 = out.find(_._1 == 0L).get
+    val expect = Seq(1.0, 2.0, 0.0, -1.0, 1.0)
+      .map(v => math.min(math.floor((v + 1.0) * 256.0 / 3.0), 255.0).toLong)
+    assert(d0._5 == expect.sum)
+  }
+
   test("hyperplanes are seed-deterministic") {
     assert(Similarity.hyperplanes(4, 8).map(_.toSeq).toSeq ==
       Similarity.hyperplanes(4, 8).map(_.toSeq).toSeq)
