@@ -252,4 +252,52 @@ object Prep {
     }
     df.filter(hashBucket(col(idCol), 10000) < threshold)
   }
+
+  /** PII patterns shared by [[redactPii]] and its oracle SQL — plain
+    * regexes valid in both Java regex and RE2 (no lookaround, no
+    * backreferences), applied email → phone → IPv4.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("emails", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "[EMAIL]"),
+    ("phones", """\d{3}-\d{3}-\d{4}""", "[PHONE]"),
+    ("ips", """\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}""", "[IP]"))
+
+  /** PII redaction — the pre-training privacy scrub: replaces every
+    * email / phone / IPv4 match with a typed placeholder and reports
+    * per-type match counts (counted on the ORIGINAL text, so counts are
+    * independent of redaction order). Pure per-row expression work — zero
+    * shuffle at any corpus size; the regexes are RE2-compatible so the
+    * identical pipeline runs in the DuckDB oracle.
+    *
+    * Returns the input row plus `redacted`, `n_emails`, `n_phones`,
+    * `n_ips`.
+    */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val redacted = PiiPatterns.foldLeft(col(textCol)) {
+      case (acc, (_, pat, repl)) => regexp_replace(acc, pat, repl)
+    }
+    val counts = PiiPatterns.map { case (name, pat, _) =>
+      regexp_count(col(textCol), lit(pat)).cast("long").as(s"n_$name")
+    }
+    df.select(col("*") +: redacted.as("redacted") +: counts: _*)
+  }
+
+  /** Gap-based sessionization: a new session starts whenever the time since
+    * the key's previous event exceeds `gapSeconds` (or at the key's first
+    * event). Classic behavioral-feature / training-sequence boundary op.
+    *
+    * One shuffle (window partition on the key); ordering within a key is
+    * (ts, tieCol) so session numbering is deterministic under duplicate
+    * timestamps. Returns the input plus `session_idx` (1-based per key).
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val prevTs = lag(col(tsCol), 1).over(w)
+    val isNew = when(prevTs.isNull ||
+      unix_micros(col(tsCol)) - unix_micros(prevTs) > gapSeconds * 1000000L,
+      1L).otherwise(0L)
+    df.withColumn("session_idx",
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
 }

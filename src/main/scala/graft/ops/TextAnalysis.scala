@@ -239,4 +239,52 @@ object TextAnalysis {
       array_max(array(scored: _*)).getField("lang").as("predicted_lang"),
       round(greatest(scored.map(_.getField("score")): _*), 6).as("lang_score"))
   }
+
+  /** Okapi BM25 ranking of the corpus against a bag of query terms —
+    * the lexical-retrieval half of a RAG / hard-negative-mining pipeline
+    * (Robertson & Zaragoza 2009, "The Probabilistic Relevance Framework").
+    *
+    * Per-term score: `idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * with `idf = ln(1 + (N−df+0.5)/(df+0.5))`.
+    *
+    * Shape at scale: the corpus explode is filtered to the query terms
+    * BEFORE the (doc, term) count — the only wide shuffle runs over rows
+    * that actually contain a query term. Document length comes from a
+    * per-row expression; N/avgdl arrive as a broadcast one-row aggregate
+    * (no collect). Per-term contributions are rounded to 6 dp and summed
+    * in exact DECIMAL so the per-document score is bit-identical on any
+    * engine and partitioning (FP sum order never leaks into the output).
+    *
+    * Returns the top-k (id, bm25) by (score desc, id).
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val qlit = array(queryTerms.map(lit): _*)
+    val docs = df.select(col(idCol).as("id"),
+      toks(col(textCol)).as("__toks"))
+    val dl = docs.select(col("id"), size(col("__toks")).cast("long").as("dl"))
+    val hits = docs
+      .select(col("id"), explode(col("__toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tf = hits.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val contrib = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("c",
+        round(col("idf") * col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))),
+          6).cast(DecimalType(18, 6)))
+    contrib.groupBy("id")
+      .agg(round(sum(col("c")).cast("double"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("id"))
+      .limit(k)
+  }
 }

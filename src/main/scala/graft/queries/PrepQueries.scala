@@ -138,6 +138,39 @@ object PrepQueries {
         ChunkSize, ChunkStride)
       .orderBy("doc_id", "chunk_idx")
 
+  private val SessionGapSec = 21600L
+
+  /** PII redaction over deterministic synthesized contact lines (the corpus
+    * itself is PII-free, so each doc gets an email + phone + IPv4 derived
+    * from its id — same construction mirrored in the oracle SQL).
+    */
+  def redactPii(spark: SparkSession, dir: String): DataFrame = {
+    val pii = Tables.documents(spark, dir).filter(col("doc_id") < 100)
+      .select(col("doc_id"), concat(
+        substring(col("text"), 1, 40),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 555-010-"),
+        lpad(pmod(col("doc_id") * 7, lit(10000)).cast("string"), 4, "0"),
+        lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit("."), pmod(col("doc_id") * 3, lit(256)).cast("string")).as("text"))
+    Prep.redactPii(pii, "text")
+      .select("doc_id", "redacted", "n_emails", "n_phones", "n_ips")
+      .orderBy("doc_id")
+  }
+
+  /** Gap-based sessions (6 h) for the first 20 users: per-session event
+    * count and time bounds — the median inter-event gap in the synthetic
+    * stream is ~7 h, so sessions genuinely split.
+    */
+  def sessionizeEvents(spark: SparkSession, dir: String): DataFrame =
+    Prep.sessionize(Tables.events(spark, dir).filter(col("user_id") < 20),
+        "user_id", "ts", "event_id", SessionGapSec)
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+      .orderBy("user_id", "session_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "prep_tfidf_top_terms" -> tfidfTopTerms,
     "prep_normalize_acctbal" -> normalizeAcctbal,
@@ -149,7 +182,9 @@ object PrepQueries {
     "prep_decontam_survivors" -> decontamSurvivors,
     "prep_stratified_sample" -> stratifiedSample,
     "prep_histogram_price" -> histogramPrice,
-    "prep_chunk_text" -> chunkText)
+    "prep_chunk_text" -> chunkText,
+    "prep_redact_pii" -> redactPii,
+    "prep_sessionize" -> sessionizeEvents)
 
   // ---- oracle SQL -------------------------------------------------------------
 
@@ -292,7 +327,44 @@ object PrepQueries {
          |  CAST(s AS BIGINT) AS start_offset,
          |  CAST(len(ch) AS BIGINT) AS n_chunk_tokens,
          |  array_to_string(ch, ' ') AS chunk_text
-         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "prep_redact_pii" -> {
+      val Seq(email, phone, ip) = Prep.PiiPatterns.map(_._2)
+      s"""WITH p AS (SELECT doc_id,
+         |  substr(text, 1, 40) || ' contact user' || doc_id
+         |    || '@example.com or 555-010-'
+         |    || lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0')
+         |    || ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id * 3) % 256)
+         |    AS text
+         |  FROM documents WHERE doc_id < 100)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$email', '[EMAIL]', 'g'),
+         |    '$phone', '[PHONE]', 'g'),
+         |    '$ip', '[IP]', 'g') AS redacted,
+         |  len(regexp_extract_all(text, '$email'))::BIGINT AS n_emails,
+         |  len(regexp_extract_all(text, '$phone'))::BIGINT AS n_phones,
+         |  len(regexp_extract_all(text, '$ip'))::BIGINT AS n_ips
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+    "prep_sessionize" ->
+      s"""WITH l AS (SELECT user_id, event_id, ts,
+         |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events WHERE user_id < 20),
+         |s AS (SELECT user_id, event_id, ts,
+         |        CASE WHEN prev_ts IS NULL
+         |               OR epoch_us(ts) - epoch_us(prev_ts)
+         |                  > ${SessionGapSec * 1000000L}
+         |          THEN 1 ELSE 0 END AS is_new
+         |      FROM l),
+         |x AS (SELECT user_id, ts,
+         |        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |          ROWS UNBOUNDED PRECEDING) AS session_idx
+         |      FROM s)
+         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+         |  count(*) AS n_events, min(epoch_us(ts)) AS start_us,
+         |  max(epoch_us(ts)) AS end_us
+         |FROM x GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin)
 
   // 3-gram hashes per non-eval doc vs the distinct eval (src0) gram set —
   // mirrors Decontamination.overlapStats' graft_ngram_hashes construction

@@ -82,6 +82,17 @@ object TextQueries {
     TextAnalysis.repetitionStats(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  private val Bm25Terms = Seq("join", "hash", "window", "spark")
+  private val Bm25K = 20
+
+  /** Okapi BM25 top-20 documents for a 4-term query over the corpus
+    * vocabulary — the lexical-retrieval shape (idf fitted on the full
+    * corpus; per-term contributions DECIMAL-summed for bit stability).
+    */
+  def bm25(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25TopK(Tables.documents(spark, dir), "doc_id", "text",
+      Bm25Terms, Bm25K)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition" -> repetition,
     "text_token_stats" -> tokenStats,
@@ -90,7 +101,8 @@ object TextQueries {
     "text_lang_id" -> langId,
     "text_token_frequencies" -> tokenFrequencies,
     "text_edit_distance" -> editDistance,
-    "text_fingerprint" -> fingerprint)
+    "text_fingerprint" -> fingerprint,
+    "text_bm25_topk" -> bm25)
 
   // ---- oracle SQL -------------------------------------------------------------
 
@@ -200,5 +212,24 @@ object TextQueries {
          |  CAST(list_reduce(list_prepend(0::BIGINT, hs),
          |    (h, x) -> (h * 31 + x) % ${TextAnalysis.FpMod}) AS BIGINT)
          |    AS doc_fingerprint
-         |FROM h ORDER BY doc_id""".stripMargin)
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "text_bm25_topk" -> {
+      val in = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH $toksCte,
+         |dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM d),
+         |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |h AS (SELECT doc_id, unnest(toks) AS term FROM d),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM h
+         |       WHERE term IN ($in) GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |c AS (SELECT tf.doc_id,
+         |        CAST(round(
+         |          ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+         |            * tf.tf * 2.2
+         |            / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / st.avgdl)),
+         |          6) AS DECIMAL(18,6)) AS c
+         |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st)
+         |SELECT doc_id AS id, round(CAST(sum(c) AS DOUBLE), 6) AS bm25
+         |FROM c GROUP BY 1 ORDER BY bm25 DESC, id LIMIT $Bm25K""".stripMargin
+    })
 }

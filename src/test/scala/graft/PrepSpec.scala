@@ -131,6 +131,43 @@ class PrepSpec extends AnyFunSuite {
     assert(out.filter(_._1 == 3L).map(_._5).toSeq == Seq("x"))
   }
 
+  test("redactPii: replaces email/phone/ip, counts on original text") {
+    val d = Seq(
+      (1L, "mail a@b.com and c.d-e@f.org, call 555-123-4567 from 10.0.0.1"),
+      (2L, "no pii here"),
+      (3L, "two ips 192.168.0.1 1.2.3.4")).toDF("id", "text")
+    val m = Prep.redactPii(d, "text").collect()
+      .map(r => r.getAs[Long]("id") -> ((r.getAs[String]("redacted"),
+        r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"),
+        r.getAs[Long]("n_ips")))).toMap
+    assert(m(1L) == (("mail [EMAIL] and [EMAIL], call [PHONE] from [IP]",
+      2L, 1L, 1L)))
+    assert(m(2L) == (("no pii here", 0L, 0L, 0L)))
+    assert(m(3L) == (("two ips [IP] [IP]", 0L, 0L, 2L)))
+  }
+
+  test("sessionize: gap splits sessions, deterministic under ts ties") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(s: Long) = new java.sql.Timestamp(t0.getTime + s * 1000)
+    val d = Seq(
+      (1L, 10L, ts(0)), (1L, 11L, ts(100)),   // session 1
+      (1L, 12L, ts(100)),                      // tie → same session, by id
+      (1L, 13L, ts(4000)),                     // gap 3900 > 3600 → session 2
+      (2L, 20L, ts(0))                         // other user: own session 1
+    ).toDF("uid", "eid", "t")
+    val m = Prep.sessionize(d, "uid", "t", "eid", 3600L).collect()
+      .map(r => (r.getAs[Long]("uid"), r.getAs[Long]("eid")) ->
+        r.getAs[Long]("session_idx")).toMap
+    assert(m((1L, 10L)) == 1L && m((1L, 11L)) == 1L && m((1L, 12L)) == 1L)
+    assert(m((1L, 13L)) == 2L)
+    assert(m((2L, 20L)) == 1L)
+    // boundary: gap exactly == gapSeconds stays in-session
+    val b = Seq((1L, 1L, ts(0)), (1L, 2L, ts(3600))).toDF("uid", "eid", "t")
+    val bi = Prep.sessionize(b, "uid", "t", "eid", 3600L)
+      .select("session_idx").as[Long].collect()
+    assert(bi.toSet == Set(1L))
+  }
+
   test("mixtureSample: kept is a deterministic subset honoring weights") {
     val docs = Tables.documents(spark, dir)
     val w = Map("src0" -> 1.0)

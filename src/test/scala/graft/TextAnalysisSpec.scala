@@ -79,6 +79,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(1L) == "en" && out(2L) == "de")
   }
 
+  test("bm25: hand-computed scores, absent-term docs excluded, ranked") {
+    val d = Seq(
+      (1L, "join join hash"),
+      (2L, "join scan scan scan"),
+      (3L, "scan merge")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(d, "doc_id", "text", Seq("join"), 10)
+      .as[(Long, Double)].collect()
+    // N=3, avgdl=3, df(join)=2 → idf=ln(1.6); doc1 tf=2 dl=3, doc2 tf=1 dl=4
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    assert(math.abs(out(0)._2 - 0.646255) < 1e-9)
+    assert(math.abs(out(1)._2 - 0.413603) < 1e-9)
+  }
+
   test("rolling fingerprint is order-sensitive, set hashes are not") {
     val d = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
     val fp = TextAnalysis.fingerprint(d, "doc_id", "text").collect()
