@@ -14,9 +14,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: breakpoints are computed IN-PLAN (exact `percentile` to
   * an array column, broadcast via a 1-row cross join — no driver collect),
-  * bucketing is a per-row array fold, and each side aggregates once.
-  * Swap `percentile` for `percentile_approx` at 100 TB — the breakpoints
-  * only define buckets, exactness is not load-bearing there.
+  * bucketing is a CODEGEN'D chain of `element_at` comparisons — one
+  * `when(value > breaks[i])` term per breakpoint, unrolled at plan time
+  * (bucket counts are small constants) — NOT a higher-order `aggregate`
+  * fold, which is CodegenFallback and was ~10× slower per row. Each side
+  * then aggregates once. Swap `percentile` for `percentile_approx` at
+  * 100 TB — the breakpoints only define buckets, exactness is not
+  * load-bearing there.
   */
 object Drift {
 
@@ -34,11 +38,17 @@ object Drift {
     val breaks = baseline.agg(
       percentile(col(valueCol), array(qs: _*)).as("__breaks"))
 
+    // bucket = 1 + |{breaks below value}|, unrolled per breakpoint index so
+    // the whole expression stays inside whole-stage codegen (element_at and
+    // when/sum chains codegen; a lambda `aggregate` fold does not)
+    val bucketExpr = (1 until buckets)
+      .map(i => when(col(valueCol) > element_at(col("__breaks"), i), 1)
+        .otherwise(0))
+      .foldLeft(lit(1): Column)(_ + _)
+
     def bucketed(df: DataFrame, cntName: String): DataFrame =
       df.crossJoin(breaks)
-        .select((lit(1) + aggregate(col("__breaks"), lit(0),
-          (acc, b) => acc + when(col(valueCol) > b, 1).otherwise(0)))
-          .cast("long").as("bucket"))
+        .select(bucketExpr.cast("long").as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as(cntName))
 
     val base = bucketed(baseline, "n_base")

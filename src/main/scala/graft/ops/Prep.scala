@@ -47,18 +47,29 @@ object Prep {
       lit(buckets))
 
   /** Smooth TF-IDF over a token corpus: `tf × (ln((1+N)/(1+df)) + 1)`.
-    * Shape at scale: one shuffle for (doc, term) counts; document
-    * frequencies are vocabulary-sized and BROADCAST back, the corpus is
-    * never re-shuffled; N arrives as a broadcast one-row cross join (no
-    * collect). Returns (doc_id, term, tf, df, n_docs, tfidf).
+    * Shape at scale: one shuffle for (doc, term) counts; N arrives as a
+    * broadcast one-row cross join (no collect). Returns
+    * (doc_id, term, tf, df, n_docs, tfidf).
+    *
+    * `broadcastDf` picks how document frequencies rejoin the tf relation:
+    *  - `true` (default fast path) — df is broadcast; right when the
+    *    vocabulary is bounded (curated corpora, capped token sets).
+    *  - `false` (scale path) — df joins by shuffle ON THE EXCHANGE THE TF
+    *    AGGREGATE ALREADY CREATED: tf is hash-partitioned by (doc_id, term),
+    *    but df's groupBy("term") re-partitions by term and the join reuses
+    *    that layout, so the fallback costs one extra exchange of the tf
+    *    relation and nothing else. A 100 TB web corpus' vocabulary (typos,
+    *    numbers, code fragments) is 10⁸–10⁹ terms — far past the 8 GB
+    *    broadcast cap, so the broadcast hint must not be structural.
     */
-  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def tfidf(docs: DataFrame, idCol: String, textCol: String,
+      broadcastDf: Boolean = true): DataFrame = {
     val terms = docs.select(col(idCol).as("doc_id"),
       explode(toks(col(textCol))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    tf.join(broadcast(docFreq), "term")
+    tf.join(if (broadcastDf) broadcast(docFreq) else docFreq, "term")
       .crossJoin(broadcast(n))
       .withColumn("tfidf", round(col("tf") *
         (log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) + 1.0), 6))
@@ -165,24 +176,43 @@ object Prep {
   /** Exact stratified sampling: keep ⌈fraction · n⌉ rows per stratum —
     * deterministic (rows ranked by md5 of the key, then key), engine- and
     * partitioning-independent, and EXACT per-stratum counts where
-    * `df.sample` is only exact in expectation. One shuffle (the per-stratum
-    * window); stratum sizes bound partition work, and a skewed stratum is
-    * exactly the case where sampling output stays proportional. Returns the
-    * input columns plus the rank used, filtered to the sample.
+    * `df.sample` is only exact in expectation.
+    *
+    * Hot-stratum safe by construction: ranking is TWO-PHASE. Rows are
+    * salted by the md5's leading byte — a PREFIX of the sort key, so the
+    * global md5 order within a stratum is salt-major and
+    * `global rank = local rank (within salt range) + Σ counts of lower salt
+    * ranges`. The offsets come from a tiny (strata × 256)-row aggregate
+    * broadcast back, so ONE giant stratum fans out over 256 window
+    * partitions instead of serializing into one; the local windows are the
+    * only data-sized shuffle. Returns the input columns plus `sample_rank`
+    * (the exact global per-stratum rank), filtered to the sample.
     */
   def stratifiedSample(df: DataFrame, strataCols: Seq[String],
       keyCol: String, fraction: Double): DataFrame = {
     require(fraction > 0 && fraction <= 1, s"bad fraction $fraction")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(strataCols.map(col): _*)
-      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
-    df.withColumn("__rn", row_number().over(w).cast("long"))
-      .withColumn("__n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(strataCols.map(col): _*)))
-      .filter(col("__rn") <= ceil(col("__n") * fraction))
-      .drop("__n")
-      .withColumnRenamed("__rn", "sample_rank")
+    val sc = strataCols.map(col)
+    val salted = df
+      .withColumn("__mh", md5(col(keyCol).cast("string")))
+      // leading md5 byte: 0..255, and hex-lexicographic == numeric order,
+      // so salt-major concatenation IS the full-md5 order
+      .withColumn("__salt", conv(substring(col("__mh"), 1, 2), 16, 10)
+        .cast("int"))
+    val offsets = salted
+      .groupBy((sc :+ col("__salt")): _*).agg(count(lit(1)).as("__c"))
+      .withColumn("__offset", coalesce(sum(col("__c")).over(
+        Window.partitionBy(sc: _*).orderBy(col("__salt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(sc: _*)))
+      .drop("__c")
+    val wLocal = Window.partitionBy((sc :+ col("__salt")): _*)
+      .orderBy(col("__mh"), col(keyCol))
+    salted
+      .withColumn("__lrn", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), strataCols :+ "__salt")
+      .withColumn("sample_rank", col("__lrn") + col("__offset"))
+      .filter(col("sample_rank") <= ceil(col("__n") * fraction))
+      .select(df.columns.map(col) :+ col("sample_rank"): _*)
   }
 
   /** Fixed-width histogram of a ≤2-dp money column: global min/max in exact

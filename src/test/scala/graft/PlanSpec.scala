@@ -76,6 +76,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!s.contains("Exchange hashpartitioning(id_a"), s)
   }
 
+  test("drift PSI bucketing stays inside codegen — no lambda fallback") {
+    val s = planString(graft.queries.QualityQueries.driftPsi(spark, dir))
+    // higher-order array functions (aggregate/filter/transform lambdas) are
+    // CodegenFallback; the bucket expression must be an unrolled when-chain
+    assert(!s.contains("lambdafunction"), s)
+    assert(!s.toLowerCase.contains("codegenfallback"), s)
+  }
+
   test("as-of join is one window pass — no theta range join") {
     val s = planString(RelationalQueries.asofLatestClick(spark, dir))
     assert(s.contains("RunningWindowFunction") || s.contains("Window"), s)

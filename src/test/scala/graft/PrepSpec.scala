@@ -22,6 +22,23 @@ class PrepSpec extends AnyFunSuite {
     assert(out.find(r => r._1 == "a" && r._2 == 2L).exists(_._3 == 3L))
   }
 
+  test("tfidf: broadcastDf knob drops the df hint, results identical") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val docs = Tables.documents(spark, dir)
+    def nHints(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.size
+    val fast = Prep.tfidf(docs, "doc_id", "text", broadcastDf = true)
+    val scale = Prep.tfidf(docs, "doc_id", "text", broadcastDf = false)
+    // fast path: df broadcast + the 1-row N broadcast; scale path keeps only
+    // the 1-row N — the vocabulary-sized relation carries NO structural hint,
+    // so an unbounded vocabulary can never hit the broadcast cap
+    assert(nHints(fast) == 2, s"fast-path hints: ${nHints(fast)}")
+    assert(nHints(scale) == 1, s"scale-path hints: ${nHints(scale)}")
+    val a = fast.orderBy("doc_id", "term").collect()
+    val b = scale.orderBy("doc_id", "term").collect()
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
   test("standardize: z-scores sum to ~0 per group, minmax spans [0,1]") {
     val out = Prep.standardize(Tables.customer(spark, dir), "c_acctbal",
         Seq("c_mktsegment"))
@@ -98,6 +115,30 @@ class PrepSpec extends AnyFunSuite {
         "o_orderkey", 0.3)
       .orderBy("o_orderkey").select("o_orderkey").as[Long].collect()
     assert(first.nonEmpty && first.sameElements(again))
+  }
+
+  test("stratifiedSample: one giant hot stratum stays exact and salted") {
+    // every row in ONE stratum — the case the two-phase salt exists for
+    val orders = Tables.orders(spark, dir).withColumn("st", lit("hot"))
+    val n = orders.count()
+    val kept = Prep.stratifiedSample(orders, Seq("st"), "o_orderkey", 0.3)
+    assert(kept.count() == math.ceil(n * 0.3).toLong)
+    // sample_rank is exactly the dense prefix 1..⌈0.3n⌉ — the salted merge
+    // reconstructs the global per-stratum rank with no gaps or dups
+    val ranks = kept.select("sample_rank").as[Long].collect().sorted
+    assert(ranks.head == 1L && ranks.last == ranks.length.toLong &&
+      ranks.distinct.length == ranks.length)
+    // and the kept KEYS equal the single-window reference (smallest md5s)
+    val ref = orders.orderBy(md5(col("o_orderkey").cast("string")),
+        col("o_orderkey"))
+      .limit(math.ceil(n * 0.3).toInt)
+      .select("o_orderkey").as[Long].collect().toSet
+    val got = kept.select("o_orderkey").as[Long].collect().toSet
+    assert(got == ref)
+    // the data-sized window must partition by (stratum, salt), never by the
+    // stratum alone
+    val plan = kept.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__salt"), plan)
   }
 
   test("histogram: bins bounded, counts and totals partition the input") {
