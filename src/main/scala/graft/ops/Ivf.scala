@@ -132,6 +132,66 @@ object Ivf {
     (array_position(arr, array_min(arr)) - 1).cast("int")
   }
 
+  /** The `nProbe` nearest cell ids as a codegen'd ARRAY column — the
+    * in-plan, per-row twin of driver-side [[nearestCells]]: per-cell squared
+    * L2 (|v|² dropped) paired with its index in a struct array, sorted
+    * (struct ordering = distance, then index — deterministic ties), sliced
+    * to nProbe, projected back to the index. Lets a whole query RELATION
+    * rank its cells without any driver collect.
+    */
+  def nearestCellsExpr(vec: Column, centroids: Array[Array[Double]],
+      nProbe: Int): Column = {
+    val v = vec.cast("array<double>")
+    val ds = centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.map(lit).toIndexedSeq: _*)
+      struct(
+        (lit(c.map(x => x * x).sum) -
+          lit(2.0) * call_function("graft_dot", v, cLit)).as("d"),
+        lit(i).as("i"))
+    }
+    transform(slice(array_sort(array(ds.toIndexedSeq: _*)), 1, nProbe),
+      s => s.getField("i"))
+  }
+
+  /** Batch ANN: top-k per row of a query RELATION — the serving shape
+    * ([[probe]] scores one vector; a scoring pipeline arrives with
+    * thousands). Per-query cell ranking happens IN-PLAN
+    * ([[nearestCellsExpr]] — no driver collect of query vectors), the
+    * exploded (q_id, cluster) pairs broadcast onto the cluster-partitioned
+    * assignment — the probed partitions are the union of every query's
+    * nProbe cells, pruned via Spark's dynamic partition pruning on the
+    * broadcast join key — and ranking is a per-query-key window, the
+    * [[Similarity.knnJoin]] shape (balanced: each query contributes ≤
+    * nProbe cells of candidates). `nProbe = nClusters` degenerates to the
+    * exact k-NN join (IvfSpec pins equality; the registered `sim_ivf_knn`
+    * hash-checks it against DuckDB).
+    *
+    * Self-matches (corpus id == q_id) are excluded, matching knnJoin.
+    */
+  def probeBatch(
+      index: IvfIndex,
+      queries: DataFrame,
+      qIdCol: String,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    val q = queries.select(col(qIdCol).as("q_id"),
+      col(index.vecCol).cast("array<double>").as("__qvec"),
+      explode(nearestCellsExpr(col(index.vecCol), index.centroids, nProbe))
+        .as("cluster"))
+    spark.read.parquet(index.path)
+      .join(broadcast(q), Seq("cluster"))
+      .filter(col(index.idCol) =!= col("q_id"))
+      .withColumn("cos",
+        round(Similarity.cosine(col(index.vecCol), col("__qvec")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col(index.idCol))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col(index.idCol), col("cos"))
+  }
+
   /** Build (or rebuild) the index at `path`: sampled fit + one full
     * assignment projection, written partitioned by `cluster`.
     */

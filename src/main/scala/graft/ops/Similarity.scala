@@ -254,12 +254,15 @@ object Similarity {
     Array.fill(planes, dim)(if (rnd.nextBoolean()) 1 else -1)
   }
 
-  /** Sign-bit bucket id for a vector column under the given planes. */
+  /** Sign-bit bucket id for a vector column under the given planes. Each
+    * plane dot runs on the codegen'd native kernel (bit-identical to the
+    * lambda fold it replaced, which was CodegenFallback).
+    */
   def bucketExpr(vecCol: Column, planes: Array[Array[Int]]): Column = {
     val v = vecCol.cast("array<double>")
     val bits = planes.zipWithIndex.map { case (plane, p) =>
       val planeLit = array(plane.map(s => lit(s.toDouble)).toIndexedSeq: _*)
-      val d = aggregate(zip_with(v, planeLit, (x, s) => x * s), lit(0.0), (acc, x) => acc + x)
+      val d = call_function("graft_dot", v, planeLit)
       when(d >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -269,6 +272,54 @@ object Similarity {
   def lshBuckets(emb: DataFrame, idCol: String, vecCol: String,
       planes: Array[Array[Int]]): DataFrame =
     emb.select(col(idCol), bucketExpr(col(vecCol), planes).as("bucket"))
+
+  /** Scale-safe near-duplicate PAIRS — the embedding twin of
+    * [[graft.ops.Dedup.minhashLshPairs]], replacing the corpus×corpus
+    * cartesian of [[nearDupPairs]] as the headline path: `planeSets` is a
+    * list of independent hyperplane BANDS; two vectors are candidates iff
+    * they share a sign-bit bucket in ANY band, and every candidate pair is
+    * verified with an exact cosine ≥ `threshold`.
+    *
+    * Plan shape at 100 TB: one linear signature pass (all band buckets per
+    * row, native-kernel dots), one explode to (band, bucket), one
+    * hash-partitioned self-join on (band, bucket) — work is Σ bucket², never
+    * corpus², and bucket sizes shrink 2× per added plane. Pair uniqueness
+    * across bands comes from the earlier-band-differs residual (a pair
+    * colliding in band b is kept only if it did NOT collide in any band
+    * < b), the same trick as the MinHash path — no distinct shuffle over
+    * candidate pairs, and each pair is cosine-verified exactly once.
+    *
+    * Recall is the LSH trade: P(candidate) = 1 − Π_b (1 − p^planes_b) with
+    * p = 1 − θ/π. Raise band count for recall, planes-per-band for
+    * precision; [[nearDupPairs]] (spec-only) is the exact reference.
+    */
+  def lshNearDupPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      planeSets: Seq[Array[Array[Int]]]): DataFrame = {
+    val nBands = planeSets.length
+    val sig = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"),
+      array(planeSets.map(p => bucketExpr(col(vecCol), p)): _*).as("bks"))
+    val e = sig.select(col("id"), col("v"), col("bks"),
+      posexplode(col("bks")).as(Seq("band", "bucket")))
+    val a = e.select(col("band"), col("bucket"), col("id").as("id_a"),
+      col("v").as("v_a"), col("bks").as("bks_a"))
+    val b = e.select(col("band"), col("bucket"), col("id").as("id_b"),
+      col("v").as("v_b"), col("bks").as("bks_b"))
+    // keep a collision at `band` only if every earlier band differed
+    val firstCollision = (0 until nBands - 1).map(k =>
+        col("band") <= k ||
+          element_at(col("bks_a"), k + 1) =!= element_at(col("bks_b"), k + 1))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b") && firstCollision)
+      .withColumn("cos", round(cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
 
   /** ANN top-k: score only vectors sharing the query's hyperplane bucket.
     * Recall < 1 by construction (single-probe); raise `planes` count or use

@@ -29,15 +29,35 @@ object SimilarityQueries {
   /** Seeded ±1 hyperplanes shared by the Spark plan and the oracle SQL. */
   val planes: Array[Array[Int]] = Similarity.hyperplanes(NumPlanes, Dim)
 
+  /** Independent hyperplane bands for the near-dup-pairs headline: band 0
+    * reuses [[planes]] (seed 42), band 1 draws from seed 43. Both inline
+    * into the Spark plan AND the oracle SQL.
+    */
+  val bandPlanes: Seq[Array[Array[Int]]] =
+    Seq(planes, Similarity.hyperplanes(NumPlanes, Dim, seed = 43L))
+
   def bruteTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.bruteTopK(emb, emb.filter(col("vec_id") === 0L),
       "vec_id", "embedding", K)
   }
 
+  /** Spec-only exact reference ([[SimilaritySpec]]): the all-pairs cartesian
+    * is quadratic by construction, so it is NOT a registered query — the
+    * registered near-dup-pairs headline is [[lshNearDupPairs]].
+    */
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(Tables.embeddings(spark, dir),
         "vec_id", "embedding", NearDupThreshold)
+      .orderBy("id_a", "id_b")
+
+  /** The scale-safe near-dup-pairs headline: 2-band hyperplane LSH
+    * candidates, each exactly cosine-verified — Σ bucket² work instead of
+    * corpus² (the embedding twin of `dedup_minhash_lsh`).
+    */
+  def lshNearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearDupPairs(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", NearDupThreshold, bandPlanes)
       .orderBy("id_a", "id_b")
 
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -99,6 +119,26 @@ object SimilarityQueries {
       nProbe = index.centroids.length)
   }
 
+  /** BATCH ANN against the persisted IVF index: a 5-query relation ranks
+    * its cells in-plan ([[graft.ops.Ivf.probeBatch]] — no per-query driver
+    * collect) and probes ALL cells, so the result is exactly the brute-force
+    * k-NN join and the `sim_knn_join` oracle hash-checks the whole
+    * fit → assign → batch-probe machinery; partial-probe recall is pinned
+    * in IvfSpec.
+    */
+  def ivfKnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val fp = Ivf.indexFingerprint(emb, "vec_id", "embedding",
+      nClusters = 16, sampleCap = 4096, seed = 42L)
+    val indexPath = "/tmp/graft_ivf/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + fp.take(16)
+    val index = Ivf.buildCached(emb, "vec_id", "embedding",
+      nClusters = 16, path = indexPath)
+    Ivf.probeBatch(index, emb.filter(col("vec_id") < KnnQueries), "vec_id",
+        KnnK, nProbe = index.centroids.length)
+      .orderBy("q_id", "rank")
+  }
+
   /** Per-label centroid norms + cosine to the global centroid
     * (embedding-drift shape; element-wise vector aggregation).
     */
@@ -118,13 +158,14 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_int8_quant" -> int8Quant,
     "sim_brute_topk" -> bruteTopK,
-    "sim_neardup_pairs" -> nearDupPairs,
+    "sim_lsh_neardup_pairs" -> lshNearDupPairs,
     "sim_lsh_topk" -> lshTopK,
     "sim_lsh_multiprobe" -> lshTopKMultiprobe,
     "sim_knn_join" -> knnJoin,
     "sim_centroids" -> centroids,
     "sim_ivf_topk" -> ivfTopK,
-    "sim_ivf_exact" -> ivfExact)
+    "sim_ivf_exact" -> ivfExact,
+    "sim_ivf_knn" -> ivfKnn)
 
   // ---- oracle SQL -------------------------------------------------------------
 
@@ -134,12 +175,25 @@ object SimilarityQueries {
   private def cosineSql(v: String, q: String) =
     s"round(${dotSql(v, q)} / (sqrt(${dotSql(v, v)}) * sqrt(${dotSql(q, q)})), 6)"
 
-  // must mirror Similarity.bucketExpr over SimilarityQueries.planes
-  private def bucketSql(vecExpr: String): String =
-    planes.zipWithIndex.map { case (plane, p) =>
+  // must mirror Similarity.bucketExpr over the given plane set
+  private def bucketSqlFor(vecExpr: String, ps: Array[Array[Int]]): String =
+    ps.zipWithIndex.map { case (plane, p) =>
       val arr = plane.map(v => s"$v.0").mkString("[", ",", "]")
       s"(CASE WHEN ${dotSql(vecExpr, arr)} >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  private def bucketSql(vecExpr: String): String = bucketSqlFor(vecExpr, planes)
+
+  private val knnJoinSql =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+       |           WHERE vec_id < $KnnQueries),
+       |s AS (SELECT q_id, vec_id, ${cosineSql("embedding", "qv")} AS cos
+       |      FROM embeddings, q WHERE vec_id <> q_id),
+       |r AS (SELECT q_id, vec_id, cos, row_number()
+       |        OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |      FROM s)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+       |FROM r WHERE rank <= $KnnK ORDER BY q_id, rank""".stripMargin
 
   private val bruteTopKSql =
     s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
@@ -151,15 +205,18 @@ object SimilarityQueries {
     "sim_brute_topk" -> bruteTopKSql,
     // probing all cells IS brute force — identical oracle by construction
     "sim_ivf_exact" -> bruteTopKSql,
-    "sim_neardup_pairs" ->
-      s"""WITH n AS (SELECT vec_id AS id,
-         |  list_transform(embedding::DOUBLE[],
-         |    x -> x / sqrt(${dotSql("embedding", "embedding")})) AS nv
+    // candidate = shares a bucket in ANY band; each candidate pair verified
+    // by exact cosine — the OR-join enumerates the identical pair set the
+    // Spark side's banded explode + first-collision residual produces once
+    "sim_lsh_neardup_pairs" ->
+      s"""WITH b AS (SELECT vec_id AS id, embedding AS v,
+         |  ${bucketSqlFor("embedding", bandPlanes(0))} AS bk0,
+         |  ${bucketSqlFor("embedding", bandPlanes(1))} AS bk1
          |  FROM embeddings)
-         |SELECT a.id AS id_a, b.id AS id_b,
-         |  round(list_dot_product(a.nv, b.nv), 6) AS cos
-         |FROM n a JOIN n b ON a.id < b.id
-         |WHERE round(list_dot_product(a.nv, b.nv), 6) >= $NearDupThreshold
+         |SELECT a.id AS id_a, c.id AS id_b, ${cosineSql("a.v", "c.v")} AS cos
+         |FROM b a JOIN b c ON a.id < c.id
+         |  AND (a.bk0 = c.bk0 OR a.bk1 = c.bk1)
+         |WHERE ${cosineSql("a.v", "c.v")} >= $NearDupThreshold
          |ORDER BY id_a, id_b""".stripMargin,
     "sim_lsh_topk" ->
       s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
@@ -200,16 +257,9 @@ object SimilarityQueries {
          |SELECT label, n_vecs, round(sqrt(norm2), 6) AS centroid_norm,
          |  round(dotg / (sqrt(norm2) * sqrt(gnorm2)), 6) AS cos_to_global
          |FROM a ORDER BY label""".stripMargin,
-    "sim_knn_join" ->
-      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
-         |           WHERE vec_id < $KnnQueries),
-         |s AS (SELECT q_id, vec_id, ${cosineSql("embedding", "qv")} AS cos
-         |      FROM embeddings, q WHERE vec_id <> q_id),
-         |r AS (SELECT q_id, vec_id, cos, row_number()
-         |        OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
-         |      FROM s)
-         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
-         |FROM r WHERE rank <= $KnnK ORDER BY q_id, rank""".stripMargin,
+    "sim_knn_join" -> knnJoinSql,
+    // probing all cells degenerates the batch probe to the exact k-NN join
+    "sim_ivf_knn" -> knnJoinSql,
     "sim_int8_quant" ->
       s"""WITH pe AS (
          |  SELECT i - 1 AS dim, embedding[i]::DOUBLE AS v

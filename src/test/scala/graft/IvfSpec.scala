@@ -95,6 +95,41 @@ class IvfSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("non-empty"))
   }
 
+  test("batch probe over all cells equals the exact k-NN join, no refit") {
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.filter($"vec_id" < 5L)
+    val path = s"/tmp/graft_ivf_spec_batch_${System.nanoTime()}"
+    val index = Ivf.build(emb, "vec_id", "embedding", 8, path)
+    val fitsAfterBuild = Ivf.fits.get()
+    val exact = Similarity.knnJoin(emb, qs, "vec_id", "embedding", 3)
+      .orderBy("q_id", "rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val batch = Ivf.probeBatch(index, qs, "vec_id", 3, nProbe = 8)
+      .orderBy("q_id", "rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(batch == exact)
+    // cell ranking is in-plan: the probe ran no KMeans fit and no driver
+    // collect of query vectors
+    assert(Ivf.fits.get() == fitsAfterBuild)
+  }
+
+  test("partial batch probe: every query's own cell answered, k rows each") {
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.filter($"vec_id" < 5L)
+    val path = s"/tmp/graft_ivf_spec_batchp_${System.nanoTime()}"
+    val index = Ivf.build(emb, "vec_id", "embedding", 8, path)
+    val out = Ivf.probeBatch(index, qs, "vec_id", 3, nProbe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // 5 queries × up to 3 ranked rows, ranks dense from 1, scores sorted
+    assert(out.map(_._1).distinct.sorted == (0L until 5L))
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.size <= 3, s"query $q returned ${rows.size} rows")
+      assert(rows.sortBy(_._2).map(_._2) == (1L to rows.size).toSeq)
+      val scores = rows.sortBy(_._2).map(_._4)
+      assert(scores == scores.sorted.reverse, s"query $q scores unsorted")
+    }
+  }
+
   test("persisted probe over all cells reproduces exact brute-force top-k") {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter($"vec_id" === 0L)

@@ -63,6 +63,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!top.contains(4L))
   }
 
+  test("lshNearDupPairs: subset of exact pairs, each found pair exact-valued," +
+    " parallel twin recovered") {
+    val dir = "/root/testdata/sf0.001"
+    val corpus = graft.sources.Tables.embeddings(spark, dir)
+    val bands = graft.queries.SimilarityQueries.bandPlanes
+    val exact = Similarity.nearDupPairs(corpus, "vec_id", "embedding", 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshNearDupPairs(corpus, "vec_id", "embedding", 0.35,
+        bands)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    // every LSH pair is a true pair with the identical exact cosine (the
+    // verify step is exact; LSH only prunes candidates) and appears ONCE
+    assert(lsh.nonEmpty)
+    assert(lsh.length == lsh.map(_._1).distinct.length, "duplicate pairs")
+    lsh.foreach { case (pair, cos) =>
+      assert(exact.get(pair).contains(cos), s"$pair not an exact near-dup")
+    }
+    info(f"LSH recall at 0.35 = ${lsh.length.toDouble / exact.size}%.3f " +
+      s"(${lsh.length}/${exact.size})")
+  }
+
   test("centroid summary: equal labels → cos 1; orthogonal labels → 1/√2") {
     val e = Seq(
       (0, Array(1.0f, 0.0f)), (0, Array(1.0f, 0.0f)),
