@@ -266,10 +266,17 @@ object Dedup {
     * slice values directly, which defines the identical candidate set.
     */
   def lshBands(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, bands: Int): DataFrame = {
+      numHashes: Int, bands: Int): DataFrame =
+    bandsOfSignatures(minhashSignatures(df, idCol, textCol, numHashes),
+      numHashes, bands)
+
+  /** [[lshBands]] over an ALREADY-COMPUTED signature relation
+    * (id, s0..s{numHashes-1}) — the entry point for persisted signatures
+    * ([[incrementalDedup]]), where the corpus text is not re-read.
+    */
+  def bandsOfSignatures(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val rows = numHashes / bands
-    val sig = minhashSignatures(df, idCol, textCol, numHashes)
     val bandStructs = (0 until bands).map { bidx =>
       val slice = (0 until rows).map(r => col(s"s${bidx * rows + r}"))
       struct(lit(bidx).as("band"), xxhash64(lit(bidx) +: slice: _*).as("band_hash"))
@@ -312,11 +319,18 @@ object Dedup {
     * rows materialized and zero wide shuffles.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 12, bands: Int = 3): DataFrame = {
+      numHashes: Int = 12, bands: Int = 3): DataFrame =
+    candidatesOfSignatures(
+      minhashSignatures(df, idCol, textCol, numHashes).localCheckpoint(false),
+      numHashes, bands)
+
+  /** [[minhashCandidates]] over an already-computed signature relation —
+    * same first-collision construction, no text re-read.
+    */
+  def candidatesOfSignatures(sig: DataFrame, numHashes: Int, bands: Int)
+      : DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val rows = numHashes / bands
-    val sig = minhashSignatures(df, idCol, textCol, numHashes)
-      .localCheckpoint(false)
     def side(p: String) = sig.select(
       col("id").as(s"id_$p") +:
         (0 until numHashes).map(i => col(s"s$i").as(s"${p}s$i")): _*)
@@ -561,6 +575,111 @@ object Dedup {
     val keep = comps.groupBy("component").agg(min(col("id")).as(idCol))
       .select(idCol)
     df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Persisted incremental-dedup index — one row per corpus doc with
+    * everything the NEXT batch needs, so the old corpus is never re-read or
+    * re-hashed ([[incrementalDedup]]):
+    *
+    *  - `component` — the doc's cluster label under the verified
+    *    MinHash-LSH near-dup graph (candidates → exact-Jaccard edges → CC);
+    *    the label is the component's minimum id, i.e. its SURVIVOR.
+    *  - `s0..s{numHashes-1}` — the MinHash signature (null for token-less
+    *    docs), the cross-batch candidate generator.
+    *  - `toks_v`, `n_tokens` — the sorted token-hash set (null for
+    *    token-less docs), the exact-verification side.
+    *
+    * At 100 TB this relation is what lives between pipeline runs (a few
+    * hundred bytes/doc vs the raw text); computing it costs the same one
+    * full-dedup pass the corpus needed anyway.
+    */
+  def incrementalState(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = 12,
+      bands: Int = 3,
+      broadcastSets: Boolean = true): DataFrame = {
+    val sets = tokenSets(df, idCol, textCol).localCheckpoint(false)
+    val edges = verifyPairs(
+        minhashCandidates(df, idCol, textCol, numHashes, bands),
+        sets, threshold, broadcastSets)
+      .select("id_a", "id_b")
+    connectedComponents(df.select(col(idCol).as("id")), edges)
+      .join(minhashSignatures(df, idCol, textCol, numHashes), Seq("id"), "left")
+      .join(sets.select(col("id"), col("toks_v"), col("n_tokens")),
+        Seq("id"), "left")
+  }
+
+  /** Dedup a NEW batch against a persisted index ([[incrementalState]]) —
+    * the production shape: every round re-hashing the whole corpus is
+    * exactly what a 100 TB pipeline cannot afford, so the old side arrives
+    * as signatures + token sets + component labels and is never re-read.
+    *
+    * EXACT by construction — returns precisely the survivors a full-corpus
+    * re-run (candidates → verified edges → CC → min per component) would
+    * keep, including when a batch doc BRIDGES two old clusters: each old
+    * component is a connected subgraph, so contracting it to one node
+    * (labeled by its min id) preserves both the merged components and every
+    * component's minimum; old↔old edges need no recomputation because CC
+    * already resolved them into the labels.
+    *
+    * Plan shape: one signature + token-set pass over the BATCH only;
+    * batch↔batch candidates by first-collision band joins, batch↔old by a
+    * band join against the persisted signatures; exact-Jaccard verify over
+    * the union; CC over the contracted graph (nodes = old components +
+    * batch ids — near the SURVIVOR count, not the corpus size). Set
+    * `broadcastSets = false` when the combined token sets outgrow the
+    * broadcast budget.
+    *
+    * @return single column `idCol`: ALL survivors of old ∪ batch.
+    */
+  def incrementalDedup(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      state: DataFrame,
+      threshold: Double,
+      numHashes: Int = 12,
+      bands: Int = 3,
+      broadcastSets: Boolean = true): DataFrame = {
+    val sigNew = minhashSignatures(batch, idCol, textCol, numHashes)
+      .localCheckpoint(false)
+    val setsNew = tokenSets(batch, idCol, textCol).localCheckpoint(false)
+    val candNew = candidatesOfSignatures(sigNew, numHashes, bands)
+    // batch↔old: band-bucket collisions across the two signature relations
+    // (a pair colliding in several bands dedups here — tiny relative to the
+    // within-corpus candidate volume, so a distinct beats residual bookkeeping)
+    val bandOld = bandsOfSignatures(state.filter(col("s0").isNotNull),
+      numHashes, bands)
+    val candCross = bandOld
+      .select(col("band"), col("band_hash"), col("id").as("id_a"))
+      .join(bandsOfSignatures(sigNew, numHashes, bands)
+        .select(col("band"), col("band_hash"), col("id").as("id_b")),
+        Seq("band", "band_hash"))
+      .select("id_a", "id_b")
+      .distinct()
+    val setsAll = state.filter(col("n_tokens").isNotNull)
+      .select(col("id"), col("toks_v"), col("n_tokens"))
+      .unionByName(setsNew.select(col("id"), col("toks_v"), col("n_tokens")))
+    val edges = verifyPairs(candNew.unionByName(candCross), setsAll,
+        threshold, broadcastSets)
+      .select("id_a", "id_b")
+    // contract old endpoints to their component label (= old survivor id)
+    val oldComp = state.select(col("id"), col("component"))
+    def contract(e: DataFrame, endCol: String) =
+      e.join(oldComp.select(col("id").as(endCol),
+          col("component").as(s"__c_$endCol")), Seq(endCol), "left")
+        .withColumn(endCol, coalesce(col(s"__c_$endCol"), col(endCol)))
+        .drop(s"__c_$endCol")
+    val contracted = contract(contract(edges, "id_a"), "id_b")
+      .filter(col("id_a") =!= col("id_b"))
+    val nodes = state.select(col("component").as("id")).distinct()
+      .unionByName(batch.select(col(idCol).as("id")))
+    connectedComponents(nodes, contracted)
+      .groupBy("component").agg(min(col("id")).as(idCol))
+      .select(idCol)
   }
 
   /** 32-bit SimHash over distinct tokens: bit i of a token's contribution

@@ -370,4 +370,37 @@ object Similarity {
       .limit(k)
       .select(col(idCol), col("bucket"), col("cos"))
   }
+
+  /** BATCH multiprobe LSH k-NN — [[lshTopKMultiprobe]] for a whole query
+    * RELATION (the serving shape, LSH twin of [[graft.ops.Ivf.probeBatch]]):
+    * every query row derives its own Hamming-1 probe list in-plan, the
+    * exploded (q_id, bucket) pairs broadcast onto the one-pass corpus
+    * signatures, and ranking is a per-query-key window. One corpus scan for
+    * ANY number of queries; candidates per query stay (planes+1) buckets.
+    * Self-matches are excluded, matching [[knnJoin]].
+    */
+  def lshKnnJoin(
+      emb: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      planes: Array[Array[Int]]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probeList = col("qb") +: planes.indices.map(p =>
+      col("qb").bitwiseXOR(lit(1L << p)))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("__qvec"),
+        bucketExpr(col(vecCol), planes).as("qb"))
+      .select(col("q_id"), col("__qvec"),
+        explode(array(probeList: _*)).as("bucket"))
+    emb.withColumn("bucket", bucketExpr(col(vecCol), planes))
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("cos", round(cosine(col(vecCol), col("__qvec")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col(idCol))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col(idCol), col("bucket"), col("cos"))
+  }
 }

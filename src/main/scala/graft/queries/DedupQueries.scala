@@ -92,6 +92,26 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_survivors"),
         sum(col("doc_id")).as("id_checksum"))
 
+  /** Incremental dedup — the production batch shape: the corpus splits into
+    * an "old" side (75%, doc_id % 4 ≠ 3) whose [[graft.ops.Dedup.incrementalState]]
+    * (component labels + MinHash signatures + token sets, NO raw text) is
+    * the persisted index, and a new 25% batch deduped against it with
+    * [[graft.ops.Dedup.incrementalDedup]]. The result is exactly the
+    * full-corpus pair-graph survivors (old components arrive contracted, so
+    * even batch docs bridging two old clusters merge correctly) — which is
+    * what the oracle computes over the whole corpus, split-free.
+    */
+  def incrementalSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isBatch = pmod(col("doc_id"), lit(4)) === 3
+    val state = Dedup.incrementalState(docs.filter(!isBatch), "doc_id", "text",
+      threshold = 0.9, numHashes = NumHashes, bands = Bands)
+    Dedup.incrementalDedup(docs.filter(isBatch), "doc_id", "text", state,
+        threshold = 0.9, numHashes = NumHashes, bands = Bands)
+      .agg(count(lit(1)).as("n_survivors"),
+        sum(col("doc_id")).as("id_checksum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact_groups" -> exactGroups,
     "dedup_exact_keep_first" -> exactKeepFirst,
@@ -101,6 +121,7 @@ object DedupQueries {
     "dedup_cluster_survivors" -> clusterSurvivors,
     "dedup_cluster_stars" -> clusterSurvivorsStars,
     "dedup_cluster_fast" -> clusterSurvivorsFast,
+    "dedup_incremental" -> incrementalSurvivors,
     "dedup_simhash" -> simhashDocs)
 
   // ---- oracle SQL -------------------------------------------------------------
@@ -260,6 +281,33 @@ object DedupQueries {
          |votes AS (SELECT id, $simhashVotes FROM tok GROUP BY id)
          |SELECT id, CAST($simhashBits AS BIGINT) AS simhash
          |FROM votes ORDER BY id""".stripMargin,
+    // full-corpus pair-graph survivors: the incremental split must land on
+    // the identical answer (contraction preserves components and minima),
+    // so its oracle is split-free — candidates by band-slice equality,
+    // exact-Jaccard edges, recursive CC, min per component
+    "dedup_incremental" ->
+      s"""WITH RECURSIVE $tokCte,
+         |$thCte,
+         |$hshCte,
+         |sig AS (SELECT id, $sigSelect FROM hsh GROUP BY id),
+         |band AS ($bandUnion),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND $sliceEq AND a.id < b.id),
+         |sz AS (SELECT id, count(*) AS n_tokens FROM th GROUP BY id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS n_common
+         |  FROM cand c
+         |  JOIN th a ON a.id = c.id_a
+         |  JOIN th b ON b.id = c.id_b AND b.th = a.th
+         |  GROUP BY 1, 2),
+         |edges AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sz sa ON id_a = sa.id
+         |  JOIN sz sb ON id_b = sb.id
+         |  WHERE n_common * 1.0 / (sa.n_tokens + sb.n_tokens - n_common) >= 0.9),
+         |$componentTail""".stripMargin,
     "dedup_cluster_stars" -> clusterSurvivorsOracle,
     "dedup_cluster_survivors" -> clusterSurvivorsOracle,
     "dedup_cluster_fast" ->

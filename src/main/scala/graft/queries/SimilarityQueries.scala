@@ -79,6 +79,17 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** Batch multiprobe-LSH k-NN: a 5-query relation, each probing its own
+    * bucket + Hamming-1 neighbors, ranked per query — one corpus signature
+    * pass for the whole batch.
+    */
+  def lshKnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.lshKnnJoin(emb, emb.filter(col("vec_id") < KnnQueries),
+        "vec_id", "embedding", KnnK, planes)
+      .orderBy("q_id", "rank")
+  }
+
   /** IVF ANN — KMeans quantizer has no SQL twin → rows-only check here;
     * exactness when probing all cells is pinned by IvfSpec. PROBE-ONLY:
     * the index (sampled fit + cluster-partitioned assignment) builds at
@@ -162,6 +173,7 @@ object SimilarityQueries {
     "sim_lsh_topk" -> lshTopK,
     "sim_lsh_multiprobe" -> lshTopKMultiprobe,
     "sim_knn_join" -> knnJoin,
+    "sim_lsh_knn" -> lshKnn,
     "sim_centroids" -> centroids,
     "sim_ivf_topk" -> ivfTopK,
     "sim_ivf_exact" -> ivfExact,
@@ -260,6 +272,26 @@ object SimilarityQueries {
     "sim_knn_join" -> knnJoinSql,
     // probing all cells degenerates the batch probe to the exact k-NN join
     "sim_ivf_knn" -> knnJoinSql,
+    // a corpus row has ONE bucket and a query's probe buckets are distinct,
+    // so the probe join yields each (query, corpus) pair at most once
+    "sim_lsh_knn" -> {
+      val probes = ("qb" +: planes.indices.map(p => s"xor(qb, ${1L << p})"))
+        .mkString("[", ", ", "]")
+      s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS qv, bucket AS qb
+         |      FROM b WHERE vec_id < $KnnQueries),
+         |p AS (SELECT q_id, qv, unnest($probes) AS pb FROM q),
+         |s AS (SELECT q_id, b.vec_id, b.bucket,
+         |        ${cosineSql("b.embedding", "qv")} AS cos
+         |      FROM b JOIN p ON b.bucket = p.pb WHERE b.vec_id <> q_id),
+         |r AS (SELECT q_id, vec_id, bucket, cos, row_number()
+         |        OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |      FROM s)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id,
+         |  CAST(bucket AS BIGINT) AS bucket, cos
+         |FROM r WHERE rank <= $KnnK ORDER BY q_id, rank""".stripMargin
+    },
     "sim_int8_quant" ->
       s"""WITH pe AS (
          |  SELECT i - 1 AS dim, embedding[i]::DOUBLE AS v

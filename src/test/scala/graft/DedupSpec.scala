@@ -140,6 +140,52 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L))) // identical docs always collide
   }
 
+  // full-corpus pair-graph survivors from the SAME machinery the
+  // incremental path uses — incrementalState over the whole corpus already
+  // labels every doc with its component = survivor id
+  private def fullSurvivors(df: org.apache.spark.sql.DataFrame,
+      threshold: Double): Set[Long] =
+    Dedup.incrementalState(df, "doc_id", "text", threshold)
+      .select("component").distinct().as[Long].collect().toSet
+
+  test("incremental dedup ≡ full recompute, including an old-cluster bridge") {
+    // two old clusters {1,2} and {3,4} at threshold 0.5; batch doc 5 is the
+    // union of both token sets → J(5,·) = 0.5 to members of BOTH clusters.
+    // A full recompute merges everything into one component; the
+    // incremental path must reproduce that via contraction, not keep the
+    // two old survivors separate.
+    val old = Seq(
+      (1L, "a b c d"), (2L, "a b c d e"),
+      (3L, "w x y z"), (4L, "w x y z v")).toDF("doc_id", "text")
+    val batch = Seq((5L, "a b c d w x y z"), (6L, "totally new thing")
+      ).toDF("doc_id", "text")
+    val full = fullSurvivors(old.unionByName(batch), 0.5)
+    val state = Dedup.incrementalState(old, "doc_id", "text", 0.5)
+    val inc = Dedup.incrementalDedup(batch, "doc_id", "text", state, 0.5)
+      .as[Long].collect().toSet
+    assert(inc == full)
+    // whatever LSH found, doc 6 is always a singleton survivor
+    assert(inc.contains(6L))
+  }
+
+  test("incremental dedup on the corpus: state round-trips through parquet" +
+    " carrying no raw text, survivors equal the full recompute") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val isBatch = org.apache.spark.sql.functions.pmod(
+      $"doc_id", org.apache.spark.sql.functions.lit(4)) === 3
+    val statePath = s"/tmp/graft_inc_state_${System.nanoTime()}"
+    Dedup.incrementalState(docs.filter(!isBatch), "doc_id", "text", 0.9)
+      .write.parquet(statePath)
+    val state = spark.read.parquet(statePath)
+    // the persisted index is signatures + sets + labels — no text column,
+    // so the old corpus is not (and cannot be) re-read by the batch run
+    assert(!state.columns.contains("text"))
+    val inc = Dedup.incrementalDedup(docs.filter(isBatch), "doc_id", "text",
+        state, 0.9)
+      .as[Long].collect().toSet
+    assert(inc == fullSurvivors(docs, 0.9))
+  }
+
   test("simhash: identical docs share hash; pairs report hamming 0") {
     val sh = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap

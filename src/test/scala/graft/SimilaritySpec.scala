@@ -123,6 +123,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rm > 0.5, "multiprobe should recover most true neighbors here")
   }
 
+  test("lshKnnJoin: batch result per query equals the single-query multiprobe") {
+    val dir = "/root/testdata/sf0.001"
+    val corpus = graft.sources.Tables.embeddings(spark, dir)
+    val planes = Similarity.hyperplanes(4, 64)
+    val k = 5
+    val batch = Similarity.lshKnnJoin(corpus,
+        corpus.filter($"vec_id" < 4L), "vec_id", "embedding", k, planes)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
+      .toMap
+    (0L until 4L).foreach { qid =>
+      val single = Similarity.lshTopKMultiprobe(corpus,
+          corpus.filter($"vec_id" === qid), "vec_id", "embedding", k + 1, planes)
+        .collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
+        .filter(_._1 != qid) // batch excludes self; single-query does not
+        .take(k)
+      single.zipWithIndex.foreach { case (exp, i) =>
+        assert(batch((qid, i + 1L)) == exp, s"query $qid rank ${i + 1}")
+      }
+    }
+  }
+
   test("int8 quant stats: codes span [0,255], extremes map to endpoints") {
     val out = Similarity.int8QuantStats(emb, "vec_id", "embedding")
       .orderBy("dim")
