@@ -182,13 +182,23 @@ object DedupQueries {
        |edges0 AS (SELECT DISTINCT id_a, id_b FROM star WHERE id_a <> id_b)""".stripMargin
 
   // min-label connected components over symmetric `edges`, then keep-first
-  // survivors — the recursive walk enumerates every (node, reachable comp
-  // seed); min per node = min reachable id = the component label
+  // survivors. Two DuckDB-cost guards that don't change the result:
+  //  - `sym` is MATERIALIZED — otherwise the recursive term re-evaluates
+  //    the whole candidate/verify pipeline on EVERY iteration (measured:
+  //    minutes → seconds at sf0.1);
+  //  - the walk seeds only from LOCAL-MINIMUM nodes (no smaller neighbor,
+  //    singletons included). A component's global min is a local min and
+  //    reaches every member, so min-per-node is unchanged — but a dense
+  //    m-clique contributes ~m walk rows instead of m² (the verified-pair
+  //    graph at sf0.1 has ~1M edges in near-cliques; seeding from every
+  //    node made the walk cubic in clique size).
   private val componentTail =
-    s"""sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+    s"""sym AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM edges
        |       UNION SELECT id_b, id_a FROM edges),
+       |lmin AS (SELECT doc_id AS id FROM documents d
+       |  WHERE NOT EXISTS (SELECT 1 FROM sym WHERE src = d.doc_id AND dst < d.doc_id)),
        |walk AS (
-       |  SELECT doc_id AS id, doc_id AS comp FROM documents
+       |  SELECT id, id AS comp FROM lmin
        |  UNION
        |  SELECT e.dst, w.comp FROM walk w JOIN sym e ON e.src = w.id),
        |comp AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
