@@ -84,6 +84,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!s.toLowerCase.contains("codegenfallback"), s)
   }
 
+  test("batch IVF probe prunes assignment partitions dynamically") {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val fp = graft.ops.Ivf.indexFingerprint(emb, "vec_id", "embedding",
+      8, 4096, 42L)
+    val path = s"/tmp/graft_ivf_planspec_${fp.take(8)}"
+    val index = graft.ops.Ivf.buildCached(emb, "vec_id", "embedding", 8, path)
+    val out = graft.ops.Ivf.probeBatch(index,
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5),
+      "vec_id", 3, nProbe = 2)
+    // the probed-cell set must reach the scan as a dynamic partition filter
+    // — without it the probe degrades to a full assignment scan at any SF
+    val s = out.queryExecution.executedPlan.toString
+    assert(s.toLowerCase.contains("dynamicpruning"), s)
+  }
+
   test("as-of join is one window pass — no theta range join") {
     val s = planString(RelationalQueries.asofLatestClick(spark, dir))
     assert(s.contains("RunningWindowFunction") || s.contains("Window"), s)
