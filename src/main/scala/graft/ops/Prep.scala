@@ -330,4 +330,63 @@ object Prep {
     df.withColumn("session_idx",
       sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, 0)))
   }
+
+  /** Priority sampling (Duffield, Lund & Thorup, JACM 2007): a
+    * weight-proportional sample of `k` rows without replacement —
+    * priority = weight / u with u a deterministic per-key uniform, sample =
+    * top-k priorities. Heavy rows are near-certain picks, light rows are
+    * picked with probability ∝ weight, and the result is identical on any
+    * engine / partitioning / run:
+    *
+    *  - u = (h48 + 1) / 2^48 with h48 the first 48 md5 bits of the key —
+    *    both numerator and denominator are exactly representable, the
+    *    divide is by a power of two (exact), so u is the SAME double
+    *    everywhere;
+    *  - priority = weight / u is then ONE correctly-rounded IEEE division —
+    *    no logs or powers whose last-ulp could differ across libm
+    *    implementations (that is why the Duffield u-division form is used
+    *    here instead of the exponential-variates A-ES form);
+    *  - top-k is (priority DESC, key) — a per-partition heap
+    *    (TakeOrderedAndProject), no shuffle of the corpus.
+    *
+    * Returns (key, weight, priority) for the k sampled rows, priority
+    * rounded AFTER the ordering. The (k+1)-th priority is the
+    * Horvitz–Thompson threshold if unbiased subset-sum estimation is
+    * needed downstream — pass k+1 and drop the tail row.
+    */
+  def prioritySample(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    val h48 = conv(substring(md5(col(keyCol).cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val u = (h48 + lit(1L)).cast("double") / lit(281474976710656.0) // 2^48
+    df.withColumn("__priority", col(weightCol).cast("double") / u)
+      .orderBy(col("__priority").desc, col(keyCol))
+      .limit(k)
+      .select(col(keyCol), col(weightCol),
+        round(col("__priority"), 4).as("priority"))
+  }
+
+  /** Rolling event-time window features — the feature-store staple
+    * ("spend in the trailing 7 days"): for every row, the sum of
+    * `valueCol` and the event count over the trailing `windowMicros`
+    * (inclusive of the current timestamp, peers included). One shuffle
+    * (window partition on the key); the frame is a RANGE over
+    * `unix_micros(ts)` so it is data-density-independent — a key with any
+    * event rate gets the same time horizon. Sums run in exact DECIMAL
+    * (values rounded to 6 dp first), so the rolling aggregate is
+    * order-insensitive and engine-exact; nulls don't contribute to the sum
+    * but do count as events.
+    *
+    * Returns the input plus `roll_value` (double) and `roll_events`.
+    */
+  def rollingTimeFeatures(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, windowMicros: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowMicros, 0)
+    df.withColumn("roll_value",
+        sum(round(col(valueCol), 6).cast(DecimalType(18, 6))).over(w)
+          .cast("double"))
+      .withColumn("roll_events", count(lit(1)).over(w))
+  }
 }

@@ -403,4 +403,64 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col(idCol), col("bucket"), col("cos"))
   }
+
+  /** Nearest-anchor cell id (1-based) for a vector column: argmax of
+    * cosine(v, anchor) over the anchor set. Anchors are ±1 literals from
+    * [[hyperplanes]], so every anchor shares the same norm √dim and the
+    * per-anchor score is one codegen'd [[dot]] + a constant divide —
+    * zero-shuffle, whole-stage-codegen assignment. Scores round to 6 dp and
+    * ties take the FIRST maximal index (`array_position` semantics), which
+    * DuckDB's `list_indexof` mirrors, so the cell id is engine-stable.
+    */
+  def anchorCellExpr(vecCol: Column, anchors: Array[Array[Int]]): Column = {
+    val v = vecCol.cast("array<double>")
+    val scores = array(anchors.toIndexedSeq.map { a =>
+      val aLit = array(a.map(s => lit(s.toDouble)).toIndexedSeq: _*)
+      val norm2 = a.map(x => x.toDouble * x).sum // = dim for ±1 anchors
+      round(dot(v, aLit) / lit(math.sqrt(norm2)), 6)
+    }: _*)
+    array_position(scores, array_max(scores)).cast("int")
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): coarse-cluster the corpus, then drop every document
+    * whose cosine to a lower-id document in the SAME cell reaches
+    * `threshold`. Output = the surviving (id, cell) rows.
+    *
+    * Scale shape: assignment is a zero-shuffle codegen'd expression
+    * (anchors are broadcast literals); the candidate join shuffles both
+    * sides once on `cell`, so pair work is Σ cell² — never corpus² — and
+    * each candidate pair costs one exact cosine. The fixed seeded anchors
+    * here keep the quantizer data-independent (reproducible in oracle SQL);
+    * a 100 TB run swaps in fitted centroids from [[graft.ops.Ivf]] for
+    * balanced cells — the dedup shape is identical. Size the cell count to
+    * the cluster, not the corpus constant here: post-shuffle parallelism
+    * is min(cells, partitions), so at scale use ~√corpus cells (SemDeDup
+    * runs 10⁴–10⁵) — more cells = more parallelism AND fewer candidate
+    * pairs, at some recall cost. Dominance is
+    * "duplicate-of-any-lower-id-neighbor" (one join, no iteration), the
+    * ε-ball pruning variant of the paper — NOT transitive-closure
+    * clustering, which [[graft.ops.Dedup.clusterDedup]] covers.
+    */
+  def semanticDedup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      anchors: Array[Array[Int]]): DataFrame = {
+    val assigned = emb.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"),
+      anchorCellExpr(col(vecCol), anchors).as("cell"))
+    val a = assigned.select(col("cell"), col("__id").as("__id_a"),
+      col("__v").as("__v_a"))
+    val b = assigned.select(col("cell"), col("__id").as("__id_b"),
+      col("__v").as("__v_b"))
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("__id_a") < col("__id_b"))
+      .filter(round(cosine(col("__v_a"), col("__v_b")), 6) >= threshold)
+      .select(col("__id_b").as("__id"))
+      .distinct()
+    assigned.join(dups, Seq("__id"), "left_anti")
+      .select(col("__id").as(idCol), col("cell"))
+  }
 }

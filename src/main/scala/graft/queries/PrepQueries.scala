@@ -171,7 +171,20 @@ object PrepQueries {
         max(unix_micros(col("ts"))).as("end_us"))
       .orderBy("user_id", "session_idx")
 
+  private val PriorityK = 25
+
+  /** Weight-proportional 25-row order sample by total price
+    * ([[graft.ops.Prep.prioritySample]] — Duffield priority sampling;
+    * priorities are a single IEEE division over md5-derived uniforms, so
+    * the sampled SET is engine-exact, not just engine-close).
+    */
+  def prioritySampleOrders(spark: SparkSession, dir: String): DataFrame =
+    Prep.prioritySample(Tables.orders(spark, dir), "o_orderkey",
+        "o_totalprice", PriorityK)
+      .orderBy("o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "prep_priority_sample" -> prioritySampleOrders,
     "prep_tfidf_top_terms" -> tfidfTopTerms,
     "prep_normalize_acctbal" -> normalizeAcctbal,
     "prep_feature_hash" -> featureHash,
@@ -364,7 +377,18 @@ object PrepQueries {
          |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
          |  count(*) AS n_events, min(epoch_us(ts)) AS start_us,
          |  max(epoch_us(ts)) AS end_us
-         |FROM x GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin)
+         |FROM x GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+    // u = (first 48 md5 bits + 1) / 2^48 — exact in double on both engines;
+    // priority = weight / u is one correctly-rounded IEEE division, so the
+    // top-k SET matches bit-for-bit (round applied after the ordering)
+    "prep_priority_sample" ->
+      s"""WITH p AS (SELECT o_orderkey, o_totalprice,
+         |  o_totalprice / ((('0x' || substr(md5(o_orderkey::VARCHAR), 1, 12))::BIGINT + 1)
+         |                  / 281474976710656.0) AS pri
+         |  FROM orders
+         |  ORDER BY pri DESC, o_orderkey LIMIT $PriorityK)
+         |SELECT o_orderkey, o_totalprice, round(pri, 4) AS priority
+         |FROM p ORDER BY o_orderkey""".stripMargin)
 
   // 3-gram hashes per non-eval doc vs the distinct eval (src0) gram set —
   // mirrors Decontamination.overlapStats' graft_ngram_hashes construction

@@ -36,6 +36,12 @@ object SimilarityQueries {
   val bandPlanes: Seq[Array[Array[Int]]] =
     Seq(planes, Similarity.hyperplanes(NumPlanes, Dim, seed = 43L))
 
+  /** Seeded ±1 coarse-quantizer anchors for the SemDeDup query (seed 44 —
+    * independent of both LSH bands); inlined into plan AND oracle SQL.
+    */
+  val semAnchors: Array[Array[Int]] =
+    Similarity.hyperplanes(8, Dim, seed = 44L)
+
   def bruteTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.bruteTopK(emb, emb.filter(col("vec_id") === 0L),
@@ -59,6 +65,15 @@ object SimilarityQueries {
     Similarity.lshNearDupPairs(Tables.embeddings(spark, dir),
         "vec_id", "embedding", NearDupThreshold, bandPlanes)
       .orderBy("id_a", "id_b")
+
+  /** SemDeDup-style semantic dedup: nearest-anchor cells, then
+    * drop-if-near-a-lower-id-neighbor within each cell — survivors with
+    * their cell id ([[graft.ops.Similarity.semanticDedup]]).
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", NearDupThreshold, semAnchors)
+      .orderBy("vec_id")
 
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -169,6 +184,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_int8_quant" -> int8Quant,
     "sim_brute_topk" -> bruteTopK,
+    "sim_semantic_dedup" -> semanticDedup,
     "sim_lsh_neardup_pairs" -> lshNearDupPairs,
     "sim_lsh_topk" -> lshTopK,
     "sim_lsh_multiprobe" -> lshTopKMultiprobe,
@@ -213,7 +229,32 @@ object SimilarityQueries {
        |FROM embeddings, q
        |ORDER BY cos DESC, vec_id LIMIT $K""".stripMargin
 
+  // mirrors Similarity.anchorCellExpr over semAnchors: per-anchor rounded
+  // normalized dot, argmax = FIRST maximal index (list_indexof, 1-based,
+  // exactly array_position's tie rule)
+  private def semCellSql(vecExpr: String): String = {
+    val scores = semAnchors.map { a =>
+      val arr = a.map(v => s"$v.0").mkString("[", ",", "]")
+      val norm2 = a.map(x => x.toDouble * x).sum
+      s"round(${dotSql(vecExpr, arr)} / sqrt($norm2), 6)"
+    }.mkString("[", ", ", "]")
+    s"list_indexof($scores, list_max($scores))"
+  }
+
   val oracle: Map[String, String] = Map(
+    // dup = shares a cell with a LOWER-id doc at cos >= threshold; the
+    // within-cell self-join enumerates exactly the candidate pairs the
+    // Spark side's cell-keyed join produces
+    "sim_semantic_dedup" ->
+      s"""WITH a AS (SELECT vec_id, embedding,
+         |  ${semCellSql("embedding")} AS cell FROM embeddings),
+         |dup AS (SELECT DISTINCT y.vec_id
+         |        FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |        WHERE ${cosineSql("x.embedding", "y.embedding")}
+         |              >= $NearDupThreshold)
+         |SELECT vec_id, CAST(cell AS INT) AS cell FROM a
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+         |ORDER BY vec_id""".stripMargin,
     "sim_brute_topk" -> bruteTopKSql,
     // probing all cells IS brute force — identical oracle by construction
     "sim_ivf_exact" -> bruteTopKSql,

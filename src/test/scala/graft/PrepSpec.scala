@@ -209,6 +209,54 @@ class PrepSpec extends AnyFunSuite {
     assert(bi.toSet == Set(1L))
   }
 
+  test("prioritySample: exact top-k by weight/u, stable under repartition") {
+    val d = Seq((1L, 10.0), (2L, 0.001), (3L, 500.0), (4L, 42.0), (5L, 7.0))
+      .toDF("key", "w")
+    // driver-side reference: same md5-derived u, same single division
+    def priority(key: Long, w: Double): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(key.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 12)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1).toDouble /
+        281474976710656.0
+      w / u
+    }
+    val expect = Seq((1L, 10.0), (2L, 0.001), (3L, 500.0), (4L, 42.0),
+        (5L, 7.0))
+      .map { case (k, w) => (k, w, priority(k, w)) }
+      .sortBy { case (k, _, p) => (-p, k) }.take(3)
+      .map { case (k, w, p) =>
+        (k, w, BigDecimal(p).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+      }.sortBy(_._1)
+    val got = Prep.prioritySample(d, "key", "w", 3)
+      .orderBy("key").as[(Long, Double, Double)].collect().toSeq
+    assert(got == expect)
+    val again = Prep.prioritySample(d.repartition(7), "key", "w", 3)
+      .orderBy("key").as[(Long, Double, Double)].collect().toSeq
+    assert(again == got)
+  }
+
+  test("rollingTimeFeatures: trailing time frame, nulls count but don't sum") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(s: Long) = new java.sql.Timestamp(t0.getTime + s * 1000)
+    val d = Seq(
+      (1L, ts(0), Some(1.0)), (1L, ts(50), None), (1L, ts(100), Some(2.5)),
+      (1L, ts(200), Some(4.0)), // 100s window at t=200 sees t=100,200 only
+      (2L, ts(0), Some(9.0))
+    ).toDF("uid", "t", "v")
+    val got = Prep.rollingTimeFeatures(d, "uid", "t", "v", 100L * 1000000L)
+      .select("uid", "t", "roll_value", "roll_events").collect()
+      .map(r => (r.getAs[Long]("uid"), r.getAs[java.sql.Timestamp]("t")) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Double])), r.getAs[Long](3)))
+      .toMap
+    assert(got((1L, ts(0))) == ((Some(1.0), 1L)))
+    assert(got((1L, ts(50))) == ((Some(1.0), 2L))) // null counted, not summed
+    assert(got((1L, ts(100))) == ((Some(3.5), 3L))) // inclusive lower bound
+    assert(got((1L, ts(200))) == ((Some(6.5), 2L)))
+    assert(got((2L, ts(0))) == ((Some(9.0), 1L)))
+  }
+
   test("mixtureSample: kept is a deterministic subset honoring weights") {
     val docs = Tables.documents(spark, dir)
     val w = Map("src0" -> 1.0)

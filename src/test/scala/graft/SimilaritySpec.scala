@@ -169,4 +169,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.hyperplanes(4, 8).map(_.toSeq).toSeq ==
       Similarity.hyperplanes(4, 8).map(_.toSeq).toSeq)
   }
+
+  test("semanticDedup equals the brute-force cell + dominance reference") {
+    val dir = "/root/testdata/sf0.001"
+    val corpus = graft.sources.Tables.embeddings(spark, dir)
+    val anchors = Similarity.hyperplanes(8, 64, seed = 44L)
+    val threshold = 0.35
+
+    // driver-side reference: same rounded normalized-dot argmax, same
+    // duplicate-of-any-lower-id-neighbor rule
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = corpus.select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val cells = rows.map { case (id, v) =>
+      val scores = anchors.map(a =>
+        round6(dot(v, a.map(_.toDouble)) / math.sqrt(a.length.toDouble)))
+      id -> (scores.indexOf(scores.max) + 1)
+    }.toMap
+    val expectSurvivors = rows.filter { case (id, v) =>
+      !rows.exists { case (oid, ov) =>
+        oid < id && cells(oid) == cells(id) &&
+          round6(dot(ov, v) / (math.sqrt(dot(ov, ov)) * math.sqrt(dot(v, v)))) >= threshold
+      }
+    }.map { case (id, _) => id -> cells(id) }.toSeq
+
+    val got = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+        threshold, anchors)
+      .orderBy("vec_id")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell"))
+      .toSeq
+    assert(got == expectSurvivors)
+    assert(got.size < rows.size, "threshold 0.35 should drop something here")
+  }
 }
