@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-log operators over a keyed, timestamped stream — the behavioral
+  * shapes a feature store computes features FROM (the reference's event
+  * table is exactly this, `ML Feature Store Pipeline.py:130-141`): ordered
+  * funnel completion, slowly-changing-dimension (SCD2) validity intervals,
+  * and leakage-safe temporal train/test splitting.
+  *
+  * All three are deterministic under duplicate timestamps (every window
+  * orders by (ts, tie)) and engine-exact (integer epoch-micros arithmetic,
+  * no floating point anywhere).
+  */
+object EventOps {
+
+  /** Ordered funnel: for every key, the earliest timestamp at which each
+    * step completes STRICTLY AFTER the previous step's completion — the
+    * classic conversion-funnel query (view → click → purchase), and the
+    * label-generation shape for next-action models. A step's column is null
+    * when the key never reaches it.
+    *
+    * Shape at scale: one `min` aggregate per step plus one equi-join per
+    * step, ALL keyed on `keyCol` — Catalyst plans them as a chain of
+    * exchanges on the same key, so the event table is shuffled on one key
+    * and each stage's state is one row per key that reached it (funnels
+    * shrink monotonically). No windows, no per-key event sorting.
+    *
+    * @param steps (name, predicate) pairs in funnel order; output columns
+    *              are `t_<name>` epoch-micros.
+    */
+  def funnel(events: DataFrame, keyCol: String, tsUsCol: String,
+      steps: Seq[(String, Column)]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val head = events.filter(steps.head._2)
+      .groupBy(col(keyCol))
+      .agg(min(col(tsUsCol)).as(s"t_${steps.head._1}"))
+    steps.tail.foldLeft((head, s"t_${steps.head._1}")) {
+      case ((acc, prevCol), (name, pred)) =>
+        val next = events.filter(pred)
+          .select(col(keyCol), col(tsUsCol))
+          .join(acc.select(col(keyCol), col(prevCol)), Seq(keyCol))
+          .filter(col(tsUsCol) > col(prevCol))
+          .groupBy(col(keyCol))
+          .agg(min(col(tsUsCol)).as(s"t_$name"))
+        (acc.join(next, Seq(keyCol), "left"), s"t_$name")
+    }._1
+  }
+
+  /** SCD2 validity intervals from a change log: consecutive rows of a key
+    * (ordered by (ts, tie)) with the SAME tracked value collapse into one
+    * interval `[valid_from, valid_to)`; `valid_to` is null on the key's
+    * current interval (`is_current`). This is how a feature store
+    * historizes a mutable attribute so point-in-time joins
+    * ([[PointInTime]]) can serve the value that was true at label time.
+    *
+    * One shuffle: both windows (the change-detection lag and the interval
+    * lead) partition by the key with the same ordering, so they share a
+    * single exchange+sort. Null-safe change detection (`<=>`), so a
+    * null-valued run is one interval, not many.
+    */
+  def scd2(df: DataFrame, keyCol: String, tsUsCol: String, tieCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsUsCol), col(tieCol))
+    val changed = df
+      .withColumn("__prev", lag(col(valueCol), 1).over(w))
+      .withColumn("__first", row_number().over(w) === 1)
+      .filter(col("__first") || !(col(valueCol) <=> col("__prev")))
+    changed
+      .withColumn("valid_from", col(tsUsCol))
+      .withColumn("valid_to", lead(col(tsUsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__prev", "__first")
+  }
+
+  /** Temporal train/test split with an embargo gap (purged time-series
+    * validation, the leakage guard for autocorrelated data): the most
+    * recent `testHorizonUs` of the stream is `test`, the `embargoUs` just
+    * before it is `embargo` (DROPPED from training so trailing-window
+    * features of late train rows cannot overlap the test period), and the
+    * rest is `train`. The cutoff anchors to the observed max timestamp —
+    * one tiny aggregate broadcast back, no collect, zero shuffle of the
+    * stream itself. Adds a `split` column.
+    */
+  def timeSplitEmbargo(df: DataFrame, tsUsCol: String, testHorizonUs: Long,
+      embargoUs: Long): DataFrame = {
+    require(testHorizonUs > 0 && embargoUs >= 0,
+      s"bad horizons: test=$testHorizonUs embargo=$embargoUs")
+    val mx = df.agg(max(col(tsUsCol)).as("__mx"))
+    df.crossJoin(broadcast(mx))
+      .withColumn("split",
+        when(col(tsUsCol) > col("__mx") - testHorizonUs, "test")
+          .when(col(tsUsCol) > col("__mx") - testHorizonUs - embargoUs,
+            "embargo")
+          .otherwise("train"))
+      .drop("__mx")
+  }
+}

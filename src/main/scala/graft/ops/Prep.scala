@@ -366,6 +366,87 @@ object Prep {
         round(col("__priority"), 4).as("priority"))
   }
 
+  /** Smoothed target encoding (a.k.a. mean encoding) of a categorical key —
+    * the feature-engineering staple for high-cardinality categoricals:
+    * `te = (Σ_group y + m·global_mean) / (n_group + m)` with smoothing `m`
+    * pulling rare groups toward the global mean (empirical-Bayes shrinkage).
+    * Also emits the LEAVE-ONE-OUT variant `te_loo` — the row's own label is
+    * excluded from its group's statistics, the standard guard against the
+    * target-leakage trap that makes naive mean encoding overfit.
+    *
+    * Shape at scale: group sums are ONE aggregate broadcast back (groups =
+    * category cardinality, tiny); the global mean is a 1-row broadcast cross
+    * join. Label sums run in exact DECIMAL so the encoding is identical on
+    * any partitioning; the final scalar math is a fixed IEEE expression
+    * mirrored verbatim in oracle SQL.
+    */
+  def targetEncode(df: DataFrame, keyCols: Seq[String], labelCol: String,
+      smoothing: Double): DataFrame = {
+    require(smoothing > 0, s"smoothing must be positive, got $smoothing")
+    val yd = col(labelCol).cast(Money)
+    val stats = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum(yd).as("__s"))
+    val global = df.agg(count(lit(1)).as("__gn"), sum(yd).as("__gs"))
+    val gMean = col("__gs").cast("double") / col("__gn")
+    df.join(broadcast(stats), keyCols)
+      .crossJoin(broadcast(global))
+      .withColumn("te", round(
+        (col("__s").cast("double") + lit(smoothing) * gMean) /
+          (col("__n") + smoothing), 6))
+      .withColumn("te_loo", round(
+        ((col("__s") - yd).cast("double") + lit(smoothing) * gMean) /
+          (col("__n") - 1 + smoothing), 6))
+      .drop("__n", "__s", "__gn", "__gs")
+  }
+
+  /** Exact-quantile discretization of a ≤2-dp money column into `buckets`
+    * equal-frequency bins — the feature-binning prep step. Edges are the
+    * exact interpolated percentiles (ONE tiny aggregate, broadcast back —
+    * no collect); the bin decision is a chained `when` comparison, fully
+    * codegen'd, no lambda fold.
+    *
+    * Engine-exactness of the bin boundaries: edges are rounded to 6 dp and
+    * compared in DECIMAL. Interpolated percentiles of 2-dp values at
+    * k/buckets positions are multiples of 10^-2/buckets — far from any
+    * 5·10^-7 rounding boundary — so a last-ulp difference between two
+    * engines' interpolation order can never move a row across a bin.
+    * Returns (bucket, n, lo, hi) per non-empty bin.
+    */
+  def quantileBucket(df: DataFrame, valueCol: String, buckets: Int)
+      : DataFrame = {
+    require(buckets > 1, s"need at least 2 buckets, got $buckets")
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    val xd = col(valueCol).cast(Money)
+    val edges = df.agg(
+      percentile(col(valueCol), array(qs.map(lit): _*)).as("__edges"))
+    val bin = qs.indices.reverse.foldLeft(lit(buckets - 1): Column) {
+      case (acc, i) =>
+        val edge = round(element_at(col("__edges"), i + 1), 6)
+          .cast(DecimalType(18, 6))
+        when(xd <= edge, i).otherwise(acc)
+    }
+    df.crossJoin(broadcast(edges))
+      .select(bin.cast("long").as("bucket"), xd.as("__xd"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("__xd")).cast("double").as("lo"),
+        max(col("__xd")).cast("double").as("hi"))
+  }
+
+  /** Hashed feature cross (the `AND` of categorical features, Weinberger-
+    * hashed to a fixed space): bucket = md5 of the separator-joined feature
+    * values mod `buckets`. No vocabulary of pair combinations is ever
+    * materialized — the cross of two 10⁶-cardinality columns stays a
+    * per-row expression. Returns the input plus `cross_bucket`.
+    */
+  def crossHash(df: DataFrame, featureCols: Seq[String], buckets: Int)
+      : DataFrame = {
+    require(featureCols.size >= 2, "a cross needs at least two features")
+    val joined = concat_ws("\u0001", // non-printing separator: ("ab","c") must not collide with ("a","bc")
+      featureCols.map(c => col(c).cast("string")): _*)
+    df.withColumn("cross_bucket", hashBucket(joined, buckets))
+  }
+
   /** Rolling event-time window features — the feature-store staple
     * ("spend in the trailing 7 days"): for every row, the sum of
     * `valueCol` and the event count over the trailing `windowMicros`

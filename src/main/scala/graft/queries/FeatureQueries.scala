@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{PointInTime, Prep}
+import graft.ops.{EventOps, PointInTime, Prep}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -67,9 +67,49 @@ object FeatureQueries {
       .select("user_id", "event_id", "roll_value", "roll_events")
       .orderBy("user_id", "event_id")
 
+  private val TestHorizonUs = 7L * 86400L * 1000000L // trailing 7 days
+  private val EmbargoUs = 1L * 86400L * 1000000L // 1-day purge gap
+
+  /** Ordered view → click → purchase funnel per user: earliest completion
+    * time of each step strictly after the previous one
+    * ([[graft.ops.EventOps.funnel]]).
+    */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame =
+    EventOps.funnel(Tables.events(spark, dir), "user_id", "ts_us",
+        Seq(
+          "view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")))
+      .orderBy("user_id")
+
+  /** SCD2 validity intervals of each user's event_type attribute —
+    * consecutive same-type runs collapse to one `[valid_from, valid_to)`
+    * interval ([[graft.ops.EventOps.scd2]]).
+    */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame =
+    EventOps.scd2(Tables.events(spark, dir), "user_id", "ts_us", "event_id",
+        "event_type")
+      .select("user_id", "event_type", "valid_from", "valid_to", "is_current")
+      .orderBy("user_id", "valid_from")
+
+  /** Temporal train/embargo/test split of the event stream (trailing 7 days
+    * test, 1-day embargo purged before it): per-split counts and bounds
+    * ([[graft.ops.EventOps.timeSplitEmbargo]]).
+    */
+  def timeSplit(spark: SparkSession, dir: String): DataFrame =
+    EventOps.timeSplitEmbargo(Tables.events(spark, dir), "ts_us",
+        TestHorizonUs, EmbargoUs)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("min_us"), max(col("ts_us")).as("max_us"))
+      .orderBy("split")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pit_training_matrix" -> pitTrainingMatrix,
-    "feat_rolling_window" -> rollingWindow)
+    "feat_rolling_window" -> rollingWindow,
+    "feat_funnel_steps" -> funnelSteps,
+    "feat_scd2_intervals" -> scd2Intervals,
+    "feat_time_split" -> timeSplit)
 
   val oracle: Map[String, String] = Map(
     // chained native ASOF LEFT JOINs — inclusive (l.ts >= f.ts), one per
@@ -93,6 +133,47 @@ object FeatureQueries {
         |ASOF LEFT JOIN c ON l.user_id = c.user_id AND l.ts_us >= c.c_ts_us
         |ASOF LEFT JOIN v ON l.user_id = v.user_id AND l.ts_us >= v.v_ts_us
         |ORDER BY l.user_id, l.event_id""".stripMargin,
+    // each step joins back to the previous step's min — strictly-after
+    // semantics, exactly EventOps.funnel's fold
+    "feat_funnel_steps" ->
+      """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t_view
+        |           FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+        |      GROUP BY 1),
+        |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+        |      GROUP BY 1)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY v.user_id""".stripMargin,
+    "feat_scd2_intervals" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |             event_type FROM events),
+        |l AS (SELECT user_id, event_id, ts_us, event_type,
+        |        lag(event_type) OVER w AS prev, row_number() OVER w AS rn
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |c AS (SELECT user_id, event_id, ts_us, event_type FROM l
+        |      WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+        |SELECT user_id, event_type, ts_us AS valid_from,
+        |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |    AS valid_to,
+        |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |    IS NULL AS is_current
+        |FROM c ORDER BY user_id, valid_from""".stripMargin,
+    "feat_time_split" ->
+      s"""WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+         |s AS (SELECT epoch_us(ts) AS ts_us,
+         |        CASE WHEN epoch_us(ts) > mx - $TestHorizonUs THEN 'test'
+         |             WHEN epoch_us(ts) > mx - $TestHorizonUs - $EmbargoUs
+         |               THEN 'embargo'
+         |             ELSE 'train' END AS split
+         |      FROM events, m)
+         |SELECT split, count(*) AS n_events, min(ts_us) AS min_us,
+         |  max(ts_us) AS max_us
+         |FROM s GROUP BY 1 ORDER BY split""".stripMargin,
     "feat_rolling_window" ->
       s"""SELECT user_id, event_id,
          |  CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) OVER w

@@ -183,7 +183,44 @@ object PrepQueries {
         "o_totalprice", PriorityK)
       .orderBy("o_orderkey")
 
+  private val TeSmoothing = 20.0
+  private val QBuckets = 4
+  private val CrossBuckets = 64
+
+  /** Smoothed + leave-one-out target encoding of market segment against
+    * account balance (stats over ALL customers, output sliced to the first
+    * 20 — encoding statistics never follow the output filter).
+    */
+  def targetEncode(spark: SparkSession, dir: String): DataFrame =
+    Prep.targetEncode(Tables.customer(spark, dir), Seq("c_mktsegment"),
+        "c_acctbal", TeSmoothing)
+      .filter(col("c_custkey") < 20)
+      .select("c_custkey", "c_mktsegment", "te", "te_loo")
+      .orderBy("c_custkey")
+
+  /** Equal-frequency 4-bucket discretization of lineitem extended price —
+    * exact percentile edges, per-bucket counts and value bounds.
+    */
+  def quantileBucket(spark: SparkSession, dir: String): DataFrame =
+    Prep.quantileBucket(Tables.lineitem(spark, dir), "l_extendedprice",
+        QBuckets)
+      .orderBy("bucket")
+
+  /** Hashed cross of (market segment × nation) into 64 buckets: per-bucket
+    * row and distinct-pair counts — the collision profile of the cross.
+    */
+  def hashCross(spark: SparkSession, dir: String): DataFrame =
+    Prep.crossHash(Tables.customer(spark, dir),
+        Seq("c_mktsegment", "c_nationkey"), CrossBuckets)
+      .groupBy("cross_bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("c_mktsegment"), col("c_nationkey")).as("n_pairs"))
+      .orderBy("cross_bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "prep_target_encode" -> targetEncode,
+    "prep_quantile_bucket" -> quantileBucket,
+    "prep_hash_cross" -> hashCross,
     "prep_priority_sample" -> prioritySampleOrders,
     "prep_tfidf_top_terms" -> tfidfTopTerms,
     "prep_normalize_acctbal" -> normalizeAcctbal,
@@ -205,6 +242,46 @@ object PrepQueries {
     s"('0x' || substr(md5($expr), 1, 12))::BIGINT % $buckets"
 
   val oracle: Map[String, String] = Map(
+    // double math mirrors Prep.targetEncode's expression order exactly:
+    // (Σy + m·(gs/gn)) / (n + m), LOO excludes the row's own label
+    "prep_target_encode" ->
+      s"""WITH c AS (SELECT c_custkey, c_mktsegment,
+         |  CAST(c_acctbal AS DECIMAL(18,2)) AS yd FROM customer),
+         |s AS (SELECT c_mktsegment, count(*) AS n, sum(yd) AS sy
+         |      FROM c GROUP BY 1),
+         |g AS (SELECT count(*) AS gn, sum(yd) AS gs FROM c)
+         |SELECT c.c_custkey, c.c_mktsegment,
+         |  round((CAST(s.sy AS DOUBLE)
+         |         + $TeSmoothing * (CAST(g.gs AS DOUBLE) / g.gn))
+         |        / (s.n + $TeSmoothing), 6) AS te,
+         |  round((CAST(s.sy - c.yd AS DOUBLE)
+         |         + $TeSmoothing * (CAST(g.gs AS DOUBLE) / g.gn))
+         |        / (s.n - 1 + $TeSmoothing), 6) AS te_loo
+         |FROM c JOIN s USING (c_mktsegment), g
+         |WHERE c.c_custkey < 20 ORDER BY c.c_custkey""".stripMargin,
+    // edges rounded to 6 dp and compared in DECIMAL — interpolated
+    // percentiles of 2-dp money at k/4 positions are multiples of 0.0025,
+    // never at a 5e-7 rounding boundary, so both engines bin identically
+    "prep_quantile_bucket" ->
+      s"""WITH e AS (SELECT
+         |  CAST(round(quantile_cont(l_extendedprice, 0.25), 6) AS DECIMAL(18,6)) AS e1,
+         |  CAST(round(quantile_cont(l_extendedprice, 0.50), 6) AS DECIMAL(18,6)) AS e2,
+         |  CAST(round(quantile_cont(l_extendedprice, 0.75), 6) AS DECIMAL(18,6)) AS e3
+         |  FROM lineitem),
+         |b AS (SELECT CASE WHEN xd <= e1 THEN 0 WHEN xd <= e2 THEN 1
+         |                  WHEN xd <= e3 THEN 2 ELSE ${QBuckets - 1} END AS bucket, xd
+         |      FROM (SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS xd
+         |            FROM lineitem), e)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+         |  CAST(min(xd) AS DOUBLE) AS lo, CAST(max(xd) AS DOUBLE) AS hi
+         |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "prep_hash_cross" -> {
+      val joined = "c_mktsegment || chr(1) || c_nationkey::VARCHAR"
+      s"""SELECT ${md5Bucket(joined, CrossBuckets)} AS cross_bucket,
+         |  count(*) AS n_rows,
+         |  count(DISTINCT (c_mktsegment, c_nationkey)) AS n_pairs
+         |FROM customer GROUP BY 1 ORDER BY cross_bucket""".stripMargin
+    },
     "prep_tfidf_top_terms" ->
       s"""WITH d AS (SELECT doc_id,
          |  list_filter(string_split(text, ' '), t -> t <> '') AS toks

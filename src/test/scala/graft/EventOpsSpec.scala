@@ -1,0 +1,79 @@
+package graft
+
+import graft.ops.EventOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("funnel: strictly-after ordering; missing steps are null") {
+    // user 1 completes view(10) → click(20) → purchase(30);
+    // user 2 clicks BEFORE viewing (click 5, view 10) and the later click
+    // at 15 counts instead; never purchases;
+    // user 3 never views → absent from the funnel entirely
+    val ev = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      (2L, 5L, "click"), (2L, 10L, "view"), (2L, 15L, "click"),
+      (3L, 10L, "click"), (3L, 20L, "purchase")
+    ).toDF("user_id", "ts_us", "event_type")
+    val out = EventOps.funnel(ev, "user_id", "ts_us",
+        Seq("view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")))
+      .orderBy("user_id")
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect()
+    assert(out.toSeq == Seq(
+      (1L, Some(10L), Some(20L), Some(30L)),
+      (2L, Some(10L), Some(15L), None)))
+  }
+
+  test("funnel: same-timestamp step does NOT complete (strict >)") {
+    val ev = Seq((1L, 10L, "view"), (1L, 10L, "click"))
+      .toDF("user_id", "ts_us", "event_type")
+    val out = EventOps.funnel(ev, "user_id", "ts_us",
+        Seq("view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click")))
+      .as[(Long, Option[Long], Option[Long])].collect()
+    assert(out.toSeq == Seq((1L, Some(10L), None)))
+  }
+
+  test("scd2: runs collapse, intervals tile the key's timeline") {
+    val ev = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "a"), (1L, 30L, 3L, "b"),
+      (1L, 40L, 4L, "b"), (1L, 50L, 5L, "a"))
+      .toDF("user_id", "ts_us", "event_id", "v")
+    val out = EventOps.scd2(ev, "user_id", "ts_us", "event_id", "v")
+      .select("v", "valid_from", "valid_to", "is_current")
+      .orderBy("valid_from")
+      .as[(String, Long, Option[Long], Boolean)].collect()
+    assert(out.toSeq == Seq(
+      ("a", 10L, Some(30L), false),
+      ("b", 30L, Some(50L), false),
+      ("a", 50L, None, true)))
+  }
+
+  test("scd2: null values form one interval (null-safe change detection)") {
+    val ev = Seq(
+      (1L, 10L, 1L, Option.empty[String]), (1L, 20L, 2L, None),
+      (1L, 30L, 3L, Some("x")))
+      .toDF("user_id", "ts_us", "event_id", "v")
+    val out = EventOps.scd2(ev, "user_id", "ts_us", "event_id", "v")
+    assert(out.count() == 2)
+  }
+
+  test("timeSplitEmbargo: boundary rows land on the embargo side, counts add up") {
+    val horizon = 100L
+    val embargo = 50L
+    // mx = 1000 → test: ts > 900; embargo: 850 < ts <= 900; train: ts <= 850
+    val ev = Seq(1000L, 901L, 900L, 851L, 850L, 1L).toDF("ts_us")
+    val out = EventOps.timeSplitEmbargo(ev, "ts_us", horizon, embargo)
+      .groupBy("split").agg(collect_list(col("ts_us")).as("ts"))
+      .as[(String, Seq[Long])].collect().map { case (s, t) => s -> t.sorted }
+      .toMap
+    assert(out("test") == Seq(901L, 1000L))
+    assert(out("embargo") == Seq(851L, 900L))
+    assert(out("train") == Seq(1L, 850L))
+  }
+}

@@ -268,4 +268,66 @@ class PrepSpec extends AnyFunSuite {
       w, 0.0)
     assert(again.count() == kept.count())
   }
+
+  test("targetEncode: shrinkage pulls toward the global mean; LOO of a " +
+      "singleton group IS the global mean") {
+    val df = Seq(("a", 10.0), ("a", 20.0), ("b", 100.0))
+      .toDF("k", "y")
+    val out = Prep.targetEncode(df, Seq("k"), "y", smoothing = 2.0)
+      .select("k", "y", "te", "te_loo")
+      .as[(String, Double, Double, Double)].collect()
+    val gMean = (10.0 + 20.0 + 100.0) / 3 // ≈ 43.333333
+    // group a: (30 + 2·gMean)/(2+2); group b: (100 + 2·gMean)/(1+2)
+    val teA = (30.0 + 2.0 * gMean) / 4.0
+    val teB = (100.0 + 2.0 * gMean) / 3.0
+    out.foreach { case (k, y, te, loo) =>
+      if (k == "a") {
+        assert(math.abs(te - teA) < 1e-6)
+        // LOO excludes the row's own y: ((30-y) + 2·gMean)/(1+2)
+        assert(math.abs(loo - ((30.0 - y) + 2.0 * gMean) / 3.0) < 1e-6)
+      } else {
+        assert(math.abs(te - teB) < 1e-6)
+        // singleton group: nothing left after removing the row → pure prior
+        assert(math.abs(loo - gMean) < 1e-6)
+      }
+      // shrinkage: te strictly between the group mean and the global mean
+      val grpMean = if (k == "a") 15.0 else 100.0
+      assert((te - grpMean) * (te - gMean) < 0,
+        s"te=$te not between group=$grpMean and global=$gMean")
+    }
+  }
+
+  test("quantileBucket: bins are ordered, non-overlapping, and cover all rows") {
+    val li = Tables.lineitem(spark, dir)
+    val out = Prep.quantileBucket(li, "l_extendedprice", 4)
+      .orderBy("bucket")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(out.map(_._2).sum == li.count())
+    // value ranges are disjoint and increasing across buckets
+    out.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._4 <= hi._3, s"overlap: ${lo._4} > ${hi._3}")
+    }
+    // equal-frequency: each bin holds 25% ± the duplicate-ties slack
+    val n = li.count().toDouble
+    out.foreach { case (b, cnt, _, _) =>
+      assert(math.abs(cnt / n - 0.25) < 0.05, s"bucket $b holds ${cnt / n}")
+    }
+  }
+
+  test("crossHash: separator keeps (ab,c) and (a,bc) distinct; " +
+      "repartitioning never changes buckets") {
+    val df = Seq(("ab", "c"), ("a", "bc")).toDF("x", "y")
+    val out = Prep.crossHash(df, Seq("x", "y"), 1 << 20)
+      .select("cross_bucket").as[Long].collect()
+    assert(out.distinct.length == 2, "separator failed: crosses collided")
+    val cust = Tables.customer(spark, dir)
+    val a = Prep.crossHash(cust, Seq("c_mktsegment", "c_nationkey"), 64)
+      .select("c_custkey", "cross_bucket").orderBy("c_custkey").collect()
+    val b = Prep.crossHash(cust.repartition(7),
+        Seq("c_mktsegment", "c_nationkey"), 64)
+      .select("c_custkey", "cross_bucket").orderBy("c_custkey").collect()
+    assert(a.sameElements(b))
+    assert(a.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 64))
+  }
 }
