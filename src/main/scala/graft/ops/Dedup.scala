@@ -242,6 +242,56 @@ object Dedup {
       .distinct()
   }
 
+  /** Directed containment pairs: C(A→B) = |A∩B| / |A| ≥ threshold — the
+    * ASYMMETRIC near-dup relation Jaccard misses: a paragraph quoted inside
+    * a much longer page has high containment but low Jaccard, so quote
+    * detection, subset-document pruning, and "is this doc a fragment of
+    * that one" all need containment, not Jaccard. Output is directed
+    * (a→b and b→a can both appear).
+    *
+    * Same lossless prefix-filter shape as [[jaccardPairs]], adapted to the
+    * asymmetric bound: the probe side A explodes only its prefix (an
+    * overlap of ⌈t·|A|⌉ forces a shared token in A's first
+    * |A| − ⌈t·|A|⌉ + 1 df-ordered tokens — the identical [[prefixLen]]
+    * formula), while the candidate side B must index ALL its tokens
+    * (containment puts no upper bound on |B|). The only lossless B-side
+    * prune is |B| ≥ ⌈t·|A|⌉ (the intersection fits inside B). Exact
+    * containment is then verified per candidate with the codegen
+    * merge-intersect kernel — identical output to the naive quadratic
+    * join. Candidate volume is Σ_token df·pf (pf = prefix occurrences), so
+    * like the Jaccard path it scales with token co-occurrence, never
+    * corpus².
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 1,
+      broadcastSets: Boolean = true): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
+    val sets = tokenSets(df, idCol, textCol, n).localCheckpoint(false)
+    val probe = sets.select(col("id").as("id_a"), col("n_tokens").as("n_a"),
+      posexplode(slice(col("toks"), lit(1),
+        prefixLen(col("n_tokens"), threshold))).as(Seq("pos_a", "th")))
+    val index = sets.select(col("id").as("id_b"), col("n_tokens").as("n_b"),
+      explode(col("toks")).as("th"))
+    val minOverlap = ceil(col("n_a") * threshold - lit(1e-9))
+    val cand = probe.join(index, Seq("th"))
+      .filter(col("id_a") =!= col("id_b") && col("n_b") >= minOverlap)
+      .select("id_a", "id_b")
+      .distinct()
+    val hint: DataFrame => DataFrame =
+      if (broadcastSets) broadcast(_) else identity
+    cand
+      .join(hint(sets.select(col("id").as("id_a"), col("toks_v").as("toks_a"),
+        col("n_tokens").as("n_a"))), Seq("id_a"))
+      .join(hint(sets.select(col("id").as("id_b"),
+        col("toks_v").as("toks_b"))), Seq("id_b"))
+      .withColumn("n_common",
+        call_function("graft_sorted_intersect", col("toks_a"), col("toks_b")))
+      .withColumn("containment",
+        col("n_common").cast("double") / col("n_a"))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "n_common", "containment")
+  }
+
   /** MinHash signatures: one row per id with `numHashes` Long min-hashes
     * `s0..s{n-1}`, permutation i being `(ha + i·hb) mod MinhashMod`, the
     * (ha, hb) double-hashing base coming from the fused

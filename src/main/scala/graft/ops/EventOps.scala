@@ -97,4 +97,33 @@ object EventOps {
           .otherwise("train"))
       .drop("__mx")
   }
+
+  /** Behavioral-sequence assembly: each key's events, ordered by
+    * (ts, tie), concatenated into one token string — how an event log
+    * becomes the input of a sequence model (next-action prediction,
+    * session-based recommendation, user-history LLM prompts). Returns
+    * (key, n_events, sequence) with the sequence capped at the FIRST
+    * `maxTokens` events (the model's context budget; `n_events` still
+    * counts everything).
+    *
+    * One shuffle (group-by key). The collected list is bounded by the
+    * key's own event count — the per-user/per-session cardinality a
+    * behavioral log bounds by construction — and the emitted string by
+    * `maxTokens`; there is no corpus-sized state anywhere. Ordering is
+    * explicit in the collected struct (sort key = (ts, tie, token)
+    * lexicographic on the struct fields), so the sequence is deterministic
+    * under duplicate timestamps on any partitioning.
+    */
+  def assembleSequence(df: DataFrame, keyCol: String, tsUsCol: String,
+      tieCol: String, tokenCol: String, maxTokens: Int): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    df.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(tsUsCol).as("t"),
+        col(tieCol).as("i"), col(tokenCol).cast("string").as("tok"))))
+        .as("__s"))
+      .select(col(keyCol),
+        size(col("__s")).cast("long").as("n_events"),
+        array_join(transform(slice(col("__s"), 1, maxTokens),
+          s => s.getField("tok")), " ").as("sequence"))
+  }
 }

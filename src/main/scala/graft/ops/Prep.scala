@@ -191,7 +191,25 @@ object Prep {
   def stratifiedSample(df: DataFrame, strataCols: Seq[String],
       keyCol: String, fraction: Double): DataFrame = {
     require(fraction > 0 && fraction <= 1, s"bad fraction $fraction")
-    val sc = strataCols.map(col)
+    hashRanked(df, strataCols, keyCol)
+      .filter(col("sample_rank") <= ceil(col("__n") * fraction))
+      .select(df.columns.map(col) :+ col("sample_rank"): _*)
+  }
+
+  /** The shared two-phase deterministic per-group ranking behind
+    * [[stratifiedSample]], [[capPerKey]] and [[balanceClasses]]: every row
+    * gets `sample_rank` — its exact 1-based rank within its group under the
+    * global (md5(key), key) order — plus `__n`, the group size. Rows are
+    * salted by the md5's leading byte (a PREFIX of the sort key, so the
+    * global order is salt-major and
+    * `global rank = local rank + Σ counts of lower salt ranges`); the
+    * offsets are a tiny (groups × 256)-row aggregate broadcast back, so one
+    * giant group fans out over 256 window partitions instead of
+    * serializing.
+    */
+  private def hashRanked(df: DataFrame, groupCols: Seq[String],
+      keyCol: String): DataFrame = {
+    val sc = groupCols.map(col)
     val salted = df
       .withColumn("__mh", md5(col(keyCol).cast("string")))
       // leading md5 byte: 0..255, and hex-lexicographic == numeric order,
@@ -209,10 +227,81 @@ object Prep {
       .orderBy(col("__mh"), col(keyCol))
     salted
       .withColumn("__lrn", row_number().over(wLocal).cast("long"))
-      .join(broadcast(offsets), strataCols :+ "__salt")
+      .join(broadcast(offsets), groupCols :+ "__salt")
       .withColumn("sample_rank", col("__lrn") + col("__offset"))
-      .filter(col("sample_rank") <= ceil(col("__n") * fraction))
+  }
+
+  /** Per-key document cap — the C4/RefinedWeb-style corpus-shaping rule
+    * "keep at most `maxPerKey` documents per domain/source/shard" that stops
+    * one mega-site from dominating a training mixture. Kept rows are the
+    * `maxPerKey` lowest under the deterministic (md5(tie), tie) order — a
+    * uniform within-key subsample, identical on any engine/partitioning —
+    * never head-of-table (which would keep whatever the scan happened to
+    * read first). Same two-phase ranking as [[stratifiedSample]], so a
+    * hot key (the exact case the cap exists for) fans out over 256 window
+    * partitions. Returns the input plus `sample_rank`.
+    */
+  def capPerKey(df: DataFrame, keyCols: Seq[String], tieCol: String,
+      maxPerKey: Int): DataFrame = {
+    require(maxPerKey > 0, s"cap must be positive, got $maxPerKey")
+    hashRanked(df, keyCols, tieCol)
+      .filter(col("sample_rank") <= maxPerKey)
       .select(df.columns.map(col) :+ col("sample_rank"): _*)
+  }
+
+  /** Exact class rebalancing by downsampling: every class keeps exactly
+    * `min(class sizes)` rows (the uniform-under-hash deterministic subset),
+    * producing a perfectly balanced training set without replacement.
+    * The per-class target is ONE tiny aggregate-of-aggregate broadcast
+    * back; ranking is the two-phase [[hashRanked]], so the majority class
+    * (the hot group by definition) never serializes into one partition.
+    */
+  def balanceClasses(df: DataFrame, classCols: Seq[String], keyCol: String)
+      : DataFrame = {
+    val counts = df.groupBy(classCols.map(col): _*)
+      .agg(count(lit(1)).as("__cn"))
+    val target = counts.agg(min(col("__cn")).as("__target"))
+    hashRanked(df, classCols, keyCol)
+      .crossJoin(broadcast(target))
+      .filter(col("sample_rank") <= col("__target"))
+      .select(df.columns.map(col) :+ col("sample_rank"): _*)
+  }
+
+  /** Deterministic k-fold assignment by group key: fold = md5-bucket of the
+    * key, so all rows of a key land in one fold (leakage-free, like
+    * [[groupSplit]]) and the assignment is reproducible across engines,
+    * runs and partitionings — cross-validation folds you can recompute
+    * anywhere. Zero shuffle (per-row expression). Adds `fold` ∈ [0, k).
+    */
+  def kfold(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k > 1, s"need at least 2 folds, got $k")
+    df.withColumn("fold", hashBucket(col(keyCol), k))
+  }
+
+  /** Winsorization (percentile clipping) of a ≤2-dp money column: values
+    * below the `pLo` percentile clamp to it, above `pHi` clamp to it — the
+    * standard outlier guard before scaling/regression. Edges are exact
+    * interpolated percentiles (ONE tiny aggregate broadcast back, no
+    * collect), rounded to 6 dp and compared in DECIMAL — the same
+    * engine-exactness argument as [[quantileBucket]]. Returns the input
+    * plus `winsorized` (DECIMAL(18,6)), `clipped_lo`, `clipped_hi`.
+    */
+  def winsorize(df: DataFrame, valueCol: String, pLo: Double, pHi: Double)
+      : DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad percentiles [$pLo, $pHi]")
+    val xd = col(valueCol).cast(Money)
+    val edges = df.agg(
+      percentile(col(valueCol), array(lit(pLo), lit(pHi))).as("__e"))
+    val lo = round(element_at(col("__e"), 1), 6).cast(DecimalType(18, 6))
+    val hi = round(element_at(col("__e"), 2), 6).cast(DecimalType(18, 6))
+    df.crossJoin(broadcast(edges))
+      .withColumn("clipped_lo", xd < lo)
+      .withColumn("clipped_hi", xd > hi)
+      .withColumn("winsorized",
+        when(col("clipped_lo"), lo)
+          .when(col("clipped_hi"), hi)
+          .otherwise(xd.cast(DecimalType(18, 6))))
+      .drop("__e")
   }
 
   /** Fixed-width histogram of a ≤2-dp money column: global min/max in exact

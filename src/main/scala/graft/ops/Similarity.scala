@@ -116,6 +116,66 @@ object Similarity {
       .select(col("q_id"), col("rank"), col(idCol), col("cos"))
   }
 
+  /** Hard-negative mining for contrastive training (the data-prep step
+    * behind triplet/InfoNCE losses, Schroff et al. 2015): for each query,
+    * the `k` most-similar corpus items whose label DIFFERS from the
+    * query's — the negatives the model currently confuses. `maxCos` caps
+    * similarity (semi-hard band: exclude near-duplicates that are likely
+    * label noise rather than informative negatives).
+    *
+    * Same shape as [[knnJoin]]: the query batch broadcasts, the corpus
+    * never shuffles, and the per-query top-k is a window over each query's
+    * candidates. Label comparison is null-safe (a null-labeled corpus row
+    * is a valid negative for a labeled query).
+    */
+  def hardNegatives(
+      emb: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      maxCos: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("__qvec"),
+      col(labelCol).as("__qlabel"))
+    emb.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("q_id") &&
+        !(col(labelCol) <=> col("__qlabel")))
+      .withColumn("cos", round(cosine(col(vecCol), col("__qvec")), 6))
+      .filter(col("cos") <= maxCos)
+      .withColumn("rank", row_number()
+        .over(Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col(idCol))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col(idCol), col(labelCol), col("cos"))
+  }
+
+  /** Seeded ±1 random projection (Achlioptas 2003's database-friendly
+    * Johnson–Lindenstrauss transform): project `dim`-dimensional embeddings
+    * onto `signs.length` output coordinates, out_j = Σ_i signs(j)(i)·v_i —
+    * the standard pre-ANN shrink (project 100 TB of wide embeddings down
+    * once, then index the narrow ones). `signs` comes from
+    * [[hyperplanes]], so the matrix inlines into the Spark plan AND the
+    * oracle SQL — no side-channel state, any engine reproduces it from the
+    * seed.
+    *
+    * Zero shuffle: each output coordinate is one codegen'd `graft_dot`
+    * against a literal ±1 array. Both engines sum the dot sequentially in
+    * array order, so values are bit-identical (rounded to 6 dp in the
+    * output columns `p0..p{n-1}`).
+    */
+  def randomProject(emb: DataFrame, idCol: String, vecCol: String,
+      signs: Array[Array[Int]]): DataFrame = {
+    require(signs.nonEmpty, "need at least one projection row")
+    val v = col(vecCol).cast("array<double>")
+    val outs = signs.zipWithIndex.map { case (row, j) =>
+      val rowLit = array(row.map(s => lit(s.toDouble)).toIndexedSeq: _*)
+      round(call_function("graft_dot", v, rowLit), 6).as(s"p$j")
+    }
+    emb.select(col(idCol) +: outs.toIndexedSeq: _*)
+  }
+
   /** IVF (inverted-file) ANN — the other classic scale path beside
     * hyperplane LSH: a KMeans coarse quantizer partitions the corpus into
     * `nClusters` cells; a query scores only the `nProbe` cells whose

@@ -145,7 +145,18 @@ object DedupQueries {
     }
   }
 
+  /** Directed 3-gram containment pairs at C(A→B) ≥ 0.8 — the asymmetric
+    * "A is quoted inside / is a fragment of B" relation
+    * ([[graft.ops.Dedup.containmentPairs]]; lossless prefix-filtered
+    * candidates, exact merge-intersect verify).
+    */
+  def containment3gram(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(spark, dir), "doc_id", "text",
+        threshold = 0.8, n = 3)
+      .orderBy("id_a", "id_b")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_containment" -> containment3gram,
     "dedup_exact_groups" -> exactGroups,
     "dedup_exact_keep_first" -> exactKeepFirst,
     "dedup_jaccard_pairs" -> jaccardPairs,
@@ -269,6 +280,29 @@ object DedupQueries {
     .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    // directed pairs (a.id <> b.id), containment normalized by A's gram
+    // count only — the n_common*1.0/n division is the same single IEEE op
+    // Dedup.containmentPairs performs
+    "dedup_containment" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |           FROM documents),
+        |tok AS (
+        |  SELECT DISTINCT doc_id AS id,
+        |    toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS token
+        |  FROM d, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+        |  WHERE len(toks) >= 3),
+        |th AS (
+        |  SELECT id, ('0x' || substr(md5(token), 1, 12))::BIGINT AS th FROM tok),
+        |sz AS (SELECT id, count(*) AS n_tokens FROM th GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+        |  FROM th a JOIN th b ON a.th = b.th AND a.id <> b.id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_common,
+        |  n_common * 1.0 / sa.n_tokens AS containment
+        |FROM inter JOIN sz sa ON id_a = sa.id
+        |WHERE n_common * 1.0 / sa.n_tokens >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
     "dedup_exact_groups" ->
       s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents)
          |SELECT md5(norm) AS content_md5, min(doc_id) AS canonical_id,

@@ -1,10 +1,11 @@
 package graft.queries
 
-import graft.ops.{EventOps, PointInTime, Prep}
+import graft.ops.{Diff, EventOps, PointInTime, Prep}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Oracle-checked feature-engineering family — the two serving shapes a
   * feature store exists for (the reference stores versioned feature rows
@@ -104,7 +105,49 @@ object FeatureQueries {
         min(col("ts_us")).as("min_us"), max(col("ts_us")).as("max_us"))
       .orderBy("split")
 
+  private val DiffHorizonUs = 7L * 86400L * 1000000L // old = all but last 7d
+  private val SeqMaxTokens = 50
+
+  /** Snapshot diff of per-(user, event_type) feature rows between pipeline
+    * v1 (events up to max_ts − 7 d, signups not yet tracked) and the v2
+    * backfill (7 more days of data, tracks signups, drops the deprecated
+    * `error` type): status counts + checksums
+    * ([[graft.ops.Diff.snapshotDiff]]). The construction exercises all
+    * four statuses — signup cells are `added`, error cells `removed`,
+    * cells with recent events `changed`, dormant cells `unchanged`.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val mx = ev.agg(max(unix_micros(col("ts"))).as("__mx"))
+    def perCell(d: DataFrame): DataFrame = d.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value"), 6).cast(DecimalType(18, 6))).as("val_sum"))
+    val v1 = perCell(ev.crossJoin(broadcast(mx))
+      .filter(unix_micros(col("ts")) <= col("__mx") - DiffHorizonUs &&
+        col("event_type") =!= "signup"))
+    val v2 = perCell(ev.filter(col("event_type") =!= "error"))
+    Diff.snapshotDiff(v1, v2, Seq("user_id", "event_type"),
+        Seq("n_events", "val_sum"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("user_id")).as("user_checksum"))
+      .orderBy("status")
+  }
+
+  /** Each user's event-type sequence (first 20 users), ordered by
+    * (ts, event_id), capped at 50 tokens — the behavioral-sequence
+    * assembly shape ([[graft.ops.EventOps.assembleSequence]]).
+    */
+  def eventSequence(spark: SparkSession, dir: String): DataFrame =
+    EventOps.assembleSequence(
+        Tables.events(spark, dir).filter(col("user_id") < 20)
+          .withColumn("ts_us", unix_micros(col("ts"))),
+        "user_id", "ts_us", "event_id", "event_type", SeqMaxTokens)
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "feat_snapshot_diff" -> snapshotDiff,
+    "feat_event_sequence" -> eventSequence,
     "pit_training_matrix" -> pitTrainingMatrix,
     "feat_rolling_window" -> rollingWindow,
     "feat_funnel_steps" -> funnelSteps,
@@ -112,6 +155,39 @@ object FeatureQueries {
     "feat_time_split" -> timeSplit)
 
   val oracle: Map[String, String] = Map(
+    "feat_snapshot_diff" ->
+      s"""WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+         |o AS (SELECT user_id, event_type, count(*) AS n_events,
+         |        sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS val_sum
+         |      FROM events, m WHERE epoch_us(ts) <= mx - $DiffHorizonUs
+         |        AND event_type <> 'signup'
+         |      GROUP BY 1, 2),
+         |n AS (SELECT user_id, event_type, count(*) AS n_events,
+         |        sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS val_sum
+         |      FROM events WHERE event_type <> 'error' GROUP BY 1, 2),
+         |d AS (SELECT coalesce(o.user_id, n.user_id) AS user_id,
+         |        CASE WHEN o.user_id IS NULL THEN 'added'
+         |             WHEN n.user_id IS NULL THEN 'removed'
+         |             WHEN o.n_events IS DISTINCT FROM n.n_events
+         |               OR o.val_sum IS DISTINCT FROM n.val_sum
+         |               THEN 'changed'
+         |             ELSE 'unchanged' END AS status
+         |      FROM o FULL JOIN n
+         |        ON o.user_id = n.user_id AND o.event_type = n.event_type)
+         |SELECT status, count(*) AS n_cells,
+         |  CAST(sum(user_id) AS BIGINT) AS user_checksum
+         |FROM d GROUP BY 1 ORDER BY status""".stripMargin,
+    // string_agg ignores the NULLed-out tokens past the cap; (ts, event_id)
+    // is unique, so the struct sort and the ORDER BY agree
+    "feat_event_sequence" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts), event_id) AS rn
+         |  FROM events WHERE user_id < 20)
+         |SELECT user_id, count(*) AS n_events,
+         |  string_agg(CASE WHEN rn <= $SeqMaxTokens THEN event_type END,
+         |    ' ' ORDER BY rn) AS sequence
+         |FROM e GROUP BY 1 ORDER BY user_id""".stripMargin,
     // chained native ASOF LEFT JOINs — inclusive (l.ts >= f.ts), one per
     // feature group, exactly the trainingMatrix fold
     "pit_training_matrix" ->

@@ -217,7 +217,63 @@ object PrepQueries {
         countDistinct(col("c_mktsegment"), col("c_nationkey")).as("n_pairs"))
       .orderBy("cross_bucket")
 
+  private val CapN = 15
+  private val WinsLo = 0.05
+  private val WinsHi = 0.95
+  private val KFolds = 5
+
+  /** At most 15 documents per (source, lang) cell — the C4-style "no
+    * domain dominates" corpus-shaping cap; per-cell kept counts + key
+    * checksums prove WHICH rows were kept, not just how many.
+    */
+  def keyCap(spark: SparkSession, dir: String): DataFrame =
+    Prep.capPerKey(Tables.documents(spark, dir), Seq("source", "lang"),
+        "doc_id", CapN)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_checksum"))
+      .orderBy("source", "lang")
+
+  /** p05/p95 winsorization of lineitem extended price: clip counts, the
+    * exact-DECIMAL clipped total, and the realized clamp edges.
+    */
+  def winsorizePrice(spark: SparkSession, dir: String): DataFrame =
+    Prep.winsorize(Tables.lineitem(spark, dir), "l_extendedprice",
+        WinsLo, WinsHi)
+      .agg(
+        sum(when(col("clipped_lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("clipped_hi"), 1L).otherwise(0L)).as("n_hi"),
+        count(lit(1)).as("n_rows"),
+        sum(col("winsorized")).cast("double").as("total"),
+        min(col("winsorized")).cast("double").as("lo_edge"),
+        max(col("winsorized")).cast("double").as("hi_edge"))
+
+  /** Deterministic 5-fold user-level assignment over the event stream —
+    * per-fold user and event counts (leakage-freedom, every user in one
+    * fold, is pinned by PrepSpec).
+    */
+  def kfoldEvents(spark: SparkSession, dir: String): DataFrame =
+    Prep.kfold(Tables.events(spark, dir), "user_id", KFolds)
+      .groupBy("fold")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("fold")
+
+  /** Downsample order statuses to the minority class: every status keeps
+    * exactly min(class sizes) rows, checksummed.
+    */
+  def classBalance(spark: SparkSession, dir: String): DataFrame =
+    Prep.balanceClasses(Tables.orders(spark, dir), Seq("o_orderstatus"),
+        "o_orderkey")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("o_orderkey")).as("key_checksum"))
+      .orderBy("o_orderstatus")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "prep_key_cap" -> keyCap,
+    "prep_winsorize" -> winsorizePrice,
+    "prep_kfold" -> kfoldEvents,
+    "prep_class_balance" -> classBalance,
     "prep_target_encode" -> targetEncode,
     "prep_quantile_bucket" -> quantileBucket,
     "prep_hash_cross" -> hashCross,
@@ -242,6 +298,53 @@ object PrepQueries {
     s"('0x' || substr(md5($expr), 1, 12))::BIGINT % $buckets"
 
   val oracle: Map[String, String] = Map(
+    "prep_key_cap" ->
+      s"""WITH r AS (SELECT doc_id, source, lang,
+         |  row_number() OVER (PARTITION BY source, lang
+         |    ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+         |  FROM documents)
+         |SELECT source, lang, count(*) AS n_kept,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         |FROM r WHERE rn <= $CapN
+         |GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
+    // edges rounded to 6 dp and compared in DECIMAL — same engine-exactness
+    // argument as prep_quantile_bucket
+    "prep_winsorize" ->
+      s"""WITH e AS (SELECT
+         |  CAST(round(quantile_cont(l_extendedprice, $WinsLo), 6)
+         |       AS DECIMAL(18,6)) AS lo,
+         |  CAST(round(quantile_cont(l_extendedprice, $WinsHi), 6)
+         |       AS DECIMAL(18,6)) AS hi
+         |  FROM lineitem),
+         |w AS (SELECT (xd < lo) AS clo, (xd > hi) AS chi,
+         |        CASE WHEN xd < lo THEN lo WHEN xd > hi THEN hi
+         |             ELSE CAST(xd AS DECIMAL(18,6)) END AS wz
+         |      FROM (SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS xd
+         |            FROM lineitem), e)
+         |SELECT CAST(sum(CASE WHEN clo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+         |  CAST(sum(CASE WHEN chi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+         |  count(*) AS n_rows, CAST(sum(wz) AS DOUBLE) AS total,
+         |  CAST(min(wz) AS DOUBLE) AS lo_edge,
+         |  CAST(max(wz) AS DOUBLE) AS hi_edge
+         |FROM w""".stripMargin,
+    "prep_kfold" -> {
+      val f = md5Bucket("user_id::VARCHAR", KFolds)
+      s"""WITH f AS (SELECT user_id, $f AS fold FROM events)
+         |SELECT fold, count(DISTINCT user_id) AS n_users,
+         |  count(*) AS n_events
+         |FROM f GROUP BY 1 ORDER BY fold""".stripMargin
+    },
+    "prep_class_balance" ->
+      """WITH r AS (SELECT o_orderkey, o_orderstatus,
+        |  row_number() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY md5(o_orderkey::VARCHAR), o_orderkey) AS rn
+        |  FROM orders),
+        |t AS (SELECT min(cnt) AS target FROM
+        |  (SELECT count(*) AS cnt FROM orders GROUP BY o_orderstatus))
+        |SELECT o_orderstatus, count(*) AS n_kept,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+        |FROM r, t WHERE rn <= target
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     // double math mirrors Prep.targetEncode's expression order exactly:
     // (Σy + m·(gs/gn)) / (n + m), LOO excludes the row's own label
     "prep_target_encode" ->

@@ -42,6 +42,15 @@ object SimilarityQueries {
   val semAnchors: Array[Array[Int]] =
     Similarity.hyperplanes(8, Dim, seed = 44L)
 
+  /** Seeded ±1 Johnson–Lindenstrauss projection rows (seed 45 — independent
+    * of every hash family above); inlined into plan AND oracle SQL.
+    */
+  val projSigns: Array[Array[Int]] =
+    Similarity.hyperplanes(8, Dim, seed = 45L)
+
+  private val NegK = 5
+  private val NegMaxCos = 0.999
+
   def bruteTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.bruteTopK(emb, emb.filter(col("vec_id") === 0L),
@@ -93,6 +102,25 @@ object SimilarityQueries {
         "vec_id", "embedding", KnnK)
       .orderBy("q_id", "rank")
   }
+
+  /** Top-5 different-label near neighbors per query (semi-hard band
+    * cos ≤ 0.999) — contrastive-training hard-negative mining
+    * ([[graft.ops.Similarity.hardNegatives]]).
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") < KnnQueries),
+        "vec_id", "embedding", "label", NegK, NegMaxCos)
+      .orderBy("q_id", "rank")
+  }
+
+  /** 64 → 8 dim seeded ±1 Johnson–Lindenstrauss projection of the corpus
+    * ([[graft.ops.Similarity.randomProject]] over [[projSigns]]).
+    */
+  def randomProjection(spark: SparkSession, dir: String): DataFrame =
+    Similarity.randomProject(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", projSigns)
+      .orderBy("vec_id")
 
   /** Batch multiprobe-LSH k-NN: a 5-query relation, each probing its own
     * bucket + Hamming-1 neighbors, ranked per query — one corpus signature
@@ -182,6 +210,8 @@ object SimilarityQueries {
       .orderBy("dim")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_hard_negatives" -> hardNegatives,
+    "sim_random_projection" -> randomProjection,
     "sim_int8_quant" -> int8Quant,
     "sim_brute_topk" -> bruteTopK,
     "sim_semantic_dedup" -> semanticDedup,
@@ -242,6 +272,30 @@ object SimilarityQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // label filter is null-safe (IS DISTINCT FROM) and the semi-hard cos
+    // cap applies AFTER the 6-dp round, mirroring Similarity.hardNegatives
+    "sim_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label AS ql
+         |           FROM embeddings WHERE vec_id < $KnnQueries),
+         |s AS (SELECT q_id, vec_id, label,
+         |        ${cosineSql("embedding", "qv")} AS cos
+         |      FROM embeddings, q
+         |      WHERE vec_id <> q_id AND label IS DISTINCT FROM ql),
+         |r AS (SELECT q_id, vec_id, label, cos, row_number()
+         |        OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |      FROM s WHERE cos <= $NegMaxCos)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, label, cos
+         |FROM r WHERE rank <= $NegK ORDER BY q_id, rank""".stripMargin,
+    // the identical seeded ±1 rows inline here and in the Spark plan; both
+    // engines run the same sequential double dot product
+    "sim_random_projection" -> {
+      val cols = projSigns.zipWithIndex.map { case (row, j) =>
+        val arr = row.map(v => s"$v.0").mkString("[", ",", "]")
+        s"round(${dotSql("embedding", arr)}, 6) AS p$j"
+      }.mkString(", ")
+      s"""SELECT vec_id, $cols
+         |FROM embeddings ORDER BY vec_id""".stripMargin
+    },
     // dup = shares a cell with a LOWER-id doc at cos >= threshold; the
     // within-cell self-join enumerates exactly the candidate pairs the
     // Spark side's cell-keyed join produces

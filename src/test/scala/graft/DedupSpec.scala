@@ -186,6 +186,37 @@ class DedupSpec extends AnyFunSuite {
     assert(inc == fullSurvivors(docs, 0.9))
   }
 
+  test("containmentPairs: fragment-in-superset is directed (a→b only); " +
+      "output equals the brute-force quadratic join on the corpus") {
+    val frag = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "intro words alpha beta gamma delta and a very long tail of " +
+        "unrelated content keeps jaccard low"),
+      (3L, "totally different text with nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val dir1 = Dedup.containmentPairs(frag, "doc_id", "text", 0.9, n = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(dir1.contains((1L, 2L)), "fragment → superset missed")
+    assert(!dir1.contains((2L, 1L)), "containment must be asymmetric")
+    // and the corpus-wide result is exactly the naive quadratic join's
+    val corpus = graft.sources.Tables.documents(spark,
+      "/root/testdata/sf0.001")
+    def grams(t: String): Set[String] = {
+      val ts = t.split(" ").filter(_.nonEmpty)
+      if (ts.length < 3) Set.empty[String]
+      else ts.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val gs = corpus.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> grams(t) }.filter(_._2.nonEmpty)
+    val brute = (for {
+      (a, ga) <- gs; (b, gb) <- gs if a != b
+      if (ga & gb).size.toDouble / ga.size >= 0.8 - 1e-12
+    } yield (a, b)).toSet
+    val got = Dedup.containmentPairs(corpus, "doc_id", "text", 0.8, n = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == brute)
+  }
+
   test("simhash: identical docs share hash; pairs report hamming 0") {
     val sh = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap

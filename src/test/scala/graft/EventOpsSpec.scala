@@ -76,4 +76,46 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out("embargo") == Seq(851L, 900L))
     assert(out("train") == Seq(1L, 850L))
   }
+
+  test("assembleSequence: (ts, tie) order, cap keeps the FIRST tokens, " +
+      "n_events counts everything") {
+    val ev = Seq(
+      (1L, 30L, 3L, "c"), (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"),
+      (2L, 10L, 1L, "x"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val out = EventOps.assembleSequence(ev, "user_id", "ts_us", "event_id",
+        "event_type", 2)
+      .orderBy("user_id").as[(Long, Long, String)].collect()
+    assert(out.toSeq == Seq((1L, 3L, "a b"), (2L, 1L, "x")))
+  }
+
+  test("assembleSequence: duplicate timestamps resolve by the tie column " +
+      "on any partitioning") {
+    val ev = Seq((1L, 10L, 2L, "b"), (1L, 10L, 1L, "a"), (1L, 5L, 9L, "z"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    Seq(ev, ev.repartition(7)).foreach { d =>
+      val seq = EventOps.assembleSequence(d, "user_id", "ts_us", "event_id",
+          "event_type", 10)
+        .select("sequence").as[String].head()
+      assert(seq == "z a b")
+    }
+  }
+
+  test("snapshotDiff: all four statuses; null-safe value compare") {
+    import graft.ops.Diff
+    val old = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(30L)),
+      (5L, None)).toDF("k", "v")
+    val neu = Seq((2L, Some(20L)), (3L, Some(31L)), (4L, Some(40L)),
+      (5L, None)).toDF("k", "v")
+    val out = Diff.snapshotDiff(old, neu, Seq("k"), Seq("v"))
+      .select("k", "status").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "added", 5L -> "unchanged"))
+    // null → value is a change, not an add
+    val out2 = Diff.snapshotDiff(
+        Seq((1L, Option.empty[Long])).toDF("k", "v"),
+        Seq((1L, Some(7L))).toDF("k", "v"), Seq("k"), Seq("v"))
+      .select("status").as[String].head()
+    assert(out2 == "changed")
+  }
 }

@@ -330,4 +330,63 @@ class PrepSpec extends AnyFunSuite {
     assert(a.sameElements(b))
     assert(a.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 64))
   }
+
+  test("capPerKey: cells never exceed the cap, full cells keep exactly it, " +
+      "kept set is partition-independent") {
+    val docs = Tables.documents(spark, dir)
+    val capped = Prep.capPerKey(docs, Seq("source", "lang"), "doc_id", 5)
+    val full = docs.groupBy("source", "lang").count()
+      .withColumnRenamed("count", "n_full")
+    val per = capped.groupBy("source", "lang").count()
+      .join(full, Seq("source", "lang"))
+      .select("count", "n_full").as[(Long, Long)].collect()
+    assert(per.forall { case (kept, n) => kept == math.min(5L, n) })
+    val a = capped.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Prep.capPerKey(docs.repartition(7), Seq("source", "lang"),
+        "doc_id", 5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+
+  test("balanceClasses: every class keeps exactly the minority count") {
+    val orders = Tables.orders(spark, dir)
+    val minN = orders.groupBy("o_orderstatus").count()
+      .agg(min(col("count"))).as[Long].head()
+    val kept = Prep.balanceClasses(orders, Seq("o_orderstatus"), "o_orderkey")
+      .groupBy("o_orderstatus").count().select("count").as[Long].collect()
+    assert(kept.nonEmpty && kept.forall(_ == minN))
+  }
+
+  test("kfold: every key in exactly one fold, folds cover [0, k)") {
+    val ev = Tables.events(spark, dir)
+    val out = Prep.kfold(ev, "user_id", 5)
+    val folds = out.select("fold").distinct().as[Long].collect().sorted
+    assert(folds.forall(f => f >= 0 && f < 5))
+    val multi = out.groupBy("user_id")
+      .agg(countDistinct(col("fold")).as("nf"))
+      .filter(col("nf") =!= 1).count()
+    assert(multi == 0)
+  }
+
+  test("winsorize: clipped rows land on the edges, unclipped rows pass " +
+      "through, clip fractions are ~5%") {
+    import org.apache.spark.sql.types.DecimalType
+    val li = Tables.lineitem(spark, dir)
+    val out = Prep.winsorize(li, "l_extendedprice", 0.05, 0.95)
+    val untouchedBroken = out
+      .filter(!col("clipped_lo") && !col("clipped_hi") &&
+        col("winsorized") =!=
+          col("l_extendedprice").cast(DecimalType(18, 6)))
+      .count()
+    assert(untouchedBroken == 0)
+    val (lo, hi) = out.agg(min(col("winsorized")).cast("double"),
+      max(col("winsorized")).cast("double")).as[(Double, Double)].head()
+    assert(out.filter(col("winsorized").cast("double") < lo ||
+      col("winsorized").cast("double") > hi).count() == 0)
+    val n = li.count().toDouble
+    val nLo = out.filter(col("clipped_lo")).count() / n
+    val nHi = out.filter(col("clipped_hi")).count() / n
+    assert(math.abs(nLo - 0.05) < 0.02, s"lo clip frac $nLo")
+    assert(math.abs(nHi - 0.05) < 0.02, s"hi clip frac $nHi")
+  }
 }

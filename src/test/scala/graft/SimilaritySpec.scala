@@ -206,4 +206,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == expectSurvivors)
     assert(got.size < rows.size, "threshold 0.35 should drop something here")
   }
+
+  test("hardNegatives: never returns the query's own label, respects the " +
+      "semi-hard cos cap, ranks by similarity") {
+    val labeled = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f, 0.0f), 0),  // same label — excluded
+      (3L, Array(0.8f, 0.2f, 0.0f), 1),  // closest negative
+      (4L, Array(0.0f, 1.0f, 0.0f), 1),
+      (5L, Array(1.0f, 0.0f, 0.0f), 2)   // cos 1.0 — above the 0.99 cap
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(labeled,
+        labeled.filter($"vec_id" === 1L), "vec_id", "embedding", "label",
+        k = 3, maxCos = 0.99)
+      .select("rank", "vec_id", "label").as[(Long, Long, Int)].collect()
+    assert(out.forall(_._3 != 0), "a same-label row leaked through")
+    assert(!out.exists(_._2 == 5L), "cos cap failed")
+    assert(out.toSeq == Seq((1L, 3L, 1), (2L, 4L, 1)))
+  }
+
+  test("randomProject: equals the hand-computed signed sums; " +
+      "partitioning-independent") {
+    val signs = Similarity.hyperplanes(4, 3, seed = 7L)
+    val expected = emb.collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      r.getLong(0) -> signs.map(row =>
+        v.indices.foldLeft(0.0)((s, i) => s + row(i) * v(i)))
+    }.toMap
+    Seq(emb, emb.repartition(5)).foreach { d =>
+      val got = Similarity.randomProject(d, "vec_id", "embedding", signs)
+        .collect()
+      got.foreach { r =>
+        val id = r.getLong(0)
+        (0 until 4).foreach { j =>
+          assert(math.abs(r.getDouble(j + 1) - expected(id)(j)) < 1e-6,
+            s"vec $id dim $j")
+        }
+      }
+    }
+  }
 }
