@@ -104,7 +104,32 @@ object QualityQueries {
       .orderBy("bucket")
   }
 
+  private val SkewTopK = 5
+
+  /** Join-key skew diagnostics — the planning report you run BEFORE a
+    * 100 TB join to decide whether a key needs salting
+    * ([[graft.ops.Skew]]): the `SkewTopK` heaviest keys with their row
+    * share, plus the global skew factor (max key count / mean key count).
+    * One group-by on the key, a 1-row global aggregate broadcast back, and
+    * a per-partition top-k heap — the report costs one shuffle of key
+    * counts, never of the data.
+    */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val g = counts.agg(sum(col("n")).as("__total"),
+      count(lit(1)).as("__keys"), max(col("n")).as("__max"))
+    counts.crossJoin(broadcast(g))
+      .select(col("user_id"), col("n"),
+        round(col("n").cast("double") / col("__total"), 6).as("share"),
+        round(col("__max").cast("double") * col("__keys") / col("__total"), 6)
+          .as("skew_factor"))
+      .orderBy(col("n").desc, col("user_id"))
+      .limit(SkewTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_skew_report" -> skewReport,
     "quality_null_dup_ratio" -> nullDupRatio,
     "quality_outlier_iqr" -> outlierIqr,
     "quality_quantiles_lineitem" -> quantilesLineitem,
@@ -112,6 +137,15 @@ object QualityQueries {
     "quality_dup_ratio_documents" -> dupRatioDocuments)
 
   val oracle: Map[String, String] = Map(
+    // skew factor = max/mean = max·keys/total — one IEEE multiply+divide on
+    // exact integers, identical on both engines
+    "quality_skew_report" ->
+      s"""WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+         |g AS (SELECT sum(n) AS total, count(*) AS keys, max(n) AS mx FROM c)
+         |SELECT user_id, n,
+         |  round(n * 1.0 / total, 6) AS share,
+         |  round(mx * 1.0 * keys / total, 6) AS skew_factor
+         |FROM c, g ORDER BY n DESC, user_id LIMIT $SkewTopK""".stripMargin,
     "quality_null_dup_ratio" ->
       """SELECT c.n_rows, c.null_cells,
         |  c.null_cells * 1.0 / (c.n_rows * 6) AS null_ratio,

@@ -105,4 +105,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!s.contains("BroadcastNestedLoopJoin") &&
       !s.contains("CartesianProduct"), s)
   }
+
+  test("random projection is zero-shuffle codegen — no exchange, no lambda") {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val out = graft.ops.Similarity.randomProject(emb, "vec_id", "embedding",
+      graft.queries.SimilarityQueries.projSigns)
+    val s = planString(out)
+    assert(!s.contains("Exchange"), s)
+    assert(s.contains("graft_dot"), s)
+    assert(!s.contains("lambdafunction"), s)
+  }
+
+  test("two-phase hash rank (key cap): offsets broadcast, windows salted") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val s = planString(
+      graft.ops.Prep.capPerKey(docs, Seq("source", "lang"), "doc_id", 5))
+    // the offsets relation must arrive broadcast, not via a shuffled join
+    assert(s.contains("BroadcastHashJoin"), s)
+    // the data-sized window partitions by (groups..., __salt) — the salt
+    // column in the window spec is what fans a hot key out
+    val windowLine = s.linesIterator.filter(_.contains("Window"))
+      .mkString("\n")
+    assert(windowLine.contains("__salt"), windowLine)
+  }
+
+  test("snapshot diff is one full-outer join of the aggregated snapshots") {
+    val s = planString(
+      graft.queries.FeatureQueries.snapshotDiff(spark, dir))
+    // the key join is the only data-sized join; the max-ts anchor joins as
+    // a broadcast nested loop over ONE row (benign — its build side is a
+    // 1-row aggregate), so gate on shape, not on BNLJ absence
+    assert(s.contains("FullOuter"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(s).size <= 2, s)
+  }
 }
