@@ -151,6 +151,78 @@ object Similarity {
       .select(col("q_id"), col("rank"), col(idCol), col(labelCol), col("cos"))
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998) —
+    * the diversity pass between retrieval and serving: greedily pick `k`
+    * of the top-`candidates` retrieval hits, each step maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` (ties → lowest id), so
+    * the result covers the query's neighborhood instead of returning `k`
+    * near-copies of the best hit. The first pick is the relevance argmax
+    * (its diversity penalty is zero by definition).
+    *
+    * Two stages with very different scales, split accordingly:
+    *  - retrieval — [[bruteTopK]], fully distributed (broadcast query,
+    *    per-partition top-k heap over any corpus size);
+    *  - greedy selection — inherently sequential in k, over a relation
+    *    BOUNDED at `candidates` rows by construction, so it runs on the
+    *    driver like the store's serve-tail slices (the only honest
+    *    placement: k dependent tiny Spark jobs would add a scheduler
+    *    round-trip per step and distribute nothing).
+    *
+    * Determinism discipline: relevances and pairwise similarities are
+    * rounded to 6 dp (HALF_UP, matching `round()` on both engines); the
+    * score is the same three IEEE ops on both sides; id contract is
+    * LongType. Returns (rank, idCol, rel, mmr_score).
+    */
+  def mmrRerank(
+      emb: DataFrame,
+      query: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      lambda: Double,
+      candidates: Int): DataFrame = {
+    require(k > 0 && candidates >= k, s"bad k=$k / candidates=$candidates")
+    require(lambda >= 0 && lambda <= 1, s"bad lambda=$lambda")
+    val mu = 1.0 - lambda
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val top = bruteTopK(emb, query, idCol, vecCol, candidates)
+    val cand = emb
+      .join(top.withColumnRenamed("cos", "rel"), Seq(idCol))
+      .select(col(idCol).cast("long"), col("rel"),
+        col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Double](2).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    def sim(a: Array[Double], b: Array[Double]): Double =
+      round6(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Double, Double)] // (id, rel, score)
+    val picked = scala.collection.mutable.Set.empty[Long]
+    while (selected.size < math.min(k, cand.length)) {
+      val best = cand.iterator.filterNot(c => picked(c._1))
+        .map { case (id, rel, vec) =>
+          val maxSim = if (selected.isEmpty) 0.0
+            else selected.map(s => sim(vec,
+              cand.find(_._1 == s._1).get._3)).max
+          (id, rel, lambda * rel - mu * maxSim)
+        }
+        // argmax score, ties to the LOWEST id (score desc, id asc)
+        .reduceLeft((a, b) =>
+          if (b._3 > a._3 || (b._3 == a._3 && b._1 < a._1)) b else a)
+      selected += best
+      picked += best._1
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case ((id, rel, score), i) => (i + 1L, id, rel, score) }
+      .toSeq.toDF("rank", idCol, "rel", "mmr_score")
+  }
+
   /** Seeded ±1 random projection (Achlioptas 2003's database-friendly
     * Johnson–Lindenstrauss transform): project `dim`-dimensional embeddings
     * onto `signs.length` output coordinates, out_j = Σ_i signs(j)(i)·v_i —

@@ -51,6 +51,10 @@ object SimilarityQueries {
   private val NegK = 5
   private val NegMaxCos = 0.999
 
+  private val MmrK = 5
+  private val MmrLambda = 0.7
+  private val MmrCandidates = 20
+
   def bruteTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.bruteTopK(emb, emb.filter(col("vec_id") === 0L),
@@ -121,6 +125,18 @@ object SimilarityQueries {
     Similarity.randomProject(Tables.embeddings(spark, dir), "vec_id",
         "embedding", projSigns)
       .orderBy("vec_id")
+
+  /** MMR-diversified top-5 for query vec 0 (λ = 0.7 over the top-20
+    * retrieval candidates) — [[graft.ops.Similarity.mmrRerank]]; the
+    * oracle replays the greedy selection as 5 chained argmax CTEs.
+    */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.mmrRerank(emb.filter(col("vec_id") =!= 0L),
+        emb.filter(col("vec_id") === 0L), "vec_id", "embedding",
+        MmrK, MmrLambda, MmrCandidates)
+      .orderBy("rank")
+  }
 
   /** Batch multiprobe-LSH k-NN: a 5-query relation, each probing its own
     * bucket + Hamming-1 neighbors, ranked per query — one corpus signature
@@ -212,6 +228,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_hard_negatives" -> hardNegatives,
     "sim_random_projection" -> randomProjection,
+    "sim_mmr_rerank" -> mmrRerank,
     "sim_int8_quant" -> int8Quant,
     "sim_brute_topk" -> bruteTopK,
     "sim_semantic_dedup" -> semanticDedup,
@@ -286,6 +303,40 @@ object SimilarityQueries {
          |      FROM s WHERE cos <= $NegMaxCos)
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, label, cos
          |FROM r WHERE rank <= $NegK ORDER BY q_id, rank""".stripMargin,
+    // the greedy MMR selection replayed as chained argmax CTEs: s1 is the
+    // relevance argmax, s_i excludes all prior picks and penalizes by the
+    // max pairwise sim to them — literal λ and (1−λ) constants print with
+    // round-trip precision, so both engines run the same three IEEE ops
+    "sim_mmr_rerank" -> {
+      val l = MmrLambda
+      val mu = 1.0 - MmrLambda
+      val steps = (2 to MmrK).map { i =>
+        val prev = (1 until i).map(j => s"SELECT vec_id FROM s$j")
+          .mkString(" UNION ALL ")
+        s"""s$i AS (SELECT c0.vec_id, c0.rel,
+           |  $l * c0.rel - $mu * (SELECT max(p.s) FROM p
+           |    WHERE p.ia = c0.vec_id AND p.ib IN ($prev)) AS score
+           |  FROM c0 WHERE c0.vec_id NOT IN ($prev)
+           |  ORDER BY score DESC, c0.vec_id LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to MmrK).map(i =>
+        s"SELECT $i AS rank, vec_id, rel, score FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |c0 AS (SELECT vec_id, ${cosineSql("embedding", "qv")} AS rel,
+         |         embedding
+         |       FROM embeddings, q WHERE vec_id <> 0
+         |       ORDER BY rel DESC, vec_id LIMIT $MmrCandidates),
+         |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |        ${cosineSql("a.embedding", "b.embedding")} AS s
+         |      FROM c0 a JOIN c0 b ON a.vec_id <> b.vec_id),
+         |s1 AS (SELECT vec_id, rel, $l * rel - $mu * 0.0 AS score
+         |       FROM c0 ORDER BY score DESC, vec_id LIMIT 1),
+         |$steps
+         |SELECT CAST(rank AS BIGINT) AS rank, vec_id, rel,
+         |  score AS mmr_score
+         |FROM ($union) ORDER BY rank""".stripMargin
+    },
     // the identical seeded ±1 rows inline here and in the Spark plan; both
     // engines run the same sequential double dot product
     "sim_random_projection" -> {

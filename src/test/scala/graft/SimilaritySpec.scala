@@ -225,6 +225,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 3L, 1), (2L, 4L, 1)))
   }
 
+  test("mmrRerank: picks the relevance argmax first, then trades a " +
+      "near-duplicate for a diverse hit at low lambda") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.1f, 0.0f)),   // top hit
+      (2L, Array(1.0f, 0.12f, 0.0f)),  // near-duplicate of 1
+      (3L, Array(0.9f, 0.6f, 0.0f)))   // diverse, lower relevance
+      .toDF("vec_id", "embedding")
+    val q = Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val diversified = Similarity.mmrRerank(corpus, q, "vec_id", "embedding",
+        k = 2, lambda = 0.3, candidates = 3)
+      .select("rank", "vec_id").as[(Long, Long)].collect().toSeq
+    assert(diversified == Seq((1L, 1L), (2L, 3L)),
+      s"expected 1 then 3, got $diversified")
+    // at lambda = 1 MMR degenerates to pure relevance order
+    val pure = Similarity.mmrRerank(corpus, q, "vec_id", "embedding",
+        k = 2, lambda = 1.0, candidates = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(pure == Seq(1L, 2L))
+  }
+
   test("randomProject: equals the hand-computed signed sums; " +
       "partitioning-independent") {
     val signs = Similarity.hyperplanes(4, 3, seed = 7L)
