@@ -98,6 +98,38 @@ object EventOps {
       .drop("__mx")
   }
 
+  /** Rolling `windowDays`-day active-key counts per observed day (the
+    * DAU/WAU/MAU engagement family): for every calendar day present in the
+    * stream, how many distinct keys were active in the trailing window
+    * ending that day. EXACT — no sketch — via the contribution explode:
+    * each distinct (key, day) activity contributes to the `windowDays`
+    * window-end days it falls inside, so the rolling distinct count
+    * becomes a plain group-by-day distinct. Work is
+    * |distinct key-days| × windowDays rows — linear, partitionable, no
+    * per-day re-scan of the stream and no distinct-over-window state.
+    *
+    * Days are INTEGER epoch days (`ts_us div 86400000000`) — no
+    * calendar/timezone semantics anywhere, so any engine buckets rows
+    * identically. Returns (day, active) for observed days only (a trailing
+    * window ending on a day nothing happened is not a row; emit a day
+    * dimension join downstream if gaps must appear).
+    */
+  def rollingActiveKeys(df: DataFrame, keyCol: String, tsUsCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays > 0, s"windowDays must be positive, got $windowDays")
+    val dayNum = floor(col(tsUsCol) / lit(86400000000L)).cast("long")
+    val keyDays = df.select(col(keyCol).as("__k"), dayNum.as("__d"))
+      .distinct()
+    val observed = keyDays.select(col("__d").as("day")).distinct()
+    keyDays
+      .select(col("__k"),
+        explode(sequence(col("__d"), col("__d") + (windowDays - 1)))
+          .as("day"))
+      .join(broadcast(observed), Seq("day"))
+      .groupBy("day")
+      .agg(countDistinct(col("__k")).as("active"))
+  }
+
   /** Behavioral-sequence assembly: each key's events, ordered by
     * (ts, tie), concatenated into one token string — how an event log
     * becomes the input of a sequence model (next-action prediction,

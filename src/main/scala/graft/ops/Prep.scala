@@ -278,6 +278,24 @@ object Prep {
     df.withColumn("fold", hashBucket(col(keyCol), k))
   }
 
+  /** Forward fill (last-observation-carried-forward): nulls in `valueCol`
+    * take the key's most recent non-null value under the (orderCols)
+    * order — how a sparse feature stream becomes a dense training matrix
+    * (sensors report on change; models want a value in every cell). Leading
+    * nulls (no observation yet) stay null: backfilling them would leak the
+    * future. One shuffle (key window), deterministic under duplicate
+    * timestamps when orderCols ends with a tie-breaker. Adds
+    * `<valueCol>_ffill`.
+    */
+  def forwardFill(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "forwardFill needs an ordering")
+    df.withColumn(s"${valueCol}_ffill",
+      last(col(valueCol), ignoreNulls = true).over(
+        Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
   /** Winsorization (percentile clipping) of a ≤2-dp money column: values
     * below the `pLo` percentile clamp to it, above `pHi` clamp to it — the
     * standard outlier guard before scaling/regression. Edges are exact

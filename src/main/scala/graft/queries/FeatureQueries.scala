@@ -145,7 +145,36 @@ object FeatureQueries {
         "user_id", "ts_us", "event_id", "event_type", SeqMaxTokens)
       .orderBy("user_id")
 
+  private val DauWindowDays = 7
+
+  /** Forward-filled event values for the first 10 users (error events
+    * report no value — the synthesized sparsity — and inherit the user's
+    * last observation; [[graft.ops.Prep.forwardFill]]).
+    */
+  def forwardFill(spark: SparkSession, dir: String): DataFrame = {
+    val masked = Tables.events(spark, dir)
+      .filter(col("user_id") < 10)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("value_m",
+        when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+    Prep.forwardFill(masked, "user_id", Seq("ts_us", "event_id"), "value_m")
+      .select("user_id", "event_id", "value_m", "value_m_ffill")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Exact trailing-7-day rolling active users per observed epoch day
+    * ([[graft.ops.EventOps.rollingActiveKeys]] — the DAU/WAU engagement
+    * family via the contribution explode).
+    */
+  def rollingDau(spark: SparkSession, dir: String): DataFrame =
+    EventOps.rollingActiveKeys(
+        Tables.events(spark, dir).withColumn("ts_us", unix_micros(col("ts"))),
+        "user_id", "ts_us", DauWindowDays)
+      .orderBy("day")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "feat_forward_fill" -> forwardFill,
+    "feat_rolling_dau" -> rollingDau,
     "feat_snapshot_diff" -> snapshotDiff,
     "feat_event_sequence" -> eventSequence,
     "pit_training_matrix" -> pitTrainingMatrix,
@@ -155,6 +184,30 @@ object FeatureQueries {
     "feat_time_split" -> timeSplit)
 
   val oracle: Map[String, String] = Map(
+    // raw parquet doubles pass through both engines untouched (no
+    // arithmetic), so the fill is bit-identical; leading nulls stay null
+    "feat_forward_fill" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value_m
+        |  FROM events WHERE user_id < 10)
+        |SELECT user_id, event_id, value_m,
+        |  last_value(value_m IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+        |    AS value_m_ffill
+        |FROM e ORDER BY user_id, event_id""".stripMargin,
+    // integer epoch days; each (user, day) activity contributes to the 7
+    // window-end days it falls inside — rolling distinct as a plain
+    // group-by
+    "feat_rolling_dau" ->
+      s"""WITH ud AS (SELECT DISTINCT user_id,
+         |  epoch_us(ts) // 86400000000 AS d FROM events),
+         |days AS (SELECT DISTINCT d AS day FROM ud),
+         |c AS (SELECT DISTINCT user_id, u.day
+         |      FROM ud, UNNEST(generate_series(d, d + ${DauWindowDays - 1}))
+         |        AS u(day))
+         |SELECT c.day, count(DISTINCT user_id) AS active
+         |FROM c JOIN days USING (day)
+         |GROUP BY 1 ORDER BY day""".stripMargin,
     "feat_snapshot_diff" ->
       s"""WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events),
          |o AS (SELECT user_id, event_type, count(*) AS n_events,

@@ -128,7 +128,52 @@ object QualityQueries {
       .limit(SkewTopK)
   }
 
+  private val SplitTestUs = 7L * 86400L * 1000000L
+  private val SplitEmbargoUs = 1L * 86400L * 1000000L
+
+  // the shared PSI oracle tail — must mirror Drift.psiBuckets' exact
+  // construction (deciles of the BASE side, codegen'd bucket chain, 1e-6
+  // probability floor, round-9 contributions)
+  private def psiOracle(baseSel: String, curSel: String): String =
+    s"""WITH base AS ($baseSel),
+       |cur AS ($curSel),
+       |bk AS (SELECT quantile_cont(value,
+       |         [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS breaks
+       |       FROM base),
+       |b1 AS (SELECT 1 + len(list_filter(breaks, b -> value > b)) AS bucket,
+       |         count(*) AS n_base FROM base, bk GROUP BY 1),
+       |c1 AS (SELECT 1 + len(list_filter(breaks, b -> value > b)) AS bucket,
+       |         count(*) AS n_cur FROM cur, bk GROUP BY 1),
+       |j AS (SELECT coalesce(b1.bucket, c1.bucket) AS bucket,
+       |        coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+       |      FROM b1 FULL OUTER JOIN c1 ON b1.bucket = c1.bucket),
+       |t AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM j)
+       |SELECT bucket, n_base, n_cur,
+       |  round(greatest(n_base * 1.0 / tb, 1e-6), 9) AS p_base,
+       |  round(greatest(n_cur * 1.0 / tc, 1e-6), 9) AS p_cur,
+       |  round((greatest(n_cur * 1.0 / tc, 1e-6) - greatest(n_base * 1.0 / tb, 1e-6))
+       |    * ln(greatest(n_cur * 1.0 / tc, 1e-6) / greatest(n_base * 1.0 / tb, 1e-6)), 9)
+       |    AS contribution
+       |FROM j, t ORDER BY bucket""".stripMargin
+
+  /** PSI of the event-value distribution between the temporal train and
+    * test splits ([[graft.ops.EventOps.timeSplitEmbargo]] ∘
+    * [[graft.ops.Drift.psiBuckets]]) — the pre-training check that the
+    * evaluation period hasn't drifted away from the training period, the
+    * same trap the embargo guards against in time.
+    */
+  def splitDrift(spark: SparkSession, dir: String): DataFrame = {
+    val split = graft.ops.EventOps.timeSplitEmbargo(
+      ev(spark, dir), "ts_us", SplitTestUs, SplitEmbargoUs)
+    graft.ops.Drift.psiBuckets(
+        split.filter(col("split") === "train"),
+        split.filter(col("split") === "test"),
+        "value", buckets = 10)
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_split_drift" -> splitDrift,
     "quality_skew_report" -> skewReport,
     "quality_null_dup_ratio" -> nullDupRatio,
     "quality_outlier_iqr" -> outlierIqr,
@@ -181,27 +226,16 @@ object QualityQueries {
         |  round(quantile_cont(l_extendedprice, 0.5), 6) AS price_q2,
         |  round(quantile_cont(l_extendedprice, 0.75), 6) AS price_q3
         |FROM lineitem""".stripMargin,
-    "quality_drift_psi" ->
-      """WITH base AS (SELECT value FROM events WHERE event_id % 2 = 0),
-        |cur AS (SELECT value FROM events WHERE event_id % 2 = 1),
-        |bk AS (SELECT quantile_cont(value,
-        |         [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS breaks
-        |       FROM base),
-        |b1 AS (SELECT 1 + len(list_filter(breaks, b -> value > b)) AS bucket,
-        |         count(*) AS n_base FROM base, bk GROUP BY 1),
-        |c1 AS (SELECT 1 + len(list_filter(breaks, b -> value > b)) AS bucket,
-        |         count(*) AS n_cur FROM cur, bk GROUP BY 1),
-        |j AS (SELECT coalesce(b1.bucket, c1.bucket) AS bucket,
-        |        coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
-        |      FROM b1 FULL OUTER JOIN c1 ON b1.bucket = c1.bucket),
-        |t AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM j)
-        |SELECT bucket, n_base, n_cur,
-        |  round(greatest(n_base * 1.0 / tb, 1e-6), 9) AS p_base,
-        |  round(greatest(n_cur * 1.0 / tc, 1e-6), 9) AS p_cur,
-        |  round((greatest(n_cur * 1.0 / tc, 1e-6) - greatest(n_base * 1.0 / tb, 1e-6))
-        |    * ln(greatest(n_cur * 1.0 / tc, 1e-6) / greatest(n_base * 1.0 / tb, 1e-6)), 9)
-        |    AS contribution
-        |FROM j, t ORDER BY bucket""".stripMargin,
+    "quality_drift_psi" -> psiOracle(
+      "SELECT value FROM events WHERE event_id % 2 = 0",
+      "SELECT value FROM events WHERE event_id % 2 = 1"),
+    // train = before the embargo'd horizon, test = the trailing horizon —
+    // the identical cutoffs EventOps.timeSplitEmbargo computes
+    "quality_split_drift" -> psiOracle(
+      s"""SELECT value FROM events, (SELECT max(epoch_us(ts)) AS mx FROM events)
+         |      WHERE epoch_us(ts) <= mx - ${SplitTestUs + SplitEmbargoUs}""".stripMargin,
+      s"""SELECT value FROM events, (SELECT max(epoch_us(ts)) AS mx FROM events)
+         |      WHERE epoch_us(ts) > mx - $SplitTestUs""".stripMargin),
     "quality_dup_ratio_documents" ->
       """SELECT count(*) AS n_docs,
         |  count(DISTINCT text) AS n_distinct_texts,

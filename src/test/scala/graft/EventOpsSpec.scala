@@ -101,6 +101,19 @@ class EventOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rollingActiveKeys: trailing-window distinct counts, observed days " +
+      "only") {
+    val us = 86400000000L
+    // user 1 active days 0 and 2; user 2 active day 2; window = 3 days
+    val ev = Seq((1L, 0L * us), (1L, 2L * us), (2L, 2L * us),
+      (1L, 2L * us + 5L)) // same day twice — distinct-day dedup
+      .toDF("user_id", "ts_us")
+    val out = EventOps.rollingActiveKeys(ev, "user_id", "ts_us", 3)
+      .orderBy("day").as[(Long, Long)].collect().toSeq
+    // day 0: {1}; day 2: window [0,2] → {1, 2}; day 1 unobserved → absent
+    assert(out == Seq((0L, 1L), (2L, 2L)))
+  }
+
   test("snapshotDiff: all four statuses; null-safe value compare") {
     import graft.ops.Diff
     val old = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(30L)),

@@ -368,6 +368,21 @@ class PrepSpec extends AnyFunSuite {
     assert(multi == 0)
   }
 
+  test("forwardFill: nulls inherit the last observation, leading nulls " +
+      "stay null, non-nulls pass through") {
+    val df = Seq(
+      (1L, 1L, Option.empty[Double]), // leading null — no observation yet
+      (1L, 2L, Some(5.0)),
+      (1L, 3L, None),                 // ← fills to 5.0
+      (1L, 4L, Some(7.0)),
+      (2L, 1L, None))                 // other key — stays null
+      .toDF("k", "ord", "v")
+    val out = Prep.forwardFill(df, "k", Seq("ord"), "v")
+      .orderBy("k", "ord")
+      .select("v_ffill").as[Option[Double]].collect().toSeq
+    assert(out == Seq(None, Some(5.0), Some(5.0), Some(7.0), None))
+  }
+
   test("winsorize: clipped rows land on the edges, unclipped rows pass " +
       "through, clip fractions are ~5%") {
     import org.apache.spark.sql.types.DecimalType
