@@ -151,6 +151,54 @@ object Similarity {
       .select(col("q_id"), col("rank"), col(idCol), col(labelCol), col("cos"))
   }
 
+  /** Nearest-neighbor label propagation (the one-hop transductive step —
+    * Zhu & Ghahramani 2002's iteration truncated to a single round):
+    * each UNLABELED row takes the majority label among labeled rows in
+    * its coarse-quantizer cell with cosine ≥ `minCos` (ties → smallest
+    * label; no qualifying neighbor → null). The weak-supervision shape:
+    * a thin labeled seed set fans out over an embedding corpus without a
+    * model in the loop.
+    *
+    * Scale shape is [[semanticDedup]]'s: the cell assignment is a
+    * zero-shuffle codegen expression, the vote join shuffles once on the
+    * cell key (Σ cell·cell work, never corpus²), and the majority vote is
+    * one group-by plus a per-row window. Swap fitted [[Ivf]] centroids in
+    * for the seeded anchors at scale — same plan.
+    *
+    * Returns (idCol, prop_label, n_votes) for every unlabeled row.
+    */
+  def labelPropagation(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      anchors: Array[Array[Int]],
+      minCos: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = emb.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"),
+      col(labelCol).as("__l"),
+      anchorCellExpr(col(vecCol), anchors).as("cell"))
+    val unlabeled = assigned.filter(col("__l").isNull)
+      .select(col("cell"), col("__id"), col("__v"))
+    val labeled = assigned.filter(col("__l").isNotNull)
+      .select(col("cell"), col("__l"), col("__v").as("__lv"))
+    val votes = unlabeled.join(labeled, Seq("cell"))
+      .filter(round(cosine(col("__v"), col("__lv")), 6) >= minCos)
+      .groupBy(col("__id"), col("__l"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__id"))
+          .orderBy(col("__n").desc, col("__l"))))
+      .filter(col("__rk") === 1)
+      .select(col("__id"), col("__l").as("prop_label"),
+        col("__n").as("n_votes"))
+    assigned.filter(col("__l").isNull).select(col("__id"))
+      .join(votes, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("prop_label"),
+        coalesce(col("n_votes"), lit(0L)).as("n_votes"))
+  }
+
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998) —
     * the diversity pass between retrieval and serving: greedily pick `k`
     * of the top-`candidates` retrieval hits, each step maximizing

@@ -55,6 +55,8 @@ object SimilarityQueries {
   private val MmrLambda = 0.7
   private val MmrCandidates = 20
 
+  private val LabelPropMinCos = 0.3
+
   def bruteTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.bruteTopK(emb, emb.filter(col("vec_id") === 0L),
@@ -125,6 +127,21 @@ object SimilarityQueries {
     Similarity.randomProject(Tables.embeddings(spark, dir), "vec_id",
         "embedding", projSigns)
       .orderBy("vec_id")
+
+  /** One-hop label propagation onto the 10% synthetically-unlabeled slice
+    * (vec_id ≡ 0 mod 10): majority label among same-cell neighbors at
+    * cos ≥ 0.3 ([[graft.ops.Similarity.labelPropagation]] over
+    * [[semAnchors]]).
+    */
+  def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("label_m",
+        when(pmod(col("vec_id"), lit(10)) === 0, lit(null).cast("int"))
+          .otherwise(col("label")))
+    Similarity.labelPropagation(emb, "vec_id", "embedding", "label_m",
+        semAnchors, LabelPropMinCos)
+      .orderBy("vec_id")
+  }
 
   /** MMR-diversified top-5 for query vec 0 (λ = 0.7 over the top-20
     * retrieval candidates) — [[graft.ops.Similarity.mmrRerank]]; the
@@ -229,6 +246,7 @@ object SimilarityQueries {
     "sim_hard_negatives" -> hardNegatives,
     "sim_random_projection" -> randomProjection,
     "sim_mmr_rerank" -> mmrRerank,
+    "sim_label_propagation" -> labelProp,
     "sim_int8_quant" -> int8Quant,
     "sim_brute_topk" -> bruteTopK,
     "sim_semantic_dedup" -> semanticDedup,
@@ -303,6 +321,26 @@ object SimilarityQueries {
          |      FROM s WHERE cos <= $NegMaxCos)
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, label, cos
          |FROM r WHERE rank <= $NegK ORDER BY q_id, rank""".stripMargin,
+    // majority vote among same-cell labeled neighbors; ties break to the
+    // smallest label, unlabeled rows with no qualifying neighbor keep a
+    // null label and 0 votes
+    "sim_label_propagation" ->
+      s"""WITH a AS (SELECT vec_id, embedding,
+         |  CASE WHEN vec_id % 10 = 0 THEN NULL ELSE label END AS l,
+         |  ${semCellSql("embedding")} AS cell FROM embeddings),
+         |u AS (SELECT vec_id, embedding, cell FROM a WHERE l IS NULL),
+         |lab AS (SELECT cell, l, embedding AS lv FROM a WHERE l IS NOT NULL),
+         |v AS (SELECT u.vec_id, lab.l, count(*) AS n
+         |      FROM u JOIN lab ON u.cell = lab.cell
+         |      WHERE ${cosineSql("u.embedding", "lab.lv")} >= $LabelPropMinCos
+         |      GROUP BY 1, 2),
+         |w AS (SELECT vec_id, l, n, row_number()
+         |        OVER (PARTITION BY vec_id ORDER BY n DESC, l) AS rk
+         |      FROM v)
+         |SELECT u.vec_id, w.l AS prop_label,
+         |  coalesce(w.n, 0) AS n_votes
+         |FROM u LEFT JOIN (SELECT * FROM w WHERE rk = 1) w USING (vec_id)
+         |ORDER BY u.vec_id""".stripMargin,
     // the greedy MMR selection replayed as chained argmax CTEs: s1 is the
     // relevance argmax, s_i excludes all prior picks and penalizes by the
     // max pairwise sim to them — literal λ and (1−λ) constants print with

@@ -225,6 +225,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 3L, 1), (2L, 4L, 1)))
   }
 
+  test("labelPropagation: majority label among close same-cell neighbors, " +
+      "isolated rows stay null with zero votes") {
+    val anchors = Similarity.hyperplanes(4, 3, seed = 9L)
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.05f), Some(7)),
+      (2L, Array(1.0f, 0.01f, 0.0f), Some(7)),
+      (3L, Array(1.0f, 0.02f, 0.01f), Some(8)),
+      (4L, Array(0.99f, 0.01f, 0.02f), Option.empty[Int]), // → majority 7
+      (5L, Array(-1.0f, 0.0f, 0.0f), Option.empty[Int]))   // isolated
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelPropagation(corpus, "vec_id", "embedding",
+        "label", anchors, minCos = 0.9)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        r.getLong(2))).toSeq
+    // vote count depends on how the anchor cells carve the near-tie
+    // directions, so pin the label and the null case, not the tally
+    assert(out.map(r => (r._1, r._2)) == Seq((4L, Some(7)), (5L, None)),
+      out.toString)
+    assert(out.head._3 >= 1L && out(1)._3 == 0L, out.toString)
+  }
+
   test("mmrRerank: picks the relevance argmax first, then trades a " +
       "near-duplicate for a diverse hit at low lambda") {
     val corpus = Seq(
