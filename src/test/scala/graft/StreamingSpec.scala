@@ -98,4 +98,54 @@ class StreamingSpec extends AnyFunSuite {
       assert(keys == Set((1L, "click"), (2L, "purchase")))
     } finally q.stop()
   }
+
+  test("streaming near-dup dedup: foreachBatch against the incremental " +
+      "signature index, union of per-batch survivors == batch dedup") {
+    import graft.ops.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    // batch 1: 1↔2 near-dups; batch 2: 4 near-dups batch-1's survivor 1,
+    // 5 is novel, 6 near-dups 5 within its own batch
+    val b1 = Seq((1L, "the quick brown fox jumps high"),
+      (2L, "the quick brown fox jumps high"),
+      (3L, "completely different words entirely here"))
+    val b2 = Seq((4L, "the quick brown fox jumps high"),
+      (5L, "unrelated novel content appears now everywhere"),
+      (6L, "unrelated novel content appears now everywhere"))
+    val mem = MemoryStream[(Long, String)]
+    val sdf = mem.toDF().toDF("doc_id", "text")
+    // the production shape: each micro-batch dedups against the persisted
+    // index of everything seen before, never re-reading old raw text in
+    // the batch path; the index then absorbs the new batch
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    var seen: Option[org.apache.spark.sql.DataFrame] = None
+    val survivors = scala.collection.mutable.Set.empty[Long]
+    val q = sdf.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val all = state match {
+            case None => Dedup.nearDupDedup(b, "doc_id", "text", 0.9)
+              .select("doc_id").as[Long].collect().toSet
+            case Some(st) =>
+              Dedup.incrementalDedup(b, "doc_id", "text", st, 0.9)
+                .select("doc_id").as[Long].collect().toSet
+          }
+          survivors.clear(); survivors ++= all
+          val allDocs = seen.map(_.unionByName(b)).getOrElse(b)
+            .localCheckpoint(true)
+          seen = Some(allDocs)
+          state = Some(Dedup.incrementalState(allDocs, "doc_id", "text",
+            0.9).localCheckpoint(true))
+        }
+      }.start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      assert(survivors == Set(1L, 3L), s"after batch 1: $survivors")
+      mem.addData(b2: _*); q.processAllAvailable()
+      val full = Dedup.nearDupDedup((b1 ++ b2).toDF("doc_id", "text"),
+          "doc_id", "text", 0.9)
+        .select("doc_id").as[Long].collect().toSet
+      assert(survivors == full, s"streaming $survivors != batch $full")
+      assert(survivors == Set(1L, 3L, 5L))
+    } finally q.stop()
+  }
 }
