@@ -278,6 +278,51 @@ object Prep {
     df.withColumn("fold", hashBucket(col(keyCol), k))
   }
 
+  /** Deterministic negative sampling for implicit-feedback training
+    * (the BPR / contrastive-recommender prep step): for each user, `k`
+    * items they have NOT interacted with, drawn uniformly from the dense
+    * item-id space `1..max(itemsIdCol)` by md5 — rejection-sampled against
+    * the user's interactions, deterministic on any engine/partitioning.
+    *
+    * Linear shape: `k·oversample` candidate draws per user (a per-row
+    * expression off a tiny sequence explode — never a user × item cross
+    * join), one anti-join shuffle on (user, item) against the interaction
+    * relation, and the dedup + rank windows share one user-keyed
+    * exchange. The item-count anchor is a 1-row broadcast. Oversampling
+    * covers rejections; a user who has interacted with nearly the whole
+    * catalog can come up short (standard for rejection sampling — raise
+    * `oversample` for dense-interaction regimes).
+    *
+    * Returns (userCol, neg_rank, itemCol, draw) — `draw` is the
+    * reproducible random index that produced the item.
+    */
+  def negativeSample(interactions: DataFrame, userCol: String,
+      itemCol: String, items: DataFrame, itemsIdCol: String, k: Int,
+      oversample: Int = 4): DataFrame = {
+    require(k > 0 && oversample >= 1, s"bad k=$k oversample=$oversample")
+    val mx = items.agg(max(col(itemsIdCol)).cast("long").as("__mxi"))
+    val draws = interactions.select(col(userCol)).distinct()
+      .crossJoin(broadcast(mx))
+      .select(col(userCol), col("__mxi"),
+        explode(sequence(lit(0), lit(k * oversample - 1))).as("draw"))
+      .withColumn(itemCol, lit(1L) + pmod(
+        conv(substring(md5(concat(col(userCol).cast("string"), lit("_"),
+          col("draw").cast("string"))), 1, 12), 16, 10).cast("long"),
+        col("__mxi")))
+    val wDedup = Window.partitionBy(col(userCol), col(itemCol))
+      .orderBy(col("draw"))
+    val wRank = Window.partitionBy(col(userCol)).orderBy(col("draw"))
+    draws
+      .join(interactions.select(col(userCol), col(itemCol)).distinct(),
+        Seq(userCol, itemCol), "left_anti")
+      .withColumn("__first", row_number().over(wDedup))
+      .filter(col("__first") === 1)
+      .withColumn("neg_rank", row_number().over(wRank).cast("long"))
+      .filter(col("neg_rank") <= k)
+      .select(col(userCol), col("neg_rank"), col(itemCol),
+        col("draw").cast("long").as("draw"))
+  }
+
   /** Forward fill (last-observation-carried-forward): nulls in `valueCol`
     * take the key's most recent non-null value under the (orderCols)
     * order — how a sparse feature stream becomes a dense training matrix

@@ -269,7 +269,25 @@ object PrepQueries {
         sum(col("o_orderkey")).as("key_checksum"))
       .orderBy("o_orderstatus")
 
+  private val NegSampleK = 5
+  private val NegSampleOver = 4
+
+  /** 5 deterministic negative parts per customer (first 10 customers with
+    * orders): items drawn by md5 from the dense part-id space, rejected
+    * against the customer's actual order lines
+    * ([[graft.ops.Prep.negativeSample]]).
+    */
+  def negativeSample(spark: SparkSession, dir: String): DataFrame = {
+    val inter = Tables.orders(spark, dir).filter(col("o_custkey") < 10)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+    Prep.negativeSample(inter, "o_custkey", "l_partkey",
+        Tables.part(spark, dir), "p_partkey", NegSampleK, NegSampleOver)
+      .orderBy("o_custkey", "neg_rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "prep_negative_sample" -> negativeSample,
     "prep_key_cap" -> keyCap,
     "prep_winsorize" -> winsorizePrice,
     "prep_kfold" -> kfoldEvents,
@@ -298,6 +316,32 @@ object PrepQueries {
     s"('0x' || substr(md5($expr), 1, 12))::BIGINT % $buckets"
 
   val oracle: Map[String, String] = Map(
+    // candidate item = 1 + md5(user || '_' || draw) % max_part_id; first
+    // occurrence per (user, item), then the first k surviving draws
+    "prep_negative_sample" ->
+      s"""WITH inter AS (SELECT DISTINCT o_custkey, l_partkey
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE o_custkey < 10),
+         |m AS (SELECT CAST(max(p_partkey) AS BIGINT) AS mxi FROM part),
+         |d AS (SELECT o_custkey, u.draw,
+         |        1 + ('0x' || substr(md5(o_custkey::VARCHAR || '_' || u.draw::VARCHAR),
+         |             1, 12))::BIGINT % mxi AS l_partkey
+         |      FROM (SELECT DISTINCT o_custkey FROM inter), m,
+         |        UNNEST(generate_series(0, ${NegSampleK * NegSampleOver - 1}))
+         |          AS u(draw)),
+         |n AS (SELECT d.* FROM d
+         |      WHERE NOT EXISTS (SELECT 1 FROM inter i
+         |        WHERE i.o_custkey = d.o_custkey
+         |          AND i.l_partkey = d.l_partkey)),
+         |f AS (SELECT *, row_number() OVER (PARTITION BY o_custkey, l_partkey
+         |        ORDER BY draw) AS fr FROM n),
+         |r AS (SELECT o_custkey, l_partkey, draw, row_number()
+         |        OVER (PARTITION BY o_custkey ORDER BY draw) AS neg_rank
+         |      FROM f WHERE fr = 1)
+         |SELECT o_custkey, CAST(neg_rank AS BIGINT) AS neg_rank, l_partkey,
+         |  CAST(draw AS BIGINT) AS draw
+         |FROM r WHERE neg_rank <= $NegSampleK
+         |ORDER BY o_custkey, neg_rank""".stripMargin,
     "prep_key_cap" ->
       s"""WITH r AS (SELECT doc_id, source, lang,
          |  row_number() OVER (PARTITION BY source, lang

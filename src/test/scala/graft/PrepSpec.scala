@@ -368,6 +368,28 @@ class PrepSpec extends AnyFunSuite {
     assert(multi == 0)
   }
 
+  test("negativeSample: negatives never intersect interactions, exactly " +
+      "k per user, identical on any partitioning") {
+    val inter = Tables.orders(spark, dir).filter(col("o_custkey") < 10)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+    def run(i: org.apache.spark.sql.DataFrame) =
+      Prep.negativeSample(i, "o_custkey", "l_partkey",
+          Tables.part(spark, dir), "p_partkey", 5, 4)
+        .select("o_custkey", "neg_rank", "l_partkey")
+        .orderBy("o_custkey", "neg_rank")
+        .as[(Long, Long, Long)].collect().toSeq
+    val negs = run(inter)
+    val interSet = inter.distinct().as[(Long, Long)].collect().toSet
+    assert(negs.forall { case (u, _, it) => !interSet((u, it)) },
+      "a sampled negative was actually interacted with")
+    negs.groupBy(_._1).foreach { case (u, rows) =>
+      assert(rows.map(_._2).sorted == Seq(1L, 2L, 3L, 4L, 5L), s"user $u")
+    }
+    assert(run(inter.repartition(7)) == negs)
+  }
+
   test("forwardFill: nulls inherit the last observation, leading nulls " +
       "stay null, non-nulls pass through") {
     val df = Seq(
