@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis operators for training-data pipelines: token statistics,
   * document quality scoring, stopword-profile language ID, and document
@@ -286,5 +287,37 @@ object TextAnalysis {
       .agg(round(sum(col("c")).cast("double"), 6).as("bm25"))
       .orderBy(col("bm25").desc, col("id"))
       .limit(k)
+  }
+
+  /** Corpus-relative novelty score: the mean self-information (in bits) of
+    * a document's distinct tokens under the corpus document-frequency
+    * model, `mean(−log₂(df(t)/N))` — the curation signal that separates
+    * template/boilerplate documents (all-common tokens → near 0 bits) from
+    * novel or noisy ones (rare tokens → high bits). The high tail is where
+    * gibberish and unique content both live; the low tail is what mixture
+    * dedup misses because no two boilerplate docs are exact copies.
+    *
+    * One (doc, token) distinct explode + one df aggregate joined back on
+    * the token; N is a 1-row broadcast. Per-token bit contributions round
+    * to 9 dp and sum in exact DECIMAL, so the per-doc mean is
+    * order-independent and engine-exact. Returns
+    * (idCol, n_grams, novelty_bits).
+    */
+  def noveltyScore(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(array_distinct(toks(col(textCol)))).as("token"))
+    val dfreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    tok.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("__bits",
+        round(-log(col("df").cast("double") / col("n_docs")) /
+          lit(math.log(2.0)), 9).cast(DecimalType(18, 9)))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        round((sum(col("__bits")).cast("double") / count(lit(1))), 6)
+          .as("novelty_bits"))
+      .select(col("id").as(idCol), col("n_grams"), col("novelty_bits"))
   }
 }

@@ -93,7 +93,18 @@ object TextQueries {
     TextAnalysis.bm25TopK(Tables.documents(spark, dir), "doc_id", "text",
       Bm25Terms, Bm25K)
 
+  /** Corpus-relative novelty (mean token self-information, bits) for the
+    * first 50 documents — the boilerplate-vs-gibberish curation axis
+    * ([[graft.ops.TextAnalysis.noveltyScore]]; df model fitted on the FULL
+    * corpus, the filter applies to the output only).
+    */
+  def novelty(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.noveltyScore(Tables.documents(spark, dir), "doc_id", "text")
+      .filter(col("doc_id") < 50)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_novelty" -> novelty,
     "text_repetition" -> repetition,
     "text_token_stats" -> tokenStats,
     "text_regex_tokens" -> regexTokens,
@@ -132,6 +143,22 @@ object TextQueries {
     Profiles.map(p => scoreSql(p._2)).mkString("greatest(", ", ", ")")
 
   val oracle: Map[String, String] = Map(
+    // per-token bit contributions round to 9 dp and sum in exact DECIMAL —
+    // the mean is order-independent; ln2 prints with round-trip precision
+    "text_novelty" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT DISTINCT doc_id, unnest(list_distinct(toks)) AS token
+         |        FROM d),
+         |df AS (SELECT token, count(*) AS df FROM tok GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |c AS (SELECT doc_id,
+         |        CAST(round(-ln(df * 1.0 / n_docs) / ${math.log(2.0)}, 9)
+         |             AS DECIMAL(18,9)) AS bits
+         |      FROM tok JOIN df USING (token), n)
+         |SELECT doc_id, count(*) AS n_grams,
+         |  round(CAST(sum(bits) AS DOUBLE) / count(*), 6) AS novelty_bits
+         |FROM c WHERE doc_id < 50
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       s"""WITH $toksCte,
          |g AS (SELECT doc_id,

@@ -104,4 +104,24 @@ class TextAnalysisSpec extends AnyFunSuite {
   }
 
   private def TextQueriesProfiles() = graft.queries.TextQueries.Profiles
+
+  test("noveltyScore: all-common-token boilerplate scores below a " +
+      "rare-token document; ubiquitous tokens carry zero bits") {
+    val docs = Seq(
+      (1L, "common words here"), (2L, "common words here"),
+      (3L, "common words here"), (4L, "common words xylophone"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyScore(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("novelty_bits")).toMap
+    // docs 1-3 share every token (df 4,4,3 of N=4); doc 4's "xylophone"
+    // has df 1 → 2 bits, pulling its mean above the boilerplate docs
+    assert(out(4L) > out(1L), out.toString)
+    assert(out(1L) == out(2L) && out(2L) == out(3L))
+    // a token in every document carries exactly 0 bits: single-doc corpus
+    val solo = TextAnalysis.noveltyScore(
+        Seq((9L, "a b")).toDF("doc_id", "text"), "doc_id", "text")
+      .select("novelty_bits").as[Double].head()
+    assert(solo == 0.0)
+  }
 }
