@@ -106,6 +106,35 @@ class PlanSpec extends AnyFunSuite {
       !s.contains("CartesianProduct"), s)
   }
 
+  test("runtime bloom-filter join pruning injects might_contain on the " +
+      "probe side of a selective shuffle join") {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // toy scans sit below the production 10 GB application-side
+      // threshold — zero it so the 100 TB behavior is testable here
+      conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = graft.sources.Tables.lineitem(spark, dir)
+      val ord = graft.sources.Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val plan = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"), plan.take(2000))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("random projection is zero-shuffle codegen — no exchange, no lambda") {
     val emb = graft.sources.Tables.embeddings(spark, dir)
     val out = graft.ops.Similarity.randomProject(emb, "vec_id", "embedding",
