@@ -320,4 +320,103 @@ object TextAnalysis {
           .as("novelty_bits"))
       .select(col("id").as(idCol), col("n_grams"), col("novelty_bits"))
   }
+
+  /** Cross-document duplicated-n-gram coverage — the tractable stand-in
+    * for exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": long substrings repeated across
+    * documents are memorization fuel). A suffix array over 100 TB is not a
+    * Spark-shaped computation; the per-document *coverage fraction* of
+    * positions whose n-gram also occurs in some OTHER document is, and it
+    * is the per-doc signal the span-removal pass would act on.
+    *
+    * Shape at scale: positioned grams collapse map-side to one
+    * (doc, gram-hash, count) row per doc-distinct gram BEFORE any shuffle
+    * — the only wide exchanges are the (doc, gram) count and the gram df
+    * aggregate over that already-deduped relation, then a join back on the
+    * gram hash (the TF-IDF exchange family). Gram identity is one 64-bit
+    * xxhash64 of the token window — no string materialization per
+    * position, same collision argument as [[repetitionStats]]. Returns
+    * (idCol, n_positions, n_dup_positions, dup_coverage) for documents
+    * with ≥ 1 n-gram.
+    */
+  def dupNgramCoverage(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val t = col("__t")
+    val withToks = df.select(col(idCol).as("doc_id"),
+      toks(col(textCol)).as("__t"))
+    val starts = when(size(t) >= n, sequence(lit(0), size(t) - n))
+      .otherwise(array().cast("array<int>"))
+    val grams = transform(starts,
+      i => xxhash64((1 to n).map(j => element_at(t, i + j)): _*))
+    val occ = withToks
+      .select(col("doc_id"), explode(grams).as("gh"))
+      .groupBy("doc_id", "gh")
+      .agg(count(lit(1)).as("c"))
+    val gramDf = occ.groupBy("gh").agg(count(lit(1)).as("df"))
+    occ.join(gramDf, "gh")
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_positions"),
+        sum(when(col("df") >= 2, col("c")).otherwise(0L))
+          .as("n_dup_positions"))
+      .select(col("doc_id").as(idCol), col("n_positions"),
+        col("n_dup_positions"),
+        round(col("n_dup_positions").cast("double") / col("n_positions"), 6)
+          .as("dup_coverage"))
+  }
+
+  /** Corpus-fit bigram language-model cross-entropy (bits/token) — the
+    * KenLM-style perplexity axis of data curation (CCNet, Wenzek et al.
+    * 2020 filter web text by LM perplexity): documents far from the
+    * corpus' own bigram statistics are gibberish (high bits) or degenerate
+    * boilerplate (near-zero bits). Add-one smoothing over the corpus
+    * vocabulary: `P(w₂|w₁) = (C(w₁w₂)+1) / (C(w₁·)+V)` where `C(w₁·)`
+    * counts w₁'s occurrences as a bigram context and V is the corpus
+    * vocabulary size.
+    *
+    * Shape at scale: one positioned-bigram explode collapsed map-side to
+    * per-doc counts; the model tables (bigram counts, context counts) are
+    * aggregates OF that relation — they reuse its exchange — and join back
+    * by shuffle on the bigram (vocabulary² can exceed any broadcast cap; a
+    * broadcast hint would be the N42 TF-IDF mistake). V and the 1-row
+    * corpus stats broadcast. Per-position bit contributions round to 9 dp
+    * and weight-sum in exact DECIMAL → order-independent, engine-exact
+    * means. Returns (idCol, n_bigrams, bits_per_token) for documents with
+    * ≥ 1 bigram.
+    */
+  def bigramLmBits(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val t = col("__t")
+    val withToks = df.select(col(idCol).as("doc_id"),
+      toks(col(textCol)).as("__t"))
+    val starts = when(size(t) >= 2, sequence(lit(0), size(t) - 2))
+      .otherwise(array().cast("array<int>"))
+    val bigrams = transform(starts,
+      i => struct(element_at(t, i + 1).as("w1"), element_at(t, i + 2).as("w2")))
+    val occ = withToks
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("c"))
+    val bigramCnt = occ.groupBy("w1", "w2").agg(sum(col("c")).as("bc"))
+    val contextCnt = occ.groupBy("w1").agg(sum(col("c")).as("uc"))
+    val vocab = df
+      .select(explode(array_distinct(toks(col(textCol)))).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    occ.join(bigramCnt, Seq("w1", "w2"))
+      .join(contextCnt, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__bits",
+        round(-log((col("bc") + 1.0) / (col("uc") + col("v"))) /
+          lit(math.log(2.0)), 9).cast(DecimalType(18, 9)))
+      .groupBy("doc_id")
+      // c stays DECIMAL(10,0): a LONG multiplicand would push the product
+      // past precision 38 and Spark would silently round the scale to 8 dp
+      // (DuckDB keeps it exact) — a +5e-9 HALF_UP bias per product that
+      // flips ~1e-3 of per-doc means across their 6 dp boundary
+      .agg(sum(col("c")).as("n_bigrams"),
+        round(sum(col("__bits") * col("c").cast(DecimalType(10, 0)))
+          .cast("double") / sum(col("c")), 6).as("bits_per_token"))
+      .select(col("doc_id").as(idCol), col("n_bigrams"),
+        col("bits_per_token"))
+  }
 }

@@ -103,7 +103,24 @@ object TextQueries {
       .filter(col("doc_id") < 50)
       .orderBy("doc_id")
 
+  /** Cross-document duplicated-trigram coverage (exact-substring-dedup
+    * stand-in; [[graft.ops.TextAnalysis.dupNgramCoverage]]).
+    */
+  def dupCoverage(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dupNgramCoverage(Tables.documents(spark, dir), "doc_id",
+      "text", n = 3)
+      .orderBy("doc_id")
+
+  /** Corpus-fit bigram-LM cross-entropy per document
+    * ([[graft.ops.TextAnalysis.bigramLmBits]]).
+    */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLmBits(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_dup_ngram_coverage" -> dupCoverage,
+    "text_bigram_lm" -> bigramLm,
     "text_novelty" -> novelty,
     "text_repetition" -> repetition,
     "text_token_stats" -> tokenStats,
@@ -143,6 +160,52 @@ object TextQueries {
     Profiles.map(p => scoreSql(p._2)).mkString("greatest(", ", ", ")")
 
   val oracle: Map[String, String] = Map(
+    // positioned trigrams as strings (engine-internal hashes never cross
+    // the oracle boundary — only counts do); docs with < 3 tokens have no
+    // positions and produce no row on either side
+    "text_dup_ngram_coverage" ->
+      s"""WITH $toksCte,
+         |g AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 3
+         |    THEN list_transform(generate_series(1, len(toks) - 2),
+         |           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+         |    ELSE [] END AS grams
+         |  FROM d),
+         |occ AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         |c AS (SELECT doc_id, gram, count(*) AS c FROM occ GROUP BY 1, 2),
+         |dfr AS (SELECT gram, count(*) AS df FROM c GROUP BY 1)
+         |SELECT doc_id, sum(c)::BIGINT AS n_positions,
+         |  sum(CASE WHEN df >= 2 THEN c ELSE 0 END)::BIGINT
+         |    AS n_dup_positions,
+         |  round(sum(CASE WHEN df >= 2 THEN c ELSE 0 END)::DOUBLE / sum(c), 6)
+         |    AS dup_coverage
+         |FROM c JOIN dfr USING (gram)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // add-one-smoothed bigram LM fitted on the corpus itself; per-position
+    // bit contributions round to 9 dp, scale by the doc's (w1,w2) count
+    // (exact decimal), and sum exactly — the mean is order-independent
+    "text_bigram_lm" ->
+      s"""WITH $toksCte,
+         |g AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 2
+         |    THEN list_transform(generate_series(1, len(toks) - 1),
+         |           i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))
+         |    ELSE [] END AS bgs
+         |  FROM d),
+         |occ0 AS (SELECT doc_id, unnest(bgs) AS bg FROM g),
+         |occ AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2, count(*) AS c
+         |        FROM occ0 GROUP BY 1, 2, 3),
+         |bc AS (SELECT w1, w2, sum(c) AS bc FROM occ GROUP BY 1, 2),
+         |uc AS (SELECT w1, sum(c) AS uc FROM occ GROUP BY 1),
+         |v AS (SELECT count(DISTINCT t) AS v FROM
+         |        (SELECT unnest(toks) AS t FROM d)),
+         |ct AS (SELECT occ.doc_id, occ.c,
+         |        CAST(round(-ln((bc.bc + 1.0) / (uc.uc + v.v))
+         |               / ${math.log(2.0)}, 9) AS DECIMAL(18,9)) AS bits
+         |      FROM occ JOIN bc USING (w1, w2) JOIN uc USING (w1), v)
+         |SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+         |  round(CAST(sum(bits * c) AS DOUBLE) / sum(c), 6) AS bits_per_token
+         |FROM ct GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // per-token bit contributions round to 9 dp and sum in exact DECIMAL —
     // the mean is order-independent; ln2 prints with round-trip precision
     "text_novelty" ->

@@ -124,4 +124,40 @@ class TextAnalysisSpec extends AnyFunSuite {
       .select("novelty_bits").as[Double].head()
     assert(solo == 0.0)
   }
+
+  test("dupNgramCoverage: positions covered by cross-doc-shared trigrams; " +
+      "within-doc-only repetition does not count; short docs absent") {
+    val d = Seq(
+      (1L, "a b c d e"),        // trigrams: abc bcd cde
+      (2L, "a b c x y"),        // shares "a b c" with doc 1
+      (3L, "q q q q"),          // "q q q" ×2 — repeated WITHIN one doc only
+      (4L, "zz"))               // < 3 tokens → no positions, no row
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.dupNgramCoverage(d, "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_positions"), r.getAs[Long]("n_dup_positions"),
+          r.getAs[Double]("dup_coverage"))).toMap
+    assert(m(1L) == ((3L, 1L, round6(1.0 / 3))))
+    assert(m(2L) == ((3L, 1L, round6(1.0 / 3))))
+    // df counts DOCUMENTS, not occurrences: doc 3's gram df = 1 → no dup
+    assert(m(3L) == ((2L, 0L, 0.0)))
+    assert(!m.contains(4L))
+  }
+
+  test("bigramLmBits: hand-computed add-one bigram cross-entropy; " +
+      "boilerplate scores below a novel continuation") {
+    // corpus: "a b" ×3 and "a c" ×1 → C(a·)=4, V=3, C(ab)=3, C(ac)=1
+    val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.bigramLmBits(d, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("bits_per_token"))).toMap
+    def bits(bc: Long, uc: Long, v: Long): Double =
+      BigDecimal(-math.log((bc + 1.0) / (uc + v)) / math.log(2.0))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m(1L) == ((1L, round6(bits(3, 4, 3)))))
+    assert(m(4L) == ((1L, round6(bits(1, 4, 3)))))
+    // the frequent continuation is more predictable → fewer bits
+    assert(m(1L)._2 < m(4L)._2)
+  }
 }
