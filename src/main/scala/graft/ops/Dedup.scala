@@ -776,4 +776,45 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Sub-document exact dedup — the CCNet paragraph-dedup shape (Wenzek
+    * et al. 2020 drop duplicated *paragraphs* across a web snapshot before
+    * any document-level near-dup pass; boilerplate headers/footers repeat
+    * across millions of pages whose documents are otherwise unique). The
+    * corpus has no newlines, so the unit is the non-overlapping
+    * `chunkSize`-token chunk ([[graft.ops.Prep.chunkText]] with
+    * stride = size); with newline-delimited text the same plan runs off
+    * `split(text, '\n')`.
+    *
+    * Keeps the FIRST occurrence of each chunk content (min (doc_id,
+    * start_offset) — a groupBy min-struct, partial-aggregable, never a
+    * window over a hot hash) and reassembles each document from its
+    * surviving chunks in order. Two shuffles: one on the 128-bit chunk
+    * digest (the dedup exchange), one on doc_id (reassembly). Documents
+    * whose every chunk was seen earlier come back with `dedup_text` NULL —
+    * the fully-boilerplate drop case.
+    *
+    * Returns (doc_id, n_chunks, n_kept_chunks, dedup_text).
+    */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int): DataFrame = {
+    val chunks = Prep.chunkText(docs, idCol, textCol, chunkSize, chunkSize)
+      .withColumn("__ch", md5(col("chunk_text")))
+    val first = chunks.groupBy("__ch")
+      .agg(min(struct(col("doc_id"), col("start_offset"))).as("__first"))
+    chunks.join(first, Seq("__ch"))
+      .withColumn("__kept",
+        col("doc_id") === col("__first.doc_id") &&
+          col("start_offset") === col("__first.start_offset"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept_chunks"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__kept"),
+            struct(col("chunk_idx"), col("chunk_text"))))),
+          s => s.getField("chunk_text")), " ").as("__joined"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept_chunks"),
+        when(col("n_kept_chunks") > 0, col("__joined"))
+          .otherwise(lit(null).cast("string")).as("dedup_text"))
+  }
 }

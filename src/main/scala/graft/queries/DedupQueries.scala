@@ -155,7 +155,20 @@ object DedupQueries {
         threshold = 0.8, n = 3)
       .orderBy("id_a", "id_b")
 
+  private val ChunkTokens = 10
+
+  /** Sub-document chunk-level exact dedup with reassembly — the CCNet
+    * paragraph-dedup shape ([[graft.ops.Dedup.chunkDedup]]): first
+    * occurrence of each 10-token chunk survives, documents reassemble from
+    * their surviving chunks.
+    */
+  def chunkLevel(spark: SparkSession, dir: String): DataFrame =
+    Dedup.chunkDedup(Tables.documents(spark, dir), "doc_id", "text",
+        chunkSize = ChunkTokens)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_chunks" -> chunkLevel,
     "dedup_containment" -> containment3gram,
     "dedup_exact_groups" -> exactGroups,
     "dedup_exact_keep_first" -> exactKeepFirst,
@@ -280,6 +293,32 @@ object DedupQueries {
     .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    // first occurrence per chunk content = min (doc_id, start) over the
+    // chunk's group; reassembly string_aggs surviving chunks in order —
+    // NULL when every chunk of a doc was seen earlier
+    "dedup_chunks" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |  FROM documents),
+         |c AS (SELECT doc_id, CAST(i / $ChunkTokens AS BIGINT) AS chunk_idx,
+         |        i AS start_offset,
+         |        array_to_string(list_slice(toks, i + 1, i + $ChunkTokens), ' ')
+         |          AS chunk_text
+         |      FROM d, UNNEST(generate_series(0, len(toks) - 1, $ChunkTokens)) u(i)
+         |      WHERE len(toks) > 0),
+         |f AS (SELECT chunk_text,
+         |        min(struct_pack(doc_id := doc_id, s := start_offset)) AS first
+         |      FROM c GROUP BY 1),
+         |k AS (SELECT c.*, (c.doc_id = f.first.doc_id AND
+         |                   c.start_offset = f.first.s) AS kept
+         |      FROM c JOIN f USING (chunk_text))
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept_chunks,
+         |  CASE WHEN sum(CASE WHEN kept THEN 1 ELSE 0 END) > 0 THEN
+         |    string_agg(CASE WHEN kept THEN chunk_text END, ' '
+         |               ORDER BY chunk_idx)
+         |  END AS dedup_text
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // directed pairs (a.id <> b.id), containment normalized by A's gram
     // count only — the n_common*1.0/n division is the same single IEEE op
     // Dedup.containmentPairs performs

@@ -227,4 +227,22 @@ class DedupSpec extends AnyFunSuite {
         r.getAs[Int]("hamming")))
     assert(pairs.contains((1L, 2L, 0)))
   }
+
+  test("chunkDedup: first chunk occurrence survives, later copies drop; " +
+      "a fully-duplicated doc reassembles to NULL") {
+    val d = Seq(
+      (1L, "a b c d"),   // chunks (size 2): "a b", "c d"
+      (2L, "a b x y"),   // "a b" seen in doc 1 → only "x y" survives
+      (3L, "c d"),       // fully covered by doc 1 → NULL
+      (4L, "p q r"))     // "p q", "r" — tail chunk shorter than size
+      .toDF("doc_id", "text")
+    val m = Dedup.chunkDedup(d, "doc_id", "text", chunkSize = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept_chunks"),
+          r.getAs[String]("dedup_text"))).toMap
+    assert(m(1L) == ((2L, 2L, "a b c d")))
+    assert(m(2L) == ((2L, 1L, "x y")))
+    assert(m(3L) == ((1L, 0L, null)))
+    assert(m(4L) == ((2L, 2L, "p q r")))
+  }
 }
