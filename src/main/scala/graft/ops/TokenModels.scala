@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Hashed-unigram token models — the bounded-vocabulary probabilistic
+  * workhorses of corpus curation. Both operators here hash tokens into a
+  * FIXED number of buckets ([[Prep.hashBucket]], md5-derived and
+  * engine-portable), so the fitted model is a few-KB relation regardless
+  * of corpus size: it broadcasts legitimately at 100 TB, unlike raw-vocab
+  * models (the N42 TF-IDF lesson — a web corpus' vocabulary does not fit
+  * a broadcast). The reference pipeline's quality checks stop at column
+  * statistics (`ML Feature Store Pipeline.py:164-199`); these are the
+  * corpus-level, model-based counterparts.
+  *
+  * Determinism discipline (shared with [[TextAnalysis.noveltyScore]]):
+  * per-bucket log contributions round to 9 dp, scale by the doc's bucket
+  * count in exact DECIMAL (the count multiplicand stays DECIMAL(10,0) —
+  * a LONG would overflow precision 38 and Spark silently rounds the
+  * product scale down), and sum exactly — scores are bit-identical on any
+  * engine and partitioning.
+  */
+object TokenModels {
+
+  private def toks(textCol: Column): Column =
+    filter(split(textCol, " "), t => t =!= "")
+
+  /** Per-doc (id, bucket, c) counts — map-side collapsed before any
+    * shuffle; the single wide exchange of both operators.
+    */
+  private def bucketCounts(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame =
+    docs.select(col(idCol).as("id"), explode(toks(col(textCol))).as("tok"))
+      .select(col("id"), Prep.hashBucket(col("tok"), buckets).as("bucket"))
+      .groupBy("id", "bucket")
+      .agg(count(lit(1)).as("c"))
+
+  private val C10 = DecimalType(10, 0)
+
+  private def bits9(x: Column): Column =
+    round(log(x) / lit(math.log(2.0)), 9).cast(DecimalType(18, 9))
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): fit add-one-smoothed
+    * hashed-unigram models of a TARGET distribution (the domain you want
+    * more of — here any boolean target predicate over the corpus) and the
+    * RAW distribution (everything else), then weight every raw-side
+    * document by its log likelihood ratio
+    * `log₂ p_target(doc) − log₂ p_raw(doc)`. Resampling the corpus
+    * proportionally to these weights tilts a 100 TB crawl toward the
+    * target domain without a trained classifier.
+    *
+    * Shape at scale: one (doc, bucket) count shuffle; both fitted models
+    * are `buckets`-row aggregates broadcast back onto it; the weight is a
+    * per-doc exact-DECIMAL sum. Returns
+    * (idCol, is_target, n_tokens, log_weight) for docs with ≥ 1 token.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 64): DataFrame = {
+    val labeled = docs.select(col(idCol).as("id"),
+      targetPred.cast("boolean").as("__t"), col(textCol).as("__text"))
+    val occ = bucketCounts(labeled, "id", "__text", buckets)
+      .join(labeled.select(col("id"), col("__t")), Seq("id"))
+    // add-one-smoothed bucket log-probs per side, on a DENSE bucket grid
+    // (absent buckets carry count 0, not a missing row)
+    val grid = labeled.sparkSession.range(buckets)
+      .select(col("id").cast("int").as("bucket"))
+    val side = occ.groupBy("__t", "bucket").agg(sum(col("c")).as("n"))
+    val totals = occ.groupBy("__t").agg(sum(col("c")).as("tot"))
+    val model = totals.crossJoin(grid)
+      .join(side, Seq("__t", "bucket"), "left")
+      .select(col("__t"), col("bucket"),
+        bits9((coalesce(col("n"), lit(0L)) + 1.0) / (col("tot") + buckets))
+          .as("lp"))
+    val target = model.filter(col("__t")).select(col("bucket"),
+      col("lp").as("lp_t"))
+    val raw = model.filter(!col("__t")).select(col("bucket"),
+      col("lp").as("lp_r"))
+    occ
+      .join(broadcast(target), Seq("bucket"))
+      .join(broadcast(raw), Seq("bucket"))
+      .groupBy("id", "__t")
+      .agg(sum(col("c")).as("n_tokens"),
+        round(sum((col("lp_t") - col("lp_r")) * col("c").cast(C10))
+          .cast("double"), 6).as("log_weight"))
+      .select(col("id").as(idCol), col("__t").as("is_target"),
+        col("n_tokens"), col("log_weight"))
+  }
+
+  /** Multinomial Naive Bayes over hashed-unigram buckets — the GPT-3-style
+    * quality/domain classifier (Brown et al. 2020 filtered CommonCrawl
+    * with a linear classifier over hashed features; multinomial NB is its
+    * aggregation-only twin: fitting IS a groupBy, no gradient loop).
+    * Trained on a labeled column of the corpus itself, applied back to
+    * every document: `score(d, y) = log₂ P(y) + Σ_b c(d,b)·log₂ P(b|y)`
+    * with add-one smoothing on the dense (class × bucket) grid.
+    *
+    * Shape at scale: the fitted model is `classes × buckets` rows —
+    * broadcast onto the (doc, bucket) counts — and scoring is one
+    * groupBy (doc, class) exact-DECIMAL sum plus an argmax. Ties resolve
+    * to the lexicographically LAST class (max over (score, class)
+    * structs), mirrored in the oracle. Returns
+    * (idCol, predicted, best_bits) for docs with ≥ 1 token.
+    */
+  def naiveBayes(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, buckets: Int = 64): DataFrame = {
+    val labeled = docs.select(col(idCol).as("id"),
+      col(labelCol).cast("string").as("__y"), col(textCol).as("__text"))
+    val occ = bucketCounts(labeled, "id", "__text", buckets)
+    val byClass = occ.join(labeled.select(col("id"), col("__y")), Seq("id"))
+      .groupBy("__y", "bucket").agg(sum(col("c")).as("n"))
+    val classTotals = byClass.groupBy("__y").agg(sum(col("n")).as("tot"))
+    val grid = labeled.sparkSession.range(buckets)
+      .select(col("id").cast("int").as("bucket"))
+    val likelihood = classTotals.crossJoin(grid)
+      .join(byClass, Seq("__y", "bucket"), "left")
+      .select(col("__y"), col("bucket"),
+        bits9((coalesce(col("n"), lit(0L)) + 1.0) / (col("tot") + buckets))
+          .as("lp"))
+    val nDocs = labeled.agg(count(lit(1)).as("n_all"))
+    val priors = labeled.groupBy("__y").agg(count(lit(1)).as("n_y"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("__y"), bits9(col("n_y") / col("n_all")).as("prior"))
+    val scored = occ
+      .join(broadcast(likelihood), Seq("bucket"))
+      .groupBy("id", "__y")
+      .agg(sum(col("lp") * col("c").cast(C10)).as("__s"))
+      .join(broadcast(priors), Seq("__y"))
+      // re-bound the sum's precision before the add: DECIMAL(38,9) + the
+      // 9dp prior is precision 39, which Spark resolves by rounding the
+      // result scale to 8dp — the same silent half-up bias as the
+      // multiplicand trap above
+      .select(col("id"), col("__y"),
+        (col("__s").cast(DecimalType(28, 9)) + col("prior")).as("score"))
+    scored.groupBy("id")
+      .agg(max(struct(col("score"), col("__y"))).as("best"))
+      .select(col("id").as(idCol),
+        col("best.__y").as("predicted"),
+        round(col("best.score").cast("double"), 6).as("best_bits"))
+  }
+}

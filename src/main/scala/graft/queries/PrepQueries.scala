@@ -286,7 +286,18 @@ object PrepQueries {
       .orderBy("o_custkey", "neg_rank")
   }
 
+  private val DsirBuckets = 64
+
+  /** DSIR importance weights toward the English-labeled slice of the
+    * corpus ([[graft.ops.TokenModels.dsirWeights]]).
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TokenModels.dsirWeights(Tables.documents(spark, dir),
+        "doc_id", "text", col("lang") === "en", DsirBuckets)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "prep_dsir_weights" -> dsirWeights,
     "prep_negative_sample" -> negativeSample,
     "prep_key_cap" -> keyCap,
     "prep_winsorize" -> winsorizePrice,
@@ -316,6 +327,34 @@ object PrepQueries {
     s"('0x' || substr(md5($expr), 1, 12))::BIGINT % $buckets"
 
   val oracle: Map[String, String] = Map(
+    // hashed-unigram add-one models of the en vs non-en slices on a dense
+    // 64-bucket grid; per-bucket 9dp log-ratio contributions scale by the
+    // doc's bucket count in exact DECIMAL
+    "prep_dsir_weights" ->
+      s"""WITH d AS (SELECT doc_id, (lang = 'en') AS t,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |occ AS (SELECT doc_id, t,
+         |          ${md5Bucket("tok", DsirBuckets)} AS bucket, count(*) AS c
+         |        FROM (SELECT doc_id, t, unnest(toks) AS tok FROM d)
+         |        GROUP BY 1, 2, 3),
+         |side AS (SELECT t, bucket, sum(c) AS n FROM occ GROUP BY 1, 2),
+         |tot AS (SELECT t, sum(c) AS tot FROM occ GROUP BY 1),
+         |grid AS (SELECT tot.t, tot.tot, b.bucket FROM tot,
+         |          (SELECT unnest(generate_series(0, ${DsirBuckets - 1}))
+         |             AS bucket) b),
+         |model AS (SELECT g.t, g.bucket,
+         |  CAST(round(ln((coalesce(s.n, 0) + 1.0) / (g.tot + $DsirBuckets))
+         |         / ${math.log(2.0)}, 9) AS DECIMAL(18,9)) AS lp
+         |  FROM grid g LEFT JOIN side s ON s.t = g.t AND s.bucket = g.bucket)
+         |SELECT occ.doc_id, occ.t AS is_target,
+         |  sum(occ.c)::BIGINT AS n_tokens,
+         |  round(CAST(sum((mt.lp - mr.lp) * occ.c) AS DOUBLE), 6)
+         |    AS log_weight
+         |FROM occ
+         |JOIN (SELECT bucket, lp FROM model WHERE t) mt USING (bucket)
+         |JOIN (SELECT bucket, lp FROM model WHERE NOT t) mr USING (bucket)
+         |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     // candidate item = 1 + md5(user || '_' || draw) % max_part_id; first
     // occurrence per (user, item), then the first k surviving draws
     "prep_negative_sample" ->

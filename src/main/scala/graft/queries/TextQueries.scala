@@ -118,7 +118,20 @@ object TextQueries {
     TextAnalysis.bigramLmBits(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  private val NbBuckets = 64
+
+  /** Hashed-unigram multinomial Naive Bayes trained on the corpus' own
+    * `lang` labels and applied back to every document
+    * ([[graft.ops.TokenModels.naiveBayes]]) — the aggregation-only
+    * quality/domain classifier shape.
+    */
+  def nbLangId(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TokenModels.naiveBayes(Tables.documents(spark, dir),
+        "doc_id", "text", "lang", NbBuckets)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_nb_classifier" -> nbLangId,
     "text_dup_ngram_coverage" -> dupCoverage,
     "text_bigram_lm" -> bigramLm,
     "text_novelty" -> novelty,
@@ -160,6 +173,44 @@ object TextQueries {
     Profiles.map(p => scoreSql(p._2)).mkString("greatest(", ", ", ")")
 
   val oracle: Map[String, String] = Map(
+    // add-one NB over a dense (lang × 64-bucket) grid; scores are exact
+    // DECIMAL sums of 9dp contributions + a 9dp log-prior; argmax ties to
+    // the lexicographically last class via max-struct
+    "text_nb_classifier" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |occ AS (SELECT doc_id,
+         |          ('0x' || substr(md5(tok), 1, 12))::BIGINT % $NbBuckets
+         |            AS bucket, count(*) AS c
+         |        FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+         |        GROUP BY 1, 2),
+         |byc AS (SELECT d.lang, occ.bucket, sum(occ.c) AS n
+         |        FROM occ JOIN d USING (doc_id) GROUP BY 1, 2),
+         |ct AS (SELECT lang, sum(n) AS tot FROM byc GROUP BY 1),
+         |grid AS (SELECT ct.lang, ct.tot, b.bucket FROM ct,
+         |          (SELECT unnest(generate_series(0, ${NbBuckets - 1}))
+         |             AS bucket) b),
+         |lik AS (SELECT g.lang, g.bucket,
+         |  CAST(round(ln((coalesce(byc.n, 0) + 1.0) / (g.tot + $NbBuckets))
+         |         / ${math.log(2.0)}, 9) AS DECIMAL(18,9)) AS lp
+         |  FROM grid g LEFT JOIN byc
+         |    ON byc.lang = g.lang AND byc.bucket = g.bucket),
+         |pri AS (SELECT lang,
+         |  CAST(round(ln(count(*) * 1.0 /
+         |         (SELECT count(*) FROM documents)) / ${math.log(2.0)}, 9)
+         |       AS DECIMAL(18,9)) AS prior
+         |  FROM documents GROUP BY 1),
+         |sc AS (SELECT occ.doc_id, lik.lang,
+         |         sum(lik.lp * occ.c) + any_value(pri.prior) AS score
+         |       FROM occ JOIN lik USING (bucket) JOIN pri ON pri.lang = lik.lang
+         |       GROUP BY 1, 2),
+         |best AS (SELECT doc_id,
+         |           max(struct_pack(s := score, y := lang)) AS b
+         |         FROM sc GROUP BY 1)
+         |SELECT doc_id, b.y AS predicted,
+         |  round(CAST(b.s AS DOUBLE), 6) AS best_bits
+         |FROM best ORDER BY doc_id""".stripMargin,
     // positioned trigrams as strings (engine-internal hashes never cross
     // the oracle boundary — only counts do); docs with < 3 tokens have no
     // positions and produce no row on either side

@@ -1,0 +1,62 @@
+package graft
+
+import graft.ops.TokenModels
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TokenModelsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // two separable "domains": a/b tokens vs x/y tokens, one mixed doc
+  private lazy val docs = Seq(
+    (1L, "a b a b", "en"),
+    (2L, "a a b b", "en"),
+    (3L, "x y x y", "zz"),
+    (4L, "x x y y", "zz"),
+    (5L, "a b x y", "en"))
+    .toDF("doc_id", "text", "lang")
+
+  test("dsirWeights: target-looking docs get higher log weight than " +
+      "raw-looking ones; weights are finite and deterministic") {
+    val w = TokenModels.dsirWeights(docs, "doc_id", "text",
+        col("lang") === "en", buckets = 16)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("is_target"), r.getAs[Double]("log_weight"))).toMap
+    assert(w.size == 5)
+    // pure-target-vocabulary docs score above pure-raw-vocabulary docs
+    assert(w(1L)._2 > w(3L)._2)
+    assert(w(2L)._2 > w(4L)._2)
+    // the mixed doc sits between the pure extremes
+    assert(w(5L)._2 < w(1L)._2 && w(5L)._2 > w(3L)._2)
+    assert(w(1L)._1 && !w(3L)._1)
+    // second run is bit-identical (md5 bucketing, exact DECIMAL sums)
+    val w2 = TokenModels.dsirWeights(docs, "doc_id", "text",
+        col("lang") === "en", buckets = 16)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("log_weight")).toMap
+    assert(w.view.mapValues(_._2).toMap == w2)
+  }
+
+  test("naiveBayes: separable classes classify correctly; scores are " +
+      "log-probabilities (negative); every doc gets exactly one row") {
+    val out = TokenModels.naiveBayes(docs, "doc_id", "text", "lang",
+        buckets = 16)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("predicted"), r.getAs[Double]("best_bits"))).toMap
+    assert(out.size == 5)
+    assert(out(1L)._1 == "en" && out(2L)._1 == "en")
+    assert(out(3L)._1 == "zz" && out(4L)._1 == "zz")
+    assert(out.values.forall(_._2 < 0.0))
+  }
+
+  test("naiveBayes: argmax ties resolve to the lexicographically last " +
+      "class") {
+    // perfectly symmetric two-class corpus: every doc scores equally under
+    // both classes → the max-struct tie-break must pick 'b' every time
+    val sym = Seq((1L, "t t", "a"), (2L, "t t", "b")).toDF("doc_id", "text", "lang")
+    val out = TokenModels.naiveBayes(sym, "doc_id", "text", "lang", 8)
+      .collect().map(r => r.getAs[String]("predicted")).distinct.toSeq
+    assert(out == Seq("b"))
+  }
+}
