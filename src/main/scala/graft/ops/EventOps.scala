@@ -158,4 +158,36 @@ object EventOps {
         array_join(transform(slice(col("__s"), 1, maxTokens),
           s => s.getField("tok")), " ").as("sequence"))
   }
+
+  /** First-order Markov transition matrix of a categorical event stream:
+    * `P(next state | state)` estimated from every adjacent pair in each
+    * key's (ts, tie)-ordered history — the classic next-action feature
+    * (and the generator of transition-probability features for churn /
+    * sequence models). Pure counting — no floating-point model state; the
+    * probability is one division at output time.
+    *
+    * Shape at scale: one key-window shuffle for the `lag` (the same
+    * exchange family as sessionization), then the pair counts collapse to
+    * a states² relation — tiny — and the per-state totals come from a
+    * window over it, not a second pass over the events. Returns
+    * (state, next_state, n_transitions, p) — deterministic under
+    * duplicate timestamps via the (ts, tie) ordering.
+    */
+  def transitionMatrix(df: DataFrame, keyCol: String, tsUsCol: String,
+      tieCol: String, stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsUsCol), col(tieCol))
+    val pairs = df
+      .select(col(keyCol), col(stateCol).cast("string").as("next_state"),
+        lag(col(stateCol).cast("string"), 1).over(w).as("state"))
+      .filter(col("state").isNotNull)
+      .groupBy("state", "next_state")
+      .agg(count(lit(1)).as("n_transitions"))
+    val tw = Window.partitionBy(col("state"))
+    pairs
+      .withColumn("p",
+        round(col("n_transitions").cast("double") /
+          sum(col("n_transitions")).over(tw), 6))
+      .select("state", "next_state", "n_transitions", "p")
+  }
 }

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Graph operators on an edge relation — the link-analysis half of web
+  * corpus curation (harvest-quality signals like PageRank feed document
+  * scoring the same way in-document heuristics do) and of entity/feature
+  * graphs in a feature store (account→merchant, user→item).
+  *
+  * Everything is DataFrame-iterative in the
+  * [[Dedup.connectedComponents]] discipline: a Scala loop of join +
+  * aggregate rounds with `localCheckpoint` per round so plan lineage
+  * stays flat; each round is ONE shuffle join on the edge source plus one
+  * aggregate on the destination. At cluster scale both relations bucket
+  * on the node id, which co-locates every round's join and deletes the
+  * per-iteration exchange.
+  */
+object Graph {
+
+  private val D9 = DecimalType(18, 9)
+
+  /** Fixed-iteration damped PageRank (Page et al. 1999) on a directed
+    * edge list. Mass from dangling nodes (no out-edges) leaks — the
+    * standard simplified formulation; ranks still order nodes by link
+    * authority, which is what a curation signal needs.
+    *
+    * Determinism discipline: per-edge contributions `r(u)/outdeg(u)`
+    * round to 9 dp and sum in exact DECIMAL per destination; the new rank
+    * `(1−d)/N + d·Σ` rounds back to 9 dp before the next round — every
+    * iteration's state is a DECIMAL(18,9) relation identical on any
+    * engine, partitioning, or summation order (the property that lets a
+    * DuckDB oracle replay the iterations as unrolled CTEs).
+    *
+    * Returns (node, rank) — rank as DOUBLE rounded to 9 dp.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val n = nodes.count()
+    var ranks = nodes.select(col("node"),
+      round(lit(1.0 / n), 9).cast(D9).as("r")).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contrib = ranks.join(e, col("node") === col("src"))
+        .join(outDeg, Seq("src"))
+        .select(col("dst"),
+          round(col("r").cast("double") / col("deg"), 9).cast(D9).as("w"))
+        .groupBy("dst").agg(sum(col("w")).as("in_mass"))
+      ranks = nodes
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          round(lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("in_mass").cast("double"), lit(0.0)),
+            9).cast(D9).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("r").cast("double").as("rank"))
+  }
+
+  /** In/out degree profile per node — the 1-hop structural feature set
+    * (and the skew diagnostic for [[pageRank]]'s join planning). One
+    * aggregate per direction, full-outer merged on the node.
+    */
+  def degreeStats(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst")).distinct()
+    val outD = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_deg"))
+    val inD = e.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("in_deg"))
+    outD.join(inD, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+}

@@ -172,7 +172,38 @@ object FeatureQueries {
         "user_id", "ts_us", DauWindowDays)
       .orderBy("day")
 
+  /** Fixed-iteration damped PageRank over the customer→supplier purchase
+    * graph ([[graft.ops.Graph.pageRank]]; node ids carry a type prefix so
+    * the two key spaces can't collide).
+    */
+  def pageRankSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+    // rank stays at its native 9 dp: the iteration state is already a
+    // 9dp DECIMAL, and a further round(double, 6) can land on an exact
+    // decimal tie (…4500) where the engines' double-rounding paths differ
+    graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 3)
+      .orderBy("node")
+  }
+
+  /** First-order event-type transition matrix per user history
+    * ([[graft.ops.EventOps.transitionMatrix]]).
+    */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    EventOps.transitionMatrix(ev, "user_id", "ts_us", "event_id",
+        "event_type")
+      .orderBy("state", "next_state")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "feat_pagerank" -> pageRankSuppliers,
+    "feat_markov_transitions" -> markovTransitions,
     "feat_forward_fill" -> forwardFill,
     "feat_rolling_dau" -> rollingDau,
     "feat_snapshot_diff" -> snapshotDiff,
@@ -183,7 +214,50 @@ object FeatureQueries {
     "feat_scd2_intervals" -> scd2Intervals,
     "feat_time_split" -> timeSplit)
 
+  // unrolled power-iteration CTEs r0→r3: every iteration's state is a
+  // DECIMAL(18,9) relation (9dp-rounded contributions, exact sums), which
+  // is what makes the replay engine-exact; (1.0 - 0.85) is spelled as a
+  // subtraction so both engines evaluate the same IEEE double, not a
+  // 0.15 literal (a different nearest-double)
+  private val pageRankSql: String = {
+    val iters = (1 to 3).map { i =>
+      s"""c$i AS (SELECT e.dst,
+         |  sum(CAST(round(CAST(r.r AS DOUBLE) / outd.deg, 9)
+         |        AS DECIMAL(18,9))) AS m
+         |  FROM r${i - 1} r JOIN e ON r.node = e.src
+         |  JOIN outd ON outd.src = e.src GROUP BY 1),
+         |r$i AS (SELECT nodes.node,
+         |  CAST(round((1.0 - 0.85) / nn.n +
+         |         0.85 * coalesce(CAST(c$i.m AS DOUBLE), 0.0), 9)
+         |       AS DECIMAL(18,9)) AS r
+         |  FROM nodes LEFT JOIN c$i ON c$i.dst = nodes.node, nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT 'c' || o_custkey AS src,
+       |             's' || l_suppkey AS dst
+       |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |outd AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT node, CAST(round(1.0 / nn.n, 9) AS DECIMAL(18,9)) AS r
+       |       FROM nodes, nn),
+       |$iters
+       |SELECT node, CAST(r AS DOUBLE) AS rank
+       |FROM r3 ORDER BY node""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "feat_pagerank" -> pageRankSql,
+    "feat_markov_transitions" ->
+      """WITH p AS (SELECT event_type AS next_state,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS state
+        |  FROM events),
+        |c AS (SELECT state, next_state, count(*) AS n_transitions
+        |      FROM p WHERE state IS NOT NULL GROUP BY 1, 2)
+        |SELECT state, next_state, n_transitions,
+        |  round(n_transitions * 1.0 /
+        |    sum(n_transitions) OVER (PARTITION BY state), 6) AS p
+        |FROM c ORDER BY state, next_state""".stripMargin,
     // raw parquet doubles pass through both engines untouched (no
     // arithmetic), so the fill is bit-identical; leading nulls stay null
     "feat_forward_fill" ->

@@ -131,4 +131,29 @@ class EventOpsSpec extends AnyFunSuite {
       .select("status").as[String].head()
     assert(out2 == "changed")
   }
+
+  test("transitionMatrix: adjacent pairs per key in (ts, tie) order; " +
+      "probabilities normalize per source state; first events emit none") {
+    // user 1: A→B→A ; user 2: A→B — pairs: A→B ×2, B→A ×1
+    val ev = Seq(
+      (1L, 1L, 10L, "A"), (1L, 2L, 20L, "B"), (1L, 3L, 30L, "A"),
+      (2L, 4L, 10L, "A"), (2L, 5L, 20L, "B"))
+      .toDF("user_id", "event_id", "ts_us", "event_type")
+    val m = graft.ops.EventOps
+      .transitionMatrix(ev, "user_id", "ts_us", "event_id", "event_type")
+      .collect().map(r => (r.getAs[String]("state"),
+        r.getAs[String]("next_state")) ->
+        (r.getAs[Long]("n_transitions"), r.getAs[Double]("p"))).toMap
+    assert(m(("A", "B")) == ((2L, 1.0)))
+    assert(m(("B", "A")) == ((1L, 1.0)))
+    assert(m.size == 2) // no cross-user A(user1,ts30)→A(user2,ts10) pair
+    // duplicate timestamps: the tie column decides adjacency
+    val tie = Seq((1L, 2L, 10L, "X"), (1L, 1L, 10L, "Y"))
+      .toDF("user_id", "event_id", "ts_us", "event_type")
+    val mt = graft.ops.EventOps
+      .transitionMatrix(tie, "user_id", "ts_us", "event_id", "event_type")
+      .collect().map(r => (r.getAs[String]("state"),
+        r.getAs[String]("next_state"))).toSeq
+    assert(mt == Seq(("Y", "X"))) // event_id 1 precedes 2 at equal ts
+  }
 }
