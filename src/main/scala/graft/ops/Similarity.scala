@@ -643,4 +643,35 @@ object Similarity {
     assigned.join(dups, Seq("__id"), "left_anti")
       .select(col("__id").as(idCol), col("cell"))
   }
+
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009) — the
+    * standard hybrid-retrieval combiner: each input ranking contributes
+    * `1/(rrfK + rank)` per document, scores sum across rankings. Rank
+    * lists come from heterogeneous systems (BM25 lexical, embedding ANN,
+    * recency…) whose raw scores are incomparable — RRF only consumes the
+    * ORDER, which is why it wins the reranker bake-offs it keeps winning.
+    *
+    * Inputs are (idCol, rankCol) relations, already top-k-bounded by
+    * their producers — so this is a union of small lists, one tiny
+    * groupBy, never a corpus-scale operation. Contributions round to 9 dp
+    * and sum in exact DECIMAL: a two-double FP sum would already be
+    * order-stable, but ≥3 rankings would not be. Returns
+    * (id, n_lists, rrf_score) ordered by (score desc, id).
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+      rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    import org.apache.spark.sql.types.DecimalType
+    val unioned = rankings
+      .map(_.select(col(idCol).as("id"), col(rankCol).as("rank")))
+      .reduce(_ unionByName _)
+    unioned
+      .select(col("id"),
+        round(lit(1.0) / (col("rank") + lit(rrfK)), 9)
+          .cast(DecimalType(18, 9)).as("__w"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_lists"),
+        sum(col("__w")).cast("double").as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("id"))
+  }
 }

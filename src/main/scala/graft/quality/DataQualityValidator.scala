@@ -3,7 +3,7 @@ package graft.quality
 import graft.model.DataQualityMetrics
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.NumericType
+import org.apache.spark.sql.types.{DecimalType, NumericType}
 
 import scala.collection.mutable.ListBuffer
 
@@ -97,6 +97,44 @@ final class DataQualityValidator {
 }
 
 object DataQualityValidator {
+
+  /** Robust per-group outlier profile via median absolute deviation — the
+    * IQR check's heavy-tail-safe sibling (MAD has a 50% breakdown point;
+    * IQR fences move with the outliers they're fencing). A value is an
+    * outlier when `|x − median| > k·1.4826·MAD` (1.4826 ≈ 1/Φ⁻¹(3/4)
+    * scales MAD to σ under normality — Rousseeuw & Croux 1993).
+    *
+    * Engine-exactness: the ≤2-dp value column and the 6-dp-rounded
+    * median/MAD compare in DECIMAL, and the `k·1.4826` factor multiplies
+    * as an exact DECIMAL literal — a threshold comparison can never flip
+    * on a last-ulp double. Two tiny per-group aggregates broadcast back
+    * (no collect); exact `percentile` is the oracle-parity choice, with
+    * `percentile_approx` as the documented 100 TB swap.
+    *
+    * Returns (groupCol, n, median, mad, n_outliers).
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    val d6 = DecimalType(18, 6)
+    val xd = col(valueCol).cast(DecimalType(18, 2)).cast(d6)
+    val med = df.groupBy(col(groupCol))
+      .agg(round(percentile(col(valueCol), lit(0.5)), 6).cast(d6).as("median"))
+    val dev = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("__adev", abs(xd - col("median")))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(round(percentile(col("__adev").cast("double"), lit(0.5)), 6)
+        .cast(d6).as("mad"))
+    val scale = lit((BigDecimal("1.4826") * BigDecimal(k)).underlying())
+    dev.join(broadcast(mad), Seq(groupCol))
+      .groupBy(col(groupCol), col("median"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__adev") > col("mad") * scale, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col(groupCol), col("n"),
+        col("median").cast("double").as("median"),
+        col("mad").cast("double").as("mad"), col("n_outliers"))
+  }
+
   /** Default checks registered by the reference store ctor (`:246-258`). */
   val defaultChecks: Seq[(String, DataFrame => Boolean)] = Seq(
     "non_empty" -> (df => !df.isEmpty),

@@ -172,7 +172,17 @@ object QualityQueries {
       .orderBy("bucket")
   }
 
+  /** Per-event-type robust outlier profile via median/MAD
+    * ([[graft.quality.DataQualityValidator.madOutliers]]) — the
+    * heavy-tail-safe sibling of [[outlierIqr]].
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame =
+    graft.quality.DataQualityValidator.madOutliers(
+        Tables.events(spark, dir), "event_type", "value")
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_mad_outliers" -> madOutliers,
     "quality_split_drift" -> splitDrift,
     "quality_skew_report" -> skewReport,
     "quality_null_dup_ratio" -> nullDupRatio,
@@ -182,6 +192,28 @@ object QualityQueries {
     "quality_dup_ratio_documents" -> dupRatioDocuments)
 
   val oracle: Map[String, String] = Map(
+    // median/MAD in 6dp DECIMAL, |x − med| exact (2dp values), threshold
+    // mad · 4.4478 as an exact DECIMAL product — the outlier comparison
+    // can never flip on a last-ulp double
+    "quality_mad_outliers" ->
+      """WITH m AS (SELECT event_type,
+        |  CAST(round(quantile_cont(value, 0.5), 6) AS DECIMAL(18,6)) AS med
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT e.event_type, m.med,
+        |        abs(CAST(CAST(e.value AS DECIMAL(18,2)) AS DECIMAL(18,6))
+        |            - m.med) AS adev
+        |      FROM events e JOIN m USING (event_type)),
+        |md AS (SELECT event_type,
+        |  CAST(round(quantile_cont(CAST(adev AS DOUBLE), 0.5), 6)
+        |       AS DECIMAL(18,6)) AS mad
+        |  FROM d GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n,
+        |  CAST(any_value(d.med) AS DOUBLE) AS median,
+        |  CAST(any_value(md.mad) AS DOUBLE) AS mad,
+        |  CAST(sum(CASE WHEN d.adev > md.mad * 4.4478 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_outliers
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
     // skew factor = max/mean = max·keys/total — one IEEE multiply+divide on
     // exact integers, identical on both engines
     "quality_skew_report" ->

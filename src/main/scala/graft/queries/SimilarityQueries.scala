@@ -63,6 +63,23 @@ object SimilarityQueries {
       "vec_id", "embedding", K)
   }
 
+  /** Hybrid retrieval: RRF fusion ([[graft.ops.Similarity.rrfFuse]]) of
+    * the BM25 lexical top-20 ([[TextQueries.bm25]]) and the cosine top-20
+    * against query vector 0 — `vec_id` and `doc_id` share the id space.
+    * Both rank lists are 20-row relations before the window touches them.
+    */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lexical = TextQueries.bm25(spark, dir)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("id"))))
+    val semantic = bruteTopK(spark, dir)
+      .select(col("vec_id").as("id"), col("cos"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("id"))))
+    Similarity.rrfFuse(Seq(lexical, semantic), "id", "rank")
+  }
+
   /** Spec-only exact reference ([[SimilaritySpec]]): the all-pairs cartesian
     * is quadratic by construction, so it is NOT a registered query — the
     * registered near-dup-pairs headline is [[lshNearDupPairs]].
@@ -252,6 +269,7 @@ object SimilarityQueries {
     "sim_semantic_dedup" -> semanticDedup,
     "sim_lsh_neardup_pairs" -> lshNearDupPairs,
     "sim_lsh_topk" -> lshTopK,
+    "sim_rrf_fusion" -> rrfFusion,
     "sim_lsh_multiprobe" -> lshTopKMultiprobe,
     "sim_knn_join" -> knnJoin,
     "sim_lsh_knn" -> lshKnn,
@@ -307,6 +325,22 @@ object SimilarityQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // both rank lists re-derive from their own oracle definitions (BM25
+    // SQL shared verbatim with text_bm25_topk); contributions 1/(60+rank)
+    // round to 9dp and sum in exact DECIMAL
+    "sim_rrf_fusion" ->
+      s"""WITH bmq AS (${TextQueries.bm25Sql}),
+         |bm AS (SELECT id, row_number() OVER (ORDER BY bm25 DESC, id)
+         |         AS rank FROM bmq),
+         |czq AS ($bruteTopKSql),
+         |cz AS (SELECT vec_id AS id, row_number()
+         |         OVER (ORDER BY cos DESC, vec_id) AS rank FROM czq),
+         |u AS (SELECT id, rank FROM bm UNION ALL SELECT id, rank FROM cz),
+         |w AS (SELECT id, CAST(round(1.0 / (rank + 60), 9)
+         |        AS DECIMAL(18,9)) AS w FROM u)
+         |SELECT id, count(*) AS n_lists, CAST(sum(w) AS DOUBLE)
+         |  AS rrf_score
+         |FROM w GROUP BY 1 ORDER BY rrf_score DESC, id""".stripMargin,
     // label filter is null-safe (IS DISTINCT FROM) and the semi-hard cos
     // cap applies AFTER the 6-dp round, mirroring Similarity.hardNegatives
     "sim_hard_negatives" ->

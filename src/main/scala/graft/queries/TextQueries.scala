@@ -354,7 +354,15 @@ object TextQueries {
          |    (h, x) -> (h * 31 + x) % ${TextAnalysis.FpMod}) AS BIGINT)
          |    AS doc_fingerprint
          |FROM h ORDER BY doc_id""".stripMargin,
-    "text_bm25_topk" -> {
+    "text_bm25_topk" -> bm25Sql)
+
+  /** BM25 oracle SQL, shared with the RRF fusion oracle
+    * ([[SimilarityQueries]]) so both engines' lexical ranking comes from
+    * one definition.
+    */
+  // lazy: referenced by the `oracle` map declared above it (and by
+  // SimilarityQueries) — a strict val would still be null at that point
+  private[queries] lazy val bm25Sql: String = {
       val in = Bm25Terms.map(t => s"'$t'").mkString(", ")
       s"""WITH $toksCte,
          |dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM d),
@@ -372,5 +380,5 @@ object TextQueries {
          |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st)
          |SELECT doc_id AS id, round(CAST(sum(c) AS DOUBLE), 6) AS bm25
          |FROM c GROUP BY 1 ORDER BY bm25 DESC, id LIMIT $Bm25K""".stripMargin
-    })
+    }
 }

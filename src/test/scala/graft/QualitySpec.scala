@@ -68,4 +68,27 @@ class QualitySpec extends AnyFunSuite {
     (1 to 12).foreach(i => v.addCheck(s"fail_$i", _ => false))
     assert(v.validate(df).overallScore == 0.0)
   }
+
+  test("madOutliers: the far point is the only outlier; a shifted-scale " +
+      "group keeps its own fences") {
+    // group A: nine values near 10 plus one at 1000; median 10, MAD small
+    val a = (1 to 9).map(i => ("A", 9.5 + i * 0.1)) :+ (("A", 1000.0))
+    // group B: same shape 100× — outlier-ness must be judged per group
+    val b = (1 to 9).map(i => ("B", 950.0 + i * 10.0)) :+ (("B", 100000.0))
+    val df = (a ++ b).toDF("g", "v")
+    val out = quality.DataQualityValidator.madOutliers(df, "g", "v")
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("median"),
+          r.getAs[Long]("n_outliers"))).toMap
+    assert(out("A")._1 == 10L && out("A")._3 == 1L)
+    assert(out("B")._3 == 1L)
+    // interpolated medians: A = (10.0+10.1)/2, B = (1000+1010)/2
+    assert(out("A")._2 == 10.05 && out("B")._2 == 1005.0)
+    // identical values: MAD = 0 → any deviation flags, equal values don't
+    val flat = Seq(("C", 5.0), ("C", 5.0), ("C", 5.0), ("C", 6.0))
+      .toDF("g", "v")
+    val fo = quality.DataQualityValidator.madOutliers(flat, "g", "v")
+      .collect().head
+    assert(fo.getAs[Double]("mad") == 0.0 && fo.getAs[Long]("n_outliers") == 1L)
+  }
 }

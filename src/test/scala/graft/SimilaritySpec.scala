@@ -288,4 +288,21 @@ class SimilaritySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("rrfFuse: doc in both lists outranks single-list docs; " +
+      "hand-computed 1/(60+rank) sums") {
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val b = Seq((20L, 1L), (40L, 2L)).toDF("id", "rank")
+    val out = Similarity.rrfFuse(Seq(a, b), "id", "rank")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_lists"), r.getAs[Double]("rrf_score"))).toMap
+    def w(rank: Long): Double =
+      BigDecimal(1.0 / (60 + rank))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(20L) == ((2L, w(2) + w(1))))
+    assert(out(10L) == ((1L, w(1))))
+    assert(out(40L) == ((1L, w(2))))
+    // consensus doc 20 beats even the top single-list doc 10
+    assert(out(20L)._2 > out(10L)._2)
+  }
 }
