@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Bounded-memory frequency sketches: the heavy-hitter machinery a 100 TB
+  * corpus needs when the term universe (URLs, n-grams, user agents) is too
+  * large to group-by exactly.
+  *
+  * [[misraGriesCandidates]] runs the classic Misra–Gries (1982) k-counter
+  * summary once per partition: any term whose GLOBAL count exceeds n/k must
+  * exceed n_p/k in at least one partition (averaging argument), and a
+  * partition's MG summary provably retains every term above its local n_p/k
+  * — so the union of per-partition candidate keys is a SUPERSET of the true
+  * global heavy hitters, at most (k−1)·partitions keys total, with no term
+  * shuffle at all.
+  *
+  * [[heavyHitters]] then makes the result EXACT with a second pass: the
+  * bounded candidate set broadcasts back as a filter, only candidate
+  * occurrences shuffle for the exact recount, and the n/k threshold is an
+  * integer cross-multiply (count·k > n — never a double division). Exact
+  * output, bounded memory, and the shuffle carries ≤ candidates instead of
+  * the whole vocabulary. (The one mapPartitions is the justified seam:
+  * MG's decrement-all is inherently imperative per-partition state.)
+  */
+object Sketches {
+
+  /** Per-partition Misra–Gries candidate keys for terms with global
+    * frequency > n/k. Output: one row per distinct surviving (partition,
+    * term), deduplicated globally — ≤ (k−1)·partitions rows.
+    */
+  def misraGriesCandidates(terms: Dataset[String], k: Int): DataFrame = {
+    require(k > 1, s"bad heavy-hitter k=$k")
+    import terms.sparkSession.implicits._
+    terms.mapPartitions { it =>
+      val counters = mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        counters.get(t) match {
+          case Some(c) => counters.update(t, c + 1)
+          case None if counters.size < k - 1 => counters.update(t, 1L)
+          case None =>
+            // decrement-all; drop zeroed counters (amortized O(1)/item:
+            // each decrement pays for one prior increment)
+            val dead = mutable.ArrayBuffer.empty[String]
+            counters.keysIterator.foreach { key =>
+              val c = counters(key) - 1
+              if (c == 0) dead += key else counters.update(key, c)
+            }
+            dead.foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("term").distinct()
+  }
+
+  /** Exact heavy hitters (count·k > n) via MG candidates + exact recount.
+    * Returns (term, freq, n_total) for every term strictly above the n/k
+    * threshold.
+    */
+  def heavyHitters(terms: Dataset[String], k: Int): DataFrame = {
+    val spark = terms.sparkSession
+    val candidates = misraGriesCandidates(terms, k)
+    val total = terms.toDF("term").agg(count(lit(1)).as("n_total"))
+    terms.toDF("term")
+      .join(broadcast(candidates), Seq("term"), "left_semi")
+      .groupBy("term")
+      .agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(total))
+      .filter(col("freq") * k > col("n_total"))
+      .select("term", "freq", "n_total")
+  }
+}

@@ -130,7 +130,25 @@ object TextQueries {
         "doc_id", "text", "lang", NbBuckets)
       .orderBy("doc_id")
 
+  private val HhK = 40 // heavy-hitter threshold: freq > n_total / 40
+
+  /** Exact corpus heavy hitters via the Misra–Gries candidate pass + exact
+    * recount ([[graft.ops.Sketches.heavyHitters]]) — the bounded-memory
+    * path to "terms above n/k" when the vocabulary itself can't be
+    * shuffled. The oracle is the plain exact HAVING query: the two-phase
+    * sketch result must be identical, which is the whole point.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "").as[String]
+    graft.ops.Sketches.heavyHitters(terms, HhK)
+      .orderBy(col("freq").desc, col("term"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_heavy_hitters" -> heavyHitters,
     "text_nb_classifier" -> nbLangId,
     "text_dup_ngram_coverage" -> dupCoverage,
     "text_bigram_lm" -> bigramLm,
@@ -319,6 +337,18 @@ object TextQueries {
          |  min(lang_score) AS min_score, max(lang_score) AS max_score
          |FROM x GROUP BY lang, predicted_lang
          |ORDER BY lang, predicted_lang""".stripMargin,
+    // exact heavy hitters; threshold is the integer cross-multiply
+    // freq*k > n_total, never a double division
+    "text_heavy_hitters" ->
+      s"""WITH tok AS (
+         |  SELECT t AS term
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+         |  WHERE t <> ''),
+         |tot AS (SELECT count(*) AS n_total FROM tok)
+         |SELECT term, count(*) AS freq, n_total
+         |FROM tok, tot GROUP BY term, n_total
+         |HAVING count(*) * $HhK > n_total
+         |ORDER BY freq DESC, term""".stripMargin,
     "text_token_frequencies" ->
       """WITH tok AS (
         |  SELECT doc_id AS id, t AS token

@@ -1,0 +1,54 @@
+package graft
+
+import graft.ops.Sketches
+import org.scalatest.funsuite.AnyFunSuite
+
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Zipf-ish skewed term stream: term i appears ~n/(i+1) times, shuffled
+    * deterministically across the partition layout.
+    */
+  private def zipfTerms(nTerms: Int, scale: Int): Seq[String] =
+    (0 until nTerms).flatMap(i => Seq.fill(scale / (i + 1))(s"t$i"))
+      .sortBy(_.hashCode) // interleave so no partition sees one term only
+
+  test("MG candidates are a superset of true heavy hitters on skewed data") {
+    for (k <- Seq(5, 10, 50); parts <- Seq(1, 7)) {
+      val data = zipfTerms(200, 5000)
+      val ds = spark.createDataset(data).repartition(parts)
+      val n = data.size
+      val truth = data.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c * k > n }.keySet.toSet
+      val cands = Sketches.misraGriesCandidates(ds, k)
+        .as[String].collect().toSet
+      assert(truth.subsetOf(cands), s"k=$k parts=$parts missing=${truth -- cands}")
+      assert(cands.size <= (k - 1) * parts,
+        s"k=$k parts=$parts state ${cands.size} > bound ${(k - 1) * parts}")
+    }
+  }
+
+  test("heavyHitters equals the brute-force exact result") {
+    val data = zipfTerms(100, 2000)
+    val ds = spark.createDataset(data).repartition(5)
+    val n = data.size
+    for (k <- Seq(8, 25)) {
+      val truth = data.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c * k > n }.toMap
+      val got = Sketches.heavyHitters(ds, k)
+        .as[(String, Long, Long)].collect()
+      assert(got.map(_._3).distinct.toSeq == Seq(n.toLong))
+      assert(got.map(t => t._1 -> t._2).toMap == truth, s"k=$k")
+    }
+  }
+
+  test("degenerate streams: empty input and single-term input") {
+    val empty = spark.emptyDataset[String]
+    assert(Sketches.heavyHitters(empty, 10).collect().isEmpty)
+    val single = spark.createDataset(Seq.fill(100)("only")).repartition(3)
+    val got = Sketches.heavyHitters(single, 10)
+      .as[(String, Long, Long)].collect()
+    assert(got.toSeq == Seq(("only", 100L, 100L)))
+  }
+}
