@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Feature-screening statistics — the cheap pre-training filters that
+  * decide which candidate features/labels are worth a model's attention:
+  * χ² and mutual information over a contingency table, the two-sample
+  * Kolmogorov–Smirnov distance, and Cohen's κ label agreement.
+  *
+  * Scale shape: every statistic reduces the data to ONE tiny relation in a
+  * single shuffle (a contingency table, a distinct-value CDF grid, a
+  * confusion matrix); marginals and totals come from windows/aggregates
+  * over THAT relation, never a second data pass.
+  *
+  * Determinism discipline (the [[graft.functions.Exact]] argument): counts
+  * stay integers as long as possible — thresholds and κ reduce to integer
+  * cross-products with ONE final IEEE division; χ²/MI contributions are a
+  * fixed IEEE op sequence rounded to 9 dp and summed in exact DECIMAL, so
+  * results are bit-identical on any engine at any partitioning.
+  */
+object Screening {
+
+  private val Exact9 = DecimalType(28, 9)
+
+  /** χ² statistic and mutual information (nats) between two categorical
+    * columns. One (a, b) group-by builds the R×C contingency table;
+    * marginals are windows over it. Returns one row:
+    * (n, dof, chi2, mi_nats).
+    */
+  def contingencyStats(df: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val cont = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val all = Window.partitionBy()
+    val withM = cont
+      .withColumn("ra", sum("o").over(Window.partitionBy("a")))
+      .withColumn("cb", sum("o").over(Window.partitionBy("b")))
+      .withColumn("n", sum("o").over(all))
+      .withColumn("n_a", size(collect_set("a").over(all)))
+      .withColumn("n_b", size(collect_set("b").over(all)))
+    // e = ra·cb/n: the integer product is exact (≤ n², fits a long), the
+    // division is the single IEEE op — mirrored verbatim in the oracle
+    val e = (col("ra") * col("cb")).cast(DoubleType) / col("n")
+    val chi2C = round((col("o") - e) * (col("o") - e) / e, 9).cast(Exact9)
+    val miC = round(
+      col("o").cast(DoubleType) / col("n") *
+        log((col("o") * col("n")).cast(DoubleType) / (col("ra") * col("cb"))),
+      9).cast(Exact9)
+    withM
+      .groupBy(col("n"),
+        ((col("n_a") - 1) * (col("n_b") - 1)).cast("long").as("dof"))
+      .agg(sum(chi2C).cast(DoubleType).as("chi2"),
+        sum(miC).cast(DoubleType).as("mi_nats"))
+      .select("n", "dof", "chi2", "mi_nats")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance between `valueCol`
+    * distributions of groups `a` and `b` of `groupCol`:
+    * D = max over the pooled support of |F_a − F_b|.
+    *
+    * The data collapses to per-distinct-value counts in one shuffle; the
+    * CDF walk is a window over that bounded grid (2-dp money values have
+    * bounded distinct support). D stays an integer cross-multiply
+    * max |cumA·nB − cumB·nA| until the single final division.
+    * Returns one row: (n_a, n_b, d_num, d).
+    */
+  def ksTwoSample(df: DataFrame, valueCol: String, groupCol: String,
+      a: String, b: String): DataFrame = {
+    val xd = col(valueCol).cast(DecimalType(18, 2))
+    val perV = df.filter(col(groupCol).isin(a, b) && col(valueCol).isNotNull)
+      .select(xd.as("v"),
+        when(col(groupCol) === a, 1L).otherwise(0L).as("ia"),
+        when(col(groupCol) === b, 1L).otherwise(0L).as("ib"))
+      .groupBy("v").agg(sum("ia").as("ca"), sum("ib").as("cb"))
+    val cdf = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    perV
+      .withColumn("cuma", sum("ca").over(cdf))
+      .withColumn("cumb", sum("cb").over(cdf))
+      .withColumn("na", sum("ca").over(all))
+      .withColumn("nb", sum("cb").over(all))
+      .select(col("na"), col("nb"),
+        abs(col("cuma") * col("nb") - col("cumb") * col("na")).as("dn"))
+      .groupBy("na", "nb").agg(max("dn").as("d_num"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"), col("d_num"),
+        round(col("d_num").cast(DoubleType) / (col("na") * col("nb")), 9)
+          .as("d"))
+  }
+
+  /** Cohen's κ agreement between two label columns over the same rows.
+    * κ = (p_o − p_e)/(1 − p_e) rewritten as the all-integer
+    * (agree·n − Σ_c ra_c·cb_c) / (n² − Σ_c ra_c·cb_c) — ONE IEEE division
+    * total, so the statistic is engine-exact. Returns one row:
+    * (n, agree, pe_num, kappa).
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.select(col(aCol).as("a"), col(bCol).as("b"))
+    val counts = base.agg(count(lit(1)).as("n"),
+      sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"))
+    val ra = base.groupBy(col("a").as("c")).agg(count(lit(1)).as("ra"))
+    val cb = base.groupBy(col("b").as("c")).agg(count(lit(1)).as("cb"))
+    val peNum = ra.join(cb, Seq("c"), "full_outer")
+      .agg(sum(coalesce(col("ra"), lit(0L)) * coalesce(col("cb"), lit(0L)))
+        .as("pe_num"))
+    counts.crossJoin(broadcast(peNum))
+      .select(col("n"), col("agree"), col("pe_num"),
+        round((col("agree") * col("n") - col("pe_num")).cast(DoubleType)
+          / (col("n") * col("n") - col("pe_num")), 9).as("kappa"))
+  }
+}

@@ -181,7 +181,58 @@ object QualityQueries {
         Tables.events(spark, dir), "event_type", "value")
       .orderBy("event_type")
 
+  /** χ² + mutual information between event_type and the value quartile
+    * bucket ([[graft.ops.Screening.contingencyStats]]) — the feature-
+    * relevance screen: is the value distribution independent of the event
+    * type? Bucketing follows [[graft.ops.Prep.quantileBucket]]'s exact
+    * interpolated-edge discipline so the contingency table is
+    * engine-identical.
+    */
+  def featureRelevance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+    val edges = base.agg(percentile(col("value"),
+      array(lit(0.25), lit(0.5), lit(0.75))).as("__edges"))
+    val xd = col("value").cast(DecimalType(18, 2))
+    def edge(i: Int) = round(element_at(col("__edges"), i), 6)
+      .cast(DecimalType(18, 6))
+    val bucket = when(xd <= edge(1), 0).when(xd <= edge(2), 1)
+      .when(xd <= edge(3), 2).otherwise(3)
+    val bucketed = base.crossJoin(broadcast(edges))
+      .select(col("event_type"), bucket.cast("long").as("vbucket"))
+    graft.ops.Screening.contingencyStats(bucketed, "event_type", "vbucket")
+      .orderBy("n")
+  }
+
+  /** Two-sample KS distance between purchase and click value
+    * distributions ([[graft.ops.Screening.ksTwoSample]]) — the
+    * distribution-shift screen on a label-conditioned feature.
+    */
+  def ksValue(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Screening.ksTwoSample(Tables.events(spark, dir), "value",
+        "event_type", "purchase", "click")
+      .orderBy("n_a")
+
+  /** Cohen's κ between the stopword-profile language prediction and the
+    * labeled `lang` column ([[graft.ops.Screening.cohenKappa]]) — the
+    * label-quality / annotator-agreement check, chance-corrected.
+    */
+  def labelKappa(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pred = graft.ops.TextAnalysis.langId(docs, "doc_id", "text",
+      TextQueries.Profiles)
+    graft.ops.Screening.cohenKappa(
+        pred.join(docs.select("doc_id", "lang"), Seq("doc_id")),
+        "lang", "predicted_lang")
+      .orderBy("n")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_feature_relevance" -> featureRelevance,
+    "quality_ks_value" -> ksValue,
+    "quality_label_kappa" -> labelKappa,
     "quality_mad_outliers" -> madOutliers,
     "quality_split_drift" -> splitDrift,
     "quality_skew_report" -> skewReport,
@@ -192,6 +243,75 @@ object QualityQueries {
     "quality_dup_ratio_documents" -> dupRatioDocuments)
 
   val oracle: Map[String, String] = Map(
+    // e = ra·cb/n appears verbatim (the same IEEE op sequence as the Spark
+    // expression); contributions round to 9 dp and sum in exact DECIMAL
+    "quality_feature_relevance" -> {
+      val e = "CAST(ra * cb AS DOUBLE) / n"
+      s"""WITH base AS (SELECT event_type, value,
+         |    CAST(value AS DECIMAL(18,2)) AS xd
+         |  FROM events WHERE value IS NOT NULL),
+         |e AS (SELECT
+         |  CAST(round(quantile_cont(value, 0.25), 6) AS DECIMAL(18,6)) AS e1,
+         |  CAST(round(quantile_cont(value, 0.50), 6) AS DECIMAL(18,6)) AS e2,
+         |  CAST(round(quantile_cont(value, 0.75), 6) AS DECIMAL(18,6)) AS e3
+         |  FROM base),
+         |x AS (SELECT event_type AS a,
+         |    CASE WHEN xd <= e1 THEN 0 WHEN xd <= e2 THEN 1
+         |         WHEN xd <= e3 THEN 2 ELSE 3 END AS b
+         |  FROM base, e),
+         |cont AS (SELECT a, b, count(*) AS o FROM x GROUP BY 1, 2),
+         |m AS (SELECT a, b, o,
+         |    CAST(sum(o) OVER (PARTITION BY a) AS BIGINT) AS ra,
+         |    CAST(sum(o) OVER (PARTITION BY b) AS BIGINT) AS cb,
+         |    CAST(sum(o) OVER () AS BIGINT) AS n FROM cont),
+         |d AS (SELECT count(DISTINCT a) AS n_a, count(DISTINCT b) AS n_b
+         |  FROM cont)
+         |SELECT n, (n_a - 1) * (n_b - 1) AS dof,
+         |  CAST(sum(CAST(round((o - $e) * (o - $e) / ($e), 9)
+         |    AS DECIMAL(28,9))) AS DOUBLE) AS chi2,
+         |  CAST(sum(CAST(round(CAST(o AS DOUBLE) / n
+         |      * ln(CAST(o * n AS DOUBLE) / (ra * cb)), 9)
+         |    AS DECIMAL(28,9))) AS DOUBLE) AS mi_nats
+         |FROM m, d GROUP BY n, n_a, n_b ORDER BY n""".stripMargin
+    },
+    // D stays the integer cross-multiply max|cumA·nB − cumB·nA| until the
+    // one final division
+    "quality_ks_value" ->
+      """WITH perv AS (SELECT CAST(value AS DECIMAL(18,2)) AS v,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cb
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+        |  GROUP BY 1),
+        |c AS (SELECT
+        |    CAST(sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+        |    CAST(sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb,
+        |    CAST(sum(ca) OVER () AS BIGINT) AS na,
+        |    CAST(sum(cb) OVER () AS BIGINT) AS nb FROM perv)
+        |SELECT na AS n_a, nb AS n_b,
+        |  CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS d_num,
+        |  round(CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE) / (na * nb), 9)
+        |    AS d
+        |FROM c GROUP BY na, nb ORDER BY n_a""".stripMargin,
+    // κ as the all-integer (agree·n − Σ ra·cb)/(n² − Σ ra·cb): one IEEE
+    // division total; prediction CTEs shared with text_lang_id
+    "quality_label_kappa" ->
+      s"""WITH ${TextQueries.toksCte},
+         |p AS (SELECT doc_id, lang, ${TextQueries.maxScoreSql} AS __m, toks
+         |  FROM d),
+         |x AS (SELECT lang AS a, ${TextQueries.predictedSql} AS b FROM p),
+         |c AS (SELECT count(*) AS n,
+         |    CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+         |  FROM x),
+         |ra AS (SELECT a AS cl, count(*) AS ra FROM x GROUP BY 1),
+         |cb AS (SELECT b AS cl, count(*) AS cb FROM x GROUP BY 1),
+         |pe AS (SELECT CAST(sum(coalesce(ra, 0) * coalesce(cb, 0)) AS BIGINT)
+         |    AS pe_num
+         |  FROM ra FULL OUTER JOIN cb USING (cl))
+         |SELECT n, agree, pe_num,
+         |  round(CAST(agree * n - pe_num AS DOUBLE) / (n * n - pe_num), 9)
+         |    AS kappa
+         |FROM c, pe ORDER BY n""".stripMargin,
     // median/MAD in 6dp DECIMAL, |x − med| exact (2dp values), threshold
     // mad · 4.4478 as an exact DECIMAL product — the outlier comparison
     // can never flip on a last-ulp double

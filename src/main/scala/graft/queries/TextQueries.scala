@@ -165,7 +165,7 @@ object TextQueries {
 
   // ---- oracle SQL -------------------------------------------------------------
 
-  private val toksCte =
+  private[queries] val toksCte =
     """d AS (SELECT doc_id, lang,
       |  list_filter(string_split(text, ' '), t -> t <> '') AS toks,
       |  text FROM documents)""".stripMargin
@@ -179,7 +179,7 @@ object TextQueries {
 
   // argmax with max-struct semantics: ties go to the lexicographically LAST
   // language code (mirrors Spark array_max over (score, lang) structs)
-  private val predictedSql: String = {
+  private[queries] val predictedSql: String = {
     val byLangDesc = Profiles.sortBy(_._1).reverse
     val arms = byLangDesc.init.map { case (code, words) =>
       s"WHEN ${scoreSql(words)} = __m THEN '$code'"
@@ -187,7 +187,7 @@ object TextQueries {
     s"CASE $arms ELSE '${byLangDesc.last._1}' END"
   }
 
-  private val maxScoreSql: String =
+  private[queries] val maxScoreSql: String =
     Profiles.map(p => scoreSql(p._2)).mkString("greatest(", ", ", ")")
 
   val oracle: Map[String, String] = Map(

@@ -1,0 +1,109 @@
+package graft
+
+import graft.ops.Screening
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScreeningSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("contingency chi2/MI match an independent reference model") {
+    // deterministic dependent data: b follows a 70/30 given a
+    val rows = (0 until 1000).map { i =>
+      val a = if (i % 2 == 0) "x" else "y"
+      val b = if ((i * 2654435761L % 10) < (if (a == "x") 7 else 3)) 0L else 1L
+      (a, b)
+    }
+    val got = Screening.contingencyStats(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Double, Double)].head()
+
+    // reference: plain scala contingency
+    val cont = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = rows.size.toDouble
+    val as = rows.map(_._1).distinct.sorted
+    val bs = rows.map(_._2).distinct.sorted
+    val ra = as.map(a => a -> rows.count(_._1 == a).toLong).toMap
+    val cb = bs.map(b => b -> rows.count(_._2 == b).toLong).toMap
+    var chi2 = BigDecimal(0); var mi = BigDecimal(0)
+    for (a <- as; b <- bs) {
+      val o = cont.getOrElse((a, b), 0L)
+      if (o > 0) {
+        val e = (ra(a) * cb(b)).toDouble / n
+        chi2 += BigDecimal((o - e) * (o - e) / e)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        mi += BigDecimal(o / n * math.log(o * n / (ra(a) * cb(b)).toDouble))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }
+    }
+    assert(got._1 == 1000L)
+    assert(got._2 == (as.size - 1).toLong * (bs.size - 1))
+    assert(math.abs(got._3 - chi2.toDouble) < 1e-8, s"chi2 ${got._3} vs $chi2")
+    assert(math.abs(got._4 - mi.toDouble) < 1e-8, s"mi ${got._4} vs $mi")
+    assert(got._3 > 100.0) // dependence is strong by construction
+    assert(got._4 > 0.0)
+  }
+
+  test("chi2/MI vanish on an exactly independent table") {
+    // perfect independence: every (a, b) cell has identical count
+    val rows = for { a <- 0 until 4; b <- 0 until 3; _ <- 0 until 10 }
+      yield (s"a$a", b.toLong)
+    val got = Screening.contingencyStats(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Double, Double)].head()
+    assert(got._3 == 0.0 && got._4 == 0.0)
+  }
+
+  test("two-sample KS matches the brute-force CDF sweep") {
+    val va = (0 until 500).map(i => (i * 7 % 100) / 2.0) // uniform-ish
+    val vb = (0 until 400).map(i => (i * 13 % 100) / 2.0 + 10.0) // shifted
+    val df = (va.map(("a", _)) ++ vb.map(("b", _))).toDF("g", "v")
+    val got = Screening.ksTwoSample(df, "v", "g", "a", "b")
+      .as[(Long, Long, Long, Double)].head()
+
+    val pooled = (va ++ vb).distinct.sorted
+    val dRef = pooled.map { x =>
+      math.abs(va.count(_ <= x).toLong * vb.size -
+        vb.count(_ <= x).toLong * va.size)
+    }.max
+    assert(got._1 == 500L && got._2 == 400L)
+    assert(got._3 == dRef)
+    assert(math.abs(got._4 - dRef.toDouble / (500L * 400L)) < 1e-9)
+  }
+
+  test("KS is zero for identical samples, one for disjoint supports") {
+    val same = ((0 until 100).map(("a", _)) ++ (0 until 100).map(("b", _)))
+      .map { case (g, i) => (g, i.toDouble) }.toDF("g", "v")
+    val d0 = Screening.ksTwoSample(same, "v", "g", "a", "b")
+      .as[(Long, Long, Long, Double)].head()
+    assert(d0._4 == 0.0)
+    val disjoint = ((0 until 50).map(i => ("a", i.toDouble)) ++
+      (0 until 50).map(i => ("b", i + 1000.0))).toDF("g", "v")
+    val d1 = Screening.ksTwoSample(disjoint, "v", "g", "a", "b")
+      .as[(Long, Long, Long, Double)].head()
+    assert(d1._4 == 1.0)
+  }
+
+  test("Cohen's kappa: perfect agreement 1, independence ~0, reference match") {
+    val perfect = (0 until 100).map(i => (s"c${i % 3}", s"c${i % 3}"))
+      .toDF("a", "b")
+    assert(Screening.cohenKappa(perfect, "a", "b")
+      .as[(Long, Long, Long, Double)].head()._4 == 1.0)
+
+    // structured disagreement with known confusion matrix
+    val rows = (0 until 600).map { i =>
+      val a = s"c${i % 3}"
+      val b = if (i % 10 < 7) a else s"c${(i + 1) % 3}"
+      (a, b)
+    }
+    val got = Screening.cohenKappa(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Double)].head()
+    val n = rows.size.toLong
+    val agree = rows.count { case (a, b) => a == b }.toLong
+    val peNum = (0 until 3).map { c =>
+      rows.count(_._1 == s"c$c").toLong * rows.count(_._2 == s"c$c").toLong
+    }.sum
+    assert(got._1 == n && got._2 == agree && got._3 == peNum)
+    val ref = BigDecimal((agree * n - peNum).toDouble / (n * n - peNum))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._4 == ref)
+  }
+}
