@@ -190,4 +190,52 @@ object EventOps {
           sum(col("n_transitions")).over(tw), 6))
       .select("state", "next_state", "n_transitions", "p")
   }
+
+  /** Pointwise mutual information of item co-occurrence within sessions —
+    * the item2vec / SGNS-matrix prep step (Levy & Goldberg 2014: SGNS
+    * factorizes the shifted PMI matrix): for items a < b,
+    * PMI(a,b) = ln(n_ab·S / (n_a·n_b)) over S sessions.
+    *
+    * `df` must already carry a session id (compose with
+    * [[graft.ops.Prep.sessionize]]). Presence-based counts: each session
+    * contributes once per distinct item / pair. The pair self-join is keyed
+    * on the session id, so work is Σ (items-per-session)² — bounded by the
+    * per-session distinct-item count, never corpus²; cap items per session
+    * upstream (e.g. [[graft.ops.Prep.capPerKey]]) when a session can be
+    * unbounded. The integer product n_ab·S stays exact in a long; PMI is
+    * one IEEE division + ln, rounded 9 dp.
+    *
+    * `broadcastCounts` gates the marginal-count join: keep the broadcast
+    * default for bounded item spaces (event types, product categories);
+    * switch it off for vocabulary-sized item spaces so the marginals join
+    * by shuffle on the pair exchange that already exists (the same
+    * unbounded-broadcast trap as [[graft.ops.Prep.tfidf]]).
+    */
+  def cooccurrencePmi(df: DataFrame, sessionCols: Seq[String],
+      itemCol: String, broadcastCounts: Boolean = true): DataFrame = {
+    val present = df
+      .select(struct(sessionCols.map(col): _*).as("__sid"),
+        col(itemCol).cast("string").as("item"))
+      .distinct()
+    val totals = present.agg(
+      countDistinct(col("__sid")).as("n_sessions"))
+    val itemCounts = present.groupBy("item")
+      .agg(count(lit(1)).as("n_item"))
+    val pairs = present.as("l")
+      .join(present.as("r"), col("l.__sid") === col("r.__sid") &&
+        col("l.item") < col("r.item"))
+      .groupBy(col("l.item").as("item_a"), col("r.item").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    def hinted(d: DataFrame) = if (broadcastCounts) broadcast(d) else d
+    pairs
+      .join(hinted(itemCounts.withColumnRenamed("item", "item_a")
+        .withColumnRenamed("n_item", "n_a")), Seq("item_a"))
+      .join(hinted(itemCounts.withColumnRenamed("item", "item_b")
+        .withColumnRenamed("n_item", "n_b")), Seq("item_b"))
+      .crossJoin(broadcast(totals))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_sessions"),
+        round(log((col("n_ab") * col("n_sessions")).cast("double") /
+          (col("n_a") * col("n_b"))), 9).as("pmi"))
+  }
 }

@@ -111,4 +111,26 @@ object Screening {
         round((col("agree") * col("n") - col("pe_num")).cast(DoubleType)
           / (col("n") * col("n") - col("pe_num")), 9).as("kappa"))
   }
+
+  /** Wilson score lower bound of the per-key success ratio — how to rank
+    * by a ratio without letting 1-for-1 keys beat 90-for-100 keys (the
+    * standard "sort by average rating" fix; Wilson 1927). One group-by
+    * shuffle; the bound itself is a fixed per-row IEEE sequence (sqrt is
+    * correctly rounded on any IEEE engine) rounded to 9 dp, mirrored
+    * verbatim in the oracle. Returns keys + (n, s, wilson_lb).
+    */
+  def wilsonLowerBound(df: DataFrame, keyCols: Seq[String],
+      success: Column, z: Double): DataFrame = {
+    val agg = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(success, 1L).otherwise(0L)).as("s"))
+    val zz = lit(z) * lit(z)
+    val nD = col("n").cast(DoubleType)
+    val p = col("s").cast(DoubleType) / nD
+    val lb = (p + zz / (nD * 2) -
+      lit(z) * sqrt((p * (lit(1.0) - p) + zz / (nD * 4)) / nD)) /
+      (lit(1.0) + zz / nD)
+    agg.select(keyCols.map(col) ++
+      Seq(col("n"), col("s"), round(lb, 9).as("wilson_lb")): _*)
+  }
 }

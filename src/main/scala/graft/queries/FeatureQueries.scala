@@ -201,7 +201,35 @@ object FeatureQueries {
       .orderBy("state", "next_state")
   }
 
+  private val PmiGapSec = 6L * 3600L // same session gap as prep_sessionize
+  private val WilsonZ = 1.96
+  private val WilsonTopK = 50
+
+  /** Within-session event-type co-occurrence PMI
+    * ([[graft.ops.EventOps.cooccurrencePmi]] over
+    * [[graft.ops.Prep.sessionize]] 6-hour sessions) — the item2vec /
+    * SGNS-matrix prep shape on the behavioral stream.
+    */
+  def sessionPmi(spark: SparkSession, dir: String): DataFrame =
+    EventOps.cooccurrencePmi(
+        Prep.sessionize(Tables.events(spark, dir), "user_id", "ts",
+          "event_id", PmiGapSec),
+        Seq("user_id", "session_idx"), "event_type")
+      .orderBy("item_a", "item_b")
+
+  /** Per-user purchase-rate ranking by Wilson lower bound
+    * ([[graft.ops.Screening.wilsonLowerBound]]) — the small-sample-safe
+    * ratio ranking (a 1-for-1 user cannot outrank a 90-for-100 user).
+    */
+  def wilsonRank(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Screening.wilsonLowerBound(Tables.events(spark, dir),
+        Seq("user_id"), col("event_type") === "purchase", WilsonZ)
+      .orderBy(col("wilson_lb").desc, col("user_id"))
+      .limit(WilsonTopK)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "feat_session_pmi" -> sessionPmi,
+    "feat_wilson_rank" -> wilsonRank,
     "feat_pagerank" -> pageRankSuppliers,
     "feat_markov_transitions" -> markovTransitions,
     "feat_forward_fill" -> forwardFill,
@@ -246,6 +274,58 @@ object FeatureQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // sessionize CTEs shared with prep_sessionize (full stream, no user
+    // filter); presence-distinct per session, integer products exact in
+    // BIGINT, one division + ln rounded 9 dp
+    "feat_session_pmi" ->
+      s"""WITH l AS (SELECT user_id, event_id, ts, event_type,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS prev_ts
+         |  FROM events),
+         |s AS (SELECT user_id, event_id, ts, event_type,
+         |    CASE WHEN prev_ts IS NULL
+         |           OR epoch_us(ts) - epoch_us(prev_ts)
+         |              > ${PmiGapSec * 1000000L}
+         |      THEN 1 ELSE 0 END AS is_new
+         |  FROM l),
+         |x AS (SELECT user_id, event_type,
+         |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+         |  FROM s),
+         |pres AS (SELECT DISTINCT user_id, session_idx, event_type FROM x),
+         |tot AS (SELECT count(DISTINCT (user_id, session_idx)) AS n_sessions
+         |  FROM pres),
+         |ic AS (SELECT event_type, count(*) AS n_item FROM pres GROUP BY 1),
+         |pr AS (SELECT l.event_type AS item_a, r.event_type AS item_b,
+         |    count(*) AS n_ab
+         |  FROM pres l JOIN pres r
+         |    ON l.user_id = r.user_id AND l.session_idx = r.session_idx
+         |   AND l.event_type < r.event_type
+         |  GROUP BY 1, 2)
+         |SELECT item_a, item_b, n_ab, a.n_item AS n_a, b.n_item AS n_b,
+         |  n_sessions,
+         |  round(ln(CAST(n_ab * n_sessions AS DOUBLE) / (a.n_item * b.n_item)),
+         |    9) AS pmi
+         |FROM pr
+         |JOIN ic a ON a.event_type = pr.item_a
+         |JOIN ic b ON b.event_type = pr.item_b, tot
+         |ORDER BY item_a, item_b""".stripMargin,
+    // the bound is the identical IEEE op sequence as the Spark expression:
+    // p = s/n, (p + zz/(2n) − z·sqrt((p(1−p) + zz/(4n))/n)) / (1 + zz/n)
+    "feat_wilson_rank" ->
+      s"""WITH g AS (SELECT user_id, count(*) AS n,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS s
+         |  FROM events GROUP BY 1),
+         |w AS (SELECT user_id, n, s,
+         |    CAST(s AS DOUBLE) / n AS p,
+         |    ($WilsonZ * $WilsonZ) AS zz
+         |  FROM g)
+         |SELECT user_id, n, s,
+         |  round((p + zz / (n * 2)
+         |      - $WilsonZ * sqrt((p * (1.0 - p) + zz / (n * 4)) / n))
+         |    / (1.0 + zz / n), 9) AS wilson_lb
+         |FROM w ORDER BY wilson_lb DESC, user_id LIMIT $WilsonTopK""".stripMargin,
     "feat_pagerank" -> pageRankSql,
     "feat_markov_transitions" ->
       """WITH p AS (SELECT event_type AS next_state,

@@ -156,4 +156,54 @@ class EventOpsSpec extends AnyFunSuite {
         r.getAs[String]("next_state"))).toSeq
     assert(mt == Seq(("Y", "X"))) // event_id 1 precedes 2 at equal ts
   }
+
+  test("cooccurrencePmi: presence counts, pair orientation, PMI reference") {
+    // sessions: (A,B,C), (A,B), (A), (C) -> S=4
+    val rows = Seq(
+      (1L, 1L, "A"), (1L, 1L, "B"), (1L, 1L, "C"), (1L, 1L, "B"), // dup B
+      (1L, 2L, "A"), (1L, 2L, "B"),
+      (2L, 1L, "A"),
+      (3L, 1L, "C"))
+      .toDF("user_id", "session_idx", "item")
+    val got = graft.ops.EventOps
+      .cooccurrencePmi(rows, Seq("user_id", "session_idx"), "item")
+      .collect().map(r => (r.getAs[String]("item_a"),
+        r.getAs[String]("item_b")) ->
+        (r.getAs[Long]("n_ab"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("n_sessions"), r.getAs[Double]("pmi"))).toMap
+    // presence-based: duplicate B in session (1,1) counts once
+    assert(got(("A", "B"))._1 == 2L)
+    assert(got(("A", "B"))._2 == 3L) // A in 3 sessions
+    assert(got(("A", "B"))._3 == 2L) // B in 2 sessions
+    assert(got(("A", "C"))._1 == 1L)
+    assert(got(("B", "C"))._1 == 1L)
+    assert(got.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    val pmiAb = BigDecimal(math.log(2.0 * 4 / (3L * 2L)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(("A", "B"))._5 == pmiAb)
+    assert(got.values.forall(_._4 == 4L))
+  }
+
+  test("wilsonLowerBound: sample-size discipline and closed-form reference") {
+    val df = (Seq.fill(100)(("big", true)).take(90) ++
+      Seq.fill(10)(("big", false)) ++ Seq(("tiny", true)))
+      .toDF("k", "ok")
+    val got = graft.ops.Screening
+      .wilsonLowerBound(df, Seq("k"), col("ok"), 1.96)
+      .collect().map(r => r.getAs[String]("k") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("s"),
+          r.getAs[Double]("wilson_lb"))).toMap
+    assert(got("big")._1 == 100L && got("big")._2 == 90L)
+    assert(got("tiny")._1 == 1L && got("tiny")._2 == 1L)
+    // the whole point: 90/100 outranks 1/1
+    assert(got("big")._3 > got("tiny")._3)
+    def ref(s: Long, n: Long, z: Double): Double = {
+      val zz = z * z; val p = s.toDouble / n
+      val lb = (p + zz / (n * 2) -
+        z * math.sqrt((p * (1.0 - p) + zz / (n * 4)) / n)) / (1.0 + zz / n)
+      BigDecimal(lb).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got("big")._3 == ref(90, 100, 1.96))
+    assert(got("tiny")._3 == ref(1, 1, 1.96))
+  }
 }
