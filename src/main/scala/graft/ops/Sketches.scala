@@ -71,4 +71,39 @@ object Sketches {
       .filter(col("freq") * k > col("n_total"))
       .select("term", "freq", "n_total")
   }
+
+  /** Per-day HLL sketches of a key column — the MERGEABLE distinct-count
+    * state a 100 TB pipeline persists instead of raw keys: each day's
+    * sketch is a few KB of binary (Apache DataSketches HllSketch via
+    * Spark's `hll_sketch_agg`), and any day range's distinct count is a
+    * register-max union of the stored sketches — no re-scan of history.
+    * Returns (day, sketch BINARY, n_rows); order-independent by
+    * construction (HLL registers are max-based).
+    */
+  def hllDailySketches(df: DataFrame, keyCol: String, tsUsCol: String)
+      : DataFrame =
+    df.groupBy(floor(col(tsUsCol) / lit(86400000000L)).cast("long").as("day"))
+      .agg(hll_sketch_agg(col(keyCol)).as("sketch"),
+        count(lit(1)).as("n_rows"))
+
+  /** Rolling distinct actives from persisted daily sketches: day d's
+    * trailing-`windowDays` estimate = union of sketches d−w+1..d — the
+    * approximate, history-free twin of
+    * [[graft.ops.EventOps.rollingActiveKeys]] (same contribution-explode
+    * shape: each daily sketch feeds its `windowDays` window ends, so
+    * rolling-union = plain group-by-day union). Returns
+    * (day, approx_active).
+    */
+  def hllRollingDistinct(daily: DataFrame, windowDays: Int): DataFrame = {
+    require(windowDays > 0, s"windowDays must be positive, got $windowDays")
+    val observed = daily.select(col("day")).distinct()
+    daily
+      .select(col("sketch"),
+        explode(sequence(col("day"), col("day") + (windowDays - 1)))
+          .as("day"))
+      .join(broadcast(observed), Seq("day"))
+      .groupBy("day")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
+        .as("approx_active"))
+  }
 }

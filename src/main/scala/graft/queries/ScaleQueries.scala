@@ -82,10 +82,24 @@ object ScaleQueries {
       .select("l_orderkey", "l_linenumber", "z_value")
       .orderBy("z_value", "l_orderkey", "l_linenumber")
 
+  /** Rolling 7-day distinct users from persisted per-day HLL sketches
+    * ([[graft.ops.Sketches.hllDailySketches]] →
+    * [[graft.ops.Sketches.hllRollingDistinct]]) — the mergeable-sketch
+    * alternate to exact `feat_rolling_dau`. Approximate by construction →
+    * rows-only (SketchesSpec pins the estimates against the exact op).
+    */
+  def hllRolling(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.hllRollingDistinct(
+        graft.ops.Sketches.hllDailySketches(Tables.events(spark, dir),
+          "user_id", "ts_us"),
+        windowDays = 7)
+      .orderBy("day")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skew_salted_agg" -> skewSaltedAgg,
     "sample_hash_bucket" -> sampleHashBucket,
     "layout_zorder" -> layoutZorder,
+    "scale_hll_rolling" -> hllRolling,
     "scale_approx_distinct" -> approxDistinct,
     "scale_approx_quantiles" -> approxQuantiles)
 

@@ -43,6 +43,35 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL daily sketches: mergeable, order-independent, near-exact") {
+    // 40 days, user i active on day d iff (i + d) % 3 == 0 — known truth
+    val rows = for { d <- 0 until 40; u <- 0 until 300; if (u + d) % 3 == 0 }
+      yield (u.toLong, d * 86400000000L + (u % 7) * 1000L)
+    val df = rows.toDF("user_id", "ts_us")
+    val daily = graft.ops.Sketches.hllDailySketches(df, "user_id", "ts_us")
+    // sketches are persistable binary state
+    assert(daily.schema("sketch").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+
+    val approx = graft.ops.Sketches.hllRollingDistinct(daily, windowDays = 7)
+      .as[(Long, Long)].collect().toMap
+    val exact = graft.ops.EventOps
+      .rollingActiveKeys(df, "user_id", "ts_us", windowDays = 7)
+      .as[(Long, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (day, n) =>
+      val est = approx(day)
+      assert(math.abs(est - n) <= math.max(2L, (n * 0.1).toLong),
+        s"day $day: est $est vs exact $n")
+    }
+    // partitioning cannot move the estimate: HLL registers are max-based
+    val daily2 = graft.ops.Sketches
+      .hllDailySketches(df.repartition(13), "user_id", "ts_us")
+    val approx2 = graft.ops.Sketches.hllRollingDistinct(daily2, 7)
+      .as[(Long, Long)].collect().toMap
+    assert(approx2 == approx)
+  }
+
   test("degenerate streams: empty input and single-term input") {
     val empty = spark.emptyDataset[String]
     assert(Sketches.heavyHitters(empty, 10).collect().isEmpty)
