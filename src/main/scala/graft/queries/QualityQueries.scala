@@ -229,7 +229,19 @@ object QualityQueries {
       .orderBy("n")
   }
 
+  private val ProfileCols =
+    Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+
+  /** Single-pass dataset-card profile of the lineitem money columns
+    * ([[graft.quality.Profiler.profile]]): rows, nulls, exact cardinality,
+    * range and exact-DECIMAL mean per column.
+    */
+  def tableProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.quality.Profiler.profile(Tables.lineitem(spark, dir), ProfileCols)
+      .orderBy("col_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_table_profile" -> tableProfile,
     "quality_feature_relevance" -> featureRelevance,
     "quality_ks_value" -> ksValue,
     "quality_label_kappa" -> labelKappa,
@@ -243,6 +255,23 @@ object QualityQueries {
     "quality_dup_ratio_documents" -> dupRatioDocuments)
 
   val oracle: Map[String, String] = Map(
+    // one UNION ALL branch per profiled column; means through exact
+    // DECIMAL (the avgMoney spelling)
+    "quality_table_profile" -> {
+      val branches = ProfileCols.map { c =>
+        s"""SELECT '$c' AS col_name, n_rows,
+           |  n_rows - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
+           |  CAST(max(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS max_v,
+           |  CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / count($c)
+           |    AS mean_v
+           |FROM lineitem, t GROUP BY n_rows""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH t AS (SELECT count(*) AS n_rows FROM lineitem)
+         |$branches
+         |ORDER BY col_name""".stripMargin
+    },
     // e = ra·cb/n appears verbatim (the same IEEE op sequence as the Spark
     // expression); contributions round to 9 dp and sum in exact DECIMAL
     "quality_feature_relevance" -> {

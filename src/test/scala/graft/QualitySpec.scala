@@ -91,4 +91,22 @@ class QualitySpec extends AnyFunSuite {
       .collect().head
     assert(fo.getAs[Double]("mad") == 0.0 && fo.getAs[Long]("n_outliers") == 1L)
   }
+
+  test("Profiler: exact per-column stats in one pass, approx swap works") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 10.0), (2.0, 10.0), (3.0, null), (1.0, 20.0))
+      .toDF("a", "b")
+    val p = quality.Profiler.profile(df, Seq("a", "b"))
+      .collect().map(r => r.getAs[String]("col_name") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_nulls"),
+          r.getAs[Long]("n_distinct"), r.getAs[Double]("min_v"),
+          r.getAs[Double]("max_v"), r.getAs[Double]("mean_v"))).toMap
+    assert(p("a") == ((4L, 0L, 3L, 1.0, 3.0, 1.75)))
+    assert(p("b") == ((4L, 1L, 2L, 10.0, 20.0, (10.0 + 10.0 + 20.0) / 3)))
+    // approx path: same shape, HLL cardinality within tolerance
+    val ap = quality.Profiler.profile(df, Seq("a", "b"), approx = true)
+      .collect().map(r => r.getAs[String]("col_name") ->
+        r.getAs[Long]("n_distinct")).toMap
+    assert(math.abs(ap("a") - 3L) <= 1 && math.abs(ap("b") - 2L) <= 1)
+  }
 }
