@@ -1,0 +1,210 @@
+package graft.ops
+
+import java.math.{BigDecimal => JBigDecimal, MathContext, RoundingMode}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Model/retrieval evaluation metrics — the measurement half of a feature
+  * pipeline (the reference stops at feature materialization; any consumer
+  * of its training matrices immediately needs these): ROC AUC, per-class
+  * precision/recall/F1, ranked-retrieval P@k / MRR / NDCG@k, and
+  * calibration bins with expected calibration error.
+  *
+  * Scale shape: every metric collapses the data to ONE tiny relation in a
+  * single shuffle — a per-distinct-score table for AUC (the KS-grid
+  * pattern), a confusion matrix, per-query top-k rows, probability bins —
+  * and finishes with window/aggregate arithmetic over THAT relation.
+  *
+  * Determinism discipline ([[graft.functions.Exact]] argument): counts and
+  * rank sums stay integers (DECIMAL(38,0) where n² would overflow a long);
+  * every IEEE step is a fixed op sequence rounded to 9 dp mirrored verbatim
+  * in the oracle; DCG weights 1/log2(r+1) are NOT computed at runtime —
+  * they are library-level DECIMAL literals inlined into both the plan and
+  * the oracle SQL, so no libm call can flip a bit between engines.
+  */
+object Eval {
+
+  private val Exact9 = DecimalType(28, 9)
+  private val BigInt0 = DecimalType(38, 0)
+
+  /** ROC AUC via the tie-corrected Mann–Whitney statistic.
+    *
+    * One group-by collapses rows to per-distinct-score (count, positives);
+    * a cumulative window over that bounded grid assigns midrank sums:
+    * 2·R⁺ = Σ_s pos_s · (2·cum_before_s + count_s + 1) stays integral, and
+    * AUC = (2·R⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻) needs ONE IEEE division. Rank
+    * sums accumulate in DECIMAL(38,0) (≈2·n² exceeds a long past ~2·10⁹
+    * rows). Returns one row: (n_pos, n_neg, auc_num, auc).
+    */
+  def aucRoc(df: DataFrame, score: Column, positive: Column): DataFrame = {
+    val perScore = df
+      .select(score.as("s"), when(positive, 1L).otherwise(0L).as("p"))
+      .filter(col("s").isNotNull)
+      .groupBy("s").agg(count(lit(1)).as("c"), sum("p").as("cp"))
+    // global cumulative over the DISTINCT-SCORE relation only (the KS-grid
+    // argument: 2-dp money scores have bounded support, never row-scale)
+    val before = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perScore
+      .withColumn("cb", coalesce(sum("c").over(before), lit(0L)))
+      .agg(
+        sum("cp").as("n_pos"),
+        sum(col("c") - col("cp")).as("n_neg"),
+        sum((col("cp") * (col("cb") * 2 + col("c") + 1)).cast(BigInt0))
+          .as("rs2"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("rs2") - (col("n_pos") * (col("n_pos") + 1)).cast(BigInt0))
+          .cast("long").as("auc_num"),
+        round(
+          (col("rs2") - (col("n_pos") * (col("n_pos") + 1)).cast(BigInt0))
+            .cast(DoubleType) /
+            (col("n_pos").cast(DoubleType) * col("n_neg") * 2), 9)
+          .as("auc"))
+  }
+
+  /** Per-class confusion statistics for a multi-class prediction:
+    * (class, n_actual, n_pred, tp, fp, fn, prec, rec, f1), one row per
+    * class present in either column. One (label, pred) group-by builds the
+    * confusion matrix; everything else reduces over that classes² relation.
+    * F1 = 2·tp/(n_actual + n_pred) — algebraically 2PR/(P+R) but ONE
+    * division. Undefined ratios (empty denominator) stay NULL.
+    */
+  def confusionStats(df: DataFrame, labelCol: String, predCol: String)
+      : DataFrame = {
+    val cont = df.groupBy(col(labelCol).as("y"), col(predCol).as("yh"))
+      .agg(count(lit(1)).as("c"))
+    val tp = cont.filter(col("y") === col("yh"))
+      .select(col("y").as("class"), col("c").as("tp"))
+    val act = cont.groupBy(col("y").as("class")).agg(sum("c").as("n_actual"))
+    val prd = cont.groupBy(col("yh").as("class")).agg(sum("c").as("n_pred"))
+    act.join(prd, Seq("class"), "full_outer")
+      .join(tp, Seq("class"), "left_outer")
+      .select(col("class"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(col("class"), col("n_actual"), col("n_pred"), col("tp"),
+        (col("n_pred") - col("tp")).as("fp"),
+        (col("n_actual") - col("tp")).as("fn"),
+        when(col("n_pred") > 0,
+          round(col("tp").cast(DoubleType) / col("n_pred"), 9)).as("prec"),
+        when(col("n_actual") > 0,
+          round(col("tp").cast(DoubleType) / col("n_actual"), 9)).as("rec"),
+        when(col("n_actual") + col("n_pred") > 0,
+          round(lit(2.0) * col("tp") / (col("n_actual") + col("n_pred")), 9))
+          .as("f1"))
+  }
+
+  /** DCG weight w(r) = 1/log2(r+1) as a 9-dp DECIMAL literal, fixed at
+    * library level so plan and oracle share the exact value. */
+  def dcgWeight(rank: Int): JBigDecimal =
+    new JBigDecimal(1.0 / (math.log(rank + 1.0) / math.log(2.0)),
+      MathContext.DECIMAL64).setScale(9, RoundingMode.HALF_UP)
+
+  /** Ideal DCG for m relevant results in a depth-k list: Σ_{i≤min(m,k)} w(i). */
+  def idealDcg(m: Int, k: Int): JBigDecimal =
+    (1 to math.min(m, k)).foldLeft(JBigDecimal.ZERO.setScale(9))(
+      (acc, r) => acc.add(dcgWeight(r)))
+
+  /** Ranked-retrieval evaluation against label ground truth: for each
+    * query vector, rank the corpus by cosine (ties → id, the
+    * [[Similarity.knnJoin]] order) and score the top `k` with
+    * relevant = same label. Returns per-query
+    * (q_id, n_rel, hits, p_at_k, mrr, dcg, ndcg).
+    *
+    * The query batch broadcasts (bounded, serve-tail discipline); the
+    * corpus is scanned once and never shuffles beyond the per-query top-k
+    * window. `n_rel` comes from per-label corpus counts (queries are drawn
+    * from the corpus, so self is excluded). DCG/IDCG are sums of the
+    * [[dcgWeight]] literals in exact DECIMAL — rank is the only runtime
+    * input, so scores are bit-identical on any engine.
+    */
+  def retrievalEval(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("__qvec"),
+      col(labelCol).as("__qlabel"))
+    val ranked = emb.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("cos", round(Similarity.cosine(col(vecCol), col("__qvec")), 6))
+      .withColumn("rank", row_number()
+        .over(Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col(idCol))).cast("long"))
+      .filter(col("rank") <= k)
+      .withColumn("rel",
+        when(col(labelCol) === col("__qlabel"), 1L).otherwise(0L))
+    val wExpr = (1 to k).foldLeft(lit(null).cast(Exact9)) { (acc, r) =>
+      when(col("rank") === r, lit(dcgWeight(r)).cast(Exact9)).otherwise(acc)
+    }
+    val perQuery = ranked.groupBy("q_id")
+      .agg(
+        sum("rel").as("hits"),
+        min(when(col("rel") === 1, col("rank"))).as("__first_rel"),
+        sum(when(col("rel") === 1, wExpr).otherwise(lit(0).cast(Exact9)))
+          .as("__dcg"))
+    val labelCounts = emb.groupBy(col(labelCol).as("__qlabel"))
+      .agg(count(lit(1)).as("__lc"))
+    val nRel = q.join(broadcast(labelCounts), Seq("__qlabel"), "left_outer")
+      .select(col("q_id"), (coalesce(col("__lc"), lit(1L)) - 1).as("n_rel"))
+    // IDCG over m = min(n_rel, k): the same literal table, prefix-summed
+    val idcgExpr = {
+      val m = least(col("n_rel"), lit(k.toLong))
+      (1 to k).foldLeft(lit(null).cast(Exact9)) { (acc, i) =>
+        when(m === i, lit(idealDcg(i, k)).cast(Exact9)).otherwise(acc)
+      }
+    }
+    perQuery.join(broadcast(nRel), Seq("q_id"))
+      .withColumn("__idcg", idcgExpr)
+      .select(col("q_id"), col("n_rel"), col("hits"),
+        round(col("hits").cast(DoubleType) / k, 9).as("p_at_k"),
+        coalesce(round(lit(1.0) / col("__first_rel"), 9), lit(0.0)).as("mrr"),
+        col("__dcg").cast(DoubleType).as("dcg"),
+        when(col("n_rel") === 0, lit(0.0)).otherwise(
+          round(col("__dcg").cast(DoubleType) / col("__idcg").cast(DoubleType),
+            9)).as("ndcg"))
+  }
+
+  /** Probability-calibration bins + expected calibration error: bin a
+    * RATIONAL [0,1] probability `probNum/probDen` (e.g. a min-max
+    * normalized count, an n-model vote share) into `bins` equi-width
+    * buckets and compare the mean predicted probability with the empirical
+    * positive rate. Returns per occupied bin
+    * (bin, n, n_pos, avg_prob, pos_rate, abs_gap, ece) — the `ece` column
+    * repeats the Σ (n_b/N)·|gap_b| total.
+    *
+    * Taking the probability as an integer ratio keeps the whole pipeline
+    * out of floating point until the display columns: the bin id is an
+    * integer floor-division ⌊num·bins/den⌋ (a double `floor(p·bins)` can
+    * land a boundary value in the wrong bin on one engine), numerator sums
+    * are exact longs, and avg_prob = Σnum/(n·den) is ONE correctly-rounded
+    * IEEE division — so bins and means are bit-identical on any engine.
+    * ECE weight products round to 9 dp and sum in DECIMAL over the
+    * ≤`bins`-row relation.
+    */
+  def calibrationBins(df: DataFrame, probNum: Column, probDen: Column,
+      positive: Column, bins: Int): DataFrame = {
+    val scaled = df
+      .select(probNum.cast("long").as("__num"),
+        probDen.cast("long").as("__den"),
+        when(positive, 1L).otherwise(0L).as("y"))
+    val binned = scaled
+      .select(
+        least(expr(s"(__num * $bins) DIV __den"), lit(bins - 1L)).as("bin"),
+        col("__num"), col("__den"), col("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+        sum("__num").as("__sum_num"), max("__den").as("__den"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("__sum_num").cast(DoubleType) / (col("n") * col("__den")), 9)
+          .as("avg_prob"),
+        round(col("n_pos").cast(DoubleType) / col("n"), 9).as("pos_rate"))
+      .withColumn("abs_gap", round(abs(col("avg_prob") - col("pos_rate")), 9))
+    val all = Window.partitionBy()
+    binned.withColumn("ece",
+      round(
+        sum(round(col("abs_gap") * col("n"), 9).cast(Exact9)).over(all)
+          .cast(DoubleType) / sum(col("n")).over(all), 9))
+  }
+}

@@ -1,0 +1,209 @@
+package graft.queries
+
+import graft.ops.Eval
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Oracle-checked evaluation-metric family ([[graft.ops.Eval]]): ROC AUC,
+  * per-class confusion/F1, ranked-retrieval P@k / MRR / NDCG, calibration
+  * bins + ECE. The "did the features work" half of the pipeline, run on
+  * natural classification/retrieval tasks inside the test tables
+  * (customer conversion, language ID, label-match retrieval).
+  */
+object EvalQueries {
+
+  private val RetrievalQueries = 5 // query vectors: vec_id < 5
+  private val RetrievalK = 10
+  private val CalibBins = 10
+
+  /** Per-(user, epoch-day) grain: that day's click count as a feature,
+    * "any purchase that day" as the label — the natural conversion task
+    * the uniform synthetic events actually vary on. */
+  private def userDayLabels(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+          .as("day"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("s_clicks"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("__pos"))
+
+  /** ROC AUC of same-day click count as a predictor of a same-day purchase
+    * ([[graft.ops.Eval.aucRoc]]). Integer click counts are heavily tied,
+    * so this exercises the midrank correction for real.
+    */
+  def aucClicks(spark: SparkSession, dir: String): DataFrame =
+    Eval.aucRoc(userDayLabels(spark, dir), col("s_clicks"), col("__pos") === 1)
+      .orderBy("n_pos")
+
+  /** Per-class precision/recall/F1 of the stopword-profile language
+    * predictor against the labeled `lang` column — the multi-class
+    * sibling of `quality_label_kappa` ([[graft.ops.Eval.confusionStats]]).
+    */
+  def confusionLang(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pred = graft.ops.TextAnalysis.langId(docs, "doc_id", "text",
+      TextQueries.Profiles)
+    Eval.confusionStats(
+        pred.join(docs.select("doc_id", "lang"), Seq("doc_id")),
+        "lang", "predicted_lang")
+      .orderBy("class")
+  }
+
+  /** P@k / MRR / NDCG@k of cosine retrieval against same-label ground
+    * truth over the embeddings corpus ([[graft.ops.Eval.retrievalEval]]).
+    */
+  def retrievalLabels(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Eval.retrievalEval(emb, emb.filter(col("vec_id") < RetrievalQueries),
+        "vec_id", "embedding", "label", RetrievalK)
+      .orderBy("q_id")
+  }
+
+  /** Calibration bins + ECE of min-max-normalized same-day click count as
+    * a purchase "probability" ([[graft.ops.Eval.calibrationBins]]) — the
+    * post-training sanity check that scores mean what they claim. The
+    * probability is the RATIONAL (s−mn)/(mx−mn), so binning and bin means
+    * stay in integer arithmetic end to end.
+    */
+  def calibrationClicks(spark: SparkSession, dir: String): DataFrame = {
+    val perDay = userDayLabels(spark, dir)
+    val mm = perDay.agg(min("s_clicks").as("__mn"), max("s_clicks").as("__mx"))
+    Eval.calibrationBins(perDay.crossJoin(broadcast(mm)),
+        col("s_clicks") - col("__mn"), col("__mx") - col("__mn"),
+        col("__pos") === 1, CalibBins)
+      .orderBy("bin")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_auc_clicks" -> aucClicks,
+    "eval_confusion_lang" -> confusionLang,
+    "eval_retrieval_labels" -> retrievalLabels,
+    "eval_calibration_bins" -> calibrationClicks)
+
+  // ---- oracle SQL -----------------------------------------------------------
+
+  private def dotSql(a: String, b: String) =
+    s"list_dot_product($a::DOUBLE[], $b::DOUBLE[])"
+
+  private def cosineSql(v: String, q: String) =
+    s"round(${dotSql(v, q)} / (sqrt(${dotSql(v, v)}) * sqrt(${dotSql(q, q)})), 6)"
+
+  // CASE chains over the shared library-level DCG literals — the SQL twin
+  // of Eval.dcgWeight/idealDcg, so no engine ever computes a log.
+  private def dcgCaseSql(rankExpr: String): String =
+    (1 to RetrievalK).map(r =>
+      s"WHEN $rankExpr = $r THEN CAST(${Eval.dcgWeight(r)} AS DECIMAL(28,9))")
+      .mkString("CASE ", " ", " END")
+
+  private def idcgCaseSql(mExpr: String): String =
+    (1 to RetrievalK).map(i =>
+      s"WHEN $mExpr = $i THEN CAST(${Eval.idealDcg(i, RetrievalK)} AS DECIMAL(28,9))")
+      .mkString("CASE ", " ", " END")
+
+  val oracle: Map[String, String] = Map(
+    "eval_auc_clicks" ->
+      """WITH lab AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS s,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT s, count(*) AS c, sum(p) AS cp FROM lab
+        |      WHERE s IS NOT NULL GROUP BY s),
+        |w AS (SELECT c, cp, coalesce(sum(c) OVER (ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |      FROM g),
+        |a AS (SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+        |        CAST(sum(c - cp) AS BIGINT) AS n_neg,
+        |        sum(cp * (cb * 2 + c + 1)) AS rs2 FROM w)
+        |SELECT n_pos, n_neg,
+        |  CAST(rs2 - n_pos * (n_pos + 1) AS BIGINT) AS auc_num,
+        |  round(CAST(rs2 - n_pos * (n_pos + 1) AS DOUBLE)
+        |    / (CAST(n_pos AS DOUBLE) * n_neg * 2), 9) AS auc
+        |FROM a ORDER BY n_pos""".stripMargin,
+    "eval_confusion_lang" ->
+      s"""WITH ${TextQueries.toksCte},
+         |p AS (SELECT doc_id, lang, ${TextQueries.maxScoreSql} AS __m, toks
+         |  FROM d),
+         |x AS (SELECT lang AS y, ${TextQueries.predictedSql} AS yh FROM p),
+         |cont AS (SELECT y, yh, count(*) AS c FROM x GROUP BY 1, 2),
+         |tp AS (SELECT y AS class, CAST(c AS BIGINT) AS tp FROM cont
+         |       WHERE y = yh),
+         |act AS (SELECT y AS class, CAST(sum(c) AS BIGINT) AS n_actual
+         |        FROM cont GROUP BY 1),
+         |prd AS (SELECT yh AS class, CAST(sum(c) AS BIGINT) AS n_pred
+         |        FROM cont GROUP BY 1),
+         |j AS (SELECT class, coalesce(n_actual, 0) AS n_actual,
+         |        coalesce(n_pred, 0) AS n_pred, coalesce(tp, 0) AS tp
+         |      FROM act FULL OUTER JOIN prd USING (class)
+         |      LEFT JOIN tp USING (class))
+         |SELECT class, n_actual, n_pred, tp,
+         |  n_pred - tp AS fp, n_actual - tp AS fn,
+         |  CASE WHEN n_pred > 0
+         |    THEN round(CAST(tp AS DOUBLE) / n_pred, 9) END AS prec,
+         |  CASE WHEN n_actual > 0
+         |    THEN round(CAST(tp AS DOUBLE) / n_actual, 9) END AS rec,
+         |  CASE WHEN n_actual + n_pred > 0
+         |    THEN round(2.0 * tp / (n_actual + n_pred), 9) END AS f1
+         |FROM j ORDER BY class""".stripMargin,
+    "eval_retrieval_labels" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label AS ql
+         |           FROM embeddings WHERE vec_id < $RetrievalQueries),
+         |s AS (SELECT q_id, ql, vec_id, label,
+         |        ${cosineSql("embedding", "qv")} AS cos
+         |      FROM embeddings, q WHERE vec_id <> q_id),
+         |r AS (SELECT q_id, ql, label, row_number() OVER
+         |        (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |      FROM s),
+         |t AS (SELECT q_id, rank,
+         |        CASE WHEN label = ql THEN 1 ELSE 0 END AS rel
+         |      FROM r WHERE rank <= $RetrievalK),
+         |pq AS (SELECT q_id, CAST(sum(rel) AS BIGINT) AS hits,
+         |         min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+         |         sum(CASE WHEN rel = 1 THEN ${dcgCaseSql("rank")}
+         |             ELSE CAST(0 AS DECIMAL(28,9)) END) AS dcg_d
+         |       FROM t GROUP BY q_id),
+         |lc AS (SELECT label, count(*) AS lcnt FROM embeddings GROUP BY 1),
+         |nr AS (SELECT q_id, CAST(coalesce(lcnt, 1) - 1 AS BIGINT) AS n_rel
+         |       FROM q LEFT JOIN lc ON ql = label)
+         |SELECT pq.q_id, n_rel, hits,
+         |  round(CAST(hits AS DOUBLE) / $RetrievalK, 9) AS p_at_k,
+         |  coalesce(round(1.0 / first_rel, 9), 0.0) AS mrr,
+         |  CAST(dcg_d AS DOUBLE) AS dcg,
+         |  CASE WHEN n_rel = 0 THEN 0.0
+         |    ELSE round(CAST(dcg_d AS DOUBLE) / CAST(
+         |      ${idcgCaseSql(s"least(n_rel, $RetrievalK)")} AS DOUBLE), 9)
+         |  END AS ndcg
+         |FROM pq JOIN nr ON pq.q_id = nr.q_id ORDER BY pq.q_id""".stripMargin,
+    "eval_calibration_bins" ->
+      s"""WITH u AS (
+         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS s,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+         |  FROM events GROUP BY 1, 2),
+         |mm AS (SELECT min(s) AS mn, max(s) AS mx FROM u),
+         |lab AS (SELECT s - mn AS num, mx - mn AS den, y
+         |        FROM u CROSS JOIN mm),
+         |binned AS (
+         |  SELECT least((num * $CalibBins) // den,
+         |           ${CalibBins - 1}) AS bin,
+         |    count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+         |    CAST(sum(num) AS BIGINT) AS sum_num, max(den) AS den
+         |  FROM lab GROUP BY 1),
+         |b2 AS (
+         |  SELECT bin, n, n_pos,
+         |    round(CAST(sum_num AS DOUBLE) / (n * den), 9) AS avg_prob,
+         |    round(CAST(n_pos AS DOUBLE) / n, 9) AS pos_rate
+         |  FROM binned),
+         |b3 AS (SELECT *, round(abs(avg_prob - pos_rate), 9) AS abs_gap
+         |       FROM b2)
+         |SELECT bin, n, n_pos, avg_prob, pos_rate, abs_gap,
+         |  round(CAST(sum(CAST(round(abs_gap * n, 9) AS DECIMAL(28,9)))
+         |      OVER () AS DOUBLE) / sum(n) OVER (), 9) AS ece
+         |FROM b3 ORDER BY bin""".stripMargin)
+}

@@ -1,0 +1,102 @@
+package graft
+
+import graft.ops.Eval
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EvalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("aucRoc: perfect separation gives 1.0, reversed gives 0.0") {
+    val df = Seq((1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)).toDF("s", "y")
+    val r = Eval.aucRoc(df, col("s"), col("y") === 1).collect()(0)
+    assert(r.getAs[Long]("n_pos") == 2 && r.getAs[Long]("n_neg") == 2)
+    assert(r.getAs[Double]("auc") == 1.0)
+    val rev = Eval.aucRoc(df, col("s"), col("y") === 0).collect()(0)
+    assert(rev.getAs[Double]("auc") == 0.0)
+  }
+
+  test("aucRoc: midrank tie correction") {
+    // scores (1,1,2), labels (0,1,1): ranks of value 1 average to 1.5,
+    // value 2 ranks 3 → R+ = 1.5 + 3 = 4.5, AUC = (4.5 − 3)/(2·1) = 0.75
+    val df = Seq((1.0, 0), (1.0, 1), (2.0, 1)).toDF("s", "y")
+    val r = Eval.aucRoc(df, col("s"), col("y") === 1).collect()(0)
+    assert(r.getAs[Double]("auc") == 0.75)
+    // random scores on a constant column → AUC 0.5 exactly (all tied)
+    val const = Seq((7.0, 0), (7.0, 1), (7.0, 0), (7.0, 1)).toDF("s", "y")
+    assert(Eval.aucRoc(const, col("s"), col("y") === 1)
+      .collect()(0).getAs[Double]("auc") == 0.5)
+  }
+
+  test("confusionStats: per-class tp/fp/fn and F1, absent-class rows kept") {
+    // y:  a a a b b c ;  yh: a a b b a d
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "a"),
+      ("c", "d")).toDF("y", "yh")
+    val m = Eval.confusionStats(df, "y", "yh").collect()
+      .map(r => r.getAs[String]("class") -> r).toMap
+    val a = m("a")
+    assert(a.getAs[Long]("tp") == 2 && a.getAs[Long]("fp") == 1 &&
+      a.getAs[Long]("fn") == 1)
+    assert(math.abs(a.getAs[Double]("prec") - 2.0 / 3) < 1e-9)
+    assert(math.abs(a.getAs[Double]("f1") - 2.0 * 2 / (3 + 3)) < 1e-9)
+    // class c: never predicted → prec NULL, rec 0; class d: never actual
+    assert(m("c").isNullAt(m("c").fieldIndex("prec")))
+    assert(m("c").getAs[Double]("rec") == 0.0)
+    assert(m("d").getAs[Long]("n_actual") == 0 &&
+      m("d").getAs[Long]("n_pred") == 1)
+    assert(m("d").isNullAt(m("d").fieldIndex("rec")))
+  }
+
+  test("retrievalEval: hand-checked ranking on a 1-hot corpus") {
+    // 4 corpus rows in 2-d; query = (1,0) with label L. Cosines to the
+    // query: id1 (1,0)→1.0 [L], id2 (1,1)→0.707 [L], id3 (0,1)→0.0 [M],
+    // id4 (-1,0)→-1.0 [M]. k=2 → top-2 = id1, id2, both relevant.
+    val emb = Seq(
+      (0L, Array(1.0, 0.0), "L"), (1L, Array(1.0, 0.0), "L"),
+      (2L, Array(1.0, 1.0), "L"), (3L, Array(0.0, 1.0), "M"),
+      (4L, Array(-1.0, 0.0), "M")).toDF("id", "vec", "label")
+    val r = Eval.retrievalEval(emb, emb.filter(col("id") === 0),
+      "id", "vec", "label", 2).collect()(0)
+    assert(r.getAs[Long]("n_rel") == 2) // ids 1,2 share label L
+    assert(r.getAs[Long]("hits") == 2)
+    assert(r.getAs[Double]("p_at_k") == 1.0)
+    assert(r.getAs[Double]("mrr") == 1.0)
+    // dcg = w(1)+w(2) = idcg at m=2 → ndcg exactly 1.0
+    assert(r.getAs[Double]("ndcg") == 1.0)
+    val expectedDcg = Eval.dcgWeight(1).add(Eval.dcgWeight(2)).doubleValue()
+    assert(math.abs(r.getAs[Double]("dcg") - expectedDcg) < 1e-12)
+  }
+
+  test("retrievalEval: no relevant corpus rows → zeros, not nulls") {
+    val emb = Seq(
+      (0L, Array(1.0, 0.0), "solo"), (1L, Array(1.0, 0.1), "M"),
+      (2L, Array(0.9, 0.1), "M")).toDF("id", "vec", "label")
+    val r = Eval.retrievalEval(emb, emb.filter(col("id") === 0),
+      "id", "vec", "label", 2).collect()(0)
+    assert(r.getAs[Long]("n_rel") == 0 && r.getAs[Long]("hits") == 0)
+    assert(r.getAs[Double]("mrr") == 0.0 && r.getAs[Double]("ndcg") == 0.0)
+  }
+
+  test("calibrationBins: integer binning, exact means, ECE") {
+    // num/den ∈ {0/4..4/4}, 2 bins over [0,1]: bin0 = {0,1}/4 (p<0.5),
+    // bin1 = {2,3,4}/4. Positives: only num=4.
+    val df = Seq((0L, 0), (1L, 0), (2L, 0), (3L, 0), (4L, 1))
+      .toDF("num", "y")
+    val rows = Eval.calibrationBins(df.withColumn("den", lit(4L)),
+        col("num"), col("den"), col("y") === 1, 2)
+      .orderBy("bin").collect()
+    assert(rows.length == 2)
+    val b0 = rows(0); val b1 = rows(1)
+    assert(b0.getAs[Long]("n") == 2 && b0.getAs[Long]("n_pos") == 0)
+    assert(b0.getAs[Double]("avg_prob") == 0.125) // (0+1)/(2·4)
+    assert(b1.getAs[Long]("n") == 3 && b1.getAs[Long]("n_pos") == 1)
+    assert(b1.getAs[Double]("avg_prob") == 0.75) // (2+3+4)/(3·4)
+    val gap0 = 0.125; val gap1 = math.abs(0.75 - 1.0 / 3)
+    val ece = (2 * BigDecimal(gap0).setScale(9, BigDecimal.RoundingMode.HALF_UP) +
+      3 * BigDecimal(gap1).setScale(9, BigDecimal.RoundingMode.HALF_UP)) / 5
+    assert(math.abs(b0.getAs[Double]("ece") -
+      ece.setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(b0.getAs[Double]("ece") == b1.getAs[Double]("ece"))
+  }
+}
