@@ -133,4 +133,47 @@ object Screening {
     agg.select(keyCols.map(col) ++
       Seq(col("n"), col("s"), round(lb, 9).as("wilson_lb")): _*)
   }
+
+  /** Pairwise Pearson correlation of ≤2-dp numeric columns in ONE pass:
+    * a single wide aggregate collects n, Σx, Σx² and every Σxy cross
+    * product (all exact DECIMAL — 2-dp inputs make 4-dp products exact),
+    * then each of the d(d+1)/2 correlations is plain arithmetic over the
+    * 1-row result. Listwise-complete semantics: rows with a null in ANY
+    * profiled column are dropped, so every pair shares one n.
+    *
+    * corr = (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²) · √(n·Σy²−(Σy)²)), computed
+    * as a FIXED IEEE sequence over doubles cast from identical exact
+    * decimals — bit-identical on any engine; zero-variance pairs return
+    * NULL instead of dividing by zero. Returns (col_a, col_b, n, corr)
+    * for the i<j upper triangle.
+    */
+  def pearsonMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "pearsonMatrix needs at least two columns")
+    val Money = DecimalType(18, 2)
+    val SumT = DecimalType(38, 4)
+    val complete = df
+      .filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      .select(cols.map(c => col(c).cast(Money).as(c)): _*)
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = cols.flatMap { c =>
+      Seq(sum(col(c)).as(s"__s_$c"),
+        sum((col(c) * col(c)).cast(SumT)).as(s"__ss_$c"))
+    } ++ pairs.map { case (a, b) =>
+      sum((col(a) * col(b)).cast(SumT)).as(s"__sp_${a}__$b")
+    } :+ count(lit(1)).as("__n")
+    val wide = complete.agg(aggs.head, aggs.tail: _*)
+    def d(c: Column): Column = c.cast(DoubleType)
+    val nD = d(col("__n"))
+    val rows = pairs.map { case (a, b) =>
+      val num = nD * d(col(s"__sp_${a}__$b")) - d(col(s"__s_$a")) * d(col(s"__s_$b"))
+      val dx = nD * d(col(s"__ss_$a")) - d(col(s"__s_$a")) * d(col(s"__s_$a"))
+      val dy = nD * d(col(s"__ss_$b")) - d(col(s"__s_$b")) * d(col(s"__s_$b"))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), col("__n").as("n"),
+        when(dx > 0 && dy > 0,
+          round(num / (sqrt(dx) * sqrt(dy)), 9)).as("corr"))
+    }
+    wide.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+  }
 }

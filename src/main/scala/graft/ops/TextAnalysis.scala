@@ -419,4 +419,60 @@ object TextAnalysis {
       .select(col("doc_id").as(idCol), col("n_bigrams"),
         col("bits_per_token"))
   }
+
+  /** Gopher-style rule-based quality FILTER (Rae et al. 2021 §A1.1; the
+    * C4 heuristics of Raffel et al. 2020 are the same shape): per-document
+    * boolean rules plus a keep decision and a drop-reason bitmask — unlike
+    * [[qualityScore]]'s scalar score, this is the form production corpus
+    * filters take (every rule auditable, drop reasons aggregable).
+    *
+    * Rules (all per-row codegen'd expressions, zero shuffle; token sums
+    * avoid lambda folds — Σ token length ≡ non-space char count under the
+    * single-space tokenizer, alpha-token count is ONE regexp_extract_all):
+    *   bit 0 — word count outside [minWords, maxWords]
+    *   bit 1 — mean word length outside [minMeanLen, maxMeanLen]
+    *   bit 2 — symbol ratio (chars outside [A-Za-z0-9 ]) > maxSymbolRatio
+    *   bit 3 — alphabetic-token ratio < minAlphaRatio
+    *   bit 4 — fewer than minStopHits distinct stopword hits
+    *
+    * Returns (id, n_words, mean_word_len, symbol_ratio, alpha_ratio,
+    * stop_hits, drop_mask, keep).
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String],
+      minWords: Int = 20, maxWords: Int = 80,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 8.0,
+      maxSymbolRatio: Double = 0.1, minAlphaRatio: Double = 0.5,
+      minStopHits: Int = 1): DataFrame = {
+    val t = toks(col(textCol))
+    val nWords = size(t).cast("long")
+    // Σ token length = chars that are not spaces (single-space split)
+    val sumLen = length(regexp_replace(col(textCol), " ", "")).cast("long")
+    val meanLen = round(
+      sumLen.cast("double") / greatest(nWords, lit(1L)), 9)
+    val symbolRatio = round(
+      length(regexp_replace(col(textCol), "[A-Za-z0-9 ]", ""))
+        .cast("double") / greatest(length(col(textCol)), lit(1)), 9)
+    // a non-space run containing ≥1 letter matches exactly once (greedy)
+    val alphaWords =
+      size(regexp_extract_all(col(textCol), lit("[^ ]*[A-Za-z][^ ]*"), lit(0)))
+        .cast("long")
+    val alphaRatio = round(
+      alphaWords.cast("double") / greatest(nWords, lit(1L)), 9)
+    val stopHits = size(array_intersect(array_distinct(t),
+      array(stopwords.map(lit): _*))).cast("long")
+    val mask =
+      when(col("n_words") < minWords || col("n_words") > maxWords, 1L)
+        .otherwise(0L) +
+      when(col("mean_word_len") < minMeanLen ||
+        col("mean_word_len") > maxMeanLen, 2L).otherwise(0L) +
+      when(col("symbol_ratio") > maxSymbolRatio, 4L).otherwise(0L) +
+      when(col("alpha_ratio") < minAlphaRatio, 8L).otherwise(0L) +
+      when(col("stop_hits") < minStopHits, 16L).otherwise(0L)
+    df.select(col(idCol), nWords.as("n_words"), meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"), alphaRatio.as("alpha_ratio"),
+        stopHits.as("stop_hits"))
+      .withColumn("drop_mask", mask)
+      .withColumn("keep", col("drop_mask") === 0L)
+  }
 }

@@ -240,7 +240,17 @@ object QualityQueries {
     graft.quality.Profiler.profile(Tables.lineitem(spark, dir), ProfileCols)
       .orderBy("col_name")
 
+  /** Pairwise Pearson correlation matrix of the lineitem money columns in
+    * one pass ([[graft.ops.Screening.pearsonMatrix]]) — the redundancy
+    * screen run before feature selection.
+    */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Screening.pearsonMatrix(Tables.lineitem(spark, dir),
+        ProfileCols)
+      .orderBy("col_a", "col_b")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_corr_matrix" -> corrMatrix,
     "quality_table_profile" -> tableProfile,
     "quality_feature_relevance" -> featureRelevance,
     "quality_ks_value" -> ksValue,
@@ -255,6 +265,40 @@ object QualityQueries {
     "quality_dup_ratio_documents" -> dupRatioDocuments)
 
   val oracle: Map[String, String] = Map(
+    // same wide-aggregate + fixed IEEE sequence as pearsonMatrix: exact
+    // DECIMAL sums, (n·Σxy − ΣxΣy)/(√dx·√dy) over doubles cast from them
+    "quality_corr_matrix" -> {
+      val cols = ProfileCols
+      val pairs = for {
+        i <- cols.indices; j <- (i + 1) until cols.size
+      } yield (cols(i), cols(j))
+      val sums = cols.flatMap { c =>
+        Seq(s"sum($c) AS s_$c",
+          s"sum(CAST($c * $c AS DECIMAL(38,4))) AS ss_$c")
+      } ++ pairs.map { case (a, b) =>
+        s"sum(CAST($a * $b AS DECIMAL(38,4))) AS sp_${a}__$b"
+      }
+      def dbl(x: String) = s"CAST($x AS DOUBLE)"
+      val branches = pairs.map { case (a, b) =>
+        val num = s"${dbl("n")} * ${dbl(s"sp_${a}__$b")} - " +
+          s"${dbl(s"s_$a")} * ${dbl(s"s_$b")}"
+        val dx = s"${dbl("n")} * ${dbl(s"ss_$a")} - " +
+          s"${dbl(s"s_$a")} * ${dbl(s"s_$a")}"
+        val dy = s"${dbl("n")} * ${dbl(s"ss_$b")} - " +
+          s"${dbl(s"s_$b")} * ${dbl(s"s_$b")}"
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(n AS BIGINT) AS n,
+           |  CASE WHEN ($dx) > 0 AND ($dy) > 0
+           |    THEN round(($num) / (sqrt($dx) * sqrt($dy)), 9) END AS corr
+           |FROM w""".stripMargin
+      }
+      s"""WITH c AS (SELECT
+         |  ${cols.map(c => s"CAST($c AS DECIMAL(18,2)) AS $c").mkString(", ")}
+         |  FROM lineitem
+         |  WHERE ${cols.map(c => s"$c IS NOT NULL").mkString(" AND ")}),
+         |w AS (SELECT count(*) AS n, ${sums.mkString(", ")} FROM c)
+         |${branches.mkString("\n", "\nUNION ALL\n", "\n")}
+         |ORDER BY col_a, col_b""".stripMargin
+    },
     // one UNION ALL branch per profiled column; means through exact
     // DECIMAL (the avgMoney spelling)
     "quality_table_profile" -> {

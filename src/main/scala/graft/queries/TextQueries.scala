@@ -147,7 +147,19 @@ object TextQueries {
       .orderBy(col("freq").desc, col("term"))
   }
 
+  /** Gopher/C4-style rule filter over the documents table
+    * ([[graft.ops.TextAnalysis.gopherRules]]) with the `en` stopword
+    * profile — word-count band, mean-word-length band, symbol ratio,
+    * alphabetic-token ratio, stopword presence; per-rule drop-reason
+    * bitmask plus the keep decision.
+    */
+  def gopherFilter(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(Tables.documents(spark, dir), "doc_id", "text",
+        stopwords = Profiles.toMap.apply("en"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_gopher_filter" -> gopherFilter,
     "text_heavy_hitters" -> heavyHitters,
     "text_nb_classifier" -> nbLangId,
     "text_dup_ngram_coverage" -> dupCoverage,
@@ -191,6 +203,38 @@ object TextQueries {
     Profiles.map(p => scoreSql(p._2)).mkString("greatest(", ", ", ")")
 
   val oracle: Map[String, String] = Map(
+    // mirrors gopherRules' per-row expressions: single-space tokenizer,
+    // Σ token length ≡ non-space chars, alpha tokens via ONE
+    // regexp_extract_all, thresholds inlined identically
+    "text_gopher_filter" -> {
+      val stops = Profiles.toMap.apply("en").map(w => s"'$w'")
+        .mkString("[", ",", "]")
+      s"""WITH $toksCte,
+         |m AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_words,
+         |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |    / greatest(CAST(len(toks) AS BIGINT), 1), 9) AS mean_word_len,
+         |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+         |      AS DOUBLE) / greatest(length(text), 1), 9) AS symbol_ratio,
+         |  round(CAST(len(regexp_extract_all(text, '[^ ]*[A-Za-z][^ ]*'))
+         |      AS DOUBLE) / greatest(CAST(len(toks) AS BIGINT), 1), 9)
+         |    AS alpha_ratio,
+         |  CAST(len(list_intersect(list_distinct(toks), $stops)) AS BIGINT)
+         |    AS stop_hits
+         |FROM d),
+         |f AS (SELECT *,
+         |  (CASE WHEN n_words < 20 OR n_words > 80 THEN 1 ELSE 0 END
+         |   + CASE WHEN mean_word_len < 3.0 OR mean_word_len > 8.0
+         |       THEN 2 ELSE 0 END
+         |   + CASE WHEN symbol_ratio > 0.1 THEN 4 ELSE 0 END
+         |   + CASE WHEN alpha_ratio < 0.5 THEN 8 ELSE 0 END
+         |   + CASE WHEN stop_hits < 1 THEN 16 ELSE 0 END) AS mask
+         |FROM m)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio,
+         |  stop_hits, CAST(mask AS BIGINT) AS drop_mask,
+         |  mask = 0 AS keep
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
     // add-one NB over a dense (lang × 64-bucket) grid; scores are exact
     // DECIMAL sums of 9dp contributions + a 9dp log-prior; argmax ties to
     // the lexicographically last class via max-struct

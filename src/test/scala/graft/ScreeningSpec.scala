@@ -106,4 +106,26 @@ class ScreeningSpec extends AnyFunSuite {
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got._4 == ref)
   }
+
+  test("pearsonMatrix: exact ±1 on linear columns, NULL on zero variance") {
+    val df = Seq(
+      (1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 5.0),
+      (3.0, 6.0, -3.0, 5.0), (4.0, 8.0, -4.0, 5.0))
+      .toDF("x", "y2x", "neg", "const")
+    val m = Screening.pearsonMatrix(df, Seq("x", "y2x", "neg", "const"))
+      .collect()
+      .map(r => (r.getAs[String]("col_a"), r.getAs[String]("col_b")) -> r)
+      .toMap
+    assert(m.size == 6)
+    assert(m(("x", "y2x")).getAs[Double]("corr") == 1.0)
+    assert(m(("x", "neg")).getAs[Double]("corr") == -1.0)
+    val c = m(("x", "const"))
+    assert(c.isNullAt(c.fieldIndex("corr"))) // zero variance → NULL, no ÷0
+    assert(c.getAs[Long]("n") == 4)
+    // null in any profiled column drops the row for EVERY pair
+    val withNull = Seq((Some(1.0), Some(1.0)), (None, Some(2.0)),
+      (Some(3.0), Some(3.0))).toDF("a", "b")
+    assert(Screening.pearsonMatrix(withNull, Seq("a", "b"))
+      .collect()(0).getAs[Long]("n") == 2)
+  }
 }

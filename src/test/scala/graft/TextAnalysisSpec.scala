@@ -160,4 +160,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     // the frequent continuation is more predictable → fewer bits
     assert(m(1L)._2 < m(4L)._2)
   }
+
+  test("gopherRules: each rule sets its own drop-mask bit") {
+    val docs = Seq(
+      // 0: passes every rule (21 short words incl. stopword "the")
+      (0L, ("the " + Seq.tabulate(20)(i => s"word$i").mkString(" "))),
+      (1L, "the quick fox"), // too few words → bit 0
+      // 2: 25 words, huge mean word length → bit 1
+      (2L, Seq.fill(24)("x" * 20).mkString("the ", " ", "")),
+      // 3: symbols-only words → bits 1(short),3(no alpha),4(no stopword)
+      (3L, Seq.fill(25)("##").mkString(" ")),
+      // 4: enough words but no stopword → bit 4
+      (4L, Seq.tabulate(25)(i => s"word$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.gopherRules(docs, "doc_id", "text",
+        stopwords = Seq("the"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(0L).getAs[Boolean]("keep") && m(0L).getAs[Long]("drop_mask") == 0)
+    assert(m(1L).getAs[Long]("drop_mask") == 1L)
+    assert((m(2L).getAs[Long]("drop_mask") & 2L) == 2L)
+    val d3 = m(3L)
+    assert(!d3.getAs[Boolean]("keep"))
+    assert((d3.getAs[Long]("drop_mask") & 8L) == 8L) // no alphabetic words
+    assert((d3.getAs[Long]("drop_mask") & 16L) == 16L) // no stopwords
+    assert(d3.getAs[Double]("symbol_ratio") > 0.1)
+    assert(m(4L).getAs[Long]("drop_mask") == 16L)
+  }
 }
