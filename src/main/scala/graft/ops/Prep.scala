@@ -208,10 +208,14 @@ object Prep {
     * serializing.
     */
   private def hashRanked(df: DataFrame, groupCols: Seq[String],
-      keyCol: String): DataFrame = {
+      keyCol: String): DataFrame =
+    hashRankedBy(df, groupCols, keyCol, md5(col(keyCol).cast("string")))
+
+  private def hashRankedBy(df: DataFrame, groupCols: Seq[String],
+      keyCol: String, hashExpr: Column): DataFrame = {
     val sc = groupCols.map(col)
     val salted = df
-      .withColumn("__mh", md5(col(keyCol).cast("string")))
+      .withColumn("__mh", hashExpr)
       // leading md5 byte: 0..255, and hex-lexicographic == numeric order,
       // so salt-major concatenation IS the full-md5 order
       .withColumn("__salt", conv(substring(col("__mh"), 1, 2), 16, 10)
@@ -622,4 +626,20 @@ object Prep {
           .cast("double"))
       .withColumn("roll_events", count(lit(1)).over(w))
   }
+
+  /** Deterministic seeded GLOBAL shuffle with an explicit 1-based
+    * `shuffle_pos` — the training-order primitive: epoch ordering,
+    * shard assignment and resume offsets all need "the i-th example under
+    * seed s" to be the same row on any engine, any partitioning, any day.
+    *
+    * Order is (md5(seed:key), key). The global index comes from the shared
+    * [[hashRankedBy]] two-phase ranking — rows salt by the hash's leading
+    * byte (a PREFIX of the sort key), per-salt local ranks get 256
+    * broadcast offsets added — so there is never a single-partition global
+    * window; a different `seed` is a fully independent permutation.
+    */
+  def globalShuffle(df: DataFrame, keyCol: String, seed: String): DataFrame =
+    hashRankedBy(df, Nil, keyCol,
+      md5(concat_ws(":", lit(seed), col(keyCol).cast("string"))))
+      .select(df.columns.map(col) :+ col("sample_rank").as("shuffle_pos"): _*)
 }

@@ -475,4 +475,32 @@ object TextAnalysis {
       .withColumn("drop_mask", mask)
       .withColumn("keep", col("drop_mask") === 0L)
   }
+
+  /** Per-group tokenizer fertility — the budgeting numbers a pretraining
+    * mixture is planned with (how many tokens a byte of each
+    * language/source buys): docs, token/char/byte totals and the
+    * bytes-per-token, chars-per-token, tokens-per-doc ratios.
+    *
+    * One group-by shuffle of per-row integer totals (token count, non-space
+    * chars, octet length — all codegen'd expressions, no explode); ratios
+    * are ONE correctly-rounded IEEE division each over the exact long sums,
+    * so the report is bit-identical on any engine.
+    */
+  def tokenFertility(df: DataFrame, textCol: String, groupCol: String)
+      : DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(toks(col(textCol))).cast("long")).as("n_tokens"),
+        sum(length(regexp_replace(col(textCol), " ", "")).cast("long"))
+          .as("n_chars"),
+        sum(octet_length(col(textCol)).cast("long")).as("n_bytes"))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_bytes"),
+        round(col("n_chars").cast("double") / greatest(col("n_tokens"),
+          lit(1L)), 9).as("chars_per_token"),
+        round(col("n_bytes").cast("double") / greatest(col("n_tokens"),
+          lit(1L)), 9).as("bytes_per_token"),
+        round(col("n_tokens").cast("double") / col("n_docs"), 9)
+          .as("tokens_per_doc"))
 }

@@ -296,7 +296,21 @@ object PrepQueries {
         "doc_id", "text", col("lang") === "en", DsirBuckets)
       .orderBy("doc_id")
 
+  private val ShuffleSeed = "r6"
+
+  /** Seeded deterministic global training order over the documents corpus
+    * ([[graft.ops.Prep.globalShuffle]]): the i-th example under the seed
+    * is the same row on any engine/partitioning — epoch order, shard
+    * assignment and resume offsets in one column.
+    */
+  def globalShuffleDocs(spark: SparkSession, dir: String): DataFrame =
+    Prep.globalShuffle(
+        Tables.documents(spark, dir).select("doc_id", "lang"),
+        "doc_id", ShuffleSeed)
+      .orderBy("shuffle_pos")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "prep_global_shuffle" -> globalShuffleDocs,
     "prep_dsir_weights" -> dsirWeights,
     "prep_negative_sample" -> negativeSample,
     "prep_key_cap" -> keyCap,
@@ -327,6 +341,13 @@ object PrepQueries {
     s"('0x' || substr(md5($expr), 1, 12))::BIGINT % $buckets"
 
   val oracle: Map[String, String] = Map(
+    // the two-phase salted ranking ≡ one global (md5(seed:key), key) sort
+    "prep_global_shuffle" ->
+      s"""SELECT doc_id, lang,
+         |  CAST(row_number() OVER (ORDER BY
+         |    md5('$ShuffleSeed:' || CAST(doc_id AS VARCHAR)), doc_id)
+         |    AS BIGINT) AS shuffle_pos
+         |FROM documents ORDER BY shuffle_pos""".stripMargin,
     // hashed-unigram add-one models of the en vs non-en slices on a dense
     // 64-bucket grid; per-bucket 9dp log-ratio contributions scale by the
     // doc's bucket count in exact DECIMAL

@@ -158,7 +158,16 @@ object TextQueries {
         stopwords = Profiles.toMap.apply("en"))
       .orderBy("doc_id")
 
+  /** Per-language tokenizer fertility report
+    * ([[graft.ops.TextAnalysis.tokenFertility]]) — the bytes/chars/tokens
+    * budgeting numbers a pretraining mixture is planned with.
+    */
+  def tokenFertility(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenFertility(Tables.documents(spark, dir), "text", "lang")
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_fertility" -> tokenFertility,
     "text_gopher_filter" -> gopherFilter,
     "text_heavy_hitters" -> heavyHitters,
     "text_nb_classifier" -> nbLangId,
@@ -203,6 +212,25 @@ object TextQueries {
     Profiles.map(p => scoreSql(p._2)).mkString("greatest(", ", ", ")")
 
   val oracle: Map[String, String] = Map(
+    // strlen = bytes in DuckDB (Spark's octet_length); sums exact longs,
+    // ratios one rounded IEEE division each
+    "text_token_fertility" ->
+      s"""WITH $toksCte,
+         |m AS (SELECT lang,
+         |  CAST(len(toks) AS BIGINT) AS nt,
+         |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS nc,
+         |  CAST(strlen(text) AS BIGINT) AS nb
+         |FROM d)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  CAST(sum(nc) AS BIGINT) AS n_chars,
+         |  CAST(sum(nb) AS BIGINT) AS n_bytes,
+         |  round(CAST(sum(nc) AS DOUBLE)
+         |    / greatest(CAST(sum(nt) AS BIGINT), 1), 9) AS chars_per_token,
+         |  round(CAST(sum(nb) AS DOUBLE)
+         |    / greatest(CAST(sum(nt) AS BIGINT), 1), 9) AS bytes_per_token,
+         |  round(CAST(sum(nt) AS DOUBLE) / count(*), 9) AS tokens_per_doc
+         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
     // mirrors gopherRules' per-row expressions: single-space tokenizer,
     // Σ token length ≡ non-space chars, alpha tokens via ONE
     // regexp_extract_all, thresholds inlined identically
