@@ -674,4 +674,42 @@ object Similarity {
         sum(col("__w")).cast("double").as("rrf_score"))
       .orderBy(col("rrf_score").desc, col("id"))
   }
+
+  /** Upper-triangle covariance matrix of the first `dims` embedding
+    * dimensions — the input to whitening / PCA / feature-decorrelation
+    * decisions (the d×d eigen-solve itself is driver-side linear algebra
+    * on this bounded relation, not a Spark job).
+    *
+    * Plan shape: one posexplode for per-dimension sums (d keys), a second
+    * explode for pair products (d(d+1)/2 keys) — all row-local until the
+    * tiny group-bys, with map-side combine collapsing each partition to
+    * ≤ d² rows before the shuffle. cov(i,j) = Σxy/n − (Σx/n)(Σy/n) with
+    * products rounded to 9 dp and summed in exact DECIMAL, final arithmetic
+    * a fixed IEEE sequence — bit-identical across engines.
+    * Returns (i, j, n, cov) for 1-based i ≤ j.
+    */
+  def embeddingCovariance(emb: DataFrame, vecCol: String, dims: Int)
+      : DataFrame = {
+    val Exact9 = org.apache.spark.sql.types.DecimalType(28, 9)
+    val v = slice(col(vecCol).cast("array<double>"), 1, dims)
+    val means = emb.select(posexplode(v).as(Seq("pi", "xi")))
+      .groupBy((col("pi") + 1).cast("long").as("i"))
+      .agg(sum(round(col("xi"), 9).cast(Exact9)).as("s"))
+    val pairs = emb.select(posexplode(v).as(Seq("pi", "xi")), v.as("__v"))
+      .select(col("pi"), col("xi"),
+        posexplode(col("__v")).as(Seq("pj", "xj")))
+      .filter(col("pj") >= col("pi"))
+      .groupBy((col("pi") + 1).cast("long").as("i"),
+        (col("pj") + 1).cast("long").as("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("xi") * col("xj"), 9).cast(Exact9)).as("sp"))
+    val mi = broadcast(means.select(col("i"), col("s").as("__si")))
+    val mj = broadcast(means.select(col("i").as("j"), col("s").as("__sj")))
+    pairs.join(mi, Seq("i")).join(mj, Seq("j"))
+      .select(col("i"), col("j"), col("n"),
+        round(
+          col("sp").cast("double") / col("n") -
+            (col("__si").cast("double") / col("n")) *
+            (col("__sj").cast("double") / col("n")), 9).as("cov"))
+  }
 }

@@ -98,6 +98,17 @@ object SimilarityQueries {
         "vec_id", "embedding", NearDupThreshold, bandPlanes)
       .orderBy("id_a", "id_b")
 
+  private val CovDims = 16
+
+  /** Upper-triangle covariance of the first 16 embedding dimensions
+    * ([[graft.ops.Similarity.embeddingCovariance]]) — the
+    * whitening/decorrelation input, d² bounded regardless of corpus size.
+    */
+  def embeddingCov(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingCovariance(Tables.embeddings(spark, dir),
+        "embedding", CovDims)
+      .orderBy("i", "j")
+
   /** SemDeDup-style semantic dedup: nearest-anchor cells, then
     * drop-if-near-a-lower-id-neighbor within each cell — survivors with
     * their cell id ([[graft.ops.Similarity.semanticDedup]]).
@@ -270,6 +281,7 @@ object SimilarityQueries {
     "sim_lsh_neardup_pairs" -> lshNearDupPairs,
     "sim_lsh_topk" -> lshTopK,
     "sim_rrf_fusion" -> rrfFusion,
+    "sim_embedding_cov" -> embeddingCov,
     "sim_lsh_multiprobe" -> lshTopKMultiprobe,
     "sim_knn_join" -> knnJoin,
     "sim_lsh_knn" -> lshKnn,
@@ -325,6 +337,28 @@ object SimilarityQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // pair products round to 9dp and sum in exact DECIMAL; cov is the same
+    // fixed IEEE sequence as embeddingCovariance
+    "sim_embedding_cov" ->
+      s"""WITH p AS (
+         |  SELECT i, j, embedding[i]::DOUBLE AS xi, embedding[j]::DOUBLE AS xj
+         |  FROM embeddings,
+         |    UNNEST(generate_series(1, $CovDims)) a(i),
+         |    UNNEST(generate_series(1, $CovDims)) b(j)
+         |  WHERE j >= i),
+         |pairs AS (SELECT i, j, count(*) AS n,
+         |    sum(CAST(round(xi * xj, 9) AS DECIMAL(28,9))) AS sp
+         |  FROM p GROUP BY 1, 2),
+         |means AS (SELECT i,
+         |    sum(CAST(round(embedding[i]::DOUBLE, 9) AS DECIMAL(28,9))) AS s
+         |  FROM embeddings, UNNEST(generate_series(1, $CovDims)) a(i)
+         |  GROUP BY 1)
+         |SELECT p.i, p.j, n,
+         |  round(CAST(sp AS DOUBLE) / n
+         |    - (CAST(mi.s AS DOUBLE) / n) * (CAST(mj.s AS DOUBLE) / n), 9)
+         |    AS cov
+         |FROM pairs p JOIN means mi ON p.i = mi.i JOIN means mj ON p.j = mj.i
+         |ORDER BY p.i, p.j""".stripMargin,
     // both rank lists re-derive from their own oracle definitions (BM25
     // SQL shared verbatim with text_bm25_topk); contributions 1/(60+rank)
     // round to 9dp and sum in exact DECIMAL

@@ -305,4 +305,20 @@ class SimilaritySpec extends AnyFunSuite {
     // consensus doc 20 beats even the top single-list doc 10
     assert(out(20L)._2 > out(10L)._2)
   }
+
+  test("embeddingCovariance: hand-checked 2-d case, upper triangle only") {
+    val emb = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)),
+      (2L, Array(1.0, 1.0)), (3L, Array(0.0, 0.0))).toDF("vec_id", "embedding")
+    val rows = Similarity.embeddingCovariance(emb, "embedding", 2)
+      .orderBy("i", "j").collect()
+    assert(rows.map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSeq ==
+      Seq((1L, 1L), (1L, 2L), (2L, 2L)))
+    val m = rows.map(r =>
+      (r.getAs[Long]("i"), r.getAs[Long]("j")) -> r.getAs[Double]("cov")).toMap
+    // means (0.5, 0.5): var = E[x²]−m² = 0.25; cov12 = E[xy]−m² = 0
+    assert(m((1L, 1L)) == 0.25 && m((2L, 2L)) == 0.25)
+    assert(m((1L, 2L)) == 0.0)
+    assert(rows.forall(_.getAs[Long]("n") == 4))
+  }
 }
