@@ -238,4 +238,47 @@ object EventOps {
         round(log((col("n_ab") * col("n_sessions")).cast("double") /
           (col("n_a") * col("n_b"))), 9).as("pmi"))
   }
+
+  /** Half-life decay weight 2^(−days/halfLifeDays) as a 9-dp DECIMAL
+    * literal, fixed at library level (the [[graft.ops.Eval.dcgWeight]]
+    * discipline: no runtime pow/exp can flip a bit between engines). */
+  def decayWeight(days: Int, halfLifeDays: Int): java.math.BigDecimal =
+    new java.math.BigDecimal(math.pow(2.0, -days.toDouble / halfLifeDays),
+      java.math.MathContext.DECIMAL64)
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+
+  /** Per-key exponentially-decayed value sum — the recency-weighted
+    * feature ("how active was this user, weighting yesterday over last
+    * month") every churn/engagement model starts with. Weight
+    * 2^(−Δdays/halfLife) relative to the CORPUS max day (one 1-row
+    * broadcast anchor), truncated to 0 past `horizonDays` — which turns
+    * the weight into a ≤horizon-entry literal table resolved per row, so
+    * scores contain no runtime transcendental at all: contributions are
+    * DECIMAL(18,2)·DECIMAL(10,9) exact products (precision 29 — safely
+    * under 38, no silent scale loss) summed exactly.
+    *
+    * One group-by shuffle. Returns (key, n_events, n_in_horizon,
+    * decay_weight, decay_value).
+    */
+  def decayedValueSum(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, halfLifeDays: Int, horizonDays: Int): DataFrame = {
+    val W9 = org.apache.spark.sql.types.DecimalType(10, 9)
+    val M2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val day = floor(unix_micros(col(tsCol)) / lit(86400000000L)).cast("long")
+    val anchor = df.agg(max(day).as("__anchor"))
+    val delta = col("__anchor") - col("__day")
+    val weight = (0 to horizonDays).foldLeft(lit(0).cast(W9)) { (acc, d) =>
+      when(delta === d, lit(decayWeight(d, halfLifeDays)).cast(W9))
+        .otherwise(acc)
+    }
+    df.select(col(keyCol), day.as("__day"),
+        round(col(valueCol), 2).cast(M2).as("__v"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("__w", weight)
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(delta <= horizonDays, 1L).otherwise(0L)).as("n_in_horizon"),
+        sum(col("__w")).cast("double").as("decay_weight"),
+        sum(col("__v") * col("__w")).cast("double").as("decay_value"))
+  }
 }

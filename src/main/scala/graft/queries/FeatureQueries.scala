@@ -228,6 +228,7 @@ object FeatureQueries {
       .limit(WilsonTopK)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "feat_decay_value" -> decayValue,
     "feat_session_pmi" -> sessionPmi,
     "feat_wilson_rank" -> wilsonRank,
     "feat_pagerank" -> pageRankSuppliers,
@@ -273,7 +274,42 @@ object FeatureQueries {
        |FROM r3 ORDER BY node""".stripMargin
   }
 
+  private val DecayHalfLife = 7
+  private val DecayHorizon = 30
+
+  /** Per-user half-life-decayed purchase value relative to the corpus max
+    * day ([[graft.ops.EventOps.decayedValueSum]]) — the recency-weighted
+    * engagement feature, weights from the shared literal table.
+    */
+  def decayValue(spark: SparkSession, dir: String): DataFrame =
+    EventOps.decayedValueSum(
+        Tables.events(spark, dir).filter(col("event_type") === "purchase"),
+        "user_id", "ts", "value", DecayHalfLife, DecayHorizon)
+      .orderBy("user_id")
+
   val oracle: Map[String, String] = Map(
+    // weight CASE chain shares EventOps.decayWeight's DECIMAL literals;
+    // contributions are exact DECIMAL(18,2)·DECIMAL(10,9) products
+    "feat_decay_value" -> {
+      val arms = (0 to DecayHorizon).map { d =>
+        val w = EventOps.decayWeight(d, DecayHalfLife)
+        s"WHEN delta = $d THEN CAST($w AS DECIMAL(10,9))"
+      }.mkString(" ")
+      s"""WITH e AS (SELECT user_id,
+         |    epoch_us(ts) // 86400000000 AS day,
+         |    CAST(round(value, 2) AS DECIMAL(18,2)) AS v
+         |  FROM events WHERE event_type = 'purchase'),
+         |a AS (SELECT max(day) AS anchor FROM e),
+         |w AS (SELECT user_id, v, anchor - day AS delta,
+         |    CASE $arms ELSE CAST(0 AS DECIMAL(10,9)) END AS wt
+         |  FROM e CROSS JOIN a)
+         |SELECT user_id, count(*) AS n_events,
+         |  CAST(sum(CASE WHEN delta <= $DecayHorizon THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_in_horizon,
+         |  CAST(sum(wt) AS DOUBLE) AS decay_weight,
+         |  CAST(sum(v * wt) AS DOUBLE) AS decay_value
+         |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
     // sessionize CTEs shared with prep_sessionize (full stream, no user
     // filter); presence-distinct per session, integer products exact in
     // BIGINT, one division + ln rounded 9 dp
