@@ -228,6 +228,7 @@ object FeatureQueries {
       .limit(WilsonTopK)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "feat_attribution_window" -> attributionWindow,
     "feat_decay_value" -> decayValue,
     "feat_session_pmi" -> sessionPmi,
     "feat_wilson_rank" -> wilsonRank,
@@ -276,6 +277,34 @@ object FeatureQueries {
 
   private val DecayHalfLife = 7
   private val DecayHorizon = 30
+  private val AttribWindowUs = 3600L * 1000000L // 1 h before each purchase
+
+  /** Click-attribution counts per purchase: every click in the hour before
+    * a purchase (same user) attributes to it, via the bucketed range join
+    * ([[graft.ops.RangeJoin.bucketed]], bucket = window width → ≤2 buckets
+    * per interval). Purchases with no attributable clicks keep a zero row.
+    */
+  def attributionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        (unix_micros(col("ts")) - AttribWindowUs).as("lo"),
+        unix_micros(col("ts")).as("hi"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        round(col("value"), 2).cast(DecimalType(18, 2)).as("v"))
+    val attributed = graft.ops.RangeJoin.bucketed(clicks, purchases,
+        Seq("user_id"), "t", "lo", "hi", AttribWindowUs)
+      .groupBy("user_id", "purchase_id")
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(col("v")).cast("double").as("click_value"))
+    purchases.select("user_id", "purchase_id")
+      .join(attributed, Seq("user_id", "purchase_id"), "left_outer")
+      .select(col("user_id"), col("purchase_id"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("click_value"), lit(0.0)).as("click_value"))
+      .orderBy("user_id", "purchase_id")
+  }
 
   /** Per-user half-life-decayed purchase value relative to the corpus max
     * day ([[graft.ops.EventOps.decayedValueSum]]) — the recency-weighted
@@ -288,6 +317,24 @@ object FeatureQueries {
       .orderBy("user_id")
 
   val oracle: Map[String, String] = Map(
+    // the bucketed equi-join ≡ the declarative BETWEEN join
+    "feat_attribution_window" ->
+      s"""WITH p AS (SELECT user_id, event_id AS purchase_id,
+         |    epoch_us(ts) - $AttribWindowUs AS lo, epoch_us(ts) AS hi
+         |  FROM events WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, epoch_us(ts) AS t,
+         |    CAST(round(value, 2) AS DECIMAL(18,2)) AS v
+         |  FROM events WHERE event_type = 'click'),
+         |a AS (SELECT p.user_id, p.purchase_id, count(*) AS n_clicks,
+         |    CAST(sum(v) AS DOUBLE) AS click_value
+         |  FROM p JOIN c ON p.user_id = c.user_id
+         |    AND c.t >= p.lo AND c.t <= p.hi
+         |  GROUP BY 1, 2)
+         |SELECT p.user_id, p.purchase_id,
+         |  coalesce(a.n_clicks, 0) AS n_clicks,
+         |  coalesce(a.click_value, 0.0) AS click_value
+         |FROM p LEFT JOIN a USING (user_id, purchase_id)
+         |ORDER BY user_id, purchase_id""".stripMargin,
     // weight CASE chain shares EventOps.decayWeight's DECIMAL literals;
     // contributions are exact DECIMAL(18,2)·DECIMAL(10,9) products
     "feat_decay_value" -> {
