@@ -247,6 +247,31 @@ object EventOps {
       java.math.MathContext.DECIMAL64)
       .setScale(9, java.math.RoundingMode.HALF_UP)
 
+  /** Per-key activity-gap report over integer epoch days — the
+    * feature-store QA check for silent pipeline holes (a user "active" for
+    * a 40-day span with 12 missing days usually means a broken upstream
+    * feed, not a vacation): active-day count, span, missing days and the
+    * longest gap. One distinct (key, day) aggregate (map-side combined),
+    * one key-window lag over the per-key DAY relation (bounded by active
+    * days, never events). Returns (key, n_days, span_days, missing_days,
+    * max_gap_days).
+    */
+  def activityGaps(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val day = floor(unix_micros(col(tsCol)) / lit(86400000000L)).cast("long")
+    val days = df.select(col(keyCol), day.as("__day")).distinct()
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__day"))
+    // window and group-by share the key → the exchange is reused
+    days
+      .withColumn("__gap", col("__day") - lag(col("__day"), 1).over(w) - 1)
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_days"),
+        (max(col("__day")) - min(col("__day")) + 1).as("span_days"),
+        coalesce(max(col("__gap")), lit(0L)).as("max_gap_days"))
+      .select(col(keyCol), col("n_days"), col("span_days"),
+        (col("span_days") - col("n_days")).as("missing_days"),
+        col("max_gap_days"))
+  }
+
   /** Per-key exponentially-decayed value sum — the recency-weighted
     * feature ("how active was this user, weighting yesterday over last
     * month") every churn/engagement model starts with. Weight

@@ -78,4 +78,43 @@ object Profiler {
         col("n_distinct"), col("min_v"), col("max_v"),
         (col("sum_v") / col("n_present")).as("mean_v"))
   }
+
+  /** Per-column Shannon entropy (bits) and Gini impurity — the
+    * information-content row of the dataset card (a 0-entropy column is
+    * dead weight; a near-log2(n) one is an id in disguise). Same one-scan
+    * unpivot → (col, value) pre-aggregate shape as the exact [[profile]]
+    * path; both statistics then reduce over the distinct-value relation.
+    *
+    * Gini stays integer until ONE division: 1 − Σc²/n² = (n² − Σc²)/n².
+    * Entropy contributions −(c/n)·log2(c/n) are a fixed IEEE sequence
+    * rounded to 9 dp and DECIMAL-summed (the PMI/bigram-LM log
+    * discipline). Values hash as strings so mixed-type column sets
+    * profile in one pass. Returns (col_name, n, n_distinct, entropy_bits,
+    * gini).
+    */
+  def entropyProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "entropyProfile needs at least one column")
+    val Exact9 = org.apache.spark.sql.types.DecimalType(28, 9)
+    val stacked = cols
+      .map(c => s"'$c', CAST($c AS STRING)").mkString(", ")
+    val counts = df
+      .select(expr(s"stack(${cols.size}, $stacked) AS (col_name, v)"))
+      .filter(col("v").isNotNull)
+      .groupBy("col_name", "v")
+      .agg(count(lit(1)).as("c"))
+    val p = col("c").cast(DoubleType) / col("__n")
+    counts
+      .withColumn("__n", sum("c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("col_name")))
+      .groupBy("col_name")
+      .agg(max(col("__n")).as("n"),
+        count(lit(1)).as("n_distinct"),
+        sum(round(-p * log2(p), 9).cast(Exact9)).cast(DoubleType)
+          .as("entropy_bits"),
+        sum(col("c") * col("c")).as("__ss"))
+      .select(col("col_name"), col("n"), col("n_distinct"),
+        col("entropy_bits"),
+        round((col("n") * col("n") - col("__ss")).cast(DoubleType) /
+          (col("n") * col("n")), 9).as("gini"))
+  }
 }

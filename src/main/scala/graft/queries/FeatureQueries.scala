@@ -228,6 +228,7 @@ object FeatureQueries {
       .limit(WilsonTopK)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "feat_activity_gaps" -> activityGaps,
     "feat_attribution_window" -> attributionWindow,
     "feat_decay_value" -> decayValue,
     "feat_session_pmi" -> sessionPmi,
@@ -316,7 +317,28 @@ object FeatureQueries {
         "user_id", "ts", "value", DecayHalfLife, DecayHorizon)
       .orderBy("user_id")
 
+  /** Per-user activity-gap QA report over epoch days
+    * ([[graft.ops.EventOps.activityGaps]]) — the silent-pipeline-hole
+    * check run before trusting rolling features.
+    */
+  def activityGaps(spark: SparkSession, dir: String): DataFrame =
+    EventOps.activityGaps(Tables.events(spark, dir), "user_id", "ts")
+      .orderBy("user_id")
+
   val oracle: Map[String, String] = Map(
+    "feat_activity_gaps" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |g AS (SELECT user_id, day,
+        |    day - lag(day) OVER (PARTITION BY user_id ORDER BY day) - 1
+        |      AS gap
+        |  FROM d)
+        |SELECT user_id, count(*) AS n_days,
+        |  CAST(max(day) - min(day) + 1 AS BIGINT) AS span_days,
+        |  CAST(max(day) - min(day) + 1 - count(*) AS BIGINT)
+        |    AS missing_days,
+        |  CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_days
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the bucketed equi-join ≡ the declarative BETWEEN join
     "feat_attribution_window" ->
       s"""WITH p AS (SELECT user_id, event_id AS purchase_id,

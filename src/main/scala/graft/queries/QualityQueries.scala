@@ -249,7 +249,20 @@ object QualityQueries {
         ProfileCols)
       .orderBy("col_a", "col_b")
 
+  private val EntropyCols =
+    Seq("l_linestatus", "l_quantity", "l_returnflag", "l_tax")
+
+  /** Per-column Shannon entropy + Gini impurity of a mixed-type lineitem
+    * column set ([[graft.quality.Profiler.entropyProfile]]) — the
+    * information-content row of the dataset card.
+    */
+  def entropyProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.quality.Profiler.entropyProfile(Tables.lineitem(spark, dir),
+        EntropyCols)
+      .orderBy("col_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_entropy_profile" -> entropyProfile,
     "quality_corr_matrix" -> corrMatrix,
     "quality_table_profile" -> tableProfile,
     "quality_feature_relevance" -> featureRelevance,
@@ -265,6 +278,26 @@ object QualityQueries {
     "quality_dup_ratio_documents" -> dupRatioDocuments)
 
   val oracle: Map[String, String] = Map(
+    // entropy contributions −(c/n)·log2(c/n) rounded 9dp + DECIMAL-summed;
+    // gini integer until one division; values hashed as strings
+    "quality_entropy_profile" -> {
+      val branches = EntropyCols.map { c =>
+        s"""SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS v
+           |FROM lineitem WHERE $c IS NOT NULL""".stripMargin
+      }
+      s"""WITH s AS (${branches.mkString("\n", "\nUNION ALL\n", "\n")}),
+         |cnt AS (SELECT col_name, v, count(*) AS c FROM s GROUP BY 1, 2),
+         |t AS (SELECT col_name, v, c, sum(c) OVER (PARTITION BY col_name)
+         |        AS n FROM cnt)
+         |SELECT col_name, CAST(max(n) AS BIGINT) AS n,
+         |  count(*) AS n_distinct,
+         |  CAST(sum(CAST(round(-(CAST(c AS DOUBLE) / n)
+         |      * log2(CAST(c AS DOUBLE) / n), 9) AS DECIMAL(28,9)))
+         |    AS DOUBLE) AS entropy_bits,
+         |  round(CAST(max(n) * max(n) - sum(c * c) AS DOUBLE)
+         |    / (max(n) * max(n)), 9) AS gini
+         |FROM t GROUP BY col_name ORDER BY col_name""".stripMargin
+    },
     // same wide-aggregate + fixed IEEE sequence as pearsonMatrix: exact
     // DECIMAL sums, (n·Σxy − ΣxΣy)/(√dx·√dy) over doubles cast from them
     "quality_corr_matrix" -> {

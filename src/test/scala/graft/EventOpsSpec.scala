@@ -206,4 +206,21 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got("big")._3 == ref(90, 100, 1.96))
     assert(got("tiny")._3 == ref(1, 1, 1.96))
   }
+
+  test("activityGaps: span/missing/max-gap from distinct active days") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val us = 86400000000L
+    // u: days 0,1,4,5,9 (two events day 0) → n=5 span=10 missing=5 gap=3
+    // v: single day → span 1, missing 0, gap 0
+    val rows = Seq(("u", 0L), ("u", 0L), ("u", 1L), ("u", 4L), ("u", 5L),
+      ("u", 9L), ("v", 3L)).map { case (k, d) => (k, d * us + 42L) }
+    val df = rows.toDF("k", "ts_us")
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+    val got = EventOps.activityGaps(df, "k", "ts").collect()
+      .map(r => r.getAs[String]("k") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("span_days"),
+          r.getAs[Long]("missing_days"), r.getAs[Long]("max_gap_days"))).toMap
+    assert(got("u") == ((5L, 10L, 5L, 3L)))
+    assert(got("v") == ((1L, 1L, 0L, 0L)))
+  }
 }

@@ -92,6 +92,26 @@ class QualitySpec extends AnyFunSuite {
     assert(fo.getAs[Double]("mad") == 0.0 && fo.getAs[Long]("n_outliers") == 1L)
   }
 
+  test("Profiler.entropyProfile: uniform = log2(k) bits, constant = 0") {
+    import org.apache.spark.sql.functions.col
+    // a: 4 equally-likely values → 2 bits; b: constant → 0 bits, gini 0;
+    // c: unique per row → log2(8) = 3 bits, gini = 1 − 8/64
+    val df = (0 until 8).map(i => (i % 4, "x", i)).toDF("a", "b", "c")
+    val m = quality.Profiler.entropyProfile(df, Seq("a", "b", "c"))
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(m("a").getAs[Double]("entropy_bits") == 2.0)
+    assert(m("a").getAs[Long]("n_distinct") == 4)
+    assert(m("b").getAs[Double]("entropy_bits") == 0.0)
+    assert(m("b").getAs[Double]("gini") == 0.0)
+    assert(m("c").getAs[Double]("entropy_bits") == 3.0)
+    assert(m("c").getAs[Double]("gini") == 1.0 - 8.0 / 64)
+    // null values are excluded, not a category
+    val withNull = Seq(Some("p"), Some("p"), None).map(Tuple1(_)).toDF("a")
+    val r = quality.Profiler.entropyProfile(withNull, Seq("a"))
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 2 && r.getAs[Double]("entropy_bits") == 0.0)
+  }
+
   test("Profiler: exact per-column stats in one pass, approx swap works") {
     val df = Seq[(java.lang.Double, java.lang.Double)](
       (1.0, 10.0), (2.0, 10.0), (3.0, null), (1.0, 20.0))
