@@ -27,6 +27,10 @@ object Bench {
     // min is the least-noise estimate of the query's true cost)
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = selected.map { case (name, fn) =>
+      // settle the heap between queries: without this a query pays for the
+      // previous query's garbage and can read 3-4x its solo cost when both
+      // min-of-N passes land beside a GC-heavy neighbor
+      System.gc()
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: full materialization of every output row — count() would

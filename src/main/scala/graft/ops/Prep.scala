@@ -642,4 +642,29 @@ object Prep {
     hashRankedBy(df, Nil, keyCol,
       md5(concat_ws(":", lit(seed), col(keyCol).cast("string"))))
       .select(df.columns.map(col) :+ col("sample_rank").as("shuffle_pos"): _*)
+
+  /** Rank (quantile) normalization — the probability-integral transform
+    * that turns any feature distribution uniform on (0,1]:
+    * `pct_rank = cume_dist = #{values ≤ v} / n`. The monotone, outlier-
+    * immune scaling tree models and quantile-matching pipelines use where
+    * z-scores ([[standardize]]) assume gaussianity.
+    *
+    * Scale shape: the cumulative walk runs over the DISTINCT-VALUE grid
+    * (bounded support under the 2-dp money discipline — the KS-grid
+    * argument), which then broadcasts back onto the rows; rows themselves
+    * never sort globally. Ties share one deterministic value by
+    * construction; p is ONE integer division. NULL values keep NULL rank.
+    */
+  def rankNormalize(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast(DecimalType(18, 2))
+    val cum = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = df.filter(v.isNotNull)
+      .groupBy(v.as("__v")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum("__c").over(cum))
+      .withColumn("__n", sum("__c").over(Window.partitionBy()))
+      .select(col("__v"),
+        round(col("__cum").cast("double") / col("__n"), 9).as("pct_rank"))
+    df.join(broadcast(grid), v === col("__v"), "left_outer").drop("__v")
+  }
 }

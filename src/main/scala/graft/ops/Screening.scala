@@ -134,6 +134,33 @@ object Screening {
       Seq(col("n"), col("s"), round(lb, 9).as("wilson_lb")): _*)
   }
 
+  /** Exact join-size prediction WITHOUT executing the join — the planning
+    * diagnostic run before committing a 100 TB shuffle (pairs with the
+    * per-key skew report, [[graft.ops.Skew]]): per-key counts of both
+    * sides join on the key (two count-relation shuffles, never data), and
+    * |A ⋈ B| = Σ c_a·c_b over shared keys. `max_key_rows` is the largest
+    * single key's contribution — the number that says "salt this join".
+    * Returns one row: (n_left, n_right, n_keys_left, n_keys_right,
+    * n_keys_both, join_rows, max_key_rows).
+    */
+  def joinSizeEstimate(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String): DataFrame = {
+    val la = left.groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("ca"))
+    val ra = right.groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("cb"))
+    val joined = la.join(ra, Seq("k"))
+      .agg(count(lit(1)).as("n_keys_both"),
+        sum((col("ca") * col("cb")).cast(DecimalType(38, 0)))
+          .cast("long").as("join_rows"),
+        max(col("ca") * col("cb")).as("max_key_rows"))
+    val lt = la.agg(sum("ca").as("n_left"),
+      count(lit(1)).as("n_keys_left"))
+    val rt = ra.agg(sum("cb").as("n_right"),
+      count(lit(1)).as("n_keys_right"))
+    lt.crossJoin(broadcast(rt)).crossJoin(broadcast(joined))
+      .select("n_left", "n_right", "n_keys_left", "n_keys_right",
+        "n_keys_both", "join_rows", "max_key_rows")
+  }
+
   /** Pairwise Pearson correlation of ≤2-dp numeric columns in ONE pass:
     * a single wide aggregate collects n, Σx, Σx² and every Σxy cross
     * product (all exact DECIMAL — 2-dp inputs make 4-dp products exact),

@@ -309,7 +309,18 @@ object PrepQueries {
         "doc_id", ShuffleSeed)
       .orderBy("shuffle_pos")
 
+  /** Quantile normalization of customer account balance
+    * ([[graft.ops.Prep.rankNormalize]]) — the outlier-immune uniform
+    * rescaling; ties share one rank by construction.
+    */
+  def rankNormalizeAcctbal(spark: SparkSession, dir: String): DataFrame =
+    Prep.rankNormalize(
+        Tables.customer(spark, dir).select("c_custkey", "c_acctbal"),
+        "c_acctbal")
+      .orderBy("c_custkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "prep_rank_normalize" -> rankNormalizeAcctbal,
     "prep_global_shuffle" -> globalShuffleDocs,
     "prep_dsir_weights" -> dsirWeights,
     "prep_negative_sample" -> negativeSample,
@@ -341,6 +352,19 @@ object PrepQueries {
     s"('0x' || substr(md5($expr), 1, 12))::BIGINT % $buckets"
 
   val oracle: Map[String, String] = Map(
+    // cume_dist over the distinct-value grid ≡ per-row cume_dist
+    "prep_rank_normalize" ->
+      """WITH g AS (
+        |  SELECT CAST(c_acctbal AS DECIMAL(18,2)) AS v, count(*) AS c
+        |  FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1),
+        |w AS (SELECT v,
+        |    round(CAST(sum(c) OVER (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |      / sum(c) OVER (), 9) AS pct_rank
+        |  FROM g)
+        |SELECT c_custkey, c_acctbal, pct_rank
+        |FROM customer LEFT JOIN w ON CAST(c_acctbal AS DECIMAL(18,2)) = v
+        |ORDER BY c_custkey""".stripMargin,
     // the two-phase salted ranking ≡ one global (md5(seed:key), key) sort
     "prep_global_shuffle" ->
       s"""SELECT doc_id, lang,

@@ -261,7 +261,18 @@ object QualityQueries {
         EntropyCols)
       .orderBy("col_name")
 
+  /** Exact orders ⋈ lineitem join-size prediction from per-key counts
+    * ([[graft.ops.Screening.joinSizeEstimate]]) — the pre-shuffle
+    * planning diagnostic (join_rows + the salt-this-join max key).
+    */
+  def joinSize(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Screening.joinSizeEstimate(
+        Tables.orders(spark, dir), Tables.lineitem(spark, dir),
+        "o_orderkey", "l_orderkey")
+      .orderBy("n_left")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_join_size" -> joinSize,
     "quality_entropy_profile" -> entropyProfile,
     "quality_corr_matrix" -> corrMatrix,
     "quality_table_profile" -> tableProfile,
@@ -278,6 +289,23 @@ object QualityQueries {
     "quality_dup_ratio_documents" -> dupRatioDocuments)
 
   val oracle: Map[String, String] = Map(
+    // Σ ca·cb over shared keys ≡ |A ⋈ B| without executing the join
+    "quality_join_size" ->
+      """WITH la AS (SELECT o_orderkey AS k, count(*) AS ca FROM orders
+        |            GROUP BY 1),
+        |ra AS (SELECT l_orderkey AS k, count(*) AS cb FROM lineitem
+        |       GROUP BY 1),
+        |j AS (SELECT count(*) AS n_keys_both,
+        |    CAST(sum(ca * cb) AS BIGINT) AS join_rows,
+        |    CAST(max(ca * cb) AS BIGINT) AS max_key_rows
+        |  FROM la JOIN ra USING (k)),
+        |lt AS (SELECT CAST(sum(ca) AS BIGINT) AS n_left,
+        |    count(*) AS n_keys_left FROM la),
+        |rt AS (SELECT CAST(sum(cb) AS BIGINT) AS n_right,
+        |    count(*) AS n_keys_right FROM ra)
+        |SELECT n_left, n_right, n_keys_left, n_keys_right, n_keys_both,
+        |  join_rows, max_key_rows
+        |FROM lt CROSS JOIN rt CROSS JOIN j ORDER BY n_left""".stripMargin,
     // entropy contributions −(c/n)·log2(c/n) rounded 9dp + DECIMAL-summed;
     // gini integer until one division; values hashed as strings
     "quality_entropy_profile" -> {

@@ -168,4 +168,45 @@ class PlanSpec extends AnyFunSuite {
     assert(!s.contains("CartesianProduct"), s)
     assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(s).size <= 2, s)
   }
+
+  test("bucketed range join plans as an equi-join, never nested-loop") {
+    val s = planString(
+      graft.queries.FeatureQueries.attributionWindow(spark, dir))
+    assert(!s.contains("CartesianProduct"), s)
+    // the point⋈interval join is (key, bucket) hash-joinable; the only
+    // BNLJ-able piece would be the BETWEEN filter, which must appear as a
+    // post-join Filter/condition, not a join strategy of its own
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(s).nonEmpty, s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("global shuffle rank: no unpartitioned data-sized window") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "lang")
+    val s = planString(graft.ops.Prep.globalShuffle(docs, "doc_id", "g"))
+    // every Window over row data must partition by the salt; the offsets
+    // relation arrives broadcast
+    val windowLines = s.linesIterator.filter(_.contains("Window"))
+      .mkString("\n")
+    assert(windowLines.contains("__salt"), windowLines)
+    assert(s.contains("BroadcastHashJoin"), s)
+  }
+
+  test("gopher filter is scan + project only — zero exchanges before output") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val s = planString(graft.ops.TextAnalysis.gopherRules(
+      docs, "doc_id", "text", stopwords = Seq("the")))
+    assert(!s.contains("Exchange"), s)
+  }
+
+  test("retrieval eval: corpus scans once, query+counts arrive broadcast") {
+    val s = planString(
+      graft.queries.EvalQueries.retrievalLabels(spark, dir))
+    // corpus side must not shuffle before the per-query ranking window;
+    // the only exchanges are the per-query window hash and output sort
+    assert(!s.contains("CartesianProduct"), s)
+    assert("BroadcastNestedLoopJoin|BroadcastHashJoin".r
+      .findAllIn(s).nonEmpty, s)
+  }
 }
