@@ -98,6 +98,19 @@ object SimilarityQueries {
         "vec_id", "embedding", NearDupThreshold, bandPlanes)
       .orderBy("id_a", "id_b")
 
+  /** Triangle census of the near-dup similarity graph
+    * ([[graft.ops.Graph.triangles]] over [[lshNearDupPairs]] edges) — the
+    * cluster-cohesion read on dedup candidates: triangle-rich components
+    * are true duplicate clusters, triangle-free stars are often one hub
+    * matching many unrelated docs.
+    */
+  def neardupTriangles(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.triangles(
+        Similarity.lshNearDupPairs(Tables.embeddings(spark, dir),
+          "vec_id", "embedding", NearDupThreshold, bandPlanes),
+        "id_a", "id_b")
+      .orderBy("n_nodes")
+
   private val CovDims = 16
 
   /** Upper-triangle covariance of the first 16 embedding dimensions
@@ -279,6 +292,7 @@ object SimilarityQueries {
     "sim_brute_topk" -> bruteTopK,
     "sim_semantic_dedup" -> semanticDedup,
     "sim_lsh_neardup_pairs" -> lshNearDupPairs,
+    "sim_neardup_triangles" -> neardupTriangles,
     "sim_lsh_topk" -> lshTopK,
     "sim_rrf_fusion" -> rrfFusion,
     "sim_embedding_cov" -> embeddingCov,
@@ -306,6 +320,19 @@ object SimilarityQueries {
     }.mkString("(", " + ", ")")
 
   private def bucketSql(vecExpr: String): String = bucketSqlFor(vecExpr, planes)
+
+  // shared edge relation: LSH-banded + exact-verified near-dup pairs
+  // (the sim_lsh_neardup_pairs body, reused by the triangle census)
+  private val nearDupEdgesCte =
+    s"""b AS (SELECT vec_id AS id, embedding AS v,
+       |  ${bucketSqlFor("embedding", bandPlanes(0))} AS bk0,
+       |  ${bucketSqlFor("embedding", bandPlanes(1))} AS bk1
+       |  FROM embeddings),
+       |ndedges AS (
+       |  SELECT a.id AS id_a, c.id AS id_b, ${cosineSql("a.v", "c.v")} AS cos
+       |  FROM b a JOIN b c ON a.id < c.id
+       |    AND (a.bk0 = c.bk0 OR a.bk1 = c.bk1)
+       |  WHERE ${cosineSql("a.v", "c.v")} >= $NearDupThreshold)""".stripMargin
 
   private val knnJoinSql =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
@@ -473,15 +500,33 @@ object SimilarityQueries {
     // by exact cosine — the OR-join enumerates the identical pair set the
     // Spark side's banded explode + first-collision residual produces once
     "sim_lsh_neardup_pairs" ->
-      s"""WITH b AS (SELECT vec_id AS id, embedding AS v,
-         |  ${bucketSqlFor("embedding", bandPlanes(0))} AS bk0,
-         |  ${bucketSqlFor("embedding", bandPlanes(1))} AS bk1
-         |  FROM embeddings)
-         |SELECT a.id AS id_a, c.id AS id_b, ${cosineSql("a.v", "c.v")} AS cos
-         |FROM b a JOIN b c ON a.id < c.id
-         |  AND (a.bk0 = c.bk0 OR a.bk1 = c.bk1)
-         |WHERE ${cosineSql("a.v", "c.v")} >= $NearDupThreshold
+      s"""WITH $nearDupEdgesCte
+         |SELECT id_a, id_b, cos FROM ndedges
          |ORDER BY id_a, id_b""".stripMargin,
+    // Schank degree-ordered orientation mirrored in SQL over the same
+    // edge CTE: orient from the (degree, id)-smaller endpoint, wedge on
+    // shared source, close against the canonical (min,max) edge list
+    "sim_neardup_triangles" ->
+      s"""WITH $nearDupEdgesCte,
+         |und AS (SELECT DISTINCT id_a AS u, id_b AS v FROM ndedges),
+         |deg AS (SELECT n, count(*) AS d FROM
+         |    (SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und) t
+         |  GROUP BY 1),
+         |ori AS (SELECT
+         |    CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND u < v)
+         |      THEN u ELSE v END AS s,
+         |    CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND u < v)
+         |      THEN v ELSE u END AS t
+         |  FROM und JOIN deg d1 ON u = d1.n JOIN deg d2 ON v = d2.n),
+         |w AS (SELECT a.t AS w1, b2.t AS w2 FROM ori a
+         |      JOIN ori b2 ON a.s = b2.s AND a.t < b2.t),
+         |cw AS (SELECT count(*) AS n_wedges,
+         |    CAST(coalesce(sum(CASE WHEN c.u IS NOT NULL THEN 1 ELSE 0 END),
+         |      0) AS BIGINT) AS n_triangles
+         |  FROM w LEFT JOIN und c ON w.w1 = c.u AND w.w2 = c.v)
+         |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+         |  (SELECT count(*) FROM und) AS n_edges, n_wedges, n_triangles
+         |FROM cw ORDER BY n_nodes""".stripMargin,
     "sim_lsh_topk" ->
       s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
          |           FROM embeddings),

@@ -45,4 +45,27 @@ class GraphSpec extends AnyFunSuite {
     assert(d("a") == ((1L, 1L)))
     assert(d("lone") == ((1L, 0L)))
   }
+
+  test("triangles: hand-checked counts, duplicates and orientation collapse") {
+    // triangle {1,2,3} + dangling edge 3-4, with duplicate and reversed
+    // spellings of the same edges
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 4L)) // self-loop dropped
+      .toDF("a", "b")
+    val r = Graph.triangles(e, "a", "b").collect()(0)
+    assert(r.getAs[Long]("n_nodes") == 4 && r.getAs[Long]("n_edges") == 4)
+    assert(r.getAs[Long]("n_triangles") == 1)
+    // 4-clique: C(4,3) = 4 triangles, every vertex bounded outdeg
+    val k4 = (for { i <- 1L to 4L; j <- 1L to 4L if i < j } yield (i, j))
+      .toDF("a", "b")
+    assert(Graph.triangles(k4, "a", "b").collect()(0)
+      .getAs[Long]("n_triangles") == 4)
+    // star (hub to 5 leaves): degree orientation points every edge INTO
+    // the hub, so the celebrity vertex generates ZERO wedges — the exact
+    // skew-immunity the orientation exists for
+    val star = (1L to 5L).map(i => (0L, i)).toDF("a", "b")
+    val s = Graph.triangles(star, "a", "b").collect()(0)
+    assert(s.getAs[Long]("n_triangles") == 0)
+    assert(s.getAs[Long]("n_wedges") == 0)
+  }
 }
