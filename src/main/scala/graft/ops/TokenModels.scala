@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -138,5 +139,58 @@ object TokenModels {
       .select(col("id").as(idCol),
         col("best.__y").as("predicted"),
         round(col("best.score").cast("double"), 6).as("best_bits"))
+  }
+
+  /** Tokenizer-vocabulary construction: terms with corpus count ≥
+    * `minCount`, assigned CONTIGUOUS ids in (count desc, term asc) order —
+    * the id layout every embedding table expects (frequent terms get small
+    * ids; rank ≈ log-frequency under Zipf).
+    *
+    * Ranking a vocabulary-sized relation must not become one global
+    * window: the two-phase trick (the [[graft.ops.Prep]] sample-rank
+    * family) applies because the salt — the term's 2-char prefix — is a
+    * PREFIX of the within-count sort order, so global id =
+    * broadcast offset of the (count, salt) range + local row_number
+    * within it. The per-(count,salt) offsets relation is tiny; the global
+    * walk happens over THAT, never over terms. Returns
+    * (term, term_count, term_id), ids 1-based.
+    */
+  def buildVocab(docs: DataFrame, textCol: String, minCount: Long)
+      : DataFrame = {
+    val counts = docs.select(explode(toks(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("term_count"))
+      .filter(col("term_count") >= minCount)
+      .withColumn("__salt", substring(col("term"), 1, 2))
+    val offsets = counts.groupBy("term_count", "__salt")
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__offset", coalesce(sum("__c").over(
+        Window.orderBy(col("term_count").desc, col("__salt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__c")
+    val wLocal = Window.partitionBy(col("term_count"), col("__salt"))
+      .orderBy(col("term"))
+    counts
+      .withColumn("__lrn", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), Seq("term_count", "__salt"))
+      .select(col("term"), col("term_count"),
+        (col("__lrn") + col("__offset")).as("term_id"))
+  }
+
+  /** Encode documents against a [[buildVocab]] vocabulary: one row per
+    * token position, OOV terms mapped to id 0. The vocabulary joins
+    * BROADCAST by default (embedding-table-sized); pass
+    * `broadcastVocab = false` for open-vocabulary corpora (the
+    * [[graft.ops.Prep.tfidf]] fallback discipline). Returns
+    * (id, pos, term, term_id).
+    */
+  def encodeDocs(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, broadcastVocab: Boolean = true): DataFrame = {
+    val v = vocab.select(col("term"), col("term_id"))
+    val exploded = docs.select(col(idCol).as("id"),
+      posexplode(toks(col(textCol))).as(Seq("pos", "term")))
+    exploded
+      .join(if (broadcastVocab) broadcast(v) else v, Seq("term"), "left_outer")
+      .select(col("id"), col("pos").cast("long").as("pos"), col("term"),
+        coalesce(col("term_id"), lit(0L)).as("term_id"))
   }
 }

@@ -166,7 +166,31 @@ object TextQueries {
     TextAnalysis.tokenFertility(Tables.documents(spark, dir), "text", "lang")
       .orderBy("lang")
 
+  private val VocabMinCount = 5L
+
+  /** Tokenizer vocabulary: contiguous frequency-ranked ids for every term
+    * with count ≥ 5 ([[graft.ops.TokenModels.buildVocab]] — two-phase
+    * ranking, no vocabulary-sized global window).
+    */
+  def vocab(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TokenModels.buildVocab(Tables.documents(spark, dir), "text",
+        VocabMinCount)
+      .orderBy("term_id")
+
+  /** The first 20 documents encoded against that vocabulary, OOV → 0
+    * ([[graft.ops.TokenModels.encodeDocs]]).
+    */
+  def vocabEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.ops.TokenModels.encodeDocs(docs.filter(col("doc_id") < 20),
+        "doc_id", "text",
+        graft.ops.TokenModels.buildVocab(docs, "text", VocabMinCount))
+      .orderBy("id", "pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab" -> vocab,
+    "text_vocab_encode" -> vocabEncode,
     "text_token_fertility" -> tokenFertility,
     "text_gopher_filter" -> gopherFilter,
     "text_heavy_hitters" -> heavyHitters,
@@ -212,6 +236,33 @@ object TextQueries {
     Profiles.map(p => scoreSql(p._2)).mkString("greatest(", ", ", ")")
 
   val oracle: Map[String, String] = Map(
+    // the two-phase (count, term-prefix) ranking ≡ one global
+    // row_number over (count desc, term)
+    "text_vocab" ->
+      s"""WITH $toksCte,
+         |t AS (SELECT unnest(toks) AS term FROM d),
+         |c AS (SELECT term, count(*) AS term_count FROM t GROUP BY 1
+         |      HAVING count(*) >= $VocabMinCount)
+         |SELECT term, term_count,
+         |  CAST(row_number() OVER (ORDER BY term_count DESC, term)
+         |    AS BIGINT) AS term_id
+         |FROM c ORDER BY term_id""".stripMargin,
+    "text_vocab_encode" ->
+      s"""WITH $toksCte,
+         |t AS (SELECT unnest(toks) AS term FROM d),
+         |c AS (SELECT term, count(*) AS term_count FROM t GROUP BY 1
+         |      HAVING count(*) >= $VocabMinCount),
+         |v AS (SELECT term,
+         |    CAST(row_number() OVER (ORDER BY term_count DESC, term)
+         |      AS BIGINT) AS term_id
+         |  FROM c),
+         |e AS (SELECT doc_id AS id, toks[i] AS term,
+         |    CAST(i - 1 AS BIGINT) AS pos
+         |  FROM d, UNNEST(generate_series(1, len(toks))) u(i)
+         |  WHERE doc_id < 20)
+         |SELECT id, pos, e.term, coalesce(v.term_id, 0) AS term_id
+         |FROM e LEFT JOIN v ON e.term = v.term
+         |ORDER BY id, pos""".stripMargin,
     // strlen = bytes in DuckDB (Spark's octet_length); sums exact longs,
     // ratios one rounded IEEE division each
     "text_token_fertility" ->

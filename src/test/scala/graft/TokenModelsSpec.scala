@@ -59,4 +59,30 @@ class TokenModelsSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[String]("predicted")).distinct.toSeq
     assert(out == Seq("b"))
   }
+
+  test("buildVocab: two-phase ids ≡ global (count desc, term) row_number") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val docs = Seq.tabulate(80)(i =>
+      (i.toLong, Seq.fill(12)(s"w${rnd.nextInt(30)}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TokenModels.buildVocab(docs, "text", minCount = 2L)
+    val naive = got.select("term", "term_count")
+      .withColumn("ref_id", row_number().over(
+        Window.orderBy(col("term_count").desc, col("term"))).cast("long"))
+    val joined = got.join(naive, Seq("term", "term_count")).collect()
+    assert(joined.nonEmpty)
+    assert(joined.forall(r =>
+      r.getAs[Long]("term_id") == r.getAs[Long]("ref_id")))
+    // ids are contiguous 1..|V|
+    val ids = joined.map(_.getAs[Long]("term_id")).sorted
+    assert(ids.head == 1L && ids.last == ids.length.toLong)
+    // encode: OOV term maps to 0, in-vocab keeps its id and position
+    val enc = TokenModels.encodeDocs(
+      Seq((99L, "w0 zzz-never-seen")).toDF("doc_id", "text"),
+      "doc_id", "text", got).collect()
+      .map(r => r.getAs[Long]("pos") -> r.getAs[Long]("term_id")).toMap
+    assert(enc(1L) == 0L && enc(0L) > 0L)
+  }
 }
