@@ -239,6 +239,37 @@ object EventOps {
           (col("n_a") * col("n_b"))), 9).as("pmi"))
   }
 
+  /** Event-time lateness profile — the measurement that picks a streaming
+    * watermark: replay each key's events in ARRIVAL order (`arrivalCol`,
+    * e.g. an ingest sequence / event_id) and record how far each event's
+    * timestamp lags the running event-time maximum. The p-max of this
+    * distribution IS the watermark delay that would have bounded state
+    * without dropping data.
+    *
+    * One key-window pass (running max over arrival order); per-key
+    * aggregate of max/mean lateness and the late fraction beyond
+    * `lateThresholdUs`. Mean through exact integer sums, one division.
+    * Returns (key, n_events, n_late, max_lateness_us, mean_lateness_us).
+    */
+  def latenessProfile(df: DataFrame, keyCol: String, tsCol: String,
+      arrivalCol: String, lateThresholdUs: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__arr"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(keyCol), unix_micros(col(tsCol)).as("__ts"),
+        col(arrivalCol).as("__arr"))
+      .withColumn("__late",
+        greatest(coalesce(max(col("__ts")).over(w) - col("__ts"), lit(0L)),
+          lit(0L)))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("__late") > lateThresholdUs, 1L).otherwise(0L))
+          .as("n_late"),
+        max(col("__late")).as("max_lateness_us"),
+        round(sum(col("__late")).cast("double") / count(lit(1)), 9)
+          .as("mean_lateness_us"))
+  }
+
   /** Half-life decay weight 2^(−days/halfLifeDays) as a 9-dp DECIMAL
     * literal, fixed at library level (the [[graft.ops.Eval.dcgWeight]]
     * discipline: no runtime pow/exp can flip a bit between engines). */
@@ -270,6 +301,37 @@ object EventOps {
       .select(col(keyCol), col("n_days"), col("span_days"),
         (col("span_days") - col("n_days")).as("missing_days"),
         col("max_gap_days"))
+  }
+
+  /** Rolling-origin (expanding-window) cross-validation assignment — the
+    * time-series evaluation protocol where each fold trains on everything
+    * up to a cut and tests on the next `horizonDays` (Tashman 2000; the
+    * temporal sibling of [[graft.ops.Prep.kfold]], which would leak
+    * future→past if applied to time-series). Fold k's test window ends at
+    * the corpus max day (1-row broadcast anchor); earlier folds step back
+    * one horizon each.
+    *
+    * Output is one row per (row, fold) membership — train rows replicate
+    * to every fold whose cut they precede (bounded ×folds explode, zero
+    * shuffle, per-row arithmetic only). Returns input + (fold, role).
+    */
+  def rollingOriginSplit(df: DataFrame, tsCol: String, folds: Int,
+      horizonDays: Int): DataFrame = {
+    require(folds >= 1 && horizonDays >= 1)
+    val day = floor(unix_micros(col(tsCol)) / lit(86400000000L)).cast("long")
+    val anchor = df.agg(max(day).as("__maxday"))
+    val h = horizonDays.toLong
+    val withDay = df.withColumn("__day", day).crossJoin(broadcast(anchor))
+    val assigned = withDay
+      .withColumn("fold", explode(sequence(lit(1L), lit(folds.toLong))))
+      // fold f: cut = maxday − (folds − f + 1)·h; test = (cut, cut + h]
+      .withColumn("__cut",
+        col("__maxday") - (lit(folds.toLong) - col("fold") + 1) * h)
+      .withColumn("role",
+        when(col("__day") <= col("__cut"), "train")
+          .when(col("__day") <= col("__cut") + h, "test"))
+      .filter(col("role").isNotNull)
+    assigned.drop("__day", "__maxday", "__cut")
   }
 
   /** Per-key exponentially-decayed value sum — the recency-weighted

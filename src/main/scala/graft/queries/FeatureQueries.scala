@@ -229,6 +229,8 @@ object FeatureQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "feat_activity_gaps" -> activityGaps,
+    "feat_rolling_origin" -> rollingOrigin,
+    "feat_lateness" -> lateness,
     "feat_attribution_window" -> attributionWindow,
     "feat_decay_value" -> decayValue,
     "feat_session_pmi" -> sessionPmi,
@@ -325,7 +327,61 @@ object FeatureQueries {
     EventOps.activityGaps(Tables.events(spark, dir), "user_id", "ts")
       .orderBy("user_id")
 
+  private val CvFolds = 3
+  private val CvHorizonDays = 7
+  private val LateThresholdUs = 86400000000L // 1 day
+
+  /** Rolling-origin CV membership for every event
+    * ([[graft.ops.EventOps.rollingOriginSplit]]): 3 expanding-window
+    * folds, 7-day test horizons anchored at the corpus max day.
+    */
+  def rollingOrigin(spark: SparkSession, dir: String): DataFrame =
+    EventOps.rollingOriginSplit(Tables.events(spark, dir), "ts",
+        CvFolds, CvHorizonDays)
+      .select("user_id", "event_id", "fold", "role")
+      .orderBy("user_id", "event_id", "fold")
+
+  /** Per-user event-time lateness profile in event_id arrival order
+    * ([[graft.ops.EventOps.latenessProfile]]) — the watermark-picking
+    * measurement; late = lagging the running max by > 1 day.
+    */
+  def lateness(spark: SparkSession, dir: String): DataFrame =
+    EventOps.latenessProfile(Tables.events(spark, dir), "user_id", "ts",
+        "event_id", LateThresholdUs)
+      .orderBy("user_id")
+
   val oracle: Map[String, String] = Map(
+    "feat_rolling_origin" ->
+      s"""WITH a AS (SELECT max(epoch_us(ts) // 86400000000) AS maxday
+         |           FROM events),
+         |e AS (SELECT user_id, event_id,
+         |    epoch_us(ts) // 86400000000 AS day FROM events),
+         |f AS (SELECT unnest(generate_series(1, $CvFolds)) AS fold),
+         |x AS (SELECT user_id, event_id, CAST(fold AS BIGINT) AS fold,
+         |    CASE WHEN day <= maxday - ($CvFolds - fold + 1) * $CvHorizonDays
+         |        THEN 'train'
+         |      WHEN day <= maxday - ($CvFolds - fold + 1) * $CvHorizonDays
+         |          + $CvHorizonDays THEN 'test' END AS role
+         |  FROM e CROSS JOIN a CROSS JOIN f)
+         |SELECT user_id, event_id, fold, role FROM x
+         |WHERE role IS NOT NULL
+         |ORDER BY user_id, event_id, fold""".stripMargin,
+    "feat_lateness" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+         |           FROM events),
+         |l AS (SELECT user_id,
+         |    greatest(coalesce(max(ts_us) OVER (PARTITION BY user_id
+         |        ORDER BY event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      - ts_us, 0), 0) AS late
+         |  FROM e)
+         |SELECT user_id, count(*) AS n_events,
+         |  CAST(sum(CASE WHEN late > $LateThresholdUs THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_late,
+         |  CAST(max(late) AS BIGINT) AS max_lateness_us,
+         |  round(CAST(sum(late) AS DOUBLE) / count(*), 9)
+         |    AS mean_lateness_us
+         |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
     "feat_activity_gaps" ->
       """WITH d AS (SELECT DISTINCT user_id,
         |    epoch_us(ts) // 86400000000 AS day FROM events),

@@ -207,6 +207,50 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got("tiny")._3 == ref(1, 1, 1.96))
   }
 
+  test("rollingOriginSplit: expanding trains, disjoint test windows") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val us = 86400000000L
+    // days 0..29, one event per day; 3 folds, horizon 5 → cuts at 14,19,24
+    val df = (0L until 30L).map(d => (d, d * us))
+      .toDF("event_id", "ts_us")
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+    val out = EventOps.rollingOriginSplit(df, "ts", folds = 3,
+        horizonDays = 5)
+      .select("event_id", "fold", "role")
+      .as[(Long, Long, String)].collect()
+    val byFold = out.groupBy(_._2)
+    // fold 1: train ≤ 14, test 15..19; fold 3: train ≤ 24, test 25..29
+    assert(byFold(1L).filter(_._3 == "train").map(_._1).max == 14L)
+    assert(byFold(1L).filter(_._3 == "test").map(_._1).toSet ==
+      (15L to 19L).toSet)
+    assert(byFold(3L).filter(_._3 == "train").map(_._1).max == 24L)
+    assert(byFold(3L).filter(_._3 == "test").map(_._1).toSet ==
+      (25L to 29L).toSet)
+    // trains expand monotonically; test windows are disjoint across folds
+    assert(byFold(2L).count(_._3 == "train") >
+      byFold(1L).count(_._3 == "train"))
+    val tests = out.filter(_._3 == "test").groupBy(_._2)
+      .map { case (f, rs) => f -> rs.map(_._1).toSet }
+    assert(tests(1L).intersect(tests(2L)).isEmpty)
+    assert(tests(2L).intersect(tests(3L)).isEmpty)
+  }
+
+  test("latenessProfile: running-max lag in arrival order") {
+    import org.apache.spark.sql.functions.expr
+    // arrival 0,1,2,3 with event times 100, 50, 200, 190 (µs):
+    // lateness = 0, 50, 0, 10
+    val df = Seq((0L, 100L), (1L, 50L), (2L, 200L), (3L, 190L))
+      .toDF("event_id", "ts_us")
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+      .withColumn("k", expr("'u'"))
+    val r = EventOps.latenessProfile(df, "k", "ts", "event_id",
+      lateThresholdUs = 20L).collect()(0)
+    assert(r.getAs[Long]("n_events") == 4)
+    assert(r.getAs[Long]("n_late") == 1) // only the 50-µs lag exceeds 20
+    assert(r.getAs[Long]("max_lateness_us") == 50L)
+    assert(r.getAs[Double]("mean_lateness_us") == 15.0)
+  }
+
   test("activityGaps: span/missing/max-gap from distinct active days") {
     import org.apache.spark.sql.functions.{col, expr}
     val us = 86400000000L
