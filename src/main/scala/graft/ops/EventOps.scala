@@ -334,6 +334,107 @@ object EventOps {
     assigned.drop("__day", "__maxday", "__cut")
   }
 
+  /** Cohort retention matrix — the product-analytics staple behind every
+    * retention curve: keys are grouped into cohorts by their FIRST-activity
+    * period (integer epoch days bucketed by `bucketDays`), and each cell
+    * (cohort, offset) counts how many of the cohort's keys were active
+    * `offset` periods after joining. `retention` is that count over the
+    * cohort's size (= its offset-0 count, since every key is by definition
+    * active in its first period).
+    *
+    * Shape at scale: the stream collapses map-side to distinct
+    * (key, period) BEFORE any shuffle; the first-activity aggregate and
+    * the cohort join share one key exchange; the final group-by shuffles a
+    * relation bounded by keys × active periods. The retention window runs
+    * over the periods² result relation — never the stream. Returns
+    * (cohort_period, period_offset, n_active, cohort_size, retention).
+    */
+  def cohortRetention(df: DataFrame, keyCol: String, tsCol: String,
+      bucketDays: Int): DataFrame = {
+    require(bucketDays >= 1, s"bucketDays must be positive, got $bucketDays")
+    val period = floor(floor(unix_micros(col(tsCol)) / lit(86400000000L))
+      / lit(bucketDays.toLong)).cast("long")
+    val keyPeriods = df.select(col(keyCol).as("__k"), period.as("__p"))
+      .distinct()
+    val cohorts = keyPeriods.groupBy("__k").agg(min(col("__p")).as("__c"))
+    val cells = keyPeriods.join(cohorts, "__k")
+      .groupBy(col("__c").as("cohort_period"),
+        (col("__p") - col("__c")).as("period_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val wc = Window.partitionBy(col("cohort_period"))
+    cells
+      .withColumn("cohort_size",
+        max(when(col("period_offset") === 0, col("n_active"))).over(wc))
+      .withColumn("retention",
+        round(col("n_active").cast("double") / col("cohort_size"), 9))
+  }
+
+  /** Churn-label generation — the supervised-training shape for retention
+    * models: anchor at the corpus max timestamp, call the trailing
+    * `horizonUs` the label window, and for every key OBSERVED BEFORE the
+    * window label `churned` = true iff it has no activity inside it. Keys
+    * first seen inside the label window are excluded (no observation
+    * history → no label; scoring them would be survivorship leakage).
+    * Features for these labels must come from the observation period only —
+    * `last_seen_us` / `n_events_obs` here are that boundary, and
+    * [[timeSplitEmbargo]] is the matching feature-side guard.
+    *
+    * One group-by shuffle over (key); the anchor is a 1-row broadcast.
+    * Returns (key, n_events_obs, last_seen_us, churned).
+    */
+  def churnLabels(df: DataFrame, keyCol: String, tsCol: String,
+      horizonUs: Long): DataFrame = {
+    require(horizonUs > 0, s"horizonUs must be positive, got $horizonUs")
+    val anchor = df.agg(max(unix_micros(col(tsCol))).as("__anchor"))
+    df.select(col(keyCol), unix_micros(col(tsCol)).as("__ts"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("__obs", col("__ts") <= col("__anchor") - horizonUs)
+      .groupBy(keyCol)
+      .agg(sum(when(col("__obs"), 1L).otherwise(0L)).as("n_events_obs"),
+        max(when(col("__obs"), col("__ts"))).as("last_seen_us"),
+        max(when(!col("__obs"), 1).otherwise(0)).as("__act"))
+      .filter(col("n_events_obs") > 0)
+      .withColumn("churned", col("__act") === 0)
+      .drop("__act")
+  }
+
+  /** Linear multi-touch attribution — each conversion splits one unit of
+    * credit EQUALLY across the touches inside its lookback interval
+    * (the fractional-credit refinement of last-touch counting; interval
+    * containment via [[RangeJoin.bucketed]], so candidates are a bounded
+    * equi-join, never points × conversions). Per touch: how many
+    * conversions it assisted, its summed fractional credit, and how often
+    * it was the first / last touch of a conversion (ties broken by
+    * (timestamp, touch id) — deterministic under duplicate timestamps).
+    *
+    * Credit = round(1/n, 9) as DECIMAL so the per-touch sums are exact and
+    * order-independent. Two bounded shuffles AFTER the range join: the
+    * per-conversion window (state = that conversion's touches) and the
+    * per-touch group-by. Returns (key..., touch id, n_assists,
+    * linear_credit, n_first_touch, n_last_touch).
+    */
+  def linearAttribution(touches: DataFrame, conversions: DataFrame,
+      keyCols: Seq[String], touchTsCol: String, touchIdCol: String,
+      loCol: String, hiCol: String, convIdCol: String,
+      bucketWidth: Long): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(18, 9)
+    val cand = RangeJoin.bucketed(touches, conversions, keyCols,
+      touchTsCol, loCol, hiCol, bucketWidth)
+    val wConv = Window.partitionBy(keyCols.map(col) :+ col(convIdCol): _*)
+    val ordered = wConv.orderBy(col(touchTsCol), col(touchIdCol))
+    cand
+      .withColumn("__n", count(lit(1)).over(wConv))
+      .withColumn("__rn", row_number().over(ordered))
+      .withColumn("__credit",
+        round(lit(1.0) / col("__n"), 9).cast(D))
+      .groupBy(keyCols.map(col) :+ col(touchIdCol): _*)
+      .agg(count(lit(1)).as("n_assists"),
+        sum(col("__credit")).cast("double").as("linear_credit"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_first_touch"),
+        sum(when(col("__rn") === col("__n"), 1L).otherwise(0L))
+          .as("n_last_touch"))
+  }
+
   /** Per-key exponentially-decayed value sum — the recency-weighted
     * feature ("how active was this user, weighting yesterday over last
     * month") every churn/engagement model starts with. Weight

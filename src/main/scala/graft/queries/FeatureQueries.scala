@@ -228,6 +228,9 @@ object FeatureQueries {
       .limit(WilsonTopK)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "feat_cohort_retention" -> cohortRetention,
+    "feat_churn_labels" -> churnLabels,
+    "feat_attribution_credit" -> attributionCredit,
     "feat_activity_gaps" -> activityGaps,
     "feat_rolling_origin" -> rollingOrigin,
     "feat_lateness" -> lateness,
@@ -350,7 +353,102 @@ object FeatureQueries {
         "event_id", LateThresholdUs)
       .orderBy("user_id")
 
+  private val CohortBucketDays = 7
+  private val ChurnHorizonUs = 7L * 86400L * 1000000L // 7-day label window
+
+  /** Weekly cohort retention matrix over the event stream
+    * ([[graft.ops.EventOps.cohortRetention]]) — users cohorted by
+    * first-activity week, each cell = share still active N weeks later.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame =
+    EventOps.cohortRetention(Tables.events(spark, dir), "user_id", "ts",
+        CohortBucketDays)
+      .orderBy("cohort_period", "period_offset")
+
+  /** Churn labels with a 7-day label window
+    * ([[graft.ops.EventOps.churnLabels]]) — users observed before the
+    * window, labeled by absence of activity inside it.
+    */
+  def churnLabels(spark: SparkSession, dir: String): DataFrame =
+    EventOps.churnLabels(Tables.events(spark, dir), "user_id", "ts",
+        ChurnHorizonUs)
+      .orderBy("user_id")
+
+  /** Linear multi-touch attribution credit per click
+    * ([[graft.ops.EventOps.linearAttribution]]): each purchase splits one
+    * unit of credit equally across the user's clicks in the preceding
+    * hour; first/last-touch counts tie-break on (ts, event_id).
+    */
+  def attributionCredit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        (unix_micros(col("ts")) - AttribWindowUs).as("lo"),
+        unix_micros(col("ts")).as("hi"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("t"))
+    EventOps.linearAttribution(clicks, purchases, Seq("user_id"),
+        "t", "click_id", "lo", "hi", "purchase_id", AttribWindowUs)
+      .orderBy("user_id", "click_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    // cohort = each user's min activity week; cohort_size = the cell at
+    // offset 0 (every user is active in its own first week by definition)
+    "feat_cohort_retention" ->
+      s"""WITH kp AS (SELECT DISTINCT user_id,
+         |    (epoch_us(ts) // 86400000000) // $CohortBucketDays AS p
+         |  FROM events),
+         |c AS (SELECT user_id, min(p) AS c FROM kp GROUP BY 1),
+         |cells AS (SELECT c.c AS cohort_period, kp.p - c.c AS period_offset,
+         |    count(*) AS n_active
+         |  FROM kp JOIN c USING (user_id) GROUP BY 1, 2),
+         |sized AS (SELECT cohort_period, period_offset, n_active,
+         |    max(CASE WHEN period_offset = 0 THEN n_active END)
+         |      OVER (PARTITION BY cohort_period) AS cohort_size
+         |  FROM cells)
+         |SELECT cohort_period, period_offset, n_active, cohort_size,
+         |  round(CAST(n_active AS DOUBLE) / cohort_size, 9) AS retention
+         |FROM sized ORDER BY cohort_period, period_offset""".stripMargin,
+    // observed-before-cut users only; churned = no activity in the window
+    "feat_churn_labels" ->
+      s"""WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+         |e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+         |    epoch_us(ts) <= mx - $ChurnHorizonUs AS obs
+         |  FROM events, m),
+         |g AS (SELECT user_id,
+         |    CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_events_obs,
+         |    max(CASE WHEN obs THEN ts_us END) AS last_seen_us,
+         |    max(CASE WHEN NOT obs THEN 1 ELSE 0 END) AS act
+         |  FROM e GROUP BY 1)
+         |SELECT user_id, n_events_obs, last_seen_us, act = 0 AS churned
+         |FROM g WHERE n_events_obs > 0 ORDER BY user_id""".stripMargin,
+    // candidates via the BETWEEN predicate (≡ the bucketed equi-join);
+    // credit = round(1/n, 9) DECIMAL so per-click sums are exact
+    "feat_attribution_credit" ->
+      s"""WITH p AS (SELECT user_id, event_id AS purchase_id,
+         |    epoch_us(ts) - $AttribWindowUs AS lo, epoch_us(ts) AS hi
+         |  FROM events WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS t
+         |  FROM events WHERE event_type = 'click'),
+         |cand AS (SELECT p.user_id, purchase_id, click_id, t
+         |  FROM p JOIN c ON p.user_id = c.user_id
+         |    AND c.t >= p.lo AND c.t <= p.hi),
+         |w AS (SELECT user_id, purchase_id, click_id,
+         |    count(*) OVER (PARTITION BY user_id, purchase_id) AS n,
+         |    row_number() OVER (PARTITION BY user_id, purchase_id
+         |      ORDER BY t, click_id) AS rn
+         |  FROM cand)
+         |SELECT user_id, click_id, count(*) AS n_assists,
+         |  CAST(sum(CAST(round(CAST(1 AS DOUBLE) / n, 9) AS DECIMAL(18,9)))
+         |    AS DOUBLE) AS linear_credit,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_first_touch,
+         |  CAST(sum(CASE WHEN rn = n THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_last_touch
+         |FROM w GROUP BY 1, 2 ORDER BY user_id, click_id""".stripMargin,
     "feat_rolling_origin" ->
       s"""WITH a AS (SELECT max(epoch_us(ts) // 86400000000) AS maxday
          |           FROM events),

@@ -251,6 +251,71 @@ class EventOpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("mean_lateness_us") == 15.0)
   }
 
+  test("cohortRetention: cohort = first-activity period, cells count " +
+      "distinct keys, retention relative to offset-0 size") {
+    import org.apache.spark.sql.functions.expr
+    val us = 86400000000L
+    // weekly buckets: a,b join week 0; c joins week 1
+    // a active weeks {0,1}, b weeks {0,2}, c weeks {1,2}
+    val rows = Seq(("a", 0L), ("a", 8L), ("b", 0L), ("b", 0L), ("b", 14L),
+      ("c", 7L), ("c", 14L))
+    val df = rows.toDF("k", "d")
+      .withColumn("ts", expr("timestamp_micros(d * 86400000000)"))
+    val got = EventOps.cohortRetention(df, "k", "ts", bucketDays = 7)
+      .collect()
+      .map(r => (r.getAs[Long]("cohort_period"),
+        r.getAs[Long]("period_offset")) ->
+        (r.getAs[Long]("n_active"), r.getAs[Long]("cohort_size"),
+          r.getAs[Double]("retention"))).toMap
+    assert(got((0L, 0L)) == ((2L, 2L, 1.0)))   // a,b in week 0
+    assert(got((0L, 1L)) == ((1L, 2L, 0.5)))   // a in week 1
+    assert(got((0L, 2L)) == ((1L, 2L, 0.5)))   // b in week 2
+    assert(got((1L, 0L)) == ((1L, 1L, 1.0)))   // c's own cohort
+    assert(got((1L, 1L)) == ((1L, 1L, 1.0)))   // c in week 2 = offset 1
+    assert(got.size == 5)
+  }
+
+  test("churnLabels: window absence labels churn; keys first seen inside " +
+      "the window are excluded") {
+    import org.apache.spark.sql.functions.expr
+    // anchor = 100 µs, horizon 50 → cut = 50
+    // a: observed at 10,30, active at 80 → not churned; b: observed at
+    // 20,40 only → churned; c: first seen at 60 (inside window) → excluded
+    val rows = Seq(("a", 10L), ("a", 30L), ("a", 80L), ("b", 20L),
+      ("b", 40L), ("c", 60L), ("a", 100L))
+    val df = rows.toDF("k", "ts_us")
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+    val got = EventOps.churnLabels(df, "k", "ts", horizonUs = 50L)
+      .collect()
+      .map(r => r.getAs[String]("k") ->
+        (r.getAs[Long]("n_events_obs"), r.getAs[Long]("last_seen_us"),
+          r.getAs[Boolean]("churned"))).toMap
+    assert(got("a") == ((2L, 30L, false)))
+    assert(got("b") == ((2L, 40L, true)))
+    assert(!got.contains("c"))
+  }
+
+  test("linearAttribution: equal split per conversion, exact credit sums, " +
+      "first/last flags tie-break on (t, id)") {
+    // conversions: p1 covers t∈[0,10] (clicks x@2, y@5 → ½ each);
+    // p2 covers t∈[4,14] (clicks y@5, z@12 → ½ each, y first, z last).
+    // y assists both → credit 1.0.
+    val touches = Seq(("u", "x", 2L), ("u", "y", 5L), ("u", "z", 12L))
+      .toDF("k", "tid", "t")
+    val convs = Seq(("u", "p1", 0L, 10L), ("u", "p2", 4L, 14L))
+      .toDF("k", "cid", "lo", "hi")
+    val got = EventOps.linearAttribution(touches, convs, Seq("k"),
+        "t", "tid", "lo", "hi", "cid", bucketWidth = 10L)
+      .collect()
+      .map(r => r.getAs[String]("tid") ->
+        (r.getAs[Long]("n_assists"), r.getAs[Double]("linear_credit"),
+          r.getAs[Long]("n_first_touch"), r.getAs[Long]("n_last_touch")))
+      .toMap
+    assert(got("x") == ((1L, 0.5, 1L, 0L)))
+    assert(got("y") == ((2L, 1.0, 1L, 1L))) // first in p2, last in p1
+    assert(got("z") == ((1L, 0.5, 0L, 1L)))
+  }
+
   test("activityGaps: span/missing/max-gap from distinct active days") {
     import org.apache.spark.sql.functions.{col, expr}
     val us = 86400000000L
