@@ -239,6 +239,60 @@ object EventOps {
           (col("n_a") * col("n_b"))), 9).as("pmi"))
   }
 
+  /** Directed association rules over session item sets — classic
+    * market-basket analysis (support / confidence / lift, Agrawal et al.
+    * 1993), the thresholded companion to [[cooccurrencePmi]]: PMI ranks
+    * surprise, rules rank actionability ("sessions containing A contain B
+    * `confidence` of the time, `lift`× the base rate"). Items collapse to
+    * per-session presence sets first, so multiplicity inside a session
+    * never inflates counts; each co-presence pair emits BOTH directed
+    * rules.
+    *
+    * Same scale shape as PMI: one distinct collapse, pair counts via a
+    * self-join on the session id (bounded by per-session distinct items),
+    * item/total counts broadcast back onto the tiny pair relation.
+    * Ratios: integer counts until ONE double division each, rounded 9 dp
+    * (lift = n_ab·n / (n_a·n_b) with BIGINT products — exact under 2^53).
+    * Returns (antecedent, consequent, n_ab, n_ant, n_cons, n_sessions,
+    * support, confidence, lift).
+    */
+  def associationRules(df: DataFrame, sessionCols: Seq[String],
+      itemCol: String, minPairSessions: Long = 1L,
+      broadcastCounts: Boolean = true): DataFrame = {
+    val present = df
+      .select(struct(sessionCols.map(col): _*).as("__sid"),
+        col(itemCol).cast("string").as("item"))
+      .distinct()
+    val totals = present.agg(countDistinct(col("__sid")).as("n_sessions"))
+    val itemCounts = present.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val pairs = present.as("l")
+      .join(present.as("r"), col("l.__sid") === col("r.__sid") &&
+        col("l.item") < col("r.item"))
+      .groupBy(col("l.item").as("item_a"), col("r.item").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairSessions)
+    val directed = pairs
+      .select(col("item_a").as("antecedent"), col("item_b").as("consequent"),
+        col("n_ab"))
+      .unionByName(pairs.select(col("item_b").as("antecedent"),
+        col("item_a").as("consequent"), col("n_ab")))
+    def hinted(d: DataFrame) = if (broadcastCounts) broadcast(d) else d
+    directed
+      .join(hinted(itemCounts.select(col("item").as("antecedent"),
+        col("n_item").as("n_ant"))), Seq("antecedent"))
+      .join(hinted(itemCounts.select(col("item").as("consequent"),
+        col("n_item").as("n_cons"))), Seq("consequent"))
+      .crossJoin(broadcast(totals))
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        col("n_ant"), col("n_cons"), col("n_sessions"),
+        round(col("n_ab").cast("double") / col("n_sessions"), 9)
+          .as("support"),
+        round(col("n_ab").cast("double") / col("n_ant"), 9)
+          .as("confidence"),
+        round((col("n_ab") * col("n_sessions")).cast("double") /
+          (col("n_ant") * col("n_cons")), 9).as("lift"))
+  }
+
   /** Event-time lateness profile — the measurement that picks a streaming
     * watermark: replay each key's events in ARRIVAL order (`arrivalCol`,
     * e.g. an ingest sequence / event_id) and record how far each event's

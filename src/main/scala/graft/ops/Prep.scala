@@ -555,6 +555,39 @@ object Prep {
       .drop("__n", "__s", "__gn", "__gs")
   }
 
+  /** Weight-of-evidence (WOE) encoding of a categorical against a binary
+    * label — the credit-scoring / risk-modeling categorical encoder
+    * (Siddiqi 2006): `woe_c = ln(P(c|pos) / P(c|neg))`, with additive
+    * smoothing `alpha` on every count so single-class categories stay
+    * finite. Also emits each category's information-value contribution
+    * `iv_c = (P(c|pos) − P(c|neg)) · woe_c` — Σ iv_c is the screening
+    * statistic that ranks categorical features.
+    *
+    * Shape at scale: ONE group-by over the category (integer counts,
+    * map-side combined) + a 1-row global broadcast — the encoder table is
+    * category-cardinality rows regardless of corpus size, then broadcasts
+    * onto rows at serve time. Determinism: counts stay integers until the
+    * fixed IEEE sequence (two divisions, one ln) rounded 9 dp — the
+    * [[EventOps.cooccurrencePmi]] discipline; iv multiplies the ALREADY
+    * 9-dp-quantized woe. Returns (category, n, n_pos, n_neg, woe, iv).
+    */
+  def woeEncode(df: DataFrame, keyCol: String, labelCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val pos = when(col(labelCol), 1L).otherwise(0L)
+    val stats = df.groupBy(col(keyCol).as("category"))
+      .agg(count(lit(1)).as("n"), sum(pos).as("n_pos"))
+      .withColumn("n_neg", col("n") - col("n_pos"))
+    val global = stats.agg(sum(col("n_pos")).as("__tp"),
+      sum(col("n_neg")).as("__tn"))
+    val pShare = (col("n_pos") + alpha).cast("double") / (col("__tp") + alpha)
+    val nShare = (col("n_neg") + alpha).cast("double") / (col("__tn") + alpha)
+    stats.crossJoin(broadcast(global))
+      .withColumn("woe", round(log(pShare / nShare), 9))
+      .withColumn("iv", round((pShare - nShare) * col("woe"), 9))
+      .drop("__tp", "__tn")
+  }
+
   /** Exact-quantile discretization of a ≤2-dp money column into `buckets`
     * equal-frequency bins — the feature-binning prep step. Edges are the
     * exact interpolated percentiles (ONE tiny aggregate, broadcast back —

@@ -98,6 +98,57 @@ final class DataQualityValidator {
 
 object DataQualityValidator {
 
+  /** Benford first-digit expected share log10(1 + 1/d) as a 9-dp DECIMAL
+    * literal, fixed at library level (the DCG-weight discipline — no
+    * runtime log10 on either engine). */
+  def benfordShare(digit: Int): java.math.BigDecimal = {
+    require(digit >= 1 && digit <= 9, s"digit must be 1..9, got $digit")
+    new java.math.BigDecimal(math.log10(1.0 + 1.0 / digit),
+      java.math.MathContext.DECIMAL64)
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+  }
+
+  /** Benford's-law first-digit audit of a positive ≤2-dp money column —
+    * the forensic data-quality check for fabricated or truncated numeric
+    * feeds (naturally-grown magnitudes follow P(d) = log10(1+1/d);
+    * synthetic, capped, or copy-pasted ones don't — Benford 1938, Nigrini
+    * 1996). Emits per digit the observed count/share, the expected
+    * Benford share, and the χ² contribution; Σ chi2 against the 8-dof
+    * table is the alarm.
+    *
+    * Engine-exactness: the first digit comes from INTEGER-cents string
+    * formatting (exact and identical on any engine — never floor(log10)
+    * whose last ulp flips at exact powers of ten); expected shares are
+    * 9-dp DECIMAL literals; expected counts are BIGINT × DECIMAL exact
+    * products; χ² = one fixed IEEE sequence rounded 9 dp. ONE group-by
+    * over ≤9 digit values (map-side combined), 1-row total broadcast.
+    * Returns (digit, n_obs, obs_share, exp_share, chi2).
+    */
+  def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
+    val cents = col(valueCol).cast(DecimalType(18, 2)).*(lit(100))
+      .cast("long")
+    val digit = substring(cents.cast("string"), 1, 1).cast("int")
+    val counts = df.filter(cents > 0)
+      .groupBy(digit.as("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val total = counts.agg(sum(col("n_obs")).as("__n"))
+    val expShare = (1 to 9).foldLeft(lit(null).cast(DecimalType(10, 9))) {
+      (acc, d) =>
+        when(col("digit") === d,
+          lit(benfordShare(d)).cast(DecimalType(10, 9))).otherwise(acc)
+    }
+    val expN = col("__n") * col("exp_share") // BIGINT × DECIMAL, exact
+    val diff = (col("n_obs") - expN).cast("double")
+    counts.crossJoin(broadcast(total))
+      .withColumn("exp_share", expShare)
+      .withColumn("obs_share",
+        round(col("n_obs").cast("double") / col("__n"), 9))
+      .withColumn("chi2",
+        round(diff * diff / expN.cast("double"), 9))
+      .select(col("digit"), col("n_obs"), col("obs_share"),
+        col("exp_share").cast("double").as("exp_share"), col("chi2"))
+  }
+
   /** Robust per-group outlier profile via median absolute deviation — the
     * IQR check's heavy-tail-safe sibling (MAD has a 50% breakdown point;
     * IQR fences move with the outliers they're fencing). A value is an

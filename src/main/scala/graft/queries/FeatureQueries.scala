@@ -228,6 +228,7 @@ object FeatureQueries {
       .limit(WilsonTopK)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "feat_assoc_rules" -> assocRules,
     "feat_cohort_retention" -> cohortRetention,
     "feat_churn_labels" -> churnLabels,
     "feat_attribution_credit" -> attributionCredit,
@@ -374,6 +375,17 @@ object FeatureQueries {
         ChurnHorizonUs)
       .orderBy("user_id")
 
+  /** Directed event-type association rules within 6-hour sessions
+    * ([[graft.ops.EventOps.associationRules]]) — support / confidence /
+    * lift over the same session machinery as [[sessionPmi]].
+    */
+  def assocRules(spark: SparkSession, dir: String): DataFrame =
+    EventOps.associationRules(
+        Prep.sessionize(Tables.events(spark, dir), "user_id", "ts",
+          "event_id", PmiGapSec),
+        Seq("user_id", "session_idx"), "event_type")
+      .orderBy("antecedent", "consequent")
+
   /** Linear multi-touch attribution credit per click
     * ([[graft.ops.EventOps.linearAttribution]]): each purchase splits one
     * unit of credit equally across the user's clicks in the preceding
@@ -394,6 +406,47 @@ object FeatureQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // sessionize CTEs shared with feat_session_pmi; both directed rules
+    // from each undirected pair; integer counts until one division each
+    "feat_assoc_rules" ->
+      s"""WITH l AS (SELECT user_id, event_id, ts, event_type,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS prev_ts
+         |  FROM events),
+         |s AS (SELECT user_id, event_id, ts, event_type,
+         |    CASE WHEN prev_ts IS NULL
+         |           OR epoch_us(ts) - epoch_us(prev_ts)
+         |              > ${PmiGapSec * 1000000L}
+         |      THEN 1 ELSE 0 END AS is_new
+         |  FROM l),
+         |x AS (SELECT user_id, event_type,
+         |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+         |  FROM s),
+         |pres AS (SELECT DISTINCT user_id, session_idx, event_type FROM x),
+         |tot AS (SELECT count(DISTINCT (user_id, session_idx)) AS n_sessions
+         |  FROM pres),
+         |ic AS (SELECT event_type, count(*) AS n_item FROM pres GROUP BY 1),
+         |pr AS (SELECT l.event_type AS item_a, r.event_type AS item_b,
+         |    count(*) AS n_ab
+         |  FROM pres l JOIN pres r
+         |    ON l.user_id = r.user_id AND l.session_idx = r.session_idx
+         |   AND l.event_type < r.event_type
+         |  GROUP BY 1, 2),
+         |dr AS (SELECT item_a AS antecedent, item_b AS consequent, n_ab
+         |    FROM pr
+         |  UNION ALL
+         |  SELECT item_b, item_a, n_ab FROM pr)
+         |SELECT antecedent, consequent, n_ab, a.n_item AS n_ant,
+         |  b.n_item AS n_cons, n_sessions,
+         |  round(CAST(n_ab AS DOUBLE) / n_sessions, 9) AS support,
+         |  round(CAST(n_ab AS DOUBLE) / a.n_item, 9) AS confidence,
+         |  round(CAST(n_ab * n_sessions AS DOUBLE) / (a.n_item * b.n_item),
+         |    9) AS lift
+         |FROM dr
+         |JOIN ic a ON a.event_type = dr.antecedent
+         |JOIN ic b ON b.event_type = dr.consequent, tot
+         |ORDER BY antecedent, consequent""".stripMargin,
     // cohort = each user's min activity week; cohort_size = the cell at
     // offset 0 (every user is active in its own first week by definition)
     "feat_cohort_retention" ->

@@ -198,6 +198,20 @@ object PrepQueries {
       .select("c_custkey", "c_mktsegment", "te", "te_loo")
       .orderBy("c_custkey")
 
+  private val WoeAlpha = 0.5
+  private val WoeLabelCut = 150000.0
+
+  /** Weight-of-evidence encoding of order priority against the
+    * "high-value order" label (total price > 150k) —
+    * [[graft.ops.Prep.woeEncode]] with α = 0.5 additive smoothing.
+    */
+  def woeEncode(spark: SparkSession, dir: String): DataFrame =
+    Prep.woeEncode(Tables.orders(spark, dir)
+          .withColumn("__lbl", col("o_totalprice") > WoeLabelCut),
+        "o_orderpriority", "__lbl", WoeAlpha)
+      .withColumnRenamed("category", "priority")
+      .orderBy("priority")
+
   /** Equal-frequency 4-bucket discretization of lineitem extended price —
     * exact percentile edges, per-bucket counts and value bounds.
     */
@@ -329,6 +343,7 @@ object PrepQueries {
     "prep_kfold" -> kfoldEvents,
     "prep_class_balance" -> classBalance,
     "prep_target_encode" -> targetEncode,
+    "prep_woe_encode" -> woeEncode,
     "prep_quantile_bucket" -> quantileBucket,
     "prep_hash_cross" -> hashCross,
     "prep_priority_sample" -> prioritySampleOrders,
@@ -473,6 +488,24 @@ object PrepQueries {
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
         |FROM r, t WHERE rn <= target
         |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // shares = (count + α)/(total + α) as doubles, one ln rounded 9 dp
+    // (the PMI discipline); iv multiplies the ALREADY-rounded woe
+    "prep_woe_encode" ->
+      s"""WITH s AS (SELECT o_orderpriority AS priority, count(*) AS n,
+         |    CAST(sum(CASE WHEN o_totalprice > $WoeLabelCut THEN 1 ELSE 0
+         |      END) AS BIGINT) AS n_pos
+         |  FROM orders GROUP BY 1),
+         |s2 AS (SELECT priority, n, n_pos, n - n_pos AS n_neg FROM s),
+         |g AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM s2),
+         |w AS (SELECT priority, n, n_pos, n_neg,
+         |    CAST(n_pos + $WoeAlpha AS DOUBLE) / (tp + $WoeAlpha) AS ps,
+         |    CAST(n_neg + $WoeAlpha AS DOUBLE) / (tn + $WoeAlpha) AS ns
+         |  FROM s2, g),
+         |w2 AS (SELECT priority, n, n_pos, n_neg, ps, ns,
+         |    round(ln(ps / ns), 9) AS woe FROM w)
+         |SELECT priority, n, n_pos, n_neg, woe,
+         |  round((ps - ns) * woe, 9) AS iv
+         |FROM w2 ORDER BY priority""".stripMargin,
     // double math mirrors Prep.targetEncode's expression order exactly:
     // (Σy + m·(gs/gn)) / (n + m), LOO excludes the row's own label
     "prep_target_encode" ->

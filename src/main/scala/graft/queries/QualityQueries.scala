@@ -181,6 +181,16 @@ object QualityQueries {
         Tables.events(spark, dir), "event_type", "value")
       .orderBy("event_type")
 
+  /** Benford's-law first-digit audit of lineitem extended price
+    * ([[graft.quality.DataQualityValidator.benfordProfile]]) — observed vs
+    * expected digit shares with per-digit χ² contributions, the forensic
+    * fabricated-feed check.
+    */
+  def benford(spark: SparkSession, dir: String): DataFrame =
+    graft.quality.DataQualityValidator.benfordProfile(
+        Tables.lineitem(spark, dir), "l_extendedprice")
+      .orderBy("digit")
+
   /** χ² + mutual information between event_type and the value quartile
     * bucket ([[graft.ops.Screening.contingencyStats]]) — the feature-
     * relevance screen: is the value distribution independent of the event
@@ -279,6 +289,7 @@ object QualityQueries {
     "quality_feature_relevance" -> featureRelevance,
     "quality_ks_value" -> ksValue,
     "quality_label_kappa" -> labelKappa,
+    "quality_benford" -> benford,
     "quality_mad_outliers" -> madOutliers,
     "quality_split_drift" -> splitDrift,
     "quality_skew_report" -> skewReport,
@@ -289,6 +300,33 @@ object QualityQueries {
     "quality_dup_ratio_documents" -> dupRatioDocuments)
 
   val oracle: Map[String, String] = Map(
+    // first digit from INTEGER-cents string formatting (never
+    // floor(log10)); expected shares are the library's 9-dp DECIMAL
+    // literals; χ² = DECIMAL diff → one fixed IEEE sequence
+    "quality_benford" -> {
+      val arms = (1 to 9).map { d =>
+        val p = graft.quality.DataQualityValidator.benfordShare(d)
+        s"WHEN $d THEN CAST($p AS DECIMAL(10,9))"
+      }.mkString(" ")
+      s"""WITH c AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+         |      * 100 AS BIGINT) AS cents FROM lineitem),
+         |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT)
+         |      AS digit, count(*) AS n_obs
+         |  FROM c WHERE cents > 0 GROUP BY 1),
+         |t AS (SELECT sum(n_obs) AS n FROM d),
+         |e AS (SELECT digit, n_obs, n,
+         |    CASE digit $arms END AS exp_share
+         |  FROM d, t),
+         |x AS (SELECT digit, n_obs, n, exp_share,
+         |    n_obs - n * exp_share AS diff, n * exp_share AS exp_n
+         |  FROM e)
+         |SELECT digit, n_obs,
+         |  round(CAST(n_obs AS DOUBLE) / n, 9) AS obs_share,
+         |  CAST(exp_share AS DOUBLE) AS exp_share,
+         |  round(CAST(diff AS DOUBLE) * CAST(diff AS DOUBLE)
+         |    / CAST(exp_n AS DOUBLE), 9) AS chi2
+         |FROM x ORDER BY digit""".stripMargin
+    },
     // Σ ca·cb over shared keys ≡ |A ⋈ B| without executing the join
     "quality_join_size" ->
       """WITH la AS (SELECT o_orderkey AS k, count(*) AS ca FROM orders

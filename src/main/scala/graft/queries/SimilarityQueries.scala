@@ -143,6 +143,28 @@ object SimilarityQueries {
       "vec_id", "embedding", K, planes)
   }
 
+  /** Recall@K audit of the LSH retrieval paths against the brute-force
+    * ground truth — the measurement that justifies (or vetoes) an ANN
+    * swap at scale: |approx top-K ∩ exact top-K| / K for the single-probe
+    * and Hamming-1 multiprobe variants. All three retrieval relations are
+    * already K-row-bounded before the semi-joins touch them, so the audit
+    * itself is driver-trivial regardless of corpus size.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = bruteTopK(spark, dir).select(col("vec_id"))
+    def recallOf(method: String, d: DataFrame): DataFrame = {
+      val retrieved = d.select(col("vec_id"))
+      retrieved.agg(count(lit(1)).as("n_retrieved"))
+        .crossJoin(retrieved.join(truth, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits")))
+        .select(lit(method).as("method"), col("n_retrieved"), col("n_hits"),
+          round(col("n_hits").cast("double") / K, 9).as("recall"))
+    }
+    recallOf("lsh_multiprobe", lshTopKMultiprobe(spark, dir))
+      .unionByName(recallOf("lsh_single_probe", lshTopK(spark, dir)))
+      .orderBy("method")
+  }
+
   def knnJoin(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.knnJoin(emb, emb.filter(col("vec_id") < KnnQueries),
@@ -294,6 +316,7 @@ object SimilarityQueries {
     "sim_lsh_neardup_pairs" -> lshNearDupPairs,
     "sim_neardup_triangles" -> neardupTriangles,
     "sim_lsh_topk" -> lshTopK,
+    "sim_ann_recall" -> annRecall,
     "sim_rrf_fusion" -> rrfFusion,
     "sim_embedding_cov" -> embeddingCov,
     "sim_lsh_multiprobe" -> lshTopKMultiprobe,
@@ -546,6 +569,33 @@ object SimilarityQueries {
          |  ${cosineSql("b.embedding", "qv")} AS cos
          |FROM b JOIN p ON b.bucket = p.pb
          |ORDER BY cos DESC, vec_id LIMIT $K""".stripMargin
+    },
+    // truth / single / multi are the verbatim topk CTEs; recall joins
+    // K-bounded id sets, denominator is the fixed K
+    "sim_ann_recall" -> {
+      val probes = ("qb" +: planes.indices.map(p => s"xor(qb, ${1L << p})"))
+        .mkString("[", ", ", "]")
+      s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+         |           FROM embeddings),
+         |q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+         |truth AS (SELECT b.vec_id FROM b, q
+         |  ORDER BY ${cosineSql("b.embedding", "qv")} DESC, vec_id LIMIT $K),
+         |single AS (SELECT b.vec_id FROM b, q WHERE b.bucket = q.qb
+         |  ORDER BY ${cosineSql("b.embedding", "qv")} DESC, vec_id LIMIT $K),
+         |mp AS (SELECT qv, unnest($probes) AS pb FROM q),
+         |multi AS (SELECT b.vec_id FROM b JOIN mp ON b.bucket = mp.pb
+         |  ORDER BY ${cosineSql("b.embedding", "qv")} DESC, vec_id LIMIT $K),
+         |s AS (SELECT 'lsh_single_probe' AS method,
+         |    (SELECT count(*) FROM single) AS n_retrieved,
+         |    (SELECT count(*) FROM single JOIN truth USING (vec_id))
+         |      AS n_hits
+         |  UNION ALL
+         |  SELECT 'lsh_multiprobe',
+         |    (SELECT count(*) FROM multi),
+         |    (SELECT count(*) FROM multi JOIN truth USING (vec_id)))
+         |SELECT method, n_retrieved, n_hits,
+         |  round(CAST(n_hits AS DOUBLE) / $K, 9) AS recall
+         |FROM s ORDER BY method""".stripMargin
     },
     "sim_centroids" ->
       s"""WITH pe AS (

@@ -316,6 +316,29 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got("z") == ((1L, 0.5, 0L, 1L)))
   }
 
+  test("associationRules: presence counts, both directions, " +
+      "support/confidence/lift closed-form") {
+    // sessions: {a,b}, {a,b}, {a}, {b,c} → n=4; n_a=3 n_b=3 n_c=1
+    // ab: n_ab=2; bc: n_bc=1
+    val rows = Seq((1, "a"), (1, "b"), (1, "a"), (2, "a"), (2, "b"),
+      (3, "a"), (4, "b"), (4, "c"))
+    val df = rows.toDF("sid", "item")
+    val got = EventOps.associationRules(df, Seq("sid"), "item")
+      .collect()
+      .map(r => (r.getAs[String]("antecedent"),
+        r.getAs[String]("consequent")) ->
+        (r.getAs[Long]("n_ab"), r.getAs[Double]("support"),
+          r.getAs[Double]("confidence"), r.getAs[Double]("lift"))).toMap
+    // a→b: sup 2/4, conf 2/3, lift 2·4/(3·3)
+    assert(got(("a", "b")) == ((2L, 0.5, 0.666666667, 0.888888889)))
+    assert(got(("b", "a")) == ((2L, 0.5, 0.666666667, 0.888888889)))
+    // b→c: sup 1/4, conf 1/3, lift 1·4/(3·1)
+    assert(got(("b", "c")) == ((1L, 0.25, 0.333333333, 1.333333333)))
+    // c→b: conf 1/1
+    assert(got(("c", "b")) == ((1L, 0.25, 1.0, 1.333333333)))
+    assert(got.size == 4) // a,c never co-occur
+  }
+
   test("activityGaps: span/missing/max-gap from distinct active days") {
     import org.apache.spark.sql.functions.{col, expr}
     val us = 86400000000L

@@ -405,6 +405,30 @@ class PrepSpec extends AnyFunSuite {
     assert(out == Seq(None, Some(5.0), Some(5.0), Some(7.0), None))
   }
 
+  test("woeEncode: smoothed shares, woe sign tracks lift, " +
+      "single-class categories stay finite") {
+    // cat p: 3 pos / 1 neg; cat q: 1 pos / 3 neg; cat r: 2 pos / 0 neg
+    val rows = Seq(("p", true), ("p", true), ("p", true), ("p", false),
+      ("q", true), ("q", false), ("q", false), ("q", false),
+      ("r", true), ("r", true))
+    val df = rows.toDF("cat", "lbl")
+    val got = Prep.woeEncode(df, "cat", "lbl", alpha = 0.5)
+      .collect()
+      .map(r => r.getAs[String]("category") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+          r.getAs[Double]("woe"), r.getAs[Double]("iv"))).toMap
+    // totals: pos=6, neg=4; shares with α=0.5 over (6.5, 4.5)
+    val (pP, pN) = ((3 + 0.5) / 6.5, (1 + 0.5) / 4.5)
+    assert(got("p")._1 == 4 && got("p")._2 == 3 && got("p")._3 == 1)
+    assert(got("p")._4 ==
+      BigDecimal(math.log(pP / pN)).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got("p")._4 > 0)      // pos-enriched → positive woe
+    assert(got("q")._4 < 0)      // neg-enriched → negative
+    assert(got("r")._4.isFinite) // zero-neg category smoothed, not ±∞
+    assert(got("r")._4 > 0 && got("r")._5.isFinite)
+  }
+
   test("winsorize: clipped rows land on the edges, unclipped rows pass " +
       "through, clip fractions are ~5%") {
     import org.apache.spark.sql.types.DecimalType

@@ -92,6 +92,28 @@ class QualitySpec extends AnyFunSuite {
     assert(fo.getAs[Double]("mad") == 0.0 && fo.getAs[Long]("n_outliers") == 1L)
   }
 
+  test("benfordProfile: integer-cents first digits, shares sum to 1, " +
+      "zero/negative rows excluded, χ² closed-form") {
+    import org.apache.spark.sql.functions.col
+    // values 1.00..9.00 once each + one extra 1.00 → digit 1 twice
+    val vals = (1 to 9).map(_.toDouble) ++ Seq(1.0, 0.0, -5.0)
+    val df = vals.toDF("v")
+    val rows = DataQualityValidator.benfordProfile(df, "v")
+      .orderBy(col("digit")).collect()
+    assert(rows.map(_.getAs[Int]("digit")).toSeq == (1 to 9))
+    assert(rows.map(_.getAs[Long]("n_obs")).sum == 10) // 0 and −5 dropped
+    val shares = rows.map(_.getAs[Double]("obs_share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-8)
+    assert(rows.head.getAs[Long]("n_obs") == 2) // digit 1 twice
+    // digit 1: exp_n = 10·0.301029996; chi2 = (2−exp)²/exp
+    val expN = BigDecimal(10) *
+      BigDecimal(DataQualityValidator.benfordShare(1))
+    val diff = (BigDecimal(2) - expN).toDouble
+    val want = BigDecimal(diff * diff / expN.toDouble)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.head.getAs[Double]("chi2") == want)
+  }
+
   test("Profiler.entropyProfile: uniform = log2(k) bits, constant = 0") {
     import org.apache.spark.sql.functions.col
     // a: 4 equally-likely values → 2 bits; b: constant → 0 bits, gini 0;
