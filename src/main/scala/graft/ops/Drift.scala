@@ -1,7 +1,9 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Feature-drift detection between two relation snapshots — the
   * monitoring operator a production feature store runs between versions
@@ -77,4 +79,47 @@ object Drift {
     psiBuckets(baseline, current, valueCol, buckets)
       .agg(round(sum(col("contribution")), 9).as("psi"),
         count(lit(1)).as("n_buckets"))
+
+  /** Exact 1-Wasserstein (earth-mover) distance between two samples of a
+    * ≤2-dp value column — the drift metric with UNITS (W₁ is "average
+    * value displacement", so a 0.4 shift on a dollar column means 40
+    * cents), complementing PSI's unitless score and KS's sup-norm:
+    * `W₁ = ∫ |F_a − F_b| dx` over the merged distinct-value grid.
+    *
+    * The KS-grid discipline end to end: one group-by collapses both sides
+    * to per-distinct-value counts; cumulative windows over THAT bounded
+    * grid. Exactness: |F_a − F_b| stays the INTEGER cross-product
+    * `|cum_a·n_b − cum_b·n_a|`, the grid gap is an exact DECIMAL(18,2)
+    * difference, contributions sum in DECIMAL(38,4), and ONE double
+    * division by n_a·n_b happens at the very end — the only IEEE op in
+    * the whole statistic. Returns (n_a, n_b, w1).
+    */
+  def wasserstein1(df: DataFrame, valueCol: String, groupCol: String,
+      a: String, b: String): DataFrame = {
+    val xd = col(valueCol).cast(DecimalType(18, 2))
+    val perV = df.filter(col(groupCol).isin(a, b) && col(valueCol).isNotNull)
+      .select(xd.as("v"),
+        when(col(groupCol) === a, 1L).otherwise(0L).as("ia"),
+        when(col(groupCol) === b, 1L).otherwise(0L).as("ib"))
+      .groupBy("v").agg(sum("ia").as("ca"), sum("ib").as("cb"))
+    val byV = Window.orderBy("v")
+    val cdf = byV.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    perV
+      .withColumn("cuma", sum(col("ca")).over(cdf))
+      .withColumn("cumb", sum(col("cb")).over(cdf))
+      .withColumn("na", sum(col("ca")).over(all))
+      .withColumn("nb", sum(col("cb")).over(all))
+      // last grid point: lead is null → gap 0 → no contribution
+      .withColumn("gap",
+        coalesce(lead(col("v"), 1).over(byV) - col("v"),
+          lit(0).cast(DecimalType(18, 2))))
+      .select(col("na"), col("nb"),
+        (abs(col("cuma") * col("nb") - col("cumb") * col("na")) * col("gap"))
+          .cast(DecimalType(38, 4)).as("c"))
+      .groupBy("na", "nb").agg(sum(col("c")).as("__num"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        round(col("__num").cast(DoubleType) / (col("na") * col("nb")), 9)
+          .as("w1"))
+  }
 }

@@ -207,4 +207,50 @@ object Eval {
         sum(round(col("abs_gap") * col("n"), 9).cast(Exact9)).over(all)
           .cast(DoubleType) / sum(col("n")).over(all), 9))
   }
+
+  /** Exact isotonic (monotone non-decreasing) calibration of binned
+    * predictions — the non-parametric recalibrator (Zadrozny & Elkan
+    * 2002) — via the MINIMAX closed form of pool-adjacent-violators:
+    * `iso_k = max_{i≤k} min_{j≥k} mean(i..j)` (Barlow et al. 1972). PAV's
+    * sequential pooling loop is what everyone implements; the closed form
+    * is what lets the whole fit stay RELATIONAL — prefix sums + a bins²
+    * range relation + two bounded group-bys, identical on any engine, no
+    * driver-side loop at any corpus size (the data was already collapsed
+    * to ≤bins rows upstream).
+    *
+    * Determinism: range means are integer-sum ratios rounded 9 dp; min/max
+    * over 9-dp-quantized values can never tie-break differently across
+    * engines. Input must be one row per bin (e.g. [[calibrationBins]]
+    * output). Returns (bin, n, n_pos, pos_rate, iso_rate) with iso_rate
+    * non-decreasing in bin.
+    */
+  def isotonicCalibration(binned: DataFrame, binCol: String, nCol: String,
+      posCol: String): DataFrame = {
+    val b = binned.select(col(binCol).cast("long").as("bin"),
+      col(nCol).cast("long").as("n"), col(posCol).cast("long").as("n_pos"))
+    // prefix sums over the ≤bins-row relation (single-partition window is
+    // the POINT here — the relation is bins-bounded by construction)
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = b
+      .withColumn("cn", sum(col("n")).over(w))
+      .withColumn("cp", sum(col("n_pos")).over(w))
+    val lo = pre.select(col("bin").as("i"),
+      (col("cn") - col("n")).as("cn0"), (col("cp") - col("n_pos")).as("cp0"))
+    val hi = pre.select(col("bin").as("j"), col("cn").as("cnj"),
+      col("cp").as("cpj"))
+    val ranges = lo.join(hi, col("j") >= col("i"))
+      .select(col("i"), col("j"),
+        round((col("cpj") - col("cp0")).cast(DoubleType) /
+          (col("cnj") - col("cn0")), 9).as("m"))
+    val iso = ranges
+      .join(b.select(col("bin").as("k")),
+        col("i") <= col("k") && col("j") >= col("k"))
+      .groupBy("k", "i").agg(min(col("m")).as("mn"))
+      .groupBy("k").agg(max(col("mn")).as("iso_rate"))
+    b.join(iso, col("bin") === col("k"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("n_pos").cast(DoubleType) / col("n"), 9).as("pos_rate"),
+        col("iso_rate"))
+  }
 }

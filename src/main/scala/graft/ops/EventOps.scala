@@ -239,6 +239,51 @@ object EventOps {
           (col("n_a") * col("n_b"))), 9).as("pmi"))
   }
 
+  /** Sequential-pattern support over sessions — the ORDER-aware sibling of
+    * [[associationRules]] (co-occurrence asks "together?", this asks
+    * "A then B?" — the distinction behind next-action features and funnel
+    * hypotheses): for each ordered item pair, the number of sessions where
+    * A's FIRST occurrence strictly precedes B's first occurrence
+    * (first-occurrence semantics = the 2-sequence case of GSP, Srikant &
+    * Agrawal 1996). Deterministic under duplicate timestamps — "first" and
+    * the precedence compare both order by (ts, tie).
+    *
+    * Shape at scale: first occurrences collapse per (session, item) in ONE
+    * min-struct group-by (partial-aggregable — never a window over the
+    * stream); the pair self-join is bounded by per-session distinct items,
+    * like the PMI pair join; item/total counts broadcast back. Returns
+    * (antecedent, consequent, n_seq, n_ant, n_sessions, support,
+    * confidence).
+    */
+  def sequencePatterns(df: DataFrame, sessionCols: Seq[String],
+      itemCol: String, tsCol: String, tieCol: String,
+      broadcastCounts: Boolean = true): DataFrame = {
+    val firsts = df
+      .select(struct(sessionCols.map(col): _*).as("__sid"),
+        col(itemCol).cast("string").as("item"),
+        struct(col(tsCol), col(tieCol)).as("__o"))
+      .groupBy("__sid", "item")
+      .agg(min(col("__o")).as("__f"))
+    val totals = firsts.agg(countDistinct(col("__sid")).as("n_sessions"))
+    val itemCounts = firsts.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val pairs = firsts.as("l")
+      .join(firsts.as("r"), col("l.__sid") === col("r.__sid") &&
+        col("l.item") =!= col("r.item") && col("l.__f") < col("r.__f"))
+      .groupBy(col("l.item").as("antecedent"), col("r.item").as("consequent"))
+      .agg(count(lit(1)).as("n_seq"))
+    def hinted(d: DataFrame) = if (broadcastCounts) broadcast(d) else d
+    pairs
+      .join(hinted(itemCounts.select(col("item").as("antecedent"),
+        col("n_item").as("n_ant"))), Seq("antecedent"))
+      .crossJoin(broadcast(totals))
+      .select(col("antecedent"), col("consequent"), col("n_seq"),
+        col("n_ant"), col("n_sessions"),
+        round(col("n_seq").cast("double") / col("n_sessions"), 9)
+          .as("support"),
+        round(col("n_seq").cast("double") / col("n_ant"), 9)
+          .as("confidence"))
+  }
+
   /** Directed association rules over session item sets — classic
     * market-basket analysis (support / confidence / lift, Agrawal et al.
     * 1993), the thresholded companion to [[cooccurrencePmi]]: PMI ranks

@@ -79,10 +79,20 @@ object EvalQueries {
       .orderBy("bin")
   }
 
+  /** Isotonic recalibration of the click-count probability bins
+    * ([[graft.ops.Eval.isotonicCalibration]] over [[calibrationClicks]]'s
+    * bins) — the PAV fit via the relational minimax closed form.
+    */
+  def isotonicClicks(spark: SparkSession, dir: String): DataFrame =
+    Eval.isotonicCalibration(calibrationClicks(spark, dir),
+        "bin", "n", "n_pos")
+      .orderBy("bin")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_auc_clicks" -> aucClicks,
     "eval_confusion_lang" -> confusionLang,
     "eval_retrieval_labels" -> retrievalLabels,
+    "eval_isotonic" -> isotonicClicks,
     "eval_calibration_bins" -> calibrationClicks)
 
   // ---- oracle SQL -----------------------------------------------------------
@@ -104,6 +114,26 @@ object EvalQueries {
     (1 to RetrievalK).map(i =>
       s"WHEN $mExpr = $i THEN CAST(${Eval.idealDcg(i, RetrievalK)} AS DECIMAL(28,9))")
       .mkString("CASE ", " ", " END")
+
+  // user-day click-count probability bins, shared by the calibration and
+  // isotonic oracles (must stay the verbatim twin of Eval.calibrationBins
+  // over userDayLabels)
+  private val calibBinnedCte =
+    s"""u AS (
+       |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+       |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS s,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+       |  FROM events GROUP BY 1, 2),
+       |mm AS (SELECT min(s) AS mn, max(s) AS mx FROM u),
+       |lab AS (SELECT s - mn AS num, mx - mn AS den, y
+       |        FROM u CROSS JOIN mm),
+       |binned AS (
+       |  SELECT least((num * $CalibBins) // den,
+       |           ${CalibBins - 1}) AS bin,
+       |    count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+       |    CAST(sum(num) AS BIGINT) AS sum_num, max(den) AS den
+       |  FROM lab GROUP BY 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "eval_auc_clicks" ->
@@ -179,22 +209,26 @@ object EvalQueries {
          |      ${idcgCaseSql(s"least(n_rel, $RetrievalK)")} AS DOUBLE), 9)
          |  END AS ndcg
          |FROM pq JOIN nr ON pq.q_id = nr.q_id ORDER BY pq.q_id""".stripMargin,
+    "eval_isotonic" ->
+      s"""WITH $calibBinnedCte,
+         |pre AS (SELECT bin, n, n_pos,
+         |    sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn,
+         |    sum(n_pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cp
+         |  FROM binned),
+         |rng AS (SELECT lo.bin AS i, hi.bin AS j,
+         |    round(CAST(hi.cp - (lo.cp - lo.n_pos) AS DOUBLE)
+         |      / (hi.cn - (lo.cn - lo.n)), 9) AS m
+         |  FROM pre lo JOIN pre hi ON hi.bin >= lo.bin),
+         |innr AS (SELECT k.bin AS k, rng.i, min(rng.m) AS mn
+         |  FROM rng JOIN binned k ON rng.i <= k.bin AND rng.j >= k.bin
+         |  GROUP BY 1, 2),
+         |iso AS (SELECT k, max(mn) AS iso_rate FROM innr GROUP BY 1)
+         |SELECT b.bin, b.n, b.n_pos,
+         |  round(CAST(b.n_pos AS DOUBLE) / b.n, 9) AS pos_rate,
+         |  iso.iso_rate
+         |FROM binned b JOIN iso ON iso.k = b.bin ORDER BY bin""".stripMargin,
     "eval_calibration_bins" ->
-      s"""WITH u AS (
-         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
-         |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS s,
-         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
-         |  FROM events GROUP BY 1, 2),
-         |mm AS (SELECT min(s) AS mn, max(s) AS mx FROM u),
-         |lab AS (SELECT s - mn AS num, mx - mn AS den, y
-         |        FROM u CROSS JOIN mm),
-         |binned AS (
-         |  SELECT least((num * $CalibBins) // den,
-         |           ${CalibBins - 1}) AS bin,
-         |    count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
-         |    CAST(sum(num) AS BIGINT) AS sum_num, max(den) AS den
-         |  FROM lab GROUP BY 1),
+      s"""WITH $calibBinnedCte,
          |b2 AS (
          |  SELECT bin, n, n_pos,
          |    round(CAST(sum_num AS DOUBLE) / (n * den), 9) AS avg_prob,

@@ -229,6 +229,7 @@ object FeatureQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "feat_assoc_rules" -> assocRules,
+    "feat_seq_patterns" -> seqPatterns,
     "feat_cohort_retention" -> cohortRetention,
     "feat_churn_labels" -> churnLabels,
     "feat_attribution_credit" -> attributionCredit,
@@ -386,6 +387,17 @@ object FeatureQueries {
         Seq("user_id", "session_idx"), "event_type")
       .orderBy("antecedent", "consequent")
 
+  /** "A then B" sequential-pattern support within 6-hour sessions
+    * ([[graft.ops.EventOps.sequencePatterns]]) — first-occurrence
+    * precedence counts over the same session machinery as [[sessionPmi]].
+    */
+  def seqPatterns(spark: SparkSession, dir: String): DataFrame =
+    EventOps.sequencePatterns(
+        Prep.sessionize(Tables.events(spark, dir), "user_id", "ts",
+          "event_id", PmiGapSec),
+        Seq("user_id", "session_idx"), "event_type", "ts", "event_id")
+      .orderBy("antecedent", "consequent")
+
   /** Linear multi-touch attribution credit per click
     * ([[graft.ops.EventOps.linearAttribution]]): each purchase splits one
     * unit of credit equally across the user's clicks in the preceding
@@ -446,6 +458,46 @@ object FeatureQueries {
          |FROM dr
          |JOIN ic a ON a.event_type = dr.antecedent
          |JOIN ic b ON b.event_type = dr.consequent, tot
+         |ORDER BY antecedent, consequent""".stripMargin,
+    // sessionize CTEs shared with feat_session_pmi; firsts via rn=1 on
+    // (ts, event_id) ≡ the min-struct; strict (ts, id) precedence compare
+    "feat_seq_patterns" ->
+      s"""WITH l AS (SELECT user_id, event_id, ts, event_type,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS prev_ts
+         |  FROM events),
+         |s AS (SELECT user_id, event_id, ts, event_type,
+         |    CASE WHEN prev_ts IS NULL
+         |           OR epoch_us(ts) - epoch_us(prev_ts)
+         |              > ${PmiGapSec * 1000000L}
+         |      THEN 1 ELSE 0 END AS is_new
+         |  FROM l),
+         |x AS (SELECT user_id, event_id, ts, event_type,
+         |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+         |  FROM s),
+         |fr AS (SELECT user_id, session_idx, event_type AS item, ts,
+         |    event_id,
+         |    row_number() OVER (PARTITION BY user_id, session_idx, event_type
+         |      ORDER BY ts, event_id) AS rn
+         |  FROM x),
+         |f AS (SELECT user_id, session_idx, item, ts, event_id FROM fr
+         |  WHERE rn = 1),
+         |tot AS (SELECT count(DISTINCT (user_id, session_idx)) AS n_sessions
+         |  FROM f),
+         |ic AS (SELECT item, count(*) AS n_item FROM f GROUP BY 1),
+         |pr AS (SELECT a.item AS antecedent, b.item AS consequent,
+         |    count(*) AS n_seq
+         |  FROM f a JOIN f b
+         |    ON a.user_id = b.user_id AND a.session_idx = b.session_idx
+         |   AND a.item <> b.item
+         |   AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+         |  GROUP BY 1, 2)
+         |SELECT antecedent, consequent, n_seq, ic.n_item AS n_ant,
+         |  n_sessions,
+         |  round(CAST(n_seq AS DOUBLE) / n_sessions, 9) AS support,
+         |  round(CAST(n_seq AS DOUBLE) / ic.n_item, 9) AS confidence
+         |FROM pr JOIN ic ON ic.item = pr.antecedent, tot
          |ORDER BY antecedent, consequent""".stripMargin,
     // cohort = each user's min activity week; cohort_size = the cell at
     // offset 0 (every user is active in its own first week by definition)

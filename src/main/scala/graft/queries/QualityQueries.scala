@@ -181,6 +181,19 @@ object QualityQueries {
         Tables.events(spark, dir), "event_type", "value")
       .orderBy("event_type")
 
+  /** 1-Wasserstein distance between the train and test value
+    * distributions of the temporal split ([[graft.ops.Drift.wasserstein1]]
+    * over the same [[graft.ops.EventOps.timeSplitEmbargo]] split as
+    * [[splitDrift]]) — drift with units, complementing PSI and KS.
+    */
+  def splitW1(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Drift.wasserstein1(
+        graft.ops.EventOps.timeSplitEmbargo(
+          ev(spark, dir).filter(col("value").isNotNull),
+          "ts_us", SplitTestUs, SplitEmbargoUs),
+        "value", "split", "train", "test")
+      .orderBy("n_a")
+
   /** Benford's-law first-digit audit of lineitem extended price
     * ([[graft.quality.DataQualityValidator.benfordProfile]]) — observed vs
     * expected digit shares with per-digit χ² contributions, the forensic
@@ -290,6 +303,7 @@ object QualityQueries {
     "quality_ks_value" -> ksValue,
     "quality_label_kappa" -> labelKappa,
     "quality_benford" -> benford,
+    "quality_drift_w1" -> splitW1,
     "quality_mad_outliers" -> madOutliers,
     "quality_split_drift" -> splitDrift,
     "quality_skew_report" -> skewReport,
@@ -448,6 +462,34 @@ object QualityQueries {
     },
     // D stays the integer cross-multiply max|cumA·nB − cumB·nA| until the
     // one final division
+    // the KS grid + integer cross-products; contributions are exact
+    // DECIMAL (|cum_a·n_b − cum_b·n_a| · grid gap); ONE division at the end
+    "quality_drift_w1" ->
+      s"""WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+         |s AS (SELECT CAST(value AS DECIMAL(18,2)) AS v,
+         |    CASE WHEN epoch_us(ts) > mx - $SplitTestUs THEN 'test'
+         |         WHEN epoch_us(ts) > mx - ${SplitTestUs + SplitEmbargoUs}
+         |           THEN 'embargo'
+         |         ELSE 'train' END AS split
+         |  FROM events, m WHERE value IS NOT NULL),
+         |perv AS (SELECT v,
+         |    sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ca,
+         |    sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS cb
+         |  FROM s WHERE split IN ('train', 'test') GROUP BY 1),
+         |c AS (SELECT v,
+         |    CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+         |    CAST(sum(cb) OVER w AS BIGINT) AS cumb,
+         |    CAST(sum(ca) OVER () AS BIGINT) AS na,
+         |    CAST(sum(cb) OVER () AS BIGINT) AS nb,
+         |    coalesce(lead(v) OVER (ORDER BY v) - v,
+         |      CAST(0 AS DECIMAL(18,2))) AS gap
+         |  FROM perv WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+         |x AS (SELECT na, nb,
+         |    CAST(abs(cuma * nb - cumb * na) * gap AS DECIMAL(38,4)) AS c
+         |  FROM c)
+         |SELECT na AS n_a, nb AS n_b,
+         |  round(CAST(sum(c) AS DOUBLE) / (na * nb), 9) AS w1
+         |FROM x GROUP BY na, nb ORDER BY n_a""".stripMargin,
     "quality_ks_value" ->
       """WITH perv AS (SELECT CAST(value AS DECIMAL(18,2)) AS v,
         |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca,

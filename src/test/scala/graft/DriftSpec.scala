@@ -32,4 +32,23 @@ class DriftSpec extends AnyFunSuite {
     val psi = Drift.psi(base, mild, "v").select("psi").as[Double].head()
     assert(psi > 0.0 && psi < 0.25, psi)
   }
+
+  test("wasserstein1: pure shift = the shift size; identical samples = 0; " +
+      "units follow the value column") {
+    // a = {1,2,3}, b = {2,3,4}: W1 of a unit shift is exactly 1.0
+    val rows = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 3.0), ("b", 4.0))
+    val df = rows.toDF("g", "v")
+    val r = Drift.wasserstein1(df, "v", "g", "a", "b").collect()(0)
+    assert(r.getAs[Long]("n_a") == 3 && r.getAs[Long]("n_b") == 3)
+    assert(r.getAs[Double]("w1") == 1.0)
+    val same = Seq(("a", 5.0), ("a", 7.5), ("b", 5.0), ("b", 7.5))
+      .toDF("g", "v")
+    assert(Drift.wasserstein1(same, "v", "g", "a", "b")
+      .collect()(0).getAs[Double]("w1") == 0.0)
+    // unequal sizes: a = {0,0}, b = {1} → |F_a − F_b| = 1 on [0,1) → W1 = 1
+    val uneq = Seq(("a", 0.0), ("a", 0.0), ("b", 1.0)).toDF("g", "v")
+    assert(Drift.wasserstein1(uneq, "v", "g", "a", "b")
+      .collect()(0).getAs[Double]("w1") == 1.0)
+  }
 }

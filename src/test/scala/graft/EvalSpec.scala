@@ -99,4 +99,27 @@ class EvalSpec extends AnyFunSuite {
       ece.setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
     assert(b0.getAs[Double]("ece") == b1.getAs[Double]("ece"))
   }
+
+  test("isotonicCalibration: minimax ≡ PAV — violators pool to their " +
+      "weighted mean, monotone output, calibrated input is a fixpoint") {
+    // rates 0.2, 0.5, 0.3, 0.8 with n=10 each: bins 1,2 violate →
+    // pooled (5+3)/20 = 0.4 → iso = 0.2, 0.4, 0.4, 0.8
+    val df = Seq((0L, 10L, 2L), (1L, 10L, 5L), (2L, 10L, 3L),
+      (3L, 10L, 8L)).toDF("bin", "n", "n_pos")
+    val got = Eval.isotonicCalibration(df, "bin", "n", "n_pos")
+      .orderBy("bin").collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Double]("iso_rate")))
+    assert(got.toSeq == Seq((0L, 0.2), (1L, 0.4), (2L, 0.4), (3L, 0.8)))
+    // weighted pooling: n=30 @0.5 vs n=10 @0.1 → (15+1)/40 = 0.4
+    val w = Seq((0L, 30L, 15L), (1L, 10L, 1L)).toDF("bin", "n", "n_pos")
+    val gotW = Eval.isotonicCalibration(w, "bin", "n", "n_pos")
+      .orderBy("bin").collect().map(_.getAs[Double]("iso_rate"))
+    assert(gotW.toSeq == Seq(0.4, 0.4))
+    // already-monotone input passes through unchanged
+    val mono = Seq((0L, 10L, 1L), (1L, 10L, 5L), (2L, 10L, 9L))
+      .toDF("bin", "n", "n_pos")
+    val gotM = Eval.isotonicCalibration(mono, "bin", "n", "n_pos")
+      .orderBy("bin").collect().map(_.getAs[Double]("iso_rate"))
+    assert(gotM.toSeq == Seq(0.1, 0.5, 0.9))
+  }
 }

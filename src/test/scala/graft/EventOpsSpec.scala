@@ -339,6 +339,30 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got.size == 4) // a,c never co-occur
   }
 
+  test("sequencePatterns: first-occurrence precedence, (ts, tie) " +
+      "determinism, order direction matters") {
+    import org.apache.spark.sql.functions.expr
+    // s1: a@1, b@3, a@5  → a before b (repeat a ignored: first wins)
+    // s2: b@1, a@2       → b before a
+    // s3: a@4, b@4 (tie) → event_id breaks: a(id 1) before b(id 2)
+    val rows = Seq((1, "a", 1L, 1L), (1, "b", 3L, 2L), (1, "a", 5L, 3L),
+      (2, "b", 1L, 1L), (2, "a", 2L, 2L),
+      (3, "a", 4L, 1L), (3, "b", 4L, 2L))
+    val df = rows.toDF("sid", "item", "ts_us", "eid")
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+    val got = EventOps.sequencePatterns(df, Seq("sid"), "item", "ts", "eid")
+      .collect()
+      .map(r => (r.getAs[String]("antecedent"),
+        r.getAs[String]("consequent")) ->
+        (r.getAs[Long]("n_seq"), r.getAs[Double]("support"),
+          r.getAs[Double]("confidence"))).toMap
+    // a→b in s1 and s3 (2 of 3 sessions); n_ant(a) = 3
+    assert(got(("a", "b")) == ((2L, 0.666666667, 0.666666667)))
+    // b→a only in s2; n_ant(b) = 3
+    assert(got(("b", "a")) == ((1L, 0.333333333, 0.333333333)))
+    assert(got.size == 2)
+  }
+
   test("activityGaps: span/missing/max-gap from distinct active days") {
     import org.apache.spark.sql.functions.{col, expr}
     val us = 86400000000L
