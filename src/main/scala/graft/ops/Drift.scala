@@ -80,6 +80,41 @@ object Drift {
       .agg(round(sum(col("contribution")), 9).as("psi"),
         count(lit(1)).as("n_buckets"))
 
+  /** Total-variation distance between two CATEGORICAL distributions —
+    * the drift check for label/segment/source columns, where PSI's
+    * quantile buckets and W₁'s value metric don't apply: per category the
+    * share gap, and `TV = ½ Σ_c |p_a(c) − p_b(c)|` (the largest possible
+    * probability difference any event can have between the two
+    * distributions).
+    *
+    * Same integer discipline as [[wasserstein1]]/KS: ONE group-by to
+    * per-category counts, gaps as the integer cross-product
+    * `|c_a·n_b − c_b·n_a|`, a window-sum of those integers, and one
+    * double division each for the displayed shares/contribution/total.
+    * Returns one row per category: (category, n_a, n_b, p_a, p_b,
+    * abs_diff, tv); tv is the same on every row.
+    */
+  def tvDistance(df: DataFrame, catCol: String, groupCol: String,
+      a: String, b: String): DataFrame = {
+    val perC = df.filter(col(groupCol).isin(a, b))
+      .select(col(catCol).cast("string").as("category"),
+        when(col(groupCol) === a, 1L).otherwise(0L).as("ia"),
+        when(col(groupCol) === b, 1L).otherwise(0L).as("ib"))
+      .groupBy("category").agg(sum("ia").as("ca"), sum("ib").as("cb"))
+    val all = Window.partitionBy()
+    perC
+      .withColumn("na", sum(col("ca")).over(all))
+      .withColumn("nb", sum(col("cb")).over(all))
+      .withColumn("dn", abs(col("ca") * col("nb") - col("cb") * col("na")))
+      .select(col("category"), col("na").as("n_a"), col("nb").as("n_b"),
+        round(col("ca").cast(DoubleType) / col("na"), 9).as("p_a"),
+        round(col("cb").cast(DoubleType) / col("nb"), 9).as("p_b"),
+        round(col("dn").cast(DoubleType) / (col("na") * col("nb")), 9)
+          .as("abs_diff"),
+        round(sum(col("dn")).over(all).cast(DoubleType) /
+          (col("na") * col("nb") * 2), 9).as("tv"))
+  }
+
   /** Exact 1-Wasserstein (earth-mover) distance between two samples of a
     * ≤2-dp value column — the drift metric with UNITS (W₁ is "average
     * value displacement", so a 0.4 shift on a dollar column means 40

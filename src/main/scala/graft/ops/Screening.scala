@@ -203,4 +203,51 @@ object Screening {
     }
     wide.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
   }
+
+  /** Deterministic subsample-bootstrap confidence interval for a column
+    * mean — the "is this metric move real?" answer with NO random state:
+    * resample `b`'s membership is the md5 draw on (id, b) (the
+    * [[Prep.hashBucket]] idiom — identical on any engine/partitioning/
+    * run), so this is the m-out-of-n bootstrap (Bickel et al. 1997;
+    * keep-fraction subsampling rather than with-replacement draws, which
+    * would need per-row multiplicities no portable hash gives cheaply).
+    * CI bounds are DISCRETE permille quantiles of the resample means via
+    * the integer grid predicate (`1000·cum ≥ q·B` — the
+    * engines-interpolate-differently lesson).
+    *
+    * Shape at scale: one bounded ×B explode, one (resample) group-by of
+    * exact DECIMAL sums, then all quantile work happens on the B-row mean
+    * relation. Returns (n, mean, n_resamples, ci_lo, ci_hi).
+    */
+  def bootstrapCi(df: DataFrame, idCol: String, valueCol: String,
+      resamples: Int, keepPct: Int, loPermille: Int, hiPermille: Int)
+      : DataFrame = {
+    require(resamples > 1 && keepPct > 0 && keepPct <= 100)
+    require(loPermille >= 0 && hiPermille <= 1000 && loPermille < hiPermille)
+    val xd = col(valueCol).cast(DecimalType(18, 2))
+    val base = df.select(col(idCol).cast("string").as("__id"), xd.as("__v"))
+      .filter(col("__v").isNotNull)
+    val full = base.agg(count(lit(1)).as("n"),
+      round(sum(col("__v")).cast(DoubleType) / count(lit(1)), 9).as("mean"))
+    val means = base
+      .withColumn("__b", explode(sequence(lit(1), lit(resamples))))
+      .filter(Prep.hashBucket(
+        concat(col("__id"), lit(":"), col("__b")), 100) < keepPct)
+      .groupBy("__b")
+      .agg(round(sum(col("__v")).cast(DoubleType) / count(lit(1)), 9)
+        .as("m"))
+    val perM = means.groupBy("m").agg(count(lit(1)).as("c"))
+    val cum = Window.orderBy("m")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    val ci = perM
+      .withColumn("cum", sum(col("c")).over(cum))
+      .withColumn("nb", sum(col("c")).over(all))
+      .agg(max(col("nb")).as("n_resamples"),
+        min(when(col("cum") * 1000 >= col("nb") * loPermille, col("m")))
+          .as("ci_lo"),
+        min(when(col("cum") * 1000 >= col("nb") * hiPermille, col("m")))
+          .as("ci_hi"))
+    full.crossJoin(ci)
+  }
 }

@@ -83,6 +83,43 @@ object FeatureQueries {
           "purchase" -> (col("event_type") === "purchase")))
       .orderBy("user_id")
 
+  /** Step-to-step conversion timing of the view → click → purchase funnel
+    * ([[funnelSteps]] deltas): per-step completion counts and DISCRETE
+    * (type-1) p50/p90 of the time between consecutive completions — the
+    * funnel health numbers next to the completion rates. Discrete, not
+    * interpolated: the quantile is an actual observed delta, selected by
+    * the integer predicate `q·cum ≥ p·n` over the per-value grid — engines
+    * interpolate with different IEEE op orders, and at epoch-micros
+    * magnitude that last ulp survives any display rounding (measured:
+    * Spark …74.5 vs DuckDB …74.49994). Counts and quantiles stay BIGINT
+    * end to end.
+    */
+  def funnelTiming(spark: SparkSession, dir: String): DataFrame = {
+    val f = funnelSteps(spark, dir)
+    // discrete p50/p90 of one delta column via the per-value grid:
+    // smallest v with 2·cum ≥ n / 10·cum ≥ 9·n (cum integer ⇒ ≡ ceil)
+    def qdisc(delta: org.apache.spark.sql.Column, prefix: String)
+        : DataFrame = {
+      val perV = f.select(delta.as("v")).filter(col("v").isNotNull)
+        .groupBy("v").agg(count(lit(1)).as("c"))
+      val cum = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy()
+      perV
+        .withColumn("cum", sum(col("c")).over(cum))
+        .withColumn("n", sum(col("c")).over(all))
+        .agg(min(when(col("cum") * 2 >= col("n"), col("v")))
+            .as(s"${prefix}_p50"),
+          min(when(col("cum") * 10 >= col("n") * 9, col("v")))
+            .as(s"${prefix}_p90"))
+    }
+    f.agg(count(col("t_view")).as("n_view"),
+        count(col("t_click")).as("n_click"),
+        count(col("t_purchase")).as("n_purchase"))
+      .crossJoin(qdisc(col("t_click") - col("t_view"), "vc"))
+      .crossJoin(qdisc(col("t_purchase") - col("t_click"), "cp"))
+  }
+
   /** SCD2 validity intervals of each user's event_type attribute —
     * consecutive same-type runs collapse to one `[valid_from, valid_to)`
     * interval ([[graft.ops.EventOps.scd2]]).
@@ -249,6 +286,7 @@ object FeatureQueries {
     "pit_training_matrix" -> pitTrainingMatrix,
     "feat_rolling_window" -> rollingWindow,
     "feat_funnel_steps" -> funnelSteps,
+    "feat_funnel_timing" -> funnelTiming,
     "feat_scd2_intervals" -> scd2Intervals,
     "feat_time_split" -> timeSplit)
 
@@ -796,6 +834,48 @@ object FeatureQueries {
         |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
         |ORDER BY v.user_id""".stripMargin,
+    // the funnel CTEs verbatim, then DISCRETE (type-1) quantiles via the
+    // integer grid predicate (q·cum ≥ p·n) — interpolation op order
+    // differs between engines at micros magnitude
+    "feat_funnel_timing" ->
+      """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t_view
+        |           FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+        |      GROUP BY 1),
+        |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+        |      GROUP BY 1),
+        |f AS (SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+        |      FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)),
+        |vcg AS (SELECT v, count(*) AS c FROM
+        |    (SELECT t_click - t_view AS v FROM f WHERE t_click IS NOT NULL)
+        |  GROUP BY 1),
+        |vcc AS (SELECT v,
+        |    sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER () AS n FROM vcg),
+        |vcq AS (SELECT CAST(min(CASE WHEN cum * 2 >= n THEN v END)
+        |      AS BIGINT) AS vc_p50,
+        |    CAST(min(CASE WHEN cum * 10 >= n * 9 THEN v END)
+        |      AS BIGINT) AS vc_p90 FROM vcc),
+        |cpg AS (SELECT v, count(*) AS c FROM
+        |    (SELECT t_purchase - t_click AS v FROM f
+        |     WHERE t_purchase IS NOT NULL)
+        |  GROUP BY 1),
+        |cpc AS (SELECT v,
+        |    sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER () AS n FROM cpg),
+        |cpq AS (SELECT CAST(min(CASE WHEN cum * 2 >= n THEN v END)
+        |      AS BIGINT) AS cp_p50,
+        |    CAST(min(CASE WHEN cum * 10 >= n * 9 THEN v END)
+        |      AS BIGINT) AS cp_p90 FROM cpc)
+        |SELECT count(t_view) AS n_view, count(t_click) AS n_click,
+        |  count(t_purchase) AS n_purchase,
+        |  vc_p50, vc_p90, cp_p50, cp_p90
+        |FROM f, vcq, cpq
+        |GROUP BY vc_p50, vc_p90, cp_p50, cp_p90""".stripMargin,
     "feat_scd2_intervals" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         |             event_type FROM events),

@@ -194,6 +194,35 @@ object QualityQueries {
         "value", "split", "train", "test")
       .orderBy("n_a")
 
+  /** Total-variation distance between the train and test event-type
+    * distributions of the temporal split ([[graft.ops.Drift.tvDistance]])
+    * — the categorical-column drift check beside [[splitW1]]'s numeric
+    * one.
+    */
+  def splitTv(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Drift.tvDistance(
+        graft.ops.EventOps.timeSplitEmbargo(ev(spark, dir), "ts_us",
+          SplitTestUs, SplitEmbargoUs),
+        "event_type", "split", "train", "test")
+      .orderBy("category")
+
+  private val BootResamples = 200
+  private val BootKeepPct = 80
+  private val BootLoPermille = 25
+  private val BootHiPermille = 975
+
+  /** Deterministic 95% bootstrap CI for the mean purchase value
+    * ([[graft.ops.Screening.bootstrapCi]]) — 200 md5-membership
+    * subsample resamples, discrete permille quantiles of the resample
+    * means.
+    */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Screening.bootstrapCi(
+        ev(spark, dir).filter(col("event_type") === "purchase"),
+        "event_id", "value", BootResamples, BootKeepPct,
+        BootLoPermille, BootHiPermille)
+      .orderBy("n")
+
   /** Benford's-law first-digit audit of lineitem extended price
     * ([[graft.quality.DataQualityValidator.benfordProfile]]) — observed vs
     * expected digit shares with per-digit χ² contributions, the forensic
@@ -303,7 +332,9 @@ object QualityQueries {
     "quality_ks_value" -> ksValue,
     "quality_label_kappa" -> labelKappa,
     "quality_benford" -> benford,
+    "quality_bootstrap_ci" -> bootstrapCi,
     "quality_drift_w1" -> splitW1,
+    "quality_drift_tv" -> splitTv,
     "quality_mad_outliers" -> madOutliers,
     "quality_split_drift" -> splitDrift,
     "quality_skew_report" -> skewReport,
@@ -462,6 +493,57 @@ object QualityQueries {
     },
     // D stays the integer cross-multiply max|cumA·nB − cumB·nA| until the
     // one final division
+    // membership = the shared md5 idiom on (id, resample); means are exact
+    // DECIMAL sums + one division; CI = discrete permille grid quantiles
+    "quality_bootstrap_ci" ->
+      s"""WITH base AS (SELECT CAST(event_id AS VARCHAR) AS id,
+         |    CAST(value AS DECIMAL(18,2)) AS v
+         |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+         |fl AS (SELECT count(*) AS n,
+         |    round(CAST(sum(v) AS DOUBLE) / count(*), 9) AS mean FROM base),
+         |r AS (SELECT b, v FROM base,
+         |    UNNEST(generate_series(1, $BootResamples)) u(b)
+         |  WHERE ('0x' || substr(md5(id || ':' || b), 1, 12))::BIGINT
+         |    % 100 < $BootKeepPct),
+         |means AS (SELECT b,
+         |    round(CAST(sum(v) AS DOUBLE) / count(*), 9) AS m
+         |  FROM r GROUP BY 1),
+         |pm AS (SELECT m, count(*) AS c FROM means GROUP BY 1),
+         |cc AS (SELECT m,
+         |    sum(c) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS cum,
+         |    sum(c) OVER () AS nb FROM pm),
+         |ci AS (SELECT CAST(max(nb) AS BIGINT) AS n_resamples,
+         |    min(CASE WHEN cum * 1000 >= nb * $BootLoPermille THEN m END)
+         |      AS ci_lo,
+         |    min(CASE WHEN cum * 1000 >= nb * $BootHiPermille THEN m END)
+         |      AS ci_hi FROM cc)
+         |SELECT n, mean, n_resamples, ci_lo, ci_hi FROM fl, ci""".stripMargin,
+    // per-category integer cross-products; tv = window-summed integers,
+    // one division per displayed ratio
+    "quality_drift_tv" ->
+      s"""WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+         |s AS (SELECT event_type AS category,
+         |    CASE WHEN epoch_us(ts) > mx - $SplitTestUs THEN 'test'
+         |         WHEN epoch_us(ts) > mx - ${SplitTestUs + SplitEmbargoUs}
+         |           THEN 'embargo'
+         |         ELSE 'train' END AS split
+         |  FROM events, m),
+         |perc AS (SELECT category,
+         |    sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ca,
+         |    sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS cb
+         |  FROM s WHERE split IN ('train', 'test') GROUP BY 1),
+         |c AS (SELECT category, ca, cb,
+         |    CAST(sum(ca) OVER () AS BIGINT) AS na,
+         |    CAST(sum(cb) OVER () AS BIGINT) AS nb
+         |  FROM perc),
+         |d AS (SELECT category, ca, cb, na, nb,
+         |    abs(ca * nb - cb * na) AS dn FROM c)
+         |SELECT category, na AS n_a, nb AS n_b,
+         |  round(CAST(ca AS DOUBLE) / na, 9) AS p_a,
+         |  round(CAST(cb AS DOUBLE) / nb, 9) AS p_b,
+         |  round(CAST(dn AS DOUBLE) / (na * nb), 9) AS abs_diff,
+         |  round(CAST(sum(dn) OVER () AS DOUBLE) / (na * nb * 2), 9) AS tv
+         |FROM d ORDER BY category""".stripMargin,
     // the KS grid + integer cross-products; contributions are exact
     // DECIMAL (|cum_a·n_b − cum_b·n_a| · grid gap); ONE division at the end
     "quality_drift_w1" ->

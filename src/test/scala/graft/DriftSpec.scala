@@ -33,6 +33,24 @@ class DriftSpec extends AnyFunSuite {
     assert(psi > 0.0 && psi < 0.25, psi)
   }
 
+  test("tvDistance: hand case, tv repeated on every row, disjoint " +
+      "supports give tv = 1") {
+    // a: {x,x,y}, b: {x,y,y} → |Δp| = 1/3 each, tv = 1/3
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "y"),
+      ("b", "x"), ("b", "y"), ("b", "y")).toDF("g", "cat")
+    val rows = Drift.tvDistance(df, "cat", "g", "a", "b")
+      .orderBy("category").collect()
+    assert(rows.map(_.getAs[String]("category")).toSeq == Seq("x", "y"))
+    assert(rows.forall(_.getAs[Double]("tv") == 0.333333333))
+    assert(rows(0).getAs[Double]("p_a") == 0.666666667)
+    assert(rows(0).getAs[Double]("p_b") == 0.333333333)
+    assert(rows(0).getAs[Double]("abs_diff") == 0.333333333)
+    // disjoint categories → maximal drift
+    val dis = Seq(("a", "x"), ("b", "y")).toDF("g", "cat")
+    assert(Drift.tvDistance(dis, "cat", "g", "a", "b")
+      .collect().forall(_.getAs[Double]("tv") == 1.0))
+  }
+
   test("wasserstein1: pure shift = the shift size; identical samples = 0; " +
       "units follow the value column") {
     // a = {1,2,3}, b = {2,3,4}: W1 of a unit shift is exactly 1.0

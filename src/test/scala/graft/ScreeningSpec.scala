@@ -128,4 +128,23 @@ class ScreeningSpec extends AnyFunSuite {
     assert(Screening.pearsonMatrix(withNull, Seq("a", "b"))
       .collect()(0).getAs[Long]("n") == 2)
   }
+
+  test("bootstrapCi: constant column collapses CI to the mean; bounds " +
+      "ordered; deterministic across runs") {
+    val const = (1 to 50).map(i => (i.toLong, 5.0)).toDF("id", "v")
+    val r = Screening.bootstrapCi(const, "id", "v",
+      resamples = 50, keepPct = 80, loPermille = 25, hiPermille = 975)
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 50 && r.getAs[Double]("mean") == 5.0)
+    assert(r.getAs[Long]("n_resamples") == 50)
+    assert(r.getAs[Double]("ci_lo") == 5.0 && r.getAs[Double]("ci_hi") == 5.0)
+    val varied = (1 to 50).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    def run() = Screening.bootstrapCi(varied, "id", "v",
+      resamples = 50, keepPct = 80, loPermille = 25, hiPermille = 975)
+      .collect()(0)
+    val a = run(); val b = run()
+    assert(a.getAs[Double]("ci_lo") <= a.getAs[Double]("ci_hi"))
+    assert(a.getAs[Double]("ci_lo") == b.getAs[Double]("ci_lo") &&
+      a.getAs[Double]("ci_hi") == b.getAs[Double]("ci_hi"))
+  }
 }
