@@ -131,7 +131,6 @@ object DataQualityValidator {
     val counts = df.filter(cents > 0)
       .groupBy(digit.as("digit"))
       .agg(count(lit(1)).as("n_obs"))
-    val total = counts.agg(sum(col("n_obs")).as("__n"))
     val expShare = (1 to 9).foldLeft(lit(null).cast(DecimalType(10, 9))) {
       (acc, d) =>
         when(col("digit") === d,
@@ -139,7 +138,11 @@ object DataQualityValidator {
     }
     val expN = col("__n") * col("exp_share") // BIGINT × DECIMAL, exact
     val diff = (col("n_obs") - expN).cast("double")
-    counts.crossJoin(broadcast(total))
+    // total via a window over the ≤9-row counts relation — a second
+    // aggregate would recompute the counts from a second table scan
+    counts
+      .withColumn("__n", sum(col("n_obs")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
       .withColumn("exp_share", expShare)
       .withColumn("obs_share",
         round(col("n_obs").cast("double") / col("__n"), 9))

@@ -209,4 +209,39 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin|BroadcastHashJoin".r
       .findAllIn(s).nonEmpty, s)
   }
+
+  test("association rules: item/total counts arrive broadcast onto the " +
+      "pair relation, session pair join is an equi-join") {
+    val s = planString(
+      graft.queries.FeatureQueries.assocRules(spark, dir))
+    assert(!s.contains("CartesianProduct"), s)
+    // two broadcast count joins + the 1-row totals broadcast
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r
+      .findAllIn(s).size >= 3, s)
+  }
+
+  test("attribution credit: the range join stays an equi-join — never a " +
+      "nested-loop over clicks × purchases") {
+    val s = planString(
+      graft.queries.FeatureQueries.attributionCredit(spark, dir))
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+    assert(s.contains("SortMergeJoin") || s.contains("BroadcastHashJoin")
+      || s.contains("ShuffledHashJoin"), s)
+  }
+
+  test("benford: ONE scan — the total is a window over the ≤9-row counts " +
+      "relation, never a second aggregate re-reading the table") {
+    val s = planString(graft.queries.QualityQueries.benford(spark, dir))
+    assert("Scan parquet".r.findAllIn(s).size == 1, s)
+    assert(!s.contains("Join"), s)
+  }
+
+  test("bootstrap CI: base relation scans once for the resample explode " +
+      "and once for the full mean — never ×B scans") {
+    val s = planString(
+      graft.queries.QualityQueries.bootstrapCi(spark, dir))
+    assert("Scan parquet".r.findAllIn(s).size <= 2, s)
+    assert(s.contains("Generate"), s) // the bounded ×B explode
+  }
 }
