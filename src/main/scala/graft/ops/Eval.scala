@@ -65,6 +65,114 @@ object Eval {
           .as("auc"))
   }
 
+  /** Per-slice (sliced / grouped) ROC AUC — the fairness-and-robustness
+    * read a pooled AUC hides: a model can hold 0.75 overall while one
+    * segment sits at chance. Same tie-corrected Mann–Whitney machinery as
+    * [[aucRoc]], with every window/aggregate additionally keyed by `slice`,
+    * plus the POOLED AUC recomputed from the same per-(slice, score) grid
+    * (collapse by score — never a second pass over the data) and the
+    * per-slice gap against it.
+    *
+    * Degenerate slices (no positives or no negatives) keep their counts but
+    * yield NULL auc/gap rather than a division by zero. Returns one row per
+    * slice: (slice, n_pos, n_neg, auc, pooled_auc, gap).
+    */
+  def aucRocBy(df: DataFrame, slice: Column, score: Column,
+      positive: Column): DataFrame = {
+    val perScore = df
+      .select(slice.as("slice"), score.as("s"),
+        when(positive, 1L).otherwise(0L).as("p"))
+      .filter(col("s").isNotNull)
+      .groupBy("slice", "s").agg(count(lit(1)).as("c"), sum("p").as("cp"))
+    def aucCols(grid: DataFrame, keys: Seq[String]): DataFrame = {
+      val before = {
+        val w = if (keys.isEmpty) Window.orderBy("s")
+          else Window.partitionBy(keys.map(col): _*).orderBy("s")
+        w.rowsBetween(Window.unboundedPreceding, -1)
+      }
+      grid
+        .withColumn("cb", coalesce(sum("c").over(before), lit(0L)))
+        .groupBy(keys.map(col): _*)
+        .agg(
+          sum("cp").as("n_pos"),
+          sum(col("c") - col("cp")).as("n_neg"),
+          sum((col("cp") * (col("cb") * 2 + col("c") + 1)).cast(BigInt0))
+            .as("rs2"))
+        .withColumn("auc",
+          when(col("n_pos") > 0 && col("n_neg") > 0,
+            round(
+              (col("rs2") - (col("n_pos") * (col("n_pos") + 1)).cast(BigInt0))
+                .cast(DoubleType) /
+                (col("n_pos").cast(DoubleType) * col("n_neg") * 2), 9)))
+        .drop("rs2")
+    }
+    val bySlice = aucCols(perScore, Seq("slice"))
+    // pooled grid = the slice grid collapsed by score — grid-scale work
+    val pooled = aucCols(
+      perScore.groupBy("s").agg(sum("c").as("c"), sum("cp").as("cp")),
+      Seq.empty)
+      .select(col("auc").as("pooled_auc"))
+    bySlice.crossJoin(broadcast(pooled))
+      .withColumn("gap", round(col("auc") - col("pooled_auc"), 9))
+  }
+
+  /** Split-conformal prediction interval (Vovk 2005; Lei et al. 2018) for
+    * a constant-mean regressor — the distribution-free "how wrong is this
+    * prediction allowed to be" band every served point estimate needs.
+    *
+    * The three-way split is the [[graft.ops.Prep.hashBucket]] md5 draw on
+    * the row key (deterministic on any engine/partitioning): bucket <
+    * `pctTrain` trains the predictor (here: the mean), < `pctTrain+pctCal`
+    * calibrates, the rest measures empirical coverage. q̂ is the
+    * ⌈(1−α)(n_cal+1)⌉-th smallest absolute residual — the DISCRETE
+    * conformal rank over the per-distinct-residual grid (the funnel-timing
+    * quantile discipline: `cum·αden ≥ (n+1)·(αden−αnum)` stays in integer
+    * cross-multiplies, no interpolation, no last-ulp engine skew).
+    *
+    * Determinism: the train mean sums exact DECIMAL(18,2) cents and spends
+    * ONE rounded IEEE division (2 dp); residuals are the same fixed
+    * `round(abs(y − ŷ), 9)` sequence on both engines; coverage is an
+    * integer ratio. Returns one row:
+    * (n_train, n_cal, n_test, y_hat, q_hat, n_covered, coverage).
+    */
+  def conformalInterval(df: DataFrame, key: Column, y: Column,
+      pctTrain: Int, pctCal: Int, alphaNum: Int, alphaDen: Int): DataFrame = {
+    val Cents = DecimalType(18, 2)
+    val base = df.select(Prep.hashBucket(key, 100).as("__b"),
+      y.cast(DoubleType).as("__y"))
+    val train = base.filter(col("__b") < pctTrain)
+      .agg(count(lit(1)).as("n_train"),
+        round(sum(col("__y").cast(Cents)).cast(DoubleType) /
+          count(lit(1)), 2).as("y_hat"))
+    val resid = base.filter(col("__b") >= pctTrain)
+      .crossJoin(broadcast(train))
+      .select(col("__b"), col("n_train"), col("y_hat"),
+        round(abs(col("__y") - col("y_hat")), 9).as("__r"))
+    // discrete conformal quantile over the per-distinct-residual grid
+    val calGrid = resid.filter(col("__b") < pctTrain + pctCal)
+      .groupBy("__r").agg(count(lit(1)).as("c"))
+    val cum = Window.orderBy("__r")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    val qhat = calGrid
+      .withColumn("cum", sum(col("c")).over(cum))
+      .withColumn("n_cal", sum(col("c")).over(all))
+      .agg(max(col("n_cal")).as("n_cal"),
+        min(when(col("cum") * alphaDen >=
+            (col("n_cal") + 1) * (alphaDen - alphaNum), col("__r")))
+          .as("q_hat"))
+    resid.filter(col("__b") >= pctTrain + pctCal)
+      .crossJoin(broadcast(qhat))
+      .groupBy("n_train", "y_hat", "n_cal", "q_hat")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("__r") <= col("q_hat"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(col("n_train"), col("n_cal"), col("n_test"), col("y_hat"),
+        col("q_hat"), col("n_covered"),
+        round(col("n_covered").cast(DoubleType) / col("n_test"), 9)
+          .as("coverage"))
+  }
+
   /** Per-class confusion statistics for a multi-class prediction:
     * (class, n_actual, n_pred, tp, fp, fn, prec, rec, f1), one row per
     * class present in either column. One (label, pred) group-by builds the

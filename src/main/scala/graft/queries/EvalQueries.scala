@@ -79,6 +79,27 @@ object EvalQueries {
       .orderBy("bin")
   }
 
+  /** Per-weekday-slice AUC of the same click→purchase task
+    * ([[graft.ops.Eval.aucRocBy]]) — the sliced-evaluation read that a
+    * pooled AUC hides (weekday slices are the natural deterministic
+    * integer segments of the user-day grain). Includes the pooled AUC
+    * recomputed from the same grid and each slice's gap against it.
+    */
+  def slicedAuc(spark: SparkSession, dir: String): DataFrame =
+    Eval.aucRocBy(userDayLabels(spark, dir), pmod(col("day"), lit(7L)),
+        col("s_clicks"), col("__pos") === 1)
+      .orderBy("slice")
+
+  /** Split-conformal prediction interval for line-item price under the
+    * constant-mean predictor ([[graft.ops.Eval.conformalInterval]]):
+    * md5-deterministic 50/25/25 split, discrete conformal rank at
+    * α = 0.1, empirical coverage on the held-out test rows.
+    */
+  def conformalPrice(spark: SparkSession, dir: String): DataFrame =
+    Eval.conformalInterval(Tables.lineitem(spark, dir),
+      concat_ws("_", col("l_orderkey"), col("l_linenumber")),
+      col("l_extendedprice"), 50, 25, 1, 10)
+
   /** Isotonic recalibration of the click-count probability bins
     * ([[graft.ops.Eval.isotonicCalibration]] over [[calibrationClicks]]'s
     * bins) — the PAV fit via the relational minimax closed form.
@@ -93,6 +114,8 @@ object EvalQueries {
     "eval_confusion_lang" -> confusionLang,
     "eval_retrieval_labels" -> retrievalLabels,
     "eval_isotonic" -> isotonicClicks,
+    "eval_sliced_auc" -> slicedAuc,
+    "eval_conformal" -> conformalPrice,
     "eval_calibration_bins" -> calibrationClicks)
 
   // ---- oracle SQL -----------------------------------------------------------
@@ -209,6 +232,68 @@ object EvalQueries {
          |      ${idcgCaseSql(s"least(n_rel, $RetrievalK)")} AS DOUBLE), 9)
          |  END AS ndcg
          |FROM pq JOIN nr ON pq.q_id = nr.q_id ORDER BY pq.q_id""".stripMargin,
+    "eval_sliced_auc" ->
+      """WITH lab AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS s,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT day % 7 AS slice, s, count(*) AS c, sum(p) AS cp
+        |      FROM lab WHERE s IS NOT NULL GROUP BY 1, 2),
+        |w AS (SELECT slice, c, cp, coalesce(sum(c) OVER (PARTITION BY slice
+        |        ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |        0) AS cb
+        |      FROM g),
+        |a AS (SELECT slice, CAST(sum(cp) AS BIGINT) AS n_pos,
+        |        CAST(sum(c - cp) AS BIGINT) AS n_neg,
+        |        sum(cp * (cb * 2 + c + 1)) AS rs2 FROM w GROUP BY 1),
+        |pg AS (SELECT s, sum(c) AS c, sum(cp) AS cp FROM g GROUP BY 1),
+        |pw AS (SELECT c, cp, coalesce(sum(c) OVER (ORDER BY s
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |       FROM pg),
+        |pa AS (SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+        |         CAST(sum(c - cp) AS BIGINT) AS n_neg,
+        |         sum(cp * (cb * 2 + c + 1)) AS rs2 FROM pw),
+        |pooled AS (SELECT CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    round(CAST(rs2 - n_pos * (n_pos + 1) AS DOUBLE)
+        |      / (CAST(n_pos AS DOUBLE) * n_neg * 2), 9) END AS pooled_auc
+        |  FROM pa),
+        |sl AS (SELECT slice, n_pos, n_neg,
+        |    CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |      round(CAST(rs2 - n_pos * (n_pos + 1) AS DOUBLE)
+        |        / (CAST(n_pos AS DOUBLE) * n_neg * 2), 9) END AS auc
+        |  FROM a)
+        |SELECT slice, n_pos, n_neg, auc, pooled_auc,
+        |  round(auc - pooled_auc, 9) AS gap
+        |FROM sl CROSS JOIN pooled ORDER BY slice""".stripMargin,
+    "eval_conformal" ->
+      """WITH b AS (
+        |  SELECT ('0x' || substr(md5(l_orderkey::VARCHAR || '_'
+        |      || l_linenumber::VARCHAR), 1, 12))::BIGINT % 100 AS b,
+        |    l_extendedprice AS y
+        |  FROM lineitem),
+        |tr AS (SELECT count(*) AS n_train,
+        |    round(CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE)
+        |      / count(*), 2) AS y_hat
+        |  FROM b WHERE b < 50),
+        |r AS (SELECT b.b, round(abs(y - y_hat), 9) AS r
+        |      FROM b CROSS JOIN tr WHERE b.b >= 50),
+        |cg AS (SELECT r, count(*) AS c FROM r WHERE b < 75 GROUP BY 1),
+        |cw AS (SELECT r, sum(c) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING)
+        |         AS cum, sum(c) OVER () AS n_cal
+        |       FROM cg),
+        |q AS (SELECT max(CAST(n_cal AS BIGINT)) AS n_cal,
+        |        min(CASE WHEN cum * 10 >= (n_cal + 1) * 9 THEN r END)
+        |          AS q_hat
+        |      FROM cw),
+        |t AS (SELECT count(*) AS n_test,
+        |        CAST(sum(CASE WHEN r.r <= q.q_hat THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_covered
+        |      FROM r CROSS JOIN q WHERE r.b >= 75)
+        |SELECT tr.n_train, q.n_cal, t.n_test, tr.y_hat, q.q_hat,
+        |  t.n_covered,
+        |  round(CAST(t.n_covered AS DOUBLE) / t.n_test, 9) AS coverage
+        |FROM tr CROSS JOIN q CROSS JOIN t""".stripMargin,
     "eval_isotonic" ->
       s"""WITH $calibBinnedCte,
          |pre AS (SELECT bin, n, n_pos,

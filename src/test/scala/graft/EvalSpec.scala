@@ -122,4 +122,52 @@ class EvalSpec extends AnyFunSuite {
       .orderBy("bin").collect().map(_.getAs[Double]("iso_rate"))
     assert(gotM.toSeq == Seq(0.1, 0.5, 0.9))
   }
+
+  test("aucRocBy: per-slice AUC, pooled from the same grid, degenerate " +
+      "slice yields NULL") {
+    // slice A: (1,neg),(2,pos) → AUC 1; slice B: (1,neg),(2,pos),(3,neg)
+    // → one concordant of two pairs → AUC 0.5. Pooled over all five rows:
+    // 2R+ = 7+7 = 14 → (14−6)/(2·2·3) = 2/3.
+    val df = Seq(("A", 1.0, 0), ("A", 2.0, 1), ("B", 1.0, 0), ("B", 2.0, 1),
+      ("B", 3.0, 0)).toDF("g", "s", "y")
+    val got = Eval.aucRocBy(df, col("g"), col("s"), col("y") === 1)
+      .orderBy("slice").collect()
+    assert(got.map(_.getAs[String]("slice")).toSeq == Seq("A", "B"))
+    assert(got(0).getAs[Double]("auc") == 1.0)
+    assert(got(1).getAs[Double]("auc") == 0.5)
+    assert(got.forall(_.getAs[Double]("pooled_auc") == 0.666666667))
+    assert(got(0).getAs[Double]("gap") == 0.333333333)
+    // all-positive slice: no negatives → NULL auc and gap, counts kept
+    val deg = Seq(("C", 1.0, 1), ("C", 2.0, 1)).toDF("g", "s", "y")
+    val d = Eval.aucRocBy(deg, col("g"), col("s"), col("y") === 1)
+      .collect()(0)
+    assert(d.getAs[Long]("n_pos") == 2 && d.getAs[Long]("n_neg") == 0)
+    assert(d.isNullAt(d.fieldIndex("auc")) && d.isNullAt(d.fieldIndex("gap")))
+  }
+
+  test("conformalInterval: splits partition the data, constant target " +
+      "gives q_hat 0 with full coverage, partitioning-invariant") {
+    val spark2 = spark
+    import spark2.implicits._
+    val n = 400
+    val const = (1 to n).map(i => (i.toLong, 100.0)).toDF("id", "y")
+    val r = Eval.conformalInterval(const, col("id"), col("y"), 50, 25, 1, 10)
+      .collect()(0)
+    assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_cal") +
+      r.getAs[Long]("n_test") == n)
+    assert(r.getAs[Double]("y_hat") == 100.0)
+    assert(r.getAs[Double]("q_hat") == 0.0)
+    assert(r.getAs[Double]("coverage") == 1.0)
+    // md5 split + discrete rank are partitioning-independent
+    val vary = (1 to n).map(i => (i.toLong, i * 1.25)).toDF("id", "y")
+    val a = Eval.conformalInterval(vary.repartition(1), col("id"), col("y"),
+      50, 25, 1, 10).collect()(0)
+    val b = Eval.conformalInterval(vary.repartition(7), col("id"), col("y"),
+      50, 25, 1, 10).collect()(0)
+    assert(a == b)
+    // the conformal guarantee direction on exchangeable data: q_hat is the
+    // ⌈0.9·(n_cal+1)⌉-th smallest residual, so cal-side coverage at q_hat
+    // is ≥ 0.9 by construction; spot-check test coverage is near it
+    assert(a.getAs[Double]("coverage") >= 0.8)
+  }
 }
