@@ -568,4 +568,100 @@ object EventOps {
         sum(col("__w")).cast("double").as("decay_weight"),
         sum(col("__v") * col("__w")).cast("double").as("decay_value"))
   }
+
+  /** Item-item collaborative-filtering neighbors over binary basket-item
+    * incidence (the classic item-to-item recommender, Sarwar et al. WWW'01
+    * / Linden et al. 2003): sim(i,j) = n_ij / (√n_i·√n_j) — cosine of the
+    * 0/1 basket vectors — and the top `topK` neighbors of every item.
+    * The set-overlap sibling of [[cooccurrencePmi]] (PMI ranks surprise;
+    * cosine ranks strength normalized by popularity, so a ubiquitous item
+    * cannot dominate every neighbor list).
+    *
+    * Shape at scale: baskets collapse to distinct (basket, item) FIRST;
+    * the pair self-join is bounded by Σ_b |items_b|² (basket size, never
+    * corpus size); unordered pair counts orient both ways for the
+    * per-item top-k window, which runs over the PAIR relation. Item
+    * counts broadcast back (`broadcastCounts = false` switches to a
+    * shuffle join when the item vocabulary is unbounded — the N42
+    * discipline). Determinism: sim is one fixed IEEE sequence
+    * (√·√, ×, ÷) rounded 9 dp; rank ties break by neighbor id.
+    * Returns (item, neighbor, n_ab, n_i, n_j, sim, rank).
+    */
+  def itemCfNeighbors(df: DataFrame, basketCol: String, itemCol: String,
+      topK: Int, broadcastCounts: Boolean = true): DataFrame = {
+    val present = df
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    val itemCounts = present.groupBy(col("__i")).agg(count(lit(1)).as("n"))
+    val pairs = present.as("l")
+      .join(present.as("r"), col("l.__b") === col("r.__b") &&
+        col("l.__i") < col("r.__i"))
+      .groupBy(col("l.__i").as("a"), col("r.__i").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val oriented = pairs
+      .select(col("a").as("item"), col("b").as("neighbor"), col("n_ab"))
+      .unionByName(pairs
+        .select(col("b").as("item"), col("a").as("neighbor"), col("n_ab")))
+    def hinted(d: DataFrame) = if (broadcastCounts) broadcast(d) else d
+    val w = Window.partitionBy("item")
+      .orderBy(col("sim").desc, col("neighbor"))
+    oriented
+      .join(hinted(itemCounts.select(col("__i").as("item"),
+        col("n").as("n_i"))), Seq("item"))
+      .join(hinted(itemCounts.select(col("__i").as("neighbor"),
+        col("n").as("n_j"))), Seq("neighbor"))
+      .withColumn("sim",
+        round(col("n_ab").cast("double") /
+          (sqrt(col("n_i")) * sqrt(col("n_j"))), 9))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("item"), col("neighbor"), col("n_ab"), col("n_i"),
+        col("n_j"), col("sim"), col("rank"))
+  }
+
+  /** Per-key temporal seasonality profile — the when-do-they-show-up
+    * feature block (peak activity hour, how concentrated, weekend lean)
+    * that turns raw timestamps into model inputs.
+    *
+    * Calendar semantics stay ENGINE-NEUTRAL integers: hour =
+    * (epoch_µs mod 86400·10⁶) div 3600·10⁶ (UTC), day-of-week =
+    * (epoch_day + 4) mod 7 with 0 = Sunday (epoch day 0 was a Thursday) —
+    * never `dayofweek`/`hour` calendar functions, whose week-start and
+    * timezone conventions differ across engines. Peak ties break to the
+    * earliest hour via the (count desc, hour) window order.
+    *
+    * Shape at scale: the stream collapses to (key, hour) counts in one
+    * partial-aggregable group-by; the peak window and the hours-active
+    * count run over THAT ≤24-rows-per-key relation; the per-key totals
+    * aggregate shares the same key exchange. Returns (key, n_events,
+    * n_hours, peak_hour, peak_n, peak_share, weekend_share).
+    */
+  def seasonalityProfile(df: DataFrame, keyCol: String, tsCol: String)
+      : DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val day = floor(us / lit(86400000000L)).cast("long")
+    val base = df.select(col(keyCol),
+      floor((us % 86400000000L) / lit(3600000000L)).cast("long").as("__hour"),
+      pmod(day + 4, lit(7L)).as("__dow"))
+    val perKey = base.groupBy(keyCol)
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("__dow").isin(0L, 6L), 1L).otherwise(0L))
+          .as("__n_weekend"))
+    val hourCounts = base.groupBy(col(keyCol), col("__hour"))
+      .agg(count(lit(1)).as("__c"))
+    val peak = hourCounts
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(keyCol).orderBy(col("__c").desc, col("__hour"))))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col("__hour").as("peak_hour"),
+        col("__c").as("peak_n"))
+    val nHours = hourCounts.groupBy(keyCol).agg(count(lit(1)).as("n_hours"))
+    perKey.join(nHours, Seq(keyCol)).join(peak, Seq(keyCol))
+      .select(col(keyCol), col("n_events"), col("n_hours"),
+        col("peak_hour"), col("peak_n"),
+        round(col("peak_n").cast("double") / col("n_events"), 9)
+          .as("peak_share"),
+        round(col("__n_weekend").cast("double") / col("n_events"), 9)
+          .as("weekend_share"))
+  }
 }

@@ -22,6 +22,7 @@ import org.apache.spark.sql.types.DecimalType
 object FeatureQueries {
 
   private val RollWindowMicros = 2L * 86400L * 1000000L // trailing 2 days
+  private val ItemCfK = 5 // CF neighbors kept per item
 
   /** Training matrix for purchase labels: each purchase event joined, as of
     * its timestamp, with (a) the user's latest click value and (b) the
@@ -264,7 +265,27 @@ object FeatureQueries {
       .orderBy(col("wilson_lb").desc, col("user_id"))
       .limit(WilsonTopK)
 
+  /** Item-to-item CF neighbors over order baskets
+    * ([[graft.ops.EventOps.itemCfNeighbors]]): parts that ship together in
+    * the same order, cosine-normalized so popular parts can't dominate,
+    * top-[[ItemCfK]] neighbors per part.
+    */
+  def itemCf(spark: SparkSession, dir: String): DataFrame =
+    EventOps.itemCfNeighbors(Tables.lineitem(spark, dir),
+        "l_orderkey", "l_partkey", ItemCfK)
+      .orderBy("item", "rank")
+
+  /** Per-user temporal seasonality profile
+    * ([[graft.ops.EventOps.seasonalityProfile]]): peak UTC activity hour,
+    * concentration, weekend lean — integer calendar arithmetic only.
+    */
+  def seasonality(spark: SparkSession, dir: String): DataFrame =
+    EventOps.seasonalityProfile(Tables.events(spark, dir), "user_id", "ts")
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "feat_item_cf" -> itemCf,
+    "feat_seasonality" -> seasonality,
     "feat_assoc_rules" -> assocRules,
     "feat_seq_patterns" -> seqPatterns,
     "feat_cohort_retention" -> cohortRetention,
@@ -456,6 +477,54 @@ object FeatureQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // distinct (basket, item) first; pair join bounded by basket size;
+    // sim = one fixed IEEE sequence (sqrt·sqrt, ×, ÷) rounded 9 dp
+    "feat_item_cf" ->
+      s"""WITH present AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+         |                 FROM lineitem),
+         |ic AS (SELECT i, count(*) AS n FROM present GROUP BY 1),
+         |p AS (SELECT l.i AS a, r.i AS b2, count(*) AS n_ab
+         |      FROM present l JOIN present r
+         |        ON l.b = r.b AND l.i < r.i GROUP BY 1, 2),
+         |o AS (SELECT a AS item, b2 AS neighbor, n_ab FROM p
+         |      UNION ALL
+         |      SELECT b2 AS item, a AS neighbor, n_ab FROM p),
+         |s AS (SELECT o.item, o.neighbor, CAST(o.n_ab AS BIGINT) AS n_ab,
+         |        ia.n AS n_i, ib.n AS n_j,
+         |        round(CAST(o.n_ab AS DOUBLE) / (sqrt(ia.n) * sqrt(ib.n)),
+         |          9) AS sim
+         |      FROM o JOIN ic ia ON o.item = ia.i
+         |             JOIN ic ib ON o.neighbor = ib.i),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY item
+         |        ORDER BY sim DESC, neighbor) AS rank FROM s)
+         |SELECT item, neighbor, n_ab, n_i, n_j, sim,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= $ItemCfK ORDER BY item, rank""".stripMargin,
+    // integer calendar arithmetic only: hour from epoch-µs remainder,
+    // dow = (epoch_day + 4) mod 7 with 0 = Sunday — no calendar functions
+    "feat_seasonality" ->
+      """WITH b AS (SELECT user_id,
+        |    (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
+        |    ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow
+        |  FROM events),
+        |pk AS (SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(CASE WHEN dow IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_weekend
+        |  FROM b GROUP BY 1),
+        |hc AS (SELECT user_id, hour, count(*) AS c FROM b GROUP BY 1, 2),
+        |pkh AS (SELECT user_id, hour AS peak_hour, c AS peak_n,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY c DESC, hour) AS rn
+        |  FROM hc),
+        |nh AS (SELECT user_id, count(*) AS n_hours FROM hc GROUP BY 1)
+        |SELECT pk.user_id, pk.n_events, nh.n_hours, pkh.peak_hour,
+        |  pkh.peak_n,
+        |  round(CAST(pkh.peak_n AS DOUBLE) / pk.n_events, 9) AS peak_share,
+        |  round(CAST(pk.n_weekend AS DOUBLE) / pk.n_events, 9)
+        |    AS weekend_share
+        |FROM pk JOIN nh ON pk.user_id = nh.user_id
+        |        JOIN pkh ON pk.user_id = pkh.user_id AND pkh.rn = 1
+        |ORDER BY pk.user_id""".stripMargin,
     // sessionize CTEs shared with feat_session_pmi; both directed rules
     // from each undirected pair; integer counts until one division each
     "feat_assoc_rules" ->

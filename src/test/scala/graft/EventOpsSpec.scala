@@ -379,4 +379,45 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got("u") == ((5L, 10L, 5L, 3L)))
     assert(got("v") == ((1L, 1L, 0L, 0L)))
   }
+
+  test("itemCfNeighbors: cosine over distinct baskets, popularity " +
+      "normalization, deterministic tie order") {
+    // b1={1,2} (item 2 twice — incidence is binary), b2={1,2}, b3={1,3}
+    val df = Seq((10L, 1L), (10L, 2L), (10L, 2L), (20L, 1L), (20L, 2L),
+      (30L, 1L), (30L, 3L)).toDF("b", "i")
+    val got = EventOps.itemCfNeighbors(df, "b", "i", 5)
+      .orderBy("item", "rank").collect()
+      .map(r => (r.getAs[Long]("item"), r.getAs[Long]("neighbor"),
+        r.getAs[Long]("n_ab"), r.getAs[Double]("sim")))
+    // n_1=3, n_2=2, n_3=1; sim(1,2)=2/(√3√2), sim(1,3)=1/√3
+    assert(got.toSeq == Seq(
+      (1L, 2L, 2L, 0.816496581), (1L, 3L, 1L, 0.577350269),
+      (2L, 1L, 2L, 0.816496581), (3L, 1L, 1L, 0.577350269)))
+    // equal sims tie-break to the smaller neighbor id
+    val tie = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 3L)).toDF("b", "i")
+    val n1 = EventOps.itemCfNeighbors(tie, "b", "i", 5)
+      .filter(col("item") === 1).orderBy("rank").collect()
+      .map(_.getAs[Long]("neighbor"))
+    assert(n1.toSeq == Seq(2L, 3L))
+  }
+
+  test("seasonalityProfile: integer hour/dow, peak tie to earliest hour, " +
+      "weekend = engine-neutral (epoch_day+4) mod 7 in {0,6}") {
+    def ts(day: Long, hour: Long) =
+      (day * 86400L + hour * 3600L) * 1000000L
+    // day 3 = 1970-01-04, a Sunday ((3+4)%7 = 0); day 6 ((6+4)%7 = 3) = Wed
+    val rows = Seq(("u1", ts(3, 5)), ("u1", ts(3, 5)), ("u1", ts(3, 7)),
+      ("u1", ts(6, 5)), ("u2", ts(6, 2)), ("u2", ts(6, 1)))
+    val df = rows.toDF("k", "us")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"))
+    val got = EventOps.seasonalityProfile(df, "k", "ts").collect()
+      .map(r => r.getAs[String]("k") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_hours"),
+          r.getAs[Long]("peak_hour"), r.getAs[Long]("peak_n"),
+          r.getAs[Double]("peak_share"), r.getAs[Double]("weekend_share")))
+      .toMap
+    assert(got("u1") == ((4L, 2L, 5L, 3L, 0.75, 0.75)))
+    // u2: hours 1 and 2 each once → peak ties to hour 1; Wednesday only
+    assert(got("u2") == ((2L, 2L, 1L, 1L, 0.5, 0.0)))
+  }
 }
