@@ -486,6 +486,72 @@ object TextAnalysis {
     * are ONE correctly-rounded IEEE division each over the exact long sums,
     * so the report is bit-identical on any engine.
     */
+  /** Per-row character-class counts — the encoding/script audit columns
+    * (mojibake shows up as U+FFFD replacement chars and stray control
+    * bytes; scraped-HTML residue as punctuation spikes; wrong-script
+    * contamination as non-ASCII mass in an "English" corpus). All counts
+    * are `length − length(regexp_replace(cls, ''))` over simple character
+    * classes shared verbatim with the oracle (RE2-compatible, the PII
+    * discipline), so the whole audit is per-row codegen'd expressions —
+    * zero shuffle.
+    *
+    * Counting unit is the UTF-16 code unit (Spark `length`); DuckDB
+    * counts codepoints, so the two diverge on astral-plane characters
+    * (outside the BMP). The registered corpora are BMP-only; at 100 TB
+    * the audit is a per-row feature, not a hash-compared artifact.
+    * Appends (n_chars_cc, n_letters, n_digits, n_spaces, n_punct,
+    * n_nonascii, n_control, n_replacement).
+    */
+  def charClassCounts(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(cls: String) =
+      (length(t) - length(regexp_replace(t, cls, ""))).cast("long")
+    df.withColumn("n_chars_cc", length(t).cast("long"))
+      .withColumn("n_letters", cnt("[A-Za-z]"))
+      .withColumn("n_digits", cnt("[0-9]"))
+      .withColumn("n_spaces", cnt("[ \\t\\n\\r]"))
+      .withColumn("n_punct", cnt("[!-/:-@\\[-`{-~]"))
+      .withColumn("n_nonascii", cnt("[^\\x00-\\x7F]"))
+      // whitespace controls (\t \n \r) belong to n_spaces, not here — a
+      // multi-line document is not mojibake
+      .withColumn("n_control", cnt("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"))
+      .withColumn("n_replacement",
+        (length(t) - length(replace(t, lit("\uFFFD"), lit("")))).cast("long"))
+  }
+
+  /** Per-group rollup of [[charClassCounts]] — the corpus-level
+    * encoding-health scorecard (is the "de" slice suddenly 40% control
+    * characters?): integer sums per group, letter/non-ASCII ratios as one
+    * rounded division each, and `n_flagged` = docs carrying any control
+    * or replacement character (the re-extract list). One group-by
+    * shuffle over per-row expression outputs.
+    */
+  def scriptProfile(df: DataFrame, groupCol: String, textCol: String)
+      : DataFrame =
+    charClassCounts(df, textCol)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars_cc").as("n_chars"),
+        sum("n_letters").as("n_letters"),
+        sum("n_digits").as("n_digits"),
+        sum("n_spaces").as("n_spaces"),
+        sum("n_punct").as("n_punct"),
+        sum("n_nonascii").as("n_nonascii"),
+        sum("n_control").as("n_control"),
+        sum("n_replacement").as("n_replacement"),
+        sum(when(col("n_control") + col("n_replacement") > 0, 1L)
+          .otherwise(0L)).as("n_flagged"))
+      .select(col(groupCol), col("n_docs"), col("n_chars"),
+        col("n_letters"), col("n_digits"), col("n_spaces"), col("n_punct"),
+        col("n_nonascii"), col("n_control"), col("n_replacement"),
+        col("n_flagged"),
+        when(col("n_chars") > 0,
+          round(col("n_letters").cast("double") / col("n_chars"), 9))
+          .as("letter_ratio"),
+        when(col("n_chars") > 0,
+          round(col("n_nonascii").cast("double") / col("n_chars"), 9))
+          .as("nonascii_ratio"))
+
   def tokenFertility(df: DataFrame, textCol: String, groupCol: String)
       : DataFrame =
     df.groupBy(col(groupCol))

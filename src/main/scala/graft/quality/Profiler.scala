@@ -92,6 +92,50 @@ object Profiler {
     * profile in one pass. Returns (col_name, n, n_distinct, entropy_bits,
     * gini).
     */
+  /** Per-column profile drift between two snapshots of the same table —
+    * the schema-level companion to the distribution drift family
+    * ([[graft.ops.Drift]] PSI/KS/W₁ ask "did THIS column's distribution
+    * move"; this asks "which columns moved at all, and did nulls or
+    * cardinality jump" — the first page of any ingest-regression
+    * investigation). Runs the exact [[profile]] on each side (one scan
+    * each, same unpivot pre-aggregate shape) and joins the two
+    * ≤|cols|-row results.
+    *
+    * Determinism: null rates and the distinct ratio are single rounded
+    * IEEE divisions over exact integers; mean/min/max deltas subtract the
+    * two sides' identically-computed doubles and round 9 dp — the same
+    * fixed-sequence argument both engines share. Degenerate sides (zero
+    * rows, zero distinct) yield NULL ratios, never a division error.
+    * Returns one row per column: (col_name, a_rows, b_rows, a_null_rate,
+    * b_null_rate, a_distinct, b_distinct, distinct_ratio, a_mean, b_mean,
+    * mean_delta, min_delta, max_delta).
+    */
+  def profileDrift(a: DataFrame, b: DataFrame, numericCols: Seq[String])
+      : DataFrame = {
+    def side(df: DataFrame, p: String) =
+      profile(df, numericCols).select(col("col_name"),
+        col("n_rows").as(s"${p}_rows"), col("n_nulls").as(s"${p}_nulls"),
+        col("n_distinct").as(s"${p}_distinct"),
+        col("mean_v").as(s"${p}_mean"),
+        col("min_v").as(s"${p}_min"), col("max_v").as(s"${p}_max"))
+    side(a, "a").join(side(b, "b"), Seq("col_name"))
+      .select(col("col_name"), col("a_rows"), col("b_rows"),
+        when(col("a_rows") > 0,
+          round(col("a_nulls").cast(DoubleType) / col("a_rows"), 9))
+          .as("a_null_rate"),
+        when(col("b_rows") > 0,
+          round(col("b_nulls").cast(DoubleType) / col("b_rows"), 9))
+          .as("b_null_rate"),
+        col("a_distinct"), col("b_distinct"),
+        when(col("a_distinct") > 0,
+          round(col("b_distinct").cast(DoubleType) / col("a_distinct"), 9))
+          .as("distinct_ratio"),
+        col("a_mean"), col("b_mean"),
+        round(col("b_mean") - col("a_mean"), 9).as("mean_delta"),
+        round(col("b_min") - col("a_min"), 9).as("min_delta"),
+        round(col("b_max") - col("a_max"), 9).as("max_delta"))
+  }
+
   def entropyProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "entropyProfile needs at least one column")
     val Exact9 = org.apache.spark.sql.types.DecimalType(28, 9)

@@ -313,6 +313,28 @@ object QualityQueries {
         EntropyCols)
       .orderBy("col_name")
 
+  /** Per-column profile drift across the temporal midpoint of lineitem
+    * ([[graft.quality.Profiler.profileDrift]]): the two ship-date halves
+    * profiled with the same one-scan exact profiler, joined per column —
+    * null-rate / cardinality / mean / range movement in one report. The
+    * midpoint anchor is an integer epoch-day from one tiny aggregate
+    * (broadcast back, no collect).
+    */
+  def profileDrift(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    // l_shipdate arrives TIMESTAMP_NTZ; session TZ is UTC, so the cast is
+    // a pure reinterpretation and epoch-µs match DuckDB's epoch_us
+    val day = floor(unix_micros(col("l_shipdate").cast("timestamp")) /
+      lit(86400000000L)).cast("long")
+    val mid = li.agg(floor((min(day) + max(day) + 1) / lit(2))
+      .cast("long").as("__mid"))
+    val tagged = li.withColumn("__day", day).crossJoin(broadcast(mid))
+    graft.quality.Profiler.profileDrift(
+        tagged.filter(col("__day") < col("__mid")),
+        tagged.filter(col("__day") >= col("__mid")), ProfileCols)
+      .orderBy("col_name")
+  }
+
   /** Exact orders ⋈ lineitem join-size prediction from per-key counts
     * ([[graft.ops.Screening.joinSizeEstimate]]) — the pre-shuffle
     * planning diagnostic (join_rows + the salt-this-join max key).
@@ -324,6 +346,7 @@ object QualityQueries {
       .orderBy("n_left")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_profile_drift" -> profileDrift,
     "quality_join_size" -> joinSize,
     "quality_entropy_profile" -> entropyProfile,
     "quality_corr_matrix" -> corrMatrix,
@@ -445,6 +468,45 @@ object QualityQueries {
     },
     // one UNION ALL branch per profiled column; means through exact
     // DECIMAL (the avgMoney spelling)
+    // each side re-derives the same exact-profile statistics the
+    // quality_table_profile oracle uses; deltas are the identical
+    // fixed-sequence subtractions rounded 9 dp
+    "quality_profile_drift" -> {
+      def sideSql(c: String, rel: String) =
+        s"""(SELECT count(*) AS n, count($c) AS np,
+           |  count(DISTINCT $c) AS nd,
+           |  CAST(min(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
+           |  CAST(max(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS max_v,
+           |  CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / count($c)
+           |    AS mean_v
+           |FROM $rel)""".stripMargin
+      val branches = ProfileCols.map { c =>
+        s"""SELECT '$c' AS col_name, sa.n AS a_rows, sb.n AS b_rows,
+           |  CASE WHEN sa.n > 0
+           |    THEN round(CAST(sa.n - sa.np AS DOUBLE) / sa.n, 9) END
+           |    AS a_null_rate,
+           |  CASE WHEN sb.n > 0
+           |    THEN round(CAST(sb.n - sb.np AS DOUBLE) / sb.n, 9) END
+           |    AS b_null_rate,
+           |  sa.nd AS a_distinct, sb.nd AS b_distinct,
+           |  CASE WHEN sa.nd > 0
+           |    THEN round(CAST(sb.nd AS DOUBLE) / sa.nd, 9) END
+           |    AS distinct_ratio,
+           |  sa.mean_v AS a_mean, sb.mean_v AS b_mean,
+           |  round(sb.mean_v - sa.mean_v, 9) AS mean_delta,
+           |  round(sb.min_v - sa.min_v, 9) AS min_delta,
+           |  round(sb.max_v - sa.max_v, 9) AS max_delta
+           |FROM ${sideSql(c, "a")} sa CROSS JOIN ${sideSql(c, "b")} sb"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH d AS (SELECT *, epoch_us(l_shipdate) // 86400000000 AS day
+         |  FROM lineitem),
+         |m AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM d),
+         |a AS (SELECT d.* FROM d, m WHERE day < mid),
+         |b AS (SELECT d.* FROM d, m WHERE day >= mid)
+         |$branches
+         |ORDER BY col_name""".stripMargin
+    },
     "quality_table_profile" -> {
       val branches = ProfileCols.map { c =>
         s"""SELECT '$c' AS col_name, n_rows,

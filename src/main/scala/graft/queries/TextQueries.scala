@@ -188,7 +188,17 @@ object TextQueries {
       .orderBy("id", "pos")
   }
 
+  /** Per-language character-class / encoding audit
+    * ([[graft.ops.TextAnalysis.scriptProfile]]) — letters/digits/space/
+    * punctuation/non-ASCII/control/replacement-char mass per language
+    * slice, plus the flagged-document count (mojibake re-extract list).
+    */
+  def scriptProfile(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.scriptProfile(Tables.documents(spark, dir), "lang", "text")
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_script_profile" -> scriptProfile,
     "text_vocab" -> vocab,
     "text_vocab_encode" -> vocabEncode,
     "text_token_fertility" -> tokenFertility,
@@ -236,6 +246,43 @@ object TextQueries {
     Profiles.map(p => scoreSql(p._2)).mkString("greatest(", ", ", ")")
 
   val oracle: Map[String, String] = Map(
+    // character classes shared verbatim with the Spark expressions;
+    // counts are length-diffs after global regexp_replace ('g' flag —
+    // DuckDB replaces only the first match without it)
+    "text_script_profile" ->
+      """WITH c AS (SELECT lang, length(text) AS nc,
+        |    length(text) - length(regexp_replace(text, '[A-Za-z]', '',
+        |      'g')) AS nl,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '',
+        |      'g')) AS nd,
+        |    length(text) - length(regexp_replace(text, '[ \t\n\r]', '',
+        |      'g')) AS ns,
+        |    length(text) - length(regexp_replace(text,
+        |      '[!-/:-@\[-`{-~]', '', 'g')) AS np,
+        |    length(text) - length(regexp_replace(text, '[^\x00-\x7F]', '',
+        |      'g')) AS na,
+        |    length(text) - length(regexp_replace(text,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS nctl,
+        |    length(text) - length(replace(text, chr(65533), '')) AS nrep
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS n_chars,
+        |  CAST(sum(nl) AS BIGINT) AS n_letters,
+        |  CAST(sum(nd) AS BIGINT) AS n_digits,
+        |  CAST(sum(ns) AS BIGINT) AS n_spaces,
+        |  CAST(sum(np) AS BIGINT) AS n_punct,
+        |  CAST(sum(na) AS BIGINT) AS n_nonascii,
+        |  CAST(sum(nctl) AS BIGINT) AS n_control,
+        |  CAST(sum(nrep) AS BIGINT) AS n_replacement,
+        |  CAST(sum(CASE WHEN nctl + nrep > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged,
+        |  CASE WHEN sum(nc) > 0
+        |    THEN round(CAST(sum(nl) AS DOUBLE) / sum(nc), 9) END
+        |    AS letter_ratio,
+        |  CASE WHEN sum(nc) > 0
+        |    THEN round(CAST(sum(na) AS DOUBLE) / sum(nc), 9) END
+        |    AS nonascii_ratio
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
     // the two-phase (count, term-prefix) ranking ≡ one global
     // row_number over (count desc, term)
     "text_vocab" ->

@@ -151,4 +151,31 @@ class QualitySpec extends AnyFunSuite {
         r.getAs[Long]("n_distinct")).toMap
     assert(math.abs(ap("a") - 3L) <= 1 && math.abs(ap("b") - 2L) <= 1)
   }
+
+  test("profileDrift: per-column deltas; degenerate sides give NULL " +
+      "ratios, not division errors") {
+    val spark2 = spark
+    import spark2.implicits._
+    val a = Seq((1.0, Some(10.0)), (2.0, None), (3.0, Some(20.0)),
+      (3.0, Some(10.0))).toDF("x", "y")
+    val b = Seq((2.0, Some(30.0)), (4.0, Some(30.0))).toDF("x", "y")
+    val d = quality.Profiler.profileDrift(a, b, Seq("x", "y"))
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    val x = d("x")
+    assert(x.getAs[Long]("a_rows") == 4 && x.getAs[Long]("b_rows") == 2)
+    assert(x.getAs[Double]("a_null_rate") == 0.0)
+    // distinct 3 → 2, means 2.25 → 3.0, max 3 → 4
+    assert(x.getAs[Double]("distinct_ratio") == 0.666666667)
+    assert(x.getAs[Double]("mean_delta") == 0.75)
+    assert(x.getAs[Double]("max_delta") == 1.0)
+    val y = d("y")
+    assert(y.getAs[Double]("a_null_rate") == 0.25 &&
+      y.getAs[Double]("b_null_rate") == 0.0)
+    // all-null side: 0 distinct → NULL ratio; NULL mean → NULL delta
+    val an = Seq(Option.empty[Double], None).toDF("y")
+    val dd = quality.Profiler.profileDrift(an,
+      Seq(Some(1.0)).toDF("y"), Seq("y")).collect()(0)
+    assert(dd.isNullAt(dd.fieldIndex("distinct_ratio")))
+    assert(dd.isNullAt(dd.fieldIndex("mean_delta")))
+  }
 }

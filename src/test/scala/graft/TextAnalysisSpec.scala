@@ -186,4 +186,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(d3.getAs[Double]("symbol_ratio") > 0.1)
     assert(m(4L).getAs[Long]("drop_mask") == 16L)
   }
+
+  test("charClassCounts/scriptProfile: class tallies, whitespace is not " +
+      "control, replacement char flags mojibake") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (0L, "en", "abc 12!"),            // 3 letters, 1 space, 2 digits, 1 punct
+      (1L, "en", "line1\nline2\u0001"), // \n = space; U+0001 = control
+      (2L, "fr", "café �"))   // é non-ascii; U+FFFD replacement
+      .toDF("doc_id", "lang", "text")
+    val c = TextAnalysis.charClassCounts(docs, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(c(0L).getAs[Long]("n_letters") == 3 &&
+      c(0L).getAs[Long]("n_digits") == 2 &&
+      c(0L).getAs[Long]("n_spaces") == 1 &&
+      c(0L).getAs[Long]("n_punct") == 1 &&
+      c(0L).getAs[Long]("n_control") == 0)
+    assert(c(1L).getAs[Long]("n_spaces") == 1 &&
+      c(1L).getAs[Long]("n_control") == 1)
+    assert(c(2L).getAs[Long]("n_nonascii") == 2 && // é and U+FFFD
+      c(2L).getAs[Long]("n_replacement") == 1)
+    val p = TextAnalysis.scriptProfile(docs, "lang", "text").collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    // en: doc 1 flagged (control), doc 0 clean; fr: flagged (replacement)
+    assert(p("en").getAs[Long]("n_docs") == 2 &&
+      p("en").getAs[Long]("n_flagged") == 1)
+    assert(p("fr").getAs[Long]("n_flagged") == 1)
+    assert(p("en").getAs[Double]("nonascii_ratio") == 0.0)
+    assert(p("fr").getAs[Double]("nonascii_ratio") ==
+      BigDecimal(2.0 / 6).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+  }
 }
