@@ -79,19 +79,6 @@ object Profiler {
         (col("sum_v") / col("n_present")).as("mean_v"))
   }
 
-  /** Per-column Shannon entropy (bits) and Gini impurity — the
-    * information-content row of the dataset card (a 0-entropy column is
-    * dead weight; a near-log2(n) one is an id in disguise). Same one-scan
-    * unpivot → (col, value) pre-aggregate shape as the exact [[profile]]
-    * path; both statistics then reduce over the distinct-value relation.
-    *
-    * Gini stays integer until ONE division: 1 − Σc²/n² = (n² − Σc²)/n².
-    * Entropy contributions −(c/n)·log2(c/n) are a fixed IEEE sequence
-    * rounded to 9 dp and DECIMAL-summed (the PMI/bigram-LM log
-    * discipline). Values hash as strings so mixed-type column sets
-    * profile in one pass. Returns (col_name, n, n_distinct, entropy_bits,
-    * gini).
-    */
   /** Per-column profile drift between two snapshots of the same table —
     * the schema-level companion to the distribution drift family
     * ([[graft.ops.Drift]] PSI/KS/W₁ ask "did THIS column's distribution
@@ -136,6 +123,19 @@ object Profiler {
         round(col("b_max") - col("a_max"), 9).as("max_delta"))
   }
 
+  /** Per-column Shannon entropy (bits) and Gini impurity — the
+    * information-content row of the dataset card (a 0-entropy column is
+    * dead weight; a near-log2(n) one is an id in disguise). Same one-scan
+    * unpivot → (col, value) pre-aggregate shape as the exact [[profile]]
+    * path; both statistics then reduce over the distinct-value relation.
+    *
+    * Gini stays integer until ONE division: 1 − Σc²/n² = (n² − Σc²)/n².
+    * Entropy contributions −(c/n)·log2(c/n) are a fixed IEEE sequence
+    * rounded to 9 dp and DECIMAL-summed (the PMI/bigram-LM log
+    * discipline). Values hash as strings so mixed-type column sets
+    * profile in one pass. Returns (col_name, n, n_distinct, entropy_bits,
+    * gini).
+    */
   def entropyProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "entropyProfile needs at least one column")
     val Exact9 = org.apache.spark.sql.types.DecimalType(28, 9)
