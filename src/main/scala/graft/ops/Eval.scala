@@ -132,7 +132,11 @@ object Eval {
     * Determinism: the train mean sums exact DECIMAL(18,2) cents and spends
     * ONE rounded IEEE division (2 dp); residuals are the same fixed
     * `round(abs(y − ŷ), 9)` sequence on both engines; coverage is an
-    * integer ratio. Returns one row:
+    * integer ratio. A degenerate calibration set — ⌈(1−α)(n_cal+1)⌉ >
+    * n_cal, e.g. n_cal < 9 at α = 0.1 — has no finite conformal rank:
+    * q̂ is NULL, which by the split-conformal convention is the INFINITE
+    * interval, so every test residual counts as covered (coverage 1, the
+    * conservative direction — never a silent 0). Returns one row:
     * (n_train, n_cal, n_test, y_hat, q_hat, n_covered, coverage).
     */
   def conformalInterval(df: DataFrame, key: Column, y: Column,
@@ -165,8 +169,9 @@ object Eval {
       .crossJoin(broadcast(qhat))
       .groupBy("n_train", "y_hat", "n_cal", "q_hat")
       .agg(count(lit(1)).as("n_test"),
-        sum(when(col("__r") <= col("q_hat"), 1L).otherwise(0L))
-          .as("n_covered"))
+        // NULL q_hat = infinite interval: everything is covered
+        sum(when(col("q_hat").isNull || col("__r") <= col("q_hat"), 1L)
+          .otherwise(0L)).as("n_covered"))
       .select(col("n_train"), col("n_cal"), col("n_test"), col("y_hat"),
         col("q_hat"), col("n_covered"),
         round(col("n_covered").cast(DoubleType) / col("n_test"), 9)

@@ -641,7 +641,10 @@ object EventOps {
     val us = unix_micros(col(tsCol))
     val day = floor(us / lit(86400000000L)).cast("long")
     val base = df.select(col(keyCol),
-      floor((us % 86400000000L) / lit(3600000000L)).cast("long").as("__hour"),
+      // pmod, not %: keeps the hour in [0,23] for pre-1970 timestamps,
+      // the same discipline dow already uses
+      floor(pmod(us, lit(86400000000L)) / lit(3600000000L)).cast("long")
+        .as("__hour"),
       pmod(day + 4, lit(7L)).as("__dow"))
     val perKey = base.groupBy(keyCol)
       .agg(count(lit(1)).as("n_events"),

@@ -476,16 +476,6 @@ object TextAnalysis {
       .withColumn("keep", col("drop_mask") === 0L)
   }
 
-  /** Per-group tokenizer fertility — the budgeting numbers a pretraining
-    * mixture is planned with (how many tokens a byte of each
-    * language/source buys): docs, token/char/byte totals and the
-    * bytes-per-token, chars-per-token, tokens-per-doc ratios.
-    *
-    * One group-by shuffle of per-row integer totals (token count, non-space
-    * chars, octet length — all codegen'd expressions, no explode); ratios
-    * are ONE correctly-rounded IEEE division each over the exact long sums,
-    * so the report is bit-identical on any engine.
-    */
   /** Per-row character-class counts — the encoding/script audit columns
     * (mojibake shows up as U+FFFD replacement chars and stray control
     * bytes; scraped-HTML residue as punctuation spikes; wrong-script
@@ -552,6 +542,16 @@ object TextAnalysis {
           round(col("n_nonascii").cast("double") / col("n_chars"), 9))
           .as("nonascii_ratio"))
 
+  /** Per-group tokenizer fertility — the budgeting numbers a pretraining
+    * mixture is planned with (how many tokens a byte of each
+    * language/source buys): docs, token/char/byte totals and the
+    * bytes-per-token, chars-per-token, tokens-per-doc ratios.
+    *
+    * One group-by shuffle of per-row integer totals (token count, non-space
+    * chars, octet length — all codegen'd expressions, no explode); ratios
+    * are ONE correctly-rounded IEEE division each over the exact long sums,
+    * so the report is bit-identical on any engine.
+    */
   def tokenFertility(df: DataFrame, textCol: String, groupCol: String)
       : DataFrame =
     df.groupBy(col(groupCol))

@@ -287,8 +287,8 @@ object EvalQueries {
         |          AS q_hat
         |      FROM cw),
         |t AS (SELECT count(*) AS n_test,
-        |        CAST(sum(CASE WHEN r.r <= q.q_hat THEN 1 ELSE 0 END)
-        |          AS BIGINT) AS n_covered
+        |        CAST(sum(CASE WHEN q.q_hat IS NULL OR r.r <= q.q_hat
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
         |      FROM r CROSS JOIN q WHERE r.b >= 75)
         |SELECT tr.n_train, q.n_cal, t.n_test, tr.y_hat, q.q_hat,
         |  t.n_covered,

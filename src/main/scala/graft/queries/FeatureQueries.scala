@@ -504,8 +504,9 @@ object FeatureQueries {
     // dow = (epoch_day + 4) mod 7 with 0 = Sunday — no calendar functions
     "feat_seasonality" ->
       """WITH b AS (SELECT user_id,
-        |    (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
-        |    ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow
+        |    (((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000)
+        |      // 3600000000 AS hour,
+        |    ((((epoch_us(ts) // 86400000000) + 4) % 7) + 7) % 7 AS dow
         |  FROM events),
         |pk AS (SELECT user_id, count(*) AS n_events,
         |    CAST(sum(CASE WHEN dow IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT)

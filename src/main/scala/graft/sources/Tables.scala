@@ -23,11 +23,25 @@ object Tables {
     * precision (matches DuckDB's read of the same parquet), `ts_us` the
     * epoch-micros Long used for exact integer arithmetic in oracle-checked
     * queries.
+    *
+    * The physical `ts` encoding has varied across driver data drops:
+    * INT64 TIMESTAMP(NANOS) (unreadable as a Spark timestamp — read as raw
+    * Long nanos and integer-divide to µs) vs TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false). For the latter we disable NTZ inference so the
+    * stored µs value is read as a UTC instant — `unix_micros` then returns
+    * the stored integer exactly, bit-equal with DuckDB's `epoch_us(ts)` on
+    * the same file. Both paths dispatch on the file schema, never on
+    * config.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000").cast(LongType))
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val tsUs = raw.schema("ts").dataType match {
+      case LongType => expr("ts div 1000").cast(LongType) // nanos-as-long
+      case _        => unix_micros(col("ts"))             // native µs stamp
+    }
+    raw.withColumn("ts_us", tsUs)
       .withColumn("ts", timestamp_micros(col("ts_us")))
   }
 

@@ -170,4 +170,20 @@ class EvalSpec extends AnyFunSuite {
     // is ≥ 0.9 by construction; spot-check test coverage is near it
     assert(a.getAs[Double]("coverage") >= 0.8)
   }
+
+  test("conformalInterval: degenerate calibration set means the infinite " +
+      "interval — NULL q_hat, coverage 1, never 0") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 12 rows: a handful land in the cal bucket, far fewer than the 9
+    // needed for a finite rank at alpha=0.1 → q_hat must be NULL and the
+    // convention is conservative (everything covered), not coverage 0
+    val tiny = (1 to 12).map(i => (i.toLong, i * 3.5)).toDF("id", "y")
+    val r = Eval.conformalInterval(tiny, col("id"), col("y"), 50, 25, 1, 10)
+      .collect()(0)
+    assert(r.getAs[Long]("n_cal") < 9)
+    assert(r.isNullAt(r.fieldIndex("q_hat")))
+    assert(r.getAs[Long]("n_covered") == r.getAs[Long]("n_test"))
+    assert(r.getAs[Double]("coverage") == 1.0)
+  }
 }
