@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Snapshot diff between two versions of a keyed relation — the data-ops
@@ -49,5 +50,68 @@ object Diff {
           .when(anyChanged, "changed")
           .otherwise("unchanged"))
       .drop("__in_old", "__in_new")
+  }
+
+  /** Collapse a CDC changelog (insert/update/delete events, each stamped
+    * with a version) to the final table state: per key, the
+    * highest-versioned op wins (last-writer-wins), and a winning delete
+    * removes the key. The apply step every log-structured ingest (Debezium
+    * → lakehouse table, upsert topic → feature table) runs.
+    *
+    * `versionCols` is the total per-key order (e.g. ts + a unique
+    * tie-breaker); ties MUST be broken by the caller's last column or the
+    * winner is nondeterministic.
+    *
+    * Shape at scale: ONE hash shuffle on the key, then a per-key
+    * `row_number` over the ≤few-versions partition — the changelog never
+    * joins anything, so applying a 100 TB log is exactly as partitionable
+    * as a group-by. (The window reads one partition per key, not a global
+    * sort.)
+    */
+  def cdcApply(log: DataFrame, keyCols: Seq[String],
+      versionCols: Seq[String], opCol: String,
+      deleteOp: String = "D"): DataFrame = {
+    require(keyCols.nonEmpty && versionCols.nonEmpty,
+      "cdcApply needs key and version columns")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(versionCols.map(col(_).desc): _*)
+    log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= deleteOp)
+      .drop("__rn")
+  }
+
+  /** MERGE INTO semantics as a relation: overlay an `updates` batch on a
+    * keyed `base` snapshot — WHEN MATCHED the update's `setCols` replace
+    * the base's, WHEN NOT MATCHED the update row is inserted, and base
+    * rows without an update pass through. Returns
+    * (keyCols*, setCols* coalesced, merge_status ∈ {updated, inserted,
+    * carried}).
+    *
+    * `updates` must be key-unique (one winner per key — run [[cdcApply]]
+    * first if it is a raw changelog).
+    *
+    * Shape at scale: ONE full-outer join on the key — identical exchange
+    * discipline to [[snapshotDiff]]; with a bucketed base table the
+    * base-side exchange disappears and only the (typically much smaller)
+    * update batch shuffles.
+    */
+  def mergeUpsert(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
+      setCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && setCols.nonEmpty,
+      "mergeUpsert needs key and set columns")
+    val b = base.select(keyCols.map(col) ++
+      setCols.map(c => col(c).as(s"__b_$c")) :+
+      lit(true).as("__in_base"): _*)
+    val u = updates.select(keyCols.map(col) ++
+      setCols.map(c => col(c).as(s"__u_$c")) :+
+      lit(true).as("__in_upd"): _*)
+    b.join(u, keyCols, "full_outer")
+      .select(keyCols.map(col) ++
+        setCols.map(c =>
+          when(col("__in_upd").isNotNull, col(s"__u_$c"))
+            .otherwise(col(s"__b_$c")).as(c)) :+
+        when(col("__in_base").isNull, "inserted")
+          .when(col("__in_upd").isNull, "carried")
+          .otherwise("updated").as("merge_status"): _*)
   }
 }

@@ -172,6 +172,42 @@ object FeatureQueries {
       .orderBy("status")
   }
 
+  /** CDC changelog collapsed to final state ([[graft.ops.Diff.cdcApply]]):
+    * the events stream read as an op log keyed by (user, event_type) —
+    * every 7th event id is a tombstone — with last-writer-wins on
+    * (ts, event_id). One key shuffle; no joins.
+    */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val log = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"),
+        when(pmod(col("event_id"), lit(7L)) === 0, "D").otherwise("U")
+          .as("op"),
+        col("value"))
+    Diff.cdcApply(log, Seq("user_id", "event_type"),
+        Seq("ts_us", "event_id"), "op")
+      .select(col("user_id"), col("event_type"), col("ts_us"),
+        col("event_id"), col("value").as("last_value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** MERGE INTO semantics ([[graft.ops.Diff.mergeUpsert]]): per-customer
+    * order spend overlaid on a base snapshot that is missing every 5th
+    * customer — exercising all three branches (updated / inserted /
+    * carried). One full-outer key join.
+    */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .filter(pmod(col("c_custkey"), lit(5L)) =!= 0)
+      .select(col("c_custkey").as("custkey"),
+        col("c_acctbal").as("acctbal"), col("c_mktsegment").as("segment"))
+    val updates = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(graft.functions.Exact.sumMoney(col("o_totalprice")).as("acctbal"))
+      .withColumn("segment", lit("REFRESH"))
+    Diff.mergeUpsert(base, updates, Seq("custkey"), Seq("acctbal", "segment"))
+      .orderBy("custkey")
+  }
+
   /** Each user's event-type sequence (first 20 users), ordered by
     * (ts, event_id), capped at 50 tokens — the behavioral-sequence
     * assembly shape ([[graft.ops.EventOps.assembleSequence]]).
@@ -303,6 +339,8 @@ object FeatureQueries {
     "feat_forward_fill" -> forwardFill,
     "feat_rolling_dau" -> rollingDau,
     "feat_snapshot_diff" -> snapshotDiff,
+    "feat_cdc_apply" -> cdcApply,
+    "feat_merge_upsert" -> mergeUpsert,
     "feat_event_sequence" -> eventSequence,
     "pit_training_matrix" -> pitTrainingMatrix,
     "feat_rolling_window" -> rollingWindow,
@@ -834,6 +872,37 @@ object FeatureQueries {
          |SELECT c.day, count(DISTINCT user_id) AS active
          |FROM c JOIN days USING (day)
          |GROUP BY 1 ORDER BY day""".stripMargin,
+    // same LWW window as the Spark side; a winning tombstone (op='D')
+    // removes the key entirely
+    "feat_cdc_apply" ->
+      """WITH l AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |    event_id,
+        |    CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, ts_us, event_id, value AS last_value
+        |FROM l WHERE rn = 1 AND op <> 'D'
+        |ORDER BY user_id, event_type""".stripMargin,
+    "feat_merge_upsert" ->
+      s"""WITH b AS (SELECT c_custkey AS custkey, c_acctbal AS acctbal,
+         |        c_mktsegment AS segment
+         |      FROM customer WHERE c_custkey % 5 <> 0),
+         |u AS (SELECT o_custkey AS custkey,
+         |        ${graft.functions.Exact.sumMoneySql("o_totalprice")}
+         |          AS acctbal,
+         |        'REFRESH' AS segment
+         |      FROM orders GROUP BY o_custkey)
+         |SELECT coalesce(b.custkey, u.custkey) AS custkey,
+         |  CASE WHEN u.custkey IS NOT NULL THEN u.acctbal
+         |       ELSE b.acctbal END AS acctbal,
+         |  CASE WHEN u.custkey IS NOT NULL THEN u.segment
+         |       ELSE b.segment END AS segment,
+         |  CASE WHEN b.custkey IS NULL THEN 'inserted'
+         |       WHEN u.custkey IS NULL THEN 'carried'
+         |       ELSE 'updated' END AS merge_status
+         |FROM b FULL JOIN u ON b.custkey = u.custkey
+         |ORDER BY custkey""".stripMargin,
     "feat_snapshot_diff" ->
       s"""WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events),
          |o AS (SELECT user_id, event_type, count(*) AS n_events,

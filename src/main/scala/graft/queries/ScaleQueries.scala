@@ -33,6 +33,26 @@ object ScaleQueries {
           sum(col("pv")).cast(DoubleType).as("total_value")))
       .orderBy("user_id")
 
+  private val JoinSaltBuckets = 8
+
+  /** Salted broadcast-replicated join ([[graft.ops.Skew.saltedJoin]]):
+    * lineitem (probe, skew-prone) against the small part dimension
+    * replicated per salt — result must equal the PLAIN equi-join, which is
+    * what the oracle checks. The per-brand rollup keeps the checked
+    * relation small while every joined row contributes to the sums.
+    */
+  def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val probe = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("partkey"), col("l_extendedprice"))
+    val build = Tables.part(spark, dir)
+      .select(col("p_partkey").as("partkey"), col("p_brand"))
+    Skew.saltedJoin(probe, build, Seq("partkey"), JoinSaltBuckets)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        graft.functions.Exact.sumMoney(col("l_extendedprice")).as("revenue"))
+      .orderBy("p_brand")
+  }
+
   /** HLL distinct counts — the streaming/100 TB alternate to exact
     * `count(DISTINCT …)` (`distinct_counts`). Rows-only.
     */
@@ -97,6 +117,7 @@ object ScaleQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skew_salted_agg" -> skewSaltedAgg,
+    "skew_salted_join" -> skewSaltedJoin,
     "sample_hash_bucket" -> sampleHashBucket,
     "layout_zorder" -> layoutZorder,
     "scale_hll_rolling" -> hllRolling,
@@ -108,6 +129,12 @@ object ScaleQueries {
       """SELECT user_id, count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the whole point of salting: identical to the PLAIN equi-join
+    "skew_salted_join" ->
+      s"""SELECT p_brand, count(*) AS n_items,
+         |  ${graft.functions.Exact.sumMoneySql("l_extendedprice")} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "sample_hash_bucket" ->
       """SELECT event_type, count(*) AS n_sampled,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sampled_value
