@@ -116,6 +116,43 @@ object Eval {
       .withColumn("gap", round(col("auc") - col("pooled_auc"), 9))
   }
 
+  /** Average precision (the area under the precision–recall curve as a
+    * step integral): AP = Σ_t ΔR(t)·P(t) over DISTINCT score thresholds,
+    * descending — the tie-robust convention (every tied block moves
+    * together, so no arbitrary within-tie order leaks into the metric),
+    * and the right PR summary for the rare-positive regimes where ROC AUC
+    * flatters (near-dup detection, PII hits, conversion).
+    *
+    * Same scale shape as [[aucRoc]]: one group-by collapses rows to the
+    * distinct-score grid, and every window/aggregate after that touches
+    * only grid rows. Per-threshold terms are `cp·CP` (exact integers) over
+    * one IEEE division by `CN`, rounded 9 dp into exact DECIMAL sums; the
+    * final `/ n_pos` is the only other division. Returns one row:
+    * (n_scored, n_pos, avg_precision) — NULL AP when there are no
+    * positives.
+    */
+  def averagePrecision(df: DataFrame, score: Column, positive: Column)
+      : DataFrame = {
+    val perScore = df
+      .select(score.as("s"), when(positive, 1L).otherwise(0L).as("p"))
+      .filter(col("s").isNotNull)
+      .groupBy("s").agg(count(lit(1)).as("c"), sum("p").as("cp"))
+    val atOrAbove = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perScore
+      .withColumn("cum_p", sum("cp").over(atOrAbove))
+      .withColumn("cum_n", sum("c").over(atOrAbove))
+      .withColumn("term",
+        round((col("cp") * col("cum_p")).cast(DoubleType) / col("cum_n"), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 9)))
+      .agg(sum("c").as("n_scored"), sum("cp").as("n_pos"),
+        sum("term").as("__t"))
+      .select(col("n_scored"), col("n_pos"),
+        when(col("n_pos") > 0,
+          round(col("__t").cast(DoubleType) / col("n_pos"), 9))
+          .as("avg_precision"))
+  }
+
   /** Split-conformal prediction interval (Vovk 2005; Lei et al. 2018) for
     * a constant-mean regressor — the distribution-free "how wrong is this
     * prediction allowed to be" band every served point estimate needs.

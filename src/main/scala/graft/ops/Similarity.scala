@@ -400,6 +400,74 @@ object Similarity {
       .select("dim", "n", "mn", "mx", "code_sum", "code_min", "code_max")
   }
 
+  /** 1-bit binary quantization: bit d is set iff the vector's value at
+    * dimension d exceeds the corpus mean of that dimension. 64 dims pack
+    * into two 32-bit halves carried as BIGINTs (`code_lo` dims 0–31,
+    * `code_hi` dims 32–63) — 32× smaller than float32, and Hamming
+    * distance over the codes is two XOR+popcount instructions, which is
+    * why binary codes are the first-stage filter of choice for
+    * billion-vector search.
+    *
+    * Determinism: per-dim means sum exact DECIMAL(12,9) (rounded 9 dp)
+    * and spend one IEEE division; the strict `v > m` compare and the bit
+    * packing are then integer-exact on any engine.
+    *
+    * Plan shape at scale: one posexplode of the corpus, a ≤dim-row mean
+    * relation broadcast back, one per-id re-aggregate — the same
+    * two-shuffle discipline as [[int8QuantStats]]; at serving time codes
+    * are computed once and persisted.
+    */
+  def binaryCodes(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val dims = emb.select(col(idCol).as("id"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "v")))
+    val means = dims
+      .withColumn("vd", round(col("v"), 9)
+        .cast(org.apache.spark.sql.types.DecimalType(12, 9)))
+      .groupBy("dim")
+      .agg((sum(col("vd")).cast("double") / count(lit(1))).as("m"))
+    val bit = expr("shiftleft(CAST(1 AS BIGINT), CAST(dim % 32 AS INT))")
+    dims.join(broadcast(means), Seq("dim"))
+      .groupBy("id")
+      .agg(
+        sum(when(col("dim") < 32 && col("v") > col("m"), bit).otherwise(0L))
+          .as("code_lo"),
+        sum(when(col("dim") >= 32 && col("v") > col("m"), bit).otherwise(0L))
+          .as("code_hi"))
+  }
+
+  /** Two-stage binary-code retrieval: Hamming distance over [[binaryCodes]]
+    * selects `candidates` nearest codes (ties → id), then exact cosine
+    * re-ranks the survivors to the final top `k`. The corpus-side work per
+    * query is two XOR+popcounts per row; full float vectors are touched
+    * only for the candidate set — the standard re-rank funnel for binary
+    * embeddings.
+    */
+  def binaryHammingTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, candidates: Int, k: Int): DataFrame = {
+    val codes = binaryCodes(emb, idCol, vecCol)
+    val q = codes.filter(col("id") === queryId)
+      .select(col("code_lo").as("__qlo"), col("code_hi").as("__qhi"))
+    val cand = codes.filter(col("id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("hamming",
+        bit_count(col("code_lo").bitwiseXOR(col("__qlo"))) +
+          bit_count(col("code_hi").bitwiseXOR(col("__qhi"))))
+      .orderBy(col("hamming"), col("id"))
+      .limit(candidates)
+      .select(col("id"), col("hamming").cast("long").as("hamming"))
+    val qv = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"))
+    cand.join(emb.select(col(idCol).as("id"), col(vecCol)), Seq("id"))
+      .crossJoin(broadcast(qv))
+      .withColumn("cos", round(cosine(col(vecCol), col("__qvec")), 6))
+      .select(col("id"), col("hamming"), col("cos"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cos").desc, col("id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("rank")
+  }
+
   /** Per-label centroid summary: vector count, centroid norm, and cosine
     * of the label centroid to the global centroid (embedding-drift shape:
     * a label whose centroid swings away from global is shifting).

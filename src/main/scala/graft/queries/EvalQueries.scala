@@ -40,6 +40,14 @@ object EvalQueries {
     Eval.aucRoc(userDayLabels(spark, dir), col("s_clicks"), col("__pos") === 1)
       .orderBy("n_pos")
 
+  /** Average precision of the same click-count predictor
+    * ([[graft.ops.Eval.averagePrecision]]) — the PR-curve companion to
+    * `eval_auc_clicks`, sharing its (user, day) grain.
+    */
+  def averagePrecisionClicks(spark: SparkSession, dir: String): DataFrame =
+    Eval.averagePrecision(userDayLabels(spark, dir), col("s_clicks"),
+      col("__pos") === 1)
+
   /** Per-class precision/recall/F1 of the stopword-profile language
     * predictor against the labeled `lang` column — the multi-class
     * sibling of `quality_label_kappa` ([[graft.ops.Eval.confusionStats]]).
@@ -111,6 +119,7 @@ object EvalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_auc_clicks" -> aucClicks,
+    "eval_avg_precision" -> averagePrecisionClicks,
     "eval_confusion_lang" -> confusionLang,
     "eval_retrieval_labels" -> retrievalLabels,
     "eval_isotonic" -> isotonicClicks,
@@ -159,6 +168,29 @@ object EvalQueries {
        |  FROM lab GROUP BY 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // distinct-score grid, descending: per-threshold term cp·CP/CN rounds
+    // 9 dp into exact DECIMAL, one final division by n_pos
+    "eval_avg_precision" ->
+      """WITH lab AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS s,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT s, count(*) AS c, sum(p) AS cp FROM lab
+        |      WHERE s IS NOT NULL GROUP BY s),
+        |w AS (SELECT c, cp,
+        |        sum(cp) OVER (ORDER BY s DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cump,
+        |        sum(c) OVER (ORDER BY s DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn
+        |      FROM g)
+        |SELECT CAST(sum(c) AS BIGINT) AS n_scored,
+        |  CAST(sum(cp) AS BIGINT) AS n_pos,
+        |  CASE WHEN sum(cp) > 0 THEN
+        |    round(CAST(sum(CAST(round(CAST(cp * cump AS DOUBLE) / cumn, 9)
+        |      AS DECIMAL(28,9))) AS DOUBLE) / sum(cp), 9) END
+        |    AS avg_precision
+        |FROM w""".stripMargin,
     "eval_auc_clicks" ->
       """WITH lab AS (
         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,

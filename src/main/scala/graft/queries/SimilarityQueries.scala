@@ -305,7 +305,20 @@ object SimilarityQueries {
         "vec_id", "embedding")
       .orderBy("dim")
 
+  private val BinaryCandidates = 50
+  private val BinaryK = 10
+
+  /** Binary-code retrieval funnel ([[graft.ops.Similarity
+    * .binaryHammingTopK]]): 1-bit mean-threshold codes, Hamming top-50
+    * candidates, exact cosine re-rank to top-10 for query vector 0.
+    */
+  def binaryTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.binaryHammingTopK(Tables.embeddings(spark, dir),
+      "vec_id", "embedding", queryId = 0L,
+      candidates = BinaryCandidates, k = BinaryK)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_binary_topk" -> binaryTopK,
     "sim_hard_negatives" -> hardNegatives,
     "sim_random_projection" -> randomProjection,
     "sim_mmr_rerank" -> mmrRerank,
@@ -639,6 +652,37 @@ object SimilarityQueries {
          |  CAST(bucket AS BIGINT) AS bucket, cos
          |FROM r WHERE rank <= $KnnK ORDER BY q_id, rank""".stripMargin
     },
+    // same exact-DECIMAL per-dim means, the same strict v > m bit rule and
+    // 32-bit half packing, two xor+bit_count Hamming, cosine re-rank
+    "sim_binary_topk" ->
+      s"""WITH pe AS (
+         |  SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS v
+         |  FROM embeddings, UNNEST(generate_series(1, $Dim)) u(i)),
+         |m AS (SELECT dim,
+         |        CAST(sum(CAST(round(v, 9) AS DECIMAL(12,9))) AS DOUBLE)
+         |          / count(*) AS m
+         |      FROM pe GROUP BY 1),
+         |c AS (SELECT vec_id,
+         |        CAST(sum(CASE WHEN dim < 32 AND v > m
+         |          THEN (1::BIGINT << (dim % 32)) ELSE 0 END) AS BIGINT)
+         |          AS code_lo,
+         |        CAST(sum(CASE WHEN dim >= 32 AND v > m
+         |          THEN (1::BIGINT << (dim % 32)) ELSE 0 END) AS BIGINT)
+         |          AS code_hi
+         |      FROM pe JOIN m USING (dim) GROUP BY vec_id),
+         |q AS (SELECT code_lo AS qlo, code_hi AS qhi FROM c WHERE vec_id = 0),
+         |cand AS (SELECT vec_id,
+         |        CAST(bit_count(xor(code_lo, qlo))
+         |           + bit_count(xor(code_hi, qhi)) AS BIGINT) AS hamming
+         |      FROM c, q WHERE vec_id <> 0
+         |      ORDER BY hamming, vec_id LIMIT $BinaryCandidates),
+         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |r AS (SELECT cand.vec_id AS id, hamming,
+         |        ${cosineSql("embedding", "qe")} AS cos
+         |      FROM cand JOIN embeddings USING (vec_id), qv)
+         |SELECT id, hamming, cos,
+         |  CAST(row_number() OVER (ORDER BY cos DESC, id) AS BIGINT) AS rank
+         |FROM r ORDER BY rank LIMIT $BinaryK""".stripMargin,
     "sim_int8_quant" ->
       s"""WITH pe AS (
          |  SELECT i - 1 AS dim, embedding[i]::DOUBLE AS v

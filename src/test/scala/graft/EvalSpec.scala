@@ -171,6 +171,26 @@ class EvalSpec extends AnyFunSuite {
     assert(a.getAs[Double]("coverage") >= 0.8)
   }
 
+  test("averagePrecision: hand-checked step integral, ties move together") {
+    val spark2 = spark
+    import spark2.implicits._
+    // scores 3,2,1 with labels 1,0,1: thresholds desc →
+    // t=3: P=1/1, ΔR=1/2; t=2: cp=0; t=1: P=2/3, ΔR=1/2
+    // AP = 0.5·1 + 0.5·(2/3) = 0.833333333…
+    val df = Seq((3, 1), (2, 0), (1, 1)).toDF("s", "y")
+    val r = Eval.averagePrecision(df, col("s"), col("y") === 1).collect()(0)
+    assert(r.getAs[Long]("n_scored") == 3 && r.getAs[Long]("n_pos") == 2)
+    assert(math.abs(r.getAs[Double]("avg_precision") - 5.0 / 6.0) < 1e-8)
+    // a tied block: scores 1,1 labels 1,0 → single threshold P=1/2, ΔR=1
+    val tied = Seq((1, 1), (1, 0)).toDF("s", "y")
+    val t = Eval.averagePrecision(tied, col("s"), col("y") === 1).collect()(0)
+    assert(t.getAs[Double]("avg_precision") == 0.5)
+    // no positives → NULL, not a division error
+    val neg = Seq((1, 0), (2, 0)).toDF("s", "y")
+    val n = Eval.averagePrecision(neg, col("s"), col("y") === 1).collect()(0)
+    assert(n.isNullAt(n.fieldIndex("avg_precision")))
+  }
+
   test("conformalInterval: degenerate calibration set means the infinite " +
       "interval — NULL q_hat, coverage 1, never 0") {
     val spark2 = spark

@@ -306,6 +306,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(20L)._2 > out(10L)._2)
   }
 
+  test("binaryCodes: bit set iff value above per-dim mean, halves packed") {
+    // dim 0 values (1,3): mean 2 → only id 1 above. dim 32 values (5,1):
+    // mean 3 → only id 0 above.
+    val emb = Seq(
+      (0L, Array.tabulate(64)(d => if (d == 0) 1.0f else if (d == 32) 5.0f else 0.0f)),
+      (1L, Array.tabulate(64)(d => if (d == 0) 3.0f else if (d == 32) 1.0f else 0.0f))
+    ).toDF("vec_id", "embedding")
+    val m = Similarity.binaryCodes(emb, "vec_id", "embedding")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("code_lo"), r.getAs[Long]("code_hi"))).toMap
+    assert(m(0L) == (0L, 1L)) // dim 32 → bit 0 of the hi half
+    assert(m(1L) == (1L, 0L)) // dim 0 → bit 0 of the lo half
+  }
+
+  test("binaryHammingTopK with candidates = corpus matches brute-force " +
+      "cosine order") {
+    val emb = Tables64(8)
+    val bin = Similarity.binaryHammingTopK(emb, "vec_id", "embedding",
+      queryId = 0L, candidates = 8, k = 3).collect()
+    val brute = Similarity.bruteTopK(emb,
+        emb.filter(col("vec_id") === 0L), "vec_id", "embedding", 4)
+      .filter(col("vec_id") =!= 0L).orderBy(col("cos").desc, col("vec_id"))
+      .collect()
+    assert(bin.map(_.getAs[Long]("id")).toSeq ==
+      brute.take(3).map(_.getAs[Long]("vec_id")).toSeq)
+    assert(bin.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  /** Deterministic 64-dim corpus: id 0's vector plus rotations. */
+  private def Tables64(n: Int) = {
+    val rnd = new scala.util.Random(7)
+    Seq.tabulate(n) { i =>
+      (i.toLong, Array.tabulate(64)(d => (rnd.nextFloat() + (if ((d + i) % 5 == 0) 1.0f else 0.0f))))
+    }.toDF("vec_id", "embedding")
+  }
+
   test("embeddingCovariance: hand-checked 2-d case, upper triangle only") {
     val emb = Seq(
       (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)),
