@@ -700,4 +700,41 @@ object Prep {
         round(col("__cum").cast("double") / col("__n"), 9).as("pct_rank"))
     df.join(broadcast(grid), v === col("__v"), "left_outer").drop("__v")
   }
+
+  /** Token-budget mixture planning — the allocation sheet a pretraining
+    * run is provisioned from: given per-source token inventories and
+    * integer target mixture weights (percent), how many tokens each
+    * source must contribute to a `totalBudget`-token mix, how many epochs
+    * (repeats) of the source that implies, and whether the source is in
+    * deficit (epochs > 1 — the [[mixtureSample]] rate can't reach the
+    * target without repetition).
+    *
+    * `targets` are integer percents so `target_tokens = budget·pct/100`
+    * stays in exact integer division; `epochs` is the single IEEE
+    * division, 9 dp. The corpus collapses to one row per source in one
+    * partial-aggregable group-by; the weight table is a literal inline
+    * relation. Sources not in `targets` are excluded (weight 0 — drop);
+    * a target source absent from the corpus reports NULL inventory.
+    */
+  def tokenBudgetPlan(docs: DataFrame, textCol: String, sourceCol: String,
+      targets: Seq[(String, Int)], totalBudget: Long): DataFrame = {
+    require(targets.map(_._2).sum == 100,
+      s"mixture weights must sum to 100, got ${targets.map(_._2).sum}")
+    val inv = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks(col(textCol))).cast("long")).as("available_tokens"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val want = targets.toDF("source", "weight_pct")
+    broadcast(want).join(inv, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"), col("available_tokens"),
+        col("weight_pct").cast("long").as("weight_pct"),
+        expr(s"CAST((${totalBudget}L * weight_pct) div 100 AS BIGINT)")
+          .as("target_tokens"))
+      .withColumn("epochs",
+        when(col("available_tokens") > 0,
+          round(col("target_tokens").cast("double")
+            / col("available_tokens"), 9)))
+      .withColumn("deficit", col("epochs") > 1.0)
+  }
 }

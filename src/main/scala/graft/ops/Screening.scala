@@ -112,6 +112,36 @@ object Screening {
           / (col("n") * col("n") - col("pe_num")), 9).as("kappa"))
   }
 
+  /** McNemar's test for two classifiers scored on the SAME rows — the
+    * paired comparison that answers "is B actually better than A, or do
+    * they just disagree" (an unpaired accuracy diff throws away the
+    * per-row pairing and loses power). Counts the discordant cells
+    * (b = A right / B wrong, c = A wrong / B right) and reports the
+    * continuity-corrected statistic χ² = (max(|b−c|−1, 0))² / (b+c).
+    *
+    * One pass, one aggregate, no shuffle beyond the single output row.
+    * The statistic is an integer ratio (one IEEE division, 9 dp) — NULL
+    * when the classifiers never disagree (b+c = 0). Returns one row:
+    * (n, both_right, both_wrong, b_only_a, c_only_b, mcnemar_chi2).
+    */
+  def mcnemar(df: DataFrame, label: Column, predA: Column, predB: Column)
+      : DataFrame = {
+    val okA = predA === label
+    val okB = predB === label
+    df.agg(count(lit(1)).as("n"),
+        sum(when(okA && okB, 1L).otherwise(0L)).as("both_right"),
+        sum(when(!okA && !okB, 1L).otherwise(0L)).as("both_wrong"),
+        sum(when(okA && !okB, 1L).otherwise(0L)).as("b_only_a"),
+        sum(when(!okA && okB, 1L).otherwise(0L)).as("c_only_b"))
+      .withColumn("mcnemar_chi2",
+        when(col("b_only_a") + col("c_only_b") > 0, {
+          val num = greatest(abs(col("b_only_a") - col("c_only_b")) - 1,
+            lit(0L))
+          round((num * num).cast(DoubleType) /
+            (col("b_only_a") + col("c_only_b")), 9)
+        }))
+  }
+
   /** Wilson score lower bound of the per-key success ratio — how to rank
     * by a ratio without letting 1-for-1 keys beat 90-for-100 keys (the
     * standard "sort by average rating" fix; Wilson 1927). One group-by

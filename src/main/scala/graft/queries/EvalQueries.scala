@@ -40,6 +40,26 @@ object EvalQueries {
     Eval.aucRoc(userDayLabels(spark, dir), col("s_clicks"), col("__pos") === 1)
       .orderBy("n_pos")
 
+  /** McNemar's paired test ([[graft.ops.Screening.mcnemar]]) comparing two
+    * rule classifiers of the daily-purchase label on the same (user, day)
+    * rows: A = "any click that day", B = "two or more views that day".
+    */
+  def mcnemarClicksViews(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+          .as("day"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("s_clicks"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("s_views"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+    graft.ops.Screening.mcnemar(g, col("y") === 1,
+      col("s_clicks") >= 1, col("s_views") >= 2)
+  }
+
   /** Average precision of the same click-count predictor
     * ([[graft.ops.Eval.averagePrecision]]) — the PR-curve companion to
     * `eval_auc_clicks`, sharing its (user, day) grain.
@@ -120,6 +140,7 @@ object EvalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_auc_clicks" -> aucClicks,
     "eval_avg_precision" -> averagePrecisionClicks,
+    "eval_mcnemar" -> mcnemarClicksViews,
     "eval_confusion_lang" -> confusionLang,
     "eval_retrieval_labels" -> retrievalLabels,
     "eval_isotonic" -> isotonicClicks,
@@ -168,6 +189,32 @@ object EvalQueries {
        |  FROM lab GROUP BY 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // discordant-cell counts are exact integers; the continuity-corrected
+    // statistic spends one IEEE division
+    "eval_mcnemar" ->
+      """WITH g AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS sc,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS sv,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT (sc >= 1) = (y = 1) AS oka,
+        |             (sv >= 2) = (y = 1) AS okb FROM g),
+        |t AS (SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN oka AND okb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS both_right,
+        |    CAST(sum(CASE WHEN NOT oka AND NOT okb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS both_wrong,
+        |    CAST(sum(CASE WHEN oka AND NOT okb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b_only_a,
+        |    CAST(sum(CASE WHEN NOT oka AND okb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c_only_b
+        |  FROM c)
+        |SELECT n, both_right, both_wrong, b_only_a, c_only_b,
+        |  CASE WHEN b_only_a + c_only_b > 0 THEN
+        |    round(CAST(greatest(abs(b_only_a - c_only_b) - 1, 0)
+        |        * greatest(abs(b_only_a - c_only_b) - 1, 0) AS DOUBLE)
+        |      / (b_only_a + c_only_b), 9) END AS mcnemar_chi2
+        |FROM t""".stripMargin,
     // distinct-score grid, descending: per-threshold term cp·CP/CN rounds
     // 9 dp into exact DECIMAL, one final division by n_pos
     "eval_avg_precision" ->

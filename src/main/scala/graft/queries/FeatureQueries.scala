@@ -319,9 +319,18 @@ object FeatureQueries {
     EventOps.seasonalityProfile(Tables.events(spark, dir), "user_id", "ts")
       .orderBy("user_id")
 
+  /** Per-user RFM quintile scores over the events stream
+    * ([[graft.ops.EventOps.rfm]]) — recency anchored at the stream max
+    * timestamp, ntile buckets with 5 = best.
+    */
+  def rfmScores(spark: SparkSession, dir: String): DataFrame =
+    EventOps.rfm(Tables.events(spark, dir), "user_id", "ts", "value")
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "feat_item_cf" -> itemCf,
     "feat_seasonality" -> seasonality,
+    "feat_rfm" -> rfmScores,
     "feat_assoc_rules" -> assocRules,
     "feat_seq_patterns" -> seqPatterns,
     "feat_cohort_retention" -> cohortRetention,
@@ -539,6 +548,28 @@ object FeatureQueries {
          |  CAST(rank AS BIGINT) AS rank
          |FROM r WHERE rank <= $ItemCfK ORDER BY item, rank""".stripMargin,
     // integer calendar arithmetic only: hour from epoch-µs remainder,
+    // same ntile orders with key tie-breaks; monetary sums round(value,6)
+    // through DECIMAL(18,6) exactly as the Spark side
+    "feat_rfm" ->
+      """WITH a AS (SELECT max(epoch_us(ts)) AS anchor FROM events),
+        |k AS (SELECT user_id,
+        |    CAST((anchor - max(epoch_us(ts))) // 86400000000 AS BIGINT)
+        |      AS recency_days,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS monetary
+        |  FROM events, a GROUP BY user_id, anchor),
+        |s AS (SELECT user_id, recency_days, frequency, monetary,
+        |    CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id)
+        |      AS BIGINT) AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS BIGINT)
+        |      AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY monetary, user_id) AS BIGINT)
+        |      AS m_score
+        |  FROM k)
+        |SELECT user_id, frequency, monetary, recency_days, r_score, f_score,
+        |  m_score, r_score * 100 + f_score * 10 + m_score AS rfm_code
+        |FROM s ORDER BY user_id""".stripMargin,
     // dow = (epoch_day + 4) mod 7 with 0 = Sunday — no calendar functions
     "feat_seasonality" ->
       """WITH b AS (SELECT user_id,

@@ -138,6 +138,19 @@ object PrepQueries {
         ChunkSize, ChunkStride)
       .orderBy("doc_id", "chunk_idx")
 
+  private val BudgetTargets =
+    Seq("en" -> 40, "es" -> 20, "fr" -> 15, "de" -> 15, "zh" -> 10)
+  private val TotalBudget = 100000L
+
+  /** Token-budget mixture plan over the per-language inventories
+    * ([[graft.ops.Prep.tokenBudgetPlan]]): integer target weights, exact
+    * integer target tokens, one IEEE epochs division.
+    */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame =
+    Prep.tokenBudgetPlan(Tables.documents(spark, dir), "text", "lang",
+        BudgetTargets, TotalBudget)
+      .orderBy("source")
+
   private val SessionGapSec = 21600L
 
   /** PII redaction over deterministic synthesized contact lines (the corpus
@@ -359,6 +372,7 @@ object PrepQueries {
     "prep_histogram_price" -> histogramPrice,
     "prep_chunk_text" -> chunkText,
     "prep_redact_pii" -> redactPii,
+    "prep_token_budget" -> tokenBudget,
     "prep_sessionize" -> sessionizeEvents)
 
   // ---- oracle SQL -------------------------------------------------------------
@@ -367,6 +381,30 @@ object PrepQueries {
     s"('0x' || substr(md5($expr), 1, 12))::BIGINT % $buckets"
 
   val oracle: Map[String, String] = Map(
+    // integer target weights; budget·pct//100 stays integer-exact, epochs
+    // is the single IEEE division
+    "prep_token_budget" -> {
+      val values = BudgetTargets
+        .map { case (s, p) => s"('$s', $p)" }.mkString(", ")
+      s"""WITH inv AS (SELECT lang AS source, count(*) AS n_docs,
+         |    CAST(sum(len(list_filter(string_split(text, ' '),
+         |      t -> t <> ''))) AS BIGINT) AS available_tokens
+         |  FROM documents GROUP BY 1),
+         |w(source, weight_pct) AS (VALUES $values),
+         |p AS (SELECT w.source, n_docs, available_tokens,
+         |    CAST(weight_pct AS BIGINT) AS weight_pct,
+         |    CAST(($TotalBudget * weight_pct) // 100 AS BIGINT)
+         |      AS target_tokens
+         |  FROM w LEFT JOIN inv USING (source))
+         |SELECT source, n_docs, available_tokens, weight_pct, target_tokens,
+         |  CASE WHEN available_tokens > 0 THEN
+         |    round(CAST(target_tokens AS DOUBLE) / available_tokens, 9) END
+         |    AS epochs,
+         |  CASE WHEN available_tokens > 0 THEN
+         |    round(CAST(target_tokens AS DOUBLE) / available_tokens, 9)
+         |      > 1.0 END AS deficit
+         |FROM p ORDER BY source""".stripMargin
+    },
     // cume_dist over the distinct-value grid ≡ per-row cume_dist
     "prep_rank_normalize" ->
       """WITH g AS (

@@ -420,4 +420,25 @@ class EventOpsSpec extends AnyFunSuite {
     // u2: hours 1 and 2 each once → peak ties to hour 1; Wednesday only
     assert(got("u2") == ((2L, 2L, 1L, 1L, 0.5, 0.0)))
   }
+
+  test("rfm: recency anchored at stream max, quintiles 5 = best") {
+    // 5 users: user i has i+1 events, value 10·(i+1) each, last event
+    // (4-i) days before the anchor (user 4 owns the anchor event)
+    val rows = (0 to 4).flatMap { i =>
+      (0 to i).map { j =>
+        (i.toLong, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          ((4L - i) * -1L + 10L) * 86400L + j * 60L)), 10.0 * (i + 1))
+      }
+    }
+    val df = rows.toDF("user_id", "ts", "value")
+    val out = EventOps.rfm(df, "user_id", "ts", "value")
+      .orderBy("user_id").collect()
+    // user 4: most recent, most frequent, highest total → 555
+    val m = out.map(r => r.getAs[Long]("user_id") ->
+      (r.getAs[Long]("recency_days"), r.getAs[Long]("frequency"),
+        r.getAs[Long]("rfm_code"))).toMap
+    assert(m(4L)._3 == 555L)
+    assert(m(0L) == ((4L, 1L, 111L)))
+    assert(out.map(_.getAs[Long]("r_score")).toSeq == Seq(1, 2, 3, 4, 5))
+  }
 }

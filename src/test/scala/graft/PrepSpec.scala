@@ -450,4 +450,30 @@ class PrepSpec extends AnyFunSuite {
     assert(math.abs(nLo - 0.05) < 0.02, s"lo clip frac $nLo")
     assert(math.abs(nHi - 0.05) < 0.02, s"hi clip frac $nHi")
   }
+
+  test("tokenBudgetPlan: integer targets, epochs, deficit and missing " +
+      "source") {
+    val docs = Seq(
+      (1L, "a b c d", "web"), (2L, "e f", "web"), // web: 6 tokens
+      (3L, "x y z", "code") // code: 3 tokens
+    ).toDF("doc_id", "text", "source")
+    val plan = Prep.tokenBudgetPlan(docs, "text", "source",
+        Seq("web" -> 50, "code" -> 30, "books" -> 20), totalBudget = 30L)
+      .orderBy("source").collect()
+    val m = plan.map(r => r.getAs[String]("source") -> r).toMap
+    // web: target 15 of 6 available → epochs 2.5, deficit
+    assert(m("web").getAs[Long]("target_tokens") == 15L)
+    assert(m("web").getAs[Double]("epochs") == 2.5)
+    assert(m("web").getAs[Boolean]("deficit"))
+    // code: target 9 of 3 → epochs 3.0
+    assert(m("code").getAs[Long]("target_tokens") == 9L)
+    assert(m("code").getAs[Double]("epochs") == 3.0)
+    // books absent from the corpus: NULL inventory, NULL epochs
+    assert(m("books").isNullAt(m("books").fieldIndex("available_tokens")))
+    assert(m("books").isNullAt(m("books").fieldIndex("epochs")))
+    // weights must sum to 100
+    intercept[IllegalArgumentException] {
+      Prep.tokenBudgetPlan(docs, "text", "source", Seq("web" -> 60), 10L)
+    }
+  }
 }

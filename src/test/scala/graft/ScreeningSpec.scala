@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.Screening
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 class ScreeningSpec extends AnyFunSuite {
@@ -146,5 +147,25 @@ class ScreeningSpec extends AnyFunSuite {
     assert(a.getAs[Double]("ci_lo") <= a.getAs[Double]("ci_hi"))
     assert(a.getAs[Double]("ci_lo") == b.getAs[Double]("ci_lo") &&
       a.getAs[Double]("ci_hi") == b.getAs[Double]("ci_hi"))
+  }
+
+  test("mcnemar: discordant cells and continuity-corrected statistic") {
+    // 10 rows: A right on 7 (rows 1-7), B right on 5 (rows 4-8).
+    // both_right rows 4-7 (4), b = A only rows 1-3 (3), c = B only row 8
+    // (1), both_wrong rows 9-10 (2). chi2 = (|3-1|-1)^2/4 = 0.25
+    val df = (1 to 10).map { i =>
+      (i, if (i <= 7) 1 else 0, if (i >= 4 && i <= 8) 1 else 0)
+    }.toDF("id", "a_ok", "b_ok")
+    val r = Screening.mcnemar(df, lit(1), col("a_ok"), col("b_ok"))
+      .collect()(0)
+    assert(r.getAs[Long]("both_right") == 4 &&
+      r.getAs[Long]("both_wrong") == 2)
+    assert(r.getAs[Long]("b_only_a") == 3 && r.getAs[Long]("c_only_b") == 1)
+    assert(r.getAs[Double]("mcnemar_chi2") == 0.25)
+    // perfect agreement → NULL statistic, not a division error
+    val same = Seq((1, 1), (0, 0)).toDF("a_ok", "y")
+    val s = Screening.mcnemar(same, col("y"), col("a_ok"), col("a_ok"))
+      .collect()(0)
+    assert(s.isNullAt(s.fieldIndex("mcnemar_chi2")))
   }
 }
