@@ -128,4 +128,48 @@ object Graph {
     sizes.crossJoin(broadcast(counts))
       .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
   }
+
+  /** Bounded k-core peeling (Seidman 1983; the BSP formulation of
+    * Montresor et al. 2013): `rounds` synchronous rounds of "drop every
+    * node with degree < k", then report the surviving subgraph's nodes
+    * with their residual degree and an `in_core` flag (degree still ≥ k —
+    * all-true iff the peel converged within the budget). The k-core is
+    * the standard dense-substructure filter: spam/bot rings and tightly
+    * coupled item clusters survive peeling, long chains and stars do not.
+    *
+    * A fixed round budget (not iterate-to-convergence) keeps the operator
+    * a deterministic bounded plan that an oracle replays as unrolled CTEs
+    * — the [[pageRank]] discipline; callers needing the exact core run
+    * more rounds (peeling converges in O(diameter) rounds, and each round
+    * halves at most the candidate set's periphery).
+    *
+    * Shape at scale: each round is one degree aggregate + two semi-joins
+    * against the ≤node-cardinality survivor set, all partitioned by node
+    * key; `localCheckpoint` per round caps plan lineage (the iterative-
+    * loop discipline the CC operators established).
+    */
+  def kcorePeel(edges: DataFrame, aCol: String, bCol: String, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1: $k, $rounds")
+    val sym = edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    var und = sym
+      .union(sym.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val alive = und.groupBy("u").agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") >= k).select(col("u").as("__n"))
+        .localCheckpoint()
+      und = und
+        .join(alive, col("u") === col("__n"), "left_semi")
+        .join(alive.select(col("__n").as("__m")),
+          col("v") === col("__m"), "left_semi")
+        .localCheckpoint()
+    }
+    und.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("degree"))
+      .withColumn("in_core", col("degree") >= k)
+  }
 }

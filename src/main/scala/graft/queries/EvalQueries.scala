@@ -40,6 +40,18 @@ object EvalQueries {
     Eval.aucRoc(userDayLabels(spark, dir), col("s_clicks"), col("__pos") === 1)
       .orderBy("n_pos")
 
+  /** Gains/lift decile table of the click-count predictor
+    * ([[graft.ops.Eval.gainsTable]]) on the (user, day) grain — response
+    * rate, cumulative capture and lift per score band.
+    */
+  def gainsDeciles(spark: SparkSession, dir: String): DataFrame =
+    Eval.gainsTable(
+        userDayLabels(spark, dir)
+          .select(col("user_id"), col("day"), col("s_clicks"), col("__pos")),
+        col("s_clicks"), col("__pos") === 1,
+        Seq(col("user_id"), col("day")))
+      .orderBy("decile")
+
   /** McNemar's paired test ([[graft.ops.Screening.mcnemar]]) comparing two
     * rule classifiers of the daily-purchase label on the same (user, day)
     * rows: A = "any click that day", B = "two or more views that day".
@@ -141,6 +153,7 @@ object EvalQueries {
     "eval_auc_clicks" -> aucClicks,
     "eval_avg_precision" -> averagePrecisionClicks,
     "eval_mcnemar" -> mcnemarClicksViews,
+    "eval_gains_deciles" -> gainsDeciles,
     "eval_confusion_lang" -> confusionLang,
     "eval_retrieval_labels" -> retrievalLabels,
     "eval_isotonic" -> isotonicClicks,
@@ -189,6 +202,35 @@ object EvalQueries {
        |  FROM lab GROUP BY 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the same ntile band order (score desc, user, day); every statistic
+    // is an integer ratio with the identical fixed IEEE sequence
+    "eval_gains_deciles" ->
+      """WITH lab AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS s,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT p, CAST(ntile(10) OVER (ORDER BY s DESC, user_id, day)
+        |        AS BIGINT) AS decile
+        |      FROM lab),
+        |g AS (SELECT decile, count(*) AS n,
+        |        CAST(sum(p) AS BIGINT) AS n_pos
+        |      FROM b GROUP BY decile),
+        |w AS (SELECT decile, n, n_pos,
+        |        sum(n_pos) OVER (ORDER BY decile
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS cum_pos,
+        |        sum(n) OVER () AS tn, sum(n_pos) OVER () AS tp
+        |      FROM g)
+        |SELECT decile, n, n_pos,
+        |  round(CAST(n_pos AS DOUBLE) / n, 9) AS response_rate,
+        |  CAST(cum_pos AS BIGINT) AS cum_pos,
+        |  CASE WHEN tp > 0 THEN
+        |    round(CAST(cum_pos AS DOUBLE) / tp, 9) END AS cum_capture,
+        |  CASE WHEN tp > 0 THEN
+        |    round(CAST(n_pos AS DOUBLE) * tn / (CAST(n AS DOUBLE) * tp), 9)
+        |    END AS lift
+        |FROM w ORDER BY decile""".stripMargin,
     // discordant-cell counts are exact integers; the continuity-corrected
     // statistic spends one IEEE division
     "eval_mcnemar" ->

@@ -263,6 +263,23 @@ object FeatureQueries {
       .orderBy("node")
   }
 
+  private val KcoreK = 4
+  private val KcoreRounds = 3
+
+  /** Bounded 4-core peel of the customer–supplier purchase graph
+    * ([[graft.ops.Graph.kcorePeel]], same edges as `feat_pagerank`):
+    * 3 peeling rounds, survivors with residual degree + in-core flag.
+    */
+  def kcore(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+    graft.ops.Graph.kcorePeel(edges, "src", "dst", KcoreK, KcoreRounds)
+      .orderBy("node")
+  }
+
   /** First-order event-type transition matrix per user history
     * ([[graft.ops.EventOps.transitionMatrix]]).
     */
@@ -344,6 +361,7 @@ object FeatureQueries {
     "feat_session_pmi" -> sessionPmi,
     "feat_wilson_rank" -> wilsonRank,
     "feat_pagerank" -> pageRankSuppliers,
+    "feat_kcore" -> kcore,
     "feat_markov_transitions" -> markovTransitions,
     "feat_forward_fill" -> forwardFill,
     "feat_rolling_dau" -> rollingDau,
@@ -357,6 +375,26 @@ object FeatureQueries {
     "feat_funnel_timing" -> funnelTiming,
     "feat_scd2_intervals" -> scd2Intervals,
     "feat_time_split" -> timeSplit)
+
+  // unrolled peel rounds — each round re-derives degrees from the
+  // previous round's edge set and keeps both endpoints alive
+  private val kcoreSql: String = {
+    val peels = (1 to KcoreRounds).map { i =>
+      s"""a$i AS (SELECT u FROM u${i - 1} GROUP BY u
+         |        HAVING count(*) >= $KcoreK),
+         |u$i AS (SELECT p.u, p.v FROM u${i - 1} p
+         |        JOIN a$i x ON p.u = x.u JOIN a$i y ON p.v = y.u)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT 'c' || o_custkey AS u,
+       |             's' || l_suppkey AS v
+       |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |u0 AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+       |$peels
+       |SELECT u AS node, count(*) AS degree,
+       |  count(*) >= $KcoreK AS in_core
+       |FROM u$KcoreRounds GROUP BY u ORDER BY node""".stripMargin
+  }
 
   // unrolled power-iteration CTEs r0→r3: every iteration's state is a
   // DECIMAL(18,9) relation (9dp-rounded contributions, exact sums), which
@@ -868,6 +906,7 @@ object FeatureQueries {
          |    / (1.0 + zz / n), 9) AS wilson_lb
          |FROM w ORDER BY wilson_lb DESC, user_id LIMIT $WilsonTopK""".stripMargin,
     "feat_pagerank" -> pageRankSql,
+    "feat_kcore" -> kcoreSql,
     "feat_markov_transitions" ->
       """WITH p AS (SELECT event_type AS next_state,
         |  lag(event_type) OVER (PARTITION BY user_id

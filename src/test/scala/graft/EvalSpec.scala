@@ -171,6 +171,23 @@ class EvalSpec extends AnyFunSuite {
     assert(a.getAs[Double]("coverage") >= 0.8)
   }
 
+  test("gainsTable: hand-checked bands, capture and lift") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 4 rows, 2 bands: scores 4,3 (band 1: 2 pos), 2,1 (band 2: 0 pos)
+    val df = Seq((1L, 4.0, 1), (2L, 3.0, 1), (3L, 2.0, 0), (4L, 1.0, 0))
+      .toDF("id", "s", "y")
+    val out = Eval.gainsTable(df, col("s"), col("y") === 1,
+      Seq(col("id")), deciles = 2).orderBy("decile").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Double]("response_rate") == 1.0)
+    assert(out(0).getAs[Double]("cum_capture") == 1.0)
+    assert(out(0).getAs[Double]("lift") == 2.0) // 100% vs 50% base rate
+    assert(out(1).getAs[Double]("response_rate") == 0.0)
+    assert(out(1).getAs[Double]("cum_capture") == 1.0)
+    assert(out(1).getAs[Double]("lift") == 0.0)
+  }
+
   test("averagePrecision: hand-checked step integral, ties move together") {
     val spark2 = spark
     import spark2.implicits._

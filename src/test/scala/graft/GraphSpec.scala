@@ -68,4 +68,24 @@ class GraphSpec extends AnyFunSuite {
     assert(s.getAs[Long]("n_triangles") == 0)
     assert(s.getAs[Long]("n_wedges") == 0)
   }
+
+  test("kcorePeel: 2-core strips the tail, keeps the triangle; cascade " +
+      "needs a second round") {
+    // triangle 1-2-3 with a chain 3-4-5: peeling at k=2 drops 5 (deg 1)
+    // in round 1, which drops 4 in round 2 — the cascade a single pass
+    // misses
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val oneRound = Graph.kcorePeel(edges, "a", "b", k = 2, rounds = 1)
+      .collect().map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("degree"), r.getAs[Boolean]("in_core"))).toMap
+    // after one round node 4 survives with residual degree 1 → flagged
+    assert(oneRound.keySet == Set(1L, 2L, 3L, 4L))
+    assert(oneRound(4L) == ((1L, false)))
+    val converged = Graph.kcorePeel(edges, "a", "b", k = 2, rounds = 2)
+      .collect().map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("degree"), r.getAs[Boolean]("in_core"))).toMap
+    assert(converged.keySet == Set(1L, 2L, 3L))
+    assert(converged.values.forall(_ == ((2L, true))))
+  }
 }
