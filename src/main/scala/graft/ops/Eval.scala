@@ -403,6 +403,55 @@ object Eval {
           .cast(DoubleType) / sum(col("n")).over(all), 9))
   }
 
+  /** Murphy decomposition of the (binned) Brier score — reliability −
+    * resolution + uncertainty (Murphy 1973): how much of a probabilistic
+    * predictor's error is miscalibration (reliability: bins where the
+    * stated probability and the observed rate disagree — fixable by
+    * recalibration, e.g. [[isotonicCalibration]]) versus lack of
+    * discrimination (resolution: how far bin outcome rates spread from
+    * the base rate — NOT fixable downstream). ECE flags the first;
+    * this separates the two.
+    *
+    * Input is a binned relation ([[calibrationBins]] output). All
+    * statistics run over the ≤bins-row relation: per-bin terms multiply
+    * already-9-dp-quantized rates, round 9 dp, and sum in exact DECIMAL;
+    * base rate and the two normalizations are one IEEE division each.
+    * Returns one row: (n, n_pos, base_rate, reliability, resolution,
+    * uncertainty, brier).
+    */
+  def brierDecomposition(binned: DataFrame, nCol: String, posCol: String,
+      avgProbCol: String): DataFrame = {
+    val all = Window.partitionBy()
+    val b = binned
+      .select(col(nCol).cast("long").as("__n"),
+        col(posCol).cast("long").as("__np"),
+        col(avgProbCol).as("__pb"))
+      .withColumn("__ob",
+        round(col("__np").cast(DoubleType) / col("__n"), 9))
+      .withColumn("__tot", sum("__n").over(all))
+      .withColumn("__totp", sum("__np").over(all))
+      .withColumn("__obar",
+        round(col("__totp").cast(DoubleType) / col("__tot"), 9))
+    val relT = (col("__pb") - col("__ob")) * (col("__pb") - col("__ob")) *
+      col("__n")
+    val resT = (col("__ob") - col("__obar")) * (col("__ob") - col("__obar")) *
+      col("__n")
+    b.groupBy(col("__tot").as("n"), col("__totp").as("n_pos"),
+        col("__obar").as("base_rate"))
+      .agg(sum(round(relT, 9).cast(Exact9)).as("__rel"),
+        sum(round(resT, 9).cast(Exact9)).as("__res"))
+      .select(col("n"), col("n_pos"), col("base_rate"),
+        round(col("__rel").cast(DoubleType) / col("n"), 9)
+          .as("reliability"),
+        round(col("__res").cast(DoubleType) / col("n"), 9)
+          .as("resolution"),
+        round(col("base_rate") * (lit(1.0) - col("base_rate")), 9)
+          .as("uncertainty"))
+      .withColumn("brier",
+        round(col("reliability") - col("resolution") + col("uncertainty"),
+          9))
+  }
+
   /** Exact isotonic (monotone non-decreasing) calibration of binned
     * predictions — the non-parametric recalibrator (Zadrozny & Elkan
     * 2002) — via the MINIMAX closed form of pool-adjacent-violators:

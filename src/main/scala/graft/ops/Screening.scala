@@ -164,6 +164,64 @@ object Screening {
       Seq(col("n"), col("s"), round(lb, 9).as("wilson_lb")): _*)
   }
 
+  /** Referential-integrity audit of one foreign-key edge — the data
+    * contract every star-schema ingest asserts before anything joins:
+    * child rows whose key has no parent are silent row loss in every
+    * downstream inner join. Reports row and distinct-key orphan counts
+    * (a thousand orphan rows behind one missing parent key is a very
+    * different incident than a thousand missing keys).
+    *
+    * Shape at scale: one left-anti join on the key (the parent side
+    * broadcast when dimension-sized) + one distinct over orphan keys —
+    * no full-join materialization. NULL child keys count as orphan rows
+    * but not as keys (NULL never equals a parent). Returns one row:
+    * (edge, n_rows, n_orphan_rows, n_orphan_keys, orphan_rate).
+    */
+  def fkAudit(child: DataFrame, childKey: String, parent: DataFrame,
+      parentKey: String, edge: String): DataFrame = {
+    val totals = child.agg(count(lit(1)).as("n_rows"))
+    val orphans = child.select(col(childKey).as("__k"))
+      .join(parent.select(col(parentKey).as("__k")), Seq("__k"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan_rows"),
+        count_distinct(col("__k")).as("n_orphan_keys"))
+    totals.crossJoin(broadcast(orphans))
+      .select(lit(edge).as("edge"), col("n_rows"), col("n_orphan_rows"),
+        col("n_orphan_keys"),
+        round(col("n_orphan_rows").cast(DoubleType) / col("n_rows"), 9)
+          .as("orphan_rate"))
+  }
+
+  /** Exact weighted median (lower median) per group: the smallest value
+    * whose cumulative weight reaches half the group total —
+    * `min { v : 2·W(≤v) ≥ W }`. The robust center for weighted samples
+    * (price weighted by quantity, metric weighted by exposure) where the
+    * weighted MEAN chases whales.
+    *
+    * Requires integer weights, which keeps the decision an exact integer
+    * cross-multiply (`2·cum ≥ total`) — no interpolation, no IEEE
+    * anywhere, bit-identical on any engine. The data collapses to the
+    * per-group DISTINCT-VALUE grid in one shuffle (the KS-grid argument:
+    * 2-dp money support is bounded); the cumulative walk windows over
+    * that grid only. Returns (groupCols*, total_weight, w_median).
+    */
+  def weightedMedian(df: DataFrame, valueCol: String, weightCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val v = col(valueCol).cast(DecimalType(18, 2))
+    val grid = df
+      .filter(v.isNotNull)
+      .groupBy(groupCols.map(col) :+ v.as("__v"): _*)
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    val cum = Window.partitionBy(groupCols.map(col): _*).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(groupCols.map(col): _*)
+    grid
+      .withColumn("__cw", sum("__w").over(cum))
+      .withColumn("__tw", sum("__w").over(all))
+      .filter(col("__cw") * 2 >= col("__tw"))
+      .groupBy(groupCols.map(col) :+ col("__tw").as("total_weight"): _*)
+      .agg(min(col("__v")).cast(DoubleType).as("w_median"))
+  }
+
   /** Exact join-size prediction WITHOUT executing the join — the planning
     * diagnostic run before committing a 100 TB shuffle (pairs with the
     * per-key skew report, [[graft.ops.Skew]]): per-key counts of both

@@ -149,6 +149,14 @@ object EvalQueries {
         "bin", "n", "n_pos")
       .orderBy("bin")
 
+  /** Murphy decomposition of the binned Brier score over the same
+    * calibration bins ([[graft.ops.Eval.brierDecomposition]]) —
+    * miscalibration vs discrimination, separated.
+    */
+  def brierClicks(spark: SparkSession, dir: String): DataFrame =
+    Eval.brierDecomposition(calibrationClicks(spark, dir),
+      "n", "n_pos", "avg_prob")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_auc_clicks" -> aucClicks,
     "eval_avg_precision" -> averagePrecisionClicks,
@@ -157,6 +165,7 @@ object EvalQueries {
     "eval_confusion_lang" -> confusionLang,
     "eval_retrieval_labels" -> retrievalLabels,
     "eval_isotonic" -> isotonicClicks,
+    "eval_brier" -> brierClicks,
     "eval_sliced_auc" -> slicedAuc,
     "eval_conformal" -> conformalPrice,
     "eval_calibration_bins" -> calibrationClicks)
@@ -433,6 +442,32 @@ object EvalQueries {
          |  round(CAST(b.n_pos AS DOUBLE) / b.n, 9) AS pos_rate,
          |  iso.iso_rate
          |FROM binned b JOIN iso ON iso.k = b.bin ORDER BY bin""".stripMargin,
+    // same binned relation; per-bin terms multiply the already-9dp rates,
+    // round 9, exact-DECIMAL sum, one division per normalization
+    "eval_brier" ->
+      s"""WITH $calibBinnedCte,
+         |b2 AS (SELECT n, n_pos,
+         |    round(CAST(sum_num AS DOUBLE) / (n * den), 9) AS pb,
+         |    round(CAST(n_pos AS DOUBLE) / n, 9) AS ob
+         |  FROM binned),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+         |        CAST(sum(n_pos) AS BIGINT) AS pp FROM b2),
+         |tt AS (SELECT nn, pp,
+         |        round(CAST(pp AS DOUBLE) / nn, 9) AS obar FROM t),
+         |s AS (SELECT nn, pp, obar,
+         |    sum(CAST(round((pb - ob) * (pb - ob) * n, 9)
+         |      AS DECIMAL(28,9))) AS reln,
+         |    sum(CAST(round((ob - obar) * (ob - obar) * n, 9)
+         |      AS DECIMAL(28,9))) AS resn
+         |  FROM b2 CROSS JOIN tt GROUP BY nn, pp, obar)
+         |SELECT nn AS n, pp AS n_pos, obar AS base_rate,
+         |  round(CAST(reln AS DOUBLE) / nn, 9) AS reliability,
+         |  round(CAST(resn AS DOUBLE) / nn, 9) AS resolution,
+         |  round(obar * (1.0 - obar), 9) AS uncertainty,
+         |  round(round(CAST(reln AS DOUBLE) / nn, 9)
+         |    - round(CAST(resn AS DOUBLE) / nn, 9)
+         |    + round(obar * (1.0 - obar), 9), 9) AS brier
+         |FROM s""".stripMargin,
     "eval_calibration_bins" ->
       s"""WITH $calibBinnedCte,
          |b2 AS (

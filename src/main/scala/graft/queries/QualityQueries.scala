@@ -345,7 +345,37 @@ object QualityQueries {
         "o_orderkey", "l_orderkey")
       .orderBy("n_left")
 
+  /** Referential-integrity audit of three star-schema edges
+    * ([[graft.ops.Screening.fkAudit]]): two intact FK edges plus a
+    * deliberately holed parent (every 5th customer dropped) so the orphan
+    * path is exercised with real counts.
+    */
+  def fkOrphans(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val holed = Tables.customer(spark, dir)
+      .filter(pmod(col("c_custkey"), lit(5L)) =!= 0)
+    graft.ops.Screening
+      .fkAudit(li, "l_orderkey", ord, "o_orderkey", "lineitem->orders")
+      .unionByName(graft.ops.Screening.fkAudit(li, "l_partkey",
+        Tables.part(spark, dir), "p_partkey", "lineitem->part"))
+      .unionByName(graft.ops.Screening.fkAudit(ord, "o_custkey", holed,
+        "c_custkey", "orders->customer_holed"))
+      .orderBy("edge")
+  }
+
+  /** Exact per-group weighted median ([[graft.ops.Screening
+    * .weightedMedian]]): extended price weighted by integer quantity per
+    * return flag — all-integer cross-multiply decision, no interpolation.
+    */
+  def weightedMedianPrice(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Screening.weightedMedian(Tables.lineitem(spark, dir),
+        "l_extendedprice", "l_quantity", Seq("l_returnflag"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_fk_orphans" -> fkOrphans,
+    "quality_weighted_median" -> weightedMedianPrice,
     "quality_profile_drift" -> profileDrift,
     "quality_join_size" -> joinSize,
     "quality_entropy_profile" -> entropyProfile,
@@ -368,6 +398,46 @@ object QualityQueries {
     "quality_dup_ratio_documents" -> dupRatioDocuments)
 
   val oracle: Map[String, String] = Map(
+    // NULL child keys count as orphan rows, never as keys
+    "quality_fk_orphans" -> {
+      def edgeSql(edge: String, childTbl: String, ck: String,
+          parentSql: String, pk: String) =
+        s"""SELECT '$edge' AS edge, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_orphan_rows,
+           |  CAST(count(DISTINCT CASE WHEN p.$pk IS NULL THEN c.$ck END)
+           |    AS BIGINT) AS n_orphan_keys,
+           |  round(CAST(sum(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END)
+           |    AS DOUBLE) / count(*), 9) AS orphan_rate
+           |FROM $childTbl c LEFT JOIN ($parentSql) p ON c.$ck = p.$pk"""
+          .stripMargin
+      edgeSql("lineitem->orders", "lineitem", "l_orderkey",
+        "SELECT o_orderkey FROM orders", "o_orderkey") +
+        "\nUNION ALL\n" +
+        edgeSql("lineitem->part", "lineitem", "l_partkey",
+          "SELECT p_partkey FROM part", "p_partkey") +
+        "\nUNION ALL\n" +
+        edgeSql("orders->customer_holed", "orders", "o_custkey",
+          "SELECT c_custkey FROM customer WHERE c_custkey % 5 <> 0",
+          "c_custkey") +
+        "\nORDER BY edge"
+    },
+    // lower weighted median: min value with 2·cumweight ≥ total, all
+    // integer arithmetic over the distinct-value grid
+    "quality_weighted_median" ->
+      """WITH g AS (SELECT l_returnflag,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, v, w,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS tw
+        |  FROM g)
+        |SELECT l_returnflag, CAST(tw AS BIGINT) AS total_weight,
+        |  CAST(min(v) AS DOUBLE) AS w_median
+        |FROM c WHERE cw * 2 >= tw
+        |GROUP BY l_returnflag, tw ORDER BY l_returnflag""".stripMargin,
     // first digit from INTEGER-cents string formatting (never
     // floor(log10)); expected shares are the library's 9-dp DECIMAL
     // literals; χ² = DECIMAL diff → one fixed IEEE sequence

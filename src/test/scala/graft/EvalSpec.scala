@@ -171,6 +171,30 @@ class EvalSpec extends AnyFunSuite {
     assert(a.getAs[Double]("coverage") >= 0.8)
   }
 
+  test("brierDecomposition: perfect calibration has zero reliability; " +
+      "Murphy identity holds") {
+    val spark2 = spark
+    import spark2.implicits._
+    // two bins, each perfectly calibrated: pb == ob
+    val cal = Seq((0L, 100L, 20L, 0.2), (1L, 100L, 80L, 0.8))
+      .toDF("bin", "n", "n_pos", "avg_prob")
+    val r = Eval.brierDecomposition(cal, "n", "n_pos", "avg_prob")
+      .collect()(0)
+    assert(r.getAs[Double]("reliability") == 0.0)
+    assert(r.getAs[Double]("base_rate") == 0.5)
+    assert(r.getAs[Double]("uncertainty") == 0.25)
+    // resolution = (0.5-0.2)^2/2 + (0.5-0.8)^2/2 = 0.09
+    assert(r.getAs[Double]("resolution") == 0.09)
+    assert(r.getAs[Double]("brier") == 0.16)
+    // a miscalibrated bin moves reliability, not resolution
+    val bad = Seq((0L, 100L, 20L, 0.9), (1L, 100L, 80L, 0.8))
+      .toDF("bin", "n", "n_pos", "avg_prob")
+    val b = Eval.brierDecomposition(bad, "n", "n_pos", "avg_prob")
+      .collect()(0)
+    assert(b.getAs[Double]("reliability") == 0.245) // (0.9-0.2)^2/2
+    assert(b.getAs[Double]("resolution") == 0.09)
+  }
+
   test("gainsTable: hand-checked bands, capture and lift") {
     val spark2 = spark
     import spark2.implicits._

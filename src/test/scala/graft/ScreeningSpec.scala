@@ -149,6 +149,31 @@ class ScreeningSpec extends AnyFunSuite {
       a.getAs[Double]("ci_hi") == b.getAs[Double]("ci_hi"))
   }
 
+  test("fkAudit: orphan rows vs orphan keys, NULL child keys are rows " +
+      "not keys") {
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), Some(9L),
+      Option.empty[Long]).toDF("k")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Screening.fkAudit(child, "k", parent, "pk", "c->p").collect()(0)
+    assert(r.getAs[String]("edge") == "c->p")
+    assert(r.getAs[Long]("n_rows") == 6)
+    assert(r.getAs[Long]("n_orphan_rows") == 3) // 9, 9, NULL
+    assert(r.getAs[Long]("n_orphan_keys") == 1) // just 9
+    assert(r.getAs[Double]("orphan_rate") == 0.5)
+  }
+
+  test("weightedMedian: lower median by cumulative weight, per group") {
+    // group a: values 1(w1), 2(w1), 3(w10) → total 12, half 6 → median 3
+    // group b: values 5(w2), 7(w2) → total 4, cum at 5 is 2, 2*2>=4 → 5
+    val df = Seq(("a", 1.0, 1L), ("a", 2.0, 1L), ("a", 3.0, 10L),
+      ("b", 5.0, 2L), ("b", 7.0, 2L)).toDF("g", "v", "w")
+    val m = Screening.weightedMedian(df, "v", "w", Seq("g"))
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("total_weight"), r.getAs[Double]("w_median"))).toMap
+    assert(m("a") == ((12L, 3.0)))
+    assert(m("b") == ((4L, 5.0)))
+  }
+
   test("mcnemar: discordant cells and continuity-corrected statistic") {
     // 10 rows: A right on 7 (rows 1-7), B right on 5 (rows 4-8).
     // both_right rows 4-7 (4), b = A only rows 1-3 (3), c = B only row 8
