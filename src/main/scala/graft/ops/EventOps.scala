@@ -668,6 +668,67 @@ object EventOps {
           .as("weekend_share"))
   }
 
+  /** Trailing-window z-score anomaly detection: each event scored against
+    * its key's OWN history inside the trailing event-time window
+    * (`rangeBetween(-window, -1)` — the current row and its exact-ts peers
+    * are excluded, so a spike can't dampen its own baseline). The
+    * streaming-shaped "is this value weird for THIS user" check that a
+    * global outlier rule ([[graft.quality.DataQualityValidator]] IQR/MAD)
+    * can't answer.
+    *
+    * Determinism: values quantize to exact integer micro-units
+    * (round 6 dp → DECIMAL → ×10⁶), so the trailing Σv, Σv² and the
+    * variance NUMERATOR n·Σv² − (Σv)² are exact integers on any engine —
+    * a rounded-double variance sits on rounding boundaries whose last ulp
+    * differs between engines' round() implementations (measured). The
+    * variance, mean, sqrt and z then spend one fixed IEEE sequence each;
+    * sqrt is correctly-rounded on every IEEE engine. Windows with fewer
+    * than `minEvents` priors or zero variance yield NULL z (cold start is
+    * unknown, not anomalous). One key-window shuffle; RANGE frames keep
+    * the horizon density-independent ([[graft.ops.Prep
+    * .rollingTimeFeatures]] discipline).
+    */
+  def rollingAnomaly(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, windowMicros: Long, minEvents: Int): DataFrame = {
+    val decBig = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v6 = (round(col(valueCol), 6)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 1000000)
+      .cast("long")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowMicros, -1)
+    val scored = df
+      .withColumn("__v6", v6)
+      .withColumn("__n", count(col("__v6")).over(w))
+      .withColumn("__s6", sum(col("__v6")).over(w))
+      .withColumn("__s2",
+        sum((col("__v6") * col("__v6")).cast(decBig)).over(w))
+      // exact integer numerator; the division below is the first IEEE op
+      .withColumn("__varnum",
+        col("__n").cast(decBig) * col("__s2")
+          - col("__s6").cast(decBig) * col("__s6").cast(decBig))
+      .withColumn("__mean",
+        col("__s6").cast("double")
+          / (col("__n").cast("double") * lit(1000000.0)))
+      .withColumn("__var",
+        col("__varnum").cast("double")
+          / (col("__n").cast("double") * col("__n")
+            * lit(1000000000000.0)))
+    scored
+      // NO display rounding: the variance of 6-dp values is an exact
+      // 12-dp decimal, so it often sits exactly ON round-half boundaries
+      // where engines' round() disagree in the last ulp (measured); the
+      // unrounded double is already bit-identical (exact integer
+      // numerator, deterministic denominator product)
+      .withColumn("var_window", col("__var"))
+      .withColumn("z",
+        when(col("__n") >= minEvents && col("__varnum") > 0,
+          round((col(valueCol) - col("__mean")) / sqrt(col("__var")), 6)))
+      .withColumn("is_anomaly", when(col("z").isNotNull, abs(col("z")) > 2.0))
+      .drop("__v6", "__s6", "__s2", "__varnum", "__mean", "__var")
+      .withColumnRenamed("__n", "n_window")
+  }
+
   /** RFM scoring — the classic customer-value feature triple: recency
     * (days since the key's last event, against the stream's max timestamp
     * as the anchor), frequency (event count) and monetary (exact-DECIMAL

@@ -468,6 +468,43 @@ object Similarity {
       .orderBy("rank")
   }
 
+  /** Matryoshka / truncated-dimension retrieval funnel (Kusupati et al.
+    * 2022 trained the property; the funnel works for any embedding whose
+    * leading dims carry most of the signal): coarse-rank the corpus by
+    * cosine over the FIRST `prefixDims` dimensions — a prefixDims/dim
+    * fraction of the arithmetic and, in a dimension-sliced layout, of the
+    * bytes read — keep the top `candidates` (ties → id), then exact
+    * full-dimension cosine re-ranks the survivors to top `k`.
+    *
+    * Same two-stage funnel discipline as [[binaryHammingTopK]]: the
+    * corpus-wide stage is cheap per row and never shuffles (per-partition
+    * top-C heap); full vectors are touched only for the C candidates.
+    * Both stages round to 6 dp with id tie-breaks — engine-stable.
+    */
+  def prefixRerankTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, prefixDims: Int, candidates: Int, k: Int): DataFrame = {
+    require(prefixDims >= 1, s"prefixDims must be >= 1: $prefixDims")
+    val pre = slice(col(vecCol), 1, prefixDims)
+    val base = emb.select(col(idCol).as("id"), col(vecCol),
+      pre.as("__pvec"))
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"), pre.as("__qpvec"))
+    val cand = base.filter(col("id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_prefix",
+        round(cosine(col("__pvec"), col("__qpvec")), 6))
+      .orderBy(col("cos_prefix").desc, col("id"))
+      .limit(candidates)
+    cand
+      .withColumn("cos", round(cosine(col(vecCol), col("__qvec")), 6))
+      .select(col("id"), col("cos_prefix"), col("cos"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cos").desc, col("id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("rank")
+  }
+
   /** Per-label centroid summary: vector count, centroid norm, and cosine
     * of the label centroid to the global centroid (embedding-drift shape:
     * a label whose centroid swings away from global is shifting).

@@ -569,4 +569,34 @@ object TextAnalysis {
           lit(1L)), 9).as("bytes_per_token"),
         round(col("n_tokens").cast("double") / col("n_docs"), 9)
           .as("tokens_per_doc"))
+
+  /** Inverted-index posting lists: per term, the document frequency, the
+    * total term frequency, and the first `maxPostings` doc ids (ascending)
+    * — the build step of every lexical retrieval system (N55's BM25 scores
+    * AGAINST exactly this structure), and the index a contamination scan
+    * probes by term.
+    *
+    * Shape at scale: per-doc DISTINCT terms collapse inside the array
+    * expression (array_distinct before the explode — a doc contributes
+    * one posting per term, so the explode is bounded by distinct terms,
+    * not token count); ONE term shuffle; the posting cap is a slice of
+    * the sorted collect over the per-term group, bounding both memory
+    * and output width (full postings would make hot stopword terms
+    * corpus-sized rows — the cap IS the scale decision, stated).
+    */
+  def postingLists(df: DataFrame, idCol: String, textCol: String,
+      maxPostings: Int): DataFrame = {
+    val perDocTerm = df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(toks(col(textCol)))).as("term"))
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(toks(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("total_tf"))
+    perDocTerm
+      .groupBy("term")
+      .agg(count(lit(1)).as("doc_freq"),
+        slice(sort_array(collect_list(col("doc_id"))), 1, maxPostings)
+          .as("postings"))
+      .join(tf, Seq("term"))
+      .select("term", "doc_freq", "total_tf", "postings")
+  }
 }

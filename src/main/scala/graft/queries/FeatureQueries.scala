@@ -336,6 +336,21 @@ object FeatureQueries {
     EventOps.seasonalityProfile(Tables.events(spark, dir), "user_id", "ts")
       .orderBy("user_id")
 
+  private val AnomalyWindowUs = 2L * 86400L * 1000000L
+  private val AnomalyMinEvents = 5
+
+  /** Trailing-window per-user z-score anomaly flags
+    * ([[graft.ops.EventOps.rollingAnomaly]]): each event against its own
+    * user's trailing-2-day history (self and exact-ts peers excluded).
+    */
+  def rollingAnomaly(spark: SparkSession, dir: String): DataFrame =
+    EventOps.rollingAnomaly(
+        Tables.events(spark, dir).filter(col("user_id") < 20),
+        "user_id", "ts", "value", AnomalyWindowUs, AnomalyMinEvents)
+      .select("user_id", "event_id", "ts_us", "value", "n_window",
+        "var_window", "z", "is_anomaly")
+      .orderBy("user_id", "event_id")
+
   /** Per-user RFM quintile scores over the events stream
     * ([[graft.ops.EventOps.rfm]]) — recency anchored at the stream max
     * timestamp, ntile buckets with 5 = best.
@@ -348,6 +363,7 @@ object FeatureQueries {
     "feat_item_cf" -> itemCf,
     "feat_seasonality" -> seasonality,
     "feat_rfm" -> rfmScores,
+    "feat_rolling_anomaly" -> rollingAnomaly,
     "feat_assoc_rules" -> assocRules,
     "feat_seq_patterns" -> seqPatterns,
     "feat_cohort_retention" -> cohortRetention,
@@ -586,6 +602,38 @@ object FeatureQueries {
          |  CAST(rank AS BIGINT) AS rank
          |FROM r WHERE rank <= $ItemCfK ORDER BY item, rank""".stripMargin,
     // integer calendar arithmetic only: hour from epoch-µs remainder,
+    // the identical RANGE frame (self and exact-ts peers excluded) and
+    // DECIMAL-exact trailing sums; z is one fixed IEEE sequence
+    "feat_rolling_anomaly" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+         |  FROM events WHERE user_id < 20),
+         |q AS (SELECT user_id, event_id, ts_us, value,
+         |    CAST(CAST(round(value, 6) AS DECIMAL(18,6)) * 1000000
+         |      AS BIGINT) AS v6
+         |  FROM e),
+         |w AS (SELECT user_id, event_id, ts_us, value,
+         |    count(v6) OVER win AS n_window,
+         |    CAST(sum(v6) OVER win AS HUGEINT) AS s6,
+         |    CAST(sum(CAST(v6 AS HUGEINT) * v6) OVER win AS HUGEINT) AS s2
+         |  FROM q
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us
+         |    RANGE BETWEEN $AnomalyWindowUs PRECEDING AND 1 PRECEDING)),
+         |v AS (SELECT user_id, event_id, ts_us, value, n_window,
+         |    n_window * s2 - s6 * s6 AS varnum,
+         |    CAST(s6 AS DOUBLE)
+         |      / (CAST(n_window AS DOUBLE) * 1000000.0) AS m,
+         |    CAST(n_window * s2 - s6 * s6 AS DOUBLE)
+         |      / (CAST(n_window AS DOUBLE) * n_window * 1000000000000.0)
+         |      AS var_raw
+         |  FROM w)
+         |SELECT user_id, event_id, ts_us, value, n_window,
+         |  var_raw AS var_window,
+         |  CASE WHEN n_window >= $AnomalyMinEvents AND varnum > 0
+         |    THEN round((value - m) / sqrt(var_raw), 6) END AS z,
+         |  CASE WHEN n_window >= $AnomalyMinEvents AND varnum > 0
+         |    THEN abs(round((value - m) / sqrt(var_raw), 6)) > 2.0 END
+         |    AS is_anomaly
+         |FROM v ORDER BY user_id, event_id""".stripMargin,
     // same ntile orders with key tie-breaks; monetary sums round(value,6)
     // through DECIMAL(18,6) exactly as the Spark side
     "feat_rfm" ->

@@ -317,8 +317,20 @@ object SimilarityQueries {
       "vec_id", "embedding", queryId = 0L,
       candidates = BinaryCandidates, k = BinaryK)
 
+  private val PrefixDims = 16
+
+  /** Matryoshka prefix-dimension funnel ([[graft.ops.Similarity
+    * .prefixRerankTopK]]): 16-dim coarse cosine → top-50 candidates →
+    * full 64-dim exact re-rank to top-10 for query vector 0.
+    */
+  def prefixRerank(spark: SparkSession, dir: String): DataFrame =
+    Similarity.prefixRerankTopK(Tables.embeddings(spark, dir),
+      "vec_id", "embedding", queryId = 0L, prefixDims = PrefixDims,
+      candidates = BinaryCandidates, k = BinaryK)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_binary_topk" -> binaryTopK,
+    "sim_prefix_rerank" -> prefixRerank,
     "sim_hard_negatives" -> hardNegatives,
     "sim_random_projection" -> randomProjection,
     "sim_mmr_rerank" -> mmrRerank,
@@ -651,6 +663,24 @@ object SimilarityQueries {
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id,
          |  CAST(bucket AS BIGINT) AS bucket, cos
          |FROM r WHERE rank <= $KnnK ORDER BY q_id, rank""".stripMargin
+    },
+    // the same 1-based prefix slice on both engines; both stages round 6dp
+    // with id tie-breaks
+    "sim_prefix_rerank" -> {
+      val p = s"[1:$PrefixDims]"
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings
+         |           WHERE vec_id = 0),
+         |cand AS (SELECT vec_id,
+         |        ${cosineSql(s"embedding$p", s"qe$p")} AS cos_prefix,
+         |        embedding, qe
+         |      FROM embeddings, q WHERE vec_id <> 0
+         |      ORDER BY cos_prefix DESC, vec_id LIMIT $BinaryCandidates),
+         |r AS (SELECT vec_id AS id, cos_prefix,
+         |        ${cosineSql("embedding", "qe")} AS cos
+         |      FROM cand)
+         |SELECT id, cos_prefix, cos,
+         |  CAST(row_number() OVER (ORDER BY cos DESC, id) AS BIGINT) AS rank
+         |FROM r ORDER BY rank LIMIT $BinaryK""".stripMargin
     },
     // same exact-DECIMAL per-dim means, the same strict v > m bit rule and
     // 32-bit half packing, two xor+bit_count Hamming, cosine re-rank

@@ -56,6 +56,21 @@ object TextQueries {
     TextAnalysis.fingerprintMd5(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  private val MaxPostings = 10
+
+  /** Inverted-index posting lists ([[graft.ops.TextAnalysis
+    * .postingLists]]): per-term document frequency, total term frequency,
+    * first 10 doc ids (CSV-serialized — the driver compare hashes scalar
+    * columns).
+    */
+  def postingLists(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.postingLists(Tables.documents(spark, dir), "doc_id", "text",
+        MaxPostings)
+      .select(col("term"), col("doc_freq"), col("total_tf"),
+        expr("array_join(transform(postings, x -> cast(x as string)), ',')")
+          .as("postings_csv"))
+      .orderBy("term")
+
   /** Edit distance between adjacent documents' 80-char prefixes — the
     * string-metric family (codegen'd `levenshtein`); prefix-capped because
     * edit distance is O(n·m) per pair and belongs on short keys/titles, not
@@ -198,6 +213,7 @@ object TextQueries {
       .orderBy("lang")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_posting_lists" -> postingLists,
     "text_script_profile" -> scriptProfile,
     "text_vocab" -> vocab,
     "text_vocab_encode" -> vocabEncode,
@@ -246,6 +262,19 @@ object TextQueries {
     Profiles.map(p => scoreSql(p._2)).mkString("greatest(", ", ", ")")
 
   val oracle: Map[String, String] = Map(
+    // per-doc DISTINCT terms before the explode; postings = sorted slice
+    "text_posting_lists" ->
+      s"""WITH $toksCte,
+         |pd AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM d),
+         |tf AS (SELECT term, count(*) AS total_tf
+         |       FROM (SELECT unnest(toks) AS term FROM d) GROUP BY 1),
+         |pl AS (SELECT term, count(*) AS doc_freq,
+         |        (list(doc_id ORDER BY doc_id))[1:$MaxPostings] AS postings
+         |       FROM pd GROUP BY term)
+         |SELECT pl.term, doc_freq, CAST(total_tf AS BIGINT) AS total_tf,
+         |  array_to_string(list_transform(postings, x -> x::VARCHAR), ',')
+         |    AS postings_csv
+         |FROM pl JOIN tf USING (term) ORDER BY pl.term""".stripMargin,
     // character classes shared verbatim with the Spark expressions;
     // counts are length-diffs after global regexp_replace ('g' flag —
     // DuckDB replaces only the first match without it)

@@ -441,4 +441,33 @@ class EventOpsSpec extends AnyFunSuite {
     assert(m(0L) == ((4L, 1L, 111L)))
     assert(out.map(_.getAs[Long]("r_score")).toSeq == Seq(1, 2, 3, 4, 5))
   }
+
+  test("rollingAnomaly: cold start NULL, spike flagged against own history") {
+    def ts(sec: Long) =
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    // user 1: five quiet events 10.0 then a 100.0 spike, all within 1 day
+    val rows = (0 until 5).map(i => (1L, ts(i * 60L), 10.0)) :+
+      ((1L, ts(300L), 100.0))
+    val df = rows.toDF("user_id", "ts", "value")
+    val out = EventOps.rollingAnomaly(df, "user_id", "ts", "value",
+        windowMicros = 86400L * 1000000L, minEvents = 5)
+      .orderBy("ts").collect()
+    // first five rows: fewer than 5 priors (or zero variance) -> NULL z
+    assert(out.take(5).forall(r => r.isNullAt(r.fieldIndex("z"))))
+    val spike = out.last
+    assert(spike.getAs[Long]("n_window") == 5)
+    // history is constant 10.0 -> variance 0 -> NULL z even at the spike
+    assert(spike.isNullAt(spike.fieldIndex("z")))
+    // vary the history so variance is positive: values 8,9,10,11,12
+    val rows2 = Seq(8.0, 9.0, 10.0, 11.0, 12.0).zipWithIndex
+      .map { case (v, i) => (1L, ts(i * 60L), v) } :+ ((1L, ts(300L), 100.0))
+    val out2 = EventOps.rollingAnomaly(rows2.toDF("user_id", "ts", "value"),
+        "user_id", "ts", "value", 86400L * 1000000L, 5)
+      .orderBy("ts").collect()
+    val sp = out2.last
+    // mean 10, var 2 -> z = 90/sqrt(2) = 63.64 -> anomaly
+    assert(sp.getAs[Double]("var_window") == 2.0)
+    assert(math.abs(sp.getAs[Double]("z") - 90.0 / math.sqrt(2.0)) < 1e-4)
+    assert(sp.getAs[Boolean]("is_anomaly"))
+  }
 }

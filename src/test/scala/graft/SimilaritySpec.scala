@@ -334,6 +334,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(bin.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("prefixRerankTopK with candidates = corpus matches brute-force " +
+      "cosine order; prefix stage really uses the prefix") {
+    val emb = Tables64(8)
+    val out = Similarity.prefixRerankTopK(emb, "vec_id", "embedding",
+      queryId = 0L, prefixDims = 16, candidates = 8, k = 3).collect()
+    val brute = Similarity.bruteTopK(emb,
+        emb.filter(col("vec_id") === 0L), "vec_id", "embedding", 4)
+      .filter(col("vec_id") =!= 0L).orderBy(col("cos").desc, col("vec_id"))
+      .collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq ==
+      brute.take(3).map(_.getAs[Long]("vec_id")).toSeq)
+    // two vectors identical on the first 16 dims but different after must
+    // share cos_prefix and differ on cos
+    val twin = Seq(
+      (0L, Array.tabulate(64)(d => 1.0f)),
+      (1L, Array.tabulate(64)(d => if (d < 16) 1.0f else 2.0f)),
+      (2L, Array.tabulate(64)(d => if (d < 16) 1.0f else 0.5f))
+    ).toDF("vec_id", "embedding")
+    val t = Similarity.prefixRerankTopK(twin, "vec_id", "embedding",
+      0L, 16, 2, 2).collect()
+    assert(t.map(_.getAs[Double]("cos_prefix")).distinct.length == 1)
+    assert(t.map(_.getAs[Double]("cos")).distinct.length == 2)
+  }
+
   /** Deterministic 64-dim corpus: id 0's vector plus rotations. */
   private def Tables64(n: Int) = {
     val rnd = new scala.util.Random(7)

@@ -218,4 +218,17 @@ class TextAnalysisSpec extends AnyFunSuite {
       BigDecimal(2.0 / 6).setScale(9, BigDecimal.RoundingMode.HALF_UP)
         .toDouble)
   }
+
+  test("postingLists: df counts distinct docs, tf counts tokens, postings " +
+      "sorted and capped") {
+    val docs = Seq(
+      (3L, "b a a"), (1L, "a b"), (2L, "a")
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.postingLists(docs, "doc_id", "text", 2)
+      .collect().map(r => r.getAs[String]("term") ->
+        (r.getAs[Long]("doc_freq"), r.getAs[Long]("total_tf"),
+          r.getAs[Seq[Long]]("postings"))).toMap
+    assert(m("a") == ((3L, 4L, Seq(1L, 2L)))) // capped at 2, sorted
+    assert(m("b") == ((2L, 2L, Seq(1L, 3L))))
+  }
 }
