@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -78,6 +78,30 @@ object Diff {
     log.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col(opCol) =!= deleteOp)
       .drop("__rn")
+  }
+
+  /** Incremental aggregate maintenance (the view-maintenance kernel): fold
+    * a NEW batch of raw rows into a persisted per-key aggregate state
+    * without touching the history — `state ⊎ partial(delta)` for any
+    * commutative-monoid aggregate supplied as (partials, merges) pairs
+    * sharing column names (the [[graft.ops.Skew.saltedAgg]] contract:
+    * partials run over raw delta rows, merges re-combine state rows).
+    *
+    * THE reason a 100 TB feature table stays fresh: recomputing per-key
+    * counts/sums over the full history is a full-table scan per refresh;
+    * this is one group-by over the (typically tiny) delta plus one merge
+    * shuffle over state ∪ partials. Correctness statement — refreshed
+    * state ≡ full recompute over history ∪ delta — is exactly what the
+    * oracle checks.
+    */
+  def refreshAggregate(state: DataFrame, delta: DataFrame,
+      keyCols: Seq[String], partials: Seq[Column],
+      merges: Seq[Column]): DataFrame = {
+    val deltaState = delta.groupBy(keyCols.map(col): _*)
+      .agg(partials.head, partials.tail: _*)
+    state.unionByName(deltaState)
+      .groupBy(keyCols.map(col): _*)
+      .agg(merges.head, merges.tail: _*)
   }
 
   /** MERGE INTO semantics as a relation: overlay an `updates` batch on a

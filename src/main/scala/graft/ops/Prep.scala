@@ -701,6 +701,70 @@ object Prep {
     df.join(broadcast(grid), v === col("__v"), "left_outer").drop("__v")
   }
 
+  /** Quantile matching (Q–Q transform): map each distinct value of group
+    * `fromGroup` onto the value at the SAME quantile of group `toGroup` —
+    * the score-alignment step when two segments/models/periods emit
+    * incomparable scales (batch-effect correction, cross-model score
+    * fusion). Type-1 (discrete) inverse CDF: matched(v) = the smallest
+    * target value whose cumulative count reaches ⌈cumA(v)·nB/nA⌉ — the
+    * rank threshold stays an exact integer ceiling, no interpolation.
+    *
+    * Shape at scale: both sides collapse to DISTINCT-value grids (the
+    * KS-grid argument), and the inverse-CDF lookup is the FORWARD as-of
+    * join ([[AsofJoin.asofForward]]) on the cumulative-rank axis —
+    * O(|grids|), never the |A|·|B| cross product a naive ≥-join builds.
+    * Returns (value, pct_rank, matched_value) per distinct source value.
+    */
+  def quantileMatch(df: DataFrame, valueCol: String, groupCol: String,
+      fromGroup: String, toGroup: String): DataFrame = {
+    val v = col(valueCol).cast(DecimalType(18, 2))
+    def grid(g: String, vn: String) = {
+      val cum = Window.orderBy(col(vn))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.filter(col(groupCol) === g && v.isNotNull)
+        .groupBy(v.as(vn)).agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum("__c").over(cum))
+        .withColumn("__n", sum("__c").over(Window.partitionBy()))
+    }
+    val a = grid(fromGroup, "value")
+    val bGrid = grid(toGroup, "__bv")
+    val nb = bGrid.agg(max(col("__n")).as("__nb"))
+    val left = a.crossJoin(broadcast(nb))
+      .withColumn("pct_rank",
+        round(col("__cum").cast("double") / col("__n"), 9))
+      .withColumn("__target",
+        expr("CAST((__cum * __nb + __n - 1) div __n AS BIGINT)"))
+      .withColumn("__k", lit(1))
+      .select("__k", "value", "pct_rank", "__target")
+    val right = bGrid
+      .select(lit(1).as("__k"), col("__cum").cast("long").as("__rank_b"),
+        col("__bv"))
+    AsofJoin.asofForward(left, right, Seq("__k"), "__target", "__rank_b",
+        Seq("__bv"))
+      .select(col("value").cast("double").as("value"), col("pct_rank"),
+        col("__bv").cast("double").as("matched_value"))
+  }
+
+  /** Text normalization — the canonicalization pass every web-scale corpus
+    * runs before dedup/tokenization (case-folding + punctuation strip +
+    * whitespace collapse), so that near-identical strings hash identically
+    * downstream ([[graft.ops.Dedup]] operates on exactly this output in a
+    * production pipeline). Pure per-row codegen'd string expressions,
+    * zero shuffle; the regex character classes are RE2-compatible and
+    * shared verbatim with the oracle.
+    *
+    * Returns the input plus (normalized, norm_len, changed, norm_digest).
+    */
+  def normalizeText(df: DataFrame, textCol: String): DataFrame = {
+    val lowered = lower(col(textCol))
+    val noPunct = regexp_replace(lowered, "[!-/:-@\\[-`{-~]", " ")
+    val collapsed = trim(regexp_replace(noPunct, "[ \\t\\n\\r]+", " "))
+    df.withColumn("normalized", collapsed)
+      .withColumn("norm_len", length(col("normalized")).cast("long"))
+      .withColumn("changed", col("normalized") =!= col(textCol))
+      .withColumn("norm_digest", md5(col("normalized")))
+  }
+
   /** Token-budget mixture planning — the allocation sheet a pretraining
     * run is provisioned from: given per-source token inventories and
     * integer target mixture weights (percent), how many tokens each

@@ -172,6 +172,32 @@ object FeatureQueries {
       .orderBy("status")
   }
 
+  private val RefreshHorizonUs = 2L * 86400L * 1000000L
+
+  /** Incremental aggregate refresh ([[graft.ops.Diff.refreshAggregate]]):
+    * per-user counts/sums materialized over history (events older than 2
+    * days), then refreshed with ONLY the trailing-2-day delta. The oracle
+    * is the FULL recompute over everything — the view-maintenance
+    * correctness statement.
+    */
+  def aggRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val mx = ev.agg(max(col("ts_us")).as("__mx"))
+    val tagged = ev.crossJoin(broadcast(mx))
+    val isOld = col("ts_us") <= col("__mx") - RefreshHorizonUs
+    val partials = Seq(count(lit(1)).as("n_events"),
+      sum(round(col("value"), 6).cast(DecimalType(18, 6))).as("val_sum"))
+    val merges = Seq(sum(col("n_events")).as("n_events"),
+      sum(col("val_sum")).as("val_sum"))
+    val state = tagged.filter(isOld).groupBy(col("user_id"))
+      .agg(partials.head, partials.tail: _*)
+    Diff.refreshAggregate(state, tagged.filter(!isOld), Seq("user_id"),
+        partials, merges)
+      .select(col("user_id"), col("n_events"),
+        col("val_sum").cast("double").as("total_value"))
+      .orderBy("user_id")
+  }
+
   /** CDC changelog collapsed to final state ([[graft.ops.Diff.cdcApply]]):
     * the events stream read as an op log keyed by (user, event_type) —
     * every 7th event id is a tombstone — with last-writer-wins on
@@ -383,6 +409,7 @@ object FeatureQueries {
     "feat_rolling_dau" -> rollingDau,
     "feat_snapshot_diff" -> snapshotDiff,
     "feat_cdc_apply" -> cdcApply,
+    "feat_agg_refresh" -> aggRefresh,
     "feat_merge_upsert" -> mergeUpsert,
     "feat_event_sequence" -> eventSequence,
     "pit_training_matrix" -> pitTrainingMatrix,
@@ -990,6 +1017,13 @@ object FeatureQueries {
          |SELECT c.day, count(DISTINCT user_id) AS active
          |FROM c JOIN days USING (day)
          |GROUP BY 1 ORDER BY day""".stripMargin,
+    // the view-maintenance correctness statement: incremental refresh must
+    // equal the FULL recompute — the oracle IS the full recompute
+    "feat_agg_refresh" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // same LWW window as the Spark side; a winning tombstone (op='D')
     // removes the key entirely
     "feat_cdc_apply" ->

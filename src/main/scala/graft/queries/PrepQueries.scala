@@ -138,6 +138,15 @@ object PrepQueries {
         ChunkSize, ChunkStride)
       .orderBy("doc_id", "chunk_idx")
 
+  /** Quantile matching ([[graft.ops.Prep.quantileMatch]]): BUILDING-segment
+    * account balances mapped onto the AUTOMOBILE segment's distribution —
+    * type-1 inverse CDF via the forward as-of join on the rank axis.
+    */
+  def quantileMatch(spark: SparkSession, dir: String): DataFrame =
+    Prep.quantileMatch(Tables.customer(spark, dir), "c_acctbal",
+        "c_mktsegment", "BUILDING", "AUTOMOBILE")
+      .orderBy("value")
+
   private val BudgetTargets =
     Seq("en" -> 40, "es" -> 20, "fr" -> 15, "de" -> 15, "zh" -> 10)
   private val TotalBudget = 100000L
@@ -373,6 +382,7 @@ object PrepQueries {
     "prep_chunk_text" -> chunkText,
     "prep_redact_pii" -> redactPii,
     "prep_token_budget" -> tokenBudget,
+    "prep_quantile_match" -> quantileMatch,
     "prep_sessionize" -> sessionizeEvents)
 
   // ---- oracle SQL -------------------------------------------------------------
@@ -381,6 +391,32 @@ object PrepQueries {
     s"('0x' || substr(md5($expr), 1, 12))::BIGINT % $buckets"
 
   val oracle: Map[String, String] = Map(
+    // type-1 inverse CDF: matched = min target value whose cum count
+    // reaches ceil(cumA*nB/nA); the oracle's quadratic >= join is the
+    // bounded-grid equivalent of the Spark side's forward as-of
+    "prep_quantile_match" ->
+      """WITH a AS (SELECT CAST(c_acctbal AS DECIMAL(18,2)) AS v,
+        |    count(*) AS c
+        |  FROM customer WHERE c_mktsegment = 'BUILDING'
+        |    AND c_acctbal IS NOT NULL GROUP BY 1),
+        |aw AS (SELECT v, sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER () AS n FROM a),
+        |b AS (SELECT CAST(c_acctbal AS DECIMAL(18,2)) AS bv,
+        |    count(*) AS c
+        |  FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |    AND c_acctbal IS NOT NULL GROUP BY 1),
+        |bw AS (SELECT bv, sum(c) OVER (ORDER BY bv
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM b),
+        |bn AS (SELECT CAST(sum(c) AS BIGINT) AS nb FROM b),
+        |t AS (SELECT v, round(CAST(cum AS DOUBLE) / n, 9) AS pct_rank,
+        |    CAST((cum * nb + n - 1) // n AS BIGINT) AS target
+        |  FROM aw, bn)
+        |SELECT CAST(t.v AS DOUBLE) AS value, t.pct_rank,
+        |  CAST(min(bw.bv) AS DOUBLE) AS matched_value
+        |FROM t JOIN bw ON bw.cum >= t.target
+        |GROUP BY t.v, t.pct_rank ORDER BY value""".stripMargin,
     // integer target weights; budget·pct//100 stays integer-exact, epochs
     // is the single IEEE division
     "prep_token_budget" -> {

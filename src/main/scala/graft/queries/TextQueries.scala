@@ -58,6 +58,21 @@ object TextQueries {
 
   private val MaxPostings = 10
 
+  /** Canonicalization pass ([[graft.ops.Prep.normalizeText]]) over a
+    * deterministically roughened copy of each document (mixed case +
+    * punctuation appended — the clean synthetic corpus would not exercise
+    * the rules): case-fold, strip punctuation, collapse whitespace.
+    */
+  def normalizeText(spark: SparkSession, dir: String): DataFrame = {
+    val aug = Tables.documents(spark, dir)
+      .withColumn("text_aug",
+        concat(upper(substring(col("text"), 1, 30)), lit(" -- "),
+          col("text"), lit(" !!END??")))
+    graft.ops.Prep.normalizeText(aug, "text_aug")
+      .select("doc_id", "norm_len", "changed", "norm_digest")
+      .orderBy("doc_id")
+  }
+
   /** Inverted-index posting lists ([[graft.ops.TextAnalysis
     * .postingLists]]): per-term document frequency, total term frequency,
     * first 10 doc ids (CSV-serialized — the driver compare hashes scalar
@@ -214,6 +229,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_posting_lists" -> postingLists,
+    "text_normalize" -> normalizeText,
     "text_script_profile" -> scriptProfile,
     "text_vocab" -> vocab,
     "text_vocab_encode" -> vocabEncode,
@@ -262,6 +278,19 @@ object TextQueries {
     Profiles.map(p => scoreSql(p._2)).mkString("greatest(", ", ", ")")
 
   val oracle: Map[String, String] = Map(
+    // same augmentation + RE2 character classes verbatim ('g' for global)
+    "text_normalize" ->
+      """WITH a AS (SELECT doc_id,
+        |    upper(substr(text, 1, 30)) || ' -- ' || text || ' !!END??' AS t
+        |  FROM documents),
+        |n AS (SELECT doc_id, t,
+        |    trim(regexp_replace(regexp_replace(lower(t),
+        |      '[!-/:-@\[-`{-~]', ' ', 'g'), '[ \t\n\r]+', ' ', 'g'))
+        |      AS norm
+        |  FROM a)
+        |SELECT doc_id, CAST(length(norm) AS BIGINT) AS norm_len,
+        |  norm <> t AS changed, md5(norm) AS norm_digest
+        |FROM n ORDER BY doc_id""".stripMargin,
     // per-doc DISTINCT terms before the explode; postings = sorted slice
     "text_posting_lists" ->
       s"""WITH $toksCte,

@@ -48,6 +48,22 @@ class DiffSpec extends AnyFunSuite {
       (4L, 40.0, "d", "inserted")))
   }
 
+  test("refreshAggregate: state + delta partials equals full recompute, " +
+      "new keys appear") {
+    val history = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("k", "v")
+    val delta = Seq(("a", 3.0), ("c", 7.0)).toDF("k", "v")
+    val partials = Seq(count(lit(1)).as("n"),
+      sum(col("v").cast("decimal(18,6)")).as("s"))
+    val merges = Seq(sum(col("n")).as("n"), sum(col("s")).as("s"))
+    val state = history.groupBy(col("k")).agg(partials.head, partials.tail: _*)
+    val refreshed = Diff.refreshAggregate(state, delta, Seq("k"),
+        partials, merges)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2).doubleValue())).toMap
+    assert(refreshed == Map("a" -> ((3L, 6.0)), "b" -> ((1L, 5.0)),
+      "c" -> ((1L, 7.0))))
+  }
+
   test("mergeUpsert: update may set a column to NULL (overlay, not coalesce)") {
     val base = Seq((1L, Some(10.0))).toDF("k", "x")
     val upd = Seq((1L, Option.empty[Double])).toDF("k", "x")

@@ -451,6 +451,31 @@ class PrepSpec extends AnyFunSuite {
     assert(math.abs(nHi - 0.05) < 0.02, s"hi clip frac $nHi")
   }
 
+  test("quantileMatch: min/median/max map to the target's quantiles; " +
+      "identity when matching a group to itself") {
+    // A: 1,2,3,4 (uniform); B: 10,20,30,40
+    val df = (Seq(1.0, 2.0, 3.0, 4.0).map(("a", _)) ++
+      Seq(10.0, 20.0, 30.0, 40.0).map(("b", _))).toDF("g", "v")
+    val m = Prep.quantileMatch(df, "v", "g", "a", "b")
+      .collect().map(r => r.getAs[Double]("value") ->
+        r.getAs[Double]("matched_value")).toMap
+    assert(m == Map(1.0 -> 10.0, 2.0 -> 20.0, 3.0 -> 30.0, 4.0 -> 40.0))
+    val self = Prep.quantileMatch(df, "v", "g", "a", "a")
+      .collect().map(r => (r.getAs[Double]("value"),
+        r.getAs[Double]("matched_value")))
+    assert(self.forall { case (v, mv) => v == mv })
+  }
+
+  test("normalizeText: case-fold, punctuation strip, whitespace collapse") {
+    val docs = Seq((1L, "Hello,  WORLD!!"), (2L, "already clean"))
+      .toDF("id", "text")
+    val out = Prep.normalizeText(docs, "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("normalized"), r.getAs[Boolean]("changed"))).toMap
+    assert(out(1L) == (("hello world", true)))
+    assert(out(2L) == (("already clean", false)))
+  }
+
   test("tokenBudgetPlan: integer targets, epochs, deficit and missing " +
       "source") {
     val docs = Seq(
