@@ -153,6 +153,48 @@ object Eval {
           .as("avg_precision"))
   }
 
+  /** Cost-sensitive decision-threshold selection: sweep every distinct
+    * score as the "predict positive iff score ≥ t" cutoff, score each
+    * cutoff with an integer utility matrix, return the argmax row — the
+    * step that turns a scored model into a DECISION (fraud review queues,
+    * send/don't-send, block/allow), where symmetric accuracy is the wrong
+    * objective.
+    *
+    * The whole sweep lives on the distinct-score grid ([[aucRoc]]
+    * discipline): TP/FP at each threshold are cumulative window sums,
+    * FN/TN their complements against the 1-row totals, and with INTEGER
+    * utility weights the objective is exact — no IEEE anywhere until the
+    * reported utility is already decided. Ties break to the HIGHEST
+    * threshold (the most conservative cutoff achieving the max). Returns
+    * one row: (threshold, tp, fp, fn, tn, utility).
+    */
+  def bestThreshold(df: DataFrame, score: Column, positive: Column,
+      wTp: Long, wFp: Long, wFn: Long, wTn: Long): DataFrame = {
+    val perScore = df
+      .select(score.as("s"), when(positive, 1L).otherwise(0L).as("p"))
+      .filter(col("s").isNotNull)
+      .groupBy("s").agg(count(lit(1)).as("c"), sum("p").as("cp"))
+    val atOrAbove = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    perScore
+      .withColumn("tp", sum("cp").over(atOrAbove))
+      .withColumn("__cn", sum("c").over(atOrAbove))
+      .withColumn("fp", col("__cn") - col("tp"))
+      .withColumn("__P", sum("cp").over(all))
+      .withColumn("__T", sum("c").over(all))
+      .withColumn("fn", col("__P") - col("tp"))
+      .withColumn("tn", col("__T") - col("__P") - col("fp"))
+      .withColumn("utility",
+        col("tp") * wTp + col("fp") * wFp + col("fn") * wFn
+          + col("tn") * wTn)
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("utility").desc, col("s").desc)))
+      .filter(col("__rn") === 1)
+      .select(col("s").as("threshold"), col("tp"), col("fp"), col("fn"),
+        col("tn"), col("utility"))
+  }
+
   /** Gains / lift table — the campaign-targeting read of a ranked model:
     * rows bucket into `deciles` equal-frequency score bands (best scores
     * = band 1), and each band reports its response rate, the cumulative

@@ -668,6 +668,40 @@ object EventOps {
           .as("weekend_share"))
   }
 
+  /** Time-to-event (survival) label generation: anchor the observation
+    * point at `maxTs − horizonUs`, take every key with activity AT OR
+    * BEFORE the anchor as the at-risk population, and label each with the
+    * time to its first qualifying event inside the horizon — or censor at
+    * the horizon (event = 0) if none arrives. The right-censored labels a
+    * churn/conversion-timing model trains on; plain churn flags (N123)
+    * are the degenerate "did it happen at all" projection of these.
+    *
+    * Keys first seen AFTER the anchor are excluded (they were never at
+    * risk — the same survivorship guard as churnLabels). All arithmetic
+    * is integer epoch-micros; one group-by for the population, one
+    * filtered min-aggregate for first qualifying events, one key join.
+    * Returns (key, n_prior, duration_us, event).
+    */
+  def survivalLabels(df: DataFrame, keyCol: String, tsCol: String,
+      qualifying: Column, horizonUs: Long): DataFrame = {
+    require(horizonUs > 0, s"horizonUs must be positive: $horizonUs")
+    val us = unix_micros(col(tsCol))
+    val anchor = df.agg((max(us) - horizonUs).as("__anchor"))
+    val tagged = df.crossJoin(broadcast(anchor))
+    val atRisk = tagged.filter(us <= col("__anchor"))
+      .groupBy(keyCol).agg(count(lit(1)).as("n_prior"),
+        max(col("__anchor")).as("__a"))
+    val firstEvent = tagged
+      .filter(qualifying && us > col("__anchor")
+        && us <= col("__anchor") + horizonUs)
+      .groupBy(keyCol).agg(min(us).as("__t_event"))
+    atRisk.join(firstEvent, Seq(keyCol), "left_outer")
+      .select(col(keyCol), col("n_prior"),
+        when(col("__t_event").isNotNull, col("__t_event") - col("__a"))
+          .otherwise(horizonUs).as("duration_us"),
+        when(col("__t_event").isNotNull, 1L).otherwise(0L).as("event"))
+  }
+
   /** Trailing-window z-score anomaly detection: each event scored against
     * its key's OWN history inside the trailing event-time window
     * (`rangeBetween(-window, -1)` — the current row and its exact-ts peers

@@ -36,6 +36,21 @@ object DedupQueries {
     Dedup.exactDedup(docsNorm(spark, dir), "doc_id", "norm_text")
       .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_checksum"))
 
+  /** Duplicate-cluster size histogram over [[Dedup.exactGroups]] — the
+    * one-page read of how duplicated a corpus is (size-1 mass = unique
+    * docs; the tail = boilerplate families) and the sizing input for the
+    * near-dup passes. Group relation → ≤max-size histogram rows.
+    */
+  def sizeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    Dedup.exactGroups(docsNorm(spark, dir), "doc_id", "norm_text")
+      .groupBy("group_size").agg(count(lit(1)).as("n_groups"))
+      .withColumn("n_docs", col("group_size") * col("n_groups"))
+      .withColumn("doc_share",
+        round(col("n_docs").cast("double") / sum("n_docs").over(all), 9))
+      .orderBy("group_size")
+  }
+
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
         threshold = 0.9)
@@ -171,6 +186,7 @@ object DedupQueries {
     "dedup_chunks" -> chunkLevel,
     "dedup_containment" -> containment3gram,
     "dedup_exact_groups" -> exactGroups,
+    "dedup_size_histogram" -> sizeHistogram,
     "dedup_exact_keep_first" -> exactKeepFirst,
     "dedup_jaccard_pairs" -> jaccardPairs,
     "dedup_jaccard_2gram" -> jaccard2gram,
@@ -342,6 +358,16 @@ object DedupQueries {
         |FROM inter JOIN sz sa ON id_a = sa.id
         |WHERE n_common * 1.0 / sa.n_tokens >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_size_histogram" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+         |g AS (SELECT count(*) AS group_size FROM n GROUP BY norm),
+         |h AS (SELECT group_size, count(*) AS n_groups,
+         |        group_size * count(*) AS n_docs
+         |      FROM g GROUP BY group_size)
+         |SELECT group_size, n_groups, CAST(n_docs AS BIGINT) AS n_docs,
+         |  round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 9)
+         |    AS doc_share
+         |FROM h ORDER BY group_size""".stripMargin,
     "dedup_exact_groups" ->
       s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents)
          |SELECT md5(norm) AS content_md5, min(doc_id) AS canonical_id,

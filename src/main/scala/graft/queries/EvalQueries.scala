@@ -40,6 +40,17 @@ object EvalQueries {
     Eval.aucRoc(userDayLabels(spark, dir), col("s_clicks"), col("__pos") === 1)
       .orderBy("n_pos")
 
+  private val UtilTp = 5L; private val UtilFp = -1L
+  private val UtilFn = -2L; private val UtilTn = 0L
+
+  /** Cost-sensitive threshold selection ([[graft.ops.Eval.bestThreshold]])
+    * for the click-count predictor: TP +5, FP −1, FN −2, TN 0 — all
+    * integer, so the argmax is exact.
+    */
+  def bestThresholdClicks(spark: SparkSession, dir: String): DataFrame =
+    Eval.bestThreshold(userDayLabels(spark, dir), col("s_clicks"),
+      col("__pos") === 1, UtilTp, UtilFp, UtilFn, UtilTn)
+
   /** Gains/lift decile table of the click-count predictor
     * ([[graft.ops.Eval.gainsTable]]) on the (user, day) grain — response
     * rate, cumulative capture and lift per score band.
@@ -162,6 +173,7 @@ object EvalQueries {
     "eval_avg_precision" -> averagePrecisionClicks,
     "eval_mcnemar" -> mcnemarClicksViews,
     "eval_gains_deciles" -> gainsDeciles,
+    "eval_best_threshold" -> bestThresholdClicks,
     "eval_confusion_lang" -> confusionLang,
     "eval_retrieval_labels" -> retrievalLabels,
     "eval_isotonic" -> isotonicClicks,
@@ -211,6 +223,33 @@ object EvalQueries {
        |  FROM lab GROUP BY 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // all-integer utility sweep over the distinct-score grid; ties break
+    // to the highest threshold
+    "eval_best_threshold" ->
+      s"""WITH lab AS (
+         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS s,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+         |  FROM events GROUP BY 1, 2),
+         |g AS (SELECT s, count(*) AS c, sum(p) AS cp FROM lab
+         |      WHERE s IS NOT NULL GROUP BY s),
+         |w AS (SELECT s,
+         |    sum(cp) OVER (ORDER BY s DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         |    sum(c) OVER (ORDER BY s DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+         |    sum(cp) OVER () AS pp, sum(c) OVER () AS tt
+         |  FROM g),
+         |u AS (SELECT CAST(s AS BIGINT) AS threshold,
+         |    CAST(tp AS BIGINT) AS tp,
+         |    CAST(cn - tp AS BIGINT) AS fp, CAST(pp - tp AS BIGINT) AS fn,
+         |    CAST(tt - pp - (cn - tp) AS BIGINT) AS tn,
+         |    CAST(tp * $UtilTp + (cn - tp) * ($UtilFp) + (pp - tp)
+         |      * ($UtilFn) + (tt - pp - (cn - tp)) * ($UtilTn) AS BIGINT)
+         |      AS utility
+         |  FROM w)
+         |SELECT threshold, tp, fp, fn, tn, utility FROM u
+         |ORDER BY utility DESC, threshold DESC LIMIT 1""".stripMargin,
     // the same ntile band order (score desc, user, day); every statistic
     // is an integer ratio with the identical fixed IEEE sequence
     "eval_gains_deciles" ->

@@ -362,6 +362,18 @@ object FeatureQueries {
     EventOps.seasonalityProfile(Tables.events(spark, dir), "user_id", "ts")
       .orderBy("user_id")
 
+  private val SurvivalHorizonUs = 2L * 86400L * 1000000L
+
+  /** Right-censored time-to-purchase labels
+    * ([[graft.ops.EventOps.survivalLabels]]): at-risk = users active at or
+    * before the anchor (max ts − 2 d); duration to first purchase inside
+    * the horizon, censored at the horizon otherwise.
+    */
+  def survivalLabels(spark: SparkSession, dir: String): DataFrame =
+    EventOps.survivalLabels(Tables.events(spark, dir), "user_id", "ts",
+        col("event_type") === "purchase", SurvivalHorizonUs)
+      .orderBy("user_id")
+
   private val AnomalyWindowUs = 2L * 86400L * 1000000L
   private val AnomalyMinEvents = 5
 
@@ -390,6 +402,7 @@ object FeatureQueries {
     "feat_seasonality" -> seasonality,
     "feat_rfm" -> rfmScores,
     "feat_rolling_anomaly" -> rollingAnomaly,
+    "feat_survival_labels" -> survivalLabels,
     "feat_assoc_rules" -> assocRules,
     "feat_seq_patterns" -> seqPatterns,
     "feat_cohort_retention" -> cohortRetention,
@@ -629,6 +642,26 @@ object FeatureQueries {
          |  CAST(rank AS BIGINT) AS rank
          |FROM r WHERE rank <= $ItemCfK ORDER BY item, rank""".stripMargin,
     // integer calendar arithmetic only: hour from epoch-µs remainder,
+    // integer epoch-micros only; keys first active after the anchor are
+    // excluded (never at risk)
+    "feat_survival_labels" ->
+      s"""WITH a AS (SELECT max(epoch_us(ts)) - $SurvivalHorizonUs
+         |             AS anchor FROM events),
+         |r AS (SELECT user_id, count(*) AS n_prior, max(anchor) AS anc
+         |      FROM events, a WHERE epoch_us(ts) <= anchor
+         |      GROUP BY user_id),
+         |f AS (SELECT user_id, min(epoch_us(ts)) AS t_event
+         |      FROM events, a
+         |      WHERE event_type = 'purchase' AND epoch_us(ts) > anchor
+         |        AND epoch_us(ts) <= anchor + $SurvivalHorizonUs
+         |      GROUP BY user_id)
+         |SELECT r.user_id, r.n_prior,
+         |  CASE WHEN f.t_event IS NOT NULL THEN f.t_event - r.anc
+         |       ELSE $SurvivalHorizonUs END AS duration_us,
+         |  CAST(CASE WHEN f.t_event IS NOT NULL THEN 1 ELSE 0 END
+         |    AS BIGINT) AS event
+         |FROM r LEFT JOIN f USING (user_id)
+         |ORDER BY user_id""".stripMargin,
     // the identical RANGE frame (self and exact-ts peers excluded) and
     // DECIMAL-exact trailing sums; z is one fixed IEEE sequence
     "feat_rolling_anomaly" ->

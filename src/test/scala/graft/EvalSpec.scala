@@ -171,6 +171,29 @@ class EvalSpec extends AnyFunSuite {
     assert(a.getAs[Double]("coverage") >= 0.8)
   }
 
+  test("bestThreshold: integer utility argmax, ties to highest threshold") {
+    val spark2 = spark
+    import spark2.implicits._
+    // scores 3,2,1; labels 1,1,0. thresholds: t=3 → TP1 FP0 FN1 TN1;
+    // t=2 → TP2 FP0 FN0 TN1; t=1 → TP2 FP1 FN0 TN0.
+    // utility (tp=2, fp=-1, fn=-1, tn=0): t3 → 1; t2 → 4; t1 → 3
+    val df = Seq((3, 1), (2, 1), (1, 0)).toDF("s", "y")
+    val r = Eval.bestThreshold(df, col("s"), col("y") === 1, 2, -1, -1, 0)
+      .collect()(0)
+    assert(r.getAs[Int]("threshold") == 2)
+    assert(r.getAs[Long]("tp") == 2 && r.getAs[Long]("fp") == 0)
+    assert(r.getAs[Long]("utility") == 4)
+    // symmetric utilities tie across thresholds → highest threshold wins
+    val tie = Seq((2, 1), (1, 1)).toDF("s", "y")
+    val t = Eval.bestThreshold(tie, col("s"), col("y") === 1, 1, 0, 0, 0)
+    // t=2: TP1 util 1... t=1: TP2 util 2 → argmax unique here; use equal
+    // utilities instead: weights all zero → every threshold utility 0
+    val z = Eval.bestThreshold(tie, col("s"), col("y") === 1, 0, 0, 0, 0)
+      .collect()(0)
+    assert(z.getAs[Int]("threshold") == 2)
+    assert(t.collect()(0).getAs[Int]("threshold") == 1)
+  }
+
   test("brierDecomposition: perfect calibration has zero reliability; " +
       "Murphy identity holds") {
     val spark2 = spark

@@ -442,6 +442,33 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("r_score")).toSeq == Seq(1, 2, 3, 4, 5))
   }
 
+  test("survivalLabels: event time vs censoring, late joiners excluded") {
+    def ts(sec: Long) =
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val h = 100L * 1000000L // 100-second horizon
+    // max ts = 200s → anchor = 100s.
+    // u1: active at 50s, converts at 130s → duration 30s, event 1
+    // u2: active at 60s, no conversion → censored at horizon
+    // u3: first seen at 150s (after anchor) → excluded
+    // u4: active at 70s, conversion at 250s (outside horizon... max ts is
+    //     250 then! keep all qualifying inside 200) → use purchase at 199s
+    val ev = Seq(
+      (1L, ts(50), "view"), (1L, ts(130), "purchase"),
+      (2L, ts(60), "view"), (2L, ts(140), "view"),
+      (3L, ts(150), "purchase"),
+      (4L, ts(70), "view"), (4L, ts(199), "purchase"),
+      (9L, ts(200), "view") // sets max ts
+    ).toDF("user_id", "ts", "event_type")
+    val out = EventOps.survivalLabels(ev, "user_id", "ts",
+        col("event_type") === "purchase", h)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("duration_us"), r.getAs[Long]("event"))).toMap
+    assert(!out.contains(3L) && !out.contains(9L))
+    assert(out(1L) == ((30L * 1000000L, 1L)))
+    assert(out(2L) == ((h, 0L)))
+    assert(out(4L) == ((99L * 1000000L, 1L)))
+  }
+
   test("rollingAnomaly: cold start NULL, spike flagged against own history") {
     def ts(sec: Long) =
       java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
