@@ -793,6 +793,60 @@ object Similarity {
     * a fixed IEEE sequence — bit-identical across engines.
     * Returns (i, j, n, cov) for 1-based i ≤ j.
     */
+  /** Top principal component by fixed-iteration power method over the
+    * [[embeddingCovariance]] relation — PCA's first axis WITHOUT MLlib
+    * and without ever materializing a matrix outside a relation: the
+    * iteration state v is a (dim)-row DECIMAL(18,9) vector, each step is
+    * one join-aggregate (w = C·v, contributions rounded 12 dp into exact
+    * DECIMAL sums) + one normalization (norm is a sqrt of an exact sum —
+    * correctly rounded on any IEEE engine, and irrational, so the 9-dp
+    * state rounding never sits on a boundary). The [[graft.ops.Graph
+    * .pageRank]] discipline: every iteration's state is an exact DECIMAL
+    * relation an oracle replays as unrolled CTEs.
+    *
+    * v₀ is uniform 1/√dims — pass a `dims` whose 1/√dims is exactly
+    * representable (powers of 4: 64 → 0.125) so both engines start from
+    * the identical literal. Eigenvalue estimate = ‖C·v‖ of the last
+    * round. Returns (pos, loading, eigenvalue).
+    */
+  def topEigenvector(emb: DataFrame, vecCol: String, dims: Int,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val d9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val d12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val d18 = org.apache.spark.sql.types.DecimalType(38, 18)
+    val upper = embeddingCovariance(emb, vecCol, dims)
+      .select(col("i"), col("j"), col("cov"))
+    val full = upper
+      .union(upper.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cov")))
+      .localCheckpoint()
+    val v0Lit = new java.math.BigDecimal(1.0 / math.sqrt(dims.toDouble),
+      java.math.MathContext.DECIMAL64).setScale(9,
+      java.math.RoundingMode.HALF_UP)
+    var v = full.select(col("i").as("j")).distinct()
+      .select(col("j"), lit(v0Lit).cast(d9).as("v"))
+      .localCheckpoint()
+    var lastNorm: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val w = full.join(v, Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum(round(col("cov") * col("v"), 12).cast(d12)).as("w"))
+      val norm = w.agg(
+        sqrt(sum(round(col("w").cast("double") * col("w").cast("double"),
+          18).cast(d18)).cast("double")).as("__nrm"))
+      lastNorm = norm
+      v = w.crossJoin(broadcast(norm))
+        .select(col("i").as("j"),
+          round(col("w").cast("double") / col("__nrm"), 9).cast(d9)
+            .as("v"))
+        .localCheckpoint()
+    }
+    v.crossJoin(broadcast(lastNorm))
+      .select(col("j").as("pos"), col("v").cast("double").as("loading"),
+        round(col("__nrm"), 9).as("eigenvalue"))
+  }
+
   def embeddingCovariance(emb: DataFrame, vecCol: String, dims: Int)
       : DataFrame = {
     val Exact9 = org.apache.spark.sql.types.DecimalType(28, 9)

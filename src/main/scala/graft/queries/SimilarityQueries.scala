@@ -318,6 +318,17 @@ object SimilarityQueries {
       candidates = BinaryCandidates, k = BinaryK)
 
   private val PrefixDims = 16
+  private val EigDims = 64 // 1/sqrt(64) = 0.125, exactly representable
+  private val EigIters = 3
+
+  /** Top principal component of the embedding covariance
+    * ([[graft.ops.Similarity.topEigenvector]]): 3 power-method rounds,
+    * DECIMAL(18,9) state per round, unrolled-CTE oracle.
+    */
+  def topEigvec(spark: SparkSession, dir: String): DataFrame =
+    Similarity.topEigenvector(Tables.embeddings(spark, dir), "embedding",
+        EigDims, EigIters)
+      .orderBy("pos")
 
   /** Matryoshka prefix-dimension funnel ([[graft.ops.Similarity
     * .prefixRerankTopK]]): 16-dim coarse cosine → top-50 candidates →
@@ -331,6 +342,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_binary_topk" -> binaryTopK,
     "sim_prefix_rerank" -> prefixRerank,
+    "sim_top_eigvec" -> topEigvec,
     "sim_hard_negatives" -> hardNegatives,
     "sim_random_projection" -> randomProjection,
     "sim_mmr_rerank" -> mmrRerank,
@@ -663,6 +675,53 @@ object SimilarityQueries {
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id,
          |  CAST(bucket AS BIGINT) AS bucket, cos
          |FROM r WHERE rank <= $KnnK ORDER BY q_id, rank""".stripMargin
+    },
+    // the pageRank replay discipline: per-round DECIMAL(18,9) state,
+    // contributions rounded 12dp into exact sums, norm = sqrt of an exact
+    // sum (irrational — never on a rounding boundary)
+    "sim_top_eigvec" -> {
+      val iters = (1 to EigIters).map { r =>
+        s"""w$r AS (SELECT cv.i,
+           |    sum(CAST(round(cov * CAST(v AS DOUBLE), 12)
+           |      AS DECIMAL(38,12))) AS w
+           |  FROM cv JOIN v${r - 1} vv ON cv.j = vv.j GROUP BY cv.i),
+           |n$r AS (SELECT sqrt(CAST(sum(CAST(round(
+           |      CAST(w AS DOUBLE) * CAST(w AS DOUBLE), 18)
+           |      AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM w$r),
+           |v$r AS (SELECT i AS j,
+           |    CAST(round(CAST(w AS DOUBLE) / nrm, 9) AS DECIMAL(18,9))
+           |      AS v
+           |  FROM w$r, n$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH p AS (
+         |  SELECT i, j, embedding[i]::DOUBLE AS xi,
+         |    embedding[j]::DOUBLE AS xj
+         |  FROM embeddings,
+         |    UNNEST(generate_series(1, $EigDims)) a(i),
+         |    UNNEST(generate_series(1, $EigDims)) b(j)
+         |  WHERE j >= i),
+         |pairs AS (SELECT i, j, count(*) AS n,
+         |    sum(CAST(round(xi * xj, 9) AS DECIMAL(28,9))) AS sp
+         |  FROM p GROUP BY 1, 2),
+         |means AS (SELECT i,
+         |    sum(CAST(round(embedding[i]::DOUBLE, 9) AS DECIMAL(28,9)))
+         |      AS s
+         |  FROM embeddings, UNNEST(generate_series(1, $EigDims)) a(i)
+         |  GROUP BY 1),
+         |up AS (SELECT p.i, p.j,
+         |    round(CAST(sp AS DOUBLE) / n
+         |      - (CAST(mi.s AS DOUBLE) / n) * (CAST(mj.s AS DOUBLE) / n),
+         |      9) AS cov
+         |  FROM pairs p JOIN means mi ON p.i = mi.i
+         |  JOIN means mj ON p.j = mj.i),
+         |cv AS (SELECT i, j, cov FROM up
+         |       UNION ALL SELECT j, i, cov FROM up WHERE i <> j),
+         |v0 AS (SELECT DISTINCT i AS j,
+         |    CAST(0.125 AS DECIMAL(18,9)) AS v FROM cv),
+         |$iters
+         |SELECT vv.j AS pos, CAST(vv.v AS DOUBLE) AS loading,
+         |  round(nrm, 9) AS eigenvalue
+         |FROM v$EigIters vv, n$EigIters ORDER BY pos""".stripMargin
     },
     // the same 1-based prefix slice on both engines; both stages round 6dp
     // with id tie-breaks

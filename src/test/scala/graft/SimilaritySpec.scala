@@ -366,6 +366,23 @@ class SimilaritySpec extends AnyFunSuite {
     }.toDF("vec_id", "embedding")
   }
 
+  test("topEigenvector: variance concentrated on one axis recovers that " +
+      "axis; unit norm") {
+    // dim 0 carries all the variance (values 0..3), dims 1-3 constant
+    val emb = (0 until 4).map(i =>
+      (i.toLong, Array(i.toFloat, 1.0f, 1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.topEigenvector(emb, "embedding", dims = 4,
+        iterations = 3)
+      .orderBy("pos").collect()
+    val loadings = out.map(_.getAs[Double]("loading"))
+    assert(math.abs(loadings(0)) > 0.999, s"dim-1 loading ${loadings(0)}")
+    assert(loadings.drop(1).forall(l => math.abs(l) < 1e-3))
+    val norm = math.sqrt(loadings.map(l => l * l).sum)
+    assert(math.abs(norm - 1.0) < 1e-6)
+    // eigenvalue ~ population variance of 0,1,2,3 = 1.25
+    assert(math.abs(out(0).getAs[Double]("eigenvalue") - 1.25) < 1e-3)
+  }
+
   test("embeddingCovariance: hand-checked 2-d case, upper triangle only") {
     val emb = Seq(
       (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)),
