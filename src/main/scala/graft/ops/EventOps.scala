@@ -668,6 +668,35 @@ object EventOps {
           .as("weekend_share"))
   }
 
+  /** Per-key behavioral entropy: Shannon entropy (nats) of the key's
+    * event-type distribution — the "how varied is this user" feature
+    * (bots and single-purpose scripts sit near 0; explorers near
+    * ln(n_types)), the per-key sibling of the per-column
+    * [[graft.quality.Profiler]] entropy.
+    *
+    * One (key, type) count shuffle + the per-key total on the same key
+    * exchange. Determinism: the [[cooccurrencePmi]] log discipline —
+    * p = c/n is one IEEE division, each term round(p·ln p, 9) sums in
+    * exact DECIMAL, negated at the end. Returns
+    * (key, n_events, n_types, entropy_nats).
+    */
+  def behaviorEntropy(df: DataFrame, keyCol: String, typeCol: String)
+      : DataFrame = {
+    val d9 = org.apache.spark.sql.types.DecimalType(28, 9)
+    val counts = df.groupBy(col(keyCol), col(typeCol).as("__t"))
+      .agg(count(lit(1)).as("__c"))
+    val p = col("__c").cast("double") / col("n_events")
+    counts
+      .withColumn("n_events",
+        sum("__c").over(Window.partitionBy(col(keyCol))))
+      .groupBy(col(keyCol), col("n_events"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(round(p * log(p), 9).cast(d9)).as("__s"))
+      .select(col(keyCol), col("n_events"), col("n_types"),
+        // + 0.0 canonicalizes the -0.0 a single-type key's negation yields
+        (-col("__s").cast("double") + lit(0.0)).as("entropy_nats"))
+  }
+
   /** Time-to-event (survival) label generation: anchor the observation
     * point at `maxTs − horizonUs`, take every key with activity AT OR
     * BEFORE the anchor as the at-risk population, and label each with the

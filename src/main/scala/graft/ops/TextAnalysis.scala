@@ -584,6 +584,40 @@ object TextAnalysis {
     * and output width (full postings would make hot stopword terms
     * corpus-sized rows — the cap IS the scale decision, stated).
     */
+  /** Pairwise vocabulary overlap between corpus groups (languages,
+    * sources, time slices): distinct-token Jaccard per group pair — the
+    * corpus-level audit that catches mislabeled languages (two "different"
+    * languages sharing 90% vocabulary) and contaminated source splits
+    * before any mixture is trained on them.
+    *
+    * One distinct (group, token) relation; the pair intersection is a
+    * token-partitioned self-join (ordered pairs, a < b). Work is bounded
+    * by Σ_token df(token)² — vocabulary-shaped, never corpus². Jaccard is
+    * one integer ratio. Returns (group_a, group_b, n_a, n_b, n_common,
+    * jaccard).
+    */
+  def vocabularyOverlap(df: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    val gt = df.select(col(groupCol).as("g"),
+        explode(array_distinct(toks(col(textCol)))).as("term"))
+      .distinct()
+    val sizes = gt.groupBy("g").agg(count(lit(1)).as("n"))
+    val inter = gt.select(col("g").as("group_a"), col("term"))
+      .join(gt.select(col("g").as("group_b"), col("term")), Seq("term"))
+      .filter(col("group_a") < col("group_b"))
+      .groupBy("group_a", "group_b")
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("g").as("group_a"), col("n").as("n_a")),
+        Seq("group_a"))
+      .join(sizes.select(col("g").as("group_b"), col("n").as("n_b")),
+        Seq("group_b"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 9).as("jaccard"))
+  }
+
   def postingLists(df: DataFrame, idCol: String, textCol: String,
       maxPostings: Int): DataFrame = {
     val perDocTerm = df.select(col(idCol).as("doc_id"),

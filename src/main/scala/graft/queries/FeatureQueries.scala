@@ -362,6 +362,14 @@ object FeatureQueries {
     EventOps.seasonalityProfile(Tables.events(spark, dir), "user_id", "ts")
       .orderBy("user_id")
 
+  /** Per-user behavioral entropy over event types
+    * ([[graft.ops.EventOps.behaviorEntropy]]) — the variety feature.
+    */
+  def userEntropy(spark: SparkSession, dir: String): DataFrame =
+    EventOps.behaviorEntropy(Tables.events(spark, dir), "user_id",
+        "event_type")
+      .orderBy("user_id")
+
   private val SurvivalHorizonUs = 2L * 86400L * 1000000L
 
   /** Right-censored time-to-purchase labels
@@ -403,6 +411,7 @@ object FeatureQueries {
     "feat_rfm" -> rfmScores,
     "feat_rolling_anomaly" -> rollingAnomaly,
     "feat_survival_labels" -> survivalLabels,
+    "feat_user_entropy" -> userEntropy,
     "feat_assoc_rules" -> assocRules,
     "feat_seq_patterns" -> seqPatterns,
     "feat_cohort_retention" -> cohortRetention,
@@ -642,6 +651,22 @@ object FeatureQueries {
          |  CAST(rank AS BIGINT) AS rank
          |FROM r WHERE rank <= $ItemCfK ORDER BY item, rank""".stripMargin,
     // integer calendar arithmetic only: hour from epoch-µs remainder,
+    // the PMI/WOE ln discipline: one division, round(p*ln p, 9), exact
+    // DECIMAL sum, negated (+0.0 canonicalizes a single-type key's -0.0)
+    "feat_user_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, c,
+        |    sum(c) OVER (PARTITION BY user_id) AS n_events
+        |  FROM c),
+        |e AS (SELECT user_id, n_events, count(*) AS n_types,
+        |    sum(CAST(round((CAST(c AS DOUBLE) / n_events)
+        |      * ln(CAST(c AS DOUBLE) / n_events), 9) AS DECIMAL(28,9)))
+        |      AS s
+        |  FROM t GROUP BY user_id, n_events)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events, n_types,
+        |  -CAST(s AS DOUBLE) + 0.0 AS entropy_nats
+        |FROM e ORDER BY user_id""".stripMargin,
     // integer epoch-micros only; keys first active after the anchor are
     // excluded (never at risk)
     "feat_survival_labels" ->

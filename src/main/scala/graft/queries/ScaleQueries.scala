@@ -102,6 +102,35 @@ object ScaleQueries {
       .select("l_orderkey", "l_linenumber", "z_value")
       .orderBy("z_value", "l_orderkey", "l_linenumber")
 
+  /** Clustering-effectiveness audit of the z-order layout: bucket the
+    * curve into 16 ranges (the deterministic proxy for a 16-file
+    * range-partitioned write) and report each bucket's NORMALIZED min/max
+    * width per dimension — the fraction of the global range a reader must
+    * scan when pruning on that dimension. Unclustered data reads ~1.0 per
+    * bucket; a working 2-D z-layout reads ~2^-2 per doubling of files on
+    * BOTH dims at once. This measures, in data, the min/max-pruning value
+    * [[graft.sources.Layout.writeZordered]] claims.
+    */
+  def layoutPruningStats(spark: SparkSession, dir: String): DataFrame = {
+    val z = graft.sources.Layout.zorderValue(Tables.lineitem(spark, dir),
+      Seq("l_quantity", "l_extendedprice"), ZBits)
+    val q = col("l_quantity").cast(Money)
+    val p = col("l_extendedprice").cast(Money)
+    val g = z.agg(min(q).as("gq0"), max(q).as("gq1"),
+      min(p).as("gp0"), max(p).as("gp1"))
+    z.withColumn("bucket", expr("z_value >> 4"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min(q).as("q0"), max(q).as("q1"),
+        min(p).as("p0"), max(p).as("p1"))
+      .crossJoin(broadcast(g))
+      .select(col("bucket"), col("n"),
+        round((col("q1") - col("q0")).cast("double") /
+          (col("gq1") - col("gq0")).cast("double"), 9).as("quantity_frac"),
+        round((col("p1") - col("p0")).cast("double") /
+          (col("gp1") - col("gp0")).cast("double"), 9).as("price_frac"))
+      .orderBy("bucket")
+  }
+
   /** Rolling 7-day distinct users from persisted per-day HLL sketches
     * ([[graft.ops.Sketches.hllDailySketches]] →
     * [[graft.ops.Sketches.hllRollingDistinct]]) — the mergeable-sketch
@@ -120,6 +149,7 @@ object ScaleQueries {
     "skew_salted_join" -> skewSaltedJoin,
     "sample_hash_bucket" -> sampleHashBucket,
     "layout_zorder" -> layoutZorder,
+    "layout_pruning_stats" -> layoutPruningStats,
     "scale_hll_rolling" -> hllRolling,
     "scale_approx_distinct" -> approxDistinct,
     "scale_approx_quantiles" -> approxQuantiles)
@@ -141,6 +171,40 @@ object ScaleQueries {
         |FROM events
         |WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 12))::BIGINT % 100 < 10
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // same z construction as layout_zorder, then per-16-bucket min/max
+    // widths as exact DECIMAL differences over one global broadcast
+    "layout_pruning_stats" -> {
+      val bins = 1 << ZBits
+      def bin(d: String, mn: String, mx: String) =
+        s"""CASE WHEN CAST($mx - $mn AS DOUBLE) > 0
+           |    THEN CAST(least(floor(CAST($d - $mn AS DOUBLE) * $bins
+           |           / CAST($mx - $mn AS DOUBLE)), ${bins - 1}) AS BIGINT)
+           |    ELSE 0 END""".stripMargin
+      s"""WITH x AS (SELECT CAST(l_quantity AS DECIMAL(18,2)) AS d0,
+         |    CAST(l_extendedprice AS DECIMAL(18,2)) AS d1
+         |  FROM lineitem),
+         |s AS (SELECT min(d0) AS mn0, max(d0) AS mx0,
+         |             min(d1) AS mn1, max(d1) AS mx1 FROM x),
+         |b AS (SELECT d0, d1,
+         |    ${bin("d0", "mn0", "mx0")} AS b0,
+         |    ${bin("d1", "mn1", "mx1")} AS b1
+         |  FROM x, s),
+         |zz AS (SELECT d0, d1,
+         |    CAST(${graft.sources.Layout.interleaveBitsSql(Seq("b0", "b1"),
+              ZBits)} AS BIGINT) AS z
+         |  FROM b),
+         |gk AS (SELECT min(d0) AS gq0, max(d0) AS gq1,
+         |              min(d1) AS gp0, max(d1) AS gp1 FROM zz),
+         |pb AS (SELECT z >> 4 AS bucket, count(*) AS n,
+         |    min(d0) AS q0, max(d0) AS q1, min(d1) AS p0, max(d1) AS p1
+         |  FROM zz GROUP BY 1)
+         |SELECT bucket, n,
+         |  round(CAST(q1 - q0 AS DOUBLE) / CAST(gq1 - gq0 AS DOUBLE), 9)
+         |    AS quantity_frac,
+         |  round(CAST(p1 - p0 AS DOUBLE) / CAST(gp1 - gp0 AS DOUBLE), 9)
+         |    AS price_frac
+         |FROM pb, gk ORDER BY bucket""".stripMargin
+    },
     // same exact-DECIMAL binning as prep_histogram_price per dimension,
     // then the interleave generated by the SAME index loop as the Spark
     // expression (Layout.interleaveBitsSql) — the two cannot drift

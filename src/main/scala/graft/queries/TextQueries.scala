@@ -58,6 +58,15 @@ object TextQueries {
 
   private val MaxPostings = 10
 
+  /** Pairwise per-language vocabulary Jaccard
+    * ([[graft.ops.TextAnalysis.vocabularyOverlap]]) — the corpus-overlap
+    * audit run before trusting lang labels in a mixture.
+    */
+  def langOverlap(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabularyOverlap(Tables.documents(spark, dir), "lang",
+        "text")
+      .orderBy("group_a", "group_b")
+
   /** Canonicalization pass ([[graft.ops.Prep.normalizeText]]) over a
     * deterministically roughened copy of each document (mixed case +
     * punctuation appended — the clean synthetic corpus would not exercise
@@ -230,6 +239,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_posting_lists" -> postingLists,
     "text_normalize" -> normalizeText,
+    "text_lang_overlap" -> langOverlap,
     "text_script_profile" -> scriptProfile,
     "text_vocab" -> vocab,
     "text_vocab_encode" -> vocabEncode,
@@ -278,6 +288,19 @@ object TextQueries {
     Profiles.map(p => scoreSql(p._2)).mkString("greatest(", ", ", ")")
 
   val oracle: Map[String, String] = Map(
+    // ordered pairs a < b over the distinct (lang, token) relation
+    "text_lang_overlap" ->
+      s"""WITH $toksCte,
+         |gt AS (SELECT DISTINCT lang AS g, unnest(toks) AS term FROM d),
+         |sz AS (SELECT g, count(*) AS n FROM gt GROUP BY g),
+         |it AS (SELECT a.g AS group_a, b.g AS group_b, count(*) AS n_common
+         |       FROM gt a JOIN gt b ON a.term = b.term AND a.g < b.g
+         |       GROUP BY 1, 2)
+         |SELECT group_a, group_b, sa.n AS n_a, sb.n AS n_b, n_common,
+         |  round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 9)
+         |    AS jaccard
+         |FROM it JOIN sz sa ON group_a = sa.g JOIN sz sb ON group_b = sb.g
+         |ORDER BY group_a, group_b""".stripMargin,
     // same augmentation + RE2 character classes verbatim ('g' for global)
     "text_normalize" ->
       """WITH a AS (SELECT doc_id,

@@ -497,4 +497,16 @@ class EventOpsSpec extends AnyFunSuite {
     assert(math.abs(sp.getAs[Double]("z") - 90.0 / math.sqrt(2.0)) < 1e-4)
     assert(sp.getAs[Boolean]("is_anomaly"))
   }
+
+  test("behaviorEntropy: uniform two types = ln 2; single type = +0.0") {
+    val ev = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "a"))
+      .toDF("user_id", "event_type")
+    val m = EventOps.behaviorEntropy(ev, "user_id", "event_type")
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_types"), r.getAs[Double]("entropy_nats"))).toMap
+    assert(m(1L)._1 == 2)
+    assert(math.abs(m(1L)._2 - math.log(2.0)) < 1e-8)
+    assert(m(2L) == ((1L, 0.0)))
+    assert(1.0 / m(2L)._2 > 0) // +0.0, not -0.0
+  }
 }

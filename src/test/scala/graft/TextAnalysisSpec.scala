@@ -231,4 +231,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(m("a") == ((3L, 4L, Seq(1L, 2L)))) // capped at 2, sorted
     assert(m("b") == ((2L, 2L, Seq(1L, 3L))))
   }
+
+  test("vocabularyOverlap: hand-checked Jaccard over distinct vocab") {
+    val docs = Seq(
+      ("en", "a b c"), ("en", "a d"), // en vocab {a,b,c,d}
+      ("fr", "a b"), ("fr", "e") // fr vocab {a,b,e}
+    ).toDF("lang", "text")
+    val r = TextAnalysis.vocabularyOverlap(docs, "lang", "text").collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[String]("group_a") == "en" &&
+      row.getAs[String]("group_b") == "fr")
+    assert(row.getAs[Long]("n_a") == 4 && row.getAs[Long]("n_b") == 3)
+    assert(row.getAs[Long]("n_common") == 2) // {a, b}
+    assert(row.getAs[Double]("jaccard") == 0.4) // 2 / (4+3-2)
+  }
 }
