@@ -1,0 +1,68 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the pure-SQL surface: a user who only speaks `spark.sql` over
+  * registered temp views — no Scala DataFrame API — gets the same library:
+  * the four injected Catalyst functions resolve by name, and SQL text
+  * reproduces the Column-API operators bit-for-bit.
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("injected functions resolve from SQL text and match the Column API") {
+    val emb = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(4.0f, 5.0f, 6.0f))
+    ).toDF("vec_id", "embedding")
+    emb.createOrReplaceTempView("sql_emb")
+    val viaSql = spark.sql(
+      """SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |  graft_dot(CAST(a.embedding AS ARRAY<DOUBLE>),
+        |            CAST(b.embedding AS ARRAY<DOUBLE>)) AS d
+        |FROM sql_emb a JOIN sql_emb b ON a.vec_id < b.vec_id""".stripMargin)
+      .collect()(0).getAs[Double]("d")
+    val viaApi = emb.filter(col("vec_id") === 0L).crossJoin(
+        emb.filter(col("vec_id") === 1L).select(col("embedding").as("e2")))
+      .select(Similarity.dot(col("embedding"), col("e2")).as("d"))
+      .collect()(0).getAs[Double]("d")
+    assert(viaSql == viaApi && viaSql == 32.0) // 4 + 10 + 18
+
+    val docs = Seq((1L, "a b c d"), (2L, "b c d e")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("sql_docs")
+    val sh = spark.sql(
+      "SELECT doc_id, graft_simhash(text) AS sh FROM sql_docs ORDER BY doc_id")
+      .collect().map(_.getAs[Long]("sh"))
+    val shApi = Dedup.simhash(docs, "doc_id", "text")
+      .orderBy("id").collect().map(_.getAs[Long]("simhash"))
+    assert(sh.toSeq == shApi.toSeq)
+
+    val inter = spark.sql(
+      """SELECT graft_sorted_intersect(
+        |  array_sort(transform(graft_ngram_hashes(a.text, 1), x -> x.ha)),
+        |  array_sort(transform(graft_ngram_hashes(b.text, 1), x -> x.ha)))
+        |  AS c
+        |FROM sql_docs a JOIN sql_docs b ON a.doc_id < b.doc_id""".stripMargin)
+      .collect()(0).getAs[Long]("c")
+    assert(inter == 3L) // shared unigrams: b, c, d
+  }
+
+  test("a full operator expressed as SQL over views matches the API version") {
+    val ev = (1 to 100).map { i =>
+      (i.toLong % 10, i.toLong, if (i % 3 == 0) "click" else "view")
+    }.toDF("user_id", "event_id", "event_type")
+    ev.createOrReplaceTempView("sql_events")
+    val viaSql = spark.sql(
+      """SELECT user_id, count(*) AS n,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks
+        |FROM sql_events GROUP BY user_id ORDER BY user_id""".stripMargin)
+    val viaApi = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("clicks"))
+      .orderBy("user_id")
+    assert(viaSql.collect().toSeq == viaApi.collect().toSeq)
+  }
+}
