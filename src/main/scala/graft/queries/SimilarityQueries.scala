@@ -693,27 +693,23 @@ object SimilarityQueries {
            |      AS v
            |  FROM w$r, n$r)""".stripMargin
       }.mkString(",\n")
-      s"""WITH p AS (
-         |  SELECT i, j, embedding[i]::DOUBLE AS xi,
-         |    embedding[j]::DOUBLE AS xj
-         |  FROM embeddings,
-         |    UNNEST(generate_series(1, $EigDims)) a(i),
-         |    UNNEST(generate_series(1, $EigDims)) b(j)
-         |  WHERE j >= i),
-         |pairs AS (SELECT i, j, count(*) AS n,
-         |    sum(CAST(round(xi * xj, 9) AS DECIMAL(28,9))) AS sp
-         |  FROM p GROUP BY 1, 2),
-         |means AS (SELECT i,
-         |    sum(CAST(round(embedding[i]::DOUBLE, 9) AS DECIMAL(28,9)))
-         |      AS s
-         |  FROM embeddings, UNNEST(generate_series(1, $EigDims)) a(i)
-         |  GROUP BY 1),
-         |up AS (SELECT p.i, p.j,
-         |    round(CAST(sp AS DOUBLE) / n
-         |      - (CAST(mi.s AS DOUBLE) / n) * (CAST(mj.s AS DOUBLE) / n),
-         |      9) AS cov
-         |  FROM pairs p JOIN means mi ON p.i = mi.i
-         |  JOIN means mj ON p.j = mj.i),
+      s"""WITH q AS (
+         |  SELECT vec_id, i,
+         |    CAST(CAST(round(embedding[i]::DOUBLE, 6) AS DECIMAL(18,6))
+         |      * 1000000 AS BIGINT) AS x6
+         |  FROM embeddings, UNNEST(generate_series(1, $EigDims)) a(i)),
+         |sums AS (SELECT i, CAST(sum(x6) AS HUGEINT) AS sx, count(*) AS n
+         |         FROM q GROUP BY i),
+         |pr AS (SELECT a.i AS i, b.i AS j,
+         |    CAST(sum(CAST(a.x6 AS HUGEINT) * b.x6) AS HUGEINT) AS sxy
+         |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
+         |  GROUP BY 1, 2),
+         |up AS (SELECT pr.i, pr.j,
+         |    round(CAST(si.n * sxy - si.sx * sj.sx AS DOUBLE)
+         |      / (CAST(si.n AS DOUBLE) * si.n * 1000000000000.0), 9)
+         |      AS cov
+         |  FROM pr JOIN sums si ON pr.i = si.i
+         |  JOIN sums sj ON pr.j = sj.i),
          |cv AS (SELECT i, j, cov FROM up
          |       UNION ALL SELECT j, i, cov FROM up WHERE i <> j),
          |v0 AS (SELECT DISTINCT i AS j,
