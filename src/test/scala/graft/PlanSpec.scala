@@ -244,4 +244,51 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(s).size <= 2, s)
     assert(s.contains("Generate"), s) // the bounded ×B explode
   }
+
+  test("cdc apply: one key-window pass, no joins anywhere") {
+    val s = planString(graft.queries.FeatureQueries.cdcApply(spark, dir))
+    assert(!s.contains("Join"), s)
+    assert(s.contains("Window") || s.contains("WindowGroupLimit"), s)
+  }
+
+  test("binary Hamming funnel: candidate stage is a per-partition top-C " +
+      "heap with the query code broadcast — corpus never sorts globally") {
+    val s = planString(
+      graft.queries.SimilarityQueries.binaryTopK(spark, dir))
+    assert(s.contains("TakeOrderedAndProject"), s)
+    assert(s.contains("BroadcastNestedLoopJoin") ||
+      s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("salted join: build side replicated via Generate and broadcast") {
+    val s = planString(
+      graft.queries.ScaleQueries.skewSaltedJoin(spark, dir))
+    assert(s.contains("Generate"), s) // explode(sequence(0, S-1))
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
+  test("fk audit: every edge is a left-anti join, no full outer " +
+      "materialization") {
+    val s = planString(graft.queries.QualityQueries.fkOrphans(spark, dir))
+    assert(s.contains("LeftAnti"), s)
+    assert(!s.contains("FullOuter"), s)
+  }
+
+  test("merge upsert: ONE full-outer join on the key") {
+    val s = planString(
+      graft.queries.FeatureQueries.mergeUpsert(spark, dir))
+    assert(s.contains("FullOuter"), s)
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(s).size == 1, s)
+  }
+
+  test("quantile match: the inverse-CDF lookup is the as-of window " +
+      "union, never a theta join over grid × grid") {
+    val s = planString(
+      graft.queries.PrepQueries.quantileMatch(spark, dir))
+    assert(!s.contains("CartesianProduct"), s)
+    // the only nested-loop is the 1-row nB broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(s).size <= 1, s)
+  }
 }
