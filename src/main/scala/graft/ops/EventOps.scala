@@ -668,6 +668,29 @@ object EventOps {
           .as("weekend_share"))
   }
 
+  /** Seasonal-naive forecast audit: predict each day's event count with
+    * the same weekday one week earlier and report the per-day absolute
+    * error — THE baseline every fancy forecaster must beat (and the
+    * capacity-planning sanity check that catches regime shifts: MAE
+    * jumping means the weekly rhythm broke). Integer counts end to end;
+    * days without a d−7 observation carry a NULL forecast.
+    *
+    * The stream collapses to the per-day count grid in one shuffle; the
+    * lag is a self-join of that ≤days-row grid on day−7.
+    */
+  def seasonalNaive(df: DataFrame, tsCol: String,
+      seasonDays: Int = 7): DataFrame = {
+    val day = floor(unix_micros(col(tsCol)) / lit(86400000000L))
+      .cast("long")
+    val daily = df.groupBy(day.as("day")).agg(count(lit(1)).as("actual"))
+    daily
+      .join(daily.select((col("day") + seasonDays).as("day"),
+        col("actual").as("forecast")), Seq("day"), "left_outer")
+      .withColumn("abs_err",
+        when(col("forecast").isNotNull,
+          abs(col("actual") - col("forecast"))))
+  }
+
   /** Per-key behavioral entropy: Shannon entropy (nats) of the key's
     * event-type distribution — the "how varied is this user" feature
     * (bots and single-purpose scripts sit near 0; explorers near

@@ -129,6 +129,53 @@ object Graph {
       .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
   }
 
+  /** Deterministic hash-chosen random walks — the corpus-generation step
+    * of DeepWalk/node2vec-style graph embeddings (Perozzi et al. 2014):
+    * from every node, a fixed-length walk whose step-r choice is the
+    * neighbor minimizing md5(start|r|neighbor) — hash-random (uniform
+    * over neighbors, independent across starts and steps) yet bit-exactly
+    * reproducible on any engine, any partitioning, any run, the same
+    * property every sampling decision in this library derives from md5.
+    *
+    * Shape at scale: step r is ONE join of the walk frontier (|nodes|
+    * rows) against the edge list on the current endpoint + a per-start
+    * row_number argmin — no per-node state beyond the frontier row;
+    * `length` bounds the rounds. Dead-ends (no out-edge) terminate the
+    * walk early (path keeps its prefix). Returns
+    * (start, path, end_node, steps).
+    */
+  def randomWalks(edges: DataFrame, aCol: String, bCol: String,
+      length: Int): DataFrame = {
+    require(length >= 1, s"length must be >= 1: $length")
+    val sym0 = edges.select(col(aCol).cast("string").as("u"),
+      col(bCol).cast("string").as("v")).distinct()
+    val sym = sym0
+      .union(sym0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    var walk = sym.select(col("u").as("start")).distinct()
+      .select(col("start"), col("start").as("cur"),
+        col("start").as("path"), lit(0L).as("steps"))
+    for (r <- 1 to length) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("start").orderBy(col("__h"), col("v"))
+      val stepped = walk.join(sym, col("cur") === col("u"))
+        .withColumn("__h",
+          md5(concat_ws("|", col("start"), lit(r), col("v"))))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("start"), col("v").as("cur"),
+          concat_ws(">", col("path"), col("v")).as("path"),
+          (col("steps") + 1).as("steps"))
+      // dead-ended walks carry forward unchanged
+      walk = walk.join(stepped.select(col("start").as("__s")),
+          col("start") === col("__s"), "left_anti")
+        .unionByName(stepped)
+        .localCheckpoint()
+    }
+    walk.select(col("start"), col("path"), col("cur").as("end_node"),
+      col("steps"))
+  }
+
   /** Bounded k-core peeling (Seidman 1983; the BSP formulation of
     * Montresor et al. 2013): `rounds` synchronous rounds of "drop every
     * node with degree < k", then report the surviving subgraph's nodes

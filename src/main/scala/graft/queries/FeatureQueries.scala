@@ -291,6 +291,28 @@ object FeatureQueries {
 
   private val KcoreK = 4
   private val KcoreRounds = 3
+  private val WalkLength = 3
+
+  /** Deterministic hash-chosen random walks over the purchase graph
+    * ([[graft.ops.Graph.randomWalks]]) — the DeepWalk corpus step,
+    * bit-reproducible on any engine.
+    */
+  def randomWalks(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+    graft.ops.Graph.randomWalks(edges, "src", "dst", WalkLength)
+      .orderBy("start")
+  }
+
+  /** Seasonal-naive forecast audit over daily event counts
+    * ([[graft.ops.EventOps.seasonalNaive]]).
+    */
+  def seasonalNaive(spark: SparkSession, dir: String): DataFrame =
+    EventOps.seasonalNaive(Tables.events(spark, dir), "ts")
+      .orderBy("day")
 
   /** Bounded 4-core peel of the customer–supplier purchase graph
     * ([[graft.ops.Graph.kcorePeel]], same edges as `feat_pagerank`):
@@ -426,6 +448,8 @@ object FeatureQueries {
     "feat_wilson_rank" -> wilsonRank,
     "feat_pagerank" -> pageRankSuppliers,
     "feat_kcore" -> kcore,
+    "feat_random_walks" -> randomWalks,
+    "feat_seasonal_naive" -> seasonalNaive,
     "feat_markov_transitions" -> markovTransitions,
     "feat_forward_fill" -> forwardFill,
     "feat_rolling_dau" -> rollingDau,
@@ -459,6 +483,29 @@ object FeatureQueries {
        |SELECT u AS node, count(*) AS degree,
        |  count(*) >= $KcoreK AS in_core
        |FROM u$KcoreRounds GROUP BY u ORDER BY node""".stripMargin
+  }
+
+  // unrolled walk steps; every node of the symmetric purchase graph has
+  // an out-edge, so no dead-end branch is needed in the replay
+  private val walkSql: String = {
+    val steps = (1 to WalkLength).map { r =>
+      s"""s$r AS (SELECT start, v, path FROM (
+         |  SELECT w.start, s.v, w.path || '>' || s.v AS path,
+         |    row_number() OVER (PARTITION BY w.start
+         |      ORDER BY md5(w.start || '|$r|' || s.v), s.v) AS rn
+         |  FROM w${r - 1} w JOIN sym s ON w.cur = s.u) WHERE rn = 1),
+         |w$r AS (SELECT start, v AS cur, path FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS u,
+       |             's' || l_suppkey AS v
+       |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |sym AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+       |w0 AS (SELECT u AS start, u AS cur, u AS path
+       |       FROM (SELECT DISTINCT u FROM sym)),
+       |$steps
+       |SELECT start, path, cur AS end_node,
+       |  CAST($WalkLength AS BIGINT) AS steps
+       |FROM w$WalkLength ORDER BY start""".stripMargin
   }
 
   // unrolled power-iteration CTEs r0→r3: every iteration's state is a
@@ -1040,6 +1087,17 @@ object FeatureQueries {
          |FROM w ORDER BY wilson_lb DESC, user_id LIMIT $WilsonTopK""".stripMargin,
     "feat_pagerank" -> pageRankSql,
     "feat_kcore" -> kcoreSql,
+    "feat_random_walks" -> walkSql,
+    // integer counts; the lag is a self-join of the per-day grid on d-7
+    "feat_seasonal_naive" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS actual
+        |  FROM events GROUP BY 1)
+        |SELECT a.day, a.actual, f.actual AS forecast,
+        |  CASE WHEN f.actual IS NOT NULL
+        |    THEN abs(a.actual - f.actual) END AS abs_err
+        |FROM d a LEFT JOIN d f ON a.day = f.day + 7
+        |ORDER BY a.day""".stripMargin,
     "feat_markov_transitions" ->
       """WITH p AS (SELECT event_type AS next_state,
         |  lag(event_type) OVER (PARTITION BY user_id

@@ -509,4 +509,19 @@ class EventOpsSpec extends AnyFunSuite {
     assert(m(2L) == ((1L, 0.0)))
     assert(1.0 / m(2L)._2 > 0) // +0.0, not -0.0
   }
+
+  test("seasonalNaive: d-7 lag forecast, NULL on the first week") {
+    def ts(d: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(d * 86400L + 60L))
+    // day 0: 2 events; day 7: 5 events; day 14: 1 event
+    val ev = (Seq.fill(2)(0L) ++ Seq.fill(5)(7L) ++ Seq(14L))
+      .map(d => Tuple1(ts(d))).toDF("ts")
+    val m = EventOps.seasonalNaive(ev, "ts").collect()
+      .map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("actual"), Option(r.get(r.fieldIndex("forecast"))),
+          Option(r.get(r.fieldIndex("abs_err"))))).toMap
+    assert(m(0L) == ((2L, None, None)))
+    assert(m(7L) == ((5L, Some(2L), Some(3L))))
+    assert(m(14L) == ((1L, Some(5L), Some(4L))))
+  }
 }

@@ -88,4 +88,30 @@ class GraphSpec extends AnyFunSuite {
     assert(converged.keySet == Set(1L, 2L, 3L))
     assert(converged.values.forall(_ == ((2L, true))))
   }
+
+  test("randomWalks: deterministic under repartitioning, walks have the " +
+      "requested length, edges are real") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (2L, 4L))
+      .toDF("a", "b")
+    val adj: Map[String, Set[String]] = {
+      val e = Seq(1 -> 2, 2 -> 3, 3 -> 4, 1 -> 4, 2 -> 4)
+        .map { case (x, y) => (x.toString, y.toString) }
+      (e ++ e.map(_.swap)).groupBy(_._1).map { case (k, v) =>
+        k -> v.map(_._2).toSet }
+    }
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graph.randomWalks(df, "a", "b", 3).orderBy("start").collect()
+        .map(r => (r.getAs[String]("start"), r.getAs[String]("path"),
+          r.getAs[Long]("steps")))
+    val w1 = run(edges)
+    val w2 = run(edges.repartition(5))
+    assert(w1.toSeq == w2.toSeq)
+    assert(w1.length == 4 && w1.forall(_._3 == 3L))
+    w1.foreach { case (start, path, _) =>
+      val hops = path.split(">")
+      assert(hops.head == start && hops.length == 4)
+      hops.sliding(2).foreach { p =>
+        assert(adj(p(0)).contains(p(1)), s"fake edge in $path") }
+    }
+  }
 }
