@@ -303,7 +303,10 @@ object FeatureQueries {
         col("o_orderkey") === col("l_orderkey"))
       .select(concat(lit("c"), col("o_custkey")).as("src"),
         concat(lit("s"), col("l_suppkey")).as("dst"))
-    graft.ops.Graph.randomWalks(edges, "src", "dst", WalkLength)
+    // the symmetrized purchase graph has an out-edge at every node, so
+    // the dead-end carry branch is provably never taken
+    graft.ops.Graph.randomWalks(edges, "src", "dst", WalkLength,
+        carryDeadEnds = false)
       .orderBy("start")
   }
 
