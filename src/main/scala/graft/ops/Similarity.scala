@@ -793,6 +793,28 @@ object Similarity {
     * a fixed IEEE sequence — bit-identical across engines.
     * Returns (i, j, n, cov) for 1-based i ≤ j.
     */
+  /** Project every embedding onto a component relation (pos, loading) —
+    * the transform half of the PCA pair ([[topEigenvector]] is the fit):
+    * score = Σ_d x_d·v_d, the 1-D coordinate used for ordering, binning
+    * or whitening along the dominant axis. One posexplode + a ≤dims-row
+    * broadcast join + per-id re-aggregate; contributions round 12 dp into
+    * exact DECIMAL sums, the displayed score rounds 6 dp.
+    */
+  def projectOnto(emb: DataFrame, idCol: String, vecCol: String,
+      component: DataFrame, posCol: String, loadingCol: String)
+      : DataFrame = {
+    val d12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val comp = broadcast(component.select(
+      col(posCol).cast("long").as("__pos"),
+      col(loadingCol).as("__load")))
+    emb.select(col(idCol).as("id"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("__p", "__x")))
+      .join(comp, (col("__p") + 1).cast("long") === col("__pos"))
+      .groupBy("id")
+      .agg(sum(round(col("__x") * col("__load"), 12).cast(d12)).as("__s"))
+      .select(col("id"), round(col("__s").cast("double"), 6).as("score"))
+  }
+
   /** Covariance on 6-dp integer micro-units — the all-integer hot path
     * [[topEigenvector]] feeds on: values quantize ONCE per (row, dim) to
     * `round(x, 6)·10⁶` longs, so the 10⁷-scale per-pair work is one long

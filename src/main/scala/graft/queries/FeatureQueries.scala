@@ -317,6 +317,19 @@ object FeatureQueries {
     EventOps.seasonalNaive(Tables.events(spark, dir), "ts")
       .orderBy("day")
 
+  /** Per-node in/out degree profile of the purchase graph
+    * ([[graft.ops.Graph.degreeStats]]) — the 1-hop structural feature set
+    * and the skew input to the graph operators' join planning.
+    */
+  def degreeStats(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+    graft.ops.Graph.degreeStats(edges, "src", "dst").orderBy("node")
+  }
+
   /** Bounded 4-core peel of the customer–supplier purchase graph
     * ([[graft.ops.Graph.kcorePeel]], same edges as `feat_pagerank`):
     * 3 peeling rounds, survivors with residual degree + in-core flag.
@@ -453,6 +466,7 @@ object FeatureQueries {
     "feat_kcore" -> kcore,
     "feat_random_walks" -> randomWalks,
     "feat_seasonal_naive" -> seasonalNaive,
+    "feat_degree_stats" -> degreeStats,
     "feat_markov_transitions" -> markovTransitions,
     "feat_forward_fill" -> forwardFill,
     "feat_rolling_dau" -> rollingDau,
@@ -1091,6 +1105,16 @@ object FeatureQueries {
     "feat_pagerank" -> pageRankSql,
     "feat_kcore" -> kcoreSql,
     "feat_random_walks" -> walkSql,
+    "feat_degree_stats" ->
+      """WITH e AS (SELECT DISTINCT 'c' || o_custkey AS src,
+        |             's' || l_suppkey AS dst
+        |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |o AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY 1),
+        |i AS (SELECT dst AS node, count(*) AS in_deg FROM e GROUP BY 1)
+        |SELECT coalesce(o.node, i.node) AS node,
+        |  coalesce(out_deg, 0) AS out_deg, coalesce(in_deg, 0) AS in_deg
+        |FROM o FULL JOIN i ON o.node = i.node
+        |ORDER BY node""".stripMargin,
     // integer counts; the lag is a self-join of the per-day grid on d-7
     "feat_seasonal_naive" ->
       """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,

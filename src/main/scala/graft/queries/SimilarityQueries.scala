@@ -330,6 +330,18 @@ object SimilarityQueries {
         EigDims, EigIters)
       .orderBy("pos")
 
+  /** PCA transform ([[graft.ops.Similarity.projectOnto]]): every vector's
+    * coordinate along the fitted top component — fit + transform in one
+    * registered plan.
+    */
+  def pcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.projectOnto(emb, "vec_id", "embedding",
+        Similarity.topEigenvector(emb, "embedding", EigDims, EigIters),
+        "pos", "loading")
+      .orderBy("id")
+  }
+
   /** Matryoshka prefix-dimension funnel ([[graft.ops.Similarity
     * .prefixRerankTopK]]): 16-dim coarse cosine → top-50 candidates →
     * full 64-dim exact re-rank to top-10 for query vector 0.
@@ -343,6 +355,7 @@ object SimilarityQueries {
     "sim_binary_topk" -> binaryTopK,
     "sim_prefix_rerank" -> prefixRerank,
     "sim_top_eigvec" -> topEigvec,
+    "sim_pca_project" -> pcaProject,
     "sim_hard_negatives" -> hardNegatives,
     "sim_random_projection" -> randomProjection,
     "sim_mmr_rerank" -> mmrRerank,
@@ -371,6 +384,46 @@ object SimilarityQueries {
 
   private def cosineSql(v: String, q: String) =
     s"round(${dotSql(v, q)} / (sqrt(${dotSql(v, v)}) * sqrt(${dotSql(q, q)})), 6)"
+
+  // shared eigvec replay CTEs (micro-unit covariance + unrolled power
+  // rounds) — the fit both sim_top_eigvec and sim_pca_project verify
+  private lazy val eigCteSql: String = {
+    val iters = (1 to EigIters).map { r =>
+      s"""w$r AS (SELECT cv.i,
+         |    sum(CAST(round(cov * CAST(v AS DOUBLE), 12)
+         |      AS DECIMAL(38,12))) AS w
+         |  FROM cv JOIN v${r - 1} vv ON cv.j = vv.j GROUP BY cv.i),
+         |n$r AS (SELECT sqrt(CAST(sum(CAST(round(
+         |      CAST(w AS DOUBLE) * CAST(w AS DOUBLE), 18)
+         |      AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM w$r),
+         |v$r AS (SELECT i AS j,
+         |    CAST(round(CAST(w AS DOUBLE) / nrm, 9) AS DECIMAL(18,9))
+         |      AS v
+         |  FROM w$r, n$r)""".stripMargin
+    }.mkString(",\n")
+    s"""q AS (
+       |  SELECT vec_id, i,
+       |    CAST(CAST(round(embedding[i]::DOUBLE, 6) AS DECIMAL(18,6))
+       |      * 1000000 AS BIGINT) AS x6
+       |  FROM embeddings, UNNEST(generate_series(1, $EigDims)) a(i)),
+       |sums AS (SELECT i, CAST(sum(x6) AS HUGEINT) AS sx, count(*) AS n
+       |         FROM q GROUP BY i),
+       |pr AS (SELECT a.i AS i, b.i AS j,
+       |    CAST(sum(CAST(a.x6 AS HUGEINT) * b.x6) AS HUGEINT) AS sxy
+       |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
+       |  GROUP BY 1, 2),
+       |up AS (SELECT pr.i, pr.j,
+       |    round(CAST(si.n * sxy - si.sx * sj.sx AS DOUBLE)
+       |      / (CAST(si.n AS DOUBLE) * si.n * 1000000000000.0), 9)
+       |      AS cov
+       |  FROM pr JOIN sums si ON pr.i = si.i
+       |  JOIN sums sj ON pr.j = sj.i),
+       |cv AS (SELECT i, j, cov FROM up
+       |       UNION ALL SELECT j, i, cov FROM up WHERE i <> j),
+       |v0 AS (SELECT DISTINCT i AS j,
+       |    CAST(0.125 AS DECIMAL(18,9)) AS v FROM cv),
+       |$iters""".stripMargin
+  }
 
   // must mirror Similarity.bucketExpr over the given plane set
   private def bucketSqlFor(vecExpr: String, ps: Array[Array[Int]]): String =
@@ -679,46 +732,23 @@ object SimilarityQueries {
     // the pageRank replay discipline: per-round DECIMAL(18,9) state,
     // contributions rounded 12dp into exact sums, norm = sqrt of an exact
     // sum (irrational — never on a rounding boundary)
-    "sim_top_eigvec" -> {
-      val iters = (1 to EigIters).map { r =>
-        s"""w$r AS (SELECT cv.i,
-           |    sum(CAST(round(cov * CAST(v AS DOUBLE), 12)
-           |      AS DECIMAL(38,12))) AS w
-           |  FROM cv JOIN v${r - 1} vv ON cv.j = vv.j GROUP BY cv.i),
-           |n$r AS (SELECT sqrt(CAST(sum(CAST(round(
-           |      CAST(w AS DOUBLE) * CAST(w AS DOUBLE), 18)
-           |      AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM w$r),
-           |v$r AS (SELECT i AS j,
-           |    CAST(round(CAST(w AS DOUBLE) / nrm, 9) AS DECIMAL(18,9))
-           |      AS v
-           |  FROM w$r, n$r)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH q AS (
-         |  SELECT vec_id, i,
-         |    CAST(CAST(round(embedding[i]::DOUBLE, 6) AS DECIMAL(18,6))
-         |      * 1000000 AS BIGINT) AS x6
-         |  FROM embeddings, UNNEST(generate_series(1, $EigDims)) a(i)),
-         |sums AS (SELECT i, CAST(sum(x6) AS HUGEINT) AS sx, count(*) AS n
-         |         FROM q GROUP BY i),
-         |pr AS (SELECT a.i AS i, b.i AS j,
-         |    CAST(sum(CAST(a.x6 AS HUGEINT) * b.x6) AS HUGEINT) AS sxy
-         |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
-         |  GROUP BY 1, 2),
-         |up AS (SELECT pr.i, pr.j,
-         |    round(CAST(si.n * sxy - si.sx * sj.sx AS DOUBLE)
-         |      / (CAST(si.n AS DOUBLE) * si.n * 1000000000000.0), 9)
-         |      AS cov
-         |  FROM pr JOIN sums si ON pr.i = si.i
-         |  JOIN sums sj ON pr.j = sj.i),
-         |cv AS (SELECT i, j, cov FROM up
-         |       UNION ALL SELECT j, i, cov FROM up WHERE i <> j),
-         |v0 AS (SELECT DISTINCT i AS j,
-         |    CAST(0.125 AS DECIMAL(18,9)) AS v FROM cv),
-         |$iters
+    "sim_top_eigvec" ->
+      s"""WITH $eigCteSql
          |SELECT vv.j AS pos, CAST(vv.v AS DOUBLE) AS loading,
          |  round(nrm, 9) AS eigenvalue
-         |FROM v$EigIters vv, n$EigIters ORDER BY pos""".stripMargin
-    },
+         |FROM v$EigIters vv, n$EigIters ORDER BY pos""".stripMargin,
+    // fit + transform: the SAME eigvec CTEs, then one projection join —
+    // contributions round 12dp into exact sums, score rounds 6dp
+    "sim_pca_project" ->
+      s"""WITH $eigCteSql,
+         |px AS (SELECT vec_id AS id, i AS pos, embedding[i]::DOUBLE AS x
+         |       FROM embeddings,
+         |         UNNEST(generate_series(1, $EigDims)) a(i))
+         |SELECT id,
+         |  round(CAST(sum(CAST(round(x * CAST(vv.v AS DOUBLE), 12)
+         |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS score
+         |FROM px JOIN v$EigIters vv ON px.pos = vv.j
+         |GROUP BY id ORDER BY id""".stripMargin,
     // the same 1-based prefix slice on both engines; both stages round 6dp
     // with id tie-breaks
     "sim_prefix_rerank" -> {

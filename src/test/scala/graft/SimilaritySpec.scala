@@ -383,6 +383,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(out(0).getAs[Double]("eigenvalue") - 1.25) < 1e-3)
   }
 
+  test("projectOnto: scores are the dot with the component; PCA pair " +
+      "orders points along the dominant axis") {
+    val emb = (0 until 4).map(i =>
+      (i.toLong, Array(i.toFloat, 1.0f, 1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val unit = Seq((1L, 1.0), (2L, 0.0), (3L, 0.0), (4L, 0.0))
+      .toDF("pos", "loading")
+    val s = Similarity.projectOnto(emb, "vec_id", "embedding", unit,
+        "pos", "loading")
+      .orderBy("id").collect().map(_.getAs[Double]("score"))
+    assert(s.toSeq == Seq(0.0, 1.0, 2.0, 3.0))
+    // with the FITTED component the order along dim 0 is preserved
+    val fit = Similarity.topEigenvector(emb, "embedding", 4, 3)
+    val proj = Similarity.projectOnto(emb, "vec_id", "embedding", fit,
+        "pos", "loading")
+      .orderBy("id").collect().map(_.getAs[Double]("score"))
+    assert(proj.sliding(2).forall(p => (p(1) - p(0)).abs > 0.9) ||
+      proj.sliding(2).forall(p => p(1) > p(0)) ||
+      proj.sliding(2).forall(p => p(1) < p(0)))
+  }
+
   test("embeddingCovariance: hand-checked 2-d case, upper triangle only") {
     val emb = Seq(
       (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)),
