@@ -787,8 +787,11 @@ object EventOps {
       .withColumn("__v6", v6)
       .withColumn("__n", count(col("__v6")).over(w))
       .withColumn("__s6", sum(col("__v6")).over(w))
+      // widen BEFORE the multiply (mirrors the oracle's
+      // CAST(v6 AS HUGEINT) * v6): a Long*Long square wraps silently for
+      // |value| > ~3035 with ANSI off, while DECIMAL(38,0)*Long is exact
       .withColumn("__s2",
-        sum((col("__v6") * col("__v6")).cast(decBig)).over(w))
+        sum(col("__v6").cast(decBig) * col("__v6")).over(w))
       // exact integer numerator; the division below is the first IEEE op
       .withColumn("__varnum",
         col("__n").cast(decBig) * col("__s2")

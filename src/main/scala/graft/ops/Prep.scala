@@ -730,6 +730,12 @@ object Prep {
     val bGrid = grid(toGroup, "__bv")
     val nb = bGrid.agg(max(col("__n")).as("__nb"))
     val left = a.crossJoin(broadcast(nb))
+      // an empty/unknown toGroup makes __nb NULL, which would silently
+      // yield NULL matched_value for EVERY row — fail the bad argument
+      // loudly instead (raise_error stays inside codegen, no extra job)
+      .withColumn("__nb", coalesce(col("__nb"), raise_error(lit(
+        s"graft.quantileMatch: target group '$toGroup' has no non-null " +
+          "values"))))
       .withColumn("pct_rank",
         round(col("__cum").cast("double") / col("__n"), 9))
       .withColumn("__target",

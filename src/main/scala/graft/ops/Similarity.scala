@@ -418,21 +418,33 @@ object Similarity {
     * are computed once and persisted.
     */
   def binaryCodes(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    // Contract: one row per id; >64 dims would silently alias bit
+    // positions through `dim % 32`, so reject wide vectors at runtime
+    // (raise_error keeps the check inside codegen — no extra action)
+    val vec = col(vecCol).cast("array<double>")
+    val checked = when(size(vec) <= 64, vec).otherwise(raise_error(
+      format_string("graft.binaryCodes: vector width %d exceeds 64",
+        size(vec))))
     val dims = emb.select(col(idCol).as("id"),
-      posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "v")))
+      posexplode(checked).as(Seq("dim", "v")))
     val means = dims
       .withColumn("vd", round(col("v"), 9)
         .cast(org.apache.spark.sql.types.DecimalType(12, 9)))
       .groupBy("dim")
       .agg((sum(col("vd")).cast("double") / count(lit(1))).as("m"))
-    val bit = expr("shiftleft(CAST(1 AS BIGINT), CAST(dim % 32 AS INT))")
+    // bit_or (not sum) sets each bit idempotently, so an accidental
+    // duplicate (id, dim) row cannot arithmetic-carry into a wrong code;
+    // duplicate ids with DIFFERENT vectors still violate the one-row-per-
+    // id contract (their codes OR together) — assert upstream if unsure
     dims.join(broadcast(means), Seq("dim"))
       .groupBy("id")
       .agg(
-        sum(when(col("dim") < 32 && col("v") > col("m"), bit).otherwise(0L))
-          .as("code_lo"),
-        sum(when(col("dim") >= 32 && col("v") > col("m"), bit).otherwise(0L))
-          .as("code_hi"))
+        expr("bit_or(CASE WHEN dim < 32 AND v > m THEN " +
+          "shiftleft(CAST(1 AS BIGINT), CAST(dim % 32 AS INT)) " +
+          "ELSE CAST(0 AS BIGINT) END)").as("code_lo"),
+        expr("bit_or(CASE WHEN dim >= 32 AND v > m THEN " +
+          "shiftleft(CAST(1 AS BIGINT), CAST(dim % 32 AS INT)) " +
+          "ELSE CAST(0 AS BIGINT) END)").as("code_hi"))
   }
 
   /** Two-stage binary-code retrieval: Hamming distance over [[binaryCodes]]
@@ -817,8 +829,9 @@ object Similarity {
 
   /** Covariance on 6-dp integer micro-units — the all-integer hot path
     * [[topEigenvector]] feeds on: values quantize ONCE per (row, dim) to
-    * `round(x, 6)·10⁶` longs, so the 10⁷-scale per-pair work is one long
-    * multiply + an exact integer sum (the [[embeddingCovariance]] pair
+    * `round(x, 6)·10⁶` longs, so the 10⁷-scale per-pair work is one
+    * widened DECIMAL(38,0)·long multiply + an exact integer sum — wrap-
+    * free for any input range (the [[embeddingCovariance]] pair
     * scan spends a per-row double-round + BigDecimal conversion instead —
     * measured 3-4× slower at the same row count). The single IEEE step is
     * the final `(n·Σxy − Σx·Σy) / (n²·10¹²)` division, rounded 9 dp.
@@ -842,7 +855,9 @@ object Similarity {
       .filter(col("pj") >= col("pi"))
       .groupBy((col("pi") + 1).cast("long").as("i"),
         (col("pj") + 1).cast("long").as("j"))
-      .agg(sum((col("xi") * col("xj")).cast(decBig)).as("sxy"))
+      // widen BEFORE the multiply (mirrors the oracle's
+      // CAST(x6 AS HUGEINT) * x6): Long*Long wraps for |x| > ~3035
+      .agg(sum(col("xi").cast(decBig) * col("xj")).as("sxy"))
     val si = broadcast(sums.select(col("i"), col("sx").as("__si"),
       col("n").as("__n")))
     val sj = broadcast(sums.select(col("i").as("j"), col("sx").as("__sj")))

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -570,20 +571,6 @@ object TextAnalysis {
         round(col("n_tokens").cast("double") / col("n_docs"), 9)
           .as("tokens_per_doc"))
 
-  /** Inverted-index posting lists: per term, the document frequency, the
-    * total term frequency, and the first `maxPostings` doc ids (ascending)
-    * — the build step of every lexical retrieval system (N55's BM25 scores
-    * AGAINST exactly this structure), and the index a contamination scan
-    * probes by term.
-    *
-    * Shape at scale: per-doc DISTINCT terms collapse inside the array
-    * expression (array_distinct before the explode — a doc contributes
-    * one posting per term, so the explode is bounded by distinct terms,
-    * not token count); ONE term shuffle; the posting cap is a slice of
-    * the sorted collect over the per-term group, bounding both memory
-    * and output width (full postings would make hot stopword terms
-    * corpus-sized rows — the cap IS the scale decision, stated).
-    */
   /** Pairwise vocabulary overlap between corpus groups (languages,
     * sources, time slices): distinct-token Jaccard per group pair — the
     * corpus-level audit that catches mislabeled languages (two "different"
@@ -618,6 +605,24 @@ object TextAnalysis {
           (col("n_a") + col("n_b") - col("n_common")), 9).as("jaccard"))
   }
 
+  /** Inverted-index posting lists: per term, the document frequency, the
+    * total term frequency, and the first `maxPostings` doc ids (ascending)
+    * — the build step of every lexical retrieval system (N55's BM25 scores
+    * AGAINST exactly this structure), and the index a contamination scan
+    * probes by term.
+    *
+    * Shape at scale: per-doc DISTINCT terms collapse inside the array
+    * expression (array_distinct before the explode — a doc contributes
+    * one posting per term, so the explode is bounded by distinct terms,
+    * not token count); ONE term shuffle. The posting cap is enforced
+    * BEFORE any list materializes: a per-term `row_number() <= maxPostings`
+    * window (sort spills gracefully on hot stopword terms; `doc_freq`
+    * rides the same window partition as an unbounded count), so the
+    * collect_list aggregation buffer holds at most `maxPostings` ids per
+    * term — a post-hoc slice over a full collect would still build a
+    * corpus-sized in-memory array for a hot term. The cap IS the scale
+    * decision, stated.
+    */
   def postingLists(df: DataFrame, idCol: String, textCol: String,
       maxPostings: Int): DataFrame = {
     val perDocTerm = df.select(col(idCol).as("doc_id"),
@@ -625,11 +630,15 @@ object TextAnalysis {
     val tf = df.select(col(idCol).as("doc_id"),
         explode(toks(col(textCol))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("total_tf"))
+    val wAll = Window.partitionBy(col("term"))
+    val wOrd = wAll.orderBy(col("doc_id"))
     perDocTerm
+      .withColumn("__df", count(lit(1)).over(wAll))
+      .withColumn("__rn", row_number().over(wOrd))
+      .filter(col("__rn") <= maxPostings)
       .groupBy("term")
-      .agg(count(lit(1)).as("doc_freq"),
-        slice(sort_array(collect_list(col("doc_id"))), 1, maxPostings)
-          .as("postings"))
+      .agg(max(col("__df")).as("doc_freq"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
       .join(tf, Seq("term"))
       .select("term", "doc_freq", "total_tf", "postings")
   }

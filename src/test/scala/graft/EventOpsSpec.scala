@@ -498,6 +498,25 @@ class EventOpsSpec extends AnyFunSuite {
     assert(sp.getAs[Boolean]("is_anomaly"))
   }
 
+  test("rollingAnomaly: values beyond the Long*Long square range (|v| > " +
+      "~3035) stay exact — no silent wrap in the Σv² accumulator") {
+    def ts(sec: Long) =
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    // values around 1e6: (1e6·1e6_micro)² ≫ Long.Max if squared as Long;
+    // history mean 1e6, var 2 (values 1e6±{0,1,2}) — same algebra as the
+    // small-value case, so the z formula must come out identical
+    val base = 1000000.0
+    val rows = Seq(base - 2, base - 1, base, base + 1, base + 2).zipWithIndex
+      .map { case (v, i) => (1L, ts(i * 60L), v) } :+
+      ((1L, ts(300L), base + 90.0))
+    val out = EventOps.rollingAnomaly(rows.toDF("user_id", "ts", "value"),
+        "user_id", "ts", "value", 86400L * 1000000L, 5)
+      .orderBy("ts").collect()
+    val sp = out.last
+    assert(sp.getAs[Double]("var_window") == 2.0)
+    assert(math.abs(sp.getAs[Double]("z") - 90.0 / math.sqrt(2.0)) < 1e-4)
+  }
+
   test("behaviorEntropy: uniform two types = ln 2; single type = +0.0") {
     val ev = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "a"))
       .toDF("user_id", "event_type")

@@ -466,6 +466,17 @@ class PrepSpec extends AnyFunSuite {
     assert(self.forall { case (v, mv) => v == mv })
   }
 
+  test("quantileMatch: unknown/empty target group fails loudly, not NULL") {
+    val df = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    val e = intercept[Exception] {
+      Prep.quantileMatch(df, "v", "g", "a", "nope").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("has no non-null values")))
+  }
+
   test("normalizeText: case-fold, punctuation strip, whitespace collapse") {
     val docs = Seq((1L, "Hello,  WORLD!!"), (2L, "already clean"))
       .toDF("id", "text")

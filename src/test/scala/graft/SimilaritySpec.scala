@@ -320,6 +320,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(m(1L) == (1L, 0L)) // dim 0 → bit 0 of the lo half
   }
 
+  test("binaryCodes: >64-dim vectors are rejected, not silently aliased") {
+    val wide = Seq((0L, Array.fill(65)(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.binaryCodes(wide, "vec_id", "embedding").collect()
+    }
+    assert(e.getMessage.contains("exceeds 64") ||
+      Option(e.getCause).exists(_.getMessage.contains("exceeds 64")))
+  }
+
+  test("binaryCodes: duplicate (id, dim) rows OR bits idempotently") {
+    // same row twice: with arithmetic sum the bit would double-carry;
+    // bit_or keeps the code identical to the single-row code
+    val one = Seq((0L, Array.tabulate(64)(d => if (d == 3) 9.0f else 0.0f)),
+      (1L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding")
+    val dup = one.union(one.filter(col("vec_id") === 0L))
+    val codeOf = (df: org.apache.spark.sql.DataFrame) =>
+      Similarity.binaryCodes(df, "vec_id", "embedding")
+        .filter(col("id") === 0L).collect().head.getAs[Long]("code_lo")
+    assert(codeOf(dup) == codeOf(one))
+  }
+
   test("binaryHammingTopK with candidates = corpus matches brute-force " +
       "cosine order") {
     val emb = Tables64(8)
