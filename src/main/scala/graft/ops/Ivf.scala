@@ -215,6 +215,45 @@ object Ivf {
     IvfIndex(centroids, path, idCol, vecCol)
   }
 
+  /** Fingerprint for a FIXED-centroid index ([[buildCachedFixed]]): the
+    * corpus' resolved input file list + columns + the centroid values
+    * themselves. No fit knobs — the quantizer IS the literal centroids.
+    */
+  def fixedFingerprint(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): String = {
+    val key = emb.inputFiles.sorted.mkString(",") +
+      s"|$idCol|$vecCol|fixed|" + centroids.map(_.mkString(":")).mkString(";")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Build-or-reuse an index whose coarse quantizer is the GIVEN literal
+    * centroids — no KMeans fit at all ([[fits]] untouched). The audit
+    * variant: with ±1 literal anchors both the assignment argmin and the
+    * probe's cell ranking are exactly replayable in portable SQL, so a
+    * partial-probe recall number gets a hash-exact DuckDB oracle instead
+    * of the rows-only check the fitted quantizer forces. Same cache
+    * discipline as [[buildCached]] (in-JVM, then disk, keyed on
+    * [[fixedFingerprint]]); the assignment pass is the one corpus-sized
+    * job, run once per (corpus, centroids).
+    */
+  def buildCachedFixed(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      path: String): IvfIndex = {
+    val fp = fixedFingerprint(emb, idCol, vecCol, centroids)
+    cache.computeIfAbsent(s"$path|$fp", _ =>
+      readCentroids(emb.sparkSession, path, idCol, vecCol, fp).getOrElse {
+        val assigned = emb.withColumn("cluster",
+          nearestCellExpr(col(vecCol), centroids))
+        assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+        writeCentroids(emb.sparkSession, path, centroids, fp)
+        IvfIndex(centroids, path, idCol, vecCol)
+      })
+  }
+
   /** Index for `path`, fitting at most once: in-JVM cache first, then disk
     * (a prior JVM's build — no fit, no assignment pass), then [[build]].
     * Both caches are keyed on the full [[indexFingerprint]] (inputs +

@@ -48,6 +48,14 @@ object SimilarityQueries {
   val projSigns: Array[Array[Int]] =
     Similarity.hyperplanes(8, Dim, seed = 45L)
 
+  /** Seeded ±1 coarse-quantizer anchors for the IVF recall audit (seed 46
+    * — independent of every family above). FIXED anchors, not a KMeans
+    * fit, so both the cell assignment and the partial-probe retrieval are
+    * exactly replayable in the oracle SQL.
+    */
+  val ivfAnchors: Array[Array[Int]] =
+    Similarity.hyperplanes(8, Dim, seed = 46L)
+
   private val NegK = 5
   private val NegMaxCos = 0.999
 
@@ -289,6 +297,47 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** Recall@[[K]] audit of the PARTIAL-probe IVF path ([[graft.ops.Ivf
+    * .probeBatch]]) against the per-query brute-force truth, at
+    * nProbe ∈ {1, 2, all} — the quantitative gate on the probe knob that
+    * [[annRecall]] provides for LSH. The index here quantizes over FIXED
+    * seeded ±1 anchors ([[ivfAnchors]], [[graft.ops.Ivf
+    * .buildCachedFixed]]) instead of the fitted KMeans quantizer, so the
+    * assignment argmin, each query's cell ranking, the partial-probe
+    * candidate sets and the recall counts are all hash-exactly replayable
+    * in the DuckDB oracle; the FITTED quantizer's recall curve is pinned
+    * spec-side (IvfSpec monotonicity) and its all-cells exactness by
+    * `sim_ivf_knn`. Monotonicity in nProbe is a theorem (candidate sets
+    * are nested, and a global-top-K member always survives any candidate
+    * top-K it appears in), and the all-cells row must read recall = 1.0.
+    *
+    * All relations after the probe are (queries × K)-bounded, so the
+    * audit costs one partition-pruned probe per nProbe value regardless
+    * of corpus size.
+    */
+  def ivfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = ivfAnchors.map(_.map(_.toDouble))
+    val fp = Ivf.fixedFingerprint(emb, "vec_id", "embedding", cents)
+    val indexPath = "/tmp/graft_ivf/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_fx_" + fp.take(16)
+    val index = Ivf.buildCachedFixed(emb, "vec_id", "embedding", cents,
+      indexPath)
+    val qs = emb.filter(col("vec_id") < KnnQueries)
+    val truth = Similarity.knnJoin(emb, qs, "vec_id", "embedding", K)
+      .select(col("q_id"), col("vec_id"))
+    Seq(1, 2, ivfAnchors.length).map { np =>
+      val ret = Ivf.probeBatch(index, qs, "vec_id", K, np)
+        .select(col("q_id"), col("vec_id"))
+      ret.agg(count(lit(1)).as("n_retrieved"))
+        .crossJoin(ret.join(truth, Seq("q_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits")))
+        .select(lit(np).as("n_probe"), col("n_retrieved"), col("n_hits"),
+          round(col("n_hits").cast("double") / (KnnQueries * K), 9)
+            .as("recall"))
+    }.reduce(_ unionByName _).orderBy("n_probe")
+  }
+
   /** Per-label centroid norms + cosine to the global centroid
     * (embedding-drift shape; element-wise vector aggregation).
     */
@@ -375,7 +424,8 @@ object SimilarityQueries {
     "sim_centroids" -> centroids,
     "sim_ivf_topk" -> ivfTopK,
     "sim_ivf_exact" -> ivfExact,
-    "sim_ivf_knn" -> ivfKnn)
+    "sim_ivf_knn" -> ivfKnn,
+    "sim_ivf_recall" -> ivfRecall)
 
   // ---- oracle SQL -------------------------------------------------------------
 
@@ -463,6 +513,62 @@ object SimilarityQueries {
        |SELECT vec_id, ${cosineSql("embedding", "qv")} AS cos
        |FROM embeddings, q
        |ORDER BY cos DESC, vec_id LIMIT $K""".stripMargin
+
+  // mirrors Ivf.nearestCellExpr / nearestCellsExpr over the FIXED
+  // ivfAnchors: per-cell |c|² − 2·v·c (the |v|² term is cell-independent
+  // and dropped on both engines), corpus argmin = FIRST minimal index
+  // (list_indexof, 1-based → −1, exactly array_position's tie rule),
+  // query cell ranking = (d, ci) ascending — the struct-sort tie rule of
+  // nearestCellsExpr. Retrieval, per-query top-K and the recall counts
+  // then replay probeBatch verbatim; dot products are sequential-sum on
+  // both engines (graft_dot ↔ list_dot_product), so no rounding is needed
+  // before the argmin.
+  private lazy val ivfRecallSql: String = {
+    val centVals = ivfAnchors.zipWithIndex.map { case (c, i) =>
+      val norm2 = c.map(x => x.toDouble * x).sum
+      s"($i, ${c.map(v => s"$v.0").mkString("[", ",", "]")}::DOUBLE[], $norm2)"
+    }.mkString(", ")
+    val dists = ivfAnchors.map { c =>
+      val arr = c.map(v => s"$v.0").mkString("[", ",", "]")
+      val norm2 = c.map(x => x.toDouble * x).sum
+      s"$norm2 - 2.0 * ${dotSql("embedding", arr)}"
+    }.mkString("[", ", ", "]")
+    s"""WITH cent AS (SELECT * FROM (VALUES $centVals) c(ci, cvec, cn2)),
+       |corpus AS (SELECT vec_id, embedding,
+       |    list_indexof(dl, list_min(dl)) - 1 AS cell
+       |  FROM (SELECT vec_id, embedding, $dists AS dl FROM embeddings)),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+       |      WHERE vec_id < $KnnQueries),
+       |qd AS (SELECT q_id, qv, ci,
+       |    cn2 - 2.0 * list_dot_product(qv::DOUBLE[], cvec) AS d
+       |  FROM q, cent),
+       |qc AS (SELECT q_id, qv, ci, row_number()
+       |    OVER (PARTITION BY q_id ORDER BY d, ci) AS crk FROM qd),
+       |np AS (SELECT * FROM (VALUES (1), (2), (${ivfAnchors.length}))
+       |       t(n_probe)),
+       |cand AS (SELECT np.n_probe, qc.q_id, c.vec_id,
+       |    ${cosineSql("c.embedding", "qc.qv")} AS cos
+       |  FROM np JOIN qc ON qc.crk <= np.n_probe
+       |  JOIN corpus c ON c.cell = qc.ci
+       |  WHERE c.vec_id <> qc.q_id),
+       |r AS (SELECT n_probe, q_id, vec_id, row_number() OVER
+       |    (PARTITION BY n_probe, q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM cand),
+       |ret AS (SELECT n_probe, q_id, vec_id FROM r WHERE rank <= $K),
+       |tr AS (SELECT q_id, vec_id, row_number() OVER
+       |    (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM (SELECT q.q_id, e.vec_id,
+       |          ${cosineSql("e.embedding", "q.qv")} AS cos
+       |        FROM embeddings e, q WHERE e.vec_id <> q.q_id)),
+       |truth AS (SELECT q_id, vec_id FROM tr WHERE rank <= $K)
+       |SELECT CAST(ret.n_probe AS INTEGER) AS n_probe,
+       |  count(*) AS n_retrieved, count(t.q_id) AS n_hits,
+       |  round(CAST(count(t.q_id) AS DOUBLE) / ${KnnQueries * K}, 9)
+       |    AS recall
+       |FROM ret LEFT JOIN truth t
+       |  ON t.q_id = ret.q_id AND t.vec_id = ret.vec_id
+       |GROUP BY 1 ORDER BY n_probe""".stripMargin
+  }
 
   // mirrors Similarity.anchorCellExpr over semAnchors: per-anchor rounded
   // normalized dot, argmax = FIRST maximal index (list_indexof, 1-based,
@@ -609,6 +715,7 @@ object SimilarityQueries {
     "sim_brute_topk" -> bruteTopKSql,
     // probing all cells IS brute force — identical oracle by construction
     "sim_ivf_exact" -> bruteTopKSql,
+    "sim_ivf_recall" -> ivfRecallSql,
     // candidate = shares a bucket in ANY band; each candidate pair verified
     // by exact cosine — the OR-join enumerates the identical pair set the
     // Spark side's banded explode + first-collision residual produces once

@@ -141,4 +141,38 @@ class IvfSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toSeq
     assert(probed == brute)
   }
+
+  test("FITTED quantizer recall@K is non-decreasing in nProbe and exact " +
+      "at all cells — the quantitative partial-probe gate") {
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.filter($"vec_id" < 5L)
+    val k = 20
+    val path = s"/tmp/graft_ivf_spec_recall_${System.nanoTime()}"
+    val index = Ivf.build(emb, "vec_id", "embedding", 8, path)
+    val truth = Similarity.knnJoin(emb, qs, "vec_id", "embedding", k)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recalls = (1 to index.centroids.length).map { np =>
+      val ret = Ivf.probeBatch(index, qs, "vec_id", k, np)
+        .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+      ret.count(truth).toDouble / truth.size
+    }
+    assert(recalls == recalls.sorted,
+      s"recall not monotone in nProbe: $recalls")
+    assert(recalls.last == 1.0, s"all-cells recall ${recalls.last} != 1.0")
+    // a partial probe is genuinely partial on this corpus (the gate is
+    // meaningful, not vacuously 1.0 everywhere)
+    assert(recalls.head < 1.0, "nProbe=1 already exact — gate is vacuous")
+  }
+
+  test("buildCachedFixed: literal anchors, no KMeans fit, registered " +
+      "sim_ivf_recall curve is monotone with exact all-cells row") {
+    val fitsBefore = Ivf.fits.get()
+    val out = graft.queries.SimilarityQueries.ivfRecall(spark, dir)
+      .as[(Int, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(Ivf.fits.get() == fitsBefore, "fixed-anchor index ran a fit")
+    assert(out.map(_._1) == Seq(1, 2, 8))
+    val rec = out.map(_._4)
+    assert(rec == rec.sorted, s"recall not monotone: $rec")
+    assert(rec.last == 1.0 && out.last._3 == 100L)
+  }
 }
