@@ -22,17 +22,25 @@ object Graph {
   private val D9 = DecimalType(18, 9)
 
   /** Fixed-iteration damped PageRank (Page et al. 1999) on a directed
-    * edge list. Mass from dangling nodes (no out-edges) leaks — the
-    * standard simplified formulation; ranks still order nodes by link
-    * authority, which is what a curation signal needs.
+    * edge list, WITH dangling-node handling: mass held by nodes without
+    * out-edges redistributes uniformly each round (the standard
+    * stochastic-completion term), so the ranks stay a probability
+    * distribution — Σ rank = 1 up to the per-node 9-dp rounding
+    * (|error| ≤ N·5e-10, pinned in GraphSpec) instead of leaking
+    * 1−d·(leaked mass) per round.
     *
     * Determinism discipline: per-edge contributions `r(u)/outdeg(u)`
-    * round to 9 dp and sum in exact DECIMAL per destination; the new rank
-    * `(1−d)/N + d·Σ` rounds back to 9 dp before the next round — every
-    * iteration's state is a DECIMAL(18,9) relation identical on any
-    * engine, partitioning, or summation order (the property that lets a
-    * DuckDB oracle replay the iterations as unrolled CTEs).
+    * round to 9 dp and sum in exact DECIMAL per destination; the dangling
+    * mass is an exact DECIMAL sum over the anti-joined rank relation
+    * (1 row, broadcast back — the tiny-stat pattern); the new rank
+    * `(1−d)/N + d·(Σ + dm/N)` spends one fixed IEEE sequence and rounds
+    * back to 9 dp before the next round — every iteration's state is a
+    * DECIMAL(18,9) relation identical on any engine, partitioning, or
+    * summation order (the property that lets a DuckDB oracle replay the
+    * iterations as unrolled CTEs).
     *
+    * Per round: one edge join + one destination aggregate (both bucket on
+    * the node id at cluster scale) + one 1-row dangling aggregate.
     * Returns (node, rank) — rank as DOUBLE rounded to 9 dp.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
@@ -52,11 +60,18 @@ object Graph {
         .select(col("dst"),
           round(col("r").cast("double") / col("deg"), 9).cast(D9).as("w"))
         .groupBy("dst").agg(sum(col("w")).as("in_mass"))
+      // dangling mass: exact DECIMAL sum of ranks with no out-edge — a
+      // 1-row aggregate broadcast back onto every node
+      val dangling = ranks
+        .join(outDeg, col("node") === col("src"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0).cast(D9)).as("__dm"))
       ranks = nodes
         .join(contrib, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("node"),
-          round(lit((1.0 - damping) / n) +
-            lit(damping) * coalesce(col("in_mass").cast("double"), lit(0.0)),
+          round(lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("in_mass").cast("double"), lit(0.0)) +
+              col("__dm").cast("double") / lit(n.toDouble)),
             9).cast(D9).as("r"))
         .localCheckpoint()
     }

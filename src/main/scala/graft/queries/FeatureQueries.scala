@@ -527,8 +527,10 @@ object FeatureQueries {
 
   // unrolled power-iteration CTEs r0→r3: every iteration's state is a
   // DECIMAL(18,9) relation (9dp-rounded contributions, exact sums), which
-  // is what makes the replay engine-exact; (1.0 - 0.85) is spelled as a
-  // subtraction so both engines evaluate the same IEEE double, not a
+  // is what makes the replay engine-exact; the dangling mass d$i is an
+  // exact DECIMAL sum over the anti-joined rank relation, mirroring the
+  // 1-row broadcast aggregate in Graph.pageRank; (1.0 - 0.85) is spelled
+  // as a subtraction so both engines evaluate the same IEEE double, not a
   // 0.15 literal (a different nearest-double)
   private val pageRankSql: String = {
     val iters = (1 to 3).map { i =>
@@ -537,11 +539,16 @@ object FeatureQueries {
          |        AS DECIMAL(18,9))) AS m
          |  FROM r${i - 1} r JOIN e ON r.node = e.src
          |  JOIN outd ON outd.src = e.src GROUP BY 1),
+         |d$i AS (SELECT coalesce(sum(r.r), CAST(0 AS DECIMAL(18,9))) AS dm
+         |  FROM r${i - 1} r LEFT JOIN outd ON outd.src = r.node
+         |  WHERE outd.src IS NULL),
          |r$i AS (SELECT nodes.node,
          |  CAST(round((1.0 - 0.85) / nn.n +
-         |         0.85 * coalesce(CAST(c$i.m AS DOUBLE), 0.0), 9)
+         |         0.85 * (coalesce(CAST(c$i.m AS DOUBLE), 0.0)
+         |           + CAST(d$i.dm AS DOUBLE) / nn.n), 9)
          |       AS DECIMAL(18,9)) AS r
-         |  FROM nodes LEFT JOIN c$i ON c$i.dst = nodes.node, nn)""".stripMargin
+         |  FROM nodes LEFT JOIN c$i ON c$i.dst = nodes.node, nn, d$i)"""
+        .stripMargin
     }.mkString(",\n")
     s"""WITH e AS (SELECT DISTINCT 'c' || o_custkey AS src,
        |             's' || l_suppkey AS dst

@@ -28,13 +28,27 @@ class GraphSpec extends AnyFunSuite {
     assert(r == r2)
   }
 
-  test("pageRank: total mass stays <= 1 (dangling leak) and > the " +
-      "teleport floor") {
+  test("pageRank: ranks are a probability distribution — dangling mass " +
+      "redistributes, total = 1 up to the per-node 9-dp rounding") {
+    // rounding budget: each round rounds one 9-dp value per edge
+    // (contribution) and per node (new rank), |err| <= 5e-10 each
+    def tol(nEdges: Long, nNodes: Long) = (nEdges + nNodes) * 3 * 5e-10
     val r = Graph.pageRank(edges, "src", "dst", iterations = 3)
       .collect().map(_.getAs[Double]("rank"))
-    val total = r.sum
-    assert(total <= 1.0 + 1e-9, s"mass $total")
-    assert(total > 0.15, s"mass $total") // at least the teleport term
+    assert(math.abs(r.sum - 1.0) <= tol(4, r.length),
+      s"mass ${r.sum} leaked despite dangling redistribution")
+    // and on the sf0.001 purchase graph, where EVERY supplier node is
+    // dangling (no out-edges) — the case the leak used to be worst in
+    val dir = "/root/testdata/sf0.001"
+    val big = graft.queries.FeatureQueries.pageRankSuppliers(spark, dir)
+      .collect().map(_.getAs[Double]("rank"))
+    val nEdges = graft.sources.Tables.orders(spark, dir)
+      .join(graft.sources.Tables.lineitem(spark, dir),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      .select("o_custkey", "l_suppkey").distinct().count()
+    assert(math.abs(big.sum - 1.0) <= tol(nEdges, big.length),
+      s"purchase-graph mass ${big.sum} (n=${big.length}, e=$nEdges)")
   }
 
   test("degreeStats: per-direction counts with zero-fill") {
