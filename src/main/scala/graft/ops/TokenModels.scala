@@ -193,4 +193,77 @@ object TokenModels {
       .select(col("id"), col("pos").cast("long").as("pos"), col("term"),
         coalesce(col("term_id"), lit(0L)).as("term_id"))
   }
+
+  /** Apply a LEARNED BPE merges table (Sennrich et al. 2016; the greedy
+    * scan order of GPT-2's encoder) — the actual LLM tokenizer-apply op,
+    * where [[graft.ops.TextAnalysis.bpeishTokens]] stops at
+    * pre-tokenization. Words ([a-z]+ runs of the lower-cased text) start
+    * as character sequences; each round applies, per word, the
+    * LOWEST-rank merge present anywhere in it to ALL its occurrences at
+    * once, greedily left-to-right on overlaps (in a run of consecutive
+    * occurrences only the 1st, 3rd, … merge — GPT-2's linear rescan
+    * produces exactly this), then renumbers. `maxRounds` bounds the
+    * rounds (each word consumes ≤ 1 rule per round; unmergeable words
+    * finish early and pass through untouched), keeping the plan depth —
+    * and the oracle's unrolled CTEs — fixed.
+    *
+    * Shape at scale: state is one row per live symbol; every round is
+    * window functions over (doc, word) partitions plus one BROADCAST join
+    * against the merges table (a tokenizer ships ~50k merges — a few MB)
+    * — the corpus never reshuffles across rounds because the partition
+    * key never changes, and there is no driver-side state at all. All
+    * expressions are codegen'd string/integer ops — determinism needs no
+    * rounding discipline because nothing is floating-point.
+    *
+    * Returns (doc_id, word_id, pos, sym) — the encoded symbol stream.
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], maxRounds: Int): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    require(merges.nonEmpty, "empty merges table")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mergesDf = merges.zipWithIndex
+      .map { case ((a, b), r) => (a, b, r) }.toDF("__a", "__b", "__rank")
+    val words = docs.select(col(idCol).as("doc_id"),
+      posexplode(expr(s"regexp_extract_all(lower(${textCol}), '[a-z]+', 0)"))
+        .as(Seq("word_id", "__w")))
+    var st = words.select(col("doc_id"), col("word_id"),
+      posexplode(filter(split(col("__w"), ""), s => s =!= ""))
+        .as(Seq("pos", "sym")))
+    val wOrd = Window.partitionBy(col("doc_id"), col("word_id"))
+      .orderBy(col("pos"))
+    val wAll = Window.partitionBy(col("doc_id"), col("word_id"))
+    for (_ <- 1 to maxRounds) {
+      val flagged = st
+        .withColumn("__nxt", lead(col("sym"), 1).over(wOrd))
+        .join(broadcast(mergesDf),
+          col("sym") === col("__a") && col("__nxt") === col("__b"),
+          "left_outer")
+        .drop("__a", "__b")
+        .withColumn("__minr", min(col("__rank")).over(wAll))
+        .withColumn("__isocc",
+          col("__rank").isNotNull && col("__rank") === col("__minr"))
+        // greedy left-to-right on overlapping occurrences: group runs of
+        // consecutive occurrence positions (pos − running occurrence
+        // count is constant within a run), merge even offsets only
+        .withColumn("__occidx",
+          sum(when(col("__isocc"), 1).otherwise(0)).over(wOrd))
+        .withColumn("__grp", when(col("__isocc"), col("pos") - col("__occidx")))
+        .withColumn("__runpos", when(col("__isocc"),
+          col("pos") - min(when(col("__isocc"), col("pos"))).over(
+            Window.partitionBy(col("doc_id"), col("word_id"), col("__grp")))))
+        .withColumn("__mrg",
+          coalesce(col("__isocc") && col("__runpos") % 2 === 0, lit(false)))
+        .withColumn("__dropme",
+          coalesce(lag(col("__mrg"), 1).over(wOrd), lit(false)))
+      st = flagged.filter(!col("__dropme"))
+        .withColumn("sym", when(col("__mrg"),
+          concat(col("sym"), col("__nxt"))).otherwise(col("sym")))
+        .withColumn("pos", (row_number().over(wOrd) - 1).cast("int"))
+        .select("doc_id", "word_id", "pos", "sym")
+        .localCheckpoint()
+    }
+    st
+  }
 }

@@ -236,7 +236,39 @@ object TextQueries {
     TextAnalysis.scriptProfile(Tables.documents(spark, dir), "lang", "text")
       .orderBy("lang")
 
+  /** Fixed BPE merges table for `text_bpe_encode` (rank = position),
+    * shared verbatim by the Spark plan and the oracle's unrolled CTEs.
+    * Multi-level on purpose: ranks 7/9/11 merge PRODUCTS of earlier
+    * ranks ("jo"+"in", "sc"+"an", "dat"+"a"), so the replay exercises
+    * rank precedence across rounds, not just independent single merges.
+    */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("a", "t"), ("a", "n"), ("o", "r"),
+    ("j", "o"), ("i", "n"), ("jo", "in"), ("s", "c"), ("sc", "an"),
+    ("d", "at"), ("dat", "a"))
+  val BpeRounds = 4
+
+  /** Learned-merges BPE encoding of the corpus ([[graft.ops.TokenModels
+    * .bpeEncode]] over [[BpeMerges]], [[BpeRounds]] rounds), summarized
+    * per document as (n_words, n_tokens, enc_digest) where the digest is
+    * md5 over the space-joined symbol stream in (word, pos) order — one
+    * wrong merge anywhere changes the row.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TokenModels.bpeEncode(Tables.documents(spark, dir),
+        "doc_id", "text", BpeMerges, BpeRounds)
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("word_id")).as("n_words"),
+        count(lit(1)).as("n_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("word_id"), col("pos"),
+            col("sym")))),
+          s => s.getField("sym")), " ")).as("enc_digest"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_encode" -> bpeEncode,
     "text_posting_lists" -> postingLists,
     "text_normalize" -> normalizeText,
     "text_lang_overlap" -> langOverlap,
@@ -261,6 +293,64 @@ object TextQueries {
     "text_bm25_topk" -> bm25)
 
   // ---- oracle SQL -------------------------------------------------------------
+
+  // unrolled BPE merge rounds s0→s4, each replaying one
+  // TokenModels.bpeEncode round verbatim: lead() pair, merges-rank
+  // lookup, per-word min rank, occurrence-run parity for the greedy
+  // left-to-right overlap rule, renumber. Pure string/integer ops — no
+  // floating point anywhere, so the replay needs no rounding discipline.
+  private lazy val bpeSql: String = {
+    val mergeVals = BpeMerges.zipWithIndex
+      .map { case ((a, b), r) => s"('$a', '$b', $r)" }.mkString(", ")
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""j$r AS (SELECT doc_id, word_id, pos, sym,
+         |    lead(sym) OVER (PARTITION BY doc_id, word_id ORDER BY pos)
+         |      AS nxt
+         |  FROM s${r - 1}),
+         |q$r AS (SELECT j.*, m.rnk FROM j$r j LEFT JOIN merges m
+         |  ON m.a = j.sym AND m.b = j.nxt),
+         |o$r AS (SELECT *,
+         |    min(rnk) OVER (PARTITION BY doc_id, word_id) AS minr
+         |  FROM q$r),
+         |c$r AS (SELECT *, (rnk IS NOT NULL AND rnk = minr) AS isocc,
+         |    sum(CASE WHEN rnk IS NOT NULL AND rnk = minr
+         |        THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id, word_id ORDER BY pos) AS occidx
+         |  FROM o$r),
+         |g$r AS (SELECT *, CASE WHEN isocc THEN pos - occidx END AS grp
+         |  FROM c$r),
+         |h$r AS (SELECT *, CASE WHEN isocc THEN pos -
+         |      min(CASE WHEN isocc THEN pos END)
+         |        OVER (PARTITION BY doc_id, word_id, grp) END AS runpos
+         |  FROM g$r),
+         |k$r AS (SELECT *, coalesce(isocc AND runpos % 2 = 0, false)
+         |    AS mrg
+         |  FROM h$r),
+         |l$r AS (SELECT *, coalesce(lag(mrg)
+         |      OVER (PARTITION BY doc_id, word_id ORDER BY pos), false)
+         |    AS dropme
+         |  FROM k$r),
+         |s$r AS (SELECT doc_id, word_id,
+         |    row_number() OVER (PARTITION BY doc_id, word_id
+         |      ORDER BY pos) - 1 AS pos,
+         |    CASE WHEN mrg THEN sym || nxt ELSE sym END AS sym
+         |  FROM l$r WHERE NOT dropme)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH merges AS (SELECT * FROM (VALUES $mergeVals) m(a, b, rnk)),
+       |w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+')
+       |        AS ws FROM documents),
+       |wd AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS word_id,
+       |    ws[i] AS word
+       |  FROM w, UNNEST(generate_series(1, len(ws))) u(i)),
+       |s0 AS (SELECT doc_id, word_id, CAST(j - 1 AS INTEGER) AS pos,
+       |    substr(word, j, 1) AS sym
+       |  FROM wd, UNNEST(generate_series(1, length(word))) v(j)),
+       |$rounds
+       |SELECT doc_id, count(DISTINCT word_id) AS n_words,
+       |  count(*) AS n_tokens,
+       |  md5(string_agg(sym, ' ' ORDER BY word_id, pos)) AS enc_digest
+       |FROM s$BpeRounds GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
 
   private[queries] val toksCte =
     """d AS (SELECT doc_id, lang,
@@ -635,7 +725,8 @@ object TextQueries {
          |    (h, x) -> (h * 31 + x) % ${TextAnalysis.FpMod}) AS BIGINT)
          |    AS doc_fingerprint
          |FROM h ORDER BY doc_id""".stripMargin,
-    "text_bm25_topk" -> bm25Sql)
+    "text_bm25_topk" -> bm25Sql,
+    "text_bpe_encode" -> bpeSql)
 
   /** BM25 oracle SQL, shared with the RRF fusion oracle
     * ([[SimilarityQueries]]) so both engines' lexical ranking comes from

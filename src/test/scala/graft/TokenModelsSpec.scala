@@ -85,4 +85,61 @@ class TokenModelsSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("pos") -> r.getAs[Long]("term_id")).toMap
     assert(enc(1L) == 0L && enc(0L) > 0L)
   }
+
+  private def bpeSyms(df: org.apache.spark.sql.DataFrame)
+      : Map[Int, Seq[String]] =
+    df.collect()
+      .map(r => (r.getAs[Int]("word_id"), r.getAs[Int]("pos"),
+        r.getAs[String]("sym")))
+      .groupBy(_._1).map { case (w, rows) =>
+        w -> rows.sortBy(_._2).map(_._3).toSeq }
+
+  test("bpeEncode: GPT-2-style fixture — rank precedence and multi-level " +
+      "merges reach the hand-computed fixpoint") {
+    // BpeMerges ranks: (t,h)=0 (th,e)=1 (a,t)=2 (a,n)=3 (o,r)=4 (j,o)=5
+    // (i,n)=6 (jo,in)=7 (s,c)=8 (sc,an)=9 (d,at)=10 (dat,a)=11
+    val doc = Seq((1L, "the data join scan that attt")).toDF("doc_id", "text")
+    val out = bpeSyms(graft.ops.TokenModels.bpeEncode(doc, "doc_id", "text",
+      graft.queries.TextQueries.BpeMerges,
+      graft.queries.TextQueries.BpeRounds))
+    // "the":  t h e  -(t,h)-> th e -(th,e)-> the
+    assert(out(0) == Seq("the"))
+    // "data": d a t a -(a,t)-> d at a -(d,at)-> dat a -(dat,a)-> data
+    assert(out(1) == Seq("data"))
+    // "join": j o i n -(j,o) beats (i,n)-> jo i n -(i,n)-> jo in
+    //         -(jo,in)-> join
+    assert(out(2) == Seq("join"))
+    // "scan": s c a n -(a,n) beats (s,c)-> s c an -(s,c)-> sc an
+    //         -(sc,an)-> scan
+    assert(out(3) == Seq("scan"))
+    // "that": t h a t -(t,h) rank 0 beats (a,t) rank 2-> th a t
+    //         -(a,t)-> th at; (th,at) unlearned -> fixpoint
+    assert(out(4) == Seq("th", "at"))
+    // "attt": a t t t -(a,t)-> at t t; (at,t) unlearned -> fixpoint
+    assert(out(5) == Seq("at", "t", "t"))
+  }
+
+  test("bpeEncode: overlapping occurrences merge greedily left-to-right " +
+      "(run parity), all occurrences of the chosen pair in one round") {
+    val doc = Seq((1L, "aaa aaaa aaaaa anananx")).toDF("doc_id", "text")
+    val out = bpeSyms(graft.ops.TokenModels.bpeEncode(doc, "doc_id", "text",
+      Seq(("a", "a"), ("a", "n")), maxRounds = 2))
+    assert(out(0) == Seq("aa", "a"))         // occ run 0,1 -> merge 0 only
+    assert(out(1) == Seq("aa", "aa"))        // occ run 0,1,2 -> merge 0, 2
+    assert(out(2) == Seq("aa", "aa", "a"))   // occ run 0,1,2,3 -> 0, 2
+    // non-consecutive occurrences all merge in ONE round: a n a n a n x
+    // -(a,n) at 0,2,4 (separate runs)-> an an an x
+    assert(out(3) == Seq("an", "an", "an", "x"))
+  }
+
+  test("bpeEncode: words with no applicable merges pass through as " +
+      "characters; non-letter runs are not words") {
+    val doc = Seq((1L, "zzz 123 qq")).toDF("doc_id", "text")
+    val out = bpeSyms(graft.ops.TokenModels.bpeEncode(doc, "doc_id", "text",
+      graft.queries.TextQueries.BpeMerges,
+      graft.queries.TextQueries.BpeRounds))
+    assert(out.size == 2) // "123" is not a [a-z]+ word
+    assert(out(0) == Seq("z", "z", "z"))
+    assert(out(1) == Seq("q", "q"))
+  }
 }
