@@ -817,4 +817,68 @@ object Dedup {
         when(col("n_kept_chunks") > 0, col("__joined"))
           .otherwise(lit(null).cast("string")).as("dedup_text"))
   }
+
+  /** Exact-substring span removal (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", the ExactSubstr
+    * transform): every token covered by a `minTokens`-gram whose content
+    * occurs ≥ 2 times in the corpus (any document, including its own) is
+    * removed, and each document reassembles from its surviving tokens in
+    * order — the transform [[graft.ops.TextAnalysis.dupNgramCoverage]]
+    * only measures. This is the symmetric all-copies variant (the paper's
+    * tool drops every occurrence of a duplicated span): order-free, so no
+    * occurrence needs to be elected "first" and the whole pass stays
+    * embarrassingly relational. Overlapping duplicated grams union their
+    * cover — a span of k ≥ minTokens duplicated tokens is covered by its
+    * k − minTokens + 1 grams and removed wholesale.
+    *
+    * Shape at scale: positioned grams carry a 64-bit xxhash64 identity
+    * (never the window string — the [[graft.ops.TextAnalysis
+    * .repetitionStats]] collision argument); the duplicated-gram relation
+    * is one count shuffle on the hash; cover positions explode only from
+    * duplicated occurrences (bounded by dup mass × minTokens, collapsed
+    * by DISTINCT before the anti-join); survivors anti-join on
+    * (doc, pos) and reassemble in one doc shuffle — the [[chunkDedup]]
+    * reassembly shape. No UDFs, no driver state.
+    *
+    * Returns (doc_id, n_tokens, n_removed, clean_text) for documents with
+    * ≥ 1 token; fully-duplicated documents come back with NULL clean_text
+    * (the [[chunkDedup]] drop convention).
+    */
+  def spanRemoval(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int): DataFrame = {
+    require(minTokens >= 2, s"minTokens must be >= 2: $minTokens")
+    val t = col("__t")
+    val withToks = docs.select(col(idCol).as("doc_id"),
+      filter(split(col(textCol), " "), s => s =!= "").as("__t"))
+    val tokens = withToks.select(col("doc_id"),
+      posexplode(t).as(Seq("pos", "tok")))
+    val starts = when(size(t) >= minTokens,
+      sequence(lit(0), size(t) - minTokens))
+      .otherwise(array().cast("array<int>"))
+    val grams = withToks.select(col("doc_id"),
+      explode(transform(starts, i => struct(i.as("p"),
+        xxhash64((1 to minTokens).map(j => element_at(t, i + j)): _*)
+          .as("gh")))).as("__g"))
+      .select(col("doc_id"), col("__g.p").as("p"), col("__g.gh").as("gh"))
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select("gh")
+    val covered = grams.join(dup, Seq("gh"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + minTokens - 1)).as("pos"))
+      .distinct()
+    val surv = tokens.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("__joined"))
+    withToks.filter(size(t) >= 1)
+      .select(col("doc_id"), size(t).cast("long").as("n_tokens"))
+      .join(surv, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_removed"),
+        when(coalesce(col("__n_kept"), lit(0L)) > 0, col("__joined"))
+          .otherwise(lit(null).cast("string")).as("clean_text"))
+  }
 }

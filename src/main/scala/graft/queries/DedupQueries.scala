@@ -182,7 +182,20 @@ object DedupQueries {
         chunkSize = ChunkTokens)
       .orderBy("doc_id")
 
+  private val SpanTokens = 8
+
+  /** Exact-substring span removal ([[graft.ops.Dedup.spanRemoval]], the
+    * Lee et al. 2022 ExactSubstr transform, all-copies variant): tokens
+    * covered by any 8-gram occurring ≥ 2 times in the corpus are removed
+    * and documents reassemble from the survivors.
+    */
+  def spanLevel(spark: SparkSession, dir: String): DataFrame =
+    Dedup.spanRemoval(Tables.documents(spark, dir), "doc_id", "text",
+        minTokens = SpanTokens)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_span_removal" -> spanLevel,
     "dedup_chunks" -> chunkLevel,
     "dedup_containment" -> containment3gram,
     "dedup_exact_groups" -> exactGroups,
@@ -309,6 +322,38 @@ object DedupQueries {
     .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    // gram identity by STRING (equality classes identical to the plan's
+    // xxhash64 barring collisions); duplicated grams union their covers
+    // via a correlated generate_series, survivors anti-join and
+    // reassemble in pos order — NULL clean_text = fully-duplicated doc
+    "dedup_span_removal" -> {
+      val L = SpanTokens
+      s"""WITH d AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |  FROM documents),
+         |tk AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS tok
+         |       FROM d, UNNEST(generate_series(1, len(toks))) u(i)),
+         |g AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS p,
+         |        array_to_string(list_slice(toks, i, i + $L - 1), ' ') AS gs
+         |      FROM d, UNNEST(generate_series(1, len(toks) - $L + 1)) u(i)
+         |      WHERE len(toks) >= $L),
+         |dup AS (SELECT gs FROM g GROUP BY 1 HAVING count(*) >= 2),
+         |cov AS (SELECT DISTINCT doc_id, CAST(q AS INTEGER) AS pos
+         |        FROM g JOIN dup USING (gs),
+         |          UNNEST(generate_series(g.p, g.p + $L - 1)) v(q)),
+         |s AS (SELECT tk.doc_id, tk.pos, tk.tok FROM tk
+         |      LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.pos = tk.pos
+         |      WHERE cov.doc_id IS NULL),
+         |sa AS (SELECT doc_id, count(*) AS nk,
+         |         string_agg(tok, ' ' ORDER BY pos) AS jt
+         |       FROM s GROUP BY 1)
+         |SELECT d.doc_id, len(d.toks)::BIGINT AS n_tokens,
+         |  (len(d.toks) - coalesce(sa.nk, 0))::BIGINT AS n_removed,
+         |  CASE WHEN coalesce(sa.nk, 0) > 0 THEN sa.jt END AS clean_text
+         |FROM d LEFT JOIN sa USING (doc_id)
+         |WHERE len(d.toks) >= 1
+         |ORDER BY doc_id""".stripMargin
+    },
     // first occurrence per chunk content = min (doc_id, start) over the
     // chunk's group; reassembly string_aggs surviving chunks in order —
     // NULL when every chunk of a doc was seen earlier

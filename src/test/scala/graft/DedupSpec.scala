@@ -245,4 +245,36 @@ class DedupSpec extends AnyFunSuite {
     assert(m(3L) == ((1L, 0L, null)))
     assert(m(4L) == ((2L, 2L, "p q r")))
   }
+
+  test("spanRemoval: cross-doc and intra-doc duplicated spans removed " +
+      "from ALL copies; overlapping covers union; unique docs untouched") {
+    val docs = Seq(
+      (1L, "a b c d e f"),   // shares 3-gram "a b c" with doc 2
+      (2L, "x y a b c q"),
+      (3L, "g h i g h i"),   // intra-doc: "g h i" at 0 and 3 -> fully gone
+      (4L, "m n o p"))       // unique -> untouched
+      .toDF("doc_id", "text")
+    val m = graft.ops.Dedup.spanRemoval(docs, "doc_id", "text", minTokens = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(m(1L) == ((6L, 3L, "d e f")))
+    assert(m(2L) == ((6L, 3L, "x y q")))
+    assert(m(3L) == ((6L, 6L, null)))
+    assert(m(4L) == ((4L, 0L, "m n o p")))
+  }
+
+  test("spanRemoval: a k > minTokens duplicated run is removed wholesale " +
+      "via its overlapping grams") {
+    // the shared 5-token run spans 3 overlapping 3-grams in each doc
+    val docs = Seq(
+      (1L, "u v w x y z1"),
+      (2L, "z2 u v w x y"))
+      .toDF("doc_id", "text")
+    val m = graft.ops.Dedup.spanRemoval(docs, "doc_id", "text", minTokens = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_removed"), r.getAs[String]("clean_text")))).toMap
+    assert(m(1L) == ((5L, "z1")))
+    assert(m(2L) == ((5L, "z2")))
+  }
 }
