@@ -65,8 +65,14 @@ final class FeatureStore(
     // Dynamic partition overwrite: re-registering identical content replaces
     // its own partition instead of appending duplicates (divergence from the
     // reference, which would double-insert; documented in SURVEY §7.4).
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    stamped.write.mode("overwrite").partitionBy("feature_version")
+    // As a WRITE-level option, not session conf: inside foreachBatch the
+    // micro-batch df belongs to a CLONED SparkSession, where a conf set on
+    // the store's session doesn't apply — static overwrite would then wipe
+    // every other version's partition (caught by StreamingSpec's ingest
+    // round-trip).
+    stamped.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("feature_version")
       .parquet(featuresPath)
 
     upsertMetadata(MetadataRow(

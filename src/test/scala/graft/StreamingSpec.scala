@@ -148,4 +148,56 @@ class StreamingSpec extends AnyFunSuite {
       assert(survivors == Set(1L, 3L, 5L))
     } finally q.stop()
   }
+
+  test("streaming store ingest: foreachBatch register per micro-batch; " +
+      "the latest version after the stream equals one batch register") {
+    import graft.model.{FeatureConfig, FeatureMetadata}
+    import graft.store.FeatureStore
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-store")
+      .toString
+    var tick = 0
+    val store = new FeatureStore(spark, dir,
+      clock = () => { tick += 1; f"2024-01-01T00:00:$tick%02dZ" })
+    val meta = FeatureMetadata("", "streamed features", "",
+      Seq(FeatureConfig("user_id", "int64"),
+        FeatureConfig("total_amount", "float64")))
+    val mem = MemoryStream[(Long, Double)]
+    val sdf = mem.toDF().toDF("user_id", "total_amount")
+    // the production shape: each micro-batch registers the CUMULATIVE
+    // feature relation as a new version (content-fingerprinted, so a
+    // no-data batch would re-register the same version idempotently)
+    var seen: Option[org.apache.spark.sql.DataFrame] = None
+    val versions = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = sdf.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val all = seen.map(_.unionByName(b)).getOrElse(b)
+            .localCheckpoint(true)
+          seen = Some(all)
+          versions += store.registerFeatures(all, meta)
+          ()
+        }
+      }.start()
+    try {
+      mem.addData((1L, 10.0), (2L, 20.0)); q.processAllAvailable()
+      mem.addData((3L, 30.0)); q.processAllAvailable()
+    } finally q.stop()
+    assert(versions.size == 2 && versions.distinct.size == 2)
+    // latest-version resolution picks the second (cumulative) register
+    val latest = store.getFeatures(None, useCache = false)
+    assert(latest.select("feature_version").head().getString(0) ==
+      versions.last)
+    assert(latest.count() == 3)
+    // streaming-built content == one batch register: same fingerprint
+    val batchDf3 = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      .toDF("user_id", "total_amount")
+    assert(FeatureStore.fingerprint(batchDf3) == versions.last)
+    // serve path reads the streamed store end-to-end
+    assert(store.serveFeatures(3L, None).get("total_amount") == 30.0)
+    assert(store.serveFeatures(1L, Some(versions.head))
+      .get("total_amount") == 10.0)
+    assert(store.listFeatureVersions().map(_.featureVersion) ==
+      versions.reverse.toSeq)
+  }
 }
