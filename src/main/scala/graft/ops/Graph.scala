@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -147,16 +148,25 @@ object Graph {
   /** Deterministic hash-chosen random walks — the corpus-generation step
     * of DeepWalk/node2vec-style graph embeddings (Perozzi et al. 2014):
     * from every node, a fixed-length walk whose step-r choice is the
-    * neighbor minimizing md5(start|r|neighbor) — hash-random (uniform
-    * over neighbors, independent across starts and steps) yet bit-exactly
-    * reproducible on any engine, any partitioning, any run, the same
-    * property every sampling decision in this library derives from md5.
+    * `md5(start|r) mod deg(cur)`-th neighbor of the current node in
+    * sorted-neighbor order — uniform over neighbors, independent across
+    * starts and steps, yet bit-exactly reproducible on any engine, any
+    * partitioning, any run (the md5-derived index is the [[Prep
+    * .hashBucket]] family).
     *
-    * Shape at scale: step r is ONE join of the walk frontier (|nodes|
-    * rows) against the edge list on the current endpoint + a per-start
-    * row_number argmin — no per-node state beyond the frontier row;
-    * `length` bounds the rounds. Dead-ends (no out-edge) terminate the
-    * walk early (path keeps its prefix). Returns
+    * Shape at scale — the INDEXED-adjacency formulation: the positioned
+    * adjacency (u, i, v) and per-node degrees build ONCE (one sort window
+    * over the symmetrized edges, checkpointed); each step then joins the
+    * |nodes|-row frontier against degrees to compute its index, and
+    * against the adjacency on (node, index) to fetch the chosen neighbor
+    * — O(1) work per walk per step. The earlier argmin-over-neighbors
+    * formulation (min over md5(start|r|v)) costs Σ walks·deg(cur) per
+    * step, which a celebrity hub turns quadratic: ProbeGraph measured
+    * 1052 s at 6M edges with a 600k-degree hub vs ~17 s for this shape —
+    * and the (node, index) join key is intrinsically salted, a hub's
+    * lookups spreading across its whole neighbor range instead of one hot
+    * key. `length` bounds the rounds. Dead-ends (no out-edge) terminate
+    * the walk early (path keeps its prefix). Returns
     * (start, path, end_node, steps).
     */
   def randomWalks(edges: DataFrame, aCol: String, bCol: String,
@@ -166,24 +176,28 @@ object Graph {
       col(bCol).cast("string").as("v")).distinct()
     val sym = sym0
       .union(sym0.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint()
-    var walk = sym.select(col("u").as("start")).distinct()
+      .distinct()
+    val adj = sym
+      .withColumn("i", (row_number().over(
+        Window.partitionBy(col("u")).orderBy(col("v"))) - 1).cast("long"))
+      .localCheckpoint()
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("__deg"))
+      .localCheckpoint()
+    var walk = deg.select(col("u").as("start"))
       .select(col("start"), col("start").as("cur"),
         col("start").as("path"), lit(0L).as("steps"))
     for (r <- 1 to length) {
-      // argmin via a partial-aggregable min(struct) — map-side combined,
-      // no per-start sort window (measured 14 s → ~4 s at sf0.1); the
-      // frontier has ONE row per start, so path/steps are constant within
-      // a group and the struct order is decided by (h, v) alone
-      val stepped = walk.join(sym, col("cur") === col("u"))
-        .withColumn("__h",
-          md5(concat_ws("|", col("start"), lit(r), col("v"))))
-        .groupBy("start")
-        .agg(min(struct(col("__h"), col("v"), col("path"), col("steps")))
-          .as("m"))
-        .select(col("start"), col("m.v").as("cur"),
-          concat_ws(">", col("m.path"), col("m.v")).as("path"),
-          (col("m.steps") + 1).as("steps"))
+      val stepped = walk
+        .join(deg, col("cur") === col("u")).drop("u")
+        .withColumn("__i", pmod(
+          conv(substring(md5(concat_ws("|", col("start"), lit(r))), 1, 12),
+            16, 10).cast("long"),
+          col("__deg")))
+        .drop("__deg")
+        .join(adj, col("cur") === col("u") && col("__i") === col("i"))
+        .select(col("start"), col("v").as("cur"),
+          concat_ws(">", col("path"), col("v")).as("path"),
+          (col("steps") + 1).as("steps"))
       // dead-ended walks carry forward unchanged; callers whose graph
       // provably has an out-edge everywhere (any symmetrized edge list)
       // skip the anti-join + union + per-round checkpoint entirely

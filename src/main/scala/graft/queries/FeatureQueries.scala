@@ -502,21 +502,27 @@ object FeatureQueries {
        |FROM u$KcoreRounds GROUP BY u ORDER BY node""".stripMargin
   }
 
-  // unrolled walk steps; every node of the symmetric purchase graph has
-  // an out-edge, so no dead-end branch is needed in the replay
+  // unrolled walk steps over the INDEXED adjacency (the Graph.randomWalks
+  // formulation): step r picks neighbor md5(start|r) mod deg(cur) in
+  // sorted-neighbor order — the 48-bit '0x'||substr(md5) BIGINT is the
+  // hashBucket idiom. Every node of the symmetric purchase graph has an
+  // out-edge, so no dead-end branch is needed in the replay
   private val walkSql: String = {
     val steps = (1 to WalkLength).map { r =>
-      s"""s$r AS (SELECT start, v, path FROM (
-         |  SELECT w.start, s.v, w.path || '>' || s.v AS path,
-         |    row_number() OVER (PARTITION BY w.start
-         |      ORDER BY md5(w.start || '|$r|' || s.v), s.v) AS rn
-         |  FROM w${r - 1} w JOIN sym s ON w.cur = s.u) WHERE rn = 1),
+      s"""s$r AS (SELECT w.start, a.v, w.path || '>' || a.v AS path
+         |  FROM w${r - 1} w
+         |  JOIN deg d ON w.cur = d.u
+         |  JOIN adj a ON a.u = w.cur AND a.i =
+         |    ('0x' || substr(md5(w.start || '|$r'), 1, 12))::BIGINT % d.deg),
          |w$r AS (SELECT start, v AS cur, path FROM s$r)""".stripMargin
     }.mkString(",\n")
     s"""WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS u,
        |             's' || l_suppkey AS v
        |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
        |sym AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+       |adj AS (SELECT u, v, row_number()
+       |          OVER (PARTITION BY u ORDER BY v) - 1 AS i FROM sym),
+       |deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY 1),
        |w0 AS (SELECT u AS start, u AS cur, u AS path
        |       FROM (SELECT DISTINCT u FROM sym)),
        |$steps
