@@ -539,4 +539,70 @@ object Eval {
         round(col("n_pos").cast(DoubleType) / col("n"), 9).as("pos_rate"),
         col("iso_rate"))
   }
+
+  /** ROUGE-N over paired (reference, candidate) texts (Lin 2004) — the
+    * clipped n-gram overlap metric: n_match = Σ_g min(count_ref(g),
+    * count_cand(g)), precision = n_match / |cand grams|, recall =
+    * n_match / |ref grams|, F1 the harmonic mean of the two ROUNDED
+    * values (one fixed IEEE sequence, mirrored in the oracle). Beyond
+    * summarization eval, this is the per-document *damage audit* for any
+    * destructive text transform — candidate = the transform's output,
+    * reference = the original (the registered query pairs each document
+    * with its [[Dedup.spanRemoval]] survivor text).
+    *
+    * Shape at scale: grams carry 64-bit xxhash64 identities (never window
+    * strings — the [[Dedup.spanRemoval]] collision argument); per-side
+    * counts collapse map-side on (pair, gram) in ONE shuffle; the clip is
+    * an inner join of the two bounded count relations (a gram absent on
+    * either side clips to 0 and cannot contribute). Per-row arrays never
+    * exceed token count, and nothing is quadratic in document length —
+    * the zero-shuffle alternative (per-row nested array intersection) is
+    * O(len²) per document and loses to this shape on any long document.
+    *
+    * NULL conventions (mirrored in SQL): precision NULL when the
+    * candidate has no grams, recall NULL when the reference has none, F1
+    * NULL when either input rate is NULL and 0 when both rates are 0.
+    * Returns (pair_id, n_ref_grams, n_cand_grams, n_match, precision,
+    * recall, f1).
+    */
+  def rougeN(pairs: DataFrame, idCol: String, refCol: String,
+      candCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    def toks(c: Column): Column =
+      filter(split(coalesce(c, lit("")), " "), s => s =!= "")
+    def gramHashes(c: Column): Column = {
+      val t = toks(c)
+      when(size(t) >= n, transform(sequence(lit(0), size(t) - n),
+        i => xxhash64((1 to n).map(j => element_at(t, i + j)): _*)))
+        .otherwise(array().cast("array<bigint>"))
+    }
+    val base = pairs.select(col(idCol).as("pair_id"),
+      gramHashes(col(refCol)).as("__rg"),
+      gramHashes(col(candCol)).as("__cg")).localCheckpoint()
+    def sideCounts(side: String, cname: String): DataFrame = base
+      .select(col("pair_id"), explode(col(side)).as("g"))
+      .groupBy("pair_id", "g").agg(count(lit(1)).as(cname))
+    val clip = sideCounts("__rg", "__cr")
+      .join(sideCounts("__cg", "__cc"), Seq("pair_id", "g"))
+      .groupBy("pair_id")
+      .agg(sum(least(col("__cr"), col("__cc"))).as("__m"))
+    val p = round(col("n_match").cast(DoubleType) / col("n_cand_grams"), 9)
+    val r = round(col("n_match").cast(DoubleType) / col("n_ref_grams"), 9)
+    base
+      .select(col("pair_id"),
+        size(col("__rg")).cast("long").as("n_ref_grams"),
+        size(col("__cg")).cast("long").as("n_cand_grams"))
+      .join(clip, Seq("pair_id"), "left_outer")
+      .withColumn("n_match", coalesce(col("__m"), lit(0L)))
+      .withColumn("precision", when(col("n_cand_grams") > 0, p))
+      .withColumn("recall", when(col("n_ref_grams") > 0, r))
+      .withColumn("f1",
+        when(col("precision").isNull || col("recall").isNull,
+          lit(null).cast(DoubleType))
+          .when(col("precision") + col("recall") === 0.0, lit(0.0))
+          .otherwise(round(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall")), 9)))
+      .select("pair_id", "n_ref_grams", "n_cand_grams", "n_match",
+        "precision", "recall", "f1")
+  }
 }

@@ -168,7 +168,30 @@ object EvalQueries {
     Eval.brierDecomposition(calibrationClicks(spark, dir),
       "n", "n_pos", "avg_prob")
 
+  private val RougeSpanTokens = 8
+  private val RougeN = 2
+
+  /** ROUGE-2 damage audit of exact-substring span removal
+    * ([[graft.ops.Eval.rougeN]] pairing each document's original text
+    * with its [[graft.ops.Dedup.spanRemoval]] survivor text) — recall =
+    * fraction of the document's bigram mass the dedup transform kept,
+    * precision = 1 unless removal fabricated adjacencies (tokens that
+    * became neighbors only because the span between them was cut — those
+    * candidate bigrams never occur in the reference, which is exactly
+    * what ROUGE precision detects).
+    */
+  def rougeDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cleaned = graft.ops.Dedup.spanRemoval(docs, "doc_id", "text",
+        minTokens = RougeSpanTokens)
+      .select(col("doc_id"), col("clean_text"))
+    Eval.rougeN(docs.join(cleaned, Seq("doc_id")),
+        "doc_id", "text", "clean_text", RougeN)
+      .orderBy("pair_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_rouge_dedup" -> rougeDedup,
     "eval_auc_clicks" -> aucClicks,
     "eval_avg_precision" -> averagePrecisionClicks,
     "eval_mcnemar" -> mcnemarClicksViews,
@@ -223,6 +246,70 @@ object EvalQueries {
        |  FROM lab GROUP BY 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // span-removal replay (the dedup_span_removal oracle chain at the
+    // same 8-gram) feeding a clipped-bigram overlap; gram identity by
+    // STRING (plan uses xxhash64 — equality classes identical barring
+    // collisions, the established span-oracle convention); f1 computes
+    // from the ROUNDED p/r doubles exactly as the plan does
+    "eval_rouge_dedup" -> {
+      val L = RougeSpanTokens
+      s"""WITH d AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |  FROM documents),
+         |g AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS p,
+         |        array_to_string(list_slice(toks, i, i + $L - 1), ' ') AS gs
+         |      FROM d, UNNEST(generate_series(1, len(toks) - $L + 1)) u(i)
+         |      WHERE len(toks) >= $L),
+         |dup AS (SELECT gs FROM g GROUP BY 1 HAVING count(*) >= 2),
+         |cov AS (SELECT DISTINCT doc_id, CAST(q AS INTEGER) AS pos
+         |        FROM g JOIN dup USING (gs),
+         |          UNNEST(generate_series(g.p, g.p + $L - 1)) v(q)),
+         |tk AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS tok
+         |       FROM d, UNNEST(generate_series(1, len(toks))) u(i)),
+         |s AS (SELECT tk.doc_id, tk.pos, tk.tok FROM tk
+         |      LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.pos = tk.pos
+         |      WHERE cov.doc_id IS NULL),
+         |sa AS (SELECT doc_id, count(*) AS nk,
+         |         string_agg(tok, ' ' ORDER BY pos) AS jt
+         |       FROM s GROUP BY 1),
+         |pr AS (SELECT d.doc_id AS pair_id, d.toks AS rt,
+         |         list_filter(string_split(coalesce(
+         |           CASE WHEN coalesce(sa.nk, 0) > 0 THEN sa.jt END, ''),
+         |           ' '), t -> t <> '') AS ct
+         |       FROM d LEFT JOIN sa USING (doc_id)
+         |       WHERE len(d.toks) >= 1),
+         |rg AS (SELECT pair_id,
+         |         array_to_string(list_slice(rt, i, i + ${RougeN - 1}), ' ') AS gr
+         |       FROM pr, UNNEST(generate_series(1, len(rt) - ${RougeN - 1})) u(i)
+         |       WHERE len(rt) >= $RougeN),
+         |cg AS (SELECT pair_id,
+         |         array_to_string(list_slice(ct, i, i + ${RougeN - 1}), ' ') AS gr
+         |       FROM pr, UNNEST(generate_series(1, len(ct) - ${RougeN - 1})) u(i)
+         |       WHERE len(ct) >= $RougeN),
+         |rc AS (SELECT pair_id, gr, count(*) AS cr FROM rg GROUP BY 1, 2),
+         |cc AS (SELECT pair_id, gr, count(*) AS cc FROM cg GROUP BY 1, 2),
+         |m AS (SELECT pair_id, CAST(sum(least(rc.cr, cc.cc)) AS BIGINT) AS mt
+         |      FROM rc JOIN cc USING (pair_id, gr) GROUP BY 1),
+         |t AS (SELECT pair_id,
+         |        greatest(len(rt) - ${RougeN - 1}, 0)::BIGINT AS nr,
+         |        greatest(len(ct) - ${RougeN - 1}, 0)::BIGINT AS nc
+         |      FROM pr),
+         |sel AS (SELECT t.pair_id, t.nr AS n_ref_grams, t.nc AS n_cand_grams,
+         |          coalesce(m.mt, 0) AS n_match,
+         |          CASE WHEN t.nc > 0
+         |            THEN round(coalesce(m.mt, 0) / (t.nc * 1.0), 9)
+         |          END AS prec,
+         |          CASE WHEN t.nr > 0
+         |            THEN round(coalesce(m.mt, 0) / (t.nr * 1.0), 9)
+         |          END AS rec
+         |        FROM t LEFT JOIN m USING (pair_id))
+         |SELECT pair_id, n_ref_grams, n_cand_grams, n_match,
+         |  prec AS "precision", rec AS recall,
+         |  CASE WHEN prec IS NULL OR rec IS NULL THEN NULL
+         |       WHEN prec + rec = 0 THEN 0.0
+         |       ELSE round(2.0 * prec * rec / (prec + rec), 9) END AS f1
+         |FROM sel ORDER BY pair_id""".stripMargin
+    },
     // all-integer utility sweep over the distinct-score grid; ties break
     // to the highest threshold
     "eval_best_threshold" ->

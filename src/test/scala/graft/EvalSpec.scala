@@ -270,4 +270,56 @@ class EvalSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_covered") == r.getAs[Long]("n_test"))
     assert(r.getAs[Double]("coverage") == 1.0)
   }
+
+  test("rougeN: hand-computed bigram overlap, clipping, and NULL edges") {
+    val spark2 = spark
+    import spark2.implicits._
+    val pairs = Seq(
+      // ref "a b c d" grams {ab,bc,cd}; cand "a b c" grams {ab,bc}:
+      // match 2, P = 1, R = 2/3, F1 = 2·1·(2/3)/(5/3) = 0.8
+      (1L, "a b c d", "a b c"),
+      // clipping: ref "a a a" has gram aa×2, cand "a a" has aa×1 →
+      // match min(2,1)=1, P = 1, R = 0.5, F1 = 2/3
+      (2L, "a a a", "a a"),
+      // no overlap: P = 0, R = 0, F1 = 0 (not NULL, not NaN)
+      (3L, "a b", "c d"),
+      // cand below gram length → precision NULL, recall NULL-safe 0
+      (4L, "a b c", "x"),
+      // NULL cand (the spanRemoval fully-duplicated case) ≡ empty
+      (5L, "a b c", null),
+      // ref below gram length → recall NULL
+      (6L, "a", "a b")).toDF("id", "ref", "cand")
+    val r = Eval.rougeN(pairs, "id", "ref", "cand", 2)
+      .collect().map(x => x.getAs[Long]("pair_id") -> x).toMap
+    def d(id: Long, c: String): Double = r(id).getAs[Double](c)
+    assert(d(1, "precision") == 1.0 && d(1, "recall") == 0.666666667 &&
+      d(1, "f1") == 0.8)
+    assert(r(1).getAs[Long]("n_match") == 2)
+    assert(r(2).getAs[Long]("n_match") == 1 && d(2, "recall") == 0.5 &&
+      d(2, "f1") == 0.666666667)
+    assert(d(3, "precision") == 0.0 && d(3, "f1") == 0.0)
+    assert(r(4).isNullAt(r(4).fieldIndex("precision")) &&
+      r(4).isNullAt(r(4).fieldIndex("f1")) && d(4, "recall") == 0.0)
+    assert(r(5).getAs[Long]("n_cand_grams") == 0 &&
+      r(5).isNullAt(r(5).fieldIndex("precision")))
+    assert(r(6).getAs[Long]("n_ref_grams") == 0 &&
+      r(6).isNullAt(r(6).fieldIndex("recall")) &&
+      r(6).isNullAt(r(6).fieldIndex("f1")))
+  }
+
+  test("rougeN: identical texts score 1.0 everywhere; ROUGE-1 word mode") {
+    val spark2 = spark
+    import spark2.implicits._
+    val pairs = Seq((1L, "x y z x", "x y z x")).toDF("id", "ref", "cand")
+    val r2 = Eval.rougeN(pairs, "id", "ref", "cand", 2).collect()(0)
+    assert(r2.getAs[Double]("f1") == 1.0 &&
+      r2.getAs[Long]("n_match") == 3)
+    // ROUGE-1: unigram clipping — cand "x x y" vs ref "x y z x":
+    // x min(2,2)=2, y min(1,1)=1 → match 3 of cand 3 / ref 4
+    val p1 = Seq((1L, "x y z x", "x x y")).toDF("id", "ref", "cand")
+    val r1 = Eval.rougeN(p1, "id", "ref", "cand", 1).collect()(0)
+    assert(r1.getAs[Long]("n_match") == 3 &&
+      r1.getAs[Double]("precision") == 1.0 &&
+      r1.getAs[Double]("recall") == 0.75)
+  }
 }
