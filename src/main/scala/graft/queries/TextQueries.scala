@@ -267,7 +267,20 @@ object TextQueries {
           s => s.getField("sym")), " ")).as("enc_digest"))
       .orderBy("doc_id")
 
+  val BpeLearnRounds = 6
+
+  /** BPE merge learning on the corpus ([[graft.ops.TokenModels
+    * .bpeLearn]], 6 rounds): the learned merges table
+    * (merge_rank, a, b, pair_count) — count-argmax-merge iterations with
+    * count ties broken to the lexicographically smallest pair.
+    */
+  def bpeLearn(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TokenModels.bpeLearn(Tables.documents(spark, dir),
+        "doc_id", "text", BpeLearnRounds)
+      .orderBy("merge_rank")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_learn" -> bpeLearn,
     "text_bpe_encode" -> bpeEncode,
     "text_posting_lists" -> postingLists,
     "text_normalize" -> normalizeText,
@@ -726,7 +739,69 @@ object TextQueries {
          |    AS doc_fingerprint
          |FROM h ORDER BY doc_id""".stripMargin,
     "text_bm25_topk" -> bm25Sql,
-    "text_bpe_encode" -> bpeSql)
+    "text_bpe_encode" -> bpeSql,
+    "text_bpe_learn" -> bpeLearnSql)
+
+  /** BPE LEARNING oracle: each round recounts adjacent pairs from the
+    * previous state, takes the argmax (count DESC, then lexicographic
+    * (a, b) — pure-ASCII symbols, binary collation on both engines), and
+    * applies that single merge with the same greedy left-to-right CTE
+    * machinery as [[bpeSql]] (rnk = 0 constant, so the min-rank guard
+    * degenerates but the shape stays the verbatim twin).
+    */
+  private lazy val bpeLearnSql: String = {
+    val rounds = (1 to BpeLearnRounds).map { r =>
+      s"""j$r AS (SELECT doc_id, word_id, pos, sym,
+         |    lead(sym) OVER (PARTITION BY doc_id, word_id ORDER BY pos)
+         |      AS nxt
+         |  FROM s${r - 1}),
+         |b$r AS (SELECT sym AS a, nxt AS b, count(*) AS cnt, 0 AS rnk
+         |  FROM j$r WHERE nxt IS NOT NULL GROUP BY sym, nxt
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |q$r AS (SELECT j.*, m.rnk FROM j$r j LEFT JOIN b$r m
+         |  ON m.a = j.sym AND m.b = j.nxt),
+         |o$r AS (SELECT *,
+         |    min(rnk) OVER (PARTITION BY doc_id, word_id) AS minr
+         |  FROM q$r),
+         |c$r AS (SELECT *, (rnk IS NOT NULL AND rnk = minr) AS isocc,
+         |    sum(CASE WHEN rnk IS NOT NULL AND rnk = minr
+         |        THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id, word_id ORDER BY pos) AS occidx
+         |  FROM o$r),
+         |g$r AS (SELECT *, CASE WHEN isocc THEN pos - occidx END AS grp
+         |  FROM c$r),
+         |h$r AS (SELECT *, CASE WHEN isocc THEN pos -
+         |      min(CASE WHEN isocc THEN pos END)
+         |        OVER (PARTITION BY doc_id, word_id, grp) END AS runpos
+         |  FROM g$r),
+         |k$r AS (SELECT *, coalesce(isocc AND runpos % 2 = 0, false)
+         |    AS mrg
+         |  FROM h$r),
+         |l$r AS (SELECT *, coalesce(lag(mrg)
+         |      OVER (PARTITION BY doc_id, word_id ORDER BY pos), false)
+         |    AS dropme
+         |  FROM k$r),
+         |s$r AS (SELECT doc_id, word_id,
+         |    row_number() OVER (PARTITION BY doc_id, word_id
+         |      ORDER BY pos) - 1 AS pos,
+         |    CASE WHEN mrg THEN sym || nxt ELSE sym END AS sym
+         |  FROM l$r WHERE NOT dropme)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeLearnRounds).map(r =>
+      s"SELECT ${r - 1} AS merge_rank, a, b, CAST(cnt AS BIGINT) AS pair_count FROM b$r")
+      .mkString("\n", "\nUNION ALL ", "")
+    s"""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+')
+       |        AS ws FROM documents),
+       |wd AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS word_id,
+       |    ws[i] AS word
+       |  FROM w, UNNEST(generate_series(1, len(ws))) u(i)),
+       |s0 AS (SELECT doc_id, word_id, CAST(j - 1 AS INTEGER) AS pos,
+       |    substr(word, j, 1) AS sym
+       |  FROM wd, UNNEST(generate_series(1, length(word))) v(j)),
+       |$rounds
+       |SELECT * FROM ($out)
+       |ORDER BY merge_rank""".stripMargin
+  }
 
   /** BM25 oracle SQL, shared with the RRF fusion oracle
     * ([[SimilarityQueries]]) so both engines' lexical ranking comes from

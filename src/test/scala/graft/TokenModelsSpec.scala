@@ -142,4 +142,38 @@ class TokenModelsSpec extends AnyFunSuite {
     assert(out(0) == Seq("z", "z", "z"))
     assert(out(1) == Seq("q", "q"))
   }
+
+  test("bpeLearn: count-argmax-merge rounds reach the hand-computed " +
+      "merges and stop early when pairs run out") {
+    val spark2 = spark
+    import spark2.implicits._
+    // "aba aba cab": (a,b)=3 (b,a)=2 (c,a)=1 → learn (a,b);
+    // state ab|a, ab|a, c|ab → (ab,a)=2 (c,ab)=1 → learn (ab,a);
+    // state aba, aba, c|ab → learn (c,ab) cnt 1; round 4 has no pairs
+    val doc = Seq((1L, "aba aba cab")).toDF("doc_id", "text")
+    val m = graft.ops.TokenModels.bpeLearn(doc, "doc_id", "text", 4)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getAs[Int]("merge_rank"), r.getAs[String]("a"),
+        r.getAs[String]("b"), r.getAs[Long]("pair_count"))).toSeq
+    assert(m == Seq((0, "a", "b", 3L), (1, "ab", "a", 2L),
+      (2, "c", "ab", 1L)))
+  }
+
+  test("bpeLearn: count ties break to the lexicographically smallest " +
+      "pair; learned merges replay through bpeEncode") {
+    val spark2 = spark
+    import spark2.implicits._
+    val doc = Seq((1L, "xy yx xy yx")).toDF("doc_id", "text")
+    val m = graft.ops.TokenModels.bpeLearn(doc, "doc_id", "text", 1)
+      .collect().map(r => (r.getAs[Int]("merge_rank"),
+        r.getAs[String]("a"), r.getAs[String]("b"),
+        r.getAs[Long]("pair_count"))).toSeq
+    assert(m == Seq((0, "x", "y", 2L))) // (x,y) and (y,x) tie at 2
+    // applying the learned table reproduces the learner's final state
+    val learned = m.map { case (_, a, b, _) => (a, b) }
+    val out = bpeSyms(graft.ops.TokenModels.bpeEncode(doc, "doc_id",
+      "text", learned, maxRounds = 1))
+    assert(out(0) == Seq("xy") && out(1) == Seq("y", "x"))
+    assert(out(2) == Seq("xy") && out(3) == Seq("y", "x"))
+  }
 }
