@@ -954,4 +954,86 @@ object Similarity {
             (col("__si").cast("double") / col("n")) *
             (col("__sj").cast("double") / col("n")), 9).as("cov"))
   }
+
+  /** Fully-relational fixed-round Lloyd's k-means over the embedding
+    * corpus (Lloyd 1982) — the cluster-structure read on the WHOLE corpus
+    * that [[graft.ops.Ivf.fitCentroids]]'s bounded-sample driver fit
+    * deliberately is not: every assignment and every centroid update is a
+    * DataFrame op, so the result is engine-replayable and the pass scales
+    * with the cluster, not the driver. Semantic-clustering curation
+    * (cluster-balanced sampling, SemDeDup cell structure, topic buckets)
+    * wants exactly this corpus-wide pass.
+    *
+    * Determinism discipline (the [[graft.ops.Graph.pageRank]] replay
+    * rules): elements round to 9 dp DECIMAL(12,9) once; distances are
+    * EXACT DECIMAL sums of squared diffs (diff re-bounded to
+    * DECIMAL(14,9) so the square stays inside precision 38 instead of
+    * silently losing scale); per-point argmin ties break to the smallest
+    * cluster id via min-struct (partial-aggregable, map-side combined);
+    * centroid update = exact DECIMAL sum, ONE IEEE division, round 9 —
+    * so a DuckDB oracle replays every round bit-identically. Seeds are
+    * the k ids smallest by md5(id) (hash-random yet engine-stable — the
+    * library-wide sampling rule). Empty clusters keep their previous
+    * centroid.
+    *
+    * Per round: one broadcast join of the (id, dim, x) relation against
+    * the k·d centroid relation + two partial-aggregable shuffles
+    * ((id, cid) distance collapse, (cid, dim) mean). Σ work = N·k·d —
+    * the canonical Lloyd cost, never quadratic in N.
+    *
+    * Returns (cid, dim, centroid, n_members): the final centroid relation
+    * in long form with final-assignment member counts (0 for clusters
+    * that emptied).
+    */
+  def kmeansFit(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    import org.apache.spark.sql.types.DecimalType
+    val D9 = DecimalType(18, 9)
+    val X9 = DecimalType(12, 9)
+    val Dif = DecimalType(14, 9)
+    val x = emb.select(col(idCol).cast("long").as("id"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "__xd")))
+      .select(col("id"), col("dim"),
+        round(col("__xd"), 9).cast(X9).as("x9"))
+      .localCheckpoint()
+    // k hash-smallest ids seed the centroids (row_number over k rows)
+    val seeds = x.select("id").distinct()
+      .withColumn("__h", md5(col("id").cast("string")))
+      .orderBy(col("__h"), col("id")).limit(k)
+      .withColumn("cid", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__h"), col("id"))) - 1)
+      .select("id", "cid")
+    var cents = seeds.join(x, Seq("id"))
+      .select(col("cid"), col("dim"), col("x9").cast(D9).as("c"))
+      .localCheckpoint()
+    var assign: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val diff = (col("x9") - col("c")).cast(Dif)
+      assign = x.join(broadcast(cents), Seq("dim"))
+        .groupBy(col("id"), col("cid"))
+        .agg(sum(diff * diff).as("__dist"))
+        .groupBy("id")
+        .agg(min(struct(col("__dist"), col("cid"))).as("__m"))
+        .select(col("id"), col("__m.cid").as("cid"))
+        .localCheckpoint()
+      val fresh = assign.join(x, Seq("id"))
+        .groupBy("cid", "dim")
+        .agg(round(sum(col("x9")).cast("double") / count(lit(1)), 9)
+          .cast(D9).as("__cn"))
+      cents = cents.select(col("cid"), col("dim"), col("c").as("__cp"))
+        .join(fresh, Seq("cid", "dim"), "left_outer")
+        .select(col("cid"), col("dim"),
+          coalesce(col("__cn"), col("__cp")).as("c"))
+        .localCheckpoint()
+    }
+    val sizes = assign.groupBy("cid").agg(count(lit(1)).as("n_members"))
+    cents.join(sizes, Seq("cid"), "left_outer")
+      .select(col("cid").cast("long").as("cid"),
+        col("dim").cast("long").as("dim"),
+        col("c").cast("double").as("centroid"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"))
+  }
 }

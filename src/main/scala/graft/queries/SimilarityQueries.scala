@@ -400,7 +400,20 @@ object SimilarityQueries {
       "vec_id", "embedding", queryId = 0L, prefixDims = PrefixDims,
       candidates = BinaryCandidates, k = BinaryK)
 
+  private val KmeansK = 4
+  private val KmeansRounds = 3
+
+  /** Corpus-wide relational k-means ([[graft.ops.Similarity.kmeansFit]],
+    * 4 clusters, 3 Lloyd rounds, md5-smallest seeds): final centroid
+    * relation in long form + final member counts.
+    */
+  def kmeans(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansFit(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", KmeansK, KmeansRounds)
+      .orderBy("cid", "dim")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_kmeans" -> kmeans,
     "sim_binary_topk" -> binaryTopK,
     "sim_prefix_rerank" -> prefixRerank,
     "sim_top_eigvec" -> topEigvec,
@@ -793,6 +806,49 @@ object SimilarityQueries {
          |SELECT method, n_retrieved, n_hits,
          |  round(CAST(n_hits AS DOUBLE) / $K, 9) AS recall
          |FROM s ORDER BY method""".stripMargin
+    },
+    // relational Lloyd replay: per-round CTEs recompute exact-DECIMAL
+    // distances (diff re-bounded to DECIMAL(14,9) before squaring, the
+    // plan's precision-38 guard), argmin by min-struct (d, cid), and
+    // centroid means as exact sums + ONE double division rounded 9 dp —
+    // iteration state is bit-identical to the plan's
+    "sim_kmeans" -> {
+      val roundsSql = (1 to KmeansRounds).map { r =>
+        s"""d$r AS (SELECT x.id, c.cid,
+           |    sum(CAST((x.x9 - c.c) AS DECIMAL(14,9)) *
+           |        CAST((x.x9 - c.c) AS DECIMAL(14,9))) AS dist
+           |  FROM x JOIN c${r - 1} c USING (dim) GROUP BY 1, 2),
+           |a$r AS (SELECT id,
+           |    struct_extract(min(struct_pack(d := dist, c := cid)), 'c')
+           |      AS cid
+           |  FROM d$r GROUP BY id),
+           |f$r AS (SELECT a.cid, x.dim,
+           |    CAST(round(CAST(sum(x.x9) AS DOUBLE) / count(*), 9)
+           |      AS DECIMAL(18,9)) AS cn
+           |  FROM a$r a JOIN x USING (id) GROUP BY 1, 2),
+           |c$r AS (SELECT p.cid, p.dim, coalesce(f.cn, p.c) AS c
+           |  FROM c${r - 1} p LEFT JOIN f$r f
+           |    ON f.cid = p.cid AND f.dim = p.dim)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH x AS (
+         |  SELECT vec_id AS id, CAST(i - 1 AS BIGINT) AS dim,
+         |    CAST(round(embedding[i]::DOUBLE, 9) AS DECIMAL(12,9)) AS x9
+         |  FROM embeddings, UNNEST(generate_series(1, $Dim)) u(i)),
+         |sd AS (SELECT id,
+         |    row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1
+         |      AS cid
+         |  FROM (SELECT DISTINCT id FROM x)
+         |  QUALIFY row_number()
+         |    OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) <= $KmeansK),
+         |c0 AS (SELECT sd.cid, x.dim, CAST(x.x9 AS DECIMAL(18,9)) AS c
+         |  FROM sd JOIN x USING (id)),
+         |$roundsSql,
+         |sz AS (SELECT cid, count(*) AS n_members
+         |       FROM a$KmeansRounds GROUP BY 1)
+         |SELECT c.cid, c.dim, CAST(c.c AS DOUBLE) AS centroid,
+         |  coalesce(sz.n_members, 0) AS n_members
+         |FROM c$KmeansRounds c LEFT JOIN sz USING (cid)
+         |ORDER BY cid, dim""".stripMargin
     },
     "sim_centroids" ->
       s"""WITH pe AS (

@@ -439,4 +439,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(m((1L, 2L)) == 0.0)
     assert(rows.forall(_.getAs[Long]("n") == 4))
   }
+
+  test("kmeansFit: hand-computed 1-D clusters with md5-smallest seeds") {
+    val spark2 = spark
+    import spark2.implicits._
+    // md5("1") < md5("2") < md5("0") < md5("3") → seeds: id 1 (cid 0,
+    // c=1.0), id 2 (cid 1, c=10.0). Round 1: {0,1}→cid0, {10,11}→cid1;
+    // centroids 0.5 / 10.5; rounds 2-3 stable.
+    val emb = Seq((0L, Seq(0.0f)), (1L, Seq(1.0f)),
+      (2L, Seq(10.0f)), (3L, Seq(11.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.kmeansFit(emb, "vec_id", "embedding", 2, 3)
+      .orderBy("cid").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Double]("centroid") == 0.5 &&
+      r(0).getAs[Long]("n_members") == 2)
+    assert(r(1).getAs[Double]("centroid") == 10.5 &&
+      r(1).getAs[Long]("n_members") == 2)
+  }
+
+  test("kmeansFit: distance ties assign to the smallest cid; emptied " +
+      "clusters keep their previous centroid with n_members 0") {
+    val spark2 = spark
+    import spark2.implicits._
+    // both points sit at 0 → both seed clusters start at 0, every
+    // assignment ties → argmin cid 0 wins; cid 1 empties but keeps c=0
+    val emb = Seq((0L, Seq(0.0f)), (1L, Seq(0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.kmeansFit(emb, "vec_id", "embedding", 2, 2)
+      .orderBy("cid").collect()
+    assert(r(0).getAs[Long]("n_members") == 2)
+    assert(r(1).getAs[Long]("n_members") == 0 &&
+      r(1).getAs[Double]("centroid") == 0.0)
+  }
+
+  test("kmeansFit: result is invariant to input partitioning") {
+    val spark2 = spark
+    import spark2.implicits._
+    val emb = (0L until 40L).map(i =>
+      (i, Seq(((i % 7).toFloat - 3f) / 3f, (i % 5).toFloat / 5f)))
+      .toDF("vec_id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.kmeansFit(df, "vec_id", "embedding", 3, 2)
+        .orderBy("cid", "dim").collect()
+        .map(x => (x.getAs[Long]("cid"), x.getAs[Long]("dim"),
+          x.getAs[Double]("centroid"), x.getAs[Long]("n_members"))).toSeq
+    assert(run(emb.repartition(13)) == run(emb.coalesce(1)))
+  }
 }
