@@ -106,4 +106,52 @@ object Sketches {
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
         .as("approx_active"))
   }
+
+  private def cmCells(value: org.apache.spark.sql.Column, width: Int,
+      depth: Int): org.apache.spark.sql.Column =
+    explode(array((0 until depth).map(s =>
+      struct(lit(s).as("seed"),
+        Prep.hashBucket(
+          concat_ws("|", lit(s).cast("string"), value.cast("string")),
+          width).as("bucket"))): _*))
+
+  /** Count-min sketch build (Cormode & Muthukrishnan 2005) — the
+    * mergeable frequency summary for term universes too large to count
+    * exactly (the point-query sibling of the HLL distinct sketch above,
+    * and the sketch-per-ingest-batch shape: depth×width cells persist per
+    * batch and MERGE BY ADDITION, so historical frequencies answer
+    * without rescanning events). Each row increments one bucket per seed
+    * row: bucket = md5(seed|value) mod width — the library's engine-
+    * stable hash idiom ([[graft.ops.Prep.hashBucket]]), so any SQL engine
+    * reproduces the sketch cell-for-cell.
+    *
+    * Shape at scale: ONE pass (per-row explode of `depth` cells), one
+    * partial-aggregable shuffle bounded by depth×width cells — never by
+    * the value universe. Returns (seed, bucket, cnt).
+    */
+  def countMinBuild(df: DataFrame, valueCol: org.apache.spark.sql.Column,
+      width: Int, depth: Int): DataFrame = {
+    require(width > 1, s"width must be > 1: $width")
+    require(depth >= 1, s"depth must be >= 1: $depth")
+    df.select(cmCells(valueCol, width, depth).as("__c"))
+      .select(col("__c.seed").as("seed"), col("__c.bucket").as("bucket"))
+      .groupBy("seed", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Count-min point estimates for a probe relation: est(v) = min over
+    * seeds of the sketch cell count — ≥ the true frequency always
+    * (one-sided error, spec-pinned), within εn with probability 1−δ for
+    * width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉. The sketch is depth×width rows and
+    * broadcasts; probes never touch the original data.
+    */
+  def countMinEstimate(sketch: DataFrame,
+      probes: DataFrame, probeCol: org.apache.spark.sql.Column,
+      width: Int, depth: Int): DataFrame =
+    probes.select(probeCol.cast("string").as("value")).distinct()
+      .select(col("value"), cmCells(col("value"), width, depth).as("__c"))
+      .select(col("value"), col("__c.seed").as("seed"),
+        col("__c.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("seed", "bucket"), "left_outer")
+      .groupBy("value")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 }

@@ -144,7 +144,32 @@ object ScaleQueries {
         windowDays = 7)
       .orderBy("day")
 
+  private val CmWidth = 64
+  private val CmDepth = 3
+
+  /** Count-min frequency estimates for every user over the event stream
+    * ([[graft.ops.Sketches.countMinBuild]]/`countMinEstimate`, width 64 ×
+    * depth 3 — width deliberately far below the user count so bucket
+    * collisions actually happen) joined with the exact counts: overcount
+    * = est − exact ≥ 0 is the sketch's one-sided error, measured
+    * per value.
+    */
+  def countMin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val sketch = graft.ops.Sketches.countMinBuild(ev, col("user_id"),
+      CmWidth, CmDepth)
+    val est = graft.ops.Sketches.countMinEstimate(sketch, ev,
+      col("user_id"), CmWidth, CmDepth)
+    val exact = ev.groupBy(col("user_id").cast("string").as("value"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    est.join(exact, Seq("value"))
+      .select(col("value"), col("est"), col("exact_cnt"),
+        (col("est") - col("exact_cnt")).as("overcount"))
+      .orderBy("value")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scale_countmin" -> countMin,
     "skew_salted_agg" -> skewSaltedAgg,
     "skew_salted_join" -> skewSaltedJoin,
     "sample_hash_bucket" -> sampleHashBucket,
@@ -155,6 +180,29 @@ object ScaleQueries {
     "scale_approx_quantiles" -> approxQuantiles)
 
   val oracle: Map[String, String] = Map(
+    // cell-for-cell sketch replay on the shared md5 hash idiom; est =
+    // min over the depth seeds' buckets, always ≥ exact (one-sided)
+    "scale_countmin" -> {
+      val seeds = (0 until CmDepth).mkString("[", ", ", "]")
+      def bucket(v: String) =
+        s"('0x' || substr(md5(CAST(s.seed AS VARCHAR) || '|' || $v), 1, 12))::BIGINT % $CmWidth"
+      s"""WITH v AS (SELECT CAST(user_id AS VARCHAR) AS value FROM events),
+         |cells AS (SELECT s.seed, ${bucket("value")} AS bucket
+         |          FROM v, (SELECT unnest($seeds) AS seed) s),
+         |sk AS (SELECT seed, bucket, count(*) AS cnt
+         |       FROM cells GROUP BY 1, 2),
+         |pv AS (SELECT DISTINCT value FROM v),
+         |pc AS (SELECT value, s.seed, ${bucket("value")} AS bucket
+         |       FROM pv, (SELECT unnest($seeds) AS seed) s),
+         |est AS (SELECT value, min(coalesce(sk.cnt, 0)) AS est
+         |        FROM pc LEFT JOIN sk USING (seed, bucket) GROUP BY 1),
+         |ex AS (SELECT CAST(user_id AS VARCHAR) AS value,
+         |         count(*) AS exact_cnt
+         |       FROM events GROUP BY 1)
+         |SELECT e.value, e.est, x.exact_cnt,
+         |  e.est - x.exact_cnt AS overcount
+         |FROM est e JOIN ex x USING (value) ORDER BY value""".stripMargin
+    },
     "skew_salted_agg" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

@@ -80,4 +80,48 @@ class SketchesSpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect()
     assert(got.toSeq == Seq(("only", 100L, 100L)))
   }
+
+  test("countMin: estimates are one-sided (est ≥ exact), exact when the " +
+      "sketch is wide, and invariant to partitioning") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    // 500 rows over 40 values, zipf-ish: value v appears 1 + (v % 13)·3
+    val rows = (0 until 40).flatMap(v =>
+      Seq.fill(1 + (v % 13) * 3)(s"u$v"))
+    val df = rows.toDF("u")
+    val exact = rows.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    // narrow sketch: collisions certain → est ≥ exact everywhere
+    val narrow = Sketches.countMinBuild(df, col("u"), 8, 3)
+    val estN = Sketches.countMinEstimate(narrow, df, col("u"), 8, 3)
+      .as[(String, Long)].collect().toMap
+    assert(estN.keySet == exact.keySet)
+    exact.foreach { case (v, n) => assert(estN(v) >= n, s"$v: ${estN(v)} < $n") }
+    assert(exact.exists { case (v, n) => estN(v) > n }) // collisions real
+    // wide sketch: 4096 buckets ≫ 40 values → almost surely exact; and
+    // the (seed,bucket) aggregation makes the sketch partition-invariant
+    val wide = Sketches.countMinBuild(df.repartition(17), col("u"), 4096, 3)
+    val estW = Sketches.countMinEstimate(wide, df, col("u"), 4096, 3)
+      .as[(String, Long)].collect().toMap
+    assert(estW == exact)
+  }
+
+  test("countMin: sketches merge by cell-wise addition") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    val a = Seq.fill(30)("x").concat(Seq.fill(10)("y")).toDF("u")
+    val b = Seq.fill(5)("x").concat(Seq.fill(20)("z")).toDF("u")
+    val merged = Sketches.countMinBuild(a, col("u"), 16, 2)
+      .unionByName(Sketches.countMinBuild(b, col("u"), 16, 2))
+      .groupBy("seed", "bucket").agg(sum("cnt").as("cnt"))
+    val whole = Sketches.countMinBuild(a.unionByName(b), col("u"), 16, 2)
+    val m = merged.as[(Int, Long, Long)].collect().toSet
+    assert(m == whole.as[(Int, Long, Long)].collect().toSet)
+    // probes against the merged sketch see the combined stream
+    val est = Sketches.countMinEstimate(merged,
+        Seq("x", "y", "z").toDF("u"), col("u"), 16, 2)
+      .as[(String, Long)].collect().toMap
+    assert(est("x") >= 35 && est("y") >= 10 && est("z") >= 20)
+  }
 }
