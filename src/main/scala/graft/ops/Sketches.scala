@@ -154,4 +154,46 @@ object Sketches {
       .join(broadcast(sketch), Seq("seed", "bucket"), "left_outer")
       .groupBy("value")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  private def bloomBits(value: org.apache.spark.sql.Column, bits: Int,
+      hashes: Int): org.apache.spark.sql.Column =
+    explode(array((0 until hashes).map(s =>
+      Prep.hashBucket(
+        concat_ws("|", lit(s).cast("string"), value.cast("string")),
+        bits)): _*))
+
+  /** Bloom filter build (Bloom 1970) — the membership sketch for "have we
+    * seen this value" at universe sizes where a distinct set can't
+    * broadcast: decontamination probes, seen-URL suppression, incremental
+    * -dedup pre-filters. The filter is the RELATION of set bit positions
+    * (≤ `bits` rows, one per set bit — the natural mergeable form: union
+    * by DISTINCT is exactly bitwise OR, spec-pinned), built in one pass +
+    * one bounded distinct; bit positions come from the md5 hashBucket
+    * idiom, so any engine rebuilds the filter bit-for-bit.
+    *
+    * Returns (bit) — the set positions.
+    */
+  def bloomBuild(df: DataFrame, valueCol: org.apache.spark.sql.Column,
+      bits: Int, hashes: Int): DataFrame = {
+    require(bits > 1, s"bits must be > 1: $bits")
+    require(hashes >= 1, s"hashes must be >= 1: $hashes")
+    df.select(bloomBits(valueCol, bits, hashes).as("bit")).distinct()
+  }
+
+  /** Bloom membership probe: a value reads present iff ALL `hashes` of
+    * its bit positions are set — no false negatives ever (spec-pinned);
+    * false-positive rate ≈ (1 − e^(−hn/m))^h. The filter broadcasts
+    * (≤ bits rows); probes never touch the original data. Returns
+    * (value, n_bits_set, maybe_present).
+    */
+  def bloomContains(bloom: DataFrame, probes: DataFrame,
+      probeCol: org.apache.spark.sql.Column, bits: Int, hashes: Int)
+      : DataFrame =
+    probes.select(probeCol.cast("string").as("value")).distinct()
+      .select(col("value"), bloomBits(col("value"), bits, hashes).as("bit"))
+      .join(broadcast(bloom.withColumn("__set", lit(1L))), Seq("bit"),
+        "left_outer")
+      .groupBy("value")
+      .agg(sum(coalesce(col("__set"), lit(0L))).as("n_bits_set"))
+      .withColumn("maybe_present", col("n_bits_set") === hashes)
 }

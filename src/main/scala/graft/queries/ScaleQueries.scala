@@ -168,7 +168,39 @@ object ScaleQueries {
       .orderBy("value")
   }
 
+  private val BloomBits = 4096
+  private val BloomHashes = 3
+  private val BloomPrice = 470000 // ~45% of customers have such an order
+
+  /** Bloom membership audit ([[graft.ops.Sketches.bloomBuild]]/
+    * `bloomContains`): insert the customers holding a >470k order (~45%
+    * of customers at every SF), probe EVERY customer, and report per-key
+    * bits-set / maybe-present against the true membership — false
+    * positives are the sketch's one-sided error, false negatives are
+    * impossible (spec-pinned). At sf0.01 the 4096-bit filter sits ~40%
+    * full, so the false-positive band is real and measured; at sf0.1 it
+    * saturates (nearly every probe reads present) — the sizing lesson
+    * itself, recorded rather than hidden.
+    */
+  def bloom(spark: SparkSession, dir: String): DataFrame = {
+    val ords = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > BloomPrice)
+    val filt = graft.ops.Sketches.bloomBuild(ords, col("o_custkey"),
+      BloomBits, BloomHashes)
+    val probed = graft.ops.Sketches.bloomContains(filt,
+      Tables.customer(spark, dir), col("c_custkey"), BloomBits, BloomHashes)
+    val actual = ords.select(col("o_custkey").cast("string").as("value"))
+      .distinct().withColumn("__act", lit(true))
+    probed.join(actual, Seq("value"), "left_outer")
+      .select(col("value"), col("n_bits_set"), col("maybe_present"),
+        coalesce(col("__act"), lit(false)).as("actually_present"))
+      .withColumn("false_positive",
+        col("maybe_present") && !col("actually_present"))
+      .orderBy("value")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scale_bloom" -> bloom,
     "scale_countmin" -> countMin,
     "skew_salted_agg" -> skewSaltedAgg,
     "skew_salted_join" -> skewSaltedJoin,
@@ -180,6 +212,34 @@ object ScaleQueries {
     "scale_approx_quantiles" -> approxQuantiles)
 
   val oracle: Map[String, String] = Map(
+    // bit-for-bit filter replay on the shared md5 hash idiom; probe bits
+    // deliberately NOT deduped per value (two seeds landing on one set
+    // bit still count as hashes bits set — Bloom semantics)
+    "scale_bloom" -> {
+      val seeds = (0 until BloomHashes).mkString("[", ", ", "]")
+      def bit(v: String) =
+        s"('0x' || substr(md5(CAST(s.seed AS VARCHAR) || '|' || $v), 1, 12))::BIGINT % $BloomBits"
+      s"""WITH ins AS (SELECT CAST(o_custkey AS VARCHAR) AS v FROM orders
+         |            WHERE o_totalprice > $BloomPrice),
+         |bb AS (SELECT DISTINCT ${bit("v")} AS bit
+         |       FROM ins, (SELECT unnest($seeds) AS seed) s),
+         |pv AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS value
+         |       FROM customer),
+         |pb AS (SELECT value, ${bit("value")} AS bit
+         |       FROM pv, (SELECT unnest($seeds) AS seed) s),
+         |pr AS (SELECT value,
+         |         CAST(sum(CASE WHEN bb.bit IS NOT NULL THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_bits_set
+         |       FROM pb LEFT JOIN bb USING (bit) GROUP BY 1),
+         |act AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS value
+         |        FROM orders WHERE o_totalprice > $BloomPrice)
+         |SELECT pr.value, pr.n_bits_set,
+         |  pr.n_bits_set = $BloomHashes AS maybe_present,
+         |  act.value IS NOT NULL AS actually_present,
+         |  (pr.n_bits_set = $BloomHashes AND act.value IS NULL)
+         |    AS false_positive
+         |FROM pr LEFT JOIN act USING (value) ORDER BY value""".stripMargin
+    },
     // cell-for-cell sketch replay on the shared md5 hash idiom; est =
     // min over the depth seeds' buckets, always ≥ exact (one-sided)
     "scale_countmin" -> {

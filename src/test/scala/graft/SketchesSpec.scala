@@ -124,4 +124,30 @@ class SketchesSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(est("x") >= 35 && est("y") >= 10 && est("z") >= 20)
   }
+
+  test("bloom: no false negatives ever; false positives bounded; " +
+      "filters merge by DISTINCT union (bitwise OR)") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    val ins = (0 until 80).map(i => s"in$i").toDF("v")
+    val absent = (0 until 200).map(i => s"out$i").toDF("v")
+    val filt = Sketches.bloomBuild(ins, col("v"), 1024, 3)
+    // every inserted value MUST read present
+    val inRes = Sketches.bloomContains(filt, ins, col("v"), 1024, 3)
+      .as[(String, Long, Boolean)].collect()
+    assert(inRes.length == 80 && inRes.forall(_._3))
+    // absent values: one-sided error, small at this fill (3*80/1024)
+    val outRes = Sketches.bloomContains(filt, absent, col("v"), 1024, 3)
+      .as[(String, Long, Boolean)].collect()
+    val fp = outRes.count(_._3)
+    assert(fp < 20, s"implausible FP count $fp/200 at ~21% fill")
+    // merge = DISTINCT union of set-bit relations ≡ build on the union
+    val ins2 = (80 until 160).map(i => s"in$i").toDF("v")
+    val merged = filt.unionByName(
+      Sketches.bloomBuild(ins2, col("v"), 1024, 3)).distinct()
+    val whole = Sketches.bloomBuild(ins.unionByName(ins2), col("v"), 1024, 3)
+    assert(merged.as[Long].collect().toSet ==
+      whole.as[Long].collect().toSet)
+  }
 }
