@@ -807,4 +807,41 @@ object Prep {
             / col("available_tokens"), 9)))
       .withColumn("deficit", col("epochs") > 1.0)
   }
+
+  /** Temperature-scaled mixture weights at T = 2 (the multilingual
+    * up-sampling rule of mBERT/XLM-R/mT5: sample source i with
+    * probability ∝ p_i^(1/T), flattening the source distribution so
+    * low-resource slices train more than their raw share) — the
+    * *proportions* companion to [[tokenBudgetPlan]]'s integer budget
+    * sheet. T is fixed at 2 because p^(1/2) is `sqrt` — correctly rounded
+    * by IEEE 754 on every engine — while general `pow` is a libm call
+    * with no cross-engine bit guarantee; any other temperature would put
+    * a non-reproducible transcendental inside the oracle contract.
+    *
+    * Determinism discipline: p_raw = n_i/N is ONE division rounded 9 dp
+    * (short exact decimal at any table size); each sqrt contribution
+    * rounds to 9 dp and sums in exact DECIMAL (the PMI ln rule — a plain
+    * double Σ of irrationals is summation-order-dependent); q and the
+    * boost factor each spend one further fixed IEEE division. The whole
+    * pass is one groupBy + two 1-row broadcasts; the result relation is
+    * |sources| rows regardless of corpus size.
+    *
+    * Returns (source, n_rows, p_raw, q_temp, boost) where boost =
+    * q_temp/p_raw (>1 = up-sampled by the temperature, <1 = down).
+    */
+  def temperatureMixture(df: DataFrame, srcCol: Column): DataFrame = {
+    val s = df.groupBy(srcCol.as("source")).agg(count(lit(1)).as("n_rows"))
+    val tot = s.agg(sum(col("n_rows")).as("__N"))
+    val b = s.crossJoin(broadcast(tot))
+      .withColumn("p_raw",
+        round(col("n_rows").cast("double") / col("__N"), 9))
+      .withColumn("__w",
+        round(sqrt(col("p_raw")), 9).cast(DecimalType(18, 9)))
+    val z = b.agg(sum(col("__w")).as("__z"))
+    b.crossJoin(broadcast(z))
+      .withColumn("q_temp",
+        round(col("__w").cast("double") / col("__z").cast("double"), 9))
+      .withColumn("boost", round(col("q_temp") / col("p_raw"), 9))
+      .select("source", "n_rows", "p_raw", "q_temp", "boost")
+  }
 }

@@ -355,7 +355,16 @@ object PrepQueries {
         "c_acctbal")
       .orderBy("c_custkey")
 
+  /** Temperature-2 mixture proportions over the documents' language
+    * slices ([[graft.ops.Prep.temperatureMixture]]): the multilingual
+    * up-sampling sheet — q ∝ √p, boost = q/p.
+    */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame =
+    Prep.temperatureMixture(Tables.documents(spark, dir), col("lang"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "prep_temperature_mix" -> temperatureMix,
     "prep_rank_normalize" -> rankNormalizeAcctbal,
     "prep_global_shuffle" -> globalShuffleDocs,
     "prep_dsir_weights" -> dsirWeights,
@@ -391,6 +400,24 @@ object PrepQueries {
     s"('0x' || substr(md5($expr), 1, 12))::BIGINT % $buckets"
 
   val oracle: Map[String, String] = Map(
+    // T=2 temperature weights: sqrt is IEEE-correctly-rounded on both
+    // engines; sqrt contributions round 9 dp and sum in exact DECIMAL
+    // (double Σ of irrationals is order-dependent), one division each
+    // for q and boost
+    "prep_temperature_mix" ->
+      """WITH s AS (SELECT lang AS source, count(*) AS n_rows
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS nn FROM s),
+        |b AS (SELECT source, n_rows,
+        |        round(n_rows / (nn * 1.0), 9) AS p_raw,
+        |        CAST(round(sqrt(round(n_rows / (nn * 1.0), 9)), 9)
+        |          AS DECIMAL(18,9)) AS w
+        |      FROM s CROSS JOIN t),
+        |z AS (SELECT CAST(sum(w) AS DOUBLE) AS z FROM b)
+        |SELECT source, n_rows, p_raw,
+        |  round(CAST(w AS DOUBLE) / z, 9) AS q_temp,
+        |  round(round(CAST(w AS DOUBLE) / z, 9) / p_raw, 9) AS boost
+        |FROM b CROSS JOIN z ORDER BY source""".stripMargin,
     // type-1 inverse CDF: matched = min target value whose cum count
     // reaches ceil(cumA*nB/nA); the oracle's quadratic >= join is the
     // bounded-grid equivalent of the Spark side's forward as-of

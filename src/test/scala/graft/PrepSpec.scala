@@ -512,4 +512,27 @@ class PrepSpec extends AnyFunSuite {
       Prep.tokenBudgetPlan(docs, "text", "source", Seq("web" -> 60), 10L)
     }
   }
+
+  test("temperatureMixture: T=2 flattens a 90/10 split to exactly 75/25") {
+    val spark2 = spark
+    import spark2.implicits._
+    // p = (0.9, 0.1): q ∝ (√0.9, √0.1) = (3√0.1, √0.1) → (0.75, 0.25);
+    // boost: minority 0.25/0.1 = 2.5×, majority 0.75/0.9 = 0.8333…
+    val df = (Seq.fill(90)("big") ++ Seq.fill(10)("small")).toDF("src")
+    val m = Prep.temperatureMixture(df, col("src")).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(m("big").getAs[Long]("n_rows") == 90L)
+    assert(m("big").getAs[Double]("p_raw") == 0.9 &&
+      m("small").getAs[Double]("p_raw") == 0.1)
+    assert(m("big").getAs[Double]("q_temp") == 0.75 &&
+      m("small").getAs[Double]("q_temp") == 0.25)
+    assert(m("small").getAs[Double]("boost") == 2.5)
+    assert(m("big").getAs[Double]("boost") == 0.833333333)
+    // a uniform distribution is a fixed point of temperature scaling
+    val u = (0 until 60).map(i => s"s${i % 3}").toDF("src")
+    Prep.temperatureMixture(u, col("src")).collect().foreach { r =>
+      assert(r.getAs[Double]("boost") == 1.0 &&
+        r.getAs[Double]("q_temp") == r.getAs[Double]("p_raw"))
+    }
+  }
 }
