@@ -200,4 +200,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.listFeatureVersions().map(_.featureVersion) ==
       versions.reverse.toSeq)
   }
+
+  test("streaming count-min: per-batch sketches merge by addition into " +
+      "the stream-lifetime sketch == one batch build over everything") {
+    import graft.ops.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val b1 = Seq.fill(25)("x") ++ Seq.fill(5)("y")
+    val b2 = Seq.fill(10)("x") ++ Seq.fill(40)("z")
+    val mem = MemoryStream[String]
+    val sdf = mem.toDF().toDF("u")
+    // the sketch-per-ingest-batch shape: each micro-batch contributes a
+    // depth×width cell relation; the running sketch is the cell-wise sum
+    // — old events are never rescanned
+    var sketch: Option[org.apache.spark.sql.DataFrame] = None
+    val q = sdf.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val part = Sketches.countMinBuild(b, col("u"), 32, 3)
+          sketch = Some(sketch.map(_.unionByName(part)
+              .groupBy("seed", "bucket")
+              .agg(sum("cnt").as("cnt")))
+            .getOrElse(part).localCheckpoint(true))
+        }
+      }.start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = sketch.get.as[(Int, Long, Long)].collect().toSet
+    val whole = Sketches.countMinBuild((b1 ++ b2).toDF("u"), col("u"),
+      32, 3).as[(Int, Long, Long)].collect().toSet
+    assert(streamed == whole)
+    val est = Sketches.countMinEstimate(sketch.get,
+        Seq("x", "y", "z").toDF("u"), col("u"), 32, 3)
+      .as[(String, Long)].collect().toMap
+    assert(est("x") >= 35 && est("y") >= 5 && est("z") >= 40)
+  }
 }
