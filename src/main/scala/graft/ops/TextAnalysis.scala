@@ -421,6 +421,69 @@ object TextAnalysis {
         col("bits_per_token"))
   }
 
+  /** Interpolated Kneser–Ney bigram cross-entropy (Kneser & Ney 1995;
+    * the KenLM smoothing CCNet actually ships, where [[bigramLmBits]]'s
+    * add-one is the didactic baseline): P(w₂|w₁) =
+    * max(c₁₂−d, 0)/c₁ + d·N₁₊(w₁•)/c₁ · N₁₊(•w₂)/N₁₊(••) with the
+    * discount FIXED at d = 3/4 — chosen so the whole probability is ONE
+    * rational number: p = ((4·c₁₂−3)·B + 3·N₁₊(w₁•)·N₁₊(•w₂)) /
+    * (4·c₁·B), B = total distinct bigram types. Numerator/denominator
+    * build in exact DECIMAL(38,0) integer arithmetic (a Long product
+    * overflows on a 100 TB vocabulary), so the single `-ln(num/den)/ln 2`
+    * per distinct bigram is the only IEEE step — the [[bigramLmBits]]
+    * discipline, with ln 2 inlined as the same Scala double literal in
+    * plan AND oracle. Scored bigrams are by construction observed
+    * (c₁₂ ≥ 1), so no backoff branch is live.
+    *
+    * Shape at scale: the (w₁,w₂) count relation serves FOUR model reads —
+    * bigram count, context totals + continuation fan-out N₁₊(w₁•) in one
+    * groupBy, word fan-in N₁₊(•w₂), and the 1-row type total — all
+    * map-side collapsible, all joined back by shuffle (vocab² beats any
+    * broadcast cap, the N90 rule). Per-doc mean weights 9-dp bit
+    * contributions by DECIMAL(10,0) occurrence counts (the precision-38
+    * scale-loss guard). Returns (doc_id→idCol, n_bigrams,
+    * bits_per_token).
+    */
+  def knBigramBits(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val t = col("__t")
+    val withToks = df.select(col(idCol).as("doc_id"),
+      toks(col(textCol)).as("__t"))
+    val starts = when(size(t) >= 2, sequence(lit(0), size(t) - 2))
+      .otherwise(array().cast("array<int>"))
+    val bigrams = transform(starts,
+      i => struct(element_at(t, i + 1).as("w1"), element_at(t, i + 2).as("w2")))
+    val occ = withToks
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("c"))
+    val bigramCnt = occ.groupBy("w1", "w2").agg(sum(col("c")).as("bc"))
+      .localCheckpoint()
+    // context totals AND continuation fan-out from the SAME tiny relation
+    val w1Stats = bigramCnt.groupBy("w1")
+      .agg(sum(col("bc")).as("uc"), count(lit(1)).as("n1p"))
+    val w2Fan = bigramCnt.groupBy("w2").agg(count(lit(1)).as("nc"))
+    val types = bigramCnt.agg(count(lit(1)).as("nbt"))
+    val big = DecimalType(38, 0)
+    val num = ((col("bc") * 4 - 3).cast(big) * col("nbt") +
+      (col("n1p") * 3).cast(big) * col("nc"))
+    val den = (col("uc") * 4).cast(big) * col("nbt")
+    occ.join(bigramCnt, Seq("w1", "w2"))
+      .join(w1Stats, Seq("w1"))
+      .join(w2Fan, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .withColumn("__bits",
+        round(-log(num.cast("double") / den.cast("double")) /
+          lit(math.log(2.0)), 9).cast(DecimalType(18, 9)))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"),
+        round(sum(col("__bits") * col("c").cast(DecimalType(10, 0)))
+          .cast("double") / sum(col("c")), 6).as("bits_per_token"))
+      .select(col("doc_id").as(idCol), col("n_bigrams"),
+        col("bits_per_token"))
+  }
+
   /** Gopher-style rule-based quality FILTER (Rae et al. 2021 §A1.1; the
     * C4 heuristics of Raffel et al. 2020 are the same shape): per-document
     * boolean rules plus a keep decision and a drop-reason bitmask — unlike

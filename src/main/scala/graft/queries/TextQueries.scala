@@ -157,6 +157,13 @@ object TextQueries {
     TextAnalysis.bigramLmBits(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Interpolated Kneser–Ney bigram cross-entropy per document
+    * ([[graft.ops.TextAnalysis.knBigramBits]], d = 3/4).
+    */
+  def knBigram(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.knBigramBits(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   private val NbBuckets = 64
 
   /** Hashed-unigram multinomial Naive Bayes trained on the corpus' own
@@ -294,6 +301,7 @@ object TextQueries {
     "text_nb_classifier" -> nbLangId,
     "text_dup_ngram_coverage" -> dupCoverage,
     "text_bigram_lm" -> bigramLm,
+    "text_kn_bigram" -> knBigram,
     "text_novelty" -> novelty,
     "text_repetition" -> repetition,
     "text_token_stats" -> tokenStats,
@@ -628,6 +636,39 @@ object TextQueries {
          |      FROM occ JOIN bc USING (w1, w2) JOIN uc USING (w1), v)
          |SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
          |  round(CAST(sum(bits * c) AS DOUBLE) / sum(c), 6) AS bits_per_token
+         |FROM ct GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // KN probability as ONE exact integer rational (d = 3/4):
+    // p = ((4c12−3)B + 3·n1p·nc) / (4·c1·B); only the final ln is IEEE,
+    // ln2 inlined as the same Scala double literal as the plan's
+    "text_kn_bigram" ->
+      s"""WITH $toksCte,
+         |g AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 2
+         |    THEN list_transform(generate_series(1, len(toks) - 1),
+         |           i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))
+         |    ELSE [] END AS bgs
+         |  FROM d),
+         |occ0 AS (SELECT doc_id, unnest(bgs) AS bg FROM g),
+         |occ AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2, count(*) AS c
+         |        FROM occ0 GROUP BY 1, 2, 3),
+         |bc AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS bc
+         |       FROM occ GROUP BY 1, 2),
+         |w1s AS (SELECT w1, CAST(sum(bc) AS BIGINT) AS uc,
+         |          count(*) AS n1p
+         |        FROM bc GROUP BY 1),
+         |w2f AS (SELECT w2, count(*) AS nc FROM bc GROUP BY 1),
+         |ty AS (SELECT count(*) AS nbt FROM bc),
+         |ct AS (SELECT occ.doc_id, occ.c,
+         |        CAST(round(-ln(
+         |          CAST((bc.bc * 4 - 3)::HUGEINT * ty.nbt
+         |               + (w1s.n1p * 3)::HUGEINT * w2f.nc AS DOUBLE)
+         |          / CAST((w1s.uc * 4)::HUGEINT * ty.nbt AS DOUBLE))
+         |          / ${math.log(2.0)}, 9) AS DECIMAL(18,9)) AS bits
+         |      FROM occ JOIN bc USING (w1, w2) JOIN w1s USING (w1)
+         |        JOIN w2f USING (w2), ty)
+         |SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+         |  round(CAST(sum(bits * c) AS DOUBLE) / sum(c), 6)
+         |    AS bits_per_token
          |FROM ct GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // per-token bit contributions round to 9 dp and sum in exact DECIMAL —
     // the mean is order-independent; ln2 prints with round-trip precision

