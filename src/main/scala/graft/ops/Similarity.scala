@@ -1030,7 +1030,7 @@ object Similarity {
         .localCheckpoint()
     }
     val sizes = assign.groupBy("cid").agg(count(lit(1)).as("n_members"))
-    cents.join(sizes, Seq("cid"), "left_outer")
+    cents.join(broadcast(sizes), Seq("cid"), "left_outer")
       .select(col("cid").cast("long").as("cid"),
         col("dim").cast("long").as("dim"),
         col("c").cast("double").as("centroid"),

@@ -291,4 +291,43 @@ class PlanSpec extends AnyFunSuite {
     // the only nested-loop is the 1-row nB broadcast
     assert("BroadcastNestedLoopJoin".r.findAllIn(s).size <= 1, s)
   }
+
+  test("k-means output: member counts broadcast onto the k·d centroid " +
+      "relation; no cartesian anywhere (in-loop state is checkpointed, " +
+      "so round joins — broadcast(cents) by structural hint — don't " +
+      "appear in the output plan)") {
+    val s = planString(graft.queries.SimilarityQueries.kmeans(spark, dir))
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("count-min / bloom probes: the sketch side broadcasts; the probe " +
+      "path never shuffles the raw stream a second time") {
+    val cm = planString(graft.queries.ScaleQueries.countMin(spark, dir))
+    assert(cm.contains("BroadcastHashJoin"), cm)
+    assert(!cm.contains("CartesianProduct"), cm)
+    val bl = planString(graft.queries.ScaleQueries.bloom(spark, dir))
+    assert(bl.contains("BroadcastHashJoin"), bl)
+    assert(!bl.contains("CartesianProduct"), bl)
+  }
+
+  test("rouge audit: gram-count collapse is partial-aggregable (map-side " +
+      "combine before the pair-gram exchange), clip join is not broadcast " +
+      "both ways") {
+    val s = planString(graft.queries.EvalQueries.rougeDedup(spark, dir))
+    // partial + final HashAggregate pairs around the (pair, gram) exchange
+    assert(s.contains("HashAggregate"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("temperature mixture: every nested-loop is a 1-row broadcast (the " +
+      "normalizer subtree re-embeds the |sources|-row base once — cheap " +
+      "by construction); the corpus is never cross-joined") {
+    val s = planString(
+      graft.queries.PrepQueries.temperatureMix(spark, dir))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(s).size <= 3, s)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+  }
 }
