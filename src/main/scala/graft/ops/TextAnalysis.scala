@@ -421,6 +421,60 @@ object TextAnalysis {
         col("bits_per_token"))
   }
 
+  /** Jensen–Shannon divergence between corpus slices' token
+    * distributions (Lin 1991) — the drift/contamination read for TEXT
+    * that PSI/Wasserstein/TV give numeric columns: how far apart two
+    * languages, sources, or time slices are as unigram distributions.
+    * JS is symmetric, bounded in [0, 1] bits (spec-pinned), and zero iff
+    * the smoothed distributions coincide — the right pairwise corpus
+    * fingerprint for mixture planning and "did the crawl shift" audits.
+    *
+    * Distributions live on a FIXED hashed-vocabulary grid (the
+    * [[graft.ops.TokenModels.dsirWeights]] discipline — a raw web
+    * vocabulary never broadcasts; `buckets` rows per slice always do)
+    * with add-one smoothing so every bucket is strictly positive.
+    * Per-bucket contributions
+    * `(p·log₂(p/m) + q·log₂(q/m))/2`, m = (p+q)/2, spend a FIXED IEEE
+    * sequence rounded to 9 dp and sum in exact DECIMAL (PMI ln rule,
+    * ln 2 as the shared Scala literal); the final per-pair value rounds
+    * at 6 dp. One (slice, bucket) shuffle; the pair relation is
+    * slices² × buckets — model-sized, never corpus-sized. Returns
+    * (slice_a, slice_b, n_tokens_a, n_tokens_b, js_bits) for
+    * slice_a < slice_b.
+    */
+  def jsDivergence(df: DataFrame, sliceCol: String, textCol: String,
+      buckets: Int = 64): DataFrame = {
+    require(buckets > 1, s"buckets must be > 1: $buckets")
+    val occ = df.select(col(sliceCol).cast("string").as("slice"),
+        explode(toks(col(textCol))).as("tok"))
+      .select(col("slice"), Prep.hashBucket(col("tok"), buckets).as("bucket"))
+      .groupBy("slice", "bucket").agg(count(lit(1)).as("n"))
+    val totals = occ.groupBy("slice").agg(sum(col("n")).as("tot"))
+    val grid = df.sparkSession.range(buckets)
+      .select(col("id").cast("int").as("bucket"))
+    val dense = totals.crossJoin(grid)
+      .join(occ, Seq("slice", "bucket"), "left")
+      .select(col("slice"), col("bucket"), col("tot"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val a = dense.select(col("slice").as("slice_a"), col("bucket"),
+      col("n").as("__na"), col("tot").as("__ta"))
+    val b = dense.select(col("slice").as("slice_b"), col("bucket"),
+      col("n").as("__nb"), col("tot").as("__tb"))
+    val p = (col("__na") + 1.0) / (col("__ta") + buckets)
+    val q = (col("__nb") + 1.0) / (col("__tb") + buckets)
+    val m = (p + q) / 2.0
+    val ln2 = lit(math.log(2.0))
+    val contrib = round(
+      (p * (log(p / m) / ln2) + q * (log(q / m) / ln2)) / 2.0, 9)
+      .cast(DecimalType(18, 9))
+    a.join(b, Seq("bucket"))
+      .filter(col("slice_a") < col("slice_b"))
+      .groupBy("slice_a", "slice_b")
+      .agg(max(col("__ta")).as("n_tokens_a"),
+        max(col("__tb")).as("n_tokens_b"),
+        round(sum(contrib).cast("double"), 6).as("js_bits"))
+  }
+
   /** Interpolated Kneser–Ney bigram cross-entropy (Kneser & Ney 1995;
     * the KenLM smoothing CCNet actually ships, where [[bigramLmBits]]'s
     * add-one is the didactic baseline): P(w₂|w₁) =

@@ -164,6 +164,17 @@ object TextQueries {
     TextAnalysis.knBigramBits(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  private val JsBuckets = 64
+
+  /** Pairwise Jensen–Shannon divergence between the language slices'
+    * hashed-unigram distributions
+    * ([[graft.ops.TextAnalysis.jsDivergence]]).
+    */
+  def jsDivergence(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.jsDivergence(Tables.documents(spark, dir), "lang", "text",
+        JsBuckets)
+      .orderBy("slice_a", "slice_b")
+
   private val NbBuckets = 64
 
   /** Hashed-unigram multinomial Naive Bayes trained on the corpus' own
@@ -302,6 +313,7 @@ object TextQueries {
     "text_dup_ngram_coverage" -> dupCoverage,
     "text_bigram_lm" -> bigramLm,
     "text_kn_bigram" -> knBigram,
+    "text_js_divergence" -> jsDivergence,
     "text_novelty" -> novelty,
     "text_repetition" -> repetition,
     "text_token_stats" -> tokenStats,
@@ -637,6 +649,45 @@ object TextQueries {
          |SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
          |  round(CAST(sum(bits * c) AS DOUBLE) / sum(c), 6) AS bits_per_token
          |FROM ct GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // add-one-smoothed hashed-bucket distributions on the dense grid;
+    // per-bucket JS contributions spend the plan's exact IEEE sequence
+    // (m inlined as (p+q)/2), round 9 dp, exact-DECIMAL sum, 6 dp out
+    "text_js_divergence" -> {
+      val B = JsBuckets
+      val ln2 = math.log(2.0)
+      s"""WITH tk AS (SELECT lang AS slice,
+         |    unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+         |      AS t
+         |  FROM documents),
+         |occ AS (SELECT slice,
+         |    ('0x' || substr(md5(t), 1, 12))::BIGINT % $B AS bucket,
+         |    count(*) AS n
+         |  FROM tk GROUP BY 1, 2),
+         |tot AS (SELECT slice, CAST(sum(n) AS BIGINT) AS tot
+         |        FROM occ GROUP BY 1),
+         |grid AS (SELECT CAST(i AS INTEGER) AS bucket
+         |         FROM UNNEST(generate_series(0, ${B - 1})) u(i)),
+         |dense AS (SELECT t.slice, g.bucket, t.tot,
+         |            coalesce(o.n, 0) AS n
+         |          FROM tot t CROSS JOIN grid g
+         |          LEFT JOIN occ o
+         |            ON o.slice = t.slice AND o.bucket = g.bucket),
+         |j AS (SELECT a.slice AS slice_a, b.slice AS slice_b,
+         |        a.tot AS ta, b.tot AS tb,
+         |        (a.n + 1.0) / (a.tot + $B) AS p,
+         |        (b.n + 1.0) / (b.tot + $B) AS q
+         |      FROM dense a JOIN dense b USING (bucket)
+         |      WHERE a.slice < b.slice),
+         |c AS (SELECT slice_a, slice_b, ta, tb,
+         |        CAST(round((p * (ln(p / ((p + q) / 2.0)) / $ln2)
+         |                  + q * (ln(q / ((p + q) / 2.0)) / $ln2)) / 2.0, 9)
+         |          AS DECIMAL(18,9)) AS cb
+         |      FROM j)
+         |SELECT slice_a, slice_b, max(ta) AS n_tokens_a,
+         |  max(tb) AS n_tokens_b,
+         |  round(CAST(sum(cb) AS DOUBLE), 6) AS js_bits
+         |FROM c GROUP BY 1, 2 ORDER BY slice_a, slice_b""".stripMargin
+    },
     // KN probability as ONE exact integer rational (d = 3/4):
     // p = ((4c12−3)B + 3·n1p·nc) / (4·c1·B); only the final ln is IEEE,
     // ln2 inlined as the same Scala double literal as the plan's

@@ -265,6 +265,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     // the discount really reserves mass for unseen continuations
   }
 
+  test("jsDivergence: identical slices read exactly 0; disjoint slices " +
+      "approach 1 bit; values stay in [0, 1]") {
+    val spark2 = spark
+    import spark2.implicits._
+    val same = Seq((1L, "a", "x y z x"), (2L, "b", "x y z x"))
+      .toDF("doc_id", "lang", "text")
+    val r0 = TextAnalysis.jsDivergence(same, "lang", "text", 16)
+      .collect()(0)
+    assert(r0.getAs[String]("slice_a") == "a" &&
+      r0.getAs[String]("slice_b") == "b")
+    assert(r0.getAs[Double]("js_bits") == 0.0)
+    assert(r0.getAs[Long]("n_tokens_a") == 4L)
+    // heavy disjoint vocabularies: JS → 1 bit (add-one smoothing keeps
+    // it strictly below)
+    val disj = Seq((1L, "a", Seq.fill(500)("aa").mkString(" ")),
+      (2L, "b", Seq.fill(500)("zz").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val r1 = TextAnalysis.jsDivergence(disj, "lang", "text", 16)
+      .collect()(0).getAs[Double]("js_bits")
+    assert(r1 > 0.8 && r1 <= 1.0, s"js=$r1")
+    // three slices → 3 ordered pairs, all bounded
+    val tri = Seq((1L, "a", "p q r"), (2L, "b", "p q s"),
+      (3L, "c", "t u v")).toDF("doc_id", "lang", "text")
+    val rows = TextAnalysis.jsDivergence(tri, "lang", "text", 16).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val v = r.getAs[Double]("js_bits")
+      assert(v >= 0.0 && v <= 1.0, s"$r")
+      assert(r.getAs[String]("slice_a") < r.getAs[String]("slice_b"))
+    }
+  }
+
   test("knBigramBits: frequent-in-context bigrams cost fewer bits than " +
       "rare ones; short docs yield no rows") {
     val spark2 = spark
