@@ -808,6 +808,86 @@ object Prep {
       .withColumn("deficit", col("epochs") > 1.0)
   }
 
+  /** Span-corruption pretraining pairs (Raffel et al. 2020, the T5
+    * denoising objective): deterministic hash-chosen spans of the token
+    * stream are replaced by numbered sentinels in the INPUT, and the
+    * TARGET lists each sentinel followed by the tokens it swallowed —
+    * the (input, target) pair every encoder-decoder pretraining batch is
+    * made of. Span starts fire where md5(doc|pos) lands under
+    * `startPct`% (the library's engine-stable sampling rule, so the
+    * corpus regenerates bit-identically on any engine or partitioning —
+    * no RNG state to ship); each start draws a 1..`maxSpan` length from
+    * an independent hash; overlapping spans merge into one sentinel run
+    * (the [[graft.ops.Dedup.spanRemoval]] cover-union shape).
+    *
+    * Shape at scale: cover positions explode only from selected starts
+    * (≈ startPct·maxSpan % of tokens), DISTINCT-collapsed; runs come
+    * from ONE gap-and-island window over the masked positions (pos −
+    * row_number is constant per run); both output texts reassemble in
+    * one doc shuffle. Entirely integer/string arithmetic — no rounding
+    * discipline needed. Returns (doc_id, n_tokens, n_masked, n_spans,
+    * input_text, target_text); documents with no selected span keep
+    * their original text and a NULL target.
+    */
+  def spanCorruption(docs: DataFrame, idCol: String, textCol: String,
+      startPct: Int = 5, maxSpan: Int = 5): DataFrame = {
+    require(startPct > 0 && startPct <= 100, s"bad startPct $startPct")
+    require(maxSpan >= 1, s"maxSpan must be >= 1: $maxSpan")
+    val t = col("__t")
+    val withToks = docs.select(col(idCol).as("doc_id"),
+        filter(split(col(textCol), " "), s => s =!= "").as("__t"))
+      .filter(size(t) >= 1)
+    val tokens = withToks.select(col("doc_id"),
+      posexplode(t).as(Seq("pos", "tok")))
+    val startHash = hashBucket(
+      concat_ws("|", col("doc_id"), col("pos")), 100)
+    val spanLen = hashBucket(
+      concat_ws("|", col("doc_id"), col("pos"), lit("len")), maxSpan) + 1
+    val covered = tokens.filter(startHash < startPct)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + spanLen - 1)).as("pos"))
+      .distinct()
+    val masked = tokens.join(covered, Seq("doc_id", "pos"), "left_semi")
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = masked
+      .withColumn("__grp", col("pos") - row_number().over(wDoc))
+      .withColumn("run_k",
+        dense_rank().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("__grp"))) - 1)
+    val sentinel = concat(lit("<extra_id_"), col("run_k"), lit(">"))
+    val inputItems = tokens
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .select(col("doc_id"), col("pos"), col("tok").as("piece"))
+      .unionByName(runs.groupBy("doc_id", "run_k")
+        .agg(min(col("pos")).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          concat(lit("<extra_id_"), col("run_k"), lit(">")).as("piece")))
+    val input = inputItems.groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("piece")))),
+        s => s.getField("piece")), " ").as("input_text"))
+    val target = runs
+      .select(col("doc_id"), struct(col("run_k"), col("pos")).as("__k"),
+        col("tok").as("piece"))
+      .unionByName(runs.groupBy("doc_id", "run_k").agg(min("pos").as("p"))
+        .select(col("doc_id"),
+          struct(col("run_k"), lit(-1).as("pos")).as("__k"),
+          concat(lit("<extra_id_"), col("run_k"), lit(">")).as("piece")))
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__k"), col("piece")))),
+        s => s.getField("piece")), " ").as("target_text"),
+        count(when(col("__k.pos") >= 0, 1)).as("n_masked"),
+        (max(col("__k.run_k")) + 1).as("n_spans"))
+    withToks.select(col("doc_id"), size(t).cast("long").as("n_tokens"))
+      .join(input, Seq("doc_id"))
+      .join(target, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        coalesce(col("n_spans"), lit(0)).cast("long").as("n_spans"),
+        col("input_text"), col("target_text"))
+  }
+
   /** Temperature-scaled mixture weights at T = 2 (the multilingual
     * up-sampling rule of mBERT/XLM-R/mT5: sample source i with
     * probability ∝ p_i^(1/T), flattening the source distribution so

@@ -363,7 +363,21 @@ object PrepQueries {
     Prep.temperatureMixture(Tables.documents(spark, dir), col("lang"))
       .orderBy("source")
 
+  private val SpanStartPct = 5
+  private val SpanMax = 5
+
+  /** T5 span-corruption pairs over the documents
+    * ([[graft.ops.Prep.spanCorruption]], 5% hash-chosen span starts,
+    * spans 1–5 tokens): numbered sentinels in the input, swallowed
+    * tokens in the target.
+    */
+  def spanCorruption(spark: SparkSession, dir: String): DataFrame =
+    Prep.spanCorruption(Tables.documents(spark, dir), "doc_id", "text",
+        SpanStartPct, SpanMax)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "prep_span_corruption" -> spanCorruption,
     "prep_temperature_mix" -> temperatureMix,
     "prep_rank_normalize" -> rankNormalizeAcctbal,
     "prep_global_shuffle" -> globalShuffleDocs,
@@ -400,6 +414,67 @@ object PrepQueries {
     s"('0x' || substr(md5($expr), 1, 12))::BIGINT % $buckets"
 
   val oracle: Map[String, String] = Map(
+    // hash-deterministic span starts/lengths on the shared md5 idiom;
+    // overlapping spans union their cover; runs via gap-and-island
+    // (pos − row_number constant per run); both texts string_agg in
+    // deterministic order; no-span docs keep original text, NULL target
+    "prep_span_corruption" -> {
+      val P = SpanStartPct
+      val M = SpanMax
+      s"""WITH d AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |tk AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS tok
+         |       FROM d, UNNEST(generate_series(1, len(toks))) u(i)
+         |       WHERE len(toks) >= 1),
+         |st AS (SELECT doc_id, pos,
+         |         ('0x' || substr(md5(doc_id || '|' || pos || '|' || 'len'),
+         |            1, 12))::BIGINT % $M + 1 AS slen
+         |       FROM tk
+         |       WHERE ('0x' || substr(md5(doc_id || '|' || pos), 1, 12))
+         |           ::BIGINT % 100 < $P),
+         |cov AS (SELECT DISTINCT doc_id, CAST(q AS INTEGER) AS pos
+         |        FROM st, UNNEST(generate_series(st.pos,
+         |          st.pos + st.slen - 1)) v(q)),
+         |msk AS (SELECT tk.doc_id, tk.pos, tk.tok
+         |        FROM tk JOIN cov USING (doc_id, pos)),
+         |runs AS (SELECT *, dense_rank() OVER (PARTITION BY doc_id
+         |             ORDER BY grp) - 1 AS run_k
+         |         FROM (SELECT *, pos - row_number() OVER (
+         |                 PARTITION BY doc_id ORDER BY pos) AS grp
+         |               FROM msk)),
+         |inp AS (SELECT doc_id, string_agg(piece, ' ' ORDER BY pos)
+         |            AS input_text
+         |        FROM (
+         |          SELECT tk.doc_id, tk.pos, tk.tok AS piece
+         |          FROM tk LEFT JOIN cov USING (doc_id, pos)
+         |          WHERE cov.pos IS NULL
+         |          UNION ALL
+         |          SELECT doc_id, min(pos) AS pos,
+         |            '<extra_id_' || run_k || '>' AS piece
+         |          FROM runs GROUP BY doc_id, run_k)
+         |        GROUP BY doc_id),
+         |tgt AS (SELECT doc_id,
+         |          string_agg(piece, ' ' ORDER BY run_k, p2) AS target_text,
+         |          CAST(sum(CASE WHEN p2 >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |            AS n_masked,
+         |          CAST(max(run_k) + 1 AS BIGINT) AS n_spans
+         |        FROM (
+         |          SELECT doc_id, run_k, pos AS p2, tok AS piece FROM runs
+         |          UNION ALL
+         |          SELECT doc_id, run_k, -1 AS p2,
+         |            '<extra_id_' || run_k || '>' AS piece
+         |          FROM (SELECT DISTINCT doc_id, run_k FROM runs))
+         |        GROUP BY doc_id)
+         |SELECT d.doc_id, len(d.toks)::BIGINT AS n_tokens,
+         |  coalesce(tgt.n_masked, 0) AS n_masked,
+         |  coalesce(tgt.n_spans, 0) AS n_spans,
+         |  inp.input_text, tgt.target_text
+         |FROM d JOIN inp USING (doc_id)
+         |LEFT JOIN tgt USING (doc_id)
+         |WHERE len(d.toks) >= 1
+         |ORDER BY doc_id""".stripMargin
+    },
     // T=2 temperature weights: sqrt is IEEE-correctly-rounded on both
     // engines; sqrt contributions round 9 dp and sum in exact DECIMAL
     // (double Σ of irrationals is order-dependent), one division each

@@ -513,6 +513,52 @@ class PrepSpec extends AnyFunSuite {
     }
   }
 
+  test("spanCorruption: sentinel-splice of input and target reconstructs " +
+      "every original document exactly; counts are consistent") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = (0L until 40L).map(i =>
+      (i, (0 until 80).map(j => s"w${(i * 7 + j * 3) % 23}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Prep.spanCorruption(docs, "doc_id", "text",
+      startPct = 8, maxSpan = 4).collect()
+    assert(out.length == 40)
+    val orig = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    var sawSpans = false
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val inp = r.getAs[String]("input_text").split(" ").toSeq
+      val sentinels = inp.count(_.startsWith("<extra_id_"))
+      assert(r.getAs[Long]("n_tokens") ==
+        inp.size - sentinels + r.getAs[Long]("n_masked"))
+      if (r.isNullAt(r.fieldIndex("target_text"))) {
+        assert(r.getAs[Long]("n_masked") == 0L)
+        assert(r.getAs[String]("input_text") == orig(id))
+      } else {
+        sawSpans = true
+        assert(sentinels.toLong == r.getAs[Long]("n_spans"))
+        // parse "<extra_id_k> t t <extra_id_k+1> ..." into k -> tokens
+        val spans = scala.collection.mutable.Map.empty[String,
+          scala.collection.mutable.ArrayBuffer[String]]
+        var cur: String = null
+        r.getAs[String]("target_text").split(" ").foreach { p =>
+          if (p.startsWith("<extra_id_")) {
+            cur = p
+            spans(cur) = scala.collection.mutable.ArrayBuffer.empty
+          }
+          else spans(cur) += p
+        }
+        val rebuilt = inp.flatMap(p =>
+          if (p.startsWith("<extra_id_")) spans(p).toSeq else Seq(p))
+        assert(rebuilt.mkString(" ") == orig(id), s"doc $id")
+        assert(spans.values.map(_.size).sum.toLong ==
+          r.getAs[Long]("n_masked"))
+      }
+    }
+    assert(sawSpans, "corpus produced no spans — hash params broken")
+  }
+
   test("temperatureMixture: T=2 flattens a 90/10 split to exactly 75/25") {
     val spark2 = spark
     import spark2.implicits._
