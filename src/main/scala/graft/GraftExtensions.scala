@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, NgramHashes, SimHash32, SortedIntersectCount}
+import graft.functions.{BpeEncodeWord, BpeKernel, DotProduct, NgramHashes, SimHash32, SortedIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -22,6 +22,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    ([[graft.functions.NgramHashes]]).
   *  - `graft_simhash(text) -> long` — whole-document 32-bit SimHash in one
   *    expression ([[graft.functions.SimHash32]]).
+  *  - `graft_bpe_word(word, merges, rounds) -> array<string>` — whole-word
+  *    bounded BPE merge loop ([[graft.functions.BpeEncodeWord]]; merges =
+  *    pairs `a␁b` joined by U+0002, both literals).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -56,5 +59,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimHash32(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bpe_word"),
+      new ExpressionInfo(classOf[BpeEncodeWord].getName, "graft_bpe_word"),
+      (children: Seq[Expression]) => {
+        def foldableArg(e: Expression, what: String): Any = e match {
+          case l if l.foldable => l.eval()
+          case other => throw new IllegalArgumentException(
+            s"graft_bpe_word $what must be a literal, got $other")
+        }
+        val enc = foldableArg(children(1), "merges").toString
+        val rounds = foldableArg(children(2), "rounds")
+          .asInstanceOf[Number].intValue()
+        BpeEncodeWord(children.head, BpeKernel.parseMerges(enc), rounds)
+      }))
   }
 }

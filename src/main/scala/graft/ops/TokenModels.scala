@@ -207,13 +207,17 @@ object TokenModels {
     * finish early and pass through untouched), keeping the plan depth —
     * and the oracle's unrolled CTEs — fixed.
     *
-    * Shape at scale: state is one row per live symbol; every round is
-    * window functions over (doc, word) partitions plus one BROADCAST join
-    * against the merges table (a tokenizer ships ~50k merges — a few MB)
-    * — the corpus never reshuffles across rounds because the partition
-    * key never changes, and there is no driver-side state at all. All
-    * expressions are codegen'd string/integer ops — determinism needs no
-    * rounding discipline because nothing is floating-point.
+    * Shape at scale: the whole bounded merge loop runs inside the native
+    * codegen'd kernel [[graft.functions.BpeEncodeWord]] — ZERO shuffles,
+    * zero joins, zero windows; one scan, one explode. The merges table
+    * rides the expression as a reference object (a production
+    * tokenizer's ~50k merges is a few MB — broadcast-equivalent). The
+    * first formulation ran ~7 window passes over (doc, word) partitions
+    * per round and an array/HOF rewrite evaluated interpreted — both
+    * measured and recorded in SURVEY §6.0; the kernel replaces them at
+    * identical semantics (same TokenModelsSpec fixtures, same
+    * unrolled-CTE oracle). All arithmetic is string/integer — no
+    * rounding discipline needed.
     *
     * Returns (doc_id, word_id, pos, sym) — the encoded symbol stream.
     */
@@ -221,19 +225,14 @@ object TokenModels {
       merges: Seq[(String, String)], maxRounds: Int): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
     require(merges.nonEmpty, "empty merges table")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val mergesDf = merges.zipWithIndex
-      .map { case ((a, b), r) => (a, b, r) }.toDF("__a", "__b", "__rank")
-    val words = docs.select(col(idCol).as("doc_id"),
-      posexplode(expr(s"regexp_extract_all(lower(${textCol}), '[a-z]+', 0)"))
-        .as(Seq("word_id", "__w")))
-    var st = words.select(col("doc_id"), col("word_id"),
-      posexplode(filter(split(col("__w"), ""), s => s =!= ""))
-        .as(Seq("pos", "sym")))
-    for (_ <- 1 to maxRounds)
-      st = applyMergeRound(st, mergesDf).localCheckpoint()
-    st
+    val enc = merges.map { case (a, b) => a + "\u0001" + b }
+      .mkString("\u0002")
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(expr(s"regexp_extract_all(lower(${textCol}), '[a-z]+', 0)"))
+          .as(Seq("word_id", "__w")))
+      .select(col("doc_id"), col("word_id"),
+        posexplode(call_function("graft_bpe_word", col("__w"), lit(enc),
+          lit(maxRounds))).as(Seq("pos", "sym")))
   }
 
   private def wOrd = Window.partitionBy(col("doc_id"), col("word_id"))

@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins the pure-SQL surface: a user who only speaks `spark.sql` over
   * registered temp views — no Scala DataFrame API — gets the same library:
-  * the four injected Catalyst functions resolve by name, and SQL text
+  * the five injected Catalyst functions resolve by name, and SQL text
   * reproduces the Column-API operators bit-for-bit.
   */
 class SqlSurfaceSpec extends AnyFunSuite {
@@ -47,6 +47,16 @@ class SqlSurfaceSpec extends AnyFunSuite {
         |FROM sql_docs a JOIN sql_docs b ON a.doc_id < b.doc_id""".stripMargin)
       .collect()(0).getAs[Long]("c")
     assert(inter == 3L) // shared unigrams: b, c, d
+
+    // graft_bpe_word: (a,b) rank 0 then (ab,a) rank 1 — "abab" needs
+    // round 1 (ab ab) only; "ababa" reaches (ab)(ab)a then (ab,a)
+    // cannot fire on the LEFT ab (its right neighbor is ab, not a)
+    val bpe = spark.sql(
+      """SELECT graft_bpe_word('ababa',
+        |  concat('a', char(1), 'b', char(2), 'ab', char(1), 'a'),
+        |  3) AS s""".stripMargin)
+      .collect()(0).getAs[scala.collection.Seq[String]]("s")
+    assert(bpe.toSeq == Seq("ab", "aba"))
   }
 
   test("a full operator expressed as SQL over views matches the API version") {
