@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BpeEncodeWord, BpeKernel, DotProduct, NgramHashes, SimHash32, SortedIntersectCount}
+import graft.functions.{BpeAdjacentPairs, BpeApplyPair, BpeEncodeWord, BpeKernel, DotProduct, NgramHashes, SimHash32, SortedIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -25,6 +25,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `graft_bpe_word(word, merges, rounds) -> array<string>` — whole-word
   *    bounded BPE merge loop ([[graft.functions.BpeEncodeWord]]; merges =
   *    pairs `a␁b` joined by U+0002, both literals).
+  *  - `graft_bpe_pairs(array<string>) -> array<struct<a,b>>` — adjacent
+  *    symbol pairs ([[graft.functions.BpeAdjacentPairs]]).
+  *  - `graft_bpe_apply(syms, a, b) -> array<string>` — one greedy merge
+  *    pass of a single pair ([[graft.functions.BpeApplyPair]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -73,5 +77,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .asInstanceOf[Number].intValue()
         BpeEncodeWord(children.head, BpeKernel.parseMerges(enc), rounds)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bpe_pairs"),
+      new ExpressionInfo(classOf[BpeAdjacentPairs].getName,
+        "graft_bpe_pairs"),
+      (children: Seq[Expression]) => BpeAdjacentPairs(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bpe_apply"),
+      new ExpressionInfo(classOf[BpeApplyPair].getName, "graft_bpe_apply"),
+      (children: Seq[Expression]) =>
+        BpeApplyPair(children.head, children(1), children(2))))
   }
 }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -67,7 +67,102 @@ case class BpeEncodeWord(child: Expression, merges: Seq[(String, String)],
       : BpeEncodeWord = copy(child = newChild)
 }
 
+/** Adjacent symbol pairs of a word's symbol array —
+  * `graft_bpe_pairs(array<string>) -> array<struct<a,b>>` — the
+  * pair-counting feed of the BPE learner, native instead of a
+  * higher-order `transform` lambda (interpreted, the SURVEY §6.0
+  * negative result).
+  */
+case class BpeAdjacentPairs(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType, containsNull = false))
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a", StringType, nullable = false),
+      StructField("b", StringType, nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "graft_bpe_pairs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeKernel.adjacentPairs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BpeKernel.adjacentPairs($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : BpeAdjacentPairs = copy(child = newChild)
+}
+
+/** One greedy left-to-right merge pass of a SINGLE pair over a symbol
+  * array — `graft_bpe_apply(syms, a, b) -> array<string>` — the BPE
+  * learner's per-round apply (the argmax pair arrives as columns from a
+  * 1-row broadcast, so `a`/`b` are not literals here).
+  */
+case class BpeApplyPair(first: Expression, second: Expression,
+    third: Expression)
+  extends TernaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType, containsNull = false), StringType, StringType)
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_bpe_apply"
+
+  override protected def nullSafeEval(syms: Any, a: Any, b: Any): Any =
+    BpeKernel.applyPair(syms.asInstanceOf[ArrayData],
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, a, b) =>
+      s"graft.functions.BpeKernel.applyPair($s, $a, $b)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): BpeApplyPair =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object BpeKernel {
+
+  /** See [[BpeAdjacentPairs]]. */
+  def adjacentPairs(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(
+        arr.getUTF8String(i), arr.getUTF8String(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** See [[BpeApplyPair]]. */
+  def applyPair(arr: ArrayData, a: UTF8String, b: UTF8String): ArrayData = {
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      if (i < n - 1 && arr.getUTF8String(i).equals(a) &&
+          arr.getUTF8String(i + 1).equals(b)) {
+        out.add(UTF8String.concat(arr.getUTF8String(i),
+          arr.getUTF8String(i + 1)))
+        i += 2
+      } else { out.add(arr.getUTF8String(i)); i += 1 }
+    }
+    val res = new Array[Any](out.size)
+    var m = 0
+    while (m < out.size) { res(m) = out.get(m); m += 1 }
+    new GenericArrayData(res)
+  }
 
   /** Decode the SQL-surface merges spelling (pairs `a␁b` joined by
     * U+0002) back into the ordered table. */

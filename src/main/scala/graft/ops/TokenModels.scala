@@ -235,48 +235,6 @@ object TokenModels {
           lit(maxRounds))).as(Seq("pos", "sym")))
   }
 
-  private def wOrd = Window.partitionBy(col("doc_id"), col("word_id"))
-    .orderBy(col("pos"))
-
-  /** One merge round over the positioned symbol state (doc_id, word_id,
-    * pos, sym): flag the min-rank merge occurrence per word, resolve
-    * overlapping occurrences greedily left-to-right (runs of consecutive
-    * occurrence positions merge even offsets only — "aaa" → "aa"+"a"),
-    * merge and re-number. Shared verbatim by [[bpeEncode]] (fixed merges
-    * table) and [[bpeLearn]] (the round's own argmax pair).
-    */
-  private def applyMergeRound(st: DataFrame, mergesDf: DataFrame)
-      : DataFrame = {
-    val wAll = Window.partitionBy(col("doc_id"), col("word_id"))
-    val flagged = st
-      .withColumn("__nxt", lead(col("sym"), 1).over(wOrd))
-      .join(broadcast(mergesDf),
-        col("sym") === col("__a") && col("__nxt") === col("__b"),
-        "left_outer")
-      .drop("__a", "__b")
-      .withColumn("__minr", min(col("__rank")).over(wAll))
-      .withColumn("__isocc",
-        col("__rank").isNotNull && col("__rank") === col("__minr"))
-      // greedy left-to-right on overlapping occurrences: group runs of
-      // consecutive occurrence positions (pos − running occurrence
-      // count is constant within a run), merge even offsets only
-      .withColumn("__occidx",
-        sum(when(col("__isocc"), 1).otherwise(0)).over(wOrd))
-      .withColumn("__grp", when(col("__isocc"), col("pos") - col("__occidx")))
-      .withColumn("__runpos", when(col("__isocc"),
-        col("pos") - min(when(col("__isocc"), col("pos"))).over(
-          Window.partitionBy(col("doc_id"), col("word_id"), col("__grp")))))
-      .withColumn("__mrg",
-        coalesce(col("__isocc") && col("__runpos") % 2 === 0, lit(false)))
-      .withColumn("__dropme",
-        coalesce(lag(col("__mrg"), 1).over(wOrd), lit(false)))
-    flagged.filter(!col("__dropme"))
-      .withColumn("sym", when(col("__mrg"),
-        concat(col("sym"), col("__nxt"))).otherwise(col("sym")))
-      .withColumn("pos", (row_number().over(wOrd) - 1).cast("int"))
-      .select("doc_id", "word_id", "pos", "sym")
-  }
-
   /** BPE merge LEARNING (Sennrich et al. 2016 fit-phase) — the other half
     * of [[bpeEncode]]: `rounds` iterations of count-all-adjacent-pairs →
     * take the global argmax → apply that single merge corpus-wide. Ties
@@ -301,27 +259,30 @@ object TokenModels {
   def bpeLearn(docs: DataFrame, idCol: String, textCol: String,
       rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
-    val words = docs.select(col(idCol).as("doc_id"),
-      posexplode(expr(s"regexp_extract_all(lower(${textCol}), '[a-z]+', 0)"))
-        .as(Seq("word_id", "__w")))
-    var st = words.select(col("doc_id"), col("word_id"),
-      posexplode(filter(split(col("__w"), ""), s => s =!= ""))
-        .as(Seq("pos", "sym")))
+    // state is one symbol ARRAY per word; both per-round steps run in the
+    // native kernels (graft_bpe_pairs / graft_bpe_apply) — the window
+    // formulation cost ~7 passes per round, the HOF-lambda one evaluated
+    // interpreted (both measured, SURVEY §6.0)
+    var st = docs.select(
+        posexplode(expr(s"regexp_extract_all(lower(${textCol}), '[a-z]+', 0)"))
+          .as(Seq("__wid", "__w")))
+      .select(filter(split(col("__w"), ""), s => s =!= "").as("syms"))
       .localCheckpoint()
     var learned = Vector.empty[DataFrame]
     for (r <- 1 to rounds) {
       val best = st
-        .withColumn("__nxt", lead(col("sym"), 1).over(wOrd))
-        .filter(col("__nxt").isNotNull)
-        .groupBy(col("sym").as("__a"), col("__nxt").as("__b"))
+        .select(explode(call_function("graft_bpe_pairs", col("syms")))
+          .as("__p"))
+        .groupBy(col("__p.a").as("__a"), col("__p.b").as("__b"))
         .agg(count(lit(1)).as("__cnt"))
         .orderBy(col("__cnt").desc, col("__a"), col("__b"))
         .limit(1).localCheckpoint()
       learned = learned :+ best.select(lit(r - 1).as("merge_rank"),
         col("__a").as("a"), col("__b").as("b"),
         col("__cnt").as("pair_count"))
-      st = applyMergeRound(st,
-        best.select(col("__a"), col("__b"), lit(0).as("__rank")))
+      st = st.crossJoin(broadcast(best.select("__a", "__b")))
+        .select(call_function("graft_bpe_apply", col("syms"),
+          col("__a"), col("__b")).as("syms"))
         .localCheckpoint()
     }
     learned.reduce(_ unionByName _)

@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins the pure-SQL surface: a user who only speaks `spark.sql` over
   * registered temp views — no Scala DataFrame API — gets the same library:
-  * the five injected Catalyst functions resolve by name, and SQL text
+  * the seven injected Catalyst functions resolve by name, and SQL text
   * reproduces the Column-API operators bit-for-bit.
   */
 class SqlSurfaceSpec extends AnyFunSuite {
@@ -57,6 +57,17 @@ class SqlSurfaceSpec extends AnyFunSuite {
         |  3) AS s""".stripMargin)
       .collect()(0).getAs[scala.collection.Seq[String]]("s")
     assert(bpe.toSeq == Seq("ab", "aba"))
+
+    // the learner's kernels: adjacent pairs + one single-pair merge pass
+    val pairsAndApply = spark.sql(
+      """SELECT graft_bpe_pairs(array('a','b','a')) AS p,
+        |  graft_bpe_apply(array('a','a','a'), 'a', 'a') AS m""".stripMargin)
+      .collect()(0)
+    assert(pairsAndApply.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("p")
+      .map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a", "b"), ("b", "a")))
+    assert(pairsAndApply.getAs[scala.collection.Seq[String]]("m").toSeq ==
+      Seq("aa", "a"))
   }
 
   test("a full operator expressed as SQL over views matches the API version") {
