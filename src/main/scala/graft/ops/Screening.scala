@@ -1,5 +1,7 @@
 package graft.ops
 
+import java.math.{BigDecimal => JBigDecimal}
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -337,5 +339,67 @@ object Screening {
         min(when(col("cum") * 1000 >= col("nb") * hiPermille, col("m")))
           .as("ci_hi"))
     full.crossJoin(ci)
+  }
+
+  // χ²(1 df) critical values as exact literals — the DCG-weight rule: no
+  // engine computes a distribution function at runtime
+  private val Chi2Crit5 = new JBigDecimal("3.841458821")
+  private val Chi2Crit1 = new JBigDecimal("6.634896601")
+
+  /** Hash-assigned A/B experiment audit: deterministic 2-arm assignment
+    * (md5 bucket of the unit id — the library's sampling rule, so any
+    * engine reproduces the split), a sample-ratio-mismatch (SRM) χ²
+    * against the intended 50/50 — THE go/no-go data-quality gate every
+    * experimentation platform runs before reading an effect (a biased
+    * assignment invalidates everything downstream) — and the 2×2
+    * conversion χ² for the effect itself.
+    *
+    * All-integer discipline: SRM χ² for an even split collapses to
+    * (n₀−n₁)²/n; the 2×2 statistic is n·(ad−bc)²/(r₀·r₁·c₀·c₁) with the
+    * products carried in DECIMAL(38,0) (five BIGINT factors overflow a
+    * long at ~10⁴ units); each spends ONE IEEE division rounded 9 dp.
+    * Significance flags compare against χ²(1) critical values inlined as
+    * exact literals in plan AND oracle — no runtime distribution
+    * function. One distinct-unit aggregate; output is ONE row:
+    * (n_units, n_arm0, n_arm1, conv0, conv1, cr0, cr1, srm_chi2,
+    * srm_flag_5pct, effect_chi2, effect_flag_5pct, effect_flag_1pct).
+    */
+  def abExperiment(df: DataFrame, unitCol: Column, convertedCol: Column)
+      : DataFrame = {
+    val big = DecimalType(38, 0)
+    val units = df.groupBy(unitCol.cast("string").as("__u"))
+      .agg(max(when(convertedCol, 1L).otherwise(0L)).as("__c"))
+      .select(col("__u"), col("__c"),
+        Prep.hashBucket(col("__u"), 2).as("__arm"))
+    val agg = units.agg(count(lit(1)).as("n_units"),
+      sum(when(col("__arm") === 0, 1L).otherwise(0L)).as("n_arm0"),
+      sum(when(col("__arm") === 1, 1L).otherwise(0L)).as("n_arm1"),
+      sum(when(col("__arm") === 0, col("__c")).otherwise(0L)).as("conv0"),
+      sum(when(col("__arm") === 1, col("__c")).otherwise(0L)).as("conv1"))
+    val d = col("n_arm0") - col("n_arm1")
+    val a = col("conv0")
+    val b = col("n_arm0") - col("conv0")
+    val c = col("conv1")
+    val dd = col("n_arm1") - col("conv1")
+    val det = (a.cast(big) * dd - b.cast(big) * c)
+    val denom = col("n_arm0").cast(big) * col("n_arm1") *
+      (col("conv0") + col("conv1")) *
+      (col("n_units") - col("conv0") - col("conv1"))
+    agg
+      .withColumn("cr0", when(col("n_arm0") > 0,
+        round(col("conv0").cast(DoubleType) / col("n_arm0"), 9)))
+      .withColumn("cr1", when(col("n_arm1") > 0,
+        round(col("conv1").cast(DoubleType) / col("n_arm1"), 9)))
+      .withColumn("srm_chi2", when(col("n_units") > 0,
+        round((d * d).cast(DoubleType) / col("n_units"), 9)))
+      .withColumn("srm_flag_5pct",
+        col("srm_chi2") > lit(Chi2Crit5).cast(DoubleType))
+      .withColumn("effect_chi2", when(denom > 0,
+        round(col("n_units").cast(DoubleType) *
+          (det * det).cast(DoubleType) / denom.cast(DoubleType), 9)))
+      .withColumn("effect_flag_5pct",
+        col("effect_chi2") > lit(Chi2Crit5).cast(DoubleType))
+      .withColumn("effect_flag_1pct",
+        col("effect_chi2") > lit(Chi2Crit1).cast(DoubleType))
   }
 }

@@ -190,7 +190,16 @@ object EvalQueries {
       .orderBy("pair_id")
   }
 
+  /** Hash-assigned A/B experiment audit over the event stream
+    * ([[graft.ops.Screening.abExperiment]]): md5 2-arm split of users,
+    * SRM χ² vs the intended 50/50, and the 2×2 purchase-conversion χ².
+    */
+  def abExperiment(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Screening.abExperiment(Tables.events(spark, dir),
+      col("user_id"), col("event_type") === "purchase")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_ab_experiment" -> abExperiment,
     "eval_rouge_dedup" -> rougeDedup,
     "eval_auc_clicks" -> aucClicks,
     "eval_avg_precision" -> averagePrecisionClicks,
@@ -246,6 +255,49 @@ object EvalQueries {
        |  FROM lab GROUP BY 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // md5 2-arm assignment on the shared hash idiom; SRM χ² = (n0−n1)²/n
+    // and 2×2 χ² = n·(ad−bc)²/(r0·r1·c0·c1) in HUGEINT until ONE double
+    // division each; χ²(1) critical values as shared exact literals
+    "eval_ab_experiment" ->
+      """WITH u AS (SELECT CAST(user_id AS VARCHAR) AS uu,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |arms AS (SELECT uu, c,
+        |    ('0x' || substr(md5(uu), 1, 12))::BIGINT % 2 AS arm FROM u),
+        |g AS (SELECT count(*) AS n_units,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_arm0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_arm1,
+        |    CAST(sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT)
+        |      AS conv0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT)
+        |      AS conv1
+        |  FROM arms),
+        |k AS (SELECT *,
+        |    conv0::HUGEINT * (n_arm1 - conv1)
+        |      - (n_arm0 - conv0)::HUGEINT * conv1 AS det,
+        |    n_arm0::HUGEINT * n_arm1 * (conv0 + conv1)
+        |      * (n_units - conv0 - conv1) AS denom,
+        |    CASE WHEN n_units > 0 THEN
+        |      round(CAST((n_arm0 - n_arm1) * (n_arm0 - n_arm1) AS DOUBLE)
+        |        / n_units, 9) END AS srm_chi2
+        |  FROM g),
+        |k2 AS (SELECT *,
+        |    CASE WHEN denom > 0 THEN
+        |      round(CAST(n_units AS DOUBLE) * CAST(det * det AS DOUBLE)
+        |        / CAST(denom AS DOUBLE), 9) END AS effect_chi2
+        |  FROM k)
+        |SELECT n_units, n_arm0, n_arm1, conv0, conv1,
+        |  CASE WHEN n_arm0 > 0
+        |    THEN round(CAST(conv0 AS DOUBLE) / n_arm0, 9) END AS cr0,
+        |  CASE WHEN n_arm1 > 0
+        |    THEN round(CAST(conv1 AS DOUBLE) / n_arm1, 9) END AS cr1,
+        |  srm_chi2, srm_chi2 > 3.841458821 AS srm_flag_5pct,
+        |  effect_chi2, effect_chi2 > 3.841458821 AS effect_flag_5pct,
+        |  effect_chi2 > 6.634896601 AS effect_flag_1pct
+        |FROM k2""".stripMargin,
     // span-removal replay (the dedup_span_removal oracle chain at the
     // same 8-gram) feeding a clipped-bigram overlap; gram identity by
     // STRING (plan uses xxhash64 — equality classes identical barring

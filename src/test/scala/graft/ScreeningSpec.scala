@@ -193,4 +193,33 @@ class ScreeningSpec extends AnyFunSuite {
       .collect()(0)
     assert(s.isNullAt(s.fieldIndex("mcnemar_chi2")))
   }
+
+  test("abExperiment: hash split is deterministic and near-even; a " +
+      "conversion that IS the arm maxes the 2x2 statistic") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.ops.Prep
+    val ev = (0 until 2000).map(i => (s"u${i % 1000}", i)).toDF("u", "x")
+    def run(df: org.apache.spark.sql.DataFrame,
+        conv: org.apache.spark.sql.Column) =
+      Screening.abExperiment(df, col("u"), conv).collect()(0)
+    // arm-independent conversion signal: all false → effect undefined
+    val r0 = run(ev, lit(false))
+    assert(r0.getAs[Long]("n_units") == 1000)
+    assert(r0.getAs[Long]("n_arm0") + r0.getAs[Long]("n_arm1") == 1000)
+    // an even md5 split: |n0 − n1| small → SRM must NOT flag
+    assert(r0.getAs[Double]("srm_chi2") < 3.841458821)
+    assert(!r0.getAs[Boolean]("srm_flag_5pct"))
+    assert(r0.isNullAt(r0.fieldIndex("effect_chi2")))
+    // conversion == arm membership → perfect separation: χ² = n, flags on
+    val r1 = run(ev, Prep.hashBucket(col("u"), 2) === 0)
+    assert(r1.getAs[Double]("cr0") == 1.0 && r1.getAs[Double]("cr1") == 0.0)
+    assert(r1.getAs[Double]("effect_chi2") == 1000.0)
+    assert(r1.getAs[Boolean]("effect_flag_5pct") &&
+      r1.getAs[Boolean]("effect_flag_1pct"))
+    // repartitioning cannot move anything
+    val r2 = run(ev.repartition(13), Prep.hashBucket(col("u"), 2) === 0)
+    assert(r2.getAs[Double]("effect_chi2") == 1000.0 &&
+      r2.getAs[Long]("n_arm0") == r1.getAs[Long]("n_arm0"))
+  }
 }
