@@ -346,6 +346,49 @@ object Eval {
     (1 to math.min(m, k)).foldLeft(JBigDecimal.ZERO.setScale(9))(
       (acc, r) => acc.add(dcgWeight(r)))
 
+  /** RBO depth weight (1−p)·p^(d−1) at p = 0.9, EXACT (0.9 powers are
+    * terminating decimals) — a library-level literal shared by plan and
+    * oracle, the [[dcgWeight]] rule. */
+  def rboWeight(d: Int): JBigDecimal =
+    new JBigDecimal("0.1").multiply(new JBigDecimal("0.9").pow(d - 1))
+
+  /** Rank-biased overlap of two top-k rankings (Webber et al. 2010),
+    * truncated at depth k (RBO_min): Σ_{d≤k} (1−p)·p^(d−1)·|A₁..d ∩
+    * B₁..d|/d with p = 0.9 — the ranking-similarity read that, unlike
+    * Kendall/Spearman, is top-weighted and handles non-conjoint lists:
+    * "did the retrieval ranking drift" across index rebuilds, scorer
+    * swaps (BM25 vs embedding), or corpus versions.
+    *
+    * Shape at scale: both inputs are k-bounded relations; the only data
+    * work is one inner join on the id (depth of co-entry = max of the two
+    * ranks) and a k-row depth-grid aggregation. Per-depth contributions
+    * spend one fixed IEEE sequence (exact-literal weight × count ÷ depth)
+    * rounded 9 dp and sum in exact DECIMAL. Returns ONE row:
+    * (k, n_common, rbo).
+    */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, idCol: String,
+      rankCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val aa = a.select(col(idCol).as("id"), col(rankCol).as("__ra"))
+      .filter(col("__ra") <= k)
+    val bb = b.select(col(idCol).as("id"), col(rankCol).as("__rb"))
+      .filter(col("__rb") <= k)
+    val entry = aa.join(bb, Seq("id"))
+      .select(greatest(col("__ra"), col("__rb")).as("__m"))
+    val grid = a.sparkSession.range(1, k + 1)
+      .select(col("id").cast("int").as("d"))
+    val wCase = coalesce((1 to k).map(d =>
+      when(col("d") === d, lit(rboWeight(d)).cast(DoubleType))): _*)
+    val perDepth = grid.join(entry, col("__m") <= col("d"), "left")
+      .groupBy("d").agg(count(col("__m")).as("__x"))
+      .select(col("d"), col("__x"),
+        round(wCase * col("__x") / col("d"), 9)
+          .cast(DecimalType(18, 9)).as("__c"))
+    perDepth.agg(lit(k).as("k"),
+      max(when(col("d") === k, col("__x"))).as("n_common"),
+      round(sum(col("__c")).cast(DoubleType), 6).as("rbo"))
+  }
+
   /** Ranked-retrieval evaluation against label ground truth: for each
     * query vector, rank the corpus by cosine (ties → id, the
     * [[Similarity.knnJoin]] order) and score the top `k` with

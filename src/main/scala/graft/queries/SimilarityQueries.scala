@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Ivf, Similarity}
+import graft.ops.{Eval, Ivf, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -412,7 +412,26 @@ object SimilarityQueries {
         "embedding", KmeansK, KmeansRounds)
       .orderBy("cid", "dim")
 
+  private val RboK = 10
+
+  /** Rank-biased overlap (p = 0.9, depth 10) between the lexical BM25
+    * ranking and the embedding-cosine ranking — the scorer-drift read on
+    * the same two lists RRF fuses ([[graft.ops.Eval.rankBiasedOverlap]]).
+    */
+  def rboRankings(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lexical = TextQueries.bm25(spark, dir)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("id"))))
+    val semantic = bruteTopK(spark, dir)
+      .select(col("vec_id").as("id"), col("cos"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("id"))))
+    Eval.rankBiasedOverlap(lexical, semantic, "id", "rank", RboK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_rbo_rankings" -> rboRankings,
     "sim_kmeans" -> kmeans,
     "sim_binary_topk" -> binaryTopK,
     "sim_prefix_rerank" -> prefixRerank,
@@ -621,6 +640,34 @@ object SimilarityQueries {
     // both rank lists re-derive from their own oracle definitions (BM25
     // SQL shared verbatim with text_bm25_topk); contributions 1/(60+rank)
     // round to 9dp and sum in exact DECIMAL
+    // k-bounded rankings; per-depth contribution = exact-literal RBO
+    // weight (CAST to DOUBLE) × co-entry count ÷ depth, rounded 9 dp and
+    // DECIMAL-summed — the DCG-literal discipline applied to p-powers
+    "sim_rbo_rankings" -> {
+      val wCase = (1 to RboK).map(d =>
+        s"WHEN $d THEN CAST(${Eval.rboWeight(d)} AS DOUBLE)")
+        .mkString("CASE d ", " ", " END")
+      s"""WITH bmq AS (${TextQueries.bm25Sql}),
+         |bm AS (SELECT id, row_number() OVER (ORDER BY bm25 DESC, id)
+         |         AS rank FROM bmq),
+         |czq AS ($bruteTopKSql),
+         |cz AS (SELECT vec_id AS id, row_number()
+         |         OVER (ORDER BY cos DESC, vec_id) AS rank FROM czq),
+         |aa AS (SELECT id, rank AS ra FROM bm WHERE rank <= $RboK),
+         |bb AS (SELECT id, rank AS rb FROM cz WHERE rank <= $RboK),
+         |m AS (SELECT greatest(ra, rb) AS m FROM aa JOIN bb USING (id)),
+         |g AS (SELECT CAST(i AS INTEGER) AS d
+         |      FROM UNNEST(generate_series(1, $RboK)) u(i)),
+         |x AS (SELECT d, count(m.m) AS x FROM g
+         |      LEFT JOIN m ON m.m <= g.d GROUP BY d),
+         |c AS (SELECT d, x,
+         |        CAST(round($wCase * x / d, 9) AS DECIMAL(18,9)) AS c
+         |      FROM x)
+         |SELECT $RboK AS k,
+         |  CAST(max(CASE WHEN d = $RboK THEN x END) AS BIGINT) AS n_common,
+         |  round(CAST(sum(c) AS DOUBLE), 6) AS rbo
+         |FROM c""".stripMargin
+    },
     "sim_rrf_fusion" ->
       s"""WITH bmq AS (${TextQueries.bm25Sql}),
          |bm AS (SELECT id, row_number() OVER (ORDER BY bm25 DESC, id)

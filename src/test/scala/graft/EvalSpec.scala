@@ -271,6 +271,27 @@ class EvalSpec extends AnyFunSuite {
     assert(r.getAs[Double]("coverage") == 1.0)
   }
 
+  test("rankBiasedOverlap: identical lists hit the truncated-RBO maximum " +
+      "1−p^k; disjoint lists read 0; reversal lands strictly between") {
+    val spark2 = spark
+    import spark2.implicits._
+    val a = (1 to 10).map(i => (i.toLong, i)).toDF("id", "rank")
+    val same = Eval.rankBiasedOverlap(a, a, "id", "rank", 10).collect()(0)
+    // Σ_{d≤10} 0.1·0.9^(d−1) = 1 − 0.9^10, with the d=10 weight rounded
+    // at 9 dp → 0.65132156 → 0.651322 at the 6 dp boundary
+    assert(same.getAs[Double]("rbo") == 0.651322)
+    assert(same.getAs[Long]("n_common") == 10L)
+    val b = (11 to 20).map(i => (i.toLong, i - 10)).toDF("id", "rank")
+    val disj = Eval.rankBiasedOverlap(a, b, "id", "rank", 10).collect()(0)
+    assert(disj.getAs[Double]("rbo") == 0.0 &&
+      disj.getAs[Long]("n_common") == 0L)
+    val rev = (1 to 10).map(i => (i.toLong, 11 - i)).toDF("id", "rank")
+    val r = Eval.rankBiasedOverlap(a, rev, "id", "rank", 10).collect()(0)
+    assert(r.getAs[Long]("n_common") == 10L)
+    val v = r.getAs[Double]("rbo")
+    assert(v > 0.0 && v < 0.651322, s"rbo=$v") // top-weighting penalty
+  }
+
   test("rougeN: hand-computed bigram overlap, clipping, and NULL edges") {
     val spark2 = spark
     import spark2.implicits._
