@@ -86,4 +86,18 @@ object Tables {
       // the reference CSV and the rawEventsCsv read format above
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
       .csv(path)
+
+  /** ORC sink/source — the OTHER columnar interchange format a warehouse
+    * neighbor (Hive/Trino estates) hands over; Spark's native ORC reader
+    * preserves nested arrays/structs and zlib-compresses by default, so a
+    * round-trip is lossless for every table schema in this library
+    * (spec-pinned on documents AND embeddings, incl. the float-array
+    * column). Production scans never infer: the reader takes the writer's
+    * file schema, same as parquet.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

@@ -65,4 +65,23 @@ class ConfigAndSyntheticSpec extends AnyFunSuite {
       Seq("user_id", "event_type", "amount", "timestamp"))
     assert(back.filter($"timestamp".isNull).count() == 0)
   }
+
+  test("ORC round-trip is lossless for documents and embeddings " +
+      "(incl. the float-array column)") {
+    import graft.sources.Tables
+    val dir = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val docs = Tables.documents(spark, dir)
+    Tables.writeOrc(docs, s"$base/docs.orc")
+    val docsBack = Tables.readOrc(spark, s"$base/docs.orc")
+    assert(docsBack.schema == docs.schema)
+    assert(docsBack.orderBy("doc_id").collect().toSeq ==
+      docs.orderBy("doc_id").collect().toSeq)
+    val emb = Tables.embeddings(spark, dir)
+    Tables.writeOrc(emb, s"$base/emb.orc")
+    val embBack = Tables.readOrc(spark, s"$base/emb.orc")
+    assert(embBack.schema == emb.schema)
+    assert(embBack.orderBy("vec_id").collect().toSeq ==
+      emb.orderBy("vec_id").collect().toSeq)
+  }
 }
