@@ -421,6 +421,32 @@ object TextAnalysis {
         col("bits_per_token"))
   }
 
+  /** fastText subword features (Bojanowski et al. 2017): every distinct
+    * corpus term maps to the hashed buckets of its boundary-marked char
+    * n-grams (`<where>` → `<wh, whe, her, ere, re>` at n = 3) — the
+    * embedding-table input that gives OOV words a representation (sum of
+    * subword vectors) and lets morphologically-related forms share
+    * parameters. Buckets come from the engine-portable md5 hashBucket, so
+    * the feature table regenerates identically anywhere — the same
+    * broadcast-legitimacy argument as every hashed model here: the output
+    * is VOCABULARY × (len+2−n+1) rows regardless of corpus size, and the
+    * one shuffle is the distinct-term collapse.
+    *
+    * Returns (term, pos, ngram, bucket) — one row per subword occurrence
+    * slot, pos 0-based within the bracketed form.
+    */
+  def subwordBuckets(docs: DataFrame, textCol: String, n: Int = 3,
+      buckets: Int = 2048): DataFrame = {
+    require(n >= 2, s"n must be >= 2: $n")
+    require(buckets > 1, s"buckets must be > 1: $buckets")
+    docs.select(explode(toks(col(textCol))).as("term")).distinct()
+      .withColumn("__b", concat(lit("<"), col("term"), lit(">")))
+      .select(col("term"), posexplode(
+        transform(sequence(lit(1), length(col("__b")) - (n - 1)),
+          i => col("__b").substr(i, lit(n)))).as(Seq("pos", "ngram")))
+      .withColumn("bucket", Prep.hashBucket(col("ngram"), buckets))
+  }
+
   /** Jensen–Shannon divergence between corpus slices' token
     * distributions (Lin 1991) — the drift/contamination read for TEXT
     * that PSI/Wasserstein/TV give numeric columns: how far apart two

@@ -164,6 +164,18 @@ object TextQueries {
     TextAnalysis.knBigramBits(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  private val SubwordN = 3
+  private val SubwordBuckets = 2048
+
+  /** fastText subword bucket table for the corpus vocabulary
+    * ([[graft.ops.TextAnalysis.subwordBuckets]], boundary-marked char
+    * 3-grams into 2048 hashed buckets).
+    */
+  def subwordBuckets(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.subwordBuckets(Tables.documents(spark, dir), "text",
+        SubwordN, SubwordBuckets)
+      .orderBy("term", "pos")
+
   private val JsBuckets = 64
 
   /** Pairwise Jensen–Shannon divergence between the language slices'
@@ -314,6 +326,7 @@ object TextQueries {
     "text_bigram_lm" -> bigramLm,
     "text_kn_bigram" -> knBigram,
     "text_js_divergence" -> jsDivergence,
+    "text_subword_buckets" -> subwordBuckets,
     "text_novelty" -> novelty,
     "text_repetition" -> repetition,
     "text_token_stats" -> tokenStats,
@@ -649,6 +662,22 @@ object TextQueries {
          |SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
          |  round(CAST(sum(bits * c) AS DOUBLE) / sum(c), 6) AS bits_per_token
          |FROM ct GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // boundary-marked char n-grams by substr over the bracketed term;
+    // bucket on the shared md5 idiom
+    "text_subword_buckets" ->
+      s"""WITH tk AS (SELECT DISTINCT
+         |    unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+         |      AS term
+         |  FROM documents),
+         |b AS (SELECT term, '<' || term || '>' AS bb FROM tk),
+         |g AS (SELECT term, CAST(i - 1 AS INTEGER) AS pos,
+         |        substr(bb, CAST(i AS INTEGER), $SubwordN) AS ngram
+         |      FROM b, UNNEST(generate_series(1,
+         |        length(bb) - ${SubwordN - 1})) u(i))
+         |SELECT term, pos, ngram,
+         |  ('0x' || substr(md5(ngram), 1, 12))::BIGINT % $SubwordBuckets
+         |    AS bucket
+         |FROM g ORDER BY term, pos""".stripMargin,
     // add-one-smoothed hashed-bucket distributions on the dense grid;
     // per-bucket JS contributions spend the plan's exact IEEE sequence
     // (m inlined as (p+q)/2), round 9 dp, exact-DECIMAL sum, 6 dp out

@@ -265,6 +265,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     // the discount really reserves mass for unseen continuations
   }
 
+  test("subwordBuckets: boundary-marked char 3-grams with deterministic " +
+      "hash buckets; shared morphology shares subwords") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "her where")).toDF("doc_id", "text")
+    val out = TextAnalysis.subwordBuckets(docs, "text", 3, 64)
+      .orderBy("term", "pos").collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Int]("pos"),
+        r.getAs[String]("ngram"), r.getAs[Long]("bucket")))
+    val her = out.filter(_._1 == "her").map(_._3).toSeq
+    val where = out.filter(_._1 == "where").map(_._3).toSeq
+    assert(her == Seq("<he", "her", "er>"))
+    assert(where == Seq("<wh", "whe", "her", "ere", "re>"))
+    // the shared stem "her" hashes to the SAME bucket in both words
+    val b1 = out.find(x => x._1 == "her" && x._3 == "her").get._4
+    val b2 = out.find(x => x._1 == "where" && x._3 == "her").get._4
+    assert(b1 == b2)
+    // single-char word: "<a>" is its one 3-gram
+    val one = TextAnalysis.subwordBuckets(
+      Seq((1L, "a")).toDF("doc_id", "text"), "text", 3, 64).collect()
+    assert(one.length == 1 && one(0).getAs[String]("ngram") == "<a>")
+  }
+
   test("jsDivergence: identical slices read exactly 0; disjoint slices " +
       "approach 1 bit; values stay in [0, 1]") {
     val spark2 = spark
