@@ -137,6 +137,29 @@ final class FeatureStore(
   def getFeatureMetadata(version: String): Option[FeatureMetadata] =
     readMetadata().find(_.feature_version == version).map(_.toMetadata)
 
+  /** Time-travel resolution — the newest version whose `created_at` is at
+    * or before the given ISO-8601 instant (lakehouse `AS OF` semantics;
+    * ISO instants compare lexicographically ≡ chronologically, and the
+    * store's injectable clock stamps them). Ties on created_at break to
+    * the larger version id, matching [[listFeatureVersions]]'s newest-
+    * first order. None when the store has no version that old.
+    */
+  def versionAsOf(timestamp: String): Option[String] =
+    readMetadata().filter(_.created_at <= timestamp)
+      .sortBy(r => (r.created_at, r.feature_version))
+      .lastOption.map(_.feature_version)
+
+  /** `AS OF` read: [[getFeatures]] against [[versionAsOf]] — what "the
+    * training set as the serving stack saw it last Tuesday" resolves
+    * through. Throws if no version existed at the instant.
+    */
+  def getFeaturesAsOf(timestamp: String, userIds: Seq[Long] = Nil,
+      useCache: Boolean = true): DataFrame =
+    getFeatures(Some(versionAsOf(timestamp).getOrElse(
+      throw new NoSuchElementException(
+        s"no feature version at or before $timestamp"))),
+      userIds, useCache)
+
   /** Versions newest-first. (`list_feature_versions`, `:481-501`.) */
   def listFeatureVersions(): Seq[FeatureMetadata] =
     readMetadata().sortBy(r => (r.created_at, r.feature_version))(Ordering.Tuple2(

@@ -140,4 +140,27 @@ class StoreSpec extends AnyFunSuite {
     store.cleanupOldVersions(keepN = 0)
     assert(backend.cleared == 1 && backend.m.isEmpty) // invalidation routed
   }
+
+  test("AS OF time travel: resolution picks the newest version at or " +
+      "before the instant; reads serve that version's rows") {
+    val store = freshStore() // clock stamps :01, :02, :03 …
+    val v1 = store.registerFeatures(feats(1L -> 10.0), meta)
+    val v2 = store.registerFeatures(feats(1L -> 20.0), meta)
+    val created = store.listFeatureVersions()
+      .map(m => m.featureVersion -> m.createdAt).toMap
+    // before any version existed
+    assert(store.versionAsOf("2023-12-31T23:59:59Z").isEmpty)
+    intercept[NoSuchElementException] {
+      store.getFeaturesAsOf("2023-12-31T23:59:59Z")
+    }
+    // exactly at v1's stamp → v1; between the stamps → still v1
+    assert(store.versionAsOf(created(v1)).contains(v1))
+    assert(store.versionAsOf(created(v1) + ".500").contains(v1))
+    // at/after v2 → v2, far future → v2
+    assert(store.versionAsOf(created(v2)).contains(v2))
+    assert(store.versionAsOf("2030-01-01T00:00:00Z").contains(v2))
+    val asOf = store.getFeaturesAsOf(created(v1), useCache = false)
+      .select("user_id", "total_amount").collect()(0)
+    assert(asOf.getAs[Double]("total_amount") == 10.0)
+  }
 }
