@@ -421,6 +421,38 @@ object TextAnalysis {
         col("bits_per_token"))
   }
 
+  /** Code-switching / language-mixing audit: language-ID every
+    * fixed-size token chunk of a document ([[graft.ops.Prep.chunkText]] →
+    * [[langId]]) and summarize the per-document language distribution —
+    * the corpus-QA read a document-level language label hides (a "90% en"
+    * doc whose tail is another language poisons monolingual slices, and
+    * mixed documents are exactly what document-level ID mislabels).
+    *
+    * Shape at scale: chunking is a per-row bounded explode (zero
+    * shuffle), per-chunk ID is pure codegen'd array expressions, and the
+    * summary is two partial-aggregable groupBys ((doc, lang) counts, then
+    * per-doc max-struct majority with ties to the later language code —
+    * the [[langId]] argmax convention). Returns (doc_id, n_chunks,
+    * n_langs, majority_lang, majority_ratio, mixed).
+    */
+  def langMixing(docs: DataFrame, idCol: String, textCol: String,
+      profiles: Seq[(String, Seq[String])], chunkTokens: Int): DataFrame = {
+    val chunks = Prep.chunkText(docs, idCol, textCol, chunkTokens,
+      chunkTokens)
+    val scored = langId(chunks, "doc_id", "chunk_text", profiles)
+    scored.groupBy(col("doc_id"), col("predicted_lang"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy("doc_id")
+      .agg(sum(col("__c")).as("n_chunks"),
+        count(lit(1)).as("n_langs"),
+        max(struct(col("__c"), col("predicted_lang"))).as("__best"))
+      .select(col("doc_id"), col("n_chunks"), col("n_langs"),
+        col("__best.predicted_lang").as("majority_lang"),
+        round(col("__best.__c").cast("double") / col("n_chunks"), 9)
+          .as("majority_ratio"),
+        (col("n_langs") > 1).as("mixed"))
+  }
+
   /** fastText subword features (Bojanowski et al. 2017): every distinct
     * corpus term maps to the hashed buckets of its boundary-marked char
     * n-grams (`<where>` → `<wh, whe, her, ere, re>` at n = 3) — the

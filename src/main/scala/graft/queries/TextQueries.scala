@@ -164,6 +164,17 @@ object TextQueries {
     TextAnalysis.knBigramBits(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  private val MixChunkTokens = 10
+
+  /** Per-document language-mixing audit over 10-token chunks
+    * ([[graft.ops.TextAnalysis.langMixing]] with the shared
+    * [[Profiles]]).
+    */
+  def langMixing(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langMixing(Tables.documents(spark, dir), "doc_id",
+        "text", Profiles, MixChunkTokens)
+      .orderBy("doc_id")
+
   private val SubwordN = 3
   private val SubwordBuckets = 2048
 
@@ -327,6 +338,7 @@ object TextQueries {
     "text_kn_bigram" -> knBigram,
     "text_js_divergence" -> jsDivergence,
     "text_subword_buckets" -> subwordBuckets,
+    "text_lang_mixing" -> langMixing,
     "text_novelty" -> novelty,
     "text_repetition" -> repetition,
     "text_token_stats" -> tokenStats,
@@ -662,6 +674,30 @@ object TextQueries {
          |SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
          |  round(CAST(sum(bits * c) AS DOUBLE) / sum(c), 6) AS bits_per_token
          |FROM ct GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // chunk by token count (the dedup_chunks cut), per-chunk argmax via
+    // the shared maxScore/predicted CASE machinery, majority by
+    // max-struct (count, lang) — ties to the later language code
+    "text_lang_mixing" -> {
+      val N = MixChunkTokens
+      s"""WITH $toksCte,
+         |c AS (SELECT doc_id, list_slice(toks, i + 1, i + $N) AS toks
+         |      FROM d, UNNEST(generate_series(0, len(toks) - 1, $N)) u(i)
+         |      WHERE len(toks) > 0),
+         |p AS (SELECT doc_id, $maxScoreSql AS __m, toks FROM c),
+         |x AS (SELECT doc_id, $predictedSql AS pl FROM p),
+         |g AS (SELECT doc_id, pl, count(*) AS c FROM x GROUP BY 1, 2),
+         |m AS (SELECT doc_id,
+         |        max(struct_pack(c := c, l := pl)) AS best,
+         |        CAST(sum(c) AS BIGINT) AS n_chunks,
+         |        count(*) AS n_langs
+         |      FROM g GROUP BY 1)
+         |SELECT doc_id, n_chunks, n_langs,
+         |  struct_extract(best, 'l') AS majority_lang,
+         |  round(CAST(struct_extract(best, 'c') AS DOUBLE) / n_chunks, 9)
+         |    AS majority_ratio,
+         |  n_langs > 1 AS mixed
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
     // boundary-marked char n-grams by substr over the bracketed term;
     // bucket on the shared md5 idiom
     "text_subword_buckets" ->

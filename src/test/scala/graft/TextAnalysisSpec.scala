@@ -265,6 +265,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     // the discount really reserves mass for unseen continuations
   }
 
+  test("langMixing: a half-en half-de document flags as mixed with a " +
+      "50/50 split; monolingual docs do not") {
+    val spark2 = spark
+    import spark2.implicits._
+    val profiles = graft.queries.TextQueries.Profiles
+    // chunk 1 = pure en stopwords, chunk 2 = pure de stopwords
+    val mixedText = (Seq.fill(5)(Seq("the", "of")).flatten ++
+      Seq.fill(5)(Seq("der", "die")).flatten).mkString(" ")
+    val docs = Seq(
+      (1L, mixedText),
+      (2L, Seq.fill(20)("the").mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.langMixing(docs, "doc_id", "text", profiles, 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val m = out(1L)
+    assert(m.getAs[Boolean]("mixed") && m.getAs[Long]("n_langs") == 2)
+    assert(m.getAs[Long]("n_chunks") == 2)
+    assert(m.getAs[Double]("majority_ratio") == 0.5)
+    // tie at 1 chunk each → later language code wins (the argmax rule)
+    assert(m.getAs[String]("majority_lang") == "en")
+    val mono = out(2L)
+    assert(!mono.getAs[Boolean]("mixed") &&
+      mono.getAs[String]("majority_lang") == "en" &&
+      mono.getAs[Double]("majority_ratio") == 1.0)
+  }
+
   test("subwordBuckets: boundary-marked char 3-grams with deterministic " +
       "hash buckets; shared morphology shares subwords") {
     val spark2 = spark
