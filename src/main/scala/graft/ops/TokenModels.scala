@@ -287,4 +287,66 @@ object TokenModels {
     }
     learned.reduce(_ unionByName _)
   }
+
+  /** Deterministic bigram-LM text generation — hash-sampled ancestral
+    * sampling from the corpus-fitted bigram model: from each seed token,
+    * step r draws the next token from the TRUE conditional distribution
+    * P(w₂|cur) ∝ c(cur, w₂) by landing `md5(seed|r) mod c(cur)` inside
+    * the next-token's cumulative-count range — exact categorical
+    * sampling, engine-replayable with no RNG state (the [[graft.ops
+    * .Graph.randomWalks]] indexed idiom, weighted by counts instead of
+    * uniform over neighbors). The synthetic-data / LM-babble generator:
+    * n-gram babble is the classic corpus-sanity read (a corpus whose
+    * babble is loops and boilerplate has the duplication to match), and
+    * the same machinery generates weak-augmentation text.
+    *
+    * Shape at scale: the model is ONE (w₁, w₂) count aggregate with
+    * per-w₁ cumulative ranges (a window over the model relation, vocab²
+    * bounded, never a corpus pass); each step joins the |seeds|-row
+    * frontier against the model on the current token and keeps the
+    * single row whose range contains the hash — dead ends (no outgoing
+    * bigram) carry their prefix. `localCheckpoint` per step. Returns
+    * (seed, generated, steps) where `generated` starts at the seed.
+    */
+  def generateBigram(docs: DataFrame, textCol: String, seeds: DataFrame,
+      seedCol: String, length: Int): DataFrame = {
+    require(length >= 1, s"length must be >= 1: $length")
+    val t = toks(col(textCol))
+    val bigrams = docs
+      .select(explode(transform(
+        when(size(t) >= 2, sequence(lit(0), size(t) - 2))
+          .otherwise(array().cast("array<int>")),
+        i => struct(element_at(t, i + 1).as("w1"),
+          element_at(t, i + 2).as("w2")))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("w1")).orderBy(col("w2"))
+    val model = bigrams
+      .withColumn("hi", sum(col("c")).over(w))
+      .withColumn("lo", col("hi") - col("c"))
+      .withColumn("tot", sum(col("c")).over(Window.partitionBy(col("w1"))))
+      .localCheckpoint()
+    var frontier = seeds.select(col(seedCol).cast("string").as("seed"))
+      .distinct()
+      .select(col("seed"), col("seed").as("cur"),
+        col("seed").as("generated"), lit(0).as("steps"))
+      .localCheckpoint()
+    for (r <- 1 to length) {
+      // raw 48-bit md5 value mod the context's total count — the
+      // hashBucket idiom with a COLUMN modulus
+      val h = conv(substring(
+        md5(concat_ws("|", col("seed"), lit(r))), 1, 12), 16, 10)
+        .cast("long")
+      val stepped = frontier.join(model, col("cur") === col("w1"))
+        .filter(pmod(h, col("tot")) >= col("lo") &&
+          pmod(h, col("tot")) < col("hi"))
+        .select(col("seed"), col("w2").as("cur"),
+          concat_ws(" ", col("generated"), col("w2")).as("generated"),
+          (col("steps") + 1).as("steps"))
+      frontier = frontier.join(stepped, Seq("seed"), "left_anti")
+        .unionByName(stepped)
+        .localCheckpoint()
+    }
+    frontier.select("seed", "generated", "steps")
+  }
 }

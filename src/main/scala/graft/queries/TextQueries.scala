@@ -164,6 +164,24 @@ object TextQueries {
     TextAnalysis.knBigramBits(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  private val GenSeeds = 3
+  private val GenLength = 6
+
+  /** Deterministic bigram-LM babble from the 3 most frequent corpus
+    * tokens ([[graft.ops.TokenModels.generateBigram]], 6 steps) — exact
+    * hash-sampled ancestral sampling, engine-replayable.
+    */
+  def lmGenerate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val seeds = docs.select(explode(
+        filter(split(col("text"), " "), s => s =!= "")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("tok")).limit(GenSeeds)
+    graft.ops.TokenModels.generateBigram(docs, "text", seeds, "tok",
+        GenLength)
+      .orderBy("seed")
+  }
+
   private val MixChunkTokens = 10
 
   /** Per-document language-mixing audit over 10-token chunks
@@ -339,6 +357,7 @@ object TextQueries {
     "text_js_divergence" -> jsDivergence,
     "text_subword_buckets" -> subwordBuckets,
     "text_lang_mixing" -> langMixing,
+    "text_lm_generate" -> lmGenerate,
     "text_novelty" -> novelty,
     "text_repetition" -> repetition,
     "text_token_stats" -> tokenStats,
@@ -674,6 +693,41 @@ object TextQueries {
          |SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
          |  round(CAST(sum(bits * c) AS DOUBLE) / sum(c), 6) AS bits_per_token
          |FROM ct GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // exact categorical sampling replay: cumulative-count ranges per
+    // context, md5(seed|r) mod tot lands in ONE range per step; dead
+    // ends carry via the per-round anti-join union
+    "text_lm_generate" -> {
+      val steps = (1 to GenLength).map { r =>
+        s"""s$r AS (SELECT f.seed, m.w2 AS cur,
+           |    f.generated || ' ' || m.w2 AS generated,
+           |    f.steps + 1 AS steps
+           |  FROM f${r - 1} f JOIN model m ON m.w1 = f.cur
+           |  AND (('0x' || substr(md5(f.seed || '|' || $r), 1, 12))::BIGINT
+           |       % m.tot) >= m.lo
+           |  AND (('0x' || substr(md5(f.seed || '|' || $r), 1, 12))::BIGINT
+           |       % m.tot) < m.hi),
+           |f$r AS (SELECT * FROM s$r
+           |  UNION ALL
+           |  SELECT f.* FROM f${r - 1} f LEFT JOIN s$r s USING (seed)
+           |  WHERE s.seed IS NULL)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $toksCte,
+         |bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2, count(*) AS c
+         |       FROM d, UNNEST(generate_series(1, len(toks) - 1)) u(i)
+         |       WHERE len(toks) >= 2 GROUP BY 1, 2),
+         |model AS (SELECT w1, w2, c,
+         |    sum(c) OVER (PARTITION BY w1 ORDER BY w2) AS hi,
+         |    sum(c) OVER (PARTITION BY w1 ORDER BY w2) - c AS lo,
+         |    sum(c) OVER (PARTITION BY w1) AS tot FROM bg),
+         |tk AS (SELECT unnest(toks) AS tok FROM d),
+         |sd AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM tk
+         |         GROUP BY 1) ORDER BY c DESC, tok LIMIT $GenSeeds),
+         |f0 AS (SELECT tok AS seed, tok AS cur, tok AS generated,
+         |         0 AS steps FROM sd),
+         |$steps
+         |SELECT seed, generated, steps FROM f$GenLength
+         |ORDER BY seed""".stripMargin
+    },
     // chunk by token count (the dedup_chunks cut), per-chunk argmax via
     // the shared maxScore/predicted CASE machinery, majority by
     // max-struct (count, lang) — ties to the later language code

@@ -143,6 +143,34 @@ class TokenModelsSpec extends AnyFunSuite {
     assert(out(1) == Seq("q", "q"))
   }
 
+  test("generateBigram: every generated bigram exists in the corpus, " +
+      "dead ends carry, and partitioning cannot move a token") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "a b a c a b d"), (2L, "b a c c a"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val seeds = Seq("a", "y").toDF("tok")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.TokenModels.generateBigram(df, "text", seeds, "tok", 5)
+        .collect().map(r => r.getAs[String]("seed") ->
+          (r.getAs[String]("generated"), r.getAs[Int]("steps"))).toMap
+    val out = run(docs)
+    // "y" has no outgoing bigram: prefix carries untouched
+    assert(out("y") == ("y", 0))
+    val (gen, steps) = out("a")
+    val toksOut = gen.split(" ").toSeq
+    assert(toksOut.head == "a" && toksOut.size == steps + 1)
+    assert(steps == 5) // 'a' never dead-ends in this corpus... and every
+    // adjacent generated pair is a real corpus bigram
+    val corpusBigrams = docs.collect().flatMap { r =>
+      val t = r.getAs[String]("text").split(" ")
+      t.zip(t.drop(1))
+    }.toSet
+    toksOut.zip(toksOut.drop(1)).foreach(p =>
+      assert(corpusBigrams.contains(p), s"fabricated bigram $p in $gen"))
+    assert(run(docs.repartition(7)) == out)
+  }
+
   test("bpeLearn: count-argmax-merge rounds reach the hand-computed " +
       "merges and stop early when pairs run out") {
     val spark2 = spark
