@@ -161,4 +161,48 @@ object Profiler {
         round((col("n") * col("n") - col("__ss")).cast(DoubleType) /
           (col("n") * col("n")), 9).as("gini"))
   }
+
+  /** Dataset card — the one-pager every corpus release ships (the
+    * "datasheets for datasets" summary, Gebru et al. 2021): corpus size,
+    * token mass, vocabulary, exact-duplicate share, empty-document share,
+    * and the per-language composition, as ONE tall (metric, value)
+    * relation so it lands in a report/diff pipeline unchanged.
+    *
+    * Everything is counts and count ratios — integer until one division
+    * each, rounded 6 dp; language shares key as `lang_share:<code>`. Two
+    * bounded aggregates (corpus scalars + per-language counts) and one
+    * distinct-token count; no quadratic term anywhere. Returns
+    * (metric, value) ordered by metric.
+    */
+  def datasetCard(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val t = filter(split(col(textCol), " "), s => s =!= "")
+    val base = docs.agg(
+      count(lit(1)).as("__n"),
+      sum(size(t)).as("__tok"),
+      sum(when(size(t) === 0, 1L).otherwise(0L)).as("__empty"),
+      countDistinct(md5(col(textCol))).as("__uniq"))
+    val vocab = docs.select(explode(t).as("__w"))
+      .agg(countDistinct(col("__w")).as("__v"))
+    val scalars = base.crossJoin(broadcast(vocab))
+    def row(name: String, value: org.apache.spark.sql.Column) =
+      scalars.select(lit(name).as("metric"),
+        value.cast(DoubleType).as("value"))
+    val langs = docs.groupBy(col(langCol).cast("string").as("__l"))
+      .agg(count(lit(1)).as("__c"))
+      .crossJoin(broadcast(base.select(col("__n"))))
+      .select(concat(lit("lang_share:"), col("__l")).as("metric"),
+        round(col("__c").cast(DoubleType) / col("__n"), 6).as("value"))
+    row("n_docs", col("__n"))
+      .unionByName(row("n_tokens", col("__tok")))
+      .unionByName(row("vocab_size", col("__v")))
+      .unionByName(row("mean_tokens_per_doc",
+        round(col("__tok").cast(DoubleType) / col("__n"), 6)))
+      .unionByName(row("empty_doc_share",
+        round(col("__empty").cast(DoubleType) / col("__n"), 6)))
+      .unionByName(row("exact_dup_share",
+        round((col("__n") - col("__uniq")).cast(DoubleType) / col("__n"),
+          6)))
+      .unionByName(langs)
+  }
 }

@@ -373,7 +373,18 @@ object QualityQueries {
         "l_extendedprice", "l_quantity", Seq("l_returnflag"))
       .orderBy("l_returnflag")
 
+  /** Dataset card for the documents corpus
+    * ([[graft.quality.Profiler.datasetCard]]): size, token mass,
+    * vocabulary, duplicate/empty shares, per-language composition as one
+    * tall (metric, value) relation.
+    */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame =
+    graft.quality.Profiler.datasetCard(Tables.documents(spark, dir),
+        "doc_id", "text", "lang")
+      .orderBy("metric")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_dataset_card" -> datasetCard,
     "quality_fk_orphans" -> fkOrphans,
     "quality_weighted_median" -> weightedMedianPrice,
     "quality_profile_drift" -> profileDrift,
@@ -398,6 +409,36 @@ object QualityQueries {
     "quality_dup_ratio_documents" -> dupRatioDocuments)
 
   val oracle: Map[String, String] = Map(
+    // counts and count ratios, integer until one division each; language
+    // shares key as lang_share:<code>
+    "quality_dataset_card" ->
+      """WITH d AS (SELECT doc_id, lang, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |b AS (SELECT count(*) AS n,
+        |    CAST(sum(len(toks)) AS BIGINT) AS tok,
+        |    CAST(sum(CASE WHEN len(toks) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS emp,
+        |    count(DISTINCT md5(text)) AS uniq
+        |  FROM d),
+        |v AS (SELECT count(DISTINCT w) AS v
+        |      FROM (SELECT unnest(toks) AS w FROM d)),
+        |s AS (
+        |  SELECT 'n_docs' AS metric, CAST(n AS DOUBLE) AS value
+        |    FROM b
+        |  UNION ALL SELECT 'n_tokens', CAST(tok AS DOUBLE) FROM b
+        |  UNION ALL SELECT 'vocab_size', CAST(v AS DOUBLE) FROM v
+        |  UNION ALL SELECT 'mean_tokens_per_doc',
+        |    round(CAST(tok AS DOUBLE) / n, 6) FROM b
+        |  UNION ALL SELECT 'empty_doc_share',
+        |    round(CAST(emp AS DOUBLE) / n, 6) FROM b
+        |  UNION ALL SELECT 'exact_dup_share',
+        |    round(CAST(n - uniq AS DOUBLE) / n, 6) FROM b
+        |  UNION ALL
+        |  SELECT 'lang_share:' || CAST(lang AS VARCHAR),
+        |    round(CAST(count(*) AS DOUBLE) / max(b.n), 6)
+        |  FROM d, b GROUP BY lang)
+        |SELECT metric, value FROM s ORDER BY metric""".stripMargin,
     // NULL child keys count as orphan rows, never as keys
     "quality_fk_orphans" -> {
       def edgeSql(edge: String, childTbl: String, ck: String,

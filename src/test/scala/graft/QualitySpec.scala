@@ -178,4 +178,23 @@ class QualitySpec extends AnyFunSuite {
     assert(dd.isNullAt(dd.fieldIndex("distinct_ratio")))
     assert(dd.isNullAt(dd.fieldIndex("mean_delta")))
   }
+
+  test("datasetCard: hand-computed one-pager on a tiny corpus") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "en", "a b c"), (2L, "en", "a b c"), // exact dup pair
+      (3L, "fr", "d e"), (4L, "fr", "")).toDF("doc_id", "lang", "text")
+    val card = quality.Profiler
+      .datasetCard(docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getAs[String]("metric") ->
+        r.getAs[Double]("value")).toMap
+    assert(card("n_docs") == 4.0 && card("n_tokens") == 8.0)
+    assert(card("vocab_size") == 5.0)
+    assert(card("mean_tokens_per_doc") == 2.0)
+    assert(card("empty_doc_share") == 0.25)
+    assert(card("exact_dup_share") == 0.25) // 4 docs, 3 distinct texts
+    assert(card("lang_share:en") == 0.5 && card("lang_share:fr") == 0.5)
+    assert(card.size == 8)
+  }
 }
