@@ -264,4 +264,46 @@ object Graph {
       .agg(count(lit(1)).as("degree"))
       .withColumn("in_core", col("degree") >= k)
   }
+
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007), bounded rounds — the near-linear community pass for
+    * link/interaction graphs (domain clusters in a web graph, user
+    * cohorts in a purchase graph) where modularity methods don't scale.
+    * Every node starts as its own community; each round it adopts the
+    * label carried by the MAJORITY of its neighbors, ties to the
+    * smallest label (min-struct over (−count, label) — the library
+    * argmin convention, so the whole run is deterministic and
+    * engine-replayable; classic LPA randomizes both the visit order and
+    * the tie, which no oracle could replay).
+    *
+    * Per round: ONE join of the label relation against the symmetrized
+    * edges + one (node, label) count collapse + one per-node argmin —
+    * all partial-aggregable — with `localCheckpoint` lineage discipline;
+    * bounded `rounds` keeps the plan unrolled-CTE-replayable (the
+    * pageRank rule). At cluster scale both relations bucket on the node
+    * id. Returns (node, community).
+    */
+  def lpaCommunities(edges: DataFrame, aCol: String, bCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val e0 = edges.select(col(aCol).cast("string").as("u"),
+        col(bCol).cast("string").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("community", col("node")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = labels
+        .join(sym, col("node") === col("u"))
+        .groupBy(col("v").as("node"), col("community"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy("node")
+        .agg(min(struct((-col("__c")).as("__nc"),
+          col("community").as("__l"))).as("__best"))
+        .select(col("node"), col("__best.__l").as("community"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

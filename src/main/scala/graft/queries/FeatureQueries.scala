@@ -292,6 +292,21 @@ object FeatureQueries {
   private val KcoreK = 4
   private val KcoreRounds = 3
   private val WalkLength = 3
+  private val LpaRounds = 3
+
+  /** Synchronous bounded-round label-propagation communities over the
+    * purchase graph ([[graft.ops.Graph.lpaCommunities]], same edges as
+    * `feat_pagerank`).
+    */
+  def lpaCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+    graft.ops.Graph.lpaCommunities(edges, "src", "dst", LpaRounds)
+      .orderBy("node")
+  }
 
   /** Deterministic hash-chosen random walks over the purchase graph
     * ([[graft.ops.Graph.randomWalks]]) — the DeepWalk corpus step,
@@ -463,6 +478,7 @@ object FeatureQueries {
     "feat_session_pmi" -> sessionPmi,
     "feat_wilson_rank" -> wilsonRank,
     "feat_pagerank" -> pageRankSuppliers,
+    "feat_lpa_communities" -> lpaCommunities,
     "feat_kcore" -> kcore,
     "feat_random_walks" -> randomWalks,
     "feat_seasonal_naive" -> seasonalNaive,
@@ -484,6 +500,29 @@ object FeatureQueries {
 
   // unrolled peel rounds — each round re-derives degrees from the
   // previous round's edge set and keeps both endpoints alive
+  // unrolled LPA rounds: per-(node, label) counts, argmin by
+  // (−count, label) via min-struct — ties to the smallest label, the
+  // plan's exact convention
+  private val lpaSql: String = {
+    val rounds = (1 to LpaRounds).map { r =>
+      s"""l$r AS (SELECT node,
+         |    struct_extract(min(struct_pack(nc := -cnt, l := community)),
+         |      'l') AS community
+         |  FROM (SELECT s.v AS node, l.community, count(*) AS cnt
+         |        FROM l${r - 1} l JOIN sym s ON l.node = s.u
+         |        GROUP BY 1, 2)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS u,
+       |             's' || l_suppkey AS v
+       |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |sym AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+       |l0 AS (SELECT u AS node, u AS community
+       |       FROM (SELECT DISTINCT u FROM sym)),
+       |$rounds
+       |SELECT node, community FROM l$LpaRounds ORDER BY node""".stripMargin
+  }
+
   private val kcoreSql: String = {
     val peels = (1 to KcoreRounds).map { i =>
       s"""a$i AS (SELECT u FROM u${i - 1} GROUP BY u
@@ -1116,6 +1155,7 @@ object FeatureQueries {
          |    / (1.0 + zz / n), 9) AS wilson_lb
          |FROM w ORDER BY wilson_lb DESC, user_id LIMIT $WilsonTopK""".stripMargin,
     "feat_pagerank" -> pageRankSql,
+    "feat_lpa_communities" -> lpaSql,
     "feat_kcore" -> kcoreSql,
     "feat_random_walks" -> walkSql,
     "feat_degree_stats" ->

@@ -128,4 +128,22 @@ class GraphSpec extends AnyFunSuite {
         assert(adj(p(0)).contains(p(1)), s"fake edge in $path") }
     }
   }
+
+  test("lpaCommunities: hand-traced synchronous rounds on two bridged " +
+      "triangles; deterministic under repartitioning") {
+    val spark2 = spark
+    import spark2.implicits._
+    // triangles {a,b,c} and {d,e,f} bridged by c—d; 3 synchronous rounds
+    // with smallest-label ties trace to: {a,b,c}→a, d→c, {e,f}→c
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d")).toDF("x", "y")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graph.lpaCommunities(df, "x", "y", 3).collect()
+        .map(r => r.getAs[String]("node") -> r.getAs[String]("community"))
+        .toMap
+    val out = run(edges)
+    assert(out == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "c", "e" -> "c", "f" -> "c"), out.toString)
+    assert(run(edges.repartition(5)) == out)
+  }
 }
