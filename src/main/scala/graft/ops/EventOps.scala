@@ -856,4 +856,52 @@ object EventOps {
       .withColumn("rfm_code",
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
   }
+
+  /** Theil–Sen robust trend over the per-day count grid (Theil 1950,
+    * Sen 1968) — the slope a few anomalous days cannot move (29%
+    * breakdown point vs least-squares' zero): slope = the LOWER MEDIAN
+    * of all pairwise day-to-day slopes, intercept = the lower median of
+    * the per-day residuals c − slope·d. The capacity-trend companion to
+    * [[seasonalNaive]]: naive answers "is today like last week", this
+    * answers "where is the level going" without outlier days steering.
+    *
+    * Determinism: pairwise slopes are single IEEE divisions of integer
+    * counts/day-gaps (no summation anywhere), the median is an
+    * order-statistic over (slope, d_a, d_b) — total order, engine-stable
+    * — and the global sort window is legitimate because the relation is
+    * DAYS²-bounded by construction (a decade of days is ~6.7M pairs,
+    * model-sized; the corpus collapses to the day grid in ONE shuffle
+    * first). Returns one row: (n_days, n_pairs, slope, intercept).
+    */
+  def theilSenTrend(df: DataFrame, tsUsCol: String): DataFrame = {
+    val daily = df
+      .groupBy(floor(col(tsUsCol) / lit(86400000000L)).cast("long").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val a = daily.select(col("d").as("da"), col("c").as("ca"))
+    val b = daily.select(col("d").as("db"), col("c").as("cb"))
+    val pairs = a.join(b, col("da") < col("db"))
+      .select(col("da"), col("db"),
+        ((col("cb") - col("ca")).cast("double") / (col("db") - col("da")))
+          .as("__s"))
+    val wS = Window.orderBy(col("__s"), col("da"), col("db"))
+    val nP = pairs.agg(count(lit(1)).as("n_pairs"))
+    val slope = pairs
+      .withColumn("__rn", row_number().over(wS))
+      .crossJoin(broadcast(nP))
+      .filter(col("__rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("n_pairs"), col("__s").as("slope"))
+    val nD = daily.agg(count(lit(1)).as("n_days"))
+    val resid = daily.crossJoin(broadcast(slope))
+      .select(col("n_pairs"), col("slope"), col("d"),
+        (col("c").cast("double") - col("slope") * col("d")).as("__r"))
+    val wR = Window.orderBy(col("__r"), col("d"))
+    resid
+      .withColumn("__rn", row_number().over(wR))
+      .crossJoin(broadcast(nD))
+      .filter(col("__rn") === expr("(n_days + 1) div 2"))
+      .select(col("n_days"), col("n_pairs"),
+        round(col("slope"), 9).as("slope"),
+        round(col("__r"), 9).as("intercept"))
+  }
 }

@@ -294,6 +294,14 @@ object FeatureQueries {
   private val WalkLength = 3
   private val LpaRounds = 3
 
+  /** Theil–Sen robust daily-volume trend
+    * ([[graft.ops.EventOps.theilSenTrend]] over the event stream).
+    */
+  def theilSen(spark: SparkSession, dir: String): DataFrame =
+    EventOps.theilSenTrend(
+      Tables.events(spark, dir)
+        .withColumn("ts_us", unix_micros(col("ts"))), "ts_us")
+
   /** Synchronous bounded-round label-propagation communities over the
     * purchase graph ([[graft.ops.Graph.lpaCommunities]], same edges as
     * `feat_pagerank`).
@@ -479,6 +487,7 @@ object FeatureQueries {
     "feat_wilson_rank" -> wilsonRank,
     "feat_pagerank" -> pageRankSuppliers,
     "feat_lpa_communities" -> lpaCommunities,
+    "feat_theilsen_trend" -> theilSen,
     "feat_kcore" -> kcore,
     "feat_random_walks" -> randomWalks,
     "feat_seasonal_naive" -> seasonalNaive,
@@ -1156,6 +1165,29 @@ object FeatureQueries {
          |FROM w ORDER BY wilson_lb DESC, user_id LIMIT $WilsonTopK""".stripMargin,
     "feat_pagerank" -> pageRankSql,
     "feat_lpa_communities" -> lpaSql,
+    // pairwise integer-count slopes (one IEEE division each), LOWER
+    // median by (slope, da, db) order statistic — no summation anywhere;
+    // residual median reuses the UNROUNDED slope, rounding only at output
+    "feat_theilsen_trend" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT a.d AS da, b.d AS db,
+        |        CAST(b.c - a.c AS DOUBLE) / (b.d - a.d) AS s
+        |      FROM daily a JOIN daily b ON a.d < b.d),
+        |np AS (SELECT count(*) AS n_pairs FROM p),
+        |sl AS (SELECT np.n_pairs, q.s AS slope
+        |       FROM (SELECT s, row_number() OVER (ORDER BY s, da, db)
+        |               AS rn FROM p) q, np
+        |       WHERE q.rn = (np.n_pairs + 1) // 2),
+        |nd AS (SELECT count(*) AS n_days FROM daily),
+        |r AS (SELECT sl.n_pairs, sl.slope, d,
+        |        CAST(c AS DOUBLE) - sl.slope * d AS rr
+        |      FROM daily, sl),
+        |f AS (SELECT *, row_number() OVER (ORDER BY rr, d) AS rn FROM r)
+        |SELECT nd.n_days, f.n_pairs, round(f.slope, 9) AS slope,
+        |  round(f.rr, 9) AS intercept
+        |FROM f, nd WHERE f.rn = (nd.n_days + 1) // 2""".stripMargin,
     "feat_kcore" -> kcoreSql,
     "feat_random_walks" -> walkSql,
     "feat_degree_stats" ->

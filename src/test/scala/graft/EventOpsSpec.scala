@@ -543,4 +543,25 @@ class EventOpsSpec extends AnyFunSuite {
     assert(m(7L) == ((5L, Some(2L), Some(3L))))
     assert(m(14L) == ((1L, Some(5L), Some(4L))))
   }
+
+  test("theilSenTrend: recovers a clean slope exactly and shrugs off an " +
+      "outlier day that would wreck least squares") {
+    val spark2 = spark
+    import spark2.implicits._
+    val us = 86400000000L
+    // days 0..4 with counts 10,12,14,16,18 → every pairwise slope = 2
+    def mk(counts: Seq[Int]) = counts.zipWithIndex.flatMap {
+      case (c, d) => Seq.fill(c)(d.toLong * us) }.toDF("ts_us")
+    val clean = EventOps.theilSenTrend(mk(Seq(10, 12, 14, 16, 18)), "ts_us")
+      .collect()(0)
+    assert(clean.getAs[Double]("slope") == 2.0)
+    assert(clean.getAs[Long]("n_days") == 5 &&
+      clean.getAs[Long]("n_pairs") == 10)
+    assert(clean.getAs[Double]("intercept") == 10.0)
+    // day 2 explodes to 1000: the median pairwise slope stays robust
+    val dirty = EventOps.theilSenTrend(mk(Seq(10, 12, 1000, 16, 18)),
+      "ts_us").collect()(0)
+    val s = dirty.getAs[Double]("slope")
+    assert(s >= 1.5 && s <= 3.0, s"slope $s dragged by the outlier")
+  }
 }
