@@ -59,6 +59,28 @@ object Dedup {
     df.join(canon, Seq(idCol), "left_semi")
   }
 
+  /** Exact dedup keep-BEST: among identical copies keep the one with the
+    * highest score (quality, recency, source priority — whatever the
+    * caller ranks by), ties to the smallest id — the curation policy
+    * production dedup actually wants ([[exactDedup]]'s keep-first is the
+    * arbitrary baseline: first-seen is not best). One max-struct
+    * group-by on the content digest — partial-aggregable, never a window
+    * over a hot digest (the N91 rule). Returns the surviving rows of
+    * `df` plus (content_md5, group_size).
+    */
+  def exactKeepBest(df: DataFrame, idCol: String, keyCol: String,
+      scoreCol: String): DataFrame = {
+    val best = df
+      .select(md5(col(keyCol)).as("content_md5"), col(idCol),
+        col(scoreCol).cast("double").as("__s"))
+      .groupBy("content_md5")
+      .agg(max(struct(col("__s"), (-col(idCol)).as("__nid"))).as("__b"),
+        count(lit(1)).as("group_size"))
+      .select(col("content_md5"), (-col("__b.__nid")).as(idCol),
+        col("group_size"))
+    df.join(best, Seq(idCol))
+  }
+
   /** Distinct (id, token) pairs from whitespace tokenization; empty tokens
     * dropped. The base relation for all set-similarity operators.
     */

@@ -36,6 +36,23 @@ object DedupQueries {
     Dedup.exactDedup(docsNorm(spark, dir), "doc_id", "norm_text")
       .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_checksum"))
 
+  /** Exact dedup keeping the highest-[[graft.ops.TextAnalysis
+    * .qualityScore]] copy per normalized-content group (ties → smallest
+    * id) — the keep-BEST curation policy ([[graft.ops.Dedup
+    * .exactKeepBest]]); survivors with their group size and score.
+    */
+  def exactKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docsNorm(spark, dir).join(
+      graft.ops.TextAnalysis.qualityScore(
+          Tables.documents(spark, dir), "doc_id", "text")
+        .select(col("doc_id"), col("quality_score")),
+      Seq("doc_id"))
+    Dedup.exactKeepBest(scored, "doc_id", "norm_text", "quality_score")
+      .select(col("doc_id"), col("content_md5"), col("group_size"),
+        col("quality_score"))
+      .orderBy("doc_id")
+  }
+
   /** Duplicate-cluster size histogram over [[Dedup.exactGroups]] — the
     * one-page read of how duplicated a corpus is (size-1 mass = unique
     * docs; the tail = boilerplate families) and the sizing input for the
@@ -201,6 +218,7 @@ object DedupQueries {
     "dedup_exact_groups" -> exactGroups,
     "dedup_size_histogram" -> sizeHistogram,
     "dedup_exact_keep_first" -> exactKeepFirst,
+    "dedup_keep_best" -> exactKeepBest,
     "dedup_jaccard_pairs" -> jaccardPairs,
     "dedup_jaccard_2gram" -> jaccard2gram,
     "dedup_minhash_lsh" -> minhashLsh,
@@ -422,6 +440,33 @@ object DedupQueries {
       s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents)
          |SELECT count(*) AS n_kept, CAST(sum(canonical_id) AS BIGINT) AS id_checksum
          |FROM (SELECT min(doc_id) AS canonical_id FROM n GROUP BY norm)""".stripMargin,
+    // keep-BEST: max-struct (quality_score, -doc_id) per normalized
+    // content group — highest score survives, ties to the smallest id;
+    // score = the text_quality_score product rounded at 6 dp
+    "dedup_keep_best" ->
+      s"""WITH d AS (SELECT doc_id, text,
+         |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |  FROM documents),
+         |q AS (SELECT doc_id,
+         |    round(least(len(toks) / 20.0, 1.0)
+         |      * (CASE WHEN len(toks) > 0
+         |           THEN len(list_distinct(toks))::DOUBLE / len(toks)
+         |           ELSE 0.0 END)
+         |      * (1.0 - length(regexp_replace(text, '[a-zA-Z0-9 ]', '',
+         |            'g'))::DOUBLE / greatest(length(text), 1)), 6)
+         |      AS quality_score
+         |  FROM d),
+         |n AS (SELECT doc_id, md5($normSql) AS content_md5
+         |      FROM documents),
+         |j AS (SELECT n.content_md5, n.doc_id, q.quality_score
+         |      FROM n JOIN q USING (doc_id)),
+         |g AS (SELECT content_md5,
+         |        max(struct_pack(s := quality_score, nid := -doc_id)) AS b,
+         |        count(*) AS group_size
+         |      FROM j GROUP BY 1)
+         |SELECT CAST(-struct_extract(b, 'nid') AS BIGINT) AS doc_id,
+         |  content_md5, group_size, struct_extract(b, 's') AS quality_score
+         |FROM g ORDER BY doc_id""".stripMargin,
     "dedup_jaccard_pairs" ->
       s"""WITH $tokCte,
          |$thCte,

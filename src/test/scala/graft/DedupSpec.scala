@@ -277,4 +277,18 @@ class DedupSpec extends AnyFunSuite {
     assert(m(1L) == ((5L, "z1")))
     assert(m(2L) == ((5L, "z2")))
   }
+
+  test("exactKeepBest: highest score survives per content group, ties " +
+      "to the smallest id; singletons untouched") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, "same text", 0.4), (2L, "same text", 0.9),
+      (3L, "same text", 0.9), // ties 2 at 0.9 → smaller id 2 wins
+      (4L, "unique", 0.1)).toDF("doc_id", "text", "score")
+    val out = graft.ops.Dedup.exactKeepBest(df, "doc_id", "text", "score")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("group_size"))).toSeq.sorted
+    assert(out == Seq((2L, 3L), (4L, 1L)))
+  }
 }
