@@ -857,6 +857,76 @@ object EventOps {
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
   }
 
+  /** CUSUM changepoint detection over the per-day count grid (Page
+    * 1954) — the sequential level-shift alarm that catches what
+    * [[theilSenTrend]]'s global slope and [[seasonalNaive]]'s one-lag
+    * error both smear out: a persistent small shift accumulates in the
+    * one-sided sums until it crosses the decision band. CUSUM's
+    * recurrence s_d = max(0, s_{d−1} + (x_d − μ − k)) is not a window
+    * function — but it has the prefix closed form
+    * s_d = prefix(d) − min_{j≤d} prefix(j), so BOTH one-sided statistics
+    * are two window passes over the bounded day grid (running sum +
+    * running min/max), no recursion and no driver loop.
+    *
+    * Determinism discipline: μ = ONE division of integer count sums
+    * rounded 9 dp; σ = ONE IEEE sqrt of the micro-unit integer variance
+    * (irrational — safe to round); slack k = σ/2 and band h = 4σ spend
+    * fixed IEEE steps; every per-day contribution (x − μ − k) rounds to
+    * 9 dp and accumulates in exact DECIMAL prefix sums, so the whole
+    * trace replays bit-identically in SQL. Corpus collapses to the day
+    * grid in ONE shuffle; the windows run over that bounded relation.
+    * Returns (day, n_events, cusum_pos, cusum_neg, alarm).
+    */
+  def cusumChangepoints(df: DataFrame, tsUsCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val D9 = DecimalType(28, 9)
+    val daily = df
+      .groupBy(floor(col(tsUsCol) / lit(86400000000L)).cast("long").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    // μ and σ from integer count sums (n·Σx² − (Σx)² stays integral —
+    // carried in DECIMAL(38,0): a day at 10⁹ events squares past a Long)
+    val big = DecimalType(38, 0)
+    val stats = daily.agg(count(lit(1)).as("__n"), sum(col("c")).as("__s"),
+        sum(col("c").cast(big) * col("c")).as("__ss"))
+      .select(col("__n"),
+        round(col("__s").cast("double") / col("__n"), 9).as("__mu"),
+        round(sqrt((col("__n").cast(big) * col("__ss") -
+            col("__s").cast(big) * col("__s").cast(big))
+          .cast("double") / (col("__n") * col("__n"))), 9).as("__sigma"))
+      .select(col("__mu"), col("__sigma"),
+        round(col("__sigma") / 2.0, 9).as("__k"),
+        round(col("__sigma") * 4.0, 9).as("__h"))
+    val wOrd = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // contributions in NANO-UNIT integers (9-dp decimal × 10⁹): windowed
+    // DECIMAL sums take a double fast-path in some engines — integer
+    // prefix sums are exact everywhere, and the alarm compare stays
+    // all-integer (the micro-unit quantization rule)
+    def nano(x: org.apache.spark.sql.Column) =
+      (round(x, 9).cast(D9) * lit(1000000000L)).cast("long")
+    val contrib = daily.crossJoin(broadcast(stats))
+      .withColumn("__up",
+        nano(col("c").cast("double") - col("__mu") - col("__k")))
+      .withColumn("__dn",
+        nano(col("c").cast("double") - col("__mu") + col("__k")))
+      .withColumn("__hn", nano(col("__h")))
+      .withColumn("__pu", sum(col("__up")).over(wOrd))
+      .withColumn("__pd", sum(col("__dn")).over(wOrd))
+    // s⁺_d = pu(d) − min_{j≤d} pu(j) clamped at the zero start (prefix 0
+    // participates via least/greatest with 0); s⁻ symmetric with max
+    contrib
+      .withColumn("__mpu", least(min(col("__pu")).over(wOrd), lit(0L)))
+      .withColumn("__mpd", greatest(max(col("__pd")).over(wOrd), lit(0L)))
+      .select(col("d").as("day"), col("c").as("n_events"),
+        ((col("__pu") - col("__mpu")).cast("double") / 1e9)
+          .as("cusum_pos"),
+        ((col("__mpd") - col("__pd")).cast("double") / 1e9)
+          .as("cusum_neg"),
+        ((col("__pu") - col("__mpu") > col("__hn")) ||
+          (col("__mpd") - col("__pd") > col("__hn"))).as("alarm"))
+  }
+
   /** Theil–Sen robust trend over the per-day count grid (Theil 1950,
     * Sen 1968) — the slope a few anomalous days cannot move (29%
     * breakdown point vs least-squares' zero): slope = the LOWER MEDIAN

@@ -302,6 +302,15 @@ object FeatureQueries {
       Tables.events(spark, dir)
         .withColumn("ts_us", unix_micros(col("ts"))), "ts_us")
 
+  /** CUSUM level-shift alarm over daily event volume
+    * ([[graft.ops.EventOps.cusumChangepoints]]).
+    */
+  def cusum(spark: SparkSession, dir: String): DataFrame =
+    EventOps.cusumChangepoints(
+        Tables.events(spark, dir)
+          .withColumn("ts_us", unix_micros(col("ts"))), "ts_us")
+      .orderBy("day")
+
   /** Synchronous bounded-round label-propagation communities over the
     * purchase graph ([[graft.ops.Graph.lpaCommunities]], same edges as
     * `feat_pagerank`).
@@ -488,6 +497,7 @@ object FeatureQueries {
     "feat_pagerank" -> pageRankSuppliers,
     "feat_lpa_communities" -> lpaCommunities,
     "feat_theilsen_trend" -> theilSen,
+    "feat_cusum_alarm" -> cusum,
     "feat_kcore" -> kcore,
     "feat_random_walks" -> randomWalks,
     "feat_seasonal_naive" -> seasonalNaive,
@@ -1165,6 +1175,38 @@ object FeatureQueries {
          |FROM w ORDER BY wilson_lb DESC, user_id LIMIT $WilsonTopK""".stripMargin,
     "feat_pagerank" -> pageRankSql,
     "feat_lpa_communities" -> lpaSql,
+    // CUSUM prefix closed form: s⁺ = prefix − min(prefix, 0 incl.),
+    // s⁻ symmetric; 9-dp contributions in exact DECIMAL prefix sums,
+    // μ/σ/k/h fixed IEEE steps from integer count sums
+    "feat_cusum_alarm" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
+        |         sum(c::HUGEINT * c) AS ss FROM daily),
+        |mu AS (SELECT n, round(CAST(s AS DOUBLE) / n, 9) AS mu,
+        |         round(sqrt(CAST(n::HUGEINT * ss - s::HUGEINT * s
+        |           AS DOUBLE) / (n * n)), 9) AS sigma
+        |       FROM st),
+        |pk AS (SELECT mu, sigma, round(sigma / 2.0, 9) AS k,
+        |         round(sigma * 4.0, 9) AS h FROM mu),
+        |ct AS (SELECT d, c,
+        |        CAST(CAST(round(CAST(c AS DOUBLE) - mu - k, 9)
+        |          AS DECIMAL(28,9)) * 1000000000 AS BIGINT) AS up,
+        |        CAST(CAST(round(CAST(c AS DOUBLE) - mu + k, 9)
+        |          AS DECIMAL(28,9)) * 1000000000 AS BIGINT) AS dn,
+        |        CAST(CAST(round(h, 9) AS DECIMAL(28,9)) * 1000000000
+        |          AS BIGINT) AS hn
+        |      FROM daily, pk),
+        |pre AS (SELECT *, sum(up) OVER (ORDER BY d) AS pu,
+        |          sum(dn) OVER (ORDER BY d) AS pd FROM ct),
+        |mm AS (SELECT *, least(min(pu) OVER (ORDER BY d), 0) AS mpu,
+        |         greatest(max(pd) OVER (ORDER BY d), 0) AS mpd FROM pre)
+        |SELECT d AS day, c AS n_events,
+        |  CAST(pu - mpu AS DOUBLE) / 1e9 AS cusum_pos,
+        |  CAST(mpd - pd AS DOUBLE) / 1e9 AS cusum_neg,
+        |  (pu - mpu > hn OR mpd - pd > hn) AS alarm
+        |FROM mm ORDER BY day""".stripMargin,
     // pairwise integer-count slopes (one IEEE division each), LOWER
     // median by (slope, da, db) order statistic — no summation anywhere;
     // residual median reuses the UNROUNDED slope, rounding only at output

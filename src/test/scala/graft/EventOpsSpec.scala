@@ -544,6 +544,31 @@ class EventOpsSpec extends AnyFunSuite {
     assert(m(14L) == ((1L, Some(5L), Some(4L))))
   }
 
+  test("cusumChangepoints: a persistent level shift accumulates to an " +
+      "alarm on the exact hand-traced days") {
+    val spark2 = spark
+    import spark2.implicits._
+    val us = 86400000000L
+    // days 0–9 at 10 events, days 10–19 at 13: μ=11.5 σ=1.5 k=0.75 h=6.
+    // retrospective CUSUM vs the global mean: the low first half drives
+    // s⁻ = 0.75·(d+1) → alarms d=8,9 (6.75, 7.5); after the shift
+    // s⁺ = 0.75·(d−9) → alarms d=18,19
+    val df = (0 until 20).flatMap(d =>
+      Seq.fill(if (d < 10) 10 else 13)(d.toLong * us)).toDF("ts_us")
+    val out = EventOps.cusumChangepoints(df, "ts_us")
+      .collect().map(r => r.getAs[Long]("day") ->
+        (r.getAs[Double]("cusum_pos"), r.getAs[Double]("cusum_neg"),
+          r.getAs[Boolean]("alarm"))).toMap
+    assert(out.filter(_._2._3).keySet == Set(8L, 9L, 18L, 19L), out.toString)
+    assert(out(8L)._2 == 6.75 && out(19L)._1 == 7.5)
+    assert(out(0L)._1 == 0.0) // flat start: positive side pinned at 0
+    // a constant stream never alarms (σ = 0 → h = 0 but both sums stay 0)
+    val flat = (0 until 10).flatMap(d => Seq.fill(5)(d.toLong * us))
+      .toDF("ts_us")
+    assert(EventOps.cusumChangepoints(flat, "ts_us")
+      .collect().forall(!_.getAs[Boolean]("alarm")))
+  }
+
   test("theilSenTrend: recovers a clean slope exactly and shrugs off an " +
       "outlier day that would wreck least squares") {
     val spark2 = spark
