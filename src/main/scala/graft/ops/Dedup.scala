@@ -81,6 +81,60 @@ object Dedup {
     df.join(best, Seq(idCol))
   }
 
+  /** Edit-distance similarity JOIN over a string VOCABULARY (Gravano et
+    * al. 2001's q-gram count filtering) — the fuzzy-match primitive for
+    * names/titles/codes (entity resolution, catalog dedup) where token
+    * Jaccard is blind to character typos. Apply to the DISTINCT value
+    * vocabulary, not the corpus: the blocking is gram-bucket bounded
+    * (Σ bucket²), the verify is an exact `levenshtein` on candidates
+    * only.
+    *
+    * Lossless candidate bound: strings padded with q−1 sentinel chars
+    * (U+0001 — cannot occur in real values) have |s|+q−1 positional
+    * grams, and ed(a,b) ≤ d ⟹ multiset-shared grams ≥
+    * max(|a|,|b|)+q−1−d·q. Multiset sharing = equi-join on
+    * (gram, occurrence index) — the ROUGE clip trick as a join key. The
+    * bound degenerates (≤ 0) only for SHORT×SHORT pairs (both lengths ≤
+    * q(d−1)+1), which union in by a direct length-band pass — that
+    * sub-vocabulary is alphabet-bounded, ≤ |Σ|^(q(d−1)+1) values.
+    * Returns (s_a, s_b, dist), s_a < s_b, dist ≤ maxDist.
+    */
+  def editDistanceJoin(df: DataFrame, strCol: String, maxDist: Int,
+      q: Int = 2): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1: $maxDist")
+    require(q >= 2, s"q must be >= 2: $q")
+    import org.apache.spark.sql.expressions.Window
+    val pad = "\u0001" * (q - 1)
+    val vals = df.select(col(strCol).cast("string").as("s"))
+      .filter(col("s").isNotNull && col("s") =!= "").distinct()
+      .localCheckpoint()
+    val padded = concat(lit(pad), col("s"), lit(pad))
+    val occ = vals.withColumn("__p", padded)
+      .select(col("s"),
+        posexplode(transform(sequence(lit(1), length(col("__p")) - (q - 1)),
+          i => col("__p").substr(i, lit(q)))).as(Seq("__i", "__g")))
+      .withColumn("__occ", row_number().over(
+        Window.partitionBy(col("s"), col("__g")).orderBy(col("__i"))))
+      .select(col("s"), col("__g"), col("__occ"))
+    val clip = occ.select(col("s").as("s_a"), col("__g"), col("__occ"))
+      .join(occ.select(col("s").as("s_b"), col("__g"), col("__occ")),
+        Seq("__g", "__occ"))
+      .filter(col("s_a") < col("s_b"))
+      .groupBy("s_a", "s_b").agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >=
+        greatest(length(col("s_a")), length(col("s_b"))) + (q - 1) -
+          maxDist * q)
+    val shortLen = q * (maxDist - 1) + 1
+    val shorts = vals.filter(length(col("s")) <= shortLen)
+    val shortPairs = shorts.select(col("s").as("s_a"))
+      .join(shorts.select(col("s").as("s_b")), col("s_a") < col("s_b"))
+    clip.select("s_a", "s_b")
+      .unionByName(shortPairs).distinct()
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= maxDist &&
+        abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
+  }
+
   /** Distinct (id, token) pairs from whitespace tokenization; empty tokens
     * dropped. The base relation for all set-similarity operators.
     */

@@ -36,6 +36,16 @@ object DedupQueries {
     Dedup.exactDedup(docsNorm(spark, dir), "doc_id", "norm_text")
       .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_checksum"))
 
+  private val EditDist = 2
+
+  /** Edit-distance ≤ 2 fuzzy pairs over the part-name vocabulary
+    * ([[graft.ops.Dedup.editDistanceJoin]], q-gram count filtering +
+    * exact levenshtein verify).
+    */
+  def editDistNames(spark: SparkSession, dir: String): DataFrame =
+    Dedup.editDistanceJoin(Tables.part(spark, dir), "p_name", EditDist)
+      .orderBy("s_a", "s_b")
+
   /** Exact dedup keeping the highest-[[graft.ops.TextAnalysis
     * .qualityScore]] copy per normalized-content group (ties → smallest
     * id) — the keep-BEST curation policy ([[graft.ops.Dedup
@@ -219,6 +229,7 @@ object DedupQueries {
     "dedup_size_histogram" -> sizeHistogram,
     "dedup_exact_keep_first" -> exactKeepFirst,
     "dedup_keep_best" -> exactKeepBest,
+    "dedup_editdist_names" -> editDistNames,
     "dedup_jaccard_pairs" -> jaccardPairs,
     "dedup_jaccard_2gram" -> jaccard2gram,
     "dedup_minhash_lsh" -> minhashLsh,
@@ -440,6 +451,17 @@ object DedupQueries {
       s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents)
          |SELECT count(*) AS n_kept, CAST(sum(canonical_id) AS BIGINT) AS id_checksum
          |FROM (SELECT min(doc_id) AS canonical_id FROM n GROUP BY norm)""".stripMargin,
+    // the oracle may brute-force the vocabulary² pairs (64 names) — the
+    // plan's q-gram blocking is the scale path, spec-pinned lossless
+    "dedup_editdist_names" ->
+      s"""WITH v AS (SELECT DISTINCT p_name AS s FROM part
+         |           WHERE p_name IS NOT NULL AND p_name <> '')
+         |SELECT a.s AS s_a, b.s AS s_b,
+         |  CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+         |FROM v a JOIN v b ON a.s < b.s
+         |WHERE levenshtein(a.s, b.s) <= $EditDist
+         |  AND abs(length(a.s) - length(b.s)) <= $EditDist
+         |ORDER BY s_a, s_b""".stripMargin,
     // keep-BEST: max-struct (quality_score, -doc_id) per normalized
     // content group — highest score survives, ties to the smallest id;
     // score = the text_quality_score product rounded at 6 dp

@@ -278,6 +278,35 @@ class DedupSpec extends AnyFunSuite {
     assert(m(2L) == ((5L, "z2")))
   }
 
+  test("editDistanceJoin: equals brute-force levenshtein pairs on random " +
+      "small-alphabet strings (q-gram filter + short-string band are " +
+      "jointly lossless)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rng = new scala.util.Random(7)
+    val vocab = (1 to 60).map(_ =>
+      (1 to (1 + rng.nextInt(6))).map(_ => "ab" (rng.nextInt(2))).mkString)
+      .distinct
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      a <- vocab; b <- vocab if a < b
+      dd = lev(a, b) if dd <= 2 && math.abs(a.length - b.length) <= 2
+    } yield (a, b, dd)).toSet
+    val got = graft.ops.Dedup
+      .editDistanceJoin(vocab.toDF("s"), "s", maxDist = 2)
+      .collect().map(r => (r.getAs[String]("s_a"), r.getAs[String]("s_b"),
+        r.getAs[Int]("dist"))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
   test("exactKeepBest: highest score survives per content group, ties " +
       "to the smallest id; singletons untouched") {
     val spark2 = spark

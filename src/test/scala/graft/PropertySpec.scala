@@ -171,4 +171,26 @@ class PropertySpec extends AnyFunSuite {
       assert(deleted.size == math.max(0, nVersions - keepN))
     }
   }
+
+  test("count-min estimates dominate exact counts on random streams; " +
+      "bloom filters never produce a false negative") {
+    import graft.ops.Sketches
+    val streamGen: Gen[List[String]] = Gen.choose(20, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 25).map(i => s"v$i")))
+    samples(streamGen, 8).foreach { vals =>
+      val df = vals.toDF("u")
+      val exact = vals.groupBy(identity).map { case (k, g) =>
+        k -> g.size.toLong }
+      val sk = Sketches.countMinBuild(df, col("u"), 16, 3)
+      val est = Sketches.countMinEstimate(sk, df, col("u"), 16, 3)
+        .as[(String, Long)].collect().toMap
+      exact.foreach { case (v, n) =>
+        assert(est(v) >= n, s"count-min underestimated $v: ${est(v)} < $n")
+      }
+      val bloom = Sketches.bloomBuild(df, col("u"), 128, 3)
+      val present = Sketches.bloomContains(bloom, df, col("u"), 128, 3)
+        .as[(String, Long, Boolean)].collect()
+      assert(present.forall(_._3), "bloom false negative")
+    }
+  }
 }
