@@ -857,6 +857,42 @@ object EventOps {
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
   }
 
+  /** Per-key Fano factor (index of dispersion) over daily activity
+    * counts — the burstiness read that separates metronomic bots
+    * (variance ≪ mean ⇒ F → 0), Poisson-ish humans (F ≈ 1), and bursty
+    * campaign/scraper traffic (F ≫ 1). Complements [[behaviorEntropy]]:
+    * entropy reads WHAT a key does, the Fano factor reads WHEN.
+    *
+    * All-integer discipline: per-(key, day) counts collapse in one
+    * shuffle; F = var/mean = (n·Σc² − (Σc)²)/(n·Σc) is ONE rational of
+    * integer sums (Σc² carried in DECIMAL(38,0) — a hot key's daily
+    * count squares past a Long at 100 TB) spending ONE IEEE division
+    * rounded 9 dp. Days with zero events count as gaps, not zeros —
+    * the denominator n is OBSERVED days (document: the zero-inclusive
+    * variant needs the key's calendar span joined in; at daily grain
+    * over active keys the observed-days read is the standard one).
+    * Returns (key, n_days, n_events, mean_per_day, fano).
+    */
+  def fanoBurstiness(df: DataFrame, keyCol: String, tsUsCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val big = DecimalType(38, 0)
+    df.groupBy(col(keyCol).as("key"),
+        floor(col(tsUsCol) / lit(86400000000L)).cast("long").as("__d"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_days"), sum(col("__c")).as("n_events"),
+        sum(col("__c").cast(big) * col("__c")).as("__ss"))
+      .select(col("key"), col("n_days"), col("n_events"),
+        round(col("n_events").cast("double") / col("n_days"), 9)
+          .as("mean_per_day"),
+        round((col("n_days").cast(big) * col("__ss") -
+            col("n_events").cast(big) * col("n_events").cast(big))
+          .cast("double") /
+          (col("n_days").cast(big) * col("n_events")).cast("double"), 9)
+          .as("fano"))
+  }
+
   /** CUSUM changepoint detection over the per-day count grid (Page
     * 1954) — the sequential level-shift alarm that catches what
     * [[theilSenTrend]]'s global slope and [[seasonalNaive]]'s one-lag

@@ -302,6 +302,16 @@ object FeatureQueries {
       Tables.events(spark, dir)
         .withColumn("ts_us", unix_micros(col("ts"))), "ts_us")
 
+  /** Per-user Fano-factor burstiness over daily activity
+    * ([[graft.ops.EventOps.fanoBurstiness]]).
+    */
+  def fano(spark: SparkSession, dir: String): DataFrame =
+    EventOps.fanoBurstiness(
+        Tables.events(spark, dir)
+          .withColumn("ts_us", unix_micros(col("ts"))),
+        "user_id", "ts_us")
+      .orderBy("key")
+
   /** CUSUM level-shift alarm over daily event volume
     * ([[graft.ops.EventOps.cusumChangepoints]]).
     */
@@ -498,6 +508,7 @@ object FeatureQueries {
     "feat_lpa_communities" -> lpaCommunities,
     "feat_theilsen_trend" -> theilSen,
     "feat_cusum_alarm" -> cusum,
+    "feat_fano_burstiness" -> fano,
     "feat_kcore" -> kcore,
     "feat_random_walks" -> randomWalks,
     "feat_seasonal_naive" -> seasonalNaive,
@@ -1175,6 +1186,22 @@ object FeatureQueries {
          |FROM w ORDER BY wilson_lb DESC, user_id LIMIT $WilsonTopK""".stripMargin,
     "feat_pagerank" -> pageRankSql,
     "feat_lpa_communities" -> lpaSql,
+    // F = (n·Σc² − (Σc)²)/(n·Σc): one rational of integer sums, one
+    // division rounded 9 dp; HUGEINT carries the squares
+    "feat_fano_burstiness" ->
+      """WITH g AS (SELECT user_id AS key,
+        |    epoch_us(ts) // 86400000000 AS d, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT key, count(*) AS n_days,
+        |    CAST(sum(c) AS BIGINT) AS n_events,
+        |    sum(c::HUGEINT * c) AS ss
+        |  FROM g GROUP BY 1)
+        |SELECT key, n_days, n_events,
+        |  round(CAST(n_events AS DOUBLE) / n_days, 9) AS mean_per_day,
+        |  round(CAST(n_days::HUGEINT * ss - n_events::HUGEINT * n_events
+        |      AS DOUBLE) / CAST(n_days::HUGEINT * n_events AS DOUBLE), 9)
+        |    AS fano
+        |FROM a ORDER BY key""".stripMargin,
     // CUSUM prefix closed form: s⁺ = prefix − min(prefix, 0 incl.),
     // s⁻ symmetric; 9-dp contributions in exact DECIMAL prefix sums,
     // μ/σ/k/h fixed IEEE steps from integer count sums

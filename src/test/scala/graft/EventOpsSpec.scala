@@ -544,6 +544,25 @@ class EventOpsSpec extends AnyFunSuite {
     assert(m(14L) == ((1L, Some(5L), Some(4L))))
   }
 
+  test("fanoBurstiness: metronome reads 0, bursty reads > 1, " +
+      "hand-computed values exact") {
+    val spark2 = spark
+    import spark2.implicits._
+    val us = 86400000000L
+    // metronome: 5 events/day for 4 days → var 0 → F = 0
+    // bursty: counts (1, 9) over 2 days: mean 5, pop-var 16 → F = 3.2
+    val rows =
+      (0 until 4).flatMap(d => Seq.fill(5)(("m", d.toLong * us))) ++
+      Seq.fill(1)(("b", 0L)) ++ Seq.fill(9)(("b", us))
+    val out = EventOps.fanoBurstiness(rows.toDF("u", "ts_us"), "u", "ts_us")
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    assert(out("m").getAs[Double]("fano") == 0.0)
+    assert(out("m").getAs[Double]("mean_per_day") == 5.0)
+    assert(out("b").getAs[Double]("fano") == 3.2)
+    assert(out("b").getAs[Long]("n_days") == 2 &&
+      out("b").getAs[Long]("n_events") == 10)
+  }
+
   test("cusumChangepoints: a persistent level shift accumulates to an " +
       "alarm on the exact hand-traced days") {
     val spark2 = spark
