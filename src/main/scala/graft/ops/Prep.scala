@@ -888,6 +888,38 @@ object Prep {
         col("input_text"), col("target_text"))
   }
 
+  /** Deterministic mixture interleave by stride scheduling (Waldspurger &
+    * Weihl 1995, the lottery/stride scheduler applied to data loading) —
+    * the consumer of [[temperatureMixture]]'s proportions: item k of
+    * source s takes virtual time (k − ½)/q_s, so sorting by virtual time
+    * interleaves sources ∝ their target weights with NO randomness — a
+    * source with twice the weight appears twice as often, evenly spread,
+    * identical on every engine and partitioning (within-source order is
+    * the md5-of-id shuffle, the library sampling rule). This is the
+    * actual batch-assembly order a mixture dataloader wants, not just
+    * the weight sheet.
+    *
+    * Shape at scale: weights are the |sources|-row broadcast; the only
+    * per-row work is one row_number window PARTITIONED BY SOURCE (never
+    * global) and one fixed IEEE division; the final global sort is the
+    * output contract itself (a training-order file is sorted by
+    * construction — at 100 TB it lands as range-partitioned sorted
+    * shards). Returns (virtual_time, source, id, k).
+    */
+  def mixtureSchedule(df: DataFrame, srcCol: Column, idCol: Column)
+      : DataFrame = {
+    val weights = temperatureMixture(df, srcCol)
+      .select(col("source"), col("q_temp"))
+    val wSrc = Window.partitionBy(col("source"))
+      .orderBy(md5(col("id").cast("string")), col("id"))
+    df.select(srcCol.cast("string").as("source"), idCol.as("id"))
+      .withColumn("k", row_number().over(wSrc))
+      .join(broadcast(weights), Seq("source"))
+      .withColumn("virtual_time",
+        round((col("k") - 0.5) / col("q_temp"), 9))
+      .select("virtual_time", "source", "id", "k")
+  }
+
   /** Temperature-scaled mixture weights at T = 2 (the multilingual
     * up-sampling rule of mBERT/XLM-R/mT5: sample source i with
     * probability ∝ p_i^(1/T), flattening the source distribution so

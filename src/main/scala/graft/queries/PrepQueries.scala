@@ -376,7 +376,17 @@ object PrepQueries {
         SpanStartPct, SpanMax)
       .orderBy("doc_id")
 
+  /** Stride-scheduled mixture interleave of the documents by language
+    * ([[graft.ops.Prep.mixtureSchedule]] over the T=2 temperature
+    * weights): the deterministic dataloader order.
+    */
+  def mixtureSchedule(spark: SparkSession, dir: String): DataFrame =
+    Prep.mixtureSchedule(Tables.documents(spark, dir), col("lang"),
+        col("doc_id"))
+      .orderBy("virtual_time", "source", "id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "prep_mixture_schedule" -> mixtureSchedule,
     "prep_span_corruption" -> spanCorruption,
     "prep_temperature_mix" -> temperatureMix,
     "prep_rank_normalize" -> rankNormalizeAcctbal,
@@ -414,6 +424,27 @@ object PrepQueries {
     s"('0x' || substr(md5($expr), 1, 12))::BIGINT % $buckets"
 
   val oracle: Map[String, String] = Map(
+    // stride scheduling over the temperature weights: item k of source s
+    // at virtual time (k − ½)/q_s; within-source order = md5-of-id
+    "prep_mixture_schedule" ->
+      """WITH s AS (SELECT lang AS source, count(*) AS n_rows
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS nn FROM s),
+        |b AS (SELECT source, n_rows,
+        |        CAST(round(sqrt(round(n_rows / (nn * 1.0), 9)), 9)
+        |          AS DECIMAL(18,9)) AS w
+        |      FROM s CROSS JOIN t),
+        |z AS (SELECT CAST(sum(w) AS DOUBLE) AS z FROM b),
+        |q AS (SELECT source, round(CAST(w AS DOUBLE) / z, 9) AS q_temp
+        |      FROM b CROSS JOIN z),
+        |r AS (SELECT CAST(lang AS VARCHAR) AS source, doc_id AS id,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS k
+        |      FROM documents)
+        |SELECT round((r.k - 0.5) / q.q_temp, 9) AS virtual_time,
+        |  r.source, r.id, CAST(r.k AS INTEGER) AS k
+        |FROM r JOIN q USING (source)
+        |ORDER BY virtual_time, source, id""".stripMargin,
     // hash-deterministic span starts/lengths on the shared md5 idiom;
     // overlapping spans union their cover; runs via gap-and-island
     // (pos − row_number constant per run); both texts string_agg in

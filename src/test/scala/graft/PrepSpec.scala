@@ -513,6 +513,30 @@ class PrepSpec extends AnyFunSuite {
     }
   }
 
+  test("mixtureSchedule: stride interleave matches target proportions in " +
+      "every prefix and is partition-invariant") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 90/10 split → q = (0.75, 0.25): every big-source item advances
+    // virtual time by 4/3, every small one by 4 — prefixes of the sorted
+    // schedule hold ≈3:1 big:small
+    val df = ((0 until 90).map(i => (s"b$i", "big")) ++
+      (0 until 10).map(i => (s"s$i", "small"))).toDF("id", "src")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Prep.mixtureSchedule(d, col("src"), col("id"))
+        .orderBy("virtual_time", "source", "id")
+        .collect().map(_.getAs[String]("source")).toSeq
+    val order = run(df)
+    assert(order.size == 100)
+    // every prefix of length 4m contains exactly 3m big + m small: the
+    // stride property (big at times 2/3·(k−½)·2=…, small at 4k−2)
+    (1 to 10).foreach { m =>
+      val p = order.take(4 * m)
+      assert(p.count(_ == "small") == m, s"prefix ${4 * m}: $p")
+    }
+    assert(run(df.repartition(7)) == order)
+  }
+
   test("spanCorruption: sentinel-splice of input and target reconstructs " +
       "every original document exactly; counts are consistent") {
     val spark2 = spark
