@@ -98,6 +98,13 @@ object Dedup {
     * q(d−1)+1), which union in by a direct length-band pass — that
     * sub-vocabulary is alphabet-bounded, ≤ |Σ|^(q(d−1)+1) values.
     * Returns (s_a, s_b, dist), s_a < s_b, dist ≤ maxDist.
+    *
+    * Sizing (ProbeEditDist, SURVEY §6.1): gram buckets hold ~vocab/|Σ|^q
+    * values, so Σ bucket² grows quadratically in the vocabulary at fixed
+    * q — raise q as the vocabulary grows (q = 3 gives 26³ gram values on
+    * a lowercase alphabet) to keep the blocking sub-quadratic; on dense
+    * code-like vocabularies (numeric suffixes ⇒ dozens of true neighbors
+    * per name) the run is output-bound regardless of blocking.
     */
   def editDistanceJoin(df: DataFrame, strCol: String, maxDist: Int,
       q: Int = 2): DataFrame = {
