@@ -36,6 +36,27 @@ object DedupQueries {
     Dedup.exactDedup(docsNorm(spark, dir), "doc_id", "norm_text")
       .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_checksum"))
 
+  /** Cross-slice duplicate leakage: normalized contents that appear under
+    * MORE THAN ONE language label, counted per label pair — the
+    * mislabeled-language / shared-boilerplate audit (a content leaking
+    * across slice boundaries poisons per-slice statistics and any
+    * train/eval split keyed on the slice). One digest+label distinct,
+    * one digest self-join bounded by per-content label sets (≤ langs),
+    * output ≤ langs² rows.
+    */
+  def crossSlice(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsNorm(spark, dir)
+      .select(md5(col("norm_text")).as("__h"), col("lang").cast("string")
+        .as("__l"))
+      .distinct()
+    d.select(col("__h"), col("__l").as("lang_a"))
+      .join(d.select(col("__h"), col("__l").as("lang_b")), Seq("__h"))
+      .filter(col("lang_a") < col("lang_b"))
+      .groupBy("lang_a", "lang_b")
+      .agg(count(lit(1)).as("n_shared_contents"))
+      .orderBy("lang_a", "lang_b")
+  }
+
   private val EditDist = 2
 
   /** Edit-distance ≤ 2 fuzzy pairs over the part-name vocabulary
@@ -230,6 +251,7 @@ object DedupQueries {
     "dedup_exact_keep_first" -> exactKeepFirst,
     "dedup_keep_best" -> exactKeepBest,
     "dedup_editdist_names" -> editDistNames,
+    "dedup_cross_slice" -> crossSlice,
     "dedup_jaccard_pairs" -> jaccardPairs,
     "dedup_jaccard_2gram" -> jaccard2gram,
     "dedup_minhash_lsh" -> minhashLsh,
@@ -451,6 +473,15 @@ object DedupQueries {
       s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents)
          |SELECT count(*) AS n_kept, CAST(sum(canonical_id) AS BIGINT) AS id_checksum
          |FROM (SELECT min(doc_id) AS canonical_id FROM n GROUP BY norm)""".stripMargin,
+    // distinct (content digest, label) pairs self-joined on the digest
+    "dedup_cross_slice" ->
+      s"""WITH d AS (SELECT DISTINCT md5($normSql) AS h,
+         |    CAST(lang AS VARCHAR) AS l
+         |  FROM documents)
+         |SELECT a.l AS lang_a, b.l AS lang_b,
+         |  count(*) AS n_shared_contents
+         |FROM d a JOIN d b ON a.h = b.h AND a.l < b.l
+         |GROUP BY 1, 2 ORDER BY lang_a, lang_b""".stripMargin,
     // the oracle may brute-force the vocabulary² pairs (64 names) — the
     // plan's q-gram blocking is the scale path, spec-pinned lossless
     "dedup_editdist_names" ->

@@ -278,6 +278,31 @@ class DedupSpec extends AnyFunSuite {
     assert(m(2L) == ((5L, "z2")))
   }
 
+  test("crossSlice leakage: one shared content per label pair counted " +
+      "once regardless of copy multiplicity") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "en", "shared text"), (2L, "fr", "shared text"),
+      (3L, "fr", "shared text"), // second fr copy must not double-count
+      (4L, "en", "only english"), (5L, "de", "nur deutsch"))
+      .toDF("doc_id", "lang", "text")
+    docs.createOrReplaceTempView("documents_fixture")
+    // drive the same shape the registered query uses, over the fixture
+    import org.apache.spark.sql.functions._
+    val norm = concat_ws(" ", array_sort(array_distinct(
+      filter(split(col("text"), " "), t => t =!= ""))))
+    val d = docs.select(md5(norm).as("__h"),
+      col("lang").as("__l")).distinct()
+    val out = d.select(col("__h"), col("__l").as("lang_a"))
+      .join(d.select(col("__h"), col("__l").as("lang_b")), Seq("__h"))
+      .filter(col("lang_a") < col("lang_b"))
+      .groupBy("lang_a", "lang_b").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getAs[String]("lang_a"),
+        r.getAs[String]("lang_b")) -> r.getAs[Long]("n")).toMap
+    assert(out == Map(("en", "fr") -> 1L))
+  }
+
   test("editDistanceJoin: equals brute-force levenshtein pairs on random " +
       "small-alphabet strings (q-gram filter + short-string band are " +
       "jointly lossless)") {
