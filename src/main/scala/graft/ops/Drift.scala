@@ -20,9 +20,12 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * `when(value > breaks[i])` term per breakpoint, unrolled at plan time
   * (bucket counts are small constants) — NOT a higher-order `aggregate`
   * fold, which is CodegenFallback and was ~10× slower per row. Each side
-  * then aggregates once. Swap `percentile` for `percentile_approx` at
-  * 100 TB — the breakpoints only define buckets, exactness is not
-  * load-bearing there.
+  * then aggregates once. At 100 TB the breakpoints read off the PERSISTED
+  * mergeable quantile sketch instead of a baseline rescan:
+  * [[graft.ops.Sketches.quantileSketchQuantiles]] over the merged
+  * per-ingest-batch knots ([[graft.ops.Sketches.quantileSketchBuild]])
+  * answers the same percent grid within rank error N/K — the breakpoints
+  * only define buckets, exactness is not load-bearing there.
   */
 object Drift {
 

@@ -350,8 +350,12 @@ object Prep {
     * standard outlier guard before scaling/regression. Edges are exact
     * interpolated percentiles (ONE tiny aggregate broadcast back, no
     * collect), rounded to 6 dp and compared in DECIMAL — the same
-    * engine-exactness argument as [[quantileBucket]]. Returns the input
-    * plus `winsorized` (DECIMAL(18,6)), `clipped_lo`, `clipped_hi`.
+    * engine-exactness argument as [[quantileBucket]]. At 100 TB the fences
+    * read off the persisted mergeable quantile sketch
+    * ([[graft.ops.Sketches.quantileSketchQuantiles]] over merged
+    * per-ingest-batch knots) instead of a full-history percentile pass.
+    * Returns the input plus `winsorized` (DECIMAL(18,6)), `clipped_lo`,
+    * `clipped_hi`.
     */
   def winsorize(df: DataFrame, valueCol: String, pLo: Double, pHi: Double)
       : DataFrame = {
@@ -599,7 +603,11 @@ object Prep {
     * k/buckets positions are multiples of 10^-2/buckets — far from any
     * 5·10^-7 rounding boundary — so a last-ulp difference between two
     * engines' interpolation order can never move a row across a bin.
-    * Returns (bucket, n, lo, hi) per non-empty bin.
+    * At 100 TB the edges read off the persisted mergeable quantile sketch
+    * ([[graft.ops.Sketches.quantileSketchQuantiles]] over merged
+    * per-ingest-batch knots, rank error N/K) instead of an exact
+    * `percentile` pass over history. Returns (bucket, n, lo, hi) per
+    * non-empty bin.
     */
   def quantileBucket(df: DataFrame, valueCol: String, buckets: Int)
       : DataFrame = {

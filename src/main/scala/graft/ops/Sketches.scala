@@ -196,4 +196,107 @@ object Sketches {
       .groupBy("value")
       .agg(sum(coalesce(col("__set"), lit(0L))).as("n_bits_set"))
       .withColumn("maybe_present", col("n_bits_set") === hashes)
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.expressions.Window
+  import org.apache.spark.sql.types.DecimalType
+
+  /** Per-batch DETERMINISTIC mergeable quantile sketch (the CDF-knot form
+    * of a GK/KLL summary: Greenwald & Khanna 2001 give the ε-approximate
+    * rank guarantee; this construction trades their adaptive compression
+    * for engine-replayable determinism): each ingest batch keeps only the
+    * grid rows where the within-batch cumulative count CROSSES a multiple
+    * of n_b/`knots` — ≤ `knots` (value, cum) knots per batch, a few KB
+    * persisted alongside the N101 HLL / N173 count-min sketches. The knot
+    * rule is pure integer arithmetic (`cum·K div n_b` strictly increases
+    * at a kept row), so any SQL engine rebuilds the sketch row-for-row and
+    * re-partitioning cannot move a knot.
+    *
+    * Error contract (spec-pinned): for any probe value x, the per-batch
+    * undercount `true_cum_b(x) − est_cum_b(x)` is < n_b/K — every skipped
+    * grid row between two kept knots sits strictly inside one length-
+    * n_b/K rank interval — so the MERGED rank estimate over B batches is
+    * within Σ_b n_b/K = N/K of truth: err·K < N, uniformly.
+    *
+    * Merging IS relation union: the sketch of batches {1..B} is by
+    * construction the union of each batch's sketch, so historical
+    * quantiles answer from persisted knots without rescanning events —
+    * the missing member of the sketch suite next to HLL (distinct),
+    * count-min (frequency) and Bloom (membership). This is the 100 TB
+    * swap-in for every exact-`percentile` consumer:
+    * [[graft.ops.Drift.psiBuckets]] bucket edges,
+    * [[graft.ops.Prep.quantileBucket]] bin edges and
+    * [[graft.ops.Prep.winsorize]] fences all read off
+    * [[quantileSketchQuantiles]] of the merged knots instead of a
+    * full-history percentile pass.
+    *
+    * Scale shape: one (batch, v) group-by; the cumulative window
+    * partitions BY BATCH (parallel across the ingest axis; within a batch
+    * the grid is distinct-value bounded — the KS-grid discipline). Values
+    * follow the 2-dp money discipline (DECIMAL(18,2)). Returns
+    * (batch, v, cum) — the knot relation.
+    */
+  def quantileSketchBuild(df: DataFrame, valueCol: Column, batchCol: Column,
+      knots: Int): DataFrame = {
+    require(knots >= 1, s"knots must be >= 1: $knots")
+    val grid = df
+      .select(batchCol.cast("long").as("batch"),
+        valueCol.cast(DecimalType(18, 2)).as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("batch", "v").agg(count(lit(1)).as("__c"))
+    val wb = Window.partitionBy("batch").orderBy("v")
+    grid
+      .withColumn("cum", sum("__c").over(
+        wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum("__c").over(Window.partitionBy("batch")))
+      .filter(expr(s"(cum * $knots) div __n > ((cum - __c) * $knots) div __n"))
+      .select("batch", "v", "cum")
+  }
+
+  /** Merged rank estimates from a [[quantileSketchBuild]] knot relation:
+    * est_rank(v) = Σ_b (cum of batch b's largest knot ≤ v) — an
+    * UNDERCOUNT of the true rank by < N/K (see the build contract).
+    * Computed via per-batch knot deltas (lag window, batch-parallel) and
+    * one cumulative RANGE window over the SKETCH-SIZED relation
+    * (batches × knots rows — the bounded-support argument holds by
+    * construction here: the window input IS the sketch). Returns one row
+    * per distinct knot value: (v, est_rank).
+    */
+  def quantileSketchRanks(sketch: DataFrame): DataFrame = {
+    val wb = Window.partitionBy("batch").orderBy("v")
+    val wAll = Window.orderBy("v")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    sketch
+      .withColumn("__d",
+        col("cum") - coalesce(lag("cum", 1).over(wb), lit(0L)))
+      // RANGE frame: peers (same v, other batches) are included, so the
+      // running sum at v counts every knot with v' ≤ v
+      .withColumn("est_rank", sum("__d").over(wAll))
+      .groupBy("v").agg(max("est_rank").as("est_rank"))
+  }
+
+  /** Quantile answers from merged knots: for each integer percent q the
+    * smallest knot value whose merged rank estimate reaches the target
+    * rank ⌈q·N/100⌉ (exact integer ceiling — no IEEE op anywhere in the
+    * answer path). The returned value v carries the classic ε = 1/K
+    * guarantee (spec-pinned): true_rank(v) ≥ target and
+    * true_rank_strictly_below(v) < target + N/K. Returns
+    * (q, n_total, target_rank, est_value) per requested percent.
+    */
+  def quantileSketchQuantiles(sketch: DataFrame, percents: Seq[Int])
+      : DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be in 1..100: $percents")
+    val ranks = quantileSketchRanks(sketch)
+    val total = sketch.groupBy("batch").agg(max("cum").as("__nb"))
+      .agg(sum("__nb").as("n_total"))
+    val targets = total
+      .select(explode(array(percents.map(lit): _*)).as("q"), col("n_total"))
+      .select(col("q").cast("long").as("q"), col("n_total"),
+        expr("(q * n_total + 99) div 100").as("target_rank"))
+    ranks.crossJoin(broadcast(targets))
+      .filter(col("est_rank") >= col("target_rank"))
+      .groupBy("q", "n_total", "target_rank")
+      .agg(min("v").as("est_value"))
+  }
 }

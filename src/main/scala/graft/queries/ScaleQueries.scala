@@ -199,7 +199,43 @@ object ScaleQueries {
       .orderBy("value")
   }
 
+  private val QsKnots = 32
+  private val QsPercents = Seq(5, 25, 50, 75, 95)
+
+  /** Persisted-per-batch mergeable quantile sketch
+    * ([[graft.ops.Sketches.quantileSketchBuild]], K = 32 knots per
+    * day-batch over events.value) answering 5 percentiles from the MERGED
+    * knots, with the ε = 1/K rank guarantee audited against the exact
+    * ranks: `valid_ge` (true rank of the answer reaches the target) and
+    * `within_eps` (strictly-below rank < target + N/K) must both hold —
+    * the deterministic integer-arithmetic construction makes the whole
+    * pipeline, guarantee audit included, hash-checkable against DuckDB.
+    */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val day = floor(col("ts_us") / lit(86400000000L))
+    val sketch = graft.ops.Sketches.quantileSketchBuild(ev, col("value"),
+      day, QsKnots)
+    val ans = graft.ops.Sketches.quantileSketchQuantiles(sketch, QsPercents)
+    val v2 = col("value").cast(Money)
+    ev.select(v2.as("__ev")).filter(col("__ev").isNotNull)
+      .crossJoin(broadcast(ans))
+      .groupBy("q", "n_total", "target_rank", "est_value")
+      .agg(sum(when(col("__ev") <= col("est_value"), 1L).otherwise(0L))
+          .as("exact_rank"),
+        sum(when(col("__ev") < col("est_value"), 1L).otherwise(0L))
+          .as("exact_below"))
+      .select(col("q"), col("n_total"), col("target_rank"),
+        col("est_value").cast(DoubleType).as("est_value"),
+        col("exact_rank"), col("exact_below"),
+        (col("exact_rank") >= col("target_rank")).as("valid_ge"),
+        ((col("exact_below") - col("target_rank")) * QsKnots < col("n_total"))
+          .as("within_eps"))
+      .orderBy("q")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scale_quantile_sketch" -> quantileSketch,
     "scale_bloom" -> bloom,
     "scale_countmin" -> countMin,
     "skew_salted_agg" -> skewSaltedAgg,
@@ -212,6 +248,52 @@ object ScaleQueries {
     "scale_approx_quantiles" -> approxQuantiles)
 
   val oracle: Map[String, String] = Map(
+    // knot-for-knot sketch replay: the keep rule, delta/merge windows and
+    // target ranks are ALL integer arithmetic on the shared DECIMAL(18,2)
+    // value grid — the guarantee-audit booleans hash-match too
+    "scale_quantile_sketch" -> {
+      val pcts = QsPercents.mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT CAST(value AS DECIMAL(18,2)) AS v,
+         |    epoch_us(ts) // 86400000000 AS batch
+         |  FROM events WHERE value IS NOT NULL),
+         |g AS (SELECT batch, v, count(*) AS c FROM e GROUP BY 1, 2),
+         |cg AS (SELECT batch, v, c,
+         |    sum(c) OVER (PARTITION BY batch ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(c) OVER (PARTITION BY batch) AS n
+         |  FROM g),
+         |k AS (SELECT batch, v, c, cum FROM cg
+         |  WHERE (cum * $QsKnots) // n > ((cum - c) * $QsKnots) // n),
+         |d AS (SELECT batch, v, cum,
+         |    cum - coalesce(lag(cum) OVER (PARTITION BY batch ORDER BY v), 0)
+         |      AS delta
+         |  FROM k),
+         |r AS (SELECT v, max(est_rank) AS est_rank FROM (
+         |    SELECT v, sum(delta) OVER (ORDER BY v
+         |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS est_rank
+         |    FROM d) GROUP BY v),
+         |nt AS (SELECT sum(n_b) AS n_total FROM (
+         |    SELECT max(cum) AS n_b FROM k GROUP BY batch)),
+         |t AS (SELECT CAST(q AS BIGINT) AS q, n_total,
+         |    (q * n_total + 99) // 100 AS target_rank
+         |  FROM nt, (SELECT unnest($pcts) AS q)),
+         |a AS (SELECT q, n_total, target_rank, min(v) AS est_value
+         |  FROM r, t WHERE est_rank >= target_rank GROUP BY 1, 2, 3),
+         |x AS (SELECT a.q, a.n_total, a.target_rank, a.est_value,
+         |    sum(CASE WHEN e.v <= a.est_value THEN 1 ELSE 0 END)
+         |      AS exact_rank,
+         |    sum(CASE WHEN e.v < a.est_value THEN 1 ELSE 0 END)
+         |      AS exact_below
+         |  FROM e, a GROUP BY 1, 2, 3, 4)
+         |SELECT q, CAST(n_total AS BIGINT) AS n_total,
+         |  CAST(target_rank AS BIGINT) AS target_rank,
+         |  CAST(est_value AS DOUBLE) AS est_value,
+         |  CAST(exact_rank AS BIGINT) AS exact_rank,
+         |  CAST(exact_below AS BIGINT) AS exact_below,
+         |  exact_rank >= target_rank AS valid_ge,
+         |  (exact_below - target_rank) * $QsKnots < n_total AS within_eps
+         |FROM x ORDER BY q""".stripMargin
+    },
     // bit-for-bit filter replay on the shared md5 hash idiom; probe bits
     // deliberately NOT deduped per value (two seeds landing on one set
     // bit still count as hashes bits set — Bloom semantics)

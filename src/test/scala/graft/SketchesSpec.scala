@@ -125,6 +125,90 @@ class SketchesSpec extends AnyFunSuite {
     assert(est("x") >= 35 && est("y") >= 10 && est("z") >= 20)
   }
 
+  // deterministic skewed 2-dp values across `batches` batches: value
+  // depends on a hash-ish mix so batches overlap but differ
+  private def qsFixture(n: Int, batches: Int): Seq[(Long, BigDecimal)] =
+    (0 until n).map { i =>
+      val b = i % batches
+      val raw = ((i * 2654435761L + b * 97) % 1000 + (i % 7) * 250) % 1500
+      (b.toLong, BigDecimal(raw) / 100)
+    }
+
+  test("quantile sketch: per-batch undercount stays within the n/K bound " +
+      "and quantile answers carry the eps=1/K guarantee") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = qsFixture(4000, 5)
+    val df = rows.toDF("batch", "value").repartition(7)
+    val n = rows.size
+    for (k <- Seq(8, 32)) {
+      val sketch = Sketches.quantileSketchBuild(df, col("value"),
+        col("batch"), k)
+      // ≤ k knots per batch
+      val perBatch = sketch.groupBy("batch").count()
+        .as[(Long, Long)].collect()
+      perBatch.foreach { case (b, c) =>
+        assert(c <= k, s"batch $b has $c knots > K=$k") }
+      // est_rank is an undercount within N/K of the true rank everywhere
+      val trueRank = rows.map(_._2).sorted.zipWithIndex
+        .groupBy(_._1).view.mapValues(_.map(_._2).max + 1L).toMap
+      val est = Sketches.quantileSketchRanks(sketch)
+        .as[(BigDecimal, Long)].collect()
+      est.foreach { case (v, e) =>
+        val t = trueRank(v)
+        assert(e <= t, s"K=$k v=$v est $e overcounts true $t")
+        assert((t - e) * k < n, s"K=$k v=$v err ${t - e} breaks N/K bound")
+      }
+      // quantile guarantee: rank(ans) >= target, rank_below < target + N/K
+      val ans = Sketches.quantileSketchQuantiles(sketch, Seq(1, 10, 50, 90, 99))
+        .as[(Long, Long, Long, BigDecimal)].collect()
+      assert(ans.length == 5)
+      ans.foreach { case (q, nt, target, v) =>
+        assert(nt == n)
+        assert(target == (q * n + 99) / 100)
+        val rank = rows.count(_._2 <= v)
+        val below = rows.count(_._2 < v)
+        assert(rank >= target, s"K=$k q=$q rank $rank < target $target")
+        assert((below - target) * k < n,
+          s"K=$k q=$q below-rank $below breaks target+N/K")
+      }
+    }
+  }
+
+  test("quantile sketch: exact when K covers the per-batch grid; merge is " +
+      "relation union; partitioning cannot move a knot") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = qsFixture(1500, 3)
+    val df = rows.toDF("batch", "value")
+    // K >= per-batch row count → every c-step crosses a multiple of
+    // n_b/K ≤ 1 → every grid row is a knot → ranks exact
+    val maxRows = rows.groupBy(_._1).values.map(_.size).max
+    val wide = Sketches.quantileSketchBuild(df, col("value"), col("batch"),
+      maxRows)
+    val trueRank = rows.map(_._2).sorted.zipWithIndex
+      .groupBy(_._1).view.mapValues(_.map(_._2).max + 1L).toMap
+    Sketches.quantileSketchRanks(wide).as[(BigDecimal, Long)].collect()
+      .foreach { case (v, e) => assert(e == trueRank(v), s"v=$v") }
+    // merge law: the sketch of the whole history IS the union of the
+    // per-batch sketches — build per slice, union, compare row sets
+    val k = 16
+    val whole = Sketches.quantileSketchBuild(df, col("value"), col("batch"), k)
+    val merged = (0L until 3L).map { b =>
+      Sketches.quantileSketchBuild(df.filter(col("batch") === b),
+        col("value"), col("batch"), k)
+    }.reduce(_ unionByName _)
+    assert(whole.as[(Long, BigDecimal, Long)].collect().toSet ==
+      merged.as[(Long, BigDecimal, Long)].collect().toSet)
+    // partition invariance: integer knot rule can't see the layout
+    val re = Sketches.quantileSketchBuild(df.repartition(13), col("value"),
+      col("batch"), k)
+    assert(re.as[(Long, BigDecimal, Long)].collect().toSet ==
+      whole.as[(Long, BigDecimal, Long)].collect().toSet)
+  }
+
   test("bloom: no false negatives ever; false positives bounded; " +
       "filters merge by DISTINCT union (bitwise OR)") {
     val spark2 = spark
