@@ -140,20 +140,16 @@ object Drift {
         when(col(groupCol) === a, 1L).otherwise(0L).as("ia"),
         when(col(groupCol) === b, 1L).otherwise(0L).as("ib"))
       .groupBy("v").agg(sum("ia").as("ca"), sum("ib").as("cb"))
-    val byV = Window.orderBy("v")
-    val cdf = byV.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.partitionBy()
-    perV
-      .withColumn("cuma", sum(col("ca")).over(cdf))
-      .withColumn("cumb", sum(col("cb")).over(cdf))
-      .withColumn("na", sum(col("ca")).over(all))
-      .withColumn("nb", sum(col("cb")).over(all))
-      // last grid point: lead is null → gap 0 → no contribution
+    // two-phase salted CDF walk over the merged grid ([[SaltedGrid]]) —
+    // a continuous column makes the grid row-scale; the helper also
+    // carries the next grid value across bucket boundaries
+    SaltedGrid.cumulative(perV, "v", Seq("ca", "cb"), withNext = true)
+      // last grid point: __next is null → gap 0 → no contribution
       .withColumn("gap",
-        coalesce(lead(col("v"), 1).over(byV) - col("v"),
-          lit(0).cast(DecimalType(18, 2))))
-      .select(col("na"), col("nb"),
-        (abs(col("cuma") * col("nb") - col("cumb") * col("na")) * col("gap"))
+        coalesce(col("__next") - col("v"), lit(0).cast(DecimalType(18, 2))))
+      .select(col("__tot_ca").as("na"), col("__tot_cb").as("nb"),
+        (abs(col("__cum_ca") * col("__tot_cb") -
+          col("__cum_cb") * col("__tot_ca")) * col("gap"))
           .cast(DecimalType(38, 4)).as("c"))
       .groupBy("na", "nb").agg(sum(col("c")).as("__num"))
       .select(col("na").as("n_a"), col("nb").as("n_b"),

@@ -44,12 +44,11 @@ object Eval {
       .select(score.as("s"), when(positive, 1L).otherwise(0L).as("p"))
       .filter(col("s").isNotNull)
       .groupBy("s").agg(count(lit(1)).as("c"), sum("p").as("cp"))
-    // global cumulative over the DISTINCT-SCORE relation only (the KS-grid
-    // argument: 2-dp money scores have bounded support, never row-scale)
-    val before = Window.orderBy("s")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    perScore
-      .withColumn("cb", coalesce(sum("c").over(before), lit(0L)))
+    // cumulative over the DISTINCT-SCORE grid via the two-phase salted
+    // walk ([[graft.ops.SaltedGrid]]): a continuous score column makes
+    // the grid row-scale, so it must never serialize into one window task
+    SaltedGrid.cumulative(perScore, "s", Seq("c"))
+      .withColumn("cb", col("__cum_c") - col("c"))
       .agg(
         sum("cp").as("n_pos"),
         sum(col("c") - col("cp")).as("n_neg"),
@@ -85,13 +84,18 @@ object Eval {
       .filter(col("s").isNotNull)
       .groupBy("slice", "s").agg(count(lit(1)).as("c"), sum("p").as("cp"))
     def aucCols(grid: DataFrame, keys: Seq[String]): DataFrame = {
-      val before = {
-        val w = if (keys.isEmpty) Window.orderBy("s")
-          else Window.partitionBy(keys.map(col): _*).orderBy("s")
-        w.rowsBetween(Window.unboundedPreceding, -1)
-      }
-      grid
-        .withColumn("cb", coalesce(sum("c").over(before), lit(0L)))
+      val withCb =
+        if (keys.isEmpty)
+          // pooled grid: two-phase salted walk (continuous scores make it
+          // row-scale — the [[SaltedGrid]] fallback)
+          SaltedGrid.cumulative(grid, "s", Seq("c"))
+            .withColumn("cb", col("__cum_c") - col("c"))
+        else {
+          val before = Window.partitionBy(keys.map(col): _*).orderBy("s")
+            .rowsBetween(Window.unboundedPreceding, -1)
+          grid.withColumn("cb", coalesce(sum("c").over(before), lit(0L)))
+        }
+      withCb
         .groupBy(keys.map(col): _*)
         .agg(
           sum("cp").as("n_pos"),

@@ -690,23 +690,25 @@ object Prep {
     * immune scaling tree models and quantile-matching pipelines use where
     * z-scores ([[standardize]]) assume gaussianity.
     *
-    * Scale shape: the cumulative walk runs over the DISTINCT-VALUE grid
-    * (bounded support under the 2-dp money discipline — the KS-grid
-    * argument), which then broadcasts back onto the rows; rows themselves
-    * never sort globally. Ties share one deterministic value by
-    * construction; p is ONE integer division. NULL values keep NULL rank.
+    * Scale shape: the cumulative walk over the DISTINCT-VALUE grid runs
+    * through the two-phase salted machinery ([[SaltedGrid.cumulative]]) —
+    * a continuous score column makes the grid row-scale, and the walk
+    * must never serialize into one window task; rows themselves never
+    * sort globally, and the rank join back is left to AQE (broadcast when
+    * the grid is support-bounded, shuffle when it is row-scale). Ties
+    * share one deterministic value by construction; p is ONE integer
+    * division. NULL values keep NULL rank.
     */
   def rankNormalize(df: DataFrame, valueCol: String): DataFrame = {
     val v = col(valueCol).cast(DecimalType(18, 2))
-    val cum = Window.orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val grid = df.filter(v.isNotNull)
-      .groupBy(v.as("__v")).agg(count(lit(1)).as("__c"))
-      .withColumn("__cum", sum("__c").over(cum))
-      .withColumn("__n", sum("__c").over(Window.partitionBy()))
+    val grid = SaltedGrid.cumulative(
+        df.filter(v.isNotNull)
+          .groupBy(v.as("__v")).agg(count(lit(1)).as("__c")),
+        "__v", Seq("__c"))
       .select(col("__v"),
-        round(col("__cum").cast("double") / col("__n"), 9).as("pct_rank"))
-    df.join(broadcast(grid), v === col("__v"), "left_outer").drop("__v")
+        round(col("__cum___c").cast("double") / col("__tot___c"), 9)
+          .as("pct_rank"))
+    df.join(grid, v === col("__v"), "left_outer").drop("__v")
   }
 
   /** Quantile matching (Q–Q transform): map each distinct value of group
@@ -717,23 +719,25 @@ object Prep {
     * target value whose cumulative count reaches ⌈cumA(v)·nB/nA⌉ — the
     * rank threshold stays an exact integer ceiling, no interpolation.
     *
-    * Shape at scale: both sides collapse to DISTINCT-value grids (the
-    * KS-grid argument), and the inverse-CDF lookup is the FORWARD as-of
-    * join ([[AsofJoin.asofForward]]) on the cumulative-rank axis —
-    * O(|grids|), never the |A|·|B| cross product a naive ≥-join builds.
-    * Returns (value, pct_rank, matched_value) per distinct source value.
+    * Shape at scale: both sides collapse to DISTINCT-value grids whose
+    * cumulative walks run through the two-phase salted machinery
+    * ([[SaltedGrid.cumulative]] — row-scale continuous grids never
+    * serialize into one window task), and the inverse-CDF lookup is the
+    * FORWARD as-of join ([[AsofJoin.asofForward]]) on the cumulative-rank
+    * axis — O(|grids|), never the |A|·|B| cross product a naive ≥-join
+    * builds. Returns (value, pct_rank, matched_value) per distinct source
+    * value.
     */
   def quantileMatch(df: DataFrame, valueCol: String, groupCol: String,
       fromGroup: String, toGroup: String): DataFrame = {
     val v = col(valueCol).cast(DecimalType(18, 2))
-    def grid(g: String, vn: String) = {
-      val cum = Window.orderBy(col(vn))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      df.filter(col(groupCol) === g && v.isNotNull)
-        .groupBy(v.as(vn)).agg(count(lit(1)).as("__c"))
-        .withColumn("__cum", sum("__c").over(cum))
-        .withColumn("__n", sum("__c").over(Window.partitionBy()))
-    }
+    def grid(g: String, vn: String) =
+      SaltedGrid.cumulative(
+          df.filter(col(groupCol) === g && v.isNotNull)
+            .groupBy(v.as(vn)).agg(count(lit(1)).as("__c")),
+          vn, Seq("__c"))
+        .withColumn("__cum", col("__cum___c"))
+        .withColumn("__n", col("__tot___c"))
     val a = grid(fromGroup, "value")
     val bGrid = grid(toGroup, "__bv")
     val nb = bGrid.agg(max(col("__n")).as("__nb"))

@@ -64,8 +64,10 @@ object Screening {
     * D = max over the pooled support of |F_a − F_b|.
     *
     * The data collapses to per-distinct-value counts in one shuffle; the
-    * CDF walk is a window over that bounded grid (2-dp money values have
-    * bounded distinct support). D stays an integer cross-multiply
+    * CDF walk runs through the two-phase salted grid machinery
+    * ([[SaltedGrid.cumulative]]), so a continuous-valued (row-scale) grid
+    * fans out over buckets instead of one task. D stays an integer
+    * cross-multiply
     * max |cumA·nB − cumB·nA| until the single final division.
     * Returns one row: (n_a, n_b, d_num, d).
     */
@@ -77,16 +79,12 @@ object Screening {
         when(col(groupCol) === a, 1L).otherwise(0L).as("ia"),
         when(col(groupCol) === b, 1L).otherwise(0L).as("ib"))
       .groupBy("v").agg(sum("ia").as("ca"), sum("ib").as("cb"))
-    val cdf = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.partitionBy()
-    perV
-      .withColumn("cuma", sum("ca").over(cdf))
-      .withColumn("cumb", sum("cb").over(cdf))
-      .withColumn("na", sum("ca").over(all))
-      .withColumn("nb", sum("cb").over(all))
-      .select(col("na"), col("nb"),
-        abs(col("cuma") * col("nb") - col("cumb") * col("na")).as("dn"))
+    // two-phase salted CDF walk ([[SaltedGrid]]): a continuous column
+    // makes the pooled grid row-scale — never one window task
+    SaltedGrid.cumulative(perV, "v", Seq("ca", "cb"))
+      .select(col("__tot_ca").as("na"), col("__tot_cb").as("nb"),
+        abs(col("__cum_ca") * col("__tot_cb") -
+          col("__cum_cb") * col("__tot_ca")).as("dn"))
       .groupBy("na", "nb").agg(max("dn").as("d_num"))
       .select(col("na").as("n_a"), col("nb").as("n_b"), col("d_num"),
         round(col("d_num").cast(DoubleType) / (col("na") * col("nb")), 9)

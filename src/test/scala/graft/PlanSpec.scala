@@ -288,8 +288,14 @@ class PlanSpec extends AnyFunSuite {
     val s = planString(
       graft.queries.PrepQueries.quantileMatch(spark, dir))
     assert(!s.contains("CartesianProduct"), s)
-    // the only nested-loop is the 1-row nB broadcast
-    assert("BroadcastNestedLoopJoin".r.findAllIn(s).size <= 1, s)
+    // every nested-loop must be an UNCONDITIONED Cross against a tiny
+    // broadcast aggregate (the 1-row nB / salted-grid percentile-edges
+    // pattern) — a grid×grid inverse-CDF theta join would surface as a
+    // CONDITIONED BroadcastNestedLoopJoin
+    assert(!"BroadcastNestedLoopJoin BuildRight, (Inner|Left|Right|FullOuter)"
+      .r.findAllIn(s).hasNext, s)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(s).size ==
+      "BroadcastNestedLoopJoin [A-Za-z]+, Cross".r.findAllIn(s).size, s)
   }
 
   test("k-means output: member counts broadcast onto the k·d centroid " +

@@ -1,0 +1,176 @@
+package graft
+
+import graft.ops.{Drift, Eval, Prep, SaltedGrid, Screening}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The salted-grid fallback ([[graft.ops.SaltedGrid]]): two-phase
+  * bucket-offset cumulative sums must equal the single global window on a
+  * CONTINUOUS-score fixture (row-scale grid — the exact case the global
+  * window serializes on), and the rewritten KS-grid operators' plans must
+  * carry no single-partition WindowExec over row-scale input.
+  */
+class SaltedGridSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** ~3000 distinct pseudo-continuous 2-dp values, deterministic, with a
+    * dense cluster + heavy tail so percentile edges are non-trivial.
+    */
+  private def continuous(n: Int): Seq[BigDecimal] =
+    (0 until n).map { i =>
+      val mixed = (i * 2654435761L) % 100000
+      val tail = if (i % 11 == 0) mixed * 37 else mixed
+      BigDecimal(tail % 1000000) / 100
+    }
+
+  test("cumulative == global window on a continuous row-scale grid " +
+      "(all bucket widths, with totals and next-value)") {
+    val rows = continuous(3000)
+    val grid = rows.map(v => (v, 1L + (v.toLong % 5), (v.toLong % 3)))
+      .groupBy(_._1).map { case (v, g) =>
+        (v, g.map(_._2).sum, g.map(_._3).sum) }.toSeq
+      .toDF("v", "ca", "cb").repartition(7)
+    val wCdf = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = grid
+      .withColumn("ea", sum("ca").over(wCdf))
+      .withColumn("eb", sum("cb").over(wCdf))
+      .withColumn("en", coalesce(lead("v", 1).over(Window.orderBy("v")),
+        lit(null)))
+      .select("v", "ea", "eb", "en")
+      .as[(BigDecimal, Long, Long, Option[BigDecimal])].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val totA = grid.agg(sum("ca")).as[Long].head()
+    val totB = grid.agg(sum("cb")).as[Long].head()
+    for (buckets <- Seq(2, 8, 64)) {
+      val got = SaltedGrid.cumulative(grid, "v", Seq("ca", "cb"),
+          buckets = buckets, withNext = true)
+        .select(col("v"), col("__cum_ca"), col("__cum_cb"),
+          col("__tot_ca"), col("__tot_cb"), col("__next"))
+        .as[(BigDecimal, Long, Long, Long, Long, Option[BigDecimal])]
+        .collect()
+      assert(got.length == expected.size, s"buckets=$buckets")
+      got.foreach { case (v, ca, cb, ta, tb, nx) =>
+        val (ea, eb, en) = expected(v)
+        assert(ca == ea && cb == eb, s"buckets=$buckets v=$v cum mismatch")
+        assert(ta == totA && tb == totB, s"buckets=$buckets v=$v totals")
+        assert(nx == en, s"buckets=$buckets v=$v next mismatch")
+      }
+    }
+  }
+
+  test("degenerate grids: single row, fewer rows than buckets") {
+    val one = Seq((BigDecimal(7.25), 3L)).toDF("v", "c")
+    val g1 = SaltedGrid.cumulative(one, "v", Seq("c"), withNext = true)
+      .select("__cum_c", "__tot_c", "__next")
+      .as[(Long, Long, Option[BigDecimal])].collect()
+    assert(g1.toSeq == Seq((3L, 3L, None)))
+    val few = Seq((BigDecimal(1), 1L), (BigDecimal(2), 2L),
+      (BigDecimal(3), 4L)).toDF("v", "c")
+    val g3 = SaltedGrid.cumulative(few, "v", Seq("c"), buckets = 64)
+      .select("v", "__cum_c", "__tot_c")
+      .as[(BigDecimal, Long, Long)].collect().sortBy(_._1)
+    assert(g3.map(_._2).toSeq == Seq(1L, 3L, 7L))
+    assert(g3.map(_._3).distinct.toSeq == Seq(7L))
+  }
+
+  // ---- plan gates -----------------------------------------------------
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        Seq(r.child)
+      case other => other.children
+    }
+    p +: kids.flatMap(flatten)
+  }
+
+  /** Every single-partition WindowExec in the executed plan must sit above
+    * the bucket-grouped (≤`buckets`-row) offsets aggregate — i.e. no
+    * row-scale relation ever serializes into one window task — and at
+    * least one data-scale window partitioned by the bucket must exist.
+    */
+  private def assertNoRowScaleGlobalWindow(df: DataFrame,
+      label: String): Unit = {
+    df.collect() // finalize AQE
+    val all = flatten(df.queryExecution.executedPlan)
+    val windows = all.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"$label: expected WindowExec nodes")
+    val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
+    unpartitioned.foreach { w =>
+      val bounded = flatten(w.child).exists {
+        case agg: BaseAggregateExec =>
+          agg.groupingExpressions.exists(_.toString.contains("__gbkt"))
+        case _ => false
+      }
+      assert(bounded,
+        s"$label: single-partition window over non-bucket-bounded input:\n$w")
+    }
+    assert(windows.exists(_.partitionSpec.exists(
+        _.toString.contains("__gbkt"))),
+      s"$label: no bucket-partitioned data-scale window found")
+  }
+
+  test("rewritten KS-grid operators: no single-partition window over " +
+      "row-scale input (continuous-score fixture)") {
+    val scored = continuous(2500).zipWithIndex
+      .map { case (v, i) => (v, i % 3 == 0, if (i % 2 == 0) "a" else "b") }
+      .toDF("score", "label", "grp")
+    assertNoRowScaleGlobalWindow(
+      Eval.aucRoc(scored, col("score"), col("label")), "aucRoc")
+    assertNoRowScaleGlobalWindow(
+      Prep.rankNormalize(scored, "score"), "rankNormalize")
+    assertNoRowScaleGlobalWindow(
+      Prep.quantileMatch(scored, "score", "grp", "a", "b"), "quantileMatch")
+    assertNoRowScaleGlobalWindow(
+      Drift.wasserstein1(scored, "score", "grp", "a", "b"), "wasserstein1")
+    assertNoRowScaleGlobalWindow(
+      Screening.ksTwoSample(scored, "score", "grp", "a", "b"), "ksTwoSample")
+  }
+
+  test("rewritten operators agree with the direct global-window formulas " +
+      "on the continuous fixture") {
+    val scored = continuous(2000).zipWithIndex
+      .map { case (v, i) => (v, i % 3 == 0, if (i % 2 == 0) "a" else "b") }
+      .toDF("score", "label", "grp")
+    // KS: brute-force over collected rows
+    val rows = scored.as[(BigDecimal, Boolean, String)].collect()
+    val va = rows.filter(_._3 == "a").map(_._1).sorted
+    val vb = rows.filter(_._3 == "b").map(_._1).sorted
+    val pooled = (va ++ vb).distinct
+    val dNum = pooled.map { v =>
+      math.abs(va.count(_ <= v).toLong * vb.length -
+        vb.count(_ <= v).toLong * va.length)
+    }.max
+    val ks = Screening.ksTwoSample(scored, "score", "grp", "a", "b")
+      .select("n_a", "n_b", "d_num").as[(Long, Long, Long)].head()
+    assert(ks == ((va.length.toLong, vb.length.toLong, dNum)))
+    // AUC: brute-force tie-corrected Mann–Whitney
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val num = (for (p <- pos; n <- neg) yield
+      if (p > n) 2L else if (p == n) 1L else 0L).sum
+    val auc = Eval.aucRoc(scored, col("score"), col("label"))
+      .select("n_pos", "n_neg", "auc_num").as[(Long, Long, Long)].head()
+    assert(auc == ((pos.length.toLong, neg.length.toLong, num)))
+    // rankNormalize: pct_rank = #{<= v}/n on every row
+    val all = rows.map(_._1)
+    val rn = Prep.rankNormalize(scored, "score")
+      .select("score", "pct_rank").as[(BigDecimal, Double)].collect()
+    assert(rn.length == rows.length)
+    rn.foreach { case (v, p) =>
+      val exp = BigDecimal(all.count(_ <= v).toDouble / all.length)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(p == exp, s"v=$v")
+    }
+  }
+}
