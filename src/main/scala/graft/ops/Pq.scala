@@ -1,0 +1,221 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Product quantization (Jégou, Douze & Schmid 2011, "Product
+  * Quantization for Nearest Neighbor Search") — the middle rung of the
+  * ANN quantization ladder between int8 scalar codes
+  * ([[Similarity.int8QuantStats]]) and 1-bit binary codes
+  * ([[Similarity.binaryCodes]]): split each d-dim vector into `m`
+  * subvectors, fit an independent k-centroid codebook per subspace (the
+  * relational Lloyd shape of [[Similarity.kmeansFit]], keyed by
+  * subspace), and store each vector as `m` small integer codes. A query
+  * is answered by ASYMMETRIC DISTANCE COMPUTATION: one tiny
+  * (m × k)-row table of exact query-subvector→centroid distances is
+  * broadcast, and a vector's approximate distance is the SUM of its m
+  * table lookups — the corpus is never read as floats at serve time.
+  *
+  * Scale shape: fitting is sample-friendly Lloyd (fit on a hash-bucket
+  * sample, encode corpus-wide — the [[TokenModels.bpeLearn]] discipline);
+  * encoding is one broadcast join + two partial-aggregable shuffles per
+  * round; serving joins the (id, sub, code) relation against the
+  * broadcast ADC table and folds with ONE partial-aggregable groupBy —
+  * memory per vector is m·log₂k bits instead of d doubles.
+  *
+  * Determinism discipline — INTEGER end to end (one step past the
+  * kmeansFit replay argument, whose round(mean, 9) double division can
+  * land on a round-half boundary; measured doing exactly that here with
+  * 256 centroids × 3 rounds of dice rolls): coordinates quantize to 9 dp
+  * and then to SHIFTED NANO-UNIT LONGS (+8·10⁹, making every value
+  * positive so round-half-up mean division is pure positive integer
+  * arithmetic that Spark `div` and any oracle's `//` agree on; the shift
+  * cancels in every distance difference). Centroid state is nano longs;
+  * distances are exact atto (10⁻¹⁸) DECIMAL(38,0) integers; argmins
+  * break ties by min-struct (distance, cid); the only doubles are the
+  * final display division by the exactly-representable 10¹⁸ — zero
+  * round() calls and zero IEEE arithmetic anywhere in fit, encode or
+  * serve.
+  */
+object Pq {
+
+  private val Atto = DecimalType(38, 0)
+
+  /** Nano-unit shift making every quantized coordinate positive
+    * (requires |x| < 8 after 9-dp rounding — unit-ish embedding space).
+    */
+  private val Shift = 8000000000L
+
+  /** (id, sub, dim, xn) long form of the corpus: global dimension i maps
+    * to subspace i / (dims/m) and local dim i % (dims/m); xn is the
+    * shifted nano-unit integer coordinate.
+    */
+  private def longForm(emb: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int): DataFrame = {
+    val subDim = dims / m
+    emb.select(col(idCol).cast("long").as("id"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("__i", "__xd")))
+      .select(col("id"),
+        (col("__i") / subDim).cast("long").as("sub"),
+        (col("__i") % subDim).cast("long").as("dim"),
+        ((round(col("__xd"), 9).cast(DecimalType(12, 9)) *
+          lit(1000000000L)).cast("long") + Shift).as("xn"))
+  }
+
+  /** Exact atto-unit squared difference of two nano-long coordinates —
+    * the shift cancels; the square re-bounds to DECIMAL(38,0) (a nano
+    * diff can reach ~1.6·10¹⁰, whose square overflows a long).
+    */
+  private def attoSq(a: Column, b: Column): Column = {
+    val dn = (a - b).cast(DecimalType(19, 0))
+    (dn * dn).cast(Atto)
+  }
+
+  /** Attos → distance as an unrounded double: both engines cast the SAME
+    * exact integer and divide by the exactly-representable 10¹⁸ — bit-
+    * identical with no round() call.
+    */
+  private def attoToDouble(attos: Column): Column =
+    attos.cast("double") / lit(1.0e18)
+
+  /** One assignment pass: per (id, sub), the codebook row minimizing the
+    * exact atto-integer squared distance, min-struct tie-break on cid.
+    */
+  private def assign(x: DataFrame, cents: DataFrame): DataFrame =
+    x.join(broadcast(cents), Seq("sub", "dim"))
+      .groupBy(col("id"), col("sub"), col("cid"))
+      .agg(sum(attoSq(col("xn"), col("cn"))).as("__dist"))
+      .groupBy("id", "sub")
+      .agg(min(struct(col("__dist"), col("cid"))).as("__m"))
+      .select(col("id"), col("sub"), col("__m.cid").as("cid"))
+
+  /** Per-subspace Lloyd fit: `k` centroids per subspace, seeded by the
+    * md5-smallest ids' subvectors (the same seed rows in every subspace),
+    * `rounds` iterations. The centroid mean is round-half-up POSITIVE
+    * integer division `(2·Σxn + n) div (2n)` — no IEEE op, identical in
+    * any engine. Returns the codebook (sub, cid, dim, cn) with dims
+    * local to the subspace and cn in shifted nano units.
+    */
+  def pqFit(emb: DataFrame, idCol: String, vecCol: String, dims: Int,
+      m: Int, k: Int, rounds: Int): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val x = longForm(emb, idCol, vecCol, dims, m).localCheckpoint()
+    val seeds = x.select("id").distinct()
+      .withColumn("__h", md5(col("id").cast("string")))
+      .orderBy(col("__h"), col("id")).limit(k)
+      .withColumn("cid", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__h"), col("id"))) - 1)
+      .select("id", "cid")
+    var cents = seeds.join(x, Seq("id"))
+      .select(col("sub"), col("cid").cast("long").as("cid"), col("dim"),
+        col("xn").as("cn"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val a = assign(x, cents).localCheckpoint()
+      val fresh = a.join(x, Seq("id", "sub"))
+        .groupBy("sub", "cid", "dim")
+        .agg(expr("(2 * sum(xn) + count(1)) div (2 * count(1))").as("__cn"))
+      cents = cents.select(col("sub"), col("cid"), col("dim"),
+          col("cn").as("__cp"))
+        .join(fresh, Seq("sub", "cid", "dim"), "left_outer")
+        .select(col("sub"), col("cid"), col("dim"),
+          coalesce(col("__cn"), col("__cp")).as("cn"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** Encode the corpus against a fitted codebook: one assignment pass
+    * against the FINAL centroids. Returns (id, sub, code) — the m·log₂k
+    * bits per vector the serving tier stores.
+    */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String, dims: Int,
+      m: Int, codebook: DataFrame): DataFrame =
+    assign(longForm(emb, idCol, vecCol, dims, m), codebook)
+      .select(col("id"), col("sub"), col("cid").as("code"))
+
+  /** ADC lookup table for one query vector: the exact atto-integer
+    * squared distance of each query subvector to each codebook centroid —
+    * m × k rows, broadcastable by construction.
+    */
+  def adcTable(query: DataFrame, vecCol: String, dims: Int, m: Int,
+      codebook: DataFrame): DataFrame = {
+    val q = longForm(query.select(lit(0L).as("__qid"), col(vecCol)),
+      "__qid", vecCol, dims, m)
+    q.join(codebook, Seq("sub", "dim"))
+      .groupBy("sub", "cid")
+      .agg(sum(attoSq(col("xn"), col("cn"))).as("d"))
+  }
+
+  /** Full ADC score relation for one query: fit per-subspace codebooks,
+    * encode the corpus, build the query's ADC table, and score EVERY
+    * vector by the summed broadcast-table lookups — corpus floats are
+    * touched only by fit/encode, never at serve time. Returns
+    * (idCol, adc_dist); [[pqAdcTopK]] and the shortlist→exact-rerank
+    * funnel ([[pqRerankTopK]]) both read off this relation.
+    */
+  def pqAdcScores(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, dims: Int, m: Int, k: Int, rounds: Int): DataFrame = {
+    val codebook = pqFit(emb, idCol, vecCol, dims, m, k, rounds)
+      .localCheckpoint()
+    val codes = pqEncode(emb, idCol, vecCol, dims, m, codebook)
+    val adt = adcTable(emb.filter(col(idCol) === queryId), vecCol, dims, m,
+      codebook)
+    codes.join(broadcast(adt),
+        codes("sub") === adt("sub") && codes("code") === adt("cid"))
+      .groupBy("id")
+      .agg(sum(col("d")).as("__adc"))
+      .select(col("id").as(idCol), attoToDouble(col("__adc")).as("adc_dist"))
+  }
+
+  /** PQ top-k serve: ADC scores ranked ascending, id tie-break. */
+  def pqAdcTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, dims: Int, m: Int, k: Int, rounds: Int, topK: Int)
+      : DataFrame =
+    pqAdcScores(emb, idCol, vecCol, queryId, dims, m, k, rounds)
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(topK)
+
+  /** The production PQ funnel: ADC shortlist of `candidates`, then EXACT
+    * squared-L2 rerank of only those rows to `topK` — the
+    * [[Similarity.prefixRerankTopK]] two-stage shape with PQ codes as the
+    * coarse stage; the exact pass touches `candidates` vectors, never the
+    * corpus. Returns (idCol, l2sq) ascending, id tie-break.
+    */
+  def pqRerankTopK(adcScores: DataFrame, emb: DataFrame, idCol: String,
+      vecCol: String, queryId: Long, dims: Int, candidates: Int,
+      topK: Int): DataFrame = {
+    val short = adcScores.orderBy(col("adc_dist"), col(idCol))
+      .limit(candidates).select(col(idCol))
+    exactL2Scores(emb, idCol, vecCol, queryId, dims)
+      .join(short, Seq(idCol), "left_semi")
+      .orderBy(col("l2sq"), col(idCol))
+      .limit(topK)
+  }
+
+  /** Exact squared-L2 scores against one query under the SAME shifted
+    * nano-unit quantization as the PQ pipeline — ground truth for the
+    * recall audit and the rerank stage. Returns (idCol, l2sq).
+    */
+  def exactL2Scores(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, dims: Int): DataFrame = {
+    val x = longForm(emb, idCol, vecCol, dims, 1)
+    val q = longForm(emb.filter(col(idCol) === queryId), idCol, vecCol,
+      dims, 1).select(col("dim"), col("xn").as("qn"))
+    x.join(broadcast(q), Seq("dim"))
+      .groupBy("id")
+      .agg(sum(attoSq(col("xn"), col("qn"))).as("__d"))
+      .select(col("id").as(idCol), attoToDouble(col("__d")).as("l2sq"))
+  }
+
+  /** Exact squared-L2 top-k ([[exactL2Scores]] ranked). */
+  def exactL2TopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, dims: Int, topK: Int): DataFrame =
+    exactL2Scores(emb, idCol, vecCol, queryId, dims)
+      .orderBy(col("l2sq"), col(idCol))
+      .limit(topK)
+}

@@ -403,6 +403,56 @@ object SimilarityQueries {
   private val KmeansK = 4
   private val KmeansRounds = 3
 
+  private val PqM = 8 // subspaces over Dim=64 → 8-dim subvectors
+  private val PqK = 32 // centroids per subspace codebook
+  private val PqRounds = 3
+  private val PqTopK = 10
+
+  /** Product-quantization ADC top-k ([[graft.ops.Pq.pqAdcTopK]]): fit 4
+    * per-subspace codebooks with relational Lloyd, encode the corpus to
+    * (id, sub, code), and rank every vector for query 0 by the summed
+    * broadcast ADC-table lookups — the m-subvector middle rung of the
+    * int8 → PQ → 1-bit quantization ladder, fully DECIMAL-deterministic
+    * so the whole fit→encode→serve pipeline hash-matches the unrolled
+    * Lloyd CTEs in the oracle.
+    */
+  def pqTopK(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Pq.pqAdcTopK(Tables.embeddings(spark, dir), "vec_id",
+      "embedding", queryId = 0L, Dim, PqM, PqK, PqRounds, PqTopK)
+
+  private val PqCand = 50
+
+  /** PQ recall audit against the exact squared-L2 top-10 under the same
+    * 9-dp coordinate rounding — recall@K is measured, not asserted (the
+    * `sim_ann_recall`/`sim_ivf_recall` discipline extended to the PQ
+    * rung), for BOTH serve shapes: pure ADC ranking, and the production
+    * ADC-shortlist-50 → exact-rerank funnel (codes only miss when the
+    * true neighbor falls outside the 10% shortlist).
+    */
+  def pqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val scores = graft.ops.Pq.pqAdcScores(emb, "vec_id", "embedding", 0L,
+      Dim, PqM, PqK, PqRounds).localCheckpoint()
+    val truth = graft.ops.Pq.exactL2TopK(emb, "vec_id", "embedding", 0L,
+      Dim, PqTopK).select("vec_id").localCheckpoint()
+    def row(method: String, picked: DataFrame): DataFrame = {
+      val p = picked.localCheckpoint()
+      val hits = p.join(truth, Seq("vec_id")).agg(count(lit(1)).as("n_hits"))
+      p.agg(count(lit(1)).as("n_retrieved"))
+        .crossJoin(broadcast(hits))
+        .select(lit(method).as("method"), col("n_retrieved"),
+          col("n_hits"),
+          round(col("n_hits").cast("double") / PqTopK, 9).as("recall"))
+    }
+    row("pq_adc",
+        scores.orderBy(col("adc_dist"), col("vec_id")).limit(PqTopK)
+          .select("vec_id"))
+      .unionByName(row("pq_adc_rerank50",
+        graft.ops.Pq.pqRerankTopK(scores, emb, "vec_id", "embedding", 0L,
+          Dim, PqCand, PqTopK).select("vec_id")))
+      .orderBy("method")
+  }
+
   /** Corpus-wide relational k-means ([[graft.ops.Similarity.kmeansFit]],
     * 4 clusters, 3 Lloyd rounds, md5-smallest seeds): final centroid
     * relation in long form + final member counts.
@@ -431,6 +481,8 @@ object SimilarityQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pq_topk" -> pqTopK,
+    "sim_pq_recall" -> pqRecall,
     "sim_rbo_rankings" -> rboRankings,
     "sim_kmeans" -> kmeans,
     "sim_binary_topk" -> binaryTopK,
@@ -505,6 +557,71 @@ object SimilarityQueries {
        |v0 AS (SELECT DISTINCT i AS j,
        |    CAST(0.125 AS DECIMAL(18,9)) AS v FROM cv),
        |$iters""".stripMargin
+  }
+
+  // shared PQ replay CTEs: per-subspace Lloyd rounds (the sim_kmeans
+  // pattern keyed by sub), the encode assignment vs the FINAL codebook,
+  // the query's ADC table, and the summed serve scores — the pipeline is
+  // INTEGER end to end (shifted nano-unit coordinates, atto-unit
+  // distances, round-half-up positive integer mean division), mirroring
+  // graft.ops.Pq verbatim with zero IEEE ops to disagree on
+  private lazy val pqCteSql: String = {
+    val subDim = Dim / PqM
+    def attoSq(a: String, b: String) =
+      s"""sum(CAST(CAST($a - $b AS DECIMAL(19,0)) *
+         |        CAST($a - $b AS DECIMAL(19,0)) AS DECIMAL(38,0)))"""
+        .stripMargin
+    val rounds = (1 to PqRounds).map { r =>
+      s"""d$r AS (SELECT x.id, x.sub, c.cid,
+         |    ${attoSq("x.xn", "c.cn")} AS dist
+         |  FROM x JOIN c${r - 1} c ON c.sub = x.sub AND c.dim = x.dim
+         |  GROUP BY 1, 2, 3),
+         |a$r AS (SELECT id, sub,
+         |    struct_extract(min(struct_pack(d := dist, c := cid)), 'c')
+         |      AS cid
+         |  FROM d$r GROUP BY 1, 2),
+         |f$r AS (SELECT a.sub, a.cid, x.dim,
+         |    CAST((2 * sum(x.xn) + count(*)) // (2 * count(*)) AS BIGINT)
+         |      AS cn
+         |  FROM a$r a JOIN x ON x.id = a.id AND x.sub = a.sub
+         |  GROUP BY 1, 2, 3),
+         |c$r AS (SELECT p.sub, p.cid, p.dim, coalesce(f.cn, p.cn) AS cn
+         |  FROM c${r - 1} p LEFT JOIN f$r f
+         |    ON f.sub = p.sub AND f.cid = p.cid AND f.dim = p.dim)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""x AS (
+       |  SELECT vec_id AS id, CAST((i - 1) // $subDim AS BIGINT) AS sub,
+       |    CAST((i - 1) % $subDim AS BIGINT) AS dim,
+       |    CAST(CAST(round(embedding[i]::DOUBLE, 9) AS DECIMAL(12,9))
+       |      * 1000000000 AS BIGINT) + 8000000000 AS xn
+       |  FROM embeddings, UNNEST(generate_series(1, $Dim)) u(i)),
+       |sd AS (SELECT id,
+       |    row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1
+       |      AS cid
+       |  FROM (SELECT DISTINCT id FROM x)
+       |  QUALIFY row_number()
+       |    OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) <= $PqK),
+       |c0 AS (SELECT x.sub, CAST(sd.cid AS BIGINT) AS cid, x.dim,
+       |    x.xn AS cn
+       |  FROM sd JOIN x USING (id)),
+       |$rounds,
+       |dE AS (SELECT x.id, x.sub, c.cid,
+       |    ${attoSq("x.xn", "c.cn")} AS dist
+       |  FROM x JOIN c$PqRounds c ON c.sub = x.sub AND c.dim = x.dim
+       |  GROUP BY 1, 2, 3),
+       |aE AS (SELECT id, sub,
+       |    struct_extract(min(struct_pack(d := dist, c := cid)), 'c')
+       |      AS cid
+       |  FROM dE GROUP BY 1, 2),
+       |q AS (SELECT sub, dim, xn AS qn FROM x WHERE id = 0),
+       |adt AS (SELECT c.sub, c.cid,
+       |    ${attoSq("q.qn", "c.cn")} AS d
+       |  FROM c$PqRounds c JOIN q ON q.sub = c.sub AND q.dim = c.dim
+       |  GROUP BY 1, 2),
+       |s AS (SELECT a.id, sum(adt.d) AS adc
+       |  FROM aE a JOIN adt ON adt.sub = a.sub AND adt.cid = a.cid
+       |  GROUP BY 1)""".stripMargin
   }
 
   // must mirror Similarity.bucketExpr over the given plane set
@@ -854,6 +971,44 @@ object SimilarityQueries {
          |  round(CAST(n_hits AS DOUBLE) / $K, 9) AS recall
          |FROM s ORDER BY method""".stripMargin
     },
+    // the kmeans Lloyd replay generalized with a subspace key, plus the
+    // encode-vs-final-codebook assignment and the broadcast ADC table —
+    // fit, encode and serve all replay bit-identically
+    "sim_pq_topk" ->
+      s"""WITH $pqCteSql
+         |SELECT id AS vec_id, CAST(adc AS DOUBLE) / 1e18 AS adc_dist
+         |FROM s ORDER BY adc_dist, id LIMIT $PqTopK""".stripMargin,
+    // ADC top-10 and ADC-shortlist-50→exact-rerank top-10, each against
+    // the exact L2 top-10 under the same 9-dp rounding
+    "sim_pq_recall" ->
+      s"""WITH $pqCteSql,
+         |pqtop AS (SELECT id, CAST(adc AS DOUBLE) / 1e18 AS adc_dist
+         |  FROM s ORDER BY adc_dist, id LIMIT $PqTopK),
+         |short AS (SELECT id, CAST(adc AS DOUBLE) / 1e18 AS adc_dist
+         |  FROM s ORDER BY adc_dist, id LIMIT $PqCand),
+         |ex AS (SELECT x.id,
+         |    sum(CAST(CAST(x.xn - q.qn AS DECIMAL(19,0)) *
+         |             CAST(x.xn - q.qn AS DECIMAL(19,0))
+         |        AS DECIMAL(38,0))) AS d
+         |  FROM x JOIN q ON q.sub = x.sub AND q.dim = x.dim GROUP BY 1),
+         |ext AS (SELECT id, CAST(d AS DOUBLE) / 1e18 AS l2sq
+         |  FROM ex ORDER BY l2sq, id LIMIT $PqTopK),
+         |rr AS (SELECT ex.id, CAST(ex.d AS DOUBLE) / 1e18 AS l2sq
+         |  FROM ex JOIN short USING (id)
+         |  ORDER BY l2sq, id LIMIT $PqTopK)
+         |SELECT * FROM (
+         |  SELECT 'pq_adc' AS method,
+         |    (SELECT count(*) FROM pqtop) AS n_retrieved,
+         |    (SELECT count(*) FROM pqtop JOIN ext USING (id)) AS n_hits,
+         |    round(CAST((SELECT count(*) FROM pqtop JOIN ext USING (id))
+         |      AS DOUBLE) / $PqTopK, 9) AS recall
+         |  UNION ALL
+         |  SELECT 'pq_adc_rerank50',
+         |    (SELECT count(*) FROM rr),
+         |    (SELECT count(*) FROM rr JOIN ext USING (id)),
+         |    round(CAST((SELECT count(*) FROM rr JOIN ext USING (id))
+         |      AS DOUBLE) / $PqTopK, 9)
+         |) ORDER BY method""".stripMargin,
     // relational Lloyd replay: per-round CTEs recompute exact-DECIMAL
     // distances (diff re-bounded to DECIMAL(14,9) before squaring, the
     // plan's precision-38 guard), argmin by min-struct (d, cid), and
