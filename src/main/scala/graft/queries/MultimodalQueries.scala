@@ -54,12 +54,96 @@ object MultimodalQueries {
         concat_ws(",", col("byte_hist")).as("hist_csv"))
       .orderBy("id")
 
+  private val PhashMaxHamming = 6
+
+  /** Codec-free perceptual hashes over the blob byte grid
+    * ([[graft.ops.Multimodal.perceptualHashes]]) — integer-exact aHash +
+    * dHash codes per blob, fully replayed by the oracle from the ASCII
+    * text side (unlike the histogram stand-in, the hash construction has
+    * a SQL twin: integer chunk rule + cross-multiply bits).
+    */
+  def phash(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.perceptualHashes(blobs(spark, dir))
+      .toDF()
+      .orderBy("id")
+
+  /** Banded perceptual near-dup pairs
+    * ([[graft.ops.Multimodal.phashNearDupPairs]]): aHash-half band
+    * candidates verified by 64-bit Hamming ≤ 6 — the image-dedup funnel
+    * running on the codec-free codes. The unique-text sf0.001/sf0.01
+    * corpora yield ZERO band candidates (an exact 32-bit half match needs
+    * a near-identical byte profile) and the oracle agrees on the empty
+    * result; sf0.1's near-dup slice surfaces real pairs at hamming 0 —
+    * the banding-selectivity lesson, recorded rather than tuned away.
+    */
+  def phashNearDup(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.phashNearDupPairs(
+        Multimodal.perceptualHashes(blobs(spark, dir)).toDF(),
+        PhashMaxHamming)
+      .orderBy("id_a", "id_b")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> meta,
     "multimodal_frames" -> frames,
+    "multimodal_phash" -> phash,
+    "multimodal_phash_neardup" -> phashNearDup,
     "multimodal_byte_features" -> byteFeatures)
 
+  // perceptual-hash replay from the ASCII text side: the chunk rule
+  // (p·64 // n), the cross-multiply bits and the two-half bit packing are
+  // all integer — byte values are ascii codes because the corpus is pure
+  // ASCII (the multimodal_meta argument)
+  private val phashCteSql =
+    """d AS (SELECT doc_id AS id, text, length(text) AS n FROM documents),
+      |pos AS (SELECT id, n, i - 1 AS p, ascii(substr(text, i, 1)) AS byte
+      |  FROM d, UNNEST(generate_series(1, n)) u(i)),
+      |ch AS (SELECT id, n, (p * 64) // n AS c, sum(byte) AS s,
+      |    count(*) AS l
+      |  FROM pos GROUP BY 1, 2, 3),
+      |tot AS (SELECT id, n, sum(s) AS ts FROM ch GROUP BY 1, 2),
+      |grid AS (SELECT t.id, t.n, t.ts, g.c,
+      |    coalesce(ch.s, 0) AS s, coalesce(ch.l, 0) AS l
+      |  FROM tot t
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS c) g
+      |  LEFT JOIN ch ON ch.id = t.id AND ch.c = g.c),
+      |bits AS (SELECT id, n, c,
+      |    (s * n > ts * l) AS abit,
+      |    (s * coalesce(lead(l) OVER w, 0) >
+      |     coalesce(lead(s) OVER w, 0) * l) AS dbit
+      |  FROM grid WINDOW w AS (PARTITION BY id ORDER BY c)),
+      |h AS (SELECT id, max(n)::BIGINT AS n_bytes,
+      |    sum(CASE WHEN abit AND c < 32 THEN 1::BIGINT << c
+      |      ELSE 0 END)::BIGINT AS ahash_lo,
+      |    sum(CASE WHEN abit AND c >= 32 THEN 1::BIGINT << (c - 32)
+      |      ELSE 0 END)::BIGINT AS ahash_hi,
+      |    sum(CASE WHEN dbit AND c < 32 THEN 1::BIGINT << c
+      |      ELSE 0 END)::BIGINT AS dhash_lo,
+      |    sum(CASE WHEN dbit AND c >= 32 THEN 1::BIGINT << (c - 32)
+      |      ELSE 0 END)::BIGINT AS dhash_hi
+      |  FROM bits GROUP BY id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "multimodal_phash" ->
+      s"""WITH $phashCteSql
+         |SELECT id, n_bytes, ahash_lo, ahash_hi, dhash_lo, dhash_hi
+         |FROM h ORDER BY id""".stripMargin,
+    "multimodal_phash_neardup" ->
+      s"""WITH $phashCteSql,
+         |pr AS (SELECT a.id AS id_a, b.id AS id_b FROM h a JOIN h b
+         |    ON a.ahash_lo = b.ahash_lo AND a.id < b.id
+         |  UNION
+         |  SELECT a.id, b.id FROM h a JOIN h b
+         |    ON a.ahash_hi = b.ahash_hi AND a.id < b.id),
+         |hp AS (SELECT pr.id_a, pr.id_b,
+         |    CAST(bit_count(xor(x.ahash_lo, y.ahash_lo)) +
+         |         bit_count(xor(x.ahash_hi, y.ahash_hi)) AS BIGINT)
+         |      AS hamming_a,
+         |    CAST(bit_count(xor(x.dhash_lo, y.dhash_lo)) +
+         |         bit_count(xor(x.dhash_hi, y.dhash_hi)) AS BIGINT)
+         |      AS hamming_d
+         |  FROM pr JOIN h x ON x.id = pr.id_a JOIN h y ON y.id = pr.id_b)
+         |SELECT * FROM hp WHERE hamming_a <= $PhashMaxHamming
+         |ORDER BY id_a, id_b""".stripMargin,
     "multimodal_meta" ->
       """WITH b AS (
         |  SELECT doc_id AS id,

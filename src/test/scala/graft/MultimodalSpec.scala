@@ -61,4 +61,44 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.decodeStub(Array[Byte](1, 2))
     }
   }
+
+  test("perceptualHashes: constant blob hashes to zero; ramp sets high " +
+      "aHash chunks; short blobs leave empty-chunk bits clear; 1-byte " +
+      "edit stays Hamming-near") {
+    val spark2 = spark
+    import spark2.implicits._
+    val constant = Array.fill[Byte](256)(65)
+    val ramp = Array.tabulate[Byte](256)(i => i.toByte)
+    val rampTweak = ramp.clone(); rampTweak(7) = 120.toByte
+    val short = Array[Byte](1, 2, 3) // 3 bytes → 61 empty chunks
+    val df = Seq(0L -> constant, 1L -> ramp, 2L -> rampTweak,
+      3L -> short, 4L -> constant).toDF("id", "blob")
+    val h = Multimodal.perceptualHashes(df).collect()
+      .map(p => p.id -> p).toMap
+    // constant: strict > never fires
+    assert(h(0L).ahash_lo == 0L && h(0L).ahash_hi == 0L &&
+      h(0L).dhash_lo == 0L && h(0L).dhash_hi == 0L)
+    // unsigned ramp 0..255: chunks 32..63 sit above the mean, none below
+    assert(h(1L).ahash_lo == 0L &&
+      h(1L).ahash_hi == 0xFFFFFFFFL) // all 32 half-bits set
+    // strictly increasing chunk means → no dHash bit (next is larger)
+    assert(h(1L).dhash_lo == 0L && h(1L).dhash_hi == 0L)
+    // 3-byte blob: bytes 1,2,3 land in chunks 0,21,42; mean fires only
+    // where a nonempty chunk exceeds it; empty chunks always clear
+    val s3 = h(3L)
+    assert(s3.n_bytes == 3L)
+    assert((s3.ahash_lo | (1L << 21)) == (1L << 21) &&
+      (s3.ahash_hi | (1L << 10)) == (1L << 10)) // only chunks 21/42 can set
+    // one edited byte: aHash moves by at most a few bits
+    val hamming = java.lang.Long.bitCount(h(1L).ahash_lo ^ h(2L).ahash_lo) +
+      java.lang.Long.bitCount(h(1L).ahash_hi ^ h(2L).ahash_hi)
+    assert(hamming <= 3, s"hamming $hamming")
+    // banded near-dup: the exact-dup pair (0,4) retrieved at hamming 0;
+    // ramp vs constant never pairs
+    val pairs = Multimodal.phashNearDupPairs(
+        Multimodal.perceptualHashes(df).toDF(), maxHamming = 6)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 4L && p._3 == 0L))
+    assert(!pairs.exists(p => p._1 == 0L && p._2 == 1L))
+  }
 }
