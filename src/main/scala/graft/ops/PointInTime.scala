@@ -67,4 +67,35 @@ object PointInTime {
         AsofJoin.asofBackward(spine, right, Seq(keyCol), tsCol,
           g.tsCol, g.valueCols)
     }
+
+  /** Incremental training-matrix maintenance — the streaming-ingest twin
+    * of [[trainingMatrix]]: when a micro-batch of feature rows arrives,
+    * only the entity keys it TOUCHES can change any matrix row, so the
+    * refresh recomputes the as-of fold for those keys' label rows alone
+    * and splices them over the standing matrix (anti-join out, union in —
+    * the [[Diff]] CDC/MERGE discipline applied to the serving matrix).
+    *
+    * Shape at scale: `touchedKeys` is micro-batch-bounded and broadcasts;
+    * the standing matrix is scanned once with a broadcast anti semi-filter
+    * (no shuffle — at rest it is key-partitioned, so the splice is also
+    * partition-local); the recompute reads only the touched keys' label
+    * spine and their group history, both key-pruned at the scan. Per-batch
+    * cost tracks the batch's key footprint, never matrix size — the
+    * foreachBatch loop in StreamingSpec pins micro-batched ≡ full
+    * recompute.
+    */
+  def refreshMatrix(
+      matrix: DataFrame,
+      labels: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      groups: Seq[FeatureGroup],
+      touchedKeys: DataFrame): DataFrame = {
+    val keys = touchedKeys.select(col(keyCol)).distinct()
+    val refreshed = trainingMatrix(
+      labels.join(broadcast(keys), Seq(keyCol), "left_semi"),
+      keyCol, tsCol, groups)
+    matrix.join(broadcast(keys), Seq(keyCol), "left_anti")
+      .unionByName(refreshed)
+  }
 }

@@ -149,6 +149,79 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming PIT maintenance: foreachBatch incremental matrix " +
+      "refresh for touched keys equals the full recompute after every " +
+      "micro-batch") {
+    import graft.ops.PointInTime
+    import graft.ops.PointInTime.FeatureGroup
+    implicit val sqlCtx = spark.sqlContext
+    // fixed label spine: three users, labels at minutes 10 / 30 / 50
+    val labels = Seq(
+      (1L, ts(10), 0), (1L, ts(30), 1), (1L, ts(50), 0),
+      (2L, ts(30), 1), (3L, ts(30), 0))
+      .toDF("user_id", "label_ts", "y").localCheckpoint(true)
+    // static group: account tier, known up front
+    val tier = Seq((1L, ts(0), "basic"), (2L, ts(0), "pro"),
+      (1L, ts(40), "pro"))
+      .toDF("user_id", "t_ts", "tier").localCheckpoint(true)
+    def groups(spend: org.apache.spark.sql.DataFrame) = Seq(
+      FeatureGroup(spend, "user_id", "s_ts", Seq("spend")),
+      FeatureGroup(tier, "user_id", "t_ts", Seq("tier")))
+    // streamed group: spend snapshots arriving over three micro-batches;
+    // batch 2 touches only user 1, batch 3 back-fills user 3 with a row
+    // OLDER than its label (as-of correctness under late data)
+    val b1 = Seq((1L, ts(5), 10.0), (2L, ts(20), 7.0))
+    val b2 = Seq((1L, ts(25), 12.0), (1L, ts(45), 99.0))
+    val b3 = Seq((3L, ts(15), 3.0))
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val sdf = mem.toDF().toDF("user_id", "s_ts", "spend")
+    var spendStore: Option[org.apache.spark.sql.DataFrame] = None
+    var matrix: Option[org.apache.spark.sql.DataFrame] = None
+    val q = sdf.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val batch = b.localCheckpoint(true)
+          val store = spendStore.map(_.unionByName(batch)).getOrElse(batch)
+            .localCheckpoint(true)
+          spendStore = Some(store)
+          matrix = Some((matrix match {
+            case None =>
+              PointInTime.trainingMatrix(labels, "user_id", "label_ts",
+                groups(store))
+            case Some(m) =>
+              PointInTime.refreshMatrix(m, labels, "user_id", "label_ts",
+                groups(store), batch.select("user_id"))
+          }).localCheckpoint(true))
+        }
+      }.start()
+    try {
+      def snapshot = matrix.get
+        .orderBy("user_id", "label_ts")
+        .select("user_id", "label_ts", "y", "spend", "tier")
+        .collect().toSeq
+      def full = PointInTime.trainingMatrix(labels, "user_id", "label_ts",
+          groups(spendStore.get))
+        .orderBy("user_id", "label_ts")
+        .select("user_id", "label_ts", "y", "spend", "tier")
+        .collect().toSeq
+      mem.addData(b1: _*); q.processAllAvailable()
+      assert(snapshot == full, "after batch 1")
+      mem.addData(b2: _*); q.processAllAvailable()
+      assert(snapshot == full, "after batch 2")
+      // user 1's minute-30 label now sees spend 12.0, minute-50 sees 99.0;
+      // untouched users 2/3 kept their rows through the splice
+      val m2 = snapshot.map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000,
+        Option(r.get(3))))
+      assert(m2.contains((1L, 30L, Some(12.0))))
+      assert(m2.contains((1L, 50L, Some(99.0))))
+      assert(m2.contains((3L, 30L, None))) // no spend for user 3 yet
+      mem.addData(b3: _*); q.processAllAvailable()
+      assert(snapshot == full, "after batch 3 (late back-fill)")
+      assert(snapshot.map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000,
+        Option(r.get(3)))).contains((3L, 30L, Some(3.0))))
+    } finally q.stop()
+  }
+
   test("streaming store ingest: foreachBatch register per micro-batch; " +
       "the latest version after the stream equals one batch register") {
     import graft.model.{FeatureConfig, FeatureMetadata}
