@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BpeAdjacentPairs, BpeApplyPair, BpeEncodeWord, BpeKernel, DotProduct, NgramHashes, SimHash32, SortedIntersectCount}
+import graft.functions.{BpeAdjacentPairs, BpeApplyPair, BpeEncodeWord, BpeKernel, DotProduct, NgramHashes, SimHash32, SortedIntersectCount, UnigramKernel, UnigramSegmentWord}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -76,6 +76,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val rounds = foldableArg(children(2), "rounds")
           .asInstanceOf[Number].intValue()
         BpeEncodeWord(children.head, BpeKernel.parseMerges(enc), rounds)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_unigram_segment"),
+      new ExpressionInfo(classOf[UnigramSegmentWord].getName,
+        "graft_unigram_segment"),
+      (children: Seq[Expression]) => {
+        def foldableArg(e: Expression, what: String): Any = e match {
+          case l if l.foldable => l.eval()
+          case other => throw new IllegalArgumentException(
+            s"graft_unigram_segment $what must be a literal, got $other")
+        }
+        val enc = foldableArg(children(1), "piece costs").toString
+        val mpl = foldableArg(children(2), "maxPieceLen")
+          .asInstanceOf[Number].intValue()
+        UnigramSegmentWord(children.head, UnigramKernel.parseCosts(enc), mpl)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_bpe_pairs"),

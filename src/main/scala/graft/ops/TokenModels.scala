@@ -288,6 +288,103 @@ object TokenModels {
     learned.reduce(_ unionByName _)
   }
 
+  /** Unigram-LM (SentencePiece-style) tokenizer FIT — Kudo 2018's
+    * subword model in its hard-EM (Viterbi) form, the T5/LLaMA-family
+    * alternative to [[bpeLearn]]'s merge list: seed a candidate piece
+    * inventory from corpus substrings, then iterate
+    * "segment every word by minimum total cost → recount piece usage →
+    * re-estimate piece costs" with add-one smoothing over the FIXED
+    * candidate set (pieces are never dropped, which keeps the round
+    * grid — and the oracle's replay — stationary).
+    *
+    *  - Candidates: all substrings (length ≤ `maxPieceLen`) of the
+    *    corpus' `[a-z]+` words of length ≤ `maxWordLen`, weighted by
+    *    word frequency; the `maxVocab` heaviest by (count desc, piece
+    *    asc) plus ALL single characters (guaranteeing segmentability).
+    *  - Costs: −log₂ p rounded to 9 dp (the [[bits9]] discipline), so
+    *    DP sums are exact; the Viterbi kernel receives them as integer
+    *    nano-bits and its long sums equal an oracle's exact DECIMAL
+    *    sums. Cost ties break to the lexicographically smallest
+    *    U+0001-joined piece path — composable, so the kernel's
+    *    left-to-right DP equals the global (cost, path) minimum an
+    *    oracle finds by enumerating all segmentations of the ≤
+    *    `maxWordLen`-char word (a bounded recursion).
+    *  - The whole per-word DP runs inside the native codegen'd
+    *    [[graft.functions.UnigramSegmentWord]] kernel over the DISTINCT
+    *    word relation — zero joins/windows per EM round; the only
+    *    per-round actions are one vocab-sized collect (the piece table
+    *    rides the kernel as a reference object — tokenizer-sized, the
+    *    bounded fit-tail collect of the Ivf discipline) and one
+    *    partial-aggregable usage count.
+    *
+    * Shape at scale: fit on a hash-bucket SAMPLE and apply corpus-wide
+    * (the [[bpeLearn]] sampling discipline); per-round cost is
+    * distinct-word-bounded, never corpus-bounded. Words longer than
+    * `maxWordLen` are excluded from the FIT (segmenting them at apply
+    * time uses the same kernel, which has no length cap).
+    *
+    * Returns (piece, piece_len, used_count, cost_bits) — the final
+    * round's usage counts and the costs re-estimated from them.
+    */
+  def unigramFit(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
+      maxVocab: Int = 64, rounds: Int = 2, maxWordLen: Int = 10)
+      : DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1: $maxPieceLen")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    require(maxVocab >= 1, s"maxVocab must be >= 1: $maxVocab")
+    val D9 = DecimalType(18, 9)
+    val words = docs.select(explode(expr(
+        s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("word"))
+      .filter(length(col("word")).between(1, maxWordLen))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .localCheckpoint()
+    val cand = words
+      .select(col("word"), col("wc"),
+        explode(sequence(lit(1), length(col("word")))).as("s"))
+      .select(col("word"), col("wc"), col("s"),
+        explode(sequence(lit(1), lit(maxPieceLen))).as("l"))
+      .filter(col("s") + col("l") - 1 <= length(col("word")))
+      .select(expr("substr(word, s, l)").as("piece"), col("wc"))
+      .groupBy("piece").agg(sum(col("wc")).as("cnt"))
+      .localCheckpoint()
+    val top = cand.orderBy(col("cnt").desc, col("piece")).limit(maxVocab)
+    val voc = top.unionByName(cand.filter(length(col("piece")) === 1))
+      .dropDuplicates("piece")
+      .localCheckpoint()
+    val vSize = voc.count()
+    var vocab = voc
+      .crossJoin(broadcast(voc.agg(sum(col("cnt")).as("__tot"))))
+      .select(col("piece"),
+        (bits9(col("cnt") / col("__tot")) * -1).cast(D9).as("cost"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      // the bounded fit-tail collect: the piece table IS the model
+      val enc = vocab.collect().map { r =>
+        val nanobits = r.getDecimal(1).movePointRight(9).longValueExact()
+        r.getString(0) + "\u0001" + nanobits
+      }.mkString("\u0002")
+      val uses = words
+        .select(col("wc"),
+          explode(call_function("graft_unigram_segment", col("word"),
+            lit(enc), lit(maxPieceLen))).as("piece"))
+        .groupBy("piece").agg(sum(col("wc")).as("used"))
+        .localCheckpoint()
+      vocab = vocab.select("piece")
+        .join(uses, Seq("piece"), "left_outer")
+        .na.fill(0L, Seq("used"))
+        .crossJoin(broadcast(uses.agg(sum(col("used")).as("__tu"))))
+        .select(col("piece"),
+          (bits9((col("used") + 1.0) / (col("__tu") + vSize)) * -1)
+            .cast(D9).as("cost"),
+          col("used"))
+        .localCheckpoint()
+    }
+    vocab.select(col("piece"),
+      length(col("piece")).cast("long").as("piece_len"),
+      col("used").as("used_count"),
+      col("cost").cast("double").as("cost_bits"))
+  }
+
   /** Deterministic bigram-LM text generation — hash-sampled ancestral
     * sampling from the corpus-fitted bigram model: from each seed token,
     * step r draws the next token from the TRUE conditional distribution

@@ -338,7 +338,28 @@ object TextQueries {
         "doc_id", "text", BpeLearnRounds)
       .orderBy("merge_rank")
 
+  val UnigramMaxPieceLen = 4
+  val UnigramMaxVocab = 64
+  val UnigramRounds = 2
+  val UnigramMaxWordLen = 10
+
+  /** Unigram-LM (SentencePiece-style) tokenizer fit
+    * ([[graft.ops.TokenModels.unigramFit]]): substring candidate
+    * inventory → 2 Viterbi hard-EM rounds through the native
+    * `graft_unigram_segment` kernel → final piece table with usage
+    * counts and re-estimated −log₂ costs. The oracle replays the whole
+    * fit, enumerating every segmentation of each (≤ 10-char) word by
+    * bounded recursion and taking the same (cost, path) minimum the
+    * kernel's DP computes.
+    */
+  def unigramLm(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TokenModels.unigramFit(Tables.documents(spark, dir), "text",
+        UnigramMaxPieceLen, UnigramMaxVocab, UnigramRounds,
+        UnigramMaxWordLen)
+      .orderBy("piece")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_unigram_lm" -> unigramLm,
     "text_bpe_learn" -> bpeLearn,
     "text_bpe_encode" -> bpeEncode,
     "text_posting_lists" -> postingLists,
@@ -951,7 +972,69 @@ object TextQueries {
          |FROM h ORDER BY doc_id""".stripMargin,
     "text_bm25_topk" -> bm25Sql,
     "text_bpe_encode" -> bpeSql,
-    "text_bpe_learn" -> bpeLearnSql)
+    "text_bpe_learn" -> bpeLearnSql,
+    // full fit replay: candidate inventory, top-`maxVocab` + single
+    // chars, then per EM round a bounded recursion enumerating EVERY
+    // segmentation of each ≤10-char word — the global (cost, path)
+    // minimum equals the kernel's DP by the composable-tie-break
+    // argument (separator chr(1) sorts below every letter)
+    "text_unigram_lm" -> {
+      val ln2 = math.log(2.0)
+      val roundCtes = (1 to UnigramRounds).map { r =>
+        s"""seg$r AS (
+           |  SELECT word, wc, 0 AS pos, CAST(0 AS DECIMAL(28,9)) AS cost,
+           |    '' AS path
+           |  FROM w
+           |  UNION ALL
+           |  SELECT s.word, s.wc, s.pos + length(v.piece),
+           |    CAST(s.cost + v.cost AS DECIMAL(28,9)),
+           |    CASE WHEN s.path = '' THEN v.piece
+           |         ELSE s.path || chr(1) || v.piece END
+           |  FROM seg$r s JOIN v${r - 1} v
+           |    ON v.piece = substr(s.word, s.pos + 1, length(v.piece))
+           |  WHERE s.pos < length(s.word)),
+           |best$r AS (SELECT word, wc,
+           |    struct_extract(min(struct_pack(c := cost, p := path)), 'p')
+           |      AS path
+           |  FROM seg$r WHERE pos = length(word) GROUP BY 1, 2),
+           |use$r AS (SELECT piece, sum(wc) AS used FROM (
+           |    SELECT wc, unnest(string_split(path, chr(1))) AS piece
+           |    FROM best$r) GROUP BY 1),
+           |tu$r AS (SELECT sum(used) AS tu FROM use$r),
+           |v$r AS (SELECT v.piece,
+           |    CAST(-round(ln((coalesce(u.used, 0) + 1.0)
+           |        / (tu.tu + vt.vsz)) / $ln2, 9) AS DECIMAL(18,9))
+           |      AS cost,
+           |    CAST(coalesce(u.used, 0) AS BIGINT) AS used
+           |  FROM v${r - 1} v LEFT JOIN use$r u USING (piece),
+           |    tu$r tu, vt)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE
+         |w AS (SELECT word, count(*) AS wc FROM (
+         |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+', 0))
+         |      AS word FROM documents)
+         |  WHERE length(word) BETWEEN 1 AND $UnigramMaxWordLen
+         |  GROUP BY word),
+         |cand AS (SELECT substr(word, s, l) AS piece, sum(wc) AS cnt
+         |  FROM w, UNNEST(generate_series(1, length(word))) a(s),
+         |       UNNEST(generate_series(1, $UnigramMaxPieceLen)) b(l)
+         |  WHERE s + l - 1 <= length(word) GROUP BY 1),
+         |top AS (SELECT piece, cnt FROM cand
+         |  ORDER BY cnt DESC, piece LIMIT $UnigramMaxVocab),
+         |voc AS (SELECT DISTINCT piece, cnt FROM (
+         |    SELECT * FROM top
+         |    UNION ALL
+         |    SELECT piece, cnt FROM cand WHERE length(piece) = 1)),
+         |vt AS (SELECT sum(cnt) AS tot, count(*) AS vsz FROM voc),
+         |v0 AS (SELECT piece,
+         |    CAST(-round(ln(cnt * 1.0 / tot) / $ln2, 9) AS DECIMAL(18,9))
+         |      AS cost
+         |  FROM voc, vt),
+         |$roundCtes
+         |SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len,
+         |  used AS used_count, CAST(cost AS DOUBLE) AS cost_bits
+         |FROM v$UnigramRounds ORDER BY piece""".stripMargin
+    })
 
   /** BPE LEARNING oracle: each round recounts adjacent pairs from the
     * previous state, takes the argmax (count DESC, then lexicographic

@@ -204,4 +204,48 @@ class TokenModelsSpec extends AnyFunSuite {
     assert(out(0) == Seq("xy") && out(1) == Seq("y", "x"))
     assert(out(2) == Seq("xy") && out(3) == Seq("y", "x"))
   }
+
+  private def bits9d(x: Double): Double =
+    BigDecimal(math.log(x) / math.log(2.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("unigramFit: hand-computed two-round hard-EM on a 3-piece corpus") {
+    val spark2 = spark
+    import spark2.implicits._
+    // words: ab (x2), b (x1); candidates a:2, b:3, ab:2 → tot 7
+    // round-1 costs: a=-log2(2/7), b=-log2(3/7), ab=-log2(2/7)
+    // "ab" segments as [ab] (1.807 < a+b = 3.03); "b" as [b]
+    // uses: ab=2, b=1 → tu=3, V=3 → final costs over (used+1)/(tu+V):
+    // ab=-log2(3/6)=1, b=-log2(2/6), a=-log2(1/6)
+    val docs = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val got = graft.ops.TokenModels.unigramFit(docs, "text",
+        maxPieceLen = 4, maxVocab = 64, rounds = 2, maxWordLen = 10)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got.keySet == Set("a", "b", "ab"))
+    assert(got("ab") == ((2L, 2L, 1.0)))
+    assert(got("b") == ((1L, 1L, -bits9d(2.0 / 6))))
+    assert(got("a") == ((1L, 0L, -bits9d(1.0 / 6))))
+  }
+
+  test("unigram kernel: cost ties break to the lexicographically " +
+      "smallest separator-joined path; unsegmentable words return empty") {
+    import graft.functions.UnigramKernel
+    import org.apache.spark.unsafe.types.UTF8String
+    def seg(word: String, costs: Map[String, Long]): Seq[String] = {
+      val t = new java.util.HashMap[String, java.lang.Long]()
+      costs.foreach { case (k, v) => t.put(k, java.lang.Long.valueOf(v)) }
+      val arr = UnigramKernel.segmentWord(UTF8String.fromString(word), t, 4)
+      (0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+    }
+    // [a,a] costs 2c, [aa] costs 2c → tie → "a␁a" < "aa" → two pieces
+    assert(seg("aa", Map("a" -> 1000L, "aa" -> 2000L)) == Seq("a", "a"))
+    // cheaper whole piece wins outright
+    assert(seg("aa", Map("a" -> 1000L, "aa" -> 1999L)) == Seq("aa"))
+    // missing character → unsegmentable → empty
+    assert(seg("axa", Map("a" -> 1000L)) == Seq.empty)
+    // longest-match via cost, not greed: [ab][cd] beats [abc][d]
+    assert(seg("abcd", Map("ab" -> 10L, "cd" -> 10L, "abc" -> 5L,
+      "d" -> 100L, "a" -> 50L, "b" -> 50L, "c" -> 50L)) == Seq("ab", "cd"))
+  }
 }
