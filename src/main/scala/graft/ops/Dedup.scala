@@ -563,6 +563,16 @@ object Dedup {
     * DECIMAL sum of edge hashes) stable across a round — one cheap
     * aggregate, no edge-set anti-join. Same output contract as
     * [[connectedComponents]]: (id, component = min reachable id).
+    *
+    * Selection rule (measured, SURVEY §6.1 ProbeStars): use THIS variant
+    * by default at scale. On the 50k dup-dense corpus' shared 90.6M
+    * verified edge set it produced the identical labeling 2.1× faster
+    * than min-label (73 s vs 156 s — its per-round working set is the
+    * shrinking edge list, not edges ⋈ labels); on a 200k-node chain
+    * min-label at its default round budget returned 199,980 PARTIAL
+    * components (the warn path) while stars converged to 1 in 18
+    * rounds. Min-label remains fine for small verified low-diameter
+    * graphs where the label-sum convergence witness is convenient.
     */
   def connectedComponentsStars(ids: DataFrame, pairs: DataFrame,
       maxIter: Int = 30): DataFrame = {
