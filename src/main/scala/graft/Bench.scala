@@ -80,9 +80,16 @@ object Bench {
         rs
       }
 
+    // artifact-vs-registry assertion: a full (non-allowlisted) run MUST
+    // time every registered query — stale "N queries" claims in README/
+    // bench artifacts recurred for three rounds before this check
+    if (only.isEmpty)
+      require(results.size == SparkEntry.queries.size,
+        s"bench timed ${results.size} of ${SparkEntry.queries.size} " +
+          "registered queries")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"isolate":$isolate,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"runs":$runs,"isolate":$isolate,"sf":"$sfDir"}""")
   }
 }

@@ -29,6 +29,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    symbol pairs ([[graft.functions.BpeAdjacentPairs]]).
   *  - `graft_bpe_apply(syms, a, b) -> array<string>` — one greedy merge
   *    pass of a single pair ([[graft.functions.BpeApplyPair]]).
+  *  - `graft_unigram_segment(word, costs, maxPieceLen) -> array<string>`
+  *    — whole-word unigram-LM Viterbi segmentation
+  *    ([[graft.functions.UnigramSegmentWord]]; costs = entries
+  *    `piece␁nanobits` joined by U+0002, both literals).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {

@@ -56,9 +56,14 @@ object Drift {
         .select(bucketExpr.cast("long").as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as(cntName))
 
-    val base = bucketed(baseline, "n_base")
-    val cur = bucketed(current, "n_cur")
-    // full outer: a bucket can be empty on either side
+    psiTail(bucketed(baseline, "n_base"), bucketed(current, "n_cur"))
+  }
+
+  /** The shared PSI arithmetic over per-bucket counts (full-outer join —
+    * a bucket can be empty on either side — probability floor, round-9
+    * contributions).
+    */
+  private def psiTail(base: DataFrame, cur: DataFrame): DataFrame = {
     val joined = base.join(cur, Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("n_base"), lit(0L)).as("n_base"),
@@ -74,6 +79,40 @@ object Drift {
         round((p(col("n_cur"), col("__tc")) - p(col("n_base"), col("__tb"))) *
           log(p(col("n_cur"), col("__tc")) / p(col("n_base"), col("__tb"))), 9)
           .as("contribution"))
+  }
+
+  /** PSI with the baseline breakpoints read off MERGED quantile-sketch
+    * knots ([[Sketches.quantileSketchBuild]] per `batchCol` ingest batch →
+    * [[Sketches.quantileSketchQuantiles]]) — the persisted-sketch form of
+    * [[psiBuckets]], i.e. the N193 swap-in made concrete: a standing PSI
+    * monitor re-derives its decile edges from a few KB of persisted knots
+    * instead of rescanning baseline history. Edge positions sit within
+    * 1/K rank of the exact percentiles — immaterial for bucket
+    * DEFINITIONS (the same argument as percentile_approx), but unlike
+    * percentile_approx the sketch path is deterministic and replayable,
+    * so the whole monitor stays hash-checkable. Bucket counting and the
+    * PSI tail are identical to [[psiBuckets]]; comparisons run in the
+    * sketch's DECIMAL(18,2) value space.
+    */
+  def psiBucketsFromSketch(baseline: DataFrame, current: DataFrame,
+      valueCol: String, batchCol: Column, knots: Int, buckets: Int = 10)
+      : DataFrame = {
+    require(buckets >= 2 && 100 % buckets == 0,
+      s"buckets must divide 100: $buckets")
+    val sketch = Sketches.quantileSketchBuild(baseline, col(valueCol),
+      batchCol, knots)
+    val pcts = (1 until buckets).map(i => i * (100 / buckets))
+    val breaks = Sketches.quantileSketchQuantiles(sketch, pcts)
+      .agg(sort_array(collect_list(col("est_value"))).as("__breaks"))
+    val v = col(valueCol).cast(DecimalType(18, 2))
+    val bucketExpr = (1 until buckets)
+      .map(i => when(v > element_at(col("__breaks"), i), 1).otherwise(0))
+      .foldLeft(lit(1): Column)(_ + _)
+    def bucketed(df: DataFrame, cntName: String): DataFrame =
+      df.crossJoin(broadcast(breaks))
+        .select(bucketExpr.cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(cntName))
+    psiTail(bucketed(baseline, "n_base"), bucketed(current, "n_cur"))
   }
 
   /** Scalar PSI (sum of bucket contributions). */

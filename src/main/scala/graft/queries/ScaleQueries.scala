@@ -234,7 +234,28 @@ object ScaleQueries {
       .orderBy("q")
   }
 
+  private val PsiSketchBuckets = 10
+
+  /** PSI drift monitor answered from PERSISTED quantile-sketch knots
+    * ([[graft.ops.Drift.psiBucketsFromSketch]]): the same even/odd-event
+    * split as `quality_drift_psi`, but the baseline decile edges come
+    * from the merged per-day knot relation instead of an exact
+    * percentile pass over baseline history — the standing-monitor shape
+    * at 100 TB, and (unlike a percentile_approx swap) fully
+    * hash-checkable: sketch, edges, buckets and PSI tail all replay.
+    */
+  def psiSketch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val day = floor(col("ts_us") / lit(86400000000L))
+    graft.ops.Drift.psiBucketsFromSketch(
+        e.filter(col("event_id") % 2 === 0),
+        e.filter(col("event_id") % 2 === 1),
+        "value", day, QsKnots, PsiSketchBuckets)
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scale_psi_sketch" -> psiSketch,
     "scale_quantile_sketch" -> quantileSketch,
     "scale_bloom" -> bloom,
     "scale_countmin" -> countMin,
@@ -247,38 +268,73 @@ object ScaleQueries {
     "scale_approx_distinct" -> approxDistinct,
     "scale_approx_quantiles" -> approxQuantiles)
 
+  // shared knot-for-knot sketch replay: the keep rule, delta/merge
+  // windows and target ranks are ALL integer arithmetic on the shared
+  // DECIMAL(18,2) value grid; `extraWhere` restricts the sketched
+  // relation, `pcts` are the answered percents (CTE `a` = answers)
+  private def qsketchCtes(extraWhere: String, percents: Seq[Int]): String = {
+    val pcts = percents.mkString("[", ", ", "]")
+    s"""e AS (SELECT CAST(value AS DECIMAL(18,2)) AS v,
+       |    epoch_us(ts) // 86400000000 AS batch
+       |  FROM events WHERE value IS NOT NULL AND ($extraWhere)),
+       |g AS (SELECT batch, v, count(*) AS c FROM e GROUP BY 1, 2),
+       |cg AS (SELECT batch, v, c,
+       |    sum(c) OVER (PARTITION BY batch ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(c) OVER (PARTITION BY batch) AS n
+       |  FROM g),
+       |k AS (SELECT batch, v, c, cum FROM cg
+       |  WHERE (cum * $QsKnots) // n > ((cum - c) * $QsKnots) // n),
+       |d AS (SELECT batch, v, cum,
+       |    cum - coalesce(lag(cum) OVER (PARTITION BY batch ORDER BY v), 0)
+       |      AS delta
+       |  FROM k),
+       |r AS (SELECT v, max(est_rank) AS est_rank FROM (
+       |    SELECT v, sum(delta) OVER (ORDER BY v
+       |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS est_rank
+       |    FROM d) GROUP BY v),
+       |nt AS (SELECT sum(n_b) AS n_total FROM (
+       |    SELECT max(cum) AS n_b FROM k GROUP BY batch)),
+       |t AS (SELECT CAST(q AS BIGINT) AS q, n_total,
+       |    (q * n_total + 99) // 100 AS target_rank
+       |  FROM nt, (SELECT unnest($pcts) AS q)),
+       |a AS (SELECT q, n_total, target_rank, min(v) AS est_value
+       |  FROM r, t WHERE est_rank >= target_rank GROUP BY 1, 2, 3)"""
+      .stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
-    // knot-for-knot sketch replay: the keep rule, delta/merge windows and
-    // target ranks are ALL integer arithmetic on the shared DECIMAL(18,2)
-    // value grid — the guarantee-audit booleans hash-match too
+    // sketch-derived decile edges + the quality_drift_psi tail — the
+    // monitor replays end to end (edges, buckets, probabilities)
+    "scale_psi_sketch" -> {
+      val pcts = (1 until PsiSketchBuckets).map(_ * (100 / PsiSketchBuckets))
+      s"""WITH ${qsketchCtes("event_id % 2 = 0", pcts)},
+         |el AS (SELECT list_sort(list(est_value)) AS breaks FROM a),
+         |base AS (SELECT CAST(value AS DECIMAL(18,2)) AS v FROM events
+         |  WHERE event_id % 2 = 0),
+         |cur AS (SELECT CAST(value AS DECIMAL(18,2)) AS v FROM events
+         |  WHERE event_id % 2 = 1),
+         |b1 AS (SELECT 1 + len(list_filter(breaks, b -> v > b)) AS bucket,
+         |    count(*) AS n_base FROM base, el GROUP BY 1),
+         |c1 AS (SELECT 1 + len(list_filter(breaks, b -> v > b)) AS bucket,
+         |    count(*) AS n_cur FROM cur, el GROUP BY 1),
+         |j AS (SELECT coalesce(b1.bucket, c1.bucket) AS bucket,
+         |    coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+         |  FROM b1 FULL OUTER JOIN c1 ON b1.bucket = c1.bucket),
+         |tt AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM j)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(n_base AS BIGINT) AS n_base, CAST(n_cur AS BIGINT) AS n_cur,
+         |  round(greatest(n_base * 1.0 / tb, 1e-6), 9) AS p_base,
+         |  round(greatest(n_cur * 1.0 / tc, 1e-6), 9) AS p_cur,
+         |  round((greatest(n_cur * 1.0 / tc, 1e-6)
+         |      - greatest(n_base * 1.0 / tb, 1e-6))
+         |    * ln(greatest(n_cur * 1.0 / tc, 1e-6)
+         |      / greatest(n_base * 1.0 / tb, 1e-6)), 9) AS contribution
+         |FROM j, tt ORDER BY bucket""".stripMargin
+    },
+    // the guarantee-audit query over the same shared replay
     "scale_quantile_sketch" -> {
-      val pcts = QsPercents.mkString("[", ", ", "]")
-      s"""WITH e AS (SELECT CAST(value AS DECIMAL(18,2)) AS v,
-         |    epoch_us(ts) // 86400000000 AS batch
-         |  FROM events WHERE value IS NOT NULL),
-         |g AS (SELECT batch, v, count(*) AS c FROM e GROUP BY 1, 2),
-         |cg AS (SELECT batch, v, c,
-         |    sum(c) OVER (PARTITION BY batch ORDER BY v
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-         |    sum(c) OVER (PARTITION BY batch) AS n
-         |  FROM g),
-         |k AS (SELECT batch, v, c, cum FROM cg
-         |  WHERE (cum * $QsKnots) // n > ((cum - c) * $QsKnots) // n),
-         |d AS (SELECT batch, v, cum,
-         |    cum - coalesce(lag(cum) OVER (PARTITION BY batch ORDER BY v), 0)
-         |      AS delta
-         |  FROM k),
-         |r AS (SELECT v, max(est_rank) AS est_rank FROM (
-         |    SELECT v, sum(delta) OVER (ORDER BY v
-         |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS est_rank
-         |    FROM d) GROUP BY v),
-         |nt AS (SELECT sum(n_b) AS n_total FROM (
-         |    SELECT max(cum) AS n_b FROM k GROUP BY batch)),
-         |t AS (SELECT CAST(q AS BIGINT) AS q, n_total,
-         |    (q * n_total + 99) // 100 AS target_rank
-         |  FROM nt, (SELECT unnest($pcts) AS q)),
-         |a AS (SELECT q, n_total, target_rank, min(v) AS est_value
-         |  FROM r, t WHERE est_rank >= target_rank GROUP BY 1, 2, 3),
+      s"""WITH ${qsketchCtes("TRUE", QsPercents)},
          |x AS (SELECT a.q, a.n_total, a.target_rank, a.est_value,
          |    sum(CASE WHEN e.v <= a.est_value THEN 1 ELSE 0 END)
          |      AS exact_rank,
