@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BpeAdjacentPairs, BpeApplyPair, BpeEncodeWord, BpeKernel, DotProduct, NgramHashes, SimHash32, SortedIntersectCount, UnigramKernel, UnigramSegmentWord}
+import graft.functions.{BpeAdjacentPairs, BpeApplyPair, BpeEncodeWord, BpeKernel, DotProduct, NgramHashes, PqAssignCodes, PqKernel, SimHash32, SortedIntersectCount, UnigramKernel, UnigramSegmentWord}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -33,6 +33,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    — whole-word unigram-LM Viterbi segmentation
   *    ([[graft.functions.UnigramSegmentWord]]; costs = entries
   *    `piece␁nanobits` joined by U+0002, both literals).
+  *  - `graft_pq_assign(vec, codebook, m, k) -> array<int>` — whole-vector
+  *    product-quantization argmin codes
+  *    ([[graft.functions.PqAssignCodes]]; codebook = comma-joined
+  *    shifted-nano longs, all but `vec` literals).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -95,6 +99,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val mpl = foldableArg(children(2), "maxPieceLen")
           .asInstanceOf[Number].intValue()
         UnigramSegmentWord(children.head, UnigramKernel.parseCosts(enc), mpl)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_assign"),
+      new ExpressionInfo(classOf[PqAssignCodes].getName, "graft_pq_assign"),
+      (children: Seq[Expression]) => {
+        def foldableArg(e: Expression, what: String): Any = e match {
+          case l if l.foldable => l.eval()
+          case other => throw new IllegalArgumentException(
+            s"graft_pq_assign $what must be a literal, got $other")
+        }
+        val cb = PqKernel.parseCodebook(
+          foldableArg(children(1), "codebook").toString)
+        val m = foldableArg(children(2), "m").asInstanceOf[Number].intValue()
+        val k = foldableArg(children(3), "k").asInstanceOf[Number].intValue()
+        PqAssignCodes(children.head, cb, m, k)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_bpe_pairs"),

@@ -79,64 +79,118 @@ object Pq {
   private def attoToDouble(attos: Column): Column =
     attos.cast("double") / lit(1.0e18)
 
-  /** One assignment pass: per (id, sub), the codebook row minimizing the
-    * exact atto-integer squared distance, min-struct tie-break on cid.
+  /** The whole-vector argmin as ONE codegen'd kernel call
+    * ([[graft.functions.PqAssignCodes]]) with the flattened codebook
+    * (`[sub][cid][localDim]` shifted nano longs) riding as a literal —
+    * the fit-object discipline of the BPE/unigram kernels. Identical
+    * arithmetic to the original coordinate-long-form join (exact integer
+    * squared distances, ties to the smaller cid) but ZERO shuffles: the
+    * relational form multiplied every corpus coordinate by every
+    * centroid, an N·dims·k-row exchange per pass (measured 14 s fit +
+    * 4.5 s encode at sf0.1 — pure plan overhead on 2 000 vectors, and
+    * the non-scalable term at a corpus-wide 100 TB encode).
     */
-  private def assign(x: DataFrame, cents: DataFrame): DataFrame =
-    x.join(broadcast(cents), Seq("sub", "dim"))
-      .groupBy(col("id"), col("sub"), col("cid"))
-      .agg(sum(attoSq(col("xn"), col("cn"))).as("__dist"))
-      .groupBy("id", "sub")
-      .agg(min(struct(col("__dist"), col("cid"))).as("__m"))
-      .select(col("id"), col("sub"), col("__m.cid").as("cid"))
+  private def assignCodes(vec: Column, cb: Array[Long], m: Int, k: Int)
+      : Column =
+    call_function("graft_pq_assign", vec.cast("array<double>"),
+      lit(cb.mkString(",")), lit(m), lit(k))
 
   /** Per-subspace Lloyd fit: `k` centroids per subspace, seeded by the
     * md5-smallest ids' subvectors (the same seed rows in every subspace),
     * `rounds` iterations. The centroid mean is round-half-up POSITIVE
     * integer division `(2·Σxn + n) div (2n)` — no IEEE op, identical in
-    * any engine. Returns the codebook (sub, cid, dim, cn) with dims
-    * local to the subspace and cn in shifted nano units.
+    * any engine. Each round is one zero-shuffle kernel assignment plus
+    * ONE partial-aggregable (sub, cid, dim) collapse; the codebook state
+    * (m·k·subDim longs — model-sized by construction, the
+    * [[Ivf]]-quantizer collect discipline) lives on the driver between
+    * rounds. Returns the codebook (sub, cid, dim, cn) with dims local to
+    * the subspace and cn in shifted nano units.
     */
   def pqFit(emb: DataFrame, idCol: String, vecCol: String, dims: Int,
       m: Int, k: Int, rounds: Int): DataFrame = {
     require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
     require(k >= 1, s"k must be >= 1: $k")
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
-    val x = longForm(emb, idCol, vecCol, dims, m).localCheckpoint()
-    val seeds = x.select("id").distinct()
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val subDim = dims / m
+    val vecs = emb.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("__v")).localCheckpoint()
+    // seed order: md5-smallest ids, cid = rank — same rule as the
+    // original window formulation (orderBy + limit preserves order)
+    val seedIds = vecs.select("id").distinct()
       .withColumn("__h", md5(col("id").cast("string")))
       .orderBy(col("__h"), col("id")).limit(k)
-      .withColumn("cid", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("__h"), col("id"))) - 1)
-      .select("id", "cid")
-    var cents = seeds.join(x, Seq("id"))
-      .select(col("sub"), col("cid").cast("long").as("cid"), col("dim"),
-        col("xn").as("cn"))
-      .localCheckpoint()
+      .select("id").collect().map(_.getLong(0))
+    val seedVecs = vecs.filter(col("id").isInCollection(seedIds))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    var cb = new Array[Long](m * k * subDim)
+    for (c <- seedIds.indices; s <- 0 until m; d <- 0 until subDim)
+      cb((s * k + c) * subDim + d) =
+        graft.functions.PqKernel.quantize(seedVecs(seedIds(c))(s * subDim + d))
     for (_ <- 1 to rounds) {
-      val a = assign(x, cents).localCheckpoint()
-      val fresh = a.join(x, Seq("id", "sub"))
+      // assigned code for coordinate i = codes[i div subDim]; the means
+      // collapse is partial-aggregable and the ONLY exchange per round.
+      // __codes MUST bind in its own projection BEFORE the explode —
+      // expressions sharing a select with a generator are moved ABOVE
+      // the Generate and re-evaluate per GENERATED row (the kernel ran
+      // dims× per vector: measured 4 s/round → 0.4 s/round at sf0.1)
+      val fresh = vecs
+        .select(col("__v"), assignCodes(col("__v"), cb, m, k).as("__codes"))
+        .select(posexplode(col("__v")).as(Seq("__i", "__xd")),
+          col("__codes"))
+        .select((col("__i") / subDim).cast("long").as("sub"),
+          (col("__i") % subDim).cast("long").as("dim"),
+          element_at(col("__codes"),
+            (col("__i") / subDim).cast("int") + 1).cast("long").as("cid"),
+          ((round(col("__xd"), 9).cast(DecimalType(12, 9)) *
+            lit(1000000000L)).cast("long") + Shift).as("xn"))
         .groupBy("sub", "cid", "dim")
-        .agg(expr("(2 * sum(xn) + count(1)) div (2 * count(1))").as("__cn"))
-      cents = cents.select(col("sub"), col("cid"), col("dim"),
-          col("cn").as("__cp"))
-        .join(fresh, Seq("sub", "cid", "dim"), "left_outer")
-        .select(col("sub"), col("cid"), col("dim"),
-          coalesce(col("__cn"), col("__cp")).as("cn"))
-        .localCheckpoint()
+        .agg(expr("(2 * sum(xn) + count(1)) div (2 * count(1))").as("cn"))
+        .collect()
+      val next = cb.clone() // a centroid nobody picked keeps its value
+      fresh.foreach { r =>
+        next(((r.getLong(0) * k + r.getLong(1)) * subDim +
+          r.getLong(2)).toInt) = r.getLong(3)
+      }
+      cb = next
     }
-    cents
+    (for (s <- 0 until m; c <- 0 until k; d <- 0 until subDim)
+      yield (s.toLong, c.toLong, d.toLong, cb((s * k + c) * subDim + d)))
+      .toDF("sub", "cid", "dim", "cn")
   }
 
-  /** Encode the corpus against a fitted codebook: one assignment pass
-    * against the FINAL centroids. Returns (id, sub, code) — the m·log₂k
-    * bits per vector the serving tier stores.
+  /** Flatten a fitted (sub, cid, dim, cn) codebook relation back to the
+    * kernel layout — bounded at m·k·subDim rows by construction.
+    */
+  private def flattenCodebook(codebook: DataFrame, m: Int)
+      : (Array[Long], Int) = {
+    val rows = codebook.select("sub", "cid", "dim", "cn").collect()
+    val k = rows.map(_.getLong(1)).max.toInt + 1
+    val subDim = rows.map(_.getLong(2)).max.toInt + 1
+    require(rows.length == m * k * subDim,
+      s"codebook has ${rows.length} rows, expected ${m * k * subDim}")
+    val cb = new Array[Long](m * k * subDim)
+    rows.foreach { r =>
+      cb(((r.getLong(0) * k + r.getLong(1)) * subDim +
+        r.getLong(2)).toInt) = r.getLong(3)
+    }
+    (cb, k)
+  }
+
+  /** Encode the corpus against a fitted codebook: one ZERO-SHUFFLE kernel
+    * assignment pass against the final centroids. Returns (id, sub,
+    * code) — the m·log₂k bits per vector the serving tier stores.
     */
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String, dims: Int,
-      m: Int, codebook: DataFrame): DataFrame =
-    assign(longForm(emb, idCol, vecCol, dims, m), codebook)
-      .select(col("id"), col("sub"), col("cid").as("code"))
+      m: Int, codebook: DataFrame): DataFrame = {
+    val (cb, k) = flattenCodebook(codebook, m)
+    emb.select(col(idCol).cast("long").as("id"),
+        posexplode(assignCodes(col(vecCol), cb, m, k))
+          .as(Seq("__s", "__c")))
+      .select(col("id"), col("__s").cast("long").as("sub"),
+        col("__c").cast("long").as("code"))
+  }
 
   /** ADC lookup table for one query vector: the exact atto-integer
     * squared distance of each query subvector to each codebook centroid —
