@@ -251,6 +251,91 @@ object Pq {
       .limit(topK)
   }
 
+  /** IVFADC (Jégou 2011 §IV): the coarse-cell + PQ-residual composition
+    * a production ANN serving stack actually deploys — IVF cells bound
+    * WHICH vectors a query touches (partition pruning over `nProbe` of
+    * the cells), PQ codes bound WHAT is read per vector (m·log₂k bits of
+    * RESIDUAL v − anchor(cell), which quantizes far tighter than raw
+    * coordinates because residuals concentrate near 0).
+    *
+    *  - assignment: cells via [[Ivf.nearestCellExpr]] over FIXED literal
+    *    anchors (replayable, the `sim_ivf_recall` discipline); residuals
+    *    by one broadcast join on the |anchors|-row table. ONE codebook is
+    *    fitted over all residuals ([[pqFit]] — kernel assignment, driver
+    *    codebook state) and the corpus encodes in one zero-shuffle
+    *    kernel pass.
+    *  - serve: the query ranks cells (|anchors| rows), takes `nProbe`,
+    *    and needs a PER-CELL ADC table (its residual differs per probed
+    *    cell) — nProbe·m·k rows, broadcast; scoring filters codes to the
+    *    probed cells FIRST (the filter that becomes partition pruning in
+    *    the [[Ivf]] disk layout) and folds with one partial-aggregable
+    *    groupBy.
+    *
+    * Exactness: anchors are ±1 integers so the residual subtraction is
+    * IEEE-exact and the 9-dp quantization commutes; cell argmins replay
+    * as `norm² − 2·dot` first-min in any engine. Returns (idCol, cell,
+    * adc_dist) — the query's own row included, like [[pqAdcTopK]].
+    */
+  def ivfAdcTopK(emb: DataFrame, idCol: String, vecCol: String,
+      anchors: Array[Array[Double]], queryId: Long, dims: Int, m: Int,
+      k: Int, rounds: Int, nProbe: Int, topK: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= anchors.length,
+      s"nProbe=$nProbe out of range for ${anchors.length} anchors")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val anchorDf = broadcast(anchors.zipWithIndex
+      .map { case (a, i) => (i, a.toSeq, a.map(x => x * x).sum) }.toSeq
+      .toDF("cell", "__avec", "__an2"))
+    val v = col(vecCol).cast("array<double>")
+    val resid = emb
+      .select(col(idCol).cast("long").as("id"), v.as("__v"),
+        Ivf.nearestCellExpr(v, anchors).as("cell"))
+      .join(anchorDf, Seq("cell"))
+      .select(col("id"), col("cell"),
+        zip_with(col("__v"), col("__avec"), (x, a) => x - a).as("__r"))
+      .localCheckpoint()
+    val codebook = pqFit(resid, "id", "__r", dims, m, k, rounds)
+      .localCheckpoint()
+    val codes = pqEncode(resid, "id", "__r", dims, m, codebook)
+    // query cell ranking over the |anchors|-row table, then one residual
+    // + ADC table per probed cell (nProbe·m·k rows, broadcast)
+    val qv = emb.filter(col(idCol) === queryId)
+      .select(v.as("__qv")).limit(1)
+    val probed = anchorDf.crossJoin(broadcast(qv))
+      .select(col("cell"), col("__avec"), col("__qv"),
+        (col("__an2") -
+          lit(2.0) * call_function("graft_dot", col("__qv"), col("__avec")))
+          .as("__d"))
+      .withColumn("__crk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__d"), col("cell"))))
+      .filter(col("__crk") <= nProbe)
+      .select(col("cell"),
+        zip_with(col("__qv"), col("__avec"), (x, a) => x - a).as("__qr"))
+    val qLong = probed
+      .select(col("cell"), posexplode(col("__qr")).as(Seq("__i", "__xd")))
+      .select(col("cell"),
+        (col("__i") / (dims / m)).cast("long").as("sub"),
+        (col("__i") % (dims / m)).cast("long").as("dim"),
+        ((round(col("__xd"), 9).cast(DecimalType(12, 9)) *
+          lit(1000000000L)).cast("long") + Shift).as("qn"))
+    val adt = qLong.join(codebook, Seq("sub", "dim"))
+      .groupBy("cell", "sub", "cid")
+      .agg(sum(attoSq(col("qn"), col("cn"))).as("d"))
+    val cellOf = resid.select(col("id"), col("cell"))
+    val withCell = codes.join(cellOf, Seq("id"))
+    withCell.join(broadcast(adt),
+        withCell("cell") === adt("cell") && withCell("sub") === adt("sub") &&
+          withCell("code") === adt("cid"))
+      .select(withCell("id"), withCell("cell"), adt("d"))
+      .groupBy("id", "cell")
+      .agg(sum(col("d")).as("__adc"))
+      .select(col("id").as(idCol), col("cell"),
+        attoToDouble(col("__adc")).as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(topK)
+  }
+
   /** Exact squared-L2 scores against one query under the SAME shifted
     * nano-unit quantization as the PQ pipeline — ground truth for the
     * recall audit and the rerank stage. Returns (idCol, l2sq).

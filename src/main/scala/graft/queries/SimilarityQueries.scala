@@ -422,6 +422,23 @@ object SimilarityQueries {
 
   private val PqCand = 50
 
+  private val IvfPqRounds = 2
+  private val IvfPqProbe = 3
+
+  /** IVFADC top-k ([[graft.ops.Pq.ivfAdcTopK]]): the coarse-cell +
+    * PQ-residual composition over the FIXED ±1 anchors ([[ivfAnchors]],
+    * the `sim_ivf_recall` replayability discipline) — cells bound which
+    * vectors the query touches (probe [[IvfPqProbe]] of
+    * ${ivfAnchors.length} cells), one residual codebook fitted with the
+    * kernel Lloyd, per-probed-cell ADC tables, cell-filtered fold. Every
+    * stage (cell argmin, residual quantization, fit, encode, serve)
+    * hash-replays in the oracle.
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Pq.ivfAdcTopK(Tables.embeddings(spark, dir), "vec_id",
+      "embedding", ivfAnchors.map(_.map(_.toDouble)), queryId = 0L, Dim,
+      PqM, PqK, IvfPqRounds, IvfPqProbe, PqTopK)
+
   /** PQ recall audit against the exact squared-L2 top-10 under the same
     * 9-dp coordinate rounding — recall@K is measured, not asserted (the
     * `sim_ann_recall`/`sim_ivf_recall` discipline extended to the PQ
@@ -482,6 +499,7 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_pq_topk" -> pqTopK,
+    "sim_ivfpq_topk" -> ivfPqTopK,
     "sim_pq_recall" -> pqRecall,
     "sim_rbo_rankings" -> rboRankings,
     "sim_kmeans" -> kmeans,
@@ -565,15 +583,21 @@ object SimilarityQueries {
   // INTEGER end to end (shifted nano-unit coordinates, atto-unit
   // distances, round-half-up positive integer mean division), mirroring
   // graft.ops.Pq verbatim with zero IEEE ops to disagree on
-  private lazy val pqCteSql: String = {
-    val subDim = Dim / PqM
-    def attoSq(a: String, b: String) =
-      s"""sum(CAST(CAST($a - $b AS DECIMAL(19,0)) *
-         |        CAST($a - $b AS DECIMAL(19,0)) AS DECIMAL(38,0)))"""
-        .stripMargin
-    val rounds = (1 to PqRounds).map { r =>
+  private def attoSqSql(a: String, b: String) =
+    s"""sum(CAST(CAST($a - $b AS DECIMAL(19,0)) *
+       |        CAST($a - $b AS DECIMAL(19,0)) AS DECIMAL(38,0)))"""
+      .stripMargin
+
+  /** The shared Lloyd-fit + encode replay over a pre-defined CTE
+    * `x`(id, sub, dim, xn): seeds `sd`, rounds d/a/f/c 1..N, final
+    * codebook `cF` and the encode assignment `aE` — the knot-for-knot
+    * twin of [[graft.ops.Pq.pqFit]]/[[graft.ops.Pq.pqEncode]], reused
+    * by the raw-coordinate PQ oracles and the IVFADC residual oracle.
+    */
+  private def pqLloydCtes(kk: Int, nRounds: Int): String = {
+    val rounds = (1 to nRounds).map { r =>
       s"""d$r AS (SELECT x.id, x.sub, c.cid,
-         |    ${attoSq("x.xn", "c.cn")} AS dist
+         |    ${attoSqSql("x.xn", "c.cn")} AS dist
          |  FROM x JOIN c${r - 1} c ON c.sub = x.sub AND c.dim = x.dim
          |  GROUP BY 1, 2, 3),
          |a$r AS (SELECT id, sub,
@@ -590,38 +614,94 @@ object SimilarityQueries {
          |    ON f.sub = p.sub AND f.cid = p.cid AND f.dim = p.dim)"""
         .stripMargin
     }.mkString(",\n")
+    s"""sd AS (SELECT id,
+       |    row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1
+       |      AS cid
+       |  FROM (SELECT DISTINCT id FROM x)
+       |  QUALIFY row_number()
+       |    OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) <= $kk),
+       |c0 AS (SELECT x.sub, CAST(sd.cid AS BIGINT) AS cid, x.dim,
+       |    x.xn AS cn
+       |  FROM sd JOIN x USING (id)),
+       |$rounds,
+       |cF AS (SELECT * FROM c$nRounds),
+       |dE AS (SELECT x.id, x.sub, c.cid,
+       |    ${attoSqSql("x.xn", "c.cn")} AS dist
+       |  FROM x JOIN cF c ON c.sub = x.sub AND c.dim = x.dim
+       |  GROUP BY 1, 2, 3),
+       |aE AS (SELECT id, sub,
+       |    struct_extract(min(struct_pack(d := dist, c := cid)), 'c')
+       |      AS cid
+       |  FROM dE GROUP BY 1, 2)""".stripMargin
+  }
+
+  private lazy val pqCteSql: String = {
+    val subDim = Dim / PqM
     s"""x AS (
        |  SELECT vec_id AS id, CAST((i - 1) // $subDim AS BIGINT) AS sub,
        |    CAST((i - 1) % $subDim AS BIGINT) AS dim,
        |    CAST(CAST(round(embedding[i]::DOUBLE, 9) AS DECIMAL(12,9))
        |      * 1000000000 AS BIGINT) + 8000000000 AS xn
        |  FROM embeddings, UNNEST(generate_series(1, $Dim)) u(i)),
-       |sd AS (SELECT id,
-       |    row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1
-       |      AS cid
-       |  FROM (SELECT DISTINCT id FROM x)
-       |  QUALIFY row_number()
-       |    OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) <= $PqK),
-       |c0 AS (SELECT x.sub, CAST(sd.cid AS BIGINT) AS cid, x.dim,
-       |    x.xn AS cn
-       |  FROM sd JOIN x USING (id)),
-       |$rounds,
-       |dE AS (SELECT x.id, x.sub, c.cid,
-       |    ${attoSq("x.xn", "c.cn")} AS dist
-       |  FROM x JOIN c$PqRounds c ON c.sub = x.sub AND c.dim = x.dim
-       |  GROUP BY 1, 2, 3),
-       |aE AS (SELECT id, sub,
-       |    struct_extract(min(struct_pack(d := dist, c := cid)), 'c')
-       |      AS cid
-       |  FROM dE GROUP BY 1, 2),
+       |${pqLloydCtes(PqK, PqRounds)},
        |q AS (SELECT sub, dim, xn AS qn FROM x WHERE id = 0),
        |adt AS (SELECT c.sub, c.cid,
-       |    ${attoSq("q.qn", "c.cn")} AS d
-       |  FROM c$PqRounds c JOIN q ON q.sub = c.sub AND q.dim = c.dim
+       |    ${attoSqSql("q.qn", "c.cn")} AS d
+       |  FROM cF c JOIN q ON q.sub = c.sub AND q.dim = c.dim
        |  GROUP BY 1, 2),
        |s AS (SELECT a.id, sum(adt.d) AS adc
        |  FROM aE a JOIN adt ON adt.sub = a.sub AND adt.cid = a.cid
        |  GROUP BY 1)""".stripMargin
+  }
+
+  /** The IVFADC replay: fixed-anchor cells + residual long-form feeding
+    * the same Lloyd/encode CTEs, then a PER-PROBED-CELL query residual,
+    * ADC table and the cell-filtered fold.
+    */
+  private lazy val ivfPqCteSql: String = {
+    val subDim = Dim / PqM
+    val centVals = ivfAnchors.zipWithIndex.map { case (c, i) =>
+      val norm2 = c.map(x => x.toDouble * x).sum
+      s"($i, ${c.map(v => s"$v.0").mkString("[", ",", "]")}::DOUBLE[], $norm2)"
+    }.mkString(", ")
+    val dists = ivfAnchors.map { c =>
+      val arr = c.map(v => s"$v.0").mkString("[", ",", "]")
+      val norm2 = c.map(x => x.toDouble * x).sum
+      s"$norm2 - 2.0 * ${dotSql("embedding", arr)}"
+    }.mkString("[", ", ", "]")
+    s"""cent AS (SELECT * FROM (VALUES $centVals) c(ci, cvec, cn2)),
+       |corpus AS (SELECT vec_id, embedding,
+       |    list_indexof(dl, list_min(dl)) - 1 AS cell
+       |  FROM (SELECT vec_id, embedding, $dists AS dl FROM embeddings)),
+       |x AS (
+       |  SELECT co.vec_id AS id, CAST((i - 1) // $subDim AS BIGINT) AS sub,
+       |    CAST((i - 1) % $subDim AS BIGINT) AS dim,
+       |    CAST(CAST(round(co.embedding[i]::DOUBLE - ct.cvec[i], 9)
+       |        AS DECIMAL(19,9))
+       |      * 1000000000 AS BIGINT) + 8000000000 AS xn
+       |  FROM corpus co JOIN cent ct ON ct.ci = co.cell,
+       |    UNNEST(generate_series(1, $Dim)) u(i)),
+       |${pqLloydCtes(PqK, IvfPqRounds)},
+       |qrow AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |qd AS (SELECT ci AS cell, cvec, qv,
+       |    cn2 - 2.0 * list_dot_product(qv::DOUBLE[], cvec) AS d
+       |  FROM qrow, cent),
+       |pc AS (SELECT cell, cvec, qv FROM qd
+       |  QUALIFY row_number() OVER (ORDER BY d, cell) <= $IvfPqProbe),
+       |qx AS (SELECT pc.cell, CAST((i - 1) // $subDim AS BIGINT) AS sub,
+       |    CAST((i - 1) % $subDim AS BIGINT) AS dim,
+       |    CAST(CAST(round(qv[i]::DOUBLE - cvec[i], 9) AS DECIMAL(19,9))
+       |      * 1000000000 AS BIGINT) + 8000000000 AS qn
+       |  FROM pc, UNNEST(generate_series(1, $Dim)) u(i)),
+       |adt AS (SELECT qx.cell, c.sub, c.cid,
+       |    ${attoSqSql("qx.qn", "c.cn")} AS d
+       |  FROM cF c JOIN qx ON qx.sub = c.sub AND qx.dim = c.dim
+       |  GROUP BY 1, 2, 3),
+       |s AS (SELECT a.id, co.cell, sum(adt.d) AS adc
+       |  FROM aE a JOIN corpus co ON co.vec_id = a.id
+       |  JOIN adt ON adt.cell = co.cell AND adt.sub = a.sub
+       |    AND adt.cid = a.cid
+       |  GROUP BY 1, 2)""".stripMargin
   }
 
   // must mirror Similarity.bucketExpr over the given plane set
@@ -977,6 +1057,13 @@ object SimilarityQueries {
     "sim_pq_topk" ->
       s"""WITH $pqCteSql
          |SELECT id AS vec_id, CAST(adc AS DOUBLE) / 1e18 AS adc_dist
+         |FROM s ORDER BY adc_dist, id LIMIT $PqTopK""".stripMargin,
+    // fixed-anchor cells + residual Lloyd + per-probed-cell ADC — the
+    // full IVFADC funnel replays knot for knot
+    "sim_ivfpq_topk" ->
+      s"""WITH $ivfPqCteSql
+         |SELECT id AS vec_id, CAST(cell AS INTEGER) AS cell,
+         |  CAST(adc AS DOUBLE) / 1e18 AS adc_dist
          |FROM s ORDER BY adc_dist, id LIMIT $PqTopK""".stripMargin,
     // ADC top-10 and ADC-shortlist-50→exact-rerank top-10, each against
     // the exact L2 top-10 under the same 9-dp rounding

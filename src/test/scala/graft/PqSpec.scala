@@ -85,6 +85,50 @@ class PqSpec extends AnyFunSuite {
     assert(re == cb.as[(Long, Long, Long, Long)].collect().toSet)
   }
 
+  test("IVFADC: returned rows sit in the query's probed cells only, and " +
+      "each adc_dist is the exact summed per-cell ADC lookup of that " +
+      "row's codes") {
+    val emb = fixture
+    val anchors = Array(Array.fill(DimT)(0.5), Array.fill(DimT)(-0.5))
+    val nProbe = 1
+    val out = Pq.ivfAdcTopK(emb, "vec_id", "embedding", anchors, 7L,
+      DimT, MT, KT, rounds = 2, nProbe, topK = 10)
+      .as[(Long, Int, Double)].collect()
+    assert(out.nonEmpty && out.length <= 10)
+    // driver-side truth: cells, probed set, residual fit replay
+    val vecs = fixture.as[(Long, Array[Double])].collect().toMap
+    def cellOf(v: Array[Double]): Int =
+      anchors.indices.minBy { c =>
+        val a = anchors(c)
+        a.map(x => x * x).sum -
+          2.0 * v.zip(a).map { case (x, y) => x * y }.sum
+      }
+    val qCell = cellOf(vecs(7L))
+    assert(out.forall(_._2 == qCell), "rows outside the probed cell")
+    // residual relation replay through the library's own fit/encode
+    val residDf = fixture.as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val a = anchors(cellOf(v))
+        (id, v.zip(a).map { case (x, y) => x - y })
+      }.toDF("vec_id", "rvec")
+    val cb = Pq.pqFit(residDf, "vec_id", "rvec", DimT, MT, KT, 2)
+    val cents = cb.as[(Long, Long, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2)).view
+      .mapValues(_.sortBy(_._3).map(_._4)).toMap
+    val codes = Pq.pqEncode(residDf, "vec_id", "rvec", DimT, MT, cb)
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    val qResid = vecs(7L).zip(anchors(qCell)).map { case (x, y) => x - y }
+    val qSubs = (0 until MT).map(s =>
+      qResid.slice(s * (DimT / MT), (s + 1) * (DimT / MT)).map(quantize))
+    out.foreach { case (id, _, adcDist) =>
+      val attos = codes(id).map { case (_, sub, code) =>
+        qSubs(sub.toInt).zip(cents((sub, code))).map { case (a, b) =>
+          BigInt(a - b) * BigInt(a - b) }.sum
+      }.sum
+      assert(adcDist == attos.toDouble / 1e18, s"id=$id")
+    }
+  }
+
   test("rerank funnel: with candidates == corpus the funnel equals the " +
       "exact top-k; recall audit shape holds") {
     val emb = fixture
