@@ -596,6 +596,74 @@ object TextAnalysis {
         col("bits_per_token"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): score
+    * every document's bits-per-token under a PER-SLICE (per-language)
+    * interpolated Kneser–Ney bigram model — the [[knBigramBits]]
+    * arithmetic with `sliceCol` threaded through every model key, so one
+    * pass fits all languages' models at once instead of a per-language
+    * driver loop — then split each slice into head / middle / tail
+    * thirds by ascending bits (head = most fluent, the slice CCNet keeps
+    * for LM training; tail = the noisiest third). The tertile is
+    * `ntile(3)` per slice ordered by (bits_per_token, doc_id) — a
+    * deterministic, engine-agnostic cut.
+    *
+    * Shape at scale: the model relations are (slice-)vocab-bounded and
+    * partial-aggregable exactly as in [[knBigramBits]]; the only
+    * addition is the per-slice ntile window, which partitions by slice —
+    * a language is the natural unit CCNet shards by, and a skew-heavy
+    * slice devolves to the [[SaltedGrid]] two-phase ranking. Documents
+    * with fewer than two tokens have no bigrams and are unscored, as in
+    * the paper's pipeline (they fail length filters long before the LM).
+    * Returns (idCol, slice, n_bigrams, bits_per_token, bucket).
+    */
+  def ccnetBuckets(df: DataFrame, idCol: String, textCol: String,
+      sliceCol: String): DataFrame = {
+    val t = col("__t")
+    val withToks = df.select(col(idCol).as("doc_id"),
+      col(sliceCol).cast("string").as("slice"), toks(col(textCol)).as("__t"))
+    val starts = when(size(t) >= 2, sequence(lit(0), size(t) - 2))
+      .otherwise(array().cast("array<int>"))
+    val bigrams = transform(starts,
+      i => struct(element_at(t, i + 1).as("w1"), element_at(t, i + 2).as("w2")))
+    val occ = withToks
+      .select(col("doc_id"), col("slice"), explode(bigrams).as("bg"))
+      .select(col("doc_id"), col("slice"), col("bg.w1").as("w1"),
+        col("bg.w2").as("w2"))
+      .groupBy("doc_id", "slice", "w1", "w2")
+      .agg(count(lit(1)).as("c"))
+    val bigramCnt = occ.groupBy("slice", "w1", "w2")
+      .agg(sum(col("c")).as("bc")).localCheckpoint()
+    val w1Stats = bigramCnt.groupBy("slice", "w1")
+      .agg(sum(col("bc")).as("uc"), count(lit(1)).as("n1p"))
+    val w2Fan = bigramCnt.groupBy("slice", "w2").agg(count(lit(1)).as("nc"))
+    val types = bigramCnt.groupBy("slice").agg(count(lit(1)).as("nbt"))
+    val big = DecimalType(38, 0)
+    val num = ((col("bc") * 4 - 3).cast(big) * col("nbt") +
+      (col("n1p") * 3).cast(big) * col("nc"))
+    val den = (col("uc") * 4).cast(big) * col("nbt")
+    val bits = occ.join(bigramCnt, Seq("slice", "w1", "w2"))
+      .join(w1Stats, Seq("slice", "w1"))
+      .join(w2Fan, Seq("slice", "w2"))
+      .join(broadcast(types), Seq("slice"))
+      .withColumn("__bits",
+        round(-log(num.cast("double") / den.cast("double")) /
+          lit(math.log(2.0)), 9).cast(DecimalType(18, 9)))
+      .groupBy("doc_id", "slice")
+      .agg(sum(col("c")).as("n_bigrams"),
+        round(sum(col("__bits") * col("c").cast(DecimalType(10, 0)))
+          .cast("double") / sum(col("c")), 6).as("bits_per_token"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("slice"))
+      .orderBy(col("bits_per_token"), col("doc_id"))
+    bits
+      .withColumn("__tertile", ntile(3).over(w))
+      .select(col("doc_id").as(idCol), col("slice"), col("n_bigrams"),
+        col("bits_per_token"),
+        when(col("__tertile") === 1, "head")
+          .when(col("__tertile") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Gopher-style rule-based quality FILTER (Rae et al. 2021 §A1.1; the
     * C4 heuristics of Raffel et al. 2020 are the same shape): per-document
     * boolean rules plus a keep decision and a drop-reason bitmask — unlike

@@ -164,6 +164,16 @@ object TextQueries {
     TextAnalysis.knBigramBits(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** CCNet head/middle/tail perplexity tertiles per language
+    * ([[graft.ops.TextAnalysis.ccnetBuckets]]): per-language KN bigram
+    * models fitted in ONE slice-keyed pass, documents cut into thirds by
+    * ascending bits-per-token within their language.
+    */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ccnetBuckets(Tables.documents(spark, dir), "doc_id",
+        "text", "lang")
+      .orderBy("slice", "bits_per_token", "doc_id")
+
   private val GenSeeds = 3
   private val GenLength = 6
 
@@ -375,6 +385,7 @@ object TextQueries {
     "text_dup_ngram_coverage" -> dupCoverage,
     "text_bigram_lm" -> bigramLm,
     "text_kn_bigram" -> knBigram,
+    "text_ccnet_buckets" -> ccnetBuckets,
     "text_js_divergence" -> jsDivergence,
     "text_subword_buckets" -> subwordBuckets,
     "text_lang_mixing" -> langMixing,
@@ -831,6 +842,46 @@ object TextQueries {
     // KN probability as ONE exact integer rational (d = 3/4):
     // p = ((4c12−3)B + 3·n1p·nc) / (4·c1·B); only the final ln is IEEE,
     // ln2 inlined as the same Scala double literal as the plan's
+    // the kn replay with lang threaded through every model key, then the
+    // per-language ntile(3) cut — fit, score and bucket all replay
+    "text_ccnet_buckets" ->
+      s"""WITH $toksCte,
+         |g AS (SELECT doc_id, lang,
+         |  CASE WHEN len(toks) >= 2
+         |    THEN list_transform(generate_series(1, len(toks) - 1),
+         |           i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))
+         |    ELSE [] END AS bgs
+         |  FROM d),
+         |occ0 AS (SELECT doc_id, lang, unnest(bgs) AS bg FROM g),
+         |occ AS (SELECT doc_id, lang, bg.w1 AS w1, bg.w2 AS w2,
+         |         count(*) AS c
+         |        FROM occ0 GROUP BY 1, 2, 3, 4),
+         |bc AS (SELECT lang, w1, w2, CAST(sum(c) AS BIGINT) AS bc
+         |       FROM occ GROUP BY 1, 2, 3),
+         |w1s AS (SELECT lang, w1, CAST(sum(bc) AS BIGINT) AS uc,
+         |          count(*) AS n1p
+         |        FROM bc GROUP BY 1, 2),
+         |w2f AS (SELECT lang, w2, count(*) AS nc FROM bc GROUP BY 1, 2),
+         |ty AS (SELECT lang, count(*) AS nbt FROM bc GROUP BY 1),
+         |ct AS (SELECT occ.doc_id, occ.lang, occ.c,
+         |        CAST(round(-ln(
+         |          CAST((bc.bc * 4 - 3)::HUGEINT * ty.nbt
+         |               + (w1s.n1p * 3)::HUGEINT * w2f.nc AS DOUBLE)
+         |          / CAST((w1s.uc * 4)::HUGEINT * ty.nbt AS DOUBLE))
+         |          / ${math.log(2.0)}, 9) AS DECIMAL(18,9)) AS bits
+         |      FROM occ JOIN bc USING (lang, w1, w2)
+         |        JOIN w1s USING (lang, w1)
+         |        JOIN w2f USING (lang, w2) JOIN ty USING (lang)),
+         |bt AS (SELECT doc_id, lang, sum(c)::BIGINT AS n_bigrams,
+         |  round(CAST(sum(bits * c) AS DOUBLE) / sum(c), 6)
+         |    AS bits_per_token
+         |  FROM ct GROUP BY 1, 2)
+         |SELECT doc_id, lang AS slice, n_bigrams, bits_per_token,
+         |  CASE ntile(3) OVER (PARTITION BY lang
+         |      ORDER BY bits_per_token, doc_id)
+         |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         |    AS bucket
+         |FROM bt ORDER BY slice, bits_per_token, doc_id""".stripMargin,
     "text_kn_bigram" ->
       s"""WITH $toksCte,
          |g AS (SELECT doc_id,

@@ -265,6 +265,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     // the discount really reserves mass for unseen continuations
   }
 
+  test("ccnetBuckets: per-slice models are independent (slice A's bits " +
+      "match the single-model run), tertiles cut by ascending bits") {
+    val spark2 = spark
+    import spark2.implicits._
+    // slice A = the knBigramBits fixture (its bits must be unchanged by
+    // slice B's presence — the model keys really are per-slice); B has
+    // 3 scoreable docs whose repetitiveness orders their perplexity
+    val df = Seq(
+      (1L, "a b a b c", "A"),
+      (10L, "x x x x x x", "B"),
+      (11L, "x y x y z q", "B"),
+      (12L, "z q y x q z", "B")).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.ccnetBuckets(df, "doc_id", "text", "lang")
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[String]("slice"), x.getAs[Double]("bits_per_token"),
+          x.getAs[String]("bucket"))).toMap
+    assert(r(1L)._1 == "A" && r(1L)._2 == 0.915037) // == single-model run
+    assert(r(1L)._3 == "head") // a 1-doc slice is all head
+    val bBits = Seq(10L, 11L, 12L).map(id => r(id)._2)
+    // one doc per tertile in slice B, labels follow ascending bits
+    val sorted = Seq(10L, 11L, 12L).sortBy(id => (r(id)._2, id))
+    assert(sorted.map(id => r(id)._3) == Seq("head", "middle", "tail"))
+    // the metronome doc is the most predictable text in its slice
+    assert(r(10L)._2 == bBits.min)
+  }
+
   test("langMixing: a half-en half-de document flags as mixed with a " +
       "50/50 split; monolingual docs do not") {
     val spark2 = spark
