@@ -48,6 +48,7 @@ final class FeatureStore(
 
   private val featuresPath = s"$basePath/features"
   private val metadataPath = s"$basePath/metadata"
+  private val sketchesPath = s"$basePath/sketches"
 
   /** Register a feature relation: quality scan → content fingerprint →
     * stamped append (partitioned by version) → metadata upsert → monitor +
@@ -186,6 +187,77 @@ final class FeatureStore(
 
   def monitoringDashboard: Map[String, Any] =
     monitor.dashboard ++ Map("cache_hits" -> cache.hits, "cache_misses" -> cache.misses)
+
+  /** Persist per-ingest-batch quantile-knot sketches
+    * ([[graft.ops.Sketches.quantileSketchBuild]]) for the given numeric
+    * columns beside the feature data — the persist-per-batch shape of the
+    * whole sketch suite made part of the store lifecycle: each
+    * registration scans its OWN rows once and writes ≤ knots rows per
+    * column under `basePath/sketches/feature_version=<v>/`; every later
+    * quantile consumer ([[sketchQuantiles]], and through it PSI decile
+    * edges, bucket bins, winsor fences) answers from the merged knot
+    * relation without ever rescanning feature history. Re-registering a
+    * version overwrites only its own sketch partition (same dynamic-
+    * overwrite discipline as the feature write). Batch ids are assigned
+    * once per version and reused on rewrite, so the knot relation stays
+    * a valid multi-batch sketch.
+    */
+  def writeBatchSketches(df: DataFrame, version: String,
+      valueCols: Seq[String], knots: Int = 64): Unit = {
+    require(valueCols.nonEmpty, "writeBatchSketches needs >= 1 value column")
+    val existing = readSketchBatchIds()
+    val batchId = existing.getOrElse(version,
+      if (existing.isEmpty) 0L else existing.values.max + 1L)
+    valueCols.map { c =>
+        graft.ops.Sketches
+          .quantileSketchBuild(df, col(c), lit(batchId), knots)
+          .withColumn("column", lit(c))
+      }
+      .reduce(_ unionByName _)
+      .withColumn("feature_version", lit(version))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("feature_version")
+      .parquet(sketchesPath)
+  }
+
+  /** Quantile answers for every sketched column from the MERGED persisted
+    * knot relation ([[graft.ops.Sketches.quantileSketchQuantiles]] —
+    * merge IS relation union, so this reads only the sketch files:
+    * batches × columns × knots rows, never the feature data). Returns
+    * (column, q, n_total, target_rank, est_value); each value carries the
+    * sketch's ε = 1/knots rank guarantee over the full registered
+    * history.
+    */
+  def sketchQuantiles(percents: Seq[Int], columns: Seq[String] = Nil)
+      : DataFrame = {
+    val fs = new Path(basePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(sketchesPath)),
+      s"no persisted sketches under $sketchesPath — writeBatchSketches first")
+    val sk = spark.read.parquet(sketchesPath)
+    val cols =
+      if (columns.nonEmpty) columns
+      else sk.select("column").distinct().collect()
+        .map(_.getString(0)).sorted.toSeq
+    cols.map { c =>
+        graft.ops.Sketches.quantileSketchQuantiles(
+            sk.filter(col("column") === c).select("batch", "v", "cum"),
+            percents)
+          .withColumn("column", lit(c))
+      }
+      .reduce(_ unionByName _)
+      .select("column", "q", "n_total", "target_rank", "est_value")
+  }
+
+  private def readSketchBatchIds(): Map[String, Long] = {
+    val fs = new Path(basePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(sketchesPath))) Map.empty
+    else spark.read.parquet(sketchesPath)
+      .select("feature_version", "batch").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
 
   // ---- internals -----------------------------------------------------------
 

@@ -163,4 +163,46 @@ class StoreSpec extends AnyFunSuite {
       .select("user_id", "total_amount").collect()(0)
     assert(asOf.getAs[Double]("total_amount") == 10.0)
   }
+
+  test("per-batch sketch persistence: merged knots answer the same " +
+      "quantiles as a direct multi-batch build; rewrite is idempotent") {
+    import graft.ops.Sketches
+    import org.apache.spark.sql.functions.{col, lit}
+    val store = freshStore()
+    val b1 = feats((1L to 40L).map(i => i -> i.toDouble): _*)
+    val b2 = feats((1L to 40L).map(i => i -> (i + 100).toDouble): _*)
+    val v1 = store.registerFeatures(b1, meta)
+    store.writeBatchSketches(b1, v1, Seq("total_amount"), knots = 8)
+    val v2 = store.registerFeatures(b2, meta)
+    store.writeBatchSketches(b2, v2, Seq("total_amount"), knots = 8)
+    val pcts = Seq(25, 50, 75, 90)
+    val fromStore = store.sketchQuantiles(pcts)
+      .orderBy("column", "q").collect()
+      .map(r => (r.getAs[String]("column"), r.getAs[Long]("q"),
+        r.getAs[Long]("n_total"), r.getAs[java.math.BigDecimal]("est_value")))
+    // direct build over the concatenation with the SAME batch keys —
+    // merge really is relation union
+    val all = b1.withColumn("__b", lit(0L))
+      .unionByName(b2.withColumn("__b", lit(1L)))
+    val direct = Sketches.quantileSketchQuantiles(
+        Sketches.quantileSketchBuild(all, col("total_amount"), col("__b"), 8),
+        pcts)
+      .orderBy("q").collect()
+      .map(r => ("total_amount", r.getAs[Long]("q"),
+        r.getAs[Long]("n_total"), r.getAs[java.math.BigDecimal]("est_value")))
+    assert(fromStore.toSeq == direct.toSeq)
+    assert(fromStore.forall(_._3 == 80L))
+    // rewriting one version's sketch only touches its partition and
+    // reuses its batch id — the merged answers are unchanged
+    store.writeBatchSketches(b2, v2, Seq("total_amount"), knots = 8)
+    val again = store.sketchQuantiles(pcts)
+      .orderBy("column", "q").collect()
+      .map(r => (r.getAs[String]("column"), r.getAs[Long]("q"),
+        r.getAs[Long]("n_total"), r.getAs[java.math.BigDecimal]("est_value")))
+    assert(again.toSeq == fromStore.toSeq)
+    // unsketched store fails loudly, not silently empty
+    intercept[IllegalArgumentException] {
+      freshStore().sketchQuantiles(Seq(50))
+    }
+  }
 }

@@ -310,4 +310,49 @@ class StreamingSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(est("x") >= 35 && est("y") >= 5 && est("z") >= 40)
   }
+
+  test("streaming quantile sketch: per-micro-batch knots union into the " +
+      "stream-lifetime sketch == one keyed build over everything") {
+    import graft.ops.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val b1 = (1 to 50).map(_.toDouble)
+    val b2 = (1 to 50).map(i => (i + 200).toDouble)
+    val mem = MemoryStream[Double]
+    val sdf = mem.toDF().toDF("v")
+    // quantile knots are the mergeable form whose merge IS relation
+    // union, so streaming maintenance is just appending each batch's
+    // ≤ knots rows — no cell-sum, no rescans, no state beyond the knots
+    var sketch: Option[org.apache.spark.sql.DataFrame] = None
+    var nextBatch = 0L
+    val q = sdf.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val part = Sketches.quantileSketchBuild(b, col("v"),
+            lit(nextBatch), knots = 8)
+          nextBatch += 1
+          sketch = Some(sketch.map(_.unionByName(part))
+            .getOrElse(part).localCheckpoint(true))
+        }
+      }.start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val pcts = Seq(10, 50, 90)
+    val streamed = Sketches.quantileSketchQuantiles(sketch.get, pcts)
+      .orderBy("q").collect()
+      .map(r => (r.getAs[Long]("q"), r.getAs[Long]("n_total"),
+        r.getAs[java.math.BigDecimal]("est_value"))).toSeq
+    val whole = Sketches.quantileSketchQuantiles(
+        Sketches.quantileSketchBuild(
+          b1.map(v => (v, 0L)).++(b2.map(v => (v, 1L))).toDF("v", "__b"),
+          col("v"), col("__b"), knots = 8),
+        pcts)
+      .orderBy("q").collect()
+      .map(r => (r.getAs[Long]("q"), r.getAs[Long]("n_total"),
+        r.getAs[java.math.BigDecimal]("est_value"))).toSeq
+    assert(streamed == whole)
+    assert(streamed.forall(_._2 == 100L))
+  }
 }
