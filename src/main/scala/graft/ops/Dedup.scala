@@ -390,6 +390,56 @@ object Dedup {
       .groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** LSH (bands, rows) parameter planner — the `optimal_param` step every
+    * MinHash deployment runs before [[lshBands]] (Leskovec, Rajaraman &
+    * Ullman, MMDS §3.4.3; the datasketch library ships the same search):
+    * for each factorization b·r = `numHashes`, the S-curve
+    * P(candidate | sim = s) = 1 − (1 − sʳ)ᵇ is integrated on a fixed
+    * `gridN`-point midpoint grid to get the false-positive mass below
+    * `threshold` and the false-negative mass above it; the chosen row
+    * minimizes (fp + fn, bands). Engine-replayable by the standard
+    * discipline: each grid term rounds to a 9-dp DECIMAL contribution and
+    * the sums are exact (the pageRank/KN rule — a raw double Σ over the
+    * grid would be addition-order-dependent); the division by `gridN` and
+    * the final display cast are the only IEEE steps. Everything is
+    * (divisors × gridN)-sized — a planner, not a data pass. Returns
+    * (bands, rows_per_band, fp_mass, fn_mass, total_error, chosen)
+    * ordered by bands.
+    */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession, numHashes: Int,
+      threshold: Double, gridN: Int = 1000): DataFrame = {
+    require(numHashes >= 1, s"numHashes must be >= 1: $numHashes")
+    require(threshold > 0 && threshold < 1, s"bad threshold: $threshold")
+    require(gridN >= 10, s"gridN too small for the integral: $gridN")
+    import spark.implicits._
+    val pairs = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b)).toDF("bands", "rows_per_band")
+    val s = (col("id").cast("double") - 0.5) / gridN
+    val p = lit(1.0) -
+      pow(lit(1.0) - pow(s, col("rows_per_band").cast("double")),
+        col("bands").cast("double"))
+    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    val sums = broadcast(pairs).crossJoin(spark.range(1, gridN + 1L))
+      .select(col("bands"), col("rows_per_band"),
+        round(when(s < threshold, p).otherwise(lit(0.0)), 9).cast(dec)
+          .as("__fp"),
+        round(when(s >= threshold, lit(1.0) - p).otherwise(lit(0.0)), 9)
+          .cast(dec).as("__fn"))
+      .groupBy("bands", "rows_per_band")
+      .agg(sum(col("__fp")).as("__fps"), sum(col("__fn")).as("__fns"))
+    val best = sums.agg(
+      min(struct((col("__fps") + col("__fns")).as("e"),
+        col("bands").as("b"))).as("__best"))
+    sums.crossJoin(broadcast(best))
+      .select(col("bands"), col("rows_per_band"),
+        round(col("__fps").cast("double") / gridN, 9).as("fp_mass"),
+        round(col("__fns").cast("double") / gridN, 9).as("fn_mass"),
+        round((col("__fps") + col("__fns")).cast("double") / gridN, 9)
+          .as("total_error"),
+        (col("__fps") + col("__fns") === col("__best.e") &&
+          col("bands") === col("__best.b")).as("chosen"))
+  }
+
   /** LSH banding over MinHash signatures: (id, band, band_hash), one row
     * per band. Docs equal on any full band become candidate pairs. The
     * band hash is `xxhash64` straight over the band's Long signature slice

@@ -242,7 +242,22 @@ object DedupQueries {
         minTokens = SpanTokens)
       .orderBy("doc_id")
 
+  private val PlanGridN = 1000
+  private val PlanThreshold = 0.8
+  private val PlanPerms = 128
+
+  /** LSH parameter planner ([[graft.ops.Dedup.lshPlan]]): every
+    * factorization of a 128-permutation budget scored by S-curve
+    * fp/fn mass at threshold 0.8 on the fixed 1000-point grid, winner
+    * flagged. A planner relation — (divisors × grid)-sized, no data
+    * pass.
+    */
+  def lshPlanQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.lshPlan(spark, PlanPerms, PlanThreshold, PlanGridN)
+      .orderBy("bands")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_lsh_plan" -> lshPlanQ,
     "dedup_span_removal" -> spanLevel,
     "dedup_chunks" -> chunkLevel,
     "dedup_containment" -> containment3gram,
@@ -373,6 +388,34 @@ object DedupQueries {
     .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    // the S-curve integral on the same midpoint grid: 9-dp DECIMAL
+    // contributions, exact sums, min-struct winner — the planner replays
+    "dedup_lsh_plan" ->
+      s"""WITH bp AS (SELECT b AS bands, $PlanPerms // b AS rows_per_band
+         |  FROM (SELECT unnest(generate_series(1, $PlanPerms)) AS b)
+         |  WHERE $PlanPerms % b = 0),
+         |g AS (SELECT (i - 0.5) / $PlanGridN AS s
+         |  FROM (SELECT unnest(generate_series(1, $PlanGridN)) AS i)),
+         |t AS (SELECT bands, rows_per_band,
+         |    1.0 - power(1.0 - power(s, rows_per_band::DOUBLE),
+         |      bands::DOUBLE) AS p, s
+         |  FROM bp, g),
+         |sums AS (SELECT bands, rows_per_band,
+         |    sum(CAST(round(CASE WHEN s < $PlanThreshold THEN p
+         |      ELSE 0.0 END, 9) AS DECIMAL(18,9))) AS fps,
+         |    sum(CAST(round(CASE WHEN s >= $PlanThreshold THEN 1.0 - p
+         |      ELSE 0.0 END, 9) AS DECIMAL(18,9))) AS fns
+         |  FROM t GROUP BY 1, 2),
+         |best AS (SELECT min(struct_pack(e := fps + fns, b := bands))
+         |    AS m FROM sums)
+         |SELECT CAST(bands AS INTEGER) AS bands,
+         |  CAST(rows_per_band AS INTEGER) AS rows_per_band,
+         |  round(CAST(fps AS DOUBLE) / $PlanGridN, 9) AS fp_mass,
+         |  round(CAST(fns AS DOUBLE) / $PlanGridN, 9) AS fn_mass,
+         |  round(CAST(fps + fns AS DOUBLE) / $PlanGridN, 9) AS total_error,
+         |  (fps + fns = struct_extract(m, 'e')
+         |    AND bands = struct_extract(m, 'b')) AS chosen
+         |FROM sums, best ORDER BY bands""".stripMargin,
     // gram identity by STRING (equality classes identical to the plan's
     // xxhash64 barring collisions); duplicated grams union their covers
     // via a correlated generate_series, survivors anti-join and

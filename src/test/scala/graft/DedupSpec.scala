@@ -345,4 +345,25 @@ class DedupSpec extends AnyFunSuite {
         r.getAs[Long]("group_size"))).toSeq.sorted
     assert(out == Seq((2L, 3L), (4L, 1L)))
   }
+
+  test("lshPlan: S-curve error masses behave (r=1 all-fp, b=1 all-fn), " +
+      "exactly one winner, winner beats both extremes") {
+    val rows = Dedup.lshPlan(spark, numHashes = 128, threshold = 0.8)
+      .collect().map(r => (r.getAs[Int]("bands"),
+        r.getAs[Double]("fp_mass"), r.getAs[Double]("fn_mass"),
+        r.getAs[Double]("total_error"), r.getAs[Boolean]("chosen")))
+      .sortBy(_._1)
+    assert(rows.length == 8) // divisors of 128
+    val byBands = rows.map(r => r._1 -> r).toMap
+    // b=128, r=1: P = 1-(1-s)^128 ≈ 1 everywhere → huge fp, zero fn
+    assert(byBands(128)._2 > 0.5 && byBands(128)._3 == 0.0)
+    // b=1, r=128: P = s^128 ≈ 0 below 1 → zero fp, large fn
+    assert(byBands(1)._2 == 0.0 && byBands(1)._3 > 0.1)
+    val winners = rows.filter(_._5)
+    assert(winners.length == 1)
+    assert(winners.head._4 < byBands(1)._4 &&
+      winners.head._4 < byBands(128)._4)
+    // the textbook answer for t=0.8 at 128 perms
+    assert(winners.head._1 == 8)
+  }
 }
