@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins the pure-SQL surface: a user who only speaks `spark.sql` over
   * registered temp views — no Scala DataFrame API — gets the same library:
-  * the seven injected Catalyst functions resolve by name, and SQL text
+  * the injected Catalyst functions resolve by name, and SQL text
   * reproduces the Column-API operators bit-for-bit.
   */
 class SqlSurfaceSpec extends AnyFunSuite {
@@ -68,6 +68,30 @@ class SqlSurfaceSpec extends AnyFunSuite {
       Seq(("a", "b"), ("b", "a")))
     assert(pairsAndApply.getAs[scala.collection.Seq[String]]("m").toSeq ==
       Seq("aa", "a"))
+
+    // graft_unigram_segment: 'ab' (1.0 bits) beats 'a'+'b' (1+1.5 bits)
+    val seg = spark.sql(
+      """SELECT graft_unigram_segment('abb',
+        |  concat('a', char(1), '1000000000', char(2),
+        |         'b', char(1), '1500000000', char(2),
+        |         'ab', char(1), '1000000000'),
+        |  2) AS s""".stripMargin)
+      .collect()(0).getAs[scala.collection.Seq[String]]("s")
+    assert(seg.toSeq == Seq("ab", "b"))
+
+    // graft_pq_assign: 2 subspaces × 2 centroids over 4 dims; vector
+    // halves sit exactly on centroid 1 of sub 0 and centroid 0 of sub 1
+    // (codebook layout [sub][cid][dim] in shifted nano units, 0.0 ↦
+    // 8e9, 1.0 ↦ 9e9)
+    val e9 = 8000000000L
+    val n1 = 9000000000L
+    val cbLit = Seq(e9, e9, n1, n1, e9, n1, n1, e9)
+      .mkString("'", ",", "'")
+    val codes = spark.sql(
+      s"""SELECT graft_pq_assign(CAST(array(1.0D, 1.0D, 0.0D, 1.0D)
+         |  AS ARRAY<DOUBLE>), $cbLit, 2, 2) AS c""".stripMargin)
+      .collect()(0).getAs[scala.collection.Seq[Int]]("c")
+    assert(codes.toSeq == Seq(1, 0))
   }
 
   test("a full operator expressed as SQL over views matches the API version") {
