@@ -276,32 +276,59 @@ object Pq {
     * as `norm² − 2·dot` first-min in any engine. Returns (idCol, cell,
     * adc_dist) — the query's own row included, like [[pqAdcTopK]].
     */
-  def ivfAdcTopK(emb: DataFrame, idCol: String, vecCol: String,
-      anchors: Array[Array[Double]], queryId: Long, dims: Int, m: Int,
-      k: Int, rounds: Int, nProbe: Int, topK: Int): DataFrame = {
-    require(nProbe >= 1 && nProbe <= anchors.length,
-      s"nProbe=$nProbe out of range for ${anchors.length} anchors")
+  /** A fitted IVFADC index: the per-id cell + residual relation, the
+    * residual codebook and the corpus codes (all checkpointed) — fit
+    * ONCE, serve many ([[ivfPqScores]]); the recall audit reuses one
+    * build across its nProbe sweep.
+    */
+  final case class IvfPqModel(resid: DataFrame, codebook: DataFrame,
+      codes: DataFrame)
+
+  private def ivfAnchorDf(emb: DataFrame, anchors: Array[Array[Double]])
+      : DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val anchorDf = broadcast(anchors.zipWithIndex
+    broadcast(anchors.zipWithIndex
       .map { case (a, i) => (i, a.toSeq, a.map(x => x * x).sum) }.toSeq
       .toDF("cell", "__avec", "__an2"))
+  }
+
+  /** Fit the IVFADC index: fixed-anchor cells, residuals, ONE residual
+    * codebook (kernel Lloyd), corpus codes. See [[ivfAdcTopK]].
+    */
+  def ivfPqFit(emb: DataFrame, idCol: String, vecCol: String,
+      anchors: Array[Array[Double]], dims: Int, m: Int, k: Int,
+      rounds: Int): IvfPqModel = {
     val v = col(vecCol).cast("array<double>")
     val resid = emb
       .select(col(idCol).cast("long").as("id"), v.as("__v"),
         Ivf.nearestCellExpr(v, anchors).as("cell"))
-      .join(anchorDf, Seq("cell"))
+      .join(ivfAnchorDf(emb, anchors), Seq("cell"))
       .select(col("id"), col("cell"),
         zip_with(col("__v"), col("__avec"), (x, a) => x - a).as("__r"))
       .localCheckpoint()
     val codebook = pqFit(resid, "id", "__r", dims, m, k, rounds)
       .localCheckpoint()
     val codes = pqEncode(resid, "id", "__r", dims, m, codebook)
-    // query cell ranking over the |anchors|-row table, then one residual
-    // + ADC table per probed cell (nProbe·m·k rows, broadcast)
+      .localCheckpoint()
+    IvfPqModel(resid, codebook, codes)
+  }
+
+  /** Serve one query against a fitted [[IvfPqModel]]: rank cells over
+    * the |anchors|-row table, build the PER-PROBED-CELL ADC tables
+    * (nProbe·m·k rows, broadcast), filter codes to probed cells FIRST
+    * (partition pruning in the [[Ivf]] disk layout) and fold. Returns
+    * (idCol, cell, adc_dist) for every vector in a probed cell.
+    */
+  def ivfPqScores(model: IvfPqModel, emb: DataFrame, idCol: String,
+      vecCol: String, anchors: Array[Array[Double]], queryId: Long,
+      dims: Int, m: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= anchors.length,
+      s"nProbe=$nProbe out of range for ${anchors.length} anchors")
+    val v = col(vecCol).cast("array<double>")
     val qv = emb.filter(col(idCol) === queryId)
       .select(v.as("__qv")).limit(1)
-    val probed = anchorDf.crossJoin(broadcast(qv))
+    val probed = ivfAnchorDf(emb, anchors).crossJoin(broadcast(qv))
       .select(col("cell"), col("__avec"), col("__qv"),
         (col("__an2") -
           lit(2.0) * call_function("graft_dot", col("__qv"), col("__avec")))
@@ -319,11 +346,11 @@ object Pq {
         (col("__i") % (dims / m)).cast("long").as("dim"),
         ((round(col("__xd"), 9).cast(DecimalType(12, 9)) *
           lit(1000000000L)).cast("long") + Shift).as("qn"))
-    val adt = qLong.join(codebook, Seq("sub", "dim"))
+    val adt = qLong.join(model.codebook, Seq("sub", "dim"))
       .groupBy("cell", "sub", "cid")
       .agg(sum(attoSq(col("qn"), col("cn"))).as("d"))
-    val cellOf = resid.select(col("id"), col("cell"))
-    val withCell = codes.join(cellOf, Seq("id"))
+    val cellOf = model.resid.select(col("id"), col("cell"))
+    val withCell = model.codes.join(cellOf, Seq("id"))
     withCell.join(broadcast(adt),
         withCell("cell") === adt("cell") && withCell("sub") === adt("sub") &&
           withCell("code") === adt("cid"))
@@ -332,6 +359,14 @@ object Pq {
       .agg(sum(col("d")).as("__adc"))
       .select(col("id").as(idCol), col("cell"),
         attoToDouble(col("__adc")).as("adc_dist"))
+  }
+
+  def ivfAdcTopK(emb: DataFrame, idCol: String, vecCol: String,
+      anchors: Array[Array[Double]], queryId: Long, dims: Int, m: Int,
+      k: Int, rounds: Int, nProbe: Int, topK: Int): DataFrame = {
+    val model = ivfPqFit(emb, idCol, vecCol, anchors, dims, m, k, rounds)
+    ivfPqScores(model, emb, idCol, vecCol, anchors, queryId, dims, m,
+        nProbe)
       .orderBy(col("adc_dist"), col(idCol))
       .limit(topK)
   }

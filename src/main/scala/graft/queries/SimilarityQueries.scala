@@ -439,6 +439,44 @@ object SimilarityQueries {
       "embedding", ivfAnchors.map(_.map(_.toDouble)), queryId = 0L, Dim,
       PqM, PqK, IvfPqRounds, IvfPqProbe, PqTopK)
 
+  /** IVFADC recall@[[PqTopK]] at nProbe ∈ {1, [[IvfPqProbe]], all} vs
+    * the exact raw-coordinate L2 truth — ONE fit
+    * ([[graft.ops.Pq.ivfPqFit]]), three serves. The all-cells row
+    * isolates pure PQ-residual quantization error (cells contribute no
+    * misses there) — the `sim_ivf_recall` / `sim_pq_recall`
+    * measured-not-asserted discipline for the composed funnel.
+    *
+    * Unlike exact-scored IVF (nested candidate sets ⇒ recall monotone in
+    * nProbe, a theorem `sim_ivf_recall` relies on), ADC-RANKED recall is
+    * NOT monotone: widening the probe admits quantization-noisy
+    * candidates that can out-rank true neighbors (measured at sf0.1:
+    * 0.3 → 0.2 → 0.1 across 1/3/8 cells on these unstructured random
+    * embeddings — near-worst-case for PQ, where residual noise rivals
+    * true-neighbor margins). This is precisely why production serving
+    * ends with the exact-rerank stage ([[graft.ops.Pq.pqRerankTopK]],
+    * measured in `sim_pq_recall`), which restores the funnel's recall
+    * from its shortlist.
+    */
+  def ivfPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val anchors = ivfAnchors.map(_.map(_.toDouble))
+    val model = graft.ops.Pq.ivfPqFit(emb, "vec_id", "embedding", anchors,
+      Dim, PqM, PqK, IvfPqRounds)
+    val truth = graft.ops.Pq.exactL2TopK(emb, "vec_id", "embedding", 0L,
+      Dim, PqTopK).select("vec_id").localCheckpoint()
+    Seq(1, IvfPqProbe, anchors.length).map { np =>
+      val ret = graft.ops.Pq.ivfPqScores(model, emb, "vec_id",
+          "embedding", anchors, 0L, Dim, PqM, np)
+        .orderBy(col("adc_dist"), col("vec_id")).limit(PqTopK)
+        .select("vec_id").localCheckpoint()
+      ret.agg(count(lit(1)).as("n_retrieved"))
+        .crossJoin(broadcast(ret.join(truth, Seq("vec_id"))
+          .agg(count(lit(1)).as("n_hits"))))
+        .select(lit(np).as("n_probe"), col("n_retrieved"), col("n_hits"),
+          round(col("n_hits").cast("double") / PqTopK, 9).as("recall"))
+    }.reduce(_ unionByName _).orderBy("n_probe")
+  }
+
   /** PQ recall audit against the exact squared-L2 top-10 under the same
     * 9-dp coordinate rounding — recall@K is measured, not asserted (the
     * `sim_ann_recall`/`sim_ivf_recall` discipline extended to the PQ
@@ -500,6 +538,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_pq_topk" -> pqTopK,
     "sim_ivfpq_topk" -> ivfPqTopK,
+    "sim_ivfpq_recall" -> ivfPqRecall,
     "sim_pq_recall" -> pqRecall,
     "sim_rbo_rankings" -> rboRankings,
     "sim_kmeans" -> kmeans,
@@ -654,11 +693,11 @@ object SimilarityQueries {
        |  GROUP BY 1)""".stripMargin
   }
 
-  /** The IVFADC replay: fixed-anchor cells + residual long-form feeding
-    * the same Lloyd/encode CTEs, then a PER-PROBED-CELL query residual,
-    * ADC table and the cell-filtered fold.
+  /** The IVFADC replay, fit half: fixed-anchor cells + residual
+    * long-form feeding the shared Lloyd/encode CTEs (ends at `aE`); the
+    * topk and recall oracles append their serve tails.
     */
-  private lazy val ivfPqCteSql: String = {
+  private lazy val ivfPqBaseCtes: String = {
     val subDim = Dim / PqM
     val centVals = ivfAnchors.zipWithIndex.map { case (c, i) =>
       val norm2 = c.map(x => x.toDouble * x).sum
@@ -681,18 +720,27 @@ object SimilarityQueries {
        |      * 1000000000 AS BIGINT) + 8000000000 AS xn
        |  FROM corpus co JOIN cent ct ON ct.ci = co.cell,
        |    UNNEST(generate_series(1, $Dim)) u(i)),
-       |${pqLloydCtes(PqK, IvfPqRounds)},
-       |qrow AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |${pqLloydCtes(PqK, IvfPqRounds)}""".stripMargin
+  }
+
+  /** Query-side serve over [[ivfPqBaseCtes]]: ranked cells `qc`, the
+    * per-cell query residual long-form `qx` (ALL cells — a cell's ADC
+    * entries do not depend on how many cells are probed), the ADC
+    * tables `adt` and the every-vector score relation `s`.
+    */
+  private lazy val ivfPqServeCtes: String = {
+    val subDim = Dim / PqM
+    s"""qrow AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
        |qd AS (SELECT ci AS cell, cvec, qv,
        |    cn2 - 2.0 * list_dot_product(qv::DOUBLE[], cvec) AS d
        |  FROM qrow, cent),
-       |pc AS (SELECT cell, cvec, qv FROM qd
-       |  QUALIFY row_number() OVER (ORDER BY d, cell) <= $IvfPqProbe),
-       |qx AS (SELECT pc.cell, CAST((i - 1) // $subDim AS BIGINT) AS sub,
+       |qc AS (SELECT cell, cvec, qv,
+       |    row_number() OVER (ORDER BY d, cell) AS crk FROM qd),
+       |qx AS (SELECT qc.cell, CAST((i - 1) // $subDim AS BIGINT) AS sub,
        |    CAST((i - 1) % $subDim AS BIGINT) AS dim,
        |    CAST(CAST(round(qv[i]::DOUBLE - cvec[i], 9) AS DECIMAL(19,9))
        |      * 1000000000 AS BIGINT) + 8000000000 AS qn
-       |  FROM pc, UNNEST(generate_series(1, $Dim)) u(i)),
+       |  FROM qc, UNNEST(generate_series(1, $Dim)) u(i)),
        |adt AS (SELECT qx.cell, c.sub, c.cid,
        |    ${attoSqSql("qx.qn", "c.cn")} AS d
        |  FROM cF c JOIN qx ON qx.sub = c.sub AND qx.dim = c.dim
@@ -703,6 +751,21 @@ object SimilarityQueries {
        |    AND adt.cid = a.cid
        |  GROUP BY 1, 2)""".stripMargin
   }
+
+  /** Exact raw-coordinate L2 truth CTEs (the [[graft.ops.Pq
+    * .exactL2TopK]] replay): `ext` = top-[[PqTopK]] ids by (distance,
+    * id) under the same 9-dp quantization.
+    */
+  private lazy val exactL2Ctes: String =
+    s"""xr AS (SELECT vec_id AS id, CAST(i - 1 AS BIGINT) AS dim,
+       |    CAST(CAST(round(embedding[i]::DOUBLE, 9) AS DECIMAL(12,9))
+       |      * 1000000000 AS BIGINT) + 8000000000 AS xn
+       |  FROM embeddings, UNNEST(generate_series(1, $Dim)) u(i)),
+       |qr0 AS (SELECT dim, xn AS qn FROM xr WHERE id = 0),
+       |exd AS (SELECT xr.id, ${attoSqSql("xr.xn", "qr0.qn")} AS d
+       |  FROM xr JOIN qr0 USING (dim) GROUP BY xr.id),
+       |ext AS (SELECT id FROM exd ORDER BY d, id LIMIT $PqTopK)"""
+      .stripMargin
 
   // must mirror Similarity.bucketExpr over the given plane set
   private def bucketSqlFor(vecExpr: String, ps: Array[Array[Int]]): String =
@@ -1061,10 +1124,33 @@ object SimilarityQueries {
     // fixed-anchor cells + residual Lloyd + per-probed-cell ADC — the
     // full IVFADC funnel replays knot for knot
     "sim_ivfpq_topk" ->
-      s"""WITH $ivfPqCteSql
-         |SELECT id AS vec_id, CAST(cell AS INTEGER) AS cell,
+      s"""WITH $ivfPqBaseCtes,
+         |$ivfPqServeCtes
+         |SELECT s.id AS vec_id, CAST(s.cell AS INTEGER) AS cell,
          |  CAST(adc AS DOUBLE) / 1e18 AS adc_dist
-         |FROM s ORDER BY adc_dist, id LIMIT $PqTopK""".stripMargin,
+         |FROM s JOIN qc ON qc.cell = s.cell AND qc.crk <= $IvfPqProbe
+         |ORDER BY adc_dist, vec_id LIMIT $PqTopK""".stripMargin,
+    // the nProbe sweep over the same fit: candidates = vectors in the
+    // query's top-n cells, ranked by ADC; truth = exact raw-coordinate
+    // L2 top-k. The all-cells row isolates pure PQ-residual error;
+    // partial rows add cell-miss error on top.
+    "sim_ivfpq_recall" ->
+      s"""WITH $ivfPqBaseCtes,
+         |$ivfPqServeCtes,
+         |$exactL2Ctes,
+         |np AS (SELECT * FROM (VALUES (1), ($IvfPqProbe),
+         |  (${ivfAnchors.length})) t(n_probe)),
+         |cand AS (SELECT np.n_probe, s.id, s.adc
+         |  FROM np JOIN qc ON qc.crk <= np.n_probe
+         |  JOIN s ON s.cell = qc.cell),
+         |r AS (SELECT n_probe, id, row_number() OVER
+         |    (PARTITION BY n_probe ORDER BY adc, id) AS rk FROM cand),
+         |ret AS (SELECT n_probe, id FROM r WHERE rk <= $PqTopK)
+         |SELECT CAST(ret.n_probe AS INTEGER) AS n_probe,
+         |  count(*) AS n_retrieved, count(ext.id) AS n_hits,
+         |  round(CAST(count(ext.id) AS DOUBLE) / $PqTopK, 9) AS recall
+         |FROM ret LEFT JOIN ext ON ext.id = ret.id
+         |GROUP BY 1 ORDER BY n_probe""".stripMargin,
     // ADC top-10 and ADC-shortlist-50→exact-rerank top-10, each against
     // the exact L2 top-10 under the same 9-dp rounding
     "sim_pq_recall" ->
