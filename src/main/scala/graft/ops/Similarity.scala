@@ -92,6 +92,65 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    * LASER/CCMatrix recipe behind most public parallel-corpus
+    * construction): candidate translation pairs are each x-side
+    * document's cosine-best y-side document, scored by the RATIO margin
+    * cos(x,y) / ((avgₖ(x→Y) + avgₖ(y→X)) / 2) — dividing by the local
+    * similarity level makes a hub document that is "close to everything"
+    * score low where raw cosine would flood the output. A pair mines
+    * when margin ≥ `threshold`; `mutual` marks y's best-x agreeing
+    * (the intersection strategy's high-precision subset).
+    *
+    * Determinism: cosines round to 6 dp (the [[knnJoin]] discipline);
+    * the top-k means stay EXACT — DECIMAL(18,6) sums with the counts
+    * carried, margin = 2·cos·nx·ny / (Σx·ny + Σy·nx) so no decimal
+    * division ever happens (Spark and an oracle disagree on division
+    * scales); one double division rounded 9 dp at the end.
+    *
+    * Scale shape: the within-slice cross is candidate generation and is
+    * the part that swaps out at corpus scale — the ANN funnel
+    * ([[Ivf.probeBatch]] / [[graft.ops.Pq]] codes) proposes each side's
+    * top-k lists and THIS margin rescoring runs unchanged on the
+    * k-bounded candidate relation; windows partition per document id,
+    * never globally. Returns (x_id, y_id, cos, margin, mutual).
+    */
+  def bitextMargin(xs: DataFrame, ys: DataFrame, idCol: String,
+      vecCol: String, k: Int, threshold: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val a = xs.select(col(idCol).cast("long").as("x_id"),
+      col(vecCol).as("__xv"))
+    val b = ys.select(col(idCol).cast("long").as("y_id"),
+      col(vecCol).as("__yv"))
+    val cross = a.crossJoin(broadcast(b))
+      .select(col("x_id"), col("y_id"),
+        round(cosine(col("__xv"), col("__yv")), 6).cast(dec).as("cos"))
+      .localCheckpoint()
+    val wx = Window.partitionBy("x_id").orderBy(col("cos").desc, col("y_id"))
+    val wy = Window.partitionBy("y_id").orderBy(col("cos").desc, col("x_id"))
+    val xStat = cross.withColumn("__r", row_number().over(wx))
+      .filter(col("__r") <= k).groupBy("x_id")
+      .agg(sum("cos").as("__sx"), count(lit(1)).as("__nx"))
+    val yStat = cross.withColumn("__r", row_number().over(wy))
+      .filter(col("__r") <= k).groupBy("y_id")
+      .agg(sum("cos").as("__sy"), count(lit(1)).as("__ny"))
+    val best = cross.withColumn("__r", row_number().over(wx))
+      .filter(col("__r") === 1).drop("__r")
+    val yBest = cross.withColumn("__r", row_number().over(wy))
+      .filter(col("__r") === 1).select(col("y_id"), col("x_id").as("__ybx"))
+    best.join(xStat, Seq("x_id")).join(yStat, Seq("y_id"))
+      .join(yBest, Seq("y_id"))
+      .withColumn("margin",
+        round((col("cos") * 2 * col("__nx") * col("__ny")).cast("double") /
+          (col("__sx") * col("__ny") + col("__sy") * col("__nx"))
+            .cast("double"), 9))
+      .filter(col("margin") >= threshold)
+      .select(col("x_id"), col("y_id"), col("cos").cast("double").as("cos"),
+        col("margin"), (col("__ybx") === col("x_id")).as("mutual"))
+  }
+
   /** Exact k-NN join: for every row of the (small, broadcast) query
     * relation, the top-k most-cosine-similar corpus rows. One corpus scan;
     * ranking is a per-query-key window (shuffle on q_id — at scale the

@@ -457,6 +457,26 @@ object SimilarityQueries {
     * measured in `sim_pq_recall`), which restores the funnel's recall
     * from its shortlist.
     */
+  private val BitextK = 4
+  private val BitextThreshold = 1.02
+
+  /** Margin-based bitext mining ([[graft.ops.Similarity.bitextMargin]])
+    * between the en and es documents over their embeddings (vec_id ↔
+    * doc_id): ratio margin at k=[[BitextK]], mined at ≥
+    * [[BitextThreshold]], mutual-best flagged.
+    */
+  def bitextMargin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    def side(lang: String) = docs.filter(col("lang") === lang)
+      .select(col("doc_id"))
+      .join(emb, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("embedding"))
+    graft.ops.Similarity.bitextMargin(side("en"), side("es"), "doc_id",
+        "embedding", BitextK, BitextThreshold)
+      .orderBy("x_id")
+  }
+
   def ivfPqRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val anchors = ivfAnchors.map(_.map(_.toDouble))
@@ -539,6 +559,7 @@ object SimilarityQueries {
     "sim_pq_topk" -> pqTopK,
     "sim_ivfpq_topk" -> ivfPqTopK,
     "sim_ivfpq_recall" -> ivfPqRecall,
+    "sim_bitext_margin" -> bitextMargin,
     "sim_pq_recall" -> pqRecall,
     "sim_rbo_rankings" -> rboRankings,
     "sim_kmeans" -> kmeans,
@@ -1130,6 +1151,39 @@ object SimilarityQueries {
          |  CAST(adc AS DOUBLE) / 1e18 AS adc_dist
          |FROM s JOIN qc ON qc.cell = s.cell AND qc.crk <= $IvfPqProbe
          |ORDER BY adc_dist, vec_id LIMIT $PqTopK""".stripMargin,
+    // ratio-margin mining replay: 6-dp cosines, exact DECIMAL top-k
+    // sums with counts carried (no decimal division), one 9-dp double
+    // division; x-best candidates, mutual flag from the y-side argmax
+    "sim_bitext_margin" ->
+      s"""WITH xe AS (SELECT d.doc_id AS x_id, e.embedding AS v
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+         |  WHERE d.lang = 'en'),
+         |ye AS (SELECT d.doc_id AS y_id, e.embedding AS v
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+         |  WHERE d.lang = 'es'),
+         |cr AS (SELECT x_id, y_id,
+         |    CAST(round(${cosineSql("a.v", "b.v")}, 6) AS DECIMAL(18,6))
+         |      AS cos
+         |  FROM xe a, ye b),
+         |rx AS (SELECT *, row_number() OVER (PARTITION BY x_id
+         |    ORDER BY cos DESC, y_id) AS r FROM cr),
+         |xs AS (SELECT x_id, sum(cos) AS sx, count(*) AS nx FROM rx
+         |  WHERE r <= $BitextK GROUP BY 1),
+         |ry AS (SELECT *, row_number() OVER (PARTITION BY y_id
+         |    ORDER BY cos DESC, x_id) AS r FROM cr),
+         |ys AS (SELECT y_id, sum(cos) AS sy, count(*) AS ny FROM ry
+         |  WHERE r <= $BitextK GROUP BY 1),
+         |b AS (SELECT x_id, y_id, cos FROM rx WHERE r = 1),
+         |yb AS (SELECT y_id, x_id AS ybx FROM ry WHERE r = 1),
+         |m AS (SELECT b.x_id, b.y_id, b.cos,
+         |    round(CAST(2 * b.cos * nx * ny AS DOUBLE) /
+         |      CAST(sx * ny + sy * nx AS DOUBLE), 9) AS margin,
+         |    (yb.ybx = b.x_id) AS mutual
+         |  FROM b JOIN xs USING (x_id) JOIN ys USING (y_id)
+         |    JOIN yb USING (y_id))
+         |SELECT x_id, y_id, CAST(cos AS DOUBLE) AS cos, margin, mutual
+         |FROM m WHERE margin >= $BitextThreshold
+         |ORDER BY x_id""".stripMargin,
     // the nProbe sweep over the same fit: candidates = vectors in the
     // query's top-n cells, ranked by ADC; truth = exact raw-coordinate
     // L2 top-k. The all-cells row isolates pure PQ-residual error;

@@ -485,4 +485,30 @@ class SimilaritySpec extends AnyFunSuite {
           x.getAs[Double]("centroid"), x.getAs[Long]("n_members"))).toSeq
     assert(run(emb.repartition(13)) == run(emb.coalesce(1)))
   }
+
+  test("bitextMargin: hand-computed ratio margins, mutual-best flags, " +
+      "threshold filters") {
+    val spark2 = spark
+    import spark2.implicits._
+    // cos: x1·y1=1.0 x1·y2=0.6 x2·y1=0.0 x2·y2=0.8 (unit vectors)
+    // k=2 means: x1→Y 0.8, x2→Y 0.4, y1→X 0.5, y2→X 0.7
+    // margin(x1,y1) = 1.0/0.65 = 1.538461538; mutual (y1's best is x1)
+    // margin(x2,y2) = 0.8/0.55 = 1.454545455; mutual (0.8 > 0.6)
+    val xs = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("doc_id", "embedding")
+    val ys = Seq((10L, Seq(1.0, 0.0)), (20L, Seq(0.6, 0.8)))
+      .toDF("doc_id", "embedding")
+    val out = Similarity.bitextMargin(xs, ys, "doc_id", "embedding",
+        k = 2, threshold = 1.02)
+      .orderBy("x_id").collect()
+      .map(r => (r.getAs[Long]("x_id"), r.getAs[Long]("y_id"),
+        r.getAs[Double]("margin"), r.getAs[Boolean]("mutual")))
+    assert(out.toSeq == Seq((1L, 10L, 1.538461538, true),
+      (2L, 20L, 1.454545455, true)))
+    // a high threshold drops the weaker pair, keeps the stronger
+    val strict = Similarity.bitextMargin(xs, ys, "doc_id", "embedding",
+        k = 2, threshold = 1.5)
+      .collect().map(_.getAs[Long]("x_id"))
+    assert(strict.toSeq == Seq(1L))
+  }
 }
