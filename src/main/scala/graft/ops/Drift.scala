@@ -115,6 +115,61 @@ object Drift {
     psiTail(bucketed(baseline, "n_base"), bucketed(current, "n_cur"))
   }
 
+  /** PSI where the BASELINE side never rescans at all — one step past
+    * [[psiBucketsFromSketch]] (which reads edges from the knots but
+    * still re-counts baseline rows per bucket): baseline bucket masses
+    * come from the knots' own merged rank estimates
+    * ([[Sketches.quantileSketchRanks]] — mass(bucket i) =
+    * est_rank(edge_i) − est_rank(edge_{i−1}), last bucket = N − rank of
+    * the top edge), each within buckets·N/K of exact by the sketch
+    * guarantee. The current micro-batch is counted exactly with the same
+    * edge rule; the PSI tail is [[psiBuckets]]'s verbatim. This is the
+    * true standing-monitor shape: per evaluation the baseline cost is
+    * the knot relation (batches × K rows), ZERO history reads —
+    * compose with [[graft.store.FeatureStore.writeBatchSketches]]'s
+    * persisted knots for drift-on-ingest. All integer arithmetic up to
+    * the shared probability tail, so the whole monitor hash-replays.
+    */
+  def psiAgainstSketch(sketch: DataFrame, current: DataFrame,
+      valueCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && 100 % buckets == 0,
+      s"buckets must divide 100: $buckets")
+    val pcts = (1 until buckets).map(i => i * (100 / buckets))
+    val breaks = Sketches.quantileSketchQuantiles(sketch, pcts)
+      .agg(sort_array(collect_list(col("est_value"))).as("__breaks"),
+        max(col("n_total")).as("__n"))
+    val ranks = Sketches.quantileSketchRanks(sketch)
+    // est cumulative baseline count at each edge: the largest knot ≤ edge
+    val baseCum = breaks
+      .select(posexplode(col("__breaks")).as(Seq("__i", "__edge")),
+        col("__n"))
+      .join(ranks, col("v") <= col("__edge"), "left_outer")
+      .groupBy(col("__i"), col("__edge"), col("__n"))
+      .agg(coalesce(max(col("est_rank")), lit(0L)).as("__cum"))
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("__i"))
+    val base = baseCum
+      .withColumn("__prev",
+        coalesce(lag(col("__cum"), 1).over(wOrd), lit(0L)))
+      .select((col("__i") + 1).cast("long").as("bucket"),
+        (col("__cum") - col("__prev")).as("n_base"), col("__n"),
+        col("__cum"))
+    // rows above: buckets-1 edge rows; append the top bucket (N − cum)
+    val topBucket = base.filter(col("bucket") === (buckets - 1).toLong)
+      .select(lit(buckets.toLong).as("bucket"),
+        (col("__n") - col("__cum")).as("n_base"))
+    val baseCounts = base.select(col("bucket"), col("n_base"))
+      .unionByName(topBucket)
+    val v = col(valueCol).cast(DecimalType(18, 2))
+    val bucketExpr = (1 until buckets)
+      .map(i => when(v > element_at(col("__breaks"), i), 1).otherwise(0))
+      .foldLeft(lit(1): Column)(_ + _)
+    val curCounts = current
+      .crossJoin(broadcast(breaks.select(col("__breaks"))))
+      .select(bucketExpr.cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_cur"))
+    psiTail(baseCounts, curCounts)
+  }
+
   /** Scalar PSI (sum of bucket contributions). */
   def psi(baseline: DataFrame, current: DataFrame, valueCol: String,
       buckets: Int = 10): DataFrame =

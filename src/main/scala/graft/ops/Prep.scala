@@ -375,6 +375,64 @@ object Prep {
       .drop("__e")
   }
 
+  /** [[winsorize]] with the fences read off MERGED quantile-sketch knots
+    * ([[Sketches.quantileSketchBuild]] per `batchCol` ingest batch →
+    * [[Sketches.quantileSketchQuantiles]]) — the persisted-sketch form,
+    * completing the N193 swap-in trio with
+    * [[Drift.psiBucketsFromSketch]]: a standing winsor pass re-derives
+    * its fences from a few KB of knots instead of an exact-percentile
+    * rescan of history. Fences sit within 1/knots rank of the exact
+    * percentiles and are actual members of the DECIMAL(18,2) value grid
+    * (the sketch stores data values, not interpolations), so clipping
+    * stays hash-exact. `pLoPct`/`pHiPct` are integer percents.
+    */
+  def winsorizeFromSketch(df: DataFrame, valueCol: String,
+      batchCol: Column, knots: Int, pLoPct: Int, pHiPct: Int): DataFrame = {
+    require(pLoPct >= 1 && pHiPct <= 100 && pLoPct < pHiPct,
+      s"bad percent fences [$pLoPct, $pHiPct]")
+    val sketch = Sketches.quantileSketchBuild(df, col(valueCol), batchCol,
+      knots)
+    val edges = Sketches.quantileSketchQuantiles(sketch,
+        Seq(pLoPct, pHiPct))
+      .agg(min(when(col("q") === pLoPct, col("est_value"))).as("__lo"),
+        min(when(col("q") === pHiPct, col("est_value"))).as("__hi"))
+    val xd = col(valueCol).cast(Money)
+    df.crossJoin(broadcast(edges))
+      .withColumn("clipped_lo", xd < col("__lo"))
+      .withColumn("clipped_hi", xd > col("__hi"))
+      .withColumn("winsorized",
+        when(col("clipped_lo"), col("__lo"))
+          .when(col("clipped_hi"), col("__hi"))
+          .otherwise(xd))
+      .drop("__lo", "__hi")
+  }
+
+  /** [[quantileBucket]] with bin edges from merged quantile-sketch knots
+    * — same swap-in as [[winsorizeFromSketch]] (edges within 1/knots
+    * rank of exact, on the data's own value grid; `buckets` must divide
+    * 100). Returns (bucket, n, lo, hi), buckets 1-based ascending.
+    */
+  def quantileBucketFromSketch(df: DataFrame, valueCol: String,
+      batchCol: Column, knots: Int, buckets: Int): DataFrame = {
+    require(buckets >= 2 && 100 % buckets == 0,
+      s"buckets must divide 100: $buckets")
+    val sketch = Sketches.quantileSketchBuild(df, col(valueCol), batchCol,
+      knots)
+    val pcts = (1 until buckets).map(_ * (100 / buckets))
+    val breaks = Sketches.quantileSketchQuantiles(sketch, pcts)
+      .agg(sort_array(collect_list(col("est_value"))).as("__breaks"))
+    val xd = col(valueCol).cast(Money)
+    val bucketExpr = (1 until buckets)
+      .map(i => when(xd > element_at(col("__breaks"), i), 1).otherwise(0))
+      .foldLeft(lit(1): Column)(_ + _)
+    df.crossJoin(broadcast(breaks))
+      .select(bucketExpr.cast("long").as("bucket"), xd.as("__xd"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("__xd")).cast("double").as("lo"),
+        max(col("__xd")).cast("double").as("hi"))
+  }
+
   /** Fixed-width histogram of a ≤2-dp money column: global min/max in exact
     * DECIMAL (one tiny aggregate, broadcast back — no collect), bin =
     * `min(⌊(x−mn)·bins/(mx−mn)⌋, bins−1)` computed in DOUBLE from the exact

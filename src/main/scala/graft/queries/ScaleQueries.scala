@@ -254,8 +254,58 @@ object ScaleQueries {
       .orderBy("bucket")
   }
 
+  /** Winsor pass with fences from the merged per-day knot relation
+    * ([[graft.ops.Prep.winsorizeFromSketch]], 5/95) — the standing-pass
+    * form of `prep_winsorize`; same aggregate contract.
+    */
+  def winsorizeSketch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).filter(col("value").isNotNull)
+    val day = floor(col("ts_us") / lit(86400000000L))
+    graft.ops.Prep.winsorizeFromSketch(e, "value", day, QsKnots, 5, 95)
+      .agg(
+        sum(when(col("clipped_lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("clipped_hi"), 1L).otherwise(0L)).as("n_hi"),
+        count(lit(1)).as("n_rows"),
+        sum(col("winsorized")).cast("double").as("total"),
+        min(col("winsorized")).cast("double").as("lo_edge"),
+        max(col("winsorized")).cast("double").as("hi_edge"))
+  }
+
+  private val QbSketchBuckets = 10
+
+  /** Decile bucketing with edges from merged knots
+    * ([[graft.ops.Prep.quantileBucketFromSketch]]) — the standing-pass
+    * form of `prep_quantile_bucket`'s edge derivation.
+    */
+  def qbucketSketch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).filter(col("value").isNotNull)
+    val day = floor(col("ts_us") / lit(86400000000L))
+    graft.ops.Prep.quantileBucketFromSketch(e, "value", day, QsKnots,
+        QbSketchBuckets)
+      .orderBy("bucket")
+  }
+
+  /** PSI with the baseline side answered ENTIRELY from knots
+    * ([[graft.ops.Drift.psiAgainstSketch]]): edges and baseline bucket
+    * masses both from the merged per-day sketch of the even events —
+    * zero baseline re-reads per evaluation (`scale_psi_sketch` still
+    * re-counts baseline rows per bucket; this is the final form).
+    */
+  def psiHistory(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val day = floor(col("ts_us") / lit(86400000000L))
+    val sketch = graft.ops.Sketches.quantileSketchBuild(
+      e.filter(col("event_id") % 2 === 0), col("value"), day, QsKnots)
+    graft.ops.Drift.psiAgainstSketch(sketch,
+        e.filter(col("event_id") % 2 === 1), "value", PsiSketchBuckets)
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scale_psi_sketch" -> psiSketch,
+    "scale_psi_history" -> psiHistory,
+    "scale_winsorize_sketch" -> winsorizeSketch,
+    "scale_qbucket_sketch" -> qbucketSketch,
     "scale_quantile_sketch" -> quantileSketch,
     "scale_bloom" -> bloom,
     "scale_countmin" -> countMin,
@@ -306,6 +356,71 @@ object ScaleQueries {
   val oracle: Map[String, String] = Map(
     // sketch-derived decile edges + the quality_drift_psi tail — the
     // monitor replays end to end (edges, buckets, probabilities)
+    // baseline masses from the knots' own rank estimates (bcum deltas +
+    // the N − top-edge remainder), current counted exactly, shared tail
+    "scale_psi_history" -> {
+      val pcts = (1 until PsiSketchBuckets).map(_ * (100 / PsiSketchBuckets))
+      s"""WITH ${qsketchCtes("event_id % 2 = 0", pcts)},
+         |el AS (SELECT list_sort(list(est_value)) AS breaks FROM a),
+         |ed AS (SELECT CAST(i AS BIGINT) AS i, breaks[i] AS edge
+         |  FROM el, UNNEST(generate_series(1, len(breaks))) u(i)),
+         |bcum AS (SELECT ed.i, coalesce(max(r.est_rank), 0) AS cum
+         |  FROM ed LEFT JOIN r ON r.v <= ed.edge GROUP BY 1),
+         |bprev AS (SELECT i, cum,
+         |    coalesce(lag(cum) OVER (ORDER BY i), 0) AS prev FROM bcum),
+         |bb AS (SELECT i AS bucket, cum - prev AS n_base FROM bprev
+         |  UNION ALL
+         |  SELECT CAST($PsiSketchBuckets AS BIGINT),
+         |    (SELECT n_total FROM nt) - (SELECT max(cum) FROM bcum)),
+         |cur AS (SELECT CAST(value AS DECIMAL(18,2)) AS v FROM events
+         |  WHERE event_id % 2 = 1),
+         |c1 AS (SELECT 1 + len(list_filter(breaks, b -> v > b)) AS bucket,
+         |    count(*) AS n_cur FROM cur, el GROUP BY 1),
+         |j AS (SELECT coalesce(bb.bucket, c1.bucket) AS bucket,
+         |    coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+         |  FROM bb FULL OUTER JOIN c1 ON bb.bucket = c1.bucket),
+         |tt AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM j)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(n_base AS BIGINT) AS n_base, CAST(n_cur AS BIGINT) AS n_cur,
+         |  round(greatest(n_base * 1.0 / tb, 1e-6), 9) AS p_base,
+         |  round(greatest(n_cur * 1.0 / tc, 1e-6), 9) AS p_cur,
+         |  round((greatest(n_cur * 1.0 / tc, 1e-6)
+         |      - greatest(n_base * 1.0 / tb, 1e-6))
+         |    * ln(greatest(n_cur * 1.0 / tc, 1e-6)
+         |      / greatest(n_base * 1.0 / tb, 1e-6)), 9) AS contribution
+         |FROM j, tt ORDER BY bucket""".stripMargin
+    },
+    // 5/95 fences from the shared sketch replay + the winsor clip tail
+    "scale_winsorize_sketch" -> {
+      s"""WITH ${qsketchCtes("TRUE", Seq(5, 95))},
+         |el AS (SELECT min(CASE WHEN q = 5 THEN est_value END) AS lo,
+         |    min(CASE WHEN q = 95 THEN est_value END) AS hi FROM a),
+         |base AS (SELECT CAST(value AS DECIMAL(18,2)) AS v FROM events
+         |  WHERE value IS NOT NULL),
+         |w AS (SELECT (v < lo) AS cl, (v > hi) AS ch,
+         |    CASE WHEN v < lo THEN lo WHEN v > hi THEN hi ELSE v END AS wv
+         |  FROM base, el)
+         |SELECT CAST(sum(CASE WHEN cl THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_lo,
+         |  CAST(sum(CASE WHEN ch THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+         |  count(*) AS n_rows, CAST(sum(wv) AS DOUBLE) AS total,
+         |  CAST(min(wv) AS DOUBLE) AS lo_edge,
+         |  CAST(max(wv) AS DOUBLE) AS hi_edge
+         |FROM w ORDER BY n_rows""".stripMargin
+    },
+    // decile edges from the shared sketch replay + per-bucket stats
+    "scale_qbucket_sketch" -> {
+      val pcts = (1 until QbSketchBuckets).map(_ * (100 / QbSketchBuckets))
+      s"""WITH ${qsketchCtes("TRUE", pcts)},
+         |el AS (SELECT list_sort(list(est_value)) AS breaks FROM a),
+         |base AS (SELECT CAST(value AS DECIMAL(18,2)) AS v FROM events
+         |  WHERE value IS NOT NULL),
+         |b1 AS (SELECT 1 + len(list_filter(breaks, b -> v > b)) AS bucket,
+         |    v FROM base, el)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+         |  CAST(min(v) AS DOUBLE) AS lo, CAST(max(v) AS DOUBLE) AS hi
+         |FROM b1 GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
     "scale_psi_sketch" -> {
       val pcts = (1 until PsiSketchBuckets).map(_ * (100 / PsiSketchBuckets))
       s"""WITH ${qsketchCtes("event_id % 2 = 0", pcts)},

@@ -250,6 +250,23 @@ final class FeatureStore(
       .select("column", "q", "n_total", "target_rank", "est_value")
   }
 
+  /** PSI drift of `current`'s `column` against the ENTIRE registered
+    * history, answered purely from the persisted knots
+    * ([[graft.ops.Drift.psiAgainstSketch]]): decile edges AND baseline
+    * bucket masses both come from the sketch relation — zero feature-
+    * history reads per evaluation, the drift-on-ingest shape.
+    */
+  def sketchDrift(current: DataFrame, column: String, buckets: Int = 10)
+      : DataFrame = {
+    val fs = new Path(basePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(sketchesPath)),
+      s"no persisted sketches under $sketchesPath — writeBatchSketches first")
+    val sk = spark.read.parquet(sketchesPath)
+      .filter(col("column") === column).select("batch", "v", "cum")
+    graft.ops.Drift.psiAgainstSketch(sk, current, column, buckets)
+  }
+
   private def readSketchBatchIds(): Map[String, Long] = {
     val fs = new Path(basePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

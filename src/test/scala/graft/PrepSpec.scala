@@ -605,4 +605,40 @@ class PrepSpec extends AnyFunSuite {
         r.getAs[Double]("q_temp") == r.getAs[Double]("p_raw"))
     }
   }
+
+  test("winsorizeFromSketch: with K >= n the fences are the exact " +
+      "empirical percentiles (data values), clip flags consistent") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble))
+      .toDF("id", "v")
+    val out = Prep.winsorizeFromSketch(df, "v", lit(0L), knots = 100,
+      pLoPct = 5, pHiPct = 95).collect()
+    assert(out.length == 100)
+    // target rank ceil(5*100/100)=5 → lo = 5.00; hi = 95.00 — members
+    // of the value grid, not interpolations
+    val lows = out.filter(_.getAs[Boolean]("clipped_lo"))
+    val highs = out.filter(_.getAs[Boolean]("clipped_hi"))
+    assert(lows.length == 4 && highs.length == 5)
+    assert(out.forall { r =>
+      val w = r.getAs[java.math.BigDecimal]("winsorized").doubleValue()
+      w >= 5.0 && w <= 95.0
+    })
+  }
+
+  test("quantileBucketFromSketch: exact-K deciles of 1..100 give ten " +
+      "10-row buckets with the right ranges") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.lit
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val out = Prep.quantileBucketFromSketch(df, "v", lit(0L), knots = 100,
+        buckets = 10)
+      .orderBy("bucket").collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n"),
+        r.getAs[Double]("lo"), r.getAs[Double]("hi")))
+    assert(out.toSeq == (1 to 10).map(b =>
+      (b.toLong, 10L, (10 * (b - 1) + 1).toDouble, (10 * b).toDouble)))
+  }
 }

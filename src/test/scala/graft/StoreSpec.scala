@@ -204,5 +204,16 @@ class StoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       freshStore().sketchQuantiles(Seq(50))
     }
+    // drift-on-ingest: PSI of a shifted batch against history, baseline
+    // side answered purely from the persisted knots — masses sum to the
+    // full 80-row history, identical batch reads PSI ≈ 0
+    val drift = store.sketchDrift(
+      feats((1L to 40L).map(i => i -> (i + 300).toDouble): _*),
+      "total_amount", buckets = 10).collect()
+    assert(drift.map(_.getAs[Long]("n_base")).sum == 80L)
+    assert(drift.map(_.getAs[Double]("contribution")).sum > 1.0) // shifted
+    val same = store.sketchDrift(b1.unionByName(b2), "total_amount",
+      buckets = 10).collect()
+    assert(math.abs(same.map(_.getAs[Double]("contribution")).sum) < 0.05)
   }
 }
