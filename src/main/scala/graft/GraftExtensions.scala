@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BpeAdjacentPairs, BpeApplyPair, BpeEncodeWord, BpeKernel, DotProduct, NgramHashes, PqAssignCodes, PqKernel, SimHash32, SortedIntersectCount, UnigramKernel, UnigramSegmentWord}
+import graft.functions.{BpeAdjacentPairs, BpeApplyPair, BpeEncodeWord, BpeKernel, DeflateLength, DotProduct, NgramHashes, PqAssignCodes, PqKernel, SimHash32, SortedIntersectCount, UnigramKernel, UnigramSegmentWord}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -37,6 +37,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    product-quantization argmin codes
   *    ([[graft.functions.PqAssignCodes]]; codebook = comma-joined
   *    shifted-nano longs, all but `vec` literals).
+  *  - `graft_deflate_len(text, level) -> long` — DEFLATE-compressed byte
+  *    length ([[graft.functions.DeflateLength]]; level a literal).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -114,6 +116,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val m = foldableArg(children(2), "m").asInstanceOf[Number].intValue()
         val k = foldableArg(children(3), "k").asInstanceOf[Number].intValue()
         PqAssignCodes(children.head, cb, m, k)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_deflate_len"),
+      new ExpressionInfo(classOf[DeflateLength].getName, "graft_deflate_len"),
+      (children: Seq[Expression]) => {
+        val level = children(1) match {
+          case l if l.foldable => l.eval().asInstanceOf[Number].intValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_deflate_len level must be a literal, got $other")
+        }
+        DeflateLength(children.head, level)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_bpe_pairs"),

@@ -596,6 +596,28 @@ object TextAnalysis {
         col("bits_per_token"))
   }
 
+  /** Per-document compression-ratio quality signal
+    * ([[graft.functions.DeflateLength]] kernel): deflate_bytes / n_bytes
+    * at zlib level 6 — repetitive boilerplate compresses far below
+    * fluent prose (measured well under 0.5), random gibberish sits above
+    * it; pipelines threshold both tails (the redundancy read of Rae
+    * 2021's repetition rules without any n-gram machinery). Zero
+    * shuffle — one codegen'd kernel call per row; rows-only at the
+    * correctness gate (zlib has no SQL twin), determinism and the
+    * repetitive < prose < random ordering are spec-pinned. Returns
+    * (idCol, n_bytes, deflate_bytes, compression_ratio).
+    */
+  def compressionRatio(df: DataFrame, idCol: String, textCol: String,
+      level: Int = 6): DataFrame =
+    df.select(col(idCol), octet_length(col(textCol)).cast("long")
+        .as("n_bytes"),
+      call_function("graft_deflate_len", col(textCol), lit(level))
+        .as("deflate_bytes"))
+      .withColumn("compression_ratio",
+        when(col("n_bytes") > 0,
+          round(col("deflate_bytes").cast("double") / col("n_bytes"), 9))
+          .otherwise(lit(0.0)))
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): score
     * every document's bits-per-token under a PER-SLICE (per-language)
     * interpolated Kneser–Ney bigram model — the [[knBigramBits]]

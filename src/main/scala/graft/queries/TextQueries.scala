@@ -164,6 +164,16 @@ object TextQueries {
     TextAnalysis.knBigramBits(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Per-document deflate compression ratio
+    * ([[graft.ops.TextAnalysis.compressionRatio]]) — rows-only at the
+    * gate (zlib has no DuckDB twin; the documented `sim_ivf_topk`
+    * class), spec-pinned for determinism and ordering.
+    */
+  def compressionRatioQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.compressionRatio(Tables.documents(spark, dir), "doc_id",
+        "text")
+      .orderBy("doc_id")
+
   /** CCNet head/middle/tail perplexity tertiles per language
     * ([[graft.ops.TextAnalysis.ccnetBuckets]]): per-language KN bigram
     * models fitted in ONE slice-keyed pass, documents cut into thirds by
@@ -386,6 +396,7 @@ object TextQueries {
     "text_bigram_lm" -> bigramLm,
     "text_kn_bigram" -> knBigram,
     "text_ccnet_buckets" -> ccnetBuckets,
+    "text_compression_ratio" -> compressionRatioQ,
     "text_js_divergence" -> jsDivergence,
     "text_subword_buckets" -> subwordBuckets,
     "text_lang_mixing" -> langMixing,

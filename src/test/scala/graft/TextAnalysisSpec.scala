@@ -265,6 +265,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     // the discount really reserves mass for unseen continuations
   }
 
+  test("compressionRatio: deterministic; repetitive < prose < " +
+      "random-ish; empty text guarded") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rep = "spam ham " * 200
+    val prose = (1 to 40).map(i =>
+      s"sentence $i talks about topic ${i * 7 % 13} with detail").mkString(". ")
+    // digits of a quadratic residue sequence — no long repeats
+    val rand = (1 to 400).map(i => (i * i * 2654435761L % 97).toString)
+      .mkString("")
+    val df = Seq((1L, rep), (2L, prose), (3L, rand), (4L, ""))
+      .toDF("doc_id", "text")
+    def run() = TextAnalysis.compressionRatio(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bytes"), r.getAs[Long]("deflate_bytes"),
+          r.getAs[Double]("compression_ratio"))).toMap
+    val a = run()
+    assert(a == run()) // deterministic
+    assert(a(1L)._3 < a(2L)._3 && a(2L)._3 < a(3L)._3)
+    assert(a(1L)._3 < 0.1) // boilerplate collapses
+    assert(a(4L)._1 == 0L && a(4L)._3 == 0.0) // empty: ratio guarded to 0
+  }
+
   test("ccnetBuckets: per-slice models are independent (slice A's bits " +
       "match the single-model run), tertiles cut by ascending bits") {
     val spark2 = spark
