@@ -311,6 +311,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(est("x") >= 35 && est("y") >= 5 && est("z") >= 40)
   }
 
+  test("streaming drift-on-ingest: each micro-batch is PSI-checked " +
+      "against the knot history BEFORE its knots join it; shifted batch " +
+      "alarms, in-distribution batch does not") {
+    import graft.ops.{Drift, Sketches}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = (1 to 200).map(_.toDouble % 50)
+    val inDist = (1 to 100).map(_.toDouble % 50)
+    val shifted = (1 to 100).map(i => (i.toDouble % 50) + 500.0)
+    val mem = MemoryStream[Double]
+    val sdf = mem.toDF().toDF("v")
+    var sketch: Option[org.apache.spark.sql.DataFrame] = None
+    var nextBatch = 0L
+    var psis = Vector.empty[Double]
+    val q = sdf.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          // gate first (zero-rescan: knots only), then admit the batch
+          sketch.foreach { sk =>
+            psis = psis :+ Drift.psiAgainstSketch(sk, b, "v", buckets = 10)
+              .agg(org.apache.spark.sql.functions.sum("contribution"))
+              .collect()(0).getDouble(0)
+          }
+          val part = Sketches.quantileSketchBuild(b,
+            org.apache.spark.sql.functions.col("v"),
+            org.apache.spark.sql.functions.lit(nextBatch), knots = 16)
+          nextBatch += 1
+          sketch = Some(sketch.map(_.unionByName(part))
+            .getOrElse(part).localCheckpoint(true))
+        }
+      }.start()
+    try {
+      mem.addData(base: _*); q.processAllAvailable()
+      mem.addData(inDist: _*); q.processAllAvailable()
+      mem.addData(shifted: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(psis.length == 2)
+    assert(math.abs(psis(0)) < 0.1) // same distribution: quiet
+    assert(psis(1) > 1.0) // wholesale shift: alarms
+  }
+
   test("streaming quantile sketch: per-micro-batch knots union into the " +
       "stream-lifetime sketch == one keyed build over everything") {
     import graft.ops.Sketches
