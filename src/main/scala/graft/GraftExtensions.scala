@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BpeAdjacentPairs, BpeApplyPair, BpeEncodeWord, BpeKernel, DeflateLength, DotProduct, NgramHashes, PqAssignCodes, PqKernel, SimHash32, SortedIntersectCount, UnigramKernel, UnigramSegmentWord}
+import graft.functions.{BpeAdjacentPairs, BpeApplyPair, BpeEncodeWord, BpeKernel, DeflateLength, DotProduct, NgramHashes, PqAssignCodes, PqKernel, SimHash32, SortedIntersectCount, UnigramKernel, UnigramSegmentWord, WordpieceKernel, WordpieceWord}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -39,6 +39,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    shifted-nano longs, all but `vec` literals).
   *  - `graft_deflate_len(text, level) -> long` — DEFLATE-compressed byte
   *    length ([[graft.functions.DeflateLength]]; level a literal).
+  *  - `graft_wordpiece_word(word, vocab, maxPieceLen, unk) ->
+  *    array<string>` — whole-word greedy longest-match WordPiece
+  *    ([[graft.functions.WordpieceWord]]; vocab = U+0002-joined pieces,
+  *    all but `word` literals).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -116,6 +120,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val m = foldableArg(children(2), "m").asInstanceOf[Number].intValue()
         val k = foldableArg(children(3), "k").asInstanceOf[Number].intValue()
         PqAssignCodes(children.head, cb, m, k)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_wordpiece_word"),
+      new ExpressionInfo(classOf[WordpieceWord].getName,
+        "graft_wordpiece_word"),
+      (children: Seq[Expression]) => {
+        def foldableArg(e: Expression, what: String): Any = e match {
+          case l if l.foldable => l.eval()
+          case other => throw new IllegalArgumentException(
+            s"graft_wordpiece_word $what must be a literal, got $other")
+        }
+        val vocab = WordpieceKernel.parseVocab(
+          foldableArg(children(1), "vocab").toString)
+        val mpl = foldableArg(children(2), "maxPieceLen")
+          .asInstanceOf[Number].intValue()
+        val unk = foldableArg(children(3), "unk").toString
+        WordpieceWord(children.head, vocab, mpl, unk)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_deflate_len"),

@@ -235,6 +235,32 @@ object TokenModels {
           lit(maxRounds))).as(Seq("pos", "sym")))
   }
 
+  /** WordPiece encoding (Wu et al. 2016; the BERT tokenizer, Devlin
+    * 2019 §A.2) against a FIXED vocabulary — the third member of the
+    * kernel tokenizer family ([[bpeEncode]] merges-driven, the unigram
+    * Viterbi in [[unigramFit]], and THIS greedy longest-match-first with
+    * `##` continuations; a position with no matching piece makes the
+    * whole word the single `unk` token). Same word pre-tokenization and
+    * output contract as [[bpeEncode]]: (doc_id, word_id, pos, sym), one
+    * zero-shuffle kernel call per word with the vocab riding as a
+    * reference object. Fit-side kin: production WordPiece vocabularies
+    * are learned by the likelihood variant of [[bpeLearn]]'s
+    * count-argmax loop on a sample; encoding is the corpus-wide pass
+    * that must stay cheap, and is.
+    */
+  def wordpieceEncode(docs: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[String], maxPieceLen: Int, unk: String = "[UNK]")
+      : DataFrame = {
+    require(vocab.nonEmpty, "empty wordpiece vocabulary")
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(expr(s"regexp_extract_all(lower(${textCol}), '[a-z]+', 0)"))
+          .as(Seq("word_id", "__w")))
+      .select(col("doc_id"), col("word_id"),
+        posexplode(call_function("graft_wordpiece_word", col("__w"),
+          lit(vocab.mkString("\u0002")), lit(maxPieceLen), lit(unk)))
+          .as(Seq("pos", "sym")))
+  }
+
   /** BPE merge LEARNING (Sennrich et al. 2016 fit-phase) — the other half
     * of [[bpeEncode]]: `rounds` iterations of count-all-adjacent-pairs →
     * take the global argmax → apply that single merge corpus-wide. Ties

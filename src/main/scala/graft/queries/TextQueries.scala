@@ -346,6 +346,36 @@ object TextQueries {
           s => s.getField("sym")), " ")).as("enc_digest"))
       .orderBy("doc_id")
 
+  /** Fixed WordPiece vocab fixture: all single chars (bare + `##`) so
+    * every [a-z]+ word segments (no UNK on the driver corpus — the UNK
+    * path is spec-pinned), plus common prefixes/suffixes that exercise
+    * the longest-match rule.
+    */
+  val WpVocab: Seq[String] =
+    ('a' to 'z').map(_.toString) ++ ('a' to 'z').map(c => s"##$c") ++
+      Seq("the", "an", "in", "on", "re", "wh", "##ing", "##ed", "##er",
+        "##es", "##tion", "##at", "##ent", "##ly")
+  val WpMaxPieceLen = 4
+
+  /** WordPiece encoding over the fixed vocab
+    * ([[graft.ops.TokenModels.wordpieceEncode]]) — per-doc token stream
+    * digest, the `text_bpe_encode` contract for the BERT-family
+    * tokenizer.
+    */
+  def wordpieceEncodeQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TokenModels.wordpieceEncode(Tables.documents(spark, dir),
+        "doc_id", "text", WpVocab, WpMaxPieceLen)
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("word_id")).as("n_words"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("sym") === "[UNK]", 1L).otherwise(0L)).as("n_unk"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("word_id"), col("pos"),
+            col("sym")))),
+          s => s.getField("sym")), " ")).as("enc_digest"))
+      .orderBy("doc_id")
+
   val BpeLearnRounds = 6
 
   /** BPE merge learning on the corpus ([[graft.ops.TokenModels
@@ -397,6 +427,7 @@ object TextQueries {
     "text_kn_bigram" -> knBigram,
     "text_ccnet_buckets" -> ccnetBuckets,
     "text_compression_ratio" -> compressionRatioQ,
+    "text_wordpiece_encode" -> wordpieceEncodeQ,
     "text_js_divergence" -> jsDivergence,
     "text_subword_buckets" -> subwordBuckets,
     "text_lang_mixing" -> langMixing,
@@ -853,6 +884,54 @@ object TextQueries {
     // KN probability as ONE exact integer rational (d = 3/4):
     // p = ((4c12−3)B + 3·n1p·nc) / (4·c1·B); only the final ln is IEEE,
     // ln2 inlined as the same Scala double literal as the plan's
+    // greedy longest-match replay: flat (word, start, L) match relation
+    // against the vocab VALUES, per-position best by max L, then a
+    // recursive walk accumulating the piece string; a word whose walk
+    // never reaches its length is the single [UNK]
+    "text_wordpiece_encode" -> {
+      val vocabVals = WpVocab.map(p => s"'$p'").mkString("[", ", ", "]")
+      s"""WITH RECURSIVE vocab AS (SELECT unnest($vocabVals) AS p),
+         |w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+')
+         |        AS ws FROM documents),
+         |wd AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS word_id,
+         |    ws[i] AS word
+         |  FROM w, UNNEST(generate_series(1, len(ws))) u(i)),
+         |words AS (SELECT DISTINCT word FROM wd),
+         |st AS (SELECT unnest(generate_series(0,
+         |    (SELECT max(length(word)) - 1 FROM words))) AS start),
+         |le AS (SELECT unnest(generate_series(1, $WpMaxPieceLen)) AS L),
+         |cand AS (SELECT wo.word, st.start, le.L,
+         |    CASE WHEN st.start = 0 THEN substr(wo.word, 1, le.L)
+         |      ELSE '##' || substr(wo.word, st.start + 1, le.L) END
+         |      AS piece
+         |  FROM words wo, st, le
+         |  WHERE st.start + le.L <= length(wo.word)),
+         |hit AS (SELECT c.word, c.start, c.L, c.piece
+         |  FROM cand c JOIN vocab v ON v.p = c.piece),
+         |best AS (SELECT word, start, max(L) AS L FROM hit GROUP BY 1, 2),
+         |bp AS (SELECT b.word, b.start, b.L, h.piece FROM best b
+         |  JOIN hit h ON h.word = b.word AND h.start = b.start
+         |    AND h.L = b.L),
+         |walk AS (
+         |  SELECT word, 0 AS pos, CAST('' AS VARCHAR) AS acc FROM words
+         |  UNION ALL
+         |  SELECT w2.word, w2.pos + bp.L,
+         |    CASE WHEN w2.acc = '' THEN bp.piece
+         |      ELSE w2.acc || ' ' || bp.piece END
+         |  FROM walk w2 JOIN bp ON bp.word = w2.word AND bp.start = w2.pos
+         |  WHERE w2.pos < length(w2.word)),
+         |done AS (SELECT word, acc FROM walk WHERE pos = length(word)),
+         |enc AS (SELECT wo.word, coalesce(d.acc, '[UNK]') AS pieces,
+         |    (d.acc IS NULL) AS is_unk
+         |  FROM words wo LEFT JOIN done d USING (word))
+         |SELECT wd.doc_id, count(*) AS n_words,
+         |  CAST(sum(len(string_split(pieces, ' '))) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN is_unk THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unk,
+         |  md5(string_agg(pieces, ' ' ORDER BY wd.word_id)) AS enc_digest
+         |FROM wd JOIN enc USING (word)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
     // the kn replay with lang threaded through every model key, then the
     // per-language ntile(3) cut — fit, score and bucket all replay
     "text_ccnet_buckets" ->

@@ -119,6 +119,30 @@ class TokenModelsSpec extends AnyFunSuite {
     assert(out(5) == Seq("at", "t", "t"))
   }
 
+  test("wordpieceEncode: BERT greedy longest-match — classic unaffable " +
+      "split, longest-first beats shorter prefixes, maxPieceLen caps, " +
+      "unmatchable word collapses to one [UNK]") {
+    val vocab = Seq("un", "##aff", "##able", "ab", "abc", "##d", "a",
+      "##b", "##c", "q", "##u")
+    val doc = Seq((1L, "unaffable abcd abba zebra")).toDF("doc_id", "text")
+    val out = bpeSyms(graft.ops.TokenModels.wordpieceEncode(doc, "doc_id",
+      "text", vocab, maxPieceLen = 4))
+    // the canonical BERT example
+    assert(out(0) == Seq("un", "##aff", "##able"))
+    // "abcd": longest first — abc (not ab), then ##d
+    assert(out(1) == Seq("abc", "##d"))
+    // "abba": ab, then ##b ##a fails (no ##a)... greedy takes ##b,
+    // then stuck at 'a' with only bare 'a' in vocab → whole word UNK
+    assert(out(2) == Seq("[UNK]"))
+    // "zebra": 'z' unmatched at position 0 → [UNK]
+    assert(out(3) == Seq("[UNK]"))
+    // maxPieceLen: with cap 2 the abc piece is out of reach
+    val capped = bpeSyms(graft.ops.TokenModels.wordpieceEncode(
+      Seq((1L, "abcd")).toDF("doc_id", "text"), "doc_id", "text", vocab,
+      maxPieceLen = 2))
+    assert(capped(0) == Seq("ab", "##c", "##d"))
+  }
+
   test("bpeEncode: overlapping occurrences merge greedily left-to-right " +
       "(run parity), all occurrences of the chosen pair in one round") {
     val doc = Seq((1L, "aaa aaaa aaaaa anananx")).toDF("doc_id", "text")
