@@ -92,6 +92,23 @@ class SqlSurfaceSpec extends AnyFunSuite {
          |  AS ARRAY<DOUBLE>), $cbLit, 2, 2) AS c""".stripMargin)
       .collect()(0).getAs[scala.collection.Seq[Int]]("c")
     assert(codes.toSeq == Seq(1, 0))
+
+    // graft_wordpiece_word: the canonical BERT split from SQL text
+    val wp = spark.sql(
+      """SELECT graft_wordpiece_word('unaffable',
+        |  concat('un', char(2), '##aff', char(2), '##able'),
+        |  5, '[UNK]') AS p""".stripMargin)
+      .collect()(0).getAs[scala.collection.Seq[String]]("p")
+    assert(wp.toSeq == Seq("un", "##aff", "##able"))
+
+    // graft_deflate_len: repetitive text compresses below its length,
+    // and the length is a stable function of the input
+    val dl = spark.sql(
+      """SELECT graft_deflate_len(repeat('spam ', 200), 6) AS a,
+        |  graft_deflate_len(repeat('spam ', 200), 6) AS b""".stripMargin)
+      .collect()(0)
+    assert(dl.getAs[Long]("a") == dl.getAs[Long]("b"))
+    assert(dl.getAs[Long]("a") < 100L) // 1000 bytes of boilerplate
   }
 
   test("a full operator expressed as SQL over views matches the API version") {
