@@ -97,6 +97,34 @@ object Screening {
     * total, so the statistic is engine-exact. Returns one row:
     * (n, agree, pe_num, kappa).
     */
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et
+    * al. 2007) — the re-identification governance check a training-data
+    * release runs before shipping rows that carry quasi-identifiers:
+    * every equivalence class of the quasi-identifier combination gets
+    * its size (k-anonymity: a class smaller than `k` makes its members
+    * linkable), its count of distinct sensitive values (l-diversity: a
+    * class with fewer than `l` sensitive values leaks the attribute even
+    * when k holds), and violation flags. The per-row "prosecutor" risk
+    * 1/class_size is exact integer arithmetic downstream
+    * (Σ_rows 1/size = n_classes/N).
+    *
+    * Shape at scale: ONE group-by on the quasi columns — size is
+    * map-side combined; the distinct-sensitive count shuffles (class,
+    * sensitive) pairs bounded by the class × value domain; a hot class
+    * is one combiner cell, never a window. Returns one row per class:
+    * (quasiCols…, class_size, l_diversity, violates_k, violates_l).
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Int, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 1 && l >= 1, s"bad thresholds k=$k l=$l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("l_diversity"))
+      .withColumn("violates_k", col("class_size") < k)
+      .withColumn("violates_l", col("l_diversity") < l)
+  }
+
   def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val base = df.select(col(aCol).as("a"), col(bCol).as("b"))
     val counts = base.agg(count(lit(1)).as("n"),

@@ -383,7 +383,24 @@ object QualityQueries {
         "doc_id", "text", "lang")
       .orderBy("metric")
 
+  private val KAnonK = 10
+  private val KAnonL = 3
+
+  /** k-anonymity / l-diversity audit
+    * ([[graft.ops.Screening.kAnonymity]]) over the customer table:
+    * quasi-identifiers (nation, market segment), sensitive attribute =
+    * the 1000-wide account-balance band; classes smaller than
+    * [[KAnonK]] or with fewer than [[KAnonL]] distinct bands flag.
+    */
+  def kAnonymityQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Screening.kAnonymity(
+        Tables.customer(spark, dir)
+          .withColumn("acct_band", floor(col("c_acctbal") / 1000.0)),
+        Seq("c_nationkey", "c_mktsegment"), "acct_band", KAnonK, KAnonL)
+      .orderBy("c_nationkey", "c_mktsegment")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_k_anonymity" -> kAnonymityQ,
     "quality_dataset_card" -> datasetCard,
     "quality_fk_orphans" -> fkOrphans,
     "quality_weighted_median" -> weightedMedianPrice,
@@ -409,6 +426,16 @@ object QualityQueries {
     "quality_dup_ratio_documents" -> dupRatioDocuments)
 
   val oracle: Map[String, String] = Map(
+    // one group-by: class sizes, distinct sensitive bands, flags
+    "quality_k_anonymity" ->
+      s"""SELECT c_nationkey, c_mktsegment,
+         |  count(*) AS class_size,
+         |  count(DISTINCT floor(c_acctbal / 1000.0)) AS l_diversity,
+         |  count(*) < $KAnonK AS violates_k,
+         |  count(DISTINCT floor(c_acctbal / 1000.0)) < $KAnonL
+         |    AS violates_l
+         |FROM customer GROUP BY 1, 2
+         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     // counts and count ratios, integer until one division each; language
     // shares key as lang_share:<code>
     "quality_dataset_card" ->

@@ -222,4 +222,28 @@ class ScreeningSpec extends AnyFunSuite {
     assert(r2.getAs[Double]("effect_chi2") == 1000.0 &&
       r2.getAs[Long]("n_arm0") == r1.getAs[Long]("n_arm0"))
   }
+
+  test("kAnonymity: class sizes and l-diversity per quasi combo; small " +
+      "class flags k, uniform-sensitive class flags l") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows =
+      // class (US, gold): 3 members, all sensitive = 'a' → violates l
+      Seq(("US", "gold", "a"), ("US", "gold", "a"), ("US", "gold", "a")) ++
+      // class (US, base): 4 members, 2 sensitive values → passes both
+      Seq(("US", "base", "a"), ("US", "base", "b"), ("US", "base", "a"),
+        ("US", "base", "b")) ++
+      // class (DE, gold): 1 member → violates k (and l)
+      Seq(("DE", "gold", "c"))
+    val out = Screening.kAnonymity(rows.toDF("nation", "tier", "s"),
+        Seq("nation", "tier"), "s", k = 2, l = 2)
+      .orderBy("nation", "tier").collect()
+      .map(r => (r.getAs[String]("nation"), r.getAs[String]("tier"),
+        r.getAs[Long]("class_size"), r.getAs[Long]("l_diversity"),
+        r.getAs[Boolean]("violates_k"), r.getAs[Boolean]("violates_l")))
+    assert(out.toSeq == Seq(
+      ("DE", "gold", 1L, 1L, true, true),
+      ("US", "base", 4L, 2L, false, false),
+      ("US", "gold", 3L, 1L, false, true)))
+  }
 }
