@@ -336,4 +336,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!s.contains("CartesianProduct"), s)
     assert(!s.contains("SortMergeJoin"), s)
   }
+
+  test("compression ratio is scan + project only — the deflate kernel " +
+      "stays in codegen with zero exchanges") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val df = graft.ops.TextAnalysis.compressionRatio(docs, "doc_id", "text")
+    val s = planString(df)
+    assert(!s.contains("Exchange"), s)
+    assert(s.contains("graft_deflate_len"), s)
+    val f = formatted(df)
+    assert(!f.contains("CodegenFallback"), f)
+  }
+
+  test("wordpiece encode: kernel call inside the generate, no shuffle " +
+      "before the symbol stream") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val s = planString(graft.ops.TokenModels.wordpieceEncode(docs,
+      "doc_id", "text", graft.queries.TextQueries.WpVocab,
+      graft.queries.TextQueries.WpMaxPieceLen))
+    assert(!s.contains("Exchange"), s)
+    assert(s.contains("graft_wordpiece_word"), s)
+  }
+
+  test("PQ encode is a zero-shuffle kernel map over the corpus") {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val cb = graft.ops.Pq.pqFit(emb, "vec_id", "embedding", 64, 8, 4, 1)
+    val s = planString(graft.ops.Pq.pqEncode(emb, "vec_id", "embedding",
+      64, 8, cb))
+    assert(!s.contains("Exchange"), s)
+    assert(s.contains("graft_pq_assign"), s)
+  }
 }
