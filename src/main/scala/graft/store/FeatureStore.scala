@@ -250,6 +250,53 @@ final class FeatureStore(
       .select("column", "q", "n_total", "target_rank", "est_value")
   }
 
+  /** Right-to-be-forgotten erasure (the GDPR Art. 17 deletion path a
+    * feature store needs operationally, beyond [[cleanupOldVersions]]'
+    * whole-version retention): remove EVERY row of `userId` from every
+    * stored version, preserving version partitions, ids and metadata
+    * (version hashes are registration-time identifiers of what was
+    * ingested, not content digests of the erased state — rewriting them
+    * would corrupt lineage and AS-OF reads). Only partitions that
+    * actually contain the user rewrite (dynamic partition overwrite); a
+    * version left EMPTY by the erasure has its partition directory
+    * deleted outright (dynamic overwrite cannot replace a partition
+    * with zero output rows — it would silently keep the old files). The
+    * serve cache is cleared, so no erased row survives in a cached
+    * slice. Returns the audit the request needs: (feature_version,
+    * n_erased), one row per touched version.
+    */
+  def eraseUser(userId: Long): Seq[(String, Long)] = {
+    val feats = spark.read.parquet(featuresPath)
+    val audit = feats.filter(col("user_id") === userId)
+      .groupBy("feature_version").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sorted
+    if (audit.nonEmpty) {
+      val touched = audit.map(_._1)
+      // materialize BEFORE the overwrite — the rewrite reads the same
+      // path it replaces (touched-version-bounded; a production store
+      // would stage to a sibling dir and swap, same cost class)
+      val remaining = feats
+        .filter(col("feature_version").isInCollection(touched))
+        .filter(!(col("user_id") <=> userId))
+        .localCheckpoint()
+      val stillThere = remaining.select("feature_version").distinct()
+        .collect().map(_.getString(0)).toSet
+      if (stillThere.nonEmpty)
+        remaining.filter(col("feature_version").isInCollection(stillThere))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("feature_version")
+          .parquet(featuresPath)
+      val fs = new Path(basePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (touched.toSet -- stillThere).foreach { v =>
+        fs.delete(new Path(s"$featuresPath/feature_version=$v"), true)
+      }
+      cache.clear()
+    }
+    audit
+  }
+
   /** PSI drift of `current`'s `column` against the ENTIRE registered
     * history, answered purely from the persisted knots
     * ([[graft.ops.Drift.psiAgainstSketch]]): decile edges AND baseline

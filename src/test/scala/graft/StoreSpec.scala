@@ -216,4 +216,33 @@ class StoreSpec extends AnyFunSuite {
       buckets = 10).collect()
     assert(math.abs(same.map(_.getAs[Double]("contribution")).sum) < 0.05)
   }
+
+  test("eraseUser: the user vanishes from every version, other rows and " +
+      "version ids survive, a fully-erased version's partition is " +
+      "removed, cached slices are dropped") {
+    val store = freshStore()
+    val v1 = store.registerFeatures(
+      feats(1L -> 10.0, 2L -> 20.0, 3L -> 30.0), meta)
+    val v2 = store.registerFeatures(feats(1L -> 11.0, 2L -> 21.0), meta)
+    val vOnly = store.registerFeatures(feats(2L -> 99.0), meta)
+    // user 2 is in a cached slice before erasure
+    assert(store.serveFeatures(2L, Some(v1)).isDefined)
+    val audit = store.eraseUser(2L)
+    assert(audit.toMap == Map(v1 -> 1L, v2 -> 1L, vOnly -> 1L))
+    // gone everywhere, including the cache-backed serve path
+    Seq(v1, v2, vOnly).foreach { v =>
+      assert(store.serveFeatures(2L, Some(v)).isEmpty, v)
+    }
+    // collateral rows intact, version identifiers unchanged
+    assert(store.getFeatures(Some(v1), useCache = false)
+      .select("user_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L))
+    assert(store.getFeatures(Some(v2), useCache = false).count() == 1)
+    // the version that held ONLY user 2 is now an empty read, not stale
+    assert(store.getFeatures(Some(vOnly), useCache = false).count() == 0)
+    // metadata/lineage untouched — still three registered versions
+    assert(store.listFeatureVersions().size == 3)
+    // erasing an absent user is a no-op with an empty audit
+    assert(store.eraseUser(777L).isEmpty)
+  }
 }
