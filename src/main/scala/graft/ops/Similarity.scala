@@ -117,8 +117,6 @@ object Similarity {
     */
   def bitextMargin(xs: DataFrame, ys: DataFrame, idCol: String,
       vecCol: String, k: Int, threshold: Double): DataFrame = {
-    require(k >= 1, s"k must be >= 1: $k")
-    import org.apache.spark.sql.expressions.Window
     val dec = org.apache.spark.sql.types.DecimalType(18, 6)
     val a = xs.select(col(idCol).cast("long").as("x_id"),
       col(vecCol).as("__xv"))
@@ -128,17 +126,37 @@ object Similarity {
       .select(col("x_id"), col("y_id"),
         round(cosine(col("__xv"), col("__yv")), 6).cast(dec).as("cos"))
       .localCheckpoint()
+    bitextMarginOnCandidates(cross, k, threshold)
+  }
+
+  /** The margin-rescoring TAIL of [[bitextMargin]] over an
+    * already-generated candidate relation (x_id, y_id, cos with 6-dp
+    * DECIMAL(18,6) cosines) — the form that actually runs at corpus
+    * scale, where the candidates come k-bounded per id from the ANN
+    * funnel ([[Ivf.probeBatch]] / [[graft.ops.Pq]] codes scored both
+    * directions) instead of a within-slice cross. Margin semantics are
+    * identical by construction (the cross path delegates here;
+    * SimilaritySpec pins hand-computed values through BOTH entries) with
+    * one stated difference: the top-k means average over each id's
+    * PRESENT candidates, so an ANN candidate set must carry ≥ k
+    * neighbors per id for the denominators to match the exact path —
+    * the standard shortlist-k′ > k discipline.
+    */
+  def bitextMarginOnCandidates(cand: DataFrame, k: Int,
+      threshold: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
     val wx = Window.partitionBy("x_id").orderBy(col("cos").desc, col("y_id"))
     val wy = Window.partitionBy("y_id").orderBy(col("cos").desc, col("x_id"))
-    val xStat = cross.withColumn("__r", row_number().over(wx))
+    val xStat = cand.withColumn("__r", row_number().over(wx))
       .filter(col("__r") <= k).groupBy("x_id")
       .agg(sum("cos").as("__sx"), count(lit(1)).as("__nx"))
-    val yStat = cross.withColumn("__r", row_number().over(wy))
+    val yStat = cand.withColumn("__r", row_number().over(wy))
       .filter(col("__r") <= k).groupBy("y_id")
       .agg(sum("cos").as("__sy"), count(lit(1)).as("__ny"))
-    val best = cross.withColumn("__r", row_number().over(wx))
+    val best = cand.withColumn("__r", row_number().over(wx))
       .filter(col("__r") === 1).drop("__r")
-    val yBest = cross.withColumn("__r", row_number().over(wy))
+    val yBest = cand.withColumn("__r", row_number().over(wy))
       .filter(col("__r") === 1).select(col("y_id"), col("x_id").as("__ybx"))
     best.join(xStat, Seq("x_id")).join(yStat, Seq("y_id"))
       .join(yBest, Seq("y_id"))

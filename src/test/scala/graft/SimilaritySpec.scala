@@ -510,5 +510,21 @@ class SimilaritySpec extends AnyFunSuite {
         k = 2, threshold = 1.5)
       .collect().map(_.getAs[Long]("x_id"))
     assert(strict.toSeq == Seq(1L))
+    // the candidate-relation entry (the ANN-funnel serving form) gives
+    // the same answer when fed the full candidate set
+    import org.apache.spark.sql.functions.{broadcast, col, round}
+    val cand = xs.select(col("doc_id").cast("long").as("x_id"),
+        col("embedding").as("__xv"))
+      .crossJoin(broadcast(ys.select(col("doc_id").cast("long").as("y_id"),
+        col("embedding").as("__yv"))))
+      .select(col("x_id"), col("y_id"),
+        round(Similarity.cosine(col("__xv"), col("__yv")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("cos"))
+    val viaCand = Similarity.bitextMarginOnCandidates(cand, k = 2,
+        threshold = 1.02)
+      .orderBy("x_id").collect()
+      .map(r => (r.getAs[Long]("x_id"), r.getAs[Long]("y_id"),
+        r.getAs[Double]("margin"), r.getAs[Boolean]("mutual")))
+    assert(viaCand.toSeq == out.toSeq)
   }
 }
