@@ -283,6 +283,80 @@ object Graph {
     * pageRank rule). At cluster scale both relations bucket on the node
     * id. Returns (node, community).
     */
+  /** Bounded-round HITS hubs & authorities (Kleinberg, JACM 1999) on a
+    * directed edge list — the query-dependent companion to [[pageRank]]:
+    * a node is a good AUTHORITY when good hubs point at it and a good HUB
+    * when it points at good authorities, the mutual-reinforcement pair
+    * behind both web-spam triage and bipartite interaction graphs (a
+    * customer→supplier purchase edge makes hubs "broad buyers" and
+    * authorities "widely-bought suppliers").
+    *
+    * Determinism discipline (the [[pageRank]] replay rules): iteration
+    * state is DECIMAL(18,9); each half-step sums the opposite score over
+    * the edge relation in exact DECIMAL, then L2-normalizes via the
+    * nano-unit integer square ([[EventOps.rollingAnomaly]] pattern —
+    * widen to DECIMAL(38,0) BEFORE the multiply, so Σx² is an exact
+    * integer; widths hold to in-degree ≤ ~9e9 per node) and spends
+    * exactly two IEEE ops (sqrt — correctly rounded on every engine —
+    * and one division) before rounding back to 9 dp. Every round's state
+    * is engine-identical, which lets the DuckDB oracle replay the
+    * iterations as unrolled CTEs.
+    *
+    * Per round: two edge joins + two destination aggregates (all bucket
+    * on the node id at cluster scale) + two 1-row norm aggregates
+    * broadcast back (the tiny-stat pattern). The deduplicated edge
+    * relation builds ONCE outside the loop. Returns
+    * (node, hub, authority) as 9-dp doubles; nodes with no in-edges have
+    * authority 0, nodes with no out-edges hub 0.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val decBig = DecimalType(38, 0)
+    val d28 = DecimalType(28, 9)
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+
+    // exact-integer L2 normalize: x/||x|| = x_nano/√(Σ x_nano²)
+    def l2normalize(raw: DataFrame, c: String): DataFrame = {
+      val nano = raw.withColumn("__xn",
+        (col(c) * lit(1000000000L)).cast("long"))
+      val ss = nano.agg(
+        sum(col("__xn").cast(decBig) * col("__xn").cast(decBig))
+          .as("__ss"))
+      nano.crossJoin(broadcast(ss))
+        .select(col("node"),
+          when(col("__ss") === 0, lit(0).cast(D9))
+            .otherwise(round(col("__xn").cast("double") /
+              sqrt(col("__ss").cast("double")), 9).cast(D9)).as(c))
+    }
+
+    var hubs = nodes.select(col("node"), lit(1).cast(D9).as("h"))
+    var auths = nodes.select(col("node"), lit(0).cast(D9).as("a"))
+    for (_ <- 1 to iterations) {
+      val aSum = hubs.join(e, col("node") === col("src"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("__m"))
+      auths = l2normalize(
+        nodes.join(aSum, col("node") === col("dst"), "left")
+          .select(col("node"),
+            coalesce(col("__m"), lit(0).cast(d28)).as("a")),
+        "a").localCheckpoint()
+      val hSum = auths.join(e, col("node") === col("dst"))
+        .groupBy(col("src")).agg(sum(col("a")).as("__m"))
+      hubs = l2normalize(
+        nodes.join(hSum, col("node") === col("src"), "left")
+          .select(col("node"),
+            coalesce(col("__m"), lit(0).cast(d28)).as("h")),
+        "h").localCheckpoint()
+    }
+    hubs.join(auths, Seq("node"))
+      .select(col("node"), col("h").cast("double").as("hub"),
+        col("a").cast("double").as("authority"))
+  }
+
   def lpaCommunities(edges: DataFrame, aCol: String, bCol: String,
       rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")

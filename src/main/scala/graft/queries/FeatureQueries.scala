@@ -335,6 +335,21 @@ object FeatureQueries {
       .orderBy("node")
   }
 
+  /** Bounded-round HITS hubs & authorities over the purchase graph
+    * ([[graft.ops.Graph.hits]], same edges as `feat_pagerank` — the
+    * bipartite reading: hubs = broad buyers, authorities = widely-bought
+    * suppliers). Scores stay at their native 9 dp (the pageRank rule).
+    */
+  def hitsSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+    graft.ops.Graph.hits(edges, "src", "dst", iterations = 3)
+      .orderBy("node")
+  }
+
   /** Deterministic hash-chosen random walks over the purchase graph
     * ([[graft.ops.Graph.randomWalks]]) — the DeepWalk corpus step,
     * bit-reproducible on any engine.
@@ -506,6 +521,7 @@ object FeatureQueries {
     "feat_wilson_rank" -> wilsonRank,
     "feat_pagerank" -> pageRankSuppliers,
     "feat_lpa_communities" -> lpaCommunities,
+    "feat_hits" -> hitsSuppliers,
     "feat_theilsen_trend" -> theilSen,
     "feat_cusum_alarm" -> cusum,
     "feat_fano_burstiness" -> fano,
@@ -636,6 +652,53 @@ object FeatureQueries {
        |$iters
        |SELECT node, CAST(r AS DOUBLE) AS rank
        |FROM r3 ORDER BY node""".stripMargin
+  }
+
+  // unrolled HITS CTEs: each half-step is (exact DECIMAL sum over the
+  // edge relation) → (nano-unit integer square via HUGEINT, mirroring the
+  // DECIMAL(38,0) widen-before-multiply in Graph.hits) → sqrt + one
+  // division → 9-dp round; h0 = 1 on every node, a-step first
+  private val hitsSql: String = {
+    val iters = (1 to 3).map { i =>
+      val h = if (i == 1) "h0" else s"h${i - 1}"
+      s"""ar$i AS (SELECT nodes.node,
+         |  coalesce(m.m, CAST(0 AS DECIMAL(18,9))) AS a
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst, sum(h.h) AS m FROM $h h
+         |    JOIN e ON h.node = e.src GROUP BY 1) m
+         |  ON m.dst = nodes.node),
+         |an$i AS (SELECT node, CAST(a * 1000000000 AS BIGINT) AS xn
+         |  FROM ar$i),
+         |ass$i AS (SELECT sum(CAST(xn AS HUGEINT) * xn) AS ss FROM an$i),
+         |a$i AS (SELECT node,
+         |  CASE WHEN ass$i.ss = 0 THEN CAST(0 AS DECIMAL(18,9))
+         |  ELSE CAST(round(CAST(xn AS DOUBLE) / sqrt(CAST(ss AS DOUBLE)),
+         |         9) AS DECIMAL(18,9)) END AS a
+         |  FROM an$i, ass$i),
+         |hr$i AS (SELECT nodes.node,
+         |  coalesce(m.m, CAST(0 AS DECIMAL(18,9))) AS h
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.src, sum(a.a) AS m FROM a$i a
+         |    JOIN e ON a.node = e.dst GROUP BY 1) m
+         |  ON m.src = nodes.node),
+         |hn$i AS (SELECT node, CAST(h * 1000000000 AS BIGINT) AS xn
+         |  FROM hr$i),
+         |hss$i AS (SELECT sum(CAST(xn AS HUGEINT) * xn) AS ss FROM hn$i),
+         |h$i AS (SELECT node,
+         |  CASE WHEN hss$i.ss = 0 THEN CAST(0 AS DECIMAL(18,9))
+         |  ELSE CAST(round(CAST(xn AS DOUBLE) / sqrt(CAST(ss AS DOUBLE)),
+         |         9) AS DECIMAL(18,9)) END AS h
+         |  FROM hn$i, hss$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT 'c' || o_custkey AS src,
+       |             's' || l_suppkey AS dst
+       |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT node, CAST(1 AS DECIMAL(18,9)) AS h FROM nodes),
+       |$iters
+       |SELECT h3.node, CAST(h3.h AS DOUBLE) AS hub,
+       |  CAST(a3.a AS DOUBLE) AS authority
+       |FROM h3 JOIN a3 ON h3.node = a3.node ORDER BY h3.node""".stripMargin
   }
 
   private val DecayHalfLife = 7
@@ -1186,6 +1249,7 @@ object FeatureQueries {
          |FROM w ORDER BY wilson_lb DESC, user_id LIMIT $WilsonTopK""".stripMargin,
     "feat_pagerank" -> pageRankSql,
     "feat_lpa_communities" -> lpaSql,
+    "feat_hits" -> hitsSql,
     // F = (n·Σc² − (Σc)²)/(n·Σc): one rational of integer sums, one
     // division rounded 9 dp; HUGEINT carries the squares
     "feat_fano_burstiness" ->

@@ -146,4 +146,54 @@ class GraphSpec extends AnyFunSuite {
       "d" -> "c", "e" -> "c", "f" -> "c"), out.toString)
     assert(run(edges.repartition(5)) == out)
   }
+
+  test("hits: star fixed point — authority 1 at the center, hubs 1/√3; " +
+      "no-in-edge nodes have authority 0") {
+    val spark2 = spark
+    import spark2.implicits._
+    val star = Seq(("c1", "s1"), ("c2", "s1"), ("c3", "s1"))
+      .toDF("src", "dst")
+    val r = Graph.hits(star, "src", "dst", iterations = 3).collect()
+      .map(x => x.getAs[String]("node") ->
+        (x.getAs[Double]("hub"), x.getAs[Double]("authority"))).toMap
+    val invSqrt3 = BigDecimal(1.0 / math.sqrt(3.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r("s1") == ((0.0, 1.0)), r.toString)
+    assert(Seq("c1", "c2", "c3").forall(c => r(c) == ((invSqrt3, 0.0))),
+      r.toString)
+  }
+
+  test("hits: hand-traced first iteration on the 2-authority fixture; " +
+      "L2 norms stay 1 up to rounding; deterministic under repartitioning") {
+    val spark2 = spark
+    import spark2.implicits._
+    // c1→{s1,s2}, c2→s1: after the a-step a(s1)=2/√5, a(s2)=1/√5
+    val edges = Seq(("c1", "s1"), ("c1", "s2"), ("c2", "s1"))
+      .toDF("src", "dst")
+    def dp9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val one = Graph.hits(edges, "src", "dst", iterations = 1).collect()
+      .map(x => x.getAs[String]("node") ->
+        (x.getAs[Double]("hub"), x.getAs[Double]("authority"))).toMap
+    assert(one("s1")._2 == dp9(2.0 / math.sqrt(5.0)), one.toString)
+    assert(one("s2")._2 == dp9(1.0 / math.sqrt(5.0)), one.toString)
+    // h-step: raw h(c1)=a(s1)+a(s2), h(c2)=a(s1), over the ROUNDED a's
+    val a1 = dp9(2.0 / math.sqrt(5.0)); val a2 = dp9(1.0 / math.sqrt(5.0))
+    val nrm = math.sqrt((a1 + a2) * (a1 + a2) + a1 * a1)
+    assert(one("c1")._1 == dp9((a1 + a2) / nrm), one.toString)
+    assert(one("c2")._1 == dp9(a1 / nrm), one.toString)
+    val three = Graph.hits(edges, "src", "dst", iterations = 3)
+    val rows = three.collect().map(x =>
+      (x.getAs[Double]("hub"), x.getAs[Double]("authority")))
+    // each of the 6 normalizations rounds ≤ n values to 9 dp
+    val tol = rows.length * 4 * 5e-10
+    assert(math.abs(rows.map(r => r._1 * r._1).sum - 1.0) <= tol)
+    assert(math.abs(rows.map(r => r._2 * r._2).sum - 1.0) <= tol)
+    val rep = Graph.hits(edges.repartition(5), "src", "dst", 3).collect()
+      .map(x => (x.getAs[String]("node"), x.getAs[Double]("hub"),
+        x.getAs[Double]("authority"))).sortBy(_._1)
+    val base = three.collect().map(x => (x.getAs[String]("node"),
+      x.getAs[Double]("hub"), x.getAs[Double]("authority"))).sortBy(_._1)
+    assert(rep.toSeq == base.toSeq)
+  }
 }
