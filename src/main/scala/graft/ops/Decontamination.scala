@@ -70,4 +70,43 @@ object Decontamination {
       .select(col("doc_id").as(idCol))
     docs.join(flagged, Seq(idCol), "left_anti")
   }
+
+  /** SEMANTIC contamination audit — the embedding-space complement of
+    * [[overlapStats]]: paraphrased or translated benchmark leakage carries
+    * no shared n-grams, so modern decontamination (e.g. the practice
+    * popularized alongside SemDeDup-style embedding dedup) additionally
+    * flags training items whose embedding cosine against ANY eval item
+    * reaches `threshold`.
+    *
+    * Returns one row per CONTAMINATED training item:
+    * (train_id, eval_id, max_cos, n_matches) — the argmax eval match
+    * (smallest eval id on 6-dp cosine ties, the library argmin
+    * convention), the tied max cosine, and how many eval items cleared
+    * the threshold.
+    *
+    * Scale shape (the [[overlapStats]] rule — never shuffle the corpus):
+    * the eval side is benchmark-sized and broadcasts; each training row
+    * scores against it map-side via the codegen'd dot kernel; the
+    * threshold filter runs BEFORE the per-train-id argmax collapse, so
+    * the only shuffle is over flagged pairs (contamination-sized, not
+    * corpus-sized) and is partial-aggregable (min-struct, not a window).
+    * Cosines round to 6 dp — sqrt-derived, engine-safe.
+    */
+  def semanticContamination(train: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val t = train.select(col(idCol).as("train_id"),
+      col(vecCol).cast("array<double>").as("__tv"))
+    val e = evalSet.select(col(idCol).as("eval_id"),
+      col(vecCol).cast("array<double>").as("__ev"))
+    t.crossJoin(broadcast(e))
+      .select(col("train_id"), col("eval_id"),
+        round(Similarity.cosine(col("__tv"), col("__ev")), 6).as("__cos"))
+      .filter(col("__cos") >= threshold)
+      .groupBy("train_id")
+      .agg(min(struct((-col("__cos")).as("__nc"),
+          col("eval_id").as("__e"))).as("__best"),
+        count(lit(1)).as("n_matches"))
+      .select(col("train_id"), col("__best.__e").as("eval_id"),
+        (-col("__best.__nc")).as("max_cos"), col("n_matches"))
+  }
 }

@@ -115,6 +115,22 @@ object PrepQueries {
         sum(col("doc_id")).as("id_checksum"))
   }
 
+  private val SemDecontamThreshold = 0.35
+
+  /** Embedding-space contamination audit
+    * ([[graft.ops.Decontamination.semanticContamination]]): every 20th
+    * vector plays the benchmark set, the rest the training corpus;
+    * flagged training items report their argmax eval match.
+    */
+  def semanticDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Decontamination.semanticContamination(
+        emb.filter(col("vec_id") % 20 =!= 0),
+        emb.filter(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", SemDecontamThreshold)
+      .orderBy("train_id")
+  }
+
   /** Exact 10% stratified sample of orders by status: per-stratum kept
     * count and key checksum (counts are ⌈0.1·n⌉ exactly, not in
     * expectation — PrepSpec pins the per-stratum exactness property).
@@ -410,6 +426,7 @@ object PrepQueries {
     "prep_mixture_sample" -> mixtureSample,
     "prep_decontam_overlap" -> decontamOverlap,
     "prep_decontam_survivors" -> decontamSurvivors,
+    "prep_semantic_decontam" -> semanticDecontam,
     "prep_stratified_sample" -> stratifiedSample,
     "prep_histogram_price" -> histogramPrice,
     "prep_chunk_text" -> chunkText,
@@ -850,6 +867,27 @@ object PrepQueries {
          |FROM documents
          |WHERE source <> 'src0'
          |  AND doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin,
+    // semantic contamination: cross every train vector against the small
+    // eval slice, 6-dp cosine, threshold BEFORE the per-train argmax
+    // (row_number replay of the min-struct tie rule: cos desc, eval id)
+    "prep_semantic_decontam" ->
+      s"""WITH t AS (SELECT vec_id AS train_id, embedding::DOUBLE[] AS tv
+         |  FROM embeddings WHERE vec_id % 20 <> 0),
+         |e AS (SELECT vec_id AS eval_id, embedding::DOUBLE[] AS ev
+         |  FROM embeddings WHERE vec_id % 20 = 0),
+         |p AS (SELECT train_id, eval_id,
+         |    round(list_dot_product(tv, ev) /
+         |      (sqrt(list_dot_product(tv, tv)) *
+         |       sqrt(list_dot_product(ev, ev))), 6) AS cos
+         |  FROM t, e),
+         |f AS (SELECT * FROM p WHERE cos >= $SemDecontamThreshold),
+         |r AS (SELECT train_id, eval_id, cos,
+         |    row_number() OVER (PARTITION BY train_id
+         |      ORDER BY cos DESC, eval_id) AS rn,
+         |    count(*) OVER (PARTITION BY train_id) AS n_matches
+         |  FROM f)
+         |SELECT train_id, eval_id, cos AS max_cos, n_matches
+         |FROM r WHERE rn = 1 ORDER BY train_id""".stripMargin,
     "prep_stratified_sample" ->
       s"""WITH r AS (SELECT o_orderkey, o_orderstatus,
          |  row_number() OVER (PARTITION BY o_orderstatus

@@ -45,4 +45,28 @@ class DecontaminationSpec extends AnyFunSuite {
       eval_.filter(lit(false)), "doc_id", "text", 3, 0.1)
     assert(surv.count() == train.count())
   }
+
+  test("semanticContamination: hand-computed cosines, argmax picks the " +
+      "smallest eval id on ties, sub-threshold training items absent") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tr = Seq(
+      (1L, Array(1.0, 0.0)),  // cos 1.0 vs e10, 0.0 vs e20
+      (2L, Array(0.6, 0.8)),  // cos 0.6 vs e10, 0.8 vs e20
+      (3L, Array(1.0, 1.0)),  // cos 1/√2 ≈ 0.707107 vs BOTH (tie)
+      (4L, Array(-1.0, 0.0))) // below threshold everywhere
+      .toDF("vec_id", "embedding")
+    val ev = Seq((10L, Array(1.0, 0.0)), (20L, Array(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val out = Decontamination
+      .semanticContamination(tr, ev, "vec_id", "embedding", 0.7)
+      .orderBy("train_id")
+      .as[(Long, Long, Double, Long)].collect()
+    val tie = BigDecimal(1.0 / math.sqrt(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq == Seq(
+      (1L, 10L, 1.0, 1L),
+      (2L, 20L, 0.8, 1L),
+      (3L, 10L, tie, 2L)), out.mkString(", "))
+  }
 }
