@@ -656,4 +656,60 @@ object Eval {
       .select("pair_id", "n_ref_grams", "n_cand_grams", "n_match",
         "precision", "recall", "f1")
   }
+
+  /** Kaplan–Meier product-limit survival curve + Nelson–Aalen cumulative
+    * hazard over right-censored (duration, event) labels — the standard
+    * readout of [[EventOps.survivalLabels]]-shaped data (churn curves,
+    * time-to-conversion): at each event time t with d events out of n
+    * at-risk, S(t) = Π (1 − d/n) and H(t) = Σ d/n; censored rows leave
+    * the risk set without contributing a factor.
+    *
+    * Determinism discipline: both cumulative walks run over the
+    * distinct-duration grid through [[SaltedGrid.cumulative]] (a
+    * microsecond-granular duration column is row-scale — never a global
+    * window), and the accumulated quantities are NANO-UNIT BIGINTs (the
+    * CUSUM lesson: windowed DECIMAL sums take a DOUBLE fast path in some
+    * engines): the per-step hazard d/n and log-factor ln(1 − d/n) each
+    * spend their fixed IEEE sequence, round to 9 dp, widen to
+    * DECIMAL(18,9) BEFORE the ×10⁹ (a double multiply could land one ulp
+    * under the integer), and sum exactly as longs. KM = exp(Σln)/NA = Σh
+    * divide back by 10⁹ at the end; ln/exp arguments are irrational —
+    * engine-safe to round. A grid point where the whole risk set dies
+    * (d = n) has ln(0) = −∞: it is flagged instead, and KM from that
+    * point on is exactly 0 (it is necessarily the last grid point).
+    *
+    * Returns one row per duration with ≥1 event:
+    * (durationCol, n_risk, d_events, na_cumhaz, km_survival).
+    */
+  def survivalCurve(df: DataFrame, durationCol: String, eventCol: String)
+      : DataFrame = {
+    val d9 = DecimalType(18, 9)
+    val grid = df.groupBy(col(durationCol).cast("long").as("t"))
+      .agg(sum(col(eventCol).cast("long")).as("d"),
+        count(lit(1)).as("__all"))
+    val atRisk = SaltedGrid.cumulative(grid, "t", Seq("__all"))
+      .withColumn("n_risk",
+        col("__tot___all") - col("__cum___all") + col("__all"))
+    def nano(x: Column) = (round(x, 9).cast(d9) * lit(1000000000L))
+      .cast("long")
+    val stepped = atRisk
+      .withColumn("__h9",
+        nano(col("d").cast(DoubleType) / col("n_risk").cast(DoubleType)))
+      .withColumn("__ln9",
+        when(col("d") === col("n_risk"), lit(0L))
+          .otherwise(nano(log((col("n_risk") - col("d"))
+            .cast(DoubleType) / col("n_risk").cast(DoubleType)))))
+      .withColumn("__z",
+        when(col("d") === col("n_risk"), lit(1L)).otherwise(lit(0L)))
+      .select("t", "d", "n_risk", "__h9", "__ln9", "__z")
+    SaltedGrid.cumulative(stepped, "t", Seq("__h9", "__ln9", "__z"))
+      .filter(col("d") > 0)
+      .select(col("t").as(durationCol), col("n_risk"),
+        col("d").as("d_events"),
+        (col("__cum___h9").cast(DoubleType) / lit(1e9)).as("na_cumhaz"),
+        when(col("__cum___z") > 0, lit(0.0))
+          .otherwise(round(exp(
+            col("__cum___ln9").cast(DoubleType) / lit(1e9)), 9))
+          .as("km_survival"))
+  }
 }

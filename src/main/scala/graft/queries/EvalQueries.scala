@@ -198,6 +198,20 @@ object EvalQueries {
     graft.ops.Screening.abExperiment(Tables.events(spark, dir),
       col("user_id"), col("event_type") === "purchase")
 
+  private val SurvHorizonUs = 2L * 86400L * 1000000L
+
+  /** Kaplan–Meier + Nelson–Aalen curve over the purchase
+    * time-to-conversion labels ([[graft.ops.Eval.survivalCurve]] fed by
+    * [[graft.ops.EventOps.survivalLabels]] — same anchoring as
+    * `feat_survival_labels`).
+    */
+  def survivalCurve(spark: SparkSession, dir: String): DataFrame =
+    Eval.survivalCurve(
+        graft.ops.EventOps.survivalLabels(Tables.events(spark, dir),
+          "user_id", "ts", col("event_type") === "purchase", SurvHorizonUs),
+        "duration_us", "event")
+      .orderBy("duration_us")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_ab_experiment" -> abExperiment,
     "eval_rouge_dedup" -> rougeDedup,
@@ -212,7 +226,8 @@ object EvalQueries {
     "eval_brier" -> brierClicks,
     "eval_sliced_auc" -> slicedAuc,
     "eval_conformal" -> conformalPrice,
-    "eval_calibration_bins" -> calibrationClicks)
+    "eval_calibration_bins" -> calibrationClicks,
+    "eval_survival_curve" -> survivalCurve)
 
   // ---- oracle SQL -----------------------------------------------------------
 
@@ -658,5 +673,50 @@ object EvalQueries {
          |SELECT bin, n, n_pos, avg_prob, pos_rate, abs_gap,
          |  round(CAST(sum(CAST(round(abs_gap * n, 9) AS DECIMAL(28,9)))
          |      OVER () AS DOUBLE) / sum(n) OVER (), 9) AS ece
-         |FROM b3 ORDER BY bin""".stripMargin)
+         |FROM b3 ORDER BY bin""".stripMargin,
+    // KM/NA replay: nano-unit BIGINT hazard and ln-factor per grid row
+    // (round 9 dp → DECIMAL(18,9) → ×10⁹, the widen-before-multiply rule),
+    // exact BIGINT window sums, one ÷10⁹ + exp/round at the end; the
+    // labels CTEs mirror feat_survival_labels
+    "eval_survival_curve" ->
+      s"""WITH a AS (SELECT max(epoch_us(ts)) - $SurvHorizonUs
+         |             AS anchor FROM events),
+         |r AS (SELECT user_id, count(*) AS n_prior, max(anchor) AS anc
+         |      FROM events, a WHERE epoch_us(ts) <= anchor
+         |      GROUP BY user_id),
+         |f AS (SELECT user_id, min(epoch_us(ts)) AS t_event
+         |      FROM events, a
+         |      WHERE event_type = 'purchase' AND epoch_us(ts) > anchor
+         |        AND epoch_us(ts) <= anchor + $SurvHorizonUs
+         |      GROUP BY user_id),
+         |lab AS (SELECT
+         |    CASE WHEN f.t_event IS NOT NULL THEN f.t_event - r.anc
+         |         ELSE $SurvHorizonUs END AS t,
+         |    CASE WHEN f.t_event IS NOT NULL THEN 1 ELSE 0 END AS ev
+         |  FROM r LEFT JOIN f USING (user_id)),
+         |g AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+         |    count(*) AS alln FROM lab GROUP BY 1),
+         |c1 AS (SELECT t, d,
+         |    CAST(sum(alln) OVER () - sum(alln) OVER (ORDER BY t) + alln
+         |      AS BIGINT) AS n_risk FROM g),
+         |st AS (SELECT t, d, n_risk,
+         |    CAST(CAST(round(CAST(d AS DOUBLE) / n_risk, 9)
+         |      AS DECIMAL(18,9)) * 1000000000 AS BIGINT) AS h9,
+         |    CASE WHEN d = n_risk THEN 0
+         |      ELSE CAST(CAST(round(ln(CAST(n_risk - d AS DOUBLE)
+         |        / CAST(n_risk AS DOUBLE)), 9)
+         |        AS DECIMAL(18,9)) * 1000000000 AS BIGINT) END AS ln9,
+         |    CASE WHEN d = n_risk THEN 1 ELSE 0 END AS z
+         |  FROM c1),
+         |c2 AS (SELECT t, d, n_risk,
+         |    sum(h9) OVER (ORDER BY t) AS ch,
+         |    sum(ln9) OVER (ORDER BY t) AS cl,
+         |    sum(z) OVER (ORDER BY t) AS cz
+         |  FROM st)
+         |SELECT t AS duration_us, n_risk, d AS d_events,
+         |  CAST(ch AS DOUBLE) / 1000000000.0 AS na_cumhaz,
+         |  CASE WHEN cz > 0 THEN 0.0
+         |    ELSE round(exp(CAST(cl AS DOUBLE) / 1000000000.0), 9)
+         |    END AS km_survival
+         |FROM c2 WHERE d > 0 ORDER BY duration_us""".stripMargin)
 }

@@ -343,4 +343,46 @@ class EvalSpec extends AnyFunSuite {
       r1.getAs[Double]("precision") == 1.0 &&
       r1.getAs[Double]("recall") == 0.75)
   }
+
+  private def dp9(x: Double) = BigDecimal(x)
+    .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+
+  test("survivalCurve: hand-traced KM/NA table — censored rows shrink the " +
+      "risk set without a factor, censored-only times absent") {
+    // durations/events: events at t=2 (1/6), t=3 (1/5), t=5 (2/3);
+    // censored at t=3 and t=7
+    val df = Seq((2L, 1L), (3L, 1L), (3L, 0L), (5L, 1L), (5L, 1L),
+      (7L, 0L)).toDF("duration_us", "event")
+    val out = Eval.survivalCurve(df, "duration_us", "event")
+      .orderBy("duration_us")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((2L, 6L, 1L), (3L, 5L, 1L), (5L, 3L, 2L)), out.mkString(", "))
+    // NA cumhaz: exact nano-unit sums of round(d/n, 9)
+    def h(d: Long, n: Long) = dp9(d.toDouble / n)
+    assert(out(0)._4 == h(1, 6).toDouble)
+    assert(out(1)._4 == (h(1, 6) + h(1, 5)).toDouble)
+    assert(out(2)._4 == (h(1, 6) + h(1, 5) + h(2, 3)).toDouble)
+    // KM: exp of the cumulative 9-dp-rounded ln factors
+    def lnf(d: Long, n: Long) = dp9(math.log((n - d).toDouble / n))
+    def km(ls: BigDecimal) = dp9(math.exp(ls.toDouble)).toDouble
+    assert(out(0)._5 == km(lnf(1, 6)))
+    assert(out(1)._5 == km(lnf(1, 6) + lnf(1, 5)))
+    assert(out(2)._5 == km(lnf(1, 6) + lnf(1, 5) + lnf(2, 3)))
+    // survival is non-increasing, hazard non-decreasing
+    assert(out.map(_._5).sliding(2).forall(p => p(0) >= p(1)))
+    assert(out.map(_._4).sliding(2).forall(p => p(0) <= p(1)))
+  }
+
+  test("survivalCurve: a grid point where the whole risk set dies pins " +
+      "KM to exactly 0 instead of ln(0)") {
+    val df = Seq((1L, 1L), (2L, 1L), (2L, 1L)).toDF("duration_us", "event")
+    val out = Eval.survivalCurve(df, "duration_us", "event")
+      .orderBy("duration_us")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((1L, 3L, 1L), (2L, 2L, 2L)), out.mkString(", "))
+    assert(out(1)._5 == 0.0)
+    assert(out(1)._4 == (dp9(1.0 / 3) + dp9(1.0)).toDouble)
+  }
 }
