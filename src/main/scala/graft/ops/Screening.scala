@@ -428,4 +428,45 @@ object Screening {
       .withColumn("effect_flag_1pct",
         col("effect_chi2") > lit(Chi2Crit1).cast(DoubleType))
   }
+
+  /** ε-differentially-private count release (Laplace mechanism, Dwork et
+    * al. 2006) over group counts — the third member of the governance
+    * family next to [[kAnonymity]] and the store's user erasure: each
+    * group's count is perturbed with Laplace(1/ε) noise before release.
+    * Sensitivity 1 holds when each individual contributes AT MOST ONE
+    * row (one-row-per-entity relations, or pre-cap contributions with
+    * [[Prep.keyCap]]); ε composes additively across repeated releases.
+    *
+    * Noise is SEEDED, not sampled: u ∈ (0,1) comes from 52 md5 bits of
+    * (seed, group key) — u = (v + 0.5)/2⁵², so u−0.5, |·|, 1−2|u−0.5|
+    * are all EXACT binary rationals (power-of-two scaling only) — and
+    * the inverse CDF −sgn(u−½)·ln(1−2|u−½|)/ε spends one libm `ln` on an
+    * exact rational (irrational result — engine-safe to round 9 dp) plus
+    * exact-or-fixed IEEE steps. Deterministic replay is what makes the
+    * release auditable (and DuckDB-oracle-checkable); a production
+    * release rotates the seed per publication, which is exactly the ε
+    * composition the scaladoc above prices.
+    *
+    * Returns (groupCols…, true_count, noise, noisy_count) — the RELEASE
+    * view is `select(group…, noisy_count)`; true_count/noise stay here
+    * for the audit trail only. One group-by (map-side combined); the
+    * noise expression is per-GROUP arithmetic on the collapsed relation.
+    */
+  def dpNoisyCounts(df: DataFrame, groupCols: Seq[String], epsilon: Double,
+      seed: String): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive: $epsilon")
+    val counted = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("true_count"))
+    val key = concat_ws("|",
+      lit(seed) +: groupCols.map(c => col(c).cast("string")): _*)
+    val v = conv(substring(md5(key), 1, 13), 16, 10).cast("long")
+    val u = (v.cast(DoubleType) + lit(0.5)) / lit(4503599627370496.0)
+    val q = u - lit(0.5)
+    val noise = round(-signum(q) * log(lit(1.0) - lit(2.0) * abs(q))
+      / lit(epsilon), 9)
+    counted
+      .withColumn("noise", noise)
+      .withColumn("noisy_count",
+        round(col("true_count").cast(DoubleType) + col("noise"), 9))
+  }
 }

@@ -399,7 +399,20 @@ object QualityQueries {
         Seq("c_nationkey", "c_mktsegment"), "acct_band", KAnonK, KAnonL)
       .orderBy("c_nationkey", "c_mktsegment")
 
+  private val DpEpsilon = 0.5
+  private val DpSeed = "dp9"
+
+  /** ε-DP Laplace release of per-nation customer counts
+    * ([[graft.ops.Screening.dpNoisyCounts]]) — customer is one row per
+    * individual, so the counting query has true sensitivity 1.
+    */
+  def dpRelease(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Screening.dpNoisyCounts(Tables.customer(spark, dir),
+        Seq("c_nationkey"), DpEpsilon, DpSeed)
+      .orderBy("c_nationkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_dp_release" -> dpRelease,
     "quality_k_anonymity" -> kAnonymityQ,
     "quality_dataset_card" -> datasetCard,
     "quality_fk_orphans" -> fkOrphans,
@@ -426,6 +439,24 @@ object QualityQueries {
     "quality_dup_ratio_documents" -> dupRatioDocuments)
 
   val oracle: Map[String, String] = Map(
+    // seeded Laplace replay: u from 52 md5 bits is an exact binary
+    // rational (power-of-two scaling only), one ln on it, /0.5 is ×2 —
+    // the 9-dp rounds land on irrational values, engine-safe
+    "quality_dp_release" ->
+      s"""WITH g AS (SELECT c_nationkey, count(*) AS true_count
+         |           FROM customer GROUP BY 1),
+         |n AS (SELECT c_nationkey, true_count,
+         |    (CAST(('0x' || substr(md5('$DpSeed' || '|' ||
+         |        CAST(c_nationkey AS VARCHAR)), 1, 13))::BIGINT AS DOUBLE)
+         |      + 0.5) / 4503599627370496.0 AS u
+         |  FROM g),
+         |x AS (SELECT c_nationkey, true_count,
+         |    round(-sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))
+         |      / $DpEpsilon, 9) AS noise
+         |  FROM n)
+         |SELECT c_nationkey, true_count, noise,
+         |  round(CAST(true_count AS DOUBLE) + noise, 9) AS noisy_count
+         |FROM x ORDER BY c_nationkey""".stripMargin,
     // one group-by: class sizes, distinct sensitive bands, flags
     "quality_k_anonymity" ->
       s"""SELECT c_nationkey, c_mktsegment,

@@ -246,4 +246,40 @@ class ScreeningSpec extends AnyFunSuite {
       ("US", "base", 4L, 2L, false, false),
       ("US", "gold", 3L, 1L, false, true)))
   }
+
+  test("dpNoisyCounts: noise replays the seeded inverse-CDF exactly, " +
+      "flips with the seed, and noisy = true + noise") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1 to 40).map(i => (s"g${i % 5}", i)).toDF("grp", "x")
+    val out = Screening.dpNoisyCounts(df, Seq("grp"), 0.5, "seedA")
+      .orderBy("grp")
+      .as[(String, Long, Double, Double)].collect()
+    assert(out.length == 5 && out.forall(_._2 == 8L))
+    // replicate the mechanism for one group in plain JVM arithmetic
+    def expectedNoise(seed: String, g: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$seed|$g".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val v = java.lang.Long.parseLong(hex.substring(0, 13), 16)
+      val u = (v.toDouble + 0.5) / 4503599627370496.0
+      val q = u - 0.5
+      BigDecimal(-math.signum(q) * math.log(1.0 - 2.0 * math.abs(q)) / 0.5)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    out.foreach { case (g, t, noise, noisy) =>
+      assert(noise == expectedNoise("seedA", g), g)
+      assert(noisy == BigDecimal(t.toDouble + noise)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble, g)
+    }
+    // a different seed draws different noise (on at least one group)
+    val outB = Screening.dpNoisyCounts(df, Seq("grp"), 0.5, "seedB")
+      .orderBy("grp").as[(String, Long, Double, Double)].collect()
+    assert(out.map(_._3).toSeq != outB.map(_._3).toSeq)
+    // and the run is repartition-invariant
+    val rep = Screening.dpNoisyCounts(df.repartition(7), Seq("grp"), 0.5,
+        "seedA").orderBy("grp")
+      .as[(String, Long, Double, Double)].collect()
+    assert(rep.toSeq == out.toSeq)
+  }
 }
