@@ -102,6 +102,44 @@ object ScaleQueries {
       .select("l_orderkey", "l_linenumber", "z_value")
       .orderBy("z_value", "l_orderkey", "l_linenumber")
 
+  /** 2-D Hilbert indexes over the same (l_quantity, l_extendedprice)
+    * plane as `layout_zorder` ([[graft.sources.Layout.hilbertValue]]) —
+    * the better-locality clustering key: consecutive curve positions are
+    * always ADJACENT cells, so equal curve-range files cover tighter
+    * boxes than Morton's quadrant jumps. Integer end to end; the driver
+    * hash-checks the full curve order.
+    */
+  def layoutHilbert(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Layout.hilbertValue(Tables.lineitem(spark, dir),
+        Seq("l_quantity", "l_extendedprice"), ZBits)
+      .select("l_orderkey", "l_linenumber", "h_value")
+      .orderBy("h_value", "l_orderkey", "l_linenumber")
+
+  /** The `layout_pruning_stats` audit on the HILBERT layout — same
+    * 16-bucket proxy, directly comparable row-for-row against the Morton
+    * numbers (the measured basis for choosing the curve at a 100 TB
+    * OPTIMIZE).
+    */
+  def layoutHilbertPruning(spark: SparkSession, dir: String): DataFrame = {
+    val h = graft.sources.Layout.hilbertValue(Tables.lineitem(spark, dir),
+      Seq("l_quantity", "l_extendedprice"), ZBits)
+    val q = col("l_quantity").cast(Money)
+    val p = col("l_extendedprice").cast(Money)
+    val g = h.agg(min(q).as("gq0"), max(q).as("gq1"),
+      min(p).as("gp0"), max(p).as("gp1"))
+    h.withColumn("bucket", expr("h_value >> 4"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min(q).as("q0"), max(q).as("q1"),
+        min(p).as("p0"), max(p).as("p1"))
+      .crossJoin(broadcast(g))
+      .select(col("bucket"), col("n"),
+        round((col("q1") - col("q0")).cast("double") /
+          (col("gq1") - col("gq0")).cast("double"), 9).as("quantity_frac"),
+        round((col("p1") - col("p0")).cast("double") /
+          (col("gp1") - col("gp0")).cast("double"), 9).as("price_frac"))
+      .orderBy("bucket")
+  }
+
   /** Clustering-effectiveness audit of the z-order layout: bucket the
     * curve into 16 ranges (the deterministic proxy for a 16-file
     * range-partitioned write) and report each bucket's NORMALIZED min/max
@@ -314,6 +352,8 @@ object ScaleQueries {
     "sample_hash_bucket" -> sampleHashBucket,
     "layout_zorder" -> layoutZorder,
     "layout_pruning_stats" -> layoutPruningStats,
+    "layout_hilbert" -> layoutHilbert,
+    "layout_hilbert_pruning" -> layoutHilbertPruning,
     "scale_hll_rolling" -> hllRolling,
     "scale_approx_distinct" -> approxDistinct,
     "scale_approx_quantiles" -> approxQuantiles)
@@ -559,6 +599,62 @@ object ScaleQueries {
          |pb AS (SELECT z >> 4 AS bucket, count(*) AS n,
          |    min(d0) AS q0, max(d0) AS q1, min(d1) AS p0, max(d1) AS p1
          |  FROM zz GROUP BY 1)
+         |SELECT bucket, n,
+         |  round(CAST(q1 - q0 AS DOUBLE) / CAST(gq1 - gq0 AS DOUBLE), 9)
+         |    AS quantity_frac,
+         |  round(CAST(p1 - p0 AS DOUBLE) / CAST(gp1 - gp0 AS DOUBLE), 9)
+         |    AS price_frac
+         |FROM pb, gk ORDER BY bucket""".stripMargin
+    },
+    // Hilbert replay: same binning CTEs as layout_zorder, then the
+    // xy2d walk as a CTE chain emitted by the SAME level loop as the
+    // Spark plan (Layout.hilbertStepsSql) — the two cannot drift
+    "layout_hilbert" -> {
+      val bins = 1 << ZBits
+      def bin(d: String, mn: String, mx: String) =
+        s"""CASE WHEN CAST($mx - $mn AS DOUBLE) > 0
+           |    THEN CAST(least(floor(CAST($d - $mn AS DOUBLE) * $bins
+           |           / CAST($mx - $mn AS DOUBLE)), ${bins - 1}) AS BIGINT)
+           |    ELSE 0 END""".stripMargin
+      s"""WITH x AS (SELECT l_orderkey, l_linenumber,
+         |    CAST(l_quantity AS DECIMAL(18,2)) AS d0,
+         |    CAST(l_extendedprice AS DECIMAL(18,2)) AS d1
+         |  FROM lineitem),
+         |s AS (SELECT min(d0) AS mn0, max(d0) AS mx0,
+         |             min(d1) AS mn1, max(d1) AS mx1 FROM x),
+         |b AS (SELECT l_orderkey, l_linenumber,
+         |    ${bin("d0", "mn0", "mx0")} AS b0,
+         |    ${bin("d1", "mn1", "mx1")} AS b1
+         |  FROM x, s),
+         |${graft.sources.Layout.hilbertStepsSql("b",
+              Seq("l_orderkey", "l_linenumber"), ZBits)}
+         |SELECT l_orderkey, l_linenumber, hd AS h_value
+         |FROM hil$ZBits
+         |ORDER BY h_value, l_orderkey, l_linenumber""".stripMargin
+    },
+    "layout_hilbert_pruning" -> {
+      val bins = 1 << ZBits
+      def bin(d: String, mn: String, mx: String) =
+        s"""CASE WHEN CAST($mx - $mn AS DOUBLE) > 0
+           |    THEN CAST(least(floor(CAST($d - $mn AS DOUBLE) * $bins
+           |           / CAST($mx - $mn AS DOUBLE)), ${bins - 1}) AS BIGINT)
+           |    ELSE 0 END""".stripMargin
+      s"""WITH x AS (SELECT CAST(l_quantity AS DECIMAL(18,2)) AS d0,
+         |    CAST(l_extendedprice AS DECIMAL(18,2)) AS d1
+         |  FROM lineitem),
+         |s AS (SELECT min(d0) AS mn0, max(d0) AS mx0,
+         |             min(d1) AS mn1, max(d1) AS mx1 FROM x),
+         |b AS (SELECT d0, d1,
+         |    ${bin("d0", "mn0", "mx0")} AS b0,
+         |    ${bin("d1", "mn1", "mx1")} AS b1
+         |  FROM x, s),
+         |${graft.sources.Layout.hilbertStepsSql("b",
+              Seq("d0", "d1"), ZBits)},
+         |gk AS (SELECT min(d0) AS gq0, max(d0) AS gq1,
+         |              min(d1) AS gp0, max(d1) AS gp1 FROM hil$ZBits),
+         |pb AS (SELECT hd >> 4 AS bucket, count(*) AS n,
+         |    min(d0) AS q0, max(d0) AS q1, min(d1) AS p0, max(d1) AS p1
+         |  FROM hil$ZBits GROUP BY 1)
          |SELECT bucket, n,
          |  round(CAST(q1 - q0 AS DOUBLE) / CAST(gq1 - gq0 AS DOUBLE), 9)
          |    AS quantity_frac,

@@ -82,4 +82,51 @@ class LayoutSpec extends AnyFunSuite {
     assert(back.columns.toSet == Set("x", "y", "id"))
     assert(back.count() == 256)
   }
+
+  /** Reference xy2d Hilbert walk (the canonical bit algorithm). */
+  private def hilbertRef(bits: Int, x0: Long, y0: Long): Long = {
+    val n = 1L << bits
+    var x = x0; var y = y0; var d = 0L; var s = n / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  test("hilbert: reference walk is a bijection with unit-step locality; " +
+      "the order-1 quadrant order is the canonical U") {
+    // defining property Morton lacks: consecutive indexes are ADJACENT
+    val bits = 4
+    val cells = (for { x <- 0 until 16; y <- 0 until 16 }
+      yield hilbertRef(bits, x, y) -> (x, y)).toMap
+    assert(cells.size == 256) // bijection
+    (0 until 255).foreach { d =>
+      val (x1, y1) = cells(d.toLong); val (x2, y2) = cells(d.toLong + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1, s"jump at d=$d")
+    }
+    assert(Seq((0, 0), (0, 1), (1, 1), (1, 0))
+      .map { case (x, y) => hilbertRef(1, x, y) } == Seq(0, 1, 2, 3))
+  }
+
+  test("hilbertValue matches the reference walk exhaustively on exact " +
+      "bin corners") {
+    val rows = for { a <- 0 until 16; b <- 0 until 16 }
+      yield (a.toDouble, b.toDouble)
+    val got = Layout.hilbertValue(rows.toDF("x", "y"), Seq("x", "y"),
+        bitsPerDim = 4)
+      .select("x", "y", "h_value").as[(Double, Double, Long)]
+      .collect().map { case (x, y, h) => ((x.toLong, y.toLong), h) }.toMap
+    for { a <- 0 until 16; b <- 0 until 16 } {
+      val ba = math.min(15L, math.floor(a * 16.0 / 15.0).toLong)
+      val bb = math.min(15L, math.floor(b * 16.0 / 15.0).toLong)
+      assert(got((a.toLong, b.toLong)) === hilbertRef(4, ba, bb), s"($a,$b)")
+    }
+  }
 }
