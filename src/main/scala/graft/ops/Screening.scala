@@ -469,4 +469,74 @@ object Screening {
       .withColumn("noisy_count",
         round(col("true_count").cast(DoubleType) + col("noise"), 9))
   }
+
+  /** Mann–Whitney U rank-sum test (Mann & Whitney 1947) between groups
+    * `a` and `b` of `valueCol` — the nonparametric A/B screen for
+    * skewed / heavy-tailed metrics where Welch-style mean comparison is
+    * fragile: U counts cross-group wins, so one whale row shifts it by
+    * at most its rank, not its magnitude.
+    *
+    * All-integer rank math on the doubled scale: the `t` rows tied at a
+    * value share average rank `C + (t+1)/2` (`C` = exclusive pooled
+    * cumulative), so `2·R_a = Σ_v ca·(2C + t + 1)` stays integral —
+    * summed in DECIMAL(38,0) alongside the tie term `Σ(t³ − t)`. The
+    * normal approximation with tie correction reduces to exact integers
+    * around ONE IEEE division + sqrt:
+    * `z = (2U_a − n_a·n_b) / (2·σ)`,
+    * `σ² = n_a·n_b·((n+1)n(n−1) − Σ(t³−t)) / (12·n·(n−1))` — irrational
+    * via the sqrt, hence engine-safe to round 9 dp (the χ² discipline).
+    *
+    * Scale shape: one group-by collapses the data to the distinct-value
+    * grid; the only cumulative walk runs through [[SaltedGrid]] (a
+    * continuous metric makes the grid row-scale — never one window
+    * task); the final statistics aggregate THAT grid. Returns one row:
+    * (n_a, n_b, u_a, u_b, tie_term, z, significant_5pct) — z null when
+    * σ = 0 (all values tied) or a group is empty.
+    */
+  def mannWhitneyU(df: DataFrame, valueCol: String, groupCol: String,
+      a: String, b: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val xd = col(valueCol).cast(DecimalType(18, 2))
+    val perV = df.filter(col(groupCol).isin(a, b) && col(valueCol).isNotNull)
+      .select(xd.as("v"),
+        when(col(groupCol) === a, 1L).otherwise(0L).as("ia"),
+        when(col(groupCol) === b, 1L).otherwise(0L).as("ib"))
+      .groupBy("v").agg(sum("ia").as("ca"), sum("ib").as("cb"))
+    val walked = SaltedGrid.cumulative(perV, "v", Seq("ca", "cb"))
+    val t = col("ca") + col("cb")
+    val cExcl = col("__cum_ca") + col("__cum_cb") - t
+    val agg = walked.select(
+        col("__tot_ca").as("na"), col("__tot_cb").as("nb"),
+        (col("ca").cast(big) *
+          (lit(2L) * cExcl + t + lit(1L)).cast(big)).as("r2c"),
+        (t.cast(big) * t.cast(big) * t.cast(big) - t.cast(big)).as("tc"))
+      .groupBy("na", "nb")
+      .agg(sum("r2c").as("ra2"), sum("tc").as("ties"))
+    val naB = col("na").cast(big)
+    val nbB = col("nb").cast(big)
+    val nB = naB + nbB
+    val u2a = col("ra2") - naB * (naB + lit(1L).cast(big)) // = 2·U_a
+    val sigNum = naB * nbB *
+      ((nB + lit(1L).cast(big)) * nB * (nB - lit(1L).cast(big)) -
+        col("ties"))
+    val sigDen = lit(12L).cast(big) * nB * (nB - lit(1L).cast(big))
+    val z = round((u2a - naB * nbB).cast(DoubleType) /
+      (lit(2.0) * sqrt(sigNum.cast(DoubleType) / sigDen.cast(DoubleType))),
+      9)
+    agg.select(col("na").as("n_a"), col("nb").as("n_b"),
+        (u2a.cast(DoubleType) / lit(2.0)).as("u_a"),
+        ((lit(2L).cast(big) * naB * nbB - u2a).cast(DoubleType) / lit(2.0))
+          .as("u_b"),
+        col("ties").cast(DoubleType).as("tie_term"),
+        when(sigNum > lit(0L).cast(big), z).as("z"))
+      .withColumn("significant_5pct",
+        when(col("z").isNotNull,
+          abs(col("z")) > lit(ZCrit5).cast(DoubleType)))
+  }
+
+  /** |z| threshold at two-sided 5% — 9-dp literal of Φ⁻¹(0.975), the
+    * [[abExperiment]] Chi2Crit5 fixed-critical-value discipline (no
+    * erf/CDF libm calls, which carry no cross-engine bit guarantee).
+    */
+  private val ZCrit5 = new JBigDecimal("1.959963985")
 }

@@ -267,6 +267,16 @@ object QualityQueries {
         "event_type", "purchase", "click")
       .orderBy("n_a")
 
+  /** Mann–Whitney U rank-sum test between purchase and click values
+    * ([[graft.ops.Screening.mannWhitneyU]]) — the nonparametric partner
+    * to [[ksValue]] on the same label-conditioned metric: KS reads the
+    * largest CDF gap, U reads the stochastic-dominance direction.
+    */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Screening.mannWhitneyU(Tables.events(spark, dir), "value",
+        "event_type", "purchase", "click")
+      .orderBy("n_a")
+
   /** Cohen's κ between the stopword-profile language prediction and the
     * labeled `lang` column ([[graft.ops.Screening.cohenKappa]]) — the
     * label-quality / annotator-agreement check, chance-corrected.
@@ -424,6 +434,7 @@ object QualityQueries {
     "quality_table_profile" -> tableProfile,
     "quality_feature_relevance" -> featureRelevance,
     "quality_ks_value" -> ksValue,
+    "quality_mannwhitney" -> mannWhitney,
     "quality_label_kappa" -> labelKappa,
     "quality_benford" -> benford,
     "quality_bootstrap_ci" -> bootstrapCi,
@@ -820,6 +831,50 @@ object QualityQueries {
         |  round(CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE) / (na * nb), 9)
         |    AS d
         |FROM c GROUP BY na, nb ORDER BY n_a""".stripMargin,
+    // doubled-rank integers (2R_a = Σ ca·(2C+t+1)) + tie term in HUGEINT;
+    // z spends one sqrt on exact integer ratios → 9-dp round engine-safe
+    "quality_mannwhitney" ->
+      """WITH perv AS (SELECT CAST(value AS DECIMAL(18,2)) AS v,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cb
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+        |  GROUP BY 1),
+        |c AS (SELECT CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+        |    CAST(sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cuma,
+        |    CAST(sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cumb,
+        |    CAST(sum(ca) OVER () AS BIGINT) AS na,
+        |    CAST(sum(cb) OVER () AS BIGINT) AS nb FROM perv),
+        |g AS (SELECT na, nb,
+        |    CAST(sum(CAST(ca AS HUGEINT) *
+        |      (2 * (cuma + cumb - ca - cb) + (ca + cb) + 1)) AS HUGEINT)
+        |      AS ra2,
+        |    CAST(sum(CAST(ca + cb AS HUGEINT) * (ca + cb) * (ca + cb)
+        |      - (ca + cb)) AS HUGEINT) AS ties
+        |  FROM c GROUP BY 1, 2),
+        |s AS (SELECT na, nb, ties,
+        |    ra2 - CAST(na AS HUGEINT) * (na + 1) AS u2a,
+        |    CAST(na AS HUGEINT) * nb *
+        |      (CAST(na + nb + 1 AS HUGEINT) * (na + nb) * (na + nb - 1)
+        |        - ties) AS sig_num,
+        |    CAST(12 AS HUGEINT) * (na + nb) * (na + nb - 1) AS sig_den
+        |  FROM g),
+        |f AS (SELECT na, nb, u2a, ties,
+        |    CASE WHEN sig_num > 0 THEN
+        |      round(CAST(u2a - CAST(na AS HUGEINT) * nb AS DOUBLE) /
+        |        (2 * sqrt(CAST(sig_num AS DOUBLE) /
+        |          CAST(sig_den AS DOUBLE))), 9)
+        |    END AS z
+        |  FROM s)
+        |SELECT na AS n_a, nb AS n_b,
+        |  CAST(u2a AS DOUBLE) / 2 AS u_a,
+        |  CAST(2 * CAST(na AS HUGEINT) * nb - u2a AS DOUBLE) / 2 AS u_b,
+        |  CAST(ties AS DOUBLE) AS tie_term, z,
+        |  CASE WHEN z IS NOT NULL THEN abs(z) > 1.959963985
+        |  END AS significant_5pct
+        |FROM f ORDER BY n_a""".stripMargin,
     // κ as the all-integer (agree·n − Σ ra·cb)/(n² − Σ ra·cb): one IEEE
     // division total; prediction CTEs shared with text_lang_id
     "quality_label_kappa" ->

@@ -282,4 +282,66 @@ class ScreeningSpec extends AnyFunSuite {
       .as[(String, Long, Double, Double)].collect()
     assert(rep.toSeq == out.toSeq)
   }
+
+  /** Scalar Mann–Whitney reference: average-rank U + tie-corrected z. */
+  private def mwuRef(a: Seq[Double], b: Seq[Double])
+      : (Double, Double, Double, Option[Double]) = {
+    val pooled = (a.map((_, 0)) ++ b.map((_, 1))).sortBy(_._1)
+    val ranks = scala.collection.mutable.Map.empty[Double, Double]
+    var i = 0
+    while (i < pooled.length) {
+      var j = i
+      while (j < pooled.length && pooled(j)._1 == pooled(i)._1) j += 1
+      ranks(pooled(i)._1) = (i + 1 + j) / 2.0 // avg of ranks i+1..j
+      i = j
+    }
+    val ra = a.map(ranks).sum
+    val na = a.size.toDouble; val nb = b.size.toDouble; val n = na + nb
+    val ua = ra - na * (na + 1) / 2
+    val ties = pooled.groupBy(_._1).values
+      .map(g => math.pow(g.size, 3) - g.size).sum
+    val sig2 = na * nb * ((n + 1) * n * (n - 1) - ties) / (12 * n * (n - 1))
+    val z = if (sig2 > 0)
+      Some(BigDecimal((ua - na * nb / 2) / math.sqrt(sig2))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    else None
+    (ua, na * nb - ua, ties, z)
+  }
+
+  test("mannWhitneyU: hand fixture with ties matches the scalar " +
+      "reference; swapping groups mirrors U and negates z") {
+    val a = Seq(1.0, 2.0, 3.0, 5.5, 5.5, 9.0)
+    val b = Seq(2.0, 3.0, 4.0, 5.5, 7.0)
+    val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v")
+    val got = Screening.mannWhitneyU(df, "v", "g", "a", "b")
+      .as[(Long, Long, Double, Double, Double, Option[Double], Option[Boolean])]
+      .head()
+    val (ua, ub, ties, z) = mwuRef(a, b)
+    assert(got._1 == a.size && got._2 == b.size)
+    assert(got._3 == ua && got._4 == ub && got._5 == ties)
+    assert(got._6 == z)
+    assert(got._7.contains(math.abs(z.get) > 1.959963985))
+    val sw = Screening.mannWhitneyU(df, "v", "g", "b", "a")
+      .as[(Long, Long, Double, Double, Double, Option[Double], Option[Boolean])]
+      .head()
+    assert(sw._3 == ub && sw._4 == ua && sw._6.get == -z.get)
+  }
+
+  test("mannWhitneyU: clear separation flags significant; all-tied " +
+      "values yield null z; repartition-invariant") {
+    val a = (1 to 40).map(_.toDouble)
+    val b = (101 to 140).map(_.toDouble)
+    val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v")
+    val got = Screening.mannWhitneyU(df.repartition(13), "v", "g", "a", "b")
+      .as[(Long, Long, Double, Double, Double, Option[Double], Option[Boolean])]
+      .head()
+    assert(got._3 == 0.0 && got._4 == 1600.0) // every b beats every a
+    val (_, _, _, z) = mwuRef(a, b)
+    assert(got._6 == z && got._7.contains(true) && z.get < -1.959963985)
+    val tied = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0)).toDF("g", "v")
+    val gt = Screening.mannWhitneyU(tied, "v", "g", "a", "b")
+      .as[(Long, Long, Double, Double, Double, Option[Double], Option[Boolean])]
+      .head()
+    assert(gt._6.isEmpty && gt._7.isEmpty)
+  }
 }
