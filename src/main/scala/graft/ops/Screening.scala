@@ -539,4 +539,74 @@ object Screening {
     * erf/CDF libm calls, which carry no cross-engine bit guarantee).
     */
   private val ZCrit5 = new JBigDecimal("1.959963985")
+
+  /** Welch's unequal-variance t-test (Welch 1947) between groups `a` and
+    * `b` of a 2-dp metric — the parametric partner to [[mannWhitneyU]]:
+    * reads the MEAN difference (what a revenue experiment ships on),
+    * where U reads stochastic dominance.
+    *
+    * Exactness (the covariance micro-unit discipline): values become
+    * CENT integers, so each group's (n, Σx, Σx²) accumulates exactly in
+    * DECIMAL(38,0) at any partitioning, and the variance numerator
+    * n·Σx² − (Σx)² is an exact integer. Everything after is a FIXED
+    * IEEE sequence on those exact integers — one division per
+    * s²ᵢ/nᵢ = (nᵢΣx²−(Σx)²)/(nᵢ²(nᵢ−1)), one per mean, sqrt, divide —
+    * so t (sqrt-derived, irrational) rounds 9 dp engine-safely, and the
+    * Welch–Satterthwaite dof is emitted UNROUNDED: every step is a
+    * correctly-rounded scalar op on identical inputs, bit-identical on
+    * any engine, while a 9-dp round of a rational could land on a
+    * half-ulp tie. t is scale-invariant, so cent units change nothing;
+    * means divide back to the metric's unit once.
+    *
+    * Scale shape: ONE map-side-combined group-by collapses the data to
+    * two rows; everything else is arithmetic on a 1-row relation.
+    * Returns (n_a, n_b, mean_a, mean_b, t, dof,
+    * significant_5pct_normal) — t/dof null unless both groups have ≥2
+    * rows and pooled variance > 0; the flag uses the large-sample
+    * normal threshold (fixed [[ZCrit5]] literal, no t-CDF libm).
+    */
+  def welchTTest(df: DataFrame, valueCol: String, groupCol: String,
+      a: String, b: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val cents = (col(valueCol).cast(DecimalType(18, 2)) * lit(100))
+      .cast(big)
+    val perG = df.filter(col(groupCol).isin(a, b) && col(valueCol).isNotNull)
+      .select(when(col(groupCol) === a, 0).otherwise(1).as("g"),
+        cents.as("c"))
+      .groupBy("g").agg(count(lit(1)).as("n"), sum(col("c")).cast(big).as("s"),
+        sum(col("c") * col("c")).cast(big).as("s2"))
+    val one = perG.agg(
+      coalesce(sum(when(col("g") === 0, col("n"))), lit(0L)).cast("long")
+        .as("na"),
+      coalesce(sum(when(col("g") === 1, col("n"))), lit(0L)).cast("long")
+        .as("nb"),
+      sum(when(col("g") === 0, col("s"))).cast(big).as("sa"),
+      sum(when(col("g") === 1, col("s"))).cast(big).as("sb"),
+      sum(when(col("g") === 0, col("s2"))).cast(big).as("sa2"),
+      sum(when(col("g") === 1, col("s2"))).cast(big).as("sb2"))
+    def q(n: Column, s: Column, s2: Column): Column = {
+      val nB = n.cast(big)
+      (nB * s2 - s * s).cast(DoubleType) /
+        (nB * nB * (nB - lit(1L).cast(big))).cast(DoubleType)
+    }
+    val qa = q(col("na"), col("sa"), col("sa2"))
+    val qb = q(col("nb"), col("sb"), col("sb2"))
+    val ok = col("na") >= 2 && col("nb") >= 2
+    val mDiff = col("sa").cast(DoubleType) / col("na").cast(DoubleType) -
+      col("sb").cast(DoubleType) / col("nb").cast(DoubleType)
+    val t = round(mDiff / sqrt(qa + qb), 9)
+    val dof = (qa + qb) * (qa + qb) /
+      (qa * qa / (col("na") - 1).cast(DoubleType) +
+        qb * qb / (col("nb") - 1).cast(DoubleType))
+    one.select(col("na").as("n_a"), col("nb").as("n_b"),
+        (col("sa").cast(DoubleType) /
+          (col("na").cast(DoubleType) * lit(100.0))).as("mean_a"),
+        (col("sb").cast(DoubleType) /
+          (col("nb").cast(DoubleType) * lit(100.0))).as("mean_b"),
+        when(ok && qa + qb > 0, t).as("t"),
+        when(ok && qa + qb > 0, dof).as("dof"))
+      .withColumn("significant_5pct_normal",
+        when(col("t").isNotNull,
+          abs(col("t")) > lit(ZCrit5).cast(DoubleType)))
+  }
 }

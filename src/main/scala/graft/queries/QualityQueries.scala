@@ -277,6 +277,15 @@ object QualityQueries {
         "event_type", "purchase", "click")
       .orderBy("n_a")
 
+  /** Welch's t-test between purchase and click values
+    * ([[graft.ops.Screening.welchTTest]]) — the mean-difference read on
+    * the same metric [[mannWhitney]] ranks and [[ksValue]] CDF-gaps.
+    */
+  def welch(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Screening.welchTTest(Tables.events(spark, dir), "value",
+        "event_type", "purchase", "click")
+      .orderBy("n_a")
+
   /** Cohen's κ between the stopword-profile language prediction and the
     * labeled `lang` column ([[graft.ops.Screening.cohenKappa]]) — the
     * label-quality / annotator-agreement check, chance-corrected.
@@ -435,6 +444,7 @@ object QualityQueries {
     "quality_feature_relevance" -> featureRelevance,
     "quality_ks_value" -> ksValue,
     "quality_mannwhitney" -> mannWhitney,
+    "quality_welch_ttest" -> welch,
     "quality_label_kappa" -> labelKappa,
     "quality_benford" -> benford,
     "quality_bootstrap_ci" -> bootstrapCi,
@@ -874,6 +884,52 @@ object QualityQueries {
         |  CAST(ties AS DOUBLE) AS tie_term, z,
         |  CASE WHEN z IS NOT NULL THEN abs(z) > 1.959963985
         |  END AS significant_5pct
+        |FROM f ORDER BY n_a""".stripMargin,
+    // cent-unit exact (n, Σx, Σx²) per group; t = fixed IEEE sequence on
+    // exact integers, 9-dp round rides the sqrt; dof emitted UNROUNDED
+    // (rational — a 9-dp round could land on a half-ulp tie)
+    "quality_welch_ttest" ->
+      """WITH x AS (SELECT
+        |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS g,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+        |gg AS (SELECT g, count(*) AS n, CAST(sum(c) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+        |  FROM x GROUP BY 1),
+        |p AS (SELECT
+        |    CAST(coalesce(sum(CASE WHEN g = 0 THEN n END), 0) AS BIGINT)
+        |      AS na,
+        |    CAST(coalesce(sum(CASE WHEN g = 1 THEN n END), 0) AS BIGINT)
+        |      AS nb,
+        |    CAST(sum(CASE WHEN g = 0 THEN s END) AS HUGEINT) AS sa,
+        |    CAST(sum(CASE WHEN g = 1 THEN s END) AS HUGEINT) AS sb,
+        |    CAST(sum(CASE WHEN g = 0 THEN s2 END) AS HUGEINT) AS sa2,
+        |    CAST(sum(CASE WHEN g = 1 THEN s2 END) AS HUGEINT) AS sb2
+        |  FROM gg),
+        |d AS (SELECT na, nb, sa, sb,
+        |    CAST(na * sa2 - sa * sa AS DOUBLE) /
+        |      CAST(CAST(na AS HUGEINT) * na * (na - 1) AS DOUBLE) AS qa,
+        |    CAST(nb * sb2 - sb * sb AS DOUBLE) /
+        |      CAST(CAST(nb AS HUGEINT) * nb * (nb - 1) AS DOUBLE) AS qb
+        |  FROM p),
+        |f AS (SELECT na, nb, sa, sb, qa, qb,
+        |    CASE WHEN na >= 2 AND nb >= 2 AND qa + qb > 0 THEN
+        |      round((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) -
+        |          CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) /
+        |        sqrt(qa + qb), 9)
+        |    END AS t,
+        |    CASE WHEN na >= 2 AND nb >= 2 AND qa + qb > 0 THEN
+        |      (qa + qb) * (qa + qb) / (qa * qa / CAST(na - 1 AS DOUBLE) +
+        |        qb * qb / CAST(nb - 1 AS DOUBLE))
+        |    END AS dof
+        |  FROM d)
+        |SELECT na AS n_a, nb AS n_b,
+        |  CAST(sa AS DOUBLE) / (CAST(na AS DOUBLE) * 100.0) AS mean_a,
+        |  CAST(sb AS DOUBLE) / (CAST(nb AS DOUBLE) * 100.0) AS mean_b,
+        |  t, dof,
+        |  CASE WHEN t IS NOT NULL THEN abs(t) > 1.959963985 END
+        |    AS significant_5pct_normal
         |FROM f ORDER BY n_a""".stripMargin,
     // κ as the all-integer (agree·n − Σ ra·cb)/(n² − Σ ra·cb): one IEEE
     // division total; prediction CTEs shared with text_lang_id

@@ -344,4 +344,70 @@ class ScreeningSpec extends AnyFunSuite {
       .head()
     assert(gt._6.isEmpty && gt._7.isEmpty)
   }
+
+  /** Scalar Welch reference in cent integers, mirroring the op's exact
+    * IEEE sequence.
+    */
+  private def welchRef(a: Seq[Double], b: Seq[Double])
+      : (Double, Double, Double, Double) = {
+    def moments(xs: Seq[Double]): (Long, BigInt, BigInt) = {
+      val cents: Seq[BigInt] =
+        xs.map(x => (BigDecimal(x) * 100).toBigIntExact.get)
+      (xs.size.toLong, cents.sum, cents.map(c => c * c).sum)
+    }
+    val (na, sa, sa2) = moments(a); val (nb, sb, sb2) = moments(b)
+    def q(n: Long, s: BigInt, s2: BigInt): Double =
+      (BigInt(n) * s2 - s * s).toDouble /
+        (BigInt(n) * BigInt(n) * BigInt(n - 1)).toDouble
+    val qa = q(na, sa, sa2); val qb = q(nb, sb, sb2)
+    val t = BigDecimal((sa.toDouble / na - sb.toDouble / nb) /
+        math.sqrt(qa + qb))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dof = (qa + qb) * (qa + qb) /
+      (qa * qa / (na - 1).toDouble + qb * qb / (nb - 1).toDouble)
+    (sa.toDouble / (na * 100.0), sb.toDouble / (nb * 100.0), t, dof)
+  }
+
+  test("welchTTest: hand fixture matches the cent-exact scalar " +
+      "reference; swap negates t; equal-variance case hits classic dof") {
+    val a = Seq(1.25, 2.5, 3.75, 2.0, 4.5)
+    val b = Seq(5.0, 6.25, 4.75, 8.0)
+    val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v")
+    val got = Screening.welchTTest(df.repartition(5), "v", "g", "a", "b")
+      .as[(Long, Long, Double, Double, Option[Double], Option[Double],
+        Option[Boolean])].head()
+    val (ma, mb, t, dof) = welchRef(a, b)
+    assert(got._1 == a.size && got._2 == b.size)
+    assert(got._3 == ma && got._4 == mb)
+    assert(got._5.contains(t) && got._6.contains(dof))
+    assert(got._7.contains(math.abs(t) > 1.959963985))
+    val sw = Screening.welchTTest(df, "v", "g", "b", "a")
+      .as[(Long, Long, Double, Double, Option[Double], Option[Double],
+        Option[Boolean])].head()
+    assert(sw._5.contains(-t) && sw._6.contains(dof))
+    // identical group sizes and variances → dof = na+nb−2 (the classic
+    // pooled dof), a known Welch–Satterthwaite fixed point
+    val sym = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(11.0, 12.0, 13.0).map(("b", _))).toDF("g", "v")
+    val gs = Screening.welchTTest(sym, "v", "g", "a", "b")
+      .as[(Long, Long, Double, Double, Option[Double], Option[Double],
+        Option[Boolean])].head()
+    assert(gs._6.contains(4.0) && gs._7.contains(true))
+  }
+
+  test("welchTTest: degenerate groups give null t/dof, not a crash") {
+    // both groups constant → zero pooled variance
+    val const = (Seq.fill(3)(("a", 2.0)) ++ Seq.fill(4)(("b", 5.0)))
+      .toDF("g", "v")
+    val gc = Screening.welchTTest(const, "v", "g", "a", "b")
+      .as[(Long, Long, Double, Double, Option[Double], Option[Double],
+        Option[Boolean])].head()
+    assert(gc._5.isEmpty && gc._6.isEmpty && gc._7.isEmpty)
+    // a 1-row group has no variance estimate
+    val tiny = Seq(("a", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v")
+    val gt = Screening.welchTTest(tiny, "v", "g", "a", "b")
+      .as[(Long, Long, Double, Double, Option[Double], Option[Double],
+        Option[Boolean])].head()
+    assert(gt._1 == 1 && gt._5.isEmpty && gt._6.isEmpty)
+  }
 }
