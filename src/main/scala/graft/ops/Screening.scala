@@ -31,6 +31,13 @@ object Screening {
     * columns. One (a, b) group-by builds the R×C contingency table;
     * marginals are windows over it. Returns one row:
     * (n, dof, chi2, mi_nats).
+    *
+    * χ² sums OBSERVED cells — exact when every (a,b) combination
+    * occurs (the quartile-bucket / screening tables this feeds), but an
+    * understatement on sparse tables, where each structural zero should
+    * still contribute its expectation. For association over sparse
+    * tables use [[associationStrength]], whose χ² covers the full table
+    * through the Σ o²/e − n identity.
     */
   def contingencyStats(df: DataFrame, aCol: String, bCol: String)
       : DataFrame = {
@@ -57,6 +64,84 @@ object Screening {
       .agg(sum(chi2C).cast(DoubleType).as("chi2"),
         sum(miC).cast(DoubleType).as("mi_nats"))
       .select("n", "dof", "chi2", "mi_nats")
+  }
+
+  /** Normalized association strength between two categorical columns —
+    * Cramér's V (Cramér 1946) and Theil's uncertainty coefficient
+    * U(A|B): the [0,1] readouts a corpus-mixture audit actually
+    * compares across column pairs, where raw χ²/MI grow with n and
+    * table size. V = √(χ²/(n·(min(r,c)−1))) is symmetric; Theil's U =
+    * MI/H(A) is DIRECTED — "how much of A does knowing B remove" — so
+    * U(lang|source) ≠ U(source|lang), which is exactly the
+    * slice-leakage question.
+    *
+    * χ² here covers the FULL R×C table, zero cells included — the
+    * perfect-association case is exactly the one dense with structural
+    * zeros — via the identity χ² = Σ_observed o²/e − n (each unobserved
+    * cell contributes its e, and Σ_all e = n), so only observed cells
+    * are ever materialized. Per-cell o²·n/(ra·cb) is RATIONAL, so it is
+    * quantized by truncating nano-unit INTEGER division (never a 9-dp
+    * round of a rational — engines disagree on half-ulp ties) and
+    * summed exactly; MI's zero cells contribute 0 in the limit, so
+    * observed-only is already exact there, and its ln keeps the 9-dp
+    * round safe. V rounds 9 dp riding its
+    * sqrt (irrational); U is emitted UNROUNDED — a ratio of two exact
+    * decimals is rational, and every step is one correctly-rounded IEEE
+    * op on identical inputs (the Welch-dof argument). V null when
+    * min(r,c) = 1; U null when H(A) = 0 (single A category).
+    *
+    * Scale shape: one (a,b) group-by collapses the data to the R×C
+    * contingency table; marginals/entropies are windows and aggregates
+    * over THAT (category²-bounded) relation — never a second data pass.
+    * Returns one row: (n, r, c, chi2, mi_nats, h_a, cramers_v,
+    * theils_u).
+    */
+  def associationStrength(df: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val cont = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val all = Window.partitionBy()
+    val withM = cont
+      .withColumn("ra", sum("o").over(Window.partitionBy("a")))
+      .withColumn("cb", sum("o").over(Window.partitionBy("b")))
+      .withColumn("n", sum("o").over(all))
+      .withColumn("n_a", size(collect_set("a").over(all)))
+      .withColumn("n_b", size(collect_set("b").over(all)))
+    val big = DecimalType(38, 0)
+    // full-table χ² from observed cells only: Σ o²·n/(ra·cb) − n. Each
+    // contribution is RATIONAL, so a 9-dp round() can land on a
+    // half-ulp tie where engines disagree (measured here) — instead
+    // quantize by TRUNCATING nano-unit integer division (div / //
+    // agree bit-exactly on positives). Headroom: o²·n·10⁹ must fit
+    // DECIMAL(38,0) and each cell's nano value a long — holds to
+    // ~10⁸-row tables; beyond that, drop to micro-units (the identity
+    // is unchanged).
+    val chi2Nano = expr("(cast(o as decimal(38,0)) * o * n * 1000000000)" +
+      " div (cast(ra as decimal(38,0)) * cb)")
+    val miC = round(
+      col("o").cast(DoubleType) / col("n") *
+        log((col("o") * col("n")).cast(DoubleType) / (col("ra") * col("cb"))),
+      9).cast(Exact9)
+    val stats = withM
+      .groupBy(col("n"), col("n_a").cast("long").as("r"),
+        col("n_b").cast("long").as("c"))
+      .agg(((sum(chi2Nano.cast(big)) -
+          col("n").cast(big) * lit(1000000000L).cast(big))
+          .cast(DoubleType) / lit(1.0e9)).as("chi2"),
+        sum(miC).cast(DoubleType).as("mi_nats"))
+    val haC = round(-(col("ra").cast(DoubleType) / col("n")) *
+      log(col("ra").cast(DoubleType) / col("n")), 9).cast(Exact9)
+    val ha = withM.select(col("a"), col("ra"), col("n")).distinct()
+      .agg(coalesce(sum(haC).cast(DoubleType), lit(0.0)).as("h_a"))
+    val minRc = least(col("r"), col("c"))
+    stats.crossJoin(broadcast(ha))
+      .withColumn("cramers_v", when(minRc > 1,
+        round(sqrt(greatest(col("chi2"), lit(0.0)) /
+          (col("n") * (minRc - 1))), 9)))
+      .withColumn("theils_u",
+        when(col("h_a") > 0, col("mi_nats") / col("h_a")))
+      .select("n", "r", "c", "chi2", "mi_nats", "h_a", "cramers_v",
+        "theils_u")
   }
 
   /** Two-sample Kolmogorov–Smirnov distance between `valueCol`

@@ -286,6 +286,15 @@ object QualityQueries {
         "event_type", "purchase", "click")
       .orderBy("n_a")
 
+  /** Cramér's V + Theil's U(lang|source) over documents
+    * ([[graft.ops.Screening.associationStrength]]) — the normalized
+    * "is language confounded with source?" corpus-mixture audit.
+    */
+  def assocStrength(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Screening.associationStrength(
+        Tables.documents(spark, dir), "lang", "source")
+      .orderBy("n")
+
   /** Cohen's κ between the stopword-profile language prediction and the
     * labeled `lang` column ([[graft.ops.Screening.cohenKappa]]) — the
     * label-quality / annotator-agreement check, chance-corrected.
@@ -445,6 +454,7 @@ object QualityQueries {
     "quality_ks_value" -> ksValue,
     "quality_mannwhitney" -> mannWhitney,
     "quality_welch_ttest" -> welch,
+    "quality_assoc_strength" -> assocStrength,
     "quality_label_kappa" -> labelKappa,
     "quality_benford" -> benford,
     "quality_bootstrap_ci" -> bootstrapCi,
@@ -885,6 +895,39 @@ object QualityQueries {
         |  CASE WHEN z IS NOT NULL THEN abs(z) > 1.959963985
         |  END AS significant_5pct
         |FROM f ORDER BY n_a""".stripMargin,
+    // full-table chi2 from observed cells via Σ o²n/(ra·cb) − n (zero
+    // cells enter through the −n identity); V rides its sqrt to a 9-dp
+    // round; U = MI/H(A) emitted UNROUNDED (rational ratio of two exact
+    // decimals — the Welch-dof argument)
+    "quality_assoc_strength" -> {
+      s"""WITH cont AS (SELECT lang AS a, source AS b, count(*) AS o
+         |  FROM documents GROUP BY 1, 2),
+         |m AS (SELECT a, b, o,
+         |    CAST(sum(o) OVER (PARTITION BY a) AS BIGINT) AS ra,
+         |    CAST(sum(o) OVER (PARTITION BY b) AS BIGINT) AS cb,
+         |    CAST(sum(o) OVER () AS BIGINT) AS n FROM cont),
+         |d AS (SELECT CAST(count(DISTINCT a) AS BIGINT) AS r,
+         |    CAST(count(DISTINCT b) AS BIGINT) AS c FROM cont),
+         |s AS (SELECT n, r, c,
+         |    CAST(sum((CAST(o AS HUGEINT) * o * n * 1000000000)
+         |        // (CAST(ra AS HUGEINT) * cb))
+         |      - CAST(n AS HUGEINT) * 1000000000 AS DOUBLE) / 1000000000.0
+         |      AS chi2,
+         |    CAST(sum(CAST(round(CAST(o AS DOUBLE) / n
+         |        * ln(CAST(o * n AS DOUBLE) / (ra * cb)), 9)
+         |      AS DECIMAL(28,9))) AS DOUBLE) AS mi_nats
+         |  FROM m, d GROUP BY n, r, c),
+         |hh AS (SELECT coalesce(CAST(sum(CAST(round(
+         |      -(CAST(ra AS DOUBLE) / n) * ln(CAST(ra AS DOUBLE) / n), 9)
+         |    AS DECIMAL(28,9))) AS DOUBLE), 0.0) AS h_a
+         |  FROM (SELECT DISTINCT a, ra, n FROM m))
+         |SELECT n, r, c, chi2, mi_nats, h_a,
+         |  CASE WHEN least(r, c) > 1 THEN
+         |    round(sqrt(greatest(chi2, 0.0) / (n * (least(r, c) - 1))), 9)
+         |  END AS cramers_v,
+         |  CASE WHEN h_a > 0 THEN mi_nats / h_a END AS theils_u
+         |FROM s, hh ORDER BY n""".stripMargin
+    },
     // cent-unit exact (n, Σx, Σx²) per group; t = fixed IEEE sequence on
     // exact integers, 9-dp round rides the sqrt; dof emitted UNROUNDED
     // (rational — a 9-dp round could land on a half-ulp tie)

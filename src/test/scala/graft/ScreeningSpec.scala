@@ -345,6 +345,43 @@ class ScreeningSpec extends AnyFunSuite {
     assert(gt._6.isEmpty && gt._7.isEmpty)
   }
 
+  test("associationStrength: perfect diagonal hits V = U = 1 exactly; " +
+      "independence hits 0; U is directional where V is symmetric") {
+    // 3×3 diagonal with k = 3 per cell → e = 1 on every cell: all
+    // contributions are exact short decimals, so V and U land on 1.0
+    val diag = Seq("x", "y", "z").flatMap(v => Seq.fill(3)((v, v)))
+      .toDF("a", "b")
+    val gd = Screening.associationStrength(diag, "a", "b")
+      .as[(Long, Long, Long, Double, Double, Double, Option[Double],
+        Option[Double])].head()
+    assert(gd._1 == 9 && gd._2 == 3 && gd._3 == 3)
+    assert(gd._4 == 18.0) // chi2 = n·(min−1)
+    assert(gd._7.contains(1.0) && gd._8.contains(1.0))
+    // independent 2×2 with equal cells → exactly 0
+    val ind = (for { a <- Seq("x", "y"); b <- Seq(0L, 1L);
+      _ <- 1 to 25 } yield (a, b)).toDF("a", "b")
+    val gi = Screening.associationStrength(ind, "a", "b")
+      .as[(Long, Long, Long, Double, Double, Double, Option[Double],
+        Option[Double])].head()
+    assert(gi._4 == 0.0 && gi._7.contains(0.0) && gi._8.contains(0.0))
+    // a = b mod 2: B determines A (U(A|B)=1) but A doesn't determine B
+    val det = (0 until 40).map(i => (i % 4 % 2, i % 4)).toDF("a", "b")
+    val gab = Screening.associationStrength(det, "a", "b")
+      .as[(Long, Long, Long, Double, Double, Double, Option[Double],
+        Option[Double])].head()
+    val gba = Screening.associationStrength(det, "b", "a")
+      .as[(Long, Long, Long, Double, Double, Double, Option[Double],
+        Option[Double])].head()
+    assert(gab._8.contains(1.0) && gba._8.get < 1.0 && gba._8.get > 0.0)
+    // V symmetric across the swap; single-category side → null V/U
+    assert(gab._7 == gba._7)
+    val mono = Seq(("x", 1L), ("x", 2L)).toDF("a", "b")
+    val gm = Screening.associationStrength(mono, "a", "b")
+      .as[(Long, Long, Long, Double, Double, Double, Option[Double],
+        Option[Double])].head()
+    assert(gm._7.isEmpty && gm._8.isEmpty)
+  }
+
   /** Scalar Welch reference in cent integers, mirroring the op's exact
     * IEEE sequence.
     */
