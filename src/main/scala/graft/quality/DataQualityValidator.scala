@@ -3,7 +3,7 @@ package graft.quality
 import graft.model.DataQualityMetrics
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, NumericType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, NumericType}
 
 import scala.collection.mutable.ListBuffer
 
@@ -187,6 +187,66 @@ object DataQualityValidator {
       .select(col(groupCol), col("n"),
         col("median").cast("double").as("median"),
         col("mad").cast("double").as("mad"), col("n_outliers"))
+  }
+
+  /** Histogram-Based Outlier Score top-k (Goldstein & Dengel 2012) —
+    * the scalable unsupervised anomaly ranking: per feature an
+    * equal-width histogram over [min, max], per row
+    * HBOS = Σ_f −ln(c_bin(f)/n) (rare joint bins score high). Assumes
+    * feature independence by construction — that's what makes it one
+    * pass — and is the standard cheap screen before anything
+    * tree/distance-based.
+    *
+    * Engine-exactness: bin ids come from the shared exact-DECIMAL
+    * [[graft.sources.Layout.binId]] (the z-order/Hilbert oracle-proven
+    * binning); each per-feature contribution −ln(c/n) rides its ln to a
+    * safe 9-dp round (c/n rational, ln irrational; c = n gives exactly
+    * 0) and the per-row sum adds the fixed-order DECIMAL(28,9)
+    * contributions exactly.
+    *
+    * Scale shape: one 1-row stats broadcast (min/max/n), ONE
+    * (feature, bin) group-by over the exploded bin pairs (k·B rows —
+    * map-side combined), k broadcast joins of B-row histograms back,
+    * then TakeOrderedAndProject for the top-k — the scoring pass is
+    * map-side only, no data-scale shuffle anywhere.
+    * Returns (keyCols…, hbos) — the k highest scores, ties broken by
+    * the keys.
+    */
+  def hbosTopK(df: DataFrame, featureCols: Seq[String],
+      keyCols: Seq[String], bins: Int = 16, k: Int = 100): DataFrame = {
+    require(featureCols.nonEmpty, "need at least one feature")
+    require(bins >= 2 && k >= 1, s"bad parameters bins=$bins k=$k")
+    val money = DecimalType(18, 2)
+    val exact9 = DecimalType(28, 9)
+    val statAggs = featureCols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c).cast(money)).as(s"__mn$i"),
+        max(col(c).cast(money)).as(s"__mx$i"))
+    } :+ count(lit(1)).as("__n")
+    val stats = df.agg(statAggs.head, statAggs.tail: _*)
+    val binCols = featureCols.zipWithIndex.map { case (c, i) =>
+      graft.sources.Layout.binId(col(c).cast(money),
+        col(s"__mn$i"), col(s"__mx$i"), bins).as(s"__b$i")
+    }
+    val binned = df.crossJoin(broadcast(stats))
+      .select(keyCols.map(col) ++ binCols :+ col("__n"): _*)
+    val hist = binned
+      .select(explode(array(featureCols.indices.map(i =>
+        struct(lit(i).as("f"), col(s"__b$i").as("bin"))): _*)).as("fb"))
+      .groupBy(col("fb.f").as("f"), col("fb.bin").as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val scored = featureCols.indices.foldLeft(binned) { (acc, i) =>
+      acc.join(broadcast(hist.filter(col("f") === i)
+        .select(col("bin").as(s"__b$i"), col("c").as(s"__c$i"))),
+        Seq(s"__b$i"))
+    }
+    val contribs = featureCols.indices.map(i =>
+      round(-log(col(s"__c$i").cast(DoubleType) / col("__n")), 9)
+        .cast(exact9))
+    scored
+      .select(keyCols.map(col) :+
+        contribs.reduce(_ + _).cast(DoubleType).as("hbos"): _*)
+      .orderBy(col("hbos").desc +: keyCols.map(col): _*)
+      .limit(k)
   }
 
   /** Default checks registered by the reference store ctor (`:246-258`). */

@@ -295,6 +295,16 @@ object QualityQueries {
         Tables.documents(spark, dir), "lang", "source")
       .orderBy("n")
 
+  /** HBOS top-100 anomaly ranking over three lineitem features
+    * ([[graft.quality.DataQualityValidator.hbosTopK]]) — the
+    * histogram-product unsupervised outlier screen.
+    */
+  def hbosTopK(spark: SparkSession, dir: String): DataFrame =
+    graft.quality.DataQualityValidator.hbosTopK(
+      Tables.lineitem(spark, dir),
+      Seq("l_quantity", "l_extendedprice", "l_discount"),
+      Seq("l_orderkey", "l_linenumber"), bins = 16, k = 100)
+
   /** Cohen's κ between the stopword-profile language prediction and the
     * labeled `lang` column ([[graft.ops.Screening.cohenKappa]]) — the
     * label-quality / annotator-agreement check, chance-corrected.
@@ -455,6 +465,7 @@ object QualityQueries {
     "quality_mannwhitney" -> mannWhitney,
     "quality_welch_ttest" -> welch,
     "quality_assoc_strength" -> assocStrength,
+    "quality_hbos_topk" -> hbosTopK,
     "quality_label_kappa" -> labelKappa,
     "quality_benford" -> benford,
     "quality_bootstrap_ci" -> bootstrapCi,
@@ -895,6 +906,41 @@ object QualityQueries {
         |  CASE WHEN z IS NOT NULL THEN abs(z) > 1.959963985
         |  END AS significant_5pct
         |FROM f ORDER BY n_a""".stripMargin,
+    // the layout-proven exact-DECIMAL binning per feature; each −ln(c/n)
+    // rides its ln to a 9-dp round; fixed-order DECIMAL sum per row
+    "quality_hbos_topk" -> {
+      val bins = 16
+      def bin(d: String, mn: String, mx: String) =
+        s"""CASE WHEN CAST($mx - $mn AS DOUBLE) > 0
+           |    THEN CAST(least(floor(CAST($d - $mn AS DOUBLE) * $bins
+           |           / CAST($mx - $mn AS DOUBLE)), ${bins - 1}) AS BIGINT)
+           |    ELSE 0 END""".stripMargin
+      def contrib(c: String) =
+        s"CAST(round(-ln(CAST($c AS DOUBLE) / n), 9) AS DECIMAL(28,9))"
+      s"""WITH x AS (SELECT l_orderkey, l_linenumber,
+         |    CAST(l_quantity AS DECIMAL(18,2)) AS d0,
+         |    CAST(l_extendedprice AS DECIMAL(18,2)) AS d1,
+         |    CAST(l_discount AS DECIMAL(18,2)) AS d2
+         |  FROM lineitem),
+         |s AS (SELECT min(d0) AS mn0, max(d0) AS mx0,
+         |    min(d1) AS mn1, max(d1) AS mx1,
+         |    min(d2) AS mn2, max(d2) AS mx2,
+         |    count(*) AS n FROM x),
+         |b AS (SELECT l_orderkey, l_linenumber, n,
+         |    ${bin("d0", "mn0", "mx0")} AS b0,
+         |    ${bin("d1", "mn1", "mx1")} AS b1,
+         |    ${bin("d2", "mn2", "mx2")} AS b2
+         |  FROM x, s),
+         |h0 AS (SELECT b0, count(*) AS c0 FROM b GROUP BY 1),
+         |h1 AS (SELECT b1, count(*) AS c1 FROM b GROUP BY 1),
+         |h2 AS (SELECT b2, count(*) AS c2 FROM b GROUP BY 1)
+         |SELECT l_orderkey, l_linenumber,
+         |  CAST(${contrib("c0")} + ${contrib("c1")} + ${contrib("c2")}
+         |    AS DOUBLE) AS hbos
+         |FROM b JOIN h0 USING (b0) JOIN h1 USING (b1) JOIN h2 USING (b2)
+         |ORDER BY hbos DESC, l_orderkey, l_linenumber
+         |LIMIT 100""".stripMargin
+    },
     // full-table chi2 from observed cells via Σ o²n/(ra·cb) − n (zero
     // cells enter through the −n identity); V rides its sqrt to a 9-dp
     // round; U = MI/H(A) emitted UNROUNDED (rational ratio of two exact

@@ -197,4 +197,43 @@ class QualitySpec extends AnyFunSuite {
     assert(card("lang_share:en") == 0.5 && card("lang_share:fr") == 0.5)
     assert(card.size == 8)
   }
+
+  test("hbosTopK: matches a scalar reference on a hand fixture, the " +
+      "planted joint outlier ranks first, constant features score 0") {
+    val rows = Seq(
+      (1L, 10.0, 5.0), (2L, 10.5, 5.0), (3L, 10.0, 5.5), (4L, 11.0, 5.0),
+      (5L, 10.5, 5.5), (6L, 10.0, 5.0), (7L, 10.5, 5.0), (8L, 99.0, 50.0))
+    val got = DataQualityValidator.hbosTopK(
+        rows.toDF("id", "a", "b").repartition(3),
+        Seq("a", "b"), Seq("id"), bins = 4, k = 8)
+      .as[(Long, Double)].collect().toSeq
+
+    // scalar reference mirroring the exact op sequence
+    def binId(v: Double, mn: Double, mx: Double, bins: Int): Long =
+      if (mx - mn > 0)
+        math.min(math.floor((v - mn) * bins / (mx - mn)).toLong, bins - 1L)
+      else 0L
+    def binsOf(vs: Seq[Double]): Seq[Long] = {
+      val mn = vs.min; val mx = vs.max
+      vs.map(binId(_, mn, mx, 4))
+    }
+    val ba = binsOf(rows.map(_._2)); val bb = binsOf(rows.map(_._3))
+    val ca = ba.groupBy(identity).view.mapValues(_.size).toMap
+    val cb = bb.groupBy(identity).view.mapValues(_.size).toMap
+    def contrib(c: Int): BigDecimal =
+      BigDecimal(-math.log(c.toDouble / rows.size))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val expected = rows.indices.map { i =>
+      rows(i)._1 -> (contrib(ca(ba(i))) + contrib(cb(bb(i)))).toDouble
+    }.sortBy { case (id, s) => (-s, id) }
+    assert(got == expected)
+    // the planted (99, 50) joint outlier is rank 1
+    assert(got.head._1 == 8L)
+    // constant features: every bin holds all rows, every score exactly 0
+    val const = Seq((1L, 3.0), (2L, 3.0), (3L, 3.0)).toDF("id", "a")
+    val gc = DataQualityValidator.hbosTopK(const, Seq("a"), Seq("id"),
+        bins = 4, k = 3)
+      .as[(Long, Double)].collect()
+    assert(gc.toSeq == Seq((1L, 0.0), (2L, 0.0), (3L, 0.0)))
+  }
 }
