@@ -1010,4 +1010,115 @@ object EventOps {
         round(col("slope"), 9).as("slope"),
         round(col("__r"), 9).as("intercept"))
   }
+
+  /** Autocorrelation + partial autocorrelation of the zero-filled daily
+    * value series, lags 1..`maxLag` — the Box–Jenkins order-selection
+    * read (ACF tails ⇒ AR component; PACF cutting off at k ⇒ AR(k))
+    * and the seasonality detector behind [[seasonalityProfile]].
+    *
+    * Exactness: ACF never touches a floating mean — deviations are
+    * scaled by n (e_d = n·x_d − Σx, exact cent integers in
+    * DECIMAL(38,0)), so r_k = Σ e_d·e_{d+k} / Σ e_d² is a ratio of
+    * exact integers with ONE IEEE division, emitted UNROUNDED (the
+    * Welch-dof argument). PACF comes from the Durbin–Levinson recursion
+    * UNROLLED over lags — each φ_{k,j} binds to a real column
+    * (`withColumn`, the Hilbert-walk discipline, keeping the plan
+    * linear in maxLag²), and [[durbinLevinsonSql]] emits the DuckDB CTE
+    * chain from the same index loops, so the two cannot drift; every
+    * step is a correctly-rounded scalar op on identical inputs.
+    *
+    * Scale shape: one day group-by collapses the data to the
+    * calendar-bounded grid; the lag pairs come from one grid×grid range
+    * join (≤ maxLag·days rows); everything after runs on a 1-row
+    * relation. Returns (lag, acf, pacf) for lags 1..maxLag — null when
+    * the series is constant (zero variance) or the lag exceeds the
+    * observed span.
+    */
+  def acfPacf(df: DataFrame, tsCol: String, valueCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 28, s"unrolled lags 1..28: $maxLag")
+    val big = DecimalType38
+    val cents = (col(valueCol).cast(org.apache.spark.sql.types
+      .DecimalType(18, 2)) * lit(100)).cast("long")
+    val daily = df.filter(col(valueCol).isNotNull)
+      .groupBy(floor(unix_micros(col(tsCol)) / lit(86400000000L))
+        .cast("long").as("d"))
+      .agg(sum(cents).as("x"))
+    val bounds = daily.agg(min("d").as("d0"), max("d").as("d1"))
+    val grid = bounds.select(explode(sequence(col("d0"), col("d1")))
+        .as("d"))
+      .join(daily, Seq("d"), "left")
+      .select(col("d"), coalesce(col("x"), lit(0L)).as("x"))
+    val st = grid.agg(count(lit(1)).as("n"), sum("x").as("s"))
+    val dev = grid.crossJoin(broadcast(st))
+      .select(col("d"),
+        (col("n").cast(big) * col("x").cast(big) - col("s").cast(big))
+          .as("e"))
+      .localCheckpoint()
+    val den = dev.agg(sum((col("e") * col("e")).cast(big)).as("den"))
+    val a = dev.select(col("d").as("da"), col("e").as("ea"))
+    val b = dev.select(col("d").as("db"), col("e").as("eb"))
+    val nums = a.join(b,
+        col("db") > col("da") && col("db") <= col("da") + maxLag)
+      .groupBy((col("db") - col("da")).as("lag"))
+      .agg(sum((col("ea") * col("eb")).cast(big)).as("num"))
+    val rCols = (1 to maxLag).map { k =>
+      max(when(col("lag") === k,
+        when(col("den") > lit(0L).cast(big),
+          col("num").cast(org.apache.spark.sql.types.DoubleType) /
+            col("den").cast(org.apache.spark.sql.types.DoubleType))))
+        .as(s"__r$k")
+    }
+    var one = nums.crossJoin(broadcast(den))
+      .agg(rCols.head, rCols.tail: _*)
+    // Durbin–Levinson, unrolled; [[durbinLevinsonSql]] mirrors these
+    // exact loops for the oracle
+    one = one.withColumn("__p_1_1", col("__r1"))
+    for (k <- 2 to maxLag) {
+      val num = col(s"__r$k") -
+        (1 until k).map(j => col(s"__p_${k - 1}_$j") * col(s"__r${k - j}"))
+          .reduce(_ + _)
+      val dn = lit(1.0) -
+        (1 until k).map(j => col(s"__p_${k - 1}_$j") * col(s"__r$j"))
+          .reduce(_ + _)
+      one = one.withColumn(s"__p_${k}_$k", num / dn)
+      for (j <- 1 until k)
+        one = one.withColumn(s"__p_${k}_$j",
+          col(s"__p_${k - 1}_$j") -
+            col(s"__p_${k}_$k") * col(s"__p_${k - 1}_${k - j}"))
+    }
+    one.select(explode(array((1 to maxLag).map(k =>
+        struct(lit(k.toLong).as("lag"), col(s"__r$k").as("acf"),
+          col(s"__p_${k}_$k").as("pacf"))): _*)).as("s"))
+      .select("s.*").orderBy("lag")
+  }
+
+  /** DuckDB CTE chain replaying [[acfPacf]]'s Durbin–Levinson unroll —
+    * `fromCte` must expose `r1..r{maxLag}`; the chain ends in CTE
+    * `dl${maxLag}` carrying every φ_{k,j} as `p_k_j`. Two CTEs per
+    * level (the diagonal φ_{k,k}, then the row update) because the row
+    * update reads the diagonal; generated by the same index loops as
+    * the Spark plan.
+    */
+  def durbinLevinsonSql(fromCte: String, maxLag: Int): String = {
+    val init = s"dl1 AS (SELECT *, r1 AS p_1_1 FROM $fromCte)"
+    val steps = (2 to maxLag).flatMap { k =>
+      val num = s"r$k - (" +
+        (1 until k).map(j => s"p_${k - 1}_$j * r${k - j}").mkString(" + ") +
+        ")"
+      val dn = "1.0 - (" +
+        (1 until k).map(j => s"p_${k - 1}_$j * r$j").mkString(" + ") + ")"
+      val diag = s"dl${k}a AS (SELECT *, ($num) / ($dn) AS p_${k}_$k " +
+        s"FROM dl${k - 1})"
+      val row = s"dl$k AS (SELECT *, " +
+        (1 until k).map(j =>
+          s"p_${k - 1}_$j - p_${k}_$k * p_${k - 1}_${k - j} AS p_${k}_$j")
+          .mkString(", ") +
+        s" FROM dl${k}a)"
+      Seq(diag, row)
+    }
+    (init +: steps).mkString(",\n")
+  }
+
+  private val DecimalType38 = org.apache.spark.sql.types.DecimalType(38, 0)
 }

@@ -321,6 +321,13 @@ object FeatureQueries {
           .withColumn("ts_us", unix_micros(col("ts"))), "ts_us")
       .orderBy("day")
 
+  /** ACF + PACF of the zero-filled daily event-value series, lags 1..7
+    * ([[graft.ops.EventOps.acfPacf]]) — the Box–Jenkins order/seasonality
+    * read on the stream [[cusum]] monitors.
+    */
+  def acfPacf(spark: SparkSession, dir: String): DataFrame =
+    EventOps.acfPacf(Tables.events(spark, dir), "ts", "value", maxLag = 7)
+
   /** Synchronous bounded-round label-propagation communities over the
     * purchase graph ([[graft.ops.Graph.lpaCommunities]], same edges as
     * `feat_pagerank`).
@@ -524,6 +531,7 @@ object FeatureQueries {
     "feat_hits" -> hitsSuppliers,
     "feat_theilsen_trend" -> theilSen,
     "feat_cusum_alarm" -> cusum,
+    "feat_acf_pacf" -> acfPacf,
     "feat_fano_burstiness" -> fano,
     "feat_kcore" -> kcore,
     "feat_random_walks" -> randomWalks,
@@ -1333,6 +1341,42 @@ object FeatureQueries {
         |  coalesce(out_deg, 0) AS out_deg, coalesce(in_deg, 0) AS in_deg
         |FROM o FULL JOIN i ON o.node = i.node
         |ORDER BY node""".stripMargin,
+    // n-scaled integer deviations (e = n·x − Σx, exact cents) → ACF is
+    // one division per lag; PACF CTE chain emitted by the SAME
+    // Durbin–Levinson loops as the Spark plan (EventOps.durbinLevinsonSql)
+    "feat_acf_pacf" -> {
+      val maxLag = 7
+      val rdefs = (1 to maxLag).map(k =>
+        s"""max(CASE WHEN lag = $k THEN
+           |    CASE WHEN den > 0 THEN CAST(num AS DOUBLE) /
+           |      CAST(den AS DOUBLE) END END) AS r$k""".stripMargin)
+        .mkString(",\n")
+      val outs = (1 to maxLag).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS lag, r$k AS acf, p_${k}_$k AS pacf" +
+          s" FROM dl$maxLag").mkString("\nUNION ALL\n")
+      s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+         |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+         |      AS HUGEINT) AS x
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+         |grid AS (SELECT gs.d, coalesce(daily.x, 0) AS x
+         |  FROM (SELECT unnest(generate_series(mn, mx)) AS d
+         |        FROM (SELECT min(d) AS mn, max(d) AS mx FROM daily)) gs
+         |  LEFT JOIN daily USING (d)),
+         |st AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(x) AS HUGEINT) AS s FROM grid),
+         |dev AS (SELECT d, n * x - s AS e FROM grid, st),
+         |dn AS (SELECT CAST(sum(e * e) AS HUGEINT) AS den FROM dev),
+         |nums AS (SELECT b.d - a.d AS lag,
+         |    CAST(sum(a.e * b.e) AS HUGEINT) AS num
+         |  FROM dev a JOIN dev b
+         |    ON b.d > a.d AND b.d <= a.d + $maxLag GROUP BY 1),
+         |r AS (SELECT
+         |$rdefs
+         |  FROM nums, dn),
+         |${graft.ops.EventOps.durbinLevinsonSql("r", maxLag)}
+         |$outs
+         |ORDER BY lag""".stripMargin
+    },
     // integer counts; the lag is a self-join of the per-day grid on d-7
     "feat_seasonal_naive" ->
       """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,

@@ -608,4 +608,51 @@ class EventOpsSpec extends AnyFunSuite {
     val s = dirty.getAs[Double]("slope")
     assert(s >= 1.5 && s <= 3.0, s"slope $s dragged by the outlier")
   }
+
+  test("acfPacf: matches a scalar Durbin-Levinson reference on a " +
+      "zero-filled fixture; constant series yields nulls") {
+    // days 0..9 with a gap at day 4 (zero-filled by the op)
+    val series = Seq(0L -> 1.0, 1L -> 3.0, 2L -> 2.0, 3L -> 5.0,
+      5L -> 4.0, 6L -> 6.0, 7L -> 2.0, 8L -> 7.0, 9L -> 3.0)
+    val df = series.toDF("du", "v")
+      .select(timestamp_micros(col("du") * 86400000000L).as("ts"),
+        col("v").as("value"))
+    val maxLag = 7
+    val got = EventOps.acfPacf(df.repartition(4), "ts", "value", maxLag)
+      .as[(Long, Option[Double], Option[Double])].collect().toSeq
+
+    // scalar reference over the zero-filled CENT series
+    val cents: Seq[BigInt] = (0L to 9L).map(d =>
+      BigInt((series.toMap.getOrElse(d, 0.0) * 100).round))
+    val n = cents.size
+    val sum = cents.sum
+    val e = cents.map(x => BigInt(n) * x - sum)
+    val den = e.map(v => v * v).sum
+    val r: Seq[Double] = (1 to maxLag).map { k =>
+      val num = (0 until n - k).map(i => e(i) * e(i + k)).sum
+      num.toDouble / den.toDouble
+    }
+    val phi = Array.ofDim[Double](maxLag + 1, maxLag + 1)
+    phi(1)(1) = r(0)
+    for (k <- 2 to maxLag) {
+      val num = r(k - 1) -
+        (1 until k).map(j => phi(k - 1)(j) * r(k - j - 1)).sum
+      val dn = 1.0 - (1 until k).map(j => phi(k - 1)(j) * r(j - 1)).sum
+      phi(k)(k) = num / dn
+      for (j <- 1 until k)
+        phi(k)(j) = phi(k - 1)(j) - phi(k)(k) * phi(k - 1)(k - j)
+    }
+    val expected = (1 to maxLag).map(k =>
+      (k.toLong, Some(r(k - 1)), Some(phi(k)(k))))
+    assert(got == expected)
+    assert(got.head._2 == got.head._3) // pacf(1) = acf(1)
+
+    // constant series: zero variance => every acf/pacf null
+    val const = Seq(0L, 1L, 2L, 3L).map(_ -> 2.0).toDF("du", "v")
+      .select(timestamp_micros(col("du") * 86400000000L).as("ts"),
+        col("v").as("value"))
+    val gc = EventOps.acfPacf(const, "ts", "value", 3)
+      .as[(Long, Option[Double], Option[Double])].collect()
+    assert(gc.forall(x => x._2.isEmpty && x._3.isEmpty))
+  }
 }
