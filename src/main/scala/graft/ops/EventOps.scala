@@ -1093,6 +1093,63 @@ object EventOps {
       .select("s.*").orderBy("lag")
   }
 
+  /** Lorenz spend concentration — the Gini coefficient and top-decile
+    * share of per-key total spend: the whale-dependence read (how much
+    * of revenue sits on how few users) that RFM segments can't give in
+    * one number.
+    *
+    * Exactness: per-key spend collapses to the distinct-CENT-value grid
+    * with counts; the rows tied at value v occupy ranks C−c+1..C, so
+    * Σ_rows (2·rank − n − 1)·v collapses to v·c·(2C − c − n) — ALL
+    * integer (DECIMAL(38,0)) until Gini's one final division, emitted
+    * unrounded. The top-decile boundary rank r* = (9n) div 10 is
+    * integer floor division, and the boundary tie-group's partial
+    * cumulative spend cs − v·(C − r*) stays integral too — no
+    * percentile, no floating rank anywhere.
+    *
+    * Scale shape: one key group-by, one grid collapse, the cumulative
+    * walk through [[SaltedGrid]] (a near-continuous spend grid is
+    * row-scale — never one window task), then a 1-row aggregate.
+    * Returns (n_keys, total_spend, gini, top_decile_share).
+    */
+  def spendConcentration(df: DataFrame, keyCol: String, valueCol: String)
+      : DataFrame = {
+    val big = DecimalType38
+    val cents = (col(valueCol)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * lit(100))
+      .cast("long")
+    val perKey = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol)).agg(sum(cents).as("v"))
+    val grid = perKey.groupBy("v").agg(count(lit(1)).as("c"))
+      .withColumn("s", col("v") * col("c"))
+    val walked = SaltedGrid.cumulative(grid, "v", Seq("c", "s"))
+    val contrib = col("v").cast(big) * col("c").cast(big) *
+      (lit(2L).cast(big) * col("__cum_c").cast(big) -
+        col("c").cast(big) - col("__tot_c").cast(big))
+    val rStar = expr("(9 * __tot_c) div 10")
+    val inBoundary = col("__cum_c") - col("c") < rStar &&
+      rStar <= col("__cum_c")
+    walked.agg(
+        max(col("__tot_c")).as("n"),
+        max(col("__tot_s")).as("st"),
+        sum(contrib).as("num"),
+        sum(when(inBoundary,
+          col("__cum_s") - col("v") * (col("__cum_c") - rStar)))
+          .as("cum_at"))
+      .select(col("n").as("n_keys"),
+        (col("st").cast(org.apache.spark.sql.types.DoubleType) /
+          lit(100.0)).as("total_spend"),
+        when(col("n") > 0 && col("st") > 0,
+          col("num").cast(org.apache.spark.sql.types.DoubleType) /
+            (col("n").cast(big) * col("st").cast(big))
+              .cast(org.apache.spark.sql.types.DoubleType)).as("gini"),
+        when(col("st") > 0,
+          (col("st") - coalesce(col("cum_at"), lit(0L)))
+            .cast(org.apache.spark.sql.types.DoubleType) /
+            col("st").cast(org.apache.spark.sql.types.DoubleType))
+          .as("top_decile_share"))
+  }
+
   /** DuckDB CTE chain replaying [[acfPacf]]'s Durbin–Levinson unroll —
     * `fromCte` must expose `r1..r{maxLag}`; the chain ends in CTE
     * `dl${maxLag}` carrying every φ_{k,j} as `p_k_j`. Two CTEs per

@@ -328,6 +328,14 @@ object FeatureQueries {
   def acfPacf(spark: SparkSession, dir: String): DataFrame =
     EventOps.acfPacf(Tables.events(spark, dir), "ts", "value", maxLag = 7)
 
+  /** Gini + top-decile concentration of per-user event spend
+    * ([[graft.ops.EventOps.spendConcentration]]) — the whale-dependence
+    * audit behind the RFM segmentation.
+    */
+  def spendGini(spark: SparkSession, dir: String): DataFrame =
+    EventOps.spendConcentration(Tables.events(spark, dir), "user_id",
+      "value")
+
   /** Synchronous bounded-round label-propagation communities over the
     * purchase graph ([[graft.ops.Graph.lpaCommunities]], same edges as
     * `feat_pagerank`).
@@ -532,6 +540,7 @@ object FeatureQueries {
     "feat_theilsen_trend" -> theilSen,
     "feat_cusum_alarm" -> cusum,
     "feat_acf_pacf" -> acfPacf,
+    "feat_spend_gini" -> spendGini,
     "feat_fano_burstiness" -> fano,
     "feat_kcore" -> kcore,
     "feat_random_walks" -> randomWalks,
@@ -1341,6 +1350,35 @@ object FeatureQueries {
         |  coalesce(out_deg, 0) AS out_deg, coalesce(in_deg, 0) AS in_deg
         |FROM o FULL JOIN i ON o.node = i.node
         |ORDER BY node""".stripMargin,
+    // tie-group rank sums collapse to v·c·(2C−c−n), all-integer to one
+    // division; boundary rank r* = (9n) div 10 integer floor division
+    "feat_spend_gini" ->
+      """WITH pk AS (SELECT user_id,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |g AS (SELECT v, count(*) AS c, v * count(*) AS s FROM pk
+        |  GROUP BY 1),
+        |w AS (SELECT v, c, s,
+        |    CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cc,
+        |    CAST(sum(s) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cs,
+        |    CAST(sum(c) OVER () AS BIGINT) AS n,
+        |    CAST(sum(s) OVER () AS BIGINT) AS st FROM g),
+        |a AS (SELECT max(n) AS n, max(st) AS st,
+        |    CAST(sum(CAST(v AS HUGEINT) * c * (2 * cc - c - n))
+        |      AS HUGEINT) AS num,
+        |    sum(CASE WHEN cc - c < (9 * n) // 10 AND (9 * n) // 10 <= cc
+        |      THEN cs - v * (cc - (9 * n) // 10) END) AS cum_at
+        |  FROM w)
+        |SELECT n AS n_keys, CAST(st AS DOUBLE) / 100.0 AS total_spend,
+        |  CASE WHEN n > 0 AND st > 0 THEN CAST(num AS DOUBLE) /
+        |    CAST(CAST(n AS HUGEINT) * st AS DOUBLE) END AS gini,
+        |  CASE WHEN st > 0 THEN
+        |    CAST(st - coalesce(cum_at, 0) AS DOUBLE) / CAST(st AS DOUBLE)
+        |  END AS top_decile_share
+        |FROM a""".stripMargin,
     // n-scaled integer deviations (e = n·x − Σx, exact cents) → ACF is
     // one division per lag; PACF CTE chain emitted by the SAME
     // Durbin–Levinson loops as the Spark plan (EventOps.durbinLevinsonSql)

@@ -655,4 +655,28 @@ class EventOpsSpec extends AnyFunSuite {
       .as[(Long, Option[Double], Option[Double])].collect()
     assert(gc.forall(x => x._2.isEmpty && x._3.isEmpty))
   }
+
+  test("spendConcentration: hand-computed gini and top-decile share; " +
+      "equality floor 0 and single-whale (n-1)/n ceiling") {
+    def mk(spends: Seq[Double]) =
+      spends.zipWithIndex.map { case (v, i) => (s"u$i", v) }
+        .toDF("user_id", "value")
+    // spends [1,1,1,1,6]: gini = 2000/5000, top decile = rank-5 whale
+    val g1 = EventOps.spendConcentration(mk(Seq(1, 1, 1, 1, 6))
+        .repartition(3), "user_id", "value")
+      .as[(Long, Double, Option[Double], Option[Double])].head()
+    assert(g1 == ((5L, 10.0, Some(0.4), Some(0.6))))
+    // perfect equality => gini exactly 0
+    val g2 = EventOps.spendConcentration(mk(Seq.fill(10)(2.5)),
+        "user_id", "value")
+      .as[(Long, Double, Option[Double], Option[Double])].head()
+    assert(g2._3.contains(0.0))
+    // top decile of 10 equal users = exactly 1 user = 10% of spend
+    assert(g2._4.contains(0.1))
+    // one whale owns everything => gini = (n-1)/n
+    val g3 = EventOps.spendConcentration(mk(Seq(0, 0, 0, 0, 10)),
+        "user_id", "value")
+      .as[(Long, Double, Option[Double], Option[Double])].head()
+    assert(g3._3.contains(0.8) && g3._4.contains(1.0))
+  }
 }
