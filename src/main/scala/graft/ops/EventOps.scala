@@ -1038,17 +1038,7 @@ object EventOps {
       maxLag: Int): DataFrame = {
     require(maxLag >= 1 && maxLag <= 28, s"unrolled lags 1..28: $maxLag")
     val big = DecimalType38
-    val cents = (col(valueCol).cast(org.apache.spark.sql.types
-      .DecimalType(18, 2)) * lit(100)).cast("long")
-    val daily = df.filter(col(valueCol).isNotNull)
-      .groupBy(floor(unix_micros(col(tsCol)) / lit(86400000000L))
-        .cast("long").as("d"))
-      .agg(sum(cents).as("x"))
-    val bounds = daily.agg(min("d").as("d0"), max("d").as("d1"))
-    val grid = bounds.select(explode(sequence(col("d0"), col("d1")))
-        .as("d"))
-      .join(daily, Seq("d"), "left")
-      .select(col("d"), coalesce(col("x"), lit(0L)).as("x"))
+    val grid = dailyCentsGrid(df, tsCol, valueCol).drop("idx")
     val st = grid.agg(count(lit(1)).as("n"), sum("x").as("s"))
     val dev = grid.crossJoin(broadcast(st))
       .select(col("d"),
@@ -1091,6 +1081,28 @@ object EventOps {
         struct(lit(k.toLong).as("lag"), col(s"__r$k").as("acf"),
           col(s"__p_${k}_$k").as("pacf"))): _*)).as("s"))
       .select("s.*").orderBy("lag")
+  }
+
+  /** Zero-filled daily CENT series of `valueCol` — (idx, d, x) where
+    * `d` is the epoch day, `idx` = d − min(d) the series position, and
+    * `x` the exact cent total (0 on gap days). The calendar-bounded
+    * grid every daily time-series op ([[acfPacf]], [[ewmaForecast]])
+    * starts from: one day group-by, a `sequence()` fill, one broadcast.
+    */
+  private def dailyCentsGrid(df: DataFrame, tsCol: String,
+      valueCol: String): DataFrame = {
+    val cents = (col(valueCol).cast(org.apache.spark.sql.types
+      .DecimalType(18, 2)) * lit(100)).cast("long")
+    val daily = df.filter(col(valueCol).isNotNull)
+      .groupBy(floor(unix_micros(col(tsCol)) / lit(86400000000L))
+        .cast("long").as("d"))
+      .agg(sum(cents).as("x"))
+    val bounds = daily.agg(min("d").as("d0"), max("d").as("d1"))
+    bounds.select(col("d0"),
+        explode(sequence(col("d0"), col("d1"))).as("d"))
+      .join(daily, Seq("d"), "left")
+      .select((col("d") - col("d0")).as("idx"), col("d"),
+        coalesce(col("x"), lit(0L)).as("x"))
   }
 
   /** Lorenz spend concentration — the Gini coefficient and top-decile
@@ -1149,6 +1161,69 @@ object EventOps {
             col("st").cast(org.apache.spark.sql.types.DoubleType))
           .as("top_decile_share"))
   }
+
+  /** One-step-ahead EWMA forecast of the zero-filled daily value
+    * series at α = 1/2 — the exponential-smoothing partner to
+    * [[seasonalNaive]]: forecast(t) = s_{t−1} where
+    * s_t = (x_t + s_{t−1})/2, s_0 = x_0.
+    *
+    * α is FIXED at 1/2 because that makes every closed-form weight an
+    * exact power of two: s_{t−1} = Σ_{a=1..t−1} x_a·2^{−(t−a)} +
+    * x_0·2^{−(t−1)}, and each term quantizes by TRUNCATING nano-unit
+    * integer division (x·10⁹ div 2^e — the Cramér's-V discipline; a
+    * general α would make weights non-terminating rationals with no
+    * cross-engine rounding guarantee). Terms beyond e = 62 underflow
+    * to 0 and are dropped by the join bound, which also caps the
+    * divisor at a long. The 63-row power table is generated by ONE
+    * loop emitting both the broadcast relation and the oracle's VALUES
+    * list ([[pow2ValuesSql]]), so the two cannot drift.
+    *
+    * Scale shape: the day grid is calendar-bounded, the pair join is
+    * grid × ≤63 rows, the power table broadcasts; per-day sums are
+    * map-side combinable. Returns (day, actual_cents, forecast_cents,
+    * abs_err_cents) for every day after the first, ordered by day.
+    */
+  def ewmaForecast(df: DataFrame, tsCol: String, valueCol: String)
+      : DataFrame = {
+    val big = DecimalType38
+    val grid = dailyCentsGrid(df, tsCol, valueCol).localCheckpoint()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pw = Pow2.toDF("e", "p")
+    val t = grid.select(col("idx").as("it"), col("d"),
+      col("x").as("actual"))
+      .filter(col("it") >= 1)
+    val a = grid.select(col("idx").as("ia"), col("x").as("xa"))
+    val pairs = t.join(a,
+      (col("ia") === 0 && col("it") - 1 <= lit(MaxPow2)) ||
+        (col("ia") >= 1 && col("ia") <= col("it") - 1 &&
+          col("it") - col("ia") <= lit(MaxPow2)))
+    val nano = pairs
+      .withColumn("e",
+        when(col("ia") === 0, col("it") - 1).otherwise(col("it") - col("ia")))
+      .join(broadcast(pw), Seq("e"))
+      .withColumn("term",
+        expr("(cast(xa as decimal(38,0)) * 1000000000) div p"))
+      .groupBy(col("d"), col("actual"))
+      .agg(sum(col("term").cast(big)).as("nano"))
+    nano.select(col("d").as("day"), col("actual").as("actual_cents"),
+        (col("nano").cast(org.apache.spark.sql.types.DoubleType) /
+          lit(1.0e9)).as("forecast_cents"),
+        (abs(col("actual").cast(big) * lit(1000000000L).cast(big) -
+          col("nano")).cast(org.apache.spark.sql.types.DoubleType) /
+          lit(1.0e9)).as("abs_err_cents"))
+      .orderBy("day")
+  }
+
+  /** Exponent→2^e pairs for e = 0..62 — the ONE loop behind both
+    * [[ewmaForecast]]'s broadcast table and [[pow2ValuesSql]]. */
+  private val MaxPow2 = 62
+  private val Pow2: Seq[(Long, Long)] =
+    (0 to MaxPow2).map(e => (e.toLong, 1L << e))
+
+  /** DuckDB VALUES list replaying [[Pow2]] — `(e, p)` rows. */
+  def pow2ValuesSql: String =
+    Pow2.map { case (e, p) => s"($e, $p)" }.mkString(", ")
 
   /** DuckDB CTE chain replaying [[acfPacf]]'s Durbin–Levinson unroll —
     * `fromCte` must expose `r1..r{maxLag}`; the chain ends in CTE

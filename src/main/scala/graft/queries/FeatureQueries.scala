@@ -336,6 +336,13 @@ object FeatureQueries {
     EventOps.spendConcentration(Tables.events(spark, dir), "user_id",
       "value")
 
+  /** One-step EWMA (α = 1/2) daily spend forecast
+    * ([[graft.ops.EventOps.ewmaForecast]]) — the exponential-smoothing
+    * partner to [[seasonalNaive]]'s lag-7 baseline.
+    */
+  def ewmaForecastQ(spark: SparkSession, dir: String): DataFrame =
+    EventOps.ewmaForecast(Tables.events(spark, dir), "ts", "value")
+
   /** Synchronous bounded-round label-propagation communities over the
     * purchase graph ([[graft.ops.Graph.lpaCommunities]], same edges as
     * `feat_pagerank`).
@@ -541,6 +548,7 @@ object FeatureQueries {
     "feat_cusum_alarm" -> cusum,
     "feat_acf_pacf" -> acfPacf,
     "feat_spend_gini" -> spendGini,
+    "feat_ewma_forecast" -> ewmaForecastQ,
     "feat_fano_burstiness" -> fano,
     "feat_kcore" -> kcore,
     "feat_random_walks" -> randomWalks,
@@ -1350,6 +1358,37 @@ object FeatureQueries {
         |  coalesce(out_deg, 0) AS out_deg, coalesce(in_deg, 0) AS in_deg
         |FROM o FULL JOIN i ON o.node = i.node
         |ORDER BY node""".stripMargin,
+    // α=1/2 ⇒ every closed-form weight an exact power of two; per-term
+    // truncating nano division; power table from the SAME loop
+    // (EventOps.pow2ValuesSql) as the Spark broadcast relation
+    "feat_ewma_forecast" ->
+      s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+         |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+         |      AS BIGINT) AS x
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+         |grid AS (SELECT gs.d - (SELECT min(d) FROM daily) AS idx, gs.d,
+         |    coalesce(daily.x, 0) AS x
+         |  FROM (SELECT unnest(generate_series(mn, mx)) AS d
+         |        FROM (SELECT min(d) AS mn, max(d) AS mx FROM daily)) gs
+         |  LEFT JOIN daily USING (d)),
+         |pw(e, p) AS (VALUES ${graft.ops.EventOps.pow2ValuesSql}),
+         |pairs AS (SELECT t.d, t.x AS actual,
+         |    CASE WHEN a.idx = 0 THEN t.idx - 1
+         |         ELSE t.idx - a.idx END AS e,
+         |    a.x AS xa
+         |  FROM grid t JOIN grid a
+         |    ON t.idx >= 1 AND ((a.idx = 0 AND t.idx - 1 <= 62)
+         |      OR (a.idx >= 1 AND a.idx <= t.idx - 1
+         |          AND t.idx - a.idx <= 62))),
+         |n AS (SELECT d, actual,
+         |    CAST(sum((CAST(xa AS HUGEINT) * 1000000000) // p) AS HUGEINT)
+         |      AS nano
+         |  FROM pairs JOIN pw USING (e) GROUP BY 1, 2)
+         |SELECT d AS day, actual AS actual_cents,
+         |  CAST(nano AS DOUBLE) / 1000000000.0 AS forecast_cents,
+         |  CAST(abs(CAST(actual AS HUGEINT) * 1000000000 - nano) AS DOUBLE)
+         |    / 1000000000.0 AS abs_err_cents
+         |FROM n ORDER BY day""".stripMargin,
     // tie-group rank sums collapse to v·c·(2C−c−n), all-integer to one
     // division; boundary rank r* = (9n) div 10 integer floor division
     "feat_spend_gini" ->

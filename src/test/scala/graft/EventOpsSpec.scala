@@ -679,4 +679,40 @@ class EventOpsSpec extends AnyFunSuite {
       .as[(Long, Double, Option[Double], Option[Double])].head()
     assert(g3._3.contains(0.8) && g3._4.contains(1.0))
   }
+
+  test("ewmaForecast: matches the nano-quantized closed form exactly " +
+      "and tracks the real half-life recursion; zero-fills gaps") {
+    // days 0,1,2,4,5 (gap at 3)
+    val series = Seq(0L -> 4.0, 1L -> 8.0, 2L -> 2.0, 4L -> 6.0,
+      5L -> 10.0)
+    val df = series.toDF("du", "v")
+      .select(timestamp_micros(col("du") * 86400000000L).as("ts"),
+        col("v").as("value"))
+    val got = EventOps.ewmaForecast(df.repartition(3), "ts", "value")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+
+    val cents: Seq[Long] = (0L to 5L).map(d =>
+      (series.toMap.getOrElse(d, 0.0) * 100).round)
+    def nanoForecast(t: Int): BigInt = {
+      val tail = (1 until t).map(a =>
+        BigInt(cents(a)) * 1000000000L / (BigInt(1) << (t - a)))
+      val head = BigInt(cents(0)) * 1000000000L / (BigInt(1) << (t - 1))
+      tail.sum + head
+    }
+    val expected = (1 to 5).map { t =>
+      val n = nanoForecast(t)
+      (t.toLong, cents(t), n.toDouble / 1e9,
+        (BigInt(cents(t)) * 1000000000L - n).abs.toDouble / 1e9)
+    }
+    assert(got == expected)
+    // the quantized forecast sits within a whisker of the real
+    // s_t = (x_t + s_{t-1})/2 recursion
+    var level = cents(0).toDouble
+    val recur = (1 to 5).map { t =>
+      val f = level; level = (cents(t) + level) / 2.0; f
+    }
+    got.zip(recur).foreach { case ((_, _, f, _), r) =>
+      assert(math.abs(f - r) < 1e-6, s"$f vs $r")
+    }
+  }
 }
