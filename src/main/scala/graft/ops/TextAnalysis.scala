@@ -907,4 +907,101 @@ object TextAnalysis {
       .join(tf, Seq("term"))
       .select("term", "doc_freq", "total_tf", "postings")
   }
+
+  /** Flesch reading ease + Flesch–Kincaid grade (Flesch 1948; Kincaid
+    * et al. 1975) — the classic readability pair a curation pipeline
+    * buckets documents by (alongside [[qualityScore]]'s structural
+    * heuristics): both are affine in words-per-sentence and
+    * syllables-per-word.
+    *
+    * Counting is pure character-class arithmetic, zero per-word
+    * lambdas: sentences = '.!?' terminator chars (floor 1 — a corpus
+    * with no punctuation reads as one sentence per document);
+    * syllables = vowel-group count (collapse `[aeiouy]+` runs to one
+    * marker each, count markers) + one per vowel-less word (the
+    * standard ≥1-syllable floor), where vowel-less words = n_words −
+    * words containing a vowel (ONE regexp_extract_all). Identical
+    * simple character classes on both engines.
+    *
+    * Exactness: the two ratios are single IEEE divisions of exact
+    * integers; the affine combinations use shared decimal literals and
+    * are emitted UNROUNDED — every step is a correctly-rounded scalar
+    * op on identical inputs (the Welch-dof argument; a 9-dp round of a
+    * rational could land a half-ulp tie). Per-row codegen'd
+    * expressions, zero shuffle.
+    * Returns (id, n_words, n_sentences, n_syllables, flesch, fk_grade).
+    */
+  /** Zipf's-law fit of the corpus token-frequency curve (Zipf 1949):
+    * OLS of ln(count) on ln(rank) over the [[TokenModels.buildVocab]]
+    * ranking — slope ≈ −1 is the natural-language signature; a corpus
+    * whose slope drifts (template spam flattens it, deduplication
+    * sharpens it) fails the curation smell test. Returns one row:
+    * (n_terms, slope, intercept, r2).
+    *
+    * Exactness: ln(rank) and ln(count) are irrational → each rounds
+    * 9 dp safely, then widens to NANO-UNIT integers
+    * (DECIMAL(18,9) × 10⁹ — the CUSUM widen-before-multiply rule) so
+    * Σx, Σy, Σxy, Σx², Σy² and the moment combinations
+    * A = nΣxy − ΣxΣy, B = nΣx² − (Σx)², C = nΣy² − (Σy)² are ALL
+    * exact DECIMAL(38,0) integers. slope = A/B is one IEEE division;
+    * r² = A²/(B·C) and the intercept run the same fixed-sequence
+    * double arithmetic (A² would overflow DECIMAL(38) — the one
+    * documented drop to double); all emitted UNROUNDED (the Welch-dof
+    * argument).
+    *
+    * Scale shape: one explode + (term) group-by builds the vocabulary;
+    * ranks come from buildVocab's two-phase salted ranking (no global
+    * window on the vocab-scale relation); the fit aggregates that
+    * relation once.
+    */
+  def zipfFit(docs: DataFrame, textCol: String, minCount: Long = 1L)
+      : DataFrame = {
+    val big = DecimalType(38, 0)
+    val d9 = DecimalType(18, 9)
+    val vocab = TokenModels.buildVocab(docs, textCol, minCount)
+    val nano = (c: Column) =>
+      (round(log(c.cast("double")), 9).cast(d9) * lit(1000000000L))
+        .cast(big)
+    val m = vocab
+      .select(nano(col("term_id")).as("x"), nano(col("term_count")).as("y"))
+      .agg(count(lit(1)).cast(big).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("y")).cast(big)).as("sxy"),
+        sum((col("x") * col("x")).cast(big)).as("sxx"),
+        sum((col("y") * col("y")).cast(big)).as("syy"))
+    val a = (col("n") * col("sxy") - col("sx") * col("sy")).cast(big)
+    val b = (col("n") * col("sxx") - col("sx") * col("sx")).cast(big)
+    val c = (col("n") * col("syy") - col("sy") * col("sy")).cast(big)
+    val dbl = org.apache.spark.sql.types.DoubleType
+    val slope = a.cast(dbl) / b.cast(dbl)
+    m.select(col("n").cast("long").as("n_terms"),
+      when(b.cast(dbl) > 0, slope).as("slope"),
+      when(b.cast(dbl) > 0,
+        (col("sy").cast(dbl) - slope * col("sx").cast(dbl)) /
+          (col("n").cast(dbl) * lit(1.0e9))).as("intercept"),
+      when(b.cast(dbl) > 0 && c.cast(dbl) > 0,
+        a.cast(dbl) * a.cast(dbl) / (b.cast(dbl) * c.cast(dbl)))
+        .as("r2"))
+  }
+
+  def readabilityScores(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val t = toks(col(textCol))
+    val nWords = greatest(size(t).cast("long"), lit(1L))
+    val nSent = greatest(
+      length(regexp_replace(col(textCol), "[^.!?]", "")).cast("long"),
+      lit(1L))
+    val vowelGroups = length(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[aeiouy]+", "V"), "[^V]", ""))
+      .cast("long")
+    val vowelWords = size(regexp_extract_all(lower(col(textCol)),
+      lit("[^ ]*[aeiouy][^ ]*"), lit(0))).cast("long")
+    val nSyll = vowelGroups + (size(t).cast("long") - vowelWords)
+    val wps = nWords.cast("double") / nSent.cast("double")
+    val spw = nSyll.cast("double") / nWords.cast("double")
+    df.select(col(idCol).as("id"), size(t).cast("long").as("n_words"),
+      nSent.as("n_sentences"), nSyll.as("n_syllables"),
+      (lit(206.835) - lit(1.015) * wps - lit(84.6) * spw).as("flesch"),
+      (lit(0.39) * wps + lit(11.8) * spw - lit(15.59)).as("fk_grade"))
+  }
 }

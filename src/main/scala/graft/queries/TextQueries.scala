@@ -36,6 +36,23 @@ object TextQueries {
     TextAnalysis.qualityScore(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Flesch reading ease + FK grade per document
+    * ([[graft.ops.TextAnalysis.readabilityScores]]) — the classic
+    * readability bucketing axis next to [[qualityScore]].
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.readabilityScores(Tables.documents(spark, dir), "doc_id",
+        "text")
+      .orderBy("id")
+
+  /** Zipf-law OLS fit of the corpus frequency curve
+    * ([[graft.ops.TextAnalysis.zipfFit]]) — slope ≈ −1 is the
+    * natural-language signature the curation smell test reads.
+    */
+  def zipf(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipfFit(Tables.documents(spark, dir), "text")
+      .orderBy("n_terms")
+
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     TextAnalysis.langId(docs, "doc_id", "text", Profiles)
@@ -437,6 +454,8 @@ object TextQueries {
     "text_token_stats" -> tokenStats,
     "text_regex_tokens" -> regexTokens,
     "text_quality_score" -> qualityScore,
+    "text_readability" -> readability,
+    "text_zipf_fit" -> zipf,
     "text_lang_id" -> langId,
     "text_token_frequencies" -> tokenFrequencies,
     "text_edit_distance" -> editDistance,
@@ -1035,6 +1054,65 @@ object TextQueries {
          |    (len(grams) - len(list_distinct(grams)))::DOUBLE / len(grams)
          |    ELSE 0.0 END, 6) AS dup_ngram_frac
          |FROM g ORDER BY doc_id""".stripMargin,
+    // ln values round 9 dp (irrational) then widen to nano integers;
+    // every moment combination exact in HUGEINT; slope/r2/intercept are
+    // fixed-sequence double arithmetic, emitted unrounded
+    "text_zipf_fit" ->
+      s"""WITH $toksCte,
+         |t AS (SELECT unnest(toks) AS term FROM d),
+         |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1),
+         |rk AS (SELECT cnt,
+         |    row_number() OVER (ORDER BY cnt DESC, term) AS rank FROM c),
+         |z AS (SELECT
+         |    CAST(CAST(round(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(38,9))
+         |      * 1000000000 AS HUGEINT) AS x,
+         |    CAST(CAST(round(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(38,9))
+         |      * 1000000000 AS HUGEINT) AS y
+         |  FROM rk),
+         |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         |    CAST(sum(x * y) AS HUGEINT) AS sxy,
+         |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+         |    CAST(sum(y * y) AS HUGEINT) AS syy FROM z),
+         |f AS (SELECT n, sx, sy, n * sxy - sx * sy AS a,
+         |    n * sxx - sx * sx AS b, n * syy - sy * sy AS c FROM m)
+         |SELECT CAST(n AS BIGINT) AS n_terms,
+         |  CASE WHEN CAST(b AS DOUBLE) > 0
+         |    THEN CAST(a AS DOUBLE) / CAST(b AS DOUBLE) END AS slope,
+         |  CASE WHEN CAST(b AS DOUBLE) > 0 THEN
+         |    (CAST(sy AS DOUBLE) - (CAST(a AS DOUBLE) / CAST(b AS DOUBLE))
+         |      * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * 1000000000.0)
+         |  END AS intercept,
+         |  CASE WHEN CAST(b AS DOUBLE) > 0 AND CAST(c AS DOUBLE) > 0 THEN
+         |    CAST(a AS DOUBLE) * CAST(a AS DOUBLE) /
+         |      (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+         |  END AS r2
+         |FROM f""".stripMargin,
+    // pure character-class counting (terminator chars, collapsed vowel
+    // runs, vowel-less words); the affine scores are emitted UNROUNDED
+    // — fixed IEEE sequence on exact integers and shared literals
+    "text_readability" ->
+      """WITH x AS (SELECT doc_id,
+        |    greatest(len(list_filter(string_split(text, ' '),
+        |      t -> t <> '')), 1)::BIGINT AS nw1,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> t <> ''))::BIGINT AS nw,
+        |    greatest(length(regexp_replace(text, '[^.!?]', '', 'g')),
+        |      1)::BIGINT AS ns,
+        |    length(regexp_replace(regexp_replace(lower(text),
+        |      '[aeiouy]+', 'V', 'g'), '[^V]', '', 'g'))::BIGINT AS vg,
+        |    len(regexp_extract_all(lower(text),
+        |      '[^ ]*[aeiouy][^ ]*'))::BIGINT AS vw
+        |  FROM documents),
+        |y AS (SELECT doc_id, nw, ns, vg + (nw - vw) AS sy,
+        |    CAST(nw1 AS DOUBLE) / CAST(ns AS DOUBLE) AS wps,
+        |    CAST(vg + (nw - vw) AS DOUBLE) / CAST(nw1 AS DOUBLE) AS spw
+        |  FROM x)
+        |SELECT doc_id AS id, nw AS n_words, ns AS n_sentences,
+        |  sy AS n_syllables,
+        |  206.835 - 1.015 * wps - 84.6 * spw AS flesch,
+        |  0.39 * wps + 11.8 * spw - 15.59 AS fk_grade
+        |FROM y ORDER BY id""".stripMargin,
     "text_token_stats" ->
       s"""WITH $toksCte
          |SELECT doc_id, len(toks)::BIGINT AS n_tokens,

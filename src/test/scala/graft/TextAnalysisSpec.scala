@@ -402,4 +402,60 @@ class TextAnalysisSpec extends AnyFunSuite {
     val out = TextAnalysis.knBigramBits(docs, "doc_id", "text").collect()
     assert(out.length == 1 && out(0).getAs[Long]("doc_id") == 1L)
   }
+
+  test("readabilityScores: character-class counts and affine scores " +
+      "on hand fixtures; vowel-less words get the 1-syllable floor") {
+    val docs = Seq(
+      (1L, "the cat. sat!!"),   // 3 words, 3 terminators, 3 vowel groups
+      (2L, "grr hmm"),          // no vowels: 2 syllable floors, 1 sentence
+      (3L, "beautiful day"))    // beau-ti-ful: eau|i|u + a = 4 groups
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.readabilityScores(docs, "doc_id",
+        "text")
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+    def scores(w: Long, s: Long, y: Long): (Double, Double) = {
+      val wps = w.toDouble / s; val spw = y.toDouble / w
+      (206.835 - 1.015 * wps - 84.6 * spw,
+        0.39 * wps + 11.8 * spw - 15.59)
+    }
+    val (f1, g1) = scores(3, 3, 3)
+    assert(got(0) == ((1L, 3L, 3L, 3L, f1, g1)))
+    val (f2, g2) = scores(2, 1, 2)
+    assert(got(1) == ((2L, 2L, 1L, 2L, f2, g2)))
+    val (f3, g3) = scores(2, 1, 4)
+    assert(got(2) == ((3L, 2L, 1L, 4L, f3, g3)))
+  }
+
+  test("zipfFit: exact two-point fit (slope -1, r2 ~ 1) and a scalar " +
+      "moment reference on a 3-term corpus") {
+    // counts a:2 (rank 1), b:1 (rank 2) => y = -x exactly in nano units
+    val two = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val g2 = graft.ops.TextAnalysis.zipfFit(two, "text")
+      .as[(Long, Option[Double], Option[Double], Option[Double])].head()
+    assert(g2._1 == 2 && g2._2.contains(-1.0))
+    assert(g2._3.contains(0.693147181)) // 9-dp round of ln 2
+    assert(math.abs(g2._4.get - 1.0) < 1e-12)
+
+    // 3-term corpus vs an independent BigInt moment computation
+    val three = Seq((1L, "a a a a b b c")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.zipfFit(three, "text")
+      .as[(Long, Option[Double], Option[Double], Option[Double])].head()
+    def nano(v: Double): BigInt =
+      (BigDecimal(math.log(v)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        * BigDecimal(1000000000)).toBigIntExact.get
+    val xs = Seq(1.0, 2.0, 3.0).map(nano)   // ranks
+    val ys = Seq(4.0, 2.0, 1.0).map(nano)   // counts, freq-desc
+    val n = BigInt(3)
+    val (sx, sy) = (xs.sum, ys.sum)
+    val a = n * xs.zip(ys).map { case (x, y) => x * y }.sum - sx * sy
+    val b = n * xs.map(x => x * x).sum - sx * sx
+    val c = n * ys.map(y => y * y).sum - sy * sy
+    val slope = a.toDouble / b.toDouble
+    assert(got._1 == 3 && got._2.contains(slope))
+    assert(got._3.contains(
+      (sy.toDouble - slope * sx.toDouble) / (3.0 * 1.0e9)))
+    assert(got._4.contains(
+      a.toDouble * a.toDouble / (b.toDouble * c.toDouble)))
+  }
 }
