@@ -212,6 +212,52 @@ object Drift {
           (col("na") * col("nb") * 2), 9).as("tv"))
   }
 
+  /** Bhattacharyya coefficient + Hellinger distance between the
+    * `catCol` distributions of groups `a` and `b` —
+    * BC = Σ_c √(p_c·q_c), H = √(1 − BC): the bounded-metric member of
+    * the drift family ([[tvDistance]]'s L1 read, [[psi]]'s log read) —
+    * H is a true metric on distributions and never blows up on empty
+    * cells the way PSI's log-ratio does.
+    *
+    * Exactness: each cell's √(p·q) = √(ca·cb/(na·nb)) is ONE sqrt over
+    * a ratio of exact integer products — but the value can be RATIONAL
+    * (perfect-square ratios), so instead of a 9-dp round (half-ulp tie
+    * risk, the Cramér's-V lesson) each contribution quantizes by
+    * TRUNCATION: floor(√·10⁹) — floor is an exact function of the
+    * shared double, bit-identical on any engine — and the nano longs
+    * sum exactly. BC and H then emit UNROUNDED (one division; one
+    * sqrt of an exact rational).
+    *
+    * Scale shape: identical to [[tvDistance]] — one category group-by,
+    * windows over the category-bounded relation. Returns one row:
+    * (n_a, n_b, n_categories, bc, hellinger).
+    */
+  def hellingerDistance(df: DataFrame, catCol: String, groupCol: String,
+      a: String, b: String): DataFrame = {
+    val perC = df.filter(col(groupCol).isin(a, b))
+      .select(col(catCol).cast("string").as("category"),
+        when(col(groupCol) === a, 1L).otherwise(0L).as("ia"),
+        when(col(groupCol) === b, 1L).otherwise(0L).as("ib"))
+      .groupBy("category").agg(sum("ia").as("ca"), sum("ib").as("cb"))
+    val all = Window.partitionBy()
+    val contribNano = floor(sqrt(
+      (col("ca") * col("cb")).cast(DoubleType) /
+        (col("na") * col("nb")).cast(DoubleType)) * lit(1.0e9))
+      .cast("long")
+    perC
+      .withColumn("na", sum(col("ca")).over(all))
+      .withColumn("nb", sum(col("cb")).over(all))
+      .withColumn("__c", contribNano)
+      .groupBy(col("na").as("n_a"), col("nb").as("n_b"))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("__c")).as("__bc_nano"))
+      .select(col("n_a"), col("n_b"), col("n_categories"),
+        (col("__bc_nano").cast(DoubleType) / lit(1.0e9)).as("bc"),
+        sqrt(greatest(lit(1.0) -
+          col("__bc_nano").cast(DoubleType) / lit(1.0e9), lit(0.0)))
+          .as("hellinger"))
+  }
+
   /** Exact 1-Wasserstein (earth-mover) distance between two samples of a
     * ≤2-dp value column — the drift metric with UNITS (W₁ is "average
     * value displacement", so a 0.4 shift on a dollar column means 40

@@ -206,6 +206,18 @@ object QualityQueries {
         "event_type", "split", "train", "test")
       .orderBy("category")
 
+  /** Bhattacharyya/Hellinger drift between the same train/test
+    * event-type distributions [[splitTv]] reads in L1
+    * ([[graft.ops.Drift.hellingerDistance]]) — the bounded true-metric
+    * member of the drift family.
+    */
+  def splitHellinger(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Drift.hellingerDistance(
+        graft.ops.EventOps.timeSplitEmbargo(ev(spark, dir), "ts_us",
+          SplitTestUs, SplitEmbargoUs),
+        "event_type", "split", "train", "test")
+      .orderBy("n_a")
+
   private val BootResamples = 200
   private val BootKeepPct = 80
   private val BootLoPermille = 25
@@ -471,6 +483,7 @@ object QualityQueries {
     "quality_bootstrap_ci" -> bootstrapCi,
     "quality_drift_w1" -> splitW1,
     "quality_drift_tv" -> splitTv,
+    "quality_drift_hellinger" -> splitHellinger,
     "quality_mad_outliers" -> madOutliers,
     "quality_split_drift" -> splitDrift,
     "quality_skew_report" -> skewReport,
@@ -817,6 +830,36 @@ object QualityQueries {
          |  round(CAST(dn AS DOUBLE) / (na * nb), 9) AS abs_diff,
          |  round(CAST(sum(dn) OVER () AS DOUBLE) / (na * nb * 2), 9) AS tv
          |FROM d ORDER BY category""".stripMargin,
+    // √(ca·cb/(na·nb)) can be a RATIONAL perfect square, so contributions
+    // quantize by TRUNCATION (floor(√·10⁹) — exact function of the shared
+    // double), never a 9-dp round; bc/hellinger emit unrounded
+    "quality_drift_hellinger" ->
+      s"""WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+         |s AS (SELECT event_type AS category,
+         |    CASE WHEN epoch_us(ts) > mx - $SplitTestUs THEN 'test'
+         |         WHEN epoch_us(ts) > mx - ${SplitTestUs + SplitEmbargoUs}
+         |           THEN 'embargo'
+         |         ELSE 'train' END AS split
+         |  FROM events, m),
+         |perc AS (SELECT category,
+         |    sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ca,
+         |    sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS cb
+         |  FROM s WHERE split IN ('train', 'test') GROUP BY 1),
+         |c AS (SELECT category, ca, cb,
+         |    CAST(sum(ca) OVER () AS BIGINT) AS na,
+         |    CAST(sum(cb) OVER () AS BIGINT) AS nb
+         |  FROM perc),
+         |k AS (SELECT na, nb,
+         |    CAST(floor(sqrt(CAST(ca * cb AS DOUBLE)
+         |      / CAST(na * nb AS DOUBLE)) * 1000000000.0) AS BIGINT) AS cn
+         |  FROM c),
+         |a AS (SELECT na AS n_a, nb AS n_b, count(*) AS n_categories,
+         |    CAST(sum(cn) AS BIGINT) AS bcn FROM k GROUP BY 1, 2)
+         |SELECT n_a, n_b, n_categories,
+         |  CAST(bcn AS DOUBLE) / 1000000000.0 AS bc,
+         |  sqrt(greatest(1.0 - CAST(bcn AS DOUBLE) / 1000000000.0, 0.0))
+         |    AS hellinger
+         |FROM a ORDER BY n_a""".stripMargin,
     // the KS grid + integer cross-products; contributions are exact
     // DECIMAL (|cum_a·n_b − cum_b·n_a| · grid gap); ONE division at the end
     "quality_drift_w1" ->

@@ -69,4 +69,32 @@ class DriftSpec extends AnyFunSuite {
     assert(Drift.wasserstein1(uneq, "v", "g", "a", "b")
       .collect()(0).getAs[Double]("w1") == 1.0)
   }
+
+  test("hellingerDistance: disjoint supports hit BC=0/H=1 exactly; " +
+      "identical distributions land within truncation of BC=1; hand " +
+      "fixture matches the floor-quantized scalar") {
+    val disj = (Seq.fill(5)(("a", "x")) ++ Seq.fill(7)(("b", "y")))
+      .toDF("g", "cat")
+    val gd = Drift.hellingerDistance(disj, "cat", "g", "a", "b")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(gd == ((5L, 7L, 2L, 0.0, 1.0)))
+
+    val same = (1 to 40).flatMap(i =>
+      Seq(("a", s"c${i % 4}"), ("b", s"c${i % 4}"))).toDF("g", "cat")
+    val gs = Drift.hellingerDistance(same, "cat", "g", "a", "b")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(gs._4 > 1.0 - 4e-9 && gs._4 <= 1.0)
+    assert(gs._5 < 1e-4)
+
+    // 2 categories: a = (3,1)/4, b = (1,3)/4
+    val mix = (Seq.fill(3)(("a", "x")) ++ Seq(("a", "y")) ++
+      Seq(("b", "x")) ++ Seq.fill(3)(("b", "y"))).toDF("g", "cat")
+    val gm = Drift.hellingerDistance(mix, "cat", "g", "a", "b")
+      .as[(Long, Long, Long, Double, Double)].head()
+    def cn(ca: Long, cb: Long): Long =
+      math.floor(math.sqrt((ca * cb).toDouble / 16.0) * 1.0e9).toLong
+    val bcn = cn(3, 1) + cn(1, 3)
+    assert(gm._4 == bcn.toDouble / 1.0e9)
+    assert(gm._5 == math.sqrt(math.max(1.0 - bcn.toDouble / 1.0e9, 0.0)))
+  }
 }
