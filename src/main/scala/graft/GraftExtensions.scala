@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BpeAdjacentPairs, BpeApplyPair, BpeEncodeWord, BpeKernel, DeflateLength, DotProduct, NgramHashes, PqAssignCodes, PqKernel, SimHash32, SortedIntersectCount, UnigramKernel, UnigramSegmentWord, WordpieceKernel, WordpieceWord}
+import graft.functions.{BpeAdjacentPairs, BpeApplyPair, BpeEncodeWord, BpeKernel, DeflateLength, DotProduct, DtwDistance, NgramHashes, PqAssignCodes, PqKernel, SimHash32, SortedIntersectCount, UnigramKernel, UnigramSegmentWord, WordpieceKernel, WordpieceWord}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -39,6 +39,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    shifted-nano longs, all but `vec` literals).
   *  - `graft_deflate_len(text, level) -> long` — DEFLATE-compressed byte
   *    length ([[graft.functions.DeflateLength]]; level a literal).
+  *  - `graft_dtw(array<long>, array<long>, band) -> long` — banded
+  *    dynamic-time-warping distance, the whole O(n·m) DP in one call
   *  - `graft_wordpiece_word(word, vocab, maxPieceLen, unk) ->
   *    array<string>` — whole-word greedy longest-match WordPiece
   *    ([[graft.functions.WordpieceWord]]; vocab = U+0002-joined pieces,
@@ -159,5 +161,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BpeApplyPair].getName, "graft_bpe_apply"),
       (children: Seq[Expression]) =>
         BpeApplyPair(children.head, children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dtw"),
+      new ExpressionInfo(classOf[DtwDistance].getName, "graft_dtw"),
+      (children: Seq[Expression]) => {
+        val band = children(2) match {
+          case lit if lit.foldable =>
+            lit.eval().asInstanceOf[Number].intValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_dtw band must be a literal, got $other")
+        }
+        DtwDistance(children.head, children(1), band)
+      }))
   }
 }

@@ -1215,6 +1215,51 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** Pairwise banded-DTW distances between the per-`typeCol` zero-filled
+    * daily count series — "which event streams move together when you
+    * allow a bounded time warp": a one-day phase shift that L1 reads as
+    * a whole day of traffic costs DTW only the warp step
+    * ([[graft.functions.DtwDistance]], Sakoe & Chiba 1978).
+    *
+    * INTEGER end to end — daily counts, exact |Δ| costs, integer DP —
+    * so the distances need no rounding discipline at all; the oracle
+    * replays the identical DP as an anti-diagonal-wavefront recursive
+    * CTE. Series materialize once per type via the deterministic
+    * sort_array(collect_list(struct(day, count))) collapse (the
+    * postingLists pattern) over the GLOBAL day span, so every pair
+    * compares equal-length series and the Sakoe–Chiba corridor is
+    * honest.
+    *
+    * Scale shape: one (type, day) group-by, one calendar-bounded grid
+    * fill, a type×type upper-triangle join of type-count² rows, then
+    * the per-row kernel — zero data-scale shuffles beyond the first
+    * group-by. Returns (type_a, type_b, len, dtw), ordered by the pair.
+    */
+  def seriesDtwPairs(df: DataFrame, tsCol: String, typeCol: String,
+      band: Int): DataFrame = {
+    val day = floor(unix_micros(col(tsCol)) / lit(86400000000L))
+      .cast("long")
+    val daily = df.groupBy(col(typeCol).as("t"), day.as("d"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val bounds = daily.agg(min("d").as("d0"), max("d").as("d1"))
+    val grid = daily.select("t").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("t"), explode(sequence(col("d0"), col("d1"))).as("d"))
+      .join(daily, Seq("t", "d"), "left")
+      .select(col("t"), col("d"), coalesce(col("c"), lit(0L)).as("c"))
+    val ser = grid.groupBy("t")
+      .agg(expr("transform(sort_array(collect_list(struct(d, c)))," +
+        " s -> s.c)").as("s"))
+    val a = ser.select(col("t").as("type_a"), col("s").as("sa"))
+    val b = ser.select(col("t").as("type_b"), col("s").as("sb"))
+    a.join(b, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        size(col("sa")).cast("long").as("len"),
+        expr(s"graft_dtw(sa, sb, $band)").as("dtw"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Exponent→2^e pairs for e = 0..62 — the ONE loop behind both
     * [[ewmaForecast]]'s broadcast table and [[pow2ValuesSql]]. */
   private val MaxPow2 = 62

@@ -336,6 +336,14 @@ object FeatureQueries {
     EventOps.spendConcentration(Tables.events(spark, dir), "user_id",
       "value")
 
+  /** Pairwise banded DTW between per-event-type daily count series
+    * ([[graft.ops.EventOps.seriesDtwPairs]], week-wide warp corridor) —
+    * which streams move together modulo bounded time shifts.
+    */
+  def dtwPairs(spark: SparkSession, dir: String): DataFrame =
+    EventOps.seriesDtwPairs(Tables.events(spark, dir), "ts", "event_type",
+      band = 7)
+
   /** One-step EWMA (α = 1/2) daily spend forecast
     * ([[graft.ops.EventOps.ewmaForecast]]) — the exponential-smoothing
     * partner to [[seasonalNaive]]'s lag-7 baseline.
@@ -549,6 +557,7 @@ object FeatureQueries {
     "feat_acf_pacf" -> acfPacf,
     "feat_spend_gini" -> spendGini,
     "feat_ewma_forecast" -> ewmaForecastQ,
+    "feat_dtw_pairs" -> dtwPairs,
     "feat_fano_burstiness" -> fano,
     "feat_kcore" -> kcore,
     "feat_random_walks" -> randomWalks,
@@ -1358,6 +1367,62 @@ object FeatureQueries {
         |  coalesce(out_deg, 0) AS out_deg, coalesce(in_deg, 0) AS in_deg
         |FROM o FULL JOIN i ON o.node = i.node
         |ORDER BY node""".stripMargin,
+    // the SAME integer DP as the kernel, replayed as an anti-diagonal
+    // wavefront recursive CTE: each step emits diag k+1 (min over the
+    // three predecessors + |Δ| cost) and re-emits diag k as the next
+    // step's k−1; the Sakoe–Chiba corridor is the |i−j| bound
+    "feat_dtw_pairs" -> {
+      val band = 7
+      s"""WITH RECURSIVE
+         |daily AS (SELECT event_type AS t,
+         |    epoch_us(ts) // 86400000000 AS d, count(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+         |grid AS (SELECT ty.t, gs.d, coalesce(daily.c, 0) AS c
+         |  FROM (SELECT DISTINCT t FROM daily) ty
+         |  CROSS JOIN (SELECT unnest(generate_series(d0, d1)) AS d
+         |              FROM bounds) gs
+         |  LEFT JOIN daily ON daily.t = ty.t AND daily.d = gs.d),
+         |ser AS (SELECT t, d - (SELECT d0 FROM bounds) + 1 AS idx,
+         |    CAST(c AS BIGINT) AS v FROM grid),
+         |tl AS (SELECT CAST(max(idx) AS BIGINT) AS tn FROM ser),
+         |pr AS (SELECT a.t AS ta, b.t AS tb
+         |  FROM (SELECT DISTINCT t FROM ser) a
+         |  JOIN (SELECT DISTINCT t FROM ser) b ON a.t < b.t),
+         |dp AS (
+         |  SELECT ta, tb, 2 AS k, 1 AS i, 1 AS j, TRUE AS front,
+         |      CAST(abs(sa.v - sb.v) AS BIGINT) AS v
+         |    FROM pr
+         |    JOIN ser sa ON sa.t = ta AND sa.idx = 1
+         |    JOIN ser sb ON sb.t = tb AND sb.idx = 1
+         |  UNION ALL
+         |  SELECT ta, tb, tk, ti, tj, is_new AS front,
+         |      min(pv) + CASE WHEN is_new THEN
+         |        (SELECT CAST(abs(sa.v - sb.v) AS BIGINT)
+         |         FROM ser sa, ser sb
+         |         WHERE sa.t = ta AND sb.t = tb
+         |           AND sa.idx = ti AND sb.idx = tj) ELSE 0 END AS v
+         |  FROM (
+         |    SELECT ta, tb,
+         |        k + CASE WHEN mv = 0 THEN 0 WHEN mv = 3 THEN 2
+         |            ELSE 1 END AS tk,
+         |        i + CASE WHEN mv IN (1, 3) THEN 1 ELSE 0 END AS ti,
+         |        j + CASE WHEN mv IN (2, 3) THEN 1 ELSE 0 END AS tj,
+         |        mv <> 0 AS is_new, v AS pv
+         |    FROM dp, (VALUES (0), (1), (2), (3)) m(mv)
+         |    WHERE (mv IN (0, 1, 2) AND front) OR (mv = 3 AND NOT front)
+         |  )
+         |  WHERE ti <= (SELECT tn FROM tl) AND tj <= (SELECT tn FROM tl)
+         |    AND abs(ti - tj) <= $band
+         |  GROUP BY ta, tb, tk, ti, tj, is_new
+         |)
+         |SELECT ta AS type_a, tb AS type_b, (SELECT tn FROM tl) AS len,
+         |  max(v) AS dtw
+         |FROM dp
+         |WHERE i = (SELECT tn FROM tl) AND j = (SELECT tn FROM tl)
+         |  AND k = 2 * (SELECT tn FROM tl)
+         |GROUP BY ta, tb ORDER BY type_a, type_b""".stripMargin
+    },
     // α=1/2 ⇒ every closed-form weight an exact power of two; per-term
     // truncating nano division; power table from the SAME loop
     // (EventOps.pow2ValuesSql) as the Spark broadcast relation

@@ -715,4 +715,51 @@ class EventOpsSpec extends AnyFunSuite {
       assert(math.abs(f - r) < 1e-6, s"$f vs $r")
     }
   }
+
+  test("seriesDtwPairs / graft_dtw: kernel matches a scalar DP " +
+      "reference, banded and unbounded; a pure phase shift is cheap " +
+      "for DTW where L1 pays a full day") {
+    def ref(a: Seq[Long], b: Seq[Long], band: Int): Long = {
+      val n = a.size; val m = b.size
+      val w = if (band < 0) Int.MaxValue else math.max(band, math.abs(n - m))
+      val inf = Long.MaxValue / 4
+      val d = Array.fill(n + 1, m + 1)(inf); d(0)(0) = 0L
+      for (i <- 1 to n; j <- 1 to m if math.abs(i - j) <= w)
+        d(i)(j) = math.abs(a(i - 1) - b(j - 1)) +
+          math.min(d(i - 1)(j), math.min(d(i)(j - 1), d(i - 1)(j - 1)))
+      d(n)(m)
+    }
+    val rnd = new scala.util.Random(11)
+    for (band <- Seq(-1, 2, 5)) {
+      val a = Seq.fill(13)(rnd.nextInt(40).toLong)
+      val b = Seq.fill(11)(rnd.nextInt(40).toLong)
+      val got = Seq((a.toArray, b.toArray)).toDF("sa", "sb")
+        .selectExpr(s"graft_dtw(sa, sb, $band) AS d")
+        .as[Long].head()
+      assert(got == ref(a, b, band), s"band=$band")
+    }
+    // phase shift: identical pulse trains offset by one step
+    val pulse = Seq(0L, 9L, 0L, 0L, 9L, 0L, 0L, 9L, 0L)
+    val shifted = pulse.tail :+ 0L
+    val dtw = Seq((pulse.toArray, shifted.toArray)).toDF("sa", "sb")
+      .selectExpr("graft_dtw(sa, sb, -1) AS d").as[Long].head()
+    val l1 = pulse.zip(shifted).map { case (x, y) => math.abs(x - y) }.sum
+    assert(dtw < l1 && dtw <= 9L, s"dtw=$dtw l1=$l1")
+    // empty sentinels
+    val es = Seq((Array.empty[Long], Array(1L, 2L)),
+      (Array.empty[Long], Array.empty[Long])).toDF("sa", "sb")
+      .selectExpr("graft_dtw(sa, sb, -1) AS d").as[Long].collect()
+    assert(es.toSeq == Seq(-1L, 0L))
+
+    // the pairs op on a hand stream: two types, known daily series
+    val ev = (Seq.fill(3)((0L, "a")) ++ Seq.fill(1)((1L, "a")) ++
+      Seq.fill(1)((0L, "b")) ++ Seq.fill(3)((2L, "b"))).toDF("du", "et")
+      .select(timestamp_micros(col("du") * 86400000000L).as("ts"),
+        col("et"))
+    val got = EventOps.seriesDtwPairs(ev, "ts", "et", band = 7)
+      .as[(String, String, Long, Long)].head()
+    // a: (3,1,0)  b: (1,0,3) over the 3-day span
+    assert(got._1 == "a" && got._2 == "b" && got._3 == 3)
+    assert(got._4 == ref(Seq(3L, 1L, 0L), Seq(1L, 0L, 3L), 7))
+  }
 }

@@ -109,6 +109,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .collect()(0)
     assert(dl.getAs[Long]("a") == dl.getAs[Long]("b"))
     assert(dl.getAs[Long]("a") < 100L) // 1000 bytes of boilerplate
+
+    // graft_dtw: identical series at distance 0; the band is a literal
+    val dt = spark.sql(
+      """SELECT graft_dtw(array(1L, 5L, 2L), array(1L, 5L, 2L), -1) AS z,
+        |  graft_dtw(array(0L, 9L, 0L), array(9L, 0L, 0L), 1) AS w"""
+        .stripMargin).collect()(0)
+    assert(dt.getAs[Long]("z") == 0L)
+    assert(dt.getAs[Long]("w") == 9L) // warp aligns the shifted pulse
   }
 
   test("a full operator expressed as SQL over views matches the API version") {
