@@ -931,6 +931,42 @@ object TextAnalysis {
     * expressions, zero shuffle.
     * Returns (id, n_words, n_sentences, n_syllables, flesch, fk_grade).
     */
+  /** Blocklist (bad-word) document filter — the C4 recipe (Raffel et
+    * al. 2020 §2.2 dropped any page containing a term from a public
+    * blocklist): per document the total and distinct blocklist hits,
+    * the hit ratio, and the keep decision (zero hits). Complements
+    * [[gopherRules]]' structural filters with the content-policy axis.
+    *
+    * Shape: ONE explode + broadcast lexicon join + doc-id collapse
+    * (count and countDistinct are partial-aggregable), left-joined
+    * back so zero-hit documents keep their row — the explode-once
+    * discipline; no higher-order lambdas. The hit ratio emits
+    * UNROUNDED (one division of exact counts — the Welch-dof
+    * argument). Returns (id, n_words, n_hits, n_distinct_hits,
+    * hit_ratio, keep).
+    */
+  def blocklistFilter(df: DataFrame, idCol: String, textCol: String,
+      blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "empty blocklist")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lex = blocklist.toDF("term")
+    val base = df.select(col(idCol).as("id"), toks(col(textCol)).as("__t"))
+    val hits = base.select(col("id"), explode(col("__t")).as("term"))
+      .join(broadcast(lex), Seq("term"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("__h"), countDistinct(col("term")).as("__d"))
+    base.join(hits, Seq("id"), "left")
+      .select(col("id"), size(col("__t")).cast("long").as("n_words"),
+        coalesce(col("__h"), lit(0L)).as("n_hits"),
+        coalesce(col("__d"), lit(0L)).as("n_distinct_hits"))
+      .withColumn("hit_ratio",
+        col("n_hits").cast(org.apache.spark.sql.types.DoubleType) /
+          greatest(col("n_words"), lit(1L))
+            .cast(org.apache.spark.sql.types.DoubleType))
+      .withColumn("keep", col("n_hits") === 0)
+  }
+
   /** Zipf's-law fit of the corpus token-frequency curve (Zipf 1949):
     * OLS of ln(count) on ln(rank) over the [[TokenModels.buildVocab]]
     * ranking — slope ≈ −1 is the natural-language signature; a corpus

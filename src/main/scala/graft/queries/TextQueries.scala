@@ -53,6 +53,19 @@ object TextQueries {
     TextAnalysis.zipfFit(Tables.documents(spark, dir), "text")
       .orderBy("n_terms")
 
+  /** Terms whose presence drops a document under the C4 blocklist rule
+    * ([[graft.ops.TextAnalysis.blocklistFilter]]). */
+  val Blocklist: Seq[String] = Seq("slow", "dup", "leak")
+
+  /** C4-style blocklist filter over documents
+    * ([[graft.ops.TextAnalysis.blocklistFilter]]) — total/distinct
+    * hits, hit ratio, and the zero-hit keep decision.
+    */
+  def blocklist(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.blocklistFilter(Tables.documents(spark, dir), "doc_id",
+        "text", Blocklist)
+      .orderBy("id")
+
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     TextAnalysis.langId(docs, "doc_id", "text", Profiles)
@@ -456,6 +469,7 @@ object TextQueries {
     "text_quality_score" -> qualityScore,
     "text_readability" -> readability,
     "text_zipf_fit" -> zipf,
+    "text_blocklist_filter" -> blocklist,
     "text_lang_id" -> langId,
     "text_token_frequencies" -> tokenFrequencies,
     "text_edit_distance" -> editDistance,
@@ -1054,6 +1068,24 @@ object TextQueries {
          |    (len(grams) - len(list_distinct(grams)))::DOUBLE / len(grams)
          |    ELSE 0.0 END, 6) AS dup_ngram_frac
          |FROM g ORDER BY doc_id""".stripMargin,
+    // explode-once + lexicon join; hit ratio unrounded (one division)
+    "text_blocklist_filter" -> {
+      val lex = Blocklist.map(w => s"('$w')").mkString(", ")
+      s"""WITH $toksCte,
+         |lex(term) AS (VALUES $lex),
+         |t AS (SELECT doc_id, unnest(toks) AS term FROM d),
+         |h AS (SELECT doc_id, count(*) AS nh,
+         |    count(DISTINCT t.term) AS nd
+         |  FROM t JOIN lex ON t.term = lex.term GROUP BY 1)
+         |SELECT doc_id AS id, len(toks)::BIGINT AS n_words,
+         |  coalesce(nh, 0)::BIGINT AS n_hits,
+         |  coalesce(nd, 0)::BIGINT AS n_distinct_hits,
+         |  CAST(coalesce(nh, 0) AS DOUBLE) /
+         |    CAST(greatest(len(toks), 1) AS DOUBLE) AS hit_ratio,
+         |  coalesce(nh, 0) = 0 AS keep
+         |FROM d LEFT JOIN h USING (doc_id)
+         |ORDER BY id""".stripMargin
+    },
     // ln values round 9 dp (irrational) then widen to nano integers;
     // every moment combination exact in HUGEINT; slope/r2/intercept are
     // fixed-sequence double arithmetic, emitted unrounded

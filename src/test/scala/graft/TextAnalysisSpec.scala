@@ -458,4 +458,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got._4.contains(
       a.toDouble * a.toDouble / (b.toDouble * c.toDouble)))
   }
+
+  test("blocklistFilter: hit counts, distinct hits, ratio, and the " +
+      "zero-hit keep rule; zero-hit docs keep their row") {
+    val docs = Seq(
+      (1L, "good clean words here"),
+      (2L, "slow merge slow join"),
+      (3L, "dup"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.blocklistFilter(docs.repartition(3),
+        "doc_id", "text", Seq("slow", "dup", "leak"))
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 0L, 0L, 0.0, true),
+      (2L, 4L, 2L, 1L, 0.5, false),
+      (3L, 1L, 1L, 1L, 1.0, false),
+      (4L, 0L, 0L, 0L, 0.0, true)))
+  }
 }
