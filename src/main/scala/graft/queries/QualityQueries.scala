@@ -950,7 +950,8 @@ object QualityQueries {
         |  END AS significant_5pct
         |FROM f ORDER BY n_a""".stripMargin,
     // the layout-proven exact-DECIMAL binning per feature; each −ln(c/n)
-    // rides its ln to a 9-dp round; fixed-order DECIMAL sum per row
+    // rides its ln to a 9-dp round; per-row sum is the same fixed-order
+    // left-assoc double chain as the Spark plan
     "quality_hbos_topk" -> {
       val bins = 16
       def bin(d: String, mn: String, mx: String) =
@@ -959,7 +960,7 @@ object QualityQueries {
            |           / CAST($mx - $mn AS DOUBLE)), ${bins - 1}) AS BIGINT)
            |    ELSE 0 END""".stripMargin
       def contrib(c: String) =
-        s"CAST(round(-ln(CAST($c AS DOUBLE) / n), 9) AS DECIMAL(28,9))"
+        s"round(-ln(CAST($c AS DOUBLE) / n), 9)"
       s"""WITH x AS (SELECT l_orderkey, l_linenumber,
          |    CAST(l_quantity AS DECIMAL(18,2)) AS d0,
          |    CAST(l_extendedprice AS DECIMAL(18,2)) AS d1,
@@ -978,8 +979,7 @@ object QualityQueries {
          |h1 AS (SELECT b1, count(*) AS c1 FROM b GROUP BY 1),
          |h2 AS (SELECT b2, count(*) AS c2 FROM b GROUP BY 1)
          |SELECT l_orderkey, l_linenumber,
-         |  CAST(${contrib("c0")} + ${contrib("c1")} + ${contrib("c2")}
-         |    AS DOUBLE) AS hbos
+         |  ${contrib("c0")} + ${contrib("c1")} + ${contrib("c2")} AS hbos
          |FROM b JOIN h0 USING (b0) JOIN h1 USING (b1) JOIN h2 USING (b2)
          |ORDER BY hbos DESC, l_orderkey, l_linenumber
          |LIMIT 100""".stripMargin

@@ -379,16 +379,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!f.contains("CodegenFallback"), f)
   }
 
-  test("HBOS top-k: histogram joins broadcast; the ranking is " +
-      "TakeOrderedAndProject, never a global sort") {
+  test("HBOS top-k: scoring is a broadcast-map lookup with NO hash " +
+      "join; the ranking is TakeOrderedAndProject, never a global sort") {
     val li = graft.sources.Tables.lineitem(spark, dir)
     val df = graft.quality.DataQualityValidator.hbosTopK(li,
       Seq("l_quantity", "l_extendedprice", "l_discount"),
       Seq("l_orderkey", "l_linenumber"), bins = 16, k = 100)
     val s = planString(df)
     assert(s.contains("TakeOrderedAndProject"), s)
-    assert(s.contains("BroadcastHashJoin"), s)
+    // the only joins are the two 1-row broadcasts (stats + histogram map)
+    assert(!s.contains("BroadcastHashJoin"), s)
     assert(!s.contains("SortMergeJoin"), s)
+    assert(s.contains("BroadcastNestedLoopJoin"), s)
   }
 
   test("Mann-Whitney: no single-partition global window on the value " +

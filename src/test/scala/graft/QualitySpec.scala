@@ -220,11 +220,11 @@ class QualitySpec extends AnyFunSuite {
     val ba = binsOf(rows.map(_._2)); val bb = binsOf(rows.map(_._3))
     val ca = ba.groupBy(identity).view.mapValues(_.size).toMap
     val cb = bb.groupBy(identity).view.mapValues(_.size).toMap
-    def contrib(c: Int): BigDecimal =
+    def contrib(c: Int): Double =
       BigDecimal(-math.log(c.toDouble / rows.size))
-        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     val expected = rows.indices.map { i =>
-      rows(i)._1 -> (contrib(ca(ba(i))) + contrib(cb(bb(i)))).toDouble
+      rows(i)._1 -> (contrib(ca(ba(i))) + contrib(cb(bb(i))))
     }.sortBy { case (id, s) => (-s, id) }
     assert(got == expected)
     // the planted (99, 50) joint outlier is rank 1
