@@ -992,14 +992,28 @@ object TextAnalysis {
     */
   def zipfFit(docs: DataFrame, textCol: String, minCount: Long = 1L)
       : DataFrame = {
+    val vocab = TokenModels.buildVocab(docs, textCol, minCount)
+    logLogOls(vocab.select(col("term_id").as("x"),
+        col("term_count").as("y")))
+      .withColumnRenamed("n_points", "n_terms")
+  }
+
+  /** OLS of ln(y) on ln(x) over a (x, y) point relation — the shared
+    * moment machinery of [[zipfFit]] and [[heapsFit]] under the nano
+    * discipline: ln values round 9 dp (irrational → engine-safe) then
+    * widen to nano integers so every moment combination is exact
+    * DECIMAL(38,0); slope = one division, intercept/r² fixed-sequence
+    * doubles, all emitted unrounded. Rows with x ≤ 0 or y ≤ 0 are
+    * dropped (ln undefined). Returns (n_points, slope, intercept, r2).
+    */
+  private[graft] def logLogOls(pts: DataFrame): DataFrame = {
     val big = DecimalType(38, 0)
     val d9 = DecimalType(18, 9)
-    val vocab = TokenModels.buildVocab(docs, textCol, minCount)
     val nano = (c: Column) =>
       (round(log(c.cast("double")), 9).cast(d9) * lit(1000000000L))
         .cast(big)
-    val m = vocab
-      .select(nano(col("term_id")).as("x"), nano(col("term_count")).as("y"))
+    val m = pts.filter(col("x") > 0 && col("y") > 0)
+      .select(nano(col("x")).as("x"), nano(col("y")).as("y"))
       .agg(count(lit(1)).cast(big).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum((col("x") * col("y")).cast(big)).as("sxy"),
@@ -1010,7 +1024,7 @@ object TextAnalysis {
     val c = (col("n") * col("syy") - col("sy") * col("sy")).cast(big)
     val dbl = org.apache.spark.sql.types.DoubleType
     val slope = a.cast(dbl) / b.cast(dbl)
-    m.select(col("n").cast("long").as("n_terms"),
+    m.select(col("n").cast("long").as("n_points"),
       when(b.cast(dbl) > 0, slope).as("slope"),
       when(b.cast(dbl) > 0,
         (col("sy").cast(dbl) - slope * col("sx").cast(dbl)) /
@@ -1019,6 +1033,65 @@ object TextAnalysis {
         a.cast(dbl) * a.cast(dbl) / (b.cast(dbl) * c.cast(dbl)))
         .as("r2"))
   }
+
+  /** Vocabulary-growth curve: at `checkpoints` equal-DOC-count
+    * positions of the doc_id-ordered corpus, the cumulative document
+    * count, token count, and DISTINCT-term count — the empirical curve
+    * behind Heaps' law, and the working number for "how much bigger
+    * does the tokenizer vocab get if we ingest 2× more of this
+    * source?".
+    *
+    * Exactness/scale: checkpoint boundaries are exact order statistics
+    * — rank r_g = (g·n) div `checkpoints` over the distinct-id grid,
+    * walked with [[SaltedGrid]] (ids are row-scale — never one window
+    * task); vocabulary counts need only each term's FIRST document
+    * (min(doc_id) — partial-aggregable), so V_g = terms with
+    * first_doc ≤ boundary_g: the collapsed per-doc and per-term
+    * relations fan out over the G-row boundary broadcast, all counts
+    * map-side combined. Returns (g, boundary_id, n_docs, n_tokens,
+    * vocab), ordered by g.
+    */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+      checkpoints: Int): DataFrame = {
+    require(checkpoints >= 2, s"need >= 2 checkpoints: $checkpoints")
+    val grid = docs.select(col(idCol).cast("long").as("v"))
+      .withColumn("one", lit(1L))
+    val walked = SaltedGrid.cumulative(grid, "v", Seq("one"))
+    val gs = docs.sparkSession.range(1, checkpoints + 1)
+      .select(col("id").cast("int").as("g"))
+    val bounds = walked.join(broadcast(gs),
+        col("__cum_one") === expr(s"(g * __tot_one) div $checkpoints"))
+      .select(col("g"), col("v").as("bound"))
+    val docTok = docs.select(col(idCol).cast("long").as("id"),
+      size(toks(col(textCol))).cast("long").as("nt"))
+    val perG = docTok.crossJoin(broadcast(bounds))
+      .filter(col("id") <= col("bound"))
+      .groupBy("g", "bound")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+    val firstDoc = docs
+      .select(col(idCol).cast("long").as("id"),
+        explode(toks(col(textCol))).as("term"))
+      .groupBy("term").agg(min("id").as("first_doc"))
+    val vocabG = firstDoc.crossJoin(broadcast(bounds))
+      .filter(col("first_doc") <= col("bound"))
+      .groupBy("g").agg(count(lit(1)).as("vocab"))
+    perG.join(vocabG, Seq("g"), "left")
+      .select(col("g").cast("long").as("g"), col("bound").as("boundary_id"),
+        col("n_docs"), col("n_tokens"),
+        coalesce(col("vocab"), lit(0L)).as("vocab"))
+      .orderBy("g")
+  }
+
+  /** Heaps'-law fit V = K·Tᵝ (Heaps 1978) over a [[vocabGrowth]]
+    * curve: OLS of ln(vocab) on ln(n_tokens) via the shared
+    * [[logLogOls]] nano discipline — β ≈ 0.4–0.6 is the
+    * natural-language signature; template-heavy corpora flatten it.
+    * Returns one row: (n_points, beta, ln_k, r2).
+    */
+  def heapsFit(growth: DataFrame): DataFrame =
+    logLogOls(growth.select(col("n_tokens").as("x"), col("vocab").as("y")))
+      .select(col("n_points"), col("slope").as("beta"),
+        col("intercept").as("ln_k"), col("r2"))
 
   def readabilityScores(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {

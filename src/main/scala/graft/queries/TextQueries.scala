@@ -53,6 +53,22 @@ object TextQueries {
     TextAnalysis.zipfFit(Tables.documents(spark, dir), "text")
       .orderBy("n_terms")
 
+  private val HeapsCheckpoints = 10
+
+  /** Vocabulary-growth curve at 10 equal-doc-count checkpoints
+    * ([[graft.ops.TextAnalysis.vocabGrowth]]).
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabGrowth(Tables.documents(spark, dir), "doc_id",
+      "text", HeapsCheckpoints)
+
+  /** Heaps'-law V = K·Tᵝ fit over the growth curve
+    * ([[graft.ops.TextAnalysis.heapsFit]]).
+    */
+  def heaps(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.heapsFit(TextAnalysis.vocabGrowth(
+      Tables.documents(spark, dir), "doc_id", "text", HeapsCheckpoints))
+
   /** Terms whose presence drops a document under the C4 blocklist rule
     * ([[graft.ops.TextAnalysis.blocklistFilter]]). */
   val Blocklist: Seq[String] = Seq("slow", "dup", "leak")
@@ -469,6 +485,8 @@ object TextQueries {
     "text_quality_score" -> qualityScore,
     "text_readability" -> readability,
     "text_zipf_fit" -> zipf,
+    "text_vocab_growth" -> vocabGrowth,
+    "text_heaps_fit" -> heaps,
     "text_blocklist_filter" -> blocklist,
     "text_lang_id" -> langId,
     "text_token_frequencies" -> tokenFrequencies,
@@ -560,6 +578,56 @@ object TextQueries {
 
   private[queries] val maxScoreSql: String =
     Profiles.map(p => scoreSql(p._2)).mkString("greatest(", ", ", ")")
+
+  /** Shared ln-ln OLS oracle tail ([[graft.ops.TextAnalysis.logLogOls]]
+    * twin) — expects a CTE exposing raw (x, y); ends in CTE `ols` with
+    * (n_points, slope, intercept, r2).
+    */
+  private def logLogOlsSql(fromCte: String): String =
+    s"""z AS (SELECT
+       |    CAST(CAST(round(ln(CAST(x AS DOUBLE)), 9) AS DECIMAL(38,9))
+       |      * 1000000000 AS HUGEINT) AS x,
+       |    CAST(CAST(round(ln(CAST(y AS DOUBLE)), 9) AS DECIMAL(38,9))
+       |      * 1000000000 AS HUGEINT) AS y
+       |  FROM $fromCte WHERE x > 0 AND y > 0),
+       |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+       |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+       |    CAST(sum(x * y) AS HUGEINT) AS sxy,
+       |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+       |    CAST(sum(y * y) AS HUGEINT) AS syy FROM z),
+       |f AS (SELECT n, sx, sy, n * sxy - sx * sy AS a,
+       |    n * sxx - sx * sx AS b, n * syy - sy * sy AS c FROM m),
+       |ols AS (SELECT CAST(n AS BIGINT) AS n_points,
+       |  CASE WHEN CAST(b AS DOUBLE) > 0
+       |    THEN CAST(a AS DOUBLE) / CAST(b AS DOUBLE) END AS slope,
+       |  CASE WHEN CAST(b AS DOUBLE) > 0 THEN
+       |    (CAST(sy AS DOUBLE) - (CAST(a AS DOUBLE) / CAST(b AS DOUBLE))
+       |      * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * 1000000000.0)
+       |  END AS intercept,
+       |  CASE WHEN CAST(b AS DOUBLE) > 0 AND CAST(c AS DOUBLE) > 0 THEN
+       |    CAST(a AS DOUBLE) * CAST(a AS DOUBLE) /
+       |      (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+       |  END AS r2
+       |FROM f)""".stripMargin
+
+  /** Shared growth-curve CTEs ([[graft.ops.TextAnalysis.vocabGrowth]]
+    * twin) — expects the `d` toks CTE; ends in `perg` (g, bound,
+    * n_docs, n_tokens) and `vg` (g, vocab).
+    */
+  private def vocabGrowthCtes(checkpoints: Int): String =
+    s"""rk AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS r,
+       |    count(*) OVER () AS n FROM d),
+       |gs AS (SELECT unnest(generate_series(1, $checkpoints)) AS g),
+       |bounds AS (SELECT g, doc_id AS bound FROM rk JOIN gs
+       |  ON r = (g * n) // $checkpoints),
+       |dt AS (SELECT doc_id, len(toks) AS nt FROM d),
+       |perg AS (SELECT g, bound, count(*) AS n_docs,
+       |    CAST(sum(nt) AS BIGINT) AS n_tokens
+       |  FROM dt JOIN bounds ON doc_id <= bound GROUP BY 1, 2),
+       |fd AS (SELECT term, min(doc_id) AS first_doc
+       |  FROM (SELECT doc_id, unnest(toks) AS term FROM d) GROUP BY 1),
+       |vg AS (SELECT g, count(*) AS vocab FROM fd JOIN bounds
+       |  ON first_doc <= bound GROUP BY 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // ordered pairs a < b over the distinct (lang, token) relation
@@ -1088,38 +1156,35 @@ object TextQueries {
     },
     // ln values round 9 dp (irrational) then widen to nano integers;
     // every moment combination exact in HUGEINT; slope/r2/intercept are
-    // fixed-sequence double arithmetic, emitted unrounded
+    // fixed-sequence double arithmetic, emitted unrounded (the shared
+    // logLogOlsSql tail — TextAnalysis.logLogOls's verbatim twin)
     "text_zipf_fit" ->
       s"""WITH $toksCte,
          |t AS (SELECT unnest(toks) AS term FROM d),
          |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1),
-         |rk AS (SELECT cnt,
-         |    row_number() OVER (ORDER BY cnt DESC, term) AS rank FROM c),
-         |z AS (SELECT
-         |    CAST(CAST(round(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(38,9))
-         |      * 1000000000 AS HUGEINT) AS x,
-         |    CAST(CAST(round(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(38,9))
-         |      * 1000000000 AS HUGEINT) AS y
-         |  FROM rk),
-         |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
-         |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
-         |    CAST(sum(x * y) AS HUGEINT) AS sxy,
-         |    CAST(sum(x * x) AS HUGEINT) AS sxx,
-         |    CAST(sum(y * y) AS HUGEINT) AS syy FROM z),
-         |f AS (SELECT n, sx, sy, n * sxy - sx * sy AS a,
-         |    n * sxx - sx * sx AS b, n * syy - sy * sy AS c FROM m)
-         |SELECT CAST(n AS BIGINT) AS n_terms,
-         |  CASE WHEN CAST(b AS DOUBLE) > 0
-         |    THEN CAST(a AS DOUBLE) / CAST(b AS DOUBLE) END AS slope,
-         |  CASE WHEN CAST(b AS DOUBLE) > 0 THEN
-         |    (CAST(sy AS DOUBLE) - (CAST(a AS DOUBLE) / CAST(b AS DOUBLE))
-         |      * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * 1000000000.0)
-         |  END AS intercept,
-         |  CASE WHEN CAST(b AS DOUBLE) > 0 AND CAST(c AS DOUBLE) > 0 THEN
-         |    CAST(a AS DOUBLE) * CAST(a AS DOUBLE) /
-         |      (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
-         |  END AS r2
-         |FROM f""".stripMargin,
+         |pts AS (SELECT
+         |    row_number() OVER (ORDER BY cnt DESC, term) AS x,
+         |    cnt AS y FROM c),
+         |${logLogOlsSql("pts")}
+         |SELECT n_points AS n_terms, slope, intercept, r2
+         |FROM ols""".stripMargin,
+    // exact-order-statistic boundaries (rank = (g·n) div G), first-doc
+    // vocabulary counts, G-row fan-out joins
+    "text_vocab_growth" ->
+      s"""WITH $toksCte,
+         |${vocabGrowthCtes(HeapsCheckpoints)}
+         |SELECT CAST(g AS BIGINT) AS g, bound AS boundary_id,
+         |  CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+         |  coalesce(vocab, 0)::BIGINT AS vocab
+         |FROM perg LEFT JOIN vg USING (g) ORDER BY g""".stripMargin,
+    "text_heaps_fit" ->
+      s"""WITH $toksCte,
+         |${vocabGrowthCtes(HeapsCheckpoints)},
+         |pts AS (SELECT n_tokens AS x, coalesce(vocab, 0) AS y
+         |  FROM perg LEFT JOIN vg USING (g)),
+         |${logLogOlsSql("pts")}
+         |SELECT n_points, slope AS beta, intercept AS ln_k, r2
+         |FROM ols""".stripMargin,
     // pure character-class counting (terminator chars, collapsed vowel
     // runs, vowel-less words); the affine scores are emitted UNROUNDED
     // — fixed IEEE sequence on exact integers and shared literals

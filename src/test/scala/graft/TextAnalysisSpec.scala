@@ -476,4 +476,26 @@ class TextAnalysisSpec extends AnyFunSuite {
       (3L, 1L, 1L, 1L, 1.0, false),
       (4L, 0L, 0L, 0L, 0.0, true)))
   }
+
+  test("vocabGrowth + heapsFit: exact order-statistic checkpoints, " +
+      "first-doc vocabulary counts, and a two-point exact fit") {
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "c d e"), (4L, "a"))
+      .toDF("doc_id", "text")
+    val growth = graft.ops.TextAnalysis.vocabGrowth(docs.repartition(3),
+        "doc_id", "text", checkpoints = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(growth == Seq((1L, 2L, 2L, 4L, 3L), (2L, 4L, 4L, 8L, 5L)))
+    val fit = graft.ops.TextAnalysis.heapsFit(
+        graft.ops.TextAnalysis.vocabGrowth(docs, "doc_id", "text", 2))
+      .as[(Long, Option[Double], Option[Double], Option[Double])].head()
+    def nano(v: Double): BigInt =
+      (BigDecimal(math.log(v)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        * BigDecimal(1000000000)).toBigIntExact.get
+    val (x1, y1, x2, y2) = (nano(4), nano(3), nano(8), nano(5))
+    val beta = (BigInt(2) * (x1 * y1 + x2 * y2) - (x1 + x2) * (y1 + y2))
+      .toDouble /
+      (BigInt(2) * (x1 * x1 + x2 * x2) - (x1 + x2) * (x1 + x2)).toDouble
+    assert(fit._1 == 2 && fit._2.contains(beta))
+    assert(math.abs(fit._4.get - 1.0) < 1e-12) // two points fit exactly
+  }
 }
