@@ -357,6 +357,63 @@ object Graph {
         col("a").cast("double").as("authority"))
   }
 
+  /** Newman modularity of a community assignment (Newman & Girvan
+    * 2004) — the quality number that makes [[lpaCommunities]]' output
+    * judgeable: Q = Σ_c (e_c/m − (deg_c/2m)²), rewritten all-integer
+    * as Q = (4m·Σe_c − Σdeg_c²) / (4m²) — exact DECIMAL(38,0)
+    * numerator/denominator down to ONE unrounded division (Q ∈
+    * [−½, 1), ≈0 means the partition is no better than random wiring).
+    *
+    * Scale shape: canonical undirected edge set (least/greatest +
+    * distinct, one shuffle), degrees from one endpoint-explode
+    * group-by, two label joins on the edge relation (node-keyed —
+    * bucketable at cluster scale), and the totals come from 1-row
+    * aggregates broadcast back — never a global window over the
+    * community-scale relation. Returns one row per community:
+    * (community, n_nodes, degree_sum, internal_edges, modularity) with
+    * the global Q repeated (the tvDistance convention).
+    */
+  def modularity(edges: DataFrame, aCol: String, bCol: String,
+      labels: DataFrame): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dbl = org.apache.spark.sql.types.DoubleType
+    val e = edges.select(col(aCol).cast("string").as("u0"),
+        col(bCol).cast("string").as("v0"))
+      .filter(col("u0") =!= col("v0"))
+      .select(least(col("u0"), col("v0")).as("u"),
+        greatest(col("u0"), col("v0")).as("v"))
+      .distinct().localCheckpoint()
+    val lab = labels.select(col("node"), col("community"))
+    val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val dc = deg.join(lab, Seq("node"))
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_nodes"), sum("d").as("degree_sum"))
+    val ec = e
+      .join(lab.select(col("node").as("u"), col("community").as("cu")),
+        Seq("u"))
+      .join(lab.select(col("node").as("v"), col("community").as("cv")),
+        Seq("v"))
+      .filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community"))
+      .agg(count(lit(1)).as("internal"))
+    val m = e.agg(count(lit(1)).as("m"))
+    val tot = dc.agg(
+      sum((col("degree_sum").cast(big) * col("degree_sum").cast(big))
+        .cast(big)).as("sum_deg2"))
+    val ti = ec.agg(coalesce(sum("internal"), lit(0L)).cast(big)
+      .as("sum_int"))
+    dc.join(ec, Seq("community"), "left")
+      .crossJoin(broadcast(m)).crossJoin(broadcast(tot))
+      .crossJoin(broadcast(ti))
+      .select(col("community"), col("n_nodes"), col("degree_sum"),
+        coalesce(col("internal"), lit(0L)).as("internal_edges"),
+        ((lit(4L).cast(big) * col("m").cast(big) * col("sum_int") -
+          col("sum_deg2")).cast(dbl) /
+          (lit(4L).cast(big) * col("m").cast(big) * col("m").cast(big))
+            .cast(dbl)).as("modularity"))
+  }
+
   def lpaCommunities(edges: DataFrame, aCol: String, bCol: String,
       rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")

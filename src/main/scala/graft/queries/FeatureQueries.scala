@@ -365,6 +365,22 @@ object FeatureQueries {
       .orderBy("node")
   }
 
+  /** Newman modularity of the LPA partition on the purchase graph
+    * ([[graft.ops.Graph.modularity]]) — per-community internal-edge /
+    * degree masses with the global Q repeated.
+    */
+  def lpaModularity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+    val labels = graft.ops.Graph.lpaCommunities(edges, "src", "dst",
+      LpaRounds)
+    graft.ops.Graph.modularity(edges, "src", "dst", labels)
+      .orderBy("community")
+  }
+
   /** Bounded-round HITS hubs & authorities over the purchase graph
     * ([[graft.ops.Graph.hits]], same edges as `feat_pagerank` — the
     * bipartite reading: hubs = broad buyers, authorities = widely-bought
@@ -551,6 +567,7 @@ object FeatureQueries {
     "feat_wilson_rank" -> wilsonRank,
     "feat_pagerank" -> pageRankSuppliers,
     "feat_lpa_communities" -> lpaCommunities,
+    "feat_modularity" -> lpaModularity,
     "feat_hits" -> hitsSuppliers,
     "feat_theilsen_trend" -> theilSen,
     "feat_cusum_alarm" -> cusum,
@@ -583,7 +600,7 @@ object FeatureQueries {
   // unrolled LPA rounds: per-(node, label) counts, argmin by
   // (−count, label) via min-struct — ties to the smallest label, the
   // plan's exact convention
-  private val lpaSql: String = {
+  private val lpaCtes: String = {
     val rounds = (1 to LpaRounds).map { r =>
       s"""l$r AS (SELECT node,
          |    struct_extract(min(struct_pack(nc := -cnt, l := community)),
@@ -593,15 +610,18 @@ object FeatureQueries {
          |        GROUP BY 1, 2)
          |  GROUP BY node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS u,
+    s"""e0 AS (SELECT DISTINCT 'c' || o_custkey AS u,
        |             's' || l_suppkey AS v
        |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
        |sym AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
        |l0 AS (SELECT u AS node, u AS community
        |       FROM (SELECT DISTINCT u FROM sym)),
-       |$rounds
-       |SELECT node, community FROM l$LpaRounds ORDER BY node""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  private val lpaSql: String =
+    s"""WITH $lpaCtes
+       |SELECT node, community FROM l$LpaRounds ORDER BY node""".stripMargin
 
   private val kcoreSql: String = {
     val peels = (1 to KcoreRounds).map { i =>
@@ -1283,6 +1303,33 @@ object FeatureQueries {
          |FROM w ORDER BY wilson_lb DESC, user_id LIMIT $WilsonTopK""".stripMargin,
     "feat_pagerank" -> pageRankSql,
     "feat_lpa_communities" -> lpaSql,
+    // Q all-integer as (4m·Σe_c − Σdeg_c²)/(4m²) down to one division;
+    // labels replayed by the SAME unrolled-LPA CTEs; c-nodes sort
+    // before s-nodes so e0 is already the canonical undirected set
+    "feat_modularity" ->
+      s"""WITH $lpaCtes,
+         |lab AS (SELECT node, community FROM l$LpaRounds),
+         |em AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+         |deg AS (SELECT node, count(*) AS d
+         |  FROM (SELECT u AS node FROM e0
+         |        UNION ALL SELECT v FROM e0) GROUP BY 1),
+         |dc AS (SELECT community, count(*) AS n_nodes,
+         |    CAST(sum(d) AS BIGINT) AS degree_sum
+         |  FROM deg JOIN lab USING (node) GROUP BY 1),
+         |ec AS (SELECT lu.community, count(*) AS internal
+         |  FROM e0 JOIN lab lu ON e0.u = lu.node
+         |          JOIN lab lv ON e0.v = lv.node
+         |  WHERE lu.community = lv.community GROUP BY 1),
+         |tot AS (SELECT CAST(sum(CAST(degree_sum AS HUGEINT) * degree_sum)
+         |    AS HUGEINT) AS sum_deg2 FROM dc),
+         |ti AS (SELECT CAST(coalesce(sum(internal), 0) AS HUGEINT)
+         |    AS sum_int FROM ec)
+         |SELECT dc.community, CAST(n_nodes AS BIGINT) AS n_nodes,
+         |  degree_sum, coalesce(internal, 0)::BIGINT AS internal_edges,
+         |  CAST(4 * CAST(m AS HUGEINT) * sum_int - sum_deg2 AS DOUBLE) /
+         |    CAST(4 * CAST(m AS HUGEINT) * m AS DOUBLE) AS modularity
+         |FROM dc LEFT JOIN ec USING (community), em, tot, ti
+         |ORDER BY community""".stripMargin,
     "feat_hits" -> hitsSql,
     // F = (n·Σc² − (Σc)²)/(n·Σc): one rational of integer sums, one
     // division rounded 9 dp; HUGEINT carries the squares

@@ -196,4 +196,25 @@ class GraphSpec extends AnyFunSuite {
       x.getAs[Double]("hub"), x.getAs[Double]("authority"))).sortBy(_._1)
     assert(rep.toSeq == base.toSeq)
   }
+
+  test("modularity: barbell graph hits the textbook 70/196; the " +
+      "all-in-one-community partition scores exactly 0") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("d", "e"), ("e", "f"), ("f", "d"), ("c", "d"))
+      .toDF("src", "dst")
+    val good = Seq("a", "b", "c").map((_, "x")) ++
+      Seq("d", "e", "f").map((_, "y"))
+    val gm = graft.ops.Graph.modularity(edges.repartition(3), "src",
+        "dst", good.toDF("node", "community"))
+      .orderBy("community")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    // per community: 3 nodes, degree mass 7, 3 internal edges
+    assert(gm.map(t => (t._2, t._3, t._4)) == Seq((3L, 7L, 3L), (3L, 7L, 3L)))
+    assert(gm.forall(_._5 == 70.0 / 196.0))
+    val all = Seq("a", "b", "c", "d", "e", "f").map((_, "z"))
+    val gz = graft.ops.Graph.modularity(edges, "src", "dst",
+        all.toDF("node", "community"))
+      .as[(String, Long, Long, Long, Double)].head()
+    assert(gz._5 == 0.0)
+  }
 }
