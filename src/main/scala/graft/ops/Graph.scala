@@ -87,6 +87,85 @@ object Graph {
     ranks.select(col("node"), col("r").cast("double").as("rank"))
   }
 
+  /** Personalized PageRank (Page et al. 1999 §6; the random walk with
+    * restart behind "related items" serving): identical to [[pageRank]]
+    * except ALL teleport mass — the (1−d) restart and the dangling
+    * redistribution — returns to the SEED set (uniform over seeds)
+    * instead of the whole graph, so rank concentrates in the seeds'
+    * neighborhood: r(v) = (1−d)·s(v) + d·(in(v) + dm·s(v)),
+    * s = 1/|S| on seeds, 0 elsewhere.
+    *
+    * STRONGER replay discipline than [[pageRank]]: the state lives in
+    * NANO-UNIT LONGS and every step is integer arithmetic with
+    * explicit HALF-UP division (round(x/d) = (2x+d) div 2d) — zero
+    * floating point in the whole recursion. This is forced, not
+    * stylistic: a non-seed node's update is exactly 0.85·in_mass, and
+    * 0.85·(k·10⁻⁹) lands its 10th decimal digit on a 5 whenever
+    * 85k ≡ 50 (mod 100) — ~5% of values sit ON a round-half tie where
+    * double-path engines disagree (measured at sf0.1; pageRank's
+    * nonzero (1−d)/n teleport term masks the same hazard). Structure
+    * otherwise mirrors pageRank: degree-carrying edges joined ONCE,
+    * dangling mass a 1-row aggregate broadcast back, `localCheckpoint`
+    * per round. `seeds` must expose a `node` column; seeds outside the
+    * graph are ignored (must leave ≥1). Returns (node, rank) —
+    * Σrank ≤ 1, with equality when no walk escapes the seed component.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, iterations: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ew = e.join(outDeg, Seq("src")).localCheckpoint()
+    val danglingNodes = nodes
+      .join(outDeg, col("node") === col("src"), "left_anti")
+      .select("node").localCheckpoint()
+    val seedNodes = nodes.join(
+        seeds.select(col("node").cast("string").as("node")).distinct(),
+        Seq("node"), "left_semi")
+      .withColumn("__seed", lit(true)).localCheckpoint()
+    val nS = seedNodes.count()
+    require(nS > 0, "no seed node appears in the graph")
+    require(damping == 0.85,
+      "the integer recursion hard-codes d = 85/100; generalize the " +
+        "15/85 numerators to change it")
+    val flagged = nodes.join(seedNodes, Seq("node"), "left")
+      .select(col("node"), coalesce(col("__seed"), lit(false)).as("__seed"))
+      .localCheckpoint()
+    // s = round-half-up(10⁹/|S|) nano units, computed once in integers
+    val sNano = (2L * 1000000000L + nS) / (2L * nS)
+    val sFlag = when(col("__seed"), lit(sNano)).otherwise(lit(0L))
+    var ranks = flagged.select(col("node"), col("__seed"),
+      sFlag.as("rn")).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contrib = ranks.join(ew, col("node") === col("src"))
+        .select(col("dst"),
+          expr("(2 * rn + deg) div (2 * deg)").as("w"))
+        .groupBy("dst").agg(sum(col("w")).as("inn"))
+      val dangling = ranks
+        .join(danglingNodes, Seq("node"), "left_semi")
+        .agg(coalesce(sum(col("rn")), lit(0L)).as("dmn"))
+      ranks = flagged
+        .join(contrib, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"), col("__seed"),
+          expr(s"""(15 * (CASE WHEN __seed THEN ${sNano}L ELSE 0L END)
+                  | + 85 * (coalesce(inn, 0L) +
+                  |     (CASE WHEN __seed THEN
+                  |        (2 * dmn * ${sNano}L + 1000000000L)
+                  |          div 2000000000L
+                  |      ELSE 0L END))
+                  | + 50) div 100""".stripMargin).as("rn"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"),
+      (col("rn").cast(org.apache.spark.sql.types.DoubleType) /
+        lit(1.0e9)).as("rank"))
+  }
+
   /** In/out degree profile per node — the 1-hop structural feature set
     * (and the skew diagnostic for [[pageRank]]'s join planning). One
     * aggregate per direction, full-outer merged on the node.

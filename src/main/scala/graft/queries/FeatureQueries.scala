@@ -365,6 +365,23 @@ object FeatureQueries {
       .orderBy("node")
   }
 
+  /** Personalized PageRank from the every-100th-customer seed set on
+    * the purchase graph ([[graft.ops.Graph.personalizedPageRank]]) —
+    * the "related to these customers" serving walk.
+    */
+  def personalizedPr(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+    val seeds = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 100 === 0)
+      .select(concat(lit("c"), col("c_custkey")).as("node"))
+    graft.ops.Graph.personalizedPageRank(edges, "src", "dst", seeds, 3)
+      .orderBy("node")
+  }
+
   /** Newman modularity of the LPA partition on the purchase graph
     * ([[graft.ops.Graph.modularity]]) — per-community internal-edge /
     * degree masses with the global Q repeated.
@@ -568,6 +585,7 @@ object FeatureQueries {
     "feat_pagerank" -> pageRankSuppliers,
     "feat_lpa_communities" -> lpaCommunities,
     "feat_modularity" -> lpaModularity,
+    "feat_ppr" -> personalizedPr,
     "feat_hits" -> hitsSuppliers,
     "feat_theilsen_trend" -> theilSen,
     "feat_cusum_alarm" -> cusum,
@@ -705,6 +723,49 @@ object FeatureQueries {
        |       FROM nodes, nn),
        |$iters
        |SELECT node, CAST(r AS DOUBLE) AS rank
+       |FROM r3 ORDER BY node""".stripMargin
+  }
+
+  // unrolled PPR CTEs: pageRank's replay with ALL teleport mass (restart
+  // + dangling) returning to the seed set — in NANO-LONG integers with
+  // explicit half-up division throughout (round(x/d) = (2x+d) // 2d),
+  // because a non-seed update is exactly 0.85·in and 85k ≡ 50 (mod 100)
+  // sits ON a decimal-round tie ~5% of the time (measured at sf0.1)
+  private val pprSql: String = {
+    val sflag = "(CASE WHEN fl.seed THEN ns.sn ELSE 0 END)"
+    val iters = (1 to 3).map { i =>
+      s"""c$i AS (SELECT e.dst,
+         |  CAST(sum((2 * r.rn + outd.deg) // (2 * outd.deg)) AS BIGINT)
+         |    AS inn
+         |  FROM r${i - 1} r JOIN e ON r.node = e.src
+         |  JOIN outd ON outd.src = e.src GROUP BY 1),
+         |d$i AS (SELECT CAST(coalesce(sum(r.rn), 0) AS BIGINT) AS dmn
+         |  FROM r${i - 1} r LEFT JOIN outd ON outd.src = r.node
+         |  WHERE outd.src IS NULL),
+         |r$i AS (SELECT fl.node, fl.seed,
+         |  CAST((15 * $sflag + 85 * (coalesce(c$i.inn, 0) +
+         |      (CASE WHEN fl.seed THEN
+         |         (2 * d$i.dmn * ns.sn + 1000000000) // 2000000000
+         |       ELSE 0 END)) + 50) // 100 AS BIGINT) AS rn
+         |  FROM fl LEFT JOIN c$i ON c$i.dst = fl.node, ns, d$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT 'c' || o_custkey AS src,
+       |             's' || l_suppkey AS dst
+       |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |outd AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |sd AS (SELECT DISTINCT 'c' || c_custkey AS node FROM customer
+       |       WHERE c_custkey % 100 = 0),
+       |sn AS (SELECT nodes.node FROM nodes JOIN sd USING (node)),
+       |ns AS (SELECT count(*) AS ns,
+       |       (2000000000 + count(*)) // (2 * count(*)) AS sn FROM sn),
+       |fl AS (SELECT nodes.node, sn.node IS NOT NULL AS seed
+       |       FROM nodes LEFT JOIN sn ON nodes.node = sn.node),
+       |r0 AS (SELECT fl.node, fl.seed,
+       |       CAST($sflag AS BIGINT) AS rn FROM fl, ns),
+       |$iters
+       |SELECT node, CAST(rn AS DOUBLE) / 1000000000.0 AS rank
        |FROM r3 ORDER BY node""".stripMargin
   }
 
@@ -1302,6 +1363,7 @@ object FeatureQueries {
          |    / (1.0 + zz / n), 9) AS wilson_lb
          |FROM w ORDER BY wilson_lb DESC, user_id LIMIT $WilsonTopK""".stripMargin,
     "feat_pagerank" -> pageRankSql,
+    "feat_ppr" -> pprSql,
     "feat_lpa_communities" -> lpaSql,
     // Q all-integer as (4m·Σe_c − Σdeg_c²)/(4m²) down to one division;
     // labels replayed by the SAME unrolled-LPA CTEs; c-nodes sort

@@ -217,4 +217,36 @@ class GraphSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long, Double)].head()
     assert(gz._5 == 0.0)
   }
+
+  test("personalizedPageRank: seeds = all nodes degenerates to plain " +
+      "pageRank (within a rounding ulp); components unreachable from " +
+      "the seeds hold rank exactly 0") {
+    val edges = Seq(("s", "a"), ("a", "s"), ("s", "b"), ("b", "a"),
+      ("x", "y")).toDF("src", "dst")
+    val allNodes = Seq("s", "a", "b", "x", "y").toDF("node")
+    val ppr = graft.ops.Graph.personalizedPageRank(edges, "src", "dst",
+        allNodes, 3)
+      .orderBy("node").as[(String, Double)].collect().toMap
+    val pr = graft.ops.Graph.pageRank(edges, "src", "dst", 3)
+      .orderBy("node").as[(String, Double)].collect().toMap
+    assert(ppr.keySet == pr.keySet)
+    // integer half-up recursion vs pageRank's double path: each round
+    // can differ by one nano-ulp before amplification
+    ppr.foreach { case (n, r) =>
+      assert(math.abs(r - pr(n)) <= 1e-8, s"$n: $r vs ${pr(n)}") }
+    // seed only at s: the x->y component never receives mass
+    val seeded = graft.ops.Graph.personalizedPageRank(
+        edges.repartition(3), "src", "dst", Seq("s").toDF("node"), 3)
+      .as[(String, Double)].collect().toMap
+    assert(seeded("x") == 0.0 && seeded("y") == 0.0)
+    assert(seeded("s") > seeded("a") && seeded("a") > 0.0)
+    // a seed outside the graph is ignored; an all-outside set throws
+    val ok = graft.ops.Graph.personalizedPageRank(edges, "src", "dst",
+      Seq("s", "zzz").toDF("node"), 1)
+    assert(ok.count() == 5)
+    intercept[IllegalArgumentException] {
+      graft.ops.Graph.personalizedPageRank(edges, "src", "dst",
+        Seq("zzz").toDF("node"), 1).count()
+    }
+  }
 }
