@@ -625,6 +625,111 @@ object Screening {
     */
   private val ZCrit5 = new JBigDecimal("1.959963985")
 
+  /** Per-category seeded randomization test of the group mean
+    * difference + Benjamini–Hochberg FDR control across the categories
+    * (Fisher 1935; Benjamini & Hochberg 1995) — the multiple-testing
+    * discipline a per-slice drift screen needs: testing every slice at
+    * 5% guarantees false alarms as slices grow; BH caps the EXPECTED
+    * false-discovery share instead.
+    *
+    * Everything is EXACT INTEGER arithmetic — no distributional
+    * assumption, no CDF libm, no rounding discipline:
+    *  - the statistic |mean_a − mean_b| compares via cent-integer
+    *    cross-products: |d_obs| ≥ |d_r| ⇔
+    *    |sA·nB − sB·nA|·(nAr·nBr) ≥ |sAr·nBr − sBr·nAr|·(nA·nB),
+    *    DECIMAL(38,0)/HUGEINT exact;
+    *  - reassignment is the dpNoisyCounts seeded-hash discipline: row
+    *    i joins pseudo-group A in resample r iff the first md5 hex
+    *    digit of `seed|id|r` is even (a randomization test — group
+    *    sizes are binomial, and the sizes enter the cross-product
+    *    exactly);
+    *  - the empirical p = (1 + #exceed)/(B+1) shares the denominator
+    *    B+1 across categories, so BH's p_(i) ≤ (i/m)·α condition is
+    *    the integer comparison k_i·m·αden ≤ i·αnum·(B+1), and ties
+    *    rank by (k, category) — fully deterministic.
+    *
+    * Scale shape: ONE ×B explode of the slice rows (the bootstrap-ci
+    * cost class, documented ×B), collapsed map-side to (category,
+    * resample) partial sums; observed stats are one group-by; BH runs
+    * on the m-row category relation. Returns per category:
+    * (category, n_a, n_b, abs_mean_diff, n_exceed, p_value, bh_rank,
+    * rejected), ordered by category.
+    */
+  def permutationTestBh(df: DataFrame, idCol: String, valueCol: String,
+      catCol: String, groupCol: String, a: String, b: String,
+      resamples: Int, seed: String, alphaNum: Int = 1,
+      alphaDen: Int = 20): DataFrame = {
+    require(resamples >= 1, s"resamples must be >= 1: $resamples")
+    require(alphaNum > 0 && alphaDen > 0 && alphaNum < alphaDen,
+      s"bad alpha $alphaNum/$alphaDen")
+    val big = DecimalType(38, 0)
+    val cents = (col(valueCol).cast(DecimalType(18, 2)) * lit(100))
+      .cast("long")
+    val base = df
+      .filter(col(groupCol).isin(a, b) && col(valueCol).isNotNull)
+      .select(col(catCol).cast("string").as("cat"),
+        col(idCol).cast("string").as("id"), cents.as("v"),
+        (col(groupCol) === a).as("ga"))
+      .localCheckpoint()
+    val obs = base.groupBy("cat").agg(
+      sum(when(col("ga"), 1L).otherwise(0L)).as("na"),
+      sum(when(col("ga"), col("v"))).as("sa"),
+      sum(when(!col("ga"), 1L).otherwise(0L)).as("nb"),
+      sum(when(!col("ga"), col("v"))).as("sb"))
+    val flip = conv(substring(md5(concat_ws("|", lit(seed), col("id"),
+      col("r").cast("string"))), 1, 1), 16, 10).cast("int") % 2 === 0
+    val res = base
+      .select(col("cat"), col("id"), col("v"),
+        explode(sequence(lit(1), lit(resamples))).as("r"))
+      .select(col("cat"), col("r"), col("v"), flip.as("fa"))
+      .groupBy("cat", "r").agg(
+        sum(when(col("fa"), 1L).otherwise(0L)).as("nar"),
+        coalesce(sum(when(col("fa"), col("v"))), lit(0L)).as("sar"),
+        sum(when(!col("fa"), 1L).otherwise(0L)).as("nbr"),
+        coalesce(sum(when(!col("fa"), col("v"))), lit(0L)).as("sbr"))
+    val dObs = abs(col("sa").cast(big) * col("nb").cast(big) -
+      col("sb").cast(big) * col("na").cast(big))
+    val dRes = abs(col("sar").cast(big) * col("nbr").cast(big) -
+      col("sbr").cast(big) * col("nar").cast(big))
+    // a degenerate resample (one side empty) has an undefined mean
+    // diff — count it as exceeding (conservative, and deterministic)
+    val exceeds = when(col("nar") === 0 || col("nbr") === 0, true)
+      .otherwise(dRes * (col("na").cast(big) * col("nb").cast(big)) >=
+        dObs * (col("nar").cast(big) * col("nbr").cast(big)))
+    val perCat = res.join(obs, Seq("cat"))
+      .select(col("cat"), col("na"), col("nb"), dObs.as("dobs"),
+        when(exceeds, 1L).otherwise(0L).as("x"))
+      .groupBy("cat", "na", "nb", "dobs")
+      .agg(sum("x").as("n_exceed"))
+    val m = Window.partitionBy()
+    val wRank = Window.orderBy(col("n_exceed"), col("cat"))
+    val bp1 = resamples + 1
+    val ranked = perCat
+      .withColumn("m", count(lit(1)).over(m))
+      .withColumn("bh_rank", row_number().over(wRank).cast("long"))
+      .withColumn("__cond",
+        (lit(1L) + col("n_exceed")) * col("m") * alphaDen <=
+          col("bh_rank") * alphaNum * bp1)
+      .withColumn("__istar",
+        max(when(col("__cond"), col("bh_rank"))).over(m))
+    ranked.select(col("cat").as("category"), col("na").as("n_a"),
+        col("nb").as("n_b"),
+        when(col("na") > 0 && col("nb") > 0,
+          col("dobs").cast(org.apache.spark.sql.types.DoubleType) /
+            (col("na").cast(big) * col("nb").cast(big) *
+              lit(100L).cast(big))
+              .cast(org.apache.spark.sql.types.DoubleType))
+          .as("abs_mean_diff"),
+        col("n_exceed"),
+        ((lit(1L) + col("n_exceed"))
+          .cast(org.apache.spark.sql.types.DoubleType) / lit(bp1.toDouble))
+          .as("p_value"),
+        col("bh_rank"),
+        coalesce(col("bh_rank") <= col("__istar"), lit(false))
+          .as("rejected"))
+      .orderBy("category")
+  }
+
   /** Welch's unequal-variance t-test (Welch 1947) between groups `a` and
     * `b` of a 2-dp metric — the parametric partner to [[mannWhitneyU]]:
     * reads the MEAN difference (what a revenue experiment ships on),

@@ -206,6 +206,20 @@ object QualityQueries {
         "event_type", "split", "train", "test")
       .orderBy("category")
 
+  private val PermResamples = 200
+  private val PermSeed = "permA"
+
+  /** Per-event-type randomization test of the train/test mean value
+    * difference with Benjamini–Hochberg FDR control across the slices
+    * ([[graft.ops.Screening.permutationTestBh]], B = 200, α = 5%).
+    */
+  def permBh(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Screening.permutationTestBh(
+      graft.ops.EventOps.timeSplitEmbargo(ev(spark, dir), "ts_us",
+        SplitTestUs, SplitEmbargoUs),
+      "event_id", "value", "event_type", "split", "train", "test",
+      PermResamples, PermSeed)
+
   /** Bhattacharyya/Hellinger drift between the same train/test
     * event-type distributions [[splitTv]] reads in L1
     * ([[graft.ops.Drift.hellingerDistance]]) — the bounded true-metric
@@ -484,6 +498,7 @@ object QualityQueries {
     "quality_drift_w1" -> splitW1,
     "quality_drift_tv" -> splitTv,
     "quality_drift_hellinger" -> splitHellinger,
+    "quality_perm_bh" -> permBh,
     "quality_mad_outliers" -> madOutliers,
     "quality_split_drift" -> splitDrift,
     "quality_skew_report" -> skewReport,
@@ -830,6 +845,72 @@ object QualityQueries {
          |  round(CAST(dn AS DOUBLE) / (na * nb), 9) AS abs_diff,
          |  round(CAST(sum(dn) OVER () AS DOUBLE) / (na * nb * 2), 9) AS tv
          |FROM d ORDER BY category""".stripMargin,
+    // all-integer randomization test: seeded md5 parity reassignment,
+    // HUGEINT cross-product comparisons, shared p denominator B+1 makes
+    // BH the integer condition k·m·20 <= rank·(B+1)
+    "quality_perm_bh" -> {
+      val b = PermResamples
+      s"""WITH mx AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+         |s AS (SELECT event_type AS cat, CAST(event_id AS VARCHAR) AS id,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         |    CASE WHEN epoch_us(ts) > mx - $SplitTestUs THEN 'test'
+         |         WHEN epoch_us(ts) > mx - ${SplitTestUs + SplitEmbargoUs}
+         |           THEN 'embargo'
+         |         ELSE 'train' END AS split
+         |  FROM events, mx WHERE value IS NOT NULL),
+         |base AS (SELECT cat, id, v, split = 'train' AS ga FROM s
+         |  WHERE split IN ('train', 'test')),
+         |obs AS (SELECT cat,
+         |    CAST(sum(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         |    CAST(coalesce(sum(CASE WHEN ga THEN v END), 0) AS BIGINT)
+         |      AS sa,
+         |    CAST(sum(CASE WHEN NOT ga THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS nb,
+         |    CAST(coalesce(sum(CASE WHEN NOT ga THEN v END), 0) AS BIGINT)
+         |      AS sb
+         |  FROM base GROUP BY 1),
+         |res AS (SELECT cat, r,
+         |    CAST(sum(CASE WHEN fa THEN 1 ELSE 0 END) AS BIGINT) AS nar,
+         |    CAST(coalesce(sum(CASE WHEN fa THEN v END), 0) AS BIGINT)
+         |      AS sar,
+         |    CAST(sum(CASE WHEN NOT fa THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS nbr,
+         |    CAST(coalesce(sum(CASE WHEN NOT fa THEN v END), 0) AS BIGINT)
+         |      AS sbr
+         |  FROM (SELECT cat, v, gs.r,
+         |      (strpos('0123456789abcdef', substr(md5(
+         |         '$PermSeed' || '|' || id || '|' || CAST(gs.r AS VARCHAR)
+         |       ), 1, 1)) - 1) % 2 = 0 AS fa
+         |    FROM base, (SELECT unnest(generate_series(1, $b)) AS r) gs)
+         |  GROUP BY 1, 2),
+         |x AS (SELECT res.cat, obs.na, obs.nb,
+         |    abs(CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na)
+         |      AS dobs,
+         |    CASE WHEN nar = 0 OR nbr = 0 THEN 1
+         |         WHEN abs(CAST(sar AS HUGEINT) * nbr
+         |                - CAST(sbr AS HUGEINT) * nar)
+         |              * (CAST(na AS HUGEINT) * nb)
+         |           >= abs(CAST(sa AS HUGEINT) * nb
+         |                - CAST(sb AS HUGEINT) * na)
+         |              * (CAST(nar AS HUGEINT) * nbr) THEN 1 ELSE 0 END
+         |      AS xx
+         |  FROM res JOIN obs USING (cat)),
+         |pc AS (SELECT cat, na, nb, dobs,
+         |    CAST(sum(xx) AS BIGINT) AS n_exceed FROM x GROUP BY 1, 2, 3, 4),
+         |rk AS (SELECT *, count(*) OVER () AS mm,
+         |    row_number() OVER (ORDER BY n_exceed, cat) AS bh_rank FROM pc),
+         |st AS (SELECT max(CASE WHEN (1 + n_exceed) * mm * 20
+         |      <= bh_rank * 1 * ${b + 1} THEN bh_rank END) AS istar FROM rk)
+         |SELECT cat AS category, na AS n_a, nb AS n_b,
+         |  CASE WHEN na > 0 AND nb > 0 THEN CAST(dobs AS DOUBLE) /
+         |    CAST(CAST(na AS HUGEINT) * nb * 100 AS DOUBLE)
+         |  END AS abs_mean_diff,
+         |  n_exceed,
+         |  CAST(1 + n_exceed AS DOUBLE) / ${(b + 1).toDouble} AS p_value,
+         |  CAST(bh_rank AS BIGINT) AS bh_rank,
+         |  coalesce(bh_rank <= istar, FALSE) AS rejected
+         |FROM rk, st ORDER BY category""".stripMargin
+    },
     // √(ca·cb/(na·nb)) can be a RATIONAL perfect square, so contributions
     // quantize by TRUNCATION (floor(√·10⁹) — exact function of the shared
     // double), never a 9-dp round; bc/hellinger emit unrounded

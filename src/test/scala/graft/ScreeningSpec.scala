@@ -447,4 +447,37 @@ class ScreeningSpec extends AnyFunSuite {
         Option[Boolean])].head()
     assert(gt._1 == 1 && gt._5.isEmpty && gt._6.isEmpty)
   }
+
+  test("permutationTestBh: a planted mean shift is rejected while a " +
+      "null slice is not; p-values share the B+1 denominator; the " +
+      "rejected set is a prefix of the p-ranking") {
+    val rnd = new scala.util.Random(3)
+    // slice "shift": group b pays +50; slice "null": same distribution
+    val rows =
+      (1 to 150).map(i => ("shift", s"s$i", 10.0 + (i % 7), "a")) ++
+      (1 to 150).map(i => ("shift", s"t$i", 60.0 + (i % 7), "b")) ++
+      (1 to 150).map(i => ("null", s"u$i", 10.0 + (i % 7), "a")) ++
+      (1 to 150).map(i => ("null", s"v$i", 10.0 + ((i + 3) % 7), "b"))
+    val df = rows.toDF("cat", "id", "v", "g")
+    val got = Screening.permutationTestBh(df.repartition(5), "id", "v",
+        "cat", "g", "a", "b", resamples = 99, seed = "sp")
+      .as[(String, Long, Long, Option[Double], Long, Double, Long,
+        Boolean)].collect().map(r => r._1 -> r).toMap
+    val sh = got("shift"); val nl = got("null")
+    assert(sh._2 == 150 && sh._3 == 150)
+    // no random reassignment beats a 50-point planted shift
+    assert(sh._5 == 0L && sh._6 == 1.0 / 100 && sh._8)
+    assert(nl._6 > 0.2 && !nl._8)
+    assert(sh._4.get > 49.0 && sh._4.get < 51.0)
+    assert(nl._4.get < 1.0)
+    // deterministic replay: same seed, any partitioning
+    val again = Screening.permutationTestBh(df, "id", "v", "cat", "g",
+        "a", "b", 99, "sp")
+      .as[(String, Long, Long, Option[Double], Long, Double, Long,
+        Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(again == got)
+    // rejected categories form a prefix of the bh_rank order
+    val byRank = got.values.toSeq.sortBy(_._7)
+    assert(byRank.map(_._8).dropWhile(identity).forall(!_))
+  }
 }
