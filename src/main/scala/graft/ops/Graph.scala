@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -434,6 +434,53 @@ object Graph {
     hubs.join(auths, Seq("node"))
       .select(col("node"), col("h").cast("double").as("hub"),
         col("a").cast("double").as("authority"))
+  }
+
+  /** Adjusted Rand Index between two partitions of the same node set
+    * (Hubert & Arabie 1985) — "do the discovered communities agree
+    * with a reference partition?", chance-corrected so that random
+    * labelings score ≈0 and identical partitions exactly 1.
+    *
+    * ALL-INTEGER: with contingency counts n_ij and marginals a_i, b_j,
+    * ARI = (2·Σ_ij C(n_ij,2)·C(n,2) − 2·ΣC(a_i,2)·ΣC(b_j,2)) /
+    *       ((ΣC(a_i,2)+ΣC(b_j,2))·C(n,2) − 2·ΣC(a_i,2)·ΣC(b_j,2)) —
+    * pair counts C(x,2) = x(x−1)/2 are exact integers, everything
+    * accumulates in DECIMAL(38,0), ONE unrounded division at the end
+    * (null when the denominator is 0 — all-singletons vs one-cluster
+    * degeneracies).
+    *
+    * Scale shape: one node-keyed join aligns the partitions, one
+    * (a, b) group-by builds the contingency table, marginals and pair
+    * sums aggregate THAT (cluster²-bounded) relation; 1-row broadcasts
+    * only. Returns one row: (n, n_cells, sum_comb, sum_a, sum_b, ari).
+    */
+  def ariPartitions(labelsA: DataFrame, labelsB: DataFrame): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dbl = org.apache.spark.sql.types.DoubleType
+    def comb2(c: Column): Column =
+      (c.cast(big) * (c - 1).cast(big) / lit(2).cast(big)).cast(big)
+    val joined = labelsA.select(col("node"), col("a"))
+      .join(labelsB.select(col("node"), col("b")), Seq("node"))
+    val cont = joined.groupBy("a", "b").agg(count(lit(1)).as("o"))
+      .localCheckpoint()
+    val cells = cont.agg(count(lit(1)).as("n_cells"),
+      sum(col("o")).as("n"), sum(comb2(col("o"))).as("sum_comb"))
+    val sa = cont.groupBy("a").agg(sum("o").as("ra"))
+      .agg(sum(comb2(col("ra"))).as("sum_a"))
+    val sb = cont.groupBy("b").agg(sum("o").as("cb"))
+      .agg(sum(comb2(col("cb"))).as("sum_b"))
+    val tot = comb2(col("n"))
+    val num = lit(2).cast(big) * col("sum_comb") * tot -
+      lit(2).cast(big) * col("sum_a") * col("sum_b")
+    val den = (col("sum_a") + col("sum_b")).cast(big) * tot -
+      lit(2).cast(big) * col("sum_a") * col("sum_b")
+    cells.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .select(col("n").cast("long").as("n"), col("n_cells"),
+        col("sum_comb").cast("long").as("sum_comb"),
+        col("sum_a").cast("long").as("sum_a"),
+        col("sum_b").cast("long").as("sum_b"),
+        when(den.cast(dbl) =!= 0.0, num.cast(dbl) / den.cast(dbl))
+          .as("ari"))
   }
 
   /** Newman modularity of a community assignment (Newman & Girvan

@@ -382,6 +382,29 @@ object FeatureQueries {
       .orderBy("node")
   }
 
+  /** Adjusted Rand Index between the LPA communities and the
+    * customer/supplier NATION partition
+    * ([[graft.ops.Graph.ariPartitions]]) — "do discovered communities
+    * align with geography?", chance-corrected.
+    */
+  def ariNations(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+    val labels = graft.ops.Graph.lpaCommunities(edges, "src", "dst",
+        LpaRounds)
+      .select(col("node"), col("community").as("a"))
+    val nations = Tables.customer(spark, dir)
+      .select(concat(lit("c"), col("c_custkey")).as("node"),
+        concat(lit("n"), col("c_nationkey")).as("b"))
+      .union(Tables.supplier(spark, dir)
+        .select(concat(lit("s"), col("s_suppkey")).as("node"),
+          concat(lit("n"), col("s_nationkey")).as("b")))
+    graft.ops.Graph.ariPartitions(labels, nations).orderBy("n")
+  }
+
   /** Newman modularity of the LPA partition on the purchase graph
     * ([[graft.ops.Graph.modularity]]) — per-community internal-edge /
     * degree masses with the global Q repeated.
@@ -585,6 +608,7 @@ object FeatureQueries {
     "feat_pagerank" -> pageRankSuppliers,
     "feat_lpa_communities" -> lpaCommunities,
     "feat_modularity" -> lpaModularity,
+    "feat_ari_nations" -> ariNations,
     "feat_ppr" -> personalizedPr,
     "feat_hits" -> hitsSuppliers,
     "feat_theilsen_trend" -> theilSen,
@@ -1365,6 +1389,38 @@ object FeatureQueries {
     "feat_pagerank" -> pageRankSql,
     "feat_ppr" -> pprSql,
     "feat_lpa_communities" -> lpaSql,
+    // pair counts C(x,2) exact in HUGEINT (x(x-1) even => // 2 exact);
+    // labels replayed by the SAME unrolled-LPA CTEs; one division
+    "feat_ari_nations" ->
+      s"""WITH $lpaCtes,
+         |lab AS (SELECT node, community AS a FROM l$LpaRounds),
+         |nat AS (SELECT 'c' || c_custkey AS node,
+         |               'n' || c_nationkey AS b FROM customer
+         |        UNION ALL
+         |        SELECT 's' || s_suppkey, 'n' || s_nationkey
+         |        FROM supplier),
+         |j AS (SELECT a, b, count(*) AS o FROM lab JOIN nat USING (node)
+         |      GROUP BY 1, 2),
+         |cells AS (SELECT count(*) AS n_cells, CAST(sum(o) AS BIGINT) AS n,
+         |    CAST(sum(CAST(o AS HUGEINT) * (o - 1) // 2) AS HUGEINT)
+         |      AS sum_comb FROM j),
+         |sa AS (SELECT CAST(sum(CAST(ra AS HUGEINT) * (ra - 1) // 2)
+         |    AS HUGEINT) AS sum_a
+         |  FROM (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM j
+         |        GROUP BY 1)),
+         |sb AS (SELECT CAST(sum(CAST(cb AS HUGEINT) * (cb - 1) // 2)
+         |    AS HUGEINT) AS sum_b
+         |  FROM (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM j
+         |        GROUP BY 1)),
+         |t AS (SELECT *, CAST(n AS HUGEINT) * (n - 1) // 2 AS tot
+         |  FROM cells, sa, sb)
+         |SELECT n, n_cells, CAST(sum_comb AS BIGINT) AS sum_comb,
+         |  CAST(sum_a AS BIGINT) AS sum_a, CAST(sum_b AS BIGINT) AS sum_b,
+         |  CASE WHEN (sum_a + sum_b) * tot - 2 * sum_a * sum_b <> 0 THEN
+         |    CAST(2 * sum_comb * tot - 2 * sum_a * sum_b AS DOUBLE) /
+         |      CAST((sum_a + sum_b) * tot - 2 * sum_a * sum_b AS DOUBLE)
+         |  END AS ari
+         |FROM t ORDER BY n""".stripMargin,
     // Q all-integer as (4m·Σe_c − Σdeg_c²)/(4m²) down to one division;
     // labels replayed by the SAME unrolled-LPA CTEs; c-nodes sort
     // before s-nodes so e0 is already the canonical undirected set

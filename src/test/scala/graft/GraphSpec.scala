@@ -249,4 +249,43 @@ class GraphSpec extends AnyFunSuite {
         Seq("zzz").toDF("node"), 1).count()
     }
   }
+
+  test("ariPartitions: identical (even relabeled) partitions score " +
+      "exactly 1; a hand contingency matches the pair-count formula; " +
+      "degenerate pairings yield null") {
+    import graft.ops.Graph
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val pa = Seq(("n1", "x"), ("n2", "x"), ("n3", "y"), ("n4", "y"),
+      ("n5", "z")).toDF("node", "a")
+    val relabeled = pa.select(col("node"),
+      concat(lit("grp_"), col("a")).as("b"))
+    val same = Graph.ariPartitions(pa, relabeled)
+      .as[(Long, Long, Long, Long, Long, Option[Double])].head()
+    assert(same._1 == 5 && same._6.contains(1.0))
+
+    // hand case: A = {1,2,3|4,5,6}, B = {1,2|3,4|5,6}
+    val a2 = Seq("n1" -> "p", "n2" -> "p", "n3" -> "p",
+      "n4" -> "q", "n5" -> "q", "n6" -> "q").toDF("node", "a")
+    val b2 = Seq("n1" -> "u", "n2" -> "u", "n3" -> "v",
+      "n4" -> "v", "n5" -> "w", "n6" -> "w").toDF("node", "b")
+    val got = Graph.ariPartitions(a2.repartition(3), b2)
+      .as[(Long, Long, Long, Long, Long, Option[Double])].head()
+    // contingency: p:(u2,v1) q:(v1,w2) -> sum_comb = 1+0+0+1 = 2
+    // sum_a = 2*C(3,2)=6, sum_b = 3*C(2,2)=3, tot = C(6,2)=15
+    assert(got._3 == 2 && got._4 == 6 && got._5 == 3)
+    val ari = (2.0 * 2 * 15 - 2 * 6 * 3) / ((6 + 3) * 15.0 - 2 * 6 * 3)
+    assert(got._6.contains(ari))
+
+    // one-cluster vs singletons is chance level: ARI exactly 0
+    val onec = Seq("n1", "n2", "n3").map((_, "all")).toDF("node", "a")
+    val singl = Seq("n1", "n2", "n3").map(n => (n, n)).toDF("node", "b")
+    val g0 = Graph.ariPartitions(onec, singl)
+      .as[(Long, Long, Long, Long, Long, Option[Double])].head()
+    assert(g0._6.contains(0.0))
+    // BOTH one-cluster: the chance correction vanishes -> null
+    val whole = Seq("n1", "n2", "n3").map((_, "whole")).toDF("node", "b")
+    val gd = Graph.ariPartitions(onec, whole)
+      .as[(Long, Long, Long, Long, Long, Option[Double])].head()
+    assert(gd._6.isEmpty)
+  }
 }
