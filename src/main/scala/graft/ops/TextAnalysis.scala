@@ -931,6 +931,36 @@ object TextAnalysis {
     * expressions, zero shuffle.
     * Returns (id, n_words, n_sentences, n_syllables, flesch, fk_grade).
     */
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    * over the word co-occurrence graph — words adjacent within a
+    * `window`-token span vote for each other, and the stationary mass
+    * ranks corpus keywords without any supervision. The classic
+    * unweighted variant: DISTINCT co-occurrence pairs, symmetrized
+    * (both directions), then the exact [[Graph.pageRank]] replay — so
+    * the oracle reuses the SAME unrolled-CTE chain as `feat_pagerank`.
+    *
+    * Scale shape: one posexplode, a per-document position self-join
+    * bounded by `window` (each token pairs with ≤window successors —
+    * never a doc-length² blowup), one distinct, then pageRank's
+    * bounded rounds; the top-k is TakeOrderedAndProject. Returns the
+    * k highest-ranked words: (node, rank), ties broken by word.
+    */
+  def textrankKeywords(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 2, iterations: Int = 3, k: Int = 20): DataFrame = {
+    require(window >= 1 && k >= 1, s"bad parameters window=$window k=$k")
+    val pos = docs.select(col(idCol).as("id"),
+      posexplode(toks(col(textCol))).as(Seq("p", "w")))
+    val x = pos.select(col("id"), col("p").as("pa"), col("w").as("wa"))
+    val y = pos.select(col("id"), col("p").as("pb"), col("w").as("wb"))
+    val pairs = x.join(y,
+        Seq("id")).filter(col("pb") > col("pa") &&
+        col("pb") <= col("pa") + window && col("wa") =!= col("wb"))
+      .select(col("wa").as("a"), col("wb").as("b"))
+    val sym = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+    Graph.pageRank(sym, "a", "b", iterations)
+      .orderBy(col("rank").desc, col("node")).limit(k)
+  }
+
   /** Blocklist (bad-word) document filter — the C4 recipe (Raffel et
     * al. 2020 §2.2 dropped any page containing a term from a public
     * blocklist): per document the total and distinct blocklist hits,

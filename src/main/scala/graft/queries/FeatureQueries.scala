@@ -719,8 +719,15 @@ object FeatureQueries {
   // 1-row broadcast aggregate in Graph.pageRank; (1.0 - 0.85) is spelled
   // as a subtraction so both engines evaluate the same IEEE double, not a
   // 0.15 literal (a different nearest-double)
-  private val pageRankSql: String = {
-    val iters = (1 to 3).map { i =>
+  /** Unrolled-pageRank CTE chain ([[graft.ops.Graph.pageRank]] replay)
+    * over whatever relation the caller's `eCte` binds as `e(src, dst)`
+    * (must be DISTINCT directed edges) — shared by `feat_pagerank` and
+    * `text_textrank` so the replay cannot fork. Ends in CTE
+    * `r$iters(node, r)`.
+    */
+  private[queries] def pageRankUnrolledCtes(eCte: String,
+      iters: Int = 3): String = {
+    val rounds = (1 to iters).map { i =>
       s"""c$i AS (SELECT e.dst,
          |  sum(CAST(round(CAST(r.r AS DOUBLE) / outd.deg, 9)
          |        AS DECIMAL(18,9))) AS m
@@ -737,15 +744,21 @@ object FeatureQueries {
          |  FROM nodes LEFT JOIN c$i ON c$i.dst = nodes.node, nn, d$i)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT DISTINCT 'c' || o_custkey AS src,
-       |             's' || l_suppkey AS dst
-       |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    s"""$eCte,
        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
        |outd AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
        |nn AS (SELECT count(*) AS n FROM nodes),
        |r0 AS (SELECT node, CAST(round(1.0 / nn.n, 9) AS DECIMAL(18,9)) AS r
        |       FROM nodes, nn),
-       |$iters
+       |$rounds""".stripMargin
+  }
+
+  private val pageRankSql: String = {
+    val e = """e AS (SELECT DISTINCT 'c' || o_custkey AS src,
+              |             's' || l_suppkey AS dst
+              |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey)"""
+      .stripMargin
+    s"""WITH ${pageRankUnrolledCtes(e)}
        |SELECT node, CAST(r AS DOUBLE) AS rank
        |FROM r3 ORDER BY node""".stripMargin
   }

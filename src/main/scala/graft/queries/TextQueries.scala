@@ -69,6 +69,14 @@ object TextQueries {
     TextAnalysis.heapsFit(TextAnalysis.vocabGrowth(
       Tables.documents(spark, dir), "doc_id", "text", HeapsCheckpoints))
 
+  /** Top-20 TextRank keywords over the document corpus
+    * ([[graft.ops.TextAnalysis.textrankKeywords]], window 2,
+    * 3 pageRank rounds).
+    */
+  def textrank(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.textrankKeywords(Tables.documents(spark, dir), "doc_id",
+      "text")
+
   /** Terms whose presence drops a document under the C4 blocklist rule
     * ([[graft.ops.TextAnalysis.blocklistFilter]]). */
   val Blocklist: Seq[String] = Seq("slow", "dup", "leak")
@@ -487,6 +495,7 @@ object TextQueries {
     "text_zipf_fit" -> zipf,
     "text_vocab_growth" -> vocabGrowth,
     "text_heaps_fit" -> heaps,
+    "text_textrank" -> textrank,
     "text_blocklist_filter" -> blocklist,
     "text_lang_id" -> langId,
     "text_token_frequencies" -> tokenFrequencies,
@@ -1136,6 +1145,26 @@ object TextQueries {
          |    (len(grams) - len(list_distinct(grams)))::DOUBLE / len(grams)
          |    ELSE 0.0 END, 6) AS dup_ngram_frac
          |FROM g ORDER BY doc_id""".stripMargin,
+    // the SAME unrolled-pageRank CTE chain as feat_pagerank, over the
+    // window-2 word co-occurrence edges; ties at equal 9-dp rank break
+    // by word
+    "text_textrank" -> {
+      val e = """e AS (SELECT DISTINCT a AS src, b AS dst FROM (
+                |  SELECT x.w AS a, y.w AS b
+                |  FROM tp x JOIN tp y ON x.doc_id = y.doc_id
+                |    AND y.p > x.p AND y.p <= x.p + 2 AND x.w <> y.w
+                |  UNION ALL
+                |  SELECT y.w, x.w
+                |  FROM tp x JOIN tp y ON x.doc_id = y.doc_id
+                |    AND y.p > x.p AND y.p <= x.p + 2 AND x.w <> y.w))"""
+        .stripMargin
+      s"""WITH $toksCte,
+         |tp AS (SELECT doc_id, toks[i] AS w, CAST(i AS BIGINT) AS p
+         |  FROM d, UNNEST(generate_series(1, len(toks))) u(i)),
+         |${graft.queries.FeatureQueries.pageRankUnrolledCtes(e)}
+         |SELECT node, CAST(r AS DOUBLE) AS rank
+         |FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin
+    },
     // explode-once + lexicon join; hit ratio unrounded (one division)
     "text_blocklist_filter" -> {
       val lex = Blocklist.map(w => s"('$w')").mkString(", ")

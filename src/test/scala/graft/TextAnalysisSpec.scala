@@ -498,4 +498,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fit._1 == 2 && fit._2.contains(beta))
     assert(math.abs(fit._4.get - 1.0) < 1e-12) // two points fit exactly
   }
+
+  test("textrankKeywords: the co-occurrence hub ranks first; k caps " +
+      "the output; ranks form a probability mass") {
+    // window 1 over an alternating doc: a pure star around "hub"
+    val docs = Seq((1L, "hub x hub y hub z hub x hub y"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.textrankKeywords(docs.repartition(2),
+        "doc_id", "text", window = 1, iterations = 3, k = 3)
+      .as[(String, Double)].collect().toSeq
+    assert(got.size == 3)
+    assert(got.head._1 == "hub")
+    assert(got.head._2 > got(1)._2)
+    // mass: sum over ALL words ~ 1 (9-dp rounding slack per node)
+    val all = graft.ops.TextAnalysis.textrankKeywords(docs, "doc_id",
+        "text", window = 1, iterations = 3, k = 100)
+      .as[(String, Double)].collect()
+    assert(all.length == 4)
+    assert(math.abs(all.map(_._2).sum - 1.0) < 1e-6)
+  }
 }
