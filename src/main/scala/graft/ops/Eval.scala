@@ -712,4 +712,65 @@ object Eval {
             col("__cum___ln9").cast(DoubleType) / lit(1e9)), 9))
           .as("km_survival"))
   }
+
+  /** Mean Average Precision at k (the TREC retrieval standard) over a
+    * per-user recommendation list vs a relevant-item ground truth —
+    * the order-sensitive companion to hit-rate: AP@k credits each hit
+    * by the precision AT its rank, so burying a relevant item at rank
+    * k scores less than surfacing it at rank 1 (what MRR sees only for
+    * the first hit and nDCG sees with a different discount).
+    *
+    * EXACT INTEGER end to end: per user
+    * AP@k = Σ_{hits at rank r} (hits≤r / r) / min(R, k) — every 1/r is
+    * cleared by the shared lcm(1..k) scale (r divides it, so the
+    * integer division is exact, not truncation), the per-user scaled
+    * AP sums as a long, and each AP quantizes by truncating nano
+    * division (DECIMAL(38,0) — the only lossy step, one nano-ulp)
+    * before the cross-user mean's single division. Users counted =
+    * users with ≥1 relevant item; a user with no recommendations
+    * scores 0 (honest, not dropped).
+    *
+    * Inputs: `recs` (user, item, rank 1..) and `relevant`
+    * (user, item). Scale shape: one distinct + per-user counts on the
+    * truth, one (user, item) join on the k-bounded rec list, one
+    * per-user cumulative window over ≤k rows, a 1-row final aggregate.
+    * Returns one row: (n_users, k, map_at_k, hit_rate).
+    */
+  def mapAtK(recs: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 20, s"lcm scaling sized for k <= 20: $k")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcmK = (1 to k).foldLeft(1L)((acc, i) => acc / gcd(acc, i) * i)
+    val big = DecimalType(38, 0)
+    val rel = relevant.select(col("user"), col("item")).distinct()
+      .localCheckpoint()
+    val rCount = rel.groupBy("user").agg(count(lit(1)).as("__r"))
+    val w = Window.partitionBy("user").orderBy("rank")
+    val apScaled = recs.filter(col("rank") <= k)
+      .join(rel.withColumn("__rel", lit(1L)), Seq("user", "item"), "left")
+      .select(col("user"), col("rank"),
+        coalesce(col("__rel"), lit(0L)).as("h"))
+      .withColumn("__ch", sum("h").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("h") === 1)
+      .groupBy("user")
+      .agg(sum(expr(s"(__ch * $lcmK) div rank")).as("__ap_scaled"))
+    val perUser = rCount.join(apScaled, Seq("user"), "left")
+      .select(col("user"),
+        coalesce(col("__ap_scaled"), lit(0L)).as("s"),
+        least(col("__r"), lit(k.toLong)).as("__m"))
+      .select(col("user"), (col("s") > 0).as("__hit"),
+        expr(s"(cast(s as decimal(38,0)) * 1000000000)" +
+          s" div (${lcmK}L * __m)").as("__ap_nano"))
+    perUser.agg(count(lit(1)).as("n_users"),
+        sum(col("__ap_nano").cast(big)).as("__sum_nano"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("__n_hit"))
+      .select(col("n_users"), lit(k.toLong).as("k"),
+        when(col("n_users") > 0,
+          col("__sum_nano").cast(DoubleType) /
+            (col("n_users").cast(DoubleType) * lit(1.0e9)))
+          .as("map_at_k"),
+        when(col("n_users") > 0,
+          col("__n_hit").cast(DoubleType) /
+            col("n_users").cast(DoubleType)).as("hit_rate"))
+  }
 }

@@ -212,7 +212,51 @@ object EvalQueries {
         "duration_us", "event")
       .orderBy("duration_us")
 
+  /** Leave-last-order-out MAP@10 of the item-CF recommender
+    * ([[graft.ops.Eval.mapAtK]] over
+    * [[graft.ops.EventOps.itemCfNeighbors]] trained on every customer's
+    * earlier orders): profile items score candidate neighbors, the
+    * held-out (novel) parts of the LAST order are the truth.
+    */
+  def mapAtKCf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val ranked = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .withColumn("__rn", row_number().over(w))
+      .localCheckpoint()
+    val train = ranked.filter(col("__rn") > 1)
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey").as("basket"), col("o_custkey").as("user"),
+        col("l_partkey").as("item"))
+      .localCheckpoint()
+    val neighbors = graft.ops.EventOps.itemCfNeighbors(
+      train.select("basket", "item"), "basket", "item", topK = 50)
+    val profile = train.select("user", "item").distinct().localCheckpoint()
+    val scores = profile
+      .join(neighbors.select(col("item"), col("neighbor"), col("sim")),
+        Seq("item"))
+      .groupBy(col("user"), col("neighbor").as("item"))
+      .agg(sum(col("sim").cast(DecimalType(18, 9))).as("__score"))
+      .join(profile, Seq("user", "item"), "left_anti")
+    val wr = Window.partitionBy("user")
+      .orderBy(col("__score").desc, col("item"))
+    val recs = scores
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= 10).select("user", "item", "rank")
+    val relevant = ranked.filter(col("__rn") === 1)
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("user"), col("l_partkey").as("item"))
+      .distinct()
+      .join(profile, Seq("user", "item"), "left_anti")
+    Eval.mapAtK(recs, relevant, 10).orderBy("n_users")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_map_at_k" -> mapAtKCf,
     "eval_ab_experiment" -> abExperiment,
     "eval_rouge_dedup" -> rougeDedup,
     "eval_auc_clicks" -> aucClicks,
@@ -270,6 +314,70 @@ object EvalQueries {
        |  FROM lab GROUP BY 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // leave-last-order-out CF eval: the item_cf sim CTEs, DECIMAL score
+    // sums, the lcm(1..10)=2520 exact-AP clearing, truncating nano APs
+    "eval_map_at_k" ->
+      """WITH rk AS (SELECT o_orderkey, o_custkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders),
+        |tr AS (SELECT rk.o_orderkey AS basket, rk.o_custkey AS usr,
+        |    l_partkey AS item
+        |  FROM rk JOIN lineitem ON l_orderkey = o_orderkey WHERE rn > 1),
+        |prof AS (SELECT DISTINCT usr, item FROM tr),
+        |present AS (SELECT DISTINCT basket, item FROM tr),
+        |ic AS (SELECT item, count(*) AS n FROM present GROUP BY 1),
+        |p AS (SELECT l.item AS a, r.item AS b, count(*) AS n_ab
+        |  FROM present l JOIN present r
+        |    ON l.basket = r.basket AND l.item < r.item GROUP BY 1, 2),
+        |o AS (SELECT a AS item, b AS neighbor, n_ab FROM p
+        |      UNION ALL SELECT b, a, n_ab FROM p),
+        |sim AS (SELECT o.item, o.neighbor,
+        |    round(CAST(n_ab AS DOUBLE) / (sqrt(ia.n) * sqrt(ib.n)), 9)
+        |      AS sim
+        |  FROM o JOIN ic ia ON o.item = ia.item
+        |         JOIN ic ib ON o.neighbor = ib.item),
+        |nb AS (SELECT item, neighbor, sim,
+        |    row_number() OVER (PARTITION BY item
+        |      ORDER BY sim DESC, neighbor) AS nrank FROM sim),
+        |sc AS (SELECT prof.usr, nb.neighbor AS item,
+        |    sum(CAST(sim AS DECIMAL(18,9))) AS score
+        |  FROM prof JOIN nb ON prof.item = nb.item AND nb.nrank <= 50
+        |  GROUP BY 1, 2),
+        |scx AS (SELECT sc.usr, sc.item, sc.score FROM sc
+        |  LEFT JOIN prof ON sc.usr = prof.usr AND sc.item = prof.item
+        |  WHERE prof.item IS NULL),
+        |recs AS (SELECT usr, item,
+        |    row_number() OVER (PARTITION BY usr
+        |      ORDER BY score DESC, item) AS rank FROM scx),
+        |ho AS (SELECT DISTINCT rk.o_custkey AS usr, l_partkey AS item
+        |  FROM rk JOIN lineitem ON l_orderkey = o_orderkey WHERE rn = 1),
+        |relx AS (SELECT ho.usr, ho.item FROM ho
+        |  LEFT JOIN prof ON ho.usr = prof.usr AND ho.item = prof.item
+        |  WHERE prof.item IS NULL),
+        |rc AS (SELECT usr, count(*) AS r FROM relx GROUP BY 1),
+        |mk AS (SELECT recs.usr, recs.rank,
+        |    CASE WHEN relx.item IS NOT NULL THEN 1 ELSE 0 END AS h
+        |  FROM recs LEFT JOIN relx
+        |    ON recs.usr = relx.usr AND recs.item = relx.item
+        |  WHERE recs.rank <= 10),
+        |cm AS (SELECT usr, rank, h,
+        |    sum(h) OVER (PARTITION BY usr ORDER BY rank
+        |      ROWS UNBOUNDED PRECEDING) AS ch FROM mk),
+        |aps AS (SELECT usr, CAST(sum((ch * 2520) // rank) AS BIGINT) AS s
+        |  FROM cm WHERE h = 1 GROUP BY 1),
+        |pu AS (SELECT rc.usr, coalesce(s, 0) AS s, least(r, 10) AS m
+        |  FROM rc LEFT JOIN aps USING (usr)),
+        |pn AS (SELECT usr, s > 0 AS hit,
+        |    CAST((CAST(s AS HUGEINT) * 1000000000) // (2520 * m)
+        |      AS BIGINT) AS nano FROM pu)
+        |SELECT count(*) AS n_users, CAST(10 AS BIGINT) AS k,
+        |  CASE WHEN count(*) > 0 THEN CAST(sum(nano) AS DOUBLE) /
+        |    (CAST(count(*) AS DOUBLE) * 1000000000.0) END AS map_at_k,
+        |  CASE WHEN count(*) > 0 THEN
+        |    CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE) /
+        |      CAST(count(*) AS DOUBLE) END AS hit_rate
+        |FROM pn""".stripMargin,
     // md5 2-arm assignment on the shared hash idiom; SRM χ² = (n0−n1)²/n
     // and 2×2 χ² = n·(ad−bc)²/(r0·r1·c0·c1) in HUGEINT until ONE double
     // division each; χ²(1) critical values as shared exact literals

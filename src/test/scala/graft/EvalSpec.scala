@@ -385,4 +385,29 @@ class EvalSpec extends AnyFunSuite {
     assert(out(1)._5 == 0.0)
     assert(out(1)._4 == (dp9(1.0 / 3) + dp9(1.0)).toDouble)
   }
+
+  test("mapAtK: hand-computed APs with the lcm clearing and truncating " +
+      "nano mean; unrecommended users score 0 but are counted") {
+    import graft.ops.Eval
+    val recs = (Seq("A", "B", "C", "D", "E").zipWithIndex.map {
+        case (it, i) => ("u", it, (i + 1).toLong) } ++
+      Seq(("v", "X", 1L), ("v", "Y", 2L)))
+      .toDF("user", "item", "rank")
+    val relevant = Seq(("u", "B"), ("u", "D"), ("u", "Z"), ("v", "X"),
+      ("w", "Q")).toDF("user", "item")
+    val got = Eval.mapAtK(recs.repartition(3), relevant, 5)
+      .as[(Long, Long, Option[Double], Option[Double])].head()
+    // u: hits at 2 (ch 1) and 4 (ch 2): AP = (1/2 + 2/4)/3 = 1/3
+    // v: hit at 1: AP = 1 ; w: no recs: AP = 0
+    val expected = (333333333L + 1000000000L + 0L).toDouble / (3 * 1.0e9)
+    assert(got._1 == 3 && got._2 == 5)
+    assert(got._3.contains(expected))
+    assert(got._4.contains(2.0 / 3.0))
+    // a perfect list is exactly 1
+    val perfect = Eval.mapAtK(Seq(("p", "A", 1L), ("p", "B", 2L))
+        .toDF("user", "item", "rank"),
+      Seq(("p", "A"), ("p", "B")).toDF("user", "item"), 5)
+      .as[(Long, Long, Option[Double], Option[Double])].head()
+    assert(perfect._3.contains(1.0) && perfect._4.contains(1.0))
+  }
 }
