@@ -625,6 +625,59 @@ object Screening {
     */
   private val ZCrit5 = new JBigDecimal("1.959963985")
 
+  /** Difference-in-differences estimator (the canonical two-period
+    * quasi-experimental read, Card & Krueger 1994 form): units split
+    * into treat/control by the [[Prep.hashBucket]] md5 arm, periods by
+    * a caller-supplied `post` predicate, and
+    * DiD = (m_treat,post − m_treat,pre) − (m_ctrl,post − m_ctrl,pre)
+    * — the treatment effect net of both the fixed group gap and the
+    * common time trend (what a naive post-vs-pre or treat-vs-ctrl
+    * single difference conflates).
+    *
+    * Exactness: cent sums and counts per cell are exact integers; each
+    * cell mean is ONE division, the DiD is a fixed IEEE sequence over
+    * those four doubles, and everything emits UNROUNDED (the Welch-dof
+    * argument). One group-by collapses the data to 4 cells. Returns
+    * one row: (n_ctrl_pre, n_ctrl_post, n_treat_pre, n_treat_post,
+    * mean_ctrl_pre, mean_ctrl_post, mean_treat_pre, mean_treat_post,
+    * did) — did null when any cell is empty.
+    */
+  def diffInDiff(df: DataFrame, unitCol: Column, postCol: Column,
+      valueCol: String): DataFrame = {
+    val cents = (col(valueCol).cast(DecimalType(18, 2)) * lit(100))
+      .cast("long")
+    val cells = df.filter(col(valueCol).isNotNull)
+      .select(Prep.hashBucket(unitCol, 2).as("__arm"),
+        postCol.cast("boolean").as("__post"), cents.as("__v"))
+      .groupBy("__arm", "__post")
+      .agg(count(lit(1)).as("n"), sum("__v").as("s"))
+    def cell(arm: Int, post: Boolean, c: String): Column =
+      max(when(col("__arm") === arm && col("__post") === post, col(c)))
+    val one = cells.agg(
+      coalesce(cell(0, false, "n"), lit(0L)).as("n00"),
+      coalesce(cell(0, true, "n"), lit(0L)).as("n01"),
+      coalesce(cell(1, false, "n"), lit(0L)).as("n10"),
+      coalesce(cell(1, true, "n"), lit(0L)).as("n11"),
+      cell(0, false, "s").as("s00"), cell(0, true, "s").as("s01"),
+      cell(1, false, "s").as("s10"), cell(1, true, "s").as("s11"))
+    val dbl = DoubleType
+    def mean(s: String, n: String): Column =
+      when(col(n) > 0, col(s).cast(dbl) / (col(n).cast(dbl) * lit(100.0)))
+    def meanC(s: String, n: String): Column =
+      col(s).cast(dbl) / col(n).cast(dbl)
+    val ok = col("n00") > 0 && col("n01") > 0 && col("n10") > 0 &&
+      col("n11") > 0
+    val didCents = (meanC("s11", "n11") - meanC("s10", "n10")) -
+      (meanC("s01", "n01") - meanC("s00", "n00"))
+    one.select(col("n00").as("n_ctrl_pre"), col("n01").as("n_ctrl_post"),
+      col("n10").as("n_treat_pre"), col("n11").as("n_treat_post"),
+      mean("s00", "n00").as("mean_ctrl_pre"),
+      mean("s01", "n01").as("mean_ctrl_post"),
+      mean("s10", "n10").as("mean_treat_pre"),
+      mean("s11", "n11").as("mean_treat_post"),
+      when(ok, didCents / lit(100.0)).as("did"))
+  }
+
   /** Per-category seeded randomization test of the group mean
     * difference + Benjamini–Hochberg FDR control across the categories
     * (Fisher 1935; Benjamini & Hochberg 1995) — the multiple-testing

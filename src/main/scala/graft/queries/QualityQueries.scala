@@ -220,6 +220,20 @@ object QualityQueries {
       "event_id", "value", "event_type", "split", "train", "test",
       PermResamples, PermSeed)
 
+  /** Difference-in-differences of event value: md5-armed users,
+    * pre/post split at the last-7-days boundary
+    * ([[graft.ops.Screening.diffInDiff]]) — under a null treatment the
+    * estimator should sit near 0, which is exactly the A/A-style
+    * placebo read.
+    */
+  def didValue(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val mx = e.agg(max(col("ts_us")).as("__mx"))
+    graft.ops.Screening.diffInDiff(
+      e.crossJoin(broadcast(mx)),
+      col("user_id"), col("ts_us") > col("__mx") - SplitTestUs, "value")
+  }
+
   /** Bhattacharyya/Hellinger drift between the same train/test
     * event-type distributions [[splitTv]] reads in L1
     * ([[graft.ops.Drift.hellingerDistance]]) — the bounded true-metric
@@ -499,6 +513,7 @@ object QualityQueries {
     "quality_drift_tv" -> splitTv,
     "quality_drift_hellinger" -> splitHellinger,
     "quality_perm_bh" -> permBh,
+    "quality_did" -> didValue,
     "quality_mad_outliers" -> madOutliers,
     "quality_split_drift" -> splitDrift,
     "quality_skew_report" -> skewReport,
@@ -845,6 +860,47 @@ object QualityQueries {
          |  round(CAST(dn AS DOUBLE) / (na * nb), 9) AS abs_diff,
          |  round(CAST(sum(dn) OVER () AS DOUBLE) / (na * nb * 2), 9) AS tv
          |FROM d ORDER BY category""".stripMargin,
+    // 4 exact cent cells, one division per mean, DiD = fixed IEEE
+    // sequence emitted unrounded; arm = the hashBucket md5 mirror
+    "quality_did" ->
+      s"""WITH mx AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+         |c AS (SELECT
+         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+         |      ::BIGINT % 2 AS arm,
+         |    epoch_us(ts) > mx - $SplitTestUs AS post,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         |  FROM events, mx WHERE value IS NOT NULL),
+         |g AS (SELECT arm, post, count(*) AS n,
+         |    CAST(sum(v) AS BIGINT) AS s FROM c GROUP BY 1, 2),
+         |o AS (SELECT
+         |  coalesce(max(CASE WHEN arm = 0 AND NOT post THEN n END), 0)
+         |    AS n00,
+         |  coalesce(max(CASE WHEN arm = 0 AND post THEN n END), 0) AS n01,
+         |  coalesce(max(CASE WHEN arm = 1 AND NOT post THEN n END), 0)
+         |    AS n10,
+         |  coalesce(max(CASE WHEN arm = 1 AND post THEN n END), 0) AS n11,
+         |  max(CASE WHEN arm = 0 AND NOT post THEN s END) AS s00,
+         |  max(CASE WHEN arm = 0 AND post THEN s END) AS s01,
+         |  max(CASE WHEN arm = 1 AND NOT post THEN s END) AS s10,
+         |  max(CASE WHEN arm = 1 AND post THEN s END) AS s11
+         |  FROM g)
+         |SELECT n00 AS n_ctrl_pre, n01 AS n_ctrl_post,
+         |  n10 AS n_treat_pre, n11 AS n_treat_post,
+         |  CASE WHEN n00 > 0 THEN CAST(s00 AS DOUBLE) /
+         |    (CAST(n00 AS DOUBLE) * 100.0) END AS mean_ctrl_pre,
+         |  CASE WHEN n01 > 0 THEN CAST(s01 AS DOUBLE) /
+         |    (CAST(n01 AS DOUBLE) * 100.0) END AS mean_ctrl_post,
+         |  CASE WHEN n10 > 0 THEN CAST(s10 AS DOUBLE) /
+         |    (CAST(n10 AS DOUBLE) * 100.0) END AS mean_treat_pre,
+         |  CASE WHEN n11 > 0 THEN CAST(s11 AS DOUBLE) /
+         |    (CAST(n11 AS DOUBLE) * 100.0) END AS mean_treat_post,
+         |  CASE WHEN n00 > 0 AND n01 > 0 AND n10 > 0 AND n11 > 0 THEN
+         |    ((CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)
+         |      - CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE))
+         |     - (CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)
+         |      - CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE))) / 100.0
+         |  END AS did
+         |FROM o""".stripMargin,
     // all-integer randomization test: seeded md5 parity reassignment,
     // HUGEINT cross-product comparisons, shared p denominator B+1 makes
     // BH the integer condition k·m·20 <= rank·(B+1)

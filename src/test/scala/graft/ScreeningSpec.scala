@@ -480,4 +480,50 @@ class ScreeningSpec extends AnyFunSuite {
     val byRank = got.values.toSeq.sortBy(_._7)
     assert(byRank.map(_._8).dropWhile(identity).forall(!_))
   }
+
+  test("diffInDiff: a hand 2x2 with a planted treatment effect " +
+      "recovers it exactly; parallel trends with no effect give 0; an " +
+      "empty cell nulls the estimator") {
+    import org.apache.spark.sql.functions.col
+    // replicate Prep.hashBucket in plain JVM md5 to pre-sort the units
+    def arm(u: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(u.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 12), 16) % 2
+    }
+    val arms = (1 to 40).map(i => s"u$i").map(u => u -> arm(u))
+    val ctrl = arms.collect { case (u, 0L) => u }
+    val treat = arms.collect { case (u, 1L) => u }
+    assert(ctrl.nonEmpty && treat.nonEmpty)
+    // ctrl: pre 10, post 12 (+2 trend); treat: pre 20, post 25 (+2
+    // trend +3 effect)
+    val rows =
+      ctrl.flatMap(u => Seq((u, false, 10.0), (u, true, 12.0))) ++
+      treat.flatMap(u => Seq((u, false, 20.0), (u, true, 25.0)))
+    val df = rows.toDF("u", "post", "v")
+    val got = graft.ops.Screening.diffInDiff(df.repartition(3),
+        col("u"), col("post"), "v")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[Double])].head()
+    assert(got._5.contains(10.0) && got._6.contains(12.0))
+    assert(got._7.contains(20.0) && got._8.contains(25.0))
+    assert(got._9.contains(3.0))
+    // no effect: treat post = 22 -> DiD exactly 0
+    val nul = rows.map { case (u, p, v) =>
+      (u, p, if (v == 25.0) 22.0 else v) }.toDF("u", "post", "v")
+    val g0 = graft.ops.Screening.diffInDiff(nul, col("u"), col("post"),
+        "v")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[Double])].head()
+    assert(g0._9.contains(0.0))
+    // drop every treated-post row -> did null
+    val miss = rows.filter { case (u, p, _) =>
+      !(p && treat.contains(u)) }.toDF("u", "post", "v")
+    val gm = graft.ops.Screening.diffInDiff(miss, col("u"), col("post"),
+        "v")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[Double])].head()
+    assert(gm._4 == 0 && gm._9.isEmpty)
+  }
 }
