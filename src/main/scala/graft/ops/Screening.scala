@@ -625,6 +625,74 @@ object Screening {
     */
   private val ZCrit5 = new JBigDecimal("1.959963985")
 
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013) — the
+    * industry-standard A/B sensitivity boost: adjust each unit's
+    * experiment metric by its PRE-period covariate,
+    * Y' = Y − θ·(X − x̄), θ = cov(X,Y)/var(X), which shrinks metric
+    * variance by corr²(X,Y) without biasing the treatment contrast
+    * (θ is fit POOLED, so both arms shift identically in expectation).
+    *
+    * Exactness (the ACF n-scaled discipline): all moments are exact
+    * cent integers in DECIMAL(38,0) — θ = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)
+    * is ONE division of exact integers, each arm/global mean one more,
+    * the adjusted means a fixed IEEE sequence, the variance-reduction
+    * ratio corr² = A²/(B·C) fixed-sequence doubles — everything
+    * emitted UNROUNDED. One unit collapse + one 1-row moment
+    * aggregate; arms via the shared [[Prep.hashBucket]] md5 split.
+    * Returns one row: (n_units, n_arm0, n_arm1, theta, mean_y0,
+    * mean_y1, adj_mean_y0, adj_mean_y1, raw_diff, adj_diff,
+    * var_reduction) — adjusted values null when var(X) = 0.
+    */
+  def cuped(df: DataFrame, unitCol: Column, preCol: Column,
+      postCol: Column): DataFrame = {
+    val big = DecimalType(38, 0)
+    val preCents = (preCol.cast(DecimalType(18, 2)) * lit(100))
+      .cast("long")
+    val postCents = (postCol.cast(DecimalType(18, 2)) * lit(100))
+      .cast("long")
+    val units = df.groupBy(unitCol.cast("string").as("__u"))
+      .agg(coalesce(sum(preCents), lit(0L)).as("x"),
+        coalesce(sum(postCents), lit(0L)).as("y"))
+      .select(col("x"), col("y"), Prep.hashBucket(col("__u"), 2).as("arm"))
+    val m = units.agg(count(lit(1)).cast(big).as("n"),
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(col("x").cast(big)).as("sx"), sum(col("y").cast(big)).as("sy"),
+      sum(when(col("arm") === 0, col("x"))).cast(big).as("sx0"),
+      sum(when(col("arm") === 1, col("x"))).cast(big).as("sx1"),
+      sum(when(col("arm") === 0, col("y"))).cast(big).as("sy0"),
+      sum(when(col("arm") === 1, col("y"))).cast(big).as("sy1"),
+      sum((col("x").cast(big) * col("y").cast(big)).cast(big)).as("sxy"),
+      sum((col("x").cast(big) * col("x").cast(big)).cast(big)).as("sxx"),
+      sum((col("y").cast(big) * col("y").cast(big)).cast(big)).as("syy"))
+    val dbl = DoubleType
+    val a = (col("n") * col("sxy") - col("sx") * col("sy")).cast(big)
+    val b = (col("n") * col("sxx") - col("sx") * col("sx")).cast(big)
+    val c = (col("n") * col("syy") - col("sy") * col("sy")).cast(big)
+    val theta = a.cast(dbl) / b.cast(dbl)
+    def mean(s: String, n: String): Column =
+      col(s).cast(dbl) / col(n).cast(dbl)
+    val xBar = col("sx").cast(dbl) / col("n").cast(dbl)
+    def adj(sy: String, sx: String, n: String): Column =
+      (mean(sy, n) - theta * (mean(sx, n) - xBar)) / lit(100.0)
+    val ok = b.cast(dbl) > 0 && col("n0") > 0 && col("n1") > 0
+    m.select(col("n").cast("long").as("n_units"), col("n0").as("n_arm0"),
+      col("n1").as("n_arm1"),
+      when(b.cast(dbl) > 0, theta).as("theta"),
+      when(col("n0") > 0, mean("sy0", "n0") / lit(100.0)).as("mean_y0"),
+      when(col("n1") > 0, mean("sy1", "n1") / lit(100.0)).as("mean_y1"),
+      when(ok, adj("sy0", "sx0", "n0")).as("adj_mean_y0"),
+      when(ok, adj("sy1", "sx1", "n1")).as("adj_mean_y1"),
+      when(col("n0") > 0 && col("n1") > 0,
+        (mean("sy1", "n1") - mean("sy0", "n0")) / lit(100.0))
+        .as("raw_diff"),
+      when(ok, adj("sy1", "sx1", "n1") - adj("sy0", "sx0", "n0"))
+        .as("adj_diff"),
+      when(b.cast(dbl) > 0 && c.cast(dbl) > 0,
+        a.cast(dbl) * a.cast(dbl) / (b.cast(dbl) * c.cast(dbl)))
+        .as("var_reduction"))
+  }
+
   /** Difference-in-differences estimator (the canonical two-period
     * quasi-experimental read, Card & Krueger 1994 form): units split
     * into treat/control by the [[Prep.hashBucket]] md5 arm, periods by

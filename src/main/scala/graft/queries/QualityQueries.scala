@@ -220,6 +220,21 @@ object QualityQueries {
       "event_id", "value", "event_type", "split", "train", "test",
       PermResamples, PermSeed)
 
+  /** CUPED adjustment of per-user post-window spend by pre-window
+    * spend ([[graft.ops.Screening.cuped]]) — the A/A placebo read:
+    * adj_diff should shrink toward 0 versus raw_diff by corr² of the
+    * two windows.
+    */
+  def cupedValue(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val mx = e.agg(max(col("ts_us")).as("__mx"))
+    val withFlag = e.crossJoin(broadcast(mx))
+      .withColumn("__post", col("ts_us") > col("__mx") - SplitTestUs)
+    graft.ops.Screening.cuped(withFlag, col("user_id"),
+      when(!col("__post"), col("value")),
+      when(col("__post"), col("value")))
+  }
+
   /** Difference-in-differences of event value: md5-armed users,
     * pre/post split at the last-7-days boundary
     * ([[graft.ops.Screening.diffInDiff]]) — under a null treatment the
@@ -514,6 +529,7 @@ object QualityQueries {
     "quality_drift_hellinger" -> splitHellinger,
     "quality_perm_bh" -> permBh,
     "quality_did" -> didValue,
+    "quality_cuped" -> cupedValue,
     "quality_mad_outliers" -> madOutliers,
     "quality_split_drift" -> splitDrift,
     "quality_skew_report" -> skewReport,
@@ -860,6 +876,73 @@ object QualityQueries {
          |  round(CAST(dn AS DOUBLE) / (na * nb), 9) AS abs_diff,
          |  round(CAST(sum(dn) OVER () AS DOUBLE) / (na * nb * 2), 9) AS tv
          |FROM d ORDER BY category""".stripMargin,
+    // n-scaled exact moments (theta/corr-squared from DECIMAL integers);
+    // arm via the hashBucket hex-parse mirror; everything unrounded
+    "quality_cuped" ->
+      s"""WITH mx AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+         |u AS (SELECT CAST(user_id AS VARCHAR) AS uu,
+         |    CAST(coalesce(sum(CASE WHEN epoch_us(ts) <= mx - $SplitTestUs
+         |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      END), 0) AS BIGINT) AS x,
+         |    CAST(coalesce(sum(CASE WHEN epoch_us(ts) > mx - $SplitTestUs
+         |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      END), 0) AS BIGINT) AS y
+         |  FROM events, mx GROUP BY 1),
+         |au AS (SELECT x, y,
+         |    ('0x' || substr(md5(uu), 1, 12))::BIGINT % 2 AS arm FROM u),
+         |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n0,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n1,
+         |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         |    CAST(coalesce(sum(CASE WHEN arm = 0 THEN x END), 0)
+         |      AS HUGEINT) AS sx0,
+         |    CAST(coalesce(sum(CASE WHEN arm = 1 THEN x END), 0)
+         |      AS HUGEINT) AS sx1,
+         |    CAST(coalesce(sum(CASE WHEN arm = 0 THEN y END), 0)
+         |      AS HUGEINT) AS sy0,
+         |    CAST(coalesce(sum(CASE WHEN arm = 1 THEN y END), 0)
+         |      AS HUGEINT) AS sy1,
+         |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+         |  FROM au),
+         |f AS (SELECT *, n * sxy - sx * sy AS a, n * sxx - sx * sx AS b,
+         |    n * syy - sy * sy AS c,
+         |    CAST(n * sxy - sx * sy AS DOUBLE) /
+         |      CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+         |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+         |  FROM m)
+         |SELECT CAST(n AS BIGINT) AS n_units, n0 AS n_arm0, n1 AS n_arm1,
+         |  CASE WHEN CAST(b AS DOUBLE) > 0 THEN theta END AS theta,
+         |  CASE WHEN n0 > 0 THEN CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+         |    / 100.0 END AS mean_y0,
+         |  CASE WHEN n1 > 0 THEN CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+         |    / 100.0 END AS mean_y1,
+         |  CASE WHEN CAST(b AS DOUBLE) > 0 AND n0 > 0 AND n1 > 0 THEN
+         |    (CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) - theta *
+         |      (CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) - xbar)) / 100.0
+         |  END AS adj_mean_y0,
+         |  CASE WHEN CAST(b AS DOUBLE) > 0 AND n0 > 0 AND n1 > 0 THEN
+         |    (CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) - theta *
+         |      (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) - xbar)) / 100.0
+         |  END AS adj_mean_y1,
+         |  CASE WHEN n0 > 0 AND n1 > 0 THEN
+         |    (CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+         |     - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / 100.0
+         |  END AS raw_diff,
+         |  CASE WHEN CAST(b AS DOUBLE) > 0 AND n0 > 0 AND n1 > 0 THEN
+         |    ((CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) - theta *
+         |      (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) - xbar)) / 100.0)
+         |    - ((CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) - theta *
+         |      (CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) - xbar)) / 100.0)
+         |  END AS adj_diff,
+         |  CASE WHEN CAST(b AS DOUBLE) > 0 AND CAST(c AS DOUBLE) > 0 THEN
+         |    CAST(a AS DOUBLE) * CAST(a AS DOUBLE) /
+         |      (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+         |  END AS var_reduction
+         |FROM f""".stripMargin,
     // 4 exact cent cells, one division per mean, DiD = fixed IEEE
     // sequence emitted unrounded; arm = the hashBucket md5 mirror
     "quality_did" ->

@@ -526,4 +526,34 @@ class ScreeningSpec extends AnyFunSuite {
         Option[Double], Option[Double], Option[Double])].head()
     assert(gm._4 == 0 && gm._9.isEmpty)
   }
+
+  test("cuped: a perfectly predictive covariate collapses the adjusted " +
+      "variance (var_reduction = 1) and preserves the arm contrast in " +
+      "expectation; zero-variance covariate nulls the adjustment") {
+    import org.apache.spark.sql.functions.col
+    // y = 2x exactly: corr^2 = 1, theta = 2
+    val rows = (1 to 60).map(i => (s"u$i", i.toDouble, 2.0 * i))
+    val df = rows.toDF("u", "x", "y")
+    val got = graft.ops.Screening.cuped(df.repartition(4), col("u"),
+        col("x"), col("y"))
+      .as[(Long, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[Double], Option[Double],
+        Option[Double], Option[Double])].head()
+    assert(got._1 == 60 && got._2 + got._3 == 60)
+    assert(got._4.contains(2.0))
+    assert(math.abs(got._11.get - 1.0) < 1e-12)
+    // with y = 2x, adjusted means equal 2*xbar for BOTH arms -> the
+    // adjusted contrast vanishes even when the raw one doesn't
+    assert(math.abs(got._10.get) < 1e-9)
+    // constant covariate: var(X) = 0 -> theta/adjusted null, raw kept
+    val const = (1 to 20).map(i => (s"u$i", 5.0, i.toDouble))
+      .toDF("u", "x", "y")
+    val gc = graft.ops.Screening.cuped(const, col("u"), col("x"),
+        col("y"))
+      .as[(Long, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[Double], Option[Double],
+        Option[Double], Option[Double])].head()
+    assert(gc._4.isEmpty && gc._7.isEmpty && gc._10.isEmpty)
+    assert(gc._9.isDefined)
+  }
 }
