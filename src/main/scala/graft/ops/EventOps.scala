@@ -1185,6 +1185,21 @@ object EventOps {
     */
   def ewmaForecast(df: DataFrame, tsCol: String, valueCol: String)
       : DataFrame = {
+    val nano = ewmaNanoRelation(df, tsCol, valueCol)
+    val big = DecimalType38
+    nano.select(col("d").as("day"), col("actual").as("actual_cents"),
+        (col("nano").cast(org.apache.spark.sql.types.DoubleType) /
+          lit(1.0e9)).as("forecast_cents"),
+        (abs(col("actual").cast(big) * lit(1000000000L).cast(big) -
+          col("nano")).cast(org.apache.spark.sql.types.DoubleType) /
+          lit(1.0e9)).as("abs_err_cents"))
+      .orderBy("day")
+  }
+
+  /** The (d, idx, actual, nano) EWMA relation behind [[ewmaForecast]]
+    * and [[forecastAccuracy]] — forecast(t) in exact nano units. */
+  private def ewmaNanoRelation(df: DataFrame, tsCol: String,
+      valueCol: String): DataFrame = {
     val big = DecimalType38
     val grid = dailyCentsGrid(df, tsCol, valueCol).localCheckpoint()
     val spark = df.sparkSession
@@ -1204,15 +1219,50 @@ object EventOps {
       .join(broadcast(pw), Seq("e"))
       .withColumn("term",
         expr("(cast(xa as decimal(38,0)) * 1000000000) div p"))
-      .groupBy(col("d"), col("actual"))
+      .groupBy(col("it"), col("d"), col("actual"))
       .agg(sum(col("term").cast(big)).as("nano"))
-    nano.select(col("d").as("day"), col("actual").as("actual_cents"),
-        (col("nano").cast(org.apache.spark.sql.types.DoubleType) /
-          lit(1.0e9)).as("forecast_cents"),
-        (abs(col("actual").cast(big) * lit(1000000000L).cast(big) -
-          col("nano")).cast(org.apache.spark.sql.types.DoubleType) /
-          lit(1.0e9)).as("abs_err_cents"))
-      .orderBy("day")
+      .select(col("d"), col("it").as("idx"), col("actual"), col("nano"))
+      .localCheckpoint()
+    nano
+  }
+
+  /** Forecast-accuracy comparison: the EWMA one-step forecast scored
+    * with MASE (Hyndman & Koehler 2006) against the lag-7
+    * seasonal-naive benchmark over the SAME zero-filled daily series —
+    * MASE < 1 means the model beats the naive seasonal repeat on the
+    * common evaluation window (days where both are defined, idx ≥ 7).
+    *
+    * EXACT: EWMA errors are |x_t·10⁹ − nano_t| integers, naive errors
+    * |x_t − x_{t−7}|·10⁹ integers — MASE is ONE division of two exact
+    * DECIMAL(38,0) sums, the two MAEs one division each, all
+    * unrounded. Returns one row:
+    * (n_days, mae_naive_cents, mae_ewma_cents, mase) — null when the
+    * naive error sum is 0.
+    */
+  def forecastAccuracy(df: DataFrame, tsCol: String, valueCol: String)
+      : DataFrame = {
+    val big = DecimalType38
+    val dbl = org.apache.spark.sql.types.DoubleType
+    val nano = ewmaNanoRelation(df, tsCol, valueCol)
+    // the naive benchmark lags the FULL grid (day 0 included — the nano
+    // relation has no forecast for day 0 but day 0 still seeds lags)
+    val lag7 = dailyCentsGrid(df, tsCol, valueCol)
+      .select((col("idx") + 7).as("idx"), col("x").as("lag7"))
+    val lagged = nano.select(col("idx"), col("actual"), col("nano"))
+      .join(lag7, Seq("idx"))
+      .filter(col("idx") >= 7)
+    val agg = lagged.agg(count(lit(1)).as("n_days"),
+      sum(abs(col("actual").cast(big) * lit(1000000000L).cast(big) -
+        col("nano")).cast(big)).as("se"),
+      sum(abs((col("actual") - col("lag7")).cast(big) *
+        lit(1000000000L).cast(big)).cast(big)).as("sn"))
+    agg.select(col("n_days"),
+      when(col("n_days") > 0, col("sn").cast(dbl) /
+        (col("n_days").cast(dbl) * lit(1.0e9))).as("mae_naive_cents"),
+      when(col("n_days") > 0, col("se").cast(dbl) /
+        (col("n_days").cast(dbl) * lit(1.0e9))).as("mae_ewma_cents"),
+      when(col("sn").cast(dbl) > 0,
+        col("se").cast(dbl) / col("sn").cast(dbl)).as("mase"))
   }
 
   /** Pairwise banded-DTW distances between the per-`typeCol` zero-filled

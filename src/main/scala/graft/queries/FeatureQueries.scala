@@ -336,6 +336,12 @@ object FeatureQueries {
     EventOps.spendConcentration(Tables.events(spark, dir), "user_id",
       "value")
 
+  /** MASE of the EWMA forecaster against the lag-7 seasonal-naive
+    * benchmark on daily spend ([[graft.ops.EventOps.forecastAccuracy]]).
+    */
+  def forecastMase(spark: SparkSession, dir: String): DataFrame =
+    EventOps.forecastAccuracy(Tables.events(spark, dir), "ts", "value")
+
   /** Pairwise banded DTW between per-event-type daily count series
     * ([[graft.ops.EventOps.seriesDtwPairs]], week-wide warp corridor) —
     * which streams move together modulo bounded time shifts.
@@ -616,6 +622,7 @@ object FeatureQueries {
     "feat_acf_pacf" -> acfPacf,
     "feat_spend_gini" -> spendGini,
     "feat_ewma_forecast" -> ewmaForecastQ,
+    "feat_forecast_mase" -> forecastMase,
     "feat_dtw_pairs" -> dtwPairs,
     "feat_fano_burstiness" -> fano,
     "feat_kcore" -> kcore,
@@ -1545,6 +1552,47 @@ object FeatureQueries {
         |  coalesce(out_deg, 0) AS out_deg, coalesce(in_deg, 0) AS in_deg
         |FROM o FULL JOIN i ON o.node = i.node
         |ORDER BY node""".stripMargin,
+    // EWMA nano errors vs naive lag-7 errors on the shared grid; MASE =
+    // one division of two exact sums
+    "feat_forecast_mase" ->
+      s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+         |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+         |      AS BIGINT) AS x
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+         |grid AS (SELECT gs.d - (SELECT min(d) FROM daily) AS idx, gs.d,
+         |    coalesce(daily.x, 0) AS x
+         |  FROM (SELECT unnest(generate_series(mn, mx)) AS d
+         |        FROM (SELECT min(d) AS mn, max(d) AS mx FROM daily)) gs
+         |  LEFT JOIN daily USING (d)),
+         |pw(e, p) AS (VALUES ${graft.ops.EventOps.pow2ValuesSql}),
+         |pairs AS (SELECT t.idx, t.x AS actual,
+         |    CASE WHEN a.idx = 0 THEN t.idx - 1
+         |         ELSE t.idx - a.idx END AS e,
+         |    a.x AS xa
+         |  FROM grid t JOIN grid a
+         |    ON t.idx >= 1 AND ((a.idx = 0 AND t.idx - 1 <= 62)
+         |      OR (a.idx >= 1 AND a.idx <= t.idx - 1
+         |          AND t.idx - a.idx <= 62))),
+         |n AS (SELECT idx, actual,
+         |    CAST(sum((CAST(xa AS HUGEINT) * 1000000000) // p) AS HUGEINT)
+         |      AS nano
+         |  FROM pairs JOIN pw USING (e) GROUP BY 1, 2),
+         |lg AS (SELECT n.idx, n.actual, n.nano, g7.x AS lag7
+         |  FROM n JOIN grid g7 ON g7.idx = n.idx - 7 WHERE n.idx >= 7),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+         |    CAST(sum(abs(CAST(actual AS HUGEINT) * 1000000000 - nano))
+         |      AS HUGEINT) AS se,
+         |    CAST(sum(abs(CAST(actual - lag7 AS HUGEINT) * 1000000000))
+         |      AS HUGEINT) AS sn
+         |  FROM lg)
+         |SELECT n_days,
+         |  CASE WHEN n_days > 0 THEN CAST(sn AS DOUBLE) /
+         |    (CAST(n_days AS DOUBLE) * 1000000000.0) END AS mae_naive_cents,
+         |  CASE WHEN n_days > 0 THEN CAST(se AS DOUBLE) /
+         |    (CAST(n_days AS DOUBLE) * 1000000000.0) END AS mae_ewma_cents,
+         |  CASE WHEN CAST(sn AS DOUBLE) > 0 THEN
+         |    CAST(se AS DOUBLE) / CAST(sn AS DOUBLE) END AS mase
+         |FROM a""".stripMargin,
     // the SAME integer DP as the kernel, replayed as an anti-diagonal
     // wavefront recursive CTE: each step emits diag k+1 (min over the
     // three predecessors + |Δ| cost) and re-emits diag k as the next

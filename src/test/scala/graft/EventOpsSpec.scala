@@ -762,4 +762,38 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got._1 == "a" && got._2 == "b" && got._3 == 3)
     assert(got._4 == ref(Seq(3L, 1L, 0L), Seq(1L, 0L, 3L), 7))
   }
+
+  test("forecastAccuracy: MASE matches the scalar nano computation on " +
+      "a 10-day fixture; a perfectly weekly series gives naive MAE 0 " +
+      "and null MASE") {
+    val series = (0L to 9L).map(d => d -> (d * 3 + 1).toDouble)
+    val df = series.toDF("du", "v")
+      .select(timestamp_micros(col("du") * 86400000000L).as("ts"),
+        col("v").as("value"))
+    val got = EventOps.forecastAccuracy(df, "ts", "value")
+      .as[(Long, Option[Double], Option[Double], Option[Double])].head()
+    val cents = series.map { case (_, v) => (v * 100).round }
+    def nanoForecast(t: Int): BigInt = {
+      val tail = (1 until t).map(a =>
+        BigInt(cents(a)) * 1000000000L / (BigInt(1) << (t - a)))
+      tail.sum + BigInt(cents(0)) * 1000000000L / (BigInt(1) << (t - 1))
+    }
+    val days = 7 to 9
+    val se = days.map(t =>
+      (BigInt(cents(t)) * 1000000000L - nanoForecast(t)).abs).sum
+    val sn = days.map(t =>
+      BigInt((cents(t) - cents(t - 7)).abs) * 1000000000L).sum
+    assert(got._1 == days.size)
+    assert(got._2.contains(sn.toDouble / (3 * 1.0e9)))
+    assert(got._3.contains(se.toDouble / (3 * 1.0e9)))
+    assert(got._4.contains(se.toDouble / sn.toDouble))
+    // exact weekly repetition: lag-7 is perfect, MASE undefined
+    val weekly = (0L to 13L).map(d => d -> (10.0 + (d % 7)))
+      .toDF("du", "v")
+      .select(timestamp_micros(col("du") * 86400000000L).as("ts"),
+        col("v").as("value"))
+    val gw = EventOps.forecastAccuracy(weekly, "ts", "value")
+      .as[(Long, Option[Double], Option[Double], Option[Double])].head()
+    assert(gw._2.contains(0.0) && gw._4.isEmpty)
+  }
 }
