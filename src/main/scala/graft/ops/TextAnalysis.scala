@@ -908,6 +908,42 @@ object TextAnalysis {
       .select("term", "doc_freq", "total_tf", "postings")
   }
 
+  /** Boolean AND retrieval over [[postingLists]] — the serving read an
+    * inverted index exists for: for each query term pair, the count of
+    * documents containing BOTH, via the
+    * [[graft.functions.SortedIntersectCount]] codegen kernel on the
+    * two sorted posting arrays (the N139 merge-intersect funnel —
+    * O(|A|+|B|) per pair, no explode, no join back to the corpus).
+    *
+    * `maxPostings` must cover the full corpus for exact counts (the
+    * postingLists cap exists for hot-term safety; pass a bound ≥ the
+    * document count here, or read the result as capped-intersection —
+    * documented either way). All integers. Returns one row per query
+    * pair: (term_a, term_b, df_a, df_b, n_both), ordered by the pair.
+    */
+  def boolRetrieval(df: DataFrame, idCol: String, textCol: String,
+      pairs: Seq[(String, String)], maxPostings: Int): DataFrame = {
+    require(pairs.nonEmpty, "no query pairs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pl = postingLists(df, idCol, textCol, maxPostings)
+      .localCheckpoint()
+    val q = pairs.toDF("term_a", "term_b")
+    q.join(pl.select(col("term").as("term_a"),
+          col("doc_freq").as("df_a"), col("postings").as("__pa")),
+        Seq("term_a"), "left")
+      .join(pl.select(col("term").as("term_b"),
+          col("doc_freq").as("df_b"), col("postings").as("__pb")),
+        Seq("term_b"), "left")
+      .select(col("term_a"), col("term_b"),
+        coalesce(col("df_a"), lit(0L)).as("df_a"),
+        coalesce(col("df_b"), lit(0L)).as("df_b"),
+        when(col("__pa").isNotNull && col("__pb").isNotNull,
+          expr("graft_sorted_intersect(__pa, __pb)"))
+          .otherwise(lit(0L)).as("n_both"))
+      .orderBy("term_a", "term_b")
+  }
+
   /** Flesch reading ease + Flesch–Kincaid grade (Flesch 1948; Kincaid
     * et al. 1975) — the classic readability pair a curation pipeline
     * buckets documents by (alongside [[qualityScore]]'s structural

@@ -69,6 +69,18 @@ object TextQueries {
     TextAnalysis.heapsFit(TextAnalysis.vocabGrowth(
       Tables.documents(spark, dir), "doc_id", "text", HeapsCheckpoints))
 
+  /** AND-retrieval query pairs served from the inverted index. */
+  val BoolPairs: Seq[(String, String)] =
+    Seq(("join", "sort"), ("merge", "spark"), ("data", "window"))
+
+  /** Boolean AND retrieval over the posting lists via the
+    * sorted-intersect kernel
+    * ([[graft.ops.TextAnalysis.boolRetrieval]]).
+    */
+  def boolRetrieval(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.boolRetrieval(Tables.documents(spark, dir), "doc_id",
+      "text", BoolPairs, maxPostings = 1000000)
+
   /** Top-20 TextRank keywords over the document corpus
     * ([[graft.ops.TextAnalysis.textrankKeywords]], window 2,
     * 3 pageRank rounds).
@@ -496,6 +508,7 @@ object TextQueries {
     "text_vocab_growth" -> vocabGrowth,
     "text_heaps_fit" -> heaps,
     "text_textrank" -> textrank,
+    "text_bool_retrieval" -> boolRetrieval,
     "text_blocklist_filter" -> blocklist,
     "text_lang_id" -> langId,
     "text_token_frequencies" -> tokenFrequencies,
@@ -1145,6 +1158,31 @@ object TextQueries {
          |    (len(grams) - len(list_distinct(grams)))::DOUBLE / len(grams)
          |    ELSE 0.0 END, 6) AS dup_ngram_frac
          |FROM g ORDER BY doc_id""".stripMargin,
+    // the naive doc-containment join IS the truth the kernel's
+    // merge-intersect must reproduce
+    "text_bool_retrieval" -> {
+      val vals = BoolPairs.map { case (a, b) => s"('$a', '$b')" }
+        .mkString(", ")
+      s"""WITH $toksCte,
+         |pd AS (SELECT doc_id, unnest(list_distinct(toks)) AS term
+         |  FROM d),
+         |q(term_a, term_b) AS (VALUES $vals),
+         |dfc AS (SELECT term, count(*) AS c FROM pd GROUP BY 1),
+         |nb AS (SELECT q.term_a, q.term_b, count(*) AS n
+         |  FROM q JOIN pd a ON a.term = q.term_a
+         |         JOIN pd b ON b.term = q.term_b
+         |           AND b.doc_id = a.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT q.term_a, q.term_b,
+         |  coalesce(fa.c, 0)::BIGINT AS df_a,
+         |  coalesce(fb.c, 0)::BIGINT AS df_b,
+         |  coalesce(nb.n, 0)::BIGINT AS n_both
+         |FROM q LEFT JOIN dfc fa ON fa.term = q.term_a
+         |       LEFT JOIN dfc fb ON fb.term = q.term_b
+         |       LEFT JOIN nb ON nb.term_a = q.term_a
+         |         AND nb.term_b = q.term_b
+         |ORDER BY q.term_a, q.term_b""".stripMargin
+    },
     // the SAME unrolled-pageRank CTE chain as feat_pagerank, over the
     // window-2 word co-occurrence edges; ties at equal 9-dp rank break
     // by word

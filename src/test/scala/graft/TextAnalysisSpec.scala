@@ -517,4 +517,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(all.length == 4)
     assert(math.abs(all.map(_._2).sum - 1.0) < 1e-6)
   }
+
+  test("boolRetrieval: kernel intersection equals the naive containment " +
+      "join; unknown terms yield zero rows not errors") {
+    val docs = Seq((1L, "a b c"), (2L, "a c"), (3L, "b c"), (4L, "a"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.boolRetrieval(docs.repartition(3),
+        "doc_id", "text",
+        Seq(("a", "b"), ("a", "c"), ("zz", "a")), maxPostings = 100)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", "b", 3L, 2L, 1L),   // only doc 1 has both
+      ("a", "c", 3L, 3L, 2L),   // docs 1 and 2
+      ("zz", "a", 0L, 3L, 0L))) // unknown term
+  }
 }
