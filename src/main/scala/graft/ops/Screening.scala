@@ -625,6 +625,56 @@ object Screening {
     */
   private val ZCrit5 = new JBigDecimal("1.959963985")
 
+  /** Empirical-Bayes rate shrinkage (beta-binomial moment matching;
+    * Robbins 1956 lineage) — the smoothed per-key rate a ranking
+    * actually uses where [[wilsonLowerBound]] gives a conservative
+    * bound: a key with 1/1 successes shrinks hard toward the corpus
+    * prior, a key with 900/1000 barely moves. Moments fit the
+    * Beta(α, β) prior: κ = m(1−m)/v − 1, α = mκ, β = (1−m)κ; the
+    * posterior mean is (x + α)/(n + α + β).
+    *
+    * Determinism: each raw rate quantizes by TRUNCATING nano division
+    * ((x·10⁹) div n — rational, so never a decimal round), the prior
+    * moments are exact DECIMAL(38,0) combinations of those nano longs
+    * (A = NΣp² − (Σp)², the ACF discipline), and m, v, κ, α, β and
+    * every smoothed rate are fixed IEEE sequences emitted UNROUNDED.
+    * Prior columns null (raw rates kept) when the between-key variance
+    * is 0 or the moment estimate leaves the Beta family (κ ≤ 0).
+    *
+    * Scale shape: one key collapse, one 1-row moment aggregate
+    * broadcast back, a per-row smoothing expression. Returns one row
+    * per key: (key…, n, x, raw_rate, alpha, beta, smoothed_rate).
+    */
+  def ebShrinkage(df: DataFrame, keyCols: Seq[String],
+      successCol: Column): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val big = DecimalType(38, 0)
+    val perKey = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(successCol, 1L).otherwise(0L)).as("x"))
+      .withColumn("__pn", expr("(x * 1000000000) div n"))
+    val m = perKey.agg(count(lit(1)).cast(big).as("nk"),
+      sum(col("__pn").cast(big)).as("sp"),
+      sum((col("__pn").cast(big) * col("__pn").cast(big)).cast(big))
+        .as("spp"))
+    val dbl = DoubleType
+    val nkD = col("nk").cast(dbl)
+    val mHat = col("sp").cast(dbl) / (nkD * lit(1.0e9))
+    val vHat = (col("nk") * col("spp") - col("sp") * col("sp")).cast(dbl) /
+      (nkD * nkD * lit(1.0e18))
+    val kappa = mHat * (lit(1.0) - mHat) / vHat - lit(1.0)
+    val prior = m.select(
+      when(vHat > 0 && kappa > 0, mHat * kappa).as("__alpha"),
+      when(vHat > 0 && kappa > 0, (lit(1.0) - mHat) * kappa).as("__beta"))
+    perKey.crossJoin(broadcast(prior))
+      .select(keyCols.map(col) ++ Seq(col("n"), col("x"),
+        (col("x").cast(dbl) / col("n").cast(dbl)).as("raw_rate"),
+        col("__alpha").as("alpha"), col("__beta").as("beta"),
+        ((col("x").cast(dbl) + col("__alpha")) /
+          (col("n").cast(dbl) + col("__alpha") + col("__beta")))
+          .as("smoothed_rate")): _*)
+  }
+
   /** CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013) — the
     * industry-standard A/B sensitivity boost: adjust each unit's
     * experiment metric by its PRE-period covariate,

@@ -220,6 +220,16 @@ object QualityQueries {
       "event_id", "value", "event_type", "split", "train", "test",
       PermResamples, PermSeed)
 
+  /** Empirical-Bayes shrinkage of per-supplier return rates
+    * ([[graft.ops.Screening.ebShrinkage]]) — small suppliers shrink
+    * toward the corpus prior, heavy ones keep their raw rate.
+    */
+  def ebReturnRates(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Screening.ebShrinkage(
+        Tables.lineitem(spark, dir), Seq("l_suppkey"),
+        col("l_returnflag") === "R")
+      .orderBy("l_suppkey")
+
   /** CUPED adjustment of per-user post-window spend by pre-window
     * spend ([[graft.ops.Screening.cuped]]) — the A/A placebo read:
     * adj_diff should shrink toward 0 versus raw_diff by corr² of the
@@ -530,6 +540,7 @@ object QualityQueries {
     "quality_perm_bh" -> permBh,
     "quality_did" -> didValue,
     "quality_cuped" -> cupedValue,
+    "quality_eb_rates" -> ebReturnRates,
     "quality_mad_outliers" -> madOutliers,
     "quality_split_drift" -> splitDrift,
     "quality_skew_report" -> skewReport,
@@ -876,6 +887,36 @@ object QualityQueries {
          |  round(CAST(dn AS DOUBLE) / (na * nb), 9) AS abs_diff,
          |  round(CAST(sum(dn) OVER () AS DOUBLE) / (na * nb * 2), 9) AS tv
          |FROM d ORDER BY category""".stripMargin,
+    // truncating nano rates, exact DECIMAL prior moments, fixed-sequence
+    // alpha/beta and posterior means, all unrounded
+    "quality_eb_rates" ->
+      """WITH k AS (SELECT l_suppkey, count(*) AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x
+        |  FROM lineitem GROUP BY 1),
+        |kp AS (SELECT *, (x * 1000000000) // n AS pn FROM k),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS nk,
+        |    CAST(sum(pn) AS HUGEINT) AS sp,
+        |    CAST(sum(CAST(pn AS HUGEINT) * pn) AS HUGEINT) AS spp
+        |  FROM kp),
+        |pr AS (SELECT
+        |    CAST(sp AS DOUBLE) / (CAST(nk AS DOUBLE) * 1000000000.0)
+        |      AS mh,
+        |    CAST(nk * spp - sp * sp AS DOUBLE) /
+        |      (CAST(nk AS DOUBLE) * CAST(nk AS DOUBLE) * 1.0e18) AS vh
+        |  FROM m),
+        |ab AS (SELECT
+        |    CASE WHEN vh > 0 AND mh * (1.0 - mh) / vh - 1.0 > 0
+        |      THEN mh * (mh * (1.0 - mh) / vh - 1.0) END AS alpha,
+        |    CASE WHEN vh > 0 AND mh * (1.0 - mh) / vh - 1.0 > 0
+        |      THEN (1.0 - mh) * (mh * (1.0 - mh) / vh - 1.0) END AS beta
+        |  FROM pr)
+        |SELECT l_suppkey, n, x,
+        |  CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS raw_rate,
+        |  alpha, beta,
+        |  (CAST(x AS DOUBLE) + alpha) /
+        |    (CAST(n AS DOUBLE) + alpha + beta) AS smoothed_rate
+        |FROM kp, ab ORDER BY l_suppkey""".stripMargin,
     // n-scaled exact moments (theta/corr-squared from DECIMAL integers);
     // arm via the hashBucket hex-parse mirror; everything unrounded
     "quality_cuped" ->

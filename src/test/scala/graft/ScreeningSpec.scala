@@ -556,4 +556,37 @@ class ScreeningSpec extends AnyFunSuite {
     assert(gc._4.isEmpty && gc._7.isEmpty && gc._10.isEmpty)
     assert(gc._9.isDefined)
   }
+
+  test("ebShrinkage: small samples shrink toward the prior mean, big " +
+      "ones barely move; zero between-key variance keeps raw rates") {
+    import org.apache.spark.sql.functions.col
+    // keys with very different evidence around rates 0.2 and 0.8
+    val rows =
+      (1 to 1000).map(i => ("big_lo", i <= 200)) ++
+      (1 to 1000).map(i => ("big_hi", i <= 800)) ++
+      Seq(("tiny_hi", true)) ++                  // 1/1 successes
+      (1 to 5).map(_ => ("small_lo", false))     // 0/5
+    val got = graft.ops.Screening.ebShrinkage(rows.toDF("k", "s")
+        .repartition(4), Seq("k"), col("s"))
+      .collect().map(r => r.getAs[String]("k") ->
+        (r.getAs[Double]("raw_rate"), r.getAs[Double]("smoothed_rate")))
+      .toMap
+    val prior = got.values.map(_._1).sum / 4 // rough center
+    // tiny 1/1 shrinks far below 1.0; 0/5 pulls up off the floor
+    // 4 dispersed keys make a WEAK prior (large v, small kappa), so the
+    // shrink is real but modest
+    assert(got("tiny_hi")._1 == 1.0 && got("tiny_hi")._2 < 0.9)
+    assert(got("small_lo")._1 == 0.0 && got("small_lo")._2 > 0.01)
+    // heavy keys stay close to their raw rates
+    assert(math.abs(got("big_lo")._2 - 0.2) < 0.05)
+    assert(math.abs(got("big_hi")._2 - 0.8) < 0.05)
+    // shrinkage is toward the middle
+    assert(got("tiny_hi")._2 > prior - 0.5)
+    // all keys identical => v = 0 => prior null, smoothed null
+    val const = (1 to 30).map(i => (s"k${i % 3}", i % 2 == 0))
+      .toDF("k", "s")
+    val gc = graft.ops.Screening.ebShrinkage(const, Seq("k"), col("s"))
+      .collect()
+    assert(gc.forall(_.isNullAt(4)))
+  }
 }
