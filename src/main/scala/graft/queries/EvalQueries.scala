@@ -233,8 +233,10 @@ object EvalQueries {
       .select(col("o_orderkey").as("basket"), col("o_custkey").as("user"),
         col("l_partkey").as("item"))
       .localCheckpoint()
+    // 20 neighbors per profile item is ample head-room for a top-10
+    // rec list and halves the (profile x neighbor) scoring fan-out
     val neighbors = graft.ops.EventOps.itemCfNeighbors(
-      train.select("basket", "item"), "basket", "item", topK = 50)
+      train.select("basket", "item"), "basket", "item", topK = 20)
     val profile = train.select("user", "item").distinct().localCheckpoint()
     val scores = profile
       .join(neighbors.select(col("item"), col("neighbor"), col("sim")),
@@ -342,7 +344,7 @@ object EvalQueries {
         |      ORDER BY sim DESC, neighbor) AS nrank FROM sim),
         |sc AS (SELECT prof.usr, nb.neighbor AS item,
         |    sum(CAST(sim AS DECIMAL(18,9))) AS score
-        |  FROM prof JOIN nb ON prof.item = nb.item AND nb.nrank <= 50
+        |  FROM prof JOIN nb ON prof.item = nb.item AND nb.nrank <= 20
         |  GROUP BY 1, 2),
         |scx AS (SELECT sc.usr, sc.item, sc.score FROM sc
         |  LEFT JOIN prof ON sc.usr = prof.usr AND sc.item = prof.item

@@ -1025,9 +1025,11 @@ object QualityQueries {
          |      - CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE))) / 100.0
          |  END AS did
          |FROM o""".stripMargin,
-    // all-integer randomization test: seeded md5 parity reassignment,
-    // HUGEINT cross-product comparisons, shared p denominator B+1 makes
-    // BH the integer condition k·m·20 <= rank·(B+1)
+    // all-integer randomization test: resample bits read from TWO
+    // per-row md5 digests (bit (r-1)%128 of digest (r-1)//128 — hash
+    // once per row, not per row×resample); HUGEINT cross-product
+    // comparisons; shared p denominator B+1 makes BH the integer
+    // condition k·m·20 <= rank·(B+1)
     "quality_perm_bh" -> {
       val b = PermResamples
       s"""WITH mx AS (SELECT max(epoch_us(ts)) AS mx FROM events),
@@ -1058,10 +1060,17 @@ object QualityQueries {
          |    CAST(coalesce(sum(CASE WHEN NOT fa THEN v END), 0) AS BIGINT)
          |      AS sbr
          |  FROM (SELECT cat, v, gs.r,
-         |      (strpos('0123456789abcdef', substr(md5(
-         |         '$PermSeed' || '|' || id || '|' || CAST(gs.r AS VARCHAR)
-         |       ), 1, 1)) - 1) % 2 = 0 AS fa
-         |    FROM base, (SELECT unnest(generate_series(1, $b)) AS r) gs)
+         |      ((strpos('0123456789abcdef', substr(
+         |          CASE WHEN (gs.r - 1) // 128 = 0 THEN h0 ELSE h1 END,
+         |          ((gs.r - 1) % 128) // 4 + 1, 1)) - 1)
+         |        // (CASE ((gs.r - 1) % 128) % 4 WHEN 0 THEN 1
+         |            WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2 = 0
+         |        AS fa
+         |    FROM (SELECT cat, v,
+         |          md5('$PermSeed' || '|' || id || '|' || '0') AS h0,
+         |          md5('$PermSeed' || '|' || id || '|' || '1') AS h1
+         |        FROM base) hb,
+         |        (SELECT unnest(generate_series(1, $b)) AS r) gs)
          |  GROUP BY 1, 2),
          |x AS (SELECT res.cat, obs.na, obs.nb,
          |    abs(CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na)
