@@ -713,6 +713,48 @@ object Eval {
           .as("km_survival"))
   }
 
+  /** Weight of Evidence + Information Value per score value (the
+    * credit-scoring feature screen, Siddiqi 2006): WOE_b =
+    * ln(P(b|pos)/P(b|neg)) read per bin, IV = Σ (share gap)·WOE read
+    * per feature — the standard "is this feature worth binning into
+    * the scorecard" number (IV < 0.02 useless, > 0.3 strong).
+    *
+    * Bins are the DISTINCT SCORE VALUES (the integer-count features
+    * this screens are few-valued; a continuous score should be
+    * quantile-bucketed first). Empty-side guard is the ½ Laplace
+    * adjustment, and ×2 clears the halves so each WOE is ONE ln of an
+    * EXACT integer ratio — ln((2·pos_b+1)·NEG / ((2·neg_b+1)·POS)) —
+    * irrational, so the 9-dp rounds are engine-safe; each IV
+    * contribution (share gap)·ln(·) rides the same ln and sums in
+    * exact DECIMAL. One score group-by; totals broadcast back from a
+    * 1-row aggregate. Returns one row per score value:
+    * (score, n, n_pos, n_neg, woe, iv) with the global IV repeated
+    * (the tvDistance convention).
+    */
+  def woeIv(df: DataFrame, score: Column, positive: Column): DataFrame = {
+    val perBin = df.select(score.cast("long").as("score"),
+        when(positive, 1L).otherwise(0L).as("__y"))
+      .groupBy("score")
+      .agg(count(lit(1)).as("n"), sum("__y").as("n_pos"))
+      .withColumn("n_neg", col("n") - col("n_pos"))
+    val totals = perBin.agg(sum("n_pos").as("__pos"),
+      sum("n_neg").as("__neg"))
+    val lnArg = ((lit(2L) * col("n_pos") + 1L) * col("__neg"))
+      .cast(DoubleType) /
+      ((lit(2L) * col("n_neg") + 1L) * col("__pos")).cast(DoubleType)
+    val shareGap = (col("n_pos").cast(DoubleType) + lit(0.5)) /
+      col("__pos").cast(DoubleType) -
+      (col("n_neg").cast(DoubleType) + lit(0.5)) /
+        col("__neg").cast(DoubleType)
+    val contrib = round(shareGap * log(lnArg), 9).cast(DecimalType(28, 9))
+    val all = Window.partitionBy()
+    perBin.crossJoin(broadcast(totals))
+      .withColumn("woe", round(log(lnArg), 9))
+      .withColumn("iv",
+        sum(contrib).over(all).cast(DoubleType))
+      .select("score", "n", "n_pos", "n_neg", "woe", "iv")
+  }
+
   /** Mean Average Precision at k (the TREC retrieval standard) over a
     * per-user recommendation list vs a relevant-item ground truth —
     * the order-sensitive companion to hit-rate: AP@k credits each hit

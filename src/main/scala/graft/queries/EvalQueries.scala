@@ -257,8 +257,17 @@ object EvalQueries {
     Eval.mapAtK(recs, relevant, 10).orderBy("n_users")
   }
 
+  /** WOE/IV of the click-count feature against the same-day purchase
+    * label ([[graft.ops.Eval.woeIv]] on the (user, day) grain).
+    */
+  def woeClicks(spark: SparkSession, dir: String): DataFrame =
+    Eval.woeIv(userDayLabels(spark, dir), col("s_clicks"),
+        col("__pos") === 1)
+      .orderBy("score")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_map_at_k" -> mapAtKCf,
+    "eval_woe_iv" -> woeClicks,
     "eval_ab_experiment" -> abExperiment,
     "eval_rouge_dedup" -> rougeDedup,
     "eval_auc_clicks" -> aucClicks,
@@ -316,6 +325,33 @@ object EvalQueries {
        |  FROM lab GROUP BY 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // x2 clears the Laplace halves: each WOE is one ln of an exact
+    // integer ratio; IV contributions ride the same ln, DECIMAL-summed
+    "eval_woe_iv" ->
+      """WITH g AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS s_clicks,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS pos
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT CAST(s_clicks AS BIGINT) AS score, count(*) AS n,
+        |    CAST(sum(pos) AS BIGINT) AS n_pos,
+        |    CAST(count(*) - sum(pos) AS BIGINT) AS n_neg
+        |  FROM g GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tp,
+        |    CAST(sum(n_neg) AS BIGINT) AS tn FROM b),
+        |w AS (SELECT score, n, n_pos, n_neg,
+        |    round(ln(CAST((2 * n_pos + 1) * tn AS DOUBLE) /
+        |      CAST((2 * n_neg + 1) * tp AS DOUBLE)), 9) AS woe,
+        |    CAST(round(((CAST(n_pos AS DOUBLE) + 0.5) / CAST(tp AS DOUBLE)
+        |        - (CAST(n_neg AS DOUBLE) + 0.5) / CAST(tn AS DOUBLE))
+        |      * ln(CAST((2 * n_pos + 1) * tn AS DOUBLE) /
+        |        CAST((2 * n_neg + 1) * tp AS DOUBLE)), 9)
+        |      AS DECIMAL(28,9)) AS c
+        |  FROM b, t)
+        |SELECT score, n, n_pos, n_neg, woe,
+        |  CAST(sum(c) OVER () AS DOUBLE) AS iv
+        |FROM w ORDER BY score""".stripMargin,
     // leave-last-order-out CF eval: the item_cf sim CTEs, DECIMAL score
     // sums, the lcm(1..10)=2520 exact-AP clearing, truncating nano APs
     "eval_map_at_k" ->

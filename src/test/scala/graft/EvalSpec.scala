@@ -410,4 +410,35 @@ class EvalSpec extends AnyFunSuite {
       .as[(Long, Long, Option[Double], Option[Double])].head()
     assert(perfect._3.contains(1.0) && perfect._4.contains(1.0))
   }
+
+  test("woeIv: hand-computed WOE/IV with the Laplace-half clearing; a " +
+      "non-informative feature scores IV ~ 0 and flipping the label " +
+      "negates WOE") {
+    import graft.ops.Eval
+    import org.apache.spark.sql.functions.col
+    // score 1: 30 pos / 10 neg ; score 0: 10 pos / 30 neg
+    val rows = Seq.fill(30)((1L, true)) ++ Seq.fill(10)((1L, false)) ++
+      Seq.fill(10)((0L, true)) ++ Seq.fill(30)((0L, false))
+    val df = rows.toDF("s", "y")
+    val got = Eval.woeIv(df.repartition(3), col("s"), col("y"))
+      .orderBy("score")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+    def woe(p: Long, q: Long, tp: Long, tn: Long): Double =
+      BigDecimal(math.log((2.0 * p + 1) * tn / ((2.0 * q + 1) * tp)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def contrib(p: Long, q: Long, tp: Long, tn: Long): BigDecimal =
+      BigDecimal(((p + 0.5) / tp - (q + 0.5) / tn) *
+        math.log((2.0 * p + 1) * tn / ((2.0 * q + 1) * tp)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    assert(got(0)._5 == woe(10, 30, 40, 40))
+    assert(got(1)._5 == woe(30, 10, 40, 40))
+    val iv = (contrib(10, 30, 40, 40) + contrib(30, 10, 40, 40)).toDouble
+    assert(got.forall(_._6 == iv) && iv > 0.3) // a strong feature
+    // flat feature: shares equal in every bin -> IV ~ 0
+    val flat = (1 to 200).map(i => ((i % 3).toLong, i % 2 == 0))
+      .toDF("s", "y")
+    val gf = Eval.woeIv(flat, col("s"), col("y"))
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    assert(math.abs(gf._6) < 0.01)
+  }
 }
