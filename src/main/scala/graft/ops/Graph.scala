@@ -232,6 +232,66 @@ object Graph {
       .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
   }
 
+  /** Bounded-round k-truss peel (Cohen 2008) — the edge-cohesion
+    * sibling of the node-level k-core: keep only edges supported by at
+    * least k−2 triangles WITHIN the surviving subgraph, re-peeling for
+    * `rounds` synchronous rounds (the k-core discipline: a bounded,
+    * unrollable prefix of the fixpoint — each round is itself an exact
+    * relational step, and a fixpoint run just raises `rounds`).
+    *
+    * Per round the triangle enumeration is the Schank degree-ordered
+    * orientation of [[triangles]] — wedges = Σ outdeg² ≤ m^1.5
+    * regardless of hubs — and each closed wedge credits its THREE edges
+    * through one explode + edge group-by. All integers, no rounding
+    * surface. Returns surviving canonical edges with their final-round
+    * support: (u, v, support), support ≥ k−2.
+    */
+  def ktruss(edges: DataFrame, aCol: String, bCol: String, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3: $k")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    var und = edges
+      .select(least(col(aCol).cast("string"), col(bCol).cast("string"))
+          .as("u"),
+        greatest(col(aCol).cast("string"), col(bCol).cast("string"))
+          .as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var support: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val oriented = und
+        .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+        .select(
+          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+            struct(col("u").as("s"), col("v").as("t")))
+            .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+        .select(col("e.s").as("s"), col("e.t").as("t"))
+      val tri = oriented.select(col("s"), col("t").as("w1"))
+        .join(oriented.select(col("s"), col("t").as("w2")), Seq("s"))
+        .filter(col("w1") < col("w2"))
+        .join(und.select(col("u").as("w1"), col("v").as("w2")),
+          Seq("w1", "w2"), "left_semi")
+      // each triangle (s, w1, w2) credits its three canonical edges
+      val credits = tri.select(explode(array(
+        struct(least(col("s"), col("w1")).as("u"),
+          greatest(col("s"), col("w1")).as("v")),
+        struct(least(col("s"), col("w2")).as("u"),
+          greatest(col("s"), col("w2")).as("v")),
+        struct(col("w1").as("u"), col("w2").as("v")))).as("e"))
+        .groupBy(col("e.u").as("u"), col("e.v").as("v"))
+        .agg(count(lit(1)).as("support"))
+      support = credits
+      und = und.join(credits, Seq("u", "v"), "left")
+        .filter(coalesce(col("support"), lit(0L)) >= k - 2)
+        .select("u", "v").localCheckpoint()
+    }
+    und.join(support, Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /** Deterministic hash-chosen random walks — the corpus-generation step
     * of DeepWalk/node2vec-style graph embeddings (Perozzi et al. 2014):
     * from every node, a fixed-length walk whose step-r choice is the

@@ -388,6 +388,29 @@ object FeatureQueries {
       .orderBy("node")
   }
 
+  private val KtrussK = 3
+  private val KtrussRounds = 3
+  private val KtrussCoThresh = 2
+
+  /** Bounded-round 3-truss of the part co-order graph
+    * ([[graft.ops.Graph.ktruss]]): parts co-ordered in ≥2 baskets form
+    * edges; surviving edges sit in ≥1 triangle of the surviving
+    * subgraph after 3 peel rounds.
+    */
+  def ktrussParts(spark: SparkSession, dir: String): DataFrame = {
+    val present = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+      .distinct()
+    val pairs = present.as("l")
+      .join(present.as("r"), col("l.b") === col("r.b") &&
+        col("l.i") < col("r.i"))
+      .groupBy(col("l.i").as("pa"), col("r.i").as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= KtrussCoThresh)
+    graft.ops.Graph.ktruss(pairs, "pa", "pb", KtrussK, KtrussRounds)
+      .orderBy("u", "v")
+  }
+
   /** Adjusted Rand Index between the LPA communities and the
     * customer/supplier NATION partition
     * ([[graft.ops.Graph.ariPartitions]]) — "do discovered communities
@@ -615,6 +638,7 @@ object FeatureQueries {
     "feat_lpa_communities" -> lpaCommunities,
     "feat_modularity" -> lpaModularity,
     "feat_ari_nations" -> ariNations,
+    "feat_ktruss" -> ktrussParts,
     "feat_ppr" -> personalizedPr,
     "feat_hits" -> hitsSuppliers,
     "feat_theilsen_trend" -> theilSen,
@@ -1409,6 +1433,50 @@ object FeatureQueries {
     "feat_pagerank" -> pageRankSql,
     "feat_ppr" -> pprSql,
     "feat_lpa_communities" -> lpaSql,
+    // the SAME per-round peel unrolled by one Scala loop: degree-ordered
+    // orientation (row-value compare), wedge close via EXISTS, 3-way
+    // triangle credit explode, support filter
+    "feat_ktruss" -> {
+      val k = KtrussK; val rounds = KtrussRounds
+      val roundCtes = (1 to rounds).map { r =>
+        s"""deg$r AS MATERIALIZED (SELECT n, count(*) AS d FROM (
+           |    SELECT u AS n FROM e${r - 1}
+           |    UNION ALL SELECT v FROM e${r - 1}) GROUP BY 1),
+           |o$r AS MATERIALIZED (SELECT
+           |    CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END
+           |      AS s,
+           |    CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END
+           |      AS t
+           |  FROM e${r - 1} e JOIN deg$r du ON du.n = e.u
+           |                   JOIN deg$r dv ON dv.n = e.v),
+           |tri$r AS MATERIALIZED (SELECT o1.s, o1.t AS w1, o2.t AS w2
+           |  FROM o$r o1 JOIN o$r o2 ON o1.s = o2.s AND o1.t < o2.t
+           |  WHERE EXISTS (SELECT 1 FROM e${r - 1} x
+           |                WHERE x.u = o1.t AND x.v = o2.t)),
+           |cr$r AS MATERIALIZED (SELECT u, v, count(*) AS support FROM (
+           |    SELECT least(s, w1) AS u, greatest(s, w1) AS v FROM tri$r
+           |    UNION ALL SELECT least(s, w2), greatest(s, w2) FROM tri$r
+           |    UNION ALL SELECT w1, w2 FROM tri$r) GROUP BY 1, 2),
+           |e$r AS MATERIALIZED (SELECT e.u, e.v FROM e${r - 1} e
+           |  LEFT JOIN cr$r c USING (u, v)
+           |  WHERE coalesce(c.support, 0) >= ${k - 2})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH present AS MATERIALIZED (SELECT DISTINCT l_orderkey AS b,
+         |    l_partkey AS i
+         |  FROM lineitem),
+         |pairs AS MATERIALIZED (SELECT l.i AS pa, r.i AS pb, count(*) AS n_ab
+         |  FROM present l JOIN present r
+         |    ON l.b = r.b AND l.i < r.i GROUP BY 1, 2),
+         |e0 AS MATERIALIZED (SELECT DISTINCT
+         |    least(CAST(pa AS VARCHAR), CAST(pb AS VARCHAR)) AS u,
+         |    greatest(CAST(pa AS VARCHAR), CAST(pb AS VARCHAR)) AS v
+         |  FROM pairs WHERE n_ab >= $KtrussCoThresh
+         |    AND CAST(pa AS VARCHAR) <> CAST(pb AS VARCHAR)),
+         |$roundCtes
+         |SELECT e.u, e.v, coalesce(c.support, 0) AS support
+         |FROM e$rounds e LEFT JOIN cr$rounds c USING (u, v)
+         |ORDER BY u, v""".stripMargin
+    },
     // pair counts C(x,2) exact in HUGEINT (x(x-1) even => // 2 exact);
     // labels replayed by the SAME unrolled-LPA CTEs; one division
     "feat_ari_nations" ->

@@ -288,4 +288,21 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long, Option[Double])].head()
     assert(gd._6.isEmpty)
   }
+
+  test("ktruss: K4 survives k=4 with support 2 everywhere; a pendant " +
+      "edge and a triangle-poor tail peel away at k=3") {
+    val k4 = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"))
+    val g = (k4 ++ Seq(("d", "e"), ("e", "f"))).toDF("x", "y")
+    val t3 = Graph.ktruss(g.repartition(3), "x", "y", k = 3, rounds = 2)
+      .orderBy("u", "v").as[(String, String, Long)].collect().toSeq
+    // K4 edges each sit in 2 triangles; the d-e and e-f tail has none
+    assert(t3.map(e => (e._1, e._2)) == k4.sorted)
+    assert(t3.forall(_._3 == 2L))
+    val t4 = Graph.ktruss(g, "x", "y", k = 4, rounds = 2)
+      .as[(String, String, Long)].collect()
+    assert(t4.length == 6 && t4.forall(_._3 == 2L))
+    // k=5 needs support 3: K4 can't provide it -> empty
+    assert(Graph.ktruss(g, "x", "y", k = 5, rounds = 2).count() == 0)
+  }
 }
