@@ -625,6 +625,57 @@ object Screening {
     */
   private val ZCrit5 = new JBigDecimal("1.959963985")
 
+  /** Covariate balance table for a hash-armed experiment —
+    * standardized mean differences (the |SMD| < 0.1 randomization
+    * health check every A/B readout should open with):
+    * SMD = (m₁ − m₀) / √((s₀² + s₁²)/2) per covariate, where s² is the
+    * per-arm sample variance. A hash split should balance every
+    * PRE-experiment covariate; a large |SMD| means the split (or the
+    * logging) is broken before any effect is read.
+    *
+    * Input is a LONG relation (unit, covariate, x) with integer-valued
+    * x (cents/counts); arms come from the shared [[Prep.hashBucket]]
+    * split of the unit. Exactness: per-(covariate, arm) moments are
+    * exact integers in DECIMAL(38,0); means one division each, s² the
+    * (nΣx²−(Σx)²)/(n(n−1)) form, and the SMD rounds 9 dp riding its
+    * sqrt (irrational denominator). Returns one row per covariate:
+    * (covariate, n0, n1, mean0, mean1, smd, balanced_0p1) — smd null
+    * when either arm has < 2 rows or both variances are 0.
+    */
+  def covariateBalance(df: DataFrame, unitCol: Column,
+      covCol: Column, xCol: Column): DataFrame = {
+    val big = DecimalType(38, 0)
+    val base = df.select(covCol.cast("string").as("cov"),
+      Prep.hashBucket(unitCol, 2).as("arm"), xCol.cast("long").as("x"))
+    val m = base.groupBy("cov", "arm")
+      .agg(count(lit(1)).as("n"), sum(col("x").cast(big)).as("s"),
+        sum((col("x").cast(big) * col("x").cast(big)).cast(big)).as("s2"))
+    def pick(a: Int, c: String): Column =
+      max(when(col("arm") === a, col(c)))
+    val one = m.groupBy("cov").agg(
+      coalesce(pick(0, "n"), lit(0L)).as("n0"),
+      coalesce(pick(1, "n"), lit(0L)).as("n1"),
+      pick(0, "s").as("sa0"), pick(1, "s").as("sa1"),
+      pick(0, "s2").as("ss0"), pick(1, "s2").as("ss1"))
+    val dbl = DoubleType
+    def mean(s: String, n: String): Column =
+      col(s).cast(dbl) / col(n).cast(dbl)
+    def variance(n: String, s: String, s2: String): Column =
+      (col(n).cast(big) * col(s2) - col(s) * col(s)).cast(dbl) /
+        (col(n).cast(big) * (col(n) - 1).cast(big)).cast(dbl)
+    val pooled = (variance("n0", "sa0", "ss0") +
+      variance("n1", "sa1", "ss1")) / lit(2.0)
+    val ok = col("n0") >= 2 && col("n1") >= 2
+    val smd = round((mean("sa1", "n1") - mean("sa0", "n0")) / sqrt(pooled),
+      9)
+    one.select(col("cov").as("covariate"), col("n0"), col("n1"),
+        when(col("n0") > 0, mean("sa0", "n0")).as("mean0"),
+        when(col("n1") > 0, mean("sa1", "n1")).as("mean1"),
+        when(ok && pooled > 0, smd).as("smd"))
+      .withColumn("balanced_0p1",
+        when(col("smd").isNotNull, abs(col("smd")) < 0.1))
+  }
+
   /** Empirical-Bayes rate shrinkage (beta-binomial moment matching;
     * Robbins 1956 lineage) — the smoothed per-key rate a ranking
     * actually uses where [[wilsonLowerBound]] gives a conservative

@@ -220,6 +220,29 @@ object QualityQueries {
       "event_id", "value", "event_type", "split", "train", "test",
       PermResamples, PermSeed)
 
+  /** Covariate balance (SMD) of the md5 arm split over three per-user
+    * pre-metrics ([[graft.ops.Screening.covariateBalance]]) — the
+    * randomization health check: all |SMD| should sit well under 0.1.
+    */
+  def covBalance(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = ev(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(coalesce(sum((col("value")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long")), lit(0L)).as("spend_cents"),
+        count(lit(1)).as("n_events"),
+        countDistinct(floor(col("ts_us") / lit(86400000000L)))
+          .as("n_days"))
+    val long = perUser.select(col("user_id"),
+      explode(array(
+        struct(lit("spend_cents").as("c"), col("spend_cents").as("x")),
+        struct(lit("n_events").as("c"), col("n_events").as("x")),
+        struct(lit("n_days").as("c"), col("n_days").as("x")))).as("e"))
+    graft.ops.Screening.covariateBalance(long, col("user_id"),
+        col("e.c"), col("e.x"))
+      .orderBy("covariate")
+  }
+
   /** Empirical-Bayes shrinkage of per-supplier return rates
     * ([[graft.ops.Screening.ebShrinkage]]) — small suppliers shrink
     * toward the corpus prior, heavy ones keep their raw rate.
@@ -541,6 +564,7 @@ object QualityQueries {
     "quality_did" -> didValue,
     "quality_cuped" -> cupedValue,
     "quality_eb_rates" -> ebReturnRates,
+    "quality_cov_balance" -> covBalance,
     "quality_mad_outliers" -> madOutliers,
     "quality_split_drift" -> splitDrift,
     "quality_skew_report" -> skewReport,
@@ -887,6 +911,52 @@ object QualityQueries {
          |  round(CAST(dn AS DOUBLE) / (na * nb), 9) AS abs_diff,
          |  round(CAST(sum(dn) OVER () AS DOUBLE) / (na * nb * 2), 9) AS tv
          |FROM d ORDER BY category""".stripMargin,
+    // exact integer moments per (covariate, arm); SMD rides its sqrt to
+    // the 9-dp round; arm via the hashBucket hex-parse mirror
+    "quality_cov_balance" ->
+      """WITH pu AS (SELECT CAST(user_id AS VARCHAR) AS uu,
+        |    CAST(coalesce(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)), 0) AS BIGINT) AS spend_cents,
+        |    count(*) AS n_events,
+        |    count(DISTINCT epoch_us(ts) // 86400000000) AS n_days
+        |  FROM events GROUP BY 1),
+        |lg AS (SELECT uu, 'spend_cents' AS cov, spend_cents AS x FROM pu
+        |  UNION ALL SELECT uu, 'n_events', n_events FROM pu
+        |  UNION ALL SELECT uu, 'n_days', n_days FROM pu),
+        |ar AS (SELECT cov, x,
+        |    ('0x' || substr(md5(uu), 1, 12))::BIGINT % 2 AS arm FROM lg),
+        |m AS (SELECT cov, arm, count(*) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2
+        |  FROM ar GROUP BY 1, 2),
+        |o AS (SELECT cov,
+        |    CAST(coalesce(max(CASE WHEN arm = 0 THEN n END), 0) AS BIGINT)
+        |      AS n0,
+        |    CAST(coalesce(max(CASE WHEN arm = 1 THEN n END), 0) AS BIGINT)
+        |      AS n1,
+        |    max(CASE WHEN arm = 0 THEN s END) AS sa0,
+        |    max(CASE WHEN arm = 1 THEN s END) AS sa1,
+        |    max(CASE WHEN arm = 0 THEN s2 END) AS ss0,
+        |    max(CASE WHEN arm = 1 THEN s2 END) AS ss1
+        |  FROM m GROUP BY 1),
+        |f AS (SELECT cov, n0, n1,
+        |    CASE WHEN n0 > 0 THEN CAST(sa0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |      END AS mean0,
+        |    CASE WHEN n1 > 0 THEN CAST(sa1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      END AS mean1,
+        |    (CAST(n0 * ss0 - sa0 * sa0 AS DOUBLE) /
+        |       CAST(CAST(n0 AS HUGEINT) * (n0 - 1) AS DOUBLE)
+        |     + CAST(n1 * ss1 - sa1 * sa1 AS DOUBLE) /
+        |       CAST(CAST(n1 AS HUGEINT) * (n1 - 1) AS DOUBLE)) / 2.0
+        |      AS pooled
+        |  FROM o)
+        |SELECT cov AS covariate, n0, n1, mean0, mean1,
+        |  CASE WHEN n0 >= 2 AND n1 >= 2 AND pooled > 0 THEN
+        |    round((mean1 - mean0) / sqrt(pooled), 9) END AS smd,
+        |  CASE WHEN n0 >= 2 AND n1 >= 2 AND pooled > 0 THEN
+        |    abs(round((mean1 - mean0) / sqrt(pooled), 9)) < 0.1
+        |  END AS balanced_0p1
+        |FROM f ORDER BY covariate""".stripMargin,
     // truncating nano rates, exact DECIMAL prior moments, fixed-sequence
     // alpha/beta and posterior means, all unrounded
     "quality_eb_rates" ->

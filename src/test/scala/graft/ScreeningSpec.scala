@@ -589,4 +589,41 @@ class ScreeningSpec extends AnyFunSuite {
       .collect()
     assert(gc.forall(_.isNullAt(4)))
   }
+
+  test("covariateBalance: a balanced covariate scores near-zero SMD, a " +
+      "planted arm shift scores |SMD| ~ its standardized size; " +
+      "degenerate arms yield null") {
+    import org.apache.spark.sql.functions.col
+    def arm(u: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(u.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 12), 16) % 2
+    }
+    val units = (1 to 4000).map(i => s"u$i")
+    // balanced: x depends only on the unit index; shifted: arm-1 units
+    // get +10 on a sd~[0..9] base
+    val rows = units.flatMap { u =>
+      val base = (u.drop(1).toInt % 10).toLong
+      Seq((u, "bal", base),
+        (u, "shift", base + (if (arm(u) == 1) 10L else 0L)))
+    }
+    val got = Screening.covariateBalance(rows.toDF("u", "c", "x")
+        .repartition(4), col("u"), col("c"), col("x"))
+      .collect().map(r => r.getAs[String]("covariate") ->
+        (Option(r.getAs[java.lang.Double]("smd")).map(_.toDouble),
+          Option(r.getAs[java.lang.Boolean]("balanced_0p1"))
+            .map(_.booleanValue))).toMap
+    val (balSmd, balOk) = got("bal")
+    val (shSmd, shOk) = got("shift")
+    // SMD sampling s.e. ~ 2/sqrt(n): with 4000 units the balanced
+    // covariate sits comfortably inside the 0.1 health fence
+    assert(math.abs(balSmd.get) < 0.1 && balOk.contains(true))
+    assert(shSmd.get > 2.0 && shOk.contains(false)) // 10 / sd(~2.9)
+    // single-arm data: no arm-0 rows => null smd
+    val solo = Seq(("uX", "c1", 5L), ("uX", "c1", 6L)).toDF("u", "c", "x")
+    val gs = Screening.covariateBalance(solo, col("u"), col("c"),
+        col("x")).collect()(0)
+    assert(gs.isNullAt(gs.fieldIndex("smd")))
+  }
 }
