@@ -65,6 +65,26 @@ object ProbeRound9b {
       graft.ops.Screening.mannWhitneyU(ab, "v", "g", "a", "b")
         .show(truncate = false))
 
+    // k-truss on a community-planted graph: 10k cliques-of-20 worth of
+    // intra-community edges plus 10% cross-community noise — the
+    // triangle-dense regime the peel exists for
+    val nEdges = 1000000L
+    val comm = spark.range(nEdges).select(col("id"),
+        (pmod(xxhash64(col("id")), lit(10000)) * 20).as("c"),
+        pmod(xxhash64(col("id"), lit(1)), lit(20)).as("o1"),
+        pmod(xxhash64(col("id"), lit(2)), lit(20)).as("o2"),
+        pmod(xxhash64(col("id"), lit(3)), lit(10)).as("x"))
+      .select(
+        when(col("x") === 0,
+          pmod(xxhash64(col("id"), lit(4)), lit(200000)))
+          .otherwise(col("c") + col("o1")).as("u"),
+        when(col("x") === 0,
+          pmod(xxhash64(col("id"), lit(5)), lit(200000)))
+          .otherwise(col("c") + col("o2")).as("v"))
+      .filter(col("u") =!= col("v")).localCheckpoint()
+    t(s"ktruss k=4, 2 rounds, ~${nEdges} raw edges")(println(
+      graft.ops.Graph.ktruss(comm, "u", "v", 4, 2).count()))
+
     spark.stop()
   }
 }
