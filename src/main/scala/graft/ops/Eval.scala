@@ -206,22 +206,30 @@ object Eval {
     * lift over the base rate. The "top 2 deciles capture 60% of
     * converters" sentence comes straight off this relation.
     *
-    * `ntile` runs over (score desc, tieCols) so banding is engine-stable
-    * under ties. The band assignment sorts the SCORED relation — at the
-    * (user, day) feature grain that is orders of magnitude smaller than
-    * the raw stream; for row-scale scoring use the distinct-score-grid
-    * metrics ([[aucRoc]], [[averagePrecision]]) instead. Every statistic
-    * is an integer ratio spending one fixed IEEE sequence (≤2 multiplies,
-    * 1 division), 9 dp. Returns one row per band.
+    * Banding runs over (score desc, tieCols) so it is engine-stable
+    * under ties. The band assignment is the SALTED global rank
+    * ([[SaltedGrid.valueRanked]] on the negated score) pushed through
+    * the [[SaltedGrid.ntileBand]] integer split — NEVER a bare
+    * `ntile().over(Window.orderBy(…))`, whose unpartitioned window
+    * serializes the whole scored relation into one task's sort. The
+    * scored grain here ((user, day)) is smaller than the raw stream but
+    * still grows linearly with users×days, so at 100× the single-task
+    * sort is exactly the §6.1 hot-stratum failure mode; the salted form
+    * fans it over `buckets` tasks and stays hash-identical to an
+    * `NTILE(deciles) OVER (ORDER BY score DESC, ties)` oracle. Every
+    * statistic is an integer ratio spending one fixed IEEE sequence
+    * (≤2 multiplies, 1 division), 9 dp. Returns one row per band.
     */
   def gainsTable(df: DataFrame, score: Column, positive: Column,
       tieCols: Seq[Column], deciles: Int = 10): DataFrame = {
     require(deciles >= 2, s"need at least 2 bands: $deciles")
-    val band = ntile(deciles).over(
-      Window.orderBy(score.desc +: tieCols: _*)).cast("long")
-    val perBand = df
-      .select(score.as("__s"), when(positive, 1L).otherwise(0L).as("__y"),
-        band.as("decile"))
+    val ranked = SaltedGrid.valueRanked(
+      df.withColumn("__s", score)
+        .withColumn("__y", when(positive, 1L).otherwise(0L)),
+      Nil, negate(col("__s")), tieCols)
+    val perBand = ranked
+      .withColumn("decile",
+        SaltedGrid.ntileBand(col("__rank"), col("__n"), deciles))
       .groupBy("decile")
       .agg(count(lit(1)).as("n"), sum("__y").as("n_pos"))
     val cum = Window.orderBy("decile")

@@ -826,12 +826,19 @@ object EventOps {
     * combined `rfm_code` = 100·r + 10·f + m.
     *
     * Shape at scale: the stream collapses to ONE row per key in a single
-    * partial-aggregable group-by; every window after that runs over the
-    * per-key relation (cardinality = distinct keys, not events). The
-    * `ntile`s are global-order windows over that reduced relation — the
-    * same discipline as `window_ntile`; for key cardinalities where even
-    * that sort hurts, [[graft.ops.Prep.quantileBucket]] is the grid
-    * alternative. Ties break by key so the buckets are engine-stable.
+    * partial-aggregable group-by; every banding after that runs over the
+    * per-key relation (cardinality = distinct keys, not events). Each
+    * quantile score is the SALTED global rank
+    * ([[graft.ops.SaltedGrid.valueRanked]]) pushed through the
+    * [[graft.ops.SaltedGrid.ntileBand]] integer split — never a bare
+    * `ntile().over(Window.orderBy(…))`, which would serialize billions
+    * of distinct keys into ONE task's sort at 100 TB. The per-key
+    * relation is localCheckpoint'd between the three rankings so each
+    * ranking's percentile-edge pass re-reads materialized blocks instead
+    * of replaying the upstream aggregation (and the lineage stays linear
+    * across the chain). Ties break by key so the buckets are
+    * engine-stable and hash-identical to an
+    * `NTILE(buckets) OVER (ORDER BY …, key)` oracle.
     */
   def rfm(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
       buckets: Int = 5): DataFrame = {
@@ -847,14 +854,18 @@ object EventOps {
         floor((col("__anchor") - col("__last")) / lit(86400000000L))
           .cast("long"))
       .drop("__anchor", "__last")
-    def score(order: Seq[Column]) =
-      ntile(buckets).over(Window.orderBy(order: _*)).cast("long")
-    perKey
-      .withColumn("r_score", score(Seq(col("recency_days").desc, col(keyCol))))
-      .withColumn("f_score", score(Seq(col("frequency"), col(keyCol))))
-      .withColumn("m_score", score(Seq(col("monetary"), col(keyCol))))
-      .withColumn("rfm_code",
-        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+    def addScore(d: DataFrame, name: String, ord: Column) =
+      SaltedGrid.valueRanked(d, Nil, ord, Seq(col(keyCol)))
+        .withColumn(name,
+          SaltedGrid.ntileBand(col("__rank"), col("__n"), buckets))
+        .drop("__rank", "__n")
+        .localCheckpoint()
+    val scored = addScore(addScore(addScore(perKey.localCheckpoint(),
+      "r_score", negate(col("recency_days"))),
+      "f_score", col("frequency")),
+      "m_score", col("monetary"))
+    scored.withColumn("rfm_code",
+      col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
   }
 
   /** Per-key Fano factor (index of dispersion) over daily activity

@@ -96,4 +96,91 @@ object SaltedGrid {
         .drop("__bnext")
     out.drop("__gbkt")
   }
+
+  /** Global (or per-group) row_number over a VALUE order without a
+    * single-task sort — the salted form of
+    * `row_number().over(Window.orderBy(ord, ties))`.
+    *
+    * [[cumulative]] requires a distinct-value grid; this variant ranks the
+    * ROWS themselves (duplicated order values allowed — a tie chain makes
+    * the order total), which is what the ntile family needs. The salt is
+    * the same monotone percentile-edge bucket: equal `ord` values land in
+    * one bucket by construction, so bucket-major (local row_number +
+    * exclusive bucket offset) IS the global order. The only data-scale
+    * window partitions by (`partCols`, `__salt`); the offsets relation is
+    * ≤ |groups|·`buckets` rows and arrives broadcast. Edge placement from
+    * `percentile_approx` only balances load — the rank is exact wherever
+    * an edge lands, so its partition-dependence cannot move a result.
+    *
+    * `ord` must be a numeric expression whose ASCENDING order is the
+    * desired order (negate for descending) with no NULLs; `tieCols`
+    * complete the order within equal `ord` (pass enough to make it total,
+    * or accept row_number's tie-arbitrariness exactly as the global
+    * window has it). Per-group edges (non-empty `partCols`) make a
+    * dominant group fan out over `buckets` tasks instead of devolving to
+    * one task per group — the CCNet one-language-corpus case.
+    *
+    * Adds `__rank` (1-based row_number within the group) and `__n`
+    * (group row count).
+    */
+  def valueRanked(df: DataFrame, partCols: Seq[String], ord: Column,
+      tieCols: Seq[Column], buckets: Int = 64): DataFrame = {
+    require(buckets >= 2, s"need at least 2 buckets, got $buckets")
+    val sc = partCols.map(col)
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    val edgeAgg =
+      percentile_approx(ord, array(qs.map(lit): _*), lit(10000)).as("__edges")
+    val withEdges =
+      if (partCols.isEmpty) df.crossJoin(broadcast(df.agg(edgeAgg)))
+      else df.join(broadcast(df.groupBy(sc: _*).agg(edgeAgg)), partCols)
+    val bin = qs.indices.reverse.foldLeft(lit(buckets - 1): Column) {
+      case (acc, i) =>
+        when(ord <= element_at(col("__edges"), i + 1), i).otherwise(acc)
+    }
+    val salted = withEdges.withColumn("__salt", bin.cast("int"))
+      .drop("__edges")
+    // phase 1: per-(group, bucket) counts — a bounded relation; its
+    // offset/total windows are the justified broadcast-sized form
+    val offsets = salted
+      .groupBy((sc :+ col("__salt")): _*).agg(count(lit(1)).as("__c"))
+      .withColumn("__offset", coalesce(sum(col("__c")).over(
+        Window.partitionBy(sc: _*).orderBy(col("__salt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(sc: _*)))
+      .drop("__c")
+    // phase 2: the only data-scale window — partitioned by the salt
+    val wLocal = Window.partitionBy((sc :+ col("__salt")): _*)
+      .orderBy(ord +: tieCols: _*)
+    salted
+      .withColumn("__lrn", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), partCols :+ "__salt")
+      .withColumn("__rank", col("__lrn") + col("__offset"))
+      .drop("__salt", "__lrn", "__offset")
+  }
+
+  /** The SQL-standard `ntile(n)` band as ONE integer expression of the
+    * global rank — `ntile` without its single-task global sort when
+    * `rank`/`total` come from [[valueRanked]]. Standard split: the first
+    * `total mod n` bands hold ⌈total/n⌉ rows, the rest ⌊total/n⌋ — the
+    * exact assignment DuckDB/Spark/Postgres ntile produces for the same
+    * total order, so salted callers stay hash-identical to an
+    * `NTILE(n) OVER (ORDER BY …)` oracle.
+    *
+    * All-integer arithmetic (the divisions are exact: numerators are
+    * pre-reduced to multiples of their denominators via `pmod`, and
+    * IEEE division of exactly-representable operands with a
+    * representable quotient is exact), so no engine can skew a band
+    * boundary by an ulp. 1-based, like ntile.
+    */
+  def ntileBand(rank: Column, total: Column, n: Int): Column = {
+    require(n >= 1, s"need at least 1 band, got $n")
+    def exactDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    def ceilDiv(a: Column, b: Column): Column = exactDiv(a + b - 1, b)
+    val rem = pmod(total, lit(n.toLong))
+    val q = exactDiv(total - rem, lit(n.toLong))
+    val headRows = rem * (q + 1L)
+    when(rank <= headRows, ceilDiv(rank, q + 1L))
+      .otherwise(rem + ceilDiv(rank - headRows, greatest(q, lit(1L))))
+  }
 }

@@ -100,7 +100,7 @@ class SaltedGridSpec extends AnyFunSuite {
     * least one data-scale window partitioned by the bucket must exist.
     */
   private def assertNoRowScaleGlobalWindow(df: DataFrame,
-      label: String): Unit = {
+      label: String, salt: String = "__gbkt"): Unit = {
     df.collect() // finalize AQE
     val all = flatten(df.queryExecution.executedPlan)
     val windows = all.collect { case w: WindowExec => w }
@@ -109,14 +109,14 @@ class SaltedGridSpec extends AnyFunSuite {
     unpartitioned.foreach { w =>
       val bounded = flatten(w.child).exists {
         case agg: BaseAggregateExec =>
-          agg.groupingExpressions.exists(_.toString.contains("__gbkt"))
+          agg.groupingExpressions.exists(_.toString.contains(salt))
         case _ => false
       }
       assert(bounded,
         s"$label: single-partition window over non-bucket-bounded input:\n$w")
     }
     assert(windows.exists(_.partitionSpec.exists(
-        _.toString.contains("__gbkt"))),
+        _.toString.contains(salt))),
       s"$label: no bucket-partitioned data-scale window found")
   }
 
@@ -172,5 +172,82 @@ class SaltedGridSpec extends AnyFunSuite {
         .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(p == exp, s"v=$v")
     }
+  }
+
+  // ---- valueRanked / ntileBand (the salted ntile family) ---------------
+
+  /** Duplicated order values + unique tie key, row count NOT divisible by
+    * typical band counts — the adversarial fixture for ntile boundary
+    * arithmetic.
+    */
+  private def rowFixture(n: Int): DataFrame =
+    (0 until n).map { i =>
+      val v = BigDecimal((i * 2654435761L) % 97) / 4 // heavy duplication
+      (v, f"k$i%05d", i % 3 == 0)
+    }.toDF("score", "key", "label").repartition(7)
+
+  test("valueRanked + ntileBand == global ntile window (duplicated " +
+      "values, total % n != 0, all bucket widths)") {
+    val df = rowFixture(2003)
+    for (n <- Seq(3, 7, 10); buckets <- Seq(2, 16, 64)) {
+      val expected = df.withColumn("b",
+          ntile(n).over(Window.orderBy(col("score"), col("key")))
+            .cast("long"))
+        .select("key", "b").as[(String, Long)].collect().toMap
+      val got = SaltedGrid.valueRanked(df, Nil, col("score"),
+          Seq(col("key")), buckets = buckets)
+        .withColumn("b", SaltedGrid.ntileBand(col("__rank"), col("__n"), n))
+        .select("key", "b").as[(String, Long)].collect()
+      assert(got.length == expected.size, s"n=$n buckets=$buckets")
+      got.foreach { case (k, b) =>
+        assert(b == expected(k), s"n=$n buckets=$buckets key=$k") }
+    }
+  }
+
+  test("ntileBand: fewer rows than bands == ntile (bands 1..total)") {
+    val df = rowFixture(7)
+    val got = SaltedGrid.valueRanked(df, Nil, col("score"), Seq(col("key")))
+      .withColumn("b", SaltedGrid.ntileBand(col("__rank"), col("__n"), 10))
+      .select("key", "b").as[(String, Long)].collect().toMap
+    val expected = df.withColumn("b",
+        ntile(10).over(Window.orderBy(col("score"), col("key")))
+          .cast("long"))
+      .select("key", "b").as[(String, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("valueRanked per-group == partitioned ntile, dominant-slice " +
+      "fixture (one group holds 90% of rows)") {
+    val df = (0 until 3000).map { i =>
+      val g = if (i % 10 == 0) "rare" else "dominant"
+      (g, BigDecimal((i * 48271L) % 53) / 2, f"k$i%05d")
+    }.toDF("grp", "score", "key").repartition(7)
+    val expected = df.withColumn("b",
+        ntile(3).over(Window.partitionBy("grp")
+          .orderBy(col("score"), col("key"))).cast("long"))
+      .select("key", "b").as[(String, Long)].collect().toMap
+    val got = SaltedGrid.valueRanked(df, Seq("grp"), col("score"),
+        Seq(col("key")))
+      .withColumn("b", SaltedGrid.ntileBand(col("__rank"), col("__n"), 3))
+      .select("key", "b").as[(String, Long)].collect()
+    assert(got.length == expected.size)
+    got.foreach { case (k, b) => assert(b == expected(k), s"key=$k") }
+  }
+
+  test("salted ntile family: no single-partition window over row-scale " +
+      "input (valueRanked global + per-group, gainsTable)") {
+    val df = rowFixture(2500)
+    assertNoRowScaleGlobalWindow(
+      SaltedGrid.valueRanked(df, Nil, col("score"), Seq(col("key"))),
+      "valueRanked(global)", salt = "__salt")
+    val grouped = df.withColumn("grp",
+      when(col("key") < "k02400", "dominant").otherwise("rare"))
+    assertNoRowScaleGlobalWindow(
+      SaltedGrid.valueRanked(grouped, Seq("grp"), col("score"),
+        Seq(col("key"))),
+      "valueRanked(per-group)", salt = "__salt")
+    assertNoRowScaleGlobalWindow(
+      Eval.gainsTable(df, col("score"), col("label"), Seq(col("key"))),
+      "gainsTable", salt = "__salt")
   }
 }
