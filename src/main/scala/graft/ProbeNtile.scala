@@ -52,6 +52,18 @@ object ProbeNtile {
           col("__rank"), col("__n"), 3))
         .groupBy("grp", "b").count().count()
     }
+    // planted 50%-modal tie (the RFM frequency shape): half the rows share
+    // one score value — without the composite (ord, tie-percentile) salt
+    // the modal mass serializes into ONE bucket's window task
+    val tied = df.withColumn("score",
+      when((col("id") % 2) === 0, lit(42.0)).otherwise(col("score")))
+    time("salted valueRanked + ntileBand(10), 50%-modal tie") {
+      graft.ops.SaltedGrid.valueRanked(tied, Nil, col("score"),
+          Seq(col("id")))
+        .withColumn("b", graft.ops.SaltedGrid.ntileBand(
+          col("__rank"), col("__n"), 10))
+        .groupBy("b").count().count()
+    }
     spark.stop()
   }
 }

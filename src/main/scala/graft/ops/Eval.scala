@@ -207,15 +207,16 @@ object Eval {
     * converters" sentence comes straight off this relation.
     *
     * Banding runs over (score desc, tieCols) so it is engine-stable
-    * under ties. The band assignment is the SALTED global rank
+    * under ties. The scored relation is localCheckpoint'd and
+    * SIZE-DISPATCHED ([[SaltedGrid.ntileCutoff]]): bounded input takes
+    * the single-task window, row-scale input the SALTED global rank
     * ([[SaltedGrid.valueRanked]] on the negated score) pushed through
-    * the [[SaltedGrid.ntileBand]] integer split — NEVER a bare
-    * `ntile().over(Window.orderBy(…))`, whose unpartitioned window
-    * serializes the whole scored relation into one task's sort. The
-    * scored grain here ((user, day)) is smaller than the raw stream but
-    * still grows linearly with users×days, so at 100× the single-task
-    * sort is exactly the §6.1 hot-stratum failure mode; the salted form
-    * fans it over `buckets` tasks and stays hash-identical to an
+    * the [[SaltedGrid.ntileBand]] integer split. The scored grain here
+    * ((user, day)) is smaller than the raw stream but still grows
+    * linearly with users×days, so at 100× the single-task sort is
+    * exactly the §6.1 hot-stratum failure mode; past the cutoff the
+    * salted form fans it over `buckets` tasks and both paths stay
+    * hash-identical to an
     * `NTILE(deciles) OVER (ORDER BY score DESC, ties)` oracle. Every
     * statistic is an integer ratio spending one fixed IEEE sequence
     * (≤2 multiplies, 1 division), 9 dp. Returns one row per band.
@@ -223,13 +224,26 @@ object Eval {
   def gainsTable(df: DataFrame, score: Column, positive: Column,
       tieCols: Seq[Column], deciles: Int = 10): DataFrame = {
     require(deciles >= 2, s"need at least 2 bands: $deciles")
-    val ranked = SaltedGrid.valueRanked(
-      df.withColumn("__s", score)
-        .withColumn("__y", when(positive, 1L).otherwise(0L)),
-      Nil, negate(col("__s")), tieCols)
-    val perBand = ranked
-      .withColumn("decile",
-        SaltedGrid.ntileBand(col("__rank"), col("__n"), deciles))
+    // materialize the scored relation first: valueRanked scans its input
+    // for percentile edges, offsets and the ranking pass, and a
+    // nondeterministic upstream (sample/rand) replayed per scan would let
+    // __n/__offset disagree with the ranked rows
+    val scored = df.withColumn("__s", score)
+      .withColumn("__y", when(positive, 1L).otherwise(0L))
+      .localCheckpoint()
+    // size dispatch (SaltedGrid.ntileCutoff): bounded input → one-task
+    // window; row-scale input → salted rank. Spec-pinned hash-identical.
+    val banded =
+      if (scored.count() <= SaltedGrid.ntileCutoff(df.sparkSession))
+        scored.withColumn("decile", ntile(deciles)
+          .over(Window.orderBy((negate(col("__s")) +: tieCols): _*))
+          .cast("long"))
+      else
+        SaltedGrid.valueRankedDeterministic(
+          scored, Nil, negate(col("__s")), tieCols)
+        .withColumn("decile",
+          SaltedGrid.ntileBand(col("__rank"), col("__n"), deciles))
+    val perBand = banded
       .groupBy("decile")
       .agg(count(lit(1)).as("n"), sum("__y").as("n_pos"))
     val cum = Window.orderBy("decile")

@@ -827,18 +827,24 @@ object EventOps {
     *
     * Shape at scale: the stream collapses to ONE row per key in a single
     * partial-aggregable group-by; every banding after that runs over the
-    * per-key relation (cardinality = distinct keys, not events). Each
-    * quantile score is the SALTED global rank
-    * ([[graft.ops.SaltedGrid.valueRanked]]) pushed through the
-    * [[graft.ops.SaltedGrid.ntileBand]] integer split — never a bare
-    * `ntile().over(Window.orderBy(…))`, which would serialize billions
-    * of distinct keys into ONE task's sort at 100 TB. The per-key
-    * relation is localCheckpoint'd between the three rankings so each
-    * ranking's percentile-edge pass re-reads materialized blocks instead
-    * of replaying the upstream aggregation (and the lineage stays linear
-    * across the chain). Ties break by key so the buckets are
-    * engine-stable and hash-identical to an
-    * `NTILE(buckets) OVER (ORDER BY …, key)` oracle.
+    * per-key relation (cardinality = distinct keys, not events), which is
+    * localCheckpoint'd and SIZE-DISPATCHED ([[graft.ops.SaltedGrid
+    * .ntileCutoff]]): a bounded key set takes the single-task window (the
+    * fastest plan for bounded input), a row-scale one takes the SALTED
+    * global rank ([[graft.ops.SaltedGrid.rankWithEdges]]) pushed through
+    * the [[graft.ops.SaltedGrid.ntileBand]] integer split, so billions of
+    * distinct keys never serialize into ONE task's sort at 100 TB. On the
+    * salted path the three rankings' percentile-edge arrays come from ONE
+    * aggregation pass instead of one edge scan per score, and
+    * frequency/recency's MODAL values (half the keys sharing frequency 1
+    * is the norm) fan out over tie-sub-salted buckets instead of one
+    * window task. Ties break by key so the buckets are engine-stable and
+    * hash-identical to an `NTILE(buckets) OVER (ORDER BY …, key)` oracle
+    * on BOTH paths; a key whose value column is all-NULL (NULL monetary)
+    * or timestamps all-NULL (NULL recency) sorts FIRST in its ranking —
+    * Spark's ascending NULLS FIRST window semantics, which the salted
+    * rank reproduces exactly (a DuckDB oracle over such data needs an
+    * explicit `NULLS FIRST`).
     */
   def rfm(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
       buckets: Int = 5): DataFrame = {
@@ -854,16 +860,46 @@ object EventOps {
         floor((col("__anchor") - col("__last")) / lit(86400000000L))
           .cast("long"))
       .drop("__anchor", "__last")
-    def addScore(d: DataFrame, name: String, ord: Column) =
-      SaltedGrid.valueRanked(d, Nil, ord, Seq(col(keyCol)))
-        .withColumn(name,
-          SaltedGrid.ntileBand(col("__rank"), col("__n"), buckets))
-        .drop("__rank", "__n")
-        .localCheckpoint()
-    val scored = addScore(addScore(addScore(perKey.localCheckpoint(),
-      "r_score", negate(col("recency_days"))),
-      "f_score", col("frequency")),
-      "m_score", col("monetary"))
+    val pk = perKey.localCheckpoint()
+    // size dispatch (SaltedGrid.ntileCutoff): the per-key relation is
+    // materialized, so the count is a cached-block pass. Below the cutoff
+    // a single-task window over the BOUNDED relation wins outright; above
+    // it, the salted grid is the only plan that finishes — and the two
+    // are spec-pinned hash-identical, so scale can never move a band.
+    val scored =
+      if (pk.count() <= SaltedGrid.ntileCutoff(df.sparkSession)) {
+        def band(d: DataFrame, name: String, ord: Column) =
+          d.withColumn(name, ntile(buckets)
+            .over(Window.orderBy(ord, col(keyCol))).cast("long"))
+        band(band(band(pk,
+          "r_score", negate(col("recency_days"))),
+          "f_score", col("frequency")),
+          "m_score", col("monetary"))
+      } else {
+        val qs = (1 until 64).map(_.toDouble / 64)
+        def pa(c: Column) =
+          percentile_approx(c, array(qs.map(lit): _*), lit(10000))
+        // ONE edge pass shared by all three rankings (each a tie-salted
+        // rank — frequency/recency are MODAL columns, exactly the hot-tie
+        // shape); per-score checkpoints keep the lineage linear so each
+        // ranking's passes re-read materialized blocks
+        val edges3 = pk.agg(pa(negate(col("recency_days"))).as("__e_r"),
+            pa(col("frequency")).as("__e_f"),
+            pa(col("monetary")).as("__e_m"))
+          .localCheckpoint()
+        def addScore(d: DataFrame, name: String, ord: Column, e: String) =
+          SaltedGrid.rankWithEdges(d, Nil, ord, Seq(col(keyCol)),
+              edges3.select(col(e).as("__edges")), buckets = 64,
+              materialize = false)
+            .withColumn(name,
+              SaltedGrid.ntileBand(col("__rank"), col("__n"), buckets))
+            .drop("__rank", "__n", "__salt")
+            .localCheckpoint()
+        addScore(addScore(addScore(pk,
+          "r_score", negate(col("recency_days")), "__e_r"),
+          "f_score", col("frequency"), "__e_f"),
+          "m_score", col("monetary"), "__e_m")
+      }
     scored.withColumn("rfm_code",
       col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
   }

@@ -674,17 +674,26 @@ object TextAnalysis {
       .agg(sum(col("c")).as("n_bigrams"),
         round(sum(col("__bits") * col("c").cast(DecimalType(10, 0)))
           .cast("double") / sum(col("c")), 6).as("bits_per_token"))
-    // tertile banding: salted per-slice rank, never a bare
-    // `ntile(3).over(partitionBy(slice))` — a real crawl is DOMINATED by
-    // one language, so the per-slice window devolves to a single task
+    // tertile banding, size-dispatched (SaltedGrid.ntileCutoff): a real
+    // crawl is DOMINATED by one language, so past the cutoff a bare
+    // `ntile(3).over(partitionBy(slice))` devolves to a single task
     // holding most of the corpus; the per-group percentile edges of
     // SaltedGrid.valueRanked fan the dominant slice over `buckets`
     // tasks while staying hash-identical to the partitioned-NTILE oracle
-    val ranked = SaltedGrid.valueRanked(bits.localCheckpoint(),
-      Seq("slice"), col("bits_per_token"), Seq(col("doc_id")))
+    val bitsM = bits.localCheckpoint()
+    // size dispatch (SaltedGrid.ntileCutoff): bounded corpus → per-slice
+    // window; row-scale → salted per-group rank. Hash-identical paths.
+    val ranked =
+      if (bitsM.count() <= SaltedGrid.ntileCutoff(bits.sparkSession))
+        bitsM.withColumn("__tertile", ntile(3)
+          .over(Window.partitionBy("slice")
+            .orderBy(col("bits_per_token"), col("doc_id"))).cast("long"))
+      else
+        SaltedGrid.valueRankedDeterministic(bitsM,
+          Seq("slice"), col("bits_per_token"), Seq(col("doc_id")))
+        .withColumn("__tertile",
+          SaltedGrid.ntileBand(col("__rank"), col("__n"), 3))
     ranked
-      .withColumn("__tertile",
-        SaltedGrid.ntileBand(col("__rank"), col("__n"), 3))
       .select(col("doc_id").as(idCol), col("slice"), col("n_bigrams"),
         col("bits_per_token"),
         when(col("__tertile") === 1, "head")

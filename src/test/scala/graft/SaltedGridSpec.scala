@@ -234,8 +234,63 @@ class SaltedGridSpec extends AnyFunSuite {
     got.foreach { case (k, b) => assert(b == expected(k), s"key=$k") }
   }
 
+  test("valueRanked hot-tie fan-out: ONE value holding 50% of rows still " +
+      "matches the window AND spreads over many salt buckets") {
+    // 50% of rows share score 42.0 — without the tie-sub-salt the whole
+    // modal mass lands in ONE bucket's window task
+    val n = 4000
+    val df = (0 until n).map { i =>
+      val v = if (i % 2 == 0) BigDecimal(42)
+              else BigDecimal((i * 2654435761L) % 971) / 7
+      (v, f"k$i%05d")
+    }.toDF("score", "key").repartition(7)
+    val expected = df.withColumn("b",
+        ntile(10).over(Window.orderBy(col("score"), col("key")))
+          .cast("long"))
+      .select("key", "b").as[(String, Long)].collect().toMap
+    val salted = SaltedGrid.valueRankedWithSalt(df, Nil, col("score"),
+      Seq(col("key")), buckets = 16)
+    val got = salted
+      .withColumn("b", SaltedGrid.ntileBand(col("__rank"), col("__n"), 10))
+      .select("key", "b").as[(String, Long)].collect()
+    assert(got.length == expected.size)
+    got.foreach { case (k, b) => assert(b == expected(k), s"key=$k") }
+    // load witness: the modal value's rows occupy >= 8 distinct salt
+    // buckets, and no single bucket carries more than ~2/16 of the rows
+    val hotSalts = salted.filter(col("score") === lit(BigDecimal(42)))
+      .groupBy("__salt").count().as[(Int, Long)].collect()
+    assert(hotSalts.length >= 8,
+      s"modal value fanned over only ${hotSalts.length} salt buckets")
+    val biggest = salted.groupBy("__salt").count()
+      .agg(max("count")).as[Long].head()
+    assert(biggest <= n / 16 * 3,
+      s"one salt bucket still carries $biggest of $n rows")
+  }
+
+  test("valueRanked NULL semantics: NULL group is its own partition, " +
+      "NULL ord sorts first — exactly Window.partitionBy/orderBy") {
+    val df = (0 until 600).map { i =>
+      val g = i % 3 match {
+        case 0 => null; case 1 => "g1"; case 2 => "g2" }
+      val v = if (i % 7 == 0) null
+              else java.math.BigDecimal.valueOf((i * 48271L) % 230, 1)
+      (g, v, f"k$i%04d")
+    }.toDF("grp", "score", "key").repartition(7)
+    val expected = df.withColumn("b",
+        ntile(4).over(Window.partitionBy("grp")
+          .orderBy(col("score"), col("key"))).cast("long"))
+      .select("key", "b").as[(String, Long)].collect().toMap
+    val got = SaltedGrid.valueRanked(df, Seq("grp"), col("score"),
+        Seq(col("key")), buckets = 8)
+      .withColumn("b", SaltedGrid.ntileBand(col("__rank"), col("__n"), 4))
+      .select("key", "b").as[(String, Long)].collect()
+    assert(got.length == expected.size,
+      s"${got.length} != ${expected.size}: NULL group/ord rows dropped?")
+    got.foreach { case (k, b) => assert(b == expected(k), s"key=$k") }
+  }
+
   test("salted ntile family: no single-partition window over row-scale " +
-      "input (valueRanked global + per-group, gainsTable)") {
+      "input (valueRanked global + per-group, gainsTable past cutoff)") {
     val df = rowFixture(2500)
     assertNoRowScaleGlobalWindow(
       SaltedGrid.valueRanked(df, Nil, col("score"), Seq(col("key"))),
@@ -246,8 +301,47 @@ class SaltedGridSpec extends AnyFunSuite {
       SaltedGrid.valueRanked(grouped, Seq("grp"), col("score"),
         Seq(col("key"))),
       "valueRanked(per-group)", salt = "__salt")
-    assertNoRowScaleGlobalWindow(
+    // cutoff 0 = every input counts as row-scale: the dispatch must take
+    // the salted path and its plan must carry no global window
+    spark.conf.set("graft.salted.ntile.cutoff", "0")
+    try assertNoRowScaleGlobalWindow(
       Eval.gainsTable(df, col("score"), col("label"), Seq(col("key"))),
       "gainsTable", salt = "__salt")
+    finally spark.conf.unset("graft.salted.ntile.cutoff")
+  }
+
+  test("ntile size dispatch: window path (default cutoff) and salted " +
+      "path (cutoff 0) return identical relations — rfm, gainsTable, " +
+      "ccnet tertiles") {
+    import graft.ops.{EventOps, TextAnalysis}
+    val events = (0 until 2000).map { i =>
+      ((i % 97).toString, // modal frequencies per key
+        java.sql.Timestamp.valueOf(f"2025-01-${1 + i % 28}%02d 08:00:00"),
+        BigDecimal((i * 31) % 500) / 4)
+    }.toDF("uid", "ts", "value").repartition(5)
+    val docs = (0 until 900).map { i =>
+      (i.toLong, if (i % 10 == 0) "rare words here" else
+        s"common words repeat ${i % 7} again and again across documents",
+        if (i % 10 == 0) "fr" else "en")
+    }.toDF("doc_id", "text", "lang")
+    def collectSorted(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.collect().map(_.toString).sorted.toSeq
+    def both(f: => org.apache.spark.sql.DataFrame)
+        : (Seq[String], Seq[String]) = {
+      val small = collectSorted(f)
+      spark.conf.set("graft.salted.ntile.cutoff", "0")
+      val salted = try collectSorted(f)
+      finally spark.conf.unset("graft.salted.ntile.cutoff")
+      (small, salted)
+    }
+    val (r1, r2) = both(EventOps.rfm(events, "uid", "ts", "value"))
+    assert(r1 == r2, "rfm paths diverge")
+    val scored = rowFixture(1500)
+    val (g1, g2) = both(
+      Eval.gainsTable(scored, col("score"), col("label"), Seq(col("key"))))
+    assert(g1 == g2, "gainsTable paths diverge")
+    val (c1, c2) = both(
+      TextAnalysis.ccnetBuckets(docs, "doc_id", "text", "lang"))
+    assert(c1 == c2, "ccnet tertile paths diverge")
   }
 }
