@@ -90,6 +90,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"runs":$runs,"isolate":$isolate,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"runs":$runs,"isolate":$isolate,"sf":"$sfDir"}"""
+    // the full line is ~8 KB at 273 queries and a tail-capture of the
+    // process output can truncate its head (round-10's BENCH artifact was
+    // unparseable) — persist it to a file FIRST, then print
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_LAST_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(json)
   }
 }
