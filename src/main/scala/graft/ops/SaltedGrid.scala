@@ -187,7 +187,8 @@ object SaltedGrid {
     * construction. NULL/NaN `v` and NULL edges fall through every
     * comparison to `buckets-1`, same as the linear chain.
     */
-  private def binChain(v: Column, edgesCol: Column, buckets: Int): Column = {
+  private[graft] def binChain(v: Column, edgesCol: Column,
+      buckets: Int): Column = {
     def go(lo: Int, hi: Int): Column =
       if (lo == hi) lit(lo)
       else {

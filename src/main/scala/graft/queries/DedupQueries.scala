@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.Dedup
+import graft.ops.{Dedup, SuffixArray}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -242,6 +242,20 @@ object DedupQueries {
         minTokens = SpanTokens)
       .orderBy("doc_id")
 
+  private val SuffixTokens = 6
+
+  /** Suffix-rank exact-substring span removal
+    * ([[graft.ops.SuffixArray.suffixSpanRemoval]]): the same ExactSubstr
+    * relation as `dedup_span_removal` but with COLLISION-FREE gram
+    * identity from Manber–Myers prefix-doubling ranks (log₂ rounds of
+    * salted pair-rank sorts), at a 6-token window — exercises the
+    * overlapping-window combine (rank₄(pos), rank₄(pos+2)).
+    */
+  def suffixSpans(spark: SparkSession, dir: String): DataFrame =
+    SuffixArray.suffixSpanRemoval(Tables.documents(spark, dir), "doc_id",
+        "text", minTokens = SuffixTokens)
+      .orderBy("doc_id")
+
   private val PlanGridN = 1000
   private val PlanThreshold = 0.8
   private val PlanPerms = 128
@@ -259,6 +273,7 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_lsh_plan" -> lshPlanQ,
     "dedup_span_removal" -> spanLevel,
+    "dedup_suffix_spans" -> suffixSpans,
     "dedup_chunks" -> chunkLevel,
     "dedup_containment" -> containment3gram,
     "dedup_exact_groups" -> exactGroups,
@@ -380,6 +395,38 @@ object DedupQueries {
        |  WHERE n_common * 1.0 / (sa.n_tokens + sb.n_tokens - n_common) >= 0.9),
        |$componentTail""".stripMargin
 
+  /** ExactSubstr replay at window L: tokens covered by an L-gram string
+    * occurring ≥ 2 times anywhere are removed; survivors reassemble in
+    * position order (shared by `dedup_span_removal` and
+    * `dedup_suffix_spans`).
+    */
+  private def spanReplaySql(L: Int): String =
+    s"""WITH d AS (SELECT doc_id,
+       |  list_filter(string_split(text, ' '), t -> t <> '') AS toks
+       |  FROM documents),
+       |tk AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS tok
+       |       FROM d, UNNEST(generate_series(1, len(toks))) u(i)),
+       |g AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS p,
+       |        array_to_string(list_slice(toks, i, i + $L - 1), ' ') AS gs
+       |      FROM d, UNNEST(generate_series(1, len(toks) - $L + 1)) u(i)
+       |      WHERE len(toks) >= $L),
+       |dup AS (SELECT gs FROM g GROUP BY 1 HAVING count(*) >= 2),
+       |cov AS (SELECT DISTINCT doc_id, CAST(q AS INTEGER) AS pos
+       |        FROM g JOIN dup USING (gs),
+       |          UNNEST(generate_series(g.p, g.p + $L - 1)) v(q)),
+       |s AS (SELECT tk.doc_id, tk.pos, tk.tok FROM tk
+       |      LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.pos = tk.pos
+       |      WHERE cov.doc_id IS NULL),
+       |sa AS (SELECT doc_id, count(*) AS nk,
+       |         string_agg(tok, ' ' ORDER BY pos) AS jt
+       |       FROM s GROUP BY 1)
+       |SELECT d.doc_id, len(d.toks)::BIGINT AS n_tokens,
+       |  (len(d.toks) - coalesce(sa.nk, 0))::BIGINT AS n_removed,
+       |  CASE WHEN coalesce(sa.nk, 0) > 0 THEN sa.jt END AS clean_text
+       |FROM d LEFT JOIN sa USING (doc_id)
+       |WHERE len(d.toks) >= 1
+       |ORDER BY doc_id""".stripMargin
+
   private val simhashVotes = (0 until 32)
     .map(i => s"sum(CASE WHEN ascii(substr(md5(token), ${i + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v$i")
     .mkString(", ")
@@ -420,34 +467,12 @@ object DedupQueries {
     // xxhash64 barring collisions); duplicated grams union their covers
     // via a correlated generate_series, survivors anti-join and
     // reassemble in pos order — NULL clean_text = fully-duplicated doc
-    "dedup_span_removal" -> {
-      val L = SpanTokens
-      s"""WITH d AS (SELECT doc_id,
-         |  list_filter(string_split(text, ' '), t -> t <> '') AS toks
-         |  FROM documents),
-         |tk AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS tok
-         |       FROM d, UNNEST(generate_series(1, len(toks))) u(i)),
-         |g AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS p,
-         |        array_to_string(list_slice(toks, i, i + $L - 1), ' ') AS gs
-         |      FROM d, UNNEST(generate_series(1, len(toks) - $L + 1)) u(i)
-         |      WHERE len(toks) >= $L),
-         |dup AS (SELECT gs FROM g GROUP BY 1 HAVING count(*) >= 2),
-         |cov AS (SELECT DISTINCT doc_id, CAST(q AS INTEGER) AS pos
-         |        FROM g JOIN dup USING (gs),
-         |          UNNEST(generate_series(g.p, g.p + $L - 1)) v(q)),
-         |s AS (SELECT tk.doc_id, tk.pos, tk.tok FROM tk
-         |      LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.pos = tk.pos
-         |      WHERE cov.doc_id IS NULL),
-         |sa AS (SELECT doc_id, count(*) AS nk,
-         |         string_agg(tok, ' ' ORDER BY pos) AS jt
-         |       FROM s GROUP BY 1)
-         |SELECT d.doc_id, len(d.toks)::BIGINT AS n_tokens,
-         |  (len(d.toks) - coalesce(sa.nk, 0))::BIGINT AS n_removed,
-         |  CASE WHEN coalesce(sa.nk, 0) > 0 THEN sa.jt END AS clean_text
-         |FROM d LEFT JOIN sa USING (doc_id)
-         |WHERE len(d.toks) >= 1
-         |ORDER BY doc_id""".stripMargin
-    },
+    "dedup_span_removal" -> spanReplaySql(SpanTokens),
+    // the SAME string-identity replay at the 6-token window: a replay by
+    // gram STRING is exactly the collision-free equality class the
+    // suffix-rank construction computes, so the suffix path needs no
+    // separate oracle shape
+    "dedup_suffix_spans" -> spanReplaySql(SuffixTokens),
     // first occurrence per chunk content = min (doc_id, start) over the
     // chunk's group; reassembly string_aggs surviving chunks in order —
     // NULL when every chunk of a doc was seen earlier
