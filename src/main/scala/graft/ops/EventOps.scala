@@ -577,21 +577,56 @@ object EventOps {
     * cosine ranks strength normalized by popularity, so a ubiquitous item
     * cannot dominate every neighbor list).
     *
-    * Shape at scale: baskets collapse to distinct (basket, item) FIRST;
-    * the pair self-join is bounded by Σ_b |items_b|² (basket size, never
-    * corpus size); unordered pair counts orient both ways for the
-    * per-item top-k window, which runs over the PAIR relation. Item
-    * counts broadcast back (`broadcastCounts = false` switches to a
-    * shuffle join when the item vocabulary is unbounded — the N42
-    * discipline). Determinism: sim is one fixed IEEE sequence
-    * (√·√, ×, ÷) rounded 9 dp; rank ties break by neighbor id.
+    * Shape at scale: baskets collapse to distinct (basket, item) FIRST,
+    * then HOT BASKETS are capped to `maxBasket` items via the two-phase
+    * deterministic subset ([[graft.ops.Prep.capPerKey]] — hash-salted
+    * rank, so the 10⁵-item bot/aggregator basket fans over 256 window
+    * partitions while being trimmed): the pair self-join is bounded by
+    * Σ_b min(|items_b|, maxBasket)², and one pathological basket can no
+    * longer contribute 10¹⁰ pairs (the quadratic term a real
+    * clickstream's hottest basket WILL hit — such baskets are crawl/bot
+    * artifacts carrying no preference signal, which is why production
+    * item-CF caps them; Linden et al. 2003 §"Scalability" notes the same
+    * mitigation). Item counts are taken AFTER the cap so sim stays an
+    * internally consistent cosine (n_ab ≤ min(n_i, n_j) always);
+    * `maxBasket = Int.MaxValue` disables the pre-pass entirely. Counts
+    * broadcast back (`broadcastCounts = false` switches to a shuffle
+    * join when the item vocabulary is unbounded — the N42 discipline).
+    * Determinism: the capped subset is the md5-ranked prefix (engine-
+    * reproducible); sim is one fixed IEEE sequence (√·√, ×, ÷) rounded
+    * 9 dp; rank ties break by neighbor id.
     * Returns (item, neighbor, n_ab, n_i, n_j, sim, rank).
     */
   def itemCfNeighbors(df: DataFrame, basketCol: String, itemCol: String,
-      topK: Int, broadcastCounts: Boolean = true): DataFrame = {
-    val present = df
+      topK: Int, broadcastCounts: Boolean = true,
+      maxBasket: Int = 10000): DataFrame = {
+    // materialized once: the incidence relation feeds the cap probe,
+    // both pair-join sides and the item counts — without this every
+    // consumer replays the upstream (and the probe would pay it twice)
+    val present0 = df
       .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
-      .distinct()
+      .distinct().localCheckpoint()
+    // pay-per-use cap: oversized baskets are found by one partial-
+    // aggregable count probe over the materialized blocks (their id set
+    // is tiny by construction — at most N/maxBasket). The common
+    // all-clean corpus pays ONLY that probe and keeps the uncapped plan;
+    // otherwise the oversized ids broadcast and only their rows pay the
+    // two-phase rank.
+    val present =
+      if (maxBasket == Int.MaxValue) present0
+      else {
+        val over = present0.groupBy("__b").agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") > maxBasket).select("__b")
+        if (over.isEmpty) present0
+        else {
+          val trimmed = Prep.capPerKey(
+              present0.join(broadcast(over), Seq("__b"), "left_semi"),
+              Seq("__b"), "__i", maxBasket)
+            .drop("sample_rank")
+          present0.join(broadcast(over), Seq("__b"), "left_anti")
+            .unionByName(trimmed)
+        }
+      }
     val itemCounts = present.groupBy(col("__i")).agg(count(lit(1)).as("n"))
     val pairs = present.as("l")
       .join(present.as("r"), col("l.__b") === col("r.__b") &&

@@ -401,6 +401,35 @@ class EventOpsSpec extends AnyFunSuite {
     assert(n1.toSeq == Seq(2L, 3L))
   }
 
+  test("itemCfNeighbors hot-basket cap: a planted mega-basket trims to " +
+      "maxBasket items (bounded pair volume), counts stay consistent, " +
+      "and an unbinding cap changes nothing") {
+    // one 500-item bot basket + two small organic baskets
+    val hot = (0 until 500).map(i => (99L, i.toLong))
+    val organic = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 3L))
+    val df = (hot ++ organic).toDF("b", "i").repartition(7)
+    val capped = EventOps.itemCfNeighbors(df, "b", "i",
+      topK = 1000, maxBasket = 20)
+    // pair volume from the mega-basket bounded by C(20,2), both
+    // orientations; organic pairs add a handful more
+    val nPairs = capped.select("item", "neighbor").distinct().count()
+    assert(nPairs <= 2 * (20 * 19 / 2 + 8), s"pair volume $nPairs")
+    // internal consistency after the cap: n_ab <= min(n_i, n_j), sim <= 1
+    capped.collect().foreach { r =>
+      val (ab, ni, nj) = (r.getAs[Long]("n_ab"), r.getAs[Long]("n_i"),
+        r.getAs[Long]("n_j"))
+      assert(ab <= math.min(ni, nj) && r.getAs[Double]("sim") <= 1.0)
+    }
+    // cap above every basket size == no cap == default
+    val small = organic.toDF("b", "i")
+    val a = EventOps.itemCfNeighbors(small, "b", "i", 5)
+      .collect().map(_.toString).sorted.toSeq
+    val b = EventOps.itemCfNeighbors(small, "b", "i", 5,
+        maxBasket = Int.MaxValue)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
   test("seasonalityProfile: integer hour/dow, peak tie to earliest hour, " +
       "weekend = engine-neutral (epoch_day+4) mod 7 in {0,6}") {
     def ts(day: Long, hour: Long) =
