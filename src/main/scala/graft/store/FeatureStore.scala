@@ -18,9 +18,16 @@ import java.security.MessageDigest
   *    replacement for the reference's intended-but-broken
   *    `INDEX(feature_version)`, `:277-278`); parquet min/max stats give
   *    row-group skipping on `user_id`.
-  *  - `basePath/metadata/` — small parquet table, one row per version, with
-  *    nested features/lineage/tags columns; upserts rewrite it atomically
-  *    via a temp-dir swap (S4 in SURVEY §2.1, no Delta in an offline build).
+  *  - `basePath/metadata/manifest-<gen>.json` — the version manifest as a
+  *    CAS'd generation chain (the public commit-log idea Delta/Iceberg
+  *    use, S4 in SURVEY §2.1): every mutation reads the highest
+  *    generation, applies itself, and attempts to CREATE generation+1
+  *    with `overwrite = false` — the filesystem's exclusive-create is the
+  *    compare-and-swap, so a concurrent writer's commit makes the create
+  *    throw, and the loser re-reads the NEW state and re-applies its
+  *    mutation (no lost update, both commits visible). Readers load the
+  *    max generation; superseded generations are garbage-collected a safe
+  *    distance behind.
   *
   * Scale posture: feature data only ever moves through distributed
   * scans/writes; the only `collect` is the serving tail (single user slice),
@@ -60,21 +67,18 @@ final class FeatureStore(
     val version = FeatureStore.fingerprint(df)
     val createdAt = clock()
 
-    val stamped = df
-      .withColumn("feature_version", lit(version))
-      .withColumn("created_at", lit(createdAt))
-    // Dynamic partition overwrite: re-registering identical content replaces
-    // its own partition instead of appending duplicates (divergence from the
-    // reference, which would double-insert; documented in SURVEY §7.4).
-    // As a WRITE-level option, not session conf: inside foreachBatch the
-    // micro-batch df belongs to a CLONED SparkSession, where a conf set on
-    // the store's session doesn't apply — static overwrite would then wipe
-    // every other version's partition (caught by StreamingSpec's ingest
-    // round-trip).
-    stamped.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("feature_version")
-      .parquet(featuresPath)
+    // Write DIRECTLY into this version's partition directory (standard
+    // hive layout, so readers still partition-discover feature_version):
+    // re-registering identical content replaces its own partition instead
+    // of appending duplicates (divergence from the reference, which would
+    // double-insert; documented in SURVEY §7.4), and — unlike a
+    // partitionBy write to the table root — CONCURRENT registrations of
+    // different versions never share a commit `_temporary` directory, so
+    // two writers can land their partitions in parallel. Also immune to
+    // the foreachBatch cloned-session conf trap StreamingSpec caught.
+    df.withColumn("created_at", lit(createdAt))
+      .write.mode("overwrite")
+      .parquet(s"$featuresPath/feature_version=$version")
 
     upsertMetadata(MetadataRow(
       feature_version = version,
@@ -178,8 +182,11 @@ final class FeatureStore(
       doomed.foreach { v =>
         fs.delete(new Path(s"$featuresPath/feature_version=$v"), true)
       }
-      val kept = readMetadata().filterNot(r => doomed.contains(r.feature_version))
-      writeMetadata(kept)
+      // CAS commit: the mutation re-applies against whatever state wins
+      // the race, so a concurrent register's row survives this cleanup
+      val doomedSet = doomed.toSet
+      commitMetadata(rows =>
+        rows.filterNot(r => doomedSet.contains(r.feature_version)))
       cache.clear()
     }
     doomed
@@ -334,28 +341,130 @@ final class FeatureStore(
   private def latestVersion(): Option[String] =
     listFeatureVersions().headOption.map(_.featureVersion)
 
+  private def hadoopFs() =
+    new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(gen: Long): Path =
+    new Path(metadataPath, f"manifest-$gen%012d.json")
+
+  /** Highest manifest generation present, or -1 for an empty store. */
+  private def latestGen(fs: org.apache.hadoop.fs.FileSystem): Long = {
+    val dir = new Path(metadataPath)
+    if (!fs.exists(dir)) -1L
+    else fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .filter(n => n.startsWith("manifest-") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("manifest-").stripSuffix(".json").toLong)
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** Commit marker: the final line of a COMPLETE manifest. A generation
+    * file that exists without it is a CLAIM whose writer is in flight
+    * (or crashed) — readers walk past it to the newest complete one, and
+    * committers skip OVER it (the crashed claim burns one generation
+    * number, never the chain).
+    */
+  private val CommitMark = "#commit"
+
+  /** The filesystem's atomic exclusive create — the CAS primitive. The
+    * Hadoop local filesystem's `create(path, overwrite = false)` is a
+    * non-atomic exists-then-create (two racing writers both pass the
+    * check, measured in StoreSpec before this landed), so the `file:`
+    * scheme routes through POSIX O_CREAT|O_EXCL via nio; everything else
+    * (HDFS: an atomic namenode op) uses the Hadoop call. An object store
+    * would plug a conditional PUT here. Returns false when the
+    * generation was already claimed.
+    */
+  private def exclusiveCreate(fs: org.apache.hadoop.fs.FileSystem,
+      path: Path, payload: Array[Byte]): Boolean =
+    if (fs.getScheme == "file") {
+      val nio = java.nio.file.Paths.get(path.toUri.getPath)
+      try {
+        java.nio.file.Files.write(nio, payload,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      try {
+        val out = fs.create(path, false)
+        try out.write(payload) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException
+          if e.getMessage != null && e.getMessage.contains("exists") =>
+          false
+      }
+    }
+
+  /** Rows of the newest COMPLETE manifest at or below `gen` (skipping
+    * in-flight/crashed claims), or Nil for an empty chain.
+    */
+  private def readCommitted(fs: org.apache.hadoop.fs.FileSystem,
+      gen: Long): Seq[MetadataRow] = {
+    import spark.implicits._
+    var g = gen
+    while (g >= 0) {
+      val p = manifestPath(g)
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        val lines = text.split('\n').toIndexedSeq.filter(_.nonEmpty)
+        if (lines.lastOption.contains(CommitMark)) {
+          val rows = lines.dropRight(1)
+          return if (rows.isEmpty) Nil
+          else spark.read
+            .schema(implicitly[org.apache.spark.sql.Encoder[MetadataRow]]
+              .schema)
+            .json(rows.toDS()).as[MetadataRow].collect().toSeq
+        }
+      }
+      g -= 1
+    }
+    Nil
+  }
+
   private def readMetadata(): Seq[MetadataRow] = {
-    val fs = new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(metadataPath))) Nil
-    else {
-      import spark.implicits._
-      spark.read.parquet(metadataPath).as[MetadataRow].collect().toSeq
+    val fs = hadoopFs()
+    readCommitted(fs, latestGen(fs))
+  }
+
+  /** Optimistic CAS commit: read the newest complete manifest, apply
+    * `mutate`, exclusive-create the next generation (JSON lines via the
+    * Spark encoder, so nested configs/lineage round-trip exactly, sealed
+    * by the commit marker). Losing the race means the winner's state is
+    * re-read and the mutation re-applied — the standard commit-log
+    * retry, so no update is ever lost. Superseded generations GC a safe
+    * distance (8) behind the head: a racing reader reads at-or-below the
+    * head, which GC never approaches.
+    */
+  private def commitMetadata(
+      mutate: Seq[MetadataRow] => Seq[MetadataRow]): Unit = {
+    import spark.implicits._
+    val fs = hadoopFs()
+    fs.mkdirs(new Path(metadataPath))
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      require(attempts <= 64, "metadata CAS: 64 straight lost races")
+      val gen = latestGen(fs)
+      val next = mutate(readCommitted(fs, gen))
+      val payload = (next.toDS().toJSON.collect() :+ CommitMark)
+        .mkString("\n").getBytes("UTF-8")
+      if (exclusiveCreate(fs, manifestPath(gen + 1), payload)) {
+        done = true
+        val gc = gen - 8
+        if (gc >= 0) fs.delete(manifestPath(gc), false)
+      }
     }
   }
 
-  private def writeMetadata(rows: Seq[MetadataRow]): Unit = {
-    import spark.implicits._
-    val fs = new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(metadataPath + "__tmp")
-    rows.toDS().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val dst = new Path(metadataPath)
-    fs.delete(dst, true)
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"metadata swap failed: $tmp -> $dst")
-  }
-
   private def upsertMetadata(row: MetadataRow): Unit =
-    writeMetadata(readMetadata().filterNot(_.feature_version == row.feature_version) :+ row)
+    commitMetadata(rows =>
+      rows.filterNot(_.feature_version == row.feature_version) :+ row)
 }
 
 object FeatureStore {

@@ -245,4 +245,50 @@ class StoreSpec extends AnyFunSuite {
     // erasing an absent user is a no-op with an empty audit
     assert(store.eraseUser(777L).isEmpty)
   }
+
+  test("optimistic concurrency: racing writers on one store path never " +
+      "lose a commit — every version lands in metadata AND on disk") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = Files.createTempDirectory("graft-store-cas").toString
+    // two INDEPENDENT store instances on the same path (two writers),
+    // eight registrations interleaved across them — each CAS loser must
+    // re-read the winner's manifest and re-apply
+    def mkStore(off: Int) = {
+      var i = 0
+      new FeatureStore(spark, dir,
+        clock = () => { i += 1; f"2024-01-01T0$off:00:$i%02dZ" })
+    }
+    val stores = Seq(mkStore(0), mkStore(1))
+    val futures = (0 until 8).map { k =>
+      Future(stores(k % 2)
+        .registerFeatures(feats(k.toLong -> (k * 10.0 + 1)), meta))
+    }
+    val versions = Await.result(Future.sequence(futures), 120.seconds)
+    assert(versions.distinct.size == 8)
+    val listed = stores.head.listFeatureVersions().map(_.featureVersion)
+    assert(listed.toSet == versions.toSet,
+      s"lost commits: ${versions.toSet -- listed.toSet}")
+    // every partition readable with its rows intact
+    versions.zipWithIndex.foreach { case (v, k) =>
+      val got = stores(1).getFeatures(Some(v), useCache = false)
+      assert(got.count() == 1, s"version $v")
+    }
+    // composes with cleanup: keep 3, the doomed 5 vanish from disk and
+    // manifest, survivors stay readable
+    val doomed = stores.head.cleanupOldVersions(keepN = 3)
+    assert(doomed.size == 5)
+    val after = stores(1).listFeatureVersions().map(_.featureVersion)
+    assert(after.size == 3 && after.forall(versions.contains))
+    after.foreach(v => assert(
+      stores.head.getFeatures(Some(v), useCache = false).count() == 1))
+    // composes with erasure: erase one surviving user, others untouched
+    val sample = after.head
+    val uid = stores.head.getFeatures(Some(sample), useCache = false)
+      .select("user_id").head().getLong(0)
+    val audit = stores.head.eraseUser(uid)
+    assert(audit.map(_._1).contains(sample))
+    assert(stores(1).listFeatureVersions().size == 3)
+  }
 }
