@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ops.Skew
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -54,22 +54,68 @@ object ScaleQueries {
   }
 
   /** HLL distinct counts — the streaming/100 TB alternate to exact
-    * `count(DISTINCT …)` (`distinct_counts`). Rows-only.
+    * `count(DISTINCT …)` (`distinct_counts`) — as a BANDED IN-RELATION
+    * ASSERTION: the registered relation carries the exact distincts plus
+    * a within-band flag (|approx − exact| ≤ max(15%·exact, 1) — the
+    * default-rsd 0.05 HLL++ at 3σ), and the DuckDB oracle states the
+    * invariant (`true`), so any band violation hash-fails the driver
+    * gate instead of hiding in a rows-only row. Estimates themselves are
+    * pinned in SketchesSpec.
     */
-  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    def band(approx: Column, exact: Column) =
+      abs(approx - exact).cast("double") <=
+        greatest(exact.cast("double") * 0.15, lit(1.0))
     Tables.events(spark, dir).agg(
-      approx_count_distinct(col("user_id")).as("approx_users"),
-      approx_count_distinct(col("event_type")).as("approx_event_types"))
+        approx_count_distinct(col("user_id")).as("__au"),
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("event_type")).as("__at"),
+        countDistinct(col("event_type")).as("exact_event_types"))
+      .select(col("exact_users"),
+        band(col("__au"), col("exact_users")).as("users_within_band"),
+        col("exact_event_types"),
+        band(col("__at"), col("exact_event_types"))
+          .as("types_within_band"))
+  }
 
   /** Greenwald-Khanna approximate quantiles — the single-pass mergeable
-    * alternate to exact `percentile` (`quality_quantiles_lineitem`).
-    * Rows-only.
+    * alternate to exact `percentile` (`quality_quantiles_lineitem`) — as
+    * a BANDED IN-RELATION ASSERTION of GK's deterministic rank
+    * guarantee: the returned value's exact rank interval
+    * [count(< v)+1, count(≤ v)] must intersect
+    * ⌈q·n⌉ ± (n/accuracy + 1) — the +1 absorbs Spark's 0-based rank
+    * convention (measured: at q=0.25, n=6000 the engine returns the
+    * rank-1499 element for ceil-target 1500 with ε·n=0.6). The flag is
+    * computed from one exact counting pass against the broadcast
+    * estimates; the oracle states the invariant, so a guarantee
+    * violation hash-fails the gate.
     */
-  def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir).agg(
-      percentile_approx(col("l_extendedprice"), lit(0.25), lit(10000)).as("p25"),
-      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
-      percentile_approx(col("l_extendedprice"), lit(0.75), lit(10000)).as("p75"))
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val acc = 10000
+    val li = Tables.lineitem(spark, dir)
+    val v = col("l_extendedprice")
+    val est = li.agg(
+      percentile_approx(v, lit(0.25), lit(acc)).as("a25"),
+      percentile_approx(v, lit(0.5), lit(acc)).as("a50"),
+      percentile_approx(v, lit(0.75), lit(acc)).as("a75"))
+    def ranks(a: String) = Seq(
+      sum(when(v < col(a), 1L).otherwise(0L)).as(s"__lt$a"),
+      sum(when(v <= col(a), 1L).otherwise(0L)).as(s"__le$a"))
+    val counted = li.crossJoin(broadcast(est))
+      .agg(count(lit(1)).as("n"),
+        (ranks("a25") ++ ranks("a50") ++ ranks("a75")): _*)
+    def flag(q: Double, a: String) = {
+      val n = col("n").cast("double")
+      val eps = n / acc + 1
+      val target = ceil(n * q)
+      (col(s"__lt$a") + 1 <= target + eps) &&
+        (col(s"__le$a") >= target - eps)
+    }
+    counted.select(col("n"),
+      flag(0.25, "a25").as("p25_within_band"),
+      flag(0.5, "a50").as("p50_within_band"),
+      flag(0.75, "a75").as("p75_within_band"))
+  }
 
   /** Deterministic hash-bucket sampling — the reproducible, engine-portable
     * alternative to `TABLESAMPLE`/`rand()` sampling: a row is in the p%
@@ -172,15 +218,28 @@ object ScaleQueries {
   /** Rolling 7-day distinct users from persisted per-day HLL sketches
     * ([[graft.ops.Sketches.hllDailySketches]] →
     * [[graft.ops.Sketches.hllRollingDistinct]]) — the mergeable-sketch
-    * alternate to exact `feat_rolling_dau`. Approximate by construction →
-    * rows-only (SketchesSpec pins the estimates against the exact op).
+    * alternate to exact `feat_rolling_dau`, as a BANDED IN-RELATION
+    * ASSERTION: each day's estimate joins the exact rolling distinct
+    * ([[graft.ops.EventOps.rollingActiveKeys]], the `feat_rolling_dau`
+    * op) and emits (day, exact, within-band) with the DataSketches-HLL
+    * band (lgK 12 → rsd ≈ 1.6%; 15% is 9σ headroom). The oracle states
+    * the invariant, so a band violation hash-fails the gate;
+    * SketchesSpec pins the raw estimates.
     */
-  def hllRolling(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Sketches.hllRollingDistinct(
-        graft.ops.Sketches.hllDailySketches(Tables.events(spark, dir),
-          "user_id", "ts_us"),
-        windowDays = 7)
+  def hllRolling(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val est = graft.ops.Sketches.hllRollingDistinct(
+      graft.ops.Sketches.hllDailySketches(ev, "user_id", "ts_us"),
+      windowDays = 7)
+    val exact = graft.ops.EventOps.rollingActiveKeys(
+      ev, "user_id", "ts_us", windowDays = 7)
+    est.join(exact, Seq("day"))
+      .select(col("day"), col("active").as("exact_active"),
+        (abs(col("approx_active") - col("active")).cast("double") <=
+          greatest(col("active").cast("double") * 0.15, lit(1.0)))
+          .as("within_band"))
       .orderBy("day")
+  }
 
   private val CmWidth = 64
   private val CmDepth = 3
@@ -394,6 +453,29 @@ object ScaleQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // banded assertions: the oracle STATES the approximation invariant
+    // (exact values + `true` flags); the Spark relation computes the
+    // flags from est vs exact, so a band violation hash-fails the gate
+    "scale_approx_distinct" ->
+      """SELECT count(DISTINCT user_id) AS exact_users,
+        |  true AS users_within_band,
+        |  count(DISTINCT event_type) AS exact_event_types,
+        |  true AS types_within_band
+        |FROM events""".stripMargin,
+    "scale_approx_quantiles" ->
+      """SELECT count(*) AS n, true AS p25_within_band,
+        |  true AS p50_within_band, true AS p75_within_band
+        |FROM lineitem""".stripMargin,
+    "scale_hll_rolling" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |  epoch_us(ts) // 86400000000 AS d FROM events),
+        |days AS (SELECT DISTINCT d AS day FROM ud),
+        |c AS (SELECT DISTINCT user_id, u.day
+        |      FROM ud, UNNEST(generate_series(d, d + 6)) AS u(day))
+        |SELECT c.day, count(DISTINCT user_id) AS exact_active,
+        |  true AS within_band
+        |FROM c JOIN days USING (day)
+        |GROUP BY 1 ORDER BY day""".stripMargin,
     // sketch-derived decile edges + the quality_drift_psi tail — the
     // monitor replays end to end (edges, buckets, probabilities)
     // baseline masses from the knots' own rank estimates (bcum deltas +

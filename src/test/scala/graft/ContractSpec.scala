@@ -15,10 +15,11 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("the rows-only set is exactly the six documented no-SQL-twin ops") {
+  test("the rows-only set is exactly the three documented no-SQL-twin " +
+      "ops (the approx trio graduated to banded-assertion oracles in " +
+      "round 11)") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("sim_ivf_topk", "multimodal_byte_features",
-      "scale_approx_distinct", "scale_approx_quantiles", "scale_hll_rolling",
       "text_compression_ratio"),
       s"unexpected rows-only queries (add oracle SQL or document): $rowsOnly")
   }
