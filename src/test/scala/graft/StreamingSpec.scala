@@ -396,4 +396,126 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == whole)
     assert(streamed.forall(_._2 == 100L))
   }
+
+  test("streaming e2e composition: ONE foreachBatch runs ingest → " +
+      "incremental dedup → sketch maintenance → PIT refresh; 3 " +
+      "micro-batches equal the batch recompute on all three outputs") {
+    import graft.ops.{Dedup, PointInTime, Sketches}
+    import graft.ops.PointInTime.FeatureGroup
+    implicit val sqlCtx = spark.sqlContext
+    // (doc_id, user_id, s_ts, spend, text): docs 2/4 near-dup doc 1,
+    // doc 6 near-dups doc 5 within its own batch, doc 7 is a late
+    // back-fill for user 3 with a row OLDER than its label
+    val b1: Seq[(Long, Long, Timestamp, Double, String)] = Seq(
+      (1L, 1L, ts(5), 10.0, "the quick brown fox jumps high"),
+      (2L, 2L, ts(6), 999.0, "the quick brown fox jumps high"),
+      (3L, 2L, ts(20), 7.0, "completely different words entirely here"))
+    val b2: Seq[(Long, Long, Timestamp, Double, String)] = Seq(
+      (4L, 1L, ts(22), 888.0, "the quick brown fox jumps high"),
+      (5L, 1L, ts(25), 12.0, "unrelated novel content appears now everywhere"),
+      (6L, 3L, ts(7), 55.0, "unrelated novel content appears now everywhere"))
+    val b3: Seq[(Long, Long, Timestamp, Double, String)] = Seq(
+      (7L, 3L, ts(15), 3.0, "a genuinely new document arrives late"))
+    val labels = Seq(
+      (1L, ts(10), 0), (1L, ts(30), 1), (1L, ts(50), 0),
+      (2L, ts(30), 1), (3L, ts(30), 0))
+      .toDF("user_id", "label_ts", "y").localCheckpoint(true)
+    def groups(spend: org.apache.spark.sql.DataFrame) =
+      Seq(FeatureGroup(spend.select("user_id", "s_ts", "spend"),
+        "user_id", "s_ts", Seq("spend")))
+    val mem = MemoryStream[(Long, Long, Timestamp, Double, String)]
+    val sdf = mem.toDF().toDF("doc_id", "user_id", "s_ts", "spend", "text")
+    var dedupState: Option[org.apache.spark.sql.DataFrame] = None
+    var seenDocs: Option[org.apache.spark.sql.DataFrame] = None
+    var survivorRows: Option[org.apache.spark.sql.DataFrame] = None
+    var knots: Option[org.apache.spark.sql.DataFrame] = None
+    var matrix: Option[org.apache.spark.sql.DataFrame] = None
+    var batchNo = -1L
+    val q = sdf.writeStream.outputMode("append")
+      .foreachBatch { (b0: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b0.isEmpty) {
+          batchNo += 1
+          val b = b0.localCheckpoint(true)
+          // 1. incremental near-dup dedup against the persisted index —
+          //    only THIS batch's survivors flow downstream
+          val survIds = (dedupState match {
+            case None => Dedup.nearDupDedup(b, "doc_id", "text", 0.9)
+            case Some(st) => Dedup.incrementalDedup(b, "doc_id", "text",
+              st, 0.9)
+          }).select("doc_id")
+          val bSurv = b.join(survIds, Seq("doc_id"), "left_semi")
+            .localCheckpoint(true)
+          val allDocs = seenDocs.map(_.unionByName(b)).getOrElse(b)
+            .localCheckpoint(true)
+          seenDocs = Some(allDocs)
+          dedupState = Some(Dedup.incrementalState(allDocs, "doc_id",
+            "text", 0.9).localCheckpoint(true))
+          val store = survivorRows.map(_.unionByName(bSurv))
+            .getOrElse(bSurv).localCheckpoint(true)
+          survivorRows = Some(store)
+          // 2. sketch maintenance: this batch's survivor spends append
+          //    one knot batch — historical knots never rebuild
+          val bKnots = Sketches.quantileSketchBuild(bSurv, col("spend"),
+            lit(batchNo), knots = 8)
+          knots = Some(knots.map(_.unionByName(bKnots)).getOrElse(bKnots)
+            .localCheckpoint(true))
+          // 3. PIT refresh for the batch's touched users only
+          matrix = Some((matrix match {
+            case None => PointInTime.trainingMatrix(labels, "user_id",
+              "label_ts", groups(store))
+            case Some(m) => PointInTime.refreshMatrix(m, labels,
+              "user_id", "label_ts", groups(store),
+              bSurv.select("user_id"))
+          }).localCheckpoint(true))
+        }
+      }.start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    val all = (b1 ++ b2 ++ b3)
+    // (a) dedup ≡ batch: survivors-at-ingest equal the global dedup
+    val batchSurv = Dedup.nearDupDedup(
+        all.toDF("doc_id", "user_id", "s_ts", "spend", "text"),
+        "doc_id", "text", 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    val streamSurv = survivorRows.get.select("doc_id").as[Long]
+      .collect().toSet
+    assert(streamSurv == batchSurv && streamSurv == Set(1L, 3L, 5L, 7L))
+    // (b) sketch ≡ batch: the accumulated knots equal a one-shot build
+    //     over the same survivor rows chunked by their original batch
+    val chunks = Seq(b1, b2, b3).zipWithIndex.flatMap { case (c, i) =>
+      c.filter(r => batchSurv(r._1)).map(r => (r._4, i.toLong)) }
+    val batchKnots = Sketches.quantileSketchBuild(
+        chunks.toDF("spend", "__b"), col("spend"), col("__b"), knots = 8)
+      .collect().map(_.toString).sorted.toSeq
+    val streamKnots = knots.get.collect().map(_.toString).sorted.toSeq
+    assert(streamKnots == batchKnots)
+    val pcts = Seq(25, 50, 75)
+    val qs = Sketches.quantileSketchQuantiles(knots.get, pcts)
+      .orderBy("q").collect().map(_.toString).toSeq
+    val qb = Sketches.quantileSketchQuantiles(
+        chunks.toDF("spend", "__b")
+          .transform(d => Sketches.quantileSketchBuild(d, col("spend"),
+            col("__b"), knots = 8)), pcts)
+      .orderBy("q").collect().map(_.toString).toSeq
+    assert(qs == qb)
+    // (c) PIT ≡ batch: the incrementally-refreshed matrix equals the
+    //     full recompute over the survivor store — including the late
+    //     back-fill (user 3's minute-30 label sees the minute-15 spend)
+    val fullM = PointInTime.trainingMatrix(labels, "user_id", "label_ts",
+        groups(survivorRows.get))
+      .orderBy("user_id", "label_ts")
+      .select("user_id", "label_ts", "y", "spend")
+      .collect().toSeq
+    val gotM = matrix.get.orderBy("user_id", "label_ts")
+      .select("user_id", "label_ts", "y", "spend").collect().toSeq
+    assert(gotM == fullM)
+    val byKey = gotM.map(r => (r.getLong(0),
+      r.getTimestamp(1).getTime / 60000, Option(r.get(3)))).toSet
+    assert(byKey.contains((1L, 30L, Some(12.0)))) // dup doc 4 never lands
+    assert(byKey.contains((2L, 30L, Some(7.0))))  // dup doc 2 never lands
+    assert(byKey.contains((3L, 30L, Some(3.0))))  // late back-fill seen
+  }
 }
