@@ -578,7 +578,11 @@ object Dedup {
         .head().getDecimal(0)
       labels.unpersist()
       labels = next
-      converged = prevSum != null && prevSum.compareTo(s) == 0
+      // an EMPTY node set sums to null every round — two consecutive
+      // nulls are the same fixpoint witness as two equal sums
+      converged =
+        if (s == null) prevSum == null && it > 0
+        else prevSum != null && prevSum.compareTo(s) == 0
       prevSum = s
       it += 1
     }

@@ -838,6 +838,82 @@ object Similarity {
       .select(col("__id").as(idCol), col("cell"))
   }
 
+  /** DBSCAN density clustering (Ester et al. 1996, KDD) over the
+    * cell-bounded cosine ε-graph: neighbors are documents sharing a
+    * nearest-anchor cell with cos ≥ `tau` — the [[semanticDedup]]
+    * candidate discipline, so pair work is Σ cell², never corpus².
+    *
+    * Deterministic variant: a point is CORE when it has ≥ `minPts`
+    * neighbors (self excluded — the classic |N_ε| ≥ minPts+1 form);
+    * cluster label = the MIN core id reachable through core–core edges
+    * ([[graft.ops.Dedup.connectedComponents]] — bounded label-propagation
+    * rounds over the minPts-filtered core subgraph only); BORDER points
+    * (non-core with ≥ 1 core neighbor) take the MIN label among their
+    * core neighbors, removing classic DBSCAN's visit-order dependence
+    * when a border point touches two clusters; everything else is NOISE
+    * with cluster −1. Every decision is an integer or 6-dp-rounded
+    * comparison, so the result is engine-exact and the DuckDB oracle
+    * replays cells, degrees, the reachability walk and the border min
+    * verbatim.
+    *
+    * Scale shape: cell assignment is a zero-shuffle broadcast-literal
+    * expression; the ε-graph join shuffles both sides once on `cell`;
+    * degree and border assignment are single groupBys on id; CC rounds
+    * touch only the core subgraph. The ε-graph and core set are
+    * `localCheckpoint`ed — each feeds ≥ 2 downstream passes. At 100 TB
+    * swap the fixed seeded anchors for fitted IVF centroids exactly as
+    * [[semanticDedup]] documents; the clustering shape is unchanged.
+    *
+    * Returns (idCol, role ∈ core|border|noise, cluster).
+    */
+  def dbscan(emb: DataFrame, idCol: String, vecCol: String, tau: Double,
+      minPts: Int, anchors: Array[Array[Int]]): DataFrame = {
+    val assigned = emb.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"),
+        anchorCellExpr(col(vecCol), anchors).as("__cell"))
+      .localCheckpoint()
+    val a = assigned.select(col("__cell"), col("__id").as("__ia"),
+      col("__v").as("__va"))
+    val b = assigned.select(col("__cell"), col("__id").as("__ib"),
+      col("__v").as("__vb"))
+    val edges = a.join(b, Seq("__cell"))
+      .filter(col("__ia") < col("__ib"))
+      .filter(round(cosine(col("__va"), col("__vb")), 6) >= tau)
+      .select(col("__ia"), col("__ib"))
+      .localCheckpoint()
+    val sym = edges.unionByName(
+      edges.select(col("__ib").as("__ia"), col("__ia").as("__ib")))
+    val core = sym.groupBy(col("__ia").as("__id"))
+      .agg(count(lit(1)).as("__deg"))
+      .filter(col("__deg") >= minPts).select("__id")
+      .localCheckpoint()
+    val coreEdges = edges
+      .join(core.select(col("__id").as("__ia")), Seq("__ia"), "left_semi")
+      .join(core.select(col("__id").as("__ib")), Seq("__ib"), "left_semi")
+    val comps = Dedup.connectedComponents(
+      core.select(col("__id").as("id")),
+      coreEdges.select(col("__ia").as("id_a"), col("__ib").as("id_b")))
+    val coreOut = comps.select(col("id").as("__id"),
+      col("component").as("__ccluster"))
+    // border: non-core endpoint u of a (u, core v) edge → min over its
+    // core neighbors' clusters
+    val border = sym
+      .join(core.select(col("__id").as("__ia")), Seq("__ia"), "left_anti")
+      .join(coreOut.select(col("__id").as("__ib"), col("__ccluster")),
+        Seq("__ib"))
+      .groupBy(col("__ia").as("__id"))
+      .agg(min(col("__ccluster")).as("__bcluster"))
+    assigned.select("__id")
+      .join(coreOut, Seq("__id"), "left")
+      .join(border, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        when(col("__ccluster").isNotNull, lit("core"))
+          .when(col("__bcluster").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("__ccluster"), col("__bcluster"), lit(-1L))
+          .cast("long").as("cluster"))
+  }
+
   /** Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009) — the
     * standard hybrid-retrieval combiner: each input ranking contributes
     * `1/(rrfK + rank)` per document, scores sum across rankings. Rank

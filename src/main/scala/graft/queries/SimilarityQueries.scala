@@ -23,6 +23,8 @@ object SimilarityQueries {
   private val KnnQueries = 5
   private val KnnK = 3
   private val NearDupThreshold = 0.35
+  private val DbscanTau = 0.3
+  private val DbscanMinPts = 3
   private val NumPlanes = 4
   private val Dim = 64
 
@@ -137,6 +139,16 @@ object SimilarityQueries {
   def semanticDedup(spark: SparkSession, dir: String): DataFrame =
     Similarity.semanticDedup(Tables.embeddings(spark, dir),
         "vec_id", "embedding", NearDupThreshold, semAnchors)
+      .orderBy("vec_id")
+
+  /** DBSCAN over the cell-bounded cosine ε-graph — deterministic
+    * core/border/noise roles + min-id cluster labels
+    * ([[graft.ops.Similarity.dbscan]]). τ below the near-dup threshold:
+    * density clustering looks for NEIGHBORHOODS, not duplicates.
+    */
+  def dbscanClusters(spark: SparkSession, dir: String): DataFrame =
+    Similarity.dbscan(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", DbscanTau, DbscanMinPts, semAnchors)
       .orderBy("vec_id")
 
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -574,6 +586,7 @@ object SimilarityQueries {
     "sim_int8_quant" -> int8Quant,
     "sim_brute_topk" -> bruteTopK,
     "sim_semantic_dedup" -> semanticDedup,
+    "sim_dbscan" -> dbscanClusters,
     "sim_lsh_neardup_pairs" -> lshNearDupPairs,
     "sim_neardup_triangles" -> neardupTriangles,
     "sim_lsh_topk" -> lshTopK,
@@ -1043,6 +1056,38 @@ object SimilarityQueries {
     // dup = shares a cell with a LOWER-id doc at cos >= threshold; the
     // within-cell self-join enumerates exactly the candidate pairs the
     // Spark side's cell-keyed join produces
+    // cells, ε-edges, degrees, the min-label reachability walk over the
+    // core subgraph and the border min replay the Spark side verbatim;
+    // every comparison is integer or 6-dp-rounded
+    "sim_dbscan" ->
+      s"""WITH RECURSIVE a AS (SELECT vec_id, embedding,
+         |  ${semCellSql("embedding")} AS cell FROM embeddings),
+         |e AS MATERIALIZED (
+         |  SELECT x.vec_id AS ia, y.vec_id AS ib
+         |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  WHERE ${cosineSql("x.embedding", "y.embedding")} >= $DbscanTau),
+         |sym AS MATERIALIZED (SELECT ia AS u, ib AS v FROM e
+         |  UNION ALL SELECT ib, ia FROM e),
+         |core AS MATERIALIZED (SELECT u AS id FROM sym GROUP BY 1
+         |  HAVING count(*) >= $DbscanMinPts),
+         |ce AS MATERIALIZED (SELECT u, v FROM sym
+         |  WHERE u IN (SELECT id FROM core) AND v IN (SELECT id FROM core)),
+         |lmin AS (SELECT id FROM core c WHERE NOT EXISTS
+         |  (SELECT 1 FROM ce WHERE ce.u = c.id AND ce.v < c.id)),
+         |walk AS (SELECT id, id AS comp FROM lmin
+         |  UNION SELECT ce.v, w.comp FROM walk w JOIN ce ON ce.u = w.id),
+         |comp AS (SELECT id, min(comp) AS cluster FROM walk GROUP BY id),
+         |bord AS (SELECT s.u AS id, min(c.cluster) AS cluster
+         |  FROM sym s JOIN comp c ON c.id = s.v
+         |  WHERE s.u NOT IN (SELECT id FROM core) GROUP BY 1)
+         |SELECT a.vec_id,
+         |  CASE WHEN comp.id IS NOT NULL THEN 'core'
+         |       WHEN bord.id IS NOT NULL THEN 'border'
+         |       ELSE 'noise' END AS role,
+         |  CAST(coalesce(comp.cluster, bord.cluster, -1) AS BIGINT) AS cluster
+         |FROM a LEFT JOIN comp ON comp.id = a.vec_id
+         |LEFT JOIN bord ON bord.id = a.vec_id
+         |ORDER BY vec_id""".stripMargin,
     "sim_semantic_dedup" ->
       s"""WITH a AS (SELECT vec_id, embedding,
          |  ${semCellSql("embedding")} AS cell FROM embeddings),

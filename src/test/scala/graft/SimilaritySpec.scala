@@ -527,4 +527,46 @@ class SimilaritySpec extends AnyFunSuite {
         r.getAs[Double]("margin"), r.getAs[Boolean]("mutual")))
     assert(viaCand.toSeq == out.toSeq)
   }
+
+  test("dbscan: hand-computed clusters, border takes the min core " +
+      "neighbor's label, isolated point is noise") {
+    // unit circle at fixed angles; one anchor => one cell => the full
+    // cosine graph. τ=0.97 ≈ cos 14°: A = {0°,2°,4°,6°} and
+    // B = {60°,62°,64°,66°} are 4-cliques (all cores at minPts=3);
+    // 78° reaches only 66° (12°) and 64° (14°) => border of B;
+    // 120° reaches nothing => noise.
+    def v(deg: Double) = Array(
+      math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val pts = Seq(1L -> 0.0, 2L -> 2.0, 3L -> 4.0, 4L -> 6.0,
+      5L -> 60.0, 6L -> 62.0, 7L -> 64.0, 8L -> 66.0,
+      9L -> 78.0, 10L -> 120.0)
+    val emb2 = pts.map { case (id, d) => (id, v(d)) }
+      .toDF("vec_id", "embedding")
+    val oneCell = Array(Array(1, 1))
+    val out = Similarity.dbscan(emb2, "vec_id", "embedding",
+        tau = 0.97, minPts = 3, anchors = oneCell)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[String]("role"),
+        r.getAs[Long]("cluster"))).toSeq
+    assert(out == Seq(
+      (1L, "core", 1L), (2L, "core", 1L), (3L, "core", 1L),
+      (4L, "core", 1L), (5L, "core", 5L), (6L, "core", 5L),
+      (7L, "core", 5L), (8L, "core", 5L), (9L, "border", 5L),
+      (10L, "noise", -1L)))
+  }
+
+  test("dbscan: the ε-graph is cell-bounded — near-identical vectors in " +
+      "different cells never edge (the documented SemDeDup contract)") {
+    // anchors [1,1] and [1,-1]: (1, +ε) lands in cell 1, (1, −ε) in
+    // cell 2; cos ≈ 0.9998 but the pair is never a candidate
+    val emb2 = Seq((1L, Array(1.0f, 0.01f)), (2L, Array(1.0f, -0.01f)))
+      .toDF("vec_id", "embedding")
+    val anchors = Array(Array(1, 1), Array(1, -1))
+    val out = Similarity.dbscan(emb2, "vec_id", "embedding",
+        tau = 0.5, minPts = 1, anchors = anchors)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getAs[String]("role"), r.getAs[Long]("cluster"))).toSeq
+    assert(out == Seq(("noise", -1L), ("noise", -1L)))
+  }
 }
