@@ -1093,6 +1093,55 @@ object EventOps {
         round(col("__r"), 9).as("intercept"))
   }
 
+  /** Per-key ordinary-least-squares trend — the "where is this entity's
+    * level going" feature ([[theilSenTrend]] is the robust GLOBAL
+    * companion; this is the per-entity least-squares version): slope,
+    * intercept and R² of integer `y` on integer `x`, one row per key.
+    *
+    * Determinism: the six sufficient statistics (n, Σx, Σy, Σxy, Σx²,
+    * Σy²) accumulate in exact DECIMAL(38,0) (the DuckDB twin is
+    * HUGEINT); the centered forms sxx = n·Σx²−(Σx)², sxy = n·Σxy−Σx·Σy,
+    * syy = n·Σy²−(Σy)² are exact integer arithmetic, so
+    * slope = sxy/sxx is ONE IEEE division of two correctly-rounded
+    * integer→double casts — engine-exact with NO display rounding —
+    * and intercept = (Σy − slope·Σx)/n and r² = (sxy/sxx)·(sxy/syy)
+    * are fixed-order double chains of shared exact operands (the
+    * engine-safe class; r²'s two-division form keeps sxy² out of
+    * DECIMAL range). Degenerate keys (n = 1, constant x, or constant
+    * y for r²) yield nulls. Bound: n·Σ products must fit 38 digits —
+    * day-scale x and cent-scale y hold to ~10⁹ rows per key.
+    *
+    * Scale shape: ONE partial-aggregable groupBy over the fact table —
+    * map-side combined, no windows, no second pass, result bounded by
+    * key cardinality.
+    */
+  def olsTrend(df: DataFrame, keyCol: String, x: Column, y: Column)
+      : DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val xd = x.cast(dec)
+    val yd = y.cast(dec)
+    val g = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast(dec).as("__cnt"),
+        sum(xd).cast(dec).as("__sx"),
+        sum(yd).cast(dec).as("__sy"),
+        sum((xd * yd).cast(dec)).cast(dec).as("__sxy"),
+        sum((xd * xd).cast(dec)).cast(dec).as("__sxx"),
+        sum((yd * yd).cast(dec)).cast(dec).as("__syy"))
+    val sxx = (col("__cnt") * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double")
+    val sxy = (col("__cnt") * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double")
+    val syy = (col("__cnt") * col("__syy") - col("__sy") * col("__sy"))
+      .cast("double")
+    g.select(col(keyCol),
+      col("__cnt").cast("long").as("n_points"),
+      when(sxx > 0, sxy / sxx).as("slope"),
+      when(sxx > 0,
+        (col("__sy").cast("double") - (sxy / sxx) * col("__sx").cast("double"))
+          / col("__cnt").cast("double")).as("intercept"),
+      when(sxx > 0 && syy > 0, (sxy / sxx) * (sxy / syy)).as("r2"))
+  }
+
   /** Autocorrelation + partial autocorrelation of the zero-filled daily
     * value series, lags 1..`maxLag` — the Box–Jenkins order-selection
     * read (ACF tails ⇒ AR component; PACF cutting off at k ⇒ AR(k))

@@ -302,6 +302,21 @@ object FeatureQueries {
       Tables.events(spark, dir)
         .withColumn("ts_us", unix_micros(col("ts"))), "ts_us")
 
+  /** Per-customer OLS spend trend ([[graft.ops.EventOps.olsTrend]]):
+    * slope/intercept/R² of order cents on order day — the per-entity
+    * least-squares companion of `feat_theilsen_trend`.
+    */
+  def olsTrendQ(spark: SparkSession, dir: String): DataFrame =
+    EventOps.olsTrend(Tables.orders(spark, dir), "o_custkey",
+        // o_orderdate is parquet NTZ; the session tz is pinned UTC, so
+        // the cast matches DuckDB's naive-as-UTC epoch_us exactly
+        floor(unix_micros(col("o_orderdate").cast("timestamp"))
+          / lit(86400000000L)).cast("long"),
+        (col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long"))
+      .orderBy("o_custkey")
+
   /** Per-user Fano-factor burstiness over daily activity
     * ([[graft.ops.EventOps.fanoBurstiness]]).
     */
@@ -642,6 +657,7 @@ object FeatureQueries {
     "feat_ppr" -> personalizedPr,
     "feat_hits" -> hitsSuppliers,
     "feat_theilsen_trend" -> theilSen,
+    "feat_trend_ols" -> olsTrendQ,
     "feat_cusum_alarm" -> cusum,
     "feat_acf_pacf" -> acfPacf,
     "feat_spend_gini" -> spendGini,
@@ -1585,6 +1601,35 @@ object FeatureQueries {
         |  CAST(mpd - pd AS DOUBLE) / 1e9 AS cusum_neg,
         |  (pu - mpu > hn OR mpd - pd > hn) AS alarm
         |FROM mm ORDER BY day""".stripMargin,
+    // sufficient statistics in HUGEINT (the Spark twin is DECIMAL(38,0));
+    // slope is ONE division of two exact integer->double casts, intercept
+    // and r2 are the same fixed-order double chains as the Spark plan —
+    // no display rounding anywhere
+    "feat_trend_ols" ->
+      """WITH xy AS (SELECT o_custkey AS k,
+        |    epoch_us(o_orderdate) // 86400000000 AS x,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM orders),
+        |s AS (SELECT k, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+        |  FROM xy GROUP BY k),
+        |c AS (SELECT k, n,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS cxx,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS cxy,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS cyy,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        |  FROM s)
+        |SELECT k AS o_custkey, CAST(n AS BIGINT) AS n_points,
+        |  CASE WHEN cxx > 0 THEN cxy / cxx END AS slope,
+        |  CASE WHEN cxx > 0
+        |    THEN (syd - (cxy / cxx) * sxd) / CAST(n AS DOUBLE) END
+        |    AS intercept,
+        |  CASE WHEN cxx > 0 AND cyy > 0
+        |    THEN (cxy / cxx) * (cxy / cyy) END AS r2
+        |FROM c ORDER BY o_custkey""".stripMargin,
     // pairwise integer-count slopes (one IEEE division each), LOWER
     // median by (slope, da, db) order statistic — no summation anywhere;
     // residual median reuses the UNROUNDED slope, rounding only at output

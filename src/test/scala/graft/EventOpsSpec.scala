@@ -825,4 +825,26 @@ class EventOpsSpec extends AnyFunSuite {
       .as[(Long, Option[Double], Option[Double], Option[Double])].head()
     assert(gw._2.contains(0.0) && gw._4.isEmpty)
   }
+
+  test("olsTrend: hand-computed slope/intercept/r2; degenerate keys null") {
+    val df = Seq(
+      // a: exact line y = 2x + 1
+      ("a", 0L, 1L), ("a", 1L, 3L), ("a", 2L, 5L),
+      // b: sxx=6 cxy=3 cyy=6 -> slope .5, intercept .5, r2 .25
+      ("b", 0L, 0L), ("b", 1L, 2L), ("b", 2L, 1L),
+      // c: single point; d: constant x
+      ("c", 5L, 7L), ("d", 2L, 1L), ("d", 2L, 3L)
+    ).toDF("k", "x", "y")
+    val out = EventOps.olsTrend(df, "k", col("x"), col("y"))
+      .orderBy("k").collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("n_points"),
+        Option(r.getAs[java.lang.Double]("slope")),
+        Option(r.getAs[java.lang.Double]("intercept")),
+        Option(r.getAs[java.lang.Double]("r2")))).toSeq
+    assert(out == Seq(
+      ("a", 3L, Some(2.0), Some(1.0), Some(1.0)),
+      ("b", 3L, Some(0.5), Some(0.5), Some(0.25)),
+      ("c", 1L, None, None, None),
+      ("d", 2L, None, None, None)))
+  }
 }
