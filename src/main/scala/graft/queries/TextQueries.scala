@@ -347,17 +347,18 @@ object TextQueries {
       s"(CASE WHEN ($num) < 0 THEN -((-($num)) // ($den)) " +
         s"ELSE ($num) // ($den) END)"
     val iters = (1 to SgdIters).map { r =>
-      val gnum = "(mm.bb + mm.a - 2 * mm.bb * mm.y) * occ.c " +
-        "* CAST(1000000000 AS HUGEINT)"
+      val rnum = "(CASE WHEN mm.y = 1 THEN mm.a - mm.bb " +
+        "ELSE mm.a + mm.bb END) * CAST(1000000000 AS HUGEINT)"
       s"""m$r AS MATERIALIZED (SELECT occ.doc_id, lab.y,
          |    sum(CAST(occ.c AS HUGEINT) * w.w) AS a
          |  FROM occ JOIN w${r - 1} w USING (bucket) JOIN lab USING (doc_id)
          |  GROUP BY 1, 2),
-         |g$r AS MATERIALIZED (SELECT occ.bucket,
-         |    sum(${tdiv(gnum, "2 * mm.bb")}) AS gs
-         |  FROM occ JOIN (SELECT doc_id, y, a,
-         |      CAST(1000000000 AS HUGEINT) + abs(a) AS bb FROM m$r) mm
-         |    USING (doc_id)
+         |r$r AS MATERIALIZED (SELECT doc_id,
+         |    ${tdiv(rnum, "2 * mm.bb")} AS rq
+         |  FROM (SELECT doc_id, y, a,
+         |      CAST(1000000000 AS HUGEINT) + abs(a) AS bb FROM m$r) mm),
+         |g$r AS MATERIALIZED (SELECT occ.bucket, sum(rr.rq * occ.c) AS gs
+         |  FROM occ JOIN r$r rr USING (doc_id)
          |  GROUP BY 1),
          |w$r AS MATERIALIZED (SELECT w.bucket,
          |    w.w - ${tdiv("coalesce(g.gs, CAST(0 AS HUGEINT))",

@@ -312,8 +312,9 @@ class TokenModelsSpec extends AnyFunSuite {
       for ((_, y, cs) <- counts) {
         val a = cs.map { case (b, c) => w(b) * c }.sum
         val bb = nano + a.abs
-        for ((b, c) <- cs)
-          g(b) += tdiv((bb + a - 2 * bb * BigInt(y)) * c * nano, 2 * bb)
+        // residual quantized ONCE per doc; gradients are exact rq*c
+        val rq = tdiv((if (y == 1) a - bb else a + bb) * nano, 2 * bb)
+        for ((b, c) <- cs) g(b) += rq * c
       }
       for (b <- 0 to buckets) w(b) -= tdiv(g(b), n * 4)
     }
