@@ -252,6 +252,98 @@ object TokenModels {
         round(col("best.score").cast("double"), 6).as("best_bits"))
   }
 
+  /** Leave-one-fold-out cross-validated [[naiveBayes]] — the model
+    * selection loop ("is this classifier worth shipping?") as ONE
+    * aggregation pass, no per-fold retraining: per-(fold, class, bucket)
+    * counts aggregate once, and fold f's training model is the
+    * SUBTRACTION total − fold-f counts (leave-one-fold-out by
+    * arithmetic), with add-one smoothing applied to the subtracted
+    * counts. Folds come from [[Prep.kfold]]'s md5 bucket of the doc id —
+    * deterministic on any engine/partitioning, so the whole CV table is
+    * hash-exact.
+    *
+    * Each test doc scores ONLY against its own fold's held-out model —
+    * the fold id rides the (fold, bucket) join key onto the broadcast
+    * likelihood grid (folds × classes × buckets rows, few KB). Accuracy
+    * is ONE IEEE division of two exact integers (the [[graft.ops
+    * .EventOps.olsTrend]] discipline — no display rounding, no
+    * half-ulp surface). Docs with ≥ 1 token participate, as in
+    * [[naiveBayes]].
+    *
+    * Shape at scale: the same ONE (doc, bucket) count shuffle as NB;
+    * everything after is bounded — the count cube, the dense grid, the
+    * priors — and the scoring join broadcasts. Returns one row per fold:
+    * (fold, n_test, n_correct, accuracy).
+    */
+  def naiveBayesCrossVal(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, buckets: Int = 64, folds: Int = 5): DataFrame = {
+    val labeled = docs.select(col(idCol).as("id"),
+        col(labelCol).cast("string").as("__y"), col(textCol).as("__text"))
+      .withColumn("fold", Prep.hashBucket(col("id"), folds))
+    val occ = bucketCounts(labeled, "id", "__text", buckets)
+      .join(labeled.select(col("id"), col("__y"), col("fold")), Seq("id"))
+      .localCheckpoint()
+    // per-(fold, class, bucket) token counts, once; class totals derive
+    val cube = occ.groupBy("fold", "__y", "bucket").agg(sum(col("c")).as("n"))
+      .localCheckpoint()
+    val byClass = cube.groupBy("__y", "bucket").agg(sum(col("n")).as("nt"))
+    val classTot = byClass.groupBy("__y").agg(sum(col("nt")).as("tot"))
+    val foldClassTot = cube.groupBy("fold", "__y").agg(sum(col("n")).as("ft"))
+    val spark = docs.sparkSession
+    val grid = spark.range(folds).select(col("id").cast("int").as("fold"))
+      .crossJoin(spark.range(buckets).select(col("id").cast("int")
+        .as("bucket")))
+      .crossJoin(labeled.select(col("__y")).distinct())
+    val lik = grid
+      .join(byClass, Seq("__y", "bucket"), "left")
+      .join(cube, Seq("fold", "__y", "bucket"), "left")
+      .join(classTot, Seq("__y"))
+      .join(foldClassTot, Seq("fold", "__y"), "left")
+      .select(col("fold"), col("__y"), col("bucket"),
+        bits9((coalesce(col("nt"), lit(0L)) - coalesce(col("n"), lit(0L))
+            + 1.0) /
+          (col("tot") - coalesce(col("ft"), lit(0L)) + buckets)).as("lp"))
+    // priors over TRAINING docs (docs with >= 1 token, as in naiveBayes)
+    val docFold = occ.select("id", "__y", "fold").distinct()
+    val docsByClass = docFold.groupBy("__y").agg(count(lit(1)).as("dc"))
+    val docsByFoldClass = docFold.groupBy("fold", "__y")
+      .agg(count(lit(1)).as("dfc"))
+    val docsTot = docFold.agg(count(lit(1)).as("dtot"))
+    val docsByFold = docFold.groupBy("fold").agg(count(lit(1)).as("df"))
+    val priors = docsByClass
+      .crossJoin(spark.range(folds).select(col("id").cast("int").as("fold")))
+      .join(docsByFoldClass, Seq("fold", "__y"), "left")
+      .crossJoin(broadcast(docsTot))
+      .join(docsByFold, Seq("fold"))
+      // a class with ZERO training docs for this fold cannot be
+      // predicted — drop its (fold, class) row so the scoring join
+      // never sees it (log 0 has no finite encoding)
+      .filter(col("dc") > coalesce(col("dfc"), lit(0L)))
+      .select(col("fold"), col("__y"),
+        bits9((col("dc") - coalesce(col("dfc"), lit(0L))).cast("double") /
+          (col("dtot") - col("df"))).as("prior"))
+    val scored = occ.select(col("id"), col("fold"), col("bucket"), col("c"))
+      .join(broadcast(lik.withColumnRenamed("__y", "__cls")),
+        Seq("fold", "bucket"))
+      .groupBy("id", "fold", "__cls")
+      .agg(sum(col("lp") * col("c").cast(C10)).as("__s"))
+      .join(broadcast(priors.select(col("fold"),
+        col("__y").as("__cls"), col("prior"))), Seq("fold", "__cls"))
+      .select(col("id"), col("fold"), col("__cls"),
+        (col("__s").cast(DecimalType(28, 9)) + col("prior")).as("score"))
+    val predicted = scored.groupBy("id", "fold")
+      .agg(max(struct(col("score"), col("__cls"))).as("best"))
+      .select(col("id"), col("fold"), col("best.__cls").as("__pred"))
+    predicted
+      .join(labeled.select(col("id"), col("__y")), Seq("id"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_test"),
+        sum((col("__pred") === col("__y")).cast("long")).as("n_correct"))
+      .select(col("fold"), col("n_test"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n_test").cast("double"))
+          .as("accuracy"))
+  }
+
   /** Tokenizer-vocabulary construction: terms with corpus count ≥
     * `minCount`, assigned CONTIGUOUS ids in (count desc, term asc) order —
     * the id layout every embedding table expects (frequent terms get small

@@ -314,6 +314,18 @@ object TextQueries {
         "doc_id", "text", "lang", NbBuckets)
       .orderBy("doc_id")
 
+  private val NbFolds = 5
+
+  /** Leave-one-fold-out cross-validated Naive Bayes
+    * ([[graft.ops.TokenModels.naiveBayesCrossVal]]) — per-fold held-out
+    * accuracy of the `text_nb_classifier` model in ONE aggregation pass
+    * (fold models by count subtraction, no retraining loop).
+    */
+  def nbCrossVal(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TokenModels.naiveBayesCrossVal(Tables.documents(spark, dir),
+        "doc_id", "text", "lang", NbBuckets, NbFolds)
+      .orderBy("fold")
+
   private val SgdBuckets = 16
   private val SgdIters = 12
   private val SgdEtaShift = 8
@@ -561,6 +573,7 @@ object TextQueries {
     "text_gopher_filter" -> gopherFilter,
     "text_heavy_hitters" -> heavyHitters,
     "text_nb_classifier" -> nbLangId,
+    "text_nb_crossval" -> nbCrossVal,
     "text_sgd_classifier" -> sgdClassifier,
     "text_dup_ngram_coverage" -> dupCoverage,
     "text_bigram_lm" -> bigramLm,
@@ -880,6 +893,76 @@ object TextQueries {
          |  mask = 0 AS keep
          |FROM f ORDER BY doc_id""".stripMargin
     },
+    // fold models by count subtraction (total − fold), add-one smoothing
+    // on the subtracted counts, priors over training docs only (a class
+    // with zero training docs for a fold is dropped — it cannot be
+    // predicted); accuracy = ONE division of two exact integers
+    "text_nb_crossval" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+         |      % $NbFolds AS fold,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |occ AS MATERIALIZED (SELECT d.doc_id, d.lang, d.fold, t.bucket,
+         |    count(*) AS c
+         |  FROM (SELECT doc_id,
+         |      ('0x' || substr(md5(tok), 1, 12))::BIGINT % $NbBuckets
+         |        AS bucket
+         |    FROM (SELECT doc_id, unnest(toks) AS tok FROM d)) t
+         |  JOIN d USING (doc_id) GROUP BY 1, 2, 3, 4),
+         |cube AS (SELECT fold, lang, bucket, sum(c) AS n
+         |  FROM occ GROUP BY 1, 2, 3),
+         |byc AS (SELECT lang, bucket, sum(n) AS nt FROM cube GROUP BY 1, 2),
+         |ct AS (SELECT lang, sum(nt) AS tot FROM byc GROUP BY 1),
+         |fct AS (SELECT fold, lang, sum(n) AS ft FROM cube GROUP BY 1, 2),
+         |grid AS (SELECT f.fold, b.bucket, c.lang
+         |  FROM (SELECT unnest(generate_series(0, ${NbFolds - 1})) AS fold) f,
+         |    (SELECT unnest(generate_series(0, ${NbBuckets - 1}))
+         |       AS bucket) b,
+         |    (SELECT DISTINCT lang FROM d) c),
+         |lik AS (SELECT g.fold, g.lang, g.bucket,
+         |    CAST(round(ln((coalesce(byc.nt, 0) - coalesce(cube.n, 0) + 1.0)
+         |        / (ct.tot - coalesce(fct.ft, 0) + $NbBuckets))
+         |      / ${math.log(2.0)}, 9) AS DECIMAL(18,9)) AS lp
+         |  FROM grid g
+         |  LEFT JOIN byc ON byc.lang = g.lang AND byc.bucket = g.bucket
+         |  LEFT JOIN cube ON cube.fold = g.fold AND cube.lang = g.lang
+         |    AND cube.bucket = g.bucket
+         |  JOIN ct ON ct.lang = g.lang
+         |  LEFT JOIN fct ON fct.fold = g.fold AND fct.lang = g.lang),
+         |docfold AS (SELECT DISTINCT doc_id, lang, fold FROM occ),
+         |dbc AS (SELECT lang, count(*) AS dc FROM docfold GROUP BY 1),
+         |dbfc AS (SELECT fold, lang, count(*) AS dfc
+         |  FROM docfold GROUP BY 1, 2),
+         |dtot AS (SELECT count(*) AS n_all FROM docfold),
+         |dbf AS (SELECT fold, count(*) AS df FROM docfold GROUP BY 1),
+         |pri AS (SELECT f.fold, dbc.lang,
+         |    CAST(round(ln((dbc.dc - coalesce(dbfc.dfc, 0)) * 1.0
+         |        / (dtot.n_all - dbf.df)) / ${math.log(2.0)}, 9)
+         |      AS DECIMAL(18,9)) AS prior
+         |  FROM (SELECT unnest(generate_series(0, ${NbFolds - 1}))
+         |      AS fold) f
+         |  CROSS JOIN dbc
+         |  CROSS JOIN dtot
+         |  LEFT JOIN dbfc ON dbfc.fold = f.fold AND dbfc.lang = dbc.lang
+         |  JOIN dbf ON dbf.fold = f.fold
+         |  WHERE dbc.dc > coalesce(dbfc.dfc, 0)),
+         |sc AS (SELECT occ.doc_id, occ.fold, lik.lang,
+         |    sum(lik.lp * occ.c) + any_value(pri.prior) AS score
+         |  FROM occ
+         |  JOIN lik ON lik.fold = occ.fold AND lik.bucket = occ.bucket
+         |  JOIN pri ON pri.fold = occ.fold AND pri.lang = lik.lang
+         |  GROUP BY 1, 2, 3),
+         |best AS (SELECT doc_id, fold,
+         |    max(struct_pack(s := score, y := lang)) AS b
+         |  FROM sc GROUP BY 1, 2)
+         |SELECT best.fold AS fold, count(*) AS n_test,
+         |  CAST(sum(CASE WHEN best.b.y = d.lang THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_correct,
+         |  CAST(sum(CASE WHEN best.b.y = d.lang THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
+         |FROM best JOIN d USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the GD loop unrolled: every iteration is exact HUGEINT arithmetic
     // (nano-unit weights, sign-explicit truncating divisions), so the
     // replay is bit-identical — no rounding surface anywhere

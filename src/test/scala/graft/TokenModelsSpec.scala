@@ -334,4 +334,48 @@ class TokenModelsSpec extends AnyFunSuite {
         r.getAs[Long]("score_nano"), r.getAs[Boolean]("predicted"))).toSeq
     assert(out2 == out)
   }
+  test("naiveBayesCrossVal: disjoint-vocab classes score perfectly, a " +
+      "mislabeled doc costs exactly its fold, zero-train classes drop") {
+    // md5-bucket folds (k=2): ids 2,3,5,6 land in fold 0; 1,4,9,12 in
+    // fold 1 (computed from the same 48-bit md5 prefix the op uses)
+    val docs = Seq(
+      (2L, "good good", "A"), (3L, "good", "A"),
+      (5L, "bad bad", "B"), (6L, "bad", "B"),
+      (1L, "good good good", "A"), (4L, "bad bad bad", "B"),
+      (9L, "good", "A"),
+      // mislabeled: B text, labeled A — its fold (12 -> fold 1) loses one
+      (12L, "bad bad", "A")
+    ).toDF("doc_id", "text", "lang")
+    val out = TokenModels.naiveBayesCrossVal(docs, "doc_id", "text",
+        "lang", buckets = 8, folds = 2)
+      .orderBy("fold").collect()
+      .map(r => (r.getAs[Long]("fold"), r.getAs[Long]("n_test"),
+        r.getAs[Long]("n_correct"), r.getAs[Double]("accuracy"))).toSeq
+    // fold 1 test docs (1,4,9,12) score against the CLEAN fold-0 model:
+    // 1,4,9 correct; 12 says "bad bad" so the model calls it B while the
+    // label reads A => 3/4.
+    // fold 0 test docs (2,3,5,6) score against the POISONED fold-1 model
+    // (doc 12 put two "bad" tokens into class A, and A holds a 3/4
+    // prior): hand-computed, "bad bad" scores A -4.860 vs B -4.919 bits
+    // and "bad" scores A -2.637 vs B -3.459 => docs 5,6 flip to A => 2/4.
+    // Label noise propagating through the held-out models is exactly
+    // what CV exists to surface.
+    assert(out == Seq((0L, 4L, 2L, 0.5), (1L, 4L, 3L, 0.75)))
+
+    // a class present in only ONE fold: its test docs can never be
+    // predicted (zero training docs) but still count in n_test
+    val docs2 = Seq(
+      (2L, "good good", "A"), (5L, "bad bad", "B"),
+      (1L, "good", "A"), (4L, "bad", "B"),
+      (3L, "weird weird", "C") // C exists only in fold 0
+    ).toDF("doc_id", "text", "lang")
+    val out2 = TokenModels.naiveBayesCrossVal(docs2, "doc_id", "text",
+        "lang", buckets = 8, folds = 2)
+      .orderBy("fold").collect()
+      .map(r => (r.getAs[Long]("fold"), r.getAs[Long]("n_test"),
+        r.getAs[Long]("n_correct"))).toSeq
+    val fold0 = out2.find(_._1 == 0L).get
+    assert(fold0._2 == 3L) // 2, 5, 3 all tested
+    assert(fold0._3 <= 2L) // doc 3 cannot be correct: C has no train docs
+  }
 }
