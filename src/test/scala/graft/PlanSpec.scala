@@ -406,4 +406,33 @@ class PlanSpec extends AnyFunSuite {
     val f = formatted(df)
     assert(f.contains("__gbkt"), f) // the salted two-phase path is in use
   }
+
+  test("dbscan: no cartesian anywhere; the eps-graph is materialized " +
+      "once (checkpointed) so roles/labels read the RDD, not a rescan") {
+    val df = SimilarityQueries.dbscanClusters(spark, dir)
+    val s = planString(df)
+    assert(!s.contains("CartesianProduct"), s)
+    // the candidate/edge/core relations were localCheckpointed: the
+    // output plan joins ExistingRDDs instead of re-deriving the eps-graph
+    // (the graft_dot cell join ran exactly once, inside that checkpoint)
+    assert(s.contains("Scan ExistingRDD"), s)
+  }
+
+  test("sgd classifier: the count relation is checkpointed once and the " +
+      "rounds reuse its id layout (no per-round full-relation exchange)") {
+    val df = graft.queries.TextQueries.sgdClassifier(spark, dir)
+    val s = planString(df)
+    // the final scoring pass reads the checkpointed RDD, not the parquet
+    // scan: training materialized the counts exactly once
+    assert(s.contains("Scan ExistingRDD"), s)
+    assert(!s.contains("aggregate(zip_with"), s)
+  }
+
+  test("nb cross-validation: the likelihood grid and priors arrive " +
+      "broadcast onto the count relation") {
+    val df = graft.queries.TextQueries.nbCrossVal(spark, dir)
+    val s = planString(df)
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 2, s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
 }
