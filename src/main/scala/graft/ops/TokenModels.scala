@@ -144,60 +144,85 @@ object TokenModels {
   def sgdLinear(docs: DataFrame, idCol: String, textCol: String,
       targetPred: Column, buckets: Int = 16, iters: Int = 12,
       etaShift: Int = 8, biasCount: Int = 32): DataFrame = {
-    val dec = DecimalType(38, 0)
+    val occ = sgdCounts(docs, idCol, textCol, targetPred, buckets,
+      biasCount)
+    var w = sgdInitWeights(docs.sparkSession, buckets)
+    for (_ <- 1 to iters)
+      w = sgdRound(occ, w, etaShift).localCheckpoint()
+    sgdMargins(occ, w).select(col("id").as(idCol),
+      col("__t").as("is_target"),
+      col("__a").cast("long").as("score_nano"),
+      (col("__a") >= 0).as("predicted"))
+  }
+
+  private val Dec38 = DecimalType(38, 0)
+  private val NanoDec = lit(1000000000L).cast(Dec38)
+
+  /** The (id, __t, bucket, c) count relation [[sgdLinear]] trains on —
+    * hash-partitioned by id BEFORE the checkpoint (localCheckpoint
+    * preserves outputPartitioning): the per-round margin groupBy and the
+    * occ ⋈ residual gradient join then both reuse this ONE layout —
+    * without it every round re-shuffles the full count relation on id
+    * (measured 11.3 → 8.7 s/round at 1M docs before the per-doc
+    * quantization; ProbeRound11). Bias rides as bucket `buckets` with
+    * count `biasCount`.
+    */
+  private[graft] def sgdCounts(docs: DataFrame, idCol: String,
+      textCol: String, targetPred: Column, buckets: Int,
+      biasCount: Int): DataFrame = {
     val labeled = docs.select(col(idCol).as("id"),
       targetPred.cast("boolean").as("__t"), col(textCol).as("__text"))
-    // hash-partitioned by id BEFORE the checkpoint (localCheckpoint
-    // preserves outputPartitioning): the per-iteration margin groupBy
-    // and the occ ⋈ residual gradient join then both reuse this ONE
-    // layout — without it every round re-shuffles the full count
-    // relation on id (measured 11.3 → 8.7 s/round at 1M docs before the
-    // per-doc quantization; ProbeRound11)
-    val occ = bucketCounts(labeled, "id", "__text", buckets)
+    bucketCounts(labeled, "id", "__text", buckets)
       .unionByName(labeled.select(col("id"), lit(buckets).as("bucket"),
         lit(biasCount.toLong).as("c")))
       .join(labeled.select(col("id"), col("__t")), Seq("id"))
       .select(col("id"), col("__t"), col("bucket"), col("c"))
       .repartition(col("id"))
       .localCheckpoint()
-    val nRel = labeled.agg(count(lit(1)).cast(dec).as("__n"))
-    val nano = lit(1000000000L).cast(dec)
-    val grid = docs.sparkSession.range(buckets + 1)
-      .select(col("id").cast("int").as("bucket"))
-    var w = grid.select(col("bucket"), lit(0L).cast(dec).as("w_nano"))
+  }
+
+  /** Zero weights on the dense bucket grid (bias = bucket `buckets`). */
+  private[graft] def sgdInitWeights(
+      spark: org.apache.spark.sql.SparkSession, buckets: Int): DataFrame =
+    spark.range(buckets + 1).select(col("id").cast("int").as("bucket"),
+        lit(0L).cast(Dec38).as("w_nano"))
       .localCheckpoint()
 
-    def margins(wRel: DataFrame): DataFrame = occ
-      .join(broadcast(wRel), Seq("bucket"))
-      .groupBy("id", "__t")
-      .agg(sum((col("c").cast(dec) * col("w_nano")).cast(dec)).cast(dec)
-        .as("__a"))
+  /** Per-doc exact margins a = Σ_b w_nano(b)·c(d,b) under `wRel`. */
+  private[graft] def sgdMargins(occ: DataFrame, wRel: DataFrame)
+      : DataFrame = occ
+    .join(broadcast(wRel), Seq("bucket"))
+    .groupBy("id", "__t")
+    .agg(sum((col("c").cast(Dec38) * col("w_nano")).cast(Dec38)).cast(Dec38)
+      .as("__a"))
 
-    for (_ <- 1 to iters) {
-      // residual quantizes ONCE PER DOC: rq = tdiv((a ∓ B)·10⁹, 2B) is
-      // the only BigDecimal-heavy work and runs on the doc-count
-      // relation; the per-(doc, bucket) gradient is then the cheap
-      // integer product rq·c (rq ≤ 10⁹, c ≤ 10⁶ — fits a LONG), cast
-      // compact for the exact decimal sum
-      val m = margins(w)
-        .select(col("id"),
-          tdiv(when(col("__t"), col("__a") - (nano + abs(col("__a"))))
-              .otherwise(col("__a") + (nano + abs(col("__a")))) * nano,
-            (nano + abs(col("__a"))) * lit(2).cast(dec)).as("__rq"))
-      val grads = occ.join(m, Seq("id"))
-        .groupBy("bucket")
-        .agg(sum((col("__rq") * col("c")).cast(dec)).cast(dec).as("__gs"))
-      w = w.join(grads, Seq("bucket"), "left")
-        .crossJoin(broadcast(nRel))
-        .select(col("bucket"),
-          (col("w_nano") - tdiv(coalesce(col("__gs"), lit(0L).cast(dec)),
-            col("__n") * lit(1L << etaShift).cast(dec))).cast(dec)
-            .as("w_nano"))
-        .localCheckpoint()
-    }
-    margins(w).select(col("id").as(idCol), col("__t").as("is_target"),
-      col("__a").cast("long").as("score_nano"),
-      (col("__a") >= 0).as("predicted"))
+  /** ONE batch-GD round: margins → per-doc quantized residual →
+    * per-bucket gradient → averaged update. The residual quantizes ONCE
+    * PER DOC — rq = tdiv((a ∓ B)·10⁹, 2B) is the only BigDecimal-heavy
+    * work and runs on the doc-count relation; the per-(doc, bucket)
+    * gradient is then the cheap integer product rq·c (rq ≤ 10⁹,
+    * c ≤ 10⁶ — fits a LONG), cast compact for the exact decimal sum.
+    * η averages over the docs in THIS `occ` — the same function serves
+    * full-corpus iteration ([[sgdLinear]]) and per-micro-batch online
+    * learning ([[graft.streaming.StreamingFeatures.sgdOnlineRound]]).
+    */
+  private[graft] def sgdRound(occ: DataFrame, w: DataFrame,
+      etaShift: Int): DataFrame = {
+    val nRel = occ.agg(count_distinct(col("id")).cast(Dec38).as("__n"))
+    val m = sgdMargins(occ, w)
+      .select(col("id"),
+        tdiv(when(col("__t"), col("__a") - (NanoDec + abs(col("__a"))))
+            .otherwise(col("__a") + (NanoDec + abs(col("__a")))) * NanoDec,
+          (NanoDec + abs(col("__a"))) * lit(2).cast(Dec38)).as("__rq"))
+    val grads = occ.join(m, Seq("id"))
+      .groupBy("bucket")
+      .agg(sum((col("__rq") * col("c")).cast(Dec38)).cast(Dec38).as("__gs"))
+    w.join(grads, Seq("bucket"), "left")
+      .crossJoin(broadcast(nRel))
+      .select(col("bucket"),
+        (col("w_nano") - tdiv(coalesce(col("__gs"), lit(0L).cast(Dec38)),
+          col("__n") * lit(1L << etaShift).cast(Dec38))).cast(Dec38)
+          .as("w_nano"))
   }
 
   /** Multinomial Naive Bayes over hashed-unigram buckets — the GPT-3-style

@@ -101,4 +101,31 @@ object StreamingFeatures {
       events.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(keyCols)
     else events.dropDuplicates(keyCols)
+
+  /** ONE online-learning step for the GD linear classifier
+    * ([[graft.ops.TokenModels.sgdLinear]]'s round applied to a single
+    * micro-batch): build the batch's (doc, bucket) counts, take one
+    * gradient step from `weights` with η averaged over THIS batch's
+    * docs, return the updated (bucket, w_nano) relation. Drive it from
+    * `foreachBatch`, carrying the returned weights (localCheckpoint'd)
+    * as the running model — mini-batch gradient descent where the
+    * stream defines the batches. Deterministic: the step is the same
+    * exact nano-integer arithmetic as the batch trainer, so a stream
+    * replayed with the same batch boundaries reproduces the weights
+    * bit-for-bit (StreamingSpec pins streaming ≡ the sequential batch
+    * loop).
+    *
+    * State shape at 100 TB: the carried model is buckets+1 rows — the
+    * only cross-batch state; each step touches ONLY the new batch
+    * (never re-reads history), the incremental-index discipline of
+    * [[graft.ops.Dedup]]'s streaming dedup.
+    */
+  def sgdOnlineRound(batch: DataFrame, weights: DataFrame, idCol: String,
+      textCol: String, targetPred: org.apache.spark.sql.Column,
+      buckets: Int = 16, etaShift: Int = 8, biasCount: Int = 32)
+      : DataFrame = {
+    val occ = graft.ops.TokenModels.sgdCounts(batch, idCol, textCol,
+      targetPred, buckets, biasCount)
+    graft.ops.TokenModels.sgdRound(occ, weights, etaShift)
+  }
 }

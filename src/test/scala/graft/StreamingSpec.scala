@@ -518,4 +518,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(byKey.contains((2L, 30L, Some(7.0))))  // dup doc 2 never lands
     assert(byKey.contains((3L, 30L, Some(3.0))))  // late back-fill seen
   }
+
+  test("streaming online GD: foreachBatch mini-batch rounds reproduce " +
+      "the sequential batch loop bit-for-bit") {
+    import graft.ops.TokenModels
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq((1L, "good good", true), (2L, "bad bad", false),
+      (3L, "good", true))
+    val b2 = Seq((4L, "bad", false), (5L, "good good good", true),
+      (6L, "bad bad bad", false))
+    val mem = MemoryStream[(Long, String, Boolean)]
+    val sdf = mem.toDF().toDF("doc_id", "text", "lab")
+    var w = TokenModels.sgdInitWeights(spark, 4)
+    val q = sdf.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty)
+          w = StreamingFeatures.sgdOnlineRound(b, w, "doc_id", "text",
+            col("lab"), buckets = 4, etaShift = 2, biasCount = 1)
+            .localCheckpoint(true)
+      }.start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = w.orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getDecimal(1).toBigInteger)).toSeq
+    // the same two rounds driven directly over static batch frames
+    var wb = TokenModels.sgdInitWeights(spark, 4)
+    for (batch <- Seq(b1, b2)) {
+      val occ = TokenModels.sgdCounts(batch.toDF("doc_id", "text", "lab"),
+        "doc_id", "text", col("lab"), 4, 1)
+      wb = TokenModels.sgdRound(occ, wb, 2).localCheckpoint(true)
+    }
+    val direct = wb.orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getDecimal(1).toBigInteger)).toSeq
+    assert(streamed == direct)
+    // the model actually moved off zero
+    assert(streamed.exists(_._2.signum != 0))
+  }
 }
