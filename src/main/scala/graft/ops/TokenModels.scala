@@ -225,6 +225,79 @@ object TokenModels {
           .as("w_nano"))
   }
 
+  /** Fits recorded by [[fitOrLoadSgd]] (tests observe cache behavior). */
+  val sgdFits = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Fingerprint binding a saved model to its training inputs and knobs —
+    * the [[graft.ops.Ivf.indexFingerprint]] discipline: the corpus'
+    * resolved input file list (parquet part names are unique per write),
+    * the columns, the target predicate's SQL, and every hyperparameter.
+    * A model written under one fingerprint is never served for another.
+    */
+  def modelFingerprint(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int, iters: Int, etaShift: Int,
+      biasCount: Int): String = {
+    val key = docs.inputFiles.sorted.mkString(",") +
+      s"|$idCol|$textCol|${targetPred.toString}" +
+      s"|$buckets|$iters|$etaShift|$biasCount"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Train-once / serve-many for the GD linear classifier: load the
+    * weights at `path` if present, readable AND fingerprint-matched,
+    * else train with [[sgdLinear]]'s loop and persist. Any
+    * unreadable/corrupt/stale artifact falls through to a clean refit
+    * (the [[graft.ops.Ivf]] artifact discipline — never fail the query,
+    * never serve foreign weights). Returns the (bucket, w_nano)
+    * relation; serve with [[sgdScore]].
+    */
+  def fitOrLoadSgd(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, path: String, buckets: Int = 16,
+      iters: Int = 12, etaShift: Int = 8, biasCount: Int = 32)
+      : DataFrame = {
+    val spark = docs.sparkSession
+    val fp = modelFingerprint(docs, idCol, textCol, targetPred, buckets,
+      iters, etaShift, biasCount)
+    val loaded =
+      try {
+        val w = spark.read.parquet(path).filter(col("fp") === fp)
+          .select(col("bucket"), col("w_nano").cast(Dec38))
+        if (w.count() == buckets + 1) Some(w.localCheckpoint()) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    loaded.getOrElse {
+      sgdFits.incrementAndGet()
+      val occ = sgdCounts(docs, idCol, textCol, targetPred, buckets,
+        biasCount)
+      var w = sgdInitWeights(spark, buckets)
+      for (_ <- 1 to iters) w = sgdRound(occ, w, etaShift).localCheckpoint()
+      w.withColumn("fp", lit(fp))
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      w
+    }
+  }
+
+  /** Label-free serving under trained weights: per-doc margin and
+    * prediction for ANY corpus (not just the training one) — the
+    * read path of the train-once/serve-many pair. One (doc, bucket)
+    * count pass + the broadcast model join.
+    */
+  def sgdScore(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, buckets: Int = 16, biasCount: Int = 32)
+      : DataFrame = {
+    val named = docs.select(col(idCol).as("id"), col(textCol).as("__text"))
+    val occ = bucketCounts(named, "id", "__text", buckets)
+      .unionByName(named.select(col("id"), lit(buckets).as("bucket"),
+        lit(biasCount.toLong).as("c")))
+    occ.join(broadcast(weights.select(col("bucket"), col("w_nano"))),
+        Seq("bucket"))
+      .groupBy("id")
+      .agg(sum((col("c").cast(Dec38) * col("w_nano")).cast(Dec38))
+        .cast(Dec38).as("__a"))
+      .select(col("id").as(idCol), col("__a").cast("long").as("score_nano"),
+        (col("__a") >= 0).as("predicted"))
+  }
+
   /** Multinomial Naive Bayes over hashed-unigram buckets — the GPT-3-style
     * quality/domain classifier (Brown et al. 2020 filtered CommonCrawl
     * with a linear classifier over hashed features; multinomial NB is its

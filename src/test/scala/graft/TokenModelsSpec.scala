@@ -378,4 +378,46 @@ class TokenModelsSpec extends AnyFunSuite {
     assert(fold0._2 == 3L) // 2, 5, 3 all tested
     assert(fold0._3 <= 2L) // doc 3 cannot be correct: C has no train docs
   }
+
+  test("fitOrLoadSgd: second call serves from disk (no refit), stale or " +
+      "corrupt artifacts refit cleanly, served scores match training") {
+    val fix = Seq(
+      (1L, "good good", true), (2L, "good", true),
+      (3L, "bad bad", false), (4L, "bad", false)
+    ).toDF("doc_id", "text", "lab")
+    val path = java.nio.file.Files.createTempDirectory("graft_sgd_model")
+      .resolve("w.parquet").toString
+    val before = TokenModels.sgdFits.get()
+    val w1 = TokenModels.fitOrLoadSgd(fix, "doc_id", "text", col("lab"),
+      path, buckets = 4, iters = 3, etaShift = 2, biasCount = 1)
+    assert(TokenModels.sgdFits.get() == before + 1)
+    val w2 = TokenModels.fitOrLoadSgd(fix, "doc_id", "text", col("lab"),
+      path, buckets = 4, iters = 3, etaShift = 2, biasCount = 1)
+    assert(TokenModels.sgdFits.get() == before + 1) // loaded, not refit
+    def wseq(w: org.apache.spark.sql.DataFrame) = w.orderBy("bucket")
+      .collect().map(r => (r.getInt(0), r.getDecimal(1).toBigInteger)).toSeq
+    assert(wseq(w1) == wseq(w2))
+    // served scores equal the trainer's margins
+    val scored = TokenModels.sgdScore(fix, "doc_id", "text", w2,
+        buckets = 4, biasCount = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_nano"))).toSeq
+    val trained = TokenModels.sgdLinear(fix, "doc_id", "text", col("lab"),
+        buckets = 4, iters = 3, etaShift = 2, biasCount = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_nano"))).toSeq
+    assert(scored == trained)
+    // a DIFFERENT hyperparameter fingerprint refits instead of serving
+    TokenModels.fitOrLoadSgd(fix, "doc_id", "text", col("lab"),
+      path, buckets = 4, iters = 2, etaShift = 2, biasCount = 1)
+    assert(TokenModels.sgdFits.get() == before + 2)
+    // a corrupt artifact refits instead of failing
+    val dir = new java.io.File(path)
+    dir.listFiles().foreach(_.delete())
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "part-0.parquet"),
+      "garbage".getBytes)
+    TokenModels.fitOrLoadSgd(fix, "doc_id", "text", col("lab"),
+      path, buckets = 4, iters = 3, etaShift = 2, biasCount = 1)
+    assert(TokenModels.sgdFits.get() == before + 3)
+  }
 }
