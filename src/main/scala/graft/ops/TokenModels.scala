@@ -225,6 +225,38 @@ object TokenModels {
           .as("w_nano"))
   }
 
+  /** Per-doc linear attribution under the trained [[sgdLinear]] model —
+    * the explainability read ("WHY was this doc kept/dropped?") that
+    * linear quality classifiers are chosen for: each bucket's
+    * contribution to the margin is exactly w_nano(b)·c(d,b), so the
+    * dominant feature is an integer argmax, not an approximation.
+    * Returns (idCol, is_target, score_nano, top_bucket, contrib_nano) —
+    * the top bucket by (|contribution| desc, bucket asc), engine-exact;
+    * bucket id `buckets` is the bias ("the prior dominates").
+    *
+    * Same shape as training plus ONE more broadcast-model join and a
+    * max-struct argmax — no extra shuffle class.
+    */
+  def sgdAttribution(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 16, iters: Int = 12,
+      etaShift: Int = 8, biasCount: Int = 32): DataFrame = {
+    val occ = sgdCounts(docs, idCol, textCol, targetPred, buckets,
+      biasCount)
+    var w = sgdInitWeights(docs.sparkSession, buckets)
+    for (_ <- 1 to iters) w = sgdRound(occ, w, etaShift).localCheckpoint()
+    val contrib = (col("c").cast(Dec38) * col("w_nano")).cast(Dec38)
+    occ.join(broadcast(w), Seq("bucket"))
+      .select(col("id"), col("__t"), col("bucket"), contrib.as("__ct"))
+      .groupBy("id", "__t")
+      .agg(sum(col("__ct")).cast(Dec38).as("__a"),
+        max(struct(abs(col("__ct")), (-col("bucket")).as("__nb"),
+          col("bucket"), col("__ct"))).as("__top"))
+      .select(col("id").as(idCol), col("__t").as("is_target"),
+        col("__a").cast("long").as("score_nano"),
+        col("__top.bucket").as("top_bucket"),
+        col("__top.__ct").cast("long").as("contrib_nano"))
+  }
+
   /** Fits recorded by [[fitOrLoadSgd]] (tests observe cache behavior). */
   val sgdFits = new java.util.concurrent.atomic.AtomicInteger(0)
 

@@ -353,7 +353,32 @@ object TextQueries {
     * sign-explicit truncating division: DuckDB's `//` floors where
     * Spark's `div` truncates, so negatives never reach the division.
     */
-  private lazy val sgdOracleSql: String = {
+  private lazy val sgdOracleSql: String =
+    s"""$sgdCtesSql
+       |SELECT mf.doc_id, d.t AS is_target, CAST(mf.a AS BIGINT) AS score_nano,
+       |  mf.a >= 0 AS predicted
+       |FROM (SELECT occ.doc_id, sum(CAST(occ.c AS HUGEINT) * w.w) AS a
+       |      FROM occ JOIN w$SgdIters w USING (bucket) GROUP BY 1) mf
+       |JOIN d USING (doc_id) ORDER BY mf.doc_id""".stripMargin
+
+  // per-(doc, bucket) contribution = c * w under the final weights; top
+  // bucket by (|contribution| desc, bucket asc) via the max-struct trick
+  private lazy val sgdAttributionOracleSql: String =
+    s"""$sgdCtesSql,
+       |att AS (SELECT occ.doc_id, occ.bucket,
+       |    CAST(occ.c AS HUGEINT) * w.w AS ct
+       |  FROM occ JOIN w$SgdIters w USING (bucket)),
+       |agg AS (SELECT doc_id, sum(ct) AS a,
+       |    max(struct_pack(ab := abs(ct), nb := -bucket, b := bucket,
+       |      c := ct)) AS top
+       |  FROM att GROUP BY 1)
+       |SELECT agg.doc_id, d.t AS is_target,
+       |  CAST(agg.a AS BIGINT) AS score_nano,
+       |  CAST(agg.top.b AS BIGINT) AS top_bucket,
+       |  CAST(agg.top.c AS BIGINT) AS contrib_nano
+       |FROM agg JOIN d USING (doc_id) ORDER BY agg.doc_id""".stripMargin
+
+  private lazy val sgdCtesSql: String = {
     val B = SgdBuckets
     def tdiv(num: String, den: String) =
       s"(CASE WHEN ($num) < 0 THEN -((-($num)) // ($den)) " +
@@ -391,13 +416,18 @@ object TextQueries {
        |n AS (SELECT CAST(count(*) AS HUGEINT) AS nn FROM d),
        |w0 AS (SELECT unnest(generate_series(0, $B)) AS bucket,
        |    CAST(0 AS HUGEINT) AS w),
-       |$iters
-       |SELECT mf.doc_id, d.t AS is_target, CAST(mf.a AS BIGINT) AS score_nano,
-       |  mf.a >= 0 AS predicted
-       |FROM (SELECT occ.doc_id, sum(CAST(occ.c AS HUGEINT) * w.w) AS a
-       |      FROM occ JOIN w$SgdIters w USING (bucket) GROUP BY 1) mf
-       |JOIN d USING (doc_id) ORDER BY mf.doc_id""".stripMargin
+       |$iters""".stripMargin
   }
+
+  /** Per-doc top-feature attribution under the trained linear model
+    * ([[graft.ops.TokenModels.sgdAttribution]]) — the "why was this doc
+    * kept/dropped" explainability read; exact integer contributions.
+    */
+  def sgdAttributionQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TokenModels.sgdAttribution(Tables.documents(spark, dir),
+        "doc_id", "text", col("n_chars") >= SgdThresh,
+        SgdBuckets, SgdIters, SgdEtaShift, SgdBias)
+      .orderBy("doc_id")
 
   private val HhK = 40 // heavy-hitter threshold: freq > n_total / 40
 
@@ -575,6 +605,7 @@ object TextQueries {
     "text_nb_classifier" -> nbLangId,
     "text_nb_crossval" -> nbCrossVal,
     "text_sgd_classifier" -> sgdClassifier,
+    "text_sgd_attribution" -> sgdAttributionQ,
     "text_dup_ngram_coverage" -> dupCoverage,
     "text_bigram_lm" -> bigramLm,
     "text_kn_bigram" -> knBigram,
@@ -967,6 +998,9 @@ object TextQueries {
     // (nano-unit weights, sign-explicit truncating divisions), so the
     // replay is bit-identical — no rounding surface anywhere
     "text_sgd_classifier" -> sgdOracleSql,
+    // same unrolled training replay + one attribution join; every value
+    // is an exact integer, argmax by (|contribution|, -bucket) struct
+    "text_sgd_attribution" -> sgdAttributionOracleSql,
     // add-one NB over a dense (lang × 64-bucket) grid; scores are exact
     // DECIMAL sums of 9dp contributions + a 9dp log-prior; argmax ties to
     // the lexicographically last class via max-struct

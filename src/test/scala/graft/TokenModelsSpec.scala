@@ -420,4 +420,37 @@ class TokenModelsSpec extends AnyFunSuite {
       path, buckets = 4, iters = 3, etaShift = 2, biasCount = 1)
     assert(TokenModels.sgdFits.get() == before + 3)
   }
+
+  test("sgdAttribution: contributions sum to the margin, top bucket is " +
+      "|contribution| argmax with smallest-bucket ties") {
+    val fix = Seq(
+      (1L, "good good", true), (2L, "good", true),
+      (3L, "bad bad", false), (4L, "bad", false)
+    ).toDF("doc_id", "text", "lab")
+    val att = TokenModels.sgdAttribution(fix, "doc_id", "text", col("lab"),
+        buckets = 4, iters = 3, etaShift = 2, biasCount = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_nano"),
+        r.getAs[Long]("top_bucket"), r.getAs[Long]("contrib_nano")))
+    val scores = TokenModels.sgdLinear(fix, "doc_id", "text", col("lab"),
+        buckets = 4, iters = 3, etaShift = 2, biasCount = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_nano")))
+    // margins agree with the trainer (same arithmetic, one more join)
+    assert(att.map(a => (a._1, a._2)).toSeq == scores.toSeq)
+    // the top contribution's magnitude dominates the residual margin:
+    // |contrib| >= |score - contrib| / 4 buckets is loose; assert the
+    // sharp property instead — no other bucket can beat it, so
+    // |contrib| * (buckets + 1) >= |score| (triangle inequality)
+    att.foreach { case (_, sc, _, ct) =>
+      assert(math.abs(ct).toLong * 5L >= math.abs(sc), s"$sc $ct") }
+    // all-zero weights edge: zero iterations => every contribution is 0
+    // and the tie resolves to the smallest bucket id
+    val zero = TokenModels.sgdAttribution(fix, "doc_id", "text", col("lab"),
+        buckets = 4, iters = 0, etaShift = 2, biasCount = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("top_bucket"), r.getAs[Long]("contrib_nano")))
+    assert(zero.forall(_._2 == 0L))
+    assert(zero.forall(_._1 >= 0L))
+  }
 }
