@@ -1236,6 +1236,55 @@ object EventOps {
         coalesce(col("x"), lit(0L)).as("x"))
   }
 
+  /** Split-conformal prediction interval for the lag-`seasonDays` naive
+    * forecast (Vovk et al. 2005, "Algorithmic Learning in a Random
+    * World"; Lei et al. 2018 split conformal): days with a lag forecast
+    * split into a CALIBRATION half (md5 of the day id — the
+    * engine-portable coin) and a TEST half; the interval half-width q
+    * is the ⌈(n_cal+1)(1−α)⌉-th SMALLEST calibration |error| — the
+    * finite-sample-valid order statistic, not a plug-in quantile — and
+    * marginal coverage is measured on the held-out days. α is fixed at
+    * 1/5 so the rank is exact integer arithmetic:
+    * k = ((n_cal+1)·4 + 4) div 5. Exchangeability over days is the
+    * documented assumption (adjacent days are not iid — the standard
+    * split-conformal caveat; the md5 split at least removes temporal
+    * selection). Returns ONE row (n_cal, n_test, q_cents, n_covered,
+    * coverage); EMPTY when k > n_cal (the finite-sample interval is
+    * infinite — too few calibration days), spec-pinned.
+    *
+    * Shape: the corpus collapses to the bounded day grid in one
+    * shuffle; the rank window runs over the days-scale calibration
+    * relation (the [[theilSenTrend]] justification); errors are exact
+    * cent integers, q is an integer, coverage is ONE IEEE division of
+    * two exact integers.
+    */
+  def conformalForecast(df: DataFrame, tsCol: String, valueCol: String,
+      seasonDays: Int = 7): DataFrame = {
+    val grid = dailyCentsGrid(df, tsCol, valueCol).localCheckpoint()
+    val lag = grid.select((col("idx") + seasonDays).as("idx"),
+      col("x").as("__pred"))
+    val err = grid.join(lag, Seq("idx"))
+      .select(col("d"), abs(col("x") - col("__pred")).as("__aerr"),
+        (Prep.hashBucket(col("d"), 2) === 0).as("__cal"))
+      .localCheckpoint()
+    val cal = err.filter(col("__cal"))
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    val q = cal
+      .withColumn("__rk",
+        row_number().over(Window.orderBy(col("__aerr"), col("d"))))
+      .crossJoin(broadcast(nCal))
+      .filter(col("__rk") === expr("((n_cal + 1) * 4 + 4) div 5"))
+      .select(col("n_cal"), col("__aerr").as("q_cents"))
+    err.filter(!col("__cal"))
+      .crossJoin(broadcast(q))
+      .groupBy("n_cal", "q_cents")
+      .agg(count(lit(1)).as("n_test"),
+        sum((col("__aerr") <= col("q_cents")).cast("long")).as("n_covered"))
+      .select(col("n_cal"), col("n_test"), col("q_cents"), col("n_covered"),
+        (col("n_covered").cast("double") / col("n_test").cast("double"))
+          .as("coverage"))
+  }
+
   /** Lorenz spend concentration — the Gini coefficient and top-decile
     * share of per-key total spend: the whale-dependence read (how much
     * of revenue sits on how few users) that RFM segments can't give in

@@ -372,6 +372,12 @@ object FeatureQueries {
   def ewmaForecastQ(spark: SparkSession, dir: String): DataFrame =
     EventOps.ewmaForecast(Tables.events(spark, dir), "ts", "value")
 
+  /** Split-conformal interval + held-out coverage for the lag-7 naive
+    * daily-value forecast ([[graft.ops.EventOps.conformalForecast]]).
+    */
+  def conformalNaive(spark: SparkSession, dir: String): DataFrame =
+    EventOps.conformalForecast(Tables.events(spark, dir), "ts", "value")
+
   /** Synchronous bounded-round label-propagation communities over the
     * purchase graph ([[graft.ops.Graph.lpaCommunities]], same edges as
     * `feat_pagerank`).
@@ -662,6 +668,7 @@ object FeatureQueries {
     "feat_acf_pacf" -> acfPacf,
     "feat_spend_gini" -> spendGini,
     "feat_ewma_forecast" -> ewmaForecastQ,
+    "feat_conformal_naive" -> conformalNaive,
     "feat_forecast_mase" -> forecastMase,
     "feat_dtw_pairs" -> dtwPairs,
     "feat_fano_burstiness" -> fano,
@@ -1667,6 +1674,38 @@ object FeatureQueries {
         |ORDER BY node""".stripMargin,
     // EWMA nano errors vs naive lag-7 errors on the shared grid; MASE =
     // one division of two exact sums
+    // zero-filled day grid, lag-7 naive |error| in exact cents; q = the
+    // ceil((n_cal+1)*0.8)-th smallest calibration error (order statistic
+    // by (err, d) -- engine-stable); coverage = one division of two
+    // exact integers; empty when the rank exceeds n_cal
+    "feat_conformal_naive" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+        |grid AS (SELECT gs.d, coalesce(daily.x, 0) AS x,
+        |    gs.d - bounds.d0 AS idx
+        |  FROM bounds, UNNEST(generate_series(bounds.d0, bounds.d1)) gs(d)
+        |  LEFT JOIN daily ON daily.d = gs.d),
+        |err AS (SELECT g.d, abs(g.x - l.x) AS aerr,
+        |    (('0x' || substr(md5(g.d::VARCHAR), 1, 12))::BIGINT % 2) = 0
+        |      AS cal
+        |  FROM grid g JOIN grid l ON g.idx = l.idx + 7),
+        |calset AS (SELECT aerr, d,
+        |    row_number() OVER (ORDER BY aerr, d) AS rk
+        |  FROM err WHERE cal),
+        |nc AS (SELECT count(*) AS n_cal FROM calset),
+        |q AS (SELECT nc.n_cal, calset.aerr AS q_cents
+        |  FROM calset, nc
+        |  WHERE calset.rk = ((nc.n_cal + 1) * 4 + 4) // 5)
+        |SELECT q.n_cal, count(*) AS n_test, q.q_cents,
+        |  CAST(sum(CASE WHEN e.aerr <= q.q_cents THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_covered,
+        |  CAST(sum(CASE WHEN e.aerr <= q.q_cents THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE) AS coverage
+        |FROM err e, q WHERE NOT e.cal
+        |GROUP BY q.n_cal, q.q_cents""".stripMargin,
     "feat_forecast_mase" ->
       s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
          |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))

@@ -847,4 +847,31 @@ class EventOpsSpec extends AnyFunSuite {
       ("c", 1L, None, None, None),
       ("d", 2L, None, None, None)))
   }
+
+  test("conformalForecast: hand-computed order-statistic width and " +
+      "held-out coverage; too-few calibration days => empty (infinite " +
+      "interval)") {
+    // one event per day 0..20, value (d*d mod 13)+1 dollars; lag-7
+    // errors exist for days 7..20; md5(d)%2 calibration days are
+    // {7,8,10,11,13..19} (n_cal=11, k=ceil(12*0.8)=10 -> q=1000 cents);
+    // test days 9,12,20 with errors 100,1100,1000 -> 2/3 covered
+    val df = (0L to 20L).map(d =>
+        (d, ((d * d) % 13 + 1).toDouble)).toDF("du", "value")
+      .select(timestamp_micros(col("du") * 86400000000L).as("ts"),
+        col("value"))
+    val out = EventOps.conformalForecast(df, "ts", "value").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_cal") == 11L)
+    assert(r.getAs[Long]("n_test") == 3L)
+    assert(r.getAs[Long]("q_cents") == 1000L)
+    assert(r.getAs[Long]("n_covered") == 2L)
+    assert(math.abs(r.getAs[Double]("coverage") - 2.0 / 3.0) < 1e-15)
+    // 3 calibration days: k = ceil(4*0.8) = 4 > 3 -> empty result
+    val tiny = (0L to 9L).map(d => (d, 1.0 + d)).toDF("du", "value")
+      .select(timestamp_micros(col("du") * 86400000000L).as("ts"),
+        col("value"))
+    // days 7,8,9 have forecasts; whichever split lands, n_cal <= 3 < k
+    assert(EventOps.conformalForecast(tiny, "ts", "value").isEmpty)
+  }
 }
