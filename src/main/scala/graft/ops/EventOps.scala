@@ -1249,8 +1249,10 @@ object EventOps {
     * documented assumption (adjacent days are not iid — the standard
     * split-conformal caveat; the md5 split at least removes temporal
     * selection). Returns ONE row (n_cal, n_test, q_cents, n_covered,
-    * coverage); EMPTY when k > n_cal (the finite-sample interval is
-    * infinite — too few calibration days), spec-pinned.
+    * coverage); k > n_cal (too few calibration days) has no finite
+    * conformal rank, so q_cents is NULL — the INFINITE interval, which
+    * covers every test day (coverage 1, the conservative direction) —
+    * the [[graft.ops.Eval.conformalInterval]] convention, spec-pinned.
     *
     * Shape: the corpus collapses to the bounded day grid in one
     * shuffle; the rank window runs over the days-scale calibration
@@ -1269,17 +1271,21 @@ object EventOps {
       .localCheckpoint()
     val cal = err.filter(col("__cal"))
     val nCal = cal.agg(count(lit(1)).as("n_cal"))
-    val q = cal
+    val kth = cal
       .withColumn("__rk",
         row_number().over(Window.orderBy(col("__aerr"), col("d"))))
       .crossJoin(broadcast(nCal))
       .filter(col("__rk") === expr("((n_cal + 1) * 4 + 4) div 5"))
-      .select(col("n_cal"), col("__aerr").as("q_cents"))
+      .select(col("__aerr").as("q_cents"))
+    // left-on-true keeps the single row with NULL q when the rank has no
+    // finite witness (k > n_cal): the infinite interval
+    val q = nCal.join(kth, lit(true), "left")
     err.filter(!col("__cal"))
       .crossJoin(broadcast(q))
       .groupBy("n_cal", "q_cents")
       .agg(count(lit(1)).as("n_test"),
-        sum((col("__aerr") <= col("q_cents")).cast("long")).as("n_covered"))
+        sum((col("q_cents").isNull || col("__aerr") <= col("q_cents"))
+          .cast("long")).as("n_covered"))
       .select(col("n_cal"), col("n_test"), col("q_cents"), col("n_covered"),
         (col("n_covered").cast("double") / col("n_test").cast("double"))
           .as("coverage"))

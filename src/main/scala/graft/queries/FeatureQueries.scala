@@ -1696,13 +1696,14 @@ object FeatureQueries {
         |    row_number() OVER (ORDER BY aerr, d) AS rk
         |  FROM err WHERE cal),
         |nc AS (SELECT count(*) AS n_cal FROM calset),
-        |q AS (SELECT nc.n_cal, calset.aerr AS q_cents
-        |  FROM calset, nc
-        |  WHERE calset.rk = ((nc.n_cal + 1) * 4 + 4) // 5)
+        |kth AS (SELECT calset.aerr AS q_cents FROM calset, nc
+        |  WHERE calset.rk = ((nc.n_cal + 1) * 4 + 4) // 5),
+        |q AS (SELECT nc.n_cal, kth.q_cents FROM nc LEFT JOIN kth ON true)
         |SELECT q.n_cal, count(*) AS n_test, q.q_cents,
-        |  CAST(sum(CASE WHEN e.aerr <= q.q_cents THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_covered,
-        |  CAST(sum(CASE WHEN e.aerr <= q.q_cents THEN 1 ELSE 0 END)
+        |  CAST(sum(CASE WHEN q.q_cents IS NULL OR e.aerr <= q.q_cents
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        |  CAST(sum(CASE WHEN q.q_cents IS NULL OR e.aerr <= q.q_cents
+        |      THEN 1 ELSE 0 END)
         |      AS DOUBLE) / CAST(count(*) AS DOUBLE) AS coverage
         |FROM err e, q WHERE NOT e.cal
         |GROUP BY q.n_cal, q.q_cents""".stripMargin,

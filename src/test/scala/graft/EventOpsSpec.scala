@@ -867,11 +867,15 @@ class EventOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("q_cents") == 1000L)
     assert(r.getAs[Long]("n_covered") == 2L)
     assert(math.abs(r.getAs[Double]("coverage") - 2.0 / 3.0) < 1e-15)
-    // 3 calibration days: k = ceil(4*0.8) = 4 > 3 -> empty result
+    // <= 3 calibration days: k = ceil((n_cal+1)*0.8) > n_cal -> no
+    // finite rank -> q NULL = the INFINITE interval, every test day
+    // covered (the Eval.conformalInterval convention)
     val tiny = (0L to 9L).map(d => (d, 1.0 + d)).toDF("du", "value")
       .select(timestamp_micros(col("du") * 86400000000L).as("ts"),
         col("value"))
-    // days 7,8,9 have forecasts; whichever split lands, n_cal <= 3 < k
-    assert(EventOps.conformalForecast(tiny, "ts", "value").isEmpty)
+    val t = EventOps.conformalForecast(tiny, "ts", "value").collect()
+    assert(t.length == 1)
+    assert(t.head.isNullAt(t.head.fieldIndex("q_cents")))
+    assert(t.head.getAs[Double]("coverage") == 1.0)
   }
 }
