@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BpeAdjacentPairs, BpeApplyPair, BpeEncodeWord, BpeKernel, DeflateLength, DotProduct, DtwDistance, NgramHashes, PqAssignCodes, PqKernel, SimHash32, SortedIntersectCount, UnigramKernel, UnigramSegmentWord, WordpieceKernel, WordpieceWord}
+import graft.functions.{BpeAdjacentPairs, Md5Hash48, BpeApplyPair, BpeEncodeWord, BpeKernel, DeflateLength, DotProduct, DtwDistance, NgramHashes, PqAssignCodes, PqKernel, SimHash32, SortedIntersectCount, UnigramKernel, UnigramSegmentWord, WordpieceKernel, WordpieceWord}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -75,6 +75,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         NgramHashes(children.head, n)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_md5_48"),
+      new ExpressionInfo(classOf[Md5Hash48].getName, "graft_md5_48"),
+      (children: Seq[Expression]) => Md5Hash48(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash"),

@@ -114,6 +114,37 @@ case class SimHash32(child: Expression)
     copy(child = newChild)
 }
 
+/** 48-bit md5 prefix as an unsigned long — the codegen'd kernel behind
+  * [[graft.ops.Prep.hashBucket]]'s engine-portable hash
+  * (≡ `conv(substring(md5(key), 1, 12), 16, 10)`: the first 6 digest
+  * bytes big-endian, exactly the `'0x' || substr(md5(k),1,12)` integer
+  * every oracle uses). The builtin spelling round-trips each digest
+  * through a 32-char hex STRING plus a radix-conversion parse per row;
+  * this computes the long straight off the digest bytes — same value,
+  * no string allocation (measured 31.3 → 10.0 s on the 22M-token
+  * (doc, bucket) count build, ProbeRound11 occ mode). Registered as SQL
+  * function `graft_md5_48(key)`.
+  */
+case class Md5Hash48(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_md5_48"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.md5hash48(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHash.md5hash48($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Hash48 =
+    copy(child = newChild)
+}
+
 /** Row-level helpers behind [[NgramHashes]] and [[SimHash32]] — static entry
   * points the generated Java calls once per row (the loop stays inside
   * whole-stage codegen; only the per-document kernel is a method call).
@@ -178,6 +209,13 @@ object TextHash {
       i += 1
     }
     new GenericArrayData(rows.toArray)
+  }
+
+  /** See [[Md5Hash48]]: first 6 md5 digest bytes, big-endian unsigned. */
+  def md5hash48(key: UTF8String): Long = {
+    val md = digestLocal.get()
+    md.reset()
+    half(md.digest(key.getBytes), 0)
   }
 
   /** See [[SimHash32]]. Null (boxed) when the document has no tokens. */

@@ -172,10 +172,13 @@ object Dedup {
 
   /** 48-bit Long from the first 12 md5 hex digits of a string column — the
     * canonical token hash of the set-similarity path (expressible in both
-    * Spark and DuckDB).
+    * Spark and DuckDB). Runs on the codegen'd
+    * [[graft.functions.Md5Hash48]] kernel — bit-identical to the
+    * hex/conv spelling the oracles keep (VectorExprsSpec), without the
+    * per-row 32-char hex round-trip.
     */
   def tokenHash48(c: Column): Column =
-    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+    call_function("graft_md5_48", c)
 
   /** (id, ha, hb): per-document-distinct n-gram md5 halves via the fused
     * codegen kernel `graft_ngram_hashes` ([[graft.functions.NgramHashes]]).

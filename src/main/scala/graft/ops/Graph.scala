@@ -337,8 +337,8 @@ object Graph {
       val stepped = walk
         .join(deg, col("cur") === col("u")).drop("u")
         .withColumn("__i", pmod(
-          conv(substring(md5(concat_ws("|", col("start"), lit(r))), 1, 12),
-            16, 10).cast("long"),
+          call_function("graft_md5_48",
+            concat_ws("|", col("start"), lit(r))),
           col("__deg")))
         .drop("__deg")
         .join(adj, col("cur") === col("u") && col("__i") === col("i"))

@@ -43,6 +43,13 @@ object Prep {
     * `('0x' || substr(md5(x),1,12))::BIGINT % buckets`).
     */
   def hashBucket(key: Column, buckets: Int): Column =
+    pmod(call_function("graft_md5_48", key.cast("string")), lit(buckets))
+
+  /** Pure-builtin spelling of [[hashBucket]]'s 48-bit hash — the kernel's
+    * bit-identity witness (VectorExprsSpec) and the fallback for sessions
+    * without [[graft.GraftExtensions]].
+    */
+  def hashBucketBuiltin(key: Column, buckets: Int): Column =
     pmod(conv(substring(md5(key.cast("string")), 1, 12), 16, 10).cast("long"),
       lit(buckets))
 
@@ -310,8 +317,9 @@ object Prep {
       .select(col(userCol), col("__mxi"),
         explode(sequence(lit(0), lit(k * oversample - 1))).as("draw"))
       .withColumn(itemCol, lit(1L) + pmod(
-        conv(substring(md5(concat(col(userCol).cast("string"), lit("_"),
-          col("draw").cast("string"))), 1, 12), 16, 10).cast("long"),
+        call_function("graft_md5_48",
+          concat(col(userCol).cast("string"), lit("_"),
+            col("draw").cast("string"))),
         col("__mxi")))
     val wDedup = Window.partitionBy(col(userCol), col(itemCol))
       .orderBy(col("draw"))
@@ -574,8 +582,7 @@ object Prep {
     */
   def prioritySample(df: DataFrame, keyCol: String, weightCol: String,
       k: Int): DataFrame = {
-    val h48 = conv(substring(md5(col(keyCol).cast("string")), 1, 12), 16, 10)
-      .cast("long")
+    val h48 = call_function("graft_md5_48", col(keyCol).cast("string"))
     val u = (h48 + lit(1L)).cast("double") / lit(281474976710656.0) // 2^48
     df.withColumn("__priority", col(weightCol).cast("double") / u)
       .orderBy(col("__priority").desc, col(keyCol))

@@ -50,4 +50,28 @@ class VectorExprsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect()
     out.foreach { case (n, b) => assert(n == b) }
   }
+
+  test("graft_md5_48 is bit-identical to the builtin hex/conv spelling " +
+      "on random, unicode, empty and numeric keys") {
+    import graft.ops.Prep
+    val rnd = new Random(13)
+    val keys = Seq("", " ", "a", "é¿😀", "the quick brown fox") ++
+      Seq.fill(500)(rnd.alphanumeric.take(rnd.nextInt(30) + 1).mkString) ++
+      (0 until 100).map(i => (i * 2654435761L).toString)
+    val df = keys.toDF("k")
+    val out = df.select(
+      Prep.hashBucket(col("k"), 64).as("native"),
+      Prep.hashBucketBuiltin(col("k"), 64).as("builtin"),
+      call_function("graft_md5_48", col("k")).as("h48"),
+      conv(substring(md5(col("k")), 1, 12), 16, 10).cast("long").as("b48"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), r.toString)
+      assert(r.getLong(2) == r.getLong(3), r.toString)
+    }
+    // NULL key stays NULL through the kernel, as through the builtin
+    val n = Seq[Option[String]](None).toDF("k")
+      .select(Prep.hashBucket(col("k"), 8)).collect().head
+    assert(n.isNullAt(0))
+  }
 }
