@@ -124,8 +124,7 @@ object ScaleQueries {
     * dev/CI pipelines debuggable at 100 TB.
     */
   def sampleHashBucket(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(conv(substring(md5(col("event_id").cast("string")), 1, 12),
-      16, 10).cast("long"), lit(100))
+    val bucket = graft.ops.Prep.hashBucket(col("event_id"), 100)
     Tables.events(spark, dir)
       .filter(bucket < 10)
       .groupBy("event_type")
