@@ -914,6 +914,74 @@ object Similarity {
           .cast("long").as("cluster"))
   }
 
+  /** Top-2 nearest-anchor cells as (primary, secondary) — the multi-probe
+    * assignment for [[dbscanEdgeRecall]]: the secondary cell is the argmax
+    * EXCLUDING the primary index (ties: first max, as `array_position`
+    * breaks them), so boundary points participate in both neighborhoods.
+    */
+  private def anchorCell2Expr(vecCol: Column,
+      anchors: Array[Array[Int]]): (Column, Column) = {
+    val v = vecCol.cast("array<double>")
+    val scores = array(anchors.toIndexedSeq.map { a =>
+      val aLit = array(a.map(s => lit(s.toDouble)).toIndexedSeq: _*)
+      val norm2 = a.map(x => x.toDouble * x).sum
+      round(dot(v, aLit) / lit(math.sqrt(norm2)), 6)
+    }: _*)
+    val c1 = array_position(scores, array_max(scores)).cast("int")
+    val masked = zip_with(scores,
+      sequence(lit(1), lit(anchors.length)),
+      (s, i) => when(i === c1, lit(Double.NegativeInfinity)).otherwise(s))
+    val c2 = array_position(masked, array_max(masked)).cast("int")
+    (c1, c2)
+  }
+
+  /** Recall audit of the cell-bounded ε-graph [[dbscan]] (and
+    * [[semanticDedup]]) build on — the [[graft.ops.Ivf]] nProbe-recall
+    * discipline applied to density clustering: count the TRUE cosine
+    * edges (cos ≥ τ over all pairs — quadratic by construction, an
+    * AUDIT-scale query exactly like `sim_ivf_recall`'s exact arm) and
+    * how many survive the cell restriction at nProbe = 1 (same primary
+    * cell — the production [[dbscan]] candidate set) and nProbe = 2
+    * (any shared cell among each point's top-2 anchors — the multi-probe
+    * variant, ≤ 4× the candidate work for the boundary-pair recall the
+    * single cell loses). Returns one row per probe depth:
+    * (n_probe, n_true, n_found, recall) — recall is ONE IEEE division
+    * of two exact integers; n_true = 0 yields a null recall, not a
+    * crash.
+    */
+  def dbscanEdgeRecall(emb: DataFrame, idCol: String, vecCol: String,
+      tau: Double, anchors: Array[Array[Int]]): DataFrame = {
+    val (c1, c2) = anchorCell2Expr(col(vecCol), anchors)
+    val assigned = emb.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"),
+        c1.as("__c1"), c2.as("__c2"))
+      .localCheckpoint()
+    // true edges: all pairs, exact rounded cosine — audit-scale
+    val x = assigned.select(col("__id").as("__ia"), col("__v").as("__va"),
+      col("__c1").as("__c1a"), col("__c2").as("__c2a"))
+    val y = assigned.select(col("__id").as("__ib"), col("__v").as("__vb"),
+      col("__c1").as("__c1b"), col("__c2").as("__c2b"))
+    val pairs = x.join(y, col("__ia") < col("__ib"))
+      .filter(round(cosine(col("__va"), col("__vb")), 6) >= tau)
+      .select(col("__ia"), col("__ib"),
+        (col("__c1a") === col("__c1b")).as("__hit1"),
+        (col("__c1a") === col("__c1b") || col("__c1a") === col("__c2b") ||
+          col("__c2a") === col("__c1b") || col("__c2a") === col("__c2b"))
+          .as("__hit2"))
+      .localCheckpoint()
+    val stats = pairs.agg(count(lit(1)).as("n_true"),
+      sum(col("__hit1").cast("long")).as("__f1"),
+      sum(col("__hit2").cast("long")).as("__f2"))
+    stats.select(lit(1).as("n_probe"), col("n_true"),
+        col("__f1").as("n_found"),
+        when(col("n_true") > 0, col("__f1").cast("double") /
+          col("n_true").cast("double")).as("recall"))
+      .unionByName(stats.select(lit(2).as("n_probe"), col("n_true"),
+        col("__f2").as("n_found"),
+        when(col("n_true") > 0, col("__f2").cast("double") /
+          col("n_true").cast("double")).as("recall")))
+  }
+
   /** Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009) — the
     * standard hybrid-retrieval combiner: each input ranking contributes
     * `1/(rrfK + rank)` per document, scores sum across rankings. Rank

@@ -151,6 +151,17 @@ object SimilarityQueries {
         "vec_id", "embedding", DbscanTau, DbscanMinPts, semAnchors)
       .orderBy("vec_id")
 
+  /** Recall audit of the cell-bounded ε-graph at nProbe 1 vs 2
+    * ([[graft.ops.Similarity.dbscanEdgeRecall]]) — quantifies the
+    * boundary-pair loss `sim_dbscan`'s candidate set is documented to
+    * accept, against the exact quadratic edge set (audit-scale, the
+    * `sim_ivf_recall` pattern).
+    */
+  def dbscanRecall(spark: SparkSession, dir: String): DataFrame =
+    Similarity.dbscanEdgeRecall(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", DbscanTau, semAnchors)
+      .orderBy("n_probe")
+
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.lshTopK(emb, emb.filter(col("vec_id") === 0L),
@@ -587,6 +598,7 @@ object SimilarityQueries {
     "sim_brute_topk" -> bruteTopK,
     "sim_semantic_dedup" -> semanticDedup,
     "sim_dbscan" -> dbscanClusters,
+    "sim_dbscan_recall" -> dbscanRecall,
     "sim_lsh_neardup_pairs" -> lshNearDupPairs,
     "sim_neardup_triangles" -> neardupTriangles,
     "sim_lsh_topk" -> lshTopK,
@@ -899,12 +911,15 @@ object SimilarityQueries {
   // mirrors Similarity.anchorCellExpr over semAnchors: per-anchor rounded
   // normalized dot, argmax = FIRST maximal index (list_indexof, 1-based,
   // exactly array_position's tie rule)
-  private def semCellSql(vecExpr: String): String = {
-    val scores = semAnchors.map { a =>
+  private def semScoresSql(vecExpr: String): String =
+    semAnchors.map { a =>
       val arr = a.map(v => s"$v.0").mkString("[", ",", "]")
       val norm2 = a.map(x => x.toDouble * x).sum
       s"round(${dotSql(vecExpr, arr)} / sqrt($norm2), 6)"
     }.mkString("[", ", ", "]")
+
+  private def semCellSql(vecExpr: String): String = {
+    val scores = semScoresSql(vecExpr)
     s"list_indexof($scores, list_max($scores))"
   }
 
@@ -1088,6 +1103,36 @@ object SimilarityQueries {
          |FROM a LEFT JOIN comp ON comp.id = a.vec_id
          |LEFT JOIN bord ON bord.id = a.vec_id
          |ORDER BY vec_id""".stripMargin,
+    // top-2 anchor cells via the masked second argmax; true edges from
+    // the exact quadratic pair scan (audit-scale); recall = one division
+    // of exact integers
+    "sim_dbscan_recall" ->
+      s"""WITH sc AS (SELECT vec_id, embedding,
+         |    ${semScoresSql("embedding")} AS s FROM embeddings),
+         |a1 AS (SELECT vec_id, embedding, s,
+         |    list_indexof(s, list_max(s)) AS c1 FROM sc),
+         |a2 AS (SELECT vec_id, embedding, c1,
+         |    list_indexof(m, list_max(m)) AS c2
+         |  FROM (SELECT *, [CASE WHEN i = c1 THEN '-infinity'::DOUBLE
+         |      ELSE s[i] END FOR i IN generate_series(1,
+         |      ${semAnchors.length})] AS m FROM a1)),
+         |p AS (SELECT CAST(x.c1 = y.c1 AS INT) AS h1,
+         |    CAST(x.c1 = y.c1 OR x.c1 = y.c2 OR x.c2 = y.c1
+         |      OR x.c2 = y.c2 AS INT) AS h2
+         |  FROM a2 x JOIN a2 y ON x.vec_id < y.vec_id
+         |  WHERE ${cosineSql("x.embedding", "y.embedding")} >= $DbscanTau),
+         |st AS (SELECT count(*) AS n_true, sum(h1) AS f1, sum(h2) AS f2
+         |  FROM p)
+         |SELECT CAST(1 AS INT) AS n_probe, n_true,
+         |  CAST(f1 AS BIGINT) AS n_found,
+         |  CASE WHEN n_true > 0
+         |    THEN CAST(f1 AS DOUBLE) / CAST(n_true AS DOUBLE) END AS recall
+         |FROM st
+         |UNION ALL
+         |SELECT CAST(2 AS INT), n_true, CAST(f2 AS BIGINT),
+         |  CASE WHEN n_true > 0
+         |    THEN CAST(f2 AS DOUBLE) / CAST(n_true AS DOUBLE) END
+         |FROM st ORDER BY n_probe""".stripMargin,
     "sim_semantic_dedup" ->
       s"""WITH a AS (SELECT vec_id, embedding,
          |  ${semCellSql("embedding")} AS cell FROM embeddings),

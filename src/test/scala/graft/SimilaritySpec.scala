@@ -569,4 +569,25 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getAs[String]("role"), r.getAs[Long]("cluster"))).toSeq
     assert(out == Seq(("noise", -1L), ("noise", -1L)))
   }
+
+  test("dbscanEdgeRecall: same-cell clones recall 1.0 at both probes; a " +
+      "boundary pair is recovered only by the second probe") {
+    // anchors [1,1] and [1,-1] in 2D: (1, +eps) -> primary cell 1,
+    // (1, -eps) -> primary cell 2; both have the OTHER cell as their
+    // second-nearest anchor, so the near-identical boundary pair is
+    // missed at nProbe=1 and recovered at nProbe=2. The (0,1)/(0,1)
+    // clone pair shares cell 1 at both depths.
+    val emb2 = Seq(
+      (1L, Array(1.0f, 0.01f)), (2L, Array(1.0f, -0.01f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val anchors = Array(Array(1, 1), Array(1, -1))
+    val out = Similarity.dbscanEdgeRecall(emb2, "vec_id", "embedding",
+        tau = 0.9, anchors = anchors)
+      .orderBy("n_probe").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // true edges at cos >= 0.9: (1,2) boundary pair + (3,4) clones = 2
+    assert(out == Seq((1, 2L, 1L, 0.5), (2, 2L, 2L, 1.0)))
+  }
 }
