@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BpeAdjacentPairs, Md5Hash48, BpeApplyPair, BpeEncodeWord, BpeKernel, DeflateLength, DotProduct, DtwDistance, NgramHashes, PqAssignCodes, PqKernel, SimHash32, SortedIntersectCount, UnigramKernel, UnigramSegmentWord, WordpieceKernel, WordpieceWord}
+import graft.functions.{BpeAdjacentPairs, BucketCounts, Md5Hash48, BpeApplyPair, BpeEncodeWord, BpeKernel, DeflateLength, DotProduct, DtwDistance, NgramHashes, PqAssignCodes, PqKernel, SimHash32, SortedIntersectCount, UnigramKernel, UnigramSegmentWord, WordpieceKernel, WordpieceWord}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -74,6 +74,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_ngram_hashes n must be a literal, got $other")
         }
         NgramHashes(children.head, n)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bucket_counts"),
+      new ExpressionInfo(classOf[BucketCounts].getName,
+        "graft_bucket_counts"),
+      (children: Seq[Expression]) => {
+        val b = children(1) match {
+          case lit if lit.foldable =>
+            lit.eval().asInstanceOf[Number].intValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_bucket_counts buckets must be a literal, got $other")
+        }
+        BucketCounts(children.head, b)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_md5_48"),

@@ -114,6 +114,42 @@ case class SimHash32(child: Expression)
     copy(child = newChild)
 }
 
+/** Fused tokenize → md5-bucket → per-doc count kernel — the zero-shuffle
+  * form of the classifier family's (doc, bucket) count relation
+  * ([[graft.ops.TokenModels]]): the composable spelling
+  * `explode(split) → graft_md5_48 % B → groupBy(id, bucket).count`
+  * shuffles every TOKEN of the corpus to count it; per-doc counting is
+  * local by construction (the id is fixed within a row), so this does
+  * the whole thing in one codegen'd pass and emits the ≤ B non-zero
+  * (bucket, c) entries for `inline`/`explode` — the token-scale exchange
+  * disappears from the training plan entirely. Bucket = first 6 md5
+  * digest bytes mod B (≡ `pmod(graft_md5_48(tok), B)`), entries in
+  * ascending-bucket order; empty/whitespace docs yield an empty array.
+  * Registered as SQL function `graft_bucket_counts(text, buckets)`.
+  */
+case class BucketCounts(child: Expression, buckets: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("bucket", IntegerType, nullable = false),
+      StructField("c", LongType, nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "graft_bucket_counts"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.bucketCounts(input.asInstanceOf[UTF8String], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHash.bucketCounts($c, $buckets)")
+
+  override protected def withNewChildInternal(newChild: Expression): BucketCounts =
+    copy(child = newChild)
+}
+
 /** 48-bit md5 prefix as an unsigned long — the codegen'd kernel behind
   * [[graft.ops.Prep.hashBucket]]'s engine-portable hash
   * (≡ `conv(substring(md5(key), 1, 12), 16, 10)`: the first 6 digest
@@ -207,6 +243,32 @@ object TextHash {
         rows += InternalRow(half(d, 0), half(d, 6))
       }
       i += 1
+    }
+    new GenericArrayData(rows.toArray)
+  }
+
+  /** See [[BucketCounts]]: per-doc (bucket, count) entries, ascending
+    * bucket, counts of whitespace-split non-empty tokens hashed by the
+    * 48-bit md5 prefix mod `buckets`.
+    */
+  def bucketCounts(text: UTF8String, buckets: Int): ArrayData = {
+    val toks = tokenize(text.toString)
+    if (toks.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val md = digestLocal.get()
+    val counts = new Array[Long](buckets)
+    var i = 0
+    while (i < toks.length) {
+      md.reset()
+      val d = md.digest(
+        toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      counts((half(d, 0) % buckets).toInt) += 1L
+      i += 1
+    }
+    val rows = new scala.collection.mutable.ArrayBuffer[Any]()
+    var b = 0
+    while (b < buckets) {
+      if (counts(b) > 0L) rows += InternalRow(b, counts(b))
+      b += 1
     }
     new GenericArrayData(rows.toArray)
   }

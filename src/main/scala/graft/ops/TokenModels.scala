@@ -27,15 +27,21 @@ object TokenModels {
   private def toks(textCol: Column): Column =
     filter(split(textCol, " "), t => t =!= "")
 
-  /** Per-doc (id, bucket, c) counts — map-side collapsed before any
-    * shuffle; the single wide exchange of both operators.
+  /** Per-doc (id, bucket, c) counts — ZERO-shuffle: the fused
+    * [[graft.functions.BucketCounts]] kernel counts each doc's buckets
+    * in one codegen'd pass (per-doc counting is local by construction),
+    * so the classifier family's training plans carry no token-scale
+    * exchange at all (the former `explode → groupBy(id, bucket)`
+    * spelling shuffled every token of the corpus; bit-identical counts,
+    * pinned by VectorExprsSpec).
     */
   private def bucketCounts(docs: DataFrame, idCol: String, textCol: String,
       buckets: Int): DataFrame =
-    docs.select(col(idCol).as("id"), explode(toks(col(textCol))).as("tok"))
-      .select(col("id"), Prep.hashBucket(col("tok"), buckets).as("bucket"))
-      .groupBy("id", "bucket")
-      .agg(count(lit(1)).as("c"))
+    docs.select(col(idCol).as("id"),
+        explode(call_function("graft_bucket_counts", col(textCol),
+          lit(buckets))).as("__bc"))
+      .select(col("id"), col("__bc.bucket").as("bucket"),
+        col("__bc.c").as("c"))
 
   private val C10 = DecimalType(10, 0)
 
@@ -120,9 +126,12 @@ object TokenModels {
     * oracle's unrolled MATERIALIZED CTEs, and the final per-doc
     * score_nano is an exact integer (no rounding surface at all).
     *
-    * Shape at scale: ONE (doc, bucket) count shuffle up front,
-    * id-partitioned then checkpointed (localCheckpoint preserves
-    * outputPartitioning), reused exchange-free by every iteration; each
+    * Shape at scale: the (doc, bucket) counts come from the fused
+    * zero-shuffle [[graft.functions.BucketCounts]] kernel (no
+    * token-scale exchange anywhere), are id-partitioned once (one
+    * count-row-scale shuffle) and checkpointed (localCheckpoint
+    * preserves outputPartitioning), then reused exchange-free by every
+    * iteration; each
     * iteration broadcasts the (buckets+1)-row weight relation onto the
     * counts and runs two map-side-combinable aggregations (per-doc
     * margin, per-bucket gradient) — no windows, no driver-side data,

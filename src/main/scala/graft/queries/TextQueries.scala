@@ -374,7 +374,7 @@ object TextQueries {
        |  FROM att GROUP BY 1)
        |SELECT agg.doc_id, d.t AS is_target,
        |  CAST(agg.a AS BIGINT) AS score_nano,
-       |  CAST(agg.top.b AS BIGINT) AS top_bucket,
+       |  CAST(agg.top.b AS INT) AS top_bucket,
        |  CAST(agg.top.c AS BIGINT) AS contrib_nano
        |FROM agg JOIN d USING (doc_id) ORDER BY agg.doc_id""".stripMargin
 

@@ -431,7 +431,7 @@ class TokenModelsSpec extends AnyFunSuite {
         buckets = 4, iters = 3, etaShift = 2, biasCount = 1)
       .orderBy("doc_id").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_nano"),
-        r.getAs[Long]("top_bucket"), r.getAs[Long]("contrib_nano")))
+        r.getAs[Int]("top_bucket"), r.getAs[Long]("contrib_nano")))
     val scores = TokenModels.sgdLinear(fix, "doc_id", "text", col("lab"),
         buckets = 4, iters = 3, etaShift = 2, biasCount = 1)
       .orderBy("doc_id").collect()
@@ -449,8 +449,8 @@ class TokenModelsSpec extends AnyFunSuite {
     val zero = TokenModels.sgdAttribution(fix, "doc_id", "text", col("lab"),
         buckets = 4, iters = 0, etaShift = 2, biasCount = 1)
       .orderBy("doc_id").collect()
-      .map(r => (r.getAs[Long]("top_bucket"), r.getAs[Long]("contrib_nano")))
+      .map(r => (r.getAs[Int]("top_bucket"), r.getAs[Long]("contrib_nano")))
     assert(zero.forall(_._2 == 0L))
-    assert(zero.forall(_._1 >= 0L))
+    assert(zero.forall(_._1 >= 0))
   }
 }

@@ -74,4 +74,29 @@ class VectorExprsSpec extends AnyFunSuite {
       .select(Prep.hashBucket(col("k"), 8)).collect().head
     assert(n.isNullAt(0))
   }
+
+  test("graft_bucket_counts equals the explode+groupBy spelling on " +
+      "random, multi-space, empty and unicode docs") {
+    import graft.ops.Prep
+    val rnd = new Random(17)
+    val vocab = Vector("alpha", "beta", "γδ", "x", "longertoken", "0")
+    val docs = Seq("", " ", "  ", "a  b", "é¿😀 é¿😀 é¿😀") ++
+      Seq.fill(200)(Seq.fill(rnd.nextInt(40))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val B = 8
+    val kernel = df.select(col("id"),
+        explode(call_function("graft_bucket_counts", col("text"), lit(B)))
+          .as("bc"))
+      .select(col("id"), col("bc.bucket").as("bucket"), col("bc.c").as("c"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val builtin = df.select(col("id"),
+        explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
+      .select(col("id"), Prep.hashBucket(col("tok"), B).as("bucket"))
+      .groupBy("id", "bucket").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2)))
+      .toSet
+    assert(kernel == builtin)
+  }
 }
