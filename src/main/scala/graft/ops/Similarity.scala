@@ -867,11 +867,61 @@ object Similarity {
     * Returns (idCol, role ∈ core|border|noise, cluster).
     */
   def dbscan(emb: DataFrame, idCol: String, vecCol: String, tau: Double,
-      minPts: Int, anchors: Array[Array[Int]]): DataFrame = {
-    val assigned = emb.select(col(idCol).as("__id"),
+      minPts: Int, anchors: Array[Array[Int]]): DataFrame =
+    dbscanCore(emb.select(col(idCol).as("__id"),
         col(vecCol).cast("array<double>").as("__v"),
         anchorCellExpr(col(vecCol), anchors).as("__cell"))
+      .localCheckpoint(), idCol, tau, minPts)
+
+  /** [[dbscan]] over FITTED k-means cells instead of seeded anchors —
+    * the backlog answer to the N251 recall audit (generic ±1 anchors
+    * split weakly-clustered corpora across cell boundaries; cells that
+    * FOLLOW the data's density keep ε-neighbors together). The
+    * quantizer is [[kmeansFit]]'s exact-DECIMAL Lloyd (md5-smallest
+    * seeds, bit-replayable rounds) and the assignment REPLAYS its
+    * per-round argmin exactly — exact DECIMAL(14,9)² distance sums over
+    * the broadcast k·d centroid relation, min-struct ties to the
+    * smallest cid — so there is no new rounding surface anywhere: an
+    * oracle replays fit + assignment + clustering bit-identically.
+    *
+    * Shape: Lloyd is Σ N·k·d work (never N²); assignment is one
+    * broadcast join + two partial-aggregable aggregations; the
+    * clustering core is [[dbscan]]'s (pair work Σ cell², CC on the core
+    * subgraph only). Returns (idCol, role, cluster).
+    */
+  def dbscanFitted(emb: DataFrame, idCol: String, vecCol: String,
+      tau: Double, minPts: Int, k: Int, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val X9 = DecimalType(12, 9)
+    val Dif = DecimalType(14, 9)
+    val cents = kmeansFit(emb, idCol, vecCol, k, rounds)
+      .select(col("cid"), col("dim"),
+        round(col("centroid"), 9).cast(X9).as("__c9"))
       .localCheckpoint()
+    val x = emb.select(col(idCol).as("__id"),
+        posexplode(col(vecCol).cast("array<double>"))
+          .as(Seq("dim", "__xd")))
+      .select(col("__id"), col("dim"),
+        round(col("__xd"), 9).cast(X9).as("__x9"))
+    val cells = x.join(broadcast(cents), Seq("dim"))
+      .groupBy("__id", "cid")
+      .agg(sum(((col("__x9") - col("__c9")).cast(Dif) *
+        (col("__x9") - col("__c9")).cast(Dif))).as("__dist"))
+      .groupBy("__id")
+      .agg(min(struct(col("__dist"), col("cid"))).as("__m"))
+      .select(col("__id"), col("__m.cid").cast("int").as("__cell"))
+    val assigned = emb.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .join(cells, Seq("__id"))
+      .localCheckpoint()
+    dbscanCore(assigned, idCol, tau, minPts)
+  }
+
+  /** The clustering core shared by [[dbscan]] and [[dbscanFitted]]:
+    * `assigned` = a MATERIALIZED (__id, __v, __cell) relation.
+    */
+  private def dbscanCore(assigned: DataFrame, idCol: String, tau: Double,
+      minPts: Int): DataFrame = {
     val a = assigned.select(col("__cell"), col("__id").as("__ia"),
       col("__v").as("__va"))
     val b = assigned.select(col("__cell"), col("__id").as("__ib"),

@@ -25,6 +25,44 @@ object SimilarityQueries {
   private val NearDupThreshold = 0.35
   private val DbscanTau = 0.3
   private val DbscanMinPts = 3
+
+  /** The sim_kmeans replay as a reusable WITH-body: x (9-dp coords),
+    * md5-smallest seeds, c0, and `rounds` exact-DECIMAL Lloyd rounds —
+    * ends at relation c<rounds>. Shared by the kmeans query and the
+    * fitted-cell DBSCAN oracle (both replay the SAME fit).
+    */
+  private def kmeansCtesSql(k: Int, rounds: Int): String = {
+    val roundsSql = (1 to rounds).map { r =>
+      s"""d$r AS (SELECT x.id, c.cid,
+         |    sum(CAST((x.x9 - c.c) AS DECIMAL(14,9)) *
+         |        CAST((x.x9 - c.c) AS DECIMAL(14,9))) AS dist
+         |  FROM x JOIN c${r - 1} c USING (dim) GROUP BY 1, 2),
+         |a$r AS (SELECT id,
+         |    struct_extract(min(struct_pack(d := dist, c := cid)), 'c')
+         |      AS cid
+         |  FROM d$r GROUP BY id),
+         |f$r AS (SELECT a.cid, x.dim,
+         |    CAST(round(CAST(sum(x.x9) AS DOUBLE) / count(*), 9)
+         |      AS DECIMAL(18,9)) AS cn
+         |  FROM a$r a JOIN x USING (id) GROUP BY 1, 2),
+         |c$r AS (SELECT p.cid, p.dim, coalesce(f.cn, p.c) AS c
+         |  FROM c${r - 1} p LEFT JOIN f$r f
+         |    ON f.cid = p.cid AND f.dim = p.dim)""".stripMargin
+    }.mkString(",\n")
+    s"""x AS (
+       |  SELECT vec_id AS id, CAST(i - 1 AS BIGINT) AS dim,
+       |    CAST(round(embedding[i]::DOUBLE, 9) AS DECIMAL(12,9)) AS x9
+       |  FROM embeddings, UNNEST(generate_series(1, $Dim)) u(i)),
+       |sd AS (SELECT id,
+       |    row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1
+       |      AS cid
+       |  FROM (SELECT DISTINCT id FROM x)
+       |  QUALIFY row_number()
+       |    OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) <= $k),
+       |c0 AS (SELECT sd.cid, x.dim, CAST(x.x9 AS DECIMAL(18,9)) AS c
+       |  FROM sd JOIN x USING (id)),
+       |$roundsSql""".stripMargin
+  }
   private val NumPlanes = 4
   private val Dim = 64
 
@@ -161,6 +199,17 @@ object SimilarityQueries {
     Similarity.dbscanEdgeRecall(Tables.embeddings(spark, dir),
         "vec_id", "embedding", DbscanTau, semAnchors)
       .orderBy("n_probe")
+
+  /** DBSCAN over FITTED k-means cells
+    * ([[graft.ops.Similarity.dbscanFitted]]) — cells that follow the
+    * data's density instead of seeded anchors, the N251 audit's
+    * prescription; same τ/minPts as `sim_dbscan` for comparability.
+    */
+  def dbscanFittedQ(spark: SparkSession, dir: String): DataFrame =
+    Similarity.dbscanFitted(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", DbscanTau, DbscanMinPts,
+        KmeansK, KmeansRounds)
+      .orderBy("vec_id")
 
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -599,6 +648,7 @@ object SimilarityQueries {
     "sim_semantic_dedup" -> semanticDedup,
     "sim_dbscan" -> dbscanClusters,
     "sim_dbscan_recall" -> dbscanRecall,
+    "sim_dbscan_fitted" -> dbscanFittedQ,
     "sim_lsh_neardup_pairs" -> lshNearDupPairs,
     "sim_neardup_triangles" -> neardupTriangles,
     "sim_lsh_topk" -> lshTopK,
@@ -1103,6 +1153,48 @@ object SimilarityQueries {
          |FROM a LEFT JOIN comp ON comp.id = a.vec_id
          |LEFT JOIN bord ON bord.id = a.vec_id
          |ORDER BY vec_id""".stripMargin,
+    // the SAME Lloyd replay as sim_kmeans, one more exact-DECIMAL
+    // assignment pass against the final centroids (min-struct ties to
+    // the smallest cid — the plan's argmin), then the sim_dbscan walk
+    // over the fitted cells
+    "sim_dbscan_fitted" ->
+      s"""WITH RECURSIVE ${kmeansCtesSql(KmeansK, KmeansRounds)},
+         |dF AS (SELECT x.id, c.cid,
+         |    sum(CAST((x.x9 - c.c) AS DECIMAL(14,9)) *
+         |        CAST((x.x9 - c.c) AS DECIMAL(14,9))) AS dist
+         |  FROM x JOIN c$KmeansRounds c USING (dim) GROUP BY 1, 2),
+         |cellA AS (SELECT id,
+         |    struct_extract(min(struct_pack(d := dist, c := cid)), 'c')
+         |      AS cell
+         |  FROM dF GROUP BY id),
+         |a AS MATERIALIZED (SELECT e.vec_id, e.embedding, ca.cell
+         |  FROM embeddings e JOIN cellA ca ON ca.id = e.vec_id),
+         |e AS MATERIALIZED (
+         |  SELECT x.vec_id AS ia, y.vec_id AS ib
+         |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  WHERE ${cosineSql("x.embedding", "y.embedding")} >= $DbscanTau),
+         |sym AS MATERIALIZED (SELECT ia AS u, ib AS v FROM e
+         |  UNION ALL SELECT ib, ia FROM e),
+         |core AS MATERIALIZED (SELECT u AS id FROM sym GROUP BY 1
+         |  HAVING count(*) >= $DbscanMinPts),
+         |ce AS MATERIALIZED (SELECT u, v FROM sym
+         |  WHERE u IN (SELECT id FROM core) AND v IN (SELECT id FROM core)),
+         |lmin AS (SELECT id FROM core c WHERE NOT EXISTS
+         |  (SELECT 1 FROM ce WHERE ce.u = c.id AND ce.v < c.id)),
+         |walk AS (SELECT id, id AS comp FROM lmin
+         |  UNION SELECT ce.v, w.comp FROM walk w JOIN ce ON ce.u = w.id),
+         |comp AS (SELECT id, min(comp) AS cluster FROM walk GROUP BY id),
+         |bord AS (SELECT s.u AS id, min(c.cluster) AS cluster
+         |  FROM sym s JOIN comp c ON c.id = s.v
+         |  WHERE s.u NOT IN (SELECT id FROM core) GROUP BY 1)
+         |SELECT a.vec_id,
+         |  CASE WHEN comp.id IS NOT NULL THEN 'core'
+         |       WHEN bord.id IS NOT NULL THEN 'border'
+         |       ELSE 'noise' END AS role,
+         |  CAST(coalesce(comp.cluster, bord.cluster, -1) AS BIGINT) AS cluster
+         |FROM a LEFT JOIN comp ON comp.id = a.vec_id
+         |LEFT JOIN bord ON bord.id = a.vec_id
+         |ORDER BY vec_id""".stripMargin,
     // top-2 anchor cells via the masked second argmax; true edges from
     // the exact quadratic pair scan (audit-scale); recall = one division
     // of exact integers
@@ -1331,44 +1423,14 @@ object SimilarityQueries {
     // plan's precision-38 guard), argmin by min-struct (d, cid), and
     // centroid means as exact sums + ONE double division rounded 9 dp —
     // iteration state is bit-identical to the plan's
-    "sim_kmeans" -> {
-      val roundsSql = (1 to KmeansRounds).map { r =>
-        s"""d$r AS (SELECT x.id, c.cid,
-           |    sum(CAST((x.x9 - c.c) AS DECIMAL(14,9)) *
-           |        CAST((x.x9 - c.c) AS DECIMAL(14,9))) AS dist
-           |  FROM x JOIN c${r - 1} c USING (dim) GROUP BY 1, 2),
-           |a$r AS (SELECT id,
-           |    struct_extract(min(struct_pack(d := dist, c := cid)), 'c')
-           |      AS cid
-           |  FROM d$r GROUP BY id),
-           |f$r AS (SELECT a.cid, x.dim,
-           |    CAST(round(CAST(sum(x.x9) AS DOUBLE) / count(*), 9)
-           |      AS DECIMAL(18,9)) AS cn
-           |  FROM a$r a JOIN x USING (id) GROUP BY 1, 2),
-           |c$r AS (SELECT p.cid, p.dim, coalesce(f.cn, p.c) AS c
-           |  FROM c${r - 1} p LEFT JOIN f$r f
-           |    ON f.cid = p.cid AND f.dim = p.dim)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH x AS (
-         |  SELECT vec_id AS id, CAST(i - 1 AS BIGINT) AS dim,
-         |    CAST(round(embedding[i]::DOUBLE, 9) AS DECIMAL(12,9)) AS x9
-         |  FROM embeddings, UNNEST(generate_series(1, $Dim)) u(i)),
-         |sd AS (SELECT id,
-         |    row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1
-         |      AS cid
-         |  FROM (SELECT DISTINCT id FROM x)
-         |  QUALIFY row_number()
-         |    OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) <= $KmeansK),
-         |c0 AS (SELECT sd.cid, x.dim, CAST(x.x9 AS DECIMAL(18,9)) AS c
-         |  FROM sd JOIN x USING (id)),
-         |$roundsSql,
+    "sim_kmeans" ->
+      s"""WITH ${kmeansCtesSql(KmeansK, KmeansRounds)},
          |sz AS (SELECT cid, count(*) AS n_members
          |       FROM a$KmeansRounds GROUP BY 1)
          |SELECT c.cid, c.dim, CAST(c.c AS DOUBLE) AS centroid,
          |  coalesce(sz.n_members, 0) AS n_members
          |FROM c$KmeansRounds c LEFT JOIN sz USING (cid)
-         |ORDER BY cid, dim""".stripMargin
-    },
+         |ORDER BY cid, dim""".stripMargin,
     "sim_centroids" ->
       s"""WITH pe AS (
          |  SELECT label, i AS pos,

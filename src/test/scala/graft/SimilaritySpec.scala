@@ -590,4 +590,32 @@ class SimilaritySpec extends AnyFunSuite {
     // true edges at cos >= 0.9: (1,2) boundary pair + (3,4) clones = 2
     assert(out == Seq((1, 2L, 1L, 0.5), (2, 2L, 2L, 1.0)))
   }
+
+  test("dbscanFitted: fitted cells keep a tight planted cluster together " +
+      "that seeded anchors split; assignment replays kmeansFit's argmin") {
+    // two tight clusters on the unit circle, 6 points each at <= 4
+    // degrees spread, plus two isolated points; k=2 Lloyd from
+    // md5-smallest seeds converges to the two cluster directions, so
+    // every within-cluster pair shares a fitted cell
+    def v(deg: Double) = Array(
+      math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    val pts = (Seq(0.0, 1.0, 2.0, 3.0, 4.0, 2.5).map(d => d) ++
+      Seq(180.0, 181.0, 182.0, 183.0, 184.0, 182.5) ++
+      Seq(90.0, 270.0)).zipWithIndex
+      .map { case (d, i) => (i.toLong + 1L, v(d).map(_.toFloat)) }
+    val emb2 = pts.toDF("vec_id", "embedding")
+    val out = Similarity.dbscanFitted(emb2, "vec_id", "embedding",
+        tau = 0.995, minPts = 3, k = 2, rounds = 4)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[String]("role"),
+        r.getAs[Long]("cluster"))).toSeq
+    // both 6-point arcs are 4-degree tight (cos 4deg = 0.99756 >= tau),
+    // so every point has >= 3 within-arc neighbors => all core;
+    // clusters labeled by min id: 1 and 7; isolated points are noise
+    assert(out.take(6).forall { case (_, r, c) => r == "core" && c == 1L })
+    assert(out.slice(6, 12).forall { case (_, r, c) =>
+      r == "core" && c == 7L })
+    assert(out.drop(12).forall { case (_, r, c) =>
+      r == "noise" && c == -1L })
+  }
 }
