@@ -234,6 +234,80 @@ object TokenModels {
           .as("w_nano"))
   }
 
+  /** One-vs-rest MULTI-CLASS [[sgdLinear]] — every class's binary model
+    * trained SIMULTANEOUSLY by adding the class as a key dimension
+    * (weights live on a (class, bucket) grid; margins, residuals and
+    * gradients carry the class key through the same aggregations), so k
+    * classes cost k× the row volume of one binary fit and ZERO extra
+    * passes — never a per-class driver loop. The arithmetic per class
+    * is EXACTLY [[sgdLinear]]'s (nano-integer weights, per-doc rational
+    * residual, sign-explicit truncating divisions), pinned by the spec's
+    * equivalence property: each class's margins are bit-identical to an
+    * independent binary [[sgdLinear]] run with target `label === c` —
+    * which is what ties this to the oracle-verified binary trainer.
+    *
+    * Prediction = argmax margin over classes, ties to the
+    * lexicographically LAST class via max-struct ([[naiveBayes]]'s
+    * convention). Returns (idCol, label, predicted, score_nano) with
+    * score_nano = the winning class's exact margin.
+    */
+  def sgdOneVsRest(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, buckets: Int = 16, iters: Int = 12,
+      etaShift: Int = 8, biasCount: Int = 32): DataFrame = {
+    val labeled = docs.select(col(idCol).as("id"),
+      col(labelCol).cast("string").as("__y"), col(textCol).as("__text"))
+    val occ = bucketCounts(labeled, "id", "__text", buckets)
+      .unionByName(labeled.select(col("id"), lit(buckets).as("bucket"),
+        lit(biasCount.toLong).as("c")))
+      .join(labeled.select(col("id"), col("__y")), Seq("id"))
+      .select(col("id"), col("__y"), col("bucket"), col("c"))
+      .repartition(col("id"))
+      .localCheckpoint()
+    val spark = docs.sparkSession
+    val classes = occ.select(col("__y").as("__cls")).distinct()
+      .localCheckpoint()
+    val nRel = occ.agg(count_distinct(col("id")).cast(Dec38).as("__n"))
+      .localCheckpoint()
+    var w = spark.range(buckets + 1)
+      .select(col("id").cast("int").as("bucket"))
+      .crossJoin(classes)
+      .select(col("__cls"), col("bucket"), lit(0L).cast(Dec38).as("w_nano"))
+      .localCheckpoint()
+
+    def margins(wRel: DataFrame): DataFrame = occ
+      .join(broadcast(wRel), Seq("bucket"))
+      .groupBy("id", "__y", "__cls")
+      .agg(sum((col("c").cast(Dec38) * col("w_nano")).cast(Dec38))
+        .cast(Dec38).as("__a"))
+
+    for (_ <- 1 to iters) {
+      val m = margins(w)
+        .select(col("id"), col("__cls"),
+          tdiv(when(col("__y") === col("__cls"),
+              col("__a") - (NanoDec + abs(col("__a"))))
+              .otherwise(col("__a") + (NanoDec + abs(col("__a"))))
+              * NanoDec,
+            (NanoDec + abs(col("__a"))) * lit(2).cast(Dec38)).as("__rq"))
+      val grads = occ.join(m, Seq("id"))
+        .groupBy("__cls", "bucket")
+        .agg(sum((col("__rq") * col("c")).cast(Dec38)).cast(Dec38)
+          .as("__gs"))
+      w = w.join(grads, Seq("__cls", "bucket"), "left")
+        .crossJoin(broadcast(nRel))
+        .select(col("__cls"), col("bucket"),
+          (col("w_nano") - tdiv(coalesce(col("__gs"), lit(0L).cast(Dec38)),
+            col("__n") * lit(1L << etaShift).cast(Dec38))).cast(Dec38)
+            .as("w_nano"))
+        .localCheckpoint()
+    }
+    margins(w)
+      .groupBy("id", "__y")
+      .agg(max(struct(col("__a"), col("__cls"))).as("__best"))
+      .select(col("id").as(idCol), col("__y").as("label"),
+        col("__best.__cls").as("predicted"),
+        col("__best.__a").cast("long").as("score_nano"))
+  }
+
   /** Per-doc linear attribution under the trained [[sgdLinear]] model —
     * the explainability read ("WHY was this doc kept/dropped?") that
     * linear quality classifiers are chosen for: each bucket's

@@ -453,4 +453,31 @@ class TokenModelsSpec extends AnyFunSuite {
     assert(zero.forall(_._2 == 0L))
     assert(zero.forall(_._1 >= 0))
   }
+
+  test("sgdOneVsRest: per-class margins bit-identical to independent " +
+      "binary runs; separable 3-class fixture fully classified") {
+    val fix = Seq(
+      (1L, "red red", "r"), (2L, "red", "r"), (3L, "red red red", "r"),
+      (4L, "green green", "g"), (5L, "green", "g"),
+      (6L, "blue blue", "b"), (7L, "blue", "b"), (8L, "blue blue blue", "b")
+    ).toDF("doc_id", "text", "lab")
+    val ovr = TokenModels.sgdOneVsRest(fix, "doc_id", "text", "lab",
+        buckets = 8, iters = 4, etaShift = 2, biasCount = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("label"),
+        r.getAs[String]("predicted"), r.getAs[Long]("score_nano"))).toSeq
+    // separable vocab => every doc classified correctly
+    assert(ovr.forall { case (_, l, p, _) => l == p })
+    // equivalence: the winning margin equals the INDEPENDENT binary
+    // model's score for that class (same arithmetic, class as a key)
+    for (cls <- Seq("r", "g", "b")) {
+      val bin = TokenModels.sgdLinear(fix, "doc_id", "text",
+          col("lab") === cls, buckets = 8, iters = 4, etaShift = 2,
+          biasCount = 1)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Long]("score_nano")).toMap
+      ovr.filter(_._3 == cls).foreach { case (id, _, _, sc) =>
+        assert(sc == bin(id), s"doc $id class $cls") }
+    }
+  }
 }
