@@ -530,17 +530,40 @@ class StreamingSpec extends AnyFunSuite {
     val mem = MemoryStream[(Long, String, Boolean)]
     val sdf = mem.toDF().toDF("doc_id", "text", "lab")
     var w = TokenModels.sgdInitWeights(spark, 4)
+    // predict-then-train: each batch is SERVED under the weights that
+    // existed before its own update — the honest online protocol (no
+    // label leakage into the scores of the batch that carries them)
+    val served = scala.collection.mutable.Map.empty[Long, Long]
     val q = sdf.writeStream.outputMode("append")
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        if (!b.isEmpty)
+        if (!b.isEmpty) {
+          TokenModels.sgdScore(b, "doc_id", "text", w,
+              buckets = 4, biasCount = 1)
+            .collect().foreach(r =>
+              served(r.getAs[Long]("doc_id")) = r.getAs[Long]("score_nano"))
           w = StreamingFeatures.sgdOnlineRound(b, w, "doc_id", "text",
             col("lab"), buckets = 4, etaShift = 2, biasCount = 1)
             .localCheckpoint(true)
+        }
       }.start()
     try {
       mem.addData(b1: _*); q.processAllAvailable()
       mem.addData(b2: _*); q.processAllAvailable()
     } finally q.stop()
+    // batch 1 was served under ZERO weights (scores 0); batch 2 under
+    // the post-batch-1 model — replay the same protocol directly
+    assert(Seq(1L, 2L, 3L).forall(served(_) == 0L))
+    val w1 = {
+      val occ1 = TokenModels.sgdCounts(b1.toDF("doc_id", "text", "lab"),
+        "doc_id", "text", col("lab"), 4, 1)
+      TokenModels.sgdRound(occ1, TokenModels.sgdInitWeights(spark, 4), 2)
+        .localCheckpoint(true)
+    }
+    val expect2 = TokenModels.sgdScore(b2.toDF("doc_id", "text", "lab"),
+        "doc_id", "text", w1, buckets = 4, biasCount = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("score_nano")).toMap
+    assert(Seq(4L, 5L, 6L).forall(id => served(id) == expect2(id)))
     val streamed = w.orderBy("bucket").collect()
       .map(r => (r.getInt(0), r.getDecimal(1).toBigInteger)).toSeq
     // the same two rounds driven directly over static batch frames
