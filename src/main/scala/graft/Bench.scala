@@ -4,6 +4,32 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private def familyOf(name: String): String = name.takeWhile(_ != '_')
 
+  /** 1-minute load average from /proc/loadavg (NaN when unreadable, e.g.
+    * non-Linux). Recorded per family so a contaminated artifact is
+    * self-describing: round 11 burned a full judge re-run distinguishing
+    * host steal from regression on a min-of-2 number — the heuristic is
+    * `load1 >> bench's own core count` (this bench drives `cpus` threads;
+    * sustained load far above that means OTHER tenants were running, and
+    * the affected families' numbers are upper bounds, not costs).
+    */
+  private def loadavg1(): Double =
+    try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg"))
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => Double.NaN }
+
+  /** Cumulative steal jiffies from /proc/stat's aggregate cpu line (field
+    * 8, 0 when the hypervisor exposes none; -1 when unreadable). A DELTA
+    * across the run > ~1% of elapsed jiffies means the host itself was
+    * starved, not just busy.
+    */
+  private def stealJiffies(): Long =
+    try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get.trim.split("\\s+")
+      if (cpu.length > 8) cpu(8).toLong else 0L
+    } catch { case _: Throwable => -1L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -61,24 +87,37 @@ object Bench {
       }.min
     }
 
+    // host-load telemetry: per-family 1-min loadavg (max of the before/
+    // after readings) + run-level steal delta, embedded in the artifact so
+    // a contaminated run is detectable WITHOUT a re-run
+    val famLoads = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val steal0 = stealJiffies()
+    val runT0 = System.nanoTime()
     val results: Seq[(String, Double)] =
       if (isolate)
         selected.toSeq.groupBy { case (n, _) => familyOf(n) }
           .toSeq.sortBy(_._1)
-          .flatMap { case (_, qs) =>
+          .flatMap { case (fam, qs) =>
+            val l0 = loadavg1()
             val spark = mkSession()
             val rs = qs.sortBy(_._1).map { case (n, f) =>
               n -> measure(spark, f) }
             spark.stop()
+            famLoads(fam) = math.max(l0, loadavg1())
             rs
           }
       else {
+        val l0 = loadavg1()
         val spark = mkSession()
         val rs = selected.toSeq.sortBy(_._1).map { case (n, f) =>
           n -> measure(spark, f) }
         spark.stop()
+        famLoads("all") = math.max(l0, loadavg1())
         rs
       }
+    val stealDelta =
+      if (steal0 < 0 || stealJiffies() < 0) -1L else stealJiffies() - steal0
+    val elapsedSec = (System.nanoTime() - runT0) / 1e9
 
     // artifact-vs-registry assertion: a full (non-allowlisted) run MUST
     // time every registered query — stale "N queries" claims in README/
@@ -90,7 +129,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"runs":$runs,"isolate":$isolate,"sf":"$sfDir"}"""
+    def jnum(d: Double): String = if (d.isNaN) "null" else d.toString
+    val loadJson = famLoads.map { case (k, v) => s"\"" + k + "\":" + jnum(v) }
+      .mkString("{", ",", "}")
+    val loadMax =
+      if (famLoads.isEmpty || famLoads.values.exists(_.isNaN)) Double.NaN
+      else famLoads.values.max
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"runs":$runs,"isolate":$isolate,"sf":"$sfDir","bench_cpus":$cpus,"loadavg1_by_family":$loadJson,"loadavg1_max":${jnum(loadMax)},"steal_jiffies_delta":$stealDelta,"elapsed_sec":$elapsedSec}"""
     // the full line is ~8 KB at 273 queries and a tail-capture of the
     // process output can truncate its head (round-10's BENCH artifact was
     // unparseable) — persist it to a file FIRST, then print

@@ -33,7 +33,18 @@ import java.security.MessageDigest
   * scans/writes; the only `collect` is the serving tail (single user slice),
   * mirroring the reference's point-lookup semantics. The TTL cache holds
   * those collected slices, like the reference's `InMemoryCache` of query
-  * results (`:86-111`).
+  * results (`:86-111`) — SIZE-GATED: a slice only collects to the driver
+  * when its row count (measured on the same scan that materializes it)
+  * is at most `cacheMaxRows`; above the cap the slice is cached as a
+  * `persist(MEMORY_AND_DISK)` DataFrame under the same TTL discipline
+  * (unpersisted on expiry/eviction), so a bare
+  * `getFeatures(useCache = true)` of a 100 TB version can never be a
+  * driver OOM. The reference contract — TTL expiry, hit/miss
+  * monitoring, pluggable backend — survives unchanged: the pluggable
+  * backend still sees exactly the collected-slice traffic it did before
+  * (an external Redis-style backend cannot hold a distributed
+  * DataFrame), and over-cap slices live in a store-internal persist
+  * cache whose counters surface as separate dashboard keys.
   */
 final class FeatureStore(
     spark: SparkSession,
@@ -41,7 +52,8 @@ final class FeatureStore(
     cacheTtlSeconds: Long = 3600,
     qualityThreshold: Double = 0.8,
     clock: () => String = () => java.time.Instant.now().toString,
-    cacheBackend: Option[CacheBackend[String, (StructType, Array[Row])]] = None) {
+    cacheBackend: Option[CacheBackend[String, (StructType, Array[Row])]] = None,
+    cacheMaxRows: Long = 1000000L) {
 
   import FeatureStore.MetadataRow
 
@@ -52,6 +64,11 @@ final class FeatureStore(
   private val cache: CacheBackend[String, (StructType, Array[Row])] =
     cacheBackend.getOrElse(
       new TtlCache[String, (StructType, Array[Row])](cacheTtlSeconds))
+  // over-cap slices: cached as persisted (executor-memory/disk) DataFrames,
+  // never collected — same TTL, unpersist on eviction/expiry/clear
+  private val persistCache: TtlCache[String, DataFrame] =
+    new TtlCache[String, DataFrame](cacheTtlSeconds,
+      onEvict = (df: DataFrame) => { df.unpersist(); () })
 
   private val featuresPath = s"$basePath/features"
   private val metadataPath = s"$basePath/metadata"
@@ -94,7 +111,7 @@ final class FeatureStore(
       tags = meta.tags))
 
     monitor.logFeatureCreation(version, metrics)
-    cacheFill(cacheKey(version, Nil), getFeaturesUncached(version, Nil))
+    val _ = cacheFill(cacheKey(version, Nil), getFeaturesUncached(version, Nil))
     version
   }
 
@@ -108,14 +125,18 @@ final class FeatureStore(
     val v = version.getOrElse(latestVersion()
       .getOrElse(throw new NoSuchElementException("no feature versions registered")))
     val key = cacheKey(v, userIds)
-    val fromCache = if (useCache) cache.get(key) else None
-    val result = fromCache match {
-      case Some((schema, rows)) =>
-        spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-      case None =>
-        val df = getFeaturesUncached(v, userIds)
-        if (useCache) cacheFill(key, df)
-        df
+    // over-cap slices first (their keys never enter the collected-slice
+    // backend, so its hit/miss counters keep the reference semantics)
+    val fromPersist = if (useCache) persistCache.get(key) else None
+    val result = fromPersist.getOrElse {
+      val fromCache = if (useCache) cache.get(key) else None
+      fromCache match {
+        case Some((schema, rows)) =>
+          spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        case None =>
+          val df = getFeaturesUncached(v, userIds)
+          if (useCache) cacheFill(key, df) else df
+      }
     }
     monitor.logFeatureAccess(v)
     result
@@ -188,12 +209,16 @@ final class FeatureStore(
       commitMetadata(rows =>
         rows.filterNot(r => doomedSet.contains(r.feature_version)))
       cache.clear()
+      persistCache.clear()
     }
     doomed
   }
 
   def monitoringDashboard: Map[String, Any] =
-    monitor.dashboard ++ Map("cache_hits" -> cache.hits, "cache_misses" -> cache.misses)
+    monitor.dashboard ++ Map(
+      "cache_hits" -> cache.hits, "cache_misses" -> cache.misses,
+      "persist_cache_hits" -> persistCache.hits,
+      "persist_cache_misses" -> persistCache.misses)
 
   /** Persist per-ingest-batch quantile-knot sketches
     * ([[graft.ops.Sketches.quantileSketchBuild]]) for the given numeric
@@ -300,6 +325,7 @@ final class FeatureStore(
         fs.delete(new Path(s"$featuresPath/feature_version=$v"), true)
       }
       cache.clear()
+      persistCache.clear()
     }
     audit
   }
@@ -335,8 +361,26 @@ final class FeatureStore(
   private def cacheKey(version: String, userIds: Seq[Long]): String =
     s"features_${version}_${userIds.sorted.mkString("_")}"
 
-  private def cacheFill(key: String, df: DataFrame): Unit =
-    cache.put(key, (df.schema, df.collect()))
+  /** Size-gated fill: one persisted source scan measures the slice; at or
+    * under `cacheMaxRows` it collects into the pluggable backend exactly
+    * as before (the collect reads the already-materialized blocks, not
+    * the source), above it the persisted DataFrame ITSELF is the cache
+    * entry — zero driver collect on the over-cap path, ever. Returns the
+    * DataFrame to serve for this call.
+    */
+  private def cacheFill(key: String, df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = p.count()
+    if (n <= cacheMaxRows) {
+      val slice = (p.schema, p.collect())
+      cache.put(key, slice)
+      p.unpersist()
+      spark.createDataFrame(java.util.Arrays.asList(slice._2: _*), slice._1)
+    } else {
+      persistCache.put(key, p)
+      p
+    }
+  }
 
   private def latestVersion(): Option[String] =
     listFeatureVersions().headOption.map(_.featureVersion)

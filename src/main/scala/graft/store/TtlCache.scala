@@ -8,8 +8,14 @@ import scala.collection.concurrent.TrieMap
   * lock around a dict). This caches *collected* driver-side results (small
   * per-version slices), never distributed data — the distributed analogue
   * is `DataFrame.persist`, used separately by callers that re-scan.
+  *
+  * `onEvict` runs whenever an entry leaves the cache (TTL expiry on get,
+  * delete, clear) — the release hook the store's persist-backed over-cap
+  * cache needs to `unpersist` evicted DataFrames.
   */
-final class TtlCache[K, V](ttlSeconds: Long, clock: () => Long = () => System.currentTimeMillis())
+final class TtlCache[K, V](ttlSeconds: Long,
+    clock: () => Long = () => System.currentTimeMillis(),
+    onEvict: V => Unit = (_: V) => ())
     extends CacheBackend[K, V] {
   private val entries = TrieMap[K, (Long, V)]()
   private var hitCount = 0L
@@ -19,8 +25,8 @@ final class TtlCache[K, V](ttlSeconds: Long, clock: () => Long = () => System.cu
     entries.get(key) match {
       case Some((deadline, v)) if clock() < deadline =>
         hitCount += 1; Some(v)
-      case Some(_) =>
-        entries.remove(key); missCount += 1; None
+      case Some((_, v)) =>
+        entries.remove(key); onEvict(v); missCount += 1; None
       case None =>
         missCount += 1; None
     }
@@ -29,9 +35,13 @@ final class TtlCache[K, V](ttlSeconds: Long, clock: () => Long = () => System.cu
   def put(key: K, value: V): Unit =
     entries.put(key, (clock() + ttlSeconds * 1000L, value))
 
-  def delete(key: K): Unit = entries.remove(key)
+  def delete(key: K): Unit =
+    entries.remove(key).foreach { case (_, v) => onEvict(v) }
 
-  def clear(): Unit = entries.clear()
+  def clear(): Unit = synchronized {
+    entries.values.foreach { case (_, v) => onEvict(v) }
+    entries.clear()
+  }
 
   def hits: Long = hitCount
   def misses: Long = missCount

@@ -141,6 +141,48 @@ class StoreSpec extends AnyFunSuite {
     assert(backend.cleared == 1 && backend.m.isEmpty) // invalidation routed
   }
 
+  test("size-gated cache: an over-cap version serves correctly with zero " +
+      "driver collect; under-cap slices still collect through the backend") {
+    import graft.store.CacheBackend
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+    // collect-counting backend: every put IS a driver collect of a slice,
+    // so puts == 0 proves the over-cap path never collected
+    class CountingBackend extends CacheBackend[String, (StructType, Array[Row])] {
+      val m = scala.collection.mutable.Map[String, (StructType, Array[Row])]()
+      var h = 0L; var ms = 0L; var puts = 0
+      def get(key: String) = m.get(key) match {
+        case some @ Some(_) => h += 1; some
+        case None => ms += 1; None
+      }
+      def put(key: String, value: (StructType, Array[Row])): Unit = {
+        puts += 1; m(key) = value
+      }
+      def delete(key: String): Unit = m.remove(key)
+      def clear(): Unit = m.clear()
+      def hits: Long = h
+      def misses: Long = ms
+    }
+    val backend = new CountingBackend
+    val dir = Files.createTempDirectory("graft-store").toString
+    val store = new FeatureStore(spark, dir, cacheBackend = Some(backend),
+      cacheMaxRows = 4)
+    val v = store.registerFeatures(
+      feats((1 to 10).map(i => i.toLong -> i.toDouble): _*), meta)
+    assert(backend.puts == 0) // 10 rows > cap 4: never collected
+    val got = store.getFeatures(Some(v)) // serves from the persist cache
+    assert(got.count() == 10)
+    assert(got.storageLevel.useMemory || got.storageLevel.useDisk)
+    assert(store.monitoringDashboard("persist_cache_hits")
+      .asInstanceOf[Long] >= 1L)
+    // an under-cap slice (single-user serve) still collects via the seam
+    assert(store.serveFeatures(3L, Some(v)).get("total_amount") == 3.0)
+    assert(backend.puts == 1)
+    // invalidation unpersists the over-cap entry (onEvict routed)
+    store.cleanupOldVersions(keepN = 0)
+    assert(got.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   test("AS OF time travel: resolution picks the newest version at or " +
       "before the instant; reads serve that version's rows") {
     val store = freshStore() // clock stamps :01, :02, :03 …
