@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BpeAdjacentPairs, BucketCounts, Md5Hash48, BpeApplyPair, BpeEncodeWord, BpeKernel, DeflateLength, DotProduct, DtwDistance, NgramHashes, PqAssignCodes, PqKernel, SimHash32, SortedIntersectCount, UnigramKernel, UnigramSegmentWord, WordpieceKernel, WordpieceWord}
+import graft.functions.{BpeAdjacentPairs, BucketCounts, Md5Hash48, BpeApplyPair, BpeEncodeWord, BpeKernel, DeflateLength, DotProduct, DtwDistance, NgramHashes, PermSums, PqAssignCodes, PqKernel, SimHash32, SortedIntersectCount, UnigramKernel, UnigramSegmentWord, WordpieceKernel, WordpieceWord}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -39,6 +39,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    shifted-nano longs, all but `vec` literals).
   *  - `graft_deflate_len(text, level) -> long` — DEFLATE-compressed byte
   *    length ([[graft.functions.DeflateLength]]; level a literal).
+  *  - `graft_perm_sums(id, v, seed, resamples) ->
+  *    array<struct<r,nar,sar,nbr,sbr>>` — AGGREGATE: fused seeded
+  *    randomization-test resample sums ([[graft.functions.PermSums]];
+  *    seed/resamples literals).
   *  - `graft_dtw(array<long>, array<long>, band) -> long` — banded
   *    dynamic-time-warping distance, the whole O(n·m) DP in one call
   *  - `graft_wordpiece_word(word, vocab, maxPieceLen, unk) ->
@@ -47,6 +51,19 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    all but `word` literals).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Builder-time arity check: a wrong-arg-count SQL call gets a clear
+    * message instead of an IndexOutOfBoundsException from `children(i)`
+    * deep in the builder.
+    */
+  private def arity(name: String, children: Seq[Expression],
+      n: Int): Seq[Expression] = {
+    if (children.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n arguments, got ${children.length}")
+    children
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     // opt-in approximation mode: count(DISTINCT x) → HLL++ when
     // spark.graft.approx.distinct=true (see graft.plans.ApproxDistinctRewrite)
@@ -56,17 +73,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        val c = arity("graft_dot", children, 2)
+        DotProduct(c.head, c(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_sorted_intersect"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName,
         "graft_sorted_intersect"),
-      (children: Seq[Expression]) =>
-        SortedIntersectCount(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        val c = arity("graft_sorted_intersect", children, 2)
+        SortedIntersectCount(c.head, c(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_ngram_hashes"),
       new ExpressionInfo(classOf[NgramHashes].getName, "graft_ngram_hashes"),
       (children: Seq[Expression]) => {
+        arity("graft_ngram_hashes", children, 2)
         val n = children(1) match {
           case lit if lit.foldable =>
             lit.eval().asInstanceOf[Number].intValue()
@@ -80,6 +103,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BucketCounts].getName,
         "graft_bucket_counts"),
       (children: Seq[Expression]) => {
+        arity("graft_bucket_counts", children, 2)
         val b = children(1) match {
           case lit if lit.foldable =>
             lit.eval().asInstanceOf[Number].intValue()
@@ -91,15 +115,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("graft_md5_48"),
       new ExpressionInfo(classOf[Md5Hash48].getName, "graft_md5_48"),
-      (children: Seq[Expression]) => Md5Hash48(children.head)))
+      (children: Seq[Expression]) =>
+        Md5Hash48(arity("graft_md5_48", children, 1).head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_perm_sums"),
+      new ExpressionInfo(classOf[PermSums].getName, "graft_perm_sums"),
+      (children: Seq[Expression]) => {
+        arity("graft_perm_sums", children, 4)
+        def foldableArg(e: Expression, what: String): Any = e match {
+          case l if l.foldable => l.eval()
+          case other => throw new IllegalArgumentException(
+            s"graft_perm_sums $what must be a literal, got $other")
+        }
+        val seed = foldableArg(children(2), "seed").toString
+        val b = foldableArg(children(3), "resamples")
+          .asInstanceOf[Number].intValue()
+        PermSums(children.head, children(1), seed, b)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash"),
-      (children: Seq[Expression]) => SimHash32(children.head)))
+      (children: Seq[Expression]) =>
+        SimHash32(arity("graft_simhash", children, 1).head)))
     ext.injectFunction((
       new FunctionIdentifier("graft_bpe_word"),
       new ExpressionInfo(classOf[BpeEncodeWord].getName, "graft_bpe_word"),
       (children: Seq[Expression]) => {
+        arity("graft_bpe_word", children, 3)
         def foldableArg(e: Expression, what: String): Any = e match {
           case l if l.foldable => l.eval()
           case other => throw new IllegalArgumentException(
@@ -115,6 +157,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[UnigramSegmentWord].getName,
         "graft_unigram_segment"),
       (children: Seq[Expression]) => {
+        arity("graft_unigram_segment", children, 3)
         def foldableArg(e: Expression, what: String): Any = e match {
           case l if l.foldable => l.eval()
           case other => throw new IllegalArgumentException(
@@ -129,6 +172,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_pq_assign"),
       new ExpressionInfo(classOf[PqAssignCodes].getName, "graft_pq_assign"),
       (children: Seq[Expression]) => {
+        arity("graft_pq_assign", children, 4)
         def foldableArg(e: Expression, what: String): Any = e match {
           case l if l.foldable => l.eval()
           case other => throw new IllegalArgumentException(
@@ -145,6 +189,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordpieceWord].getName,
         "graft_wordpiece_word"),
       (children: Seq[Expression]) => {
+        arity("graft_wordpiece_word", children, 4)
         def foldableArg(e: Expression, what: String): Any = e match {
           case l if l.foldable => l.eval()
           case other => throw new IllegalArgumentException(
@@ -161,6 +206,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_deflate_len"),
       new ExpressionInfo(classOf[DeflateLength].getName, "graft_deflate_len"),
       (children: Seq[Expression]) => {
+        arity("graft_deflate_len", children, 2)
         val level = children(1) match {
           case l if l.foldable => l.eval().asInstanceOf[Number].intValue()
           case other => throw new IllegalArgumentException(
@@ -172,16 +218,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_bpe_pairs"),
       new ExpressionInfo(classOf[BpeAdjacentPairs].getName,
         "graft_bpe_pairs"),
-      (children: Seq[Expression]) => BpeAdjacentPairs(children.head)))
+      (children: Seq[Expression]) =>
+        BpeAdjacentPairs(arity("graft_bpe_pairs", children, 1).head)))
     ext.injectFunction((
       new FunctionIdentifier("graft_bpe_apply"),
       new ExpressionInfo(classOf[BpeApplyPair].getName, "graft_bpe_apply"),
-      (children: Seq[Expression]) =>
-        BpeApplyPair(children.head, children(1), children(2))))
+      (children: Seq[Expression]) => {
+        val c = arity("graft_bpe_apply", children, 3)
+        BpeApplyPair(c.head, c(1), c(2))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_dtw"),
       new ExpressionInfo(classOf[DtwDistance].getName, "graft_dtw"),
       (children: Seq[Expression]) => {
+        arity("graft_dtw", children, 3)
         val band = children(2) match {
           case lit if lit.foldable =>
             lit.eval().asInstanceOf[Number].intValue()

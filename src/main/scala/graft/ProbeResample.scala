@@ -17,9 +17,17 @@ object ProbeResample {
     val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq
                 else Seq(400000, 1000000)
     val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // fallback arm: a session without graft_perm_sums, so the same call
+    // takes the composable ×B explode spelling (plan branch is on the
+    // ACTIVE session's registry)
+    val noKernel = spark.newSession()
+    noKernel.sessionState.functionRegistry.dropFunction(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(
+        "graft_perm_sums"))
     def t(tag: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val r = f
@@ -39,9 +47,15 @@ object ProbeResample {
           (pmod(xxhash64(col("id") + 4), lit(10)) < 7).cast("int")
             .as("event"))
         .localCheckpoint()
-      t(s"$n rows: permutationTestBh B=200 (x200 digest-bit fold)") {
+      t(s"$n rows: permutationTestBh B=200 (graft_perm_sums aggregate)") {
         graft.ops.Screening.permutationTestBh(ev, "id", "value", "cat",
           "split", "train", "test", 200, "probeA").count()
+      }
+      t(s"$n rows: permutationTestBh B=200 (x200 explode fallback)") {
+        SparkSession.setActiveSession(noKernel)
+        try graft.ops.Screening.permutationTestBh(ev, "id", "value",
+          "cat", "split", "train", "test", 200, "probeA").count()
+        finally SparkSession.setActiveSession(spark)
       }
       t(s"$n rows: survivalCurve (salted walk, ~${n} distinct durations)") {
         graft.ops.Eval.survivalCurve(ev, "dur_us", "event").count()

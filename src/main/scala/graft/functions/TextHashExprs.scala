@@ -130,6 +130,13 @@ case class SimHash32(child: Expression)
 case class BucketCounts(child: Expression, buckets: Int)
   extends UnaryExpression with ExpectsInputTypes {
 
+  // validated at construction (analysis time), not per row: the kernel
+  // allocates Array[Long](buckets) per row, so a zero/negative/huge
+  // bucket count must die with a clear message before codegen runs
+  require(buckets > 0 && buckets <= BucketCounts.MaxBuckets,
+    s"graft_bucket_counts buckets must be in [1, " +
+      s"${BucketCounts.MaxBuckets}], got $buckets")
+
   override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = ArrayType(
@@ -148,6 +155,14 @@ case class BucketCounts(child: Expression, buckets: Int)
 
   override protected def withNewChildInternal(newChild: Expression): BucketCounts =
     copy(child = newChild)
+}
+
+object BucketCounts {
+  /** Upper bound on the per-row count array (2²⁰ longs = 8 MB — already
+    * far past any sane hashed-vocabulary size; the library's own callers
+    * use ≤ 2¹⁶).
+    */
+  val MaxBuckets: Int = 1 << 20
 }
 
 /** 48-bit md5 prefix as an unsigned long — the codegen'd kernel behind

@@ -178,7 +178,7 @@ object Dedup {
     * per-row 32-char hex round-trip.
     */
   def tokenHash48(c: Column): Column =
-    call_function("graft_md5_48", c)
+    graft.functions.Kernels.md5hash48(c)
 
   /** (id, ha, hb): per-document-distinct n-gram md5 halves via the fused
     * codegen kernel `graft_ngram_hashes` ([[graft.functions.NgramHashes]]).

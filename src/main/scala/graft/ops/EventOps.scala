@@ -1256,11 +1256,17 @@ object EventOps {
     * k = ((n_cal+1)·4 + 4) div 5. Exchangeability over days is the
     * documented assumption (adjacent days are not iid — the standard
     * split-conformal caveat; the md5 split at least removes temporal
-    * selection). Returns ONE row (n_cal, n_test, q_cents, n_covered,
-    * coverage); k > n_cal (too few calibration days) has no finite
-    * conformal rank, so q_cents is NULL — the INFINITE interval, which
-    * covers every test day (coverage 1, the conservative direction) —
-    * the [[graft.ops.Eval.conformalInterval]] convention, spec-pinned.
+    * selection). Returns AT MOST one row (n_cal, n_test, q_cents,
+    * n_covered, coverage): k > n_cal (too few calibration days) has no
+    * finite conformal rank, so q_cents is NULL — the INFINITE interval,
+    * which covers every test day (coverage 1, the conservative
+    * direction) — the [[graft.ops.Eval.conformalInterval]] convention,
+    * spec-pinned; and an EMPTY TEST HALF (fewer than seasonDays+1 days
+    * of data, or every lag day hashing into the calibration half)
+    * returns ZERO rows — there is nothing to measure coverage on, the
+    * grouped aggregate has no input, and a DuckDB replay of the same
+    * construction agrees row-for-row (EventOpsSpec pins both
+    * degeneracies).
     *
     * Shape: the corpus collapses to the bounded day grid in one
     * shuffle; the rank window runs over the days-scale calibration

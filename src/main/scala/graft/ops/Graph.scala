@@ -337,7 +337,7 @@ object Graph {
       val stepped = walk
         .join(deg, col("cur") === col("u")).drop("u")
         .withColumn("__i", pmod(
-          call_function("graft_md5_48",
+          graft.functions.Kernels.md5hash48(
             concat_ws("|", col("start"), lit(r))),
           col("__deg")))
         .drop("__deg")

@@ -40,14 +40,17 @@ object Prep {
   /** md5-derived bucket in [0, buckets) — the engine-portable deterministic
     * hash used by every sampling/splitting decision here (same value on any
     * engine/partitioning/run; mirrored in oracle SQL as
-    * `('0x' || substr(md5(x),1,12))::BIGINT % buckets`).
+    * `('0x' || substr(md5(x),1,12))::BIGINT % buckets`). Kernel-backed
+    * when the session registers [[graft.GraftExtensions]]; auto-falls
+    * back to the builtin spelling on a vanilla session
+    * ([[graft.functions.Kernels.md5hash48]] — bit-identical either way).
     */
   def hashBucket(key: Column, buckets: Int): Column =
-    pmod(call_function("graft_md5_48", key.cast("string")), lit(buckets))
+    pmod(graft.functions.Kernels.md5hash48(key.cast("string")), lit(buckets))
 
   /** Pure-builtin spelling of [[hashBucket]]'s 48-bit hash — the kernel's
-    * bit-identity witness (VectorExprsSpec) and the fallback for sessions
-    * without [[graft.GraftExtensions]].
+    * bit-identity witness (VectorExprsSpec); [[hashBucket]] selects it
+    * automatically on sessions without [[graft.GraftExtensions]].
     */
   def hashBucketBuiltin(key: Column, buckets: Int): Column =
     pmod(conv(substring(md5(key.cast("string")), 1, 12), 16, 10).cast("long"),
@@ -317,7 +320,7 @@ object Prep {
       .select(col(userCol), col("__mxi"),
         explode(sequence(lit(0), lit(k * oversample - 1))).as("draw"))
       .withColumn(itemCol, lit(1L) + pmod(
-        call_function("graft_md5_48",
+        graft.functions.Kernels.md5hash48(
           concat(col(userCol).cast("string"), lit("_"),
             col("draw").cast("string"))),
         col("__mxi")))
@@ -582,7 +585,7 @@ object Prep {
     */
   def prioritySample(df: DataFrame, keyCol: String, weightCol: String,
       k: Int): DataFrame = {
-    val h48 = call_function("graft_md5_48", col(keyCol).cast("string"))
+    val h48 = graft.functions.Kernels.md5hash48(col(keyCol).cast("string"))
     val u = (h48 + lit(1L)).cast("double") / lit(281474976710656.0) // 2^48
     df.withColumn("__priority", col(weightCol).cast("double") / u)
       .orderBy(col("__priority").desc, col(keyCol))

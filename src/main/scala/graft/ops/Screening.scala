@@ -867,6 +867,11 @@ object Screening {
     *    instead of once per (row, resample) cut the ×B pass 2.2×
     *    (14.0 → 6.3 s at sf0.1; a randomization test — group sizes
     *    are binomial, and the sizes enter the cross-product exactly);
+    *    with [[graft.GraftExtensions]] the whole reassignment-and-sum
+    *    stage fuses into the `graft_perm_sums` typed aggregate
+    *    ([[graft.functions.PermSums]]) — raw digest bytes, no ×B tuple
+    *    explode, bit-identical by construction (`quality_perm_bh` at
+    *    sf0.1: 11.3 → 1.4 s min-of-2);
     *  - the empirical p = (1 + #exceed)/(B+1) shares the denominator
     *    B+1 across categories, so BH's p_(i) ≤ (i/m)·α condition is
     *    the integer comparison k_i·m·αden ≤ i·αnum·(B+1), and ties
@@ -901,28 +906,46 @@ object Screening {
       sum(when(col("ga"), col("v"))).as("sa"),
       sum(when(!col("ga"), 1L).otherwise(0L)).as("nb"),
       sum(when(!col("ga"), col("v"))).as("sb"))
-    // bit (r−1) mod 128 of digest (r−1) div 128; hex digit value via
-    // conv, bit via the power-of-two CASE mirrored in the oracle
-    val flip = expr(
-      """((cast(conv(substring(
-        |     CASE WHEN (r - 1) div 128 = 0 THEN __h0 ELSE __h1 END,
-        |     cast(((r - 1) % 128) div 4 as int) + 1, 1), 16, 10)
-        |   as int)
-        |  div (CASE ((r - 1) % 128) % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
-        |       WHEN 2 THEN 4 ELSE 8 END)) % 2) = 0""".stripMargin)
-    val res = base
-      .withColumn("__h0",
-        md5(concat_ws("|", lit(seed), col("id"), lit("0"))))
-      .withColumn("__h1",
-        md5(concat_ws("|", lit(seed), col("id"), lit("1"))))
-      .select(col("cat"), col("__h0"), col("__h1"), col("v"),
-        explode(sequence(lit(1), lit(resamples))).as("r"))
-      .select(col("cat"), col("r"), col("v"), flip.as("fa"))
-      .groupBy("cat", "r").agg(
-        sum(when(col("fa"), 1L).otherwise(0L)).as("nar"),
-        coalesce(sum(when(col("fa"), col("v"))), lit(0L)).as("sar"),
-        sum(when(!col("fa"), 1L).otherwise(0L)).as("nbr"),
-        coalesce(sum(when(!col("fa"), col("v"))), lit(0L)).as("sbr"))
+    // (cat, r) resample sums: the graft_perm_sums aggregate computes all
+    // B per-row assignment bits in one typed-buffer pass (two raw md5
+    // digests per row, no hex round-trip, no ×B tuple explode — the
+    // shuffle carries one 2B+2-long buffer per (partition, cat) instead
+    // of B·N rows); the composable ×B explode below is the bit-identical
+    // fallback for sessions without GraftExtensions, and the spelling
+    // every oracle replays (PermSumsSpec pins kernel ≡ explode)
+    val res =
+      if (graft.functions.Kernels.registered("graft_perm_sums"))
+        base.groupBy("cat")
+          .agg(call_function("graft_perm_sums", col("id"), col("v"),
+            lit(seed), lit(resamples)).as("__ps"))
+          .select(col("cat"), explode(col("__ps")).as("__e"))
+          .select(col("cat"), col("__e.r").as("r"),
+            col("__e.nar").as("nar"), col("__e.sar").as("sar"),
+            col("__e.nbr").as("nbr"), col("__e.sbr").as("sbr"))
+      else {
+        // bit (r−1) mod 128 of digest (r−1) div 128; hex digit value via
+        // conv, bit via the power-of-two CASE mirrored in the oracle
+        val flip = expr(
+          """((cast(conv(substring(
+            |     CASE WHEN (r - 1) div 128 = 0 THEN __h0 ELSE __h1 END,
+            |     cast(((r - 1) % 128) div 4 as int) + 1, 1), 16, 10)
+            |   as int)
+            |  div (CASE ((r - 1) % 128) % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+            |       WHEN 2 THEN 4 ELSE 8 END)) % 2) = 0""".stripMargin)
+        base
+          .withColumn("__h0",
+            md5(concat_ws("|", lit(seed), col("id"), lit("0"))))
+          .withColumn("__h1",
+            md5(concat_ws("|", lit(seed), col("id"), lit("1"))))
+          .select(col("cat"), col("__h0"), col("__h1"), col("v"),
+            explode(sequence(lit(1), lit(resamples))).as("r"))
+          .select(col("cat"), col("r"), col("v"), flip.as("fa"))
+          .groupBy("cat", "r").agg(
+            sum(when(col("fa"), 1L).otherwise(0L)).as("nar"),
+            coalesce(sum(when(col("fa"), col("v"))), lit(0L)).as("sar"),
+            sum(when(!col("fa"), 1L).otherwise(0L)).as("nbr"),
+            coalesce(sum(when(!col("fa"), col("v"))), lit(0L)).as("sbr"))
+      }
     val dObs = abs(col("sa").cast(big) * col("nb").cast(big) -
       col("sb").cast(big) * col("na").cast(big))
     val dRes = abs(col("sar").cast(big) * col("nbr").cast(big) -

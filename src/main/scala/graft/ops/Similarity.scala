@@ -844,8 +844,12 @@ object Similarity {
     * candidate discipline, so pair work is Σ cell², never corpus².
     *
     * Deterministic variant: a point is CORE when it has ≥ `minPts`
-    * neighbors (self excluded — the classic |N_ε| ≥ minPts+1 form);
-    * cluster label = the MIN core id reachable through core–core edges
+    * neighbors (SELF EXCLUDED — the classic |N_ε| ≥ minPts+1 form).
+    * NOTE the parameter mapping: sklearn/ELKI count the point itself in
+    * |N_ε(p)| ≥ min_samples, so this variant is ONE STRICTER at equal
+    * values — pass `minPts = min_samples − 1` to reproduce a clustering
+    * tuned on those implementations. Cluster label = the MIN core id
+    * reachable through core–core edges
     * ([[graft.ops.Dedup.connectedComponents]] — bounded label-propagation
     * rounds over the minPts-filtered core subgraph only); BORDER points
     * (non-core with ≥ 1 core neighbor) take the MIN label among their
@@ -876,7 +880,9 @@ object Similarity {
   /** [[dbscan]] over FITTED k-means cells instead of seeded anchors —
     * the backlog answer to the N251 recall audit (generic ±1 anchors
     * split weakly-clustered corpora across cell boundaries; cells that
-    * FOLLOW the data's density keep ε-neighbors together). The
+    * FOLLOW the data's density keep ε-neighbors together). Same
+    * self-excluded `minPts` convention as [[dbscan]] (pass
+    * `min_samples − 1` to match sklearn/ELKI). The
     * quantizer is [[kmeansFit]]'s exact-DECIMAL Lloyd (md5-smallest
     * seeds, bit-replayable rounds) and the assignment REPLAYS its
     * per-round argmin exactly — exact DECIMAL(14,9)² distance sums over

@@ -97,7 +97,7 @@ object TextAnalysis {
     */
   def fingerprintMd5(df: DataFrame, idCol: String, textCol: String): DataFrame =
     fingerprintWith(df, idCol, textCol,
-      t => pmod(call_function("graft_md5_48", t), lit(FpMod)))
+      t => pmod(graft.functions.Kernels.md5hash48(t), lit(FpMod)))
 
   /** 2^31 − 1 (Mersenne prime) — rolling-hash modulus; keeps h·31 + tokHash
     * well inside Long.

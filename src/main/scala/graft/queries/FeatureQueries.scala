@@ -1677,7 +1677,9 @@ object FeatureQueries {
     // zero-filled day grid, lag-7 naive |error| in exact cents; q = the
     // ceil((n_cal+1)*0.8)-th smallest calibration error (order statistic
     // by (err, d) -- engine-stable); coverage = one division of two
-    // exact integers; empty when the rank exceeds n_cal
+    // exact integers; a rank beyond n_cal yields the NULL-q row (infinite
+    // interval, coverage 1); an EMPTY TEST HALF yields zero rows -- both
+    // engines agree on both degeneracies (EventOpsSpec)
     "feat_conformal_naive" ->
       """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
         |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))

@@ -183,6 +183,7 @@ object SimilarityQueries {
     * core/border/noise roles + min-id cluster labels
     * ([[graft.ops.Similarity.dbscan]]). τ below the near-dup threshold:
     * density clustering looks for NEIGHBORHOODS, not duplicates.
+    * minPts counts SELF-EXCLUDED neighbors (sklearn's min_samples − 1).
     */
   def dbscanClusters(spark: SparkSession, dir: String): DataFrame =
     Similarity.dbscan(Tables.embeddings(spark, dir),
@@ -203,7 +204,8 @@ object SimilarityQueries {
   /** DBSCAN over FITTED k-means cells
     * ([[graft.ops.Similarity.dbscanFitted]]) — cells that follow the
     * data's density instead of seeded anchors, the N251 audit's
-    * prescription; same τ/minPts as `sim_dbscan` for comparability.
+    * prescription; same τ/minPts as `sim_dbscan` for comparability
+    * (self-excluded minPts — sklearn's min_samples − 1).
     */
   def dbscanFittedQ(spark: SparkSession, dir: String): DataFrame =
     Similarity.dbscanFitted(Tables.embeddings(spark, dir),

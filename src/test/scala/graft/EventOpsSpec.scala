@@ -877,5 +877,14 @@ class EventOpsSpec extends AnyFunSuite {
     assert(t.length == 1)
     assert(t.head.isNullAt(t.head.fieldIndex("q_cents")))
     assert(t.head.getAs[Double]("coverage") == 1.0)
+    // fewer than seasonDays+1 days: no lag forecast exists for any day,
+    // the test half is EMPTY, and there is nothing to measure coverage
+    // on -> ZERO rows (not a null-filled row; the documented second
+    // degeneracy, matched by the oracle construction)
+    val tooShort = (0L to 6L).map(d => (d, 1.0 + d)).toDF("du", "value")
+      .select(timestamp_micros(col("du") * 86400000000L).as("ts"),
+        col("value"))
+    assert(EventOps.conformalForecast(tooShort, "ts", "value")
+      .collect().isEmpty)
   }
 }

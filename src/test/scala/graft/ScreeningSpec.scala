@@ -481,6 +481,32 @@ class ScreeningSpec extends AnyFunSuite {
     assert(byRank.map(_._8).dropWhile(identity).forall(!_))
   }
 
+  test("permutationTestBh: the graft_perm_sums kernel path is " +
+      "bit-identical to the composable ×B explode fallback, including " +
+      "null ids (concat_ws null-skip) and degenerate resamples") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val rows = (1 to 80).map(i =>
+        ("c" + (i % 3), s"id$i", (i % 11) + 0.25 * (i % 4), if (i % 2 == 0) "a" else "b")) :+
+      (("c0", null.asInstanceOf[String], 7.5, "a")) // null id row
+    val df = rows.toDF("cat", "id", "v", "g")
+    def run() = Screening.permutationTestBh(df, "id", "v", "cat", "g",
+        "a", "b", resamples = 73, seed = "eq")
+      .collect().map(_.toString).sorted.toSeq
+    assert(graft.functions.Kernels.registered("graft_perm_sums"))
+    val kernel = run() // active session registers the kernel
+    val fallbackSession = spark.newSession()
+    fallbackSession.sessionState.functionRegistry
+      .dropFunction(new FunctionIdentifier("graft_perm_sums"))
+    SparkSession.setActiveSession(fallbackSession)
+    val fallback =
+      try {
+        assert(!graft.functions.Kernels.registered("graft_perm_sums"))
+        run() // same df; plan built on the explode spelling
+      } finally SparkSession.setActiveSession(spark)
+    assert(kernel == fallback)
+  }
+
   test("diffInDiff: a hand 2x2 with a planted treatment effect " +
       "recovers it exactly; parallel trends with no effect give 0; an " +
       "empty cell nulls the estimator") {

@@ -99,4 +99,53 @@ class VectorExprsSpec extends AnyFunSuite {
       .toSet
     assert(kernel == builtin)
   }
+
+  test("Kernels.md5hash48 auto-falls back to the builtin spelling on a " +
+      "session without graft_md5_48 (vanilla-session callers keep working)") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import graft.ops.Prep
+    // newSession() re-applies the extensions, so drop the kernel from its
+    // (session-private) registry to stand in for a vanilla session
+    val vanilla = spark.newSession()
+    vanilla.sessionState.functionRegistry
+      .dropFunction(new FunctionIdentifier("graft_md5_48"))
+    SparkSession.setActiveSession(vanilla)
+    try {
+      assert(!vanilla.catalog.functionExists("graft_md5_48"))
+      val df = vanilla.range(20).select(col("id").cast("string").as("k"))
+      // analysis must succeed (this threw UNRESOLVED_ROUTINE before the
+      // fallback) and values must equal the builtin spelling
+      val got = df.select(Prep.hashBucket(col("k"), 7).as("b"),
+          Prep.hashBucketBuiltin(col("k"), 7).as("w")).collect()
+      got.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    } finally SparkSession.setActiveSession(spark)
+  }
+
+  test("graft_bucket_counts validates arity and bucket range with clear " +
+      "messages instead of dying inside codegen") {
+    val df = Seq("a b c").toDF("text")
+    def analyze(c: org.apache.spark.sql.Column): Unit =
+      df.select(c).queryExecution.analyzed
+    def messageOf(t: Throwable): String = {
+      var e = t; while (e.getCause != null && e.getCause != e) e = e.getCause
+      Option(e.getMessage).getOrElse("") + Option(t.getMessage).getOrElse("")
+    }
+    val oneArg = intercept[Throwable](
+      analyze(call_function("graft_bucket_counts", col("text"))))
+    assert(messageOf(oneArg).contains("expects 2 arguments"))
+    val zeroB = intercept[Throwable](
+      analyze(call_function("graft_bucket_counts", col("text"), lit(0))))
+    assert(messageOf(zeroB).contains("buckets must be in"))
+    val negB = intercept[Throwable](
+      analyze(call_function("graft_bucket_counts", col("text"), lit(-4))))
+    assert(messageOf(negB).contains("buckets must be in"))
+    val hugeB = intercept[Throwable](analyze(
+      call_function("graft_bucket_counts", col("text"), lit(1 << 24))))
+    assert(messageOf(hugeB).contains("buckets must be in"))
+    // wrong-arity scalar kernel gets the arity message too
+    val md5Arity = intercept[Throwable](analyze(
+      call_function("graft_md5_48", col("text"), lit(1))))
+    assert(messageOf(md5Arity).contains("expects 1 arguments"))
+  }
 }
