@@ -169,6 +169,84 @@ object Similarity {
         col("margin"), (col("__ybx") === col("x_id")).as("mutual"))
   }
 
+  /** Top-`nProbe` nearest-anchor cells (1-based ids) for a vector column,
+    * nearest first — the multi-probe generalization of [[anchorCellExpr]]
+    * (nProbe = 1 reproduces it exactly; [[anchorCell2Expr]]'s masked
+    * second argmax is the nProbe = 2 ordering). Ranking sorts
+    * (−score, idx) so ties break to the smaller anchor index at every
+    * depth, matching `array_position`'s first-max semantics — engine-
+    * stable, zero-shuffle, anchors are broadcast literals.
+    */
+  def topAnchorCellsExpr(vecCol: Column, anchors: Array[Array[Int]],
+      nProbe: Int): Column = {
+    require(nProbe >= 1 && nProbe <= anchors.length,
+      s"nProbe must be in [1, ${anchors.length}]: $nProbe")
+    val v = vecCol.cast("array<double>")
+    val scores = array(anchors.toIndexedSeq.map { a =>
+      val aLit = array(a.map(s => lit(s.toDouble)).toIndexedSeq: _*)
+      val norm2 = a.map(x => x.toDouble * x).sum
+      round(dot(v, aLit) / lit(math.sqrt(norm2)), 6)
+    }: _*)
+    val ranked = zip_with(scores,
+      sequence(lit(1), lit(anchors.length)),
+      (s, i) => struct((-s).as("ns"), i.as("i")))
+    slice(transform(array_sort(ranked), e => e.getField("i").cast("int")),
+      1, nProbe)
+  }
+
+  /** ANN-funnel candidate generation for [[bitextMarginFunnel]]: each
+    * x-side document sits in its primary anchor cell; each y-side
+    * document PROBES its `nProbe` nearest cells; candidates are the
+    * (x, y) pairs meeting in a cell, scored with the pipeline's 6-dp
+    * DECIMAL cosine. Each pair appears at most once (x has ONE cell; y
+    * lists it at most once), so candidate volume is
+    * Σ_cell |X_cell| · |Y probing cell| — sub-quadratic whenever the
+    * probe depth is partial, and at `nProbe = anchors.length` every y
+    * probes every cell, the relation degenerates to the EXACT cross
+    * PROVABLY (not data-dependently), and the margin tail inherits the
+    * exact path's oracle. The y side broadcasts here (k-bounded mining
+    * batches); swap to a plain cell-key shuffle join when both sides are
+    * corpus-scale — the Σ cell-product bound is the same.
+    */
+  def bitextCandidates(xs: DataFrame, ys: DataFrame, idCol: String,
+      vecCol: String, anchors: Array[Array[Int]], nProbe: Int): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val xc = xs.select(col(idCol).cast("long").as("x_id"),
+      col(vecCol).as("__xv"),
+      anchorCellExpr(col(vecCol), anchors).as("__cell"))
+    // full probe = membership in EVERY cell — no scoring needed (and the
+    // top-cells ranking rides interpreted array HOFs, so skipping it
+    // keeps the exact-witness configuration all-codegen)
+    val probeCells =
+      if (nProbe == anchors.length) sequence(lit(1), lit(anchors.length))
+      else topAnchorCellsExpr(col(vecCol), anchors, nProbe)
+    val yc = ys.select(col(idCol).cast("long").as("y_id"),
+      col(vecCol).as("__yv"), explode(probeCells).as("__cell"))
+    xc.join(broadcast(yc), Seq("__cell"))
+      .select(col("x_id"), col("y_id"),
+        round(cosine(col("__xv"), col("__yv")), 6).cast(dec).as("cos"))
+  }
+
+  /** [[bitextMargin]] through the ANN funnel: [[bitextCandidates]]
+    * (cell-bounded candidate generation, the swap-in
+    * [[bitextMargin]]'s scaladoc promises at corpus scale) feeding the
+    * unchanged margin rescoring ([[bitextMarginOnCandidates]]). At
+    * `nProbe = anchors.length` the output ≡ [[bitextMargin]] exactly
+    * (full probe = exact cross, by construction — the
+    * [[graft.ops.Ivf]] `sim_ivf_exact` witness pattern, so the
+    * registered query stays hash-checked end-to-end through the funnel
+    * machinery); partial probes trade boundary-pair recall for
+    * Σ cell-product candidate work (measured in ProbeRound12 /
+    * SURVEY §6.1).
+    */
+  def bitextMarginFunnel(xs: DataFrame, ys: DataFrame, idCol: String,
+      vecCol: String, k: Int, threshold: Double,
+      anchors: Array[Array[Int]], nProbe: Int): DataFrame =
+    bitextMarginOnCandidates(
+      bitextCandidates(xs, ys, idCol, vecCol, anchors, nProbe)
+        .localCheckpoint(),
+      k, threshold)
+
   /** Exact k-NN join: for every row of the (small, broadcast) query
     * relation, the top-k most-cosine-similar corpus rows. One corpus scan;
     * ranking is a per-query-key window (shuffle on q_id — at scale the

@@ -534,10 +534,16 @@ object SimilarityQueries {
   private val BitextK = 4
   private val BitextThreshold = 1.02
 
-  /** Margin-based bitext mining ([[graft.ops.Similarity.bitextMargin]])
-    * between the en and es documents over their embeddings (vec_id ↔
-    * doc_id): ratio margin at k=[[BitextK]], mined at ≥
-    * [[BitextThreshold]], mutual-best flagged.
+  /** Margin-based bitext mining through the ANN FUNNEL
+    * ([[graft.ops.Similarity.bitextMarginFunnel]]) between the en and es
+    * documents over their embeddings (vec_id ↔ doc_id): cell-bounded
+    * candidate generation → ratio margin at k=[[BitextK]], mined at ≥
+    * [[BitextThreshold]], mutual-best flagged. Probes ALL [[semAnchors]]
+    * cells, which degenerates to the exact cross BY CONSTRUCTION (the
+    * `sim_ivf_exact` witness pattern), so the funnel machinery itself is
+    * hash-checked against the exact-replay oracle; partial-probe
+    * candidate volume and recall are pinned in SimilaritySpec +
+    * ProbeRound12 (SURVEY §6.1).
     */
   def bitextMargin(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -546,8 +552,9 @@ object SimilarityQueries {
       .select(col("doc_id"))
       .join(emb, col("doc_id") === col("vec_id"))
       .select(col("doc_id"), col("embedding"))
-    graft.ops.Similarity.bitextMargin(side("en"), side("es"), "doc_id",
-        "embedding", BitextK, BitextThreshold)
+    graft.ops.Similarity.bitextMarginFunnel(side("en"), side("es"),
+        "doc_id", "embedding", BitextK, BitextThreshold,
+        semAnchors, nProbe = semAnchors.length)
       .orderBy("x_id")
   }
 

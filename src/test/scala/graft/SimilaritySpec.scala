@@ -528,6 +528,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaCand.toSeq == out.toSeq)
   }
 
+  test("bitextMarginFunnel: full probe is EXACTLY bitextMargin (the " +
+      "witness the registered query rides); partial probes nest and " +
+      "bound candidate volume") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(91)
+    def side(n: Int, off: Long) = (0 until n).map(i =>
+        (off + i, Seq.fill(8)(rnd.nextDouble() * 2 - 1)))
+      .toDF("doc_id", "embedding")
+    val xs = side(30, 0L)
+    val ys = side(30, 100L)
+    val anchors = Similarity.hyperplanes(4, 8, seed = 7L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val exact = rows(Similarity.bitextMargin(xs, ys, "doc_id",
+      "embedding", k = 3, threshold = 1.0))
+    val full = rows(Similarity.bitextMarginFunnel(xs, ys, "doc_id",
+      "embedding", k = 3, threshold = 1.0, anchors, nProbe = 4))
+    assert(full == exact && exact.nonEmpty)
+    // candidate volume: monotone in nProbe, |X|·|Y| at full probe,
+    // strictly smaller at single probe; partial candidates nest
+    val cands = (1 to 4).map(np => Similarity.bitextCandidates(
+      xs, ys, "doc_id", "embedding", anchors, np)
+      .select("x_id", "y_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(cands(3).size == 30 * 30)
+    assert(cands(0).size < cands(3).size)
+    (0 to 2).foreach(i => assert(cands(i).subsetOf(cands(i + 1))))
+    // nProbe=1 candidates = pairs sharing the PRIMARY cell
+    val xCell = xs.select(col("doc_id"),
+        Similarity.anchorCellExpr(col("embedding"), anchors).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val yCell = ys.select(col("doc_id"),
+        Similarity.anchorCellExpr(col("embedding"), anchors).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want1 = (for { x <- xCell.keys; y <- yCell.keys
+      if xCell(x) == yCell(y) } yield (x, y)).toSet
+    assert(cands(0) == want1)
+  }
+
   test("dbscan: hand-computed clusters, border takes the min core " +
       "neighbor's label, isolated point is noise") {
     // unit circle at fixed angles; one anchor => one cell => the full
