@@ -975,6 +975,22 @@ object Similarity {
     */
   def dbscanFitted(emb: DataFrame, idCol: String, vecCol: String,
       tau: Double, minPts: Int, k: Int, rounds: Int): DataFrame = {
+    val assigned = emb.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .join(fittedCells(emb, idCol, vecCol, k, rounds), Seq("__id"))
+      .localCheckpoint()
+    dbscanCore(assigned, idCol, tau, minPts)
+  }
+
+  /** The FITTED cell assignment shared by [[dbscanFitted]] and the
+    * fitted arm of [[dbscanEdgeRecall]]: [[kmeansFit]]'s exact-DECIMAL
+    * Lloyd, then one more assignment pass replaying its per-round argmin
+    * exactly (exact DECIMAL(14,9)² distance sums over the broadcast k·d
+    * centroid relation, min-struct ties to the smallest cid). Returns
+    * (__id, __cell).
+    */
+  private def fittedCells(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val X9 = DecimalType(12, 9)
     val Dif = DecimalType(14, 9)
@@ -987,18 +1003,13 @@ object Similarity {
           .as(Seq("dim", "__xd")))
       .select(col("__id"), col("dim"),
         round(col("__xd"), 9).cast(X9).as("__x9"))
-    val cells = x.join(broadcast(cents), Seq("dim"))
+    x.join(broadcast(cents), Seq("dim"))
       .groupBy("__id", "cid")
       .agg(sum(((col("__x9") - col("__c9")).cast(Dif) *
         (col("__x9") - col("__c9")).cast(Dif))).as("__dist"))
       .groupBy("__id")
       .agg(min(struct(col("__dist"), col("cid"))).as("__m"))
       .select(col("__id"), col("__m.cid").cast("int").as("__cell"))
-    val assigned = emb.select(col(idCol).as("__id"),
-        col(vecCol).cast("array<double>").as("__v"))
-      .join(cells, Seq("__id"))
-      .localCheckpoint()
-    dbscanCore(assigned, idCol, tau, minPts)
   }
 
   /** The clustering core shared by [[dbscan]] and [[dbscanFitted]]:
@@ -1078,42 +1089,56 @@ object Similarity {
     * cell — the production [[dbscan]] candidate set) and nProbe = 2
     * (any shared cell among each point's top-2 anchors — the multi-probe
     * variant, ≤ 4× the candidate work for the boundary-pair recall the
-    * single cell loses). Returns one row per probe depth:
-    * (n_probe, n_true, n_found, recall) — recall is ONE IEEE division
-    * of two exact integers; n_true = 0 yields a null recall, not a
-    * crash.
+    * single cell loses), and — when `fittedK > 0` — the FITTED-cell
+    * restriction ([[fittedCells]], the assignment [[dbscanFitted]]
+    * actually clusters on), so the shipped variant's recall is measured,
+    * not presumed. Returns one row per (method, probe depth):
+    * (method ∈ anchored|fitted, n_probe, n_true, n_found, recall) —
+    * recall is ONE IEEE division of two exact integers; n_true = 0
+    * yields a null recall, not a crash.
     */
   def dbscanEdgeRecall(emb: DataFrame, idCol: String, vecCol: String,
-      tau: Double, anchors: Array[Array[Int]]): DataFrame = {
+      tau: Double, anchors: Array[Array[Int]],
+      fittedK: Int = 0, fittedRounds: Int = 0): DataFrame = {
+    val withFitted = fittedK > 0
     val (c1, c2) = anchorCell2Expr(col(vecCol), anchors)
-    val assigned = emb.select(col(idCol).as("__id"),
-        col(vecCol).cast("array<double>").as("__v"),
-        c1.as("__c1"), c2.as("__c2"))
+    val base = emb.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"),
+      c1.as("__c1"), c2.as("__c2"))
+    val assigned = (if (withFitted)
+        base.join(fittedCells(emb, idCol, vecCol, fittedK, fittedRounds)
+          .select(col("__id"), col("__cell").as("__fc")), Seq("__id"))
+      else base.withColumn("__fc", lit(0)))
       .localCheckpoint()
     // true edges: all pairs, exact rounded cosine — audit-scale
     val x = assigned.select(col("__id").as("__ia"), col("__v").as("__va"),
-      col("__c1").as("__c1a"), col("__c2").as("__c2a"))
+      col("__c1").as("__c1a"), col("__c2").as("__c2a"),
+      col("__fc").as("__fca"))
     val y = assigned.select(col("__id").as("__ib"), col("__v").as("__vb"),
-      col("__c1").as("__c1b"), col("__c2").as("__c2b"))
+      col("__c1").as("__c1b"), col("__c2").as("__c2b"),
+      col("__fc").as("__fcb"))
     val pairs = x.join(y, col("__ia") < col("__ib"))
       .filter(round(cosine(col("__va"), col("__vb")), 6) >= tau)
       .select(col("__ia"), col("__ib"),
         (col("__c1a") === col("__c1b")).as("__hit1"),
         (col("__c1a") === col("__c1b") || col("__c1a") === col("__c2b") ||
           col("__c2a") === col("__c1b") || col("__c2a") === col("__c2b"))
-          .as("__hit2"))
+          .as("__hit2"),
+        (col("__fca") === col("__fcb")).as("__hitf"))
       .localCheckpoint()
     val stats = pairs.agg(count(lit(1)).as("n_true"),
       sum(col("__hit1").cast("long")).as("__f1"),
-      sum(col("__hit2").cast("long")).as("__f2"))
-    stats.select(lit(1).as("n_probe"), col("n_true"),
-        col("__f1").as("n_found"),
-        when(col("n_true") > 0, col("__f1").cast("double") /
+      sum(col("__hit2").cast("long")).as("__f2"),
+      sum(col("__hitf").cast("long")).as("__ff"))
+    def arm(method: String, nProbe: Int, f: String) =
+      stats.select(lit(method).as("method"), lit(nProbe).as("n_probe"),
+        col("n_true"), col(f).as("n_found"),
+        when(col("n_true") > 0, col(f).cast("double") /
           col("n_true").cast("double")).as("recall"))
-      .unionByName(stats.select(lit(2).as("n_probe"), col("n_true"),
-        col("__f2").as("n_found"),
-        when(col("n_true") > 0, col("__f2").cast("double") /
-          col("n_true").cast("double")).as("recall")))
+    val anchored = arm("anchored", 1, "__f1")
+      .unionByName(arm("anchored", 2, "__f2"))
+    if (withFitted) anchored.unionByName(arm("fitted", 1, "__ff"))
+    else anchored
   }
 
   /** Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009) — the

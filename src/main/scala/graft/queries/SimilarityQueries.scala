@@ -190,16 +190,20 @@ object SimilarityQueries {
         "vec_id", "embedding", DbscanTau, DbscanMinPts, semAnchors)
       .orderBy("vec_id")
 
-  /** Recall audit of the cell-bounded ε-graph at nProbe 1 vs 2
-    * ([[graft.ops.Similarity.dbscanEdgeRecall]]) — quantifies the
-    * boundary-pair loss `sim_dbscan`'s candidate set is documented to
-    * accept, against the exact quadratic edge set (audit-scale, the
-    * `sim_ivf_recall` pattern).
+  /** Recall audit of the cell-bounded ε-graph at anchored nProbe 1 vs 2
+    * AND the fitted k-means cells `sim_dbscan_fitted` actually clusters
+    * on ([[graft.ops.Similarity.dbscanEdgeRecall]]) — quantifies the
+    * boundary-pair loss each candidate set accepts, against the exact
+    * quadratic edge set (audit-scale, the `sim_ivf_recall` pattern).
+    * The fitted arm replays the SAME Lloyd fit + assignment as the
+    * clustering query, so the shipped variant's recall is the measured
+    * one.
     */
   def dbscanRecall(spark: SparkSession, dir: String): DataFrame =
     Similarity.dbscanEdgeRecall(Tables.embeddings(spark, dir),
-        "vec_id", "embedding", DbscanTau, semAnchors)
-      .orderBy("n_probe")
+        "vec_id", "embedding", DbscanTau, semAnchors,
+        fittedK = KmeansK, fittedRounds = KmeansRounds)
+      .orderBy("method", "n_probe")
 
   /** DBSCAN over FITTED k-means cells
     * ([[graft.ops.Similarity.dbscanFitted]]) — cells that follow the
@@ -1204,36 +1208,55 @@ object SimilarityQueries {
          |FROM a LEFT JOIN comp ON comp.id = a.vec_id
          |LEFT JOIN bord ON bord.id = a.vec_id
          |ORDER BY vec_id""".stripMargin,
-    // top-2 anchor cells via the masked second argmax; true edges from
-    // the exact quadratic pair scan (audit-scale); recall = one division
-    // of exact integers
+    // top-2 anchor cells via the masked second argmax PLUS the fitted
+    // k-means cells (the SAME Lloyd replay + assignment pass as
+    // sim_dbscan_fitted); true edges from the exact quadratic pair scan
+    // (audit-scale); recall = one division of exact integers per arm
     "sim_dbscan_recall" ->
-      s"""WITH sc AS (SELECT vec_id, embedding,
+      s"""WITH ${kmeansCtesSql(KmeansK, KmeansRounds)},
+         |dF AS (SELECT x.id, c.cid,
+         |    sum(CAST((x.x9 - c.c) AS DECIMAL(14,9)) *
+         |        CAST((x.x9 - c.c) AS DECIMAL(14,9))) AS dist
+         |  FROM x JOIN c$KmeansRounds c USING (dim) GROUP BY 1, 2),
+         |cellA AS (SELECT id,
+         |    struct_extract(min(struct_pack(d := dist, c := cid)), 'c')
+         |      AS cell
+         |  FROM dF GROUP BY id),
+         |sc AS (SELECT vec_id, embedding,
          |    ${semScoresSql("embedding")} AS s FROM embeddings),
-         |a1 AS (SELECT vec_id, embedding, s,
+         |pr1 AS (SELECT vec_id, embedding, s,
          |    list_indexof(s, list_max(s)) AS c1 FROM sc),
-         |a2 AS (SELECT vec_id, embedding, c1,
+         |pr2 AS (SELECT vec_id, embedding, c1,
          |    list_indexof(m, list_max(m)) AS c2
          |  FROM (SELECT *, [CASE WHEN i = c1 THEN '-infinity'::DOUBLE
          |      ELSE s[i] END FOR i IN generate_series(1,
-         |      ${semAnchors.length})] AS m FROM a1)),
+         |      ${semAnchors.length})] AS m FROM pr1)),
+         |aj AS MATERIALIZED (SELECT pr2.vec_id, pr2.embedding, pr2.c1,
+         |    pr2.c2, ca.cell AS fc
+         |  FROM pr2 JOIN cellA ca ON ca.id = pr2.vec_id),
          |p AS (SELECT CAST(x.c1 = y.c1 AS INT) AS h1,
          |    CAST(x.c1 = y.c1 OR x.c1 = y.c2 OR x.c2 = y.c1
-         |      OR x.c2 = y.c2 AS INT) AS h2
-         |  FROM a2 x JOIN a2 y ON x.vec_id < y.vec_id
+         |      OR x.c2 = y.c2 AS INT) AS h2,
+         |    CAST(x.fc = y.fc AS INT) AS hf
+         |  FROM aj x JOIN aj y ON x.vec_id < y.vec_id
          |  WHERE ${cosineSql("x.embedding", "y.embedding")} >= $DbscanTau),
-         |st AS (SELECT count(*) AS n_true, sum(h1) AS f1, sum(h2) AS f2
-         |  FROM p)
-         |SELECT CAST(1 AS INT) AS n_probe, n_true,
+         |st AS (SELECT count(*) AS n_true, sum(h1) AS f1, sum(h2) AS f2,
+         |  sum(hf) AS ff FROM p)
+         |SELECT 'anchored' AS method, CAST(1 AS INT) AS n_probe, n_true,
          |  CAST(f1 AS BIGINT) AS n_found,
          |  CASE WHEN n_true > 0
          |    THEN CAST(f1 AS DOUBLE) / CAST(n_true AS DOUBLE) END AS recall
          |FROM st
          |UNION ALL
-         |SELECT CAST(2 AS INT), n_true, CAST(f2 AS BIGINT),
+         |SELECT 'anchored', CAST(2 AS INT), n_true, CAST(f2 AS BIGINT),
          |  CASE WHEN n_true > 0
          |    THEN CAST(f2 AS DOUBLE) / CAST(n_true AS DOUBLE) END
-         |FROM st ORDER BY n_probe""".stripMargin,
+         |FROM st
+         |UNION ALL
+         |SELECT 'fitted', CAST(1 AS INT), n_true, CAST(ff AS BIGINT),
+         |  CASE WHEN n_true > 0
+         |    THEN CAST(ff AS DOUBLE) / CAST(n_true AS DOUBLE) END
+         |FROM st ORDER BY method, n_probe""".stripMargin,
     "sim_semantic_dedup" ->
       s"""WITH a AS (SELECT vec_id, embedding,
          |  ${semCellSql("embedding")} AS cell FROM embeddings),

@@ -625,10 +625,39 @@ class SimilaritySpec extends AnyFunSuite {
     val out = Similarity.dbscanEdgeRecall(emb2, "vec_id", "embedding",
         tau = 0.9, anchors = anchors)
       .orderBy("n_probe").collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
-        r.getDouble(3))).toSeq
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
     // true edges at cos >= 0.9: (1,2) boundary pair + (3,4) clones = 2
-    assert(out == Seq((1, 2L, 1L, 0.5), (2, 2L, 2L, 1.0)))
+    assert(out == Seq(("anchored", 1, 2L, 1L, 0.5),
+      ("anchored", 2, 2L, 2L, 1.0)))
+  }
+
+  test("dbscanEdgeRecall fitted arm: cells that follow two tight planted " +
+      "clusters keep every true edge (recall 1.0) where the generic " +
+      "anchors may split them") {
+    // the dbscanFitted fixture: two tight clusters + two isolated points;
+    // at tau=0.995 true edges exist only WITHIN the tight clusters, and
+    // the k=2 Lloyd fit maps each cluster into one cell
+    def v(deg: Double) = Array(
+      math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    val pts = (Seq(0.0, 1.0, 2.0, 3.0, 4.0, 2.5) ++
+      Seq(180.0, 181.0, 182.0, 183.0, 184.0, 182.5) ++
+      Seq(90.0, 270.0)).zipWithIndex
+      .map { case (d, i) => (i.toLong + 1L, v(d).map(_.toFloat)) }
+    val emb2 = pts.toDF("vec_id", "embedding")
+    val anchors = Array(Array(1, 1), Array(1, -1))
+    val out = Similarity.dbscanEdgeRecall(emb2, "vec_id", "embedding",
+        tau = 0.995, anchors = anchors, fittedK = 2, fittedRounds = 4)
+      .orderBy("method", "n_probe").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.length == 3)
+    val fitted = out.find(_._1 == "fitted").get
+    assert(fitted._3 == 30L) // 2 x C(6,2) true edges
+    assert(fitted._5 == 1.0) // every true edge survives the fitted cells
+    // the anchored single-probe arm audits the same 30 edges
+    val anch1 = out.find(r => r._1 == "anchored" && r._2 == 1).get
+    assert(anch1._3 == 30L)
   }
 
   test("dbscanFitted: fitted cells keep a tight planted cluster together " +
