@@ -33,11 +33,16 @@ object ProbeItemCf {
     val df = organic.unionByName(hot).localCheckpoint()
     println(s"[itemcf] corpus: $nBaskets organic baskets + one " +
       s"$hotItems-item basket, ${df.count()} incidence rows")
-    t(s"capped maxBasket=10000 (default): pairs bounded by 1e8 from " +
-        "the hot basket") {
+    t("ADAPTIVE default cap (p99 x 8, floor 1024): the bot basket is " +
+        "cut to the corpus' own scale") {
       graft.ops.EventOps.itemCfNeighbors(df, "b", "i", topK = 10).count()
     }
-    t("capped maxBasket=1000: hot basket contributes <= 1e6 pairs") {
+    t(s"explicit maxBasket=10000 (the old static default): still admits " +
+        "~5e7 pairs from the hot basket") {
+      graft.ops.EventOps.itemCfNeighbors(df, "b", "i", topK = 10,
+        maxBasket = 10000).count()
+    }
+    t("explicit maxBasket=1000: hot basket contributes <= 1e6 pairs") {
       graft.ops.EventOps.itemCfNeighbors(df, "b", "i", topK = 10,
         maxBasket = 1000).count()
     }

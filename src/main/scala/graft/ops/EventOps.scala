@@ -587,9 +587,24 @@ object EventOps {
     * clickstream's hottest basket WILL hit — such baskets are crawl/bot
     * artifacts carrying no preference signal, which is why production
     * item-CF caps them; Linden et al. 2003 §"Scalability" notes the same
-    * mitigation). Item counts are taken AFTER the cap so sim stays an
-    * internally consistent cosine (n_ab ≤ min(n_i, n_j) always);
-    * `maxBasket = Int.MaxValue` disables the pre-pass entirely. Counts
+    * mitigation). The DEFAULT cap is ADAPTIVE ([[AdaptiveBasketCap]]):
+    * one quantile probe over the already-materialized incidence relation
+    * reads the basket-size p99 and sets
+    * cap = max([[AdaptiveBasketFloor]], ⌈p99 × [[AdaptiveBasketMargin]]⌉)
+    * — on organic data the cap sits far above every real basket (zero
+    * trimming, plan unchanged), while a planted 10⁵-item bot basket is
+    * cut to the corpus' own scale instead of a static 10⁴ that still
+    * admits ~5·10⁷ pairs (the round-11 watch-item). p99, not p99.9: the
+    * interpolated percentile needs the outlier OUTSIDE the quantile's
+    * rank gap, so p99 isolates a single bot from ~100 baskets up where
+    * p99.9 needs ~1000 (below ~100 baskets pass an explicit cap — the
+    * probe cannot tell a bot from the tail there). The probe is one
+    * driver-side scalar off a baskets-sized aggregate — control-plane,
+    * like the IVF centroid read. Item counts are taken AFTER the cap so
+    * sim stays an internally consistent cosine (n_ab ≤ min(n_i, n_j)
+    * always); an explicit `maxBasket` pins the cap (production crawls:
+    * ~10³); `maxBasket = Int.MaxValue` disables the pre-pass entirely.
+    * Counts
     * broadcast back (`broadcastCounts = false` switches to a shuffle
     * join when the item vocabulary is unbounded — the N42 discipline).
     * Determinism: the capped subset is the md5-ranked prefix (engine-
@@ -597,9 +612,24 @@ object EventOps {
     * 9 dp; rank ties break by neighbor id.
     * Returns (item, neighbor, n_ab, n_i, n_j, sim, rank).
     */
+  /** Sentinel `maxBasket`: derive the cap from the basket-size p99. */
+  val AdaptiveBasketCap: Int = -1
+
+  /** Smallest adaptive cap — protects small/skewed corpora where the
+    * p99 itself is tiny (a legitimate 200-item basket in a 50-basket
+    * corpus must not trim).
+    */
+  val AdaptiveBasketFloor: Int = 1024
+
+  /** Headroom over the p99: organic tails (heavy buyers, power users)
+    * clear it; a bot basket orders of magnitude past the distribution
+    * does not.
+    */
+  val AdaptiveBasketMargin: Int = 8
+
   def itemCfNeighbors(df: DataFrame, basketCol: String, itemCol: String,
       topK: Int, broadcastCounts: Boolean = true,
-      maxBasket: Int = 10000): DataFrame = {
+      maxBasket: Int = AdaptiveBasketCap): DataFrame = {
     // materialized once: the incidence relation feeds the cap probe,
     // both pair-join sides and the item counts — without this every
     // consumer replays the upstream (and the probe would pay it twice).
@@ -623,13 +653,28 @@ object EventOps {
     val present =
       if (maxBasket == Int.MaxValue) present0
       else {
-        val over = present0.groupBy("__b").agg(count(lit(1)).as("__bn"))
-          .filter(col("__bn") > maxBasket).select("__b")
+        val sizes0 = present0.groupBy("__b").agg(count(lit(1)).as("__bn"))
+        // adaptive default: the quantile probe and the oversized filter
+        // read the same baskets-sized aggregate once (checkpointed)
+        val sizes =
+          if (maxBasket == AdaptiveBasketCap) sizes0.localCheckpoint()
+          else sizes0
+        val cap =
+          if (maxBasket != AdaptiveBasketCap) maxBasket
+          else {
+            val p = sizes.agg(expr("percentile(__bn, 0.99)").as("p"))
+              .head()
+            val p99 = if (p.isNullAt(0)) 0.0 else p.getDouble(0)
+            math.min(Int.MaxValue.toLong,
+              math.max(AdaptiveBasketFloor.toLong,
+                math.ceil(p99 * AdaptiveBasketMargin).toLong)).toInt
+          }
+        val over = sizes.filter(col("__bn") > cap).select("__b")
         if (over.isEmpty) present0
         else {
           val trimmed = Prep.capPerKey(
               present0.join(broadcast(over), Seq("__b"), "left_semi"),
-              Seq("__b"), "__i", maxBasket)
+              Seq("__b"), "__i", cap)
             .drop("sample_rank")
           present0.join(broadcast(over), Seq("__b"), "left_anti")
             .unionByName(trimmed)

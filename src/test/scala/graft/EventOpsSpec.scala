@@ -420,7 +420,9 @@ class EventOpsSpec extends AnyFunSuite {
         r.getAs[Long]("n_j"))
       assert(ab <= math.min(ni, nj) && r.getAs[Double]("sim") <= 1.0)
     }
-    // cap above every basket size == no cap == default
+    // cap above every basket size == no cap == the adaptive default on
+    // organic data (p99 x margin under the floor -> floor 1024 >
+    // every basket -> zero trimming)
     val small = organic.toDF("b", "i")
     val a = EventOps.itemCfNeighbors(small, "b", "i", 5)
       .collect().map(_.toString).sorted.toSeq
@@ -428,6 +430,38 @@ class EventOpsSpec extends AnyFunSuite {
         maxBasket = Int.MaxValue)
       .collect().map(_.toString).sorted.toSeq
     assert(a == b)
+  }
+
+  test("itemCfNeighbors adaptive cap: a planted bot basket far past the " +
+      "size distribution trims to the corpus' own scale; organic-only " +
+      "data is untouched") {
+    // 300 organic 3-item baskets (p99 = 3 -> cap = floor 1024) + one
+    // 2000-item bot basket: the adaptive default must cut the bot to
+    // 1024 while an organic-only corpus matches the uncapped plan
+    val organic = (0 until 300).flatMap(b =>
+      (0 until 3).map(j => (b.toLong, (b * 3 + j).toLong % 500)))
+    val bot = (0 until 2000).map(i => (-1L, i.toLong + 10000L))
+    val df = (organic ++ bot).toDF("b", "i").repartition(9)
+    val adaptive = EventOps.itemCfNeighbors(df, "b", "i", topK = 2000)
+    // the bot basket's items appear, but its contribution is bounded by
+    // the floor cap: no item pairs with more than 1023 bot neighbors
+    val botPairs = adaptive.filter(col("item") >= 10000L)
+      .groupBy("item").count().agg(max("count")).head().getLong(0)
+    assert(botPairs <= 1023L, s"bot fan-out $botPairs")
+    // n_i of a capped-bot item is its capped presence count (1), so the
+    // cosine stays internally consistent
+    adaptive.filter(col("item") >= 10000L).collect().foreach { r =>
+      assert(r.getAs[Long]("n_ab") <=
+        math.min(r.getAs[Long]("n_i"), r.getAs[Long]("n_j")))
+    }
+    // organic-only: adaptive default == uncapped, bit-identical
+    val clean = organic.toDF("b", "i")
+    val viaDefault = EventOps.itemCfNeighbors(clean, "b", "i", 10)
+      .collect().map(_.toString).sorted.toSeq
+    val uncapped = EventOps.itemCfNeighbors(clean, "b", "i", 10,
+        maxBasket = Int.MaxValue)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaDefault == uncapped)
   }
 
   test("seasonalityProfile: integer hour/dow, peak tie to earliest hour, " +
