@@ -220,6 +220,75 @@ object QualityQueries {
       "event_id", "value", "event_type", "split", "train", "test",
       PermResamples, PermSeed)
 
+  /** Online/offline serving-consistency audit — the canonical
+    * feature-store skew check (the train/serve agreement every feature
+    * store must prove; the reference serves from the same store it
+    * trains on, `ML Feature Store Pipeline.py:363-446`, and THIS is the
+    * invariant that makes that safe): for an md5-sampled key set, the
+    * ONLINE serving-path values (latest click by (ts, event_id) window;
+    * total view count) must equal the OFFLINE training-matrix row
+    * as-of global "now" ([[graft.ops.PointInTime.trainingMatrix]] over
+    * the `pit_training_matrix` feature groups, through the NATIVE
+    * sorted-merge as-of exec). The two sides are built by DIFFERENT
+    * machinery — a window/groupBy serve path vs the as-of fold — so a
+    * tie-semantics or boundary regression in either shows up as a
+    * `*_match = false` row here. Null-safe compares; users with no
+    * clicks match on NULL ≡ NULL, view counts on 0 ≡ 0.
+    *
+    * Shape at scale: the sampled spine is hash-bounded; "now" is a
+    * broadcast 1-row aggregate; both sides shuffle once on user_id.
+    */
+  def servingSkew(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{PointInTime, Prep}
+    import org.apache.spark.sql.expressions.Window
+    val e = ev(spark, dir)
+    val users = e.select(col("user_id")).distinct()
+      .filter(Prep.hashBucket(col("user_id"), 4) === 0)
+    val nowRel = e.agg(max(col("ts_us")).as("ts_us"))
+    val labels = users.crossJoin(broadcast(nowRel))
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max_by(col("value"), col("event_id")).as("offline_click"))
+      .select(col("user_id"), col("ts_us").as("c_ts_us"),
+        col("offline_click"))
+    val views = e.filter(col("event_type") === "view")
+      .withColumn("__vs", count(lit(1)).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("__vs")).as("views_asof"))
+      .select(col("user_id"), col("ts_us").as("v_ts_us"),
+        col("views_asof"))
+    val offline = PointInTime.trainingMatrix(labels, "user_id", "ts_us",
+        Seq(
+          PointInTime.FeatureGroup(clicks, "user_id", "c_ts_us",
+            Seq("offline_click")),
+          PointInTime.FeatureGroup(views, "user_id", "v_ts_us",
+            Seq("views_asof"))),
+        native = true)
+      .select(col("user_id"), col("offline_click"),
+        coalesce(col("views_asof"), lit(0L)).as("offline_views"))
+    val onlineClick = e.filter(col("event_type") === "click")
+      .withColumn("__rn", row_number().over(Window.partitionBy("user_id")
+        .orderBy(col("ts_us").desc, col("event_id").desc)))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("value").as("online_click"))
+    val onlineViews = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("online_views"))
+    users
+      .join(onlineClick, Seq("user_id"), "left")
+      .join(onlineViews, Seq("user_id"), "left")
+      .join(offline, Seq("user_id"))
+      .select(col("user_id"), col("online_click"), col("offline_click"),
+        (col("online_click") <=> col("offline_click")).as("click_match"),
+        coalesce(col("online_views"), lit(0L)).as("online_views"),
+        col("offline_views"),
+        (coalesce(col("online_views"), lit(0L)) <=> col("offline_views"))
+          .as("views_match"))
+      .orderBy("user_id")
+  }
+
   /** Covariate balance (SMD) of the md5 arm split over three per-user
     * pre-metrics ([[graft.ops.Screening.covariateBalance]]) — the
     * randomization health check: all |SMD| should sit well under 0.1.
@@ -561,6 +630,7 @@ object QualityQueries {
     "quality_drift_tv" -> splitTv,
     "quality_drift_hellinger" -> splitHellinger,
     "quality_perm_bh" -> permBh,
+    "quality_serving_skew" -> servingSkew,
     "quality_did" -> didValue,
     "quality_cuped" -> cupedValue,
     "quality_eb_rates" -> ebReturnRates,
@@ -1095,6 +1165,47 @@ object QualityQueries {
          |      - CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE))) / 100.0
          |  END AS did
          |FROM o""".stripMargin,
+    // online serve path (latest-click window, total view count) vs the
+    // offline ASOF training-matrix fold at global now — independent
+    // constructions, null-safe compares
+    "quality_serving_skew" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events
+        |  WHERE ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+        |    ::BIGINT % 4 = 0),
+        |n AS (SELECT max(epoch_us(ts)) AS ts_us FROM events),
+        |l AS (SELECT u.user_id, n.ts_us FROM u, n),
+        |c AS (SELECT user_id, epoch_us(ts) AS c_ts_us,
+        |        arg_max(value, event_id) AS offline_click
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |vr AS (SELECT user_id, epoch_us(ts) AS v_ts_us,
+        |         count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS vs
+        |       FROM events WHERE event_type = 'view'),
+        |v AS (SELECT user_id, v_ts_us, max(vs) AS views_asof
+        |      FROM vr GROUP BY 1, 2),
+        |off AS (SELECT l.user_id, c.offline_click,
+        |    coalesce(v.views_asof, 0) AS offline_views
+        |  FROM l
+        |  ASOF LEFT JOIN c ON l.user_id = c.user_id
+        |    AND l.ts_us >= c.c_ts_us
+        |  ASOF LEFT JOIN v ON l.user_id = v.user_id
+        |    AND l.ts_us >= v.v_ts_us),
+        |onc AS (SELECT user_id, value AS online_click FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY user_id
+        |     ORDER BY ts DESC, event_id DESC) AS rn
+        |   FROM events WHERE event_type = 'click') WHERE rn = 1),
+        |onv AS (SELECT user_id, count(*) AS online_views FROM events
+        |        WHERE event_type = 'view' GROUP BY 1)
+        |SELECT u.user_id, onc.online_click, off.offline_click,
+        |  (onc.online_click IS NOT DISTINCT FROM off.offline_click)
+        |    AS click_match,
+        |  coalesce(onv.online_views, 0) AS online_views,
+        |  off.offline_views,
+        |  (coalesce(onv.online_views, 0) IS NOT DISTINCT FROM
+        |    off.offline_views) AS views_match
+        |FROM u LEFT JOIN onc USING (user_id) LEFT JOIN onv USING (user_id)
+        |JOIN off USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     // all-integer randomization test: resample bits read from TWO
     // per-row md5 digests (bit (r-1)%128 of digest (r-1)//128 — hash
     // once per row, not per row×resample); HUGEINT cross-product

@@ -183,6 +183,52 @@ class StoreSpec extends AnyFunSuite {
     assert(got.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
   }
 
+  test("online/offline consistency: serveFeatures agrees with the " +
+      "point-in-time training matrix over the store's AS-OF resolution, " +
+      "for every sampled key — including a key absent from the served " +
+      "version") {
+    import graft.ops.PointInTime
+    import org.apache.spark.sql.functions.{col, lit}
+    val store = freshStore()
+    val v1 = store.registerFeatures(
+      feats(1L -> 10.0, 2L -> 20.0, 3L -> 30.0), meta)
+    store.registerFeatures(feats(1L -> 11.0, 2L -> 21.0), meta)
+    val created = store.listFeatureVersions()
+      .map(m => m.featureVersion -> m.createdAt).toMap
+    // the OFFLINE side: the as-of fold over the store's AS-OF-resolved
+    // version (version-ATOMIC serving — row-level as-of over raw version
+    // history would resurrect user 3's v1 row after v2 dropped the user)
+    def matrixAt(ts: String): Map[Long, Option[Any]] = {
+      val grp = store.getFeaturesAsOf(ts, useCache = false)
+        .select(col("user_id"), col("created_at").as("f_ts"),
+          col("total_amount").as("pit_amount"))
+      val labels = Seq(1L, 2L, 3L).toDF("user_id")
+        .withColumn("ts", lit(ts))
+      PointInTime.trainingMatrix(labels, "user_id", "ts",
+          Seq(PointInTime.FeatureGroup(grp, "user_id", "f_ts",
+            Seq("pit_amount"))))
+        .collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          Option(r.getAs[Any]("pit_amount"))).toMap
+    }
+    // ONLINE at now (latest version): user 3 must be absent on BOTH sides
+    val mNow = matrixAt("2024-01-01T00:00:59Z")
+    Seq(1L, 2L, 3L).foreach { u =>
+      val served = store.serveFeatures(u).map(_("total_amount"))
+      assert(mNow(u) == served, s"user $u: matrix ${mNow(u)} vs $served")
+    }
+    assert(mNow(3L).isEmpty)
+    // at v1's instant both sides read the v1 values (incl. user 3 = 30.0)
+    val t1 = created(v1)
+    val m1 = matrixAt(t1)
+    Seq(1L, 2L, 3L).foreach { u =>
+      val served = store.serveFeatures(u, store.versionAsOf(t1))
+        .map(_("total_amount"))
+      assert(m1(u) == served, s"user $u @v1: matrix ${m1(u)} vs $served")
+    }
+    assert(m1(3L).contains(30.0))
+  }
+
   test("AS OF time travel: resolution picks the newest version at or " +
       "before the instant; reads serve that version's rows") {
     val store = freshStore() // clock stamps :01, :02, :03 …
