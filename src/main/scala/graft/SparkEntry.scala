@@ -21,7 +21,8 @@ object SparkEntry {
       RelationalQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ TextQueries.queries ++
       MultimodalQueries.queries ++ ScaleQueries.queries ++
-      PrepQueries.queries ++ FeatureQueries.queries ++ EvalQueries.queries
+      PrepQueries.queries ++ FeatureQueries.queries ++
+      EvalQueries.queries ++ ModelQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       RelationalQueries.oracle ++ DedupQueries.oracle ++
       SimilarityQueries.oracle ++ TextQueries.oracle ++
       MultimodalQueries.oracle ++ ScaleQueries.oracle ++
-      PrepQueries.oracle ++ FeatureQueries.oracle ++ EvalQueries.oracle
+      PrepQueries.oracle ++ FeatureQueries.oracle ++
+      EvalQueries.oracle ++ ModelQueries.oracle
 }

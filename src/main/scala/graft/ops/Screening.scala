@@ -1058,4 +1058,68 @@ object Screening {
         when(col("t").isNotNull,
           abs(col("t")) > lit(ZCrit5).cast(DoubleType)))
   }
+
+  /** Otsu's threshold (Otsu 1979, "A Threshold Selection Method from
+    * Gray-Level Histograms") over a ≤2-dp numeric column: the
+    * unsupervised two-class cut that maximizes between-class variance —
+    * the histogram-shaped answer to "where does 'low' end and 'high'
+    * begin?" for a quality score or spend column, with no labels and no
+    * quantile sketch.
+    *
+    * The column quantizes to exact integer cents; `bins` fixed-width
+    * buckets come from the global [min, max] by exact integer floor
+    * division (the [[graft.ops.Boost]] grid). Candidate cut t keeps bins
+    * ≤ t on the left; the argmax objective is the scale-free form
+    *
+    *   (s₀·n − s·w₀)² / (w₀·(n−w₀))    [∝ w₀·w₁·(μ₀−μ₁)²]
+    *
+    * computed from exact BIGINT prefix sums. The products stay below 2⁵³
+    * through ~10⁸ rows × 10⁵-cent values, so the BIGINT→double casts are
+    * EXACT and the IEEE divide is engine-identical — no decimal→double
+    * parity dependence anywhere (above that window the doubles round,
+    * identically on any IEEE engine, and the cut degrades gracefully).
+    * One row: the chosen cut's bin, its inclusive upper edge in original
+    * units, the masses each side, and the rounded objective.
+    *
+    * Shape at scale: one row-scale aggregation to the `bins`-row
+    * histogram; prefix sums and the argmax run on that bounded relation.
+    */
+  def otsuThreshold(df: DataFrame, valueCol: String, bins: Int = 32)
+      : DataFrame = {
+    require(bins >= 2, "otsu needs >= 2 bins")
+    val cents = (col(valueCol).cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    val base = df.select(cents.as("__v"))
+    val mm = base.agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
+      count(lit(1)).as("__n"), sum(col("__v")).as("__s"))
+    val span = col("__mx") - col("__mn") + 1
+    val bin = least(lit(bins - 1),
+      (((col("__v") - col("__mn")) * bins -
+        pmod((col("__v") - col("__mn")) * bins, span)) / span).cast("long"))
+    val hist = base.crossJoin(broadcast(mm))
+      .groupBy(bin.as("__b"))
+      .agg(count(lit(1)).as("__nb"), sum(col("__v")).as("__sb"),
+        max(col("__v")).as("__hi"),
+        first(col("__mn")).as("__mn"), first(col("__mx")).as("__mx"),
+        first(col("__n")).as("__n"), first(col("__s")).as("__st"))
+    val w = Window.orderBy("__b") // bins-row relation: one-task window OK
+    val pf = hist.select(col("__b"),
+      sum(col("__nb")).over(w).as("__w0"),
+      sum(col("__sb")).over(w).as("__s0"),
+      max(col("__hi")).over(w).as("__edge"),
+      col("__n"), col("__st"))
+    val num = (col("__s0") * col("__n") - col("__st") * col("__w0"))
+      .cast(DoubleType)
+    val den = (col("__w0") * (col("__n") - col("__w0"))).cast(DoubleType)
+    val cand = pf.filter(col("__w0") > 0 && col("__w0") < col("__n"))
+      .select(col("__b"), col("__edge"), col("__w0"), col("__n"),
+        (num * num / den).as("__obj"))
+    cand.agg(max(struct(col("__obj"), (-col("__b")).as("__mb"),
+        col("__edge"), col("__w0"), col("__n"))).as("__t"))
+      .select((-col("__t.__mb")).cast("int").as("threshold_bin"),
+        (col("__t.__edge").cast(DoubleType) / 100.0).as("threshold_value"),
+        col("__t.__w0").as("n_below"),
+        (col("__t.__n") - col("__t.__w0")).as("n_above"),
+        round(col("__t.__obj"), 6).as("between_var_num"))
+  }
 }

@@ -557,6 +557,97 @@ object TokenModels {
           .as("accuracy"))
   }
 
+  /** Learning curve for [[naiveBayes]] — held-out accuracy as a function
+    * of training-set size, the "is more data still buying accuracy?"
+    * question every data-curation budget decision hangs on (Hestness et
+    * al. 2017, "Deep Learning Scaling is Predictable, Empirically" asks
+    * it for deep nets; the NB curve is the cheap screening proxy).
+    *
+    * NESTED training subsets come from the md5 stratum of the doc id
+    * (buckets 0..strata−1): the test set is the LAST stratum, and level L
+    * trains on strata 0..L−1 — so each level's training set contains the
+    * previous one, the property that makes the curve monotone-comparable.
+    * Like [[naiveBayesCrossVal]], no per-level retraining: per-(stratum,
+    * class, token-bucket) counts aggregate ONCE and level L's model is
+    * the sum over its strata — the level→stratum mapping is a ≤
+    * strata²-row relation joined onto the bounded count cube, never onto
+    * rows. Priors count training docs (≥ 1 token, as everywhere in the
+    * family); a (level, class) with zero training docs is dropped — it
+    * cannot be predicted.
+    *
+    * Test docs score against EVERY level's broadcast model (levels ×
+    * classes × buckets rows, few KB) in one join — the level id rides
+    * the bucket key exactly like crossval's fold id. Accuracy is ONE
+    * IEEE division of two exact integers. Returns one row per level:
+    * (level, n_train, n_test, n_correct, accuracy).
+    */
+  def naiveBayesLearningCurve(docs: DataFrame, idCol: String,
+      textCol: String, labelCol: String, buckets: Int = 64,
+      strata: Int = 8, levels: Seq[Int] = Seq(1, 2, 4, 7)): DataFrame = {
+    require(levels.nonEmpty && levels.forall(l => l >= 1 && l < strata),
+      "levels must train on strata strictly below the held-out stratum")
+    val spark = docs.sparkSession
+    val labeled = docs.select(col(idCol).as("id"),
+        col(labelCol).cast("string").as("__y"), col(textCol).as("__text"))
+      .withColumn("stratum", Prep.hashBucket(col("id"), strata))
+    val occ = bucketCounts(labeled, "id", "__text", buckets)
+      .join(labeled.select(col("id"), col("__y"), col("stratum")),
+        Seq("id"))
+      .localCheckpoint()
+    // per-(stratum, class, bucket) token counts, once; levels sum them
+    val cube = occ.groupBy("stratum", "__y", "bucket")
+      .agg(sum(col("c")).as("n"))
+    import spark.implicits._
+    val levelMap = levels.flatMap(l => (0 until l).map(s => (l, s)))
+      .toDF("level", "stratum")
+    val byLevel = cube.join(broadcast(levelMap), Seq("stratum"))
+      .groupBy("level", "__y", "bucket").agg(sum(col("n")).as("n"))
+    val levelTot = byLevel.groupBy("level", "__y")
+      .agg(sum(col("n")).as("tot"))
+    val grid = levels.toDF("level")
+      .crossJoin(spark.range(buckets).select(col("id").cast("int")
+        .as("bucket")))
+      .crossJoin(labeled.select(col("__y")).distinct())
+    val lik = grid
+      .join(byLevel, Seq("level", "__y", "bucket"), "left")
+      .join(levelTot, Seq("level", "__y"), "left")
+      .select(col("level"), col("__y"), col("bucket"),
+        bits9((coalesce(col("n"), lit(0L)) + 1.0) /
+          (coalesce(col("tot"), lit(0L)) + buckets)).as("lp"))
+    // priors over TRAINING docs (>= 1 token) per level
+    val docStratum = occ.select("id", "__y", "stratum").distinct()
+    val byLevelDocs = docStratum.join(broadcast(levelMap), Seq("stratum"))
+      .groupBy("level", "__y").agg(count(lit(1)).as("dc"))
+    val levelDocsTot = byLevelDocs.groupBy("level")
+      .agg(sum(col("dc")).as("dtot"))
+    val priors = byLevelDocs.join(levelDocsTot, Seq("level"))
+      .filter(col("dc") > 0)
+      .select(col("level"), col("__y"),
+        bits9(col("dc").cast("double") / col("dtot")).as("prior"))
+    val nTrain = levelDocsTot.select(col("level"), col("dtot").as("n_train"))
+    val testOcc = occ.filter(col("stratum") === strata - 1)
+    val scored = testOcc.select(col("id"), col("bucket"), col("c"))
+      .join(broadcast(lik.withColumnRenamed("__y", "__cls")), Seq("bucket"))
+      .groupBy("id", "level", "__cls")
+      .agg(sum(col("lp") * col("c").cast(C10)).as("__s"))
+      .join(broadcast(priors.select(col("level"),
+        col("__y").as("__cls"), col("prior"))), Seq("level", "__cls"))
+      .select(col("id"), col("level"), col("__cls"),
+        (col("__s").cast(DecimalType(28, 9)) + col("prior")).as("score"))
+    val predicted = scored.groupBy("id", "level")
+      .agg(max(struct(col("score"), col("__cls"))).as("best"))
+      .select(col("id"), col("level"), col("best.__cls").as("__pred"))
+    predicted
+      .join(labeled.select(col("id"), col("__y")), Seq("id"))
+      .groupBy("level")
+      .agg(count(lit(1)).as("n_test"),
+        sum((col("__pred") === col("__y")).cast("long")).as("n_correct"))
+      .join(broadcast(nTrain), Seq("level"))
+      .select(col("level"), col("n_train"), col("n_test"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n_test").cast("double"))
+          .as("accuracy"))
+  }
+
   /** Tokenizer-vocabulary construction: terms with corpus count ≥
     * `minCount`, assigned CONTIGUOUS ids in (count desc, term asc) order —
     * the id layout every embedding table expects (frequent terms get small

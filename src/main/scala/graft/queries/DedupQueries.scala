@@ -1,8 +1,8 @@
 package graft.queries
 
-import graft.ops.{Dedup, SuffixArray}
+import graft.ops.{Dedup, Linkage, SuffixArray}
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Oracle-checked deduplication family over the documents corpus
@@ -270,7 +270,49 @@ object DedupQueries {
     Dedup.lshPlan(spark, PlanPerms, PlanThreshold, PlanGridN)
       .orderBy("bands")
 
+  private val LinkBalBand = 110000L // blocking band width in cents
+
+  /** Fellegi–Sunter record linkage ([[graft.ops.Linkage.fellegiSunter]])
+    * between the customer table and a deterministically-corrupted second
+    * view of it (50% names upper-cased, 20% segments reversed, 33%
+    * balances shifted +1.00 — md5-keyed, engine-portable noise). Blocking
+    * on (nation, balance band): candidate volume is Σ block², and a
+    * corrupted balance crossing its band (~0.03% of matches) is the
+    * documented blocking-recall cost. Pairs scoring ≥ 0 link.
+    */
+  def recordLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(
+      col("c_custkey").as("rec_id"), col("c_name").as("name"),
+      col("c_mktsegment").as("seg"),
+      col("c_acctbal").cast("decimal(18,2)").as("bal"),
+      col("c_nationkey").as("nat"))
+    def hb(suffix: String, n: Int) = graft.ops.Prep.hashBucket(
+      concat(col("rec_id").cast("string"), lit(suffix)), n)
+    def block(bal: Column, nat: Column) = {
+      val cents = (bal * 100).cast("long")
+      val band = ((cents - pmod(cents, lit(LinkBalBand))) / LinkBalBand)
+        .cast("long")
+      concat(nat.cast("string"), lit("|"), band.cast("string"))
+    }
+    val a = c.select(col("rec_id"), block(col("bal"), col("nat"))
+      .as("block"), col("name"), col("seg"), col("bal"))
+    val b = c.select(col("rec_id"),
+        when(hb("|nm", 2) === 0, upper(col("name"))).otherwise(col("name"))
+          .as("name"),
+        when(hb("|sg", 5) === 0, reverse(col("seg"))).otherwise(col("seg"))
+          .as("seg"),
+        when(hb("|ab", 3) === 0, (col("bal") + 1).cast("decimal(18,2)"))
+          .otherwise(col("bal")).as("bal"),
+        col("nat"))
+      .select(col("rec_id"), block(col("bal"), col("nat")).as("block"),
+        col("name"), col("seg"), col("bal"))
+    Linkage.fellegiSunter(a, b, "rec_id", "block",
+        Seq("name", "seg", "bal"), 0.0)
+      .orderBy("a_id", "b_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_record_linkage" -> recordLinkage,
     "dedup_lsh_plan" -> lshPlanQ,
     "dedup_span_removal" -> spanLevel,
     "dedup_suffix_spans" -> suffixSpans,
@@ -435,6 +477,80 @@ object DedupQueries {
     .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    // full FS replay: md5-keyed corruption, (nation, balance-band)
+    // blocking, m from the id-joined true pairs, u from in-block
+    // non-matches, Laplace-smoothed 9-dp log2 weights, exact decimal
+    // pair scores. The balance band must FLOOR on negative balances
+    // (Spark's pmod spelling does); DuckDB's integer `//` truncates
+    // toward zero, so the band routes through the same pmod identity
+    "dedup_record_linkage" -> {
+      val ln2 = math.log(2.0)
+      def hbSql(suffix: String, n: Int) =
+        s"('0x' || substr(md5(id::VARCHAR || '$suffix'), 1, 12))::BIGINT" +
+          s" % $n = 0"
+      s"""WITH c AS (SELECT c_custkey AS id, c_name AS name,
+         |    c_mktsegment AS seg, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+         |    c_nationkey AS nat FROM customer),
+         |b0 AS (SELECT id,
+         |    CASE WHEN ${hbSql("|nm", 2)} THEN upper(name)
+         |         ELSE name END AS name,
+         |    CASE WHEN ${hbSql("|sg", 5)} THEN reverse(seg)
+         |         ELSE seg END AS seg,
+         |    CASE WHEN ${hbSql("|ab", 3)}
+         |         THEN CAST(bal + 1 AS DECIMAL(18,2)) ELSE bal END AS bal,
+         |    nat FROM c),
+         |av AS (SELECT id, nat::VARCHAR || '|' ||
+         |      ((((bal * 100)::BIGINT) - ((((bal * 100)::BIGINT)
+         |        % $LinkBalBand + $LinkBalBand) % $LinkBalBand))
+         |       // $LinkBalBand)::VARCHAR AS blk,
+         |    name, seg, bal FROM c),
+         |bv AS (SELECT id, nat::VARCHAR || '|' ||
+         |      ((((bal * 100)::BIGINT) - ((((bal * 100)::BIGINT)
+         |        % $LinkBalBand + $LinkBalBand) % $LinkBalBand))
+         |       // $LinkBalBand)::VARCHAR AS blk,
+         |    name, seg, bal FROM b0),
+         |tp AS (SELECT count(*) AS n,
+         |    CAST(sum((av.name = bv.name)::INT) AS BIGINT) AS mn,
+         |    CAST(sum((av.seg = bv.seg)::INT) AS BIGINT) AS ms,
+         |    CAST(sum((av.bal = bv.bal)::INT) AS BIGINT) AS mb
+         |  FROM av JOIN bv ON av.id = bv.id),
+         |cand AS (SELECT av.id AS aid, bv.id AS bid,
+         |    av.name = bv.name AS gn, av.seg = bv.seg AS gs,
+         |    av.bal = bv.bal AS gb
+         |  FROM av JOIN bv ON av.blk = bv.blk),
+         |u AS (SELECT count(*) AS nu,
+         |    CAST(sum(gn::INT) AS BIGINT) AS un,
+         |    CAST(sum(gs::INT) AS BIGINT) AS us,
+         |    CAST(sum(gb::INT) AS BIGINT) AS ub
+         |  FROM cand WHERE aid <> bid),
+         |w AS (SELECT
+         |    CAST(round(ln(((mn + 1.0) / (n + 2)) / ((un + 1.0) / (nu + 2)))
+         |      / $ln2, 9) AS DECIMAL(18,9)) AS wa_n,
+         |    CAST(round(ln((1.0 - (mn + 1.0) / (n + 2))
+         |        / (1.0 - (un + 1.0) / (nu + 2))) / $ln2, 9)
+         |      AS DECIMAL(18,9)) AS wd_n,
+         |    CAST(round(ln(((ms + 1.0) / (n + 2)) / ((us + 1.0) / (nu + 2)))
+         |      / $ln2, 9) AS DECIMAL(18,9)) AS wa_s,
+         |    CAST(round(ln((1.0 - (ms + 1.0) / (n + 2))
+         |        / (1.0 - (us + 1.0) / (nu + 2))) / $ln2, 9)
+         |      AS DECIMAL(18,9)) AS wd_s,
+         |    CAST(round(ln(((mb + 1.0) / (n + 2)) / ((ub + 1.0) / (nu + 2)))
+         |      / $ln2, 9) AS DECIMAL(18,9)) AS wa_b,
+         |    CAST(round(ln((1.0 - (mb + 1.0) / (n + 2))
+         |        / (1.0 - (ub + 1.0) / (nu + 2))) / $ln2, 9)
+         |      AS DECIMAL(18,9)) AS wd_b
+         |  FROM tp, u),
+         |sc AS (SELECT aid, bid, gn::INT + gs::INT + gb::INT AS n_agree,
+         |    round(CAST(CAST(
+         |        (CASE WHEN gn THEN w.wa_n ELSE w.wd_n END)
+         |      + (CASE WHEN gs THEN w.wa_s ELSE w.wd_s END)
+         |      + (CASE WHEN gb THEN w.wa_b ELSE w.wd_b END)
+         |      AS DECIMAL(28,9)) AS DOUBLE), 9) AS weight,
+         |    aid = bid AS is_match
+         |  FROM cand, w)
+         |SELECT aid AS a_id, bid AS b_id, n_agree, weight, is_match
+         |FROM sc WHERE weight >= 0.0 ORDER BY 1, 2""".stripMargin
+    },
     // the S-curve integral on the same midpoint grid: 9-dp DECIMAL
     // contributions, exact sums, min-struct winner — the planner replays
     "dedup_lsh_plan" ->

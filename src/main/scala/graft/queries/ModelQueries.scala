@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.ops.Boost
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked model-training family over the tabular star schema —
+  * the trainer that consumes what the feature store serves. The reference
+  * stops at feature retrieval (`ML Feature Store Pipeline.py:286-309`);
+  * [[graft.ops.Boost]] closes the loop with histogram gradient-boosted
+  * stumps whose every training round is an exact relational replay, so
+  * the DuckDB oracle re-derives the same model bit-for-bit from the same
+  * parquet.
+  */
+object ModelQueries {
+
+  private val GbmBins = 16
+  private val GbmRounds = 3
+  private val ScoreMod = 101 // scored-sample stride for the preds query
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "model_gbm_stumps" -> gbmStumps,
+    "model_gbm_score" -> gbmScore)
+
+  def gbmStumps(spark: SparkSession, dir: String): DataFrame =
+    Boost.gbmStumps(base(spark, dir), "o_orderkey", "urgent",
+        Seq("price_c", "order_day", "acctbal_c"), GbmBins, GbmRounds)
+      .orderBy("round")
+
+  def gbmScore(spark: SparkSession, dir: String): DataFrame =
+    Boost.gbmScore(base(spark, dir), "o_orderkey", "urgent",
+        Seq("price_c", "order_day", "acctbal_c"), GbmBins, GbmRounds)
+      .filter(pmod(col("o_orderkey"), lit(ScoreMod)) === 0)
+      .orderBy("o_orderkey")
+
+  /** GBM base: orders × customer (broadcast dim join), label "is this
+    * order URGENT", three BIGINT features — price cents, order epoch
+    * day, customer balance cents. Exact integer features make the
+    * histogram grid engine-portable.
+    */
+  private def base(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+          .select(col("c_custkey"),
+            (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+              .as("acctbal_c"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"),
+        (col("o_orderpriority") === "1-URGENT").cast("int").as("urgent"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("price_c"),
+        // o_orderdate is parquet NTZ; the session tz is pinned UTC, so
+        // the cast reads the stored µs instant (= DuckDB's epoch_us);
+        // dates sit exactly on day boundaries so the division is exact
+        floor(unix_micros(col("o_orderdate").cast("timestamp")) /
+          86400000000L).cast("long").as("order_day"),
+        col("acctbal_c"))
+
+  val oracle: Map[String, String] = Map(
+    "model_gbm_stumps" -> s"""$gbmCtes
+       |${(1 to GbmRounds).map(r =>
+            s"""SELECT $r AS round,
+               |  CASE WHEN -(s.mf) = 0 THEN 'price_c'
+               |       WHEN -(s.mf) = 1 THEN 'order_day'
+               |       ELSE 'acctbal_c' END AS feature,
+               |  CAST(-(s.mb) AS INTEGER) AS split_bin,
+               |  round(CAST(s.vl AS DOUBLE), 9) AS left_value,
+               |  round(CAST(s.vr AS DOUBLE), 9) AS right_value,
+               |  s.gain AS gain
+               |FROM best$r""".stripMargin)
+          .mkString("\nUNION ALL\n")}
+       |ORDER BY round""".stripMargin,
+    "model_gbm_score" -> s"""$gbmCtes
+       |SELECT id AS o_orderkey, CAST(y AS DOUBLE) AS label,
+       |  round(CAST(pred AS DOUBLE), 9) AS pred
+       |FROM pr$GbmRounds WHERE id % $ScoreMod = 0 ORDER BY id""".stripMargin)
+
+  /** The boosting loop unrolled: binning (exact integer floor division),
+    * p₀, then per round r the stacked histogram h{r}, bin prefix sums
+    * pf{r}, candidate gains cand{r} (6-dp double, computed from exact
+    * DECIMAL sums), the struct-argmax best{r} with (−feature, −bin)
+    * tie-breaks, and the updated predictions pr{r} — every value either
+    * exact or rounded to a fixed grid at the same point as the Spark
+    * plan, so the replay is engine-portable.
+    */
+  private lazy val gbmCtes: String = {
+    val b1 = GbmBins - 1
+    val rounds = (1 to GbmRounds).map { r =>
+      s"""s$r AS (SELECT 0 AS f, b0 AS bin,
+         |    CAST(y AS DECIMAL(28,9)) - pred AS g FROM pr${r - 1}
+         |  UNION ALL SELECT 1, b1, CAST(y AS DECIMAL(28,9)) - pred
+         |    FROM pr${r - 1}
+         |  UNION ALL SELECT 2, b2, CAST(y AS DECIMAL(28,9)) - pred
+         |    FROM pr${r - 1}),
+         |h$r AS (SELECT f, bin, sum(g) AS g, count(*) AS n
+         |  FROM s$r GROUP BY 1, 2),
+         |pf$r AS (SELECT f, bin,
+         |    sum(g) OVER (PARTITION BY f ORDER BY bin) AS gl,
+         |    sum(n) OVER (PARTITION BY f ORDER BY bin) AS nl,
+         |    sum(g) OVER (PARTITION BY f ORDER BY bin
+         |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS gr,
+         |    sum(n) OVER (PARTITION BY f) AS nt
+         |  FROM h$r),
+         |cand$r AS (SELECT f, bin,
+         |    round(CAST(gl AS DOUBLE) * CAST(gl AS DOUBLE) / nl
+         |      + CAST(gr AS DOUBLE) * CAST(gr AS DOUBLE)
+         |        / (nt - nl), 6) AS gain,
+         |    CAST(round(CAST(gl AS DOUBLE) / (nl * 2), 9)
+         |      AS DECIMAL(28,9)) AS vl,
+         |    CAST(round(CAST(gr AS DOUBLE) / ((nt - nl) * 2), 9)
+         |      AS DECIMAL(28,9)) AS vr
+         |  FROM pf$r WHERE bin < $b1 AND nl > 0 AND nt - nl > 0),
+         |best$r AS (SELECT max(struct_pack(gain := gain, mf := -f,
+         |    mb := -bin, vl := vl, vr := vr)) AS s FROM cand$r),
+         |pr$r AS (SELECT id, y, b0, b1, b2,
+         |    CAST(pred + CASE
+         |      WHEN (s.mf = 0 AND b0 <= -(s.mb))
+         |        OR (s.mf = -1 AND b1 <= -(s.mb))
+         |        OR (s.mf = -2 AND b2 <= -(s.mb)) THEN s.vl
+         |      ELSE s.vr END AS DECIMAL(28,9)) AS pred
+         |  FROM pr${r - 1}, best$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (SELECT o.o_orderkey AS id,
+       |    CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
+       |    (CAST(o.o_totalprice AS DECIMAL(18,2)) * 100)::BIGINT AS f0,
+       |    epoch_us(o.o_orderdate) // 86400000000 AS f1,
+       |    (CAST(c.c_acctbal AS DECIMAL(18,2)) * 100)::BIGINT AS f2
+       |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+       |mm AS (SELECT min(f0) AS mn0, max(f0) AS mx0, min(f1) AS mn1,
+       |    max(f1) AS mx1, min(f2) AS mn2, max(f2) AS mx2 FROM base),
+       |p0 AS (SELECT CAST(round(sum(y)::DOUBLE / count(*), 9)
+       |    AS DECIMAL(28,9)) AS p FROM base),
+       |pr0 AS (SELECT id, y,
+       |    least($b1, ((f0 - mn0) * $GbmBins) // (mx0 - mn0 + 1)) AS b0,
+       |    least($b1, ((f1 - mn1) * $GbmBins) // (mx1 - mn1 + 1)) AS b1,
+       |    least($b1, ((f2 - mn2) * $GbmBins) // (mx2 - mn2 + 1)) AS b2,
+       |    p0.p AS pred
+       |  FROM base, mm, p0),
+       |$rounds""".stripMargin
+  }
+}

@@ -181,6 +181,18 @@ object QualityQueries {
         Tables.events(spark, dir), "event_type", "value")
       .orderBy("event_type")
 
+  private val OtsuBins = 32
+
+  /** Otsu's unsupervised two-class threshold over the event values
+    * ([[graft.ops.Screening.otsuThreshold]]): the between-class-variance
+    * argmax over a 32-bin exact-integer histogram — "where does low
+    * spend end?" with no labels and no quantile sketch.
+    */
+  def otsuThreshold(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Screening.otsuThreshold(
+      Tables.events(spark, dir).filter(col("value").isNotNull),
+      "value", OtsuBins)
+
   /** 1-Wasserstein distance between the train and test value
     * distributions of the temporal split ([[graft.ops.Drift.wasserstein1]]
     * over the same [[graft.ops.EventOps.timeSplitEmbargo]] split as
@@ -636,6 +648,7 @@ object QualityQueries {
     "quality_eb_rates" -> ebReturnRates,
     "quality_cov_balance" -> covBalance,
     "quality_mad_outliers" -> madOutliers,
+    "quality_otsu_threshold" -> otsuThreshold,
     "quality_split_drift" -> splitDrift,
     "quality_skew_report" -> skewReport,
     "quality_null_dup_ratio" -> nullDupRatio,
@@ -645,6 +658,35 @@ object QualityQueries {
     "quality_dup_ratio_documents" -> dupRatioDocuments)
 
   val oracle: Map[String, String] = Map(
+    // exact-integer histogram + prefix sums; the objective's BIGINT
+    // products stay below 2^53 so the double casts are exact and the
+    // argmax is engine-identical; ties break to the smaller bin
+    "quality_otsu_threshold" ->
+      s"""WITH base AS (SELECT (CAST(value AS DECIMAL(18,2)) * 100)::BIGINT
+         |    AS v FROM events WHERE value IS NOT NULL),
+         |mm AS (SELECT min(v) AS mn, max(v) AS mx,
+         |    count(*) AS n, CAST(sum(v) AS BIGINT) AS s FROM base),
+         |hist AS (SELECT least(${OtsuBins - 1},
+         |      ((v - mn) * $OtsuBins) // (mx - mn + 1)) AS b,
+         |    count(*) AS nb, CAST(sum(v) AS BIGINT) AS sb, max(v) AS hi
+         |  FROM base, mm GROUP BY 1),
+         |pf AS (SELECT b,
+         |    CAST(sum(nb) OVER (ORDER BY b) AS BIGINT) AS w0,
+         |    CAST(sum(sb) OVER (ORDER BY b) AS BIGINT) AS s0,
+         |    max(hi) OVER (ORDER BY b) AS edge
+         |  FROM hist),
+         |cand AS (SELECT b, edge, w0, mm.n AS n,
+         |    CAST(s0 * mm.n - mm.s * w0 AS DOUBLE)
+         |      * CAST(s0 * mm.n - mm.s * w0 AS DOUBLE)
+         |      / CAST(w0 * (mm.n - w0) AS DOUBLE) AS obj
+         |  FROM pf, mm WHERE w0 > 0 AND w0 < mm.n),
+         |best AS (SELECT max(struct_pack(obj := obj, mb := -b,
+         |    edge := edge, w0 := w0, n := n)) AS t FROM cand)
+         |SELECT CAST(-(t.mb) AS INTEGER) AS threshold_bin,
+         |  CAST(t.edge AS DOUBLE) / 100.0 AS threshold_value,
+         |  t.w0 AS n_below, t.n - t.w0 AS n_above,
+         |  round(t.obj, 6) AS between_var_num
+         |FROM best""".stripMargin,
     // seeded Laplace replay: u from 52 md5 bits is an exact binary
     // rational (power-of-two scaling only), one ln on it, /0.5 is ×2 —
     // the 9-dp rounds land on irrational values, engine-safe

@@ -326,6 +326,21 @@ object TextQueries {
         "doc_id", "text", "lang", NbBuckets, NbFolds)
       .orderBy("fold")
 
+  private val LcStrata = 8
+  private val LcLevels = Seq(1, 2, 4, 7)
+
+  /** Naive-Bayes learning curve
+    * ([[graft.ops.TokenModels.naiveBayesLearningCurve]]): held-out
+    * accuracy at nested training sizes (strata 0..L−1 of 8, test =
+    * stratum 7) — the "is more data still buying accuracy?" screening,
+    * from one count cube.
+    */
+  def nbLearningCurve(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TokenModels.naiveBayesLearningCurve(
+        Tables.documents(spark, dir), "doc_id", "text", "lang",
+        NbBuckets, LcStrata, LcLevels)
+      .orderBy("level")
+
   private val SgdBuckets = 16
   private val SgdIters = 12
   private val SgdEtaShift = 8
@@ -604,6 +619,7 @@ object TextQueries {
     "text_heavy_hitters" -> heavyHitters,
     "text_nb_classifier" -> nbLangId,
     "text_nb_crossval" -> nbCrossVal,
+    "text_nb_learning_curve" -> nbLearningCurve,
     "text_sgd_classifier" -> sgdClassifier,
     "text_sgd_attribution" -> sgdAttributionQ,
     "text_dup_ngram_coverage" -> dupCoverage,
@@ -994,6 +1010,73 @@ object TextQueries {
          |      AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
          |FROM best JOIN d USING (doc_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // nested-training learning curve: ONE (stratum, class, bucket) count
+    // cube; level models are sums over the level→stratum map; test docs
+    // (the last stratum) score against every level's broadcast grid;
+    // accuracy = ONE division of two exact integers
+    "text_nb_learning_curve" -> {
+      val lmValues = LcLevels
+        .flatMap(l => (0 until l).map(s => s"($l, $s)")).mkString(", ")
+      s"""WITH d AS (SELECT doc_id, lang,
+         |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+         |      % $LcStrata AS stratum,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |occ AS MATERIALIZED (SELECT d.doc_id, d.lang, d.stratum,
+         |    t.bucket, count(*) AS c
+         |  FROM (SELECT doc_id,
+         |      ('0x' || substr(md5(tok), 1, 12))::BIGINT % $NbBuckets
+         |        AS bucket
+         |    FROM (SELECT doc_id, unnest(toks) AS tok FROM d)) t
+         |  JOIN d USING (doc_id) GROUP BY 1, 2, 3, 4),
+         |cube AS (SELECT stratum, lang, bucket, sum(c) AS n
+         |  FROM occ GROUP BY 1, 2, 3),
+         |lm AS (SELECT * FROM (VALUES $lmValues) AS t(level, stratum)),
+         |byl AS (SELECT level, lang, bucket, sum(n) AS n
+         |  FROM cube JOIN lm USING (stratum) GROUP BY 1, 2, 3),
+         |lt AS (SELECT level, lang, sum(n) AS tot FROM byl GROUP BY 1, 2),
+         |grid AS (SELECT l.level, b.bucket, c.lang
+         |  FROM (SELECT DISTINCT level FROM lm) l,
+         |    (SELECT unnest(generate_series(0, ${NbBuckets - 1}))
+         |       AS bucket) b,
+         |    (SELECT DISTINCT lang FROM d) c),
+         |lik AS (SELECT g.level, g.lang, g.bucket,
+         |    CAST(round(ln((coalesce(byl.n, 0) + 1.0)
+         |        / (coalesce(lt.tot, 0) + $NbBuckets))
+         |      / ${math.log(2.0)}, 9) AS DECIMAL(18,9)) AS lp
+         |  FROM grid g
+         |  LEFT JOIN byl ON byl.level = g.level AND byl.lang = g.lang
+         |    AND byl.bucket = g.bucket
+         |  LEFT JOIN lt ON lt.level = g.level AND lt.lang = g.lang),
+         |docstr AS (SELECT DISTINCT doc_id, lang, stratum FROM occ),
+         |bld AS (SELECT level, lang, count(*) AS dc
+         |  FROM docstr JOIN lm USING (stratum) GROUP BY 1, 2),
+         |ldt AS (SELECT level, CAST(sum(dc) AS BIGINT) AS dtot
+         |  FROM bld GROUP BY 1),
+         |pri AS (SELECT bld.level, bld.lang,
+         |    CAST(round(ln(bld.dc * 1.0 / ldt.dtot) / ${math.log(2.0)}, 9)
+         |      AS DECIMAL(18,9)) AS prior
+         |  FROM bld JOIN ldt USING (level) WHERE bld.dc > 0),
+         |sc AS (SELECT occ.doc_id, lik.level, lik.lang,
+         |    sum(lik.lp * occ.c) + any_value(pri.prior) AS score
+         |  FROM occ
+         |  JOIN lik ON lik.bucket = occ.bucket
+         |  JOIN pri ON pri.level = lik.level AND pri.lang = lik.lang
+         |  WHERE occ.stratum = ${LcStrata - 1}
+         |  GROUP BY 1, 2, 3),
+         |best AS (SELECT doc_id, level,
+         |    max(struct_pack(s := score, y := lang)) AS b
+         |  FROM sc GROUP BY 1, 2)
+         |SELECT best.level AS level, any_value(ldt.dtot) AS n_train,
+         |  count(*) AS n_test,
+         |  CAST(sum(CASE WHEN best.b.y = d.lang THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_correct,
+         |  CAST(sum(CASE WHEN best.b.y = d.lang THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
+         |FROM best JOIN d USING (doc_id)
+         |JOIN ldt ON ldt.level = best.level
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // the GD loop unrolled: every iteration is exact HUGEINT arithmetic
     // (nano-unit weights, sign-explicit truncating divisions), so the
     // replay is bit-identical — no rounding surface anywhere

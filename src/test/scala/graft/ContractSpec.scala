@@ -36,7 +36,8 @@ class ContractSpec extends AnyFunSuite {
       "scale" -> graft.queries.ScaleQueries.queries.keySet,
       "prep" -> graft.queries.PrepQueries.queries.keySet,
       "feature" -> graft.queries.FeatureQueries.queries.keySet,
-      "eval" -> graft.queries.EvalQueries.queries.keySet)
+      "eval" -> graft.queries.EvalQueries.queries.keySet,
+      "model" -> graft.queries.ModelQueries.queries.keySet)
     val dupes = families.flatMap { case (f, ks) => ks.map(_ -> f) }
       .groupBy(_._1).filter(_._2.size > 1)
     assert(dupes.isEmpty, s"query name registered by multiple families: " +

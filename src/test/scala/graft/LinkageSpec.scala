@@ -1,0 +1,81 @@
+package graft
+
+import graft.ops.Linkage
+import org.scalatest.funsuite.AnyFunSuite
+
+class LinkageSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def r9(x: Double): BigDecimal =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+  private def lg2(x: Double): BigDecimal = r9(math.log(x) / math.log(2.0))
+
+  test("fellegiSunter: weights match the hand-rolled m/u model and true " +
+      "pairs outrank in-block non-matches") {
+    // one block so the reference enumerates every pair; two fields:
+    // name (ids 2, 4 corrupted) and city (id 3 corrupted)
+    val a = Seq((1L, "ann", "rome"), (2L, "bob", "oslo"),
+      (3L, "eve", "bern"), (4L, "kim", "kiev"), (5L, "tom", "lima"))
+      .map { case (i, n, c) => (i, "blk", n, c) }
+      .toDF("rec_id", "block", "name", "city")
+    val bRows = Seq((1L, "ann", "rome"), (2L, "BOB", "oslo"),
+      (3L, "eve", "BERN"), (4L, "KIM", "kiev"), (5L, "tom", "lima"))
+    val b = bRows.map { case (i, n, c) => (i, "blk", n, c) }
+      .toDF("rec_id", "block", "name", "city")
+
+    // reference m/u from exact pair enumeration
+    val aRows = Seq((1L, "ann", "rome"), (2L, "bob", "oslo"),
+      (3L, "eve", "bern"), (4L, "kim", "kiev"), (5L, "tom", "lima"))
+    val pairs = for (x <- aRows; y <- bRows) yield (x, y)
+    val tru = pairs.filter { case (x, y) => x._1 == y._1 }
+    val non = pairs.filter { case (x, y) => x._1 != y._1 }
+    def w(agreeTrue: Int, nTrue: Int, agreeNon: Int, nNon: Int) = {
+      val m = (agreeTrue + 1.0) / (nTrue + 2)
+      val u = (agreeNon + 1.0) / (nNon + 2)
+      (lg2(m / u), lg2((1 - m) / (1 - u)))
+    }
+    val (waN, wdN) = w(tru.count(p => p._1._2 == p._2._2), tru.size,
+      non.count(p => p._1._2 == p._2._2), non.size)
+    val (waC, wdC) = w(tru.count(p => p._1._3 == p._2._3), tru.size,
+      non.count(p => p._1._3 == p._2._3), non.size)
+    val expect = pairs.map { case (x, y) =>
+      val s = (if (x._2 == y._2) waN else wdN) +
+        (if (x._3 == y._3) waC else wdC)
+      (x._1, y._1, s.toDouble)
+    }
+
+    val got = Linkage.fellegiSunter(a, b, "rec_id", "block",
+        Seq("name", "city"), threshold = Double.NegativeInfinity)
+      .orderBy("a_id", "b_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(got.length == 25) // every in-block pair at -inf threshold
+    got.foreach { case (ai, bi, nAgree, weight, isMatch) =>
+      val ref = expect.find(e => e._1 == ai && e._2 == bi).get._3
+      assert(weight == ref, s"($ai,$bi): $weight vs $ref")
+      assert(isMatch == (ai == bi))
+    }
+    // every true pair outranks every non-match in this fixture
+    val worstTrue = got.filter(_._5).map(_._4).min
+    val bestNon = got.filterNot(_._5).map(_._4).max
+    assert(worstTrue > bestNon)
+    // n_agree counts the agreeing fields exactly
+    assert(got.find(g => g._1 == 1L && g._2 == 1L).get._3 == 2)
+    assert(got.find(g => g._1 == 2L && g._2 == 2L).get._3 == 1)
+  }
+
+  test("fellegiSunter: blocking excludes cross-block pairs even when " +
+      "every field agrees, and the default threshold keeps links only") {
+    val a = Seq((1L, "b1", "sam"), (2L, "b2", "sam"))
+      .toDF("rec_id", "block", "name")
+    val b = Seq((1L, "b1", "sam"), (2L, "b2", "sam"))
+      .toDF("rec_id", "block", "name")
+    val got = Linkage.fellegiSunter(a, b, "rec_id", "block", Seq("name"),
+        threshold = Double.NegativeInfinity)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (1,2)/(2,1) agree on name but live in different blocks
+    assert(got == Set((1L, 1L), (2L, 2L)))
+  }
+}

@@ -53,6 +53,47 @@ class ScreeningSpec extends AnyFunSuite {
     assert(got._3 == 0.0 && got._4 == 0.0)
   }
 
+  test("otsuThreshold: argmax matches the brute-force between-class " +
+      "variance sweep over the same integer histogram") {
+    // bimodal: a low cluster around 1.00-3.00 and a high one 80.00-95.00
+    val vals = (0 until 60).map(i => 1.0 + (i % 21) * 0.1) ++
+      (0 until 40).map(i => 80.0 + (i % 16))
+    val df = vals.map(v => Tuple1(v)).toSeq.toDF("v")
+    val got = Screening.otsuThreshold(df, "v", bins = 16)
+      .collect().head
+    // reference: same cents binning, exact prefix sums, double objective
+    val cents = vals.map(v => BigDecimal(v).setScale(2,
+      BigDecimal.RoundingMode.HALF_UP).*(100).toLong)
+    val (mn, mx, n, s) = (cents.min, cents.max, cents.size.toLong, cents.sum)
+    def bin(c: Long): Long = math.min(15L, (c - mn) * 16 / (mx - mn + 1))
+    val byBin = cents.groupBy(bin)
+    val cand = (0L until 15L).flatMap { t =>
+      val left = byBin.filter(_._1 <= t).values.flatten.toSeq
+      if (left.isEmpty || left.size == cents.size) None
+      else {
+        val w0 = left.size.toLong; val s0 = left.sum
+        val num = (s0 * n - s * w0).toDouble
+        Some((num * num / (w0 * (n - w0)).toDouble, -t, left.max, w0))
+      }
+    }
+    val best = cand.max
+    assert(got.getInt(0) == -best._2.toInt, "threshold_bin")
+    assert(got.getDouble(1) == best._3.toDouble / 100.0, "threshold_value")
+    assert(got.getLong(2) == best._4, "n_below")
+    assert(got.getLong(3) == n - best._4, "n_above")
+    // the cut must land between the two planted clusters
+    assert(got.getDouble(1) >= 3.0 && got.getDouble(1) < 80.0)
+  }
+
+  test("otsuThreshold: a clean 50/50 two-point column cuts exactly " +
+      "between the points") {
+    val df = (Seq.fill(50)(10.0) ++ Seq.fill(50)(20.0))
+      .map(Tuple1(_)).toDF("v")
+    val got = Screening.otsuThreshold(df, "v", bins = 4).collect().head
+    assert(got.getLong(2) == 50L && got.getLong(3) == 50L)
+    assert(got.getDouble(1) == 10.0) // inclusive upper edge of the cut
+  }
+
   test("two-sample KS matches the brute-force CDF sweep") {
     val va = (0 until 500).map(i => (i * 7 % 100) / 2.0) // uniform-ish
     val vb = (0 until 400).map(i => (i * 13 % 100) / 2.0 + 10.0) // shifted

@@ -480,4 +480,30 @@ class TokenModelsSpec extends AnyFunSuite {
         assert(sc == bin(id), s"doc $id class $cls") }
     }
   }
+
+  test("naiveBayesLearningCurve: nested strata fixture — a class absent " +
+      "below its level cannot be predicted, then the curve saturates") {
+    // md5 strata (n=4, from the op's own 48-bit prefix): ids 2,3,6 -> 0;
+    // 1,9,12 -> 1; 5,7,11 -> 2; 4,25,26 -> 3 (the held-out stratum).
+    // "good" hashes to bucket 3, "bad" to bucket 4 (disjoint, k=8).
+    val docs = Seq(
+      (2L, "good good", "A"), (3L, "good", "A"), (6L, "good", "A"),
+      (1L, "bad bad", "B"), (9L, "bad", "B"), (12L, "bad", "B"),
+      (5L, "good", "A"), (7L, "bad", "B"), (11L, "bad", "B"),
+      (4L, "good", "A"), (25L, "good good", "A"), (26L, "bad", "B")
+    ).toDF("doc_id", "text", "lang")
+    val out = TokenModels.naiveBayesLearningCurve(docs, "doc_id", "text",
+        "lang", buckets = 8, strata = 4, levels = Seq(1, 2, 3))
+      .orderBy("level").collect()
+      .map(r => (r.getAs[Int]("level"), r.getAs[Long]("n_train"),
+        r.getAs[Long]("n_test"), r.getAs[Long]("n_correct"),
+        r.getAs[Double]("accuracy"))).toSeq
+    // level 1 trains on stratum 0 only (pure A): B is dropped from the
+    // priors, every test doc predicts A => 2/3. Levels 2 and 3 see both
+    // disjoint vocabularies => perfect.
+    assert(out == Seq(
+      (1, 3L, 3L, 2L, 2.0 / 3.0),
+      (2, 6L, 3L, 3L, 1.0),
+      (3, 9L, 3L, 3L, 1.0)))
+  }
 }
