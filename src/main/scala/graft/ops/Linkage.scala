@@ -86,4 +86,105 @@ object Linkage {
         (col("__aid") === col("__bid")).as("is_match"))
       .filter(col("weight") >= threshold)
   }
+
+  private val D38 = DecimalType(38, 0)
+  private val Nano = 1000000000L
+
+  /** Exact division of a nonnegative DECIMAL(38,0) by a divisor it is
+    * NOT necessarily a multiple of — floor semantics: `(x − pmod(x, d))
+    * / d`. The numerator becomes exactly divisible, so the decimal
+    * division's rounding is vacuous; the result is the exact floor
+    * quotient (DuckDB's positive-operand `//`).
+    */
+  private def floorDivD(x: Column, d: Column): Column =
+    ((x - pmod(x, d)) / d).cast(D38)
+
+  /** UNSUPERVISED Fellegi–Sunter parameter estimation by EM (Winkler
+    * 1988, "Using the EM Algorithm for Weight Computation in the
+    * Fellegi–Sunter Model of Record Linkage") — [[fellegiSunter]]
+    * without the labeled seed: candidate pairs collapse to their
+    * agreement PATTERN (≤ 2^k rows — the classic FS sufficient
+    * statistic), and EM alternates pattern posteriors (E) with m/u/p
+    * re-estimates (M) entirely on that bounded relation. The row-scale
+    * work is ONE pattern-count shuffle; every iteration after it costs
+    * ≤ 2^k × (2k+1) arithmetic.
+    *
+    * NANO-INTEGER EM (the [[TokenModels.sgdLinear]] weight discipline):
+    * parameters live as integers in units of 1e-9 and every E/M update
+    * is exact DECIMAL(38,0) arithmetic with explicit floor divisions —
+    * `A = p·Πₖ(γₖ ? mₖ : 1e9−mₖ)` (≤ 10³⁶, inside precision 38 for
+    * k ≤ 3), `g = (⌊A/1e9⌋·1e9) div (⌊A/1e9⌋+⌊B/1e9⌋)` — so the fitted
+    * model is bit-identical on any engine/partitioning with NO rounding
+    * surface anywhere (DuckDB twin: HUGEINT and positive `//`).
+    * Degenerate all-match / all-nonmatch posteriors divide by a floored
+    * 1 instead of 0 and freeze, documented. `idCol` is used ONLY for
+    * the `n_true` audit column (the posterior should track
+    * n_true/n_pairs on honestly-blocked data) — the estimation never
+    * sees it.
+    *
+    * Returns one row per agreement pattern: (agree_<field>..., n_pairs,
+    * n_true, posterior) with the posterior from the FINAL parameters.
+    */
+  def linkageEm(a: DataFrame, b: DataFrame, idCol: String,
+      blockCol: String, fields: Seq[String], iters: Int = 5,
+      initP: Long = 100000000L, initM: Long = 900000000L,
+      initU: Long = 100000000L): DataFrame = {
+    require(fields.nonEmpty && fields.length <= 3,
+      "nano-integer EM keeps p*prod(m) inside DECIMAL(38,0): <= 3 fields")
+    val spark = a.sparkSession
+    val aS = a.select(col(idCol).as("__aid") +: col(blockCol).as("__blk") +:
+      fields.map(f => col(f).as(s"__a_$f")): _*)
+    val bS = b.select(col(idCol).as("__bid") +: col(blockCol).as("__blk") +:
+      fields.map(f => col(f).as(s"__b_$f")): _*)
+    val pat = aS.join(bS, Seq("__blk"))
+      .groupBy(fields.map(f =>
+        (col(s"__a_$f") <=> col(s"__b_$f")).as(s"__g_$f")): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum((col("__aid") === col("__bid")).cast("long")).as("__nt"))
+      .localCheckpoint()
+    def dl(v: Long) = lit(v).cast(D38)
+    var params = spark.range(1).select(dl(initP).as("__p") +:
+      fields.flatMap(f => Seq(dl(initM).as(s"__m_$f"),
+        dl(initU).as(s"__u_$f"))): _*)
+    // posterior in nano units for the given params — exact integers
+    def gNano = {
+      val aU = fields.map(f => when(col(s"__g_$f"), col(s"__m_$f"))
+          .otherwise(dl(Nano) - col(s"__m_$f")))
+        .foldLeft(col("__p").cast(D38))((acc, c) => (acc * c).cast(D38))
+      val bU = fields.map(f => when(col(s"__g_$f"), col(s"__u_$f"))
+          .otherwise(dl(Nano) - col(s"__u_$f")))
+        .foldLeft((dl(Nano) - col("__p")).cast(D38))((acc, c) =>
+          (acc * c).cast(D38))
+      val a1 = floorDivD(aU, dl(Nano))
+      val b1 = floorDivD(bU, dl(Nano))
+      floorDivD(a1 * dl(Nano), greatest(a1 + b1, dl(1L)))
+    }
+    (1 to iters).foreach { _ =>
+      val e = pat.crossJoin(broadcast(params))
+        .select(Seq(col("__n").cast(D38).as("__n"), gNano.as("__g")) ++
+          fields.map(f => col(s"__g_$f")): _*)
+      val mAggs =
+        Seq(sum(col("__n") * col("__g")).as("__den"),
+          sum(col("__n") * (dl(Nano) - col("__g"))).as("__denU"),
+          sum(col("__n")).as("__all")) ++
+        fields.flatMap(f => Seq(
+          sum(when(col(s"__g_$f"), col("__n") * col("__g"))
+            .otherwise(dl(0L))).as(s"__nm_$f"),
+          sum(when(col(s"__g_$f"), col("__n") * (dl(Nano) - col("__g")))
+            .otherwise(dl(0L))).as(s"__nu_$f")))
+      val agg = e.agg(mAggs.head, mAggs.tail: _*)
+      params = agg.select(
+        floorDivD(col("__den"), col("__all")).as("__p") +:
+        fields.flatMap(f => Seq(
+          floorDivD(col(s"__nm_$f") * dl(Nano),
+            greatest(col("__den"), dl(1L))).cast(D38).as(s"__m_$f"),
+          floorDivD(col(s"__nu_$f") * dl(Nano),
+            greatest(col("__denU"), dl(1L))).cast(D38).as(s"__u_$f"))): _*)
+        .localCheckpoint()
+    }
+    pat.crossJoin(broadcast(params))
+      .select(fields.map(f => col(s"__g_$f").as(s"agree_$f")) ++
+        Seq(col("__n").as("n_pairs"), col("__nt").as("n_true"),
+          (gNano.cast(DoubleType) / Nano).as("posterior")): _*)
+  }
 }

@@ -281,6 +281,17 @@ object DedupQueries {
     * documented blocking-recall cost. Pairs scoring ≥ 0 link.
     */
   def recordLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b) = linkViews(spark, dir)
+    Linkage.fellegiSunter(a, b, "rec_id", "block",
+        Seq("name", "seg", "bal"), 0.0)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** The two linkage views: the clean customer table and its md5-keyed
+    * corrupted copy, both carrying the (nation, balance band) block.
+    */
+  private def linkViews(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val c = Tables.customer(spark, dir).select(
       col("c_custkey").as("rec_id"), col("c_name").as("name"),
       col("c_mktsegment").as("seg"),
@@ -306,13 +317,28 @@ object DedupQueries {
         col("nat"))
       .select(col("rec_id"), block(col("bal"), col("nat")).as("block"),
         col("name"), col("seg"), col("bal"))
-    Linkage.fellegiSunter(a, b, "rec_id", "block",
-        Seq("name", "seg", "bal"), 0.0)
-      .orderBy("a_id", "b_id")
+    (a, b)
+  }
+
+  private val LinkEmIters = 10
+
+  /** Unsupervised EM fit of the same linkage model
+    * ([[graft.ops.Linkage.linkageEm]]): the [[recordLinkage]] candidate
+    * patterns with m/u/p estimated by nano-integer EM instead of the
+    * labeled seed — one row per agreement pattern with its match
+    * posterior; `n_true` audits that the posterior tracks the actual
+    * match fraction without the estimator ever seeing it.
+    */
+  def linkageEmQ(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b) = linkViews(spark, dir)
+    Linkage.linkageEm(a, b, "rec_id", "block", Seq("name", "seg", "bal"),
+        LinkEmIters)
+      .orderBy("agree_name", "agree_seg", "agree_bal")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_record_linkage" -> recordLinkage,
+    "dedup_linkage_em" -> linkageEmQ,
     "dedup_lsh_plan" -> lshPlanQ,
     "dedup_span_removal" -> spanLevel,
     "dedup_suffix_spans" -> suffixSpans,
@@ -476,7 +502,100 @@ object DedupQueries {
     .map(i => s"CASE WHEN v$i >= 0 THEN ${1L << i} ELSE 0 END")
     .mkString(" + ")
 
+  /** Shared linkage CTE prefix: the clean view, the md5-corrupted view,
+    * the (nation, balance-band) blocks — the band FLOORS on negative
+    * balances via the pmod identity because DuckDB's integer `//`
+    * truncates toward zero — and the in-block candidate pairs with
+    * their three agreement bits.
+    */
+  private lazy val linkCandCtes: String = {
+    def hbSql(suffix: String, n: Int) =
+      s"('0x' || substr(md5(id::VARCHAR || '$suffix'), 1, 12))::BIGINT" +
+        s" % $n = 0"
+    s"""WITH c AS (SELECT c_custkey AS id, c_name AS name,
+       |    c_mktsegment AS seg, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+       |    c_nationkey AS nat FROM customer),
+       |b0 AS (SELECT id,
+       |    CASE WHEN ${hbSql("|nm", 2)} THEN upper(name)
+       |         ELSE name END AS name,
+       |    CASE WHEN ${hbSql("|sg", 5)} THEN reverse(seg)
+       |         ELSE seg END AS seg,
+       |    CASE WHEN ${hbSql("|ab", 3)}
+       |         THEN CAST(bal + 1 AS DECIMAL(18,2)) ELSE bal END AS bal,
+       |    nat FROM c),
+       |av AS (SELECT id, nat::VARCHAR || '|' ||
+       |      ((((bal * 100)::BIGINT) - ((((bal * 100)::BIGINT)
+       |        % $LinkBalBand + $LinkBalBand) % $LinkBalBand))
+       |       // $LinkBalBand)::VARCHAR AS blk,
+       |    name, seg, bal FROM c),
+       |bv AS (SELECT id, nat::VARCHAR || '|' ||
+       |      ((((bal * 100)::BIGINT) - ((((bal * 100)::BIGINT)
+       |        % $LinkBalBand + $LinkBalBand) % $LinkBalBand))
+       |       // $LinkBalBand)::VARCHAR AS blk,
+       |    name, seg, bal FROM b0),
+       |cand AS MATERIALIZED (SELECT av.id AS aid, bv.id AS bid,
+       |    av.name = bv.name AS gn, av.seg = bv.seg AS gs,
+       |    av.bal = bv.bal AS gb
+       |  FROM av JOIN bv ON av.blk = bv.blk)""".stripMargin
+  }
+
+  /** Unrolled nano-integer EM on the ≤ 8-row agreement-pattern relation:
+    * every E/M value is an exact HUGEINT (the Spark twin is
+    * DECIMAL(38,0)) with positive floor divisions — no rounding surface.
+    */
+  private lazy val linkageEmSql: String = {
+    val N = "1000000000"
+    def g(p: String) =
+      s"""((($p.p * (CASE WHEN gn THEN $p.mn ELSE $N - $p.mn END)
+         |      * (CASE WHEN gs THEN $p.ms ELSE $N - $p.ms END)
+         |      * (CASE WHEN gb THEN $p.mb ELSE $N - $p.mb END)) // $N)
+         |    * $N) // greatest(
+         |      (($p.p * (CASE WHEN gn THEN $p.mn ELSE $N - $p.mn END)
+         |        * (CASE WHEN gs THEN $p.ms ELSE $N - $p.ms END)
+         |        * (CASE WHEN gb THEN $p.mb ELSE $N - $p.mb END)) // $N)
+         |      + ((($N - $p.p) * (CASE WHEN gn THEN $p.un
+         |            ELSE $N - $p.un END)
+         |        * (CASE WHEN gs THEN $p.us ELSE $N - $p.us END)
+         |        * (CASE WHEN gb THEN $p.ub ELSE $N - $p.ub END)) // $N),
+         |      1::HUGEINT)""".stripMargin
+    val rounds = (1 to LinkEmIters).map { t =>
+      s"""e$t AS MATERIALIZED (SELECT pat.*, ${g(s"p${t - 1}")} AS g
+         |  FROM pat, p${t - 1}),
+         |p$t AS MATERIALIZED (SELECT
+         |    sum(n * g) // sum(n::HUGEINT) AS p,
+         |    (sum(CASE WHEN gn THEN n * g ELSE 0::HUGEINT END) * $N)
+         |      // greatest(sum(n * g), 1::HUGEINT) AS mn,
+         |    (sum(CASE WHEN gs THEN n * g ELSE 0::HUGEINT END) * $N)
+         |      // greatest(sum(n * g), 1::HUGEINT) AS ms,
+         |    (sum(CASE WHEN gb THEN n * g ELSE 0::HUGEINT END) * $N)
+         |      // greatest(sum(n * g), 1::HUGEINT) AS mb,
+         |    (sum(CASE WHEN gn THEN n * ($N - g) ELSE 0::HUGEINT END)
+         |      * $N) // greatest(sum(n * ($N - g)), 1::HUGEINT) AS un,
+         |    (sum(CASE WHEN gs THEN n * ($N - g) ELSE 0::HUGEINT END)
+         |      * $N) // greatest(sum(n * ($N - g)), 1::HUGEINT) AS us,
+         |    (sum(CASE WHEN gb THEN n * ($N - g) ELSE 0::HUGEINT END)
+         |      * $N) // greatest(sum(n * ($N - g)), 1::HUGEINT) AS ub
+         |  FROM e$t)""".stripMargin
+    }.mkString(",\n")
+    s"""$linkCandCtes,
+       |pat AS MATERIALIZED (SELECT gn, gs, gb, count(*) AS n,
+       |    CAST(sum((aid = bid)::INT) AS BIGINT) AS nt
+       |  FROM cand GROUP BY 1, 2, 3),
+       |p0 AS (SELECT 100000000::HUGEINT AS p,
+       |    900000000::HUGEINT AS mn, 900000000::HUGEINT AS ms,
+       |    900000000::HUGEINT AS mb, 100000000::HUGEINT AS un,
+       |    100000000::HUGEINT AS us, 100000000::HUGEINT AS ub),
+       |$rounds
+       |SELECT gn AS agree_name, gs AS agree_seg, gb AS agree_bal,
+       |  n AS n_pairs, nt AS n_true,
+       |  CAST(${g(s"p$LinkEmIters")} AS DOUBLE) / $N AS posterior
+       |FROM pat, p$LinkEmIters ORDER BY 1, 2, 3""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    // the FS-EM sufficient statistic is the agreement-pattern count
+    // table; the whole EM runs on it in exact integers
+    "dedup_linkage_em" -> linkageEmSql,
     // full FS replay: md5-keyed corruption, (nation, balance-band)
     // blocking, m from the id-joined true pairs, u from in-block
     // non-matches, Laplace-smoothed 9-dp log2 weights, exact decimal
@@ -485,39 +604,12 @@ object DedupQueries {
     // toward zero, so the band routes through the same pmod identity
     "dedup_record_linkage" -> {
       val ln2 = math.log(2.0)
-      def hbSql(suffix: String, n: Int) =
-        s"('0x' || substr(md5(id::VARCHAR || '$suffix'), 1, 12))::BIGINT" +
-          s" % $n = 0"
-      s"""WITH c AS (SELECT c_custkey AS id, c_name AS name,
-         |    c_mktsegment AS seg, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
-         |    c_nationkey AS nat FROM customer),
-         |b0 AS (SELECT id,
-         |    CASE WHEN ${hbSql("|nm", 2)} THEN upper(name)
-         |         ELSE name END AS name,
-         |    CASE WHEN ${hbSql("|sg", 5)} THEN reverse(seg)
-         |         ELSE seg END AS seg,
-         |    CASE WHEN ${hbSql("|ab", 3)}
-         |         THEN CAST(bal + 1 AS DECIMAL(18,2)) ELSE bal END AS bal,
-         |    nat FROM c),
-         |av AS (SELECT id, nat::VARCHAR || '|' ||
-         |      ((((bal * 100)::BIGINT) - ((((bal * 100)::BIGINT)
-         |        % $LinkBalBand + $LinkBalBand) % $LinkBalBand))
-         |       // $LinkBalBand)::VARCHAR AS blk,
-         |    name, seg, bal FROM c),
-         |bv AS (SELECT id, nat::VARCHAR || '|' ||
-         |      ((((bal * 100)::BIGINT) - ((((bal * 100)::BIGINT)
-         |        % $LinkBalBand + $LinkBalBand) % $LinkBalBand))
-         |       // $LinkBalBand)::VARCHAR AS blk,
-         |    name, seg, bal FROM b0),
+      s"""$linkCandCtes,
          |tp AS (SELECT count(*) AS n,
          |    CAST(sum((av.name = bv.name)::INT) AS BIGINT) AS mn,
          |    CAST(sum((av.seg = bv.seg)::INT) AS BIGINT) AS ms,
          |    CAST(sum((av.bal = bv.bal)::INT) AS BIGINT) AS mb
          |  FROM av JOIN bv ON av.id = bv.id),
-         |cand AS (SELECT av.id AS aid, bv.id AS bid,
-         |    av.name = bv.name AS gn, av.seg = bv.seg AS gs,
-         |    av.bal = bv.bal AS gb
-         |  FROM av JOIN bv ON av.blk = bv.blk),
          |u AS (SELECT count(*) AS nu,
          |    CAST(sum(gn::INT) AS BIGINT) AS un,
          |    CAST(sum(gs::INT) AS BIGINT) AS us,

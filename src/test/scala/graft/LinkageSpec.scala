@@ -66,6 +66,66 @@ class LinkageSpec extends AnyFunSuite {
     assert(got.find(g => g._1 == 2L && g._2 == 2L).get._3 == 1)
   }
 
+  test("linkageEm: bit-identical to the BigInt nano-EM replay, and the " +
+      "posterior separates all-agree from all-disagree patterns") {
+    // one block, 2 fields; 3 true pairs agree on everything, the rest of
+    // the 5x5 grid mostly disagrees — EM must find the mixture unaided
+    val a = Seq((1L, "ann", "rome"), (2L, "bob", "oslo"),
+      (3L, "eve", "bern"), (4L, "kim", "kiev"), (5L, "tom", "lima"))
+      .map { case (i, n, c) => (i, "blk", n, c) }
+      .toDF("rec_id", "block", "name", "city")
+    val bRows = Seq((1L, "ann", "rome"), (2L, "bob", "oslo"),
+      (3L, "eve", "bern"), (4L, "KIM", "kiev"), (5L, "tom", "LIMA"))
+    val b = bRows.map { case (i, n, c) => (i, "blk", n, c) }
+      .toDF("rec_id", "block", "name", "city")
+    val iters = 10
+    val got = Linkage.linkageEm(a, b, "rec_id", "block",
+        Seq("name", "city"), iters)
+      .orderBy("agree_name", "agree_city").collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+
+    // reference: exact integer EM over the pattern counts
+    val aRows = Seq((1L, "ann", "rome"), (2L, "bob", "oslo"),
+      (3L, "eve", "bern"), (4L, "kim", "kiev"), (5L, "tom", "lima"))
+    val pats = (for (x <- aRows; y <- bRows) yield
+        ((x._2 == y._2, x._3 == y._3), x._1 == y._1))
+      .groupBy(_._1).map { case (k, v) =>
+        (k, v.size.toLong, v.count(_._2).toLong) }.toSeq
+    val N = BigInt(1000000000L)
+    var (p, mn, mc, un, uc) = (BigInt(100000000L), BigInt(900000000L),
+      BigInt(900000000L), BigInt(100000000L), BigInt(100000000L))
+    def gOf(gn: Boolean, gc: Boolean): BigInt = {
+      val aU = (p * (if (gn) mn else N - mn) * (if (gc) mc else N - mc)) / N
+      val bU = ((N - p) * (if (gn) un else N - un) *
+        (if (gc) uc else N - uc)) / N
+      (aU * N) / (aU + bU).max(BigInt(1))
+    }
+    (1 to iters).foreach { _ =>
+      val rows = pats.map { case ((gn, gc), n, _) =>
+        (gn, gc, BigInt(n), gOf(gn, gc)) }
+      val den = rows.map(r => r._3 * r._4).sum
+      val denU = rows.map(r => r._3 * (N - r._4)).sum
+      val all = rows.map(_._3).sum
+      def m(sel: ((Boolean, Boolean, BigInt, BigInt)) => Boolean) =
+        (rows.filter(sel).map(r => r._3 * r._4).sum * N) /
+          den.max(BigInt(1))
+      def u(sel: ((Boolean, Boolean, BigInt, BigInt)) => Boolean) =
+        (rows.filter(sel).map(r => r._3 * (N - r._4)).sum * N) /
+          denU.max(BigInt(1))
+      val (p1, mn1, mc1, un1, uc1) =
+        (den / all, m(_._1), m(_._2), u(_._1), u(_._2))
+      p = p1; mn = mn1; mc = mc1; un = un1; uc = uc1
+    }
+    val expect = pats.map { case ((gn, gc), n, nt) =>
+      (gn, gc, n, nt, gOf(gn, gc).toDouble / 1e9) }
+      .sortBy(e => (e._1, e._2))
+    assert(got == expect)
+    val post = got.map(g => (g._1, g._2) -> g._5).toMap
+    assert(post((true, true)) > 0.9, "all-agree links")
+    assert(post((false, false)) < 0.1, "all-disagree stays apart")
+  }
+
   test("fellegiSunter: blocking excludes cross-block pairs even when " +
       "every field agrees, and the default threshold keeps links only") {
     val a = Seq((1L, "b1", "sam"), (2L, "b2", "sam"))
