@@ -1289,6 +1289,76 @@ object EventOps {
         coalesce(col("x"), lit(0L)).as("x"))
   }
 
+  /** Binary-segmentation changepoint detection over the daily value
+    * series (Scott & Knott 1974; the binary-segmentation baseline every
+    * changepoint survey starts from — Truong et al. 2020, "Selective
+    * review of offline change point detection methods"): level 1 finds
+    * the split of the whole day grid that maximizes the mean-shift gain,
+    * levels 2..L re-split the resulting segments. The gain is the same
+    * scale-free exact-integer form as [[graft.ops.Screening
+    * .otsuThreshold]] — `(s₀·n − s·w₀)²/(w₀·(n−w₀))` from BIGINT prefix
+    * sums (CUSUM's max statistic squared), products below 2⁵³ through
+    * ~10⁸ days × 10⁵-cent daily sums, so the doubles are exact casts and
+    * the argmax is engine-identical; ties break to the earliest day.
+    *
+    * NO recursion trick needed (unlike [[cusumChangepoints]]'s
+    * prefix-min): each level is one windowed pass over the bounded day
+    * grid partitioned by the ≤ 2^L segment bounds, and the segment
+    * relation is broadcast. Segments of one day don't re-split.
+    * Returns one row per accepted split: (level, lo_day, hi_day,
+    * split_day, n_left, n_right, sum_left_cents, sum_right_cents,
+    * gain) — the split keeps days ≤ split_day on the left.
+    */
+  def binsegChangepoints(df: DataFrame, tsCol: String, valueCol: String,
+      levels: Int = 2): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    require(levels >= 1 && levels <= 4, "binseg unrolls <= 4 levels")
+    val grid = dailyCentsGrid(df, tsCol, valueCol).localCheckpoint()
+    val d0 = grid.agg(min(col("d")).as("__d0"))
+    var segs = grid.agg(lit(0L).as("lo"), max(col("idx")).as("hi"))
+    val outs = (1 to levels).map { level =>
+      val j = grid.join(broadcast(segs),
+        col("idx") >= col("lo") && col("idx") <= col("hi"))
+      val wSeg = Window.partitionBy("lo", "hi").orderBy("idx")
+      val tot = Window.partitionBy("lo", "hi")
+      val pf = j.select(col("lo"), col("hi"), col("idx"), col("d"),
+        sum(col("x")).over(wSeg).as("__s0"),
+        count(lit(1)).over(wSeg).as("__w0"),
+        sum(col("x")).over(tot).as("__st"),
+        count(lit(1)).over(tot).as("__nt"))
+      val num = (col("__s0") * col("__nt") - col("__st") * col("__w0"))
+        .cast(DoubleType)
+      val den = (col("__w0") * (col("__nt") - col("__w0")))
+        .cast(DoubleType)
+      val cand = pf.filter(col("idx") < col("hi"))
+        .select(col("lo"), col("hi"), col("idx"), col("d"),
+          round(num * num / den, 6).as("__gain"),
+          col("__s0"), col("__w0"), col("__st"), col("__nt"))
+      val best = cand.groupBy("lo", "hi")
+        .agg(max(struct(col("__gain"), (-col("idx")).as("__mi"),
+          col("d"), col("__s0"), col("__w0"), col("__st"), col("__nt")))
+          .as("__b"))
+        .select(col("lo"), col("hi"),
+          (-col("__b.__mi")).as("split"), col("__b.d").as("split_day"),
+          col("__b.__gain").as("gain"), col("__b.__s0").as("sl"),
+          col("__b.__w0").as("nl"),
+          (col("__b.__st") - col("__b.__s0")).as("sr"),
+          (col("__b.__nt") - col("__b.__w0")).as("nr"))
+        .localCheckpoint()
+      segs = best.select(col("lo"), col("split").as("hi"))
+        .union(best.select((col("split") + 1).as("lo"), col("hi")))
+        .filter(col("hi") > col("lo"))
+        .localCheckpoint()
+      best.withColumn("level", lit(level))
+    }
+    outs.reduce(_ union _).crossJoin(broadcast(d0))
+      .select(col("level"), (col("lo") + col("__d0")).as("lo_day"),
+        (col("hi") + col("__d0")).as("hi_day"), col("split_day"),
+        col("nl").as("n_left"), col("nr").as("n_right"),
+        col("sl").as("sum_left_cents"), col("sr").as("sum_right_cents"),
+        col("gain"))
+  }
+
   /** Split-conformal prediction interval for the lag-`seasonDays` naive
     * forecast (Vovk et al. 2005, "Algorithmic Learning in a Random
     * World"; Lei et al. 2018 split conformal): days with a lag forecast

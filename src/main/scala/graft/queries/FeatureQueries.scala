@@ -336,6 +336,18 @@ object FeatureQueries {
           .withColumn("ts_us", unix_micros(col("ts"))), "ts_us")
       .orderBy("day")
 
+  private val BinsegLevels = 2
+
+  /** Binary-segmentation changepoints over the daily value series
+    * ([[graft.ops.EventOps.binsegChangepoints]], 2 levels → up to 3
+    * splits): the recursive mean-shift partitioning of the spend
+    * history, each split an exact-integer gain argmax.
+    */
+  def binseg(spark: SparkSession, dir: String): DataFrame =
+    EventOps.binsegChangepoints(Tables.events(spark, dir), "ts", "value",
+        BinsegLevels)
+      .orderBy("level", "lo_day")
+
   /** ACF + PACF of the zero-filled daily event-value series, lags 1..7
     * ([[graft.ops.EventOps.acfPacf]]) — the Box–Jenkins order/seasonality
     * read on the stream [[cusum]] monitors.
@@ -665,6 +677,7 @@ object FeatureQueries {
     "feat_theilsen_trend" -> theilSen,
     "feat_trend_ols" -> olsTrendQ,
     "feat_cusum_alarm" -> cusum,
+    "feat_binseg_changepoints" -> binseg,
     "feat_acf_pacf" -> acfPacf,
     "feat_spend_gini" -> spendGini,
     "feat_ewma_forecast" -> ewmaForecastQ,
@@ -1579,6 +1592,58 @@ object FeatureQueries {
     // CUSUM prefix closed form: s⁺ = prefix − min(prefix, 0 incl.),
     // s⁻ symmetric; 9-dp contributions in exact DECIMAL prefix sums,
     // μ/σ/k/h fixed IEEE steps from integer count sums
+    // two unrolled binseg levels: per-segment prefix sums, the exact
+    // Otsu-form gain from BIGINT products (< 2^53, casts exact), argmax
+    // struct with earliest-day tie-break; one-day segments don't re-split
+    "feat_binseg_changepoints" -> {
+      def level(t: Int, seg: String) =
+        s"""pf$t AS (SELECT s.lo, s.hi, g.idx, g.d,
+           |    CAST(sum(g.x) OVER (PARTITION BY s.lo, s.hi ORDER BY g.idx)
+           |      AS BIGINT) AS s0,
+           |    count(*) OVER (PARTITION BY s.lo, s.hi ORDER BY g.idx)
+           |      AS w0,
+           |    CAST(sum(g.x) OVER (PARTITION BY s.lo, s.hi) AS BIGINT)
+           |      AS st,
+           |    count(*) OVER (PARTITION BY s.lo, s.hi) AS nt
+           |  FROM grid g JOIN $seg s ON g.idx BETWEEN s.lo AND s.hi),
+           |cand$t AS (SELECT lo, hi, idx, d,
+           |    round(CAST(s0 * nt - st * w0 AS DOUBLE)
+           |      * CAST(s0 * nt - st * w0 AS DOUBLE)
+           |      / CAST(w0 * (nt - w0) AS DOUBLE), 6) AS gain,
+           |    s0, w0, st, nt
+           |  FROM pf$t WHERE idx < hi),
+           |best$t AS MATERIALIZED (SELECT lo, hi,
+           |    max(struct_pack(gain := gain, mi := -idx, d := d,
+           |      s0 := s0, w0 := w0, st := st, nt := nt)) AS b
+           |  FROM cand$t GROUP BY 1, 2),
+           |r$t AS (SELECT $t AS level, lo, hi, -(b.mi) AS split,
+           |    b.d AS split_day, b.gain AS gain, b.s0 AS sl, b.w0 AS nl,
+           |    b.st - b.s0 AS sr, b.nt - b.w0 AS nr
+           |  FROM best$t)""".stripMargin
+      s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+         |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+         |      AS BIGINT) AS x
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+         |grid AS (SELECT gs.d - (SELECT min(d) FROM daily) AS idx, gs.d,
+         |    coalesce(daily.x, 0) AS x
+         |  FROM (SELECT unnest(generate_series(mn, mx)) AS d
+         |        FROM (SELECT min(d) AS mn, max(d) AS mx FROM daily)) gs
+         |  LEFT JOIN daily USING (d)),
+         |seg1 AS (SELECT 0::BIGINT AS lo,
+         |    (SELECT max(idx) FROM grid) AS hi),
+         |${level(1, "seg1")},
+         |seg2 AS (SELECT lo, split AS hi FROM r1
+         |  UNION ALL SELECT split + 1, hi FROM r1),
+         |seg2f AS (SELECT * FROM seg2 WHERE hi > lo),
+         |${level(2, "seg2f")}
+         |SELECT level, lo + (SELECT min(d) FROM daily) AS lo_day,
+         |  hi + (SELECT min(d) FROM daily) AS hi_day, split_day,
+         |  nl AS n_left, nr AS n_right, CAST(sl AS BIGINT)
+         |    AS sum_left_cents, CAST(sr AS BIGINT) AS sum_right_cents,
+         |  gain
+         |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+         |ORDER BY level, lo_day""".stripMargin
+    },
     "feat_cusum_alarm" ->
       """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
         |    count(*) AS c

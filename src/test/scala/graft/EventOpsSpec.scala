@@ -651,6 +651,33 @@ class EventOpsSpec extends AnyFunSuite {
       .collect().forall(!_.getAs[Boolean]("alarm")))
   }
 
+  test("binsegChangepoints: planted two-shift series splits on the exact " +
+      "boundary days; flat segments tie to the earliest day at gain 0") {
+    val spark2 = spark
+    import spark2.implicits._
+    val us = 86400000000L
+    // daily values 10.00 ×10, 30.00 ×10, 20.00 ×10 (cents 1000/3000/2000)
+    // root: split at day 9 (gain (3e5)²/200 = 4.5e8); day 19 is a ZERO-
+    // gain split (both sides mean the global 2000) — the argmax must see
+    // through it. level 2: right segment splits at 19 (gain 1e8), the
+    // flat left segment ties every split at 0 and picks day 0.
+    val df = (0 until 30).map { d =>
+      (new java.sql.Timestamp(d * us / 1000L),
+        if (d < 10) 10.0 else if (d < 20) 30.0 else 20.0)
+    }.toDF("ts", "value")
+    val out = EventOps.binsegChangepoints(df, "ts", "value", levels = 2)
+      .orderBy("level", "lo_day").collect()
+      .map(r => (r.getAs[Int]("level"), r.getAs[Long]("lo_day"),
+        r.getAs[Long]("hi_day"), r.getAs[Long]("split_day"),
+        r.getAs[Long]("n_left"), r.getAs[Long]("n_right"),
+        r.getAs[Long]("sum_left_cents"), r.getAs[Long]("sum_right_cents"),
+        r.getAs[Double]("gain"))).toSeq
+    assert(out == Seq(
+      (1, 0L, 29L, 9L, 10L, 20L, 10000L, 50000L, 4.5e8),
+      (2, 0L, 9L, 0L, 1L, 9L, 1000L, 9000L, 0.0),
+      (2, 10L, 29L, 19L, 10L, 10L, 30000L, 20000L, 1.0e8)), out.toString)
+  }
+
   test("theilSenTrend: recovers a clean slope exactly and shrugs off an " +
       "outlier day that would wreck least squares") {
     val spark2 = spark
