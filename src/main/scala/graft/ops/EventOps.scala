@@ -191,6 +191,63 @@ object EventOps {
       .select("state", "next_state", "n_transitions", "p")
   }
 
+  /** Held-out quality of the [[transitionMatrix]] model — bits per
+    * transition on UNSEEN users (the sequence-model counterpart of
+    * [[graft.ops.TokenModels]]' bigram-LM perplexity): users split by
+    * the md5 coin (sequence-level, so no within-history leakage), the
+    * transition counts fit on the training folds, and every test
+    * transition is scored by the add-one-smoothed model
+    * `−log₂((c(prev,next)+1)/(c(prev,·)+V))` with V = distinct training
+    * next-states. Unseen test states ride the smoothing floor (c = 0,
+    * tot = 0 — the model stays finite).
+    *
+    * Determinism: per-transition bits round to 9 dp and scale by the
+    * exact test count (the bigram-LM discipline), so the mean is
+    * order-independent; the output mean is ONE IEEE division. Shape at
+    * scale: one lag window over the event stream, then (state × state)
+    * relations — the fitted model broadcasts at any corpus size.
+    * Returns ONE row: (n_train, n_test, vocab_size,
+    * bits_per_transition).
+    */
+  def markovPerplexity(df: DataFrame, keyCol: String, tsUsCol: String,
+      tieCol: String, stateCol: String, folds: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsUsCol), col(tieCol))
+    val trans = df
+      .select(col(keyCol).as("__k"),
+        col(stateCol).cast("string").as("__next"),
+        lag(col(stateCol).cast("string"), 1).over(w).as("__prev"))
+      .filter(col("__prev").isNotNull)
+      .withColumn("__fold", Prep.hashBucket(col("__k"), folds))
+      .localCheckpoint()
+    val train = trans.filter(col("__fold") =!= folds - 1)
+    val test = trans.filter(col("__fold") === folds - 1)
+    val counts = train.groupBy("__prev", "__next")
+      .agg(count(lit(1)).as("__c"))
+    val prevTot = counts.groupBy("__prev").agg(sum(col("__c")).as("__tot"))
+    val vocab = train.select("__next").distinct()
+      .agg(count(lit(1)).as("vocab_size"))
+    val trainN = train.agg(count(lit(1)).as("n_train"))
+    val bits = round(-log((coalesce(col("__c"), lit(0L)) + 1.0) /
+        (coalesce(col("__tot"), lit(0L)) + col("vocab_size"))) /
+      math.log(2.0), 9).cast(DecimalType(18, 9))
+    test.groupBy("__prev", "__next").agg(count(lit(1)).as("__tc"))
+      .join(broadcast(counts), Seq("__prev", "__next"), "left")
+      .join(broadcast(prevTot), Seq("__prev"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("__tc"), col("vocab_size"),
+        bits.as("__bits"))
+      .agg(first(col("vocab_size")).as("vocab_size"),
+        sum(col("__tc")).as("n_test"),
+        round(sum(col("__bits") * col("__tc").cast(DecimalType(10, 0)))
+          .cast(DoubleType) / sum(col("__tc")), 6)
+          .as("bits_per_transition"))
+      .crossJoin(broadcast(trainN))
+      .select(col("n_train"), col("n_test"), col("vocab_size"),
+        col("bits_per_transition"))
+  }
+
   /** Pointwise mutual information of item co-occurrence within sessions —
     * the item2vec / SGNS-matrix prep step (Levy & Goldberg 2014: SGNS
     * factorizes the shifted PMI matrix): for items a < b,

@@ -265,7 +265,22 @@ object EvalQueries {
         col("__pos") === 1)
       .orderBy("score")
 
+  private val MarkovFolds = 4
+
+  /** Held-out bits-per-transition of the first-order event-type Markov
+    * model ([[graft.ops.EventOps.markovPerplexity]]): users split by
+    * the md5 coin, `feat_markov_transitions`' model fit on 3 of 4
+    * folds, scored on the held-out users' transitions.
+    */
+  def markovPerplexityQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.EventOps.markovPerplexity(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type")),
+      "user_id", "ts_us", "event_id", "event_type", MarkovFolds)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_markov_perplexity" -> markovPerplexityQ,
     "eval_map_at_k" -> mapAtKCf,
     "eval_woe_iv" -> woeClicks,
     "eval_ab_experiment" -> abExperiment,
@@ -325,6 +340,38 @@ object EvalQueries {
        |  FROM lab GROUP BY 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // sequence-level md5 split; add-one transition model from the train
+    // folds; 9-dp per-transition bits scale by exact test counts, ONE
+    // IEEE division at the end
+    "eval_markov_perplexity" ->
+      s"""WITH t AS (SELECT user_id,
+         |    event_type::VARCHAR AS next,
+         |    lag(event_type::VARCHAR) OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts), event_id) AS prev,
+         |    ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT
+         |      % $MarkovFolds AS fold
+         |  FROM events),
+         |tr AS (SELECT prev, next FROM t
+         |  WHERE prev IS NOT NULL AND fold <> ${MarkovFolds - 1}),
+         |te AS (SELECT prev, next FROM t
+         |  WHERE prev IS NOT NULL AND fold = ${MarkovFolds - 1}),
+         |c AS (SELECT prev, next, count(*) AS c FROM tr GROUP BY 1, 2),
+         |pt AS (SELECT prev, CAST(sum(c) AS BIGINT) AS tot
+         |  FROM c GROUP BY 1),
+         |v AS (SELECT count(DISTINCT next) AS v FROM tr),
+         |ta AS (SELECT prev, next, count(*) AS tc FROM te GROUP BY 1, 2),
+         |sc AS (SELECT ta.tc,
+         |    CAST(round(-ln((coalesce(c.c, 0) + 1.0)
+         |        / (coalesce(pt.tot, 0) + v.v)) / ${math.log(2.0)}, 9)
+         |      AS DECIMAL(18,9)) AS bits
+         |  FROM ta LEFT JOIN c USING (prev, next)
+         |  LEFT JOIN pt USING (prev), v)
+         |SELECT (SELECT count(*) FROM tr) AS n_train,
+         |  CAST(sum(tc) AS BIGINT) AS n_test,
+         |  (SELECT v FROM v) AS vocab_size,
+         |  round(CAST(sum(bits * tc) AS DOUBLE) / sum(tc), 6)
+         |    AS bits_per_transition
+         |FROM sc""".stripMargin,
     // x2 clears the Laplace halves: each WOE is one ln of an exact
     // integer ratio; IV contributions ride the same ln, DECIMAL-summed
     "eval_woe_iv" ->

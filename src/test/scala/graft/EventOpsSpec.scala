@@ -651,6 +651,26 @@ class EventOpsSpec extends AnyFunSuite {
       .collect().forall(!_.getAs[Boolean]("alarm")))
   }
 
+  test("markovPerplexity: hand-computed held-out bits with smoothing on " +
+      "an unseen transition; the split never leaks a user's own history") {
+    val spark2 = spark
+    import spark2.implicits._
+    // md5 folds (k=4): users 1,2,3,5 train (folds 1,0,0,2), user 4 tests
+    val ev = Seq(
+      (2L, 1L, 0L, "A"), (2L, 2L, 1L, "B"), (2L, 3L, 2L, "A"),
+      (3L, 4L, 0L, "A"), (3L, 5L, 1L, "B"),
+      (4L, 6L, 0L, "A"), (4L, 7L, 1L, "B"), (4L, 8L, 2L, "B")
+    ).toDF("user_id", "event_id", "ts_us", "event_type")
+    val out = EventOps.markovPerplexity(ev, "user_id", "ts_us",
+        "event_id", "event_type", folds = 4)
+      .collect().head
+    // train: A->B x2, B->A x1; V=2; test: A->B ((2+1)/(2+2), 0.415037499
+    // bits) and the UNSEEN B->B ((0+1)/(1+2), 1.584962501 bits) -> the
+    // 9-dp bits sum to exactly 2, mean 1.0
+    assert((out.getLong(0), out.getLong(1), out.getLong(2),
+      out.getDouble(3)) == (3L, 2L, 2L, 1.0), out.toString)
+  }
+
   test("binsegChangepoints: planted two-shift series splits on the exact " +
       "boundary days; flat segments tie to the earliest day at gain 0") {
     val spark2 = spark
