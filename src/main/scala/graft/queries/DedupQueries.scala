@@ -290,7 +290,7 @@ object DedupQueries {
   /** The two linkage views: the clean customer table and its md5-keyed
     * corrupted copy, both carrying the (nation, balance band) block.
     */
-  private def linkViews(spark: SparkSession, dir: String)
+  private[graft] def linkViews(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val c = Tables.customer(spark, dir).select(
       col("c_custkey").as("rec_id"), col("c_name").as("name"),
