@@ -490,6 +490,66 @@ object TokenModels {
     */
   def naiveBayesCrossVal(docs: DataFrame, idCol: String, textCol: String,
       labelCol: String, buckets: Int = 64, folds: Int = 5): DataFrame = {
+    val (labeled, scored) = cvHeldOutScores(docs, idCol, textCol,
+      labelCol, buckets, folds)
+    val predicted = scored.groupBy("id", "fold")
+      .agg(max(struct(col("score"), col("__cls"))).as("best"))
+      .select(col("id"), col("fold"), col("best.__cls").as("__pred"))
+    predicted
+      .join(labeled.select(col("id"), col("__y")), Seq("id"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_test"),
+        sum((col("__pred") === col("__y")).cast("long")).as("n_correct"))
+      .select(col("fold"), col("n_test"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n_test").cast("double"))
+          .as("accuracy"))
+  }
+
+  /** Confident-learning-style label-noise audit (Northcutt et al. 2021,
+    * "Confident Learning: Estimating Uncertainty in Dataset Labels"):
+    * every doc scored by its OWN fold's held-out [[naiveBayesCrossVal]]
+    * model, and docs whose held-out prediction disagrees with their
+    * label surface as suspects, ranked by how many bits the model
+    * prefers its alternative (`margin_bits` = best − own-label score,
+    * an exact DECIMAL difference). A label class with zero training
+    * docs for the fold cannot score its own label — those suspects
+    * carry NULL label/margin bits (the trivially-unverifiable case).
+    *
+    * Same machinery, same cost as the CV itself: the ONE (doc, bucket)
+    * count shuffle plus broadcast model joins. Returns
+    * (idCol, label, predicted, label_bits, best_bits, margin_bits)
+    * for suspects only.
+    */
+  def naiveBayesLabelAudit(docs: DataFrame, idCol: String,
+      textCol: String, labelCol: String, buckets: Int = 64,
+      folds: Int = 5): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val (labeled, scored) = cvHeldOutScores(docs, idCol, textCol,
+      labelCol, buckets, folds)
+    val best = scored.groupBy("id", "fold")
+      .agg(max(struct(col("score"), col("__cls"))).as("best"))
+      .select(col("id"), col("best.__cls").as("predicted"),
+        col("best.score").as("__bs"))
+    val own = scored.join(labeled.select(col("id"), col("__y")), Seq("id"))
+      .filter(col("__cls") === col("__y"))
+      .select(col("id"), col("score").as("__os"))
+    best.join(labeled.select(col("id"), col("__y").as("label")), Seq("id"))
+      .join(own, Seq("id"), "left")
+      .filter(col("predicted") =!= col("label"))
+      .select(col("id").as(idCol), col("label"), col("predicted"),
+        round(col("__os").cast(DoubleType), 6).as("label_bits"),
+        round(col("__bs").cast(DoubleType), 6).as("best_bits"),
+        round((col("__bs") - col("__os")).cast(DoubleType), 6)
+          .as("margin_bits"))
+  }
+
+  /** The shared CV core: labeled docs with their md5 fold, and every
+    * doc's held-out score against EVERY class of its own fold's
+    * leave-one-fold-out model — (id, fold, __cls, score).
+    */
+  private def cvHeldOutScores(docs: DataFrame, idCol: String,
+      textCol: String, labelCol: String, buckets: Int, folds: Int)
+      : (DataFrame, DataFrame) = {
     val labeled = docs.select(col(idCol).as("id"),
         col(labelCol).cast("string").as("__y"), col(textCol).as("__text"))
       .withColumn("fold", Prep.hashBucket(col("id"), folds))
@@ -544,17 +604,7 @@ object TokenModels {
         col("__y").as("__cls"), col("prior"))), Seq("fold", "__cls"))
       .select(col("id"), col("fold"), col("__cls"),
         (col("__s").cast(DecimalType(28, 9)) + col("prior")).as("score"))
-    val predicted = scored.groupBy("id", "fold")
-      .agg(max(struct(col("score"), col("__cls"))).as("best"))
-      .select(col("id"), col("fold"), col("best.__cls").as("__pred"))
-    predicted
-      .join(labeled.select(col("id"), col("__y")), Seq("id"))
-      .groupBy("fold")
-      .agg(count(lit(1)).as("n_test"),
-        sum((col("__pred") === col("__y")).cast("long")).as("n_correct"))
-      .select(col("fold"), col("n_test"), col("n_correct"),
-        (col("n_correct").cast("double") / col("n_test").cast("double"))
-          .as("accuracy"))
+    (labeled, scored)
   }
 
   /** Learning curve for [[naiveBayes]] — held-out accuracy as a function

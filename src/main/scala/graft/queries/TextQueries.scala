@@ -326,6 +326,16 @@ object TextQueries {
         "doc_id", "text", "lang", NbBuckets, NbFolds)
       .orderBy("fold")
 
+  /** Confident-learning label-noise suspects
+    * ([[graft.ops.TokenModels.naiveBayesLabelAudit]]): docs whose
+    * held-out CV model prefers a different language than their label,
+    * ranked by the bits of disagreement.
+    */
+  def labelNoise(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TokenModels.naiveBayesLabelAudit(Tables.documents(spark, dir),
+        "doc_id", "text", "lang", NbBuckets, NbFolds)
+      .orderBy("doc_id")
+
   private val LcStrata = 8
   private val LcLevels = Seq(1, 2, 4, 7)
 
@@ -619,6 +629,7 @@ object TextQueries {
     "text_heavy_hitters" -> heavyHitters,
     "text_nb_classifier" -> nbLangId,
     "text_nb_crossval" -> nbCrossVal,
+    "text_label_noise" -> labelNoise,
     "text_nb_learning_curve" -> nbLearningCurve,
     "text_sgd_classifier" -> sgdClassifier,
     "text_sgd_attribution" -> sgdAttributionQ,
@@ -785,6 +796,69 @@ object TextQueries {
        |vg AS (SELECT g, count(*) AS vocab FROM fd JOIN bounds
        |  ON first_doc <= bound GROUP BY 1)""".stripMargin
 
+  /** Shared leave-one-fold-out CV CTE prefix (d .. best) — the
+    * crossval aggregate and the label-noise audit both read from it. */
+  private lazy val nbCvCtes: String =
+    s"""WITH d AS (SELECT doc_id, lang,
+         |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+         |      % $NbFolds AS fold,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |occ AS MATERIALIZED (SELECT d.doc_id, d.lang, d.fold, t.bucket,
+         |    count(*) AS c
+         |  FROM (SELECT doc_id,
+         |      ('0x' || substr(md5(tok), 1, 12))::BIGINT % $NbBuckets
+         |        AS bucket
+         |    FROM (SELECT doc_id, unnest(toks) AS tok FROM d)) t
+         |  JOIN d USING (doc_id) GROUP BY 1, 2, 3, 4),
+         |cube AS (SELECT fold, lang, bucket, sum(c) AS n
+         |  FROM occ GROUP BY 1, 2, 3),
+         |byc AS (SELECT lang, bucket, sum(n) AS nt FROM cube GROUP BY 1, 2),
+         |ct AS (SELECT lang, sum(nt) AS tot FROM byc GROUP BY 1),
+         |fct AS (SELECT fold, lang, sum(n) AS ft FROM cube GROUP BY 1, 2),
+         |grid AS (SELECT f.fold, b.bucket, c.lang
+         |  FROM (SELECT unnest(generate_series(0, ${NbFolds - 1})) AS fold) f,
+         |    (SELECT unnest(generate_series(0, ${NbBuckets - 1}))
+         |       AS bucket) b,
+         |    (SELECT DISTINCT lang FROM d) c),
+         |lik AS (SELECT g.fold, g.lang, g.bucket,
+         |    CAST(round(ln((coalesce(byc.nt, 0) - coalesce(cube.n, 0) + 1.0)
+         |        / (ct.tot - coalesce(fct.ft, 0) + $NbBuckets))
+         |      / ${math.log(2.0)}, 9) AS DECIMAL(18,9)) AS lp
+         |  FROM grid g
+         |  LEFT JOIN byc ON byc.lang = g.lang AND byc.bucket = g.bucket
+         |  LEFT JOIN cube ON cube.fold = g.fold AND cube.lang = g.lang
+         |    AND cube.bucket = g.bucket
+         |  JOIN ct ON ct.lang = g.lang
+         |  LEFT JOIN fct ON fct.fold = g.fold AND fct.lang = g.lang),
+         |docfold AS (SELECT DISTINCT doc_id, lang, fold FROM occ),
+         |dbc AS (SELECT lang, count(*) AS dc FROM docfold GROUP BY 1),
+         |dbfc AS (SELECT fold, lang, count(*) AS dfc
+         |  FROM docfold GROUP BY 1, 2),
+         |dtot AS (SELECT count(*) AS n_all FROM docfold),
+         |dbf AS (SELECT fold, count(*) AS df FROM docfold GROUP BY 1),
+         |pri AS (SELECT f.fold, dbc.lang,
+         |    CAST(round(ln((dbc.dc - coalesce(dbfc.dfc, 0)) * 1.0
+         |        / (dtot.n_all - dbf.df)) / ${math.log(2.0)}, 9)
+         |      AS DECIMAL(18,9)) AS prior
+         |  FROM (SELECT unnest(generate_series(0, ${NbFolds - 1}))
+         |      AS fold) f
+         |  CROSS JOIN dbc
+         |  CROSS JOIN dtot
+         |  LEFT JOIN dbfc ON dbfc.fold = f.fold AND dbfc.lang = dbc.lang
+         |  JOIN dbf ON dbf.fold = f.fold
+         |  WHERE dbc.dc > coalesce(dbfc.dfc, 0)),
+         |sc AS (SELECT occ.doc_id, occ.fold, lik.lang,
+         |    sum(lik.lp * occ.c) + any_value(pri.prior) AS score
+         |  FROM occ
+         |  JOIN lik ON lik.fold = occ.fold AND lik.bucket = occ.bucket
+         |  JOIN pri ON pri.fold = occ.fold AND pri.lang = lik.lang
+         |  GROUP BY 1, 2, 3),
+         |best AS (SELECT doc_id, fold,
+         |    max(struct_pack(s := score, y := lang)) AS b
+         |  FROM sc GROUP BY 1, 2)""".stripMargin
+
+
   val oracle: Map[String, String] = Map(
     // ordered pairs a < b over the distinct (lang, token) relation
     "text_lang_overlap" ->
@@ -945,64 +1019,7 @@ object TextQueries {
     // with zero training docs for a fold is dropped — it cannot be
     // predicted); accuracy = ONE division of two exact integers
     "text_nb_crossval" ->
-      s"""WITH d AS (SELECT doc_id, lang,
-         |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
-         |      % $NbFolds AS fold,
-         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
-         |  FROM documents),
-         |occ AS MATERIALIZED (SELECT d.doc_id, d.lang, d.fold, t.bucket,
-         |    count(*) AS c
-         |  FROM (SELECT doc_id,
-         |      ('0x' || substr(md5(tok), 1, 12))::BIGINT % $NbBuckets
-         |        AS bucket
-         |    FROM (SELECT doc_id, unnest(toks) AS tok FROM d)) t
-         |  JOIN d USING (doc_id) GROUP BY 1, 2, 3, 4),
-         |cube AS (SELECT fold, lang, bucket, sum(c) AS n
-         |  FROM occ GROUP BY 1, 2, 3),
-         |byc AS (SELECT lang, bucket, sum(n) AS nt FROM cube GROUP BY 1, 2),
-         |ct AS (SELECT lang, sum(nt) AS tot FROM byc GROUP BY 1),
-         |fct AS (SELECT fold, lang, sum(n) AS ft FROM cube GROUP BY 1, 2),
-         |grid AS (SELECT f.fold, b.bucket, c.lang
-         |  FROM (SELECT unnest(generate_series(0, ${NbFolds - 1})) AS fold) f,
-         |    (SELECT unnest(generate_series(0, ${NbBuckets - 1}))
-         |       AS bucket) b,
-         |    (SELECT DISTINCT lang FROM d) c),
-         |lik AS (SELECT g.fold, g.lang, g.bucket,
-         |    CAST(round(ln((coalesce(byc.nt, 0) - coalesce(cube.n, 0) + 1.0)
-         |        / (ct.tot - coalesce(fct.ft, 0) + $NbBuckets))
-         |      / ${math.log(2.0)}, 9) AS DECIMAL(18,9)) AS lp
-         |  FROM grid g
-         |  LEFT JOIN byc ON byc.lang = g.lang AND byc.bucket = g.bucket
-         |  LEFT JOIN cube ON cube.fold = g.fold AND cube.lang = g.lang
-         |    AND cube.bucket = g.bucket
-         |  JOIN ct ON ct.lang = g.lang
-         |  LEFT JOIN fct ON fct.fold = g.fold AND fct.lang = g.lang),
-         |docfold AS (SELECT DISTINCT doc_id, lang, fold FROM occ),
-         |dbc AS (SELECT lang, count(*) AS dc FROM docfold GROUP BY 1),
-         |dbfc AS (SELECT fold, lang, count(*) AS dfc
-         |  FROM docfold GROUP BY 1, 2),
-         |dtot AS (SELECT count(*) AS n_all FROM docfold),
-         |dbf AS (SELECT fold, count(*) AS df FROM docfold GROUP BY 1),
-         |pri AS (SELECT f.fold, dbc.lang,
-         |    CAST(round(ln((dbc.dc - coalesce(dbfc.dfc, 0)) * 1.0
-         |        / (dtot.n_all - dbf.df)) / ${math.log(2.0)}, 9)
-         |      AS DECIMAL(18,9)) AS prior
-         |  FROM (SELECT unnest(generate_series(0, ${NbFolds - 1}))
-         |      AS fold) f
-         |  CROSS JOIN dbc
-         |  CROSS JOIN dtot
-         |  LEFT JOIN dbfc ON dbfc.fold = f.fold AND dbfc.lang = dbc.lang
-         |  JOIN dbf ON dbf.fold = f.fold
-         |  WHERE dbc.dc > coalesce(dbfc.dfc, 0)),
-         |sc AS (SELECT occ.doc_id, occ.fold, lik.lang,
-         |    sum(lik.lp * occ.c) + any_value(pri.prior) AS score
-         |  FROM occ
-         |  JOIN lik ON lik.fold = occ.fold AND lik.bucket = occ.bucket
-         |  JOIN pri ON pri.fold = occ.fold AND pri.lang = lik.lang
-         |  GROUP BY 1, 2, 3),
-         |best AS (SELECT doc_id, fold,
-         |    max(struct_pack(s := score, y := lang)) AS b
-         |  FROM sc GROUP BY 1, 2)
+      s"""$nbCvCtes
          |SELECT best.fold AS fold, count(*) AS n_test,
          |  CAST(sum(CASE WHEN best.b.y = d.lang THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_correct,
@@ -1010,6 +1027,22 @@ object TextQueries {
          |      AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
          |FROM best JOIN d USING (doc_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same held-out scores, per-doc view: suspects are docs whose
+    // fold-held-out argmax disagrees with the label; the margin is an
+    // exact DECIMAL difference of the two scores. A label class with no
+    // training docs in the fold leaves label/margin bits NULL
+    "text_label_noise" ->
+      s"""$nbCvCtes,
+         |own AS (SELECT sc.doc_id, sc.score AS os
+         |  FROM sc JOIN d USING (doc_id) WHERE sc.lang = d.lang)
+         |SELECT best.doc_id AS doc_id, d.lang AS label,
+         |  best.b.y AS predicted,
+         |  round(CAST(own.os AS DOUBLE), 6) AS label_bits,
+         |  round(CAST(best.b.s AS DOUBLE), 6) AS best_bits,
+         |  round(CAST(best.b.s - own.os AS DOUBLE), 6) AS margin_bits
+         |FROM best JOIN d USING (doc_id)
+         |LEFT JOIN own ON own.doc_id = best.doc_id
+         |WHERE best.b.y <> d.lang ORDER BY doc_id""".stripMargin,
     // nested-training learning curve: ONE (stratum, class, bucket) count
     // cube; level models are sums over the level→stratum map; test docs
     // (the last stratum) score against every level's broadcast grid;

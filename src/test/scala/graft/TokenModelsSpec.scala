@@ -481,6 +481,34 @@ class TokenModelsSpec extends AnyFunSuite {
     }
   }
 
+  test("naiveBayesLabelAudit: the planted mislabel surfaces with a " +
+      "positive margin; suspects are exactly the CV's incorrect docs") {
+    // the naiveBayesCrossVal fixture: doc 12 carries B text labeled A
+    val docs = Seq(
+      (2L, "good good", "A"), (3L, "good", "A"),
+      (5L, "bad bad", "B"), (6L, "bad", "B"),
+      (1L, "good good good", "A"), (4L, "bad bad bad", "B"),
+      (9L, "good", "A"), (12L, "bad bad", "A")
+    ).toDF("doc_id", "text", "lang")
+    val suspects = TokenModels.naiveBayesLabelAudit(docs, "doc_id",
+        "text", "lang", buckets = 8, folds = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("label"),
+        r.getAs[String]("predicted"), r.getAs[Double]("margin_bits")))
+      .toSeq.sortBy(_._1)
+    // doc 12 must be flagged: the clean fold-0 model reads "bad bad" as B
+    val planted = suspects.find(_._1 == 12L).get
+    assert(planted._2 == "A" && planted._3 == "B" && planted._4 > 0.0)
+    // every suspect margin is strictly positive (argmax beat the label)
+    assert(suspects.forall(_._4 > 0.0), suspects.toString)
+    // invariant: suspects == the CV's incorrect docs, fold by fold
+    val cv = TokenModels.naiveBayesCrossVal(docs, "doc_id", "text",
+        "lang", buckets = 8, folds = 2)
+      .collect().map(r => r.getAs[Long]("n_test") -
+        r.getAs[Long]("n_correct")).sum
+    assert(suspects.size.toLong == cv)
+  }
+
   test("naiveBayesLearningCurve: nested strata fixture — a class absent " +
       "below its level cannot be predicted, then the curve saturates") {
     // md5 strata (n=4, from the op's own 48-bit prefix): ids 2,3,6 -> 0;
