@@ -48,6 +48,15 @@ object Bench {
         .config("spark.sql.extensions", "graft.GraftExtensions")
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
+        // cap generated whole-stage methods at HotSpot's 8000-bytecode
+        // compile limit (DontCompileHugeMethods): over-limit fused
+        // methods never reach C2 and churn between interpreted and
+        // deoptimized execution — the round-12 ProbeGcMapAtK
+        // adjudication measured eval_map_at_k bouncing 10→155 s with
+        // per-pass JIT time re-spiking indefinitely at the default
+        // 65535; at 8000 the passes stabilize at 10–16 s with JIT time
+        // declining monotonically (46 → 6.7 s over 6 passes)
+        .config("spark.sql.codegen.hugeMethodLimit", 8000)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")

@@ -26,10 +26,18 @@ object ProbeGcMapAtK {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val passes = args.lift(1).map(_.toInt).getOrElse(6)
+    // arg 3: spark.sql.codegen.hugeMethodLimit — the C2 bistability
+    // experiment: HotSpot refuses to compile methods over 8000 bytecodes
+    // (DontCompileHugeMethods), so generated whole-stage methods above it
+    // run interpreted-or-churning; capping the limit makes Spark fall
+    // back to non-fused execution for those stages instead
+    val hml = args.lift(2).map(_.toInt).getOrElse(65535)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.codegen.hugeMethodLimit", hml)
       .config("spark.ui.enabled", "false").getOrCreate()
+    println(s"[gc-mapk] hugeMethodLimit=$hml")
     spark.sparkContext.setLogLevel("ERROR")
     // the Bench warm-up so pass 1 isn't charged session bring-up
     spark.range(1000000L).selectExpr("sum(id)").collect()
