@@ -39,7 +39,7 @@ object ModelQueries {
     * day, customer balance cents. Exact integer features make the
     * histogram grid engine-portable.
     */
-  private def base(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def base(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .join(broadcast(Tables.customer(spark, dir)
           .select(col("c_custkey"),

@@ -435,4 +435,24 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(s).size >= 2, s)
     assert(!s.contains("CartesianProduct"), s)
   }
+
+  test("gbm training: the customer dimension broadcasts and no stage " +
+      "is a cartesian or a sort-merge join") {
+    // the fit's per-round relations are checkpoint-truncated, so the
+    // join shape gates on the base (the only row-scale join in the op)
+    val s = planString(graft.queries.ModelQueries.base(spark, dir))
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct") && !s.contains("SortMergeJoin"),
+      s)
+  }
+
+  test("record linkage: candidates join on the block key — never a " +
+      "cartesian — and the one-row weight relations broadcast") {
+    val df = graft.queries.DedupQueries.recordLinkage(spark, dir)
+    val s = planString(df)
+    assert(!s.contains("CartesianProduct"), s)
+    // the m/u-derived weights and the EM params are 1-row broadcasts
+    assert(s.contains("BroadcastNestedLoopJoin") ||
+      s.contains("BroadcastHashJoin"), s)
+  }
 }
