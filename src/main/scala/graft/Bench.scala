@@ -55,8 +55,16 @@ object Bench {
         // adjudication measured eval_map_at_k bouncing 10→155 s with
         // per-pass JIT time re-spiking indefinitely at the default
         // 65535; at 8000 the passes stabilize at 10–16 s with JIT time
-        // declining monotonically (46 → 6.7 s over 6 passes)
-        .config("spark.sql.codegen.hugeMethodLimit", 8000)
+        // declining monotonically (46 → 6.7 s over 6 passes).
+        // SPARK_GRAFT_HML overrides for A/B work; 0 keeps Spark's
+        // default.
+        .config("spark.sql.codegen.hugeMethodLimit",
+          sys.env.get("SPARK_GRAFT_HML").map(_.toInt)
+            .filter(_ > 0).getOrElse(8000))
+        // finer expression-to-method splitting keeps more fused stages
+        // under the cap (A/B knob; Spark default 1024)
+        .config("spark.sql.codegen.methodSplitThreshold",
+          sys.env.getOrElse("SPARK_GRAFT_METHOD_SPLIT", "1024").toInt)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
