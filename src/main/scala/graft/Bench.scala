@@ -44,29 +44,31 @@ object Bench {
     val isolate = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0"
 
     def mkSession(): SparkSession = {
-      val spark = SparkSession.builder()
+      val builder = SparkSession.builder()
         .config("spark.sql.extensions", "graft.GraftExtensions")
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
-        // cap generated whole-stage methods at HotSpot's 8000-bytecode
-        // compile limit (DontCompileHugeMethods): over-limit fused
-        // methods never reach C2 and churn between interpreted and
-        // deoptimized execution — the round-12 ProbeGcMapAtK
-        // adjudication measured eval_map_at_k bouncing 10→155 s with
-        // per-pass JIT time re-spiking indefinitely at the default
-        // 65535; at 8000 the passes stabilize at 10–16 s with JIT time
-        // declining monotonically (46 → 6.7 s over 6 passes).
-        // SPARK_GRAFT_HML overrides for A/B work; 0 keeps Spark's
-        // default.
-        .config("spark.sql.codegen.hugeMethodLimit",
-          sys.env.get("SPARK_GRAFT_HML").map(_.toInt)
-            .filter(_ > 0).getOrElse(8000))
-        // finer expression-to-method splitting keeps more fused stages
-        // under the cap (A/B knob; Spark default 1024)
-        .config("spark.sql.codegen.methodSplitThreshold",
-          sys.env.getOrElse("SPARK_GRAFT_METHOD_SPLIT", "1024").toInt)
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
+      // cap generated whole-stage methods at HotSpot's 8000-bytecode
+      // compile limit (DontCompileHugeMethods): over-limit fused
+      // methods never reach C2 and churn between interpreted and
+      // deoptimized execution — the round-12 ProbeGcMapAtK
+      // adjudication measured eval_map_at_k bouncing 10→155 s with
+      // per-pass JIT time re-spiking indefinitely at the default
+      // 65535; at 8000 the passes stabilize at 10–16 s with JIT time
+      // declining monotonically (46 → 6.7 s over 6 passes).
+      // SPARK_GRAFT_HML overrides for A/B work; 0 genuinely skips the
+      // override and keeps Spark's default (65535).
+      sys.env.get("SPARK_GRAFT_HML").map(_.toInt) match {
+        case Some(0) => ()
+        case Some(v) => builder.config("spark.sql.codegen.hugeMethodLimit", v)
+        case None => builder.config("spark.sql.codegen.hugeMethodLimit", 8000)
+      }
+      // finer expression-to-method splitting keeps more fused stages
+      // under the cap (A/B knob; Spark default 1024)
+      builder.config("spark.sql.codegen.methodSplitThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_METHOD_SPLIT", "1024").toInt)
+      val spark = builder.getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       // JIT/codegen/scheduler warm-up so the first measured query isn't
       // charged for one-time session costs
@@ -87,14 +89,31 @@ object Bench {
     // min is the least-noise estimate of the query's true cost)
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
 
+    // process-wide JIT compilation time (ms) — the round-12 ProbeGcMapAtK
+    // adjudication showed per-pass JIT time tracking the eval_map_at_k
+    // bounce 1:1; recording the per-QUERY delta makes a single inflated
+    // number self-adjudicating (high jit delta → C2 warm-up, high steal
+    // delta → hypervisor contention, neither → a real regression)
+    val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    def jitMs(): Long =
+      try { if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
+        jitBean.getTotalCompilationTime else -1L }
+      catch { case _: Throwable => -1L }
+
+    /** (min seconds over passes, steal-jiffies delta across ALL passes,
+      * JIT-ms delta across ALL passes) — the deltas cover every pass, not
+      * just the min one, because contamination in ANY pass is what makes
+      * a min-of-N still read high.
+      */
     def measure(spark: SparkSession,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Double = {
+        : (Double, Long, Long) = {
       // settle the heap between queries: without this a query pays for the
       // previous query's garbage and can read 3-4x its solo cost when both
       // min-of-N passes land beside a GC-heavy neighbor
       System.gc()
-      (1 to runs).map { _ =>
+      val s0 = stealJiffies(); val j0 = jitMs()
+      val best = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: full materialization of every output row — count() would
         // let Catalyst prune projection work on scan-shaped queries
@@ -102,6 +121,11 @@ object Bench {
         catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }.min
+      val sd = { val s1 = stealJiffies()
+        if (s0 < 0 || s1 < 0) -1L else s1 - s0 }
+      val jd = { val j1 = jitMs()
+        if (j0 < 0 || j1 < 0) -1L else j1 - j0 }
+      (best, sd, jd)
     }
 
     // host-load telemetry: per-family 1-min loadavg (max of the before/
@@ -110,7 +134,7 @@ object Bench {
     val famLoads = scala.collection.mutable.LinkedHashMap[String, Double]()
     val steal0 = stealJiffies()
     val runT0 = System.nanoTime()
-    val results: Seq[(String, Double)] =
+    val results: Seq[(String, (Double, Long, Long))] =
       if (isolate)
         selected.toSeq.groupBy { case (n, _) => familyOf(n) }
           .toSeq.sortBy(_._1)
@@ -143,16 +167,20 @@ object Bench {
       require(results.size == SparkEntry.queries.size,
         s"bench timed ${results.size} of ${SparkEntry.queries.size} " +
           "registered queries")
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val stealQs = results.map { case (k, (_, s, _)) =>
+      s"\"" + k + "\":" + s }.mkString("{", ",", "}")
+    val jitQs = results.map { case (k, (_, _, j)) =>
+      s"\"" + k + "\":" + j }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
     def jnum(d: Double): String = if (d.isNaN) "null" else d.toString
     val loadJson = famLoads.map { case (k, v) => s"\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
     val loadMax =
       if (famLoads.isEmpty || famLoads.values.exists(_.isNaN)) Double.NaN
       else famLoads.values.max
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"runs":$runs,"isolate":$isolate,"sf":"$sfDir","bench_cpus":$cpus,"loadavg1_by_family":$loadJson,"loadavg1_max":${jnum(loadMax)},"steal_jiffies_delta":$stealDelta,"elapsed_sec":$elapsedSec}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"runs":$runs,"isolate":$isolate,"sf":"$sfDir","bench_cpus":$cpus,"loadavg1_by_family":$loadJson,"loadavg1_max":${jnum(loadMax)},"steal_jiffies_delta":$stealDelta,"elapsed_sec":$elapsedSec,"steal_jiffies_by_query":$stealQs,"jit_ms_by_query":$jitQs}"""
     // the full line is ~8 KB at 273 queries and a tail-capture of the
     // process output can truncate its head (round-10's BENCH artifact was
     // unparseable) — persist it to a file FIRST, then print

@@ -39,15 +39,29 @@ object Linkage {
   private val W = DecimalType(18, 9)
 
   /** Link `a` to `b`: both carry `idCol` (ground-truth entity key, used
-    * ONLY for m-estimation and the `is_match` audit bit), `blockCol`,
-    * and the comparison `fields`. Returns pairs scoring ≥ `threshold`:
+    * for m-estimation, for EXCLUDING true pairs from the u-estimation
+    * sample, and for the `is_match` audit bit — the u-estimator is
+    * therefore also supervised, not just m), `blockCol`, and the
+    * comparison `fields`. Returns pairs scoring ≥ `threshold`:
     * (a_id, b_id, n_agree, weight, is_match), one row per candidate pair
     * above threshold.
+    *
+    * Field-agreement is NULL-SAFE (`<=>`): two NULLs agree, NULL vs
+    * non-NULL disagrees — mirror any SQL twin with
+    * `IS NOT DISTINCT FROM`, never plain `=` (which yields NULL and
+    * silently drops the pair from both m and u counts).
+    *
+    * `minSeed` guards the degenerate fit: with an EMPTY labeled overlap
+    * the Laplace-smoothed m collapses to (0+1)/(0+2) = 0.5 for every
+    * field — a silently meaningless model. The check rides the weights
+    * plan as a runtime `raise_error` (no extra pass); callers without a
+    * labeled seed belong on [[linkageEm]].
     */
   def fellegiSunter(a: DataFrame, b: DataFrame, idCol: String,
       blockCol: String, fields: Seq[String],
-      threshold: Double = 0.0): DataFrame = {
+      threshold: Double = 0.0, minSeed: Long = 2L): DataFrame = {
     require(fields.nonEmpty, "linkage needs >= 1 comparison field")
+    require(minSeed >= 1, "minSeed must be >= 1")
     val aS = a.select(col(idCol).as("__aid") +: col(blockCol).as("__blk") +:
       fields.map(f => col(f).as(s"__a_$f")): _*)
     val bS = b.select(col(idCol).as("__bid") +: col(blockCol).as("__blk") +:
@@ -67,10 +81,18 @@ object Linkage {
         lit(0L)).as(s"__u_$f"))
     val uRow = cand.filter(col("__aid") =!= col("__bid"))
       .agg(uAggs.head, uAggs.tail: _*)
-    // per-field 9-dp log₂ weights from Laplace-smoothed exact counts
+    // per-field 9-dp log₂ weights from Laplace-smoothed exact counts.
+    // __n routes through the minSeed gate so a too-small labeled overlap
+    // fails LOUDLY at execution instead of fitting m = 0.5 everywhere;
+    // the gate is an expression on the 1-row weights relation — no extra
+    // pass, and m depends on it so Catalyst cannot prune it away.
     def lg2(x: Column): Column = round(log(x) / math.log(2.0), 9).cast(W)
+    val nGated = when(col("__n") >= minSeed, col("__n")).otherwise(
+      raise_error(concat(lit(s"fellegiSunter: labeled true-pair seed has "),
+        col("__n"), lit(s" rows < minSeed=$minSeed — m-estimation would " +
+          "collapse to Laplace 0.5; use linkageEm for unlabeled data"))))
     val weights = mRow.crossJoin(uRow).select(fields.flatMap { f =>
-      val m = (col(s"__m_$f") + 1).cast(DoubleType) / (col("__n") + 2)
+      val m = (col(s"__m_$f") + 1).cast(DoubleType) / (nGated + 2)
       val u = (col(s"__u_$f") + 1).cast(DoubleType) / (col("__nu") + 2)
       Seq(lg2(m / u).as(s"__wa_$f"), lg2((lit(1.0) - m) / (lit(1.0) - u))
         .as(s"__wd_$f"))

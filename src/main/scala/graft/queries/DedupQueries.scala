@@ -506,7 +506,11 @@ object DedupQueries {
     * the (nation, balance-band) blocks — the band FLOORS on negative
     * balances via the pmod identity because DuckDB's integer `//`
     * truncates toward zero — and the in-block candidate pairs with
-    * their three agreement bits.
+    * their three agreement bits. Agreement is spelled
+    * `IS NOT DISTINCT FROM`, matching Spark's null-safe `<=>`: plain `=`
+    * yields NULL on NULL fields and would silently skew the m/u counts
+    * differently per engine (masked on non-null TPC-H fields, but the
+    * twin must not depend on that).
     */
   private lazy val linkCandCtes: String = {
     def hbSql(suffix: String, n: Int) =
@@ -534,8 +538,9 @@ object DedupQueries {
        |       // $LinkBalBand)::VARCHAR AS blk,
        |    name, seg, bal FROM b0),
        |cand AS MATERIALIZED (SELECT av.id AS aid, bv.id AS bid,
-       |    av.name = bv.name AS gn, av.seg = bv.seg AS gs,
-       |    av.bal = bv.bal AS gb
+       |    av.name IS NOT DISTINCT FROM bv.name AS gn,
+       |    av.seg IS NOT DISTINCT FROM bv.seg AS gs,
+       |    av.bal IS NOT DISTINCT FROM bv.bal AS gb
        |  FROM av JOIN bv ON av.blk = bv.blk)""".stripMargin
   }
 
@@ -606,9 +611,12 @@ object DedupQueries {
       val ln2 = math.log(2.0)
       s"""$linkCandCtes,
          |tp AS (SELECT count(*) AS n,
-         |    CAST(sum((av.name = bv.name)::INT) AS BIGINT) AS mn,
-         |    CAST(sum((av.seg = bv.seg)::INT) AS BIGINT) AS ms,
-         |    CAST(sum((av.bal = bv.bal)::INT) AS BIGINT) AS mb
+         |    CAST(sum((av.name IS NOT DISTINCT FROM bv.name)::INT)
+         |      AS BIGINT) AS mn,
+         |    CAST(sum((av.seg IS NOT DISTINCT FROM bv.seg)::INT)
+         |      AS BIGINT) AS ms,
+         |    CAST(sum((av.bal IS NOT DISTINCT FROM bv.bal)::INT)
+         |      AS BIGINT) AS mb
          |  FROM av JOIN bv ON av.id = bv.id),
          |u AS (SELECT count(*) AS nu,
          |    CAST(sum(gn::INT) AS BIGINT) AS un,

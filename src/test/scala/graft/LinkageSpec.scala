@@ -138,4 +138,30 @@ class LinkageSpec extends AnyFunSuite {
     // (1,2)/(2,1) agree on name but live in different blocks
     assert(got == Set((1L, 1L), (2L, 2L)))
   }
+
+  test("fellegiSunter: an empty labeled seed fails loudly instead of " +
+      "silently fitting the Laplace-0.5 m model") {
+    // disjoint id sets: the id-join true-pair sample is EMPTY, so
+    // m-estimation has nothing to learn from — (0+1)/(0+2) = 0.5 per
+    // field would score every pair with a meaningless model
+    val a = Seq((1L, "b1", "sam"), (2L, "b1", "ann"))
+      .toDF("rec_id", "block", "name")
+    val b = Seq((11L, "b1", "sam"), (12L, "b1", "ann"))
+      .toDF("rec_id", "block", "name")
+    val ex = intercept[Exception] {
+      Linkage.fellegiSunter(a, b, "rec_id", "block", Seq("name"),
+        threshold = Double.NegativeInfinity).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("minSeed")), msgs(ex).mkString(" | "))
+    // a seed meeting minSeed still fits (the happy path is unchanged)
+    val okA = Seq((1L, "b1", "sam"), (2L, "b1", "ann"))
+      .toDF("rec_id", "block", "name")
+    val okB = Seq((1L, "b1", "sam"), (2L, "b1", "ann"))
+      .toDF("rec_id", "block", "name")
+    assert(Linkage.fellegiSunter(okA, okB, "rec_id", "block", Seq("name"),
+      threshold = Double.NegativeInfinity).count() == 4L)
+  }
 }
