@@ -58,16 +58,13 @@ object Boost {
     */
   private[graft] case class Fit(scored: DataFrame, model: DataFrame)
 
-  /** Fit `rounds` stumps over BIGINT features `featCols` of `base`
-    * (columns `idCol`, `labelCol` ∈ {0,1} or any small numeric, and the
-    * features). Requires ≥ 1 non-constant feature. Returns the scored
-    * base (`id`, `y`, `pred`) and the model (one row per round).
+  /** The binned training relation (`__id`, `__y`, `__pred` = p₀,
+    * `__b0..__b{nf−1}`), checkpointed — the shared preamble of every
+    * tree depth: exact integer binning plus the broadcast 9-dp base
+    * prediction.
     */
-  private[graft] def fit(base: DataFrame, idCol: String, labelCol: String,
-      featCols: Seq[String], bins: Int = 16, rounds: Int = 3): Fit = {
-    require(featCols.nonEmpty && bins >= 2 && rounds >= 1,
-      "gbm needs >=1 feature, >=2 bins, >=1 round")
-    val nf = featCols.length
+  private def binnedBase(base: DataFrame, idCol: String, labelCol: String,
+      featCols: Seq[String], bins: Int): DataFrame = {
     val mmAggs = featCols.zipWithIndex.flatMap { case (f, i) =>
       Seq(min(col(f)).as(s"__mn$i"), max(col(f)).as(s"__mx$i")) }
     val minmax = base.agg(mmAggs.head, mmAggs.tail: _*)
@@ -77,59 +74,41 @@ object Boost {
     // base prediction = round(mean(y), 9): one row, broadcast
     val p0 = base.agg(round(sum(col(labelCol)).cast(DoubleType) /
         count(lit(1)), 9).cast(P).as("__p0"))
-    var cur = base.crossJoin(broadcast(minmax)).crossJoin(broadcast(p0))
+    base.crossJoin(broadcast(minmax)).crossJoin(broadcast(p0))
       .select(Seq(col(idCol).as("__id"),
         col(labelCol).cast(P).as("__y"), col("__p0").as("__pred")) ++
         binCols: _*)
       .localCheckpoint()
+  }
+
+  /** Fit `rounds` stumps over BIGINT features `featCols` of `base`
+    * (columns `idCol`, `labelCol` ∈ {0,1} or any small numeric, and the
+    * features). A round with NO valid split (every feature constant on
+    * the residuals' support) is SKIPPED — zero leaf contribution and no
+    * model row — instead of propagating the empty-argmax NULL struct
+    * into every prediction. Returns the scored base (`id`, `y`, `pred`)
+    * and the model (one row per non-degenerate round).
+    */
+  private[graft] def fit(base: DataFrame, idCol: String, labelCol: String,
+      featCols: Seq[String], bins: Int = 16, rounds: Int = 3): Fit = {
+    require(featCols.nonEmpty && bins >= 2 && rounds >= 1,
+      "gbm needs >=1 feature, >=2 bins, >=1 round")
+    val nf = featCols.length
+    var cur = binnedBase(base, idCol, labelCol, featCols, bins)
     val models = (1 to rounds).map { t =>
-      // ONE bounded shuffle: stacked (feature, bin, residual) histogram
-      val stacked = cur.select(col("__y"), col("__pred"),
-          posexplode(array((0 until nf).map(i => col(s"__b$i")): _*))
-            .as(Seq("__f", "__b")))
-        .groupBy("__f", "__b")
-        .agg(sum(col("__y") - col("__pred")).as("__g"),
-          count(lit(1)).as("__n"))
-      val w = Window.partitionBy("__f").orderBy("__b")
-      // the RIGHT-side residual mass is its own following-frame window
-      // sum, NOT total − left: subtracting two DECIMAL(38,9) window sums
-      // needs precision 39 and Spark silently rescales the result to
-      // (38,8) — an extra 8-dp rounding the oracle replay doesn't have
-      // (BoostSpec's boundary fixture caught it). Counts subtract fine
-      // (BIGINT).
-      val wAfter = Window.partitionBy("__f").orderBy("__b")
-        .rowsBetween(1, Window.unboundedFollowing)
-      val tot = Window.partitionBy("__f")
-      val pf = stacked.select(col("__f"), col("__b"),
-        sum(col("__g")).over(w).as("__gl"),
-        sum(col("__n")).over(w).as("__nl"),
-        sum(col("__g")).over(wAfter).as("__gr0"),
-        sum(col("__n")).over(tot).as("__nt"))
-      val cand = pf.filter(col("__b") < bins - 1 &&
-          col("__nl") > 0 && col("__nt") - col("__nl") > 0)
-        .select(col("__f"), col("__b"),
-          col("__gr0").as("__gr"),
-          (col("__nt") - col("__nl")).as("__nr"),
-          col("__gl"), col("__nl"))
-        .select(col("__f"), col("__b"),
-          round(col("__gl").cast(DoubleType) * col("__gl").cast(DoubleType)
-              / col("__nl") +
-            col("__gr").cast(DoubleType) * col("__gr").cast(DoubleType)
-              / col("__nr"), 6).as("__gain"),
-          round(col("__gl").cast(DoubleType) / (col("__nl") * 2), 9)
-            .cast(P).as("__vl"),
-          round(col("__gr").cast(DoubleType) / (col("__nr") * 2), 9)
-            .cast(P).as("__vr"))
-      val best = cand
-        .agg(max(struct(col("__gain"), (-col("__f")).as("__mf"),
-          (-col("__b")).as("__mb"), col("__vl"), col("__vr"))).as("__s"))
-        .select(lit(t).as("round"), col("__s.__mf").as("__nf"),
-          col("__s.__mb").as("__nb"), col("__s.__vl").as("__vl"),
-          col("__s.__vr").as("__vr"), col("__s.__gain").as("__gain"))
+      // ONE bounded shuffle: stacked (feature, bin, residual) histogram,
+      // prefix sums, 6-dp gains, struct argmax — see [[bestSplits]]
+      val best = bestSplits(cur, Seq.empty, nf, bins)
+        .select(lit(t).as("round"), col("__nf"), col("__nb"),
+          col("__vl"), col("__vr"), col("__gain"))
         .localCheckpoint()
-      val leaf = when((0 until nf).map(i =>
+      // degenerate-round guard: an empty candidate set argmaxes to a
+      // NULL struct — coalesce the contribution to 0 so the round is a
+      // no-op rather than NULLing every prediction
+      val leaf = coalesce(when((0 until nf).map(i =>
             col("__nf") === -i && col(s"__b$i") <= -col("__nb"))
-          .reduce(_ || _), col("__vl")).otherwise(col("__vr"))
+          .reduce(_ || _), col("__vl")).otherwise(col("__vr")),
+        lit(0).cast(P))
       cur = cur.crossJoin(broadcast(best))
         .select(Seq(col("__id"), col("__y"),
           (col("__pred") + leaf).cast(P).as("__pred")) ++
@@ -138,6 +117,7 @@ object Boost {
       best
     }
     val model = models.reduce(_ union _)
+      .filter(col("__nf").isNotNull)
       .select(col("round"),
         element_at(array(featCols.map(lit): _*), -col("__nf") + 1)
           .as("feature"),
@@ -150,6 +130,140 @@ object Boost {
         col("__gain").as("gain"))
     Fit(cur.select(col("__id"), col("__y"), col("__pred")), model)
   }
+
+  /** Best split per `keys` group over the current residuals: ONE stacked
+    * (keys…, feature, bin) histogram shuffle, bin prefix sums over the
+    * bounded (keys × features × bins) relation, 6-dp double gains from
+    * the exact DECIMAL sums, and the (gain, −feature, −bin) struct
+    * argmax per group. With empty `keys` this is the stump's global
+    * best (one row, NULL-fielded when no candidate exists); with a leaf
+    * key it is the level-wise tree search — the leaf id rides the
+    * groupBy exactly like fold/level ids do in the CV/learning-curve
+    * family, so ONE bounded shuffle serves every leaf of the level.
+    * Returns keys… ++ (__nf = −feature, __nb = −bin, __vl, __vr,
+    * __gain); groups with no valid candidate produce NO row (empty keys:
+    * one NULL-fielded row).
+    */
+  private def bestSplits(rows: DataFrame, keys: Seq[String], nf: Int,
+      bins: Int): DataFrame = {
+    val kc = keys.map(col)
+    val stacked = rows.select(kc ++ Seq(col("__y"), col("__pred"),
+        posexplode(array((0 until nf).map(i => col(s"__b$i")): _*))
+          .as(Seq("__f", "__b"))): _*)
+      .groupBy((kc :+ col("__f")) :+ col("__b"): _*)
+      .agg(sum(col("__y") - col("__pred")).as("__g"),
+        count(lit(1)).as("__n"))
+    val part = keys :+ "__f"
+    val w = Window.partitionBy(part.map(col): _*).orderBy("__b")
+    // right-side residual mass as its own following-frame window sum —
+    // NOT total − left (the DECIMAL(38,9) rescale trap, see [[fit]])
+    val wAfter = Window.partitionBy(part.map(col): _*).orderBy("__b")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val tot = Window.partitionBy(part.map(col): _*)
+    val pf = stacked.select(kc ++ Seq(col("__f"), col("__b"),
+      sum(col("__g")).over(w).as("__gl"),
+      sum(col("__n")).over(w).as("__nl"),
+      sum(col("__g")).over(wAfter).as("__gr"),
+      sum(col("__n")).over(tot).as("__nt")): _*)
+    val cand = pf.filter(col("__b") < bins - 1 &&
+        col("__nl") > 0 && col("__nt") - col("__nl") > 0)
+      .select(kc ++ Seq(col("__f"), col("__b"),
+        round(col("__gl").cast(DoubleType) * col("__gl").cast(DoubleType)
+            / col("__nl") +
+          col("__gr").cast(DoubleType) * col("__gr").cast(DoubleType)
+            / (col("__nt") - col("__nl")), 6).as("__gain"),
+        round(col("__gl").cast(DoubleType) / (col("__nl") * 2), 9)
+          .cast(P).as("__vl"),
+        round(col("__gr").cast(DoubleType) /
+          ((col("__nt") - col("__nl")) * 2), 9).cast(P).as("__vr")): _*)
+    cand.groupBy(kc: _*)
+      .agg(max(struct(col("__gain"), (-col("__f")).as("__mf"),
+        (-col("__b")).as("__mb"), col("__vl"), col("__vr"))).as("__s"))
+      .select(kc ++ Seq(col("__s.__mf").as("__nf"),
+        col("__s.__mb").as("__nb"), col("__s.__vl").as("__vl"),
+        col("__s.__vr").as("__vr"), col("__s.__gain").as("__gain")): _*)
+  }
+
+  /** Fit `rounds` DEPTH-2 trees (root split, then the best split of EACH
+    * root leaf — 4 terminal regions per round): the LightGBM level-wise
+    * layout where level 2 costs ONE extra keyed histogram shuffle — the
+    * leaf id rides the (feature, bin) groupBy — never a per-leaf pass.
+    * A leaf with no valid split stays TERMINAL and contributes its own
+    * stump value η·G/n (the root's left/right value); a fully degenerate
+    * round (no root split) is skipped with zero contribution — the
+    * [[fit]] guard. Determinism disciplines are [[fit]]'s verbatim.
+    */
+  private[graft] def fitTree2(base: DataFrame, idCol: String,
+      labelCol: String, featCols: Seq[String], bins: Int = 16,
+      rounds: Int = 3): Fit = {
+    require(featCols.nonEmpty && bins >= 2 && rounds >= 1,
+      "gbm needs >=1 feature, >=2 bins, >=1 round")
+    val nf = featCols.length
+    val featArr = array(featCols.map(lit): _*)
+    var cur = binnedBase(base, idCol, labelCol, featCols, bins)
+    val models = (1 to rounds).map { t =>
+      val root = bestSplits(cur, Seq.empty, nf, bins).localCheckpoint()
+      val rootCond = (0 until nf).map(i =>
+        col("__nf") === -i && col(s"__b$i") <= -col("__nb")).reduce(_ || _)
+      // leaf assignment: 0 = left of the root split, 1 = right; a
+      // degenerate root NULLs the condition → everyone lands in leaf 1
+      // and the contribution coalesces to 0 below
+      val assigned = cur.crossJoin(broadcast(root))
+        .withColumn("__leaf", when(rootCond, 0).otherwise(1))
+      val child = bestSplits(
+          assigned.select(Seq(col("__leaf"), col("__y"), col("__pred")) ++
+            (0 until nf).map(i => col(s"__b$i")): _*),
+          Seq("__leaf"), nf, bins)
+        .localCheckpoint() // ≤ 2 rows
+      val childR = child.select(col("__leaf"), col("__nf").as("__cnf"),
+        col("__nb").as("__cnb"), col("__vl").as("__cvl"),
+        col("__vr").as("__cvr"))
+      val childCond = (0 until nf).map(i =>
+        col("__cnf") === -i && col(s"__b$i") <= -col("__cnb"))
+        .reduce(_ || _)
+      val rootVal = when(col("__leaf") === 0, col("__vl"))
+        .otherwise(col("__vr"))
+      val contrib = coalesce(
+        when(col("__cnf").isNotNull,
+          when(childCond, col("__cvl")).otherwise(col("__cvr")))
+          .otherwise(rootVal),
+        lit(0).cast(P))
+      cur = assigned.join(broadcast(childR), Seq("__leaf"), "left")
+        .select(Seq(col("__id"), col("__y"),
+          (col("__pred") + contrib).cast(P).as("__pred")) ++
+          (0 until nf).map(i => col(s"__b$i")): _*)
+        .localCheckpoint()
+      def modelRow(src: DataFrame, node: Column) = src
+        .filter(col("__nf").isNotNull)
+        .select(lit(t).as("round"), node.as("node"),
+          element_at(featArr, -col("__nf") + 1).as("feature"),
+          (-col("__nb")).cast("int").as("split_bin"),
+          round(col("__vl").cast(DoubleType), 9).as("left_value"),
+          round(col("__vr").cast(DoubleType), 9).as("right_value"),
+          col("__gain").as("gain"))
+      modelRow(root, lit("root")).unionByName(
+        modelRow(child, when(col("__leaf") === 0, "left")
+          .otherwise("right")))
+    }
+    Fit(cur.select(col("__id"), col("__y"), col("__pred")),
+      models.reduce(_ unionByName _))
+  }
+
+  /** The fitted depth-2 model, ≤ 3 rows per boosting round — the root
+    * split plus each root leaf's own split (absent when that leaf is
+    * terminal): (round, node ∈ root|left|right, feature, split_bin,
+    * left_value, right_value, gain).
+    */
+  def gbmTree2(base: DataFrame, idCol: String, labelCol: String,
+      featCols: Seq[String], bins: Int = 16, rounds: Int = 3): DataFrame =
+    fitTree2(base, idCol, labelCol, featCols, bins, rounds).model
+
+  /** Final depth-2 boosted predictions, shaped like [[gbmScore]]. */
+  def gbmTree2Score(base: DataFrame, idCol: String, labelCol: String,
+      featCols: Seq[String], bins: Int = 16, rounds: Int = 3): DataFrame =
+    fitTree2(base, idCol, labelCol, featCols, bins, rounds).scored
+      .select(col("__id").as(idCol), col("__y").cast(DoubleType)
+        .as("label"), round(col("__pred").cast(DoubleType), 9).as("pred"))
 
   /** The fitted model, one row per boosting round:
     * (round, feature, split_bin, left_value, right_value, gain).

@@ -17,11 +17,13 @@ object ModelQueries {
 
   private val GbmBins = 16
   private val GbmRounds = 3
+  private val GbmTreeRounds = 2 // depth-2 × 2 rounds ≈ the stump unroll cost
   private val ScoreMod = 101 // scored-sample stride for the preds query
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "model_gbm_stumps" -> gbmStumps,
-    "model_gbm_score" -> gbmScore)
+    "model_gbm_score" -> gbmScore,
+    "model_gbm_trees" -> gbmTrees)
 
   def gbmStumps(spark: SparkSession, dir: String): DataFrame =
     Boost.gbmStumps(base(spark, dir), "o_orderkey", "urgent",
@@ -33,6 +35,16 @@ object ModelQueries {
         Seq("price_c", "order_day", "acctbal_c"), GbmBins, GbmRounds)
       .filter(pmod(col("o_orderkey"), lit(ScoreMod)) === 0)
       .orderBy("o_orderkey")
+
+  /** Depth-2 boosted trees on the same base — root split plus each root
+    * leaf's own split per round ([[graft.ops.Boost.gbmTree2]]); the
+    * interaction-capable upgrade of [[gbmStumps]] at ONE extra keyed
+    * histogram shuffle per round.
+    */
+  def gbmTrees(spark: SparkSession, dir: String): DataFrame =
+    Boost.gbmTree2(base(spark, dir), "o_orderkey", "urgent",
+        Seq("price_c", "order_day", "acctbal_c"), GbmBins, GbmTreeRounds)
+      .orderBy("round", "node")
 
   /** GBM base: orders × customer (broadcast dim join), label "is this
     * order URGENT", three BIGINT features — price cents, order epoch
@@ -74,53 +86,36 @@ object ModelQueries {
     "model_gbm_score" -> s"""$gbmCtes
        |SELECT id AS o_orderkey, CAST(y AS DOUBLE) AS label,
        |  round(CAST(pred AS DOUBLE), 9) AS pred
-       |FROM pr$GbmRounds WHERE id % $ScoreMod = 0 ORDER BY id""".stripMargin)
+       |FROM pr$GbmRounds WHERE id % $ScoreMod = 0 ORDER BY id""".stripMargin,
+    "model_gbm_trees" -> {
+      val featCase = "CASE WHEN -(s.mf) = 0 THEN 'price_c' " +
+        "WHEN -(s.mf) = 1 THEN 'order_day' ELSE 'acctbal_c' END"
+      s"""$gbmTreeCtes
+         |SELECT * FROM (
+         |${(1 to GbmTreeRounds).map(r =>
+              s"""SELECT $r AS round, 'root' AS node, $featCase AS feature,
+                 |  CAST(-(s.mb) AS INTEGER) AS split_bin,
+                 |  round(CAST(s.vl AS DOUBLE), 9) AS left_value,
+                 |  round(CAST(s.vr AS DOUBLE), 9) AS right_value,
+                 |  s.gain AS gain
+                 |FROM best$r
+                 |UNION ALL
+                 |SELECT $r, CASE WHEN leaf = 0 THEN 'left' ELSE 'right' END,
+                 |  $featCase, CAST(-(s.mb) AS INTEGER),
+                 |  round(CAST(s.vl AS DOUBLE), 9),
+                 |  round(CAST(s.vr AS DOUBLE), 9), s.gain
+                 |FROM cbest$r""".stripMargin)
+            .mkString("\nUNION ALL\n")}
+         |) ORDER BY round, node""".stripMargin
+    })
 
-  /** The boosting loop unrolled: binning (exact integer floor division),
-    * p₀, then per round r the stacked histogram h{r}, bin prefix sums
-    * pf{r}, candidate gains cand{r} (6-dp double, computed from exact
-    * DECIMAL sums), the struct-argmax best{r} with (−feature, −bin)
-    * tie-breaks, and the updated predictions pr{r} — every value either
-    * exact or rounded to a fixed grid at the same point as the Spark
-    * plan, so the replay is engine-portable.
+  /** Shared replay prologue: the joined base, per-feature min/max, the
+    * 9-dp base prediction and the binned pr0 relation (MATERIALIZED —
+    * every round's stacked union references its predecessor three
+    * times, and DuckDB inlines CTEs per reference).
     */
-  private lazy val gbmCtes: String = {
+  private lazy val gbmPrologue: String = {
     val b1 = GbmBins - 1
-    val rounds = (1 to GbmRounds).map { r =>
-      s"""s$r AS (SELECT 0 AS f, b0 AS bin,
-         |    CAST(y AS DECIMAL(28,9)) - pred AS g FROM pr${r - 1}
-         |  UNION ALL SELECT 1, b1, CAST(y AS DECIMAL(28,9)) - pred
-         |    FROM pr${r - 1}
-         |  UNION ALL SELECT 2, b2, CAST(y AS DECIMAL(28,9)) - pred
-         |    FROM pr${r - 1}),
-         |h$r AS (SELECT f, bin, sum(g) AS g, count(*) AS n
-         |  FROM s$r GROUP BY 1, 2),
-         |pf$r AS (SELECT f, bin,
-         |    sum(g) OVER (PARTITION BY f ORDER BY bin) AS gl,
-         |    sum(n) OVER (PARTITION BY f ORDER BY bin) AS nl,
-         |    sum(g) OVER (PARTITION BY f ORDER BY bin
-         |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS gr,
-         |    sum(n) OVER (PARTITION BY f) AS nt
-         |  FROM h$r),
-         |cand$r AS (SELECT f, bin,
-         |    round(CAST(gl AS DOUBLE) * CAST(gl AS DOUBLE) / nl
-         |      + CAST(gr AS DOUBLE) * CAST(gr AS DOUBLE)
-         |        / (nt - nl), 6) AS gain,
-         |    CAST(round(CAST(gl AS DOUBLE) / (nl * 2), 9)
-         |      AS DECIMAL(28,9)) AS vl,
-         |    CAST(round(CAST(gr AS DOUBLE) / ((nt - nl) * 2), 9)
-         |      AS DECIMAL(28,9)) AS vr
-         |  FROM pf$r WHERE bin < $b1 AND nl > 0 AND nt - nl > 0),
-         |best$r AS (SELECT max(struct_pack(gain := gain, mf := -f,
-         |    mb := -bin, vl := vl, vr := vr)) AS s FROM cand$r),
-         |pr$r AS (SELECT id, y, b0, b1, b2,
-         |    CAST(pred + CASE
-         |      WHEN (s.mf = 0 AND b0 <= -(s.mb))
-         |        OR (s.mf = -1 AND b1 <= -(s.mb))
-         |        OR (s.mf = -2 AND b2 <= -(s.mb)) THEN s.vl
-         |      ELSE s.vr END AS DECIMAL(28,9)) AS pred
-         |  FROM pr${r - 1}, best$r)""".stripMargin
-    }.mkString(",\n")
     s"""WITH base AS (SELECT o.o_orderkey AS id,
        |    CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
        |    (CAST(o.o_totalprice AS DECIMAL(18,2)) * 100)::BIGINT AS f0,
@@ -131,12 +126,126 @@ object ModelQueries {
        |    max(f1) AS mx1, min(f2) AS mn2, max(f2) AS mx2 FROM base),
        |p0 AS (SELECT CAST(round(sum(y)::DOUBLE / count(*), 9)
        |    AS DECIMAL(28,9)) AS p FROM base),
-       |pr0 AS (SELECT id, y,
+       |pr0 AS MATERIALIZED (SELECT id, y,
        |    least($b1, ((f0 - mn0) * $GbmBins) // (mx0 - mn0 + 1)) AS b0,
        |    least($b1, ((f1 - mn1) * $GbmBins) // (mx1 - mn1 + 1)) AS b1,
        |    least($b1, ((f2 - mn2) * $GbmBins) // (mx2 - mn2 + 1)) AS b2,
        |    p0.p AS pred
-       |  FROM base, mm, p0),
+       |  FROM base, mm, p0)""".stripMargin
+  }
+
+  /** One level-1 split search on `src`'s residuals: stacked histogram,
+    * bin prefix sums, 6-dp gains, struct argmax — the stump round's
+    * CTE chain, shared verbatim by the depth-2 unroll's root level.
+    */
+  private def levelOneCtes(r: Int, src: String): String = {
+    val b1 = GbmBins - 1
+    s"""s$r AS (SELECT 0 AS f, b0 AS bin,
+       |    CAST(y AS DECIMAL(28,9)) - pred AS g FROM $src
+       |  UNION ALL SELECT 1, b1, CAST(y AS DECIMAL(28,9)) - pred
+       |    FROM $src
+       |  UNION ALL SELECT 2, b2, CAST(y AS DECIMAL(28,9)) - pred
+       |    FROM $src),
+       |h$r AS (SELECT f, bin, sum(g) AS g, count(*) AS n
+       |  FROM s$r GROUP BY 1, 2),
+       |pf$r AS (SELECT f, bin,
+       |    sum(g) OVER (PARTITION BY f ORDER BY bin) AS gl,
+       |    sum(n) OVER (PARTITION BY f ORDER BY bin) AS nl,
+       |    sum(g) OVER (PARTITION BY f ORDER BY bin
+       |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS gr,
+       |    sum(n) OVER (PARTITION BY f) AS nt
+       |  FROM h$r),
+       |cand$r AS (SELECT f, bin,
+       |    round(CAST(gl AS DOUBLE) * CAST(gl AS DOUBLE) / nl
+       |      + CAST(gr AS DOUBLE) * CAST(gr AS DOUBLE)
+       |        / (nt - nl), 6) AS gain,
+       |    CAST(round(CAST(gl AS DOUBLE) / (nl * 2), 9)
+       |      AS DECIMAL(28,9)) AS vl,
+       |    CAST(round(CAST(gr AS DOUBLE) / ((nt - nl) * 2), 9)
+       |      AS DECIMAL(28,9)) AS vr
+       |  FROM pf$r WHERE bin < $b1 AND nl > 0 AND nt - nl > 0),
+       |best$r AS (SELECT max(struct_pack(gain := gain, mf := -f,
+       |    mb := -bin, vl := vl, vr := vr)) AS s FROM cand$r)""".stripMargin
+  }
+
+  /** The stump boosting loop unrolled: per round r the [[levelOneCtes]]
+    * chain (stacked histogram, prefix sums, 6-dp gains, struct argmax
+    * with (−feature, −bin) tie-breaks) and the updated predictions
+    * pr{r} — every value either exact or rounded to a fixed grid at the
+    * same point as the Spark plan, so the replay is engine-portable.
+    */
+  private lazy val gbmCtes: String = {
+    val rounds = (1 to GbmRounds).map { r =>
+      s"""${levelOneCtes(r, s"pr${r - 1}")},
+         |pr$r AS MATERIALIZED (SELECT id, y, b0, b1, b2,
+         |    CAST(pred + CASE
+         |      WHEN (s.mf = 0 AND b0 <= -(s.mb))
+         |        OR (s.mf = -1 AND b1 <= -(s.mb))
+         |        OR (s.mf = -2 AND b2 <= -(s.mb)) THEN s.vl
+         |      ELSE s.vr END AS DECIMAL(28,9)) AS pred
+         |  FROM pr${r - 1}, best$r)""".stripMargin
+    }.mkString(",\n")
+    s"""$gbmPrologue,
        |$rounds""".stripMargin
   }
+
+  /** The depth-2 loop unrolled: per round the root split (the
+    * [[levelOneCtes]] chain), the MATERIALIZED leaf assignment, the
+    * leaf-keyed level-2 histogram/prefix/cand chain, the per-leaf
+    * struct argmax, and the prediction update where a leaf with no
+    * candidate falls back to the root's own stump value — mirroring
+    * [[graft.ops.Boost.fitTree2]] value for value.
+    */
+  private lazy val gbmTreeCtes: String = {
+    val b1 = GbmBins - 1
+    val rounds = (1 to GbmTreeRounds).map { r =>
+      s"""${levelOneCtes(r, s"pr${r - 1}")},
+         |lf$r AS MATERIALIZED (SELECT p.id, p.y, p.b0, p.b1, p.b2, p.pred,
+         |    CASE WHEN (s.mf = 0 AND p.b0 <= -(s.mb))
+         |      OR (s.mf = -1 AND p.b1 <= -(s.mb))
+         |      OR (s.mf = -2 AND p.b2 <= -(s.mb)) THEN 0 ELSE 1 END AS leaf
+         |  FROM pr${r - 1} p, best$r),
+         |s2$r AS (SELECT leaf, 0 AS f, b0 AS bin,
+         |    CAST(y AS DECIMAL(28,9)) - pred AS g FROM lf$r
+         |  UNION ALL SELECT leaf, 1, b1, CAST(y AS DECIMAL(28,9)) - pred
+         |    FROM lf$r
+         |  UNION ALL SELECT leaf, 2, b2, CAST(y AS DECIMAL(28,9)) - pred
+         |    FROM lf$r),
+         |h2$r AS (SELECT leaf, f, bin, sum(g) AS g, count(*) AS n
+         |  FROM s2$r GROUP BY 1, 2, 3),
+         |pf2$r AS (SELECT leaf, f, bin,
+         |    sum(g) OVER (PARTITION BY leaf, f ORDER BY bin) AS gl,
+         |    sum(n) OVER (PARTITION BY leaf, f ORDER BY bin) AS nl,
+         |    sum(g) OVER (PARTITION BY leaf, f ORDER BY bin
+         |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS gr,
+         |    sum(n) OVER (PARTITION BY leaf, f) AS nt
+         |  FROM h2$r),
+         |cand2$r AS (SELECT leaf, f, bin,
+         |    round(CAST(gl AS DOUBLE) * CAST(gl AS DOUBLE) / nl
+         |      + CAST(gr AS DOUBLE) * CAST(gr AS DOUBLE)
+         |        / (nt - nl), 6) AS gain,
+         |    CAST(round(CAST(gl AS DOUBLE) / (nl * 2), 9)
+         |      AS DECIMAL(28,9)) AS vl,
+         |    CAST(round(CAST(gr AS DOUBLE) / ((nt - nl) * 2), 9)
+         |      AS DECIMAL(28,9)) AS vr
+         |  FROM pf2$r WHERE bin < $b1 AND nl > 0 AND nt - nl > 0),
+         |cbest$r AS MATERIALIZED (SELECT leaf,
+         |    max(struct_pack(gain := gain, mf := -f, mb := -bin,
+         |      vl := vl, vr := vr)) AS s
+         |  FROM cand2$r GROUP BY leaf),
+         |pr$r AS MATERIALIZED (SELECT lf.id, lf.y, lf.b0, lf.b1, lf.b2,
+         |    CAST(lf.pred + CASE
+         |      WHEN cb.s IS NULL THEN
+         |        (CASE WHEN lf.leaf = 0 THEN b.s.vl ELSE b.s.vr END)
+         |      WHEN (cb.s.mf = 0 AND lf.b0 <= -(cb.s.mb))
+         |        OR (cb.s.mf = -1 AND lf.b1 <= -(cb.s.mb))
+         |        OR (cb.s.mf = -2 AND lf.b2 <= -(cb.s.mb)) THEN cb.s.vl
+         |      ELSE cb.s.vr END AS DECIMAL(28,9)) AS pred
+         |  FROM lf$r lf CROSS JOIN best$r b
+         |  LEFT JOIN cbest$r cb ON lf.leaf = cb.leaf)""".stripMargin
+    }.mkString(",\n")
+    s"""$gbmPrologue,
+       |$rounds""".stripMargin
+  }
+
 }

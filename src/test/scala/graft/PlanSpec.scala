@@ -446,6 +446,21 @@ class PlanSpec extends AnyFunSuite {
       s)
   }
 
+  test("gbm depth-2 trees: the per-round split relations broadcast back " +
+      "onto the data — the leaf/child joins are never shuffled row-scale " +
+      "joins") {
+    // one fitted round at tiny rounds: the final plan reads the
+    // checkpointed per-round RDD; the leaf-assignment crossJoin (1-row
+    // root) and the child join (≤2-row, broadcast) must both be
+    // broadcast-shaped, never SortMergeJoin on the row relation
+    val fit = graft.ops.Boost.fitTree2(
+      graft.queries.ModelQueries.base(spark, dir), "o_orderkey", "urgent",
+      Seq("price_c", "order_day", "acctbal_c"), bins = 16, rounds = 1)
+    val s = planString(fit.model)
+    assert(!s.contains("CartesianProduct") && !s.contains("SortMergeJoin"),
+      s)
+  }
+
   test("record linkage: candidates join on the block key — never a " +
       "cartesian — and the one-row weight relations broadcast") {
     val df = graft.queries.DedupQueries.recordLinkage(spark, dir)
