@@ -109,6 +109,80 @@ object Linkage {
       .filter(col("weight") >= threshold)
   }
 
+  /** Blocking-recall audit — the number [[fellegiSunter]] silently
+    * depends on: a true pair whose corrupted blocking field crosses a
+    * block boundary is UNREACHABLE (no candidate is ever generated), and
+    * single-pass blocking cannot see its own misses. The standard
+    * production answer is MULTI-PASS (OR) blocking — independent keys
+    * computed from different fields, candidates unioned — because one
+    * field's corruption rarely breaks every key (Fellegi & Sunter 1969
+    * §5's blocking discussion). This measures both: per blocking key and
+    * for their union, P(true pair shares ≥ 1 block) against the
+    * ground-truth id, plus the candidate volume the key admits.
+    *
+    * Shape at scale: reachability is ONE id equi-join over the two views
+    * (row-scale, shuffled on the id); every candidate volume is
+    * Σ_b |A_b|·|B_b| computed from the per-key block-count aggregates —
+    * the union volume by inclusion–exclusion over the ≤ 2^k − 1 key
+    * subsets (k ≤ 3), never by materializing pairs. Recall is one IEEE
+    * division of exact longs, 9-dp.
+    *
+    * Returns one row per blocking key plus `multi_pass` (the OR of all
+    * keys): (pass, n_true, n_reachable, recall, n_candidates).
+    */
+  def blockingRecall(a: DataFrame, b: DataFrame, idCol: String,
+      blockCols: Seq[String]): DataFrame = {
+    require(blockCols.nonEmpty && blockCols.size <= 3,
+      "blocking recall: 1-3 blocking keys (union volume is 2^k joins)")
+    val aS = a.select(col(idCol).as("__aid") +:
+      blockCols.map(c => col(c).as(s"__a_$c")): _*)
+    val bS = b.select(col(idCol).as("__bid") +:
+      blockCols.map(c => col(c).as(s"__b_$c")): _*)
+    val truth = aS.join(bS, col("__aid") === col("__bid"))
+    val reachAggs = count(lit(1)).as("__nt") +:
+      blockCols.map(c => sum((col(s"__a_$c") <=> col(s"__b_$c"))
+        .cast("long")).as(s"__r_$c")) :+
+      sum(blockCols.map(c => col(s"__a_$c") <=> col(s"__b_$c"))
+        .reduce(_ || _).cast("long")).as("__r_any")
+    val reach = truth.agg(reachAggs.head, reachAggs.tail: _*)
+    // candidate volume of a key subset: block-count aggregates joined on
+    // the subset's keys — bounded relations, never pair-scale
+    val subsets = (1 to blockCols.size)
+      .flatMap(n => blockCols.combinations(n).toSeq)
+    def candVolume(s: Seq[String], name: String): DataFrame = {
+      val ga = aS.groupBy(s.map(c => col(s"__a_$c")): _*)
+        .agg(count(lit(1)).as("__na"))
+      val gb = bS.groupBy(s.map(c => col(s"__b_$c")): _*)
+        .agg(count(lit(1)).as("__nb"))
+      val cond = s.map(c => col(s"__a_$c") <=> col(s"__b_$c"))
+        .reduce(_ && _)
+      ga.join(gb, cond)
+        .agg(coalesce(sum(col("__na") * col("__nb")), lit(0L)).as(name))
+    }
+    val vols = subsets.zipWithIndex.map { case (s, i) =>
+      candVolume(s, s"__c_$i") }
+    val all = vols.foldLeft(reach)((acc, v) => acc.crossJoin(v))
+    def recall9(r: Column): Column =
+      round(r.cast(DoubleType) / col("__nt"), 9)
+    val passRows = blockCols.map { c =>
+      val i = subsets.indexWhere(_ == Seq(c))
+      all.select(lit(c).as("pass"), col("__nt").as("n_true"),
+        col(s"__r_$c").as("n_reachable"),
+        recall9(col(s"__r_$c")).as("recall"),
+        col(s"__c_$i").as("n_candidates"))
+    }
+    // |∪ passes| by inclusion–exclusion: + odd-size subsets, − even
+    val unionVol = subsets.zipWithIndex.map { case (s, i) =>
+      if (s.size % 2 == 1) col(s"__c_$i") else -col(s"__c_$i") }
+      .reduce(_ + _)
+    val multiRow = all.select(lit("multi_pass").as("pass"),
+      col("__nt").as("n_true"), col("__r_any").as("n_reachable"),
+      recall9(col("__r_any")).as("recall"),
+      unionVol.as("n_candidates"))
+    passRows.reduce(_ unionByName _).unionByName(multiRow)
+      .orderBy("pass")
+  }
+
   private val D38 = DecimalType(38, 0)
   private val Nano = 1000000000L
 

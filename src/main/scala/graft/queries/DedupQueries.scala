@@ -288,7 +288,12 @@ object DedupQueries {
   }
 
   /** The two linkage views: the clean customer table and its md5-keyed
-    * corrupted copy, both carrying the (nation, balance band) block.
+    * corrupted copy, both carrying the (nation, balance band) block AND
+    * a second, independently-derived block for multi-pass blocking —
+    * (nation, case-folded name): case folding is exactly the
+    * transformation the name corruption applies, so the second pass
+    * reaches the true pairs whose +1.00 balance shift crossed a band
+    * edge (the measured single-pass recall hole).
     */
   private[graft] def linkViews(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
@@ -305,8 +310,11 @@ object DedupQueries {
         .cast("long")
       concat(nat.cast("string"), lit("|"), band.cast("string"))
     }
+    def block2(name: Column, nat: Column) =
+      concat(nat.cast("string"), lit("|"), lower(name))
     val a = c.select(col("rec_id"), block(col("bal"), col("nat"))
-      .as("block"), col("name"), col("seg"), col("bal"))
+        .as("block"), block2(col("name"), col("nat")).as("block2"),
+      col("name"), col("seg"), col("bal"))
     val b = c.select(col("rec_id"),
         when(hb("|nm", 2) === 0, upper(col("name"))).otherwise(col("name"))
           .as("name"),
@@ -316,8 +324,28 @@ object DedupQueries {
           .otherwise(col("bal")).as("bal"),
         col("nat"))
       .select(col("rec_id"), block(col("bal"), col("nat")).as("block"),
+        block2(col("name"), col("nat")).as("block2"),
         col("name"), col("seg"), col("bal"))
     (a, b)
+  }
+
+  /** Blocking-recall audit of the linkage blocking
+    * ([[graft.ops.Linkage.blockingRecall]]): P(true pair shares ≥ 1
+    * block) per pass and for the multi-pass union, with the candidate
+    * volume each key admits — the measurement the single-pass
+    * [[recordLinkage]] run cannot make about itself (a true pair whose
+    * +1.00 corruption crosses a $1,100 band edge generates no
+    * candidate). The name pass closes exactly that hole; the union's
+    * candidate volume stays ≪ 1% of the |A|·|B| naive pairs.
+    */
+  def linkageRecallQ(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b) = linkViews(spark, dir)
+    Linkage.blockingRecall(
+      a.withColumnRenamed("block", "balance_band")
+        .withColumnRenamed("block2", "name_fold"),
+      b.withColumnRenamed("block", "balance_band")
+        .withColumnRenamed("block2", "name_fold"),
+      "rec_id", Seq("balance_band", "name_fold"))
   }
 
   private val LinkEmIters = 10
@@ -339,6 +367,7 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_record_linkage" -> recordLinkage,
     "dedup_linkage_em" -> linkageEmQ,
+    "dedup_linkage_recall" -> linkageRecallQ,
     "dedup_lsh_plan" -> lshPlanQ,
     "dedup_span_removal" -> spanLevel,
     "dedup_suffix_spans" -> suffixSpans,
@@ -601,6 +630,61 @@ object DedupQueries {
     // the FS-EM sufficient statistic is the agreement-pattern count
     // table; the whole EM runs on it in exact integers
     "dedup_linkage_em" -> linkageEmSql,
+    // blocking recall: reachability from the id-joined truth, candidate
+    // volumes from block-count aggregates, union by inclusion-exclusion
+    "dedup_linkage_recall" -> {
+      def hbSql(suffix: String, n: Int) =
+        s"('0x' || substr(md5(id::VARCHAR || '$suffix'), 1, 12))::BIGINT" +
+          s" % $n = 0"
+      val band = s"((((bal * 100)::BIGINT) - ((((bal * 100)::BIGINT)" +
+        s" % $LinkBalBand + $LinkBalBand) % $LinkBalBand)) // $LinkBalBand)"
+      s"""WITH c AS (SELECT c_custkey AS id, c_name AS name,
+         |    c_mktsegment AS seg, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+         |    c_nationkey AS nat FROM customer),
+         |b0 AS (SELECT id,
+         |    CASE WHEN ${hbSql("|nm", 2)} THEN upper(name)
+         |         ELSE name END AS name,
+         |    CASE WHEN ${hbSql("|ab", 3)}
+         |         THEN CAST(bal + 1 AS DECIMAL(18,2)) ELSE bal END AS bal,
+         |    nat FROM c),
+         |av AS MATERIALIZED (SELECT id,
+         |    nat::VARCHAR || '|' || $band::VARCHAR AS k1,
+         |    nat::VARCHAR || '|' || lower(name) AS k2 FROM c),
+         |bv AS MATERIALIZED (SELECT id,
+         |    nat::VARCHAR || '|' || $band::VARCHAR AS k1,
+         |    nat::VARCHAR || '|' || lower(name) AS k2 FROM b0),
+         |truth AS (SELECT av.k1 IS NOT DISTINCT FROM bv.k1 AS g1,
+         |    av.k2 IS NOT DISTINCT FROM bv.k2 AS g2
+         |  FROM av JOIN bv ON av.id = bv.id),
+         |t AS (SELECT count(*) AS nt,
+         |    CAST(sum(g1::INT) AS BIGINT) AS r1,
+         |    CAST(sum(g2::INT) AS BIGINT) AS r2,
+         |    CAST(sum((g1 OR g2)::INT) AS BIGINT) AS ra FROM truth),
+         |c1 AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS v
+         |  FROM (SELECT k1, count(*) AS na FROM av GROUP BY 1) x
+         |  JOIN (SELECT k1, count(*) AS nb FROM bv GROUP BY 1) y
+         |    USING (k1)),
+         |c2 AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS v
+         |  FROM (SELECT k2, count(*) AS na FROM av GROUP BY 1) x
+         |  JOIN (SELECT k2, count(*) AS nb FROM bv GROUP BY 1) y
+         |    USING (k2)),
+         |c12 AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS v
+         |  FROM (SELECT k1, k2, count(*) AS na FROM av GROUP BY 1, 2) x
+         |  JOIN (SELECT k1, k2, count(*) AS nb FROM bv GROUP BY 1, 2) y
+         |    USING (k1, k2))
+         |SELECT * FROM (
+         |  SELECT 'balance_band' AS pass, nt AS n_true, r1 AS n_reachable,
+         |    round(r1::DOUBLE / nt, 9) AS recall, c1.v AS n_candidates
+         |  FROM t, c1
+         |  UNION ALL
+         |  SELECT 'name_fold', nt, r2, round(r2::DOUBLE / nt, 9), c2.v
+         |  FROM t, c2
+         |  UNION ALL
+         |  SELECT 'multi_pass', nt, ra, round(ra::DOUBLE / nt, 9),
+         |    c1.v + c2.v - c12.v
+         |  FROM t, c1, c2, c12
+         |) ORDER BY pass""".stripMargin
+    },
     // full FS replay: md5-keyed corruption, (nation, balance-band)
     // blocking, m from the id-joined true pairs, u from in-block
     // non-matches, Laplace-smoothed 9-dp log2 weights, exact decimal

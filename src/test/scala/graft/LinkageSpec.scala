@@ -139,6 +139,25 @@ class LinkageSpec extends AnyFunSuite {
     assert(got == Set((1L, 1L), (2L, 2L)))
   }
 
+  test("blockingRecall: per-pass reach, OR-union recall and " +
+      "inclusion-exclusion candidate volumes match the hand count") {
+    // 4 true pairs; k1 broken for ids 3,4 (band crossed), k2 broken for
+    // id 4 only → single-pass recalls 2/4 and 3/4, union 3/4
+    val a = Seq((1L, "x", "p"), (2L, "x", "q"), (3L, "y", "r"),
+      (4L, "z", "s")).toDF("rec_id", "k1", "k2")
+    val b = Seq((1L, "x", "p"), (2L, "x", "q"), (3L, "Y", "r"),
+      (4L, "Z", "S")).toDF("rec_id", "k1", "k2")
+    val got = Linkage.blockingRecall(a, b, "rec_id", Seq("k1", "k2"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    // volumes: k1 'x' has 2×2=4 candidates; k2 matches p,q,r → 3;
+    // both-keys join: (x,p),(x,q) → 2; union = 4+3-2 = 5 (of 16 naive)
+    assert(got == Seq(
+      ("k1", 4L, 2L, 0.5, 4L),
+      ("k2", 4L, 3L, 0.75, 3L),
+      ("multi_pass", 4L, 3L, 0.75, 5L)))
+  }
+
   test("fellegiSunter: an empty labeled seed fails loudly instead of " +
       "silently fitting the Laplace-0.5 m model") {
     // disjoint id sets: the id-join true-pair sample is EMPTY, so
