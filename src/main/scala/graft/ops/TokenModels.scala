@@ -308,6 +308,107 @@ object TokenModels {
         col("__best.__a").cast("long").as("score_nano"))
   }
 
+  /** Learning curve for [[sgdLinear]] — the GD-classifier arm of the
+    * [[naiveBayesLearningCurve]] question (held-out accuracy vs nested
+    * training-set size): NESTED training subsets from the md5 stratum of
+    * the doc id, test = the LAST stratum, level L trains on strata
+    * 0..L−1. Unlike NB there is no count-cube shortcut (GD weights are
+    * not sums over strata), so the LEVEL RIDES AS A KEY DIMENSION — the
+    * [[sgdOneVsRest]] discipline: weights live on a (level, bucket)
+    * grid; margins, residuals and gradients carry the level key through
+    * the same aggregations, so all levels train SIMULTANEOUSLY in the
+    * same fixed iteration count at Σ_L |strata<L|/|strata| ≈ 2× the row
+    * volume of one binary fit — never a per-level driver loop, never a
+    * per-level corpus pass. Each level's arithmetic is EXACTLY
+    * [[sgdLinear]]'s on its subset (nano-integer weights, per-doc
+    * rational residual, sign-explicit truncating divisions) — the
+    * spec's equivalence property ties every level to the
+    * oracle-verified binary trainer bit-for-bit.
+    *
+    * Test docs score once against every level's broadcast final weights
+    * (levels × (buckets+1) rows, few KB). Accuracy is ONE IEEE division
+    * of two exact integers. Returns one row per level:
+    * (level, n_train, n_test, n_correct, accuracy).
+    */
+  def sgdLearningCurve(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 16, iters: Int = 12,
+      etaShift: Int = 8, biasCount: Int = 32, strata: Int = 8,
+      levels: Seq[Int] = Seq(1, 2, 4, 7)): DataFrame = {
+    require(levels.nonEmpty && levels.forall(l => l >= 1 && l < strata),
+      "levels must train on strata strictly below the held-out stratum")
+    val spark = docs.sparkSession
+    val labeled = docs.select(col(idCol).as("id"),
+        targetPred.cast("boolean").as("__t"), col(textCol).as("__text"))
+      .withColumn("stratum", Prep.hashBucket(col("id"), strata))
+    val occ = bucketCounts(labeled, "id", "__text", buckets)
+      .unionByName(labeled.select(col("id"), lit(buckets).as("bucket"),
+        lit(biasCount.toLong).as("c")))
+      .join(labeled.select(col("id"), col("__t"), col("stratum")),
+        Seq("id"))
+      .select(col("id"), col("__t"), col("stratum"), col("bucket"),
+        col("c"))
+      .repartition(col("id"))
+      .localCheckpoint()
+    import spark.implicits._
+    val levelMap = levels.flatMap(l => (0 until l).map(s => (l, s)))
+      .toDF("level", "stratum")
+    // id-partitioned like occ (hash(id) co-locates the (level, id)
+    // margin groupBy and the gradient join — HashPartitioning on a
+    // subset of the clustering keys satisfies both)
+    val occT = occ.join(broadcast(levelMap), Seq("stratum"))
+      .select(col("level"), col("id"), col("__t"), col("bucket"),
+        col("c"))
+      .repartition(col("id"))
+      .localCheckpoint()
+    val nRel = occT.groupBy("level")
+      .agg(count_distinct(col("id")).cast(Dec38).as("__n"))
+      .localCheckpoint()
+    var w = spark.range(buckets + 1)
+      .select(col("id").cast("int").as("bucket"))
+      .crossJoin(levels.toDF("level"))
+      .select(col("level"), col("bucket"), lit(0L).cast(Dec38)
+        .as("w_nano"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val m = occT.join(broadcast(w), Seq("level", "bucket"))
+        .groupBy("level", "id", "__t")
+        .agg(sum((col("c").cast(Dec38) * col("w_nano")).cast(Dec38))
+          .cast(Dec38).as("__a"))
+        .select(col("level"), col("id"),
+          tdiv(when(col("__t"), col("__a") - (NanoDec + abs(col("__a"))))
+              .otherwise(col("__a") + (NanoDec + abs(col("__a"))))
+              * NanoDec,
+            (NanoDec + abs(col("__a"))) * lit(2).cast(Dec38)).as("__rq"))
+      val grads = occT.join(m, Seq("level", "id"))
+        .groupBy("level", "bucket")
+        .agg(sum((col("__rq") * col("c")).cast(Dec38)).cast(Dec38)
+          .as("__gs"))
+      w = w.join(grads, Seq("level", "bucket"), "left")
+        .join(broadcast(nRel), Seq("level"))
+        .select(col("level"), col("bucket"),
+          (col("w_nano") - tdiv(coalesce(col("__gs"),
+            lit(0L).cast(Dec38)),
+            col("__n") * lit(1L << etaShift).cast(Dec38))).cast(Dec38)
+            .as("w_nano"))
+        .localCheckpoint()
+    }
+    val scored = occ.filter(col("stratum") === strata - 1)
+      .join(broadcast(w), Seq("bucket"))
+      .groupBy("id", "__t", "level")
+      .agg(sum((col("c").cast(Dec38) * col("w_nano")).cast(Dec38))
+        .cast(Dec38).as("__a"))
+    scored.groupBy("level")
+      .agg(count(lit(1)).as("n_test"),
+        sum(((col("__a") >= 0) === col("__t")).cast("long"))
+          .as("n_correct"))
+      .join(broadcast(nRel.select(col("level"),
+        col("__n").cast("long").as("n_train"))), Seq("level"))
+      .select(col("level"), col("n_train"), col("n_test"),
+        col("n_correct"),
+        (col("n_correct").cast("double") / col("n_test").cast("double"))
+          .as("accuracy"))
+  }
+
   /** Per-doc linear attribution under the trained [[sgdLinear]] model —
     * the explainability read ("WHY was this doc kept/dropped?") that
     * linear quality classifiers are chosen for: each bucket's

@@ -444,6 +444,96 @@ object TextQueries {
        |$iters""".stripMargin
   }
 
+  /** Learning curve for the GD classifier
+    * ([[graft.ops.TokenModels.sgdLearningCurve]]): held-out accuracy at
+    * nested training sizes (strata 0..L−1 of [[LcStrata]], test = the
+    * last stratum) — the [[nbLearningCurve]] question asked of the
+    * trained-by-optimization family, where the level must ride the GD
+    * loop as a key dimension instead of summing a count cube.
+    */
+  def sgdLearningCurveQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TokenModels.sgdLearningCurve(Tables.documents(spark, dir),
+        "doc_id", "text", col("n_chars") >= SgdThresh,
+        SgdBuckets, SgdIters, SgdEtaShift, SgdBias, LcStrata, LcLevels)
+      .orderBy("level")
+
+  /** The level-keyed GD loop unrolled: [[sgdCtesSql]]'s exact HUGEINT
+    * iteration with (level, …) keys everywhere — weights on the
+    * (level, bucket) grid, margins/residuals per (level, doc), per-level
+    * doc counts as the update divisor — then the held-out stratum scored
+    * under every level's final weights.
+    */
+  private lazy val sgdLcOracleSql: String = {
+    val B = SgdBuckets
+    def tdiv(num: String, den: String) =
+      s"(CASE WHEN ($num) < 0 THEN -((-($num)) // ($den)) " +
+        s"ELSE ($num) // ($den) END)"
+    val lmValues = LcLevels
+      .flatMap(l => (0 until l).map(s => s"($l, $s)")).mkString(", ")
+    val iters = (1 to SgdIters).map { r =>
+      val rnum = "(CASE WHEN mm.y = 1 THEN mm.a - mm.bb " +
+        "ELSE mm.a + mm.bb END) * CAST(1000000000 AS HUGEINT)"
+      s"""m$r AS MATERIALIZED (SELECT occt.level, occt.doc_id, occt.y,
+         |    sum(CAST(occt.c AS HUGEINT) * w.w) AS a
+         |  FROM occt JOIN w${r - 1} w
+         |    ON w.level = occt.level AND w.bucket = occt.bucket
+         |  GROUP BY 1, 2, 3),
+         |r$r AS MATERIALIZED (SELECT level, doc_id,
+         |    ${tdiv(rnum, "2 * mm.bb")} AS rq
+         |  FROM (SELECT level, doc_id, y, a,
+         |      CAST(1000000000 AS HUGEINT) + abs(a) AS bb FROM m$r) mm),
+         |g$r AS MATERIALIZED (SELECT occt.level, occt.bucket,
+         |    sum(rr.rq * occt.c) AS gs
+         |  FROM occt JOIN r$r rr
+         |    ON rr.level = occt.level AND rr.doc_id = occt.doc_id
+         |  GROUP BY 1, 2),
+         |w$r AS MATERIALIZED (SELECT w.level, w.bucket,
+         |    w.w - ${tdiv("coalesce(g.gs, CAST(0 AS HUGEINT))",
+               s"n.nn * ${1 << SgdEtaShift}")} AS w
+         |  FROM w${r - 1} w LEFT JOIN g$r g
+         |    ON g.level = w.level AND g.bucket = w.bucket
+         |  JOIN n ON n.level = w.level)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT doc_id, n_chars >= $SgdThresh AS t,
+       |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+       |      % $LcStrata AS stratum,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |occ AS MATERIALIZED (
+       |  SELECT doc_id, bucket, count(*) AS c FROM (
+       |    SELECT doc_id,
+       |      ('0x' || substr(md5(tok), 1, 12))::BIGINT % $B AS bucket
+       |    FROM (SELECT doc_id, unnest(toks) AS tok FROM d))
+       |  GROUP BY 1, 2
+       |  UNION ALL SELECT doc_id, $B, $SgdBias FROM d),
+       |lab AS (SELECT doc_id, CASE WHEN t THEN 1 ELSE 0 END AS y,
+       |    stratum FROM d),
+       |lm AS (SELECT * FROM (VALUES $lmValues) AS t(level, stratum)),
+       |occt AS MATERIALIZED (SELECT lm.level, occ.doc_id, lab.y,
+       |    occ.bucket, occ.c
+       |  FROM occ JOIN lab USING (doc_id) JOIN lm USING (stratum)),
+       |n AS (SELECT level, CAST(count(DISTINCT doc_id) AS HUGEINT) AS nn
+       |  FROM occt GROUP BY 1),
+       |w0 AS (SELECT l.level, b.bucket, CAST(0 AS HUGEINT) AS w
+       |  FROM (SELECT DISTINCT level FROM lm) l,
+       |    (SELECT unnest(generate_series(0, $B)) AS bucket) b),
+       |$iters,
+       |sc AS (SELECT w.level, occ.doc_id, any_value(lab.y) AS y,
+       |    sum(CAST(occ.c AS HUGEINT) * w.w) AS a
+       |  FROM occ JOIN lab USING (doc_id)
+       |  JOIN w$SgdIters w ON w.bucket = occ.bucket
+       |  WHERE lab.stratum = ${LcStrata - 1}
+       |  GROUP BY 1, 2)
+       |SELECT sc.level AS level, CAST(any_value(n.nn) AS BIGINT) AS n_train,
+       |  count(*) AS n_test,
+       |  CAST(sum(CASE WHEN (sc.a >= 0) = (sc.y = 1) THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_correct,
+       |  CAST(sum(CASE WHEN (sc.a >= 0) = (sc.y = 1) THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
+       |FROM sc JOIN n ON n.level = sc.level
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Per-doc top-feature attribution under the trained linear model
     * ([[graft.ops.TokenModels.sgdAttribution]]) — the "why was this doc
     * kept/dropped" explainability read; exact integer contributions.
@@ -633,6 +723,7 @@ object TextQueries {
     "text_nb_learning_curve" -> nbLearningCurve,
     "text_sgd_classifier" -> sgdClassifier,
     "text_sgd_attribution" -> sgdAttributionQ,
+    "text_sgd_learning_curve" -> sgdLearningCurveQ,
     "text_dup_ngram_coverage" -> dupCoverage,
     "text_bigram_lm" -> bigramLm,
     "text_kn_bigram" -> knBigram,
@@ -1114,6 +1205,9 @@ object TextQueries {
     // (nano-unit weights, sign-explicit truncating divisions), so the
     // replay is bit-identical — no rounding surface anywhere
     "text_sgd_classifier" -> sgdOracleSql,
+    // the same exact-HUGEINT GD replay with the level key riding every
+    // iteration CTE; held-out accuracy per nested training level
+    "text_sgd_learning_curve" -> sgdLcOracleSql,
     // same unrolled training replay + one attribution join; every value
     // is an exact integer, argmax by (|contribution|, -bucket) struct
     "text_sgd_attribution" -> sgdAttributionOracleSql,

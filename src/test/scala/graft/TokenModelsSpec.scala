@@ -534,4 +534,52 @@ class TokenModelsSpec extends AnyFunSuite {
       (2, 6L, 3L, 3L, 1.0),
       (3, 9L, 3L, 3L, 1.0)))
   }
+
+  test("sgdLearningCurve: every level bit-identical to an independent " +
+      "binary fit on its nested stratum subset; n_train nests") {
+    // the NB learning-curve fixture's md5 strata (n=4): ids 2,3,6 -> 0;
+    // 1,9,12 -> 1; 5,7,11 -> 2; 4,25,26 -> 3 (held out)
+    val docs = Seq(
+      (2L, "good good", "A"), (3L, "good", "A"), (6L, "good", "A"),
+      (1L, "bad bad", "B"), (9L, "bad", "B"), (12L, "bad", "B"),
+      (5L, "good", "A"), (7L, "bad", "B"), (11L, "bad", "B"),
+      (4L, "good", "A"), (25L, "good good", "A"), (26L, "bad", "B")
+    ).toDF("doc_id", "text", "lang")
+    val pred = col("lang") === "B"
+    val (buckets, iters, etaShift, bias) = (8, 6, 2, 1)
+    val out = TokenModels.sgdLearningCurve(docs, "doc_id", "text", pred,
+        buckets, iters, etaShift, bias, strata = 4, levels = Seq(1, 2, 3))
+      .orderBy("level").collect()
+      .map(r => (r.getAs[Int]("level"), r.getAs[Long]("n_train"),
+        r.getAs[Long]("n_test"), r.getAs[Long]("n_correct"),
+        r.getAs[Double]("accuracy"))).toSeq
+    assert(out.map(_._2) == Seq(3L, 6L, 9L), "nested training sizes")
+    assert(out.forall(_._3 == 3L))
+    // level 1 trains on pure-A strata: the all-negative fit predicts
+    // not-B everywhere => the 2 A test docs are right; levels seeing
+    // both vocabularies separate perfectly
+    assert(out.map(_._4) == Seq(2L, 3L, 3L), out.toString)
+    // bit-equivalence: each level == an INDEPENDENT binary GD run on
+    // strata < level, its final weights scoring the held-out stratum
+    val strataOf = Map(2L -> 0, 3L -> 0, 6L -> 0, 1L -> 1, 9L -> 1,
+      12L -> 1, 5L -> 2, 7L -> 2, 11L -> 2, 4L -> 3, 25L -> 3, 26L -> 3)
+    val testDocs = docs.filter(col("doc_id").isin(
+      strataOf.filter(_._2 == 3).keys.toSeq: _*))
+    val occTest = TokenModels.sgdCounts(testDocs, "doc_id", "text", pred,
+      buckets, bias)
+    for ((level, _, _, nCorrect, _) <- out) {
+      val trainIds = strataOf.filter(_._2 < level).keys.toSeq
+      val occL = TokenModels.sgdCounts(
+        docs.filter(col("doc_id").isin(trainIds: _*)), "doc_id", "text",
+        pred, buckets, bias)
+      var w = TokenModels.sgdInitWeights(spark, buckets)
+      for (_ <- 1 to iters)
+        w = TokenModels.sgdRound(occL, w, etaShift).localCheckpoint()
+      val m = TokenModels.sgdMargins(occTest, w).collect()
+        .map(r => (r.getAs[Boolean]("__t"),
+          r.getAs[java.math.BigDecimal]("__a").longValueExact()))
+      assert(m.count { case (t, a) => (a >= 0) == t } == nCorrect,
+        s"level $level replay mismatch")
+    }
+  }
 }
