@@ -836,6 +836,116 @@ object EventOps {
           abs(col("actual") - col("forecast"))))
   }
 
+  /** Exact floor division for BIGINT expressions (any-sign numerator,
+    * positive divisor), HOF-lambda-safe: `(x − pmod(x, d)) div d` — the
+    * numerator is exactly divisible so the truncating `div` IS the floor
+    * quotient, and everything stays integral (no 2⁵³ double ceiling).
+    */
+  private def fdivL(x: Column, d: Column): Column =
+    call_function("div", x - pmod(x, d), d)
+
+  /** Additive Holt–Winters (triple exponential smoothing; Winters 1960,
+    * "Forecasting Sales by Exponentially Weighted Moving Averages") over
+    * the daily event-count series — the trend+seasonality upgrade of the
+    * [[seasonalNaive]] baseline. The coupled level/trend/seasonal
+    * recursion has NO prefix-sum identity (the reason this stayed
+    * unbuilt through round 12), so the contract is an EXPLICIT BOUNDED
+    * UNROLL over the day grid: the stream collapses to per-day counts in
+    * ONE shuffle, the last `gridDays` days (zero-filled) pack into a
+    * single ≤ `gridDays`-element array, and the recursion runs inside
+    * one `aggregate` HOF evaluation on that one row — the bounded-grid
+    * discipline of the binseg/PPR family, with the sequential dependence
+    * honest instead of faked. gridDays is capped at 1000: this is a
+    * CONTROL-PLANE computation (the model state is a handful of
+    * integers), never row-scale work.
+    *
+    * NANO-INTEGER EXACTNESS: level/trend/seasonal live as integers in
+    * units of 1e-9; smoothing weights are SMALL RATIONALS num/den (not
+    * nano ints — a nano-α times a nano-state overflows BIGINT), and each
+    * update is one integer linear combination followed by ONE floor
+    * division by the small denominator:
+    *   ℓ_t = ⌊(αn·(y_t·10⁹ − s_{t−m}) + (αd−αn)·(ℓ+b)) / αd⌋
+    *   b_t = ⌊(βn·(ℓ_t − ℓ) + (βd−βn)·b) / βd⌋
+    *   s_t = ⌊(γn·(y_t·10⁹ − ℓ_t) + (γd−γn)·s_{t−m}) / γd⌋
+    * so the whole fit is bit-identical on any engine/partitioning (the
+    * DuckDB twin is a recursive CTE with the same pmod-floor spelling).
+    * Bound: |state| ≤ ~maxDailyCount·10⁹, so daily counts must stay
+    * below ~9·10¹⁸/(10⁹·den) ≈ 9·10⁸/den — comfortably above any real
+    * per-day event count; DECIMAL(38,0) is the upgrade path beyond.
+    *
+    * Init (classic): ℓ₀ = ⌊Σ_{first season} y·10⁹ / m⌋, b₀ = 0,
+    * s_i = y_i·10⁹ − ℓ₀. Returns one row per day AFTER the first season:
+    * (day, actual, forecast_nano = ℓ+b+s_{t−m} BEFORE seeing y_t,
+    * level_nano, trend_nano, season_nano) — all exact BIGINTs.
+    */
+  def holtWinters(df: DataFrame, tsCol: String, season: Int = 7,
+      gridDays: Int = 70, alphaNum: Int = 3, alphaDen: Int = 10,
+      betaNum: Int = 1, betaDen: Int = 10, gammaNum: Int = 2,
+      gammaDen: Int = 10): DataFrame = {
+    require(season >= 1 && gridDays > season && gridDays <= 1000,
+      "holtWinters: need season >= 1 and season < gridDays <= 1000")
+    require(alphaDen > 0 && betaDen > 0 && gammaDen > 0 &&
+      alphaNum >= 0 && alphaNum <= alphaDen && betaNum >= 0 &&
+      betaNum <= betaDen && gammaNum >= 0 && gammaNum <= gammaDen,
+      "holtWinters: smoothing rationals must lie in [0, 1]")
+    val N = lit(1000000000L)
+    val day = floor(unix_micros(col(tsCol)) / lit(86400000000L))
+      .cast("long")
+    val daily = df.groupBy(day.as("__day")).agg(count(lit(1)).as("__y"))
+    val grid = daily.agg(max("__day").as("__maxd"))
+      .select(explode(sequence(col("__maxd") - (gridDays - 1),
+        col("__maxd"))).as("__day"))
+      .join(daily, Seq("__day"), "left")
+      .select(col("__day"), coalesce(col("__y"), lit(0L)).as("__y"))
+    // ONE row: the ordered (day, count) array + the exact init state
+    val packed = grid
+      .agg(array_sort(collect_list(struct(col("__day"), col("__y"))))
+        .as("__g"))
+      .select(col("__g"),
+        fdivL(aggregate(slice(col("__g"), 1, season), lit(0L),
+          (acc, e) => acc + e.getField("__y") * N), lit(season.toLong))
+          .as("__l0"))
+      .select(col("__g"), col("__l0"),
+        transform(slice(col("__g"), 1, season),
+          e => e.getField("__y") * N - col("__l0")).as("__s0"))
+    val outType = "array<struct<day:bigint,actual:bigint," +
+      "forecast_nano:bigint,level_nano:bigint,trend_nano:bigint," +
+      "season_nano:bigint>>"
+    def step(st: Column, e: Column): Column = {
+      val yN = e.getField("__y") * N
+      val l = st.getField("l"); val b = st.getField("b")
+      val sHead = element_at(st.getField("s"), 1)
+      val fc = l + b + sHead
+      val l1 = fdivL(lit(alphaNum.toLong) * (yN - sHead) +
+        lit((alphaDen - alphaNum).toLong) * (l + b),
+        lit(alphaDen.toLong))
+      val b1 = fdivL(lit(betaNum.toLong) * (l1 - l) +
+        lit((betaDen - betaNum).toLong) * b, lit(betaDen.toLong))
+      val s1 = fdivL(lit(gammaNum.toLong) * (yN - l1) +
+        lit((gammaDen - gammaNum).toLong) * sHead,
+        lit(gammaDen.toLong))
+      struct(l1.as("l"), b1.as("b"),
+        concat(slice(st.getField("s"), 2, season - 1), array(s1))
+          .as("s"),
+        concat(st.getField("out"), array(struct(
+          e.getField("__day").as("day"), e.getField("__y").as("actual"),
+          fc.as("forecast_nano"), l1.as("level_nano"),
+          b1.as("trend_nano"), s1.as("season_nano")))).as("out"))
+    }
+    val init = struct(col("__l0").as("l"), lit(0L).as("b"),
+      col("__s0").as("s"), array().cast(outType).as("out"))
+    packed
+      .select(explode(aggregate(
+        slice(col("__g"), season + 1, gridDays - season), init, step)
+        .getField("out")).as("__o"))
+      .select(col("__o.day").as("day"), col("__o.actual").as("actual"),
+        col("__o.forecast_nano").as("forecast_nano"),
+        col("__o.level_nano").as("level_nano"),
+        col("__o.trend_nano").as("trend_nano"),
+        col("__o.season_nano").as("season_nano"))
+      .orderBy("day")
+  }
+
   /** Per-key behavioral entropy: Shannon entropy (nats) of the key's
     * event-type distribution — the "how varied is this user" feature
     * (bots and single-purpose scripts sit near 0; explorers near

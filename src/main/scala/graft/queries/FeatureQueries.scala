@@ -522,6 +522,15 @@ object FeatureQueries {
     EventOps.seasonalNaive(Tables.events(spark, dir), "ts")
       .orderBy("day")
 
+  /** Additive Holt–Winters over the last 70 days of daily event counts
+    * ([[graft.ops.EventOps.holtWinters]], weekly season, α=0.3 β=0.1
+    * γ=0.2 as exact rationals) — the trend+seasonality forecaster the
+    * [[seasonalNaive]] baseline exists to be beaten by; nano-integer
+    * state, bit-identical to the oracle's recursive-CTE replay.
+    */
+  def holtWintersQ(spark: SparkSession, dir: String): DataFrame =
+    EventOps.holtWinters(Tables.events(spark, dir), "ts")
+
   /** Per-node in/out degree profile of the purchase graph
     * ([[graft.ops.Graph.degreeStats]]) — the 1-hop structural feature set
     * and the skew input to the graph operators' join planning.
@@ -688,6 +697,7 @@ object FeatureQueries {
     "feat_kcore" -> kcore,
     "feat_random_walks" -> randomWalks,
     "feat_seasonal_naive" -> seasonalNaive,
+    "feat_holt_winters" -> holtWintersQ,
     "feat_degree_stats" -> degreeStats,
     "feat_markov_transitions" -> markovTransitions,
     "feat_forward_fill" -> forwardFill,
@@ -1975,6 +1985,52 @@ object FeatureQueries {
         |    THEN abs(a.actual - f.actual) END AS abs_err
         |FROM d a LEFT JOIN d f ON a.day = f.day + 7
         |ORDER BY a.day""".stripMargin,
+    // the nano-integer Holt-Winters recursion as a recursive CTE over
+    // the zero-filled 70-day grid: the seasonal state rides as a LIST
+    // rotated one slot per day; every update is an integer linear
+    // combination + ONE pmod-floor division by the small rational
+    // denominator, so the replay is bit-identical (no rounding surface)
+    "feat_holt_winters" -> {
+      val (m, gd) = (7, 70)
+      def fdiv(x: String, d: Int) =
+        s"(($x) - ((($x) % $d + $d) % $d)) // $d"
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS y
+         |  FROM events GROUP BY 1),
+         |mx AS (SELECT max(day) AS maxd FROM daily),
+         |grid AS MATERIALIZED (SELECT gs.day AS day,
+         |    coalesce(daily.y, 0) AS y,
+         |    row_number() OVER (ORDER BY gs.day) AS i
+         |  FROM (SELECT unnest(generate_series(maxd - ${gd - 1}, maxd))
+         |      AS day FROM mx) gs
+         |  LEFT JOIN daily ON daily.day = gs.day),
+         |l0 AS (SELECT CAST(${fdiv("sum(y) * 1000000000", m)} AS BIGINT)
+         |    AS l FROM grid WHERE i <= $m),
+         |sini AS (SELECT list(CAST(y * 1000000000 - l0.l AS BIGINT)
+         |    ORDER BY i) AS s
+         |  FROM grid, l0 WHERE i <= $m),
+         |hw AS (
+         |  SELECT $m AS t, l0.l AS l, CAST(0 AS BIGINT) AS b, sini.s AS s,
+         |    CAST(NULL AS BIGINT) AS day, CAST(NULL AS BIGINT) AS actual,
+         |    CAST(NULL AS BIGINT) AS fc, CAST(NULL AS BIGINT) AS snew
+         |  FROM l0, sini
+         |  UNION ALL
+         |  SELECT t, l1,
+         |    CAST(${fdiv("1 * (l1 - l) + 9 * b", 10)} AS BIGINT),
+         |    s[2:] || [CAST(${fdiv("2 * (yn - l1) + 8 * sh", 10)}
+         |      AS BIGINT)],
+         |    day, y, l + b + sh,
+         |    CAST(${fdiv("2 * (yn - l1) + 8 * sh", 10)} AS BIGINT)
+         |  FROM (
+         |    SELECT q.*, CAST(${fdiv("3 * (yn - sh) + 7 * (l + b)", 10)}
+         |        AS BIGINT) AS l1
+         |    FROM (SELECT g.i AS t, g.day, g.y, g.y * 1000000000 AS yn,
+         |        hw.l, hw.b, hw.s, hw.s[1] AS sh
+         |      FROM hw JOIN grid g ON g.i = hw.t + 1) q) q2)
+         |SELECT day, actual, fc AS forecast_nano, l AS level_nano,
+         |  b AS trend_nano, snew AS season_nano
+         |FROM hw WHERE day IS NOT NULL ORDER BY day""".stripMargin
+    },
     "feat_markov_transitions" ->
       """WITH p AS (SELECT event_type AS next_state,
         |  lag(event_type) OVER (PARTITION BY user_id

@@ -607,6 +607,47 @@ class EventOpsSpec extends AnyFunSuite {
     assert(m(14L) == ((1L, Some(5L), Some(4L))))
   }
 
+  test("holtWinters: bit-identical to the plain-Scala nano-integer " +
+      "replay; zero-filled grid days and floor-division signs covered") {
+    def ts(d: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(d * 86400L + 60L))
+    val (season, gridDays) = (3, 10)
+    // counts per day over the 10-day grid (day 5 has none: zero-filled;
+    // a falling tail forces negative trend/seasonal intermediates)
+    val counts = Map(0L -> 4, 1L -> 9, 2L -> 2, 3L -> 7, 4L -> 1,
+      6L -> 3, 7L -> 8, 8L -> 1, 9L -> 2)
+    val ev = counts.toSeq.flatMap { case (d, n) => Seq.fill(n)(d) }
+      .map(d => Tuple1(ts(d))).toDF("ts")
+    val got = graft.ops.EventOps.holtWinters(ev, "ts", season, gridDays,
+        alphaNum = 3, alphaDen = 10, betaNum = 1, betaDen = 10,
+        gammaNum = 2, gammaDen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // reference: the same recursion in BigInt with true floor division
+    val N = BigInt(1000000000L)
+    def fd(x: BigInt, d: Int): BigInt = {
+      val q = x /% d match { case (q0, r0) => if (r0 < 0) q0 - 1 else q0 }
+      q
+    }
+    val y = (0L until gridDays).map(d => BigInt(counts.getOrElse(d, 0)))
+    var l = fd(y.take(season).map(_ * N).sum, season)
+    var b = BigInt(0)
+    var s = y.take(season).map(_ * N - l).toVector
+    val expect = (season until gridDays.toInt).map { t =>
+      val yN = y(t) * N
+      val sh = s.head
+      val fc = l + b + sh
+      val l1 = fd(3 * (yN - sh) + 7 * (l + b), 10)
+      val b1 = fd(1 * (l1 - l) + 9 * b, 10)
+      val s1 = fd(2 * (yN - l1) + 8 * sh, 10)
+      l = l1; b = b1; s = s.tail :+ s1
+      (t.toLong, y(t).toLong, fc.toLong, l1.toLong, b1.toLong, s1.toLong)
+    }
+    assert(got == expect, s"\n$got\nvs\n$expect")
+    // the zero-filled day is present with actual = 0
+    assert(got.exists(r => r._1 == 5L && r._2 == 0L))
+  }
+
   test("fanoBurstiness: metronome reads 0, bursty reads > 1, " +
       "hand-computed values exact") {
     val spark2 = spark
