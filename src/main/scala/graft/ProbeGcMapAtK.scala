@@ -32,12 +32,26 @@ object ProbeGcMapAtK {
     // run interpreted-or-churning; capping the limit makes Spark fall
     // back to non-fused execution for those stages instead
     val hml = args.lift(2).map(_.toInt).getOrElse(65535)
-    val spark = SparkSession.builder().master("local[32]")
+    val builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.codegen.hugeMethodLimit", hml)
-      .config("spark.ui.enabled", "false").getOrCreate()
-    println(s"[gc-mapk] hugeMethodLimit=$hml")
+      .config("spark.ui.enabled", "false")
+    // round-13 churn experiment: the deopt storm concentrates in the
+    // two-level hash-agg's fast-map/fallback dual path (PrintCompilation:
+    // 78 deopts of one processNext) — these knobs isolate it
+    sys.env.get("SPARK_GRAFT_AGG_TWOLEVEL").foreach(v =>
+      builder.config("spark.sql.codegen.aggregate.map.twolevel.enabled", v))
+    sys.env.get("SPARK_GRAFT_AGG_CAPBIT").foreach(v =>
+      builder.config("spark.sql.codegen.aggregate.fastHashMap.capacityBit",
+        v))
+    sys.env.get("SPARK_GRAFT_AGG_VECTORIZED").foreach(v =>
+      builder.config("spark.sql.codegen.aggregate.map.vectorized.enable",
+        v))
+    val spark = builder.getOrCreate()
+    println(s"[gc-mapk] hugeMethodLimit=$hml twolevel=${
+      sys.env.getOrElse("SPARK_GRAFT_AGG_TWOLEVEL", "default")} capbit=${
+      sys.env.getOrElse("SPARK_GRAFT_AGG_CAPBIT", "default")}")
     spark.sparkContext.setLogLevel("ERROR")
     // the Bench warm-up so pass 1 isn't charged session bring-up
     spark.range(1000000L).selectExpr("sum(id)").collect()
@@ -70,8 +84,13 @@ object ProbeGcMapAtK {
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
             : Unit = {
           val m = sc.stageInfo.taskMetrics
+          // the RDD scope names carry the physical operator ids
+          // (WholeStageCodegen (n), Exchange, ...) — far more useful for
+          // naming the hot stage than the callsite the stage name holds
+          val rdds = sc.stageInfo.rddInfos.map(_.name).distinct
+            .mkString("|").take(120)
           if (m != null) stageCpu.put(sc.stageInfo.stageId,
-            (sc.stageInfo.name.takeWhile(_ != '\n').take(60),
+            (rdds + f"|spill=${m.memoryBytesSpilled / 1e6}%.0fMB",
               m.executorCpuTime / 1000000L, m.executorRunTime))
         }
       })

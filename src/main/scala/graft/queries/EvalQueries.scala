@@ -238,11 +238,19 @@ object EvalQueries {
     val neighbors = graft.ops.EventOps.itemCfNeighbors(
       train.select("basket", "item"), "basket", "item", topK = 20)
     val profile = train.select("user", "item").distinct().localCheckpoint()
+    // score in NANO-UNIT LONGS, not DECIMAL(18,9): sim is a 9-dp-rounded
+    // double <= 1, so round(sim*1e9) is its exact nano value (error
+    // ~1e-7 << 0.5) and the long sum orders identically to the decimal
+    // sum — while the generated aggregate code drops from the fat
+    // overflow-checked decimal path to the primitive fast path (the
+    // round-12/13 adjudication traced eval_map_at_k's first-pass compile
+    // storm to exactly this scoring stage's oversized generated class)
     val scores = profile
-      .join(neighbors.select(col("item"), col("neighbor"), col("sim")),
+      .join(neighbors.select(col("item"), col("neighbor"),
+        round(col("sim") * 1e9).cast("long").as("__sim_nano")),
         Seq("item"))
       .groupBy(col("user"), col("neighbor").as("item"))
-      .agg(sum(col("sim").cast(DecimalType(18, 9))).as("__score"))
+      .agg(sum(col("__sim_nano")).as("__score"))
       .join(profile, Seq("user", "item"), "left_anti")
     val wr = Window.partitionBy("user")
       .orderBy(col("__score").desc, col("item"))
