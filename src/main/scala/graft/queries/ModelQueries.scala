@@ -23,7 +23,8 @@ object ModelQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "model_gbm_stumps" -> gbmStumps,
     "model_gbm_score" -> gbmScore,
-    "model_gbm_trees" -> gbmTrees)
+    "model_gbm_trees" -> gbmTrees,
+    "model_gbm_trees_score" -> gbmTreesScore)
 
   def gbmStumps(spark: SparkSession, dir: String): DataFrame =
     Boost.gbmStumps(base(spark, dir), "o_orderkey", "urgent",
@@ -45,6 +46,16 @@ object ModelQueries {
     Boost.gbmTree2(base(spark, dir), "o_orderkey", "urgent",
         Seq("price_c", "order_day", "acctbal_c"), GbmBins, GbmTreeRounds)
       .orderBy("round", "node")
+
+  /** The depth-2 model's final predictions on the [[gbmScore]] sample
+    * stride — exercises the per-round leaf routing (root split → child
+    * split or terminal fallback) end to end.
+    */
+  def gbmTreesScore(spark: SparkSession, dir: String): DataFrame =
+    Boost.gbmTree2Score(base(spark, dir), "o_orderkey", "urgent",
+        Seq("price_c", "order_day", "acctbal_c"), GbmBins, GbmTreeRounds)
+      .filter(pmod(col("o_orderkey"), lit(ScoreMod)) === 0)
+      .orderBy("o_orderkey")
 
   /** GBM base: orders × customer (broadcast dim join), label "is this
     * order URGENT", three BIGINT features — price cents, order epoch
@@ -107,7 +118,12 @@ object ModelQueries {
                  |FROM cbest$r""".stripMargin)
             .mkString("\nUNION ALL\n")}
          |) ORDER BY round, node""".stripMargin
-    })
+    },
+    "model_gbm_trees_score" -> s"""$gbmTreeCtes
+       |SELECT id AS o_orderkey, CAST(y AS DOUBLE) AS label,
+       |  round(CAST(pred AS DOUBLE), 9) AS pred
+       |FROM pr$GbmTreeRounds WHERE id % $ScoreMod = 0
+       |ORDER BY id""".stripMargin)
 
   /** Shared replay prologue: the joined base, per-feature min/max, the
     * 9-dp base prediction and the binned pr0 relation (MATERIALIZED —

@@ -158,6 +158,31 @@ class LinkageSpec extends AnyFunSuite {
       ("multi_pass", 4L, 3L, 0.75, 5L)))
   }
 
+  test("fellegiSunterMulti: the union of passes reaches a true pair " +
+      "either single pass misses, and shared candidates dedup") {
+    // true pair id=1: k1 corrupted (differs), k2 agrees; id=2: k2
+    // corrupted, k1 agrees; id=3: both agree (in BOTH passes — must
+    // appear once). Fields: name agrees on all true pairs.
+    val a = Seq((1L, "x1", "y1", "ann"), (2L, "x2", "y2", "bob"),
+      (3L, "x3", "y3", "eve")).toDF("rec_id", "k1", "k2", "name")
+    val b = Seq((1L, "XX", "y1", "ann"), (2L, "x2", "YY", "bob"),
+      (3L, "x3", "y3", "eve")).toDF("rec_id", "k1", "k2", "name")
+    val multi = Linkage.fellegiSunterMulti(a, b, "rec_id",
+        Seq("k1", "k2"), Seq("name"), Double.NegativeInfinity)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // every true pair reachable exactly once; no cross-id candidates
+    // (names all differ across ids, but blocks differ too)
+    assert(multi.sorted == Seq((1L, 1L), (2L, 2L), (3L, 3L)),
+      multi.toString)
+    // single-pass k1 misses pair 1; single-pass k2 misses pair 2
+    val p1 = Linkage.fellegiSunter(a, b, "rec_id", "k1", Seq("name"),
+      Double.NegativeInfinity).collect().map(_.getLong(0)).toSet
+    val p2 = Linkage.fellegiSunter(a, b, "rec_id", "k2", Seq("name"),
+      Double.NegativeInfinity).collect().map(_.getLong(0)).toSet
+    assert(!p1.contains(1L) && p1.contains(2L))
+    assert(p2.contains(1L) && !p2.contains(2L))
+  }
+
   test("fellegiSunter: an empty labeled seed fails loudly instead of " +
       "silently fitting the Laplace-0.5 m model") {
     // disjoint id sets: the id-join true-pair sample is EMPTY, so
