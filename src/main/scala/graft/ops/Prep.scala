@@ -1036,4 +1036,49 @@ object Prep {
       .withColumn("boost", round(col("q_temp") / col("p_raw"), 9))
       .select("source", "n_rows", "p_raw", "q_temp", "boost")
   }
+
+  /** Loss-aware mixture reweighting — ONE exponentiated-gradient step on
+    * a measured per-domain hardness signal, smoothed toward uniform
+    * (the DoReMi update rule, Xie et al. 2023 eq. 2-3: full DoReMi
+    * re-measures excess loss against a retraining proxy each step;
+    * given a FIXED hardness vector the EG iteration has the closed form
+    * w ∝ exp(η·L), so the one-shot softmax IS the converged relational
+    * answer — the retrain loop is a training-system concern, not a
+    * query). The hardness input is a bounded per-domain relation (e.g.
+    * [[graft.ops.TextAnalysis.domainHardness]]); everything here is
+    * arithmetic on ≤ |domains| rows + two 1-row broadcasts.
+    *
+    * Determinism: exp is the one irrational per domain — its argument
+    * η·(L − min L) is a product/difference of exact short-decimal
+    * doubles, identical on both engines, and the output rounds to 9 dp
+    * before the exact DECIMAL normalization sum (the PMI ln rule);
+    * weights are one IEEE division each, 9 dp. Smoothing mixes toward
+    * uniform with rational c = cNum/cDen:
+    * mixture = (1 − c)·softmax + c/k.
+    *
+    * Returns (domainCol, bits, softmax_weight, mixture_weight).
+    */
+  def lossReweight(hardness: DataFrame, domainCol: String,
+      bitsCol: String, eta: Double = 1.0, cNum: Int = 1, cDen: Int = 5)
+      : DataFrame = {
+    require(eta > 0 && cDen > 0 && cNum >= 0 && cNum <= cDen,
+      "need eta > 0 and smoothing c in [0, 1]")
+    val base = hardness.select(col(domainCol).as("__dom"),
+      col(bitsCol).cast("double").as("__bits"))
+    val stats = base.agg(min(col("__bits")).as("__mn"),
+      count(lit(1)).as("__k"))
+    val e = base.crossJoin(broadcast(stats))
+      .withColumn("__e",
+        round(exp(lit(eta) * (col("__bits") - col("__mn"))), 9)
+          .cast(DecimalType(28, 9)))
+    val z = e.agg(sum(col("__e")).as("__z"))
+    e.crossJoin(broadcast(z))
+      .withColumn("softmax_weight",
+        round(col("__e").cast("double") / col("__z").cast("double"), 9))
+      .withColumn("mixture_weight",
+        round(lit((cDen - cNum).toDouble / cDen) * col("softmax_weight") +
+          lit(cNum.toDouble) / (lit(cDen.toDouble) * col("__k")), 9))
+      .select(col("__dom").as(domainCol), col("__bits").as("bits"),
+        col("softmax_weight"), col("mixture_weight"))
+  }
 }

@@ -421,6 +421,70 @@ object TextAnalysis {
         col("bits_per_token"))
   }
 
+  /** Per-DOMAIN held-out language-model hardness — the measurement a
+    * loss-aware mixture policy consumes (DoReMi, Xie et al. 2023, weighs
+    * domains by excess proxy loss; CCNet buckets by LM perplexity): an
+    * add-one bigram model fits on the TRAIN folds (md5 doc split, the
+    * [[graft.ops.EventOps.markovPerplexity]] discipline — no
+    * within-document leakage) and held-out documents score against it,
+    * aggregated per domain. Unseen contexts/bigrams ride the smoothing
+    * floor: bits = −log₂((C_train(w₁w₂)+1)/(C_train(w₁·)+V)) with V =
+    * the TRAIN vocabulary, zero counts via left joins.
+    *
+    * Shape at scale: one positioned-bigram explode collapsed map-side to
+    * per-(doc, bigram) counts; the train model tables are aggregates OF
+    * that relation (filtered to train folds — they reuse its exchange)
+    * and join back by shuffle on the bigram (vocabulary² can exceed any
+    * broadcast cap); the domain rollup is one bounded groupBy. Bit
+    * contributions round 9 dp and weight-sum in exact DECIMAL.
+    * Returns (domainCol, n_docs, n_bigrams, bits_per_token) over test
+    * docs with ≥ 1 bigram; bits_per_token is the domain's pooled
+    * per-token mean, 6 dp.
+    */
+  def domainHardness(df: DataFrame, idCol: String, textCol: String,
+      domainCol: String, folds: Int = 4): DataFrame = {
+    require(folds >= 2, "need >= 2 folds (last is held out)")
+    val t = col("__t")
+    val withToks = df.select(col(idCol).as("doc_id"),
+        col(domainCol).as("__dom"), toks(col(textCol)).as("__t"))
+      .withColumn("__fold", Prep.hashBucket(col("doc_id"), folds))
+    val starts = when(size(t) >= 2, sequence(lit(0), size(t) - 2))
+      .otherwise(array().cast("array<int>"))
+    val bigrams = transform(starts,
+      i => struct(element_at(t, i + 1).as("w1"),
+        element_at(t, i + 2).as("w2")))
+    val occ = withToks
+      .select(col("doc_id"), col("__dom"), col("__fold"),
+        explode(bigrams).as("bg"))
+      .select(col("doc_id"), col("__dom"), col("__fold"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("doc_id", "__dom", "__fold", "w1", "w2")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val train = occ.filter(col("__fold") < folds - 1)
+    val bigramCnt = train.groupBy("w1", "w2").agg(sum(col("c")).as("bc"))
+    val contextCnt = train.groupBy("w1").agg(sum(col("c")).as("uc"))
+    val vocab = withToks.filter(col("__fold") < folds - 1)
+      .select(explode(array_distinct(t)).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    occ.filter(col("__fold") === folds - 1)
+      .join(bigramCnt, Seq("w1", "w2"), "left")
+      .join(contextCnt, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__bits",
+        round(-log((coalesce(col("bc"), lit(0L)) + 1.0) /
+            (coalesce(col("uc"), lit(0L)) + col("v"))) /
+          lit(math.log(2.0)), 9).cast(DecimalType(18, 9)))
+      .groupBy(col("__dom"))
+      // c stays DECIMAL(10,0): the [[bigramLmBits]] precision-38 rule
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("c")).as("n_bigrams"),
+        round(sum(col("__bits") * col("c").cast(DecimalType(10, 0)))
+          .cast("double") / sum(col("c")), 6).as("bits_per_token"))
+      .select(col("__dom").as(domainCol), col("n_docs"),
+        col("n_bigrams"), col("bits_per_token"))
+  }
+
   /** Code-switching / language-mixing audit: language-ID every
     * fixed-size token chunk of a document ([[graft.ops.Prep.chunkText]] →
     * [[langId]]) and summarize the per-document language distribution —

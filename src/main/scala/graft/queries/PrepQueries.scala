@@ -375,6 +375,20 @@ object PrepQueries {
     * slices ([[graft.ops.Prep.temperatureMixture]]): the multilingual
     * up-sampling sheet — q ∝ √p, boost = q/p.
     */
+  /** Loss-aware mixture weights over the documents' `source` slices
+    * ([[graft.ops.Prep.lossReweight]] on
+    * [[graft.ops.TextAnalysis.domainHardness]]'s held-out bits): the
+    * DoReMi-style EG step — hard domains up-weight, smoothed 1/5 toward
+    * uniform. The hardness-driven companion to the size-driven
+    * [[temperatureMix]].
+    */
+  def lossReweightQ(spark: SparkSession, dir: String): DataFrame =
+    Prep.lossReweight(
+        graft.ops.TextAnalysis.domainHardness(Tables.documents(spark, dir),
+          "doc_id", "text", "source", TextQueries.DomainFolds),
+        "source", "bits_per_token", eta = 1.0, cNum = 1, cDen = 5)
+      .orderBy("source")
+
   def temperatureMix(spark: SparkSession, dir: String): DataFrame =
     Prep.temperatureMixture(Tables.documents(spark, dir), col("lang"))
       .orderBy("source")
@@ -405,6 +419,7 @@ object PrepQueries {
     "prep_mixture_schedule" -> mixtureSchedule,
     "prep_span_corruption" -> spanCorruption,
     "prep_temperature_mix" -> temperatureMix,
+    "prep_loss_reweight" -> lossReweightQ,
     "prep_rank_normalize" -> rankNormalizeAcctbal,
     "prep_global_shuffle" -> globalShuffleDocs,
     "prep_dsir_weights" -> dsirWeights,
@@ -523,6 +538,27 @@ object PrepQueries {
          |WHERE len(d.toks) >= 1
          |ORDER BY doc_id""".stripMargin
     },
+    // one EG step on the held-out hardness vector: exp is the one
+    // irrational per domain (argument = difference/product of exact
+    // short-decimal doubles, identical per engine), rounded 9 dp before
+    // the exact DECIMAL normalization sum; mixture uses the ROUNDED
+    // softmax (mirrored) and the rational 1/5 uniform smoothing
+    "prep_loss_reweight" ->
+      s"""WITH ${graft.queries.TextQueries.domainHardnessCtes},
+         |st AS (SELECT min(bits_per_token) AS mn, count(*) AS k FROM h),
+         |e AS (SELECT h.source, h.bits_per_token AS bits,
+         |    CAST(round(exp(1.0 * (h.bits_per_token - st.mn)), 9)
+         |      AS DECIMAL(28,9)) AS e
+         |  FROM h, st),
+         |z AS (SELECT sum(e) AS z FROM e),
+         |sw AS (SELECT e.source, e.bits,
+         |    round(CAST(e.e AS DOUBLE) / CAST(z.z AS DOUBLE), 9)
+         |      AS softmax_weight
+         |  FROM e, z)
+         |SELECT sw.source, sw.bits, sw.softmax_weight,
+         |  round(0.8 * sw.softmax_weight + 1.0 / (5.0 * st.k), 9)
+         |    AS mixture_weight
+         |FROM sw, st ORDER BY source""".stripMargin,
     // T=2 temperature weights: sqrt is IEEE-correctly-rounded on both
     // engines; sqrt contributions round 9 dp and sum in exact DECIMAL
     // (double Σ of irrationals is order-dependent), one division each

@@ -223,6 +223,59 @@ object TextQueries {
     TextAnalysis.bigramLmBits(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Per-domain held-out LM hardness
+    * ([[graft.ops.TextAnalysis.domainHardness]]): the add-one bigram
+    * model fit on folds 0–2 of the md5 doc split, fold-3 documents
+    * scored against it, pooled per `source` — the hardness vector
+    * [[PrepQueries.lossReweightQ]]'s mixture policy consumes.
+    */
+  def domainHardnessQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.domainHardness(Tables.documents(spark, dir), "doc_id",
+        "text", "source", DomainFolds)
+      .orderBy("source")
+
+  private[queries] val DomainFolds = 4
+
+  /** The held-out hardness replay shared by `text_domain_hardness` and
+    * `prep_loss_reweight`: train-fold bigram/context/vocab tables, LEFT
+    * joins for unseen contexts (the smoothing floor), 9-dp bit
+    * contributions DECIMAL-weight-summed per domain.
+    */
+  private[queries] lazy val domainHardnessCtes: String =
+    s"""d AS (SELECT doc_id, source,
+       |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+       |      % $DomainFolds AS fold,
+       |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+       |  FROM documents),
+       |g AS (SELECT doc_id, source, fold,
+       |  CASE WHEN len(toks) >= 2
+       |    THEN list_transform(generate_series(1, len(toks) - 1),
+       |           i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))
+       |    ELSE [] END AS bgs
+       |  FROM d),
+       |occ0 AS (SELECT doc_id, source, fold, unnest(bgs) AS bg FROM g),
+       |occ AS MATERIALIZED (SELECT doc_id, source, fold, bg.w1 AS w1,
+       |    bg.w2 AS w2, count(*) AS c
+       |  FROM occ0 GROUP BY 1, 2, 3, 4, 5),
+       |bc AS (SELECT w1, w2, sum(c) AS bc FROM occ
+       |  WHERE fold < ${DomainFolds - 1} GROUP BY 1, 2),
+       |uc AS (SELECT w1, sum(c) AS uc FROM occ
+       |  WHERE fold < ${DomainFolds - 1} GROUP BY 1),
+       |v AS (SELECT count(DISTINCT t) AS v FROM
+       |  (SELECT unnest(toks) AS t FROM d
+       |   WHERE fold < ${DomainFolds - 1})),
+       |ct AS (SELECT occ.source, occ.doc_id, occ.c,
+       |    CAST(round(-ln((coalesce(bc.bc, 0) + 1.0)
+       |        / (coalesce(uc.uc, 0) + v.v))
+       |      / ${math.log(2.0)}, 9) AS DECIMAL(18,9)) AS bits
+       |  FROM occ LEFT JOIN bc USING (w1, w2) LEFT JOIN uc USING (w1), v
+       |  WHERE occ.fold = ${DomainFolds - 1}),
+       |h AS (SELECT source, count(DISTINCT doc_id) AS n_docs,
+       |    CAST(sum(c) AS BIGINT) AS n_bigrams,
+       |    round(CAST(sum(bits * c) AS DOUBLE) / sum(c), 6)
+       |      AS bits_per_token
+       |  FROM ct GROUP BY 1)""".stripMargin
+
   /** Interpolated Kneser–Ney bigram cross-entropy per document
     * ([[graft.ops.TextAnalysis.knBigramBits]], d = 3/4).
     */
@@ -726,6 +779,7 @@ object TextQueries {
     "text_sgd_learning_curve" -> sgdLearningCurveQ,
     "text_dup_ngram_coverage" -> dupCoverage,
     "text_bigram_lm" -> bigramLm,
+    "text_domain_hardness" -> domainHardnessQ,
     "text_kn_bigram" -> knBigram,
     "text_ccnet_buckets" -> ccnetBuckets,
     "text_compression_ratio" -> compressionRatioQ,
@@ -1273,6 +1327,12 @@ object TextQueries {
     // add-one-smoothed bigram LM fitted on the corpus itself; per-position
     // bit contributions round to 9 dp, scale by the doc's (w1,w2) count
     // (exact decimal), and sum exactly — the mean is order-independent
+    // held-out per-domain hardness: train-fold model, fold-3 scoring,
+    // LEFT joins carry unseen contexts on the smoothing floor
+    "text_domain_hardness" ->
+      s"""WITH $domainHardnessCtes
+         |SELECT source, n_docs, n_bigrams, bits_per_token
+         |FROM h ORDER BY source""".stripMargin,
     "text_bigram_lm" ->
       s"""WITH $toksCte,
          |g AS (SELECT doc_id,

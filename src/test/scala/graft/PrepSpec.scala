@@ -641,4 +641,30 @@ class PrepSpec extends AnyFunSuite {
     assert(out.toSeq == (1 to 10).map(b =>
       (b.toLong, 10L, (10 * (b - 1) + 1).toDouble, (10 * b).toDouble)))
   }
+
+  test("lossReweight: one EG step — harder domains strictly up-weight, " +
+      "weights match the rounded-softmax hand replay, mixture smooths " +
+      "toward uniform") {
+    import spark.implicits._
+    val hardness = Seq(("easy", 1.0), ("mid", 2.0), ("hard", 3.0))
+      .toDF("source", "bits_per_token")
+    val got = Prep.lossReweight(hardness, "source", "bits_per_token",
+        eta = 1.0, cNum = 1, cDen = 5)
+      .orderBy("source").collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    def r9(x: Double): BigDecimal =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val es = Seq(1.0, 2.0, 3.0).map(b => r9(math.exp(1.0 * (b - 1.0))))
+    val z = es.sum
+    def sw(i: Int): Double = r9(es(i).toDouble / z.toDouble).toDouble
+    def mix(i: Int): Double =
+      r9(0.8 * sw(i) + 1.0 / (5.0 * 3)).toDouble
+    assert(got("easy") == ((1.0, sw(0), mix(0))))
+    assert(got("mid") == ((2.0, sw(1), mix(1))))
+    assert(got("hard") == ((3.0, sw(2), mix(2))))
+    // monotone in hardness; smoothing pulls toward uniform 1/3
+    assert(sw(0) < sw(1) && sw(1) < sw(2))
+    assert(mix(0) > sw(0) && mix(2) < sw(2))
+  }
 }

@@ -531,4 +531,36 @@ class TextAnalysisSpec extends AnyFunSuite {
       ("a", "c", 3L, 3L, 2L),   // docs 1 and 2
       ("zz", "a", 0L, 3L, 0L))) // unknown term
   }
+
+  test("domainHardness: train-fold model, held-out scoring, unseen " +
+      "bigrams/contexts on the smoothing floor, per-domain pooling") {
+    import spark.implicits._
+    // md5 folds (n=4, Prep.hashBucket on the id string): ids 2,3,6 -> 0;
+    // 1,9,12 -> 1; 5,7,11 -> 2; 4,25,26 -> 3 (held out)
+    val docs = Seq(
+      (2L, "a a a", "X"), (3L, "a a a", "X"), (6L, "a a a", "X"),
+      (1L, "a a a", "X"), (9L, "a a a", "X"), (12L, "d d", "Y"),
+      (5L, "d d", "Y"), (7L, "d d", "Y"), (11L, "d d", "Y"),
+      // test fold: seen bigram / unseen bigram / unseen context
+      (4L, "a a", "X"), (25L, "a d", "Y"), (26L, "c a", "Y")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.domainHardness(docs, "doc_id", "text",
+        "source", folds = 4)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // train model: C(a,a)=10 (5 docs x 2), C(d,d)=4, C(a.)=10, C(d.)=4,
+    // V = |{a, d}| = 2
+    def bits9(p: Double): BigDecimal =
+      BigDecimal(-math.log(p) / math.log(2.0))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: BigDecimal): Double =
+      x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val bX = r6(bits9(11.0 / 12.0))        // (a,a): (10+1)/(10+2)
+    val bY = r6((bits9(1.0 / 12.0) +       // (a,d): (0+1)/(10+2)
+      bits9(1.0 / 2.0)) / 2)               // (c,a): (0+1)/(0+2), uc=0
+    assert(got == Seq(("X", 1L, 1L, bX), ("Y", 2L, 2L, bY)), got.toString)
+    // seen < unseen: the floor is ABOVE the fitted bigram's bits
+    assert(bX < bY)
+  }
 }
