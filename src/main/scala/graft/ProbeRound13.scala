@@ -88,6 +88,61 @@ object ProbeRound13 {
           else hitFull.toDouble / fullMined.size}%.3f " +
         f"time=$secs%.1f s")
     }
+
+    // GBM DEPTH-2 scaling: per round the work is the root histogram +
+    // ONE leaf-keyed histogram — wall should track rows ~linearly, like
+    // the round-12 stumps arm. 1x vs 4x orders (key-shifted copies).
+    def gbmBase(o: org.apache.spark.sql.DataFrame) = o
+      .join(broadcast(graft.sources.Tables.customer(spark, dir)
+          .select(col("c_custkey"),
+            (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+              .as("acctbal_c"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"),
+        (col("o_orderpriority") === "1-URGENT").cast("int").as("urgent"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("price_c"),
+        floor(unix_micros(col("o_orderdate").cast("timestamp")) /
+          86400000000L).cast("long").as("order_day"),
+        col("acctbal_c"))
+    val orders = graft.sources.Tables.orders(spark, dir)
+    val orders4 = (0 until 4).map(i => orders.withColumn("o_orderkey",
+        col("o_orderkey") + lit(i.toLong * 1000000000L)))
+      .reduce(_ unionByName _)
+    for ((nm, o) <- Seq("1x" -> orders, "4x" -> orders4)) {
+      val base = gbmBase(o).localCheckpoint()
+      val t0 = System.nanoTime()
+      graft.ops.Boost.gbmTree2(base, "o_orderkey", "urgent",
+          Seq("price_c", "order_day", "acctbal_c"), 16, 2)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[gbm-tree2-scale] $nm%s rows=${base.count()}%d " +
+        f"wall=${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+
+    // DOMAIN HARDNESS scaling: the bigram explode + model joins are the
+    // row-scale work; the domain rollup is bounded. 1x vs 4x docs.
+    val docs4 = (0 until 4).map(i => docs.withColumn("doc_id",
+        col("doc_id") + lit(i.toLong * 1000000000L)))
+      .reduce(_ unionByName _)
+    for ((nm, d) <- Seq("1x" -> docs, "4x" -> docs4)) {
+      val dd = d.localCheckpoint()
+      val t0 = System.nanoTime()
+      graft.ops.TextAnalysis.domainHardness(dd, "doc_id", "text",
+          "source", 4)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[hardness-scale] $nm%s docs=${dd.count()}%d " +
+        f"wall=${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+
+    // MULTI-PASS LINKAGE scaling: union candidate volume vs naive pairs
+    // (the recall query reports the same ratio at registry parameters)
+    val (la, lb) = graft.queries.DedupQueries.linkViews(spark, dir)
+    val nA = la.count(); val nB = lb.count()
+    val nCand2 = graft.ops.Linkage.fellegiSunterMulti(la, lb, "rec_id",
+      Seq("block", "block2"), Seq("name", "seg", "bal"),
+      Double.NegativeInfinity).count()
+    println(f"[multipass-scale] candidates=$nCand2%d of ${nA * nB}%d " +
+      f"naive (${100.0 * nCand2 / (nA * nB)}%.2f%%)")
     spark.stop()
   }
 }
