@@ -1,5 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Physical-plan dump for one registered query — the quick `.explain`
+  * console the plan audits use (join strategies, exchanges, pushed
+  * filters) without writing a bespoke main each time.
+  *
+  * Usage: `runMain graft.ProbeExplain <sfDir> <queryName>`.
+  */
 object ProbeExplain {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

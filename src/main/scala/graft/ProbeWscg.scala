@@ -1,5 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Whole-stage-codegen fallback detector (round-13 adjudication, SURVEY
+  * §6.0d): runs one registered query at INFO logging and a chosen
+  * `spark.sql.codegen.hugeMethodLimit`, so any "Found too long generated
+  * codes" events (generated method > limit → stage falls back to
+  * non-fused execution) surface with their bytecode sizes. Round 13's
+  * finding: ZERO such events remain for eval_map_at_k / the jaccard
+  * pair / text_lm_generate at either 8000 or 65535 — the round-12
+  * oversized-method hypothesis is closed, and the residual first-pass
+  * cost is C2 warm-up breadth, not over-limit methods.
+  *
+  * Usage: `runMain graft.ProbeWscg [sfDir] [queryName] [hml]`.
+  */
 object ProbeWscg {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
