@@ -111,21 +111,28 @@ object Bench {
         jitBean.getTotalCompilationTime else -1L }
       catch { case _: Throwable => -1L }
 
-    /** (min seconds over passes, steal-jiffies delta across ALL passes,
-      * JIT-ms delta across ALL passes) — the deltas cover every pass, not
-      * just the min one, because contamination in ANY pass is what makes
-      * a min-of-N still read high.
+    /** (min seconds over timed passes, COLD seconds = the first warm-up
+      * pass's wall (−1 when warmups=0 — then pass 1 IS a timed pass),
+      * steal-jiffies delta across the timed passes, JIT-ms delta across
+      * the timed passes). Recording the cold wall keeps the one-time
+      * JVM warm-up cost visible in-artifact even though it no longer
+      * pollutes the steady-state number; the jit/steal deltas cover
+      * every timed pass because contamination in ANY of them is what
+      * makes a min-of-N still read high.
       */
     def measure(spark: SparkSession,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Long, Long) = {
+        : (Double, Double, Long, Long) = {
       // settle the heap between queries: without this a query pays for the
       // previous query's garbage and can read 3-4x its solo cost when both
       // min-of-N passes land beside a GC-heavy neighbor
       System.gc()
-      (1 to warmups).foreach { _ =>
+      var cold = -1.0
+      (1 to warmups).foreach { i =>
+        val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case _: Throwable => () }
+        if (i == 1) cold = (System.nanoTime() - t0) / 1e9
       }
       System.gc()
       val s0 = stealJiffies(); val j0 = jitMs()
@@ -141,7 +148,7 @@ object Bench {
         if (s0 < 0 || s1 < 0) -1L else s1 - s0 }
       val jd = { val j1 = jitMs()
         if (j0 < 0 || j1 < 0) -1L else j1 - j0 }
-      (best, sd, jd)
+      (best, cold, sd, jd)
     }
 
     // host-load telemetry: per-family 1-min loadavg (max of the before/
@@ -150,7 +157,7 @@ object Bench {
     val famLoads = scala.collection.mutable.LinkedHashMap[String, Double]()
     val steal0 = stealJiffies()
     val runT0 = System.nanoTime()
-    val results: Seq[(String, (Double, Long, Long))] =
+    val results: Seq[(String, (Double, Double, Long, Long))] =
       if (isolate)
         selected.toSeq.groupBy { case (n, _) => familyOf(n) }
           .toSeq.sortBy(_._1)
@@ -183,11 +190,13 @@ object Bench {
       require(results.size == SparkEntry.queries.size,
         s"bench timed ${results.size} of ${SparkEntry.queries.size} " +
           "registered queries")
-    val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _, _, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val stealQs = results.map { case (k, (_, s, _)) =>
+    val coldQs = results.map { case (k, (_, c, _, _)) =>
+      s"\"" + k + "\":" + c }.mkString("{", ",", "}")
+    val stealQs = results.map { case (k, (_, _, s, _)) =>
       s"\"" + k + "\":" + s }.mkString("{", ",", "}")
-    val jitQs = results.map { case (k, (_, _, j)) =>
+    val jitQs = results.map { case (k, (_, _, _, j)) =>
       s"\"" + k + "\":" + j }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
     def jnum(d: Double): String = if (d.isNaN) "null" else d.toString
@@ -196,7 +205,7 @@ object Bench {
     val loadMax =
       if (famLoads.isEmpty || famLoads.values.exists(_.isNaN)) Double.NaN
       else famLoads.values.max
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"runs":$runs,"warmups":$warmups,"isolate":$isolate,"sf":"$sfDir","bench_cpus":$cpus,"loadavg1_by_family":$loadJson,"loadavg1_max":${jnum(loadMax)},"steal_jiffies_delta":$stealDelta,"elapsed_sec":$elapsedSec,"steal_jiffies_by_query":$stealQs,"jit_ms_by_query":$jitQs}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"runs":$runs,"warmups":$warmups,"isolate":$isolate,"sf":"$sfDir","bench_cpus":$cpus,"loadavg1_by_family":$loadJson,"loadavg1_max":${jnum(loadMax)},"steal_jiffies_delta":$stealDelta,"elapsed_sec":$elapsedSec,"steal_jiffies_by_query":$stealQs,"jit_ms_by_query":$jitQs,"cold_sec_by_query":$coldQs}"""
     // the full line is ~8 KB at 273 queries and a tail-capture of the
     // process output can truncate its head (round-10's BENCH artifact was
     // unparseable) — persist it to a file FIRST, then print
