@@ -130,9 +130,15 @@ object Bench {
       var cold = -1.0
       (1 to warmups).foreach { i =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
-        if (i == 1) cold = (System.nanoTime() - t0) / 1e9
+        // a THROWING warm-up must not record its (instant) wall as an
+        // implausibly fast cold time — keep the warmups=0 sentinel (-1)
+        // so the artifact distinguishes "failed warm-up" from "fast"
+        val ok =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          } catch { case _: Throwable => false }
+        if (i == 1 && ok) cold = (System.nanoTime() - t0) / 1e9
       }
       System.gc()
       val s0 = stealJiffies(); val j0 = jitMs()
@@ -205,12 +211,26 @@ object Bench {
     val loadMax =
       if (famLoads.isEmpty || famLoads.values.exists(_.isNaN)) Double.NaN
       else famLoads.values.max
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"runs":$runs,"warmups":$warmups,"isolate":$isolate,"sf":"$sfDir","bench_cpus":$cpus,"loadavg1_by_family":$loadJson,"loadavg1_max":${jnum(loadMax)},"steal_jiffies_delta":$stealDelta,"elapsed_sec":$elapsedSec,"steal_jiffies_by_query":$stealQs,"jit_ms_by_query":$jitQs,"cold_sec_by_query":$coldQs}"""
+    // steal gate (round-13 verdict): a contaminated sweep must never
+    // silently OVERWRITE the committed headline artifact. Threshold =
+    // max(1000, elapsed seconds) jiffies ≈ 1% of single-core elapsed
+    // CPU at USER_HZ=100, floored so short focused runs don't trip on
+    // noise. Calibration against recorded r13 artifacts: the clean
+    // 291 s sweep read steal=266 (passes), the stale-quoted 324.9 s
+    // run read 3,200 and the end-of-round rerun 17,564 (both gated).
+    // A gated run still emits its full JSON line to stdout (the driver
+    // contract) but lands in <out>.contaminated.json on disk;
+    // SPARK_GRAFT_STEAL_GATE=0 force-writes for A/B forensics.
+    val stealGateOn = sys.env.getOrElse("SPARK_GRAFT_STEAL_GATE", "1") != "0"
+    val stealThreshold = math.max(1000L, elapsedSec.toLong)
+    val stealGated = stealGateOn && stealDelta > stealThreshold
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"runs":$runs,"warmups":$warmups,"isolate":$isolate,"sf":"$sfDir","bench_cpus":$cpus,"loadavg1_by_family":$loadJson,"loadavg1_max":${jnum(loadMax)},"steal_jiffies_delta":$stealDelta,"steal_gated":$stealGated,"steal_threshold":$stealThreshold,"elapsed_sec":$elapsedSec,"steal_jiffies_by_query":$stealQs,"jit_ms_by_query":$jitQs,"cold_sec_by_query":$coldQs}"""
     // the full line is ~8 KB at 273 queries and a tail-capture of the
     // process output can truncate its head (round-10's BENCH artifact was
     // unparseable) — persist it to a file FIRST, then print
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+    val outBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "BENCH_LAST_LOCAL.json")
+    val outPath = if (stealGated) outBase + ".contaminated.json" else outBase
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

@@ -1056,6 +1056,14 @@ object Prep {
     * uniform with rational c = cNum/cDen:
     * mixture = (1 − c)·softmax + c/k.
     *
+    * Overflow guard: exp(η·(L − min L)) must fit DECIMAL(28,9) —
+    * beyond ~10¹⁹ (η·spread > ~43.7 bits) the cast would silently
+    * yield NULL, nulling the normalization sum and EVERY weight. A
+    * spread past the bound therefore fails LOUDLY via `raise_error`
+    * (the [[graft.ops.Linkage]] minSeed discipline): the gate rides
+    * the exp argument on the 1-row stats relation, so it costs no
+    * extra pass and Catalyst cannot prune it.
+    *
     * Returns (domainCol, bits, softmax_weight, mixture_weight).
     */
   def lossReweight(hardness: DataFrame, domainCol: String,
@@ -1066,10 +1074,18 @@ object Prep {
     val base = hardness.select(col(domainCol).as("__dom"),
       col(bitsCol).cast("double").as("__bits"))
     val stats = base.agg(min(col("__bits")).as("__mn"),
-      count(lit(1)).as("__k"))
+      max(col("__bits")).as("__mx"), count(lit(1)).as("__k"))
+    // ln(10^19) ≈ 43.749; gate at 43.0 so the rounded exp stays strictly
+    // inside DECIMAL(28,9)'s 10^19 integral range
+    val mnGated = when(lit(eta) * (col("__mx") - col("__mn")) <= 43.0,
+      col("__mn")).otherwise(raise_error(concat(
+        lit("lossReweight: eta*(max-min) hardness spread "),
+        round(lit(eta) * (col("__mx") - col("__mn")), 3),
+        lit(" exceeds the DECIMAL(28,9) exp range (~43) — weights would" +
+          " silently null; rescale eta or the hardness signal"))))
     val e = base.crossJoin(broadcast(stats))
       .withColumn("__e",
-        round(exp(lit(eta) * (col("__bits") - col("__mn"))), 9)
+        round(exp(lit(eta) * (col("__bits") - mnGated)), 9)
           .cast(DecimalType(28, 9)))
     val z = e.agg(sum(col("__e")).as("__z"))
     e.crossJoin(broadcast(z))

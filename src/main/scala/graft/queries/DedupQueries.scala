@@ -725,7 +725,11 @@ object DedupQueries {
          |FROM sc WHERE weight >= 0.0 ORDER BY 1, 2""".stripMargin
     },
     // blocking recall: reachability from the id-joined truth, candidate
-    // volumes from block-count aggregates, union by inclusion-exclusion
+    // volumes from block-count aggregates, union by inclusion-exclusion.
+    // Volume joins are IS NOT DISTINCT FROM (never USING/=): Spark's
+    // blockingRecall joins block keys with <=>, so a NULL blocking key
+    // forms a real block there — a null-rejecting oracle join would
+    // silently drop its volume and skew the inclusion-exclusion union
     "dedup_linkage_recall" -> {
       def hbSql(suffix: String, n: Int) =
         s"('0x' || substr(md5(id::VARCHAR || '$suffix'), 1, 12))::BIGINT" +
@@ -757,15 +761,16 @@ object DedupQueries {
          |c1 AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS v
          |  FROM (SELECT k1, count(*) AS na FROM av GROUP BY 1) x
          |  JOIN (SELECT k1, count(*) AS nb FROM bv GROUP BY 1) y
-         |    USING (k1)),
+         |    ON x.k1 IS NOT DISTINCT FROM y.k1),
          |c2 AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS v
          |  FROM (SELECT k2, count(*) AS na FROM av GROUP BY 1) x
          |  JOIN (SELECT k2, count(*) AS nb FROM bv GROUP BY 1) y
-         |    USING (k2)),
+         |    ON x.k2 IS NOT DISTINCT FROM y.k2),
          |c12 AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS v
          |  FROM (SELECT k1, k2, count(*) AS na FROM av GROUP BY 1, 2) x
          |  JOIN (SELECT k1, k2, count(*) AS nb FROM bv GROUP BY 1, 2) y
-         |    USING (k1, k2))
+         |    ON x.k1 IS NOT DISTINCT FROM y.k1
+         |      AND x.k2 IS NOT DISTINCT FROM y.k2)
          |SELECT * FROM (
          |  SELECT 'balance_band' AS pass, nt AS n_true, r1 AS n_reachable,
          |    round(r1::DOUBLE / nt, 9) AS recall, c1.v AS n_candidates

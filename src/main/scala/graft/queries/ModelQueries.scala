@@ -194,11 +194,11 @@ object ModelQueries {
     val rounds = (1 to GbmRounds).map { r =>
       s"""${levelOneCtes(r, s"pr${r - 1}")},
          |pr$r AS MATERIALIZED (SELECT id, y, b0, b1, b2,
-         |    CAST(pred + CASE
+         |    CAST(pred + COALESCE(CASE
          |      WHEN (s.mf = 0 AND b0 <= -(s.mb))
          |        OR (s.mf = -1 AND b1 <= -(s.mb))
          |        OR (s.mf = -2 AND b2 <= -(s.mb)) THEN s.vl
-         |      ELSE s.vr END AS DECIMAL(28,9)) AS pred
+         |      ELSE s.vr END, 0) AS DECIMAL(28,9)) AS pred
          |  FROM pr${r - 1}, best$r)""".stripMargin
     }.mkString(",\n")
     s"""$gbmPrologue,
@@ -210,7 +210,11 @@ object ModelQueries {
     * leaf-keyed level-2 histogram/prefix/cand chain, the per-leaf
     * struct argmax, and the prediction update where a leaf with no
     * candidate falls back to the root's own stump value — mirroring
-    * [[graft.ops.Boost.fitTree2]] value for value.
+    * [[graft.ops.Boost.fitTree2]] value for value. A fully degenerate
+    * round (empty ROOT candidate set → best is NULL) coalesces the
+    * whole contribution to 0, exactly as the Spark side's
+    * constant-feature skip does — without it the oracle's pred would
+    * go NULL on any data where a round finds no valid split.
     */
   private lazy val gbmTreeCtes: String = {
     val b1 = GbmBins - 1
@@ -250,13 +254,13 @@ object ModelQueries {
          |      vl := vl, vr := vr)) AS s
          |  FROM cand2$r GROUP BY leaf),
          |pr$r AS MATERIALIZED (SELECT lf.id, lf.y, lf.b0, lf.b1, lf.b2,
-         |    CAST(lf.pred + CASE
+         |    CAST(lf.pred + COALESCE(CASE
          |      WHEN cb.s IS NULL THEN
          |        (CASE WHEN lf.leaf = 0 THEN b.s.vl ELSE b.s.vr END)
          |      WHEN (cb.s.mf = 0 AND lf.b0 <= -(cb.s.mb))
          |        OR (cb.s.mf = -1 AND lf.b1 <= -(cb.s.mb))
          |        OR (cb.s.mf = -2 AND lf.b2 <= -(cb.s.mb)) THEN cb.s.vl
-         |      ELSE cb.s.vr END AS DECIMAL(28,9)) AS pred
+         |      ELSE cb.s.vr END, 0) AS DECIMAL(28,9)) AS pred
          |  FROM lf$r lf CROSS JOIN best$r b
          |  LEFT JOIN cbest$r cb ON lf.leaf = cb.leaf)""".stripMargin
     }.mkString(",\n")
