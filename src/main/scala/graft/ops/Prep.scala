@@ -512,6 +512,56 @@ object Prep {
     df.filter(hashBucket(col(idCol), 10000) < threshold)
   }
 
+  /** [[mixtureSample]] under a MEASURED weight relation — the sampling
+    * half of the DoReMi handoff: target mixture proportions w_i (e.g.
+    * [[lossReweight]]'s `mixture_weight`) become per-source keep rates
+    * with MAXIMUM data retention — the source with the largest
+    * rate-per-row w_i/n_i is kept whole and every other source keeps
+    * `(w_i/n_i) / (w_M/n_M)` of its rows, so surviving counts are
+    * ∝ w_i (up to the 1/10000 hash granularity) and no row is dropped
+    * that the target proportions don't force out.
+    *
+    * EXACT keep decision (no double-vs-threshold boundary anywhere):
+    * weights quantize to nano-integers (they are 9-dp decimals), and
+    * the per-row test cross-multiplies integers in DECIMAL(38,0) —
+    * `hash(id) · wn_M · n_i < 10000 · wn_i · n_M` — so the decision is
+    * bit-identical on any engine at any corpus size (hash < 10⁴,
+    * wn ≤ 10⁹, n ≤ 10¹⁸ keeps the product inside precision 38 for any
+    * real table). The max-rate source M is the argmax of the IEEE
+    * double wn/n (one division of exact integers, engine-identical),
+    * ties to the lexicographically LAST source via max-struct.
+    *
+    * Shape at scale: one bounded per-source count groupBy; the rates
+    * and the 1-row argmax broadcast onto the corpus; the keep test is
+    * a per-row expression — zero extra shuffle. Sources absent from
+    * `weights` are dropped (the [[mixtureScheduleWeighted]]
+    * convention). Returns the surviving rows of `df` unchanged.
+    */
+  def mixtureTargetSample(df: DataFrame, idCol: String, sourceCol: String,
+      weights: DataFrame, wSourceCol: String, weightCol: String)
+      : DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val w = weights.select(col(wSourceCol).cast("string").as("__src"),
+      (col(weightCol).cast(DecimalType(18, 9)) * 1000000000L)
+        .cast("long").as("__wn"))
+    val rates = df.groupBy(col(sourceCol).cast("string").as("__src"))
+      .agg(count(lit(1)).as("__cnt"))
+      .join(w, Seq("__src"))
+    val mx = rates
+      .agg(max(struct((col("__wn").cast("double") / col("__cnt"))
+        .as("__r"), col("__src").as("__ms"))).as("__m"))
+      .select(col("__m.__ms").as("__msrc"))
+    val mRow = rates.join(broadcast(mx), col("__src") === col("__msrc"))
+      .select(col("__wn").as("__wm"), col("__cnt").as("__nm"))
+    df.join(broadcast(rates), df(sourceCol).cast("string") === col("__src"))
+      .crossJoin(broadcast(mRow))
+      .filter(hashBucket(col(idCol), 10000).cast(d38) *
+        col("__wm").cast(d38) * col("__cnt").cast(d38) <
+        lit(10000L).cast(d38) * col("__wn").cast(d38) *
+          col("__nm").cast(d38))
+      .drop("__src", "__cnt", "__wn", "__wm", "__nm")
+  }
+
   /** PII patterns shared by [[redactPii]] and its oracle SQL — plain
     * regexes valid in both Java regex and RE2 (no lookaround, no
     * backreferences), applied email → phone → IPv4.
@@ -997,6 +1047,54 @@ object Prep {
       .join(broadcast(weights), Seq("source"))
       .withColumn("virtual_time",
         round((col("k") - 0.5) / col("q_temp"), 9))
+      .select("virtual_time", "source", "id", "k")
+  }
+
+  /** [[mixtureSchedule]] under a SUPPLIED weight relation — the handoff
+    * that closes the DoReMi loop: a MEASURED mixture policy (e.g.
+    * [[lossReweight]] over [[graft.ops.TextAnalysis.domainHardness]])
+    * drives the training order instead of the size-derived temperature
+    * weights. Same stride-scheduling contract (item k of source s at
+    * virtual time (k − ½)/w_s, within-source order = md5 of the id):
+    * sources weighted 2× appear 2× as often per unit of virtual time.
+    * Sources absent from `weights` are dropped (a measured policy that
+    * never saw a domain has no rate for it — surface that loudly rather
+    * than inventing one).
+    *
+    * EXACT virtual time (where [[mixtureSchedule]] may `round(…, 9)`):
+    * measured weights are 9-dp RATIONALS, and (k − ½)/w of a rational
+    * lands on half-ulp 9-dp ties that Spark and DuckDB round apart
+    * (measured at sf0.1) — unlike the temperature path, whose
+    * sqrt-derived q is irrational and safe to round. So the weight
+    * quantizes to a nano-integer wn and virtual time is the TRUNCATING
+    * integer division (2k−1)·10¹⁸ div (2·wn) in DECIMAL(38,0) (exact
+    * floor via the pmod identity; positive operands, so `div` and
+    * DuckDB `//` agree), divided back to seconds in ONE IEEE step.
+    *
+    * Shape at scale: identical to [[mixtureSchedule]] — the weights are
+    * a ≤|sources|-row broadcast, the only per-row work is one
+    * per-source row_number window and fixed integer arithmetic.
+    * Returns (virtual_time, source, id, k).
+    */
+  def mixtureScheduleWeighted(df: DataFrame, srcCol: Column,
+      idCol: Column, weights: DataFrame, wSourceCol: String,
+      weightCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def fdiv(x: Column, d: Column): Column =
+      ((x - pmod(x, d)) / d).cast(d38)
+    val w = weights.select(col(wSourceCol).cast("string").as("source"),
+      (col(weightCol).cast(DecimalType(18, 9)) * 1000000000L)
+        .cast(d38).as("__wn"))
+    val wSrc = Window.partitionBy(col("source"))
+      .orderBy(md5(col("id").cast("string")), col("id"))
+    val num = (lit(2L) * col("k") - lit(1L)).cast(d38) *
+      lit(1000000000000000000L).cast(d38)
+    df.select(srcCol.cast("string").as("source"), idCol.as("id"))
+      .withColumn("k", row_number().over(wSrc))
+      .join(broadcast(w), Seq("source"))
+      .withColumn("virtual_time",
+        fdiv(num, lit(2L).cast(d38) * col("__wn")).cast("double") /
+          lit(1000000000.0))
       .select("virtual_time", "source", "id", "k")
   }
 

@@ -393,6 +393,42 @@ object PrepQueries {
     Prep.temperatureMixture(Tables.documents(spark, dir), col("lang"))
       .orderBy("source")
 
+  /** The MEASURED DoReMi mixture weights shared by [[doremiMix]] and
+    * [[doremiSample]]: held-out per-domain hardness → one EG step
+    * ([[lossReweightQ]]'s exact chain).
+    */
+  private def doremiWeights(spark: SparkSession, dir: String): DataFrame =
+    Prep.lossReweight(
+      graft.ops.TextAnalysis.domainHardness(Tables.documents(spark, dir),
+        "doc_id", "text", "source", TextQueries.DomainFolds),
+      "source", "bits_per_token", eta = 1.0, cNum = 1, cDen = 5)
+
+  /** The CLOSED DoReMi loop (Xie et al. 2023): measured per-domain
+    * hardness → loss reweighting → the mixture-weighted training
+    * SCHEDULE — the measurement chain's weights actually driving the
+    * corpus order ([[graft.ops.Prep.mixtureScheduleWeighted]] under
+    * [[lossReweightQ]]'s `mixture_weight`), where round 13 stopped at
+    * the weight sheet.
+    */
+  def doremiMix(spark: SparkSession, dir: String): DataFrame =
+    Prep.mixtureScheduleWeighted(Tables.documents(spark, dir),
+        col("source"), col("doc_id"),
+        doremiWeights(spark, dir), "source", "mixture_weight")
+      .orderBy("virtual_time", "source", "id")
+
+  /** The sampling half of the closed loop: the same measured weights as
+    * keep rates with maximum retention
+    * ([[graft.ops.Prep.mixtureTargetSample]] — the max-rate source kept
+    * whole, every other source thinned so survivors ∝ mixture_weight,
+    * decided by exact integer cross-multiplication).
+    */
+  def doremiSample(spark: SparkSession, dir: String): DataFrame =
+    Prep.mixtureTargetSample(Tables.documents(spark, dir),
+        "doc_id", "source", doremiWeights(spark, dir),
+        "source", "mixture_weight")
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
   private val SpanStartPct = 5
   private val SpanMax = 5
 
@@ -420,6 +456,8 @@ object PrepQueries {
     "prep_span_corruption" -> spanCorruption,
     "prep_temperature_mix" -> temperatureMix,
     "prep_loss_reweight" -> lossReweightQ,
+    "prep_doremi_mix" -> doremiMix,
+    "prep_doremi_sample" -> doremiSample,
     "prep_rank_normalize" -> rankNormalizeAcctbal,
     "prep_global_shuffle" -> globalShuffleDocs,
     "prep_dsir_weights" -> dsirWeights,
@@ -454,6 +492,30 @@ object PrepQueries {
 
   private def md5Bucket(expr: String, buckets: Int) =
     s"('0x' || substr(md5($expr), 1, 12))::BIGINT % $buckets"
+
+  /** hardness → EG-step CTEs shared by `prep_loss_reweight` and the two
+    * closed-loop `prep_doremi_*` oracles: one exp per domain (argument
+    * exact), 9-dp rounding before the exact DECIMAL normalization sum,
+    * the rational 1/5 uniform smoothing in `mw.q`.
+    */
+  private lazy val doremiWeightCtes: String =
+    s"""${graft.queries.TextQueries.domainHardnessCtes},
+       |st AS (SELECT min(bits_per_token) AS mn, count(*) AS k FROM h),
+       |e AS (SELECT h.source, h.bits_per_token AS bits,
+       |    CAST(round(exp(1.0 * (h.bits_per_token - st.mn)), 9)
+       |      AS DECIMAL(28,9)) AS e
+       |  FROM h, st),
+       |z AS (SELECT sum(e) AS z FROM e),
+       |sw AS (SELECT e.source, e.bits,
+       |    round(CAST(e.e AS DOUBLE) / CAST(z.z AS DOUBLE), 9)
+       |      AS softmax_weight
+       |  FROM e, z),
+       |mw AS (SELECT sw.source,
+       |    round(0.8 * sw.softmax_weight + 1.0 / (5.0 * st.k), 9) AS q
+       |  FROM sw, st),
+       |wq AS (SELECT source,
+       |    CAST(CAST(q AS DECIMAL(18,9)) * 1000000000 AS BIGINT) AS wn
+       |  FROM mw)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // stride scheduling over the temperature weights: item k of source s
@@ -544,21 +606,49 @@ object PrepQueries {
     // the exact DECIMAL normalization sum; mixture uses the ROUNDED
     // softmax (mirrored) and the rational 1/5 uniform smoothing
     "prep_loss_reweight" ->
-      s"""WITH ${graft.queries.TextQueries.domainHardnessCtes},
-         |st AS (SELECT min(bits_per_token) AS mn, count(*) AS k FROM h),
-         |e AS (SELECT h.source, h.bits_per_token AS bits,
-         |    CAST(round(exp(1.0 * (h.bits_per_token - st.mn)), 9)
-         |      AS DECIMAL(28,9)) AS e
-         |  FROM h, st),
-         |z AS (SELECT sum(e) AS z FROM e),
-         |sw AS (SELECT e.source, e.bits,
-         |    round(CAST(e.e AS DOUBLE) / CAST(z.z AS DOUBLE), 9)
-         |      AS softmax_weight
-         |  FROM e, z)
+      s"""WITH $doremiWeightCtes
          |SELECT sw.source, sw.bits, sw.softmax_weight,
          |  round(0.8 * sw.softmax_weight + 1.0 / (5.0 * st.k), 9)
          |    AS mixture_weight
          |FROM sw, st ORDER BY source""".stripMargin,
+    // the closed loop: the measured mixture weights drive the stride
+    // schedule — item k of source s at virtual time (k − ½)/w_s. The
+    // weight is a 9-dp RATIONAL (unlike q_temp's irrational sqrt), so
+    // virtual time is the exact truncating nano division
+    // (2k−1)·10¹⁸ // (2·wn), never a round() of a rational
+    "prep_doremi_mix" ->
+      s"""WITH $doremiWeightCtes,
+         |r AS (SELECT CAST(source AS VARCHAR) AS source, doc_id AS id,
+         |        row_number() OVER (PARTITION BY source
+         |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS k
+         |      FROM documents)
+         |SELECT CAST((CAST(2 * r.k - 1 AS HUGEINT)
+         |      * 1000000000000000000) // (2 * wq.wn) AS DOUBLE)
+         |    / 1000000000.0 AS virtual_time,
+         |  r.source, r.id, CAST(r.k AS INTEGER) AS k
+         |FROM r JOIN wq USING (source)
+         |ORDER BY virtual_time, source, id""".stripMargin,
+    // max-retention target sampling: nano-quantized weights, per-source
+    // counts, double-ratio argmax (struct max, ties to the later
+    // source), then the EXACT HUGEINT cross-multiplied keep test —
+    // hash·wm·n_i < 10000·wn_i·n_M mirrors Spark's DECIMAL(38,0) form
+    "prep_doremi_sample" ->
+      s"""WITH $doremiWeightCtes,
+         |cnts AS (SELECT CAST(source AS VARCHAR) AS source,
+         |    count(*) AS n FROM documents GROUP BY 1),
+         |rates AS (SELECT c.source, c.n, wq.wn
+         |  FROM cnts c JOIN wq USING (source)),
+         |mx AS (SELECT max(struct_pack(r := wn::DOUBLE / n,
+         |    s := source)) AS m FROM rates),
+         |mrow AS (SELECT r.wn AS wm, r.n AS nm
+         |  FROM rates r, mx WHERE r.source = mx.m.s)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN rates r ON d.source = r.source
+         |CROSS JOIN mrow
+         |WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12))
+         |    ::BIGINT % 10000)::HUGEINT * mrow.wm * r.n
+         |  < 10000::HUGEINT * r.wn * mrow.nm
+         |ORDER BY d.doc_id""".stripMargin,
     // T=2 temperature weights: sqrt is IEEE-correctly-rounded on both
     // engines; sqrt contributions round 9 dp and sum in exact DECIMAL
     // (double Σ of irrationals is order-dependent), one division each

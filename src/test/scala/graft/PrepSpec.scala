@@ -667,4 +667,84 @@ class PrepSpec extends AnyFunSuite {
     assert(sw(0) < sw(1) && sw(1) < sw(2))
     assert(mix(0) > sw(0) && mix(2) < sw(2))
   }
+
+  test("lossReweight: a hardness spread past the DECIMAL(28,9) exp range " +
+      "fails loudly instead of silently nulling every weight") {
+    import spark.implicits._
+    val wild = Seq(("tame", 1.0), ("wild", 60.0))
+      .toDF("source", "bits_per_token")
+    val ex = intercept[Exception] {
+      Prep.lossReweight(wild, "source", "bits_per_token").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("lossReweight")),
+      msgs(ex).mkString(" | "))
+    // a spread inside the bound still fits (the happy path is unchanged)
+    assert(Prep.lossReweight(Seq(("a", 1.0), ("b", 40.0))
+      .toDF("source", "bits_per_token"), "source", "bits_per_token")
+      .count() == 2L)
+  }
+
+  test("mixtureScheduleWeighted: the temperature-weight handoff " +
+      "reproduces mixtureSchedule's stride (the DoReMi handoff pin — " +
+      "same (source, id, k), virtual times within one nano)") {
+    val docs = Tables.documents(spark, dir)
+    val viaWeights = Prep.mixtureScheduleWeighted(docs, col("lang"),
+        col("doc_id"), Prep.temperatureMixture(docs, col("lang")),
+        "source", "q_temp")
+      .orderBy("source", "id").collect()
+      .map(r => (r.getString(1), r.get(2).toString, r.getInt(3),
+        r.getDouble(0)))
+    val direct = Prep.mixtureSchedule(docs, col("lang"), col("doc_id"))
+      .orderBy("source", "id").collect()
+      .map(r => (r.getString(1), r.get(2).toString, r.getInt(3),
+        r.getDouble(0)))
+    assert(viaWeights.nonEmpty && viaWeights.length == direct.length)
+    viaWeights.zip(direct).foreach { case (w, d) =>
+      assert((w._1, w._2, w._3) == ((d._1, d._2, d._3)), s"$w vs $d")
+      // weighted = truncating nano division, schedule = round(…, 9):
+      // they agree to one nano on the same weight
+      assert(math.abs(w._4 - d._4) <= 1e-9 + 1e-12, s"$w vs $d")
+    }
+  }
+
+  test("mixtureTargetSample: max-rate source kept whole, survivors track " +
+      "the target proportions, absent sources drop, partitioning-" +
+      "independent") {
+    import spark.implicits._
+    // sizes 600/270/30 with UNIFORM target weights: 'small' has the max
+    // rate-per-row (w/30) and is kept whole; the others thin toward 30
+    val df = (1 to 900).map(i => (s"d$i",
+        if (i <= 600) "big" else if (i <= 870) "mid" else "small"))
+      .toDF("doc_id", "source")
+    val third = BigDecimal(1.0 / 3)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val w = Seq(("big", third), ("mid", third), ("small", third))
+      .toDF("source", "mixture_weight")
+    val kept = Prep.mixtureTargetSample(df, "doc_id", "source", w,
+        "source", "mixture_weight")
+      .groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(kept("small") == 30L, s"max-rate source thinned: $kept")
+    // expected 30 each; md5-hash variance is deterministic but nonzero
+    assert(math.abs(kept("big") - 30L) <= 15 &&
+      math.abs(kept("mid") - 30L) <= 15, kept.toString)
+    // a source the measured policy never saw is dropped, not defaulted
+    val w2 = Seq(("big", 0.5), ("small", 0.5))
+      .toDF("source", "mixture_weight")
+    assert(Prep.mixtureTargetSample(df, "doc_id", "source", w2,
+      "source", "mixture_weight")
+      .filter(col("source") === "mid").count() == 0L)
+    // the keep decision is per-row integer arithmetic — identical on
+    // any partitioning
+    val again = Prep.mixtureTargetSample(df.repartition(7), "doc_id",
+        "source", w, "source", "mixture_weight")
+      .select("doc_id").as[String].collect().sorted.toSeq
+    val first = Prep.mixtureTargetSample(df, "doc_id", "source", w,
+        "source", "mixture_weight")
+      .select("doc_id").as[String].collect().sorted.toSeq
+    assert(first == again)
+  }
 }
