@@ -485,6 +485,88 @@ object TextAnalysis {
         col("n_bigrams"), col("bits_per_token"))
   }
 
+  /** FULL-ROTATION cross-validated [[domainHardness]] — every document
+    * scored held-out, not just the last fold: fold f's training model is
+    * the SUBTRACTION total − fold-f counts (the
+    * [[graft.ops.TokenModels.naiveBayesCrossVal]] leave-one-fold-out-by-
+    * arithmetic discipline), so all folds train SIMULTANEOUSLY from ONE
+    * count pass — never a per-fold corpus re-read. Scoring 4× the
+    * held-out mass halves the per-domain estimate's variance vs the
+    * single-fold [[domainHardness]] (and the fold=folds−1 slice is
+    * BIT-IDENTICAL to it — same train folds — the spec's equivalence
+    * pin).
+    *
+    * Train-vocabulary subtraction needs care only for V: a token counts
+    * for fold f's vocabulary iff it appears in ANY other fold, so
+    * V_f = V_all − |tokens exclusive to fold f| (exclusivity from one
+    * bounded (token → min/max fold) aggregate — no per-fold distinct
+    * pass).
+    *
+    * Shape at scale: the same ONE positioned-bigram explode and
+    * (doc, bigram) count shuffle as [[domainHardness]]; the model
+    * tables are aggregates OF that relation with the fold riding as a
+    * key, joined back on the same (w1, w2) / (w1) exchanges; the fold
+    * vocabulary is a ≤folds-row broadcast. Returns one row per
+    * (domainCol, fold): (domainCol, fold, n_docs, n_bigrams,
+    * bits_per_token) over held-out docs with ≥ 1 bigram.
+    */
+  def domainHardnessCv(df: DataFrame, idCol: String, textCol: String,
+      domainCol: String, folds: Int = 4): DataFrame = {
+    require(folds >= 2, "need >= 2 folds")
+    val t = col("__t")
+    val withToks = df.select(col(idCol).as("doc_id"),
+        col(domainCol).as("__dom"), toks(col(textCol)).as("__t"))
+      .withColumn("__fold", Prep.hashBucket(col("doc_id"), folds))
+    val starts = when(size(t) >= 2, sequence(lit(0), size(t) - 2))
+      .otherwise(array().cast("array<int>"))
+    val bigrams = transform(starts,
+      i => struct(element_at(t, i + 1).as("w1"),
+        element_at(t, i + 2).as("w2")))
+    val occ = withToks
+      .select(col("doc_id"), col("__dom"), col("__fold"),
+        explode(bigrams).as("bg"))
+      .select(col("doc_id"), col("__dom"), col("__fold"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("doc_id", "__dom", "__fold", "w1", "w2")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val cf = occ.groupBy("w1", "w2", "__fold").agg(sum(col("c")).as("__cf"))
+    val bcAll = cf.groupBy("w1", "w2").agg(sum(col("__cf")).as("__bc"))
+    val ucf = cf.groupBy("w1", "__fold").agg(sum(col("__cf")).as("__ucf"))
+    val ucAll = ucf.groupBy("w1").agg(sum(col("__ucf")).as("__uc"))
+    val perTok = withToks
+      .select(col("__fold"), explode(array_distinct(t)).as("__tok"))
+      .groupBy("__tok")
+      .agg(min(col("__fold")).as("__mnf"), max(col("__fold")).as("__mxf"))
+    val vAll = perTok.agg(count(lit(1)).as("__vall"))
+    val excl = perTok.filter(col("__mnf") === col("__mxf"))
+      .groupBy(col("__mnf").as("__fold")).agg(count(lit(1)).as("__excl"))
+    val foldVocab = df.sparkSession.range(folds)
+      .select(col("id").cast("long").as("__fold"))
+      .join(excl, Seq("__fold"), "left")
+      .crossJoin(broadcast(vAll))
+      .select(col("__fold"),
+        (col("__vall") - coalesce(col("__excl"), lit(0L))).as("__v"))
+    occ
+      .join(bcAll, Seq("w1", "w2"))
+      .join(cf, Seq("w1", "w2", "__fold"))
+      .join(ucAll, Seq("w1"))
+      .join(ucf, Seq("w1", "__fold"))
+      .join(broadcast(foldVocab), Seq("__fold"))
+      .withColumn("__bits",
+        round(-log((col("__bc") - col("__cf") + 1.0) /
+            (col("__uc") - col("__ucf") + col("__v"))) /
+          lit(math.log(2.0)), 9).cast(DecimalType(18, 9)))
+      .groupBy(col("__dom"), col("__fold"))
+      // c stays DECIMAL(10,0): the [[bigramLmBits]] precision-38 rule
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("c")).as("n_bigrams"),
+        round(sum(col("__bits") * col("c").cast(DecimalType(10, 0)))
+          .cast("double") / sum(col("c")), 6).as("bits_per_token"))
+      .select(col("__dom").as(domainCol), col("__fold").as("fold"),
+        col("n_docs"), col("n_bigrams"), col("bits_per_token"))
+  }
+
   /** Code-switching / language-mixing audit: language-ID every
     * fixed-size token chunk of a document ([[graft.ops.Prep.chunkText]] →
     * [[langId]]) and summarize the per-document language distribution —

@@ -563,4 +563,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     // seen < unseen: the floor is ABOVE the fitted bigram's bits
     assert(bX < bY)
   }
+
+  test("domainHardnessCv: the fold=folds-1 slice is bit-identical to " +
+      "domainHardness (same train folds by count subtraction), and every " +
+      "fold scores held-out mass") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark,
+      "/root/testdata/sf0.001")
+    val folds = 4
+    val cv = TextAnalysis.domainHardnessCv(docs, "doc_id", "text",
+      "source", folds)
+    val lastSlice = cv.filter(col("fold") === folds - 1)
+      .select("source", "n_docs", "n_bigrams", "bits_per_token")
+      .orderBy("source").collect()
+    val oneFold = TextAnalysis.domainHardness(docs, "doc_id", "text",
+        "source", folds)
+      .orderBy("source").collect()
+    assert(lastSlice.nonEmpty && lastSlice.sameElements(oneFold))
+    // rotation covers every fold for every domain present in all folds,
+    // and the total held-out doc mass is the whole bigram-bearing corpus
+    val cvRows = cv.collect()
+    val nDocsCv = cvRows.map(_.getAs[Long]("n_docs")).sum
+    val nDocsAll = TextAnalysis.bigramLmBits(docs, "doc_id", "text")
+      .count()
+    assert(nDocsCv == nDocsAll,
+      s"CV held-out docs $nDocsCv != bigram-bearing docs $nDocsAll")
+  }
 }
