@@ -436,6 +436,54 @@ object TextQueries {
         SgdBuckets, SgdIters, SgdEtaShift, SgdBias)
       .orderBy("doc_id")
 
+  private val SgdCalBins = 10
+
+  /** Calibrated classifier serving — the production form a quality
+    * classifier ships in (Zadrozny & Elkan 2002): [[sgdClassifier]]'s
+    * exact margins become a RATIONAL [0,1] probability by min-max
+    * normalization ((s − min)/(max − min), integer arithmetic end to
+    * end), bin into [[SgdCalBins]] calibration buckets
+    * ([[graft.ops.Eval.calibrationBins]]), recalibrate with the
+    * isotonic minimax closed form
+    * ([[graft.ops.Eval.isotonicCalibration]]), and report the Murphy
+    * reliability/resolution split ([[graft.ops.Eval
+    * .brierDecomposition]]) BEFORE (stated probability = bin mean) and
+    * AFTER (stated probability = iso_rate) — the number that says what
+    * recalibration actually bought.
+    *
+    * Shape at scale: the fit is [[sgdClassifier]]'s (one count shuffle,
+    * bounded iterations); everything downstream of the margins runs on
+    * the ≤bins-row relation. Two output rows: (stage ∈ isotonic|raw,
+    * n, n_pos, base_rate, reliability, resolution, uncertainty, brier).
+    */
+  def sgdCalibrated(spark: SparkSession, dir: String): DataFrame = {
+    val scored = graft.ops.TokenModels.sgdLinear(
+        Tables.documents(spark, dir), "doc_id", "text",
+        col("n_chars") >= SgdThresh, SgdBuckets, SgdIters, SgdEtaShift,
+        SgdBias)
+      .localCheckpoint() // the 12-round fit must not replay per branch
+    val mm = scored.agg(min("score_nano").as("__mn"),
+      max("score_nano").as("__mx"))
+    val binned = graft.ops.Eval.calibrationBins(
+        scored.crossJoin(broadcast(mm)),
+        col("score_nano") - col("__mn"), col("__mx") - col("__mn"),
+        col("is_target"), SgdCalBins)
+      .localCheckpoint() // ≤bins rows, shared by iso + both brier arms
+    val iso = graft.ops.Eval.isotonicCalibration(binned, "bin", "n",
+      "n_pos")
+    val before = graft.ops.Eval.brierDecomposition(binned, "n", "n_pos",
+        "avg_prob")
+      .withColumn("stage", lit("raw"))
+    val after = graft.ops.Eval.brierDecomposition(iso, "n", "n_pos",
+        "iso_rate")
+      .withColumn("stage", lit("isotonic"))
+    before.unionByName(after)
+      .select(col("stage"), col("n"), col("n_pos"), col("base_rate"),
+        col("reliability"), col("resolution"), col("uncertainty"),
+        col("brier"))
+      .orderBy("stage")
+  }
+
   /** The sgdLinear loop unrolled into MATERIALIZED per-iteration CTEs —
     * margins m{r}, per-bucket gradients g{r}, weights w{r} — in exact
     * HUGEINT (the Spark twin is DECIMAL(38,0)). `tdiv` is the
@@ -466,6 +514,73 @@ object TextQueries {
        |  CAST(agg.top.b AS INT) AS top_bucket,
        |  CAST(agg.top.c AS BIGINT) AS contrib_nano
        |FROM agg JOIN d USING (doc_id) ORDER BY agg.doc_id""".stripMargin
+
+  /** The calibration chain on [[sgdCtesSql]]'s final margins: integer
+    * min-max bins (floor-division bin ids), the bins² isotonic minimax,
+    * and the Murphy decomposition replayed twice — raw bin means vs
+    * iso_rate as the stated probability. Every rounding point mirrors
+    * [[graft.ops.Eval]] (9-dp rates, exact-DECIMAL term sums).
+    */
+  private lazy val sgdCalibratedOracleSql: String = {
+    val B = SgdCalBins
+    // one Murphy block over rel(n, n_pos, pb, ob)
+    def brier(p: String, rel: String, stage: String) =
+      s"""${p}t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+         |    CAST(sum(n_pos) AS BIGINT) AS pp FROM $rel),
+         |${p}tt AS (SELECT nn, pp,
+         |    round(CAST(pp AS DOUBLE) / nn, 9) AS obar FROM ${p}t),
+         |${p}s AS (SELECT nn, pp, obar,
+         |    sum(CAST(round((r.pb - r.ob) * (r.pb - r.ob) * r.n, 9)
+         |      AS DECIMAL(28,9))) AS reln,
+         |    sum(CAST(round((r.ob - obar) * (r.ob - obar) * r.n, 9)
+         |      AS DECIMAL(28,9))) AS resn
+         |  FROM $rel r, ${p}tt GROUP BY nn, pp, obar),
+         |${p}f AS (SELECT '$stage' AS stage, nn AS n, pp AS n_pos,
+         |    obar AS base_rate,
+         |    round(CAST(reln AS DOUBLE) / nn, 9) AS reliability,
+         |    round(CAST(resn AS DOUBLE) / nn, 9) AS resolution,
+         |    round(obar * (1.0 - obar), 9) AS uncertainty,
+         |    round(round(CAST(reln AS DOUBLE) / nn, 9)
+         |      - round(CAST(resn AS DOUBLE) / nn, 9)
+         |      + round(obar * (1.0 - obar), 9), 9) AS brier
+         |  FROM ${p}s)""".stripMargin
+    s"""$sgdCtesSql,
+       |sc AS (SELECT mf.doc_id, d.t, CAST(mf.a AS BIGINT) AS s
+       |  FROM (SELECT occ.doc_id, sum(CAST(occ.c AS HUGEINT) * w.w) AS a
+       |        FROM occ JOIN w$SgdIters w USING (bucket) GROUP BY 1) mf
+       |  JOIN d USING (doc_id)),
+       |mmx AS (SELECT min(s) AS mn, max(s) AS mx FROM sc),
+       |bx AS (SELECT least(((s - mn) * $B) // (mx - mn), ${B - 1}) AS bin,
+       |    s - mn AS num, mx - mn AS den,
+       |    CASE WHEN t THEN 1 ELSE 0 END AS y
+       |  FROM sc, mmx),
+       |binned AS (SELECT bin, count(*) AS n,
+       |    CAST(sum(y) AS BIGINT) AS n_pos,
+       |    CAST(sum(num) AS BIGINT) AS sum_num, max(den) AS den
+       |  FROM bx GROUP BY 1),
+       |rawp AS (SELECT n, n_pos,
+       |    round(CAST(sum_num AS DOUBLE) / (n * den), 9) AS pb,
+       |    round(CAST(n_pos AS DOUBLE) / n, 9) AS ob FROM binned),
+       |pre AS (SELECT bin, n, n_pos,
+       |    sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn,
+       |    sum(n_pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cp
+       |  FROM binned),
+       |rng AS (SELECT lo.bin AS i, hi.bin AS j,
+       |    round(CAST(hi.cp - (lo.cp - lo.n_pos) AS DOUBLE)
+       |      / (hi.cn - (lo.cn - lo.n)), 9) AS m
+       |  FROM pre lo JOIN pre hi ON hi.bin >= lo.bin),
+       |innr AS (SELECT k.bin AS k, rng.i, min(rng.m) AS mn
+       |  FROM rng JOIN binned k ON rng.i <= k.bin AND rng.j >= k.bin
+       |  GROUP BY 1, 2),
+       |iso AS (SELECT k AS bin, max(mn) AS iso_rate FROM innr GROUP BY 1),
+       |isop AS (SELECT b.n, b.n_pos, iso.iso_rate AS pb,
+       |    round(CAST(b.n_pos AS DOUBLE) / b.n, 9) AS ob
+       |  FROM binned b JOIN iso USING (bin)),
+       |${brier("br", "rawp", "raw")},
+       |${brier("bi", "isop", "isotonic")}
+       |SELECT * FROM (SELECT * FROM brf UNION ALL SELECT * FROM bif)
+       |ORDER BY stage""".stripMargin
+  }
 
   private lazy val sgdCtesSql: String = {
     val B = SgdBuckets
@@ -786,6 +901,7 @@ object TextQueries {
     "text_label_noise" -> labelNoise,
     "text_nb_learning_curve" -> nbLearningCurve,
     "text_sgd_classifier" -> sgdClassifier,
+    "text_sgd_calibrated" -> sgdCalibrated,
     "text_sgd_attribution" -> sgdAttributionQ,
     "text_sgd_learning_curve" -> sgdLearningCurveQ,
     "text_dup_ngram_coverage" -> dupCoverage,
@@ -1271,6 +1387,7 @@ object TextQueries {
     // (nano-unit weights, sign-explicit truncating divisions), so the
     // replay is bit-identical — no rounding surface anywhere
     "text_sgd_classifier" -> sgdOracleSql,
+    "text_sgd_calibrated" -> sgdCalibratedOracleSql,
     // the same exact-HUGEINT GD replay with the level key riding every
     // iteration CTE; held-out accuracy per nested training level
     "text_sgd_learning_curve" -> sgdLcOracleSql,
