@@ -882,6 +882,21 @@ object EventOps {
       gridDays: Int = 70, alphaNum: Int = 3, alphaDen: Int = 10,
       betaNum: Int = 1, betaDen: Int = 10, gammaNum: Int = 2,
       gammaDen: Int = 10): DataFrame = {
+    val day = floor(unix_micros(col(tsCol)) / lit(86400000000L))
+      .cast("long")
+    holtWintersDaily(
+      df.groupBy(day.as("__day")).agg(count(lit(1)).as("__y")),
+      season, gridDays, alphaNum, alphaDen, betaNum, betaDen,
+      gammaNum, gammaDen)
+  }
+
+  /** [[holtWinters]] on a pre-aggregated (`__day`, `__y`) relation —
+    * the seam that lets the BIGINT overflow guard be spec-driven with
+    * synthetic counts no real event stream could produce.
+    */
+  private[graft] def holtWintersDaily(daily: DataFrame, season: Int,
+      gridDays: Int, alphaNum: Int, alphaDen: Int, betaNum: Int,
+      betaDen: Int, gammaNum: Int, gammaDen: Int): DataFrame = {
     require(season >= 1 && gridDays > season && gridDays <= 1000,
       "holtWinters: need season >= 1 and season < gridDays <= 1000")
     require(alphaDen > 0 && betaDen > 0 && gammaDen > 0 &&
@@ -889,21 +904,33 @@ object EventOps {
       betaNum <= betaDen && gammaNum >= 0 && gammaNum <= gammaDen,
       "holtWinters: smoothing rationals must lie in [0, 1]")
     val N = lit(1000000000L)
-    val day = floor(unix_micros(col(tsCol)) / lit(86400000000L))
-      .cast("long")
-    val daily = df.groupBy(day.as("__day")).agg(count(lit(1)).as("__y"))
+    // BIGINT overflow gate: each update is a linear combination with
+    // coefficients ≤ den over nano-state whose magnitude tracks
+    // ~2·maxY·10⁹, so maxY beyond Long.Max/(10⁹·maxDen·8) could wrap
+    // SILENTLY mid-recursion. Fail loudly at execution instead (the
+    // lossReweight/minSeed discipline); [[holtWintersMult]]'s
+    // DECIMAL(38,0) state is the widening past this bound.
+    val maxDen = Seq(alphaDen, betaDen, gammaDen).max
+    val yBound = Long.MaxValue / 1000000000L / maxDen / 8L
     val grid = daily.agg(max("__day").as("__maxd"))
       .select(explode(sequence(col("__maxd") - (gridDays - 1),
         col("__maxd"))).as("__day"))
       .join(daily, Seq("__day"), "left")
       .select(col("__day"), coalesce(col("__y"), lit(0L)).as("__y"))
-    // ONE row: the ordered (day, count) array + the exact init state
+    // ONE row: the ordered (day, count) array + the exact init state;
+    // __l0 routes through the overflow gate so a too-large daily count
+    // raises before any wrapped arithmetic can leave the plan
     val packed = grid
       .agg(array_sort(collect_list(struct(col("__day"), col("__y"))))
-        .as("__g"))
+        .as("__g"), max(col("__y")).as("__my"))
       .select(col("__g"),
-        fdivL(aggregate(slice(col("__g"), 1, season), lit(0L),
-          (acc, e) => acc + e.getField("__y") * N), lit(season.toLong))
+        when(col("__my") <= yBound,
+          fdivL(aggregate(slice(col("__g"), 1, season), lit(0L),
+            (acc, e) => acc + e.getField("__y") * N), lit(season.toLong)))
+          .otherwise(raise_error(concat(
+            lit("holtWinters: max daily count "), col("__my"),
+            lit(s" exceeds the BIGINT nano-state bound $yBound — use " +
+              "holtWintersMult's DECIMAL(38,0) recursion"))))
           .as("__l0"))
       .select(col("__g"), col("__l0"),
         transform(slice(col("__g"), 1, season),
@@ -943,6 +970,142 @@ object EventOps {
         col("__o.level_nano").as("level_nano"),
         col("__o.trend_nano").as("trend_nano"),
         col("__o.season_nano").as("season_nano"))
+      .orderBy("day")
+  }
+
+  private val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+
+  /** Exact floor division for DECIMAL(38,0) expressions (any-sign
+    * numerator, positive divisor): subtract the pmod first so the
+    * decimal division is of an exactly-divisible numerator — its
+    * rounding is vacuous and the result is the exact floor quotient
+    * (the [[graft.ops.Linkage]] nano-EM spelling).
+    */
+  private def fdivD(x: Column, d: Column): Column =
+    ((x - pmod(x, d)) / d).cast(D38)
+
+  /** MULTIPLICATIVE-seasonality Holt–Winters (Winters 1960 §3's ratio
+    * form) over the same bounded-unroll contract as the additive
+    * [[holtWinters]] — for series whose seasonal swing scales with the
+    * level (a 2× traffic level doubles the weekday/weekend gap too):
+    *   ℓ_t = α·y_t/s_{t−m} + (1−α)(ℓ+b),
+    *   s_t = γ·y_t/ℓ_t + (1−γ)s_{t−m},  forecast = (ℓ+b)·s_{t−m}.
+    *
+    * POSITIVITY: the ratio form is undefined on zero data (a zero
+    * first season puts 0 in every denominator and the level explodes on
+    * the first real observation — measured: 40 leading zero-filled days
+    * at sf0.001 drove state past 10¹⁹). Two standard moves, both
+    * mirrored in the oracle: the grid ANCHORS at the first observed day
+    * (never padding the model's warm-up season with synthetic zeros),
+    * and the model fits the +1-SHIFTED series y′ = y + 1 (interior
+    * zero days stay positive); the reported forecast subtracts the
+    * shift back, and the state columns describe y′.
+    *
+    * DECIMAL(38,0) NANO-INTEGER STATE — the widening the additive
+    * variant's BIGINT guard points at: level/trend in nano units,
+    * seasonal RATIOS in nano (1.0 = 10⁹), and each ratio observation is
+    * ONE exact floor division of y′·10¹⁸ by the positive state
+    * (`greatest(·, 1)` backstops degeneracy). Products stay ≤ ~10³⁰
+    * for daily counts ≤ 10⁶ at any seasonal amplitude the anchored
+    * positive series can produce, far inside precision 38, and every
+    * step is integer linear combination + pmod-floor division —
+    * bit-identical on any engine (DuckDB twin: HUGEINT + the pmod
+    * identity; `//` truncates, so negatives never reach it raw).
+    *
+    * Init: ℓ₀ = ⌊Σ_{first season} y′·10⁹ / m⌋, b₀ = 0,
+    * s_i = ⌊y′_i·10¹⁸ / max(ℓ₀, 1)⌋. Returns one row per day after the
+    * first season: (day, actual, forecast_nano = (ℓ+b)·s/10⁹ − 10⁹,
+    * level_nano, trend_nano, season_ratio_nano) — BIGINTs at the query
+    * edge (exact below 9.2·10¹⁸; the recursion itself never leaves
+    * DECIMAL(38,0)).
+    */
+  def holtWintersMult(df: DataFrame, tsCol: String, season: Int = 7,
+      gridDays: Int = 70, alphaNum: Int = 3, alphaDen: Int = 10,
+      betaNum: Int = 1, betaDen: Int = 10, gammaNum: Int = 2,
+      gammaDen: Int = 10): DataFrame = {
+    val day = floor(unix_micros(col(tsCol)) / lit(86400000000L))
+      .cast("long")
+    holtWintersMultDaily(
+      df.groupBy(day.as("__day")).agg(count(lit(1)).as("__y")),
+      season, gridDays, alphaNum, alphaDen, betaNum, betaDen,
+      gammaNum, gammaDen)
+  }
+
+  /** [[holtWintersMult]] on a pre-aggregated (`__day`, `__y`) relation
+    * (the [[holtWintersDaily]] spec seam).
+    */
+  private[graft] def holtWintersMultDaily(daily: DataFrame, season: Int,
+      gridDays: Int, alphaNum: Int, alphaDen: Int, betaNum: Int,
+      betaDen: Int, gammaNum: Int, gammaDen: Int): DataFrame = {
+    require(season >= 1 && gridDays > season && gridDays <= 1000,
+      "holtWintersMult: need season >= 1 and season < gridDays <= 1000")
+    require(alphaDen > 0 && betaDen > 0 && gammaDen > 0 &&
+      alphaNum >= 0 && alphaNum <= alphaDen && betaNum >= 0 &&
+      betaNum <= betaDen && gammaNum >= 0 && gammaNum <= gammaDen,
+      "holtWintersMult: smoothing rationals must lie in [0, 1]")
+    def dl(v: Long): Column = lit(v).cast(D38)
+    val E9 = dl(1000000000L)
+    val one = dl(1L)
+    // anchored grid: never before the first OBSERVED day (synthetic
+    // zero-padding a warm-up season is what detonates the ratio form)
+    val grid = daily
+      .agg(max("__day").as("__maxd"), min("__day").as("__mind"))
+      .select(explode(sequence(
+        greatest(col("__maxd") - (gridDays - 1), col("__mind")),
+        col("__maxd"))).as("__day"))
+      .join(daily, Seq("__day"), "left")
+      .select(col("__day"), coalesce(col("__y"), lit(0L)).as("__y"))
+    // y′ = y + 1 everywhere the MODEL sees a count; `actual` stays y
+    def yp(e: Column): Column = (e.getField("__y") + 1L).cast(D38)
+    val packed = grid
+      .agg(array_sort(collect_list(struct(col("__day"), col("__y"))))
+        .as("__g"))
+      .select(col("__g"),
+        fdivD(aggregate(slice(col("__g"), 1, season), dl(0L),
+          (acc, e) => (acc + yp(e) * E9).cast(D38)),
+          dl(season.toLong)).as("__l0"))
+      .select(col("__g"), col("__l0"),
+        transform(slice(col("__g"), 1, season),
+          e => fdivD(yp(e) * E9 * E9, greatest(col("__l0"), one)))
+          .as("__s0"))
+    val outType = "array<struct<day:bigint,actual:bigint," +
+      "forecast_nano:decimal(38,0),level_nano:decimal(38,0)," +
+      "trend_nano:decimal(38,0),season_ratio_nano:decimal(38,0)>>"
+    def step(st: Column, e: Column): Column = {
+      val yE = (yp(e) * E9).cast(D38) * E9
+      val l = st.getField("l"); val b = st.getField("b")
+      val sHead = element_at(st.getField("s"), 1)
+      val fc = fdivD(((l + b).cast(D38) * sHead).cast(D38), E9)
+      val dLev = fdivD(yE, greatest(sHead, one))
+      val l1 = fdivD(dl(alphaNum.toLong) * dLev +
+        dl((alphaDen - alphaNum).toLong) * (l + b), dl(alphaDen.toLong))
+      val b1 = fdivD(dl(betaNum.toLong) * (l1 - l) +
+        dl((betaDen - betaNum).toLong) * b, dl(betaDen.toLong))
+      val rat = fdivD(yE, greatest(l1, one))
+      val s1 = fdivD(dl(gammaNum.toLong) * rat +
+        dl((gammaDen - gammaNum).toLong) * sHead, dl(gammaDen.toLong))
+      struct(l1.as("l"), b1.as("b"),
+        concat(slice(st.getField("s"), 2, season - 1), array(s1))
+          .as("s"),
+        concat(st.getField("out"), array(struct(
+          e.getField("__day").as("day"), e.getField("__y").as("actual"),
+          fc.as("forecast_nano"), l1.as("level_nano"),
+          b1.as("trend_nano"), s1.as("season_ratio_nano")))).as("out"))
+    }
+    val init = struct(col("__l0").as("l"), dl(0L).as("b"),
+      col("__s0").as("s"), array().cast(outType).as("out"))
+    packed
+      .select(explode(aggregate(
+        slice(col("__g"), season + 1, gridDays - season), init, step)
+        .getField("out")).as("__o"))
+      .select(col("__o.day").as("day"), col("__o.actual").as("actual"),
+        // subtract the +1 shift back (in nano) so the forecast is of y
+        (col("__o.forecast_nano") - lit(1000000000L)).cast("long")
+          .as("forecast_nano"),
+        col("__o.level_nano").cast("long").as("level_nano"),
+        col("__o.trend_nano").cast("long").as("trend_nano"),
+        col("__o.season_ratio_nano").cast("long")
+          .as("season_ratio_nano"))
       .orderBy("day")
   }
 

@@ -531,6 +531,15 @@ object FeatureQueries {
   def holtWintersQ(spark: SparkSession, dir: String): DataFrame =
     EventOps.holtWinters(Tables.events(spark, dir), "ts")
 
+  /** Multiplicative Holt–Winters over the same grid
+    * ([[graft.ops.EventOps.holtWintersMult]]): seasonal RATIOS in
+    * DECIMAL(38,0) nano state — the widened recursion the additive
+    * variant's BIGINT guard points at — for series whose weekly swing
+    * scales with the level.
+    */
+  def holtWintersMultQ(spark: SparkSession, dir: String): DataFrame =
+    EventOps.holtWintersMult(Tables.events(spark, dir), "ts")
+
   /** Per-node in/out degree profile of the purchase graph
     * ([[graft.ops.Graph.degreeStats]]) — the 1-hop structural feature set
     * and the skew input to the graph operators' join planning.
@@ -698,6 +707,7 @@ object FeatureQueries {
     "feat_random_walks" -> randomWalks,
     "feat_seasonal_naive" -> seasonalNaive,
     "feat_holt_winters" -> holtWintersQ,
+    "feat_holt_winters_mult" -> holtWintersMultQ,
     "feat_degree_stats" -> degreeStats,
     "feat_markov_transitions" -> markovTransitions,
     "feat_forward_fill" -> forwardFill,
@@ -2029,6 +2039,63 @@ object FeatureQueries {
          |      FROM hw JOIN grid g ON g.i = hw.t + 1) q) q2)
          |SELECT day, actual, fc AS forecast_nano, l AS level_nano,
          |  b AS trend_nano, snew AS season_nano
+         |FROM hw WHERE day IS NOT NULL ORDER BY day""".stripMargin
+    },
+    // the multiplicative recursion in HUGEINT (the Spark twin is
+    // DECIMAL(38,0)): grid anchored at the first observed day, model on
+    // the +1-shifted series (the ratio form is undefined on zeros),
+    // seasonal RATIOS in nano units, each ratio one pmod-floor division
+    // of y′·10¹⁸ by greatest(state, 1), same rotating-list seasonal
+    // state as the additive replay; the output forecast subtracts the
+    // shift back
+    "feat_holt_winters_mult" -> {
+      val (m, gd) = (7, 70)
+      def fdiv(x: String, d: String) =
+        s"(($x) - ((($x) % ($d) + ($d)) % ($d))) // ($d)"
+      val rat = fdiv("ye", "greatest(l1, 1)")
+      val dlev = fdiv("ye", "greatest(sh, 1)")
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS y
+         |  FROM events GROUP BY 1),
+         |mx AS (SELECT max(day) AS maxd, min(day) AS mind FROM daily),
+         |grid AS MATERIALIZED (SELECT gs.day AS day,
+         |    coalesce(daily.y, 0) AS y,
+         |    row_number() OVER (ORDER BY gs.day) AS i
+         |  FROM (SELECT unnest(generate_series(
+         |        greatest(maxd - ${gd - 1}, mind), maxd))
+         |      AS day FROM mx) gs
+         |  LEFT JOIN daily ON daily.day = gs.day),
+         |l0 AS (SELECT CAST(${fdiv(
+              "sum(CAST(y + 1 AS HUGEINT)) * 1000000000",
+              m.toString)} AS HUGEINT) AS l
+         |  FROM grid WHERE i <= $m),
+         |sini AS (SELECT list(CAST(${fdiv(
+              "CAST(y + 1 AS HUGEINT) * 1000000000 * 1000000000",
+              "greatest(l0.l, 1)")} AS HUGEINT) ORDER BY i) AS s
+         |  FROM grid, l0 WHERE i <= $m),
+         |hw AS (
+         |  SELECT $m AS t, l0.l AS l, CAST(0 AS HUGEINT) AS b, sini.s AS s,
+         |    CAST(NULL AS BIGINT) AS day, CAST(NULL AS BIGINT) AS actual,
+         |    CAST(NULL AS HUGEINT) AS fc, CAST(NULL AS HUGEINT) AS snew
+         |  FROM l0, sini
+         |  UNION ALL
+         |  SELECT t, l1,
+         |    CAST(${fdiv("1 * (l1 - l) + 9 * b", "10")} AS HUGEINT),
+         |    s[2:] || [CAST(${fdiv(s"2 * ($rat) + 8 * sh", "10")}
+         |      AS HUGEINT)],
+         |    day, y, ${fdiv("(l + b) * sh", "1000000000")},
+         |    CAST(${fdiv(s"2 * ($rat) + 8 * sh", "10")} AS HUGEINT)
+         |  FROM (
+         |    SELECT q.*, CAST(${fdiv(s"3 * ($dlev) + 7 * (l + b)", "10")}
+         |        AS HUGEINT) AS l1
+         |    FROM (SELECT g.i AS t, g.day, g.y,
+         |        CAST(g.y + 1 AS HUGEINT) * 1000000000 * 1000000000 AS ye,
+         |        hw.l, hw.b, hw.s, hw.s[1] AS sh
+         |      FROM hw JOIN grid g ON g.i = hw.t + 1) q) q2)
+         |SELECT day, actual,
+         |  CAST(fc - 1000000000 AS BIGINT) AS forecast_nano,
+         |  CAST(l AS BIGINT) AS level_nano, CAST(b AS BIGINT) AS trend_nano,
+         |  CAST(snew AS BIGINT) AS season_ratio_nano
          |FROM hw WHERE day IS NOT NULL ORDER BY day""".stripMargin
     },
     "feat_markov_transitions" ->

@@ -648,6 +648,74 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got.exists(r => r._1 == 5L && r._2 == 0L))
   }
 
+  test("holtWinters: a daily count past the BIGINT nano-state bound " +
+      "fails loudly instead of wrapping mid-recursion") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the spec seam: counts no real stream could produce, injected as a
+    // pre-aggregated daily relation
+    val huge = (0L until 10L).map(d =>
+      (d, if (d == 6L) 2000000000L else 5L)).toDF("__day", "__y")
+    val ex = intercept[Exception] {
+      graft.ops.EventOps.holtWintersDaily(huge, 3, 10, 3, 10, 1, 10,
+        2, 10).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("holtWinters")),
+      msgs(ex).mkString(" | "))
+    // the same series inside the bound fits (happy path unchanged)
+    val sane = (0L until 10L).map(d => (d, d + 5L)).toDF("__day", "__y")
+    assert(graft.ops.EventOps.holtWintersDaily(sane, 3, 10, 3, 10, 1, 10,
+      2, 10).count() == 7L)
+  }
+
+  test("holtWintersMult: bit-identical to the plain-BigInt ratio replay " +
+      "on the +1-shifted anchored series; a genuinely multiplicative " +
+      "series yields seasonal ratios near the true factors") {
+    def ts(d: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(d * 86400L + 60L))
+    val (season, gridDays) = (3, 12)
+    // level ~ doubles across the window; seasonal factors ~ (0.5, 1, 2):
+    // the case multiplicative HW exists for. Day 7 empty (interior zero)
+    val counts = Map(0L -> 4, 1L -> 8, 2L -> 16, 3L -> 5, 4L -> 10,
+      5L -> 20, 6L -> 6, 8L -> 24, 9L -> 8, 10L -> 16, 11L -> 32)
+    val ev = counts.toSeq.flatMap { case (d, n) => Seq.fill(n)(d) }
+      .map(d => Tuple1(ts(d))).toDF("ts")
+    val got = graft.ops.EventOps.holtWintersMult(ev, "ts", season,
+        gridDays, 3, 10, 1, 10, 2, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val N = BigInt(1000000000L)
+    def fd(x: BigInt, d: BigInt): BigInt =
+      x /% d match { case (q0, r0) => if (r0 < 0) q0 - 1 else q0 }
+    val y = (0L until gridDays).map(d => BigInt(counts.getOrElse(d, 0)))
+    def ypp(t: Int): BigInt = y(t) + 1
+    var l = fd((0 until season).map(t => ypp(t) * N).sum, season)
+    var b = BigInt(0)
+    var s = (0 until season)
+      .map(t => fd(ypp(t) * N * N, l.max(1))).toVector
+    val expect = (season until gridDays.toInt).map { t =>
+      val yE = ypp(t) * N * N
+      val sh = s.head
+      val fc = fd((l + b) * sh, N)
+      val l1 = fd(3 * fd(yE, sh.max(1)) + 7 * (l + b), 10)
+      val b1 = fd(1 * (l1 - l) + 9 * b, 10)
+      val s1 = fd(2 * fd(yE, l1.max(1)) + 8 * sh, 10)
+      l = l1; b = b1; s = s.tail :+ s1
+      (t.toLong, y(t).toLong, (fc - N).toLong, l1.toLong, b1.toLong,
+        s1.toLong)
+    }
+    assert(got == expect, s"\n$got\nvs\n$expect")
+    // seasonal ratios track the true (0.5, 1, 2)-ish factors: the slot
+    // that carries the 2x factor reads near 2e9 nano, the 0.5x slot
+    // well under 1e9 — multiplicative state is RATIOS, not residuals
+    val lastSeason = got.takeRight(season).map(_._6)
+    assert(lastSeason.max > 1400000000L && lastSeason.min < 800000000L,
+      lastSeason.toString)
+  }
+
   test("fanoBurstiness: metronome reads 0, bursty reads > 1, " +
       "hand-computed values exact") {
     val spark2 = spark
