@@ -154,6 +154,103 @@ object Linkage {
       cand, fields, threshold, minSeed)
   }
 
+  /** [[fellegiSunterMulti]] with PER-PASS u stratification (Winkler's
+    * refinement: u is a property of the COMPARISON POPULATION, and each
+    * blocking pass samples a different non-match population —
+    * balance-band blocks are value-adjacent so their non-matches agree
+    * on `bal` far more often than the name-fold pass's do; a pooled u
+    * smears the two). Each candidate pair is assigned to the FIRST
+    * blocking pass that reached it (min pass index — deterministic via
+    * a min-struct aggregate, never dropDuplicates' arbitrary survivor),
+    * u_k estimates per pass from that pass's non-match candidates, and
+    * the pair scores under its own pass's weights. m stays pooled — it
+    * is a property of the MATCH population, which blocking does not
+    * stratify.
+    *
+    * Shape at scale: identical to [[fellegiSunterMulti]] plus one
+    * ≤|passes|-row u relation (a pass with no non-match candidates
+    * rides the Laplace floor via the pass-grid left join, never drops
+    * its pairs); the weights broadcast is |passes| rows instead of 1.
+    * Returns (a_id, b_id, pass, n_agree, weight, is_match) for pairs
+    * scoring ≥ `threshold`, pass = the assigning block column's name.
+    */
+  def fellegiSunterMultiU(a: DataFrame, b: DataFrame, idCol: String,
+      blockCols: Seq[String], fields: Seq[String],
+      threshold: Double = 0.0, minSeed: Long = 2L): DataFrame = {
+    require(blockCols.nonEmpty, "need >= 1 blocking key")
+    require(fields.nonEmpty, "linkage needs >= 1 comparison field")
+    require(minSeed >= 1, "minSeed must be >= 1")
+    val aS = a.select(col(idCol).as("__aid") +:
+      (blockCols.map(c => col(c).as(s"__ka_$c")) ++
+        fields.map(f => col(f).as(s"__a_$f"))): _*)
+    val bS = b.select(col(idCol).as("__bid") +:
+      (blockCols.map(c => col(c).as(s"__kb_$c")) ++
+        fields.map(f => col(f).as(s"__b_$f"))): _*)
+    val fieldCols = fields.flatMap(f =>
+      Seq(col(s"__a_$f"), col(s"__b_$f")))
+    val cand = blockCols.zipWithIndex.map { case (c, i) =>
+        aS.join(bS, col(s"__ka_$c") === col(s"__kb_$c"))
+          .select((Seq(col("__aid"), col("__bid"),
+            lit(i).as("__pass")) ++ fieldCols): _*)
+      }.reduce(_ unionByName _)
+      // min-struct: the payload fields are identical across arms for
+      // the same pair, so the struct order is driven by the pass index
+      .groupBy(col("__aid"), col("__bid"))
+      .agg(min(struct(col("__pass") +: fieldCols: _*)).as("__s"))
+      .select(Seq(col("__aid"), col("__bid"),
+        col("__s.__pass").as("__pass")) ++
+        fields.flatMap(f => Seq(col(s"__s.__a_$f").as(s"__a_$f"),
+          col(s"__s.__b_$f").as(s"__b_$f"))): _*)
+      .localCheckpoint()
+    // m pooled from the labeled true pairs, minSeed-gated (scorePairs'
+    // discipline)
+    val truePairs = aS.select(col("__aid") +:
+        fields.map(f => col(s"__a_$f")): _*)
+      .join(bS.select(col("__bid") +: fields.map(f => col(s"__b_$f")): _*),
+        col("__aid") === col("__bid"))
+    val mAggs = count(lit(1)).as("__n") +: fields.map(f =>
+      sum((col(s"__a_$f") <=> col(s"__b_$f")).cast("long")).as(s"__m_$f"))
+    val mRow = truePairs.agg(mAggs.head, mAggs.tail: _*)
+    // u per pass over that pass's non-match candidates; the pass grid
+    // left-join keeps an all-match pass on the Laplace floor
+    val uAggs = count(lit(1)).as("__nu") +: fields.map(f =>
+      sum((col(s"__a_$f") <=> col(s"__b_$f")).cast("long")).as(s"__u0_$f"))
+    val u0 = cand.filter(col("__aid") =!= col("__bid"))
+      .groupBy(col("__pass")).agg(uAggs.head, uAggs.tail: _*)
+    val uRel = cand.select(col("__pass")).distinct()
+      .join(u0, Seq("__pass"), "left")
+      .select(col("__pass") +: (coalesce(col("__nu"), lit(0L)).as("__nu") +:
+        fields.map(f =>
+          coalesce(col(s"__u0_$f"), lit(0L)).as(s"__u_$f"))): _*)
+    def lg2(x: Column): Column = round(log(x) / math.log(2.0), 9).cast(W)
+    val nGated = when(col("__n") >= minSeed, col("__n")).otherwise(
+      raise_error(concat(lit(s"fellegiSunterMultiU: labeled true-pair " +
+        s"seed has "), col("__n"), lit(s" rows < minSeed=$minSeed — " +
+        "m-estimation would collapse to Laplace 0.5"))))
+    val weights = mRow.crossJoin(uRel).select(col("__pass") +:
+      fields.flatMap { f =>
+        val m = (col(s"__m_$f") + 1).cast(DoubleType) / (nGated + 2)
+        val u = (col(s"__u_$f") + 1).cast(DoubleType) / (col("__nu") + 2)
+        Seq(lg2(m / u).as(s"__wa_$f"),
+          lg2((lit(1.0) - m) / (lit(1.0) - u)).as(s"__wd_$f"))
+      }: _*)
+    val agree = (f: String) => col(s"__a_$f") <=> col(s"__b_$f")
+    val score = fields.map(f =>
+      when(agree(f), col(s"__wa_$f")).otherwise(col(s"__wd_$f")))
+      .reduce(_ + _).cast(DecimalType(28, 9))
+    val nAgree = fields.map(f => agree(f).cast("int")).reduce(_ + _)
+    val passName = blockCols.zipWithIndex.foldLeft(lit(null)
+        .cast("string")) { case (acc, (c, i)) =>
+      when(col("__pass") === i, lit(c)).otherwise(acc)
+    }
+    cand.join(broadcast(weights), Seq("__pass"))
+      .select(col("__aid").as("a_id"), col("__bid").as("b_id"),
+        passName.as("pass"), nAgree.as("n_agree"),
+        round(score.cast(DoubleType), 9).as("weight"),
+        (col("__aid") === col("__bid")).as("is_match"))
+      .filter(col("weight") >= threshold)
+  }
+
   /** Blocking-recall audit — the number [[fellegiSunter]] silently
     * depends on: a true pair whose corrupted blocking field crosses a
     * block boundary is UNREACHABLE (no candidate is ever generated), and

@@ -343,6 +343,26 @@ object DedupQueries {
       .orderBy("a_id", "b_id")
   }
 
+  /** [[linkageMultipassQ]] with PER-PASS u (Winkler's stratification,
+    * [[graft.ops.Linkage.fellegiSunterMultiU]]): the balance-band
+    * pass's non-matches are value-adjacent (they agree on `bal` ~35×
+    * more often than the name pass's random-within-nation non-matches),
+    * so the pooled u under-weights a bal agreement for band-pass pairs
+    * and over-weights it for name-pass pairs — here each pair scores
+    * under the u of the population it was actually drawn from.
+    */
+  def linkageUpassQ(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b) = linkViews(spark, dir)
+    Linkage.fellegiSunterMultiU(
+        a.withColumnRenamed("block", "balance_band")
+          .withColumnRenamed("block2", "name_fold"),
+        b.withColumnRenamed("block", "balance_band")
+          .withColumnRenamed("block2", "name_fold"),
+        "rec_id", Seq("balance_band", "name_fold"),
+        Seq("name", "seg", "bal"), 0.0)
+      .orderBy("a_id", "b_id")
+  }
+
   /** Blocking-recall audit of the linkage blocking
     * ([[graft.ops.Linkage.blockingRecall]]): P(true pair shares ≥ 1
     * block) per pass and for the multi-pass union, with the candidate
@@ -383,6 +403,7 @@ object DedupQueries {
     "dedup_linkage_em" -> linkageEmQ,
     "dedup_linkage_recall" -> linkageRecallQ,
     "dedup_linkage_multipass" -> linkageMultipassQ,
+    "dedup_linkage_upass" -> linkageUpassQ,
     "dedup_lsh_plan" -> lshPlanQ,
     "dedup_span_removal" -> spanLevel,
     "dedup_suffix_spans" -> suffixSpans,
@@ -722,6 +743,99 @@ object DedupQueries {
          |    aid = bid AS is_match
          |  FROM cand, w)
          |SELECT aid AS a_id, bid AS b_id, n_agree, weight, is_match
+         |FROM sc WHERE weight >= 0.0 ORDER BY 1, 2""".stripMargin
+    },
+    // per-pass u: pairs assigned to their FIRST reaching pass (min pass
+    // over the union arms — grouped, never DISTINCT's arbitrary
+    // survivor), u estimated per pass (pass grid LEFT JOIN keeps an
+    // all-match pass on the Laplace floor), m pooled, each pair scored
+    // under its own pass's weights
+    "dedup_linkage_upass" -> {
+      def hbSql(suffix: String, n: Int) =
+        s"('0x' || substr(md5(id::VARCHAR || '$suffix'), 1, 12))::BIGINT" +
+          s" % $n = 0"
+      val band = s"((((bal * 100)::BIGINT) - ((((bal * 100)::BIGINT)" +
+        s" % $LinkBalBand + $LinkBalBand) % $LinkBalBand)) // $LinkBalBand)"
+      val ln2 = math.log(2.0)
+      val agreeBits =
+        """av.name IS NOT DISTINCT FROM bv.name AS gn,
+          |    av.seg IS NOT DISTINCT FROM bv.seg AS gs,
+          |    av.bal IS NOT DISTINCT FROM bv.bal AS gb""".stripMargin
+      s"""WITH c AS (SELECT c_custkey AS id, c_name AS name,
+         |    c_mktsegment AS seg, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+         |    c_nationkey AS nat FROM customer),
+         |b0 AS (SELECT id,
+         |    CASE WHEN ${hbSql("|nm", 2)} THEN upper(name)
+         |         ELSE name END AS name,
+         |    CASE WHEN ${hbSql("|sg", 5)} THEN reverse(seg)
+         |         ELSE seg END AS seg,
+         |    CASE WHEN ${hbSql("|ab", 3)}
+         |         THEN CAST(bal + 1 AS DECIMAL(18,2)) ELSE bal END AS bal,
+         |    nat FROM c),
+         |av AS MATERIALIZED (SELECT id,
+         |    nat::VARCHAR || '|' || $band::VARCHAR AS k1,
+         |    nat::VARCHAR || '|' || lower(name) AS k2,
+         |    name, seg, bal FROM c),
+         |bv AS MATERIALIZED (SELECT id,
+         |    nat::VARCHAR || '|' || $band::VARCHAR AS k1,
+         |    nat::VARCHAR || '|' || lower(name) AS k2,
+         |    name, seg, bal FROM b0),
+         |cand AS MATERIALIZED (SELECT aid, bid, gn, gs, gb,
+         |    min(pass) AS pass FROM (
+         |  SELECT av.id AS aid, bv.id AS bid, $agreeBits, 0 AS pass
+         |  FROM av JOIN bv ON av.k1 = bv.k1
+         |  UNION ALL
+         |  SELECT av.id, bv.id, $agreeBits, 1
+         |  FROM av JOIN bv ON av.k2 = bv.k2)
+         |  GROUP BY 1, 2, 3, 4, 5),
+         |tp AS (SELECT count(*) AS n,
+         |    CAST(sum((av.name IS NOT DISTINCT FROM bv.name)::INT)
+         |      AS BIGINT) AS mn,
+         |    CAST(sum((av.seg IS NOT DISTINCT FROM bv.seg)::INT)
+         |      AS BIGINT) AS ms,
+         |    CAST(sum((av.bal IS NOT DISTINCT FROM bv.bal)::INT)
+         |      AS BIGINT) AS mb
+         |  FROM av JOIN bv ON av.id = bv.id),
+         |ps AS (SELECT DISTINCT pass FROM cand),
+         |u0 AS (SELECT pass, count(*) AS nu,
+         |    CAST(sum(gn::INT) AS BIGINT) AS un,
+         |    CAST(sum(gs::INT) AS BIGINT) AS us,
+         |    CAST(sum(gb::INT) AS BIGINT) AS ub
+         |  FROM cand WHERE aid <> bid GROUP BY 1),
+         |u AS (SELECT ps.pass, coalesce(u0.nu, 0) AS nu,
+         |    coalesce(u0.un, 0) AS un, coalesce(u0.us, 0) AS us,
+         |    coalesce(u0.ub, 0) AS ub
+         |  FROM ps LEFT JOIN u0 USING (pass)),
+         |w AS (SELECT u.pass,
+         |    CAST(round(ln(((mn + 1.0) / (n + 2)) / ((un + 1.0) / (nu + 2)))
+         |      / $ln2, 9) AS DECIMAL(18,9)) AS wa_n,
+         |    CAST(round(ln((1.0 - (mn + 1.0) / (n + 2))
+         |        / (1.0 - (un + 1.0) / (nu + 2))) / $ln2, 9)
+         |      AS DECIMAL(18,9)) AS wd_n,
+         |    CAST(round(ln(((ms + 1.0) / (n + 2)) / ((us + 1.0) / (nu + 2)))
+         |      / $ln2, 9) AS DECIMAL(18,9)) AS wa_s,
+         |    CAST(round(ln((1.0 - (ms + 1.0) / (n + 2))
+         |        / (1.0 - (us + 1.0) / (nu + 2))) / $ln2, 9)
+         |      AS DECIMAL(18,9)) AS wd_s,
+         |    CAST(round(ln(((mb + 1.0) / (n + 2)) / ((ub + 1.0) / (nu + 2)))
+         |      / $ln2, 9) AS DECIMAL(18,9)) AS wa_b,
+         |    CAST(round(ln((1.0 - (mb + 1.0) / (n + 2))
+         |        / (1.0 - (ub + 1.0) / (nu + 2))) / $ln2, 9)
+         |      AS DECIMAL(18,9)) AS wd_b
+         |  FROM tp, u),
+         |sc AS (SELECT aid, bid, cand.pass,
+         |    gn::INT + gs::INT + gb::INT AS n_agree,
+         |    round(CAST(CAST(
+         |        (CASE WHEN gn THEN w.wa_n ELSE w.wd_n END)
+         |      + (CASE WHEN gs THEN w.wa_s ELSE w.wd_s END)
+         |      + (CASE WHEN gb THEN w.wa_b ELSE w.wd_b END)
+         |      AS DECIMAL(28,9)) AS DOUBLE), 9) AS weight,
+         |    aid = bid AS is_match
+         |  FROM cand JOIN w ON w.pass = cand.pass)
+         |SELECT aid AS a_id, bid AS b_id,
+         |  CASE WHEN pass = 0 THEN 'balance_band' ELSE 'name_fold' END
+         |    AS pass,
+         |  n_agree, weight, is_match
          |FROM sc WHERE weight >= 0.0 ORDER BY 1, 2""".stripMargin
     },
     // blocking recall: reachability from the id-joined truth, candidate

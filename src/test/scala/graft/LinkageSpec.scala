@@ -183,6 +183,31 @@ class LinkageSpec extends AnyFunSuite {
     assert(p2.contains(1L) && !p2.contains(2L))
   }
 
+  test("fellegiSunterMultiU: pairs score under their OWN pass's u — " +
+      "min-pass assignment, an all-match pass rides the Laplace floor " +
+      "instead of inheriting the other pass's non-match population") {
+    val a = Seq((1L, "A", "p", "sam"), (2L, "A", "q", "ann"),
+        (3L, "B", "r", "joe"))
+      .toDF("rec_id", "b1", "b2", "name")
+    val b = Seq((1L, "A", "p", "sam"), (2L, "A", "q", "ann"),
+        (3L, "C", "r", "joe")) // pass b1 misses (3,3); b2 reaches it
+      .toDF("rec_id", "b1", "b2", "name")
+    val got = Linkage.fellegiSunterMultiU(a, b, "rec_id", Seq("b1", "b2"),
+        Seq("name"), threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(4))).sortBy(x => (x._1, x._2))
+    // m = (3+1)/(3+2) = 0.8; pass b1 non-matches (1,2)/(2,1) disagree →
+    // u = (0+1)/(2+2) = 0.25; pass b2 has NO non-match candidates →
+    // u = Laplace (0+1)/(0+2) = 0.5
+    def lg2(x: Double) = BigDecimal(math.log(x) / math.log(2.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val w1 = lg2(0.8 / 0.25); val w2 = lg2(0.8 / 0.5)
+    assert(got.toSeq == Seq((1L, 1L, "b1", w1), (2L, 2L, "b1", w1),
+      (3L, 3L, "b2", w2)), got.mkString(", "))
+    // (1,1) is reachable through BOTH passes and lands on the FIRST
+    assert(got.head._3 == "b1")
+  }
+
   test("fellegiSunter: an empty labeled seed fails loudly instead of " +
       "silently fitting the Laplace-0.5 m model") {
     // disjoint id sets: the id-join true-pair sample is EMPTY, so
