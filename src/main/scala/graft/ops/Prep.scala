@@ -938,6 +938,50 @@ object Prep {
       .withColumn("deficit", col("epochs") > 1.0)
   }
 
+  /** [[tokenBudgetPlan]] under a MEASURED weight relation — the third
+    * consumer of the DoReMi handoff (schedule → [[mixtureScheduleWeighted]],
+    * sample → [[mixtureTargetSample]], provisioning sheet → here).
+    * Measured weights are 9-dp decimals that need not sum to exactly 1,
+    * so the allocation normalizes by THEIR OWN exact nano sum:
+    * `target_tokens = ⌊budget·wn_i / Σ wn⌋` — one DECIMAL(38,0)
+    * pmod-floor division per source (budget ≤ 10¹⁸ times wn ≤ 10⁹
+    * stays inside precision 38), never a float share. Sources absent
+    * from `weights` are excluded; a weighted source absent from the
+    * corpus reports NULL inventory (the [[tokenBudgetPlan]]
+    * conventions). Epochs/deficit as in [[tokenBudgetPlan]].
+    *
+    * One partial-aggregable inventory groupBy + a ≤|sources|-row
+    * broadcast; everything after is arithmetic on the bounded relation.
+    * Returns (source, n_docs, available_tokens, weight_nano,
+    * target_tokens, epochs, deficit).
+    */
+  def tokenBudgetPlanWeighted(docs: DataFrame, textCol: String,
+      sourceCol: String, weights: DataFrame, wSourceCol: String,
+      weightCol: String, totalBudget: Long): DataFrame = {
+    require(totalBudget > 0, s"totalBudget must be positive: $totalBudget")
+    val d38 = DecimalType(38, 0)
+    def fdiv(x: Column, d: Column): Column =
+      ((x - pmod(x, d)) / d).cast(d38)
+    val w = weights.select(col(wSourceCol).cast("string").as("source"),
+      (col(weightCol).cast(DecimalType(18, 9)) * 1000000000L)
+        .cast("long").as("weight_nano"))
+    val z = w.agg(sum(col("weight_nano")).as("__z"))
+    val inv = docs.groupBy(col(sourceCol).cast("string").as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks(col(textCol))).cast("long")).as("available_tokens"))
+    broadcast(w).join(inv, Seq("source"), "left_outer")
+      .crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("available_tokens"),
+        col("weight_nano"),
+        fdiv(lit(totalBudget).cast(d38) * col("weight_nano").cast(d38),
+          col("__z").cast(d38)).cast("long").as("target_tokens"))
+      .withColumn("epochs",
+        when(col("available_tokens") > 0,
+          round(col("target_tokens").cast("double")
+            / col("available_tokens"), 9)))
+      .withColumn("deficit", col("epochs") > 1.0)
+  }
+
   /** Span-corruption pretraining pairs (Raffel et al. 2020, the T5
     * denoising objective): deterministic hash-chosen spans of the token
     * stream are replaced by numbered sentinels in the INPUT, and the

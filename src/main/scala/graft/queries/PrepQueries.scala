@@ -416,6 +416,20 @@ object PrepQueries {
         doremiWeights(spark, dir), "source", "mixture_weight")
       .orderBy("virtual_time", "source", "id")
 
+  private val DoremiBudget = 5000000L
+
+  /** The provisioning sheet under the same measured weights
+    * ([[graft.ops.Prep.tokenBudgetPlanWeighted]]): per-source token
+    * targets for a 5M-token mix allocated by exact nano-weight shares,
+    * with the epochs/deficit read of [[tokenBudget]] — the third and
+    * last consumer of the DoReMi handoff.
+    */
+  def doremiBudget(spark: SparkSession, dir: String): DataFrame =
+    Prep.tokenBudgetPlanWeighted(Tables.documents(spark, dir), "text",
+        "source", doremiWeights(spark, dir), "source", "mixture_weight",
+        DoremiBudget)
+      .orderBy("source")
+
   /** The sampling half of the closed loop: the same measured weights as
     * keep rates with maximum retention
     * ([[graft.ops.Prep.mixtureTargetSample]] — the max-rate source kept
@@ -458,6 +472,7 @@ object PrepQueries {
     "prep_loss_reweight" -> lossReweightQ,
     "prep_doremi_mix" -> doremiMix,
     "prep_doremi_sample" -> doremiSample,
+    "prep_doremi_budget" -> doremiBudget,
     "prep_rank_normalize" -> rankNormalizeAcctbal,
     "prep_global_shuffle" -> globalShuffleDocs,
     "prep_dsir_weights" -> dsirWeights,
@@ -628,6 +643,31 @@ object PrepQueries {
          |  r.source, r.id, CAST(r.k AS INTEGER) AS k
          |FROM r JOIN wq USING (source)
          |ORDER BY virtual_time, source, id""".stripMargin,
+    // provisioning sheet: budget·wn_i // Σwn per source — exact HUGEINT
+    // shares of the measured nano weights (they need not sum to 1e9),
+    // inventory/epochs/deficit as in prep_token_budget
+    "prep_doremi_budget" ->
+      s"""WITH $doremiWeightCtes,
+         |zz AS (SELECT CAST(sum(wn) AS HUGEINT) AS zt FROM wq),
+         |inv AS (SELECT CAST(source AS VARCHAR) AS source,
+         |    count(*) AS n_docs,
+         |    CAST(sum(len(list_filter(string_split(text, ' '),
+         |      t -> t <> ''))) AS BIGINT) AS available_tokens
+         |  FROM documents GROUP BY 1),
+         |p AS (SELECT wq.source, n_docs, available_tokens,
+         |    wq.wn AS weight_nano,
+         |    CAST((CAST($DoremiBudget AS HUGEINT) * wq.wn) // zz.zt
+         |      AS BIGINT) AS target_tokens
+         |  FROM wq LEFT JOIN inv USING (source) CROSS JOIN zz)
+         |SELECT source, n_docs, available_tokens, weight_nano,
+         |  target_tokens,
+         |  CASE WHEN available_tokens > 0 THEN
+         |    round(CAST(target_tokens AS DOUBLE) / available_tokens, 9) END
+         |    AS epochs,
+         |  CASE WHEN available_tokens > 0 THEN
+         |    round(CAST(target_tokens AS DOUBLE) / available_tokens, 9)
+         |      > 1.0 END AS deficit
+         |FROM p ORDER BY source""".stripMargin,
     // max-retention target sampling: nano-quantized weights, per-source
     // counts, double-ratio argmax (struct max, ties to the later
     // source), then the EXACT HUGEINT cross-multiplied keep test —

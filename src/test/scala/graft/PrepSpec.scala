@@ -710,6 +710,29 @@ class PrepSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenBudgetPlanWeighted: equal nano weights reproduce the " +
+      "integer-percent plan; floor shares never overshoot the budget") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val langs = docs.select("lang").distinct().as[String].collect().sorted
+    val pct = 100 / langs.length
+    // only an even split is expressible in BOTH units — skip otherwise
+    assume(pct * langs.length == 100)
+    val viaPct = Prep.tokenBudgetPlan(docs, "text", "lang",
+        langs.map(_ -> pct), 1000000L)
+      .select("source", "n_docs", "available_tokens", "target_tokens")
+      .orderBy("source").collect()
+    val w = langs.map(_ -> pct / 100.0).toSeq.toDF("source", "w")
+    val viaW = Prep.tokenBudgetPlanWeighted(docs, "text", "lang", w,
+        "source", "w", 1000000L)
+      .select("source", "n_docs", "available_tokens", "target_tokens")
+      .orderBy("source").collect()
+    assert(viaPct.nonEmpty && viaPct.sameElements(viaW))
+    // floor shares: Σ targets ∈ (budget − |sources|, budget]
+    val tot = viaW.map(_.getLong(3)).sum
+    assert(tot <= 1000000L && tot > 1000000L - langs.length, tot.toString)
+  }
+
   test("mixtureTargetSample: max-rate source kept whole, survivors track " +
       "the target proportions, absent sources drop, partitioning-" +
       "independent") {
