@@ -511,7 +511,43 @@ object TextAnalysis {
     * bits_per_token) over held-out docs with ≥ 1 bigram.
     */
   def domainHardnessCv(df: DataFrame, idCol: String, textCol: String,
-      domainCol: String, folds: Int = 4): DataFrame = {
+      domainCol: String, folds: Int = 4): DataFrame =
+    domainHardnessCvScored(df, idCol, textCol, domainCol, folds)
+      .groupBy(col("__dom"), col("__fold"))
+      // c stays DECIMAL(10,0): the [[bigramLmBits]] precision-38 rule
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("c")).as("n_bigrams"),
+        round(sum(col("__bits") * col("c").cast(DecimalType(10, 0)))
+          .cast("double") / sum(col("c")), 6).as("bits_per_token"))
+      .select(col("__dom").as(domainCol), col("__fold").as("fold"),
+        col("n_docs"), col("n_bigrams"), col("bits_per_token"))
+
+  /** [[domainHardnessCv]] POOLED across the rotation — one row per
+    * domain over 4× the held-out mass of [[domainHardness]] (measured:
+    * per-fold sd 0.0027 bits at sf0.1, so the pooled estimate roughly
+    * halves the single-fold noise) — the tighter signal a DoReMi
+    * reweighting should actually consume. Same shape as
+    * [[domainHardness]]: (domainCol, n_docs, n_bigrams,
+    * bits_per_token).
+    */
+  def domainHardnessCvPooled(df: DataFrame, idCol: String,
+      textCol: String, domainCol: String, folds: Int = 4): DataFrame =
+    domainHardnessCvScored(df, idCol, textCol, domainCol, folds)
+      .groupBy(col("__dom"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("c")).as("n_bigrams"),
+        round(sum(col("__bits") * col("c").cast(DecimalType(10, 0)))
+          .cast("double") / sum(col("c")), 6).as("bits_per_token"))
+      .select(col("__dom").as(domainCol), col("n_docs"),
+        col("n_bigrams"), col("bits_per_token"))
+
+  /** The rotated held-out scoring core shared by [[domainHardnessCv]]
+    * and [[domainHardnessCvPooled]]: per test occ row, bits against the
+    * count-subtracted leave-one-fold-out model. Returns
+    * (doc_id, __dom, __fold, c, __bits).
+    */
+  private def domainHardnessCvScored(df: DataFrame, idCol: String,
+      textCol: String, domainCol: String, folds: Int): DataFrame = {
     require(folds >= 2, "need >= 2 folds")
     val t = col("__t")
     val withToks = df.select(col(idCol).as("doc_id"),
@@ -557,14 +593,8 @@ object TextAnalysis {
         round(-log((col("__bc") - col("__cf") + 1.0) /
             (col("__uc") - col("__ucf") + col("__v"))) /
           lit(math.log(2.0)), 9).cast(DecimalType(18, 9)))
-      .groupBy(col("__dom"), col("__fold"))
-      // c stays DECIMAL(10,0): the [[bigramLmBits]] precision-38 rule
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-        sum(col("c")).as("n_bigrams"),
-        round(sum(col("__bits") * col("c").cast(DecimalType(10, 0)))
-          .cast("double") / sum(col("c")), 6).as("bits_per_token"))
-      .select(col("__dom").as(domainCol), col("__fold").as("fold"),
-        col("n_docs"), col("n_bigrams"), col("bits_per_token"))
+      .select(col("doc_id"), col("__dom"), col("__fold"), col("c"),
+        col("__bits"))
   }
 
   /** Code-switching / language-mixing audit: language-ID every

@@ -247,6 +247,16 @@ object TextQueries {
         "text", "source", DomainFolds)
       .orderBy("source", "fold")
 
+  /** Pooled full-rotation CV hardness
+    * ([[graft.ops.TextAnalysis.domainHardnessCvPooled]]) — one row per
+    * domain over 4× the held-out mass, the variance-halved signal a
+    * DoReMi reweighting should consume.
+    */
+  def domainHardnessCvPooledQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.domainHardnessCvPooled(Tables.documents(spark, dir),
+        "doc_id", "text", "source", DomainFolds)
+      .orderBy("source")
+
   /** The held-out hardness replay shared by `text_domain_hardness` and
     * `prep_loss_reweight`: train-fold bigram/context/vocab tables, LEFT
     * joins for unseen contexts (the smoothing floor), 9-dp bit
@@ -286,6 +296,53 @@ object TextQueries {
        |    round(CAST(sum(bits * c) AS DOUBLE) / sum(c), 6)
        |      AS bits_per_token
        |  FROM ct GROUP BY 1)""".stripMargin
+
+  /** The ROTATED held-out replay shared by `text_domain_hardness_cv`
+    * and `text_domain_hardness_cvp`: fold f's train model = total −
+    * fold-f counts (inner joins — the row itself always contributes to
+    * both aggregates), V_f = V_all − tokens exclusive to f. Ends at
+    * the scored `cvct` relation (source, fold, doc_id, c, bits).
+    */
+  private[queries] lazy val domainHardnessCvCtes: String =
+    s"""d AS (SELECT doc_id, source,
+       |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+       |      % $DomainFolds AS fold,
+       |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+       |  FROM documents),
+       |g AS (SELECT doc_id, source, fold,
+       |  CASE WHEN len(toks) >= 2
+       |    THEN list_transform(generate_series(1, len(toks) - 1),
+       |           i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))
+       |    ELSE [] END AS bgs
+       |  FROM d),
+       |occ0 AS (SELECT doc_id, source, fold, unnest(bgs) AS bg FROM g),
+       |occ AS MATERIALIZED (SELECT doc_id, source, fold, bg.w1 AS w1,
+       |    bg.w2 AS w2, count(*) AS c
+       |  FROM occ0 GROUP BY 1, 2, 3, 4, 5),
+       |cf AS (SELECT w1, w2, fold, sum(c) AS cf FROM occ
+       |  GROUP BY 1, 2, 3),
+       |bc AS (SELECT w1, w2, sum(cf) AS bc FROM cf GROUP BY 1, 2),
+       |ucf AS (SELECT w1, fold, sum(cf) AS ucf FROM cf GROUP BY 1, 2),
+       |uc AS (SELECT w1, sum(ucf) AS uc FROM ucf GROUP BY 1),
+       |pt AS (SELECT tok, min(fold) AS mnf, max(fold) AS mxf FROM
+       |  (SELECT DISTINCT unnest(toks) AS tok, fold FROM d) GROUP BY 1),
+       |vall AS (SELECT count(*) AS v FROM pt),
+       |excl AS (SELECT mnf AS fold, count(*) AS e FROM pt
+       |  WHERE mnf = mxf GROUP BY 1),
+       |fv AS (SELECT f.fold, vall.v - coalesce(excl.e, 0) AS v
+       |  FROM (SELECT unnest(generate_series(0, ${DomainFolds - 1}))
+       |          AS fold) f
+       |  CROSS JOIN vall LEFT JOIN excl USING (fold)),
+       |cvct AS (SELECT occ.source, occ.fold, occ.doc_id, occ.c,
+       |    CAST(round(-ln((bc.bc - cf.cf + 1.0)
+       |        / (uc.uc - ucf.ucf + fv.v))
+       |      / ${math.log(2.0)}, 9) AS DECIMAL(18,9)) AS bits
+       |  FROM occ JOIN bc USING (w1, w2)
+       |  JOIN cf ON cf.w1 = occ.w1 AND cf.w2 = occ.w2
+       |    AND cf.fold = occ.fold
+       |  JOIN uc ON uc.w1 = occ.w1
+       |  JOIN ucf ON ucf.w1 = occ.w1 AND ucf.fold = occ.fold
+       |  JOIN fv ON fv.fold = occ.fold)""".stripMargin
 
   /** Interpolated Kneser–Ney bigram cross-entropy per document
     * ([[graft.ops.TextAnalysis.knBigramBits]], d = 3/4).
@@ -908,6 +965,7 @@ object TextQueries {
     "text_bigram_lm" -> bigramLm,
     "text_domain_hardness" -> domainHardnessQ,
     "text_domain_hardness_cv" -> domainHardnessCvQ,
+    "text_domain_hardness_cvp" -> domainHardnessCvPooledQ,
     "text_kn_bigram" -> knBigram,
     "text_ccnet_buckets" -> ccnetBuckets,
     "text_compression_ratio" -> compressionRatioQ,
@@ -1467,50 +1525,21 @@ object TextQueries {
     // always contributes to both aggregates); V_f = V_all − tokens
     // exclusive to f via the (token → min/max fold) aggregate
     "text_domain_hardness_cv" ->
-      s"""WITH d AS (SELECT doc_id, source,
-         |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
-         |      % $DomainFolds AS fold,
-         |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
-         |  FROM documents),
-         |g AS (SELECT doc_id, source, fold,
-         |  CASE WHEN len(toks) >= 2
-         |    THEN list_transform(generate_series(1, len(toks) - 1),
-         |           i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))
-         |    ELSE [] END AS bgs
-         |  FROM d),
-         |occ0 AS (SELECT doc_id, source, fold, unnest(bgs) AS bg FROM g),
-         |occ AS MATERIALIZED (SELECT doc_id, source, fold, bg.w1 AS w1,
-         |    bg.w2 AS w2, count(*) AS c
-         |  FROM occ0 GROUP BY 1, 2, 3, 4, 5),
-         |cf AS (SELECT w1, w2, fold, sum(c) AS cf FROM occ
-         |  GROUP BY 1, 2, 3),
-         |bc AS (SELECT w1, w2, sum(cf) AS bc FROM cf GROUP BY 1, 2),
-         |ucf AS (SELECT w1, fold, sum(cf) AS ucf FROM cf GROUP BY 1, 2),
-         |uc AS (SELECT w1, sum(ucf) AS uc FROM ucf GROUP BY 1),
-         |pt AS (SELECT tok, min(fold) AS mnf, max(fold) AS mxf FROM
-         |  (SELECT DISTINCT unnest(toks) AS tok, fold FROM d) GROUP BY 1),
-         |vall AS (SELECT count(*) AS v FROM pt),
-         |excl AS (SELECT mnf AS fold, count(*) AS e FROM pt
-         |  WHERE mnf = mxf GROUP BY 1),
-         |fv AS (SELECT f.fold, vall.v - coalesce(excl.e, 0) AS v
-         |  FROM (SELECT unnest(generate_series(0, ${DomainFolds - 1}))
-         |          AS fold) f
-         |  CROSS JOIN vall LEFT JOIN excl USING (fold)),
-         |ct AS (SELECT occ.source, occ.fold, occ.doc_id, occ.c,
-         |    CAST(round(-ln((bc.bc - cf.cf + 1.0)
-         |        / (uc.uc - ucf.ucf + fv.v))
-         |      / ${math.log(2.0)}, 9) AS DECIMAL(18,9)) AS bits
-         |  FROM occ JOIN bc USING (w1, w2)
-         |  JOIN cf ON cf.w1 = occ.w1 AND cf.w2 = occ.w2
-         |    AND cf.fold = occ.fold
-         |  JOIN uc ON uc.w1 = occ.w1
-         |  JOIN ucf ON ucf.w1 = occ.w1 AND ucf.fold = occ.fold
-         |  JOIN fv ON fv.fold = occ.fold)
+      s"""WITH $domainHardnessCvCtes
          |SELECT source, fold, count(DISTINCT doc_id) AS n_docs,
          |  CAST(sum(c) AS BIGINT) AS n_bigrams,
          |  round(CAST(sum(bits * c) AS DOUBLE) / sum(c), 6)
          |    AS bits_per_token
-         |FROM ct GROUP BY 1, 2 ORDER BY source, fold""".stripMargin,
+         |FROM cvct GROUP BY 1, 2 ORDER BY source, fold""".stripMargin,
+    // the rotation POOLED per domain — 4× the held-out mass, the
+    // tighter DoReMi input
+    "text_domain_hardness_cvp" ->
+      s"""WITH $domainHardnessCvCtes
+         |SELECT source, count(DISTINCT doc_id) AS n_docs,
+         |  CAST(sum(c) AS BIGINT) AS n_bigrams,
+         |  round(CAST(sum(bits * c) AS DOUBLE) / sum(c), 6)
+         |    AS bits_per_token
+         |FROM cvct GROUP BY 1 ORDER BY source""".stripMargin,
     "text_bigram_lm" ->
       s"""WITH $toksCte,
          |g AS (SELECT doc_id,

@@ -588,5 +588,22 @@ class TextAnalysisSpec extends AnyFunSuite {
       .count()
     assert(nDocsCv == nDocsAll,
       s"CV held-out docs $nDocsCv != bigram-bearing docs $nDocsAll")
+    // the POOLED variant aggregates the same scored relation: per
+    // domain, its masses are the fold sums and its bits sit inside the
+    // fold range (it is the c-weighted mean of the unrounded fold bits)
+    val pooled = TextAnalysis.domainHardnessCvPooled(docs, "doc_id",
+        "text", "source", folds)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val byDom = cvRows.groupBy(_.getString(0))
+    byDom.foreach { case (dom, rows) =>
+      val p = pooled(dom)
+      assert(p.getAs[Long]("n_docs") == rows.map(_.getAs[Long]("n_docs")).sum)
+      assert(p.getAs[Long]("n_bigrams") ==
+        rows.map(_.getAs[Long]("n_bigrams")).sum)
+      val bits = rows.map(_.getAs[Double]("bits_per_token"))
+      val pb = p.getAs[Double]("bits_per_token")
+      assert(pb >= bits.min - 1e-6 && pb <= bits.max + 1e-6,
+        s"$dom pooled $pb outside fold range ${bits.min}..${bits.max}")
+    }
   }
 }
