@@ -271,6 +271,39 @@ object Similarity {
       .select(col("q_id"), col("rank"), col(idCol), col("cos"))
   }
 
+  /** k-NN majority-vote classification (Cover & Hart 1967) over the
+    * embedding space — the non-parametric eval-batch classifier: each
+    * query takes the majority label among its `k` nearest corpus
+    * neighbors (self excluded), ties to the LARGEST label via
+    * max-struct (the [[graft.ops.TokenModels.naiveBayes]] argmax
+    * convention, mirrored in SQL). The `correct` bit against the
+    * query's own label makes the output the confusion audit a
+    * label-quality pass reads.
+    *
+    * Shape at scale: the [[knnJoin]] contract — the QUERY BATCH is the
+    * bounded side (it broadcasts; the corpus never shuffles), so this
+    * is the serving/eval shape; corpus-scale all-vs-all classification
+    * routes through [[Ivf]] retrieval instead. The vote adds two
+    * bounded group-bys on the (batch × k)-row neighbor relation.
+    * Returns (idCol, label, predicted, n_votes, correct).
+    */
+  def knnClassify(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val nn = knnJoin(emb, queries, idCol, vecCol, k)
+    val best = nn
+      .join(emb.select(col(idCol), col(labelCol).as("__nl")), Seq(idCol))
+      .groupBy(col("q_id"), col("__nl"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy("q_id")
+      .agg(max(struct(col("__c"), col("__nl"))).as("__b"))
+    queries.select(col(idCol).as("q_id"), col(labelCol).as("label"))
+      .join(best, Seq("q_id"))
+      .select(col("q_id").as(idCol), col("label"),
+        col("__b.__nl").as("predicted"),
+        col("__b.__c").as("n_votes"),
+        (col("label") === col("__b.__nl")).as("correct"))
+  }
+
   /** Hard-negative mining for contrastive training (the data-prep step
     * behind triplet/InfoNCE losses, Schroff et al. 2015): for each query,
     * the `k` most-similar corpus items whose label DIFFERS from the

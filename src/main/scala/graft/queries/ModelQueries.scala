@@ -20,11 +20,39 @@ object ModelQueries {
   private val GbmTreeRounds = 2 // depth-2 × 2 rounds ≈ the stump unroll cost
   private val ScoreMod = 101 // scored-sample stride for the preds query
 
+  private val RidgeLambda = 1000000L
+  private val KnnClassBatch = 200L
+  private val KnnClassK = 5
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "model_gbm_stumps" -> gbmStumps,
     "model_gbm_score" -> gbmScore,
     "model_gbm_trees" -> gbmTrees,
-    "model_gbm_trees_score" -> gbmTreesScore)
+    "model_gbm_trees_score" -> gbmTreesScore,
+    "model_ridge_normal" -> ridgeNormal,
+    "model_knn_class" -> knnClass)
+
+  /** Ridge regression by exact normal equations on the [[base]]
+    * features ([[graft.ops.LinearModel.ridgeNormal]], λ = 10⁶): price
+    * cents on (order day, balance cents) — the one-pass closed-form
+    * regressor beside [[gbmStumps]]'s boosted trees and the GD loop.
+    */
+  def ridgeNormal(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.LinearModel.ridgeNormal(base(spark, dir), "price_c",
+      "order_day", "acctbal_c", RidgeLambda)
+
+  /** k-NN majority-vote classification of a 200-vector eval batch over
+    * the embeddings corpus ([[graft.ops.Similarity.knnClassify]],
+    * k = 5) — predicted label, vote count and the correctness bit per
+    * batch vector.
+    */
+  def knnClass(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    graft.ops.Similarity.knnClassify(emb,
+        emb.filter(col("vec_id") < KnnClassBatch),
+        "vec_id", "embedding", "label", KnnClassK)
+      .orderBy("vec_id")
+  }
 
   def gbmStumps(spark: SparkSession, dir: String): DataFrame =
     Boost.gbmStumps(base(spark, dir), "o_orderkey", "urgent",
@@ -80,7 +108,88 @@ object ModelQueries {
           86400000000L).cast("long").as("order_day"),
         col("acctbal_c"))
 
+  /** The 3×3 Cramer determinant with [[graft.ops.LinearModel]]'s exact
+    * operation sequence — the SQL twin must share the parse tree so the
+    * unrounded doubles agree bitwise.
+    */
+  private def det3Sql(m00: String, m01: String, m02: String, m10: String,
+      m11: String, m12: String, m20: String, m21: String, m22: String)
+      : String =
+    s"$m00 * ($m11 * $m22 - $m12 * $m21) - $m01 * ($m10 * $m22 - " +
+      s"$m12 * $m20) + $m02 * ($m10 * $m21 - $m11 * $m20)"
+
   val oracle: Map[String, String] = Map(
+    // exact HUGEINT moments (the Spark twin is DECIMAL(38,0)), then the
+    // identical fixed-sequence double algebra: Cramer determinants,
+    // SSE/SST, everything unrounded
+    "model_ridge_normal" -> {
+      val L = RidgeLambda
+      val det = det3Sql("a", "b", "c", "b", "e", "f", "c", "f", "i")
+      s"""WITH base AS (SELECT
+         |    (CAST(o.o_totalprice AS DECIMAL(18,2)) * 100)::BIGINT AS y,
+         |    epoch_us(o.o_orderdate) // 86400000000 AS x1,
+         |    (CAST(c.c_acctbal AS DECIMAL(18,2)) * 100)::BIGINT AS x2
+         |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+         |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
+         |    CAST(sum(y) AS HUGEINT) AS sy,
+         |    sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+         |    sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+         |    sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+         |    sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+         |    sum(CAST(x2 AS HUGEINT) * y) AS s2y,
+         |    sum(CAST(y AS HUGEINT) * y) AS syy
+         |  FROM base),
+         |d AS (SELECT CAST(n AS DOUBLE) AS a, CAST(s1 AS DOUBLE) AS b,
+         |    CAST(s2 AS DOUBLE) AS c, CAST(s11 + $L AS DOUBLE) AS e,
+         |    CAST(s12 AS DOUBLE) AS f, CAST(s22 + $L AS DOUBLE) AS i,
+         |    CAST(sy AS DOUBLE) AS ry, CAST(s1y AS DOUBLE) AS r1,
+         |    CAST(s2y AS DOUBLE) AS r2v, CAST(syy AS DOUBLE) AS syyd,
+         |    CAST(s11 AS DOUBLE) AS s11d, CAST(s22 AS DOUBLE) AS s22d,
+         |    CAST(n AS BIGINT) AS nn
+         |  FROM m),
+         |sol AS (SELECT nn, a, b, c, f, ry, r1, r2v, syyd, s11d, s22d,
+         |    ($det) AS det,
+         |    (${det3Sql("ry", "b", "c", "r1", "e", "f", "r2v", "f", "i")})
+         |      / ($det) AS b0,
+         |    (${det3Sql("a", "ry", "c", "b", "r1", "f", "c", "r2v", "i")})
+         |      / ($det) AS b1,
+         |    (${det3Sql("a", "b", "ry", "b", "e", "r1", "c", "f", "r2v")})
+         |      / ($det) AS b2
+         |  FROM d)
+         |SELECT nn AS n,
+         |  CASE WHEN det <> 0 THEN b0 END AS b0,
+         |  CASE WHEN det <> 0 THEN b1 END AS b1,
+         |  CASE WHEN det <> 0 THEN b2 END AS b2,
+         |  CASE WHEN det <> 0 AND syyd - ry * ry / a > 0 THEN
+         |    1.0 - (syyd - 2.0 * (b0 * ry + b1 * r1 + b2 * r2v)
+         |      + (b0 * b0 * a + b1 * b1 * s11d + b2 * b2 * s22d
+         |        + 2.0 * (b0 * b1 * b + b0 * b2 * c + b1 * b2 * f)))
+         |      / (syyd - ry * ry / a) END AS r2
+         |FROM sol""".stripMargin
+    },
+    // the knn-join replay (6-dp cosine, rank ties to the smaller id)
+    // plus the vote: max-struct (count, label) — ties to the larger
+    // label, the naiveBayes argmax convention
+    "model_knn_class" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label AS ql
+         |  FROM embeddings WHERE vec_id < $KnnClassBatch),
+         |s AS (SELECT q_id,  vec_id,
+         |    ${graft.queries.SimilarityQueries.cosineSql("embedding",
+              "qv")} AS cos
+         |  FROM embeddings, q WHERE vec_id <> q_id),
+         |r AS (SELECT q_id, vec_id, row_number()
+         |    OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM s),
+         |nb AS (SELECT r.q_id, e.label AS nl FROM r
+         |  JOIN embeddings e USING (vec_id) WHERE rank <= $KnnClassK),
+         |v AS (SELECT q_id, nl, count(*) AS c FROM nb GROUP BY 1, 2),
+         |bst AS (SELECT q_id, max(struct_pack(c := c, l := nl)) AS b
+         |  FROM v GROUP BY 1)
+         |SELECT q.q_id AS vec_id, q.ql AS label, bst.b.l AS predicted,
+         |  CAST(bst.b.c AS BIGINT) AS n_votes,
+         |  q.ql = bst.b.l AS correct
+         |FROM q JOIN bst ON bst.q_id = q.q_id ORDER BY vec_id""".stripMargin,
     "model_gbm_stumps" -> s"""$gbmCtes
        |${(1 to GbmRounds).map(r =>
             s"""SELECT $r AS round,

@@ -682,7 +682,7 @@ object SimilarityQueries {
   private def dotSql(a: String, b: String) =
     s"list_dot_product($a::DOUBLE[], $b::DOUBLE[])"
 
-  private def cosineSql(v: String, q: String) =
+  private[queries] def cosineSql(v: String, q: String) =
     s"round(${dotSql(v, q)} / (sqrt(${dotSql(v, v)}) * sqrt(${dotSql(q, q)})), 6)"
 
   // shared eigvec replay CTEs (micro-unit covariance + unrolled power
