@@ -924,7 +924,9 @@ object EventOps {
       .agg(array_sort(collect_list(struct(col("__day"), col("__y"))))
         .as("__g"), max(col("__y")).as("__my"))
       .select(col("__g"),
-        when(col("__my") <= yBound,
+        // coalesce: EMPTY input leaves max(__y) NULL, and a NULL gate
+        // predicate would fall into raise_error — empty stays a no-op
+        when(coalesce(col("__my"), lit(0L)) <= yBound,
           fdivL(aggregate(slice(col("__g"), 1, season), lit(0L),
             (acc, e) => acc + e.getField("__y") * N), lit(season.toLong)))
           .otherwise(raise_error(concat(
@@ -1057,13 +1059,26 @@ object EventOps {
       .select(col("__day"), coalesce(col("__y"), lit(0L)).as("__y"))
     // y′ = y + 1 everywhere the MODEL sees a count; `actual` stays y
     def yp(e: Column): Column = (e.getField("__y") + 1L).cast(D38)
+    // edge-cast overflow gate (the additive variant's yBound discipline
+    // widened to this form's failure mode): the DECIMAL(38,0) recursion
+    // itself cannot wrap, but the query-edge cast to BIGINT silently
+    // NULLs state past Long.Max while the DuckDB twin's HUGEINT→BIGINT
+    // cast errors. Level tracks ~maxY·10⁹ and forecast adds the trend/
+    // season amplification, so gate maxY at Long.Max/10⁹/8 — loud
+    // raise_error instead of silent-wrong + engine divergence.
+    val yBoundM = Long.MaxValue / 1000000000L / 8L
     val packed = grid
       .agg(array_sort(collect_list(struct(col("__day"), col("__y"))))
-        .as("__g"))
+        .as("__g"), max(col("__y")).as("__my"))
       .select(col("__g"),
-        fdivD(aggregate(slice(col("__g"), 1, season), dl(0L),
-          (acc, e) => (acc + yp(e) * E9).cast(D38)),
-          dl(season.toLong)).as("__l0"))
+        when(coalesce(col("__my"), lit(0L)) <= yBoundM,
+          fdivD(aggregate(slice(col("__g"), 1, season), dl(0L),
+            (acc, e) => (acc + yp(e) * E9).cast(D38)),
+            dl(season.toLong)))
+          .otherwise(raise_error(concat(
+            lit("holtWintersMult: max daily count "), col("__my"),
+            lit(s" exceeds the BIGINT query-edge bound $yBoundM"))))
+          .as("__l0"))
       .select(col("__g"), col("__l0"),
         transform(slice(col("__g"), 1, season),
           e => fdivD(yp(e) * E9 * E9, greatest(col("__l0"), one)))

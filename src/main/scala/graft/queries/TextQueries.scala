@@ -513,17 +513,30 @@ object TextQueries {
     * the ≤bins-row relation. Two output rows: (stage ∈ isotonic|raw,
     * n, n_pos, base_rate, reliability, resolution, uncertainty, brier).
     */
-  def sgdCalibrated(spark: SparkSession, dir: String): DataFrame = {
-    val scored = graft.ops.TokenModels.sgdLinear(
+  def sgdCalibrated(spark: SparkSession, dir: String): DataFrame =
+    sgdCalibratedFrom(graft.ops.TokenModels.sgdLinear(
         Tables.documents(spark, dir), "doc_id", "text",
         col("n_chars") >= SgdThresh, SgdBuckets, SgdIters, SgdEtaShift,
         SgdBias)
-      .localCheckpoint() // the 12-round fit must not replay per branch
+      .localCheckpoint()) // the 12-round fit must not replay per branch
+
+  /** [[sgdCalibrated]] downstream of the fit — the spec seam that lets
+    * the degenerate-margin guard be exercised with a synthetic
+    * (doc_id, is_target, score_nano) relation.
+    */
+  private[graft] def sgdCalibratedFrom(scored: DataFrame): DataFrame = {
     val mm = scored.agg(min("score_nano").as("__mn"),
       max("score_nano").as("__mx"))
+    // degenerate zero-range guard: with all margins equal (mx == mn)
+    // Spark's `DIV 0` would NULL every bin while the DuckDB twin's
+    // `// 0` errors — raise loudly on BOTH engines instead of
+    // NULL-propagating a silently-empty calibration
+    val den = when(col("__mx") > col("__mn"), col("__mx") - col("__mn"))
+      .otherwise(raise_error(lit(
+        "sgdCalibrated: degenerate margins (max == min) — nothing to bin")))
     val binned = graft.ops.Eval.calibrationBins(
         scored.crossJoin(broadcast(mm)),
-        col("score_nano") - col("__mn"), col("__mx") - col("__mn"),
+        col("score_nano") - col("__mn"), den,
         col("is_target"), SgdCalBins)
       .localCheckpoint() // ≤bins rows, shared by iso + both brier arms
     val iso = graft.ops.Eval.isotonicCalibration(binned, "bin", "n",

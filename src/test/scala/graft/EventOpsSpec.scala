@@ -671,6 +671,40 @@ class EventOpsSpec extends AnyFunSuite {
       2, 10).count() == 7L)
   }
 
+  test("holtWinters / holtWintersMult: EMPTY input is a no-op, not a " +
+      "raise (the NULL max(__y) gate predicate must not fall into the " +
+      "overflow branch)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("__day", "__y")
+    assert(graft.ops.EventOps.holtWintersDaily(empty, 3, 10, 3, 10, 1,
+      10, 2, 10).count() == 0L)
+    assert(graft.ops.EventOps.holtWintersMultDaily(empty, 3, 10, 3, 10,
+      1, 10, 2, 10).count() == 0L)
+  }
+
+  test("holtWintersMult: a daily count past the BIGINT query-edge bound " +
+      "fails loudly instead of silently NULLing the cast state") {
+    val spark2 = spark
+    import spark2.implicits._
+    val huge = (0L until 10L).map(d =>
+      (d, if (d == 6L) 3000000000L else 5L)).toDF("__day", "__y")
+    val ex = intercept[Exception] {
+      graft.ops.EventOps.holtWintersMultDaily(huge, 3, 10, 3, 10, 1, 10,
+        2, 10).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("holtWintersMult")),
+      msgs(ex).mkString(" | "))
+    // inside the bound the same series fits with non-NULL state
+    val sane = (0L until 10L).map(d => (d, d + 5L)).toDF("__day", "__y")
+    val rows = graft.ops.EventOps.holtWintersMultDaily(sane, 3, 10, 3,
+      10, 1, 10, 2, 10).collect()
+    assert(rows.length == 7 && rows.forall(r => !r.isNullAt(3)))
+  }
+
   test("holtWintersMult: bit-identical to the plain-BigInt ratio replay " +
       "on the +1-shifted anchored series; a genuinely multiplicative " +
       "series yields seasonal ratios near the true factors") {

@@ -606,4 +606,28 @@ class TextAnalysisSpec extends AnyFunSuite {
         s"$dom pooled $pb outside fold range ${bits.min}..${bits.max}")
     }
   }
+
+  test("sgdCalibrated: degenerate all-equal margins raise loudly on the " +
+      "Spark side (matching the DuckDB twin's division-by-zero) instead " +
+      "of NULL-propagating empty bins") {
+    // the seam: a synthetic scored relation where every margin is equal
+    val flat = Seq((1L, true, 5L, true), (2L, false, 5L, true),
+        (3L, true, 5L, true))
+      .toDF("doc_id", "is_target", "score_nano", "predicted")
+    val ex = intercept[Exception] {
+      graft.queries.TextQueries.sgdCalibratedFrom(flat).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("degenerate margins")),
+      msgs(ex).mkString(" | "))
+    // a non-degenerate synthetic relation still calibrates: two stages
+    val spread = Seq((1L, false, 0L, false), (2L, false, 200L, false),
+        (3L, true, 800L, true), (4L, true, 1000L, true))
+      .toDF("doc_id", "is_target", "score_nano", "predicted")
+    val out = graft.queries.TextQueries.sgdCalibratedFrom(spread)
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("isotonic", "raw"))
+  }
 }
