@@ -837,4 +837,137 @@ object Eval {
           col("__n_hit").cast(DoubleType) /
             col("n_users").cast(DoubleType)).as("hit_rate"))
   }
+
+  /** Fleiss' κ (Fleiss, Psych. Bulletin 1971) — inter-annotator
+    * agreement for a FIXED number of raters per subject, the standard
+    * gate before trusting human labels in a curation pipeline
+    * (complements the label-noise and McNemar reads: κ says whether the
+    * raters agree at all, corrected for chance).
+    *
+    * Input is one row per (subject, rating) — raters are anonymous,
+    * which is exactly Fleiss' setting. The whole statistic is count
+    * arithmetic: with n_ij = raters assigning category j to subject i,
+    * N subjects, n raters each,
+    * P̄ = (Σ n_ij² − N·n) / (N·n·(n−1)) and P̄e = Σ_j c_j² / (N·n)²
+    * with c_j the category column sums — both exact integer rationals.
+    * κ = (P̄ − P̄e)/(1 − P̄e) is emitted as ONE IEEE division of the two
+    * cross-multiplied exact DECIMAL(38,0) integers
+    * (A·D − C·B) / (B·(D − C)), never a round() of a rational —
+    * engine-bit-identical by construction. κ is NULL when P̄e = 1 (a
+    * single category everywhere — chance agreement is total and κ is
+    * undefined).
+    *
+    * A ragged panel (subjects with differing rater counts) raises
+    * loudly: Fleiss' formula silently mis-weights otherwise. Shape at
+    * scale: one (subject, category) count shuffle, one per-subject and
+    * one per-category re-aggregate, then 1-row arithmetic. Returns one
+    * row (n_subjects, n_raters, p_bar, p_e, kappa).
+    */
+  def fleissKappa(df: DataFrame, subjectCol: String, categoryCol: String)
+      : DataFrame = {
+    val D38 = DecimalType(38, 0)
+    val cell = df.groupBy(col(subjectCol).as("__s"),
+        col(categoryCol).as("__c"))
+      .agg(count(lit(1)).as("__nr"))
+      .localCheckpoint(false) // feeds the subject AND category rollups
+    val bySubj = cell.groupBy("__s")
+      .agg(sum("__nr").as("__ns"),
+        sum((col("__nr") * col("__nr")).cast(D38)).cast(D38).as("__sq"))
+    val tot = bySubj.agg(count(lit(1)).as("__N"),
+      min("__ns").as("__mn"), max("__ns").as("__mx"),
+      sum(col("__sq")).cast(D38).as("__s2"))
+    val byCat = cell.groupBy("__c")
+      .agg(sum("__nr").cast(D38).as("__cj"))
+      .agg(sum((col("__cj") * col("__cj")).cast(D38)).cast(D38).as("__csq"))
+    tot.crossJoin(byCat)
+      .select(col("__N"), col("__s2"), col("__csq"),
+        when(col("__mn") === col("__mx") && col("__mn") > 1, col("__mn"))
+          .otherwise(raise_error(concat(
+            lit("fleissKappa: every subject needs the same rater count "),
+            lit("> 1 (saw "), col("__mn"), lit(".."), col("__mx"),
+            lit(")")))).as("__nr"))
+      .select(col("__N").as("n_subjects"), col("__nr").as("n_raters"),
+        // cast BEFORE multiplying: N·n products must never ride LONG
+        // (ANSI overflow at corpus scale), only DECIMAL(38,0)
+        (col("__s2") - (col("__N").cast(D38) * col("__nr").cast(D38))
+          .cast(D38)).as("__A"),
+        (col("__N").cast(D38) * col("__nr").cast(D38) *
+          (col("__nr") - 1).cast(D38)).cast(D38).as("__B"),
+        col("__csq").as("__C"),
+        ((col("__N").cast(D38) * col("__nr").cast(D38)).cast(D38) *
+          (col("__N").cast(D38) * col("__nr").cast(D38)).cast(D38))
+          .cast(D38).as("__D"))
+      .select(col("n_subjects"), col("n_raters"),
+        (col("__A").cast(DoubleType) / col("__B").cast(DoubleType))
+          .as("p_bar"),
+        (col("__C").cast(DoubleType) / col("__D").cast(DoubleType))
+          .as("p_e"),
+        when(col("__D") > col("__C"),
+          ((col("__A") * col("__D") - col("__C") * col("__B")).cast(D38)
+            .cast(DoubleType)) /
+            ((col("__B") * (col("__D") - col("__C"))).cast(D38)
+              .cast(DoubleType))).as("kappa"))
+  }
+
+  /** Cohen's κ (Cohen 1960) — the TWO-rater agreement coefficient with
+    * per-rater marginals (unlike [[fleissKappa]]'s pooled marginals; the
+    * two coincide exactly when both raters' category distributions are
+    * identical — EvalSpec pins that reduction). Input is one row per
+    * (subject, rater, category) with rater values exactly {0, 1}; a
+    * subject missing either rating raises loudly. The PANEL-shaped
+    * sibling of [[graft.ops.Screening.cohenKappa]] (which takes the
+    * already-pivoted two-column form and 9-dp-rounds its κ): on the
+    * same data the two agree to that rounding — EvalSpec pins the
+    * cross-implementation identity. This form adds the ragged-panel
+    * guard, the unrounded single-division κ, and the p_o/p_e split.
+    *
+    * All-integer construction: p_o = agree/N, p_e = Σ_c a_c·b_c/N²,
+    * κ = (agree·N − Σ a_c·b_c) / (N² − Σ a_c·b_c) — one IEEE division of
+    * exact DECIMAL(38,0) integers, NULL when p_e = 1. One subject-keyed
+    * self-join + two bounded category rollups. Returns one row
+    * (n_subjects, n_agree, p_o, p_e, kappa).
+    */
+  def cohenKappa(df: DataFrame, subjectCol: String, raterCol: String,
+      categoryCol: String): DataFrame = {
+    val D38 = DecimalType(38, 0)
+    val base = df.select(col(subjectCol).as("__s"),
+      col(raterCol).cast("long").as("__r"), col(categoryCol).as("__c"))
+    def side(r: Int) = base.filter(col("__r") === r)
+      .select(col("__s"), col("__c").as(s"__c$r"))
+    val paired = side(0).join(side(1), Seq("__s"))
+      .localCheckpoint(false) // feeds N/agree AND both marginal rollups
+    val nAgree = paired.agg(count(lit(1)).as("__N"),
+      sum(when(col("__c0") === col("__c1"), 1L).otherwise(0L))
+        .as("__agree"))
+    val ab = paired.groupBy("__c0").agg(count(lit(1)).as("__a"))
+      .join(paired.groupBy(col("__c1").as("__c0"))
+        .agg(count(lit(1)).as("__b")), Seq("__c0"), "full_outer")
+      .agg(sum((coalesce(col("__a"), lit(0L)).cast(D38) *
+        coalesce(col("__b"), lit(0L)).cast(D38)).cast(D38)).cast(D38)
+        .as("__ab"))
+    // ragged-panel guard: the join drops subjects missing a rating, so
+    // compare the paired count against the per-rater input counts
+    val counts = base.groupBy("__r").agg(count(lit(1)).as("__cnt"))
+      .agg(min("__cnt").as("__cmn"), max("__cnt").as("__cmx"))
+    nAgree.crossJoin(ab).crossJoin(counts)
+      .select(
+        when(col("__cmn") === col("__cmx") && col("__cmn") === col("__N"),
+          col("__N")).otherwise(raise_error(concat(
+            lit("cohenKappa: raters 0 and 1 must each rate every "),
+            lit("subject exactly once (paired "), col("__N"),
+            lit(" of "), col("__cmn"), lit(".."), col("__cmx"),
+            lit(")")))).as("n_subjects"),
+        col("__agree").as("n_agree"),
+        (col("__agree").cast(DoubleType) / col("__N").cast(DoubleType))
+          .as("p_o"),
+        (col("__ab").cast(DoubleType) /
+          (col("__N").cast(D38) * col("__N").cast(D38)).cast(D38)
+            .cast(DoubleType)).as("p_e"),
+        when((col("__N").cast(D38) * col("__N").cast(D38)).cast(D38) >
+            col("__ab"),
+          ((col("__agree").cast(D38) * col("__N").cast(D38)).cast(D38) -
+            col("__ab")).cast(DoubleType) /
+            ((col("__N").cast(D38) * col("__N").cast(D38)).cast(D38) -
+              col("__ab")).cast(DoubleType)).as("kappa"))
+  }
 }

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Preference-data curation for reward-model training: Bradley–Terry
+  * strength estimation over pairwise preference records — the fit that
+  * turns raw (winner, loser) judgments into per-item strengths, win
+  * probabilities, and an item ranking.
+  *
+  * The reference has no preference surface (its feature store stops at
+  * tabular aggregates, `ML Feature Store Pipeline.py:164-183`); this is
+  * north-star territory: the data-prep step of RLHF pipelines, where
+  * pairwise human judgments become a per-response quality ordering.
+  */
+object Preference {
+
+  private val D38 = DecimalType(38, 0)
+  private val E18 = lit(1000000000000000000L).cast(D38)
+  private val E9 = lit(1000000000L).cast(D38)
+
+  /** Exact floor division in DECIMAL(38,0) via the pmod identity —
+    * every operand here is non-negative, so it agrees bit-for-bit with
+    * DuckDB's truncating `//`.
+    */
+  private def fdiv(x: Column, d: Column): Column =
+    ((x - pmod(x, d)) / d).cast(D38)
+
+  /** Bradley–Terry strength fit by bounded-iteration MM updates
+    * (Hunter, Annals of Statistics 2004, eq. 1.6): given games between
+    * items a and b with `n_ab` total and `W_a` wins, iterate
+    * `p_a ← W_a / Σ_b n_ab/(p_a + p_b)` and renormalize to
+    * Σ p = |items|·10⁹. The model is P(a beats b) = p_a/(p_a+p_b);
+    * the MM fixed point is the MLE.
+    *
+    * NANO-INTEGER STATE (the house sgd/holtWinters discipline): p in
+    * nano units, each update two exact DECIMAL(38,0) pmod-floor
+    * divisions — `term = ⌊n_ab·10¹⁸/(p_a+p_b)⌋` summed per item, then
+    * `raw = ⌊W·10¹⁸/denom⌋` and `p' = ⌊raw·k·10⁹/Σraw⌋` — so any
+    * engine replays the recursion bit-identically. Magnitudes: with
+    * per-pair game counts ≤ 10¹² every product stays ≤ ~10³⁰, far
+    * inside precision 38. Items that never win converge to strength 0
+    * (the MLE boundary); `greatest(·, 1)` backstops the divisions.
+    *
+    * Shape at scale: ONE shuffle aggregates the corpus-sized preference
+    * log to the (≤ items²)-row directed game relation plus the ≤ items
+    * win relation, both localCheckpoint'd; each of the `iters` rounds
+    * is broadcast-join arithmetic on those bounded relations — the
+    * corpus is never re-read. The final rank is a window over ≤ items
+    * rows. Returns (item, n_games, n_wins, strength_nano, rank) with
+    * rank 1 = strongest (ties to the smaller item id).
+    */
+  def btStrength(pairs: DataFrame, winnerCol: String, loserCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 64,
+      s"btStrength: need 1 <= iters <= 64, got $iters")
+    val spark = pairs.sparkSession
+    val w = pairs.select(col(winnerCol).cast("long").as("__w"),
+      col(loserCol).cast("long").as("__l"))
+    // directed game counts: one corpus shuffle, then every iteration
+    // runs on this bounded relation
+    val g = w.select(col("__w").as("a"), col("__l").as("b"))
+      .unionByName(w.select(col("__l").as("a"), col("__w").as("b")))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val wins = w.groupBy(col("__w").as("a"))
+      .agg(count(lit(1)).as("n_wins"))
+      .localCheckpoint(false)
+    val items = g.groupBy("a").agg(sum("n").as("n_games"))
+      .join(wins, Seq("a"), "left")
+      .select(col("a"), col("n_games"),
+        coalesce(col("n_wins"), lit(0L)).as("n_wins"))
+      .localCheckpoint(false)
+    var p = items.select(col("a"), E9.as("p"))
+    for (_ <- 1 to iters) {
+      val denom = g
+        .join(broadcast(p.select(col("a"), col("p").as("__pa"))), Seq("a"))
+        .join(broadcast(p.select(col("a").as("b"), col("p").as("__pb"))),
+          Seq("b"))
+        .groupBy("a")
+        .agg(sum(fdiv(col("n").cast(D38) * E18,
+          greatest(col("__pa") + col("__pb"), lit(1).cast(D38))))
+          .cast(D38).as("__d"))
+      val raw = denom.join(broadcast(items.select("a", "n_wins")), Seq("a"))
+        .select(col("a"),
+          fdiv(col("n_wins").cast(D38) * E18,
+            greatest(col("__d"), lit(1).cast(D38))).as("__raw"))
+      val z = raw.agg(sum(col("__raw")).cast(D38).as("__z"),
+        count(lit(1)).cast(D38).as("__k"))
+      p = raw.crossJoin(broadcast(z))
+        .select(col("a"),
+          fdiv(col("__raw") * col("__k") * E9,
+            greatest(col("__z"), lit(1).cast(D38))).as("p"))
+        .localCheckpoint(false)
+    }
+    items.join(p, Seq("a"))
+      .select(col("a").as("item"), col("n_games"), col("n_wins"),
+        col("p").cast("long").as("strength_nano"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("strength_nano").desc, col("item"))))
+  }
+}

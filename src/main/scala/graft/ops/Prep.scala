@@ -1142,6 +1142,48 @@ object Prep {
       .select("virtual_time", "source", "id", "k")
   }
 
+  /** Curriculum variant of [[mixtureScheduleWeighted]]: the SAME
+    * stride-scheduling contract (item k of source s at exact virtual
+    * time (2k−1)·10¹⁸ div (2·wn_s) nano), but WITHIN each source the
+    * order is a measured quality signal instead of the md5 shuffle —
+    * the curriculum-data shape (high→low quality, or easy→hard with a
+    * negated signal) every pretraining run debates. `qualityCol` must
+    * be an EXACT integer (e.g. a nano/micro-quantized score): ordering
+    * by an engine-rounded double would let a last-ulp disagreement
+    * reorder ties and shift every later k. Ties fall back to
+    * (md5(id), id) — so a CONSTANT quality column reproduces
+    * [[mixtureScheduleWeighted]]'s schedule exactly (PrepSpec pins
+    * that reduction).
+    *
+    * Shape at scale: identical — one per-source row_number window over
+    * (quality desc, md5, id), a ≤|sources|-row weight broadcast, fixed
+    * integer arithmetic per row. Returns
+    * (virtual_time, source, id, quality, k).
+    */
+  def curriculumSchedule(df: DataFrame, srcCol: Column, idCol: Column,
+      qualityCol: Column, weights: DataFrame, wSourceCol: String,
+      weightCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def fdiv(x: Column, d: Column): Column =
+      ((x - pmod(x, d)) / d).cast(d38)
+    val w = weights.select(col(wSourceCol).cast("string").as("source"),
+      (col(weightCol).cast(DecimalType(18, 9)) * 1000000000L)
+        .cast(d38).as("__wn"))
+    val wSrc = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, md5(col("id").cast("string")),
+        col("id"))
+    val num = (lit(2L) * col("k") - lit(1L)).cast(d38) *
+      lit(1000000000000000000L).cast(d38)
+    df.select(srcCol.cast("string").as("source"), idCol.as("id"),
+        qualityCol.cast("long").as("quality"))
+      .withColumn("k", row_number().over(wSrc))
+      .join(broadcast(w), Seq("source"))
+      .withColumn("virtual_time",
+        fdiv(num, lit(2L).cast(d38) * col("__wn")).cast("double") /
+          lit(1000000000.0))
+      .select("virtual_time", "source", "id", "quality", "k")
+  }
+
   /** Temperature-scaled mixture weights at T = 2 (the multilingual
     * up-sampling rule of mBERT/XLM-R/mT5: sample source i with
     * probability ∝ p_i^(1/T), flattening the source distribution so

@@ -18,8 +18,8 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
-  private val NumHashes = 12
-  private val Bands = 3
+  private[queries] val NumHashes = 12
+  private[queries] val Bands = 3
   private val Rows = NumHashes / Bands
 
   private def normText = concat_ws(" ",
@@ -429,7 +429,7 @@ object DedupQueries {
   private val normSql =
     "array_to_string(list_sort(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))), ' ')"
 
-  private val tokCte =
+  private[queries] val tokCte =
     """tok AS (
       |  SELECT DISTINCT doc_id AS id, t AS token
       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
@@ -437,7 +437,7 @@ object DedupQueries {
 
   // 48-bit md5-derived token hashes — mirrors Dedup.tokenHash48; the
   // set-similarity path intersects hash sets, not raw strings
-  private val thCte =
+  private[queries] val thCte =
     """th AS (
       |  SELECT id, ('0x' || substr(md5(token), 1, 12))::BIGINT AS th FROM tok)""".stripMargin
 
@@ -451,13 +451,13 @@ object DedupQueries {
        |ORDER BY id_a, id_b""".stripMargin
 
   // double-hashed MinHash permutations — must mirror Dedup.minhashSignatures
-  private val hshCte =
+  private[queries] val hshCte =
     """hsh AS (
       |  SELECT id, ('0x' || substr(md5(token), 1, 12))::BIGINT AS ha,
       |         ('0x' || substr(md5(token), 13, 12))::BIGINT AS hb
       |  FROM tok)""".stripMargin
 
-  private val sigSelect = (0 until NumHashes)
+  private[queries] val sigSelect = (0 until NumHashes)
     .map(i => s"min((ha + $i * hb) % ${graft.ops.Dedup.MinhashMod}) AS s$i")
     .mkString(", ")
 
@@ -465,11 +465,11 @@ object DedupQueries {
   // on slice equality defines the IDENTICAL candidate set as
   // Dedup.lshBands' xxhash64 bucket key (modulo 64-bit hash collisions),
   // so no band-hash twin is needed in SQL at all
-  private val bandUnion = (0 until Bands).map { b =>
+  private[queries] val bandUnion = (0 until Bands).map { b =>
     val cols = (0 until Rows).map(r => s"s${b * Rows + r} AS r$r").mkString(", ")
     s"SELECT id, $b AS band, $cols FROM sig"
   }.mkString(" UNION ALL ")
-  private val sliceEq = (0 until Rows).map(r => s"a.r$r = b.r$r").mkString(" AND ")
+  private[queries] val sliceEq = (0 until Rows).map(r => s"a.r$r = b.r$r").mkString(" AND ")
   private val sliceCols = (0 until Rows).map(r => s"r$r").mkString(", ")
 
   // star edges per band bucket (min id → member), mirroring

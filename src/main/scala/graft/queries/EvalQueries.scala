@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ops.Eval
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -287,7 +287,54 @@ object EvalQueries {
           unix_micros(col("ts")).as("ts_us"), col("event_type")),
       "user_id", "ts_us", "event_id", "event_type", MarkovFolds)
 
+  private val AgreePct = 80
+  private val KappaCats = 4
+
+  /** Deterministic synthetic annotation panel over the documents: the
+    * derivable 4-way category (n_chars length bucket) is the true
+    * label, and each of `nRaters` anonymous raters reports it with
+    * [[AgreePct]]% probability, otherwise an md5-drawn DIFFERENT
+    * category (uniform over the other 3) — the standard noisy-rater
+    * model a κ gate is pointed at. One row per (doc, rater, rating).
+    */
+  private def ratingsPanel(spark: SparkSession, dir: String,
+      nRaters: Int): DataFrame = {
+    def h(parts: Column*): Column =
+      graft.functions.Kernels.md5hash48(concat(parts: _*))
+    val d = col("doc_id").cast("string")
+    val r = col("rater").cast("string")
+    val noisy = pmod(h(d, lit("|"), r, lit("|alt")),
+      lit((KappaCats - 1).toLong))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        least(expr("n_chars DIV 150"), lit(3L)).as("__t"))
+      .select(col("doc_id"), col("__t"),
+        explode(array((0 until nRaters).map(i => lit(i)): _*)).as("rater"))
+      .select(col("doc_id"), col("rater"),
+        when(pmod(h(d, lit("|"), r, lit("|agree")), lit(100L)) <
+            AgreePct, col("__t"))
+          .otherwise(when(noisy >= col("__t"), noisy + 1L).otherwise(noisy))
+          .as("rating"))
+  }
+
+  /** Fleiss' κ of a 3-rater panel over the documents
+    * ([[graft.ops.Eval.fleissKappa]]) — chance-corrected agreement of
+    * the synthetic noisy annotators; one output row.
+    */
+  def fleissKappaQ(spark: SparkSession, dir: String): DataFrame =
+    Eval.fleissKappa(ratingsPanel(spark, dir, 3), "doc_id", "rating")
+
+  /** Cohen's κ of raters 0 and 1 on the same panel
+    * ([[graft.ops.Eval.cohenKappa]]) — the per-rater-marginal two-rater
+    * coefficient beside Fleiss' pooled one.
+    */
+  def cohenKappaQ(spark: SparkSession, dir: String): DataFrame =
+    Eval.cohenKappa(ratingsPanel(spark, dir, 2), "doc_id", "rater",
+      "rating")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_fleiss_kappa" -> fleissKappaQ,
+    "eval_cohen_kappa" -> cohenKappaQ,
     "eval_markov_perplexity" -> markovPerplexityQ,
     "eval_map_at_k" -> mapAtKCf,
     "eval_woe_iv" -> woeClicks,
@@ -308,6 +355,26 @@ object EvalQueries {
     "eval_survival_curve" -> survivalCurve)
 
   // ---- oracle SQL -----------------------------------------------------------
+
+  /** The [[ratingsPanel]] replay: md5-drawn agreement and alternative
+    * category per (doc, rater) — both hashes pre-computed in their own
+    * CTE (a hash referenced twice must be written once).
+    */
+  private def ratingsPanelSql(nRaters: Int): String = {
+    def hb(expr: String) = s"('0x' || substr(md5($expr), 1, 12))::BIGINT"
+    val raters = (0 until nRaters).mkString("[", ", ", "]")
+    s"""b AS (SELECT doc_id, least(n_chars // 150, 3) AS t
+       |  FROM documents),
+       |rr AS (SELECT doc_id, t, u.r AS rater,
+       |    ${hb("doc_id || '|' || u.r || '|agree'")} % 100 AS ag,
+       |    ${hb("doc_id || '|' || u.r || '|alt'")} % ${KappaCats - 1}
+       |      AS nz
+       |  FROM b, UNNEST($raters) u(r)),
+       |rt AS (SELECT doc_id, rater,
+       |    CASE WHEN ag < $AgreePct THEN t
+       |         WHEN nz >= t THEN nz + 1 ELSE nz END AS rating
+       |  FROM rr)""".stripMargin
+  }
 
   private def dotSql(a: String, b: String) =
     s"list_dot_product($a::DOUBLE[], $b::DOUBLE[])"
@@ -348,6 +415,59 @@ object EvalQueries {
        |  FROM lab GROUP BY 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // exact HUGEINT count arithmetic end to end; κ is ONE IEEE division
+    // of the cross-multiplied integers (A·D − C·B) / (B·(D − C)) — never
+    // a round() of a rational — and NULL when chance agreement is total
+    "eval_fleiss_kappa" ->
+      s"""WITH ${ratingsPanelSql(3)},
+         |cell AS (SELECT doc_id, rating, count(*) AS n FROM rt
+         |  GROUP BY 1, 2),
+         |subj AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS ns,
+         |    CAST(sum(n * n) AS HUGEINT) AS sq
+         |  FROM cell GROUP BY 1),
+         |tot AS (SELECT count(*) AS nn, min(ns) AS n,
+         |    CAST(sum(sq) AS HUGEINT) AS s2 FROM subj),
+         |cat AS (SELECT CAST(sum(CAST(cj AS HUGEINT) * cj) AS HUGEINT)
+         |    AS csq
+         |  FROM (SELECT rating, CAST(sum(n) AS BIGINT) AS cj FROM cell
+         |        GROUP BY 1)),
+         |f AS (SELECT nn, n,
+         |    s2 - CAST(nn AS HUGEINT) * n AS a,
+         |    CAST(nn AS HUGEINT) * n * (n - 1) AS b,
+         |    csq AS c,
+         |    CAST(nn AS HUGEINT) * n * CAST(nn AS HUGEINT) * n AS d
+         |  FROM tot, cat)
+         |SELECT nn AS n_subjects, n AS n_raters,
+         |  CAST(a AS DOUBLE) / CAST(b AS DOUBLE) AS p_bar,
+         |  CAST(c AS DOUBLE) / CAST(d AS DOUBLE) AS p_e,
+         |  CASE WHEN d > c THEN CAST(a * d - c * b AS DOUBLE)
+         |    / CAST(b * (d - c) AS DOUBLE) END AS kappa
+         |FROM f""".stripMargin,
+    // per-rater marginals (unlike Fleiss' pooled): p_e = Σ a_c·b_c/N²,
+    // κ = (agree·N − Σ a·b)/(N² − Σ a·b) in exact HUGEINT
+    "eval_cohen_kappa" ->
+      s"""WITH ${ratingsPanelSql(2)},
+         |pp AS (SELECT pa.doc_id, pa.rating AS c0, pb.rating AS c1
+         |  FROM (SELECT doc_id, rating FROM rt WHERE rater = 0) pa
+         |  JOIN (SELECT doc_id, rating FROM rt WHERE rater = 1) pb
+         |    USING (doc_id)),
+         |na AS (SELECT count(*) AS nn,
+         |    CAST(sum(CASE WHEN c0 = c1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS agree FROM pp),
+         |ma AS (SELECT c0 AS c, count(*) AS a FROM pp GROUP BY 1),
+         |mb AS (SELECT c1 AS c, count(*) AS b FROM pp GROUP BY 1),
+         |mm AS (SELECT CAST(sum(CAST(coalesce(a, 0) AS HUGEINT)
+         |    * coalesce(b, 0)) AS HUGEINT) AS ab
+         |  FROM ma FULL OUTER JOIN mb USING (c))
+         |SELECT nn AS n_subjects, agree AS n_agree,
+         |  CAST(agree AS DOUBLE) / CAST(nn AS DOUBLE) AS p_o,
+         |  CAST(ab AS DOUBLE) / CAST(CAST(nn AS HUGEINT) * nn AS DOUBLE)
+         |    AS p_e,
+         |  CASE WHEN CAST(nn AS HUGEINT) * nn > ab THEN
+         |    CAST(CAST(agree AS HUGEINT) * nn - ab AS DOUBLE)
+         |      / CAST(CAST(nn AS HUGEINT) * nn - ab AS DOUBLE) END
+         |    AS kappa
+         |FROM na, mm""".stripMargin,
     // sequence-level md5 split; add-one transition model from the train
     // folds; 9-dp per-transition bits scale by exact test counts, ONE
     // IEEE division at the end

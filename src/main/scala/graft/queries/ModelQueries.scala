@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ops.Boost
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Oracle-checked model-training family over the tabular star schema —
@@ -23,6 +23,8 @@ object ModelQueries {
   private val RidgeLambda = 1000000L
   private val KnnClassBatch = 200L
   private val KnnClassK = 5
+  private val BtItems = 8
+  private val BtIters = 8
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "model_gbm_stumps" -> gbmStumps,
@@ -30,7 +32,42 @@ object ModelQueries {
     "model_gbm_trees" -> gbmTrees,
     "model_gbm_trees_score" -> gbmTreesScore,
     "model_ridge_normal" -> ridgeNormal,
-    "model_knn_class" -> knnClass)
+    "model_knn_class" -> knnClass,
+    "model_bt_strength" -> btStrength)
+
+  /** Deterministic synthetic preference log over 8 items, planted
+    * BT-consistently: contestants a ≠ b are md5-drawn per document, and
+    * a wins with probability s_a/(s_a+s_b) under planted strengths
+    * s_i = i+1 — decided by one more md5 draw modulo (s_a+s_b), the
+    * [[graft.ops.Prep.hashBucket]] idiom with a per-row modulus. The
+    * fit must (and does — ModelSpec-adjacent pins live in
+    * PreferenceSpec) recover the planted order at any SF.
+    */
+  private def btPairs(spark: SparkSession, dir: String): DataFrame = {
+    def h(parts: Column*): Column =
+      graft.functions.Kernels.md5hash48(concat(parts: _*))
+    val d = col("doc_id").cast("string")
+    val a = pmod(h(d, lit("|a")), lit(BtItems.toLong))
+    val bRaw = pmod(h(d, lit("|b")), lit((BtItems - 1).toLong))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), a.as("__a"),
+        when(bRaw >= a, bRaw + 1L).otherwise(bRaw).as("__b"))
+      .select(col("doc_id"), col("__a"), col("__b"),
+        (pmod(h(d, lit("|w")), col("__a") + col("__b") + 2L) <
+          col("__a") + 1L).as("__aw"))
+      .select(
+        when(col("__aw"), col("__a")).otherwise(col("__b")).as("winner"),
+        when(col("__aw"), col("__b")).otherwise(col("__a")).as("loser"))
+  }
+
+  /** Bradley–Terry strength fit over the synthetic preference log
+    * ([[graft.ops.Preference.btStrength]], 8 MM iterations) — per-item
+    * strength, game/win counts and the fitted ranking.
+    */
+  def btStrength(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Preference.btStrength(btPairs(spark, dir), "winner",
+        "loser", BtIters)
+      .orderBy("item")
 
   /** Ridge regression by exact normal equations on the [[base]]
     * features ([[graft.ops.LinearModel.ridgeNormal]], λ = 10⁶): price
@@ -118,7 +155,60 @@ object ModelQueries {
     s"$m00 * ($m11 * $m22 - $m12 * $m21) - $m01 * ($m10 * $m22 - " +
       s"$m12 * $m20) + $m02 * ($m10 * $m21 - $m11 * $m20)"
 
+  /** The MM recursion unrolled in exact HUGEINT (the Spark twin is
+    * DECIMAL(38,0)): per round the per-item denominator
+    * Σ ⌊n·10¹⁸/(p_a+p_b)⌋, the raw update ⌊W·10¹⁸/denom⌋ and the
+    * renormalization ⌊raw·k·10⁹/Σraw⌋ — all operands non-negative, so
+    * DuckDB's truncating `//` IS the pmod-floor division. Per-round
+    * CTEs MATERIALIZED (each round reads its predecessor twice).
+    */
+  private lazy val btOracleSql: String = {
+    val I = BtItems
+    def hb(expr: String) = s"('0x' || substr(md5($expr), 1, 12))::BIGINT"
+    val rounds = (1 to BtIters).map { r =>
+      s"""d$r AS (SELECT g.a AS item,
+         |    sum((CAST(g.n AS HUGEINT) * 1000000000000000000)
+         |      // greatest(pa.p + pb.p, 1)) AS dn
+         |  FROM g JOIN p${r - 1} pa ON g.a = pa.item
+         |    JOIN p${r - 1} pb ON g.b = pb.item GROUP BY 1),
+         |r$r AS (SELECT d.item,
+         |    (CAST(it.n_wins AS HUGEINT) * 1000000000000000000)
+         |      // greatest(d.dn, 1) AS raw
+         |  FROM d$r d JOIN it ON it.item = d.item),
+         |s$r AS (SELECT CAST(sum(raw) AS HUGEINT) AS z, count(*) AS k
+         |  FROM r$r),
+         |p$r AS MATERIALIZED (SELECT item,
+         |    (raw * k * 1000000000) // greatest(z, 1) AS p
+         |  FROM r$r, s$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b1 AS (SELECT doc_id, ${hb("doc_id || '|a'")} % $I AS a,
+       |    ${hb("doc_id || '|b'")} % ${I - 1} AS br FROM documents),
+       |b2 AS (SELECT doc_id, a,
+       |    CASE WHEN br >= a THEN br + 1 ELSE br END AS b FROM b1),
+       |pr AS (SELECT CASE WHEN w THEN a ELSE b END AS winner,
+       |    CASE WHEN w THEN b ELSE a END AS loser
+       |  FROM (SELECT doc_id, a, b,
+       |          ${hb("doc_id || '|w'")} % (a + b + 2) < a + 1 AS w
+       |        FROM b2)),
+       |g AS MATERIALIZED (SELECT a, b, count(*) AS n FROM (
+       |    SELECT winner AS a, loser AS b FROM pr
+       |    UNION ALL SELECT loser, winner FROM pr) GROUP BY 1, 2),
+       |wn AS (SELECT winner AS item, count(*) AS w FROM pr GROUP BY 1),
+       |ga AS (SELECT a AS item, CAST(sum(n) AS BIGINT) AS n_games
+       |  FROM g GROUP BY 1),
+       |it AS MATERIALIZED (SELECT ga.item, ga.n_games,
+       |    coalesce(wn.w, 0) AS n_wins FROM ga LEFT JOIN wn USING (item)),
+       |p0 AS (SELECT item, CAST(1000000000 AS HUGEINT) AS p FROM it),
+       |$rounds
+       |SELECT it.item, it.n_games, it.n_wins,
+       |  CAST(p.p AS BIGINT) AS strength_nano,
+       |  CAST(row_number() OVER (ORDER BY p.p DESC, it.item) AS INTEGER)
+       |    AS rank
+       |FROM it JOIN p$BtIters p USING (item) ORDER BY it.item""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "model_bt_strength" -> btOracleSql,
     // exact HUGEINT moments (the Spark twin is DECIMAL(38,0)), then the
     // identical fixed-sequence double algebra: Cramer determinants,
     // SSE/SST, everything unrounded

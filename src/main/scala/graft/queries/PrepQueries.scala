@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ops.{Decontamination, Prep}
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Oracle-checked training-data preparation family ([[graft.ops.Prep]]):
@@ -443,6 +443,42 @@ object PrepQueries {
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
 
+  /** Exact nano-integer text quality — the [[graft.ops.TextAnalysis
+    * .qualityScore]] product (length·diversity·(1−non_word)) re-derived
+    * as ONE truncating integer division so it can serve as a SORT KEY:
+    * ⌊min(n,20)·d·(L−nwc)·10⁹ / (20·n·L)⌋ with n tokens, d distinct,
+    * L = max(chars,1), nwc non-word chars — ordering by the 6-dp
+    * rounded double would let a last-ulp engine disagreement reorder
+    * ties and shift every later schedule slot.
+    */
+  private def qualityNano: Column = {
+    val t = filter(split(col("text"), " "), x => x =!= "")
+    val n = size(t).cast("long")
+    val d = size(array_distinct(t)).cast("long")
+    val lp = greatest(length(col("text")), lit(1)).cast("long")
+    val nwc = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+      .cast("long")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val num = (least(n, lit(20L)) * d).cast(d38) * (lp - nwc).cast(d38) *
+      lit(1000000000L).cast(d38)
+    val den = (lit(20L) * n * lp).cast(d38)
+    when(n > 0, ((num - pmod(num, den)) / den).cast(d38).cast("long"))
+      .otherwise(0L)
+  }
+
+  /** Curriculum-ordered DoReMi schedule
+    * ([[graft.ops.Prep.curriculumSchedule]] under the same measured
+    * weights as [[doremiMix]]): source interleave rates from the
+    * hardness→EG chain, within-source order by measured text quality
+    * (high→low) — the curriculum-data shape. A constant quality column
+    * reduces exactly to [[doremiMix]]'s schedule (PrepSpec pins it).
+    */
+  def curriculumSchedule(spark: SparkSession, dir: String): DataFrame =
+    Prep.curriculumSchedule(Tables.documents(spark, dir), col("source"),
+        col("doc_id"), qualityNano, doremiWeights(spark, dir), "source",
+        "mixture_weight")
+      .orderBy("virtual_time", "source", "id")
+
   private val SpanStartPct = 5
   private val SpanMax = 5
 
@@ -471,6 +507,7 @@ object PrepQueries {
     "prep_temperature_mix" -> temperatureMix,
     "prep_loss_reweight" -> lossReweightQ,
     "prep_doremi_mix" -> doremiMix,
+    "prep_curriculum_schedule" -> curriculumSchedule,
     "prep_doremi_sample" -> doremiSample,
     "prep_doremi_budget" -> doremiBudget,
     "prep_rank_normalize" -> rankNormalizeAcctbal,
@@ -641,6 +678,38 @@ object PrepQueries {
          |      * 1000000000000000000) // (2 * wq.wn) AS DOUBLE)
          |    / 1000000000.0 AS virtual_time,
          |  r.source, r.id, CAST(r.k AS INTEGER) AS k
+         |FROM r JOIN wq USING (source)
+         |ORDER BY virtual_time, source, id""".stripMargin,
+    // the curriculum variant: same measured weights and exact nano
+    // virtual time, within-source rank by the exact integer quality key
+    // (one HUGEINT truncating division — positive operands, so `//`
+    // matches Spark's pmod-floor), ties to (md5, id)
+    "prep_curriculum_schedule" ->
+      s"""WITH $doremiWeightCtes,
+         |qn AS (SELECT doc_id, source,
+         |    CASE WHEN n > 0 THEN CAST(
+         |      (CAST(least(n, 20) * d AS HUGEINT) * (lp - nwc)
+         |        * 1000000000) // (20 * n * lp) AS BIGINT)
+         |    ELSE 0 END AS quality
+         |  FROM (SELECT doc_id, source,
+         |      len(list_filter(string_split(text, ' '), t -> t <> ''))
+         |        AS n,
+         |      len(list_distinct(list_filter(string_split(text, ' '),
+         |        t -> t <> ''))) AS d,
+         |      greatest(length(text), 1) AS lp,
+         |      length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+         |        AS nwc
+         |    FROM documents)),
+         |r AS (SELECT CAST(source AS VARCHAR) AS source, doc_id AS id,
+         |        quality,
+         |        row_number() OVER (PARTITION BY source
+         |          ORDER BY quality DESC, md5(CAST(doc_id AS VARCHAR)),
+         |            doc_id) AS k
+         |      FROM qn)
+         |SELECT CAST((CAST(2 * r.k - 1 AS HUGEINT)
+         |      * 1000000000000000000) // (2 * wq.wn) AS DOUBLE)
+         |    / 1000000000.0 AS virtual_time,
+         |  r.source, r.id, r.quality, CAST(r.k AS INTEGER) AS k
          |FROM r JOIN wq USING (source)
          |ORDER BY virtual_time, source, id""".stripMargin,
     // provisioning sheet: budget·wn_i // Σwn per source — exact HUGEINT

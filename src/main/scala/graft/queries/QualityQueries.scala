@@ -618,7 +618,41 @@ object QualityQueries {
         Seq("c_nationkey"), DpEpsilon, DpSeed)
       .orderBy("c_nationkey")
 
+  private val DriftJaccard = 0.7
+  private val DriftCos = 0.5
+
+  /** Document-level text ⋈ embedding consistency audit — the data-bug
+    * detector for a multimodal feature store: near-identical TEXT pairs
+    * ([[graft.ops.Dedup.minhashLshPairs]] candidates, exact Jaccard
+    * ≥ 0.7) whose embeddings sit FAR apart (cosine < 0.5) flag a broken
+    * embedding pipeline, a doc/vector id misalignment, or a stale
+    * re-embed — exactly the failure mode no per-table profile can see.
+    *
+    * Shape at scale: candidate work is the banded-minhash bound
+    * (Σ bucket² per band, never corpus²); each surviving pair costs two
+    * id-keyed joins against the embeddings table and one dot product.
+    * Returns (id_a, id_b, jaccard, cos, is_drift) for every verified
+    * text-near pair.
+    */
+  def textEmbedDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cands = graft.ops.Dedup.minhashLshPairs(
+      Tables.documents(spark, dir), "doc_id", "text", DriftJaccard,
+      DedupQueries.NumHashes, DedupQueries.Bands)
+    val emb = Tables.embeddings(spark, dir)
+    cands
+      .join(emb.select(col("vec_id").as("id_a"),
+        col("embedding").as("__va")), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"),
+        col("embedding").as("__vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        round(graft.ops.Similarity.cosine(col("__va"), col("__vb")), 6)
+          .as("cos"))
+      .withColumn("is_drift", col("cos") < DriftCos)
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_text_embed_drift" -> textEmbedDrift,
     "quality_dp_release" -> dpRelease,
     "quality_k_anonymity" -> kAnonymityQ,
     "quality_dataset_card" -> datasetCard,
@@ -658,6 +692,44 @@ object QualityQueries {
     "quality_dup_ratio_documents" -> dupRatioDocuments)
 
   val oracle: Map[String, String] = Map(
+    // the dedup_minhash_lsh candidate/verify chain (shared CTE pieces)
+    // at the 0.7 gate, then the exact per-pair cosine on the embeddings
+    // join — jaccard is the unrounded int ratio, cosine the 6-dp round
+    "quality_text_embed_drift" ->
+      s"""WITH ${DedupQueries.tokCte},
+         |${DedupQueries.thCte},
+         |${DedupQueries.hshCte},
+         |sig AS (SELECT id, ${DedupQueries.sigSelect} FROM hsh GROUP BY id),
+         |band AS (${DedupQueries.bandUnion}),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND ${DedupQueries.sliceEq}
+         |      AND a.id < b.id),
+         |sz AS (SELECT id, count(*) AS n_tokens FROM th GROUP BY id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS n_common
+         |  FROM cand c
+         |  JOIN th a ON a.id = c.id_a
+         |  JOIN th b ON b.id = c.id_b AND b.th = a.th
+         |  GROUP BY 1, 2),
+         |jp AS (SELECT id_a, id_b,
+         |    n_common * 1.0 / (sa.n_tokens + sb.n_tokens - n_common)
+         |      AS jaccard
+         |  FROM inter
+         |  JOIN sz sa ON id_a = sa.id
+         |  JOIN sz sb ON id_b = sb.id
+         |  WHERE n_common * 1.0 / (sa.n_tokens + sb.n_tokens - n_common)
+         |    >= $DriftJaccard)
+         |SELECT jp.id_a, jp.id_b, jp.jaccard,
+         |  ${SimilarityQueries.cosineSql("ea.embedding", "eb.embedding")}
+         |    AS cos,
+         |  ${SimilarityQueries.cosineSql("ea.embedding", "eb.embedding")}
+         |    < $DriftCos AS is_drift
+         |FROM jp
+         |JOIN embeddings ea ON ea.vec_id = jp.id_a
+         |JOIN embeddings eb ON eb.vec_id = jp.id_b
+         |ORDER BY jp.id_a, jp.id_b""".stripMargin,
     // exact-integer histogram + prefix sums; the objective's BIGINT
     // products stay below 2^53 so the double casts are exact and the
     // argmax is engine-identical; ties break to the smaller bin

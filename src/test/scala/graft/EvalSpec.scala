@@ -441,4 +441,94 @@ class EvalSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Double, Double)].head()
     assert(math.abs(gf._6) < 0.01)
   }
+
+  test("fleissKappa: perfect agreement is exactly 1; a single category " +
+      "everywhere is NULL (chance agreement total); a ragged panel " +
+      "raises loudly") {
+    // 3 raters, every rater agrees, two categories present
+    val perfect = (1 to 4).flatMap(s =>
+      (1 to 3).map(_ => (s.toLong, (s % 2).toLong))).toDF("s", "c")
+    val p = Eval.fleissKappa(perfect, "s", "c").collect()(0)
+    assert(p.getAs[Long]("n_subjects") == 4 &&
+      p.getAs[Long]("n_raters") == 3)
+    assert(p.getAs[Double]("p_bar") == 1.0)
+    assert(p.getAs[Double]("kappa") == 1.0)
+    // one category everywhere: P̄e = 1 → κ undefined (NULL)
+    val mono = (1 to 4).flatMap(s =>
+      (1 to 3).map(_ => (s.toLong, 7L))).toDF("s", "c")
+    val m = Eval.fleissKappa(mono, "s", "c").collect()(0)
+    assert(m.isNullAt(m.fieldIndex("kappa")))
+    // ragged: subject 1 has 3 ratings, subject 2 has 2
+    val ragged = (Seq((1L, 0L), (1L, 0L), (1L, 1L), (2L, 0L), (2L, 1L)))
+      .toDF("s", "c")
+    val ex = intercept[Exception] {
+      Eval.fleissKappa(ragged, "s", "c").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("fleissKappa")))
+  }
+
+  test("fleissKappa: bit-identical to the exact BigInt replay of the " +
+      "Fleiss 1971 formulas on a mixed fixture") {
+    val ratings = Seq(
+      (1L, 0L), (1L, 0L), (1L, 1L),
+      (2L, 1L), (2L, 1L), (2L, 1L),
+      (3L, 0L), (3L, 1L), (3L, 2L),
+      (4L, 2L), (4L, 2L), (4L, 0L))
+    val r = Eval.fleissKappa(ratings.toDF("s", "c"), "s", "c").collect()(0)
+    val cells = ratings.groupBy(identity).map(_._2.size)
+    val bigN = BigInt(4); val n = BigInt(3)
+    val s2 = ratings.groupBy(identity).values.map(v => BigInt(v.size))
+      .map(x => x * x).sum
+    val cj = ratings.groupBy(_._2).values.map(v => BigInt(v.size))
+    val a = s2 - bigN * n
+    val b = bigN * n * (n - 1)
+    val c = cj.map(x => x * x).sum
+    val d = bigN * n * bigN * n
+    assert(cells.sum == 12)
+    assert(r.getAs[Double]("p_bar") == a.toDouble / b.toDouble)
+    assert(r.getAs[Double]("p_e") == c.toDouble / d.toDouble)
+    assert(r.getAs[Double]("kappa") ==
+      (a * d - c * b).toDouble / (b * (d - c)).toDouble)
+  }
+
+  test("cohenKappa: equal-marginal fixture reduces to fleissKappa " +
+      "(Scott's π = Cohen's κ there), matches Screening.cohenKappa to " +
+      "its 9-dp rounding, and guards a ragged panel") {
+    // raters 0/1 with IDENTICAL marginals {0:2, 1:2}; agree on 2 of 4
+    val panel = Seq(
+      (1L, 0L, 0L), (1L, 1L, 0L),
+      (2L, 0L, 0L), (2L, 1L, 1L),
+      (3L, 0L, 1L), (3L, 1L, 0L),
+      (4L, 0L, 1L), (4L, 1L, 1L)).toDF("s", "r", "c")
+    val co = Eval.cohenKappa(panel, "s", "r", "c").collect()(0)
+    assert(co.getAs[Long]("n_subjects") == 4 &&
+      co.getAs[Long]("n_agree") == 2)
+    assert(co.getAs[Double]("p_o") == 0.5 &&
+      co.getAs[Double]("p_e") == 0.5)
+    assert(co.getAs[Double]("kappa") == 0.0)
+    val fl = Eval.fleissKappa(panel.select("s", "c"), "s", "c")
+      .collect()(0)
+    assert(fl.getAs[Double]("kappa") == co.getAs[Double]("kappa"))
+    // the wide-input sibling agrees to its 9-dp round
+    val wide = panel.filter(col("r") === 0).select(col("s"),
+        col("c").as("c0"))
+      .join(panel.filter(col("r") === 1).select(col("s"),
+        col("c").as("c1")), Seq("s"))
+    val sk = graft.ops.Screening.cohenKappa(wide, "c0", "c1").collect()(0)
+    assert(sk.getAs[Double]("kappa") ==
+      BigDecimal(co.getAs[Double]("kappa"))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // rater 1 missing a subject → raise
+    val ragged = panel.filter(!(col("s") === 4L && col("r") === 1L))
+    val ex = intercept[Exception] {
+      Eval.cohenKappa(ragged, "s", "r", "c").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("cohenKappa")))
+  }
 }

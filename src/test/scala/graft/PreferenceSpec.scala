@@ -1,0 +1,70 @@
+package graft
+
+import graft.ops.Preference
+import org.scalatest.funsuite.AnyFunSuite
+
+class PreferenceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("btStrength: a planted BT-exact tournament recovers the planted " +
+      "total order, with strengths near the planted ratios") {
+    // items 1..4 with strengths s_i = i; for each pair (i, j) play
+    // 3·(s_i+s_j) games where i wins exactly 3·s_i — the EXACT BT
+    // proportions, so the MLE (up to scale) IS the planted vector
+    val pairs = (for {
+      i <- 1 to 4; j <- 1 to 4 if i != j
+      _ <- 1 to 3 * i
+    } yield (i.toLong, j.toLong)).toDF("winner", "loser")
+    val rows = Preference.btStrength(pairs, "winner", "loser", iters = 8)
+      .orderBy("item").collect()
+    assert(rows.length == 4)
+    val str = rows.map(r => r.getAs[Long]("item") ->
+      r.getAs[Long]("strength_nano")).toMap
+    // fitted order ≡ planted order
+    assert(str(1L) < str(2L) && str(2L) < str(3L) && str(3L) < str(4L))
+    assert(rows.map(r => r.getAs[Long]("item") ->
+      r.getAs[Int]("rank")).toMap == Map(1L -> 4, 2L -> 3, 3L -> 2,
+      4L -> 1))
+    // strength ratios near the planted 1:2:3:4 (MM converges fast on
+    // exact proportions; 8 rounds lands well within 5%)
+    val r21 = str(2L).toDouble / str(1L)
+    val r41 = str(4L).toDouble / str(1L)
+    assert(math.abs(r21 - 2.0) < 0.1, s"p2/p1 = $r21")
+    assert(math.abs(r41 - 4.0) < 0.2, s"p4/p1 = $r41")
+    // wins/games bookkeeping: item 4 plays 3·(s₄+s_j) games per
+    // opponent (both orientations of a game land on ONE g row) and wins
+    // 3·s₄ of each pairing
+    val g = rows.map(r => r.getAs[Long]("item") ->
+      (r.getAs[Long]("n_games"), r.getAs[Long]("n_wins"))).toMap
+    assert(g(4L) == ((3L * (5 + 6 + 7), 3L * 4 * 3)))
+  }
+
+  test("btStrength: a symmetric head-to-head ties exactly — equal " +
+      "strength_nano, rank broken to the smaller item id") {
+    val pairs = ((1 to 5).map(_ => (10L, 20L)) ++
+      (1 to 5).map(_ => (20L, 10L))).toDF("winner", "loser")
+    val rows = Preference.btStrength(pairs, "winner", "loser", iters = 8)
+      .orderBy("item").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("strength_nano") ==
+      rows(1).getAs[Long]("strength_nano"))
+    assert(rows(0).getAs[Long]("item") == 10L &&
+      rows(0).getAs[Int]("rank") == 1)
+    assert(rows(1).getAs[Int]("rank") == 2)
+    // the normalization invariant: Σ p = |items|·10⁹ up to flooring
+    val tot = rows.map(_.getAs[Long]("strength_nano")).sum
+    assert(tot <= 2L * 1000000000L && tot > 2L * 1000000000L - 4)
+  }
+
+  test("btStrength: an item that never wins converges to strength 0 " +
+      "(the MLE boundary), and the winner takes the whole mass") {
+    val pairs = (1 to 4).map(_ => (1L, 2L)).toDF("winner", "loser")
+    val rows = Preference.btStrength(pairs, "winner", "loser", iters = 8)
+      .orderBy("item").collect()
+    val m = rows.map(r => r.getAs[Long]("item") ->
+      r.getAs[Long]("strength_nano")).toMap
+    assert(m(2L) == 0L)
+    assert(m(1L) == 2L * 1000000000L)
+  }
+}

@@ -710,6 +710,33 @@ class PrepSpec extends AnyFunSuite {
     }
   }
 
+  test("curriculumSchedule: a CONSTANT quality column reduces exactly " +
+      "to mixtureScheduleWeighted (same source/id/k/virtual_time), and " +
+      "a real quality key orders each source by quality descending") {
+    val docs = Tables.documents(spark, dir)
+    val w = Prep.temperatureMixture(docs, col("lang"))
+    val const = Prep.curriculumSchedule(docs, col("lang"), col("doc_id"),
+        lit(5L), w, "source", "q_temp")
+      .select("virtual_time", "source", "id", "k")
+      .orderBy("source", "id").collect().toSeq
+    val base = Prep.mixtureScheduleWeighted(docs, col("lang"),
+        col("doc_id"), w, "source", "q_temp")
+      .orderBy("source", "id").collect().toSeq
+    assert(const.nonEmpty && const == base)
+    // a genuine key: n_chars — within each source, k must follow
+    // quality descending (ties resolved by md5 then id, so quality is
+    // non-increasing in k)
+    val real = Prep.curriculumSchedule(docs, col("lang"), col("doc_id"),
+        col("n_chars"), w, "source", "q_temp")
+      .select("source", "quality", "k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    real.groupBy(_._1).values.foreach { rows =>
+      val byK = rows.sortBy(_._3).map(_._2)
+      assert(byK.zip(byK.tail).forall { case (a, b) => a >= b },
+        s"quality not descending in k: ${byK.take(10).toSeq}")
+    }
+  }
+
   test("tokenBudgetPlanWeighted: equal nano weights reproduce the " +
       "integer-percent plan; floor shares never overshoot the budget") {
     import spark.implicits._
