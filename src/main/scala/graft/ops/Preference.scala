@@ -55,7 +55,63 @@ object Preference {
       iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 64,
       s"btStrength: need 1 <= iters <= 64, got $iters")
-    val spark = pairs.sparkSession
+    val (items, p) = fit(pairs, winnerCol, loserCol, iters)
+    items.join(p, Seq("a"))
+      .select(col("a").as("item"), col("n_games"), col("n_wins"),
+        col("p").cast("long").as("strength_nano"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("strength_nano").desc, col("item"))))
+  }
+
+  /** Per-pair goodness-of-fit of the [[btStrength]] model: for each
+    * canonical (item_a < item_b) pairing, the observed win rate of the
+    * smaller-id side against the BT-fitted rate p_a/(p_a+p_b), plus the
+    * residual — the read that says WHERE the single-strength-per-item
+    * model misfits (a systematic residual marks intransitive
+    * preferences, rater factions, or prompt-dependent quality that one
+    * scalar can't carry).
+    *
+    * Both rates are ONE IEEE division of exact integers each (no
+    * round() of a rational); the residual is their fixed-order
+    * difference — engine-bit-identical. Same scale shape as the fit:
+    * everything after the corpus collapse runs on ≤ items² rows.
+    * Returns (item_a, item_b, n_games, n_wins_a, win_rate_a,
+    * fitted_rate_a, residual).
+    */
+  def btPairStats(pairs: DataFrame, winnerCol: String, loserCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 64,
+      s"btPairStats: need 1 <= iters <= 64, got $iters")
+    val (_, p) = fit(pairs, winnerCol, loserCol, iters)
+    val w = pairs.select(col(winnerCol).cast("long").as("__w"),
+      col(loserCol).cast("long").as("__l"))
+    val canon = w.select(least(col("__w"), col("__l")).as("item_a"),
+        greatest(col("__w"), col("__l")).as("item_b"),
+        when(col("__w") < col("__l"), 1L).otherwise(0L).as("__wa"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("n_games"), sum("__wa").as("n_wins_a"))
+    canon
+      .join(broadcast(p.select(col("a").as("item_a"),
+        col("p").cast("long").as("__pa"))), Seq("item_a"))
+      .join(broadcast(p.select(col("a").as("item_b"),
+        col("p").cast("long").as("__pb"))), Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("n_games"),
+        col("n_wins_a"),
+        (col("n_wins_a").cast("double") / col("n_games"))
+          .as("win_rate_a"),
+        when(col("__pa") + col("__pb") > 0,
+          col("__pa").cast("double") /
+            (col("__pa") + col("__pb")).cast("double"))
+          .as("fitted_rate_a"))
+      .withColumn("residual", col("win_rate_a") - col("fitted_rate_a"))
+  }
+
+  /** The shared MM fit: (items relation (a, n_games, n_wins),
+    * strengths relation (a, p) in nano DECIMAL(38,0)).
+    */
+  private def fit(pairs: DataFrame, winnerCol: String, loserCol: String,
+      iters: Int): (DataFrame, DataFrame) = {
     val w = pairs.select(col(winnerCol).cast("long").as("__w"),
       col(loserCol).cast("long").as("__l"))
     // directed game counts: one corpus shuffle, then every iteration
@@ -94,11 +150,6 @@ object Preference {
             greatest(col("__z"), lit(1).cast(D38))).as("p"))
         .localCheckpoint(false)
     }
-    items.join(p, Seq("a"))
-      .select(col("a").as("item"), col("n_games"), col("n_wins"),
-        col("p").cast("long").as("strength_nano"))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("strength_nano").desc, col("item"))))
+    (items, p)
   }
 }

@@ -33,7 +33,8 @@ object ModelQueries {
     "model_gbm_trees_score" -> gbmTreesScore,
     "model_ridge_normal" -> ridgeNormal,
     "model_knn_class" -> knnClass,
-    "model_bt_strength" -> btStrength)
+    "model_bt_strength" -> btStrength,
+    "model_bt_pairs" -> btPairs2)
 
   /** Deterministic synthetic preference log over 8 items, planted
     * BT-consistently: contestants a ≠ b are md5-drawn per document, and
@@ -68,6 +69,15 @@ object ModelQueries {
     graft.ops.Preference.btStrength(btPairs(spark, dir), "winner",
         "loser", BtIters)
       .orderBy("item")
+
+  /** Per-pair observed-vs-fitted win rates under the same fit
+    * ([[graft.ops.Preference.btPairStats]]) — the goodness-of-fit
+    * residuals that flag intransitive preference structure.
+    */
+  def btPairs2(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Preference.btPairStats(btPairs(spark, dir), "winner",
+        "loser", BtIters)
+      .orderBy("item_a", "item_b")
 
   /** Ridge regression by exact normal equations on the [[base]]
     * features ([[graft.ops.LinearModel.ridgeNormal]], λ = 10⁶): price
@@ -162,7 +172,7 @@ object ModelQueries {
     * DuckDB's truncating `//` IS the pmod-floor division. Per-round
     * CTEs MATERIALIZED (each round reads its predecessor twice).
     */
-  private lazy val btOracleSql: String = {
+  private lazy val btCtes: String = {
     val I = BtItems
     def hb(expr: String) = s"('0x' || substr(md5($expr), 1, 12))::BIGINT"
     val rounds = (1 to BtIters).map { r =>
@@ -181,7 +191,7 @@ object ModelQueries {
          |    (raw * k * 1000000000) // greatest(z, 1) AS p
          |  FROM r$r, s$r)""".stripMargin
     }.mkString(",\n")
-    s"""WITH b1 AS (SELECT doc_id, ${hb("doc_id || '|a'")} % $I AS a,
+    s"""b1 AS (SELECT doc_id, ${hb("doc_id || '|a'")} % $I AS a,
        |    ${hb("doc_id || '|b'")} % ${I - 1} AS br FROM documents),
        |b2 AS (SELECT doc_id, a,
        |    CASE WHEN br >= a THEN br + 1 ELSE br END AS b FROM b1),
@@ -199,16 +209,47 @@ object ModelQueries {
        |it AS MATERIALIZED (SELECT ga.item, ga.n_games,
        |    coalesce(wn.w, 0) AS n_wins FROM ga LEFT JOIN wn USING (item)),
        |p0 AS (SELECT item, CAST(1000000000 AS HUGEINT) AS p FROM it),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private lazy val btOracleSql: String =
+    s"""WITH $btCtes
        |SELECT it.item, it.n_games, it.n_wins,
        |  CAST(p.p AS BIGINT) AS strength_nano,
        |  CAST(row_number() OVER (ORDER BY p.p DESC, it.item) AS INTEGER)
        |    AS rank
        |FROM it JOIN p$BtIters p USING (item) ORDER BY it.item""".stripMargin
-  }
+
+  /** Per-pair replay on the same fit: canonical (a < b) game/win
+    * counts, both rates as single divisions of exact integers, the
+    *  residual their fixed-order difference.
+    */
+  private lazy val btPairsOracleSql: String =
+    s"""WITH $btCtes,
+       |cn AS (SELECT least(winner, loser) AS item_a,
+       |    greatest(winner, loser) AS item_b,
+       |    count(*) AS n_games,
+       |    CAST(sum(CASE WHEN winner < loser THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_wins_a
+       |  FROM pr GROUP BY 1, 2)
+       |SELECT cn.item_a, cn.item_b, cn.n_games, cn.n_wins_a,
+       |  CAST(cn.n_wins_a AS DOUBLE) / cn.n_games AS win_rate_a,
+       |  CASE WHEN pa.p + pb.p > 0 THEN
+       |    CAST(CAST(pa.p AS BIGINT) AS DOUBLE)
+       |      / CAST(CAST(pa.p AS BIGINT) + CAST(pb.p AS BIGINT)
+       |        AS DOUBLE) END AS fitted_rate_a,
+       |  CAST(cn.n_wins_a AS DOUBLE) / cn.n_games
+       |    - (CASE WHEN pa.p + pb.p > 0 THEN
+       |        CAST(CAST(pa.p AS BIGINT) AS DOUBLE)
+       |          / CAST(CAST(pa.p AS BIGINT) + CAST(pb.p AS BIGINT)
+       |            AS DOUBLE) END) AS residual
+       |FROM cn JOIN p$BtIters pa ON pa.item = cn.item_a
+       |JOIN p$BtIters pb ON pb.item = cn.item_b
+       |ORDER BY cn.item_a, cn.item_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "model_bt_strength" -> btOracleSql,
+    "model_bt_pairs" -> btPairsOracleSql,
     // exact HUGEINT moments (the Spark twin is DECIMAL(38,0)), then the
     // identical fixed-sequence double algebra: Cramer determinants,
     // SSE/SST, everything unrounded

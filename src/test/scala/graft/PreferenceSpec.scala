@@ -57,6 +57,28 @@ class PreferenceSpec extends AnyFunSuite {
     assert(tot <= 2L * 1000000000L && tot > 2L * 1000000000L - 4)
   }
 
+  test("btPairStats: on the BT-exact tournament every pair's fitted " +
+      "rate sits within a few percent of the observed rate, and the " +
+      "canonical bookkeeping is exact") {
+    val pairs = (for {
+      i <- 1 to 4; j <- 1 to 4 if i != j
+      _ <- 1 to 3 * i
+    } yield (i.toLong, j.toLong)).toDF("winner", "loser")
+    val rows = graft.ops.Preference.btPairStats(pairs, "winner", "loser",
+      iters = 8).orderBy("item_a", "item_b").collect()
+    assert(rows.length == 6) // C(4,2) canonical pairs
+    val p12 = rows.find(r => r.getAs[Long]("item_a") == 1L &&
+      r.getAs[Long]("item_b") == 2L).get
+    // pair (1,2): 1 beats 2 three times, 2 beats 1 six times
+    assert(p12.getAs[Long]("n_games") == 9L &&
+      p12.getAs[Long]("n_wins_a") == 3L)
+    assert(p12.getAs[Double]("win_rate_a") == 3.0 / 9.0)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("residual")) < 0.05,
+        s"residual too large: $r")
+    }
+  }
+
   test("btStrength: an item that never wins converges to strength 0 " +
       "(the MLE boundary), and the winner takes the whole mass") {
     val pairs = (1 to 4).map(_ => (1L, 2L)).toDF("winner", "loser")
