@@ -909,6 +909,84 @@ object Eval {
               .cast(DoubleType))).as("kappa"))
   }
 
+  /** Krippendorff's α (nominal metric; Krippendorff 1970/2004) — the
+    * agreement coefficient for the panels [[fleissKappa]] refuses:
+    * RAGGED data, where units carry different rating counts (raters
+    * skip items, panels grow mid-campaign). Units with fewer than 2
+    * ratings drop (no within-unit pair to observe); everything else is
+    * exact count arithmetic on the coincidence-matrix identities:
+    *
+    *   α = 1 − (n−1)·Σ_u pairable_disagreements(u)/(m_u−1)
+    *           / (n² − Σ_c n_c²)
+    *
+    * with n_c the raw category totals over surviving units and
+    * disagreeing ordered pairs within u = m_u² − Σ_c n_uc². The
+    * per-unit 1/(m_u−1) weights are cleared by the fixed scale
+    * L = lcm(1..9) = 2520 (supports up to 10 ratings per unit — more
+    * raises loudly), so the whole statistic is ONE IEEE division of two
+    * exact DECIMAL(38,0) integers; NULL when a single category covers
+    * everything (no expected disagreement).
+    *
+    * Shape at scale: one (unit, category) count shuffle, one per-unit
+    * and one per-category rollup, then 1-row arithmetic — the
+    * [[fleissKappa]] plan with one extra bounded aggregate. Returns one
+    * row (n_units, n_pairable, d_observed, d_expected, alpha) where
+    * d_observed/d_expected are the usual per-pair disagreement rates.
+    */
+  def krippendorffAlpha(df: DataFrame, unitCol: String,
+      categoryCol: String): DataFrame = {
+    val D38 = DecimalType(38, 0)
+    val L = 2520L // lcm(1..9): clears 1/(m_u−1) for m_u ≤ 10
+    val cell = df.groupBy(col(unitCol).as("__u"),
+        col(categoryCol).as("__c"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(false) // feeds the unit AND category rollups
+    val byUnit = cell.groupBy("__u")
+      .agg(sum("__n").as("__m"),
+        sum((col("__n").cast(D38) * col("__n").cast(D38)).cast(D38))
+          .cast(D38).as("__sq"))
+      .filter(col("__m") >= 2)
+      .localCheckpoint(false) // feeds the Do sum AND the survivor join
+    val doScaled = byUnit
+      .select(
+        when(col("__m") <= 10L, col("__m"))
+          .otherwise(raise_error(concat(
+            lit("krippendorffAlpha: unit with "), col("__m"),
+            lit(" ratings exceeds the lcm-clearing bound of 10"))))
+          .as("__m"), col("__sq"))
+      .agg(count(lit(1)).as("n_units"),
+        // L DIV (m−1) is exact (every m−1 ≤ 9 divides lcm(1..9)) and
+        // stays in integer space — a decimal division here would ride
+        // Spark's min-scale-6 rescale
+        sum(((col("__m").cast(D38) * col("__m").cast(D38) - col("__sq"))
+          * expr(s"$L DIV (__m - 1)").cast(D38))
+          .cast(D38)).cast(D38).as("__dos"),
+        sum(col("__m")).as("n_pairable"))
+    val byCat = cell.join(byUnit.select("__u"), Seq("__u"))
+      .groupBy("__c").agg(sum("__n").cast(D38).as("__nc"))
+      .agg(sum(col("__nc")).cast(D38).as("__n"),
+        sum((col("__nc") * col("__nc")).cast(D38)).cast(D38).as("__ncsq"))
+    doScaled.crossJoin(byCat)
+      .select(col("n_units"), col("n_pairable"),
+        col("__dos"), col("__n"), col("__ncsq"),
+        ((col("__n") * col("__n")).cast(D38) - col("__ncsq")).cast(D38)
+          .as("__de"))
+      .select(col("n_units"), col("n_pairable"),
+        // observed / expected per-pair disagreement rates (display)
+        (col("__dos").cast(DoubleType) /
+          (lit(L).cast(D38) * col("__n")).cast(D38).cast(DoubleType))
+          .as("d_observed"),
+        (col("__de").cast(DoubleType) /
+          ((col("__n") * (col("__n") - 1)).cast(D38)).cast(DoubleType))
+          .as("d_expected"),
+        when(col("__de") > 0,
+          lit(1.0) -
+            (((col("__n") - 1).cast(D38) * col("__dos")).cast(D38)
+              .cast(DoubleType) /
+              (lit(L).cast(D38) * col("__de")).cast(D38)
+                .cast(DoubleType))).as("alpha"))
+  }
+
   /** Cohen's κ (Cohen 1960) — the TWO-rater agreement coefficient with
     * per-rater marginals (unlike [[fleissKappa]]'s pooled marginals; the
     * two coincide exactly when both raters' category distributions are

@@ -324,6 +324,21 @@ object EvalQueries {
   def fleissKappaQ(spark: SparkSession, dir: String): DataFrame =
     Eval.fleissKappa(ratingsPanel(spark, dir, 3), "doc_id", "rating")
 
+  /** Krippendorff's α over the RAGGED version of the same panel — each
+    * rater covers only the md5-chosen ~2/3 of documents (the realistic
+    * annotation-campaign shape [[fleissKappaQ]]'s fixed-count model
+    * refuses); units left with < 2 ratings drop inside
+    * [[graft.ops.Eval.krippendorffAlpha]].
+    */
+  def krippendorffQ(spark: SparkSession, dir: String): DataFrame = {
+    def h(parts: Column*): Column =
+      graft.functions.Kernels.md5hash48(concat(parts: _*))
+    val ragged = ratingsPanel(spark, dir, 3).filter(
+      pmod(h(col("doc_id").cast("string"), lit("|"),
+        col("rater").cast("string"), lit("|on")), lit(3L)) < 2)
+    Eval.krippendorffAlpha(ragged, "doc_id", "rating")
+  }
+
   /** Cohen's κ of raters 0 and 1 on the same panel
     * ([[graft.ops.Eval.cohenKappa]]) — the per-rater-marginal two-rater
     * coefficient beside Fleiss' pooled one.
@@ -335,6 +350,7 @@ object EvalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_fleiss_kappa" -> fleissKappaQ,
     "eval_cohen_kappa" -> cohenKappaQ,
+    "eval_krippendorff_alpha" -> krippendorffQ,
     "eval_markov_perplexity" -> markovPerplexityQ,
     "eval_map_at_k" -> mapAtKCf,
     "eval_woe_iv" -> woeClicks,
@@ -443,6 +459,36 @@ object EvalQueries {
          |  CASE WHEN d > c THEN CAST(a * d - c * b AS DOUBLE)
          |    / CAST(b * (d - c) AS DOUBLE) END AS kappa
          |FROM f""".stripMargin,
+    // the ragged-panel coefficient: per-unit (m² − Σ n_uc²) disagreeing
+    // ordered pairs, 1/(m−1) weights cleared by lcm(1..9) = 2520 (every
+    // m−1 ≤ 9 divides it — `//` is exact), category totals over
+    // surviving units; α is ONE IEEE division of exact HUGEINTs
+    "eval_krippendorff_alpha" ->
+      s"""WITH ${ratingsPanelSql(3)},
+         |rg AS (SELECT doc_id, rater, rating FROM rt
+         |  WHERE ('0x' || substr(md5(doc_id || '|' || rater || '|on'),
+         |    1, 12))::BIGINT % 3 < 2),
+         |cell AS (SELECT doc_id, rating, count(*) AS n FROM rg
+         |  GROUP BY 1, 2),
+         |un AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS m,
+         |    CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS sq
+         |  FROM cell GROUP BY 1 HAVING sum(n) >= 2),
+         |ds AS (SELECT count(*) AS n_units,
+         |    CAST(sum((CAST(m AS HUGEINT) * m - sq) * (2520 // (m - 1)))
+         |      AS HUGEINT) AS dos,
+         |    CAST(sum(m) AS BIGINT) AS n_pairable FROM un),
+         |cat AS (SELECT CAST(sum(nc) AS HUGEINT) AS n,
+         |    CAST(sum(CAST(nc AS HUGEINT) * nc) AS HUGEINT) AS ncsq
+         |  FROM (SELECT CAST(sum(cell.n) AS BIGINT) AS nc
+         |        FROM cell JOIN un USING (doc_id) GROUP BY cell.rating))
+         |SELECT n_units, n_pairable,
+         |  CAST(dos AS DOUBLE) / CAST(2520 * n AS DOUBLE) AS d_observed,
+         |  CAST(n * n - ncsq AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+         |    AS d_expected,
+         |  CASE WHEN n * n - ncsq > 0 THEN
+         |    1.0 - CAST((n - 1) * dos AS DOUBLE)
+         |      / CAST(2520 * (n * n - ncsq) AS DOUBLE) END AS alpha
+         |FROM ds, cat""".stripMargin,
     // per-rater marginals (unlike Fleiss' pooled): p_e = Σ a_c·b_c/N²,
     // κ = (agree·N − Σ a·b)/(N² − Σ a·b) in exact HUGEINT
     "eval_cohen_kappa" ->

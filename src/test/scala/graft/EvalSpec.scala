@@ -494,6 +494,47 @@ class EvalSpec extends AnyFunSuite {
       (a * d - c * b).toDouble / (b * (d - c)).toDouble)
   }
 
+  test("krippendorffAlpha: hand-traced ragged fixture; singleton units " +
+      "drop without effect; perfect agreement is 1; single category is " +
+      "NULL; an 11-rating unit exceeds the lcm bound and raises") {
+    // u1 (a,a), u2 (a,b), u3 (b,b,b): n=7, n_a=3, n_b=4,
+    // Do_scaled = 2·2520 (only u2's two ordered disagreeing pairs, m=2),
+    // α = 1 − 6·5040/(2520·(49−25)) = 0.5 exactly
+    val base = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "b"), (3L, "b"), (3L, "b"))
+    val r = Eval.krippendorffAlpha(base.toDF("u", "c"), "u", "c")
+      .collect()(0)
+    assert(r.getAs[Long]("n_units") == 3 &&
+      r.getAs[Long]("n_pairable") == 7)
+    assert(r.getAs[Double]("alpha") == 0.5)
+    assert(r.getAs[Double]("d_observed") == 5040.0 / (2520.0 * 7))
+    // a singleton unit contributes nothing
+    val withSingleton = (base :+ (9L, "a")).toDF("u", "c")
+    val r2 = Eval.krippendorffAlpha(withSingleton, "u", "c").collect()(0)
+    assert(r2.getAs[Double]("alpha") == 0.5 &&
+      r2.getAs[Long]("n_units") == 3)
+    // perfect agreement across two categories
+    val perfect = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"))
+      .toDF("u", "c")
+    assert(Eval.krippendorffAlpha(perfect, "u", "c").collect()(0)
+      .getAs[Double]("alpha") == 1.0)
+    // one category everywhere → De = 0 → NULL
+    val mono = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a"))
+      .toDF("u", "c")
+    val m = Eval.krippendorffAlpha(mono, "u", "c").collect()(0)
+    assert(m.isNullAt(m.fieldIndex("alpha")))
+    // 11 ratings on one unit exceeds the lcm(1..9) clearing bound
+    val big = (1 to 11).map(i => (1L, if (i % 2 == 0) "a" else "b"))
+      .toDF("u", "c")
+    val ex = intercept[Exception] {
+      Eval.krippendorffAlpha(big, "u", "c").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("krippendorffAlpha")))
+  }
+
   test("cohenKappa: equal-marginal fixture reduces to fleissKappa " +
       "(Scott's π = Cohen's κ there), matches Screening.cohenKappa to " +
       "its 9-dp rounding, and guards a ragged panel") {
