@@ -651,7 +651,51 @@ object QualityQueries {
       .orderBy("id_a", "id_b")
   }
 
+  private val EmbedNearCos = 0.35
+  private val TextFarJaccard = 0.3
+
+  /** The REVERSE direction of [[textEmbedDrift]]: embedding-NEAR pairs
+    * ([[graft.ops.Similarity.lshNearDupPairs]] banded candidates, exact
+    * cosine ≥ 0.35 — the house near-dup gate) whose TEXTS share almost
+    * nothing (exact token Jaccard < 0.3) — semantically-close vectors
+    * over unrelated text flag embedding-model collapse, duplicate
+    * vectors pasted onto the wrong rows, or coordinated templating.
+    * Together the two directions complete the text ⋈ embedding
+    * consistency audit.
+    *
+    * Candidate work = the hyperplane-band Σ bucket² bound; each pair
+    * pays two id-keyed token-set joins + one merge-intersect
+    * (`graft_sorted_intersect`, codegen'd). Pairs whose docs have no
+    * tokens score Jaccard 0 (maximally text-far). Returns
+    * (id_a, id_b, cos, jaccard, is_drift).
+    */
+  def embedTextDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cands = graft.ops.Similarity.lshNearDupPairs(
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      EmbedNearCos, SimilarityQueries.bandPlanes)
+    val sets = graft.ops.Dedup.tokenSets(
+        Tables.documents(spark, dir), "doc_id", "text")
+      .localCheckpoint(false)
+    val nc = when(col("__ta").isNotNull && col("__tb").isNotNull,
+      call_function("graft_sorted_intersect", col("__ta"), col("__tb")))
+      .otherwise(0L)
+    val den = coalesce(col("__na"), lit(0L)) +
+      coalesce(col("__nb"), lit(0L)) - col("__nc")
+    cands
+      .join(sets.select(col("id").as("id_a"), col("toks_v").as("__ta"),
+        col("n_tokens").as("__na")), Seq("id_a"), "left")
+      .join(sets.select(col("id").as("id_b"), col("toks_v").as("__tb"),
+        col("n_tokens").as("__nb")), Seq("id_b"), "left")
+      .withColumn("__nc", nc)
+      .select(col("id_a"), col("id_b"), col("cos"),
+        when(den > 0, col("__nc").cast("double") / den).otherwise(0.0)
+          .as("jaccard"))
+      .withColumn("is_drift", col("jaccard") < TextFarJaccard)
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_embed_text_drift" -> embedTextDrift,
     "quality_text_embed_drift" -> textEmbedDrift,
     "quality_dp_release" -> dpRelease,
     "quality_k_anonymity" -> kAnonymityQ,
@@ -692,6 +736,37 @@ object QualityQueries {
     "quality_dup_ratio_documents" -> dupRatioDocuments)
 
   val oracle: Map[String, String] = Map(
+    // the sim_lsh_neardup_pairs edge CTE + exact token-set Jaccard per
+    // candidate; tokenless docs coalesce to Jaccard 0 (maximally far)
+    "quality_embed_text_drift" ->
+      s"""WITH ${SimilarityQueries.nearDupEdgesCte},
+         |tok AS (
+         |  SELECT DISTINCT doc_id AS id, t AS token
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+         |        FROM documents)
+         |  WHERE t <> ''),
+         |th AS (SELECT id,
+         |    ('0x' || substr(md5(token), 1, 12))::BIGINT AS th FROM tok),
+         |sz AS (SELECT id, count(*) AS n_tokens FROM th GROUP BY id),
+         |inter AS (
+         |  SELECT e.id_a, e.id_b, count(*) AS n_common
+         |  FROM ndedges e
+         |  JOIN th a ON a.id = e.id_a
+         |  JOIN th b ON b.id = e.id_b AND b.th = a.th
+         |  GROUP BY 1, 2),
+         |jp AS (SELECT e.id_a, e.id_b, e.cos,
+         |    coalesce(i.n_common, 0) AS nc,
+         |    coalesce(sa.n_tokens, 0) + coalesce(sb.n_tokens, 0)
+         |      - coalesce(i.n_common, 0) AS den
+         |  FROM ndedges e
+         |  LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+         |  LEFT JOIN sz sa ON sa.id = e.id_a
+         |  LEFT JOIN sz sb ON sb.id = e.id_b)
+         |SELECT id_a, id_b, cos,
+         |  CASE WHEN den > 0 THEN nc * 1.0 / den ELSE 0.0 END AS jaccard,
+         |  (CASE WHEN den > 0 THEN nc * 1.0 / den ELSE 0.0 END)
+         |    < $TextFarJaccard AS is_drift
+         |FROM jp ORDER BY id_a, id_b""".stripMargin,
     // the dedup_minhash_lsh candidate/verify chain (shared CTE pieces)
     // at the 0.7 gate, then the exact per-pair cosine on the embeddings
     // join — jaccard is the unrounded int ratio, cosine the 6-dp round

@@ -887,7 +887,7 @@ object SimilarityQueries {
 
   // shared edge relation: LSH-banded + exact-verified near-dup pairs
   // (the sim_lsh_neardup_pairs body, reused by the triangle census)
-  private val nearDupEdgesCte =
+  private[queries] val nearDupEdgesCte =
     s"""b AS (SELECT vec_id AS id, embedding AS v,
        |  ${bucketSqlFor("embedding", bandPlanes(0))} AS bk0,
        |  ${bucketSqlFor("embedding", bandPlanes(1))} AS bk1
