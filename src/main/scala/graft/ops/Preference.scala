@@ -107,6 +107,56 @@ object Preference {
       .withColumn("residual", col("win_rate_a") - col("fitted_rate_a"))
   }
 
+  /** Majority-preference cycle census — the Condorcet-consistency audit
+    * of a preference log: per canonical pair, the strict majority
+    * winner defines a tournament edge (exact ties define none), and
+    * every CYCLIC triad (i→j→k→i) is direct evidence that no total
+    * order — and hence no Bradley–Terry scalar — can explain the data
+    * at that triple. A high cyclic count says "don't ship one reward
+    * scalar"; [[btPairStats]] residuals say where.
+    *
+    * Shape at scale: the same one-shuffle corpus collapse to ≤ items²
+    * canonical pairs; the triad join is three self-joins of the ≤
+    * items² edge relation anchored at the minimum node (each cycle
+    * counted exactly once) — bounded by items³, never corpus-scale.
+    * Returns one row (n_items, n_edges, n_ties, n_cyclic_triads).
+    */
+  def majorityCycles(pairs: DataFrame, winnerCol: String,
+      loserCol: String): DataFrame = {
+    val w = pairs.select(col(winnerCol).cast("long").as("__w"),
+      col(loserCol).cast("long").as("__l"))
+    val canon = w.select(least(col("__w"), col("__l")).as("__a"),
+        greatest(col("__w"), col("__l")).as("__b"),
+        when(col("__w") < col("__l"), 1L).otherwise(0L).as("__wa"))
+      .groupBy("__a", "__b")
+      .agg(count(lit(1)).as("__n"), sum("__wa").as("__na"))
+      .localCheckpoint(false)
+    val e = canon.filter(col("__na") * 2 =!= col("__n"))
+      .select(
+        when(col("__na") * 2 > col("__n"), col("__a")).otherwise(col("__b"))
+          .as("u"),
+        when(col("__na") * 2 > col("__n"), col("__b")).otherwise(col("__a"))
+          .as("v"))
+      .localCheckpoint(false)
+    val nItems = canon.select(col("__a").as("i"))
+      .unionByName(canon.select(col("__b").as("i")))
+      .agg(countDistinct(col("i")).as("n_items"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val nTies = canon.agg(
+      sum(when(col("__na") * 2 === col("__n"), 1L).otherwise(0L))
+        .as("n_ties"))
+    // anchor each cycle at its minimum node so it counts exactly once
+    val cyc = e.select(col("u").as("u1"), col("v").as("v1"))
+      .join(e.select(col("u").as("u2"), col("v").as("v2")),
+        col("v1") === col("u2") && col("u1") < col("u2"))
+      .join(e.select(col("u").as("u3"), col("v").as("v3")),
+        col("v2") === col("u3") && col("v3") === col("u1") &&
+          col("u1") < col("u3"))
+      .agg(count(lit(1)).as("n_cyclic_triads"))
+    nItems.crossJoin(broadcast(nEdges)).crossJoin(broadcast(nTies))
+      .crossJoin(broadcast(cyc))
+  }
+
   /** The shared MM fit: (items relation (a, n_games, n_wins),
     * strengths relation (a, p) in nano DECIMAL(38,0)).
     */

@@ -34,7 +34,8 @@ object ModelQueries {
     "model_ridge_normal" -> ridgeNormal,
     "model_knn_class" -> knnClass,
     "model_bt_strength" -> btStrength,
-    "model_bt_pairs" -> btPairs2)
+    "model_bt_pairs" -> btPairs2,
+    "model_bt_cycles" -> btCycles)
 
   /** Deterministic synthetic preference log over 8 items, planted
     * BT-consistently: contestants a ≠ b are md5-drawn per document, and
@@ -78,6 +79,14 @@ object ModelQueries {
     graft.ops.Preference.btPairStats(btPairs(spark, dir), "winner",
         "loser", BtIters)
       .orderBy("item_a", "item_b")
+
+  /** Majority-cycle census of the same preference log
+    * ([[graft.ops.Preference.majorityCycles]]) — cyclic triads are the
+    * direct Condorcet evidence against any one-scalar reward model.
+    */
+  def btCycles(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Preference.majorityCycles(btPairs(spark, dir), "winner",
+      "loser")
 
   /** Ridge regression by exact normal equations on the [[base]]
     * features ([[graft.ops.LinearModel.ridgeNormal]], λ = 10⁶): price
@@ -247,9 +256,34 @@ object ModelQueries {
        |JOIN p$BtIters pb ON pb.item = cn.item_b
        |ORDER BY cn.item_a, cn.item_b""".stripMargin
 
+  /** The cycle census replay: strict-majority edges from the canonical
+    * pair counts, cyclic triads anchored at the minimum node.
+    */
+  private lazy val btCyclesOracleSql: String =
+    s"""WITH $btCtes,
+       |cn AS (SELECT least(winner, loser) AS a,
+       |    greatest(winner, loser) AS b, count(*) AS n,
+       |    CAST(sum(CASE WHEN winner < loser THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS na
+       |  FROM pr GROUP BY 1, 2),
+       |ed AS (SELECT CASE WHEN 2 * na > n THEN a ELSE b END AS u,
+       |    CASE WHEN 2 * na > n THEN b ELSE a END AS v
+       |  FROM cn WHERE 2 * na <> n),
+       |ni AS (SELECT count(DISTINCT i) AS n_items FROM (
+       |    SELECT a AS i FROM cn UNION ALL SELECT b FROM cn)),
+       |ne AS (SELECT count(*) AS n_edges FROM ed),
+       |nt AS (SELECT CAST(sum(CASE WHEN 2 * na = n THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_ties FROM cn),
+       |cy AS (SELECT count(*) AS n_cyclic_triads
+       |  FROM ed e1 JOIN ed e2 ON e1.v = e2.u AND e1.u < e2.u
+       |  JOIN ed e3 ON e2.v = e3.u AND e3.v = e1.u AND e1.u < e3.u)
+       |SELECT n_items, n_edges, n_ties, n_cyclic_triads
+       |FROM ni, ne, nt, cy""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "model_bt_strength" -> btOracleSql,
     "model_bt_pairs" -> btPairsOracleSql,
+    "model_bt_cycles" -> btCyclesOracleSql,
     // exact HUGEINT moments (the Spark twin is DECIMAL(38,0)), then the
     // identical fixed-sequence double algebra: Cramer determinants,
     // SSE/SST, everything unrounded

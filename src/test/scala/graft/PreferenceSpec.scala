@@ -79,6 +79,32 @@ class PreferenceSpec extends AnyFunSuite {
     }
   }
 
+  test("majorityCycles: rock-paper-scissors counts exactly one cyclic " +
+      "triad; a transitive tournament counts zero; a tied pair drops " +
+      "its edge") {
+    // 1 beats 2, 2 beats 3, 3 beats 1 — twice each (strict majorities)
+    val rps = Seq((1L, 2L), (1L, 2L), (2L, 3L), (2L, 3L), (3L, 1L),
+      (3L, 1L)).toDF("winner", "loser")
+    val r = graft.ops.Preference.majorityCycles(rps, "winner", "loser")
+      .collect()(0)
+    assert(r.getAs[Long]("n_items") == 3 && r.getAs[Long]("n_edges") == 3)
+    assert(r.getAs[Long]("n_ties") == 0)
+    assert(r.getAs[Long]("n_cyclic_triads") == 1)
+    // transitive: 1>2, 1>3, 2>3 — no cycle
+    val tr = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("winner", "loser")
+    val t = graft.ops.Preference.majorityCycles(tr, "winner", "loser")
+      .collect()(0)
+    assert(t.getAs[Long]("n_cyclic_triads") == 0 &&
+      t.getAs[Long]("n_edges") == 3)
+    // tie on (1,2) drops that edge and with it the cycle
+    val tie = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L))
+      .toDF("winner", "loser")
+    val s = graft.ops.Preference.majorityCycles(tie, "winner", "loser")
+      .collect()(0)
+    assert(s.getAs[Long]("n_ties") == 1 && s.getAs[Long]("n_edges") == 2)
+    assert(s.getAs[Long]("n_cyclic_triads") == 0)
+  }
+
   test("btStrength: an item that never wins converges to strength 0 " +
       "(the MLE boundary), and the winner takes the whole mass") {
     val pairs = (1 to 4).map(_ => (1L, 2L)).toDF("winner", "loser")
