@@ -909,6 +909,60 @@ object Eval {
               .cast(DoubleType))).as("kappa"))
   }
 
+  /** Unbiased pass@k (Chen et al. 2021, the Codex estimator) — THE
+    * eval-harness aggregate for sampled generation: per task with n
+    * samples and c correct, pass@k = 1 − C(n−c,k)/C(n,k), the exact
+    * probability that a size-k subsample contains a correct one
+    * (the naive "any of the first k" is biased high; this is the
+    * hypergeometric correction).
+    *
+    * Each `k` is a PLAN-BUILD constant, so the binomial ratio unrolls
+    * into the falling-factorial product Π_{i<k}(n−c−i)/Π_{i<k}(n−i) —
+    * fixed codegen'd DECIMAL(38,0) expressions, no interpreted HOF in
+    * the per-task path, exact for any n up to ~10³⁸^(1/k). Per-task
+    * pass@k spends ONE IEEE division, rounds 9 dp and sums in exact
+    * DECIMAL (the PMI term discipline); the mean spends one more. A
+    * task with fewer than k samples raises loudly (the estimator is
+    * undefined there — silently dropping it would bias the mean).
+    *
+    * Shape at scale: one (task) count shuffle, then arithmetic on the
+    * per-task relation and one 1-row rollup per k. Returns one row per
+    * k: (k, n_tasks, n_samples, n_correct, pass_at_k).
+    */
+  def passAtK(df: DataFrame, taskCol: String, correctCol: Column,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= 32),
+      s"passAtK: need 1 <= k <= 32, got $ks")
+    val D38 = DecimalType(38, 0)
+    val perTask = df.groupBy(col(taskCol).as("__t"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(correctCol, 1L).otherwise(0L)).as("__c"))
+      .localCheckpoint(false) // shared by every k's rollup
+    val outs = ks.map { k =>
+      def ffact(base: Column): Column =
+        (0 until k).map(i => greatest(base - i, lit(0L)).cast(D38))
+          .reduce((a, b) => (a * b).cast(D38))
+      val gated = perTask.select(
+        when(col("__n") >= k, col("__n"))
+          .otherwise(raise_error(concat(
+            lit(s"passAtK: task with fewer than k=$k samples ("),
+            col("__n"), lit(")")))).as("__n"), col("__c"))
+      gated
+        .select(col("__n"), col("__c"),
+          round(lit(1.0) -
+            ffact(col("__n") - col("__c")).cast(DoubleType) /
+              ffact(col("__n")).cast(DoubleType), 9).cast(Exact9)
+            .as("__p"))
+        .agg(count(lit(1)).as("n_tasks"), sum("__n").as("n_samples"),
+          sum("__c").as("n_correct"), sum("__p").as("__ps"))
+        .select(lit(k).as("k"), col("n_tasks"), col("n_samples"),
+          col("n_correct"),
+          round(col("__ps").cast(DoubleType) / col("n_tasks"), 9)
+            .as("pass_at_k"))
+    }
+    outs.reduce(_ unionByName _)
+  }
+
   /** Krippendorff's α (nominal metric; Krippendorff 1970/2004) — the
     * agreement coefficient for the panels [[fleissKappa]] refuses:
     * RAGGED data, where units carry different rating counts (raters

@@ -347,7 +347,34 @@ object EvalQueries {
     Eval.cohenKappa(ratingsPanel(spark, dir, 2), "doc_id", "rater",
       "rating")
 
+  private val PassSamples = 10
+  private val PassKs = Seq(1, 5, 10)
+
+  /** Unbiased pass@{1,5,10} over a deterministic sampled-generation
+    * fixture ([[graft.ops.Eval.passAtK]]): each document is a "task"
+    * with 10 md5-drawn samples whose per-task solve rate scales with
+    * document length — the Codex-style eval aggregate every
+    * code/reasoning harness reports.
+    */
+  def passAtKQ(spark: SparkSession, dir: String): DataFrame = {
+    def h(parts: Column*): Column =
+      graft.functions.Kernels.md5hash48(concat(parts: _*))
+    val solveRate = least(lit(90L),
+      greatest(lit(5L), expr("n_chars DIV 10")))
+    val samples = Tables.documents(spark, dir)
+      .select(col("doc_id"), solveRate.as("__r"),
+        explode(array((0 until PassSamples).map(i => lit(i)): _*))
+          .as("s"))
+      .select(col("doc_id"),
+        (pmod(h(col("doc_id").cast("string"), lit("|"),
+          col("s").cast("string"), lit("|c")), lit(100L)) < col("__r"))
+          .as("correct"))
+    Eval.passAtK(samples, "doc_id", col("correct"), PassKs)
+      .orderBy("k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_pass_at_k" -> passAtKQ,
     "eval_fleiss_kappa" -> fleissKappaQ,
     "eval_cohen_kappa" -> cohenKappaQ,
     "eval_krippendorff_alpha" -> krippendorffQ,
@@ -430,7 +457,38 @@ object EvalQueries {
        |    CAST(sum(num) AS BIGINT) AS sum_num, max(den) AS den
        |  FROM lab GROUP BY 1)""".stripMargin
 
+  /** The pass@k replay: per-k falling factorials unrolled in HUGEINT,
+    * per-task pass rounded 9 dp into an exact DECIMAL sum, one final
+    * division per k — mirroring [[graft.ops.Eval.passAtK]].
+    */
+  private lazy val passAtKOracleSql: String = {
+    def hb(expr: String) = s"('0x' || substr(md5($expr), 1, 12))::BIGINT"
+    def ff(base: String, k: Int): String =
+      (0 until k).map(i => s"CAST(greatest($base - $i, 0) AS HUGEINT)")
+        .mkString(" * ")
+    val samples = (0 until PassSamples).mkString("[", ", ", "]")
+    val arms = PassKs.map { k =>
+      s"""SELECT $k AS k, count(*) AS n_tasks,
+         |  CAST(sum(n) AS BIGINT) AS n_samples,
+         |  CAST(sum(c) AS BIGINT) AS n_correct,
+         |  round(CAST(sum(CAST(round(1.0
+         |      - CAST(${ff("(n - c)", k)} AS DOUBLE)
+         |        / CAST(${ff("n", k)} AS DOUBLE), 9)
+         |    AS DECIMAL(28,9))) AS DOUBLE) / count(*), 9) AS pass_at_k
+         |FROM pt""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH smp AS (SELECT doc_id,
+       |    ${hb("doc_id || '|' || u.s || '|c'")} % 100
+       |      < least(90, greatest(5, n_chars // 10)) AS correct
+       |  FROM documents, UNNEST($samples) u(s)),
+       |pt AS (SELECT doc_id, count(*) AS n,
+       |    CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS c
+       |  FROM smp GROUP BY 1)
+       |SELECT * FROM ($arms) ORDER BY k""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "eval_pass_at_k" -> passAtKOracleSql,
     // exact HUGEINT count arithmetic end to end; κ is ONE IEEE division
     // of the cross-multiplied integers (A·D − C·B) / (B·(D − C)) — never
     // a round() of a rational — and NULL when chance agreement is total

@@ -494,6 +494,37 @@ class EvalSpec extends AnyFunSuite {
       (a * d - c * b).toDouble / (b * (d - c)).toDouble)
   }
 
+  test("passAtK: hand-computed hypergeometric values; c = 0 scores 0; " +
+      "n − c < k scores exactly 1; pass@1 is the mean solve rate; a " +
+      "task with fewer than k samples raises") {
+    // task A: n=5, c=2 → pass@2 = 1 − (3·2)/(5·4) = 0.7
+    // task B: n=5, c=0 → 0; task C: n=5, c=4 → n−c=1 < 2 → exactly 1
+    val df = (Seq.fill(2)(("A", true)) ++ Seq.fill(3)(("A", false)) ++
+      Seq.fill(5)(("B", false)) ++
+      Seq.fill(4)(("C", true)) :+ (("C", false)))
+      .toDF("task", "ok")
+    val r = Eval.passAtK(df, "task", col("ok"), Seq(1, 2))
+      .orderBy("k").collect()
+    assert(r(0).getAs[Int]("k") == 1 &&
+      r(0).getAs[Double]("pass_at_k") ==
+        BigDecimal((0.4 + 0.0 + 0.8) / 3)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r(1).getAs[Int]("k") == 2 &&
+      r(1).getAs[Double]("pass_at_k") ==
+        BigDecimal((0.7 + 0.0 + 1.0) / 3)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r(1).getAs[Long]("n_tasks") == 3 &&
+      r(1).getAs[Long]("n_samples") == 15 &&
+      r(1).getAs[Long]("n_correct") == 6)
+    val ex = intercept[Exception] {
+      Eval.passAtK(df, "task", col("ok"), Seq(6)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("passAtK")))
+  }
+
   test("krippendorffAlpha: hand-traced ragged fixture; singleton units " +
       "drop without effect; perfect agreement is 1; single category is " +
       "NULL; an 11-rating unit exceeds the lcm bound and raises") {
