@@ -21,6 +21,54 @@ object TextAnalysis {
   private def toks(textCol: Column): Column =
     filter(split(textCol, " "), t => t =!= "")
 
+  /** Degenerate-generation (n-gram loop) detector — the synthetic-data
+    * filter that catches repetition-collapsed text ("the the the…",
+    * sentence loops): per document, the most frequent n-gram's share of
+    * all n-gram OCCURRENCES. Natural prose keeps the share low;
+    * greedy-decode loops push it toward 1. The occurrence-counting
+    * complement of the DISTINCT-gram dedup machinery
+    * ([[graft.ops.Dedup.tokenSets]]) — dedup asks "does this gram
+    * appear elsewhere", this asks "does ONE gram eat the document".
+    *
+    * Positioned grams come from `lead` over a per-document window (one
+    * key-partitioned shuffle; documents are bounded, so no window task
+    * ever sees more than one doc's tokens), counts from one
+    * (doc, gram) groupBy, and the per-doc argmax is the
+    * partial-aggregable max-struct (ties to the lexicographically
+    * larger gram — binary compare on both engines). The loop flag is
+    * the exact integer cross-multiply `max·100 ≥ pct·total`, never a
+    * double threshold. Documents with fewer than n tokens have no
+    * grams and are absent. Returns
+    * (id, n_grams, max_count, top_gram, loop_ratio, is_loop).
+    */
+  def ngramLoop(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, thresholdPct: Int = 50): DataFrame = {
+    require(n >= 1 && n <= 8, s"ngramLoop: need 1 <= n <= 8, got $n")
+    require(thresholdPct >= 1 && thresholdPct <= 100,
+      s"ngramLoop: threshold must be a percent, got $thresholdPct")
+    val base = df.select(col(idCol).as("id"),
+      posexplode(toks(col(textCol))).as(Seq("__pos", "__tok")))
+    val w = Window.partitionBy("id").orderBy("__pos")
+    val parts = (0 until n).map {
+      case 0 => col("__tok")
+      case i => lead(col("__tok"), i).over(w)
+    }
+    val counts = base
+      .select(col("id"), concat_ws(" ", parts: _*).as("__g"),
+        parts.last.isNotNull.as("__full"))
+      .filter(col("__full"))
+      .groupBy("id", "__g").agg(count(lit(1)).as("__c"))
+    counts.groupBy("id")
+      .agg(sum("__c").as("n_grams"),
+        max(struct(col("__c").as("c"), col("__g").as("g"))).as("__top"))
+      .select(col("id"), col("n_grams"),
+        col("__top.c").as("max_count"), col("__top.g").as("top_gram"),
+        (col("__top.c").cast("double") / col("n_grams"))
+          .as("loop_ratio"),
+        (col("__top.c") * 100 >= col("n_grams") * thresholdPct)
+          .as("is_loop"))
+  }
+
   /** Per-document token statistics — computed entirely with array
     * expressions, no explode/shuffle.
     */

@@ -36,6 +36,18 @@ object TextQueries {
     TextAnalysis.qualityScore(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  private val LoopN = 3
+  private val LoopPct = 50
+
+  /** Degenerate-generation detector over the documents
+    * ([[graft.ops.TextAnalysis.ngramLoop]], 3-grams, 50% flag): the
+    * most frequent 3-gram's share of all 3-gram occurrences per doc.
+    */
+  def ngramLoopQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramLoop(Tables.documents(spark, dir), "doc_id",
+        "text", LoopN, LoopPct)
+      .orderBy("id")
+
   /** Flesch reading ease + FK grade per document
     * ([[graft.ops.TextAnalysis.readabilityScores]]) — the classic
     * readability bucketing axis next to [[qualityScore]].
@@ -990,6 +1002,7 @@ object TextQueries {
     "text_novelty" -> novelty,
     "text_repetition" -> repetition,
     "text_token_stats" -> tokenStats,
+    "text_ngram_loop" -> ngramLoopQ,
     "text_regex_tokens" -> regexTokens,
     "text_quality_score" -> qualityScore,
     "text_readability" -> readability,
@@ -1962,7 +1975,30 @@ object TextQueries {
         |  206.835 - 1.015 * wps - 84.6 * spw AS flesch,
         |  0.39 * wps + 11.8 * spw - 15.59 AS fk_grade
         |FROM y ORDER BY id""".stripMargin,
-    "text_token_stats" ->
+    // positioned 3-grams via window leads (full grams only), counts per
+    // (doc, gram), per-doc max-struct argmax (ties to the larger gram —
+    // binary string compare both engines), integer cross-multiplied flag
+    "text_ngram_loop" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |  FROM documents),
+         |tk AS (SELECT doc_id, CAST(i AS INTEGER) AS pos, toks[i] AS tok
+         |  FROM d, UNNEST(generate_series(1, len(toks))) u(i)),
+         |g AS (SELECT doc_id,
+         |    tok || ' ' || lead(tok, 1) OVER w || ' '
+         |      || lead(tok, 2) OVER w AS gram,
+         |    lead(tok, 2) OVER w AS l2
+         |  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |gc AS (SELECT doc_id, gram, count(*) AS c FROM g
+         |  WHERE l2 IS NOT NULL GROUP BY 1, 2),
+         |pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         |    max(struct_pack(c := c, g := gram)) AS top
+         |  FROM gc GROUP BY 1)
+         |SELECT doc_id AS id, n_grams, CAST(top.c AS BIGINT) AS max_count,
+         |  top.g AS top_gram, CAST(top.c AS DOUBLE) / n_grams AS loop_ratio,
+         |  top.c * 100 >= n_grams * 50 AS is_loop
+         |FROM pd ORDER BY id""".stripMargin,
+"text_token_stats" ->
       s"""WITH $toksCte
          |SELECT doc_id, len(toks)::BIGINT AS n_tokens,
          |  len(list_distinct(toks))::BIGINT AS n_distinct_tokens,

@@ -607,6 +607,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("ngramLoop: a repetition loop flags at the exact integer " +
+      "threshold (ties to the larger gram); clean prose stays unflagged; " +
+      "sub-n docs are absent") {
+    val df = Seq(
+      (1L, "a b a b a b"),  // grams: aba, bab, aba, bab → max 2/4
+      (2L, "a b c d e"),    // three distinct grams → 1/3
+      (3L, "x y")           // < 3 tokens → absent
+    ).toDF("doc_id", "text")
+    val m = graft.ops.TextAnalysis.ngramLoop(df, "doc_id", "text", 3, 50)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(!m.contains(3L) && m.size == 2)
+    val loop = m(1L)
+    assert(loop.getAs[Long]("n_grams") == 4 &&
+      loop.getAs[Long]("max_count") == 2)
+    assert(loop.getAs[String]("top_gram") == "b a b") // count tie → max
+    assert(loop.getAs[Double]("loop_ratio") == 0.5)
+    assert(loop.getAs[Boolean]("is_loop")) // 2·100 >= 4·50, boundary IN
+    val clean = m(2L)
+    assert(clean.getAs[Long]("n_grams") == 3 &&
+      clean.getAs[Long]("max_count") == 1)
+    assert(!clean.getAs[Boolean]("is_loop"))
+  }
+
   test("sgdCalibrated: degenerate all-equal margins raise loudly on the " +
       "Spark side (matching the DuckDB twin's division-by-zero) instead " +
       "of NULL-propagating empty bins") {
