@@ -271,6 +271,41 @@ object Similarity {
       .select(col("q_id"), col("rank"), col(idCol), col("cos"))
   }
 
+  /** Matryoshka-truncation fidelity (Kusupati et al. 2022 MRL): how
+    * much of each query's FULL-dimension top-k survives when retrieval
+    * runs on only the first `prefixDims` coordinates — the measurement
+    * behind every "store d/2 dims, re-rank with full vectors" serving
+    * plan. Per query: |topk_full ∩ topk_prefix| / k.
+    *
+    * Two [[knnJoin]] passes (the bounded query batch broadcasts — the
+    * corpus never shuffles) + one per-query join of the two ≤k-row rank
+    * lists; overlap is ONE IEEE division of exact integers. A LEFT join
+    * from the full list keeps queries whose prefix list shares nothing
+    * (overlap 0), so no silent drop can flatter the mean. Returns one
+    * row per query: (q_id, k, n_common, overlap_at_k).
+    */
+  def mrlFidelity(
+      emb: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      prefixDims: Int): DataFrame = {
+    require(k >= 1 && prefixDims >= 1,
+      s"mrlFidelity: need k >= 1 and prefixDims >= 1, got $k/$prefixDims")
+    def sliced(df: DataFrame) = df.select(col(idCol),
+      slice(col(vecCol), 1, prefixDims).as(vecCol))
+    val full = knnJoin(emb, queries, idCol, vecCol, k)
+      .select(col("q_id"), col(idCol))
+    val pref = knnJoin(sliced(emb), sliced(queries), idCol, vecCol, k)
+      .select(col("q_id"), col(idCol), lit(1L).as("__hit"))
+    full.join(pref, Seq("q_id", idCol), "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_common"))
+      .select(col("q_id"), lit(k.toLong).as("k"), col("n_common"),
+        (col("n_common").cast("double") / k).as("overlap_at_k"))
+  }
+
   /** k-NN majority-vote classification (Cover & Hart 1967) over the
     * embedding space — the non-parametric eval-batch classifier: each
     * query takes the majority label among its `k` nearest corpus

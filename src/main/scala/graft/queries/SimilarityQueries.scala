@@ -640,7 +640,25 @@ object SimilarityQueries {
     Eval.rankBiasedOverlap(lexical, semantic, "id", "rank", RboK)
   }
 
+  private val MrlBatch = 100L
+  private val MrlK = 10
+  private val MrlPrefix = 32
+
+  /** Matryoshka-truncation fidelity of a 100-query batch
+    * ([[graft.ops.Similarity.mrlFidelity]], k = 10, first 32 of 64
+    * dims): per query, the surviving fraction of the full-dimension
+    * top-10 under half-dimension retrieval — the measurement behind
+    * truncated-vector serving plans.
+    */
+  def mrlFidelityQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.mrlFidelity(emb, emb.filter(col("vec_id") < MrlBatch),
+        "vec_id", "embedding", MrlK, MrlPrefix)
+      .orderBy("q_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_mrl_fidelity" -> mrlFidelityQ,
     "sim_pq_topk" -> pqTopK,
     "sim_ivfpq_topk" -> ivfPqTopK,
     "sim_ivfpq_recall" -> ivfPqRecall,
@@ -1274,6 +1292,36 @@ object SimilarityQueries {
     // candidate = shares a bucket in ANY band; each candidate pair verified
     // by exact cosine — the OR-join enumerates the identical pair set the
     // Spark side's banded explode + first-collision residual produces once
+    // two knn replays (6-dp cosine, (cos desc, id) rank ties), the
+    // prefix arm on embedding[1:32]; LEFT join keeps zero-overlap
+    // queries; overlap = one IEEE division of exact integers
+    "sim_mrl_fidelity" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < $MrlBatch),
+         |sf AS (SELECT q_id, vec_id,
+         |    ${cosineSql("embedding", "qv")} AS cos
+         |  FROM embeddings, q WHERE vec_id <> q_id),
+         |rf AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, vec_id) AS rank FROM sf)
+         |  WHERE rank <= $MrlK),
+         |qp AS (SELECT vec_id AS q_id, embedding[1:$MrlPrefix] AS qv
+         |  FROM embeddings WHERE vec_id < $MrlBatch),
+         |sp AS (SELECT q_id, e.vec_id,
+         |    ${cosineSql(s"e.embedding[1:$MrlPrefix]", "qv")} AS cos
+         |  FROM embeddings e, qp WHERE e.vec_id <> q_id),
+         |rp AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, vec_id) AS rank FROM sp)
+         |  WHERE rank <= $MrlK),
+         |ov AS (SELECT rf.q_id,
+         |    CAST(count(rp.vec_id) AS BIGINT) AS n_common
+         |  FROM rf LEFT JOIN rp ON rf.q_id = rp.q_id
+         |    AND rf.vec_id = rp.vec_id
+         |  GROUP BY 1)
+         |SELECT q_id, CAST($MrlK AS BIGINT) AS k, n_common,
+         |  CAST(n_common AS DOUBLE) / $MrlK AS overlap_at_k
+         |FROM ov ORDER BY q_id""".stripMargin,
     "sim_lsh_neardup_pairs" ->
       s"""WITH $nearDupEdgesCte
          |SELECT id_a, id_b, cos FROM ndedges

@@ -687,4 +687,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.drop(12).forall { case (_, r, c) =>
       r == "noise" && c == -1L })
   }
+
+  test("mrlFidelity: full-width prefix overlaps exactly 1 everywhere; " +
+      "a signal-free prefix degrades overlap; zero-overlap queries " +
+      "are kept at 0") {
+    // signal lives ONLY in dim 3: prefix of 2 dims is pure noise-free
+    // CONSTANT direction → prefix ranking collapses to id ties
+    val sig = Seq(
+      (1L, Array(1.0f, 0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.0f, 0.9f)),
+      (3L, Array(1.0f, 0.0f, -1.0f)),
+      (4L, Array(1.0f, 0.0f, -0.9f)),
+      (5L, Array(1.0f, 0.0f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    // prefixDims = full width reproduces the full ranking: overlap 1
+    val fullW = Similarity.mrlFidelity(sig, sig, "vec_id", "embedding",
+      k = 2, prefixDims = 3).collect()
+    assert(fullW.length == 5 &&
+      fullW.forall(_.getAs[Double]("overlap_at_k") == 1.0))
+    // 2-dim prefix: all prefix cosines are 1 (identical direction), so
+    // prefix top-2 = two smallest OTHER ids — query 5's full top-2
+    // ({1, 2}) survives, query 3's ({4, ...}) does not fully
+    val pre = Similarity.mrlFidelity(sig, sig, "vec_id", "embedding",
+        k = 2, prefixDims = 2)
+      .collect().map(r => r.getAs[Long]("q_id") ->
+        r.getAs[Double]("overlap_at_k")).toMap
+    assert(pre(5L) == 1.0) // full top-2 {1,2} == prefix top-2 {1,2}
+    assert(pre(3L) < 1.0)  // full {4,...} vs prefix {1,2}
+    assert(pre.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
 }
