@@ -220,6 +220,16 @@ object Bench {
     // first noisy attempt.
     val qSteal = sys.env.getOrElse("SPARK_GRAFT_QSTEAL", "10").toLong
     val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt
+    // per-window threshold = max(absolute base, 1% of the window's
+    // total cpu-jiffies = sec·cpus·100·1%) — the same contamination
+    // DENSITY standard the run-level gate uses. Without the density
+    // component an 8-second window on a box with ~10 ambient
+    // steal-jiffies/s can NEVER certify, even at its best-ever value
+    // (round-15: eval_map_at_k 7.64 s with steal 76 = 0.3% of window
+    // CPU stayed flagged through two full attempts); with it, short
+    // queries keep the strict absolute-10 bar.
+    def qThr(w: Window): Long =
+      math.max(qSteal, (w.sec * cpus.toDouble).toLong)
 
     val runT0 = System.nanoTime()
     val steal0 = stealJiffies()
@@ -244,7 +254,8 @@ object Bench {
       state(n) = QRec(best(ws), cold, "initial") }
 
     def flagged(): Seq[String] =
-      state.collect { case (n, r) if r.win.steal > qSteal => n }.toSeq
+      state.collect { case (n, r) if r.win.steal > qThr(r.win) => n }
+        .toSeq
 
     var retriesUsed = 0
     while (flagged().nonEmpty && retriesUsed < maxRetries) {
@@ -262,7 +273,7 @@ object Bench {
         // adjudication with the clean window's steal); a faster retry
         // replaces it outright
         if (w.sec < old.win.sec) state(n) = QRec(w, old.cold, prov)
-        else if (w.steal <= qSteal && old.win.steal > qSteal)
+        else if (w.steal <= qThr(w) && old.win.steal > qThr(old.win))
           state(n) = QRec(old.win.copy(steal = w.steal, jit = w.jit),
             old.cold, s"$prov-certified")
       }
@@ -306,7 +317,7 @@ object Bench {
     val attemptsJson = attemptSteals.mkString("[", ",", "]")
     val flaggedJson = stillFlagged.sorted
       .map(n => "\"" + n + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"runs":$runs,"warmups":$warmups,"isolate":$isolate,"sf":"$sfDir","bench_cpus":$cpus,"loadavg1_by_family":$loadJson,"loadavg1_max":${jnum(loadMax)},"steal_jiffies_delta":$stealDeltaTotal,"steal_gated":$stealGated,"qsteal_threshold":$qSteal,"retries_used":$retriesUsed,"attempt_steal_deltas":$attemptsJson,"steal_flagged_after_retries":$flaggedJson,"elapsed_sec":$elapsedSec,"provenance_by_query":$provQs,"steal_jiffies_by_query":$stealQs,"jit_ms_by_query":$jitQs,"cold_sec_by_query":$coldQs}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"runs":$runs,"warmups":$warmups,"isolate":$isolate,"sf":"$sfDir","bench_cpus":$cpus,"loadavg1_by_family":$loadJson,"loadavg1_max":${jnum(loadMax)},"steal_jiffies_delta":$stealDeltaTotal,"steal_gated":$stealGated,"qsteal_threshold":$qSteal,"qsteal_rule":"max(base, 1pct of window cpu-jiffies)","retries_used":$retriesUsed,"attempt_steal_deltas":$attemptsJson,"steal_flagged_after_retries":$flaggedJson,"elapsed_sec":$elapsedSec,"provenance_by_query":$provQs,"steal_jiffies_by_query":$stealQs,"jit_ms_by_query":$jitQs,"cold_sec_by_query":$coldQs}"""
     // the full line is ~10 KB at 300+ queries and a tail-capture of the
     // process output can truncate its head (round-10's BENCH artifact was
     // unparseable) — persist it to a file FIRST, then print
