@@ -101,6 +101,22 @@ object Bench {
     // pass can't fabricate a 20× regression in the recorded artifact (the
     // min is the least-noise estimate of the query's true cost)
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // per-FAMILY runs override, e.g. SPARK_GRAFT_BENCH_RUNS_FAMILY=
+    // "feat:6,sim:4": min-of-2 under-samples wide-variance ITERATIVE
+    // queries (the graph family bounced ±17-20% between back-to-back
+    // quiet runs in rounds 14-15, generating false cross-round
+    // regression alarms that min-of-6 dissolved) — this bakes the
+    // min-of-6 discipline into the headline artifact for exactly the
+    // families that need it, without 3× the wall cost everywhere
+    val runsByFamily: Map[String, Int] =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS_FAMILY", "")
+        .split(",").iterator.map(_.trim).filter(_.nonEmpty)
+        .map { kv =>
+          val Array(f, n) = kv.split(":")
+          f.trim -> n.trim.toInt
+        }.toMap
+    def runsFor(name: String): Int =
+      runsByFamily.getOrElse(familyOf(name), runs)
     // one UNTIMED warm-up pass per query before the timed min-of-N
     // (default ON): the round-13 adjudication (ProbeWscg + ProbeGcMapAtK)
     // showed the eval_map_at_k first-pass storm is C2 warm-up BREADTH
@@ -128,7 +144,7 @@ object Bench {
       * (−1 when warmups=0 or the warm-up threw). Each window carries its
       * OWN steal/JIT deltas so the winner is individually adjudicable.
       */
-    def measure(spark: SparkSession,
+    def measure(spark: SparkSession, name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Seq[Window], Double) = {
       // settle the heap between queries: without this a query pays for the
@@ -149,7 +165,7 @@ object Bench {
         if (i == 1 && ok) cold = (System.nanoTime() - t0) / 1e9
       }
       System.gc()
-      val windows = (1 to runs).map { _ =>
+      val windows = (1 to runsFor(name)).map { _ =>
         val s0 = stealJiffies(); val j0 = jitMs()
         val t0 = System.nanoTime()
         // noop sink: full materialization of every output row — count() would
@@ -184,7 +200,7 @@ object Bench {
             val l0 = loadavg1()
             val spark = mkSession()
             val rs = fqs.sortBy(_._1).map { case (n, f) =>
-              n -> measure(spark, f) }
+              n -> measure(spark, n, f) }
             spark.stop()
             val l = math.max(l0, loadavg1())
             famLoads(fam) =
@@ -196,9 +212,14 @@ object Bench {
         val l0 = loadavg1()
         val spark = mkSession()
         val rs = qs.sortBy(_._1).map { case (n, f) =>
-          n -> measure(spark, f) }
+          n -> measure(spark, n, f) }
         spark.stop()
-        famLoads("all") = math.max(l0, loadavg1())
+        // same contains/max merge as the isolate branch: retry sweeps
+        // must never UNDERSTATE the peak load a composite run saw
+        val l = math.max(l0, loadavg1())
+        famLoads("all") =
+          if (famLoads.contains("all") && !famLoads("all").isNaN)
+            math.max(famLoads("all"), l) else l
         rs
       }
 
@@ -317,7 +338,10 @@ object Bench {
     val attemptsJson = attemptSteals.mkString("[", ",", "]")
     val flaggedJson = stillFlagged.sorted
       .map(n => "\"" + n + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"runs":$runs,"warmups":$warmups,"isolate":$isolate,"sf":"$sfDir","bench_cpus":$cpus,"loadavg1_by_family":$loadJson,"loadavg1_max":${jnum(loadMax)},"steal_jiffies_delta":$stealDeltaTotal,"steal_gated":$stealGated,"qsteal_threshold":$qSteal,"qsteal_rule":"max(base, 1pct of window cpu-jiffies)","retries_used":$retriesUsed,"attempt_steal_deltas":$attemptsJson,"steal_flagged_after_retries":$flaggedJson,"elapsed_sec":$elapsedSec,"provenance_by_query":$provQs,"steal_jiffies_by_query":$stealQs,"jit_ms_by_query":$jitQs,"cold_sec_by_query":$coldQs}"""
+    val runsFamJson = runsByFamily.toSeq.sortBy(_._1)
+      .map { case (f, n) => s"\"" + f + "\":" + n }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"runs":$runs,"runs_by_family":$runsFamJson,"warmups":$warmups,"isolate":$isolate,"sf":"$sfDir","bench_cpus":$cpus,"loadavg1_by_family":$loadJson,"loadavg1_max":${jnum(loadMax)},"steal_jiffies_delta":$stealDeltaTotal,"steal_gated":$stealGated,"qsteal_threshold":$qSteal,"qsteal_rule":"max(base, 1pct of window cpu-jiffies)","retries_used":$retriesUsed,"attempt_steal_deltas":$attemptsJson,"steal_flagged_after_retries":$flaggedJson,"elapsed_sec":$elapsedSec,"provenance_by_query":$provQs,"steal_jiffies_by_query":$stealQs,"jit_ms_by_query":$jitQs,"cold_sec_by_query":$coldQs}"""
     // the full line is ~10 KB at 300+ queries and a tail-capture of the
     // process output can truncate its head (round-10's BENCH artifact was
     // unparseable) — persist it to a file FIRST, then print

@@ -881,10 +881,14 @@ object Eval {
       .agg(sum((col("__cj") * col("__cj")).cast(D38)).cast(D38).as("__csq"))
     tot.crossJoin(byCat)
       .select(col("__N"), col("__s2"), col("__csq"),
+        // EMPTY input leaves __mn/__mx NULL; coalesce them in the message
+        // so the raise stays loud and readable instead of raise_error(NULL)
         when(col("__mn") === col("__mx") && col("__mn") > 1, col("__mn"))
           .otherwise(raise_error(concat(
             lit("fleissKappa: every subject needs the same rater count "),
-            lit("> 1 (saw "), col("__mn"), lit(".."), col("__mx"),
+            lit("> 1 (saw "),
+            coalesce(col("__mn").cast("string"), lit("none")), lit(".."),
+            coalesce(col("__mx").cast("string"), lit("none")),
             lit(")")))).as("__nr"))
       .select(col("__N").as("n_subjects"), col("__nr").as("n_raters"),
         // cast BEFORE multiplying: N·n products must never ride LONG
@@ -942,11 +946,21 @@ object Eval {
       def ffact(base: Column): Column =
         (0 until k).map(i => greatest(base - i, lit(0L)).cast(D38))
           .reduce((a, b) => (a * b).cast(D38))
+      // the falling factorial Π_{i<k}(n−i) ≤ n^k must fit DECIMAL(38,0),
+      // so n is gated at ⌊10^(38/k)⌋ (k=1..2 clamp to Long.Max — n is a
+      // count, so those are vacuous) — the holtWinters yBound pattern:
+      // an explicit domain raise instead of an opaque ANSI decimal
+      // overflow (or silent NULL-dropped tasks if ANSI were off)
+      val nBound: Long = math.pow(10.0, 38.0 / k).toLong
       val gated = perTask.select(
-        when(col("__n") >= k, col("__n"))
-          .otherwise(raise_error(concat(
+        when(col("__n") < k, raise_error(concat(
             lit(s"passAtK: task with fewer than k=$k samples ("),
-            col("__n"), lit(")")))).as("__n"), col("__c"))
+            col("__n"), lit(")"))))
+          .when(col("__n") > nBound, raise_error(concat(
+            lit(s"passAtK: task with "), col("__n"),
+            lit(s" samples exceeds the exact-decimal bound of $nBound "),
+            lit(s"for k=$k"))))
+          .otherwise(col("__n")).as("__n"), col("__c"))
       gated
         .select(col("__n"), col("__c"),
           round(lit(1.0) -
@@ -1078,16 +1092,33 @@ object Eval {
         coalesce(col("__b"), lit(0L)).cast(D38)).cast(D38)).cast(D38)
         .as("__ab"))
     // ragged-panel guard: the join drops subjects missing a rating, so
-    // compare the paired count against the per-rater input counts
-    val counts = base.groupBy("__r").agg(count(lit(1)).as("__cnt"))
-      .agg(min("__cnt").as("__cmn"), max("__cnt").as("__cmx"))
+    // compare the paired count against the per-rater input counts — AND
+    // guard per-(subject, rater) duplicates: offsetting malformed input
+    // (rater 0 rates A twice and never rates B while rater 1 rates each
+    // once) keeps the raw counts equal yet double-counts A and drops B,
+    // so each rater's row count must also equal its DISTINCT subjects
+    val counts = base.groupBy("__r")
+      .agg(count(lit(1)).as("__cnt"),
+        countDistinct(col("__s")).as("__cds"))
+      .agg(min("__cnt").as("__cmn"), max("__cnt").as("__cmx"),
+        max(when(col("__cnt") =!= col("__cds"), 1L).otherwise(0L))
+          .as("__dup"))
     nAgree.crossJoin(ab).crossJoin(counts)
       .select(
-        when(col("__cmn") === col("__cmx") && col("__cmn") === col("__N"),
+        // EMPTY input leaves __cmn/__cmx/__dup NULL → the condition is
+        // NULL → the raise fires; coalesce keeps its message readable
+        when(col("__dup") === 0 && col("__cmn") === col("__cmx") &&
+            col("__cmn") === col("__N"),
           col("__N")).otherwise(raise_error(concat(
             lit("cohenKappa: raters 0 and 1 must each rate every "),
             lit("subject exactly once (paired "), col("__N"),
-            lit(" of "), col("__cmn"), lit(".."), col("__cmx"),
+            lit(" of "),
+            coalesce(col("__cmn").cast("string"), lit("none")),
+            lit(".."),
+            coalesce(col("__cmx").cast("string"), lit("none")),
+            when(col("__dup") === 1,
+              lit(", with a rater rating some subject more than once"))
+              .otherwise(lit("")),
             lit(")")))).as("n_subjects"),
         col("__agree").as("n_agree"),
         (col("__agree").cast(DoubleType) / col("__N").cast(DoubleType))

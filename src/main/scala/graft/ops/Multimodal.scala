@@ -187,6 +187,163 @@ object Multimodal {
       .filter(col("hamming_a") <= maxHamming)
   }
 
+  // ---- container-header parsing (PNG IHDR / JPEG SOF) ----------------------
+  // Image DIMENSIONS need no codec: PNG stores width/height big-endian at
+  // fixed IHDR offsets (bytes 17-24, 1-based) and JPEG stores them in the
+  // first SOF segment of its marker stream. Both parse as pure byte
+  // expressions (binary substr → hex → conv), so the whole extraction is
+  // codegen'd columnar scan work — no shuffle, no UDF, and at 100 TB the
+  // parquet scan dominates while the parse touches only each blob's first
+  // kilobyte.
+
+  /** PNG signature probe (8-byte magic, PNG spec §5.2). */
+  def isPng(blob: Column): Column =
+    length(blob) >= 8 && hex(substring(blob, 1, 8)) === "89504E470D0A1A0A"
+
+  /** JPEG SOI probe (FF D8, ITU T.81 §B.1.1.3). */
+  def isJpeg(blob: Column): Column =
+    length(blob) >= 2 && hex(substring(blob, 1, 2)) === "FFD8"
+
+  /** Big-endian unsigned int of `len` bytes (≤ 7) at 1-based `pos` —
+    * the byte-arithmetic primitive both parsers ride. NULL when the
+    * slice is short/empty (conv of "" is engine-null).
+    */
+  private def beUint(blob: Column, pos: Column, len: Int): Column =
+    when(pos + (len - 1) <= length(blob),
+      conv(hex(blob.substr(pos.cast("int"), lit(len))), 16, 10)
+        .cast("long"))
+
+  /** PNG IHDR width: bytes 17–20 big-endian, guarded on the signature
+    * and the IHDR chunk type at bytes 13–16 (PNG spec §11.2.2 — IHDR is
+    * required to be the first chunk). NULL on anything truncated or
+    * non-PNG.
+    */
+  def pngWidth(blob: Column): Column =
+    when(isPng(blob) && length(blob) >= 24 &&
+      hex(substring(blob, 13, 4)) === "49484452", // "IHDR"
+      beUint(blob, lit(17L), 4))
+
+  /** PNG IHDR height: bytes 21–24 big-endian (same guards). */
+  def pngHeight(blob: Column): Column =
+    when(isPng(blob) && length(blob) >= 24 &&
+      hex(substring(blob, 13, 4)) === "49484452",
+      beUint(blob, lit(21L), 4))
+
+  /** JPEG marker-stream walk to the first SOF segment: adds `__jw`/`__jh`
+    * (NULL when no SOF appears within `maxSegments` segments, the stream
+    * is malformed, or the blob isn't a JPEG). ITU T.81 §B.2.2: each
+    * segment is FF <marker> <2-byte BE length incl. itself>; SOF0–SOF15
+    * (C0–CF except C4 DHT / C8 JPG / CC DAC) carry precision(1) then
+    * height(2) and width(2) big-endian; SOF always precedes SOS (FF DA),
+    * so hitting SOS or EOI without a SOF means unparsable.
+    *
+    * The walk is UNROLLED `maxSegments` times as one withColumns chain —
+    * per step the live state is exactly three columns (pos, h, w), and
+    * Spark ≥ 3.2's CollapseProject keeps multiply-referenced non-cheap
+    * aliases projected instead of inlined, so the plan stays linear in
+    * `maxSegments`. Real camera JPEGs put SOF within the first handful
+    * of segments (JFIF/EXIF APPn + quantization tables); bump the bound
+    * for exotic streams.
+    */
+  def jpegSofWalk(df: DataFrame, blobCol: String,
+      maxSegments: Int = 8): DataFrame = {
+    val blob = col(blobCol)
+    def byteAt(p: Column): Column = beUint(blob, p, 1).cast("int")
+    var cur = df
+      .withColumn("__jp", when(isJpeg(blob), lit(3L)))
+      .withColumn("__jh", lit(null).cast("long"))
+      .withColumn("__jw", lit(null).cast("long"))
+    for (_ <- 1 to maxSegments) {
+      val p = col("__jp")
+      val done = col("__jh").isNotNull || p.isNull
+      val okHdr = byteAt(p) === 0xFF
+      val mk = byteAt(p + 1)
+      val isSof = mk.isin(0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+      val segLen = beUint(blob, p + 2, 2)
+      cur = cur.withColumns(Map(
+        "__jh" -> when(done, col("__jh"))
+          .when(okHdr && isSof, beUint(blob, p + 5, 2)),
+        "__jw" -> when(done, col("__jw"))
+          .when(okHdr && isSof, beUint(blob, p + 7, 2)),
+        // advance past a non-SOF segment; SOS/EOI before SOF, a missing
+        // FF, a short length field or a standalone marker all kill the
+        // walk (pos → NULL = unparsable)
+        "__jp" -> when(done, p)
+          .when(okHdr && isSof, p)
+          .when(okHdr && !mk.isin(0xDA, 0xD9) && segLen >= 2,
+            p + 2 + segLen)))
+    }
+    cur
+  }
+
+  /** Corpus-facing dimension extraction: adds `img_format` (png / jpeg /
+    * unknown from the magic bytes) and `img_width`/`img_height` (NULL
+    * when the header is truncated or malformed — the audit signal, never
+    * an exception). One pass, expression-only.
+    */
+  def withImageDims(df: DataFrame, blobCol: String): DataFrame = {
+    val blob = col(blobCol)
+    jpegSofWalk(df, blobCol)
+      .withColumn("img_format",
+        when(isPng(blob), "png").when(isJpeg(blob), "jpeg")
+          .otherwise("unknown"))
+      .withColumn("img_width",
+        when(isPng(blob), pngWidth(blob))
+          .when(isJpeg(blob), col("__jw")))
+      .withColumn("img_height",
+        when(isPng(blob), pngHeight(blob))
+          .when(isJpeg(blob), col("__jh")))
+      .drop("__jp", "__jh", "__jw")
+  }
+
+  /** Synthesizes REAL image headers over the corpus — spec-valid PNG
+    * (signature + IHDR) and JPEG (SOI + JFIF APP0 + variable-length COM
+    * + SOF0/SOF2) byte streams whose dimensions derive from the id, with
+    * the document text as trailing payload. Every ~97th blob is
+    * truncated mid-header (the corrupt-file case a corpus profile must
+    * count, not crash on). The whole construction is one unhex of a
+    * concatenated hex string — expression-only, so the pack+parse round
+    * trip stays inside whole-stage codegen.
+    *
+    * Dimension formulas (the oracle's independent ground truth):
+    * width = 1 + id % 1024, height = 1 + (id·31) % 1024; even ids pack
+    * PNG, odd ids JPEG (id % 4 == 1 → baseline SOF0, 3 → progressive
+    * SOF2); id % 97 == 0 → first 10 bytes only.
+    */
+  def packImageBlobs(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val id = col(idCol)
+    val w = lit(1L) + pmod(id, lit(1024L))
+    val h = lit(1L) + pmod(id * 31, lit(1024L))
+    def be(v: Column, hexDigits: Int): Column =
+      lpad(hex(v), hexDigits, "0")
+    val pngHex = concat(
+      lit("89504E470D0A1A0A"), // signature
+      lit("0000000D49484452"), // IHDR length 13 + type
+      be(w, 8), be(h, 8),
+      lit("0806000000"), // bit depth 8, RGBA, deflate, filter 0, no interlace
+      lit("00000000")) // CRC placeholder (not validated by dimension parse)
+    // COM payload of 2 + id%8 'A's makes segment lengths genuinely
+    // variable so the SOF walk is exercised, not just offset arithmetic
+    val comLen = (lit(4L) + pmod(id, lit(8L))).cast("int") // incl. 2 len bytes
+    val jpegHex = concat(
+      lit("FFD8"), // SOI
+      lit("FFE000104A46494600010100000100010000"), // APP0 JFIF, len 16
+      lit("FFFE"), be(comLen, 4),
+      expr(s"repeat('41', cast(2 + pmod($idCol, 8) as int))"),
+      when(pmod(id, lit(4L)) === 1, lit("FFC0")).otherwise(lit("FFC2")),
+      lit("001108"), // SOF length 17, precision 8
+      be(h, 4), be(w, 4),
+      lit("03011100021101031101")) // 3 components
+    val full = concat(
+      unhex(when(pmod(id, lit(2L)) === 0, pngHex).otherwise(jpegHex)),
+      encode(col(textCol), "UTF-8"))
+    df.select(id.as("id"),
+      when(pmod(id, lit(97L)) === 0, substring(full, 1, 10))
+        .otherwise(full).as("blob"))
+  }
+
   /** Frame sampling: slice the payload into fixed-size frames (video-frame /
     * audio-window shape), keeping every frame index < maxFrames. Expression-
     * only — binary slicing happens columnar, one output row per frame via a

@@ -82,11 +82,44 @@ object MultimodalQueries {
         PhashMaxHamming)
       .orderBy("id_a", "id_b")
 
+  private val AspectCap = 12L
+
+  /** Corpus dimension / aspect-ratio profile from REAL container-header
+    * parsing ([[graft.ops.Multimodal.packImageBlobs]] synthesizes
+    * spec-valid PNG IHDR / JPEG SOF byte streams with id-derived
+    * dimensions; [[graft.ops.Multimodal.withImageDims]] parses them BACK
+    * from the bytes — the oracle re-derives the dimensions independently
+    * from the id formulas, so a hash match proves parse(pack(id)) ==
+    * ground truth end to end, errors never cancelling). Truncated-header
+    * blobs (~1/97) land in the aspect_bucket −1 row with NULL dimension
+    * stats — counted, never crashed on. Aspect bucket = min(4·w div h,
+    * 12), an all-integer rule.
+    */
+  def dimensions(spark: SparkSession, dir: String): DataFrame = {
+    val blobs = Multimodal.packImageBlobs(
+      Tables.documents(spark, dir), "doc_id", "text")
+    Multimodal.withImageDims(blobs, "blob")
+      .withColumn("aspect_bucket",
+        when(col("img_width").isNotNull,
+          least(expr("(img_width * 4) DIV img_height"), lit(AspectCap)))
+          .otherwise(lit(-1L)))
+      .groupBy("img_format", "aspect_bucket")
+      .agg(count(lit(1)).as("n_blobs"),
+        count(col("img_width")).as("n_parsed"),
+        min("img_width").as("min_width"),
+        max("img_width").as("max_width"),
+        min("img_height").as("min_height"),
+        max("img_height").as("max_height"),
+        sum(col("img_width") * col("img_height")).as("sum_pixels"))
+      .orderBy("img_format", "aspect_bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> meta,
     "multimodal_frames" -> frames,
     "multimodal_phash" -> phash,
     "multimodal_phash_neardup" -> phashNearDup,
+    "multimodal_dimensions" -> dimensions,
     "multimodal_byte_features" -> byteFeatures)
 
   // perceptual-hash replay from the ASCII text side: the chunk rule
@@ -123,6 +156,32 @@ object MultimodalQueries {
       |  FROM bits GROUP BY id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // INDEPENDENT ground truth: the oracle never parses bytes — it
+    // re-derives each blob's dimensions from the packImageBlobs id
+    // formulas (w = 1 + id%1024, h = 1 + 31·id % 1024, png/jpeg by
+    // parity, NULL when id%97 = 0 truncates the header), so the Spark
+    // side's byte-level PNG/JPEG parse is checked against a replay that
+    // shares none of its code path
+    "multimodal_dimensions" ->
+      """WITH b AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END
+        |      AS img_format,
+        |    CASE WHEN doc_id % 97 = 0 THEN NULL
+        |      ELSE 1 + doc_id % 1024 END AS w,
+        |    CASE WHEN doc_id % 97 = 0 THEN NULL
+        |      ELSE 1 + (doc_id * 31) % 1024 END AS h
+        |  FROM documents),
+        |a AS (SELECT img_format,
+        |    CASE WHEN w IS NULL THEN -1
+        |      ELSE least((w * 4) // h, 12) END AS aspect_bucket, w, h
+        |  FROM b)
+        |SELECT img_format, aspect_bucket,
+        |  count(*) AS n_blobs, count(w) AS n_parsed,
+        |  min(w) AS min_width, max(w) AS max_width,
+        |  min(h) AS min_height, max(h) AS max_height,
+        |  CAST(sum(w * h) AS BIGINT) AS sum_pixels
+        |FROM a GROUP BY 1, 2
+        |ORDER BY img_format, aspect_bucket""".stripMargin,
     "multimodal_phash" ->
       s"""WITH $phashCteSql
          |SELECT id, n_bytes, ahash_lo, ahash_hi, dhash_lo, dhash_hi

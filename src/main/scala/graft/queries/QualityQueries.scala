@@ -630,24 +630,39 @@ object QualityQueries {
     *
     * Shape at scale: candidate work is the banded-minhash bound
     * (Σ bucket² per band, never corpus²); each surviving pair costs two
-    * id-keyed joins against the embeddings table and one dot product.
-    * Returns (id_a, id_b, jaccard, cos, is_drift) for every verified
-    * text-near pair.
+    * id-keyed LEFT joins against the embeddings table and one dot
+    * product. A candidate doc whose embedding ROW is missing is itself
+    * one of the id-misalignment failure modes this audit exists to
+    * catch, so such pairs are emitted with NULL cos and is_missing/
+    * is_drift TRUE rather than silently inner-joined away. Returns
+    * (id_a, id_b, jaccard, cos, is_missing, is_drift) for every
+    * verified text-near pair.
     */
-  def textEmbedDrift(spark: SparkSession, dir: String): DataFrame = {
+  def textEmbedDrift(spark: SparkSession, dir: String): DataFrame =
+    textEmbedDriftFrom(Tables.documents(spark, dir),
+      Tables.embeddings(spark, dir))
+
+  /** [[textEmbedDrift]] over explicit relations — the seam QualitySpec
+    * uses to pin the missing-embedding (left-join) path, which the
+    * full-coverage test corpus never exercises.
+    */
+  private[graft] def textEmbedDriftFrom(docs: DataFrame,
+      emb: DataFrame): DataFrame = {
     val cands = graft.ops.Dedup.minhashLshPairs(
-      Tables.documents(spark, dir), "doc_id", "text", DriftJaccard,
+      docs, "doc_id", "text", DriftJaccard,
       DedupQueries.NumHashes, DedupQueries.Bands)
-    val emb = Tables.embeddings(spark, dir)
     cands
       .join(emb.select(col("vec_id").as("id_a"),
-        col("embedding").as("__va")), Seq("id_a"))
+        col("embedding").as("__va")), Seq("id_a"), "left")
       .join(emb.select(col("vec_id").as("id_b"),
-        col("embedding").as("__vb")), Seq("id_b"))
+        col("embedding").as("__vb")), Seq("id_b"), "left")
       .select(col("id_a"), col("id_b"), col("jaccard"),
-        round(graft.ops.Similarity.cosine(col("__va"), col("__vb")), 6)
-          .as("cos"))
-      .withColumn("is_drift", col("cos") < DriftCos)
+        when(col("__va").isNotNull && col("__vb").isNotNull,
+          round(graft.ops.Similarity.cosine(col("__va"), col("__vb")), 6))
+          .as("cos"),
+        (col("__va").isNull || col("__vb").isNull).as("is_missing"))
+      .withColumn("is_drift",
+        col("is_missing") || col("cos") < DriftCos)
       .orderBy("id_a", "id_b")
   }
 
@@ -797,13 +812,16 @@ object QualityQueries {
          |  WHERE n_common * 1.0 / (sa.n_tokens + sb.n_tokens - n_common)
          |    >= $DriftJaccard)
          |SELECT jp.id_a, jp.id_b, jp.jaccard,
-         |  ${SimilarityQueries.cosineSql("ea.embedding", "eb.embedding")}
-         |    AS cos,
-         |  ${SimilarityQueries.cosineSql("ea.embedding", "eb.embedding")}
-         |    < $DriftCos AS is_drift
+         |  CASE WHEN ea.vec_id IS NOT NULL AND eb.vec_id IS NOT NULL THEN
+         |    ${SimilarityQueries.cosineSql("ea.embedding", "eb.embedding")}
+         |  END AS cos,
+         |  (ea.vec_id IS NULL OR eb.vec_id IS NULL) AS is_missing,
+         |  (ea.vec_id IS NULL OR eb.vec_id IS NULL)
+         |    OR ${SimilarityQueries.cosineSql("ea.embedding",
+                "eb.embedding")} < $DriftCos AS is_drift
          |FROM jp
-         |JOIN embeddings ea ON ea.vec_id = jp.id_a
-         |JOIN embeddings eb ON eb.vec_id = jp.id_b
+         |LEFT JOIN embeddings ea ON ea.vec_id = jp.id_a
+         |LEFT JOIN embeddings eb ON eb.vec_id = jp.id_b
          |ORDER BY jp.id_a, jp.id_b""".stripMargin,
     // exact-integer histogram + prefix sums; the objective's BIGINT
     // products stay below 2^53 so the double casts are exact and the

@@ -603,4 +603,60 @@ class EvalSpec extends AnyFunSuite {
       else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("cohenKappa")))
   }
+
+  test("cohenKappa: OFFSETTING malformed input (rater 0 rates A twice " +
+      "and never B while rater 1 rates each once) raises instead of " +
+      "silently double-counting A and dropping B") {
+    // per-rater row counts are equal (2 each) so the old equal-count
+    // guard passed; the per-(subject, rater) duplicate check must fire
+    val bad = Seq(
+      (1L, 0L, 0L), (1L, 0L, 1L), // rater 0 rates subject 1 TWICE
+      (1L, 1L, 0L), (2L, 1L, 1L)) // rater 1 rates subjects 1 and 2
+      .toDF("s", "r", "c")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val ex = intercept[Exception] {
+      Eval.cohenKappa(bad, "s", "r", "c").collect()
+    }
+    assert(msgs(ex).exists(m => m.contains("cohenKappa") &&
+      m.contains("more than once")))
+  }
+
+  test("fleissKappa and cohenKappa: EMPTY input raises with a readable " +
+      "message (the min/max guard columns are NULL there)") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val empty = Seq.empty[(Long, Long)].toDF("s", "c")
+    val exF = intercept[Exception] {
+      Eval.fleissKappa(empty, "s", "c").collect()
+    }
+    assert(msgs(exF).exists(m => m.contains("fleissKappa") &&
+      m.contains("none")))
+    val empty3 = Seq.empty[(Long, Long, Long)].toDF("s", "r", "c")
+    val exC = intercept[Exception] {
+      Eval.cohenKappa(empty3, "s", "r", "c").collect()
+    }
+    assert(msgs(exC).exists(m => m.contains("cohenKappa") &&
+      m.contains("none")))
+  }
+
+  test("passAtK: a task whose sample count exceeds the 10^(38/k) " +
+      "falling-factorial bound raises the explicit domain error, not an " +
+      "opaque decimal overflow") {
+    // k=20 → bound = ⌊10^1.9⌋ = 79; a 100-sample task must raise loudly
+    val big = (1 to 100).map(i => ("T", i % 3 == 0)).toDF("task", "ok")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val ex = intercept[Exception] {
+      Eval.passAtK(big, "task", col("ok"), Seq(20)).collect()
+    }
+    assert(msgs(ex).exists(m => m.contains("passAtK") &&
+      m.contains("exceeds the exact-decimal bound")))
+    // and the same data is fine at a k whose bound clears 100
+    val ok = Eval.passAtK(big, "task", col("ok"), Seq(5)).collect()(0)
+    assert(ok.getAs[Long]("n_samples") == 100)
+  }
 }

@@ -101,4 +101,68 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.exists(p => p._1 == 0L && p._2 == 4L && p._3 == 0L))
     assert(!pairs.exists(p => p._1 == 0L && p._2 == 1L))
   }
+
+  private def hexBytes(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("withImageDims: HAND-BUILT spec-valid PNG and JPEG headers parse " +
+      "to their true dimensions; truncated / SOS-before-SOF / non-image " +
+      "blobs yield NULL instead of crashing") {
+    // real 800×600 PNG header: signature, IHDR len 13, type, w, h,
+    // bit-depth/color/etc, CRC
+    val png800x600 = hexBytes(
+      "89504E470D0A1A0A 0000000D 49484452 00000320 00000258" +
+        " 0802000000 907753DE")
+    // real-shaped progressive JPEG: SOI, APP0 JFIF (len 16), a DQT
+    // segment (len 0x43 = 67), then SOF2 with height 1080 / width 1920
+    val dqt = "FFDB 0043 00" + "11" * 64
+    val jpeg1920x1080 = hexBytes(
+      "FFD8 FFE0 0010 4A46494600 0101 00 0001 0001 0000 " + dqt +
+        " FFC2 0011 08 0438 0780 03 011100 021101 031101")
+    // malformed: SOS (FF DA) appears before any SOF
+    val sosFirst = hexBytes(
+      "FFD8 FFE0 0010 4A46494600 0101 00 0001 0001 0000 " +
+        "FFDA 0008 01 01 00 003F 00")
+    val fixture = Seq(
+      (1L, png800x600),
+      (2L, jpeg1920x1080),
+      (3L, png800x600.take(12)), // truncated mid-IHDR
+      (4L, jpeg1920x1080.take(7)), // truncated mid-APP0
+      (5L, sosFirst),
+      (6L, "just some text bytes".getBytes("UTF-8")))
+      .toDF("id", "blob")
+    val got = Multimodal.withImageDims(fixture, "blob")
+      .select($"id", $"img_format",
+        $"img_width".cast("string"), $"img_height".cast("string"))
+      .as[(Long, String, Option[String], Option[String])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == (("png", Some("800"), Some("600"))))
+    assert(got(2L) == (("jpeg", Some("1920"), Some("1080"))))
+    assert(got(3L) == (("png", None, None)))
+    assert(got(4L) == (("jpeg", None, None)))
+    assert(got(5L) == (("jpeg", None, None)))
+    assert(got(6L) == (("unknown", None, None)))
+  }
+
+  test("packImageBlobs → withImageDims round trip recovers the id " +
+      "formulas (incl. the 1×1 corner and the %97 truncation)") {
+    val ids = Seq(0L, 1L, 2L, 3L, 97L, 194L, 1023L, 1024L, 2049L)
+    val docs2 = ids.map(i => (i, s"payload text for $i"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.withImageDims(
+        Multimodal.packImageBlobs(docs2, "doc_id", "text"), "blob")
+      .select($"id", $"img_format", $"img_width", $"img_height")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("img_format"),
+          Option(r.get(r.fieldIndex("img_width"))),
+          Option(r.get(r.fieldIndex("img_height")))))).toMap
+    ids.foreach { i =>
+      val fmt = if (i % 2 == 0) "png" else "jpeg"
+      val exp =
+        if (i % 97 == 0) (fmt, None, None)
+        else (fmt, Some(1L + i % 1024), Some(1L + (i * 31) % 1024))
+      assert(got(i) == exp, s"id $i: got ${got(i)}, want $exp")
+    }
+  }
 }

@@ -236,4 +236,30 @@ class QualitySpec extends AnyFunSuite {
       .as[(Long, Double)].collect()
     assert(gc.toSeq == Seq((1L, 0.0), (2L, 0.0), (3L, 0.0)))
   }
+
+  test("textEmbedDrift: a text-near pair whose embedding row is MISSING " +
+      "is emitted with NULL cos and is_missing/is_drift TRUE, not " +
+      "silently inner-joined away") {
+    import org.apache.spark.sql.functions._
+    // docs 1=2 (identical text → LSH pair, jaccard 1) and 3=4 likewise
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different words occupy this other document body"),
+      (4L, "completely different words occupy this other document body"))
+      .toDF("doc_id", "text")
+    // doc 2's embedding row is MISSING (the id-misalignment failure)
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (3L, Array(1.0f, 0.0f)),
+      (4L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = graft.queries.QualityQueries
+      .textEmbedDriftFrom(docs, emb)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.isNullAt(r.fieldIndex("cos")), r.getAs[Boolean]("is_missing"),
+        r.getAs[Boolean]("is_drift")))
+    assert(rows.toSeq == Seq(
+      (1L, 2L, true, true, true), // missing embedding → flagged
+      (3L, 4L, false, false, false))) // both present, cos 1 → no drift
+  }
 }
