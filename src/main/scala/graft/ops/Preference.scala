@@ -157,6 +157,101 @@ object Preference {
       .crossJoin(broadcast(cyc))
   }
 
+  /** Position-bias audit of a presentation-ordered preference log — the
+    * reward-hacking screen for "the judge prefers whichever answer is
+    * shown first" (the documented LLM-judge failure mode; Zheng et al.
+    * 2023 measure it on GPT-4 MT-Bench judgments). Input is one row per
+    * comparison with the FIRST-shown item, the SECOND-shown item and
+    * the winner; a winner matching neither presentation raises loudly
+    * (a malformed log would otherwise silently bias the rate).
+    *
+    * The statistic: with W first-side wins of N paired presentations,
+    * the pooled two-proportion z between the first-side rate W/N and
+    * the second-side rate (N−W)/N algebraically reduces to
+    * z = (2W − N)/√N (the pooled p̂ is exactly 1/2 because the two
+    * proportions are complements) — computed as ONE IEEE division of
+    * the exact integer 2W − N by √N, engine-bit-identical. |z| > 3 ≈
+    * a position effect at the 0.1% level on a log this size.
+    *
+    * Shape at scale: ONE count shuffle collapses the corpus to four
+    * integers; everything after is 1-row arithmetic. Returns one row
+    * (n_pairs, n_first_wins, n_second_wins, first_win_rate,
+    * z_position).
+    */
+  def positionBias(log: DataFrame, firstCol: String, secondCol: String,
+      winnerCol: String): DataFrame = {
+    val agg = log.agg(count(lit(1)).as("n_pairs"),
+      sum(when(col(winnerCol) === col(firstCol), 1L).otherwise(0L))
+        .as("n_first_wins"),
+      max(when(col(winnerCol) =!= col(firstCol) &&
+        col(winnerCol) =!= col(secondCol), 1L).otherwise(0L))
+        .as("__bad"))
+    agg.select(
+        when(coalesce(col("__bad"), lit(0L)) === 0, col("n_pairs"))
+          .otherwise(raise_error(concat(
+            lit("positionBias: a winner matches neither presented "),
+            lit("side — malformed preference log")))).as("n_pairs"),
+        col("n_first_wins"))
+      .select(col("n_pairs"), col("n_first_wins"),
+        (col("n_pairs") - col("n_first_wins")).as("n_second_wins"),
+        (col("n_first_wins").cast("double") /
+          col("n_pairs").cast("double")).as("first_win_rate"),
+        ((col("n_first_wins") * 2 - col("n_pairs")).cast("double") /
+          sqrt(col("n_pairs").cast("double"))).as("z_position"))
+  }
+
+  /** Length-bias audit — the second reward-hacking screen: LLM judges
+    * (and the reward models distilled from them) systematically prefer
+    * LONGER answers (Dubois et al. 2024 built length-controlled
+    * AlpacaEval around exactly this). Input is one row per comparison
+    * with the first/second-shown items' lengths and the first-wins
+    * outcome; pairs are binned into `buckets` equal-count quantiles of
+    * the SIGNED length delta (first − second) via ntile ordered by
+    * (delta, tieCol) — deterministic on both engines — and each bin
+    * reports its first-side win rate. A length-biased judge shows the
+    * rate climbing monotonically across delta bins; an honest one is
+    * flat at the log's base rate.
+    *
+    * Shape at scale: the quantile banding is SIZE-DISPATCHED on
+    * [[SaltedGrid.ntileCutoff]] exactly as the gains-table is — bounded
+    * logs take the one-task ntile window, row-scale logs the salted
+    * global rank ([[SaltedGrid.valueRankedDeterministic]]) pushed
+    * through the [[SaltedGrid.ntileBand]] integer split, hash-identical
+    * by the shared banding rule; after banding it's one ≤ buckets-row
+    * rollup with one IEEE division per bin. Returns one row per bin:
+    * (delta_bin, n_pairs, n_first_wins, first_win_rate, min_delta,
+    * max_delta).
+    */
+  def lengthBias(log: DataFrame, firstLenCol: String,
+      secondLenCol: String, firstWinsCol: String, tieCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000,
+      s"lengthBias: need 2 <= buckets <= 1000, got $buckets")
+    val delta = (col(firstLenCol) - col(secondLenCol)).cast("long")
+    val scored = log.select(delta.as("__d"),
+        col(firstWinsCol).as("__fw"), col(tieCol).as("__t"))
+      .localCheckpoint(false)
+    val banded =
+      if (scored.count() <= SaltedGrid.ntileCutoff(log.sparkSession))
+        scored.withColumn("delta_bin", ntile(buckets).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("__d"), col("__t"))).cast("long"))
+      else
+        SaltedGrid.valueRankedDeterministic(scored, Nil, col("__d"),
+          Seq(col("__t")))
+          .withColumn("delta_bin",
+            SaltedGrid.ntileBand(col("__rank"), col("__n"), buckets))
+    banded.groupBy("delta_bin")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__fw"), 1L).otherwise(0L)).as("n_first_wins"),
+        min("__d").as("min_delta"), max("__d").as("max_delta"))
+      .select(col("delta_bin"), col("n_pairs"), col("n_first_wins"),
+        (col("n_first_wins").cast("double") /
+          col("n_pairs").cast("double")).as("first_win_rate"),
+        col("min_delta"), col("max_delta"))
+      .orderBy("delta_bin")
+  }
+
   /** The shared MM fit: (items relation (a, n_games, n_wins),
     * strengths relation (a, p) in nano DECIMAL(38,0)).
     */

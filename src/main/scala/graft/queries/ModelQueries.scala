@@ -35,7 +35,9 @@ object ModelQueries {
     "model_knn_class" -> knnClass,
     "model_bt_strength" -> btStrength,
     "model_bt_pairs" -> btPairs2,
-    "model_bt_cycles" -> btCycles)
+    "model_bt_cycles" -> btCycles,
+    "model_pref_position_bias" -> prefPositionBias,
+    "model_pref_length_bias" -> prefLengthBias)
 
   /** Deterministic synthetic preference log over 8 items, planted
     * BT-consistently: contestants a ≠ b are md5-drawn per document, and
@@ -87,6 +89,68 @@ object ModelQueries {
   def btCycles(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Preference.majorityCycles(btPairs(spark, dir), "winner",
       "loser")
+
+  /** The [[btPairs]] fixture with its PRESENTATION order retained: one
+    * more md5 draw decides which contestant was shown first — by
+    * construction independent of the outcome draw, so the planted log
+    * is position-UNBIASED and the audit's z statistic reads the
+    * finite-sample fluctuation, not an effect.
+    */
+  private def btPresentLog(spark: SparkSession, dir: String): DataFrame = {
+    def h(parts: Column*): Column =
+      graft.functions.Kernels.md5hash48(concat(parts: _*))
+    val d = col("doc_id").cast("string")
+    val a = pmod(h(d, lit("|a")), lit(BtItems.toLong))
+    val bRaw = pmod(h(d, lit("|b")), lit((BtItems - 1).toLong))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), a.as("__a"),
+        when(bRaw >= a, bRaw + 1L).otherwise(bRaw).as("__b"))
+      .select(col("doc_id"), col("__a"), col("__b"),
+        (pmod(h(d, lit("|w")), col("__a") + col("__b") + 2L) <
+          col("__a") + 1L).as("__aw"),
+        (pmod(h(d, lit("|s")), lit(2L)) === 0).as("__af"))
+      .select(
+        when(col("__af"), col("__a")).otherwise(col("__b")).as("first"),
+        when(col("__af"), col("__b")).otherwise(col("__a")).as("second"),
+        when(col("__aw"), col("__a")).otherwise(col("__b")).as("winner"))
+  }
+
+  /** Position-bias audit over the presentation-ordered preference log
+    * ([[graft.ops.Preference.positionBias]]) — first-side win rate and
+    * the exact two-proportion z, the "judge prefers whichever answer is
+    * shown first" reward-hacking screen.
+    */
+  def prefPositionBias(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Preference.positionBias(btPresentLog(spark, dir),
+      "first", "second", "winner")
+
+  private val LenBiasBuckets = 8
+
+  /** Length-bias audit ([[graft.ops.Preference.lengthBias]]) over a
+    * document-pair judgment log riding `documents.n_chars`: docs 2k and
+    * 2k+1 are compared with a PLANTED length-proportional outcome
+    * (first wins with probability (len_first+1)/(len_first+len_second+2)
+    * by md5 draw), so the audit's per-delta-bin win rates climb across
+    * bins — the monotone signature a length-hacked reward model leaves.
+    */
+  def prefLengthBias(spark: SparkSession, dir: String): DataFrame = {
+    def h(parts: Column*): Column =
+      graft.functions.Kernels.md5hash48(concat(parts: _*))
+    val docs = Tables.documents(spark, dir)
+    val e = docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
+      .select(expr("doc_id DIV 2").as("k"),
+        col("n_chars").as("len_first"))
+    val o = docs.filter(pmod(col("doc_id"), lit(2L)) === 1)
+      .select(expr("doc_id DIV 2").as("k"),
+        col("n_chars").as("len_second"))
+    val log = e.join(o, Seq("k"))
+      .withColumn("first_wins",
+        pmod(h(col("k").cast("string"), lit("|lw")),
+          col("len_first") + col("len_second") + 2L) <
+          col("len_first") + 1L)
+    graft.ops.Preference.lengthBias(log, "len_first", "len_second",
+      "first_wins", "k", LenBiasBuckets)
+  }
 
   /** Ridge regression by exact normal equations on the [[base]]
     * features ([[graft.ops.LinearModel.ridgeNormal]], λ = 10⁶): price
@@ -284,6 +348,57 @@ object ModelQueries {
     "model_bt_strength" -> btOracleSql,
     "model_bt_pairs" -> btPairsOracleSql,
     "model_bt_cycles" -> btCyclesOracleSql,
+    // presentation-side replay of the btPairs fixture (one extra md5
+    // draw); z = (2W − N)/√N is ONE IEEE division of exact integers by
+    // an IEEE sqrt — engine-bit-identical
+    "model_pref_position_bias" -> {
+      def hb(expr: String) = s"('0x' || substr(md5($expr), 1, 12))::BIGINT"
+      val I = BtItems
+      s"""WITH b1 AS (SELECT doc_id, ${hb("doc_id || '|a'")} % $I AS a,
+         |    ${hb("doc_id || '|b'")} % ${I - 1} AS br FROM documents),
+         |b2 AS (SELECT doc_id, a,
+         |    CASE WHEN br >= a THEN br + 1 ELSE br END AS b FROM b1),
+         |w3 AS (SELECT doc_id, a, b,
+         |    ${hb("doc_id || '|w'")} % (a + b + 2) < a + 1 AS w,
+         |    ${hb("doc_id || '|s'")} % 2 = 0 AS af
+         |  FROM b2),
+         |lg AS (SELECT CASE WHEN af THEN a ELSE b END AS fst,
+         |    CASE WHEN w THEN a ELSE b END AS winner FROM w3),
+         |ag AS (SELECT count(*) AS n,
+         |    CAST(sum(CASE WHEN winner = fst THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS wf
+         |  FROM lg)
+         |SELECT n AS n_pairs, wf AS n_first_wins,
+         |  n - wf AS n_second_wins,
+         |  CAST(wf AS DOUBLE) / CAST(n AS DOUBLE) AS first_win_rate,
+         |  CAST(2 * wf - n AS DOUBLE) / sqrt(CAST(n AS DOUBLE))
+         |    AS z_position
+         |FROM ag""".stripMargin
+    },
+    // even/odd document pairing, planted length-proportional outcome,
+    // ntile(8) over (signed delta, pair key) — the identical banding
+    // rule on both engines — then exact counts + one division per bin
+    "model_pref_length_bias" -> {
+      def hb(expr: String) = s"('0x' || substr(md5($expr), 1, 12))::BIGINT"
+      s"""WITH e AS (SELECT doc_id // 2 AS k, n_chars AS lf
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |o AS (SELECT doc_id // 2 AS k, n_chars AS ls
+         |  FROM documents WHERE doc_id % 2 = 1),
+         |lg AS (SELECT e.k, lf, ls,
+         |    ${hb("e.k || '|lw'")} % (lf + ls + 2) < lf + 1 AS fw
+         |  FROM e JOIN o USING (k)),
+         |bnd AS (SELECT ntile($LenBiasBuckets)
+         |      OVER (ORDER BY lf - ls, k) AS delta_bin,
+         |    lf - ls AS d, fw
+         |  FROM lg)
+         |SELECT delta_bin, count(*) AS n_pairs,
+         |  CAST(sum(CASE WHEN fw THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_first_wins,
+         |  CAST(sum(CASE WHEN fw THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS first_win_rate,
+         |  min(d) AS min_delta, max(d) AS max_delta
+         |FROM bnd GROUP BY delta_bin ORDER BY delta_bin""".stripMargin
+    },
     // exact HUGEINT moments (the Spark twin is DECIMAL(38,0)), then the
     // identical fixed-sequence double algebra: Cramer determinants,
     // SSE/SST, everything unrounded

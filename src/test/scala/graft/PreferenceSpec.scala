@@ -115,4 +115,69 @@ class PreferenceSpec extends AnyFunSuite {
     assert(m(2L) == 0L)
     assert(m(1L) == 2L * 1000000000L)
   }
+
+  test("positionBias: a PLANTED side-biased log (first wins 300 of 400) " +
+      "reads z = 10 exactly; a perfectly balanced log reads z = 0; a " +
+      "winner matching neither side raises loudly") {
+    // 400 comparisons between items (1,2); first-shown side wins 300
+    val biased = ((1 to 300).map(i =>
+        (i.toLong % 2 + 1, 2L - i.toLong % 2, i.toLong % 2 + 1)) ++
+      (1 to 100).map(i =>
+        (i.toLong % 2 + 1, 2L - i.toLong % 2, 2L - i.toLong % 2)))
+      .toDF("first", "second", "winner")
+    val r = Preference.positionBias(biased, "first", "second", "winner")
+      .collect()(0)
+    assert(r.getAs[Long]("n_pairs") == 400 &&
+      r.getAs[Long]("n_first_wins") == 300 &&
+      r.getAs[Long]("n_second_wins") == 100)
+    assert(r.getAs[Double]("first_win_rate") == 0.75)
+    // z = (2·300 − 400)/√400 = 200/20 = 10 exactly
+    assert(r.getAs[Double]("z_position") == 10.0)
+    val fair = ((1 to 200).map(i => (1L, 2L, 1L)) ++
+      (1 to 200).map(i => (1L, 2L, 2L))).toDF("first", "second", "winner")
+    assert(Preference.positionBias(fair, "first", "second", "winner")
+      .collect()(0).getAs[Double]("z_position") == 0.0)
+    val malformed = Seq((1L, 2L, 3L)).toDF("first", "second", "winner")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val ex = intercept[Exception] {
+      Preference.positionBias(malformed, "first", "second", "winner")
+        .collect()
+    }
+    assert(msgs(ex).exists(_.contains("positionBias")))
+  }
+
+  test("lengthBias: a PLANTED longer-always-wins log shows win rate 0 " +
+      "in the negative-delta bins and 1 in the positive ones, with " +
+      "ntile's equal-count banding and exact delta ranges") {
+    // 16 pairs, deltas −8,−7,…,−1,1,…,8 (longer side always wins ⇒
+    // first wins iff delta > 0); 4 buckets of 4
+    val log = ((-8 to -1) ++ (1 to 8)).map { d =>
+      (100L + d, 100L, d > 0, d.toLong)
+    }.toDF("len_first", "len_second", "first_wins", "k")
+    val rows = Preference.lengthBias(log, "len_first", "len_second",
+        "first_wins", "k", buckets = 4)
+      .collect().map(r => (r.getAs[Long]("delta_bin"),
+        r.getAs[Long]("n_pairs"), r.getAs[Double]("first_win_rate"),
+        r.getAs[Long]("min_delta"), r.getAs[Long]("max_delta")))
+    assert(rows.toSeq == Seq(
+      (1L, 4L, 0.0, -8L, -5L), (2L, 4L, 0.0, -4L, -1L),
+      (3L, 4L, 1.0, 1L, 4L), (4L, 4L, 1.0, 5L, 8L)))
+  }
+
+  test("lengthBias: the salted row-scale banding path is hash-identical " +
+      "to the one-task ntile window on the same log") {
+    val log = (1 to 500).map { i =>
+      (100L + (i * 37) % 101, 100L + (i * 53) % 97, i % 3 == 0, i.toLong)
+    }.toDF("len_first", "len_second", "first_wins", "k")
+    val viaWindow = Preference.lengthBias(log, "len_first", "len_second",
+      "first_wins", "k", buckets = 8).collect().toSeq
+    spark.conf.set("graft.salted.ntile.cutoff", "10")
+    try {
+      val viaSalt = Preference.lengthBias(log, "len_first", "len_second",
+        "first_wins", "k", buckets = 8).collect().toSeq
+      assert(viaSalt == viaWindow)
+    } finally spark.conf.unset("graft.salted.ntile.cutoff")
+  }
 }
