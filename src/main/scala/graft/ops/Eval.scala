@@ -1073,6 +1073,101 @@ object Eval {
     * self-join + two bounded category rollups. Returns one row
     * (n_subjects, n_agree, p_o, p_e, kappa).
     */
+  /** Rater drift over time — per-WINDOW Cohen's κ plus the first-vs-
+    * last-window agreement delta, the labeling-campaign decay detector:
+    * annotation quality routinely degrades mid-campaign (rater fatigue,
+    * guideline drift, a silently swapped annotator), and a single
+    * whole-campaign κ averages the decay away. Composes [[cohenKappa]]'s
+    * exact count arithmetic with a window key riding every aggregate
+    * (the house grouped-fit idiom): input is one row per (subject,
+    * rater ∈ {0,1}, category, window), where the window — a time bucket
+    * or batch id — must be a function of the subject (each subject is
+    * rated within one window).
+    *
+    * Per window the full cohenKappa contract holds (both raters rate
+    * every subject of that window exactly once, no duplicates — ragged
+    * or duplicated panels raise loudly, naming the window); κ is the
+    * same single IEEE division of exact DECIMAL(38,0) integers, NULL
+    * when chance agreement is total. `kappa_drift` = κ(last window) −
+    * κ(first window) (window order), repeated on every row.
+    *
+    * Shape at scale: one subject-keyed self-join and two bounded
+    * (window, category) rollups — the cohenKappa plan with the window
+    * key added to every groupBy, so N windows cost what one did; the
+    * final drift pass is a window function over ≤ #windows rows.
+    * Returns one row per window: (window, n_subjects, n_agree, p_o,
+    * p_e, kappa, kappa_drift).
+    */
+  def cohenKappaDrift(df: DataFrame, subjectCol: String,
+      raterCol: String, categoryCol: String, windowCol: String)
+      : DataFrame = {
+    val D38 = DecimalType(38, 0)
+    val base = df.select(col(windowCol).as("__win"),
+      col(subjectCol).as("__s"), col(raterCol).cast("long").as("__r"),
+      col(categoryCol).as("__c"))
+    def side(r: Int) = base.filter(col("__r") === r)
+      .select(col("__win"), col("__s"), col("__c").as(s"__c$r"))
+    val paired = side(0).join(side(1), Seq("__win", "__s"))
+      .localCheckpoint(false) // feeds N/agree AND both marginal rollups
+    val nAgree = paired.groupBy("__win")
+      .agg(count(lit(1)).as("__N"),
+        sum(when(col("__c0") === col("__c1"), 1L).otherwise(0L))
+          .as("__agree"))
+    val ab = paired.groupBy("__win", "__c0")
+      .agg(count(lit(1)).as("__a"))
+      .join(paired.groupBy(col("__win"), col("__c1").as("__c0"))
+        .agg(count(lit(1)).as("__b")), Seq("__win", "__c0"),
+        "full_outer")
+      .groupBy("__win")
+      .agg(sum((coalesce(col("__a"), lit(0L)).cast(D38) *
+        coalesce(col("__b"), lit(0L)).cast(D38)).cast(D38)).cast(D38)
+        .as("__ab"))
+    // the per-window cohenKappa guard: equal per-rater counts, no
+    // per-(subject, rater) duplicates, and the paired count matches
+    val counts = base.groupBy("__win", "__r")
+      .agg(count(lit(1)).as("__cnt"),
+        countDistinct(col("__s")).as("__cds"))
+      .groupBy("__win")
+      .agg(min("__cnt").as("__cmn"), max("__cnt").as("__cmx"),
+        max(when(col("__cnt") =!= col("__cds"), 1L).otherwise(0L))
+          .as("__dup"))
+    val perWin = counts.join(nAgree, Seq("__win"), "left")
+      .join(ab, Seq("__win"), "left")
+      .select(col("__win").as("window"),
+        when(col("__dup") === 0 && col("__cmn") === col("__cmx") &&
+            col("__cmn") === col("__N"),
+          col("__N")).otherwise(raise_error(concat(
+            lit("cohenKappaDrift: window "), col("__win").cast("string"),
+            lit(" violates the paired-panel contract (paired "),
+            coalesce(col("__N").cast("string"), lit("none")),
+            lit(" of "),
+            coalesce(col("__cmn").cast("string"), lit("none")),
+            lit(".."),
+            coalesce(col("__cmx").cast("string"), lit("none")),
+            lit(")")))).as("n_subjects"),
+        col("__agree").as("n_agree"),
+        (col("__agree").cast(DoubleType) / col("__N").cast(DoubleType))
+          .as("p_o"),
+        (col("__ab").cast(DoubleType) /
+          (col("__N").cast(D38) * col("__N").cast(D38)).cast(D38)
+            .cast(DoubleType)).as("p_e"),
+        when((col("__N").cast(D38) * col("__N").cast(D38)).cast(D38) >
+            col("__ab"),
+          ((col("__agree").cast(D38) * col("__N").cast(D38)).cast(D38) -
+            col("__ab")).cast(DoubleType) /
+            ((col("__N").cast(D38) * col("__N").cast(D38)).cast(D38) -
+              col("__ab")).cast(DoubleType)).as("kappa"))
+    val full = org.apache.spark.sql.expressions.Window
+      .orderBy("window")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    perWin
+      .withColumn("kappa_drift",
+        last("kappa").over(full) - first("kappa").over(full))
+      .orderBy("window")
+  }
+
   def cohenKappa(df: DataFrame, subjectCol: String, raterCol: String,
       categoryCol: String): DataFrame = {
     val D38 = DecimalType(38, 0)

@@ -347,6 +347,47 @@ object EvalQueries {
     Eval.cohenKappa(ratingsPanel(spark, dir, 2), "doc_id", "rater",
       "rating")
 
+  private val DriftWindows = 4L
+  private val DriftAgreeLate = 40L
+
+  /** The [[ratingsPanel]] two-rater fixture with a CAMPAIGN TIMELINE:
+    * window = doc_id mod 4 (docs annotated in batches), and rater 1's
+    * agreement rate is PLANTED to collapse from 80% to 40% in windows
+    * 2–3 — the mid-campaign rater flip a whole-campaign κ averages
+    * away. Same md5 draws as the flat panel, rethresholded per window.
+    */
+  private def ratingsPanelDrift(spark: SparkSession, dir: String)
+      : DataFrame = {
+    def h(parts: Column*): Column =
+      graft.functions.Kernels.md5hash48(concat(parts: _*))
+    val d = col("doc_id").cast("string")
+    val r = col("rater").cast("string")
+    val noisy = pmod(h(d, lit("|"), r, lit("|alt")),
+      lit((KappaCats - 1).toLong))
+    val win = pmod(col("doc_id"), lit(DriftWindows))
+    val thr = when(col("rater") === 1 && win >= 2, lit(DriftAgreeLate))
+      .otherwise(lit(AgreePct.toLong))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        least(expr("n_chars DIV 150"), lit(3L)).as("__t"))
+      .select(col("doc_id"), col("__t"),
+        explode(array(lit(0), lit(1))).as("rater"))
+      .select(col("doc_id"), win.as("window"), col("rater"),
+        when(pmod(h(d, lit("|"), r, lit("|agree")), lit(100L)) < thr,
+          col("__t"))
+          .otherwise(when(noisy >= col("__t"), noisy + 1L)
+            .otherwise(noisy))
+          .as("rating"))
+  }
+
+  /** Per-window Cohen's κ over the drifting campaign
+    * ([[graft.ops.Eval.cohenKappaDrift]]) — agreement decay made
+    * visible window by window, plus the first-vs-last delta.
+    */
+  def kappaDriftQ(spark: SparkSession, dir: String): DataFrame =
+    Eval.cohenKappaDrift(ratingsPanelDrift(spark, dir), "doc_id",
+      "rater", "rating", "window")
+
   private val PassSamples = 10
   private val PassKs = Seq(1, 5, 10)
 
@@ -377,6 +418,7 @@ object EvalQueries {
     "eval_pass_at_k" -> passAtKQ,
     "eval_fleiss_kappa" -> fleissKappaQ,
     "eval_cohen_kappa" -> cohenKappaQ,
+    "eval_kappa_drift" -> kappaDriftQ,
     "eval_krippendorff_alpha" -> krippendorffQ,
     "eval_markov_perplexity" -> markovPerplexityQ,
     "eval_map_at_k" -> mapAtKCf,
@@ -547,6 +589,56 @@ object EvalQueries {
          |    1.0 - CAST((n - 1) * dos AS DOUBLE)
          |      / CAST(2520 * (n * n - ncsq) AS DOUBLE) END AS alpha
          |FROM ds, cat""".stripMargin,
+    // the drifting-panel replay: window = doc_id % 4, rater 1's agree
+    // threshold drops to 40 in windows >= 2; per-window κ is the same
+    // exact HUGEINT arithmetic keyed by window, and the drift column is
+    // a full-frame first/last window-function difference
+    "eval_kappa_drift" -> {
+      def hb(e: String) = s"('0x' || substr(md5($e), 1, 12))::BIGINT"
+      s"""WITH b AS (SELECT doc_id, least(n_chars // 150, 3) AS t
+         |  FROM documents),
+         |rr AS (SELECT doc_id, doc_id % $DriftWindows AS win, t,
+         |    u.r AS rater,
+         |    ${hb("doc_id || '|' || u.r || '|agree'")} % 100 AS ag,
+         |    ${hb("doc_id || '|' || u.r || '|alt'")} % ${KappaCats - 1}
+         |      AS nz
+         |  FROM b, UNNEST([0, 1]) u(r)),
+         |rt AS (SELECT doc_id, win, rater,
+         |    CASE WHEN ag < (CASE WHEN rater = 1 AND win >= 2
+         |        THEN $DriftAgreeLate ELSE $AgreePct END) THEN t
+         |      WHEN nz >= t THEN nz + 1 ELSE nz END AS rating
+         |  FROM rr),
+         |pp AS (SELECT pa.win, pa.doc_id, pa.rating AS c0,
+         |    pb.rating AS c1
+         |  FROM (SELECT win, doc_id, rating FROM rt WHERE rater = 0) pa
+         |  JOIN (SELECT win, doc_id, rating FROM rt WHERE rater = 1) pb
+         |    USING (win, doc_id)),
+         |na AS (SELECT win, count(*) AS nn,
+         |    CAST(sum(CASE WHEN c0 = c1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS agree FROM pp GROUP BY 1),
+         |ma AS (SELECT win, c0 AS c, count(*) AS a FROM pp GROUP BY 1, 2),
+         |mb AS (SELECT win, c1 AS c, count(*) AS b FROM pp GROUP BY 1, 2),
+         |mm AS (SELECT win, CAST(sum(CAST(coalesce(a, 0) AS HUGEINT)
+         |    * coalesce(b, 0)) AS HUGEINT) AS ab
+         |  FROM ma FULL OUTER JOIN mb USING (win, c) GROUP BY win),
+         |kp AS (SELECT na.win AS "window", nn AS n_subjects,
+         |    agree AS n_agree,
+         |    CAST(agree AS DOUBLE) / CAST(nn AS DOUBLE) AS p_o,
+         |    CAST(ab AS DOUBLE)
+         |      / CAST(CAST(nn AS HUGEINT) * nn AS DOUBLE) AS p_e,
+         |    CASE WHEN CAST(nn AS HUGEINT) * nn > ab THEN
+         |      CAST(CAST(agree AS HUGEINT) * nn - ab AS DOUBLE)
+         |        / CAST(CAST(nn AS HUGEINT) * nn - ab AS DOUBLE) END
+         |      AS kappa
+         |  FROM na JOIN mm ON mm.win = na.win)
+         |SELECT "window", n_subjects, n_agree, p_o, p_e, kappa,
+         |  last_value(kappa) OVER w - first_value(kappa) OVER w
+         |    AS kappa_drift
+         |FROM kp
+         |WINDOW w AS (ORDER BY "window" ROWS BETWEEN UNBOUNDED PRECEDING
+         |  AND UNBOUNDED FOLLOWING)
+         |ORDER BY "window"""".stripMargin
+    },
     // per-rater marginals (unlike Fleiss' pooled): p_e = Σ a_c·b_c/N²,
     // κ = (agree·N − Σ a·b)/(N² − Σ a·b) in exact HUGEINT
     "eval_cohen_kappa" ->

@@ -642,6 +642,49 @@ class EvalSpec extends AnyFunSuite {
       m.contains("none")))
   }
 
+  test("cohenKappaDrift: a PLANTED mid-campaign rater flip reads " +
+      "kappa 1 then -1 with drift exactly -2; slices agree with " +
+      "independent cohenKappa runs; a ragged window raises naming it") {
+    // window 1: raters agree perfectly on a 2-category panel → κ = 1
+    // window 2: rater 1 flips every binary label → p_o = 0, equal
+    // marginals → p_e = 1/2 → κ = −1
+    val w1 = Seq((1L, 0L, 0L), (1L, 1L, 0L), (2L, 0L, 1L), (2L, 1L, 1L),
+      (3L, 0L, 0L), (3L, 1L, 0L), (4L, 0L, 1L), (4L, 1L, 1L))
+      .map { case (s, r, c) => (s, r, c, 1L) }
+    val w2 = Seq((5L, 0L, 0L), (5L, 1L, 1L), (6L, 0L, 1L), (6L, 1L, 0L),
+      (7L, 0L, 0L), (7L, 1L, 1L), (8L, 0L, 1L), (8L, 1L, 0L))
+      .map { case (s, r, c) => (s, r, c, 2L) }
+    val panel = (w1 ++ w2).toDF("s", "r", "c", "w")
+    val rows = Eval.cohenKappaDrift(panel, "s", "r", "c", "w")
+      .collect()
+    assert(rows.length == 2)
+    val byWin = rows.map(r => r.getAs[Long]("window") -> r).toMap
+    assert(byWin(1L).getAs[Double]("kappa") == 1.0 &&
+      byWin(1L).getAs[Long]("n_subjects") == 4)
+    assert(byWin(2L).getAs[Double]("kappa") == -1.0 &&
+      byWin(2L).getAs[Double]("p_o") == 0.0)
+    assert(rows.forall(_.getAs[Double]("kappa_drift") == -2.0))
+    // each window slice is bit-identical to an independent ungrouped run
+    Seq(1L, 2L).foreach { w =>
+      val solo = Eval.cohenKappa(panel.filter(col("w") === w),
+        "s", "r", "c").collect()(0)
+      val slice = byWin(w)
+      assert(solo.getAs[Double]("p_o") == slice.getAs[Double]("p_o") &&
+        solo.getAs[Double]("p_e") == slice.getAs[Double]("p_e") &&
+        solo.getAs[Double]("kappa") == slice.getAs[Double]("kappa"))
+    }
+    // window 2 loses one rating → the raise names window 2
+    val ragged = panel.filter(!(col("s") === 8L && col("r") === 1L))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val ex = intercept[Exception] {
+      Eval.cohenKappaDrift(ragged, "s", "r", "c", "w").collect()
+    }
+    assert(msgs(ex).exists(m => m.contains("cohenKappaDrift") &&
+      m.contains("window 2")))
+  }
+
   test("passAtK: a task whose sample count exceeds the 10^(38/k) " +
       "falling-factorial bound raises the explicit domain error, not an " +
       "opaque decimal overflow") {
