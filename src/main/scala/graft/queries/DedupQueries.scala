@@ -18,8 +18,8 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
-  private[queries] val NumHashes = 12
-  private[queries] val Bands = 3
+  private[graft] val NumHashes = 12
+  private[graft] val Bands = 3
   private val Rows = NumHashes / Bands
 
   private def normText = concat_ws(" ",

@@ -684,12 +684,19 @@ object QualityQueries {
     * tokens score Jaccard 0 (maximally text-far). Returns
     * (id_a, id_b, cos, jaccard, is_drift).
     */
-  def embedTextDrift(spark: SparkSession, dir: String): DataFrame = {
+  def embedTextDrift(spark: SparkSession, dir: String): DataFrame =
+    embedTextDriftFrom(Tables.documents(spark, dir),
+      Tables.embeddings(spark, dir))
+
+  /** [[embedTextDrift]] over explicit relations — the ProbeRound16 /
+    * spec seam, mirroring [[textEmbedDriftFrom]].
+    */
+  private[graft] def embedTextDriftFrom(docs: DataFrame,
+      emb: DataFrame): DataFrame = {
     val cands = graft.ops.Similarity.lshNearDupPairs(
-      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      emb, "vec_id", "embedding",
       EmbedNearCos, SimilarityQueries.bandPlanes)
-    val sets = graft.ops.Dedup.tokenSets(
-        Tables.documents(spark, dir), "doc_id", "text")
+    val sets = graft.ops.Dedup.tokenSets(docs, "doc_id", "text")
       .localCheckpoint(false)
     val nc = when(col("__ta").isNotNull && col("__tb").isNotNull,
       call_function("graft_sorted_intersect", col("__ta"), col("__tb")))
