@@ -204,6 +204,25 @@ object Multimodal {
   def isJpeg(blob: Column): Column =
     length(blob) >= 2 && hex(substring(blob, 1, 2)) === "FFD8"
 
+  /** GIF signature probe (GIF87a / GIF89a, GIF89a spec §17). */
+  def isGif(blob: Column): Column =
+    length(blob) >= 6 &&
+      (hex(substring(blob, 1, 6)) === "474946383761" ||
+        hex(substring(blob, 1, 6)) === "474946383961")
+
+  /** GIF logical-screen width: bytes 7–8 LITTLE-endian (GIF89a §18 —
+    * unlike PNG/JPEG, GIF's multi-byte fields are LE). NULL when
+    * truncated or non-GIF.
+    */
+  def gifWidth(blob: Column): Column =
+    when(isGif(blob) && length(blob) >= 10,
+      beUint(blob, lit(7L), 1) + beUint(blob, lit(8L), 1) * 256L)
+
+  /** GIF logical-screen height: bytes 9–10 little-endian. */
+  def gifHeight(blob: Column): Column =
+    when(isGif(blob) && length(blob) >= 10,
+      beUint(blob, lit(9L), 1) + beUint(blob, lit(10L), 1) * 256L)
+
   /** Big-endian unsigned int of `len` bytes (≤ 7) at 1-based `pos` —
     * the byte-arithmetic primitive both parsers ride. NULL when the
     * slice is short/empty (conv of "" is engine-null).
@@ -278,22 +297,25 @@ object Multimodal {
   }
 
   /** Corpus-facing dimension extraction: adds `img_format` (png / jpeg /
-    * unknown from the magic bytes) and `img_width`/`img_height` (NULL
-    * when the header is truncated or malformed — the audit signal, never
-    * an exception). One pass, expression-only.
+    * gif / unknown from the magic bytes) and `img_width`/`img_height`
+    * (NULL when the header is truncated or malformed — the audit
+    * signal, never an exception). One pass, expression-only.
     */
   def withImageDims(df: DataFrame, blobCol: String): DataFrame = {
     val blob = col(blobCol)
     jpegSofWalk(df, blobCol)
       .withColumn("img_format",
         when(isPng(blob), "png").when(isJpeg(blob), "jpeg")
+          .when(isGif(blob), "gif")
           .otherwise("unknown"))
       .withColumn("img_width",
         when(isPng(blob), pngWidth(blob))
-          .when(isJpeg(blob), col("__jw")))
+          .when(isJpeg(blob), col("__jw"))
+          .when(isGif(blob), gifWidth(blob)))
       .withColumn("img_height",
         when(isPng(blob), pngHeight(blob))
-          .when(isJpeg(blob), col("__jh")))
+          .when(isJpeg(blob), col("__jh"))
+          .when(isGif(blob), gifHeight(blob)))
       .drop("__jp", "__jh", "__jw")
   }
 

@@ -106,9 +106,10 @@ class MultimodalSpec extends AnyFunSuite {
     s.replaceAll("\\s", "").grouped(2)
       .map(Integer.parseInt(_, 16).toByte).toArray
 
-  test("withImageDims: HAND-BUILT spec-valid PNG and JPEG headers parse " +
-      "to their true dimensions; truncated / SOS-before-SOF / non-image " +
-      "blobs yield NULL instead of crashing") {
+  test("withImageDims: HAND-BUILT spec-valid PNG / JPEG / GIF headers " +
+      "parse to their true dimensions (big- and little-endian); " +
+      "truncated / SOS-before-SOF / non-image blobs yield NULL instead " +
+      "of crashing") {
     // real 800×600 PNG header: signature, IHDR len 13, type, w, h,
     // bit-depth/color/etc, CRC
     val png800x600 = hexBytes(
@@ -124,13 +125,17 @@ class MultimodalSpec extends AnyFunSuite {
     val sosFirst = hexBytes(
       "FFD8 FFE0 0010 4A46494600 0101 00 0001 0001 0000 " +
         "FFDA 0008 01 01 00 003F 00")
+    // real GIF89a logical-screen descriptor: 320×200, LITTLE-endian
+    val gif320x200 = hexBytes("474946383961 4001 C800 F7 00 00")
     val fixture = Seq(
       (1L, png800x600),
       (2L, jpeg1920x1080),
       (3L, png800x600.take(12)), // truncated mid-IHDR
       (4L, jpeg1920x1080.take(7)), // truncated mid-APP0
       (5L, sosFirst),
-      (6L, "just some text bytes".getBytes("UTF-8")))
+      (6L, "just some text bytes".getBytes("UTF-8")),
+      (7L, gif320x200),
+      (8L, gif320x200.take(8))) // truncated mid-descriptor
       .toDF("id", "blob")
     val got = Multimodal.withImageDims(fixture, "blob")
       .select($"id", $"img_format",
@@ -143,6 +148,8 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(4L) == (("jpeg", None, None)))
     assert(got(5L) == (("jpeg", None, None)))
     assert(got(6L) == (("unknown", None, None)))
+    assert(got(7L) == (("gif", Some("320"), Some("200"))))
+    assert(got(8L) == (("gif", None, None)))
   }
 
   test("packImageBlobs → withImageDims round trip recovers the id " +
