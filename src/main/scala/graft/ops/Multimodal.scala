@@ -319,6 +319,125 @@ object Multimodal {
       .drop("__jp", "__jh", "__jw")
   }
 
+  // ---- RIFF/WAVE header parsing (audio modality) ---------------------------
+
+  /** RIFF/WAVE container probe ("RIFF" at 1–4, "WAVE" at 9–12). */
+  def isWav(blob: Column): Column =
+    length(blob) >= 12 && hex(substring(blob, 1, 4)) === "52494646" &&
+      hex(substring(blob, 9, 4)) === "57415645"
+
+  /** Little-endian unsigned int of `len` bytes at 1-based `pos` — RIFF's
+    * multi-byte fields are LE (unlike PNG/JPEG). Built from per-byte
+    * reads so each field costs `len` tiny codegen'd expressions; NULL
+    * when the slice is short.
+    */
+  private def leUint(blob: Column, pos: Column, len: Int): Column =
+    when(pos + (len - 1) <= length(blob),
+      (0 until len).map(i => beUint(blob, pos + i, 1) *
+        (1L << (8 * i))).reduce(_ + _))
+
+  /** RIFF chunk walk to the "fmt " and "data" chunks: adds `__wch`
+    * (channels), `__wsr` (sample rate), `__wbr` (byte rate), `__wbps`
+    * (bits/sample) and `__wdb` (data-chunk byte count) — NULL when the
+    * header is truncated, malformed or not a WAV. RIFF structure
+    * (Microsoft/IBM 1991 spec): chunks of [id(4) | size(4 LE) | data],
+    * each padded to an even boundary; "fmt " carries the PCM format
+    * block (channels at +10, sample rate +12, byte rate +16, bits +22,
+    * all LE), "data" carries `size` payload bytes. Same unrolled
+    * withColumns discipline as [[jpegSofWalk]] — live state is six
+    * columns, `maxChunks` projection steps, no shuffle.
+    */
+  def wavChunkWalk(df: DataFrame, blobCol: String,
+      maxChunks: Int = 6): DataFrame = {
+    val blob = col(blobCol)
+    var cur = df
+      .withColumn("__wp", when(isWav(blob), lit(13L)))
+      .withColumn("__wch", lit(null).cast("long"))
+      .withColumn("__wsr", lit(null).cast("long"))
+      .withColumn("__wbr", lit(null).cast("long"))
+      .withColumn("__wbps", lit(null).cast("long"))
+      .withColumn("__wdb", lit(null).cast("long"))
+    for (_ <- 1 to maxChunks) {
+      val p = col("__wp")
+      val done = p.isNull ||
+        (col("__wch").isNotNull && col("__wdb").isNotNull)
+      val cid = hex(blob.substr(p.cast("int"), lit(4)))
+      val csize = leUint(blob, p + 4, 4)
+      val isFmt = cid === "666D7420" // "fmt "
+      val isData = cid === "64617461" // "data"
+      val fmtReadable = p + 23 <= length(blob)
+      // advance past the chunk, honoring RIFF's even-boundary padding;
+      // a short/garbled size field kills the walk (pos → NULL)
+      val next = p + 8 + csize + pmod(csize, lit(2L))
+      cur = cur.withColumns(Map(
+        "__wch" -> when(done || col("__wch").isNotNull, col("__wch"))
+          .when(isFmt && fmtReadable, leUint(blob, p + 10, 2)),
+        "__wsr" -> when(done || col("__wsr").isNotNull, col("__wsr"))
+          .when(isFmt && fmtReadable, leUint(blob, p + 12, 4)),
+        "__wbr" -> when(done || col("__wbr").isNotNull, col("__wbr"))
+          .when(isFmt && fmtReadable, leUint(blob, p + 16, 4)),
+        "__wbps" -> when(done || col("__wbps").isNotNull, col("__wbps"))
+          .when(isFmt && fmtReadable, leUint(blob, p + 22, 2)),
+        "__wdb" -> when(done || col("__wdb").isNotNull, col("__wdb"))
+          .when(isData && csize.isNotNull, csize),
+        "__wp" -> when(done, p).when(csize.isNotNull, next)))
+    }
+    cur
+  }
+
+  /** Corpus-facing audio metadata: `wav_channels`, `wav_sample_rate`,
+    * `wav_bits`, `wav_data_bytes` and the exact integer
+    * `wav_duration_ms` = data_bytes·1000 div byte_rate (NULL anywhere
+    * the header fails to parse — the audit signal). One expression-only
+    * pass; at 100 TB the parse reads each blob's first chunk headers
+    * while the scan dominates.
+    */
+  def withWavMeta(df: DataFrame, blobCol: String): DataFrame =
+    wavChunkWalk(df, blobCol)
+      .withColumn("wav_channels", col("__wch"))
+      .withColumn("wav_sample_rate", col("__wsr"))
+      .withColumn("wav_bits", col("__wbps"))
+      .withColumn("wav_data_bytes", col("__wdb"))
+      .withColumn("wav_duration_ms",
+        when(col("__wbr") > 0 && col("__wdb").isNotNull,
+          expr("(__wdb * 1000) DIV __wbr")))
+      .drop("__wp", "__wch", "__wsr", "__wbr", "__wbps", "__wdb")
+
+  /** Synthesizes REAL RIFF/WAVE headers over the corpus (the audio twin
+    * of [[packImageBlobs]]): canonical 44-byte PCM header — RIFF size,
+    * "WAVE", a spec-exact "fmt " block, a "data" chunk sized to the
+    * document's UTF-8 byte count — with the text as payload. Every
+    * ~89th blob truncates mid-"WAVE". Formulas (the oracle's
+    * independent ground truth): channels = 1 + id % 2, sample rate =
+    * [8000, 16000, 22050, 44100, 48000][id % 5], 16-bit PCM, byte rate
+    * = rate·channels·2, data bytes = octet_length(text).
+    */
+  def packAudioBlobs(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val id = col(idCol)
+    val ch = lit(1L) + pmod(id, lit(2L))
+    val sr = element_at(
+      array(lit(8000L), lit(16000L), lit(22050L), lit(44100L),
+        lit(48000L)), (pmod(id, lit(5L)) + 1).cast("int"))
+    val br = sr * ch * 2L
+    val dataLen = length(encode(col(textCol), "UTF-8")).cast("long")
+    def le(v: Column, bytes: Int): Column = {
+      // LE hex: byte i = (v >> 8i) & 255, emitted low-order first
+      concat((0 until bytes).map(i =>
+        lpad(hex(pmod(shiftright(v, 8 * i), lit(256L))), 2, "0")): _*)
+    }
+    val hexHdr = concat(
+      lit("52494646"), le(dataLen + 36L, 4), lit("57415645"), // RIFF/WAVE
+      lit("666D7420"), le(lit(16L), 4), le(lit(1L), 2), // fmt , PCM
+      le(ch, 2), le(sr, 4), le(br, 4),
+      le(ch * 2L, 2), le(lit(16L), 2), // block align, bits
+      lit("64617461"), le(dataLen, 4)) // data
+    val full = concat(unhex(hexHdr), encode(col(textCol), "UTF-8"))
+    df.select(id.as("id"),
+      when(pmod(id, lit(89L)) === 0, substring(full, 1, 11))
+        .otherwise(full).as("blob"))
+  }
+
   /** Synthesizes REAL image headers over the corpus — spec-valid PNG
     * (signature + IHDR) and JPEG (SOI + JFIF APP0 + variable-length COM
     * + SOF0/SOF2) byte streams whose dimensions derive from the id, with

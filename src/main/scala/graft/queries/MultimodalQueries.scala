@@ -114,12 +114,38 @@ object MultimodalQueries {
       .orderBy("img_format", "aspect_bucket")
   }
 
+  /** Corpus audio profile from REAL RIFF/WAVE chunk-walk parsing
+    * ([[graft.ops.Multimodal.packAudioBlobs]] synthesizes spec-exact
+    * 44-byte PCM headers with id-derived format fields and the document
+    * bytes as payload; [[graft.ops.Multimodal.withWavMeta]] parses them
+    * BACK — the oracle re-derives every field from the id formulas, so
+    * pack/parse errors cannot cancel). Truncated blobs (~1/89) land in
+    * the (−1, −1) group with NULL stats. Duration is the exact integer
+    * data_bytes·1000 div byte_rate.
+    */
+  def audioProfile(spark: SparkSession, dir: String): DataFrame = {
+    val blobs = Multimodal.packAudioBlobs(
+      Tables.documents(spark, dir), "doc_id", "text")
+    Multimodal.withWavMeta(blobs, "blob")
+      .groupBy(coalesce(col("wav_sample_rate"), lit(-1L))
+          .as("sample_rate"),
+        coalesce(col("wav_channels"), lit(-1L)).as("channels"))
+      .agg(count(lit(1)).as("n_blobs"),
+        count(col("wav_duration_ms")).as("n_parsed"),
+        sum(col("wav_data_bytes")).as("sum_data_bytes"),
+        sum(col("wav_duration_ms")).as("sum_duration_ms"),
+        min(col("wav_duration_ms")).as("min_duration_ms"),
+        max(col("wav_duration_ms")).as("max_duration_ms"))
+      .orderBy("sample_rate", "channels")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> meta,
     "multimodal_frames" -> frames,
     "multimodal_phash" -> phash,
     "multimodal_phash_neardup" -> phashNearDup,
     "multimodal_dimensions" -> dimensions,
+    "multimodal_audio_profile" -> audioProfile,
     "multimodal_byte_features" -> byteFeatures)
 
   // perceptual-hash replay from the ASCII text side: the chunk rule
@@ -162,6 +188,31 @@ object MultimodalQueries {
     // parity, NULL when id%97 = 0 truncates the header), so the Spark
     // side's byte-level PNG/JPEG parse is checked against a replay that
     // shares none of its code path
+    // same independent-ground-truth discipline as multimodal_dimensions:
+    // the oracle re-derives the WAV format fields from the id formulas
+    // (NULL when id%89 truncates), never touching the bytes
+    "multimodal_audio_profile" ->
+      """WITH b AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 89 = 0 THEN NULL
+        |      ELSE 1 + doc_id % 2 END AS ch,
+        |    CASE WHEN doc_id % 89 = 0 THEN NULL
+        |      ELSE [8000, 16000, 22050, 44100, 48000]
+        |        [(doc_id % 5 + 1)::INT]::BIGINT END AS sr,
+        |    octet_length(text::BLOB)::BIGINT AS db
+        |  FROM documents),
+        |a AS (SELECT coalesce(sr, -1) AS sample_rate,
+        |    coalesce(ch, -1) AS channels,
+        |    CASE WHEN sr IS NULL THEN NULL ELSE db END AS db,
+        |    CASE WHEN sr IS NULL THEN NULL
+        |      ELSE (db * 1000) // (sr * ch * 2) END AS dur
+        |  FROM b)
+        |SELECT sample_rate, channels,
+        |  count(*) AS n_blobs, count(dur) AS n_parsed,
+        |  sum(db)::BIGINT AS sum_data_bytes,
+        |  sum(dur)::BIGINT AS sum_duration_ms,
+        |  min(dur) AS min_duration_ms, max(dur) AS max_duration_ms
+        |FROM a GROUP BY 1, 2
+        |ORDER BY sample_rate, channels""".stripMargin,
     "multimodal_dimensions" ->
       """WITH b AS (SELECT doc_id,
         |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END

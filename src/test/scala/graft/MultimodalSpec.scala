@@ -152,6 +152,68 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(8L) == (("gif", None, None)))
   }
 
+  test("withWavMeta: a HAND-BUILT spec-valid PCM WAV parses to its true " +
+      "format fields; an ODD-sized LIST chunk before fmt exercises the " +
+      "even-padding walk; truncated and non-WAV blobs yield NULLs") {
+    // canonical 44.1 kHz stereo 16-bit header, 8 payload bytes
+    val wav = hexBytes(
+      "52494646 2C000000 57415645 666D7420 10000000 0100 0200" +
+        " 44AC0000 10B10200 0400 1000 64617461 08000000" +
+        " 0011223344556677")
+    // LIST chunk of ODD size 5 (walk must skip 8+5+1 pad) before fmt
+    val wavList = hexBytes(
+      "52494646 3A000000 57415645 4C495354 05000000 494E464F41 00" +
+        " 666D7420 10000000 0100 0100 803E0000 007D0000 0200 1000" +
+        " 64617461 04000000 00112233")
+    val fixture = Seq(
+      (1L, wav),
+      (2L, wavList),
+      (3L, wav.take(11)), // truncated mid-"WAVE"
+      (4L, "RIFFnotawave".getBytes("UTF-8")))
+      .toDF("id", "blob")
+    val got = Multimodal.withWavMeta(fixture, "blob")
+      .collect().map(r => r.getAs[Long]("id") -> ((
+        Option(r.get(r.fieldIndex("wav_channels"))),
+        Option(r.get(r.fieldIndex("wav_sample_rate"))),
+        Option(r.get(r.fieldIndex("wav_bits"))),
+        Option(r.get(r.fieldIndex("wav_data_bytes"))),
+        Option(r.get(r.fieldIndex("wav_duration_ms")))))).toMap
+    assert(got(1L) == ((Some(2L), Some(44100L), Some(16L), Some(8L),
+      Some(0L)))) // 8·1000 div 176400 = 0
+    // 16000 Hz mono 16-bit: byte rate 32000, 4 bytes → 0 ms; the LIST
+    // chunk was skipped with its pad byte
+    assert(got(2L) == ((Some(1L), Some(16000L), Some(16L), Some(4L),
+      Some(0L))))
+    assert(got(3L) == ((None, None, None, None, None)))
+    assert(got(4L) == ((None, None, None, None, None)))
+  }
+
+  test("packAudioBlobs → withWavMeta round trip recovers the id " +
+      "formulas (incl. the %89 truncation) and the exact duration") {
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L, 89L, 178L)
+    val docs2 = ids.map(i => (i, "x" * (100 + i.toInt)))
+      .toDF("doc_id", "text")
+    val got = Multimodal.withWavMeta(
+        Multimodal.packAudioBlobs(docs2, "doc_id", "text"), "blob")
+      .collect().map(r => r.getAs[Long]("id") -> ((
+        Option(r.get(r.fieldIndex("wav_channels"))),
+        Option(r.get(r.fieldIndex("wav_sample_rate"))),
+        Option(r.get(r.fieldIndex("wav_data_bytes"))),
+        Option(r.get(r.fieldIndex("wav_duration_ms")))))).toMap
+    val rates = Seq(8000L, 16000L, 22050L, 44100L, 48000L)
+    ids.foreach { i =>
+      val exp =
+        if (i % 89 == 0) (None, None, None, None)
+        else {
+          val ch = 1 + i % 2; val sr = rates((i % 5).toInt)
+          val db = 100L + i
+          (Some(ch), Some(sr), Some(db),
+            Some(db * 1000 / (sr * ch * 2)))
+        }
+      assert(got(i) == exp, s"id $i: got ${got(i)}, want $exp")
+    }
+  }
+
   test("packImageBlobs → withImageDims round trip recovers the id " +
       "formulas (incl. the 1×1 corner and the %97 truncation)") {
     val ids = Seq(0L, 1L, 2L, 3L, 97L, 194L, 1023L, 1024L, 2049L)
