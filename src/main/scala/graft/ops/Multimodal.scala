@@ -403,6 +403,117 @@ object Multimodal {
           expr("(__wdb * 1000) DIV __wbr")))
       .drop("__wp", "__wch", "__wsr", "__wbr", "__wbps", "__wdb")
 
+  // ---- MP4 / ISO-BMFF header parsing (video modality) ----------------------
+
+  /** ISO-BMFF probe: the first box's type is "ftyp" at bytes 5–8
+    * (ISO/IEC 14496-12 §4.3 — ftyp "shall be placed as early as
+    * possible"; in practice it is first).
+    */
+  def isMp4(blob: Column): Column =
+    length(blob) >= 8 && hex(substring(blob, 5, 4)) === "66747970"
+
+  /** Walk a flat run of ISO-BMFF boxes ([32-bit BE size | 4-char type |
+    * payload], §4.2) from `startCol`, recording the first box of
+    * `typeHex`'s start offset into `out` (NULL when absent within
+    * `maxBoxes`, the stream is malformed, or start was NULL). Size 0
+    * ("to end of file") and 1 (64-bit largesize) kill the walk — the
+    * corpus profile counts them unparsed rather than guessing. Same
+    * unrolled withColumns discipline as [[jpegSofWalk]]/[[wavChunkWalk]].
+    */
+  private def mp4FindBox(df: DataFrame, blobCol: String,
+      startCol: Column, typeHex: String, maxBoxes: Int, out: String)
+      : DataFrame = {
+    val blob = col(blobCol)
+    var cur = df.withColumn("__bp", startCol)
+      .withColumn(out, lit(null).cast("long"))
+    for (_ <- 1 to maxBoxes) {
+      val p = col("__bp")
+      val done = p.isNull || col(out).isNotNull
+      val size = beUint(blob, p, 4)
+      val btype = hex(blob.substr((p + 4).cast("int"), lit(4)))
+      cur = cur.withColumns(Map(
+        out -> when(done, col(out))
+          .when(size >= 8 && btype === typeHex, p),
+        "__bp" -> when(done, p)
+          .when(size >= 8 && btype =!= typeHex, p + size)))
+    }
+    cur.drop("__bp")
+  }
+
+  /** Corpus-facing video metadata: `mp4_brand` (ftyp major brand),
+    * `mp4_timescale`, `mp4_duration_units` and the exact integer
+    * `mp4_duration_ms` = units·1000 div timescale — NULL anywhere the
+    * header fails to parse. Two nested box walks (top-level → `moov`,
+    * then inside it → `mvhd`), then fixed-offset reads off the mvhd
+    * (§8.2.2: version 0 puts timescale/duration at +20/+24 as 32-bit
+    * BE; version 1 at +28/+32 with a 64-bit duration, composed here
+    * from two 32-bit reads). Expression-only, no shuffle.
+    */
+  def withMp4Meta(df: DataFrame, blobCol: String): DataFrame = {
+    val blob = col(blobCol)
+    val d1 = mp4FindBox(
+      df.withColumn("__st", when(isMp4(blob), lit(1L))),
+      blobCol, col("__st"), "6D6F6F76", 4, "__mv") // "moov"
+    val d2 = mp4FindBox(d1, blobCol, col("__mv") + 8,
+      "6D766864", 3, "__mh") // "mvhd"
+    d2.withColumn("mp4_brand",
+        when(isMp4(blob) && length(blob) >= 12,
+          decode(substring(blob, 9, 4), "UTF-8")))
+      .withColumn("__ver", beUint(blob, col("__mh") + 8, 1))
+      .withColumn("mp4_timescale",
+        when(col("__ver") === 0, beUint(blob, col("__mh") + 20, 4))
+          .when(col("__ver") === 1, beUint(blob, col("__mh") + 28, 4)))
+      .withColumn("mp4_duration_units",
+        when(col("__ver") === 0, beUint(blob, col("__mh") + 24, 4))
+          .when(col("__ver") === 1,
+            beUint(blob, col("__mh") + 32, 4) * 4294967296L +
+              beUint(blob, col("__mh") + 36, 4)))
+      .withColumn("mp4_duration_ms",
+        when(col("mp4_timescale") > 0 &&
+          col("mp4_duration_units").isNotNull,
+          expr("(mp4_duration_units * 1000) DIV mp4_timescale")))
+      .drop("__st", "__mv", "__mh", "__ver")
+  }
+
+  /** Synthesizes REAL ISO-BMFF headers over the corpus (the video leg
+    * of the pack-parse triple): ftyp (brand isom/mp42 by id parity), a
+    * VARIABLE-size free box (id%8 filler bytes — the walk must really
+    * walk), moov wrapping a spec-faithful 108-byte version-0 mvhd, and
+    * an mdat sized to the text payload. Every ~83rd blob truncates
+    * mid-ftyp. Formulas (the oracle's independent ground truth):
+    * timescale = [600, 1000, 90000, 44100, 24][id % 5], duration units
+    * = octet_length(text), brand = isom (even) / mp42 (odd).
+    */
+  def packVideoBlobs(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val id = col(idCol)
+    val tsc = element_at(
+      array(lit(600L), lit(1000L), lit(90000L), lit(44100L), lit(24L)),
+      (pmod(id, lit(5L)) + 1).cast("int"))
+    val dataLen = length(encode(col(textCol), "UTF-8")).cast("long")
+    def be(v: Column, hexDigits: Int): Column =
+      lpad(hex(v), hexDigits, "0")
+    val brandHex = when(pmod(id, lit(2L)) === 0, lit("69736F6D"))
+      .otherwise(lit("6D703432")) // isom / mp42
+    val freePay = pmod(id, lit(8L))
+    val mvhdHex = concat(
+      lit("0000006C6D766864"), // size 108, "mvhd"
+      lit("00000000"), // version 0 + flags
+      lit("0000000000000000"), // ctime, mtime
+      be(tsc, 8), be(dataLen, 8), // timescale, duration
+      lit("00" * 80)) // rate/volume/matrix/predefined/next_track
+    val hexHdr = concat(
+      lit("0000001066747970"), brandHex, lit("00000200"), // ftyp
+      be(freePay + 8L, 8), lit("66726565"), // free, variable size
+      expr(s"repeat('41', cast(pmod($idCol, 8) as int))"),
+      lit("000000746D6F6F76"), mvhdHex, // moov (8 + 108)
+      be(dataLen + 8L, 8), lit("6D646174")) // mdat
+    val full = concat(unhex(hexHdr), encode(col(textCol), "UTF-8"))
+    df.select(id.as("id"),
+      when(pmod(id, lit(83L)) === 0, substring(full, 1, 9))
+        .otherwise(full).as("blob"))
+  }
+
   /** Synthesizes REAL RIFF/WAVE headers over the corpus (the audio twin
     * of [[packImageBlobs]]): canonical 44-byte PCM header — RIFF size,
     * "WAVE", a spec-exact "fmt " block, a "data" chunk sized to the

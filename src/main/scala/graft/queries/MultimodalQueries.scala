@@ -139,7 +139,31 @@ object MultimodalQueries {
       .orderBy("sample_rate", "channels")
   }
 
+  /** Corpus video profile from REAL ISO-BMFF box-walk parsing — the
+    * video leg of the modality triple beside [[dimensions]] and
+    * [[audioProfile]] ([[graft.ops.Multimodal.packVideoBlobs]] /
+    * [[graft.ops.Multimodal.withMp4Meta]]; the nested walk finds moov
+    * past a VARIABLE-size free box, then mvhd inside it). Same
+    * independent-ground-truth oracle discipline; truncated blobs
+    * (~1/83) land in the ('none', −1) group.
+    */
+  def videoProfile(spark: SparkSession, dir: String): DataFrame = {
+    val blobs = Multimodal.packVideoBlobs(
+      Tables.documents(spark, dir), "doc_id", "text")
+    Multimodal.withMp4Meta(blobs, "blob")
+      .groupBy(coalesce(col("mp4_brand"), lit("none")).as("brand"),
+        coalesce(col("mp4_timescale"), lit(-1L)).as("timescale"))
+      .agg(count(lit(1)).as("n_blobs"),
+        count(col("mp4_duration_ms")).as("n_parsed"),
+        sum(col("mp4_duration_units")).as("sum_duration_units"),
+        sum(col("mp4_duration_ms")).as("sum_duration_ms"),
+        min(col("mp4_duration_ms")).as("min_duration_ms"),
+        max(col("mp4_duration_ms")).as("max_duration_ms"))
+      .orderBy("brand", "timescale")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_video_profile" -> videoProfile,
     "multimodal_meta" -> meta,
     "multimodal_frames" -> frames,
     "multimodal_phash" -> phash,
@@ -188,6 +212,31 @@ object MultimodalQueries {
     // parity, NULL when id%97 = 0 truncates the header), so the Spark
     // side's byte-level PNG/JPEG parse is checked against a replay that
     // shares none of its code path
+    // video leg: brand by id parity, timescale from the 5-element grid,
+    // duration units = payload byte count — all re-derived from the id,
+    // never parsed, so the Spark box walk is checked against ground truth
+    "multimodal_video_profile" ->
+      """WITH b AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 83 = 0 THEN NULL
+        |      WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+        |    CASE WHEN doc_id % 83 = 0 THEN NULL
+        |      ELSE [600, 1000, 90000, 44100, 24]
+        |        [(doc_id % 5 + 1)::INT]::BIGINT END AS tsc,
+        |    octet_length(text::BLOB)::BIGINT AS du
+        |  FROM documents),
+        |a AS (SELECT coalesce(brand, 'none') AS brand,
+        |    coalesce(tsc, -1) AS timescale,
+        |    CASE WHEN tsc IS NULL THEN NULL ELSE du END AS du,
+        |    CASE WHEN tsc IS NULL THEN NULL
+        |      ELSE (du * 1000) // tsc END AS dur
+        |  FROM b)
+        |SELECT brand, timescale,
+        |  count(*) AS n_blobs, count(dur) AS n_parsed,
+        |  sum(du)::BIGINT AS sum_duration_units,
+        |  sum(dur)::BIGINT AS sum_duration_ms,
+        |  min(dur) AS min_duration_ms, max(dur) AS max_duration_ms
+        |FROM a GROUP BY 1, 2
+        |ORDER BY brand, timescale""".stripMargin,
     // same independent-ground-truth discipline as multimodal_dimensions:
     // the oracle re-derives the WAV format fields from the id formulas
     // (NULL when id%89 truncates), never touching the bytes

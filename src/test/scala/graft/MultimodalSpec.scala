@@ -214,6 +214,68 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("withMp4Meta: HAND-BUILT ISO-BMFF headers parse brand/timescale/" +
+      "duration for BOTH mvhd versions (v0 32-bit and v1 64-bit " +
+      "offsets); truncated and non-MP4 blobs yield NULLs") {
+    // ftyp(isom) + 12-byte free + moov[mvhd v0: timescale 600,
+    // duration 1800] → 3000 ms
+    val v0 = hexBytes(
+      "00000010 66747970 69736F6D 00000200" +
+        " 0000000C 66726565 41414141" +
+        " 00000074 6D6F6F76" +
+        " 0000006C 6D766864 00000000 00000000 00000000" +
+        " 00000258 00000708" + "00" * 80)
+    // mvhd v1: 64-bit ctime/mtime/duration; timescale 90000 at +28,
+    // duration 450000 at +32 → 5000 ms
+    val v1 = hexBytes(
+      "00000010 66747970 6D703432 00000200" +
+        " 00000080 6D6F6F76" +
+        " 00000078 6D766864 01000000" +
+        " 0000000000000000 0000000000000000" +
+        " 00015F90 00000000 0006DDD0" + "00" * 80)
+    val fixture = Seq(
+      (1L, v0), (2L, v1),
+      (3L, v0.take(9)), // truncated mid-ftyp
+      (4L, "nothing like an mp4 here".getBytes("UTF-8")))
+      .toDF("id", "blob")
+    val got = Multimodal.withMp4Meta(fixture, "blob")
+      .collect().map(r => r.getAs[Long]("id") -> ((
+        Option(r.get(r.fieldIndex("mp4_brand"))),
+        Option(r.get(r.fieldIndex("mp4_timescale"))),
+        Option(r.get(r.fieldIndex("mp4_duration_units"))),
+        Option(r.get(r.fieldIndex("mp4_duration_ms")))))).toMap
+    assert(got(1L) == ((Some("isom"), Some(600L), Some(1800L),
+      Some(3000L))))
+    assert(got(2L) == ((Some("mp42"), Some(90000L), Some(450000L),
+      Some(5000L))))
+    assert(got(3L) == ((None, None, None, None)))
+    assert(got(4L) == ((None, None, None, None)))
+  }
+
+  test("packVideoBlobs → withMp4Meta round trip recovers the id " +
+      "formulas (incl. the variable-size free box and %83 truncation)") {
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 7L, 83L, 166L)
+    val docs2 = ids.map(i => (i, "v" * (50 + i.toInt)))
+      .toDF("doc_id", "text")
+    val got = Multimodal.withMp4Meta(
+        Multimodal.packVideoBlobs(docs2, "doc_id", "text"), "blob")
+      .collect().map(r => r.getAs[Long]("id") -> ((
+        Option(r.get(r.fieldIndex("mp4_brand"))),
+        Option(r.get(r.fieldIndex("mp4_timescale"))),
+        Option(r.get(r.fieldIndex("mp4_duration_ms")))))).toMap
+    val grid = Seq(600L, 1000L, 90000L, 44100L, 24L)
+    ids.foreach { i =>
+      val exp =
+        if (i % 83 == 0) (None, None, None)
+        else {
+          val tsc = grid((i % 5).toInt); val du = 50L + i
+          (Some(if (i % 2 == 0) "isom" else "mp42"), Some(tsc),
+            Some(du * 1000 / tsc))
+        }
+      assert(got(i) == exp, s"id $i: got ${got(i)}, want $exp")
+    }
+  }
+
   test("packImageBlobs → withImageDims round trip recovers the id " +
       "formulas (incl. the 1×1 corner and the %97 truncation)") {
     val ids = Seq(0L, 1L, 2L, 3L, 97L, 194L, 1023L, 1024L, 2049L)
