@@ -1062,10 +1062,11 @@ object Similarity {
     import org.apache.spark.sql.types.DecimalType
     val X9 = DecimalType(12, 9)
     val Dif = DecimalType(14, 9)
+    // kmeansFit returns a driver-local k·d relation — no checkpoint
+    // needed; the broadcast below builds straight from driver rows
     val cents = kmeansFit(emb, idCol, vecCol, k, rounds)
       .select(col("cid"), col("dim"),
         round(col("centroid"), 9).cast(X9).as("__c9"))
-      .localCheckpoint()
     val x = emb.select(col(idCol).as("__id"),
         posexplode(col(vecCol).cast("array<double>"))
           .as(Seq("dim", "__xd")))
@@ -1441,6 +1442,7 @@ object Similarity {
     val D9 = DecimalType(18, 9)
     val X9 = DecimalType(12, 9)
     val Dif = DecimalType(14, 9)
+    val spark = emb.sparkSession
     val x = emb.select(col(idCol).cast("long").as("id"),
         posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "__xd")))
       .select(col("id"), col("dim"),
@@ -1454,34 +1456,75 @@ object Similarity {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("__h"), col("id"))) - 1)
       .select("id", "cid")
-    var cents = seeds.join(x, Seq("id"))
-      .select(col("cid"), col("dim"), col("x9").cast(D9).as("c"))
-      .localCheckpoint()
-    var assign: DataFrame = null
+    // centroids are a k·d relation by construction — they live on the
+    // DRIVER between rounds (LocalRelation), so each Lloyd round below
+    // is ONE fused job: assign → fresh-centroid aggregate → k·d-row
+    // collect. The former spelling localCheckpointed BOTH the N-row
+    // assignment AND the centroid iterate every round (2 materialization
+    // jobs + an RDD-backed broadcast rebuild per round; at corpus scale
+    // a full N-row write per round). Arithmetic is unchanged — exact
+    // DECIMAL distance sums, round(mean, 9) — so the fit replays
+    // bit-identically (SimilaritySpec pins).
+    def localCents(df: DataFrame): Seq[org.apache.spark.sql.Row] =
+      df.collect().toSeq
+    def centsRel(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cid",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("dim",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("c", D9))))
+    var cents: Seq[org.apache.spark.sql.Row] = localCents(
+      seeds.join(x, Seq("id"))
+        .select(col("cid").cast("int").as("cid"),
+          col("dim").cast("int").as("dim"), col("x9").cast(D9).as("c")))
+    // per-(cid, dim=0) member count of the LAST round's aggregate = the
+    // per-cid assignment size (posexplode emits dim 0 for every
+    // non-empty vector, and empty vectors never enter x at all)
+    var lastFresh: Seq[org.apache.spark.sql.Row] = Seq.empty
     for (_ <- 1 to rounds) {
       val diff = (col("x9") - col("c")).cast(Dif)
-      assign = x.join(broadcast(cents), Seq("dim"))
+      val assign = x.join(broadcast(centsRel(cents)), Seq("dim"))
         .groupBy(col("id"), col("cid"))
         .agg(sum(diff * diff).as("__dist"))
         .groupBy("id")
         .agg(min(struct(col("__dist"), col("cid"))).as("__m"))
         .select(col("id"), col("__m.cid").as("cid"))
-        .localCheckpoint()
-      val fresh = assign.join(x, Seq("id"))
+      lastFresh = localCents(assign.join(x, Seq("id"))
         .groupBy("cid", "dim")
         .agg(round(sum(col("x9")).cast("double") / count(lit(1)), 9)
-          .cast(D9).as("__cn"))
-      cents = cents.select(col("cid"), col("dim"), col("c").as("__cp"))
-        .join(fresh, Seq("cid", "dim"), "left_outer")
-        .select(col("cid"), col("dim"),
-          coalesce(col("__cn"), col("__cp")).as("c"))
-        .localCheckpoint()
+            .cast(D9).as("__cn"),
+          count(lit(1)).as("__cnt"))
+        .select(col("cid").cast("int").as("cid"),
+          col("dim").cast("int").as("dim"), col("__cn"), col("__cnt")))
+      // coalesce(fresh, previous) merge on the driver — pure
+      // bookkeeping over ≤ k·d rows, no arithmetic
+      val freshMap = lastFresh.map(r =>
+        (r.getInt(0), r.getInt(1)) -> r.getDecimal(2)).toMap
+      cents = cents.map { r =>
+        val key = (r.getInt(0), r.getInt(1))
+        org.apache.spark.sql.Row(key._1, key._2,
+          freshMap.getOrElse(key, r.getDecimal(2)))
+      }
     }
-    val sizes = assign.groupBy("cid").agg(count(lit(1)).as("n_members"))
-    cents.join(broadcast(sizes), Seq("cid"), "left_outer")
-      .select(col("cid").cast("long").as("cid"),
-        col("dim").cast("long").as("dim"),
-        col("c").cast("double").as("centroid"),
-        coalesce(col("n_members"), lit(0L)).as("n_members"))
+    val sizeMap = lastFresh.filter(_.getInt(1) == 0)
+      .map(r => r.getInt(0) -> r.getLong(3)).toMap
+    val out = cents.map { r =>
+      org.apache.spark.sql.Row(r.getInt(0).toLong, r.getInt(1).toLong,
+        r.getDecimal(2).doubleValue(),
+        sizeMap.getOrElse(r.getInt(0), 0L))
+    }
+    spark.createDataFrame(java.util.Arrays.asList(out: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("dim",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("n_members",
+          org.apache.spark.sql.types.LongType, nullable = false))))
   }
 }

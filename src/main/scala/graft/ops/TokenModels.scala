@@ -155,13 +155,46 @@ object TokenModels {
       etaShift: Int = 8, biasCount: Int = 32): DataFrame = {
     val occ = sgdCounts(docs, idCol, textCol, targetPred, buckets,
       biasCount)
-    var w = sgdInitWeights(docs.sparkSession, buckets)
-    for (_ <- 1 to iters)
-      w = sgdRound(occ, w, etaShift).localCheckpoint()
+    val w = sgdTrainWeights(occ, buckets, iters, etaShift)
     sgdMargins(occ, w).select(col("id").as(idCol),
       col("__t").as("is_target"),
       col("__a").cast("long").as("score_nano"),
       (col("__a") >= 0).as("predicted"))
+  }
+
+  /** Re-materializes a driver-bounded relation as a LocalRelation: one
+    * collect, then the next round's broadcast builds straight from
+    * driver rows. Replaces per-round `localCheckpoint()` on
+    * weight/centroid-sized state (guide §2.4/§5): a checkpointed
+    * iterate costs one materialization job per round PLUS a
+    * broadcast-exchange scan of the checkpointed RDD in the next
+    * round's plan, while the state never exceeds a few hundred rows by
+    * construction. Values round-trip exactly (DECIMAL collects as
+    * java.math.BigDecimal), so iterates are bit-identical to the
+    * checkpointed spelling.
+    */
+  private[graft] def localized(df: DataFrame): DataFrame = {
+    val rows = java.util.Arrays.asList(df.collect(): _*)
+    df.sparkSession.createDataFrame(rows, df.schema)
+  }
+
+  /** The [[sgdLinear]] training loop, packaged so every round is ONE
+    * job: the doc count n is loop-invariant and hoisted (the old
+    * per-round `occ.agg(count_distinct(id))` re-scanned the count
+    * relation through a distinct shuffle 12×), and the (buckets+1)-row
+    * weight iterate stays on the driver between rounds ([[localized]])
+    * instead of being localCheckpointed and re-broadcast from an RDD.
+    * Arithmetic is EXACTLY [[sgdRound]]'s ([[sgdRoundN]] is the shared
+    * body), so margins under the returned weights are bit-identical to
+    * the checkpointed loop's — pinned by TokenModelsSpec.
+    */
+  private[graft] def sgdTrainWeights(occ: DataFrame, buckets: Int,
+      iters: Int, etaShift: Int): DataFrame = {
+    val n = occ.agg(count_distinct(col("id"))).collect()(0).getLong(0)
+    var w = sgdInitWeights(occ.sparkSession, buckets)
+    for (_ <- 1 to iters)
+      w = localized(sgdRoundN(occ, w, etaShift, lit(n).cast(Dec38)))
+    w
   }
 
   private val Dec38 = DecimalType(38, 0)
@@ -190,12 +223,15 @@ object TokenModels {
       .localCheckpoint()
   }
 
-  /** Zero weights on the dense bucket grid (bias = bucket `buckets`). */
+  /** Zero weights on the dense bucket grid (bias = bucket `buckets`) —
+    * a LocalRelation (driver rows), not a checkpointed range: the grid
+    * is buckets+1 rows by construction and every consumer broadcasts it.
+    */
   private[graft] def sgdInitWeights(
       spark: org.apache.spark.sql.SparkSession, buckets: Int): DataFrame =
-    spark.range(buckets + 1).select(col("id").cast("int").as("bucket"),
-        lit(0L).cast(Dec38).as("w_nano"))
-      .localCheckpoint()
+    localized(spark.range(buckets + 1)
+      .select(col("id").cast("int").as("bucket"),
+        lit(0L).cast(Dec38).as("w_nano")))
 
   /** Per-doc exact margins a = Σ_b w_nano(b)·c(d,b) under `wRel`. */
   private[graft] def sgdMargins(occ: DataFrame, wRel: DataFrame)
@@ -218,6 +254,17 @@ object TokenModels {
   private[graft] def sgdRound(occ: DataFrame, w: DataFrame,
       etaShift: Int): DataFrame = {
     val nRel = occ.agg(count_distinct(col("id")).cast(Dec38).as("__n"))
+    sgdRoundN(occ, w, etaShift, col("__n"), Some(nRel))
+  }
+
+  /** [[sgdRound]]'s body with the doc count supplied by the caller —
+    * the loop-hoisted form [[sgdTrainWeights]] iterates (n is constant
+    * across full-corpus rounds; only streaming micro-batches need the
+    * per-call count relation).
+    */
+  private[graft] def sgdRoundN(occ: DataFrame, w: DataFrame,
+      etaShift: Int, nCol: Column, nRel: Option[DataFrame] = None)
+      : DataFrame = {
     val m = sgdMargins(occ, w)
       .select(col("id"),
         tdiv(when(col("__t"), col("__a") - (NanoDec + abs(col("__a"))))
@@ -226,12 +273,13 @@ object TokenModels {
     val grads = occ.join(m, Seq("id"))
       .groupBy("bucket")
       .agg(sum((col("__rq") * col("c")).cast(Dec38)).cast(Dec38).as("__gs"))
-    w.join(grads, Seq("bucket"), "left")
-      .crossJoin(broadcast(nRel))
-      .select(col("bucket"),
-        (col("w_nano") - tdiv(coalesce(col("__gs"), lit(0L).cast(Dec38)),
-          col("__n") * lit(1L << etaShift).cast(Dec38))).cast(Dec38)
-          .as("w_nano"))
+    val joined = nRel.foldLeft(w.join(grads, Seq("bucket"), "left")) {
+      (d, rel) => d.crossJoin(broadcast(rel))
+    }
+    joined.select(col("bucket"),
+      (col("w_nano") - tdiv(coalesce(col("__gs"), lit(0L).cast(Dec38)),
+        nCol * lit(1L << etaShift).cast(Dec38))).cast(Dec38)
+        .as("w_nano"))
   }
 
   /** One-vs-rest MULTI-CLASS [[sgdLinear]] — every class's binary model
@@ -264,15 +312,17 @@ object TokenModels {
       .repartition(col("id"))
       .localCheckpoint()
     val spark = docs.sparkSession
-    val classes = occ.select(col("__y").as("__cls")).distinct()
-      .localCheckpoint()
-    val nRel = occ.agg(count_distinct(col("id")).cast(Dec38).as("__n"))
-      .localCheckpoint()
-    var w = spark.range(buckets + 1)
+    // class list, doc count and the (class × bucket) weight grid are all
+    // driver-bounded relations — LocalRelations ([[localized]]) instead
+    // of localCheckpoints, so each training round below is ONE job with
+    // no checkpoint materialization or RDD-backed broadcast rebuild
+    val classes = localized(occ.select(col("__y").as("__cls")).distinct())
+    val nRel = localized(
+      occ.agg(count_distinct(col("id")).cast(Dec38).as("__n")))
+    var w = localized(spark.range(buckets + 1)
       .select(col("id").cast("int").as("bucket"))
       .crossJoin(classes)
-      .select(col("__cls"), col("bucket"), lit(0L).cast(Dec38).as("w_nano"))
-      .localCheckpoint()
+      .select(col("__cls"), col("bucket"), lit(0L).cast(Dec38).as("w_nano")))
 
     def margins(wRel: DataFrame): DataFrame = occ
       .join(broadcast(wRel), Seq("bucket"))
@@ -292,13 +342,12 @@ object TokenModels {
         .groupBy("__cls", "bucket")
         .agg(sum((col("__rq") * col("c")).cast(Dec38)).cast(Dec38)
           .as("__gs"))
-      w = w.join(grads, Seq("__cls", "bucket"), "left")
+      w = localized(w.join(grads, Seq("__cls", "bucket"), "left")
         .crossJoin(broadcast(nRel))
         .select(col("__cls"), col("bucket"),
           (col("w_nano") - tdiv(coalesce(col("__gs"), lit(0L).cast(Dec38)),
             col("__n") * lit(1L << etaShift).cast(Dec38))).cast(Dec38)
-            .as("w_nano"))
-        .localCheckpoint()
+            .as("w_nano")))
     }
     margins(w)
       .groupBy("id", "__y")
@@ -360,15 +409,16 @@ object TokenModels {
         col("c"))
       .repartition(col("id"))
       .localCheckpoint()
-    val nRel = occT.groupBy("level")
-      .agg(count_distinct(col("id")).cast(Dec38).as("__n"))
-      .localCheckpoint()
-    var w = spark.range(buckets + 1)
+    // per-level doc counts and the (level × bucket) weight grid are
+    // driver-bounded — LocalRelations ([[localized]]), not checkpoints:
+    // every round below becomes one job (see [[sgdTrainWeights]])
+    val nRel = localized(occT.groupBy("level")
+      .agg(count_distinct(col("id")).cast(Dec38).as("__n")))
+    var w = localized(spark.range(buckets + 1)
       .select(col("id").cast("int").as("bucket"))
       .crossJoin(levels.toDF("level"))
       .select(col("level"), col("bucket"), lit(0L).cast(Dec38)
-        .as("w_nano"))
-      .localCheckpoint()
+        .as("w_nano")))
     for (_ <- 1 to iters) {
       val m = occT.join(broadcast(w), Seq("level", "bucket"))
         .groupBy("level", "id", "__t")
@@ -383,14 +433,13 @@ object TokenModels {
         .groupBy("level", "bucket")
         .agg(sum((col("__rq") * col("c")).cast(Dec38)).cast(Dec38)
           .as("__gs"))
-      w = w.join(grads, Seq("level", "bucket"), "left")
+      w = localized(w.join(grads, Seq("level", "bucket"), "left")
         .join(broadcast(nRel), Seq("level"))
         .select(col("level"), col("bucket"),
           (col("w_nano") - tdiv(coalesce(col("__gs"),
             lit(0L).cast(Dec38)),
             col("__n") * lit(1L << etaShift).cast(Dec38))).cast(Dec38)
-            .as("w_nano"))
-        .localCheckpoint()
+            .as("w_nano")))
     }
     val scored = occ.filter(col("stratum") === strata - 1)
       .join(broadcast(w), Seq("bucket"))
@@ -426,8 +475,7 @@ object TokenModels {
       etaShift: Int = 8, biasCount: Int = 32): DataFrame = {
     val occ = sgdCounts(docs, idCol, textCol, targetPred, buckets,
       biasCount)
-    var w = sgdInitWeights(docs.sparkSession, buckets)
-    for (_ <- 1 to iters) w = sgdRound(occ, w, etaShift).localCheckpoint()
+    val w = sgdTrainWeights(occ, buckets, iters, etaShift)
     val contrib = (col("c").cast(Dec38) * col("w_nano")).cast(Dec38)
     occ.join(broadcast(w), Seq("bucket"))
       .select(col("id"), col("__t"), col("bucket"), contrib.as("__ct"))
@@ -485,8 +533,7 @@ object TokenModels {
       sgdFits.incrementAndGet()
       val occ = sgdCounts(docs, idCol, textCol, targetPred, buckets,
         biasCount)
-      var w = sgdInitWeights(spark, buckets)
-      for (_ <- 1 to iters) w = sgdRound(occ, w, etaShift).localCheckpoint()
+      val w = sgdTrainWeights(occ, buckets, iters, etaShift)
       w.withColumn("fp", lit(fp))
         .coalesce(1).write.mode("overwrite").parquet(path)
       w
