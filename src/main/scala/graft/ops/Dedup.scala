@@ -239,16 +239,43 @@ object Dedup {
       threshold: Double, broadcastSets: Boolean = true): DataFrame = {
     val hint: DataFrame => DataFrame =
       if (broadcastSets) broadcast(_) else identity
-    cand
+    // Lossless AllPairs LENGTH filter ahead of the kernel: jaccard >= t
+    // forces min(n_a,n_b) >= t·max(n_a,n_b), so a length-mismatched
+    // candidate can never verify. Spelled in nano-integers with a −1
+    // margin ((t·10⁹−1) absorbs the double-division half-ulp of the
+    // final compare), it is exact and prunes with plain long arithmetic.
+    // Referencing both sides, it pushes into the join condition — so the
+    // O(n+m) merge-intersect never runs for these pairs at all.
+    val thrNanoM1 = math.round(threshold * 1e9) - 1
+    val joined = cand
       .join(hint(sets.select(col("id").as("id_a"), col("toks_v").as("toks_a"),
         col("n_tokens").as("n_a"))), Seq("id_a"))
       .join(hint(sets.select(col("id").as("id_b"), col("toks_v").as("toks_b"),
         col("n_tokens").as("n_b"))), Seq("id_b"))
+      .filter(
+        col("n_a") * lit(1000000000L) >= col("n_b") * lit(thrNanoM1) &&
+        col("n_b") * lit(1000000000L) >= col("n_a") * lit(thrNanoM1))
+    // `__once` (nondeterministic) blocks predicate pushdown through this
+    // projection: without it Catalyst folds the jaccard filter back into
+    // the join condition, re-expanding n_common so the intersect kernel
+    // evaluates 2-3× per candidate (observed in the r16 before-plans —
+    // twice inside the pushed condition, once more in the survivor
+    // projection); with the barrier it evaluates ONCE per
+    // length-compatible candidate, and codegen subexpression elimination
+    // shares it between n_common and jaccard. Survivors are identical —
+    // same division, same threshold compare.
+    // the filter must REFERENCE __once (an always-true, non-foldable
+    // comparison): an unreferenced barrier column gets column-pruned
+    // away first, which re-enables the pushdown this exists to block
+    joined
       .withColumn("n_common",
         call_function("graft_sorted_intersect", col("toks_a"), col("toks_b")))
+      .withColumn("__once", monotonically_increasing_id())
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
-      .filter(col("jaccard") >= threshold)
+      .filter(col("jaccard") >= threshold &&
+        col("__once") >= lit(Long.MinValue))
+      .drop("__once")
   }
 
   /** Near-duplicate pairs by exact token-set Jaccard ≥ threshold, via a
@@ -365,6 +392,9 @@ object Dedup {
       .distinct()
     val hint: DataFrame => DataFrame =
       if (broadcastSets) broadcast(_) else identity
+    // same pushdown barrier as [[verifyPairs]]: one intersect evaluation
+    // per candidate instead of 2-3 (the containment filter otherwise
+    // folds into the join condition and re-expands n_common)
     cand
       .join(hint(sets.select(col("id").as("id_a"), col("toks_v").as("toks_a"),
         col("n_tokens").as("n_a"))), Seq("id_a"))
@@ -372,9 +402,11 @@ object Dedup {
         col("toks_v").as("toks_b"))), Seq("id_b"))
       .withColumn("n_common",
         call_function("graft_sorted_intersect", col("toks_a"), col("toks_b")))
+      .withColumn("__once", monotonically_increasing_id())
       .withColumn("containment",
         col("n_common").cast("double") / col("n_a"))
-      .filter(col("containment") >= threshold)
+      .filter(col("containment") >= threshold &&
+        col("__once") >= lit(Long.MinValue))
       .select("id_a", "id_b", "n_common", "containment")
   }
 

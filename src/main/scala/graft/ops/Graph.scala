@@ -56,8 +56,13 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    // degree-carrying edges: ONE join, reused every round
-    val ew = e.join(outDeg, Seq("src")).localCheckpoint()
+    // degree-carrying edges: ONE join, reused every round — CLUSTERED BY
+    // src before the checkpoint (localCheckpoint preserves
+    // outputPartitioning), so each round's ranks ⋈ ew join is
+    // exchange-free on the EDGE side; without this the full edge
+    // relation re-shuffled every iteration (guide §2.4)
+    val ew = e.join(outDeg, Seq("src")).repartition(col("src"))
+      .localCheckpoint()
     val danglingNodes = nodes
       .join(outDeg, col("node") === col("src"), "left_anti")
       .select("node").localCheckpoint()
@@ -119,7 +124,10 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val ew = e.join(outDeg, Seq("src")).localCheckpoint()
+    // clustered by src once — every round's ranks ⋈ ew join is then
+    // exchange-free on the edge side (the pageRank discipline)
+    val ew = e.join(outDeg, Seq("src")).repartition(col("src"))
+      .localCheckpoint()
     val danglingNodes = nodes
       .join(outDeg, col("node") === col("src"), "left_anti")
       .select("node").localCheckpoint()
@@ -386,17 +394,22 @@ object Graph {
       .select(least(col(aCol), col(bCol)).as("u"),
         greatest(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct()
+    // clustered by u up front, and the v-side semi-join runs FIRST each
+    // round so the u-side semi-join restores hash(u) partitioning on the
+    // round's output — the next round's degree count and u-side semi are
+    // then exchange-free (2 exchanges/round, down from 3; guide §2.4)
     var und = sym
       .union(sym.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
       val alive = und.groupBy("u").agg(count(lit(1)).as("__deg"))
         .filter(col("__deg") >= k).select(col("u").as("__n"))
         .localCheckpoint()
       und = und
-        .join(alive, col("u") === col("__n"), "left_semi")
         .join(alive.select(col("__n").as("__m")),
           col("v") === col("__m"), "left_semi")
+        .join(alive, col("u") === col("__n"), "left_semi")
         .localCheckpoint()
     }
     und.groupBy(col("u").as("node"))
@@ -456,6 +469,12 @@ object Graph {
     val e = edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    // each round joins the edges on src (hub → authority mass) AND on
+    // dst (authority → hub mass): one clustered copy per key, built
+    // once, so neither half-step re-shuffles the edge relation
+    // (guide §2.4 — the pageRank `ew` discipline, twice)
+    val eBySrc = e.repartition(col("src")).localCheckpoint()
+    val eByDst = e.repartition(col("dst")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
 
@@ -476,14 +495,14 @@ object Graph {
     var hubs = nodes.select(col("node"), lit(1).cast(D9).as("h"))
     var auths = nodes.select(col("node"), lit(0).cast(D9).as("a"))
     for (_ <- 1 to iterations) {
-      val aSum = hubs.join(e, col("node") === col("src"))
+      val aSum = hubs.join(eBySrc, col("node") === col("src"))
         .groupBy(col("dst")).agg(sum(col("h")).as("__m"))
       auths = l2normalize(
         nodes.join(aSum, col("node") === col("dst"), "left")
           .select(col("node"),
             coalesce(col("__m"), lit(0).cast(d28)).as("a")),
         "a").localCheckpoint()
-      val hSum = auths.join(e, col("node") === col("dst"))
+      val hSum = auths.join(eByDst, col("node") === col("dst"))
         .groupBy(col("src")).agg(sum(col("a")).as("__m"))
       hubs = l2normalize(
         nodes.join(hSum, col("node") === col("src"), "left")
@@ -606,13 +625,22 @@ object Graph {
     val e0 = edges.select(col(aCol).cast("string").as("u"),
         col(bCol).cast("string").as("v"))
       .filter(col("u") =!= col("v")).distinct()
+    // clustered by u once: each round's labels ⋈ sym join is then
+    // exchange-free on the edge side (labels checkpoint hash(node)-
+    // partitioned), and the single repartition(v) below covers BOTH
+    // grouped aggregations — one exchange per round total, down from
+    // three (edges + (v, community) + (node))
     val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint()
+      .distinct().repartition(col("u")).localCheckpoint()
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("community", col("node")).localCheckpoint()
     for (_ <- 1 to rounds) {
       labels = labels
         .join(sym, col("node") === col("u"))
+        // hash(v) satisfies the clustered distribution of BOTH the
+        // (v, community) count and the per-node argmin that follows —
+        // the explicit repartition replaces two implicit exchanges
+        .repartition(col("v"))
         .groupBy(col("v").as("node"), col("community"))
         .agg(count(lit(1)).as("__c"))
         .groupBy("node")

@@ -98,8 +98,19 @@ object SuffixArray {
             w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + 1L)
           .select(col("__r"), col("__r2"), col("__nr"))
       }
-    pairs.join(ranked, Seq("__r", "__r2"))
+    // small path: the caller attests the pair grid is bounded (it just
+    // ran a single-task window over it), so the rank relation broadcasts
+    // — the position-scale `pairs` relation then never re-shuffles by
+    // rank pair, and each doubling round keeps its doc_id clustering
+    // end to end (guide §2.4). The large path keeps the shuffled join.
+    val joined = pairs.join(if (small) broadcast(ranked) else ranked,
+        Seq("__r", "__r2"))
       .select(col("doc_id"), col("pos"), col("__nr").as("__r"))
+    // the broadcast path inherits `pairs`' doc_id clustering; the
+    // shuffled path lands rank-pair-partitioned and pays one explicit
+    // re-cluster here so the NEXT round's self-join (two sides) stays
+    // exchange-free — net one exchange saved per round
+    if (small) joined else joined.repartition(col("doc_id"))
   }
 
   /** Suffix ranks of width `width` (a power of two): (doc_id, pos, __r)
@@ -122,8 +133,14 @@ object SuffixArray {
         SaltedGrid.valueRankedDeterministic(vocab, Nil,
             xxhash64(col("tok")), Seq(col("tok")), buckets)
           .select(col("tok"), col("__rank").as("__r"))
+    // clustered by doc_id ONCE (checkpoint preserves the partitioning):
+    // every doubling round's rank ⋈ shifted-rank self-join and the
+    // caller's overlapping-window join then run exchange-free on both
+    // sides — without this each round re-shuffled the full position
+    // relation twice
     var ranks = tokens.join(vocabRanked, Seq("tok"))
       .select(col("doc_id"), col("pos"), col("__r"))
+      .repartition(col("doc_id"))
       .localCheckpoint()
     var w = 1
     while (w < width) {
