@@ -45,6 +45,20 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Per-pair cosine with PRE-COMPUTED per-vector norms. The plain
+    * [[cosine]] spelling runs THREE dot kernels per pair — dot(a,b) plus
+    * the two self-dots — although the self-dots are per-VECTOR
+    * invariants: on a Σ bucket² candidate scan that is 3× the kernel
+    * work the pair actually needs. Callers compute [[norm]] once per
+    * vector on the pre-join relation and carry it through the pair join;
+    * per-pair work drops to one kernel + one multiply + one division.
+    * Bit-identical to [[cosine]]: the same sqrt(dot(v,v)) double rides a
+    * column instead of being re-evaluated, and the `dot / (na * nb)`
+    * operand order is unchanged.
+    */
+  def cosinePre(a: Column, b: Column, normA: Column, normB: Column)
+      : Column = dot(a, b) / (normA * normB)
+
   /** Exact cosine top-k of the corpus against the single-row query relation
     * `queryVec(vecCol)`. Query side is broadcast; ranking rounds to 6 dp
     * with id tie-break so ordering is engine-stable.
@@ -400,14 +414,17 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val assigned = emb.select(col(idCol).as("__id"),
       col(vecCol).cast("array<double>").as("__v"),
+      norm(col(vecCol).cast("array<double>")).as("__nm"),
       col(labelCol).as("__l"),
       anchorCellExpr(col(vecCol), anchors).as("cell"))
     val unlabeled = assigned.filter(col("__l").isNull)
-      .select(col("cell"), col("__id"), col("__v"))
+      .select(col("cell"), col("__id"), col("__v"), col("__nm"))
     val labeled = assigned.filter(col("__l").isNotNull)
-      .select(col("cell"), col("__l"), col("__v").as("__lv"))
+      .select(col("cell"), col("__l"), col("__v").as("__lv"),
+        col("__nm").as("__lnm"))
     val votes = unlabeled.join(labeled, Seq("cell"))
-      .filter(round(cosine(col("__v"), col("__lv")), 6) >= minCos)
+      .filter(round(cosinePre(col("__v"), col("__lv"),
+        col("__nm"), col("__lnm")), 6) >= minCos)
       .groupBy(col("__id"), col("__l"))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__rk", row_number().over(
@@ -822,22 +839,30 @@ object Similarity {
     val nBands = planeSets.length
     val sig = emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"),
+      norm(col(vecCol).cast("array<double>")).as("nm"),
       array(planeSets.map(p => bucketExpr(col(vecCol), p)): _*).as("bks"))
-    val e = sig.select(col("id"), col("v"), col("bks"),
+    val e = sig.select(col("id"), col("v"), col("nm"), col("bks"),
       posexplode(col("bks")).as(Seq("band", "bucket")))
     val a = e.select(col("band"), col("bucket"), col("id").as("id_a"),
-      col("v").as("v_a"), col("bks").as("bks_a"))
+      col("v").as("v_a"), col("nm").as("nm_a"), col("bks").as("bks_a"))
     val b = e.select(col("band"), col("bucket"), col("id").as("id_b"),
-      col("v").as("v_b"), col("bks").as("bks_b"))
+      col("v").as("v_b"), col("nm").as("nm_b"), col("bks").as("bks_b"))
     // keep a collision at `band` only if every earlier band differed
     val firstCollision = (0 until nBands - 1).map(k =>
         col("band") <= k ||
           element_at(col("bks_a"), k + 1) =!= element_at(col("bks_b"), k + 1))
       .reduceOption(_ && _).getOrElse(lit(true))
+    // norms precomputed per vector ([[cosinePre]]) + the pushdown
+    // barrier ([[Dedup]]'s __once discipline): one dot kernel per
+    // candidate instead of up to six (the threshold filter otherwise
+    // folds into the join condition and the output column re-evaluates)
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b") && firstCollision)
-      .withColumn("cos", round(cosine(col("v_a"), col("v_b")), 6))
-      .filter(col("cos") >= threshold)
+      .withColumn("cos", round(cosinePre(col("v_a"), col("v_b"),
+        col("nm_a"), col("nm_b")), 6))
+      .withColumn("__once", monotonically_increasing_id())
+      .filter(col("cos") >= threshold &&
+        col("__once") >= lit(Long.MinValue))
       .select("id_a", "id_b", "cos")
   }
 
@@ -968,16 +993,20 @@ object Similarity {
       vecCol: String,
       threshold: Double,
       anchors: Array[Array[Int]]): DataFrame = {
+    // per-vector norms ride the cell relation so the Σ cell² candidate
+    // scan pays one dot kernel per pair instead of three ([[cosinePre]])
     val assigned = emb.select(col(idCol).as("__id"),
       col(vecCol).cast("array<double>").as("__v"),
+      norm(col(vecCol).cast("array<double>")).as("__nm"),
       anchorCellExpr(col(vecCol), anchors).as("cell"))
     val a = assigned.select(col("cell"), col("__id").as("__id_a"),
-      col("__v").as("__v_a"))
+      col("__v").as("__v_a"), col("__nm").as("__nm_a"))
     val b = assigned.select(col("cell"), col("__id").as("__id_b"),
-      col("__v").as("__v_b"))
+      col("__v").as("__v_b"), col("__nm").as("__nm_b"))
     val dups = a.join(b, Seq("cell"))
       .filter(col("__id_a") < col("__id_b"))
-      .filter(round(cosine(col("__v_a"), col("__v_b")), 6) >= threshold)
+      .filter(round(cosinePre(col("__v_a"), col("__v_b"),
+        col("__nm_a"), col("__nm_b")), 6) >= threshold)
       .select(col("__id_b").as("__id"))
       .distinct()
     assigned.join(dups, Seq("__id"), "left_anti")
@@ -1020,6 +1049,7 @@ object Similarity {
       minPts: Int, anchors: Array[Array[Int]]): DataFrame =
     dbscanCore(emb.select(col(idCol).as("__id"),
         col(vecCol).cast("array<double>").as("__v"),
+        norm(col(vecCol).cast("array<double>")).as("__nm"),
         anchorCellExpr(col(vecCol), anchors).as("__cell"))
       .localCheckpoint(), idCol, tau, minPts)
 
@@ -1044,7 +1074,8 @@ object Similarity {
   def dbscanFitted(emb: DataFrame, idCol: String, vecCol: String,
       tau: Double, minPts: Int, k: Int, rounds: Int): DataFrame = {
     val assigned = emb.select(col(idCol).as("__id"),
-        col(vecCol).cast("array<double>").as("__v"))
+        col(vecCol).cast("array<double>").as("__v"),
+        norm(col(vecCol).cast("array<double>")).as("__nm"))
       .join(fittedCells(emb, idCol, vecCol, k, rounds), Seq("__id"))
       .localCheckpoint()
     dbscanCore(assigned, idCol, tau, minPts)
@@ -1082,17 +1113,20 @@ object Similarity {
   }
 
   /** The clustering core shared by [[dbscan]] and [[dbscanFitted]]:
-    * `assigned` = a MATERIALIZED (__id, __v, __cell) relation.
+    * `assigned` = a MATERIALIZED (__id, __v, __nm, __cell) relation
+    * (__nm = the vector's precomputed [[norm]], so the ε-graph scan
+    * pays one dot kernel per candidate pair — [[cosinePre]]).
     */
   private def dbscanCore(assigned: DataFrame, idCol: String, tau: Double,
       minPts: Int): DataFrame = {
     val a = assigned.select(col("__cell"), col("__id").as("__ia"),
-      col("__v").as("__va"))
+      col("__v").as("__va"), col("__nm").as("__nma"))
     val b = assigned.select(col("__cell"), col("__id").as("__ib"),
-      col("__v").as("__vb"))
+      col("__v").as("__vb"), col("__nm").as("__nmb"))
     val edges = a.join(b, Seq("__cell"))
       .filter(col("__ia") < col("__ib"))
-      .filter(round(cosine(col("__va"), col("__vb")), 6) >= tau)
+      .filter(round(cosinePre(col("__va"), col("__vb"),
+        col("__nma"), col("__nmb")), 6) >= tau)
       .select(col("__ia"), col("__ib"))
       .localCheckpoint()
     val sym = edges.unionByName(
@@ -1173,6 +1207,7 @@ object Similarity {
     val (c1, c2) = anchorCell2Expr(col(vecCol), anchors)
     val base = emb.select(col(idCol).as("__id"),
       col(vecCol).cast("array<double>").as("__v"),
+      norm(col(vecCol).cast("array<double>")).as("__nm"),
       c1.as("__c1"), c2.as("__c2"))
     val assigned = (if (withFitted)
         base.join(fittedCells(emb, idCol, vecCol, fittedK, fittedRounds)
@@ -1181,13 +1216,16 @@ object Similarity {
       .localCheckpoint()
     // true edges: all pairs, exact rounded cosine — audit-scale
     val x = assigned.select(col("__id").as("__ia"), col("__v").as("__va"),
+      col("__nm").as("__nma"),
       col("__c1").as("__c1a"), col("__c2").as("__c2a"),
       col("__fc").as("__fca"))
     val y = assigned.select(col("__id").as("__ib"), col("__v").as("__vb"),
+      col("__nm").as("__nmb"),
       col("__c1").as("__c1b"), col("__c2").as("__c2b"),
       col("__fc").as("__fcb"))
     val pairs = x.join(y, col("__ia") < col("__ib"))
-      .filter(round(cosine(col("__va"), col("__vb")), 6) >= tau)
+      .filter(round(cosinePre(col("__va"), col("__vb"),
+        col("__nma"), col("__nmb")), 6) >= tau)
       .select(col("__ia"), col("__ib"),
         (col("__c1a") === col("__c1b")).as("__hit1"),
         (col("__c1a") === col("__c1b") || col("__c1a") === col("__c2b") ||

@@ -651,14 +651,22 @@ object QualityQueries {
     val cands = graft.ops.Dedup.minhashLshPairs(
       docs, "doc_id", "text", DriftJaccard,
       DedupQueries.NumHashes, DedupQueries.Bands)
+    // per-vector norms computed on the embeddings side of the joins —
+    // one dot kernel per verified pair instead of three
+    // ([[graft.ops.Similarity.cosinePre]])
     cands
       .join(emb.select(col("vec_id").as("id_a"),
-        col("embedding").as("__va")), Seq("id_a"), "left")
+        col("embedding").as("__va"),
+        graft.ops.Similarity.norm(col("embedding").cast("array<double>"))
+          .as("__na")), Seq("id_a"), "left")
       .join(emb.select(col("vec_id").as("id_b"),
-        col("embedding").as("__vb")), Seq("id_b"), "left")
+        col("embedding").as("__vb"),
+        graft.ops.Similarity.norm(col("embedding").cast("array<double>"))
+          .as("__nb")), Seq("id_b"), "left")
       .select(col("id_a"), col("id_b"), col("jaccard"),
         when(col("__va").isNotNull && col("__vb").isNotNull,
-          round(graft.ops.Similarity.cosine(col("__va"), col("__vb")), 6))
+          round(graft.ops.Similarity.cosinePre(col("__va"), col("__vb"),
+            col("__na"), col("__nb")), 6))
           .as("cos"),
         (col("__va").isNull || col("__vb").isNull).as("is_missing"))
       .withColumn("is_drift",
