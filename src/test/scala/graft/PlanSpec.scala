@@ -298,13 +298,14 @@ class PlanSpec extends AnyFunSuite {
       "BroadcastNestedLoopJoin [A-Za-z]+, Cross".r.findAllIn(s).size, s)
   }
 
-  test("k-means output: member counts broadcast onto the k·d centroid " +
-      "relation; no cartesian anywhere (in-loop state is checkpointed, " +
-      "so round joins — broadcast(cents) by structural hint — don't " +
-      "appear in the output plan)") {
+  test("k-means output: Lloyd rounds train on the driver (each round ONE " +
+      "fused job ending in a k·d collect), so the output plan is a " +
+      "LocalTableScan of the final centroid grid — no join, no corpus " +
+      "rescan, no cartesian survives into the query plan at all") {
     val s = planString(graft.queries.SimilarityQueries.kmeans(spark, dir))
-    assert(s.contains("BroadcastHashJoin"), s)
+    assert(s.contains("LocalTableScan"), s)
     assert(!s.contains("SortMergeJoin"), s)
+    assert(!s.contains("BroadcastHashJoin"), s)
     assert(!s.contains("CartesianProduct"), s)
   }
 
