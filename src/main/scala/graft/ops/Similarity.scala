@@ -69,9 +69,15 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
+    // norms precomputed pre-join ([[cosinePre]]): the corpus self-dot runs
+    // once per row (not re-spelled inside the pair expression) and the
+    // query self-dot once per query row instead of once per corpus row
     val q = query.select(col(vecCol).as("__qvec"))
-    emb.crossJoin(broadcast(q))
-      .withColumn("cos", round(cosine(col(vecCol), col("__qvec")), 6))
+      .withColumn("__qnrm", norm(col("__qvec")))
+    emb.withColumn("__vnrm", norm(col(vecCol)))
+      .crossJoin(broadcast(q))
+      .withColumn("cos", round(cosinePre(col(vecCol), col("__qvec"),
+        col("__vnrm"), col("__qnrm")), 6))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
       .select(col(idCol), col("cos"))
@@ -136,9 +142,11 @@ object Similarity {
       col(vecCol).as("__xv"))
     val b = ys.select(col(idCol).cast("long").as("y_id"),
       col(vecCol).as("__yv"))
-    val cross = a.crossJoin(broadcast(b))
+    val cross = a.withColumn("__xnrm", norm(col("__xv")))
+      .crossJoin(broadcast(b.withColumn("__ynrm", norm(col("__yv")))))
       .select(col("x_id"), col("y_id"),
-        round(cosine(col("__xv"), col("__yv")), 6).cast(dec).as("cos"))
+        round(cosinePre(col("__xv"), col("__yv"),
+          col("__xnrm"), col("__ynrm")), 6).cast(dec).as("cos"))
       .localCheckpoint()
     bitextMarginOnCandidates(cross, k, threshold)
   }
@@ -235,10 +243,15 @@ object Similarity {
       if (nProbe == anchors.length) sequence(lit(1), lit(anchors.length))
       else topAnchorCellsExpr(col(vecCol), anchors, nProbe)
     val yc = ys.select(col(idCol).cast("long").as("y_id"),
-      col(vecCol).as("__yv"), explode(probeCells).as("__cell"))
-    xc.join(broadcast(yc), Seq("__cell"))
+        col(vecCol).as("__yv"), probeCells.as("__cells"))
+      .withColumn("__ynrm", norm(col("__yv")))
+      .select(col("y_id"), col("__yv"), col("__ynrm"),
+        explode(col("__cells")).as("__cell"))
+    xc.withColumn("__xnrm", norm(col("__xv")))
+      .join(broadcast(yc), Seq("__cell"))
       .select(col("x_id"), col("y_id"),
-        round(cosine(col("__xv"), col("__yv")), 6).cast(dec).as("cos"))
+        round(cosinePre(col("__xv"), col("__yv"),
+          col("__xnrm"), col("__ynrm")), 6).cast(dec).as("cos"))
   }
 
   /** [[bitextMargin]] through the ANN funnel: [[bitextCandidates]]
@@ -275,9 +288,12 @@ object Similarity {
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("__qvec"))
-    emb.crossJoin(broadcast(q))
+      .withColumn("__qnrm", norm(col("__qvec")))
+    emb.withColumn("__vnrm", norm(col(vecCol)))
+      .crossJoin(broadcast(q))
       .filter(col(idCol) =!= col("q_id"))
-      .withColumn("cos", round(cosine(col(vecCol), col("__qvec")), 6))
+      .withColumn("cos", round(cosinePre(col(vecCol), col("__qvec"),
+        col("__vnrm"), col("__qnrm")), 6))
       .withColumn("rank", row_number()
         .over(Window.partitionBy(col("q_id"))
           .orderBy(col("cos").desc, col(idCol))).cast("long"))
@@ -375,11 +391,14 @@ object Similarity {
       maxCos: Double = 1.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("__qvec"),
-      col(labelCol).as("__qlabel"))
-    emb.crossJoin(broadcast(q))
+        col(labelCol).as("__qlabel"))
+      .withColumn("__qnrm", norm(col("__qvec")))
+    emb.withColumn("__vnrm", norm(col(vecCol)))
+      .crossJoin(broadcast(q))
       .filter(col(idCol) =!= col("q_id") &&
         !(col(labelCol) <=> col("__qlabel")))
-      .withColumn("cos", round(cosine(col(vecCol), col("__qvec")), 6))
+      .withColumn("cos", round(cosinePre(col(vecCol), col("__qvec"),
+        col("__vnrm"), col("__qnrm")), 6))
       .filter(col("cos") <= maxCos)
       .withColumn("rank", row_number()
         .over(Window.partitionBy(col("q_id"))
@@ -709,9 +728,12 @@ object Similarity {
       .select(col("id"), col("hamming").cast("long").as("hamming"))
     val qv = emb.filter(col(idCol) === queryId)
       .select(col(vecCol).as("__qvec"))
+      .withColumn("__qnrm", norm(col("__qvec")))
     cand.join(emb.select(col(idCol).as("id"), col(vecCol)), Seq("id"))
+      .withColumn("__vnrm", norm(col(vecCol)))
       .crossJoin(broadcast(qv))
-      .withColumn("cos", round(cosine(col(vecCol), col("__qvec")), 6))
+      .withColumn("cos", round(cosinePre(col(vecCol), col("__qvec"),
+        col("__vnrm"), col("__qnrm")), 6))
       .select(col("id"), col("hamming"), col("cos"))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -741,14 +763,20 @@ object Similarity {
       pre.as("__pvec"))
     val q = emb.filter(col(idCol) === queryId)
       .select(col(vecCol).as("__qvec"), pre.as("__qpvec"))
+      .withColumn("__qnrm", norm(col("__qvec")))
+      .withColumn("__qpnrm", norm(col("__qpvec")))
     val cand = base.filter(col("id") =!= queryId)
+      .withColumn("__pnrm", norm(col("__pvec")))
       .crossJoin(broadcast(q))
       .withColumn("cos_prefix",
-        round(cosine(col("__pvec"), col("__qpvec")), 6))
+        round(cosinePre(col("__pvec"), col("__qpvec"),
+          col("__pnrm"), col("__qpnrm")), 6))
       .orderBy(col("cos_prefix").desc, col("id"))
       .limit(candidates)
     cand
-      .withColumn("cos", round(cosine(col(vecCol), col("__qvec")), 6))
+      .withColumn("__vnrm", norm(col(vecCol)))
+      .withColumn("cos", round(cosinePre(col(vecCol), col("__qvec"),
+        col("__vnrm"), col("__qnrm")), 6))
       .select(col("id"), col("cos_prefix"), col("cos"))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -878,10 +906,16 @@ object Similarity {
       k: Int,
       planes: Array[Array[Int]]): DataFrame = {
     val q = query.select(col(vecCol).as("__qvec"),
-      bucketExpr(col(vecCol), planes).as("bucket"))
+        bucketExpr(col(vecCol), planes).as("bucket"))
+      .withColumn("__qnrm", norm(col("__qvec")))
+    // corpus norm computed AFTER the bucket join — rows outside the probed
+    // bucket never pay a kernel (pre-join placement would dot every corpus
+    // row); matching rows pay 2 kernels instead of 3
     emb.withColumn("bucket", bucketExpr(col(vecCol), planes))
       .join(broadcast(q), Seq("bucket"))
-      .withColumn("cos", round(cosine(col(vecCol), col("__qvec")), 6))
+      .withColumn("__vnrm", norm(col(vecCol)))
+      .withColumn("cos", round(cosinePre(col(vecCol), col("__qvec"),
+        col("__vnrm"), col("__qnrm")), 6))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
       .select(col(idCol), col("bucket"), col("cos"))
@@ -907,10 +941,14 @@ object Similarity {
       col("qb").bitwiseXOR(lit(1L << p)))
     val q = query.select(col(vecCol).as("__qvec"),
         bucketExpr(col(vecCol), planes).as("qb"))
-      .select(col("__qvec"), explode(array(probeList: _*)).as("bucket"))
+      .withColumn("__qnrm", norm(col("__qvec")))
+      .select(col("__qvec"), col("__qnrm"),
+        explode(array(probeList: _*)).as("bucket"))
     emb.withColumn("bucket", bucketExpr(col(vecCol), planes))
       .join(broadcast(q), Seq("bucket"))
-      .withColumn("cos", round(cosine(col(vecCol), col("__qvec")), 6))
+      .withColumn("__vnrm", norm(col(vecCol)))
+      .withColumn("cos", round(cosinePre(col(vecCol), col("__qvec"),
+        col("__vnrm"), col("__qnrm")), 6))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
       .select(col(idCol), col("bucket"), col("cos"))
@@ -936,12 +974,15 @@ object Similarity {
       col("qb").bitwiseXOR(lit(1L << p)))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("__qvec"),
         bucketExpr(col(vecCol), planes).as("qb"))
-      .select(col("q_id"), col("__qvec"),
+      .withColumn("__qnrm", norm(col("__qvec")))
+      .select(col("q_id"), col("__qvec"), col("__qnrm"),
         explode(array(probeList: _*)).as("bucket"))
     emb.withColumn("bucket", bucketExpr(col(vecCol), planes))
       .join(broadcast(q), Seq("bucket"))
       .filter(col(idCol) =!= col("q_id"))
-      .withColumn("cos", round(cosine(col(vecCol), col("__qvec")), 6))
+      .withColumn("__vnrm", norm(col(vecCol)))
+      .withColumn("cos", round(cosinePre(col(vecCol), col("__qvec"),
+        col("__vnrm"), col("__qnrm")), 6))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("cos").desc, col(idCol))).cast("long"))
