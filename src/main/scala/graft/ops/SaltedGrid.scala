@@ -54,9 +54,17 @@ object SaltedGrid {
     val qs = (1 until buckets).map(_.toDouble / buckets)
     val edges = grid.agg(
       percentile_approx(v, array(qs.map(lit): _*), lit(10000)).as("__edges"))
+    // materialized: the binned grid is read by BOTH downstream passes
+    // (per-bucket offsets, phase-2 join) and `grid` additionally feeds the
+    // edges aggregate — without the checkpoint the caller's grid subtree
+    // (typically a corpus-scale groupBy) embeds 3× per call, and NESTED
+    // calls (survivalCurve walks two) multiply that to ~9 full replays
+    // (measured: eval_survival_curve's plan carried 165 Exchanges; no
+    // static exchange reuse fires across the crossJoin variants)
     val binned = grid.crossJoin(broadcast(edges))
       .withColumn("__gbkt", binChain(v, col("__edges"), buckets).cast("int"))
       .drop("__edges")
+      .localCheckpoint()
     // phase 1: per-bucket subtotals — a ≤`buckets`-row relation; its
     // offset/total windows are the justified bounded single-partition form
     val aggs = sumCols.map(c => sum(col(c)).as(s"__b_$c")) :+
