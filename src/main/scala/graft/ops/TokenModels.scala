@@ -1152,7 +1152,12 @@ object TokenModels {
     val model = bigrams
       .withColumn("hi", sum(col("c")).over(w))
       .withColumn("lo", col("hi") - col("c"))
-      .withColumn("tot", sum(col("c")).over(Window.partitionBy(col("w1"))))
+      // same (partition, order) spec as `hi` with an explicit full frame,
+      // so both sums merge into ONE Window node (an orderless spec forced
+      // a second Window pass over the bigram relation); w2 is unique per
+      // w1 (grouped), so the full-frame ordered sum is the partition total
+      .withColumn("tot", sum(col("c")).over(w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
       .localCheckpoint()
     var frontier = seeds.select(col(seedCol).cast("string").as("seed"))
       .distinct()
@@ -1165,14 +1170,22 @@ object TokenModels {
       val h = conv(substring(
         md5(concat_ws("|", col("seed"), lit(r))), 1, 12), 16, 10)
         .cast("long")
-      val stepped = frontier.join(model, col("cur") === col("w1"))
+      // ≤|seeds| rows (ranges are disjoint per w1 — each frontier row
+      // matches at most one model row); broadcast back onto the frontier
+      // as a LEFT OUTER + coalesce so the round reads the model ONCE —
+      // the anti-join + union spelling referenced this subtree twice,
+      // scanning the checkpointed model relation 2× per step
+      val stepped = broadcast(frontier.join(model, col("cur") === col("w1"))
         .filter(pmod(h, col("tot")) >= col("lo") &&
           pmod(h, col("tot")) < col("hi"))
-        .select(col("seed"), col("w2").as("cur"),
-          concat_ws(" ", col("generated"), col("w2")).as("generated"),
-          (col("steps") + 1).as("steps"))
-      frontier = frontier.join(stepped, Seq("seed"), "left_anti")
-        .unionByName(stepped)
+        .select(col("seed"), col("w2").as("__nx")))
+      frontier = frontier.join(stepped, Seq("seed"), "left_outer")
+        .select(col("seed"), coalesce(col("__nx"), col("cur")).as("cur"),
+          when(col("__nx").isNull, col("generated"))
+            .otherwise(concat_ws(" ", col("generated"), col("__nx")))
+            .as("generated"),
+          (col("steps") + when(col("__nx").isNull, 0).otherwise(1))
+            .as("steps"))
         .localCheckpoint()
     }
     frontier.select("seed", "generated", "steps")
