@@ -309,7 +309,12 @@ object Pq {
       .localCheckpoint()
     val codebook = pqFit(resid, "id", "__r", dims, m, k, rounds)
       .localCheckpoint()
+    // cell rides the code rows from the fit on: every serve needs
+    // (code, cell) together, and attaching it per-serve re-joined two
+    // corpus-scale relations once per nProbe setting (the recall audit
+    // serves three times per fit)
     val codes = pqEncode(resid, "id", "__r", dims, m, codebook)
+      .join(resid.select(col("id"), col("cell")), Seq("id"))
       .localCheckpoint()
     IvfPqModel(resid, codebook, codes)
   }
@@ -349,8 +354,9 @@ object Pq {
     val adt = qLong.join(model.codebook, Seq("sub", "dim"))
       .groupBy("cell", "sub", "cid")
       .agg(sum(attoSq(col("qn"), col("cn"))).as("d"))
-    val cellOf = model.resid.select(col("id"), col("cell"))
-    val withCell = model.codes.join(cellOf, Seq("id"))
+    // codes carry their cell from the fit ([[ivfPqFit]]) — no per-serve
+    // corpus join
+    val withCell = model.codes
     withCell.join(broadcast(adt),
         withCell("cell") === adt("cell") && withCell("sub") === adt("sub") &&
           withCell("code") === adt("cid"))
