@@ -871,12 +871,15 @@ object TextAnalysis {
       .otherwise(array().cast("array<int>"))
     val bigrams = transform(starts,
       i => struct(element_at(t, i + 1).as("w1"), element_at(t, i + 2).as("w2")))
+    // occ feeds TWO jobs (the eager bigramCnt checkpoint below and the
+    // scoring join) — without its own checkpoint the corpus explode +
+    // (doc, bigram) shuffle ran twice, once per job
     val occ = withToks
       .select(col("doc_id"), col("slice"), explode(bigrams).as("bg"))
       .select(col("doc_id"), col("slice"), col("bg.w1").as("w1"),
         col("bg.w2").as("w2"))
       .groupBy("doc_id", "slice", "w1", "w2")
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")).localCheckpoint()
     val bigramCnt = occ.groupBy("slice", "w1", "w2")
       .agg(sum(col("c")).as("bc")).localCheckpoint()
     val w1Stats = bigramCnt.groupBy("slice", "w1")
@@ -1214,24 +1217,35 @@ object TextAnalysis {
     * (both directions), then the exact [[Graph.pageRank]] replay — so
     * the oracle reuses the SAME unrolled-CTE chain as `feat_pagerank`.
     *
-    * Scale shape: one posexplode, a per-document position self-join
-    * bounded by `window` (each token pairs with ≤window successors —
-    * never a doc-length² blowup), one distinct, then pageRank's
-    * bounded rounds; the top-k is TakeOrderedAndProject. Returns the
-    * k highest-ranked words: (node, rank), ties broken by word.
+    * Scale shape: pair generation is pure per-row array arithmetic —
+    * for each offset i ≤ window, the token array zips with itself
+    * shifted by i (`slice` + `arrays_zip`, both directions emitted in
+    * the same projection), so the (pa, pb = pa+i) window pairs appear
+    * WITHOUT the id-keyed position self-join that materialized a
+    * doc-length² intermediate before its position filter — zero
+    * shuffles and no interpreted lambda until pageRank's distinct;
+    * then pageRank's bounded rounds; the top-k is
+    * TakeOrderedAndProject. Returns the k highest-ranked words:
+    * (node, rank), ties broken by word.
     */
   def textrankKeywords(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 2, iterations: Int = 3, k: Int = 20): DataFrame = {
     require(window >= 1 && k >= 1, s"bad parameters window=$window k=$k")
-    val pos = docs.select(col(idCol).as("id"),
-      posexplode(toks(col(textCol))).as(Seq("p", "w")))
-    val x = pos.select(col("id"), col("p").as("pa"), col("w").as("wa"))
-    val y = pos.select(col("id"), col("p").as("pb"), col("w").as("wb"))
-    val pairs = x.join(y,
-        Seq("id")).filter(col("pb") > col("pa") &&
-        col("pb") <= col("pa") + window && col("wa") =!= col("wb"))
-      .select(col("wa").as("a"), col("wb").as("b"))
-    val sym = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+    val t = col("__t")
+    val base = docs.select(toks(col(textCol)).as("__t"))
+    // both directions of every offset in ONE concat: the symmetrized
+    // multiset the old self-join + union produced, one corpus scan
+    val zipped = (1 to window).flatMap { i =>
+      val n = greatest(size(t) - i, lit(0))
+      Seq(
+        arrays_zip(slice(t, lit(1), n).as("a"),
+          slice(t, lit(i + 1), n).as("b")),
+        arrays_zip(slice(t, lit(i + 1), n).as("a"),
+          slice(t, lit(1), n).as("b")))
+    }
+    val sym = base.select(explode(concat(zipped: _*)).as("z"))
+      .select(col("z.a").as("a"), col("z.b").as("b"))
+      .filter(col("a") =!= col("b"))
     Graph.pageRank(sym, "a", "b", iterations)
       .orderBy(col("rank").desc, col("node")).limit(k)
   }
