@@ -21,6 +21,20 @@ object TextAnalysis {
   private def toks(textCol: Column): Column =
     filter(split(textCol, " "), t => t =!= "")
 
+  /** Positioned n-grams of a BOUND token-array column as
+    * `array<struct<w1..wn>>` — the token array zipped with itself at
+    * offsets 1..n−1 (`slice` + `arrays_zip`, fully codegen'd). Replaces
+    * the `transform(sequence(...), i => struct(element_at...))` lambda,
+    * which evaluates INTERPRETED per element (and silently re-evaluates
+    * any unbound token expression per access). Yields the exact same
+    * gram multiset: short/empty docs produce an empty array, null token
+    * arrays propagate null — both vanish at the consumer's `explode`,
+    * exactly as the old `when(size >= n, ...)` guard did. */
+  private[ops] def ngramZip(t: Column, n: Int): Column = {
+    val len = greatest(size(t) - (n - 1), lit(0))
+    arrays_zip((1 to n).map(j => slice(t, lit(j), len).as(s"w$j")): _*)
+  }
+
   /** Degenerate-generation (n-gram loop) detector — the synthetic-data
     * filter that catches repetition-collapsed text ("the the the…",
     * sentence loops): per document, the most frequent n-gram's share of
@@ -393,12 +407,12 @@ object TextAnalysis {
     val t = col("__t")
     val withToks = df.select(col(idCol).as("doc_id"),
       toks(col(textCol)).as("__t"))
-    val starts = when(size(t) >= n, sequence(lit(0), size(t) - n))
-      .otherwise(array().cast("array<int>"))
-    val grams = transform(starts,
-      i => xxhash64((1 to n).map(j => element_at(t, i + j)): _*))
+    // positioned grams via ngramZip (codegen'd), gram hash computed
+    // post-explode — same values, no interpreted per-element lambda
     val occ = withToks
-      .select(col("doc_id"), explode(grams).as("gh"))
+      .select(col("doc_id"), explode(ngramZip(t, n)).as("g"))
+      .select(col("doc_id"),
+        xxhash64((1 to n).map(j => col(s"g.w$j")): _*).as("gh"))
       .groupBy("doc_id", "gh")
       .agg(count(lit(1)).as("c"))
     val gramDf = occ.groupBy("gh").agg(count(lit(1)).as("df"))
@@ -437,10 +451,7 @@ object TextAnalysis {
     val t = col("__t")
     val withToks = df.select(col(idCol).as("doc_id"),
       toks(col(textCol)).as("__t"))
-    val starts = when(size(t) >= 2, sequence(lit(0), size(t) - 2))
-      .otherwise(array().cast("array<int>"))
-    val bigrams = transform(starts,
-      i => struct(element_at(t, i + 1).as("w1"), element_at(t, i + 2).as("w2")))
+    val bigrams = ngramZip(t, 2)
     val occ = withToks
       .select(col("doc_id"), explode(bigrams).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
@@ -496,11 +507,7 @@ object TextAnalysis {
     val withToks = df.select(col(idCol).as("doc_id"),
         col(domainCol).as("__dom"), toks(col(textCol)).as("__t"))
       .withColumn("__fold", Prep.hashBucket(col("doc_id"), folds))
-    val starts = when(size(t) >= 2, sequence(lit(0), size(t) - 2))
-      .otherwise(array().cast("array<int>"))
-    val bigrams = transform(starts,
-      i => struct(element_at(t, i + 1).as("w1"),
-        element_at(t, i + 2).as("w2")))
+    val bigrams = ngramZip(t, 2)
     val occ = withToks
       .select(col("doc_id"), col("__dom"), col("__fold"),
         explode(bigrams).as("bg"))
@@ -601,11 +608,7 @@ object TextAnalysis {
     val withToks = df.select(col(idCol).as("doc_id"),
         col(domainCol).as("__dom"), toks(col(textCol)).as("__t"))
       .withColumn("__fold", Prep.hashBucket(col("doc_id"), folds))
-    val starts = when(size(t) >= 2, sequence(lit(0), size(t) - 2))
-      .otherwise(array().cast("array<int>"))
-    val bigrams = transform(starts,
-      i => struct(element_at(t, i + 1).as("w1"),
-        element_at(t, i + 2).as("w2")))
+    val bigrams = ngramZip(t, 2)
     val occ = withToks
       .select(col("doc_id"), col("__dom"), col("__fold"),
         explode(bigrams).as("bg"))
@@ -785,10 +788,7 @@ object TextAnalysis {
     val t = col("__t")
     val withToks = df.select(col(idCol).as("doc_id"),
       toks(col(textCol)).as("__t"))
-    val starts = when(size(t) >= 2, sequence(lit(0), size(t) - 2))
-      .otherwise(array().cast("array<int>"))
-    val bigrams = transform(starts,
-      i => struct(element_at(t, i + 1).as("w1"), element_at(t, i + 2).as("w2")))
+    val bigrams = ngramZip(t, 2)
     val occ = withToks
       .select(col("doc_id"), explode(bigrams).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
@@ -867,10 +867,7 @@ object TextAnalysis {
     val t = col("__t")
     val withToks = df.select(col(idCol).as("doc_id"),
       col(sliceCol).cast("string").as("slice"), toks(col(textCol)).as("__t"))
-    val starts = when(size(t) >= 2, sequence(lit(0), size(t) - 2))
-      .otherwise(array().cast("array<int>"))
-    val bigrams = transform(starts,
-      i => struct(element_at(t, i + 1).as("w1"), element_at(t, i + 2).as("w2")))
+    val bigrams = ngramZip(t, 2)
     // occ feeds TWO jobs (the eager bigramCnt checkpoint below and the
     // scoring join) — without its own checkpoint the corpus explode +
     // (doc, bigram) shuffle ran twice, once per job

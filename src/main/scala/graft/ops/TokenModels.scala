@@ -1139,13 +1139,12 @@ object TokenModels {
   def generateBigram(docs: DataFrame, textCol: String, seeds: DataFrame,
       seedCol: String, length: Int): DataFrame = {
     require(length >= 1, s"length must be >= 1: $length")
-    val t = toks(col(textCol))
+    // tokens bound to a column FIRST: the old transform lambda ran
+    // element_at over the raw toks() expression, re-evaluating the
+    // split+filter per element — O(len²) per document in the model build
     val bigrams = docs
-      .select(explode(transform(
-        when(size(t) >= 2, sequence(lit(0), size(t) - 2))
-          .otherwise(array().cast("array<int>")),
-        i => struct(element_at(t, i + 1).as("w1"),
-          element_at(t, i + 2).as("w2")))).as("bg"))
+      .select(toks(col(textCol)).as("__t"))
+      .select(explode(TextAnalysis.ngramZip(col("__t"), 2)).as("bg"))
       .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .agg(count(lit(1)).as("c"))
     val w = Window.partitionBy(col("w1")).orderBy(col("w2"))
