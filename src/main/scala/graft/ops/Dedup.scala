@@ -1034,14 +1034,13 @@ object Dedup {
       filter(split(col(textCol), " "), s => s =!= "").as("__t"))
     val tokens = withToks.select(col("doc_id"),
       posexplode(t).as(Seq("pos", "tok")))
-    val starts = when(size(t) >= minTokens,
-      sequence(lit(0), size(t) - minTokens))
-      .otherwise(array().cast("array<int>"))
+    // positioned grams via posexplode of the slice+arrays_zip gram
+    // array (codegen'd; pos = the old sequence index), hash computed
+    // post-explode — no interpreted per-element lambda
     val grams = withToks.select(col("doc_id"),
-      explode(transform(starts, i => struct(i.as("p"),
-        xxhash64((1 to minTokens).map(j => element_at(t, i + j)): _*)
-          .as("gh")))).as("__g"))
-      .select(col("doc_id"), col("__g.p").as("p"), col("__g.gh").as("gh"))
+        posexplode(TextAnalysis.ngramZip(t, minTokens)).as(Seq("p", "__g")))
+      .select(col("doc_id"), col("p"),
+        xxhash64((1 to minTokens).map(j => col(s"__g.w$j")): _*).as("gh"))
     val dup = grams.groupBy("gh").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= 2).select("gh")
     val covered = grams.join(dup, Seq("gh"), "left_semi")

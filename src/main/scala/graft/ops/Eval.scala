@@ -639,32 +639,34 @@ object Eval {
     require(n >= 1, s"n must be >= 1: $n")
     def toks(c: Column): Column =
       filter(split(coalesce(c, lit("")), " "), s => s =!= "")
-    // the token arrays MUST materialize in their own projection before
-    // the gram lambda touches them: element_at on the raw split
-    // expression re-tokenizes the whole text per gram element — O(len²)
-    // per document (measured 6.2 s → 1.3 s at sf0.1 from this split)
-    def gramHashes(t: Column): Column =
-      when(size(t) >= n, transform(sequence(lit(0), size(t) - n),
-        i => xxhash64((1 to n).map(j => element_at(t, i + j)): _*)))
-        .otherwise(array().cast("array<bigint>"))
+    // token arrays bound and checkpointed ONCE (base feeds both side
+    // counts and the size projection); positioned grams come from
+    // TextAnalysis.ngramZip (slice+arrays_zip, codegen'd) with the
+    // 64-bit gram hash computed post-explode — the old transform
+    // lambda evaluated interpreted per gram element
     val base = pairs.select(col(idCol).as("pair_id"),
         toks(col(refCol)).as("__rt"), toks(col(candCol)).as("__ct"))
-      .select(col("pair_id"),
-        gramHashes(col("__rt")).as("__rg"),
-        gramHashes(col("__ct")).as("__cg")).localCheckpoint()
+      .localCheckpoint()
+    // gram count of a length-L token array is max(L−n+1, 0) — the size
+    // the materialized gram array used to report
+    def gramCount(side: String): Column =
+      greatest(size(col(side)) - (n - 1), lit(0)).cast("long")
     def sideCounts(side: String, cname: String): DataFrame = base
-      .select(col("pair_id"), explode(col(side)).as("g"))
+      .select(col("pair_id"),
+        explode(TextAnalysis.ngramZip(col(side), n)).as("g"))
+      .select(col("pair_id"),
+        xxhash64((1 to n).map(j => col(s"g.w$j")): _*).as("g"))
       .groupBy("pair_id", "g").agg(count(lit(1)).as(cname))
-    val clip = sideCounts("__rg", "__cr")
-      .join(sideCounts("__cg", "__cc"), Seq("pair_id", "g"))
+    val clip = sideCounts("__rt", "__cr")
+      .join(sideCounts("__ct", "__cc"), Seq("pair_id", "g"))
       .groupBy("pair_id")
       .agg(sum(least(col("__cr"), col("__cc"))).as("__m"))
     val p = round(col("n_match").cast(DoubleType) / col("n_cand_grams"), 9)
     val r = round(col("n_match").cast(DoubleType) / col("n_ref_grams"), 9)
     base
       .select(col("pair_id"),
-        size(col("__rg")).cast("long").as("n_ref_grams"),
-        size(col("__cg")).cast("long").as("n_cand_grams"))
+        gramCount("__rt").as("n_ref_grams"),
+        gramCount("__ct").as("n_cand_grams"))
       .join(clip, Seq("pair_id"), "left_outer")
       .withColumn("n_match", coalesce(col("__m"), lit(0L)))
       .withColumn("precision", when(col("n_cand_grams") > 0, p))
