@@ -65,16 +65,17 @@ object Boost {
     */
   private def binnedBase(base: DataFrame, idCol: String, labelCol: String,
       featCols: Seq[String], bins: Int): DataFrame = {
+    // per-feature min/max AND the base prediction in ONE aggregate —
+    // a separate p0 agg cost a second full scan of the training relation
     val mmAggs = featCols.zipWithIndex.flatMap { case (f, i) =>
-      Seq(min(col(f)).as(s"__mn$i"), max(col(f)).as(s"__mx$i")) }
+      Seq(min(col(f)).as(s"__mn$i"), max(col(f)).as(s"__mx$i")) } :+
+      round(sum(col(labelCol)).cast(DoubleType) / count(lit(1)), 9)
+        .cast(P).as("__p0")
     val minmax = base.agg(mmAggs.head, mmAggs.tail: _*)
     val binCols = featCols.zipWithIndex.map { case (f, i) =>
       least(lit(bins - 1), floorDiv((col(f) - col(s"__mn$i")) * bins,
         col(s"__mx$i") - col(s"__mn$i") + 1)).cast("int").as(s"__b$i") }
-    // base prediction = round(mean(y), 9): one row, broadcast
-    val p0 = base.agg(round(sum(col(labelCol)).cast(DoubleType) /
-        count(lit(1)), 9).cast(P).as("__p0"))
-    base.crossJoin(broadcast(minmax)).crossJoin(broadcast(p0))
+    base.crossJoin(broadcast(minmax))
       .select(Seq(col(idCol).as("__id"),
         col(labelCol).cast(P).as("__y"), col("__p0").as("__pred")) ++
         binCols: _*)
