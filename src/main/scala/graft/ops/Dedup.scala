@@ -215,6 +215,26 @@ object Dedup {
         size(col("ts")).cast("long").as("n_tokens"))
   }
 
+  /** Verify-side token sets only — (id, toks_v, n_tokens), with `toks_v`
+    * the th-ascending distinct gram-hash array. The kernel's per-document
+    * dedup already IS the distinct and the field extraction
+    * (GetArrayStructFields) + sort_array run in-row, so this is ONE corpus
+    * scan with ZERO shuffles — where [[tokenSets]] pays a global
+    * df-frequency groupBy + join + groupBy-id (three token-level shuffles
+    * and a second tokenize) that only the AllPairs df-ordered `toks`
+    * prefix needs. Token-less docs are dropped, matching tokenSets'
+    * explode semantics (they must stay absent so dedup keeps them as
+    * singleton survivors).
+    */
+  def verifySets(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 1): DataFrame =
+    df.select(col(idCol).as("id"),
+        call_function("graft_ngram_hashes", col(textCol), lit(n)).as("g"))
+      .filter(size(col("g")) > 0)
+      .select(col("id"),
+        sort_array(col("g").getField("ha")).as("toks_v"),
+        size(col("g")).cast("long").as("n_tokens"))
+
   /** AllPairs prefix length for Jaccard threshold t: n − ⌈t·n⌉ + 1. The
     * 1e-9 nudge keeps ⌈·⌉ from rounding up on binary-float noise (which
     * would shrink the prefix and silently lose pairs); erring low only adds
@@ -518,7 +538,7 @@ object Dedup {
       bands: Int = 3,
       broadcastSets: Boolean = true): DataFrame =
     verifyPairs(minhashCandidates(df, idCol, textCol, numHashes, bands),
-        tokenSets(df, idCol, textCol).localCheckpoint(false), threshold,
+        verifySets(df, idCol, textCol).localCheckpoint(false), threshold,
         broadcastSets)
       .select("id_a", "id_b", "jaccard")
 
@@ -745,7 +765,7 @@ object Dedup {
     // factor squared. Docs with NO tokens never appear in tokenSets →
     // no edges → they remain singletons and survive (empty-vs-empty
     // Jaccard is 0/0 → no pair, matching jaccardPairs semantics).
-    val setHash = tokenSets(df, idCol, textCol)
+    val setHash = verifySets(df, idCol, textCol)
       .select(col("id"), xxhash64(col("toks_v")).as("set_hash"))
     val reps = setHash.groupBy("set_hash").agg(min(col("id")).as("rep_id"))
     val repDocs = df.join(reps.select(col("rep_id").as(idCol)),
@@ -797,7 +817,7 @@ object Dedup {
     val edges =
       if (threshold <= 0.0) starEdges
       else verifyPairs(starEdges,
-        tokenSets(df, idCol, textCol).localCheckpoint(false), threshold,
+        verifySets(df, idCol, textCol).localCheckpoint(false), threshold,
         broadcastSets)
         .select("id_a", "id_b")
     val ids = df.select(col(idCol).as("id"))
@@ -833,7 +853,7 @@ object Dedup {
       numHashes: Int = 12,
       bands: Int = 3,
       broadcastSets: Boolean = true): DataFrame = {
-    val sets = tokenSets(df, idCol, textCol).localCheckpoint(false)
+    val sets = verifySets(df, idCol, textCol).localCheckpoint(false)
     val edges = verifyPairs(
         minhashCandidates(df, idCol, textCol, numHashes, bands),
         sets, threshold, broadcastSets)
@@ -878,7 +898,7 @@ object Dedup {
       broadcastSets: Boolean = true): DataFrame = {
     val sigNew = minhashSignatures(batch, idCol, textCol, numHashes)
       .localCheckpoint(false)
-    val setsNew = tokenSets(batch, idCol, textCol).localCheckpoint(false)
+    val setsNew = verifySets(batch, idCol, textCol).localCheckpoint(false)
     val candNew = candidatesOfSignatures(sigNew, numHashes, bands)
     // batch↔old: band-bucket collisions across the two signature relations
     // (a pair colliding in several bands dedups here — tiny relative to the

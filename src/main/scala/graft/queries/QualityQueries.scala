@@ -704,7 +704,7 @@ object QualityQueries {
     val cands = graft.ops.Similarity.lshNearDupPairs(
       emb, "vec_id", "embedding",
       EmbedNearCos, SimilarityQueries.bandPlanes)
-    val sets = graft.ops.Dedup.tokenSets(docs, "doc_id", "text")
+    val sets = graft.ops.Dedup.verifySets(docs, "doc_id", "text")
       .localCheckpoint(false)
     val nc = when(col("__ta").isNotNull && col("__tb").isNotNull,
       call_function("graft_sorted_intersect", col("__ta"), col("__tb")))

@@ -31,6 +31,20 @@ class DedupSpec extends AnyFunSuite {
     assert(t.filter($"token" === "").count() == 0)
   }
 
+  test("verifySets ≡ tokenSets verify columns; empty/null docs absent") {
+    val withNull = docs.unionByName(
+      Seq((6L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    for (n <- Seq(1, 2)) {
+      val full = Dedup.tokenSets(withNull, "doc_id", "text", n)
+        .select("id", "toks_v", "n_tokens")
+      val fast = Dedup.verifySets(withNull, "doc_id", "text", n)
+      assert(fast.unionAll(full).except(fast.intersect(full)).count() == 0,
+        s"verifySets diverges from tokenSets at n=$n")
+      assert(fast.count() == full.count())
+      assert(fast.filter($"id".isin(5L, 6L)).count() == 0)
+    }
+  }
+
   test("2-gram shingles slide over adjacent tokens") {
     val g = Dedup.shingles(docs.filter($"doc_id" === 1L), "doc_id", "text", 2)
       .select("token").as[String].collect().sorted
