@@ -372,8 +372,14 @@ object Prep {
       : DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad percentiles [$pLo, $pHi]")
     val xd = col(valueCol).cast(Money)
-    val edges = df.agg(
-      percentile(col(valueCol), array(lit(pLo), lit(pHi))).as("__e"))
+    // percentile fed pre-grouped (value, count) rows builds the identical
+    // counts map (bit-exact result) at ~distinct-count update calls
+    // instead of row-count — the map-side partial count absorbs the
+    // row-scale volume (guide §2.2 partial aggregation)
+    val edges = df.groupBy(col(valueCol).as("__v"))
+      .agg(count(col(valueCol)).as("__cnt"))
+      .agg(percentile(col("__v"), array(lit(pLo), lit(pHi)), col("__cnt"))
+        .as("__e"))
     val lo = round(element_at(col("__e"), 1), 6).cast(DecimalType(18, 6))
     val hi = round(element_at(col("__e"), 2), 6).cast(DecimalType(18, 6))
     df.crossJoin(broadcast(edges))
@@ -732,8 +738,11 @@ object Prep {
     require(buckets > 1, s"need at least 2 buckets, got $buckets")
     val qs = (1 until buckets).map(_.toDouble / buckets)
     val xd = col(valueCol).cast(Money)
-    val edges = df.agg(
-      percentile(col(valueCol), array(qs.map(lit): _*)).as("__edges"))
+    // same pre-grouped frequency form as [[winsorize]] — bit-exact
+    val edges = df.groupBy(col(valueCol).as("__v"))
+      .agg(count(col(valueCol)).as("__cnt"))
+      .agg(percentile(col("__v"), array(qs.map(lit): _*), col("__cnt"))
+        .as("__edges"))
     val bin = qs.indices.reverse.foldLeft(lit(buckets - 1): Column) {
       case (acc, i) =>
         val edge = round(element_at(col("__edges"), i + 1), 6)

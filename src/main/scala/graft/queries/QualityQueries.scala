@@ -71,9 +71,16 @@ object QualityQueries {
     // quantile: each exact-percentile agg buffers the column's value-count
     // map independently, so 6 scalar calls = 6 buffers but 2 array calls = 2
     val ps = array(lit(0.25), lit(0.5), lit(0.75))
-    Tables.lineitem(spark, dir)
-      .agg(percentile(col("l_quantity"), ps).as("qq"),
-        percentile(col("l_extendedprice"), ps).as("pq"))
+    // per-column pre-grouped frequency form (bit-exact — the percentile
+    // builds the identical counts map): update calls drop from row-count
+    // to distinct-count per column (l_quantity: ~50), and each single-
+    // column scan prunes to one parquet column. The two 1-row aggregates
+    // cross back into the one output row.
+    val li = Tables.lineitem(spark, dir)
+    def colQ(c: String, as: String) =
+      li.groupBy(col(c).as("__v")).agg(count(col(c)).as("__c"))
+        .agg(percentile(col("__v"), ps, col("__c")).as(as))
+    colQ("l_quantity", "qq").crossJoin(colQ("l_extendedprice", "pq"))
       .select(
         round(element_at(col("qq"), 1), 6).as("qty_q1"),
         round(element_at(col("qq"), 2), 6).as("qty_q2"),
