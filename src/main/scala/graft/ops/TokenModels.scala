@@ -990,22 +990,29 @@ object TokenModels {
   def bpeLearn(docs: DataFrame, idCol: String, textCol: String,
       rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
-    // state is one symbol ARRAY per word; both per-round steps run in the
-    // native kernels (graft_bpe_pairs / graft_bpe_apply) — the window
-    // formulation cost ~7 passes per round, the HOF-lambda one evaluated
-    // interpreted (both measured, SURVEY §6.0)
+    // state is one symbol ARRAY per DISTINCT word, weighted by the word's
+    // corpus count: merges are deterministic per symbol sequence and pair
+    // counts are per-word-linear, so Σ_distinct cnt·pairs(word) equals the
+    // per-occurrence count exactly — and every round's kernel pass,
+    // checkpoint and pair shuffle runs at distinct-word volume instead of
+    // corpus volume. Both per-round steps run in the native kernels
+    // (graft_bpe_pairs / graft_bpe_apply) — the window formulation cost
+    // ~7 passes per round, the HOF-lambda one evaluated interpreted
+    // (both measured, SURVEY §6.0)
     var st = docs.select(
-        posexplode(expr(s"regexp_extract_all(lower(${textCol}), '[a-z]+', 0)"))
-          .as(Seq("__wid", "__w")))
-      .select(filter(split(col("__w"), ""), s => s =!= "").as("syms"))
+        explode(expr(s"regexp_extract_all(lower(${textCol}), '[a-z]+', 0)"))
+          .as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__wcnt"))
+      .select(filter(split(col("__w"), ""), s => s =!= "").as("syms"),
+        col("__wcnt"))
       .localCheckpoint()
     var learned = Vector.empty[DataFrame]
     for (r <- 1 to rounds) {
       val best = st
-        .select(explode(call_function("graft_bpe_pairs", col("syms")))
-          .as("__p"))
+        .select(col("__wcnt"),
+          explode(call_function("graft_bpe_pairs", col("syms"))).as("__p"))
         .groupBy(col("__p.a").as("__a"), col("__p.b").as("__b"))
-        .agg(count(lit(1)).as("__cnt"))
+        .agg(sum(col("__wcnt")).as("__cnt"))
         .orderBy(col("__cnt").desc, col("__a"), col("__b"))
         .limit(1).localCheckpoint()
       learned = learned :+ best.select(lit(r - 1).as("merge_rank"),
@@ -1013,7 +1020,7 @@ object TokenModels {
         col("__cnt").as("pair_count"))
       st = st.crossJoin(broadcast(best.select("__a", "__b")))
         .select(call_function("graft_bpe_apply", col("syms"),
-          col("__a"), col("__b")).as("syms"))
+          col("__a"), col("__b")).as("syms"), col("__wcnt"))
         .localCheckpoint()
     }
     learned.reduce(_ unionByName _)
