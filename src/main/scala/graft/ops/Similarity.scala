@@ -1134,23 +1134,47 @@ object Similarity {
     import org.apache.spark.sql.types.DecimalType
     val X9 = DecimalType(12, 9)
     val Dif = DecimalType(14, 9)
-    // kmeansFit returns a driver-local k·d relation — no checkpoint
-    // needed; the broadcast below builds straight from driver rows
+    // kmeansFit returns a driver-local k·d relation; pivot it to one row
+    // per dim with k centroid columns (the kmeansFit round discipline):
+    // the assignment aggregate reads N·d rows instead of N·d·k and the
+    // argmin is a codegen'd least() over the k per-id sums — identical
+    // addends, identical decimal sum type, bit-identical assignment.
+    val spark = emb.sparkSession
     val cents = kmeansFit(emb, idCol, vecCol, k, rounds)
       .select(col("cid"), col("dim"),
         round(col("centroid"), 9).cast(X9).as("__c9"))
+      .collect().toSeq
+    val wide = cents.groupBy(_.getLong(1)).toSeq.sortBy(_._1).map {
+      case (dim, rs) =>
+        val cs = new Array[Any](k)
+        rs.foreach(r => cs(r.getLong(0).toInt) = r.getDecimal(2))
+        org.apache.spark.sql.Row.fromSeq(dim.toInt +: cs.toSeq)
+    }
+    val centsWide = spark.createDataFrame(
+      java.util.Arrays.asList(wide: _*),
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("dim",
+          org.apache.spark.sql.types.IntegerType, nullable = false) +:
+        (0 until k).map(i => org.apache.spark.sql.types.StructField(
+          s"__c$i", X9))))
     val x = emb.select(col(idCol).as("__id"),
         posexplode(col(vecCol).cast("array<double>"))
           .as(Seq("dim", "__xd")))
       .select(col("__id"), col("dim"),
         round(col("__xd"), 9).cast(X9).as("__x9"))
-    x.join(broadcast(cents), Seq("dim"))
-      .groupBy("__id", "cid")
-      .agg(sum(((col("__x9") - col("__c9")).cast(Dif) *
-        (col("__x9") - col("__c9")).cast(Dif))).as("__dist"))
+    def sq(i: Int) = {
+      val d = (col("__x9") - col(s"__c$i")).cast(Dif)
+      sum(d * d).as(s"__s$i")
+    }
+    val argmin =
+      if (k == 1) lit(0)
+      else least((0 until k).map(i =>
+        struct(col(s"__s$i").as("__dist"), lit(i.toLong).as("cid"))): _*)
+        .getField("cid")
+    x.join(broadcast(centsWide), Seq("dim"))
       .groupBy("__id")
-      .agg(min(struct(col("__dist"), col("cid"))).as("__m"))
-      .select(col("__id"), col("__m.cid").cast("int").as("__cell"))
+      .agg(sq(0), (1 until k).map(sq): _*)
+      .select(col("__id"), argmin.cast("int").as("__cell"))
   }
 
   /** The clustering core shared by [[dbscan]] and [[dbscanFitted]]:
@@ -1546,15 +1570,6 @@ object Similarity {
     // bit-identically (SimilaritySpec pins).
     def localCents(df: DataFrame): Seq[org.apache.spark.sql.Row] =
       df.collect().toSeq
-    def centsRel(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
-      spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("cid",
-            org.apache.spark.sql.types.IntegerType, nullable = false),
-          org.apache.spark.sql.types.StructField("dim",
-            org.apache.spark.sql.types.IntegerType, nullable = false),
-          org.apache.spark.sql.types.StructField("c", D9))))
     var cents: Seq[org.apache.spark.sql.Row] = localCents(
       seeds.join(x, Seq("id"))
         .select(col("cid").cast("int").as("cid"),
@@ -1563,14 +1578,43 @@ object Similarity {
     // per-cid assignment size (posexplode emits dim 0 for every
     // non-empty vector, and empty vectors never enter x at all)
     var lastFresh: Seq[org.apache.spark.sql.Row] = Seq.empty
+    // centroids PIVOTED to one row per dim with k decimal columns: the
+    // per-round assignment aggregate then reads N·d rows (one per vector
+    // element) instead of N·d·k join-expanded rows, and the argmin is a
+    // codegen'd least() over the k per-id sums instead of a second
+    // groupBy. Arithmetic is addend-for-addend identical — same
+    // (x9 − c)·cast(Dif) squares, same decimal sum type, and decimal
+    // sums are order-insensitive — so the fit still replays
+    // bit-identically (SimilaritySpec pins).
+    def centsWideRel(rows: Seq[org.apache.spark.sql.Row]): DataFrame = {
+      val wide = rows.groupBy(_.getInt(1)).toSeq.sortBy(_._1).map {
+        case (dim, rs) =>
+          val cs = new Array[Any](k)
+          rs.foreach(r => cs(r.getInt(0)) = r.getDecimal(2))
+          org.apache.spark.sql.Row.fromSeq(dim +: cs.toSeq)
+      }
+      spark.createDataFrame(
+        java.util.Arrays.asList(wide: _*),
+        org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("dim",
+            org.apache.spark.sql.types.IntegerType, nullable = false) +:
+          (0 until k).map(i => org.apache.spark.sql.types.StructField(
+            s"__c$i", D9))))
+    }
+    def argminCid(k: Int): Column =
+      if (k == 1) lit(0)
+      else least((0 until k).map(i =>
+        struct(col(s"__s$i").as("__dist"), lit(i).as("cid"))): _*)
+        .getField("cid")
     for (_ <- 1 to rounds) {
-      val diff = (col("x9") - col("c")).cast(Dif)
-      val assign = x.join(broadcast(centsRel(cents)), Seq("dim"))
-        .groupBy(col("id"), col("cid"))
-        .agg(sum(diff * diff).as("__dist"))
+      def sq(i: Int) = {
+        val d = (col("x9") - col(s"__c$i")).cast(Dif)
+        sum(d * d).as(s"__s$i")
+      }
+      val assign = x.join(broadcast(centsWideRel(cents)), Seq("dim"))
         .groupBy("id")
-        .agg(min(struct(col("__dist"), col("cid"))).as("__m"))
-        .select(col("id"), col("__m.cid").as("cid"))
+        .agg(sq(0), (1 until k).map(sq): _*)
+        .select(col("id"), argminCid(k).as("cid"))
       lastFresh = localCents(assign.join(x, Seq("id"))
         .groupBy("cid", "dim")
         .agg(round(sum(col("x9")).cast("double") / count(lit(1)), 9)
